@@ -1,0 +1,135 @@
+"""Analyzer registry — the reference's named-analyzer surface, Ray-Data-shaped.
+
+Reference: ``index/analysis/AnalysisRegistry.java:634-646`` (default =
+``standard``); named analyzers / tokenizers / filters are registered in
+``modules/analysis-common/.../CommonAnalysisPlugin.java:179-402``.
+
+Each analyzer is ``(text) -> (tokens, positions)`` where positions are the
+Lucene token positions (stopword removal leaves position gaps, which is what
+makes phrase queries behave like the reference). Analyzers are plain callables
+held in a registry; the Ray-side stage (`index/build.py` AnalyzeActor) holds
+one instance per actor — setup (stopword sets, compiled regexes) happens once
+per actor, per the actor-pool pattern.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+
+from elasticsearch_ray.analysis.stopwords import ENGLISH_STOP_WORDS
+from elasticsearch_ray.analysis.tokenizer import MAX_TOKEN_LENGTH, tokenize
+
+Analysis = tuple[list[str], list[int]]  # (terms, positions)
+
+
+class Analyzer:
+    name = "base"
+
+    def __call__(self, text: str) -> Analysis:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class StandardAnalyzer(Analyzer):
+    """UAX#29 + lowercase, empty stopwords, max_token_length=255.
+
+    (StandardAnalyzerProvider.java:21-28.)
+    """
+
+    name = "standard"
+
+    def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH, stopwords: frozenset = frozenset()):
+        self.max_token_length = max_token_length
+        self.stopwords = stopwords
+
+    def __call__(self, text: str) -> Analysis:
+        toks = tokenize(text, self.max_token_length)
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, t in enumerate(toks):
+            t = t.lower()
+            if t in self.stopwords:
+                continue  # position gap, like Lucene StopFilter
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
+
+
+class SimpleAnalyzer(Analyzer):
+    """``simple``: maximal letter runs, lowercased (Lucene LetterTokenizer +
+    LowerCaseFilter). SQL-expressible: regexp split on non-letters."""
+
+    name = "simple"
+    _re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def __call__(self, text: str) -> Analysis:
+        terms = [t.lower() for t in self._re.findall(text)]
+        return terms, list(range(len(terms)))
+
+
+class WhitespaceAnalyzer(Analyzer):
+    """``whitespace``: split on whitespace runs, case preserved."""
+
+    name = "whitespace"
+
+    def __call__(self, text: str) -> Analysis:
+        terms = text.split()
+        return terms, list(range(len(terms)))
+
+
+class KeywordAnalyzer(Analyzer):
+    """``keyword``: the entire input as a single token."""
+
+    name = "keyword"
+
+    def __call__(self, text: str) -> Analysis:
+        return ([text], [0]) if text else ([], [])
+
+
+class StopAnalyzer(StandardAnalyzer):
+    """``stop``-style analyzer: standard chain + English stopword removal
+    (with position gaps)."""
+
+    name = "stop"
+
+    def __init__(self):
+        super().__init__(stopwords=ENGLISH_STOP_WORDS)
+
+
+_REGISTRY: dict[str, Callable[[], Analyzer]] = {
+    "standard": StandardAnalyzer,
+    "simple": SimpleAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "keyword": KeywordAnalyzer,
+    "stop": StopAnalyzer,
+}
+
+
+def register(name: str, factory: Callable[[], Analyzer]) -> None:
+    """Plugin surface — the AnalysisPlugin SPI analog (SURVEY §2.13)."""
+    _REGISTRY[name] = factory
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+
+
+def analyze_batch(analyzer: Analyzer, texts) -> tuple[list, list, np.ndarray]:
+    """Analyze a column of texts → (terms_per_doc, positions_per_doc, doclens).
+
+    doclen counts ALL emitted positions' source tokens? No — it is the number
+    of indexed terms (Lucene's field length = number of tokens that made it
+    past the filters; stopword-removed tokens do NOT count toward the norm).
+    """
+    terms_all, pos_all, lens = [], [], np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        terms, pos = analyzer(t) if t else ([], [])
+        terms_all.append(terms)
+        pos_all.append(pos)
+        lens[i] = len(terms)
+    return terms_all, pos_all, lens

@@ -1,0 +1,102 @@
+"""Okapi BM25 with Elasticsearch 8.3.0 float semantics.
+
+Reference semantics:
+  - Default similarity is BM25, k1=1.2, b=0.75, discount_overlaps=true
+    (``server/.../index/similarity/SimilarityProviders.java:254-261``).
+  - ES wraps Lucene 9's BM25 (which dropped the (k1+1) numerator factor) in
+    ``LegacyBM25Similarity`` which multiplies the query boost by (k1 + 1)
+    (``server/.../lucene/similarity/LegacyBM25Similarity.java:66-68``), so the
+    effective per-(term, doc) score is the classic
+        idf * (k1+1) * tf / (tf + k1 * (1 - b + b * dl/avgdl)).
+  - idf = ln(1 + (N - df + 0.5) / (df + 0.5)), computed in double, narrowed
+    to float32.
+  - dl is the SmallFloat-lossy decoded doc length (norms.py); avgdl =
+    sumTotalTermFreq / docCount in double, narrowed to float32.
+  - Per-norm-byte denominator cache of 256 float32 values:
+        cache[b] = k1 * (1 - b_param + b_param * LENGTH_TABLE[b] / avgdl)
+    per-doc score = weight * float32(tf / (tf + cache[norm_byte])).
+  - Multi-term scores are summed in double and narrowed to float32
+    (Lucene DisjunctionSumScorer / ConjunctionScorer behavior).
+
+``dtype='float32'`` reproduces those narrowing points exactly;
+``dtype='float64'`` computes everything in double — used for the DuckDB
+oracle comparison where SQL cannot express float32 narrowing (ranking is
+identical; only ulp-level score digits differ).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from elasticsearch_ray.index.norms import LENGTH_TABLE
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+def idf(df: int, doc_count: int) -> float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) in double precision."""
+    return math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+
+
+class BM25Scorer:
+    """Per-term scorer over (tf, norm_byte) arrays.
+
+    One instance per query term; precomputes the 256-entry denominator cache
+    and the float32 weight, mirroring Lucene's BM25Scorer.
+    """
+
+    def __init__(
+        self,
+        df: int,
+        doc_count: int,
+        avgdl: float,
+        params: BM25Params = BM25Params(),
+        boost: float = 1.0,
+        dtype: str = "float32",
+    ):
+        self.params = params
+        self.dtype = dtype
+        idf_d = idf(df, doc_count)
+        if dtype == "float32":
+            idf_f = np.float32(idf_d)
+            avgdl_f = np.float32(avgdl)
+            k1 = np.float32(params.k1)
+            b = np.float32(params.b)
+            # LegacyBM25: boost' = boost * (k1 + 1); weight = boost' * idf (float math)
+            self.weight = np.float32(np.float32(boost) * np.float32(k1 + np.float32(1.0)) * idf_f)
+            self.cache = (k1 * ((np.float32(1.0) - b) + b * LENGTH_TABLE / avgdl_f)).astype(
+                np.float32
+            )
+        else:
+            self.weight = float(boost) * (params.k1 + 1.0) * idf_d
+            self.cache = (
+                params.k1 * ((1.0 - params.b) + params.b * LENGTH_TABLE.astype(np.float64) / avgdl)
+            )
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """Vectorized score for arrays of (tf, norm_byte); returns self.dtype array."""
+        norm = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tf = np.asarray(tfs)
+        if self.dtype == "float32":
+            # Lucene: weight * (float)(freq / (freq + (double) norm))
+            frac = (tf.astype(np.float64) / (tf.astype(np.float64) + norm.astype(np.float64))).astype(
+                np.float32
+            )
+            return (np.float32(self.weight) * frac).astype(np.float32)
+        return self.weight * (tf / (tf + norm))
+
+    def max_score(self, max_tf: np.ndarray | int, min_norm_byte: np.ndarray | int) -> np.ndarray:
+        """Upper bound of score for a block given its impacts (max tf, min norm).
+
+        Valid bound: score is increasing in tf and decreasing in dl, so
+        (max_tf, min_norm) dominates every (tf, norm) pair in the block —
+        our analog of Lucene's per-block impact entries.
+        """
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
