@@ -1,0 +1,118 @@
+"""Segment format: one directory per build partition (the reference's shard /
+Lucene-segment analog, SURVEY §1.3).
+
+parts/part=NNNNN/
+  docs.parquet       row i = partition-local docid i: url, doc_id (global),
+                     doclen (exact int), norm (SmallFloat byte), warc_ts, lang
+  terms.parquet      sorted term dictionary: term, df, total_tf, off, len
+                     (byte range in postings.bin)
+  postings.bin       concatenated per-term posting blobs (postings.py codec)
+  positions.parquet  row i = term row i: pos_flat (list<int32>, all positions
+                     concatenated in doc order), pos_lens (per-doc counts)
+  manifest.json      completion marker + lineage + metrics (the commit-point
+                     analog of InternalEngine.commitIndexWriter user data,
+                     InternalEngine.java:2585-2602)
+
+index_meta.json at the index root records the spec + per-part lineage +
+global stats (N, sum_dl) once every partition completed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PART_FMT = "part={:05d}"
+
+
+def part_dir(index_dir: str, part: int) -> str:
+    return os.path.join(index_dir, "parts", PART_FMT.format(part))
+
+
+def atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def atomic_write_table(tbl: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def atomic_write_bytes(data: bytes, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def manifest_path(index_dir: str, part: int) -> str:
+    return os.path.join(part_dir(index_dir, part), "manifest.json")
+
+
+def read_manifest(index_dir: str, part: int) -> dict | None:
+    p = manifest_path(index_dir, part)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+class SegmentReader:
+    """Warm reader over one partition's segment — term dict + norms cached in
+    memory, postings.bin memory-mapped (the 'warm query scorer' actor state,
+    SURVEY §3.2)."""
+
+    def __init__(self, pdir: str):
+        self.dir = pdir
+        with open(os.path.join(pdir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        t = pq.read_table(os.path.join(pdir, "terms.parquet"))
+        self._terms = t["term"]
+        self.df = t["df"].to_numpy()
+        self.total_tf = t["total_tf"].to_numpy()
+        self.off = t["off"].to_numpy()
+        self.len = t["len"].to_numpy()
+        self.has_positions = os.path.exists(os.path.join(pdir, "positions.parquet"))
+        d = pq.read_table(os.path.join(pdir, "docs.parquet"), columns=["norm", "doclen"])
+        self.norms = d["norm"].to_numpy()
+        self.n_docs = len(self.norms)
+        self.sum_dl = int(self.manifest["sum_dl"])
+        pb = os.path.join(pdir, "postings.bin")
+        self.postings = np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else b""
+        self._positions_tbl = None
+
+    def lookup(self, terms: list[str]) -> np.ndarray:
+        """Row index per term in the sorted term dict, -1 when absent."""
+        if not terms:
+            return np.empty(0, np.int64)
+        idx = pa.compute.index_in(pa.array(terms, self._terms.type), value_set=self._terms)
+        return idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    def blob(self, row: int) -> memoryview:
+        o, ln = int(self.off[row]), int(self.len[row])
+        return memoryview(self.postings)[o : o + ln]
+
+    def positions_for(self, row: int):
+        """Positions for term row → (pos_flat:int32[], pos_lens:int32[]) in doc
+        order (positions.parquet row i ↔ terms.parquet row i)."""
+        if not self.has_positions:
+            raise ValueError("index built without positions")
+        if self._positions_tbl is None:
+            self._positions_tbl = pq.read_table(os.path.join(self.dir, "positions.parquet"))
+        sl = self._positions_tbl.slice(row, 1)
+        flat = sl["pos_flat"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        lens = sl["pos_lens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        return flat, lens
+
+    def doc_fields(self, locals_: np.ndarray, columns=("url", "doc_id")) -> pa.Table:
+        """Fetch-phase lookup of doc metadata for winning local ids."""
+        t = pq.read_table(os.path.join(self.dir, "docs.parquet"), columns=list(columns))
+        return t.take(pa.array(locals_))

@@ -1,0 +1,35 @@
+"""IndexSpec — the static schema/settings analog of the reference's mapping +
+settings (``IndexMetadata.java:189``); no dynamic mapping is needed for the
+fixed web-page input table (BASELINE input_hint)."""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class IndexSpec:
+    analyzer: str = "standard"  # default analyzer (AnalysisRegistry.java:634-646)
+    k1: float = 1.2  # BM25 defaults (SimilarityProviders.java:254-261)
+    b: float = 0.75
+    store_positions: bool = True  # text fields index DOCS_AND_FREQS_AND_POSITIONS
+    # (TextFieldMapper.java:95-110)
+    use_html: bool = True  # extract text from html column (else trust text column)
+    escaped_tags: tuple = ()
+    # head-term skew handling: terms whose sampled df ratio exceeds this are
+    # salted into doc-range sub-keys of salt_docs docs each before the
+    # term-keyed shuffle (SURVEY §4 skew row).
+    head_df_ratio: float = 0.02
+    salt_docs: int = 16384
+    sample_docs: int = 2000
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["escaped_tags"] = list(d["escaped_tags"])
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexSpec":
+        d = dict(d)
+        d["escaped_tags"] = tuple(d.get("escaped_tags", ()))
+        return cls(**d)

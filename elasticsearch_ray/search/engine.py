@@ -1,0 +1,491 @@
+"""Distributed query execution — the _search path (SURVEY §3.2).
+
+Phases, mirroring the reference coordinator:
+  1. DFS phase: gather per-partition df/total_tf for the query's terms and
+     sum to GLOBAL stats (dfs_query_then_fetch semantics,
+     ``search/dfs/DfsPhase.java:29-75`` + ``SearchPhaseController.aggregateDfs``)
+     — our build makes this a cheap term-dict lookup per partition.
+  2. Query phase: per-partition top-k (Block-Max WAND or exhaustive) with the
+     global-stats BM25 scorers.
+  3. Merge: (score desc, partition asc, doc asc) — the tie-break of
+     ``SearchPhaseController.mergeTopDocs`` (score desc, shardIndex, doc).
+  4. Fetch phase: join winning (part, local) back to docs.parquet for
+     url/doc_id (``search/fetch/FetchPhase.java:72`` analog).
+
+Execution backends:
+  - parallel="local": sequential driver loop with cached SegmentReaders —
+    right for few/small partitions and for oracle-compared queries.
+  - parallel="ray": a pool of SearcherActor actors, each owning a stable
+    subset of partitions with warm readers (mmapped postings, cached term
+    dicts) — the 'long-lived warm scorer' design from SURVEY §3.2; used by
+    bench for QPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_ray.analysis.analyzers import get_analyzer
+from elasticsearch_ray.index.segments import SegmentReader, part_dir
+from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer
+from elasticsearch_ray.search.query import (
+    BoolQuery,
+    MatchAllQuery,
+    MatchPhraseQuery,
+    MatchQuery,
+    PrefixQuery,
+    Query,
+    RangeFilter,
+    TermFilter,
+    TermQuery,
+    TermsQuery,
+    query_terms,
+)
+from elasticsearch_ray.search.topk import (
+    TermCursor,
+    bmw_topk,
+    combine_sum,
+    exhaustive_disjunction,
+    topk_select,
+)
+
+
+def _as_np(docs):
+    return np.asarray(docs, dtype=np.int64)
+
+
+class PartitionSearcher:
+    """Evaluates a query tree over one partition's segment."""
+
+    def __init__(self, reader: SegmentReader, default_analyzer: str, params: BM25Params,
+                 dtype: str = "float32"):
+        self.r = reader
+        self.analyzer_name = default_analyzer
+        self.params = params
+        self.dtype = dtype
+        self._doc_cols: dict[str, np.ndarray] = {}
+
+    # ---- stats phase ----
+    def local_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        rows = self.r.lookup(terms)
+        return {
+            t: (int(self.r.df[i]), int(self.r.total_tf[i]))
+            for t, i in zip(terms, rows)
+            if i >= 0
+        }
+
+    # ---- query phase ----
+    def _cursor(self, term: str, scorers) -> TermCursor | None:
+        i = self.r.lookup([term])[0]
+        if i < 0:
+            return None
+        return TermCursor(self.r.blob(int(i)), scorers[term])
+
+    def _doc_col(self, name: str):
+        col = self._doc_cols.get(name)
+        if col is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"), columns=[name])
+            col = t[name].to_numpy(zero_copy_only=False)
+            self._doc_cols[name] = col
+        return col
+
+    def _eval_filter(self, q: Query) -> np.ndarray:
+        """Non-scoring clause → sorted doc array."""
+        if isinstance(q, RangeFilter):
+            col = self._doc_col(q.column)
+            mask = np.ones(len(col), dtype=bool)
+            if q.gte is not None:
+                mask &= col >= q.gte
+            if q.lte is not None:
+                mask &= col <= q.lte
+            if q.gt is not None:
+                mask &= col > q.gt
+            if q.lt is not None:
+                mask &= col < q.lt
+            return np.flatnonzero(mask).astype(np.int64)
+        if isinstance(q, TermFilter):
+            col = self._doc_col(q.column)
+            return np.flatnonzero(col == q.value).astype(np.int64)
+        # any scoring query used as filter: matching docs, scores ignored
+        docs, _ = self._eval_scoring(q, {}, k=None, mode="exhaustive", scorers_required=False)
+        return docs
+
+    def _phrase_docs(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase (slop=0): docs where terms appear at consecutive
+        positions; returns (docs, phrase_freqs)."""
+        rows = self.r.lookup(terms)
+        if np.any(rows < 0):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        per_term = []
+        for i in rows:
+            blob = self.r.blob(int(i))
+            from elasticsearch_ray.index.postings import decode_postings
+
+            docs, _tfs = decode_postings(blob)
+            flat, lens = self.r.positions_for(int(i))
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            per_term.append((docs, flat, offs))
+        # intersect doc lists
+        common = per_term[0][0]
+        for docs, _, _ in per_term[1:]:
+            common = common[np.isin(common, docs, assume_unique=True)]
+        out_docs, out_freqs = [], []
+        # per-candidate positional intersect (candidates are few post-AND)
+        idx_maps = [dict(zip(docs.tolist(), range(len(docs)))) for docs, _, _ in per_term]
+        for d in common.tolist():
+            pos0 = None
+            for ti, (docs, flat, offs) in enumerate(per_term):
+                j = idx_maps[ti][d]
+                p = flat[offs[j] : offs[j + 1]].astype(np.int64) - ti
+                pos0 = p if pos0 is None else pos0[np.isin(pos0, p, assume_unique=True)]
+                if len(pos0) == 0:
+                    break
+            if pos0 is not None and len(pos0):
+                out_docs.append(d)
+                out_freqs.append(len(pos0))
+        return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+    def _eval_scoring(self, q: Query, scorers, k, mode, scorers_required=True):
+        """Returns (docs, scores) arrays, docs sorted asc (NOT top-k-cut unless
+        the pure-disjunction fast path applies and k is given)."""
+        dtype = np.float32 if self.dtype == "float32" else np.float64
+        r = self.r
+        if isinstance(q, MatchAllQuery):
+            docs = np.arange(r.n_docs, dtype=np.int64)
+            return docs, np.full(r.n_docs, q.boost, dtype=dtype)
+        if isinstance(q, TermQuery):
+            c = self._cursor(q.term, scorers)
+            if c is None:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            d, t = c.decode_all()
+            return d, np.asarray(c.scorer.score(t, r.norms[d]), dtype=dtype)
+        if isinstance(q, (TermsQuery, MatchQuery)):
+            if isinstance(q, TermsQuery):
+                terms, op, msm = list(q.terms), "or", 1
+            else:
+                an = get_analyzer(q.analyzer or self.analyzer_name)
+                terms = an(q.text)[0]
+                op = q.operator
+                msm = _min_should_match(q.minimum_should_match, len(terms))
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            cursors = [c for t in terms if (c := self._cursor(t, scorers)) is not None]
+            if op == "and":
+                if len(cursors) < len(terms):
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                min_match = len(terms)
+            else:
+                min_match = max(1, msm)
+                if len(cursors) < min_match:
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+            if k is not None and mode == "bmw":
+                return bmw_topk(cursors, r.norms, k, r.n_docs, dtype, min_match=min_match)
+            docs, scores = exhaustive_disjunction(cursors, r.norms, dtype, min_match=min_match)
+            return docs, scores
+        if isinstance(q, MatchPhraseQuery):
+            an = get_analyzer(q.analyzer or self.analyzer_name)
+            terms = an(q.text)[0]
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs, freqs = self._phrase_docs(terms)
+            if len(docs) == 0:
+                return docs, np.empty(0, dtype)
+            # phrase scored like a term with tf = phrase_freq and the FIRST
+            # term's... — Lucene PhraseQuery uses combined idf of all terms:
+            # sum of per-term idfs (TFIDF/BM25: SimScorer over sum idf)
+            sc = scorers.get(("__phrase__",) + tuple(terms))
+            return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
+        if isinstance(q, PrefixQuery):
+            # sorted term dict range scan → constant-score disjunction
+            # (multi-term query rewrite, constant_score like the reference)
+            tcol = self.r._terms
+            terms_np = tcol.to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(terms_np, q.prefix, side="left")
+            hi = np.searchsorted(terms_np, q.prefix + "￿", side="right")
+            d_arrays = []
+            from elasticsearch_ray.index.postings import decode_postings
+
+            for i in range(int(lo), int(hi)):
+                d, _t = decode_postings(self.r.blob(i))
+                d_arrays.append(d)
+            if not d_arrays:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs = np.unique(np.concatenate(d_arrays))
+            return docs, np.full(len(docs), q.boost, dtype=dtype)
+        if isinstance(q, (RangeFilter, TermFilter)):
+            docs = self._eval_filter(q)
+            return docs, np.zeros(len(docs), dtype=dtype)
+        if isinstance(q, BoolQuery):
+            return self._eval_bool(q, scorers, mode)
+        raise TypeError(f"unsupported query {type(q).__name__}")
+
+    def _eval_bool(self, q: BoolQuery, scorers, mode):
+        dtype = np.float32 if self.dtype == "float32" else np.float64
+        base_docs = None  # sorted candidate set from must+filter
+        base_scores = None
+        for clause in q.must:
+            d, s = self._eval_scoring(clause, scorers, k=None, mode="exhaustive")
+            if base_docs is None:
+                base_docs, base_scores = d, s.astype(np.float64)
+            else:
+                base_docs, (base_scores, s2) = _intersect(base_docs, d, base_scores, s)
+                base_scores = base_scores + s2
+        for clause in q.filter:
+            d = self._eval_filter(clause)
+            if base_docs is None:
+                base_docs, base_scores = d, np.zeros(len(d), dtype=np.float64)
+            else:
+                base_docs, (base_scores,) = _intersect(base_docs, d, base_scores)
+        if q.should:
+            sd, ss, scounts = [], [], None
+            per_clause = [
+                self._eval_scoring(c, scorers, k=None, mode="exhaustive") for c in q.should
+            ]
+            docs_u, scores_u, counts = combine_sum(
+                [d for d, _ in per_clause], [s for _, s in per_clause], np.float64
+            )
+            msm = q.minimum_should_match
+            if msm is None:
+                msm = 0 if (q.must or q.filter) else 1
+            if msm > 0:
+                keep = counts >= msm
+                docs_u, scores_u = docs_u[keep], scores_u[keep]
+            if base_docs is None:
+                base_docs, base_scores = docs_u, scores_u
+            else:
+                # optional should: add scores where overlapping
+                pos = np.searchsorted(docs_u, base_docs)
+                pos_c = np.clip(pos, 0, max(len(docs_u) - 1, 0))
+                hit = (len(docs_u) > 0) & (docs_u[pos_c] == base_docs) if len(docs_u) else np.zeros(len(base_docs), bool)
+                add = np.where(hit, scores_u[pos_c] if len(docs_u) else 0.0, 0.0)
+                base_scores = base_scores + add
+        if base_docs is None:
+            base_docs = np.arange(self.r.n_docs, dtype=np.int64)
+            base_scores = np.zeros(len(base_docs), dtype=np.float64)
+        for clause in q.must_not:
+            d = self._eval_filter(clause)
+            keep = ~np.isin(base_docs, d, assume_unique=True)
+            base_docs, base_scores = base_docs[keep], base_scores[keep]
+        return base_docs, (base_scores * q.boost).astype(dtype)
+
+    def topk(self, q: Query, scorers, k: int, mode: str = "bmw"):
+        docs, scores = self._eval_scoring(q, scorers, k=k, mode=mode)
+        return topk_select(docs, scores, k)
+
+
+def _intersect(a: np.ndarray, b: np.ndarray, *score_arrays):
+    """Intersect sorted unique doc arrays; returns (docs, remapped scores).
+    score_arrays aligned with `a` are remapped; a score array aligned with `b`
+    may be passed as the last element — detected by length."""
+    pos = np.searchsorted(b, a)
+    pos_c = np.clip(pos, 0, max(len(b) - 1, 0))
+    hit = (b[pos_c] == a) if len(b) else np.zeros(len(a), bool)
+    docs = a[hit]
+    out = []
+    for s in score_arrays:
+        if len(s) == len(a):
+            out.append(np.asarray(s, np.float64)[hit])
+        else:  # aligned with b
+            out.append(np.asarray(s, np.float64)[pos_c[hit]])
+    return docs, tuple(out)
+
+
+def _min_should_match(msm, n_clauses: int) -> int:
+    """Queries.calculateMinShouldMatch subset: int or 'N%' (negative = all-but)."""
+    if msm is None:
+        return 1
+    if isinstance(msm, int):
+        return msm if msm >= 0 else max(0, n_clauses + msm)
+    s = str(msm).strip()
+    if s.endswith("%"):
+        pct = float(s[:-1])
+        val = int(pct / 100.0 * n_clauses)
+        return val if pct >= 0 else n_clauses + val
+    return int(s)
+
+
+class QueryEngine:
+    """Search over a built index directory."""
+
+    def __init__(self, index_dir: str, dtype: str = "float32", parallel: str = "local",
+                 num_actors: int | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            self.meta = json.load(f)
+        self.spec = self.meta["spec"]
+        self.params = BM25Params(k1=self.spec["k1"], b=self.spec["b"])
+        self.dtype = dtype
+        self.analyzer_name = self.spec["analyzer"]
+        self.parts = [p["part"] for p in self.meta["parts"]]
+        self.n_docs = self.meta["n_docs"]
+        self.avgdl = self.meta["sum_dl"] / max(self.n_docs, 1)
+        self.parallel = parallel
+        self._searchers: dict[int, PartitionSearcher] = {}
+        self._actors = None
+        self._num_actors = num_actors
+        if parallel == "ray":
+            self._init_actors()
+
+    # -- local backend --
+    def _searcher(self, part: int) -> PartitionSearcher:
+        s = self._searchers.get(part)
+        if s is None:
+            s = PartitionSearcher(
+                SegmentReader(part_dir(self.index_dir, part)),
+                self.analyzer_name,
+                self.params,
+                self.dtype,
+            )
+            self._searchers[part] = s
+        return s
+
+    # -- ray actor backend --
+    def _init_actors(self):
+        import ray
+
+        n = self._num_actors or max(1, min(len(self.parts), int(ray.cluster_resources().get("CPU", 4))))
+        groups: list[list[int]] = [[] for _ in range(n)]
+        for i, p in enumerate(self.parts):
+            groups[i % n].append(p)
+        actor_cls = ray.remote(SearcherActor)
+        self._actors = [
+            actor_cls.remote(self.index_dir, g, self.analyzer_name,
+                             (self.params.k1, self.params.b), self.dtype)
+            for g in groups if g
+        ]
+
+    def close(self):
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None
+
+    def _global_stats(self, terms: list[str]) -> dict[str, int]:
+        """DFS phase: global df per term (sum of per-partition dfs)."""
+        df = dict.fromkeys(terms, 0)
+        if self._actors:
+            import ray
+
+            results = ray.get([a.local_stats.remote(terms) for a in self._actors])
+        else:
+            results = [self._searcher(p).local_stats(terms) for p in self.parts]
+        for st in results:
+            for t, (d, _ttf) in st.items():
+                df[t] += d
+        return df
+
+    def _scorers(self, q: Query, boost_map=None):
+        terms = query_terms(q, self.analyzer_name)
+        df = self._global_stats(terms)
+        scorers = {
+            t: BM25Scorer(df[t], self.n_docs, self.avgdl, self.params, dtype=self.dtype)
+            for t in terms
+        }
+        # phrase scorers: Lucene PhraseQuery uses the SUM of member idfs
+        def add_phrase(qq):
+            if isinstance(qq, MatchPhraseQuery):
+                an = get_analyzer(qq.analyzer or self.analyzer_name)
+                pterms = an(qq.text)[0]
+                sc = BM25Scorer(1, self.n_docs, self.avgdl, self.params, dtype=self.dtype)
+                import math
+
+                from elasticsearch_ray.search.bm25 import idf as idf_fn
+
+                if self.dtype == "float32":
+                    idf_sum = np.float32(0.0)
+                    for t in pterms:
+                        idf_sum = np.float32(idf_sum + np.float32(idf_fn(df.get(t, 0), self.n_docs)))
+                    sc.weight = np.float32(
+                        np.float32(qq.boost) * np.float32(np.float32(self.params.k1) + np.float32(1.0)) * idf_sum
+                    )
+                else:
+                    sc.weight = qq.boost * (self.params.k1 + 1.0) * sum(
+                        idf_fn(df.get(t, 0), self.n_docs) for t in pterms
+                    )
+                scorers[("__phrase__",) + tuple(pterms)] = sc
+            elif isinstance(qq, BoolQuery):
+                for sub in (*qq.must, *qq.should, *qq.filter, *qq.must_not):
+                    add_phrase(sub)
+
+        add_phrase(q)
+        return scorers
+
+    def search(self, q: Query | str, k: int = 10, mode: str = "bmw",
+               fetch: tuple = ("url", "doc_id")) -> pa.Table:
+        """Top-k search → Table(rank, score, part, local, + fetched columns),
+        merged (score desc, part asc, doc asc)."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        scorers = self._scorers(q)
+        if self._actors:
+            import ray
+
+            results = ray.get([a.topk.remote(q, scorers, k, mode) for a in self._actors])
+            results = [r for group in results for r in group]
+        else:
+            results = [(p, *self._searcher(p).topk(q, scorers, k, mode)) for p in self.parts]
+        parts_l, docs_l, scores_l = [], [], []
+        for p, d, s in results:
+            parts_l.append(np.full(len(d), p, dtype=np.int64))
+            docs_l.append(d)
+            scores_l.append(np.asarray(s, np.float64))
+        if not docs_l or sum(map(len, docs_l)) == 0:
+            return pa.table({"rank": pa.array([], pa.int64()), "score": pa.array([], pa.float64()),
+                             "part": pa.array([], pa.int64()), "local": pa.array([], pa.int64())})
+        parts_a = np.concatenate(parts_l)
+        docs_a = np.concatenate(docs_l)
+        scores_a = np.concatenate(scores_l)
+        order = np.lexsort((docs_a, parts_a, -scores_a))[:k]
+        parts_a, docs_a, scores_a = parts_a[order], docs_a[order], scores_a[order]
+        cols = {
+            "rank": pa.array(np.arange(1, len(order) + 1)),
+            "score": pa.array(scores_a),
+            "part": pa.array(parts_a),
+            "local": pa.array(docs_a),
+        }
+        tbl = pa.table(cols)
+        if fetch:
+            fetched = []
+            for p in np.unique(parts_a):
+                mask = parts_a == p
+                ft = self._searcher(int(p)).r.doc_fields(docs_a[mask], fetch)
+                ft = ft.append_column("part", pa.array(np.full(mask.sum(), p, np.int64)))
+                ft = ft.append_column("local", pa.array(docs_a[mask]))
+                fetched.append(ft)
+            f = pa.concat_tables(fetched)
+            tbl = tbl.join(f, keys=["part", "local"], join_type="left outer")
+            tbl = tbl.sort_by("rank")
+        return tbl
+
+
+class SearcherActor:
+    """Warm per-partition-group searcher (ray actor)."""
+
+    def __init__(self, index_dir, parts, analyzer_name, params_kb, dtype):
+        params = BM25Params(*params_kb)
+        self.searchers = {
+            p: PartitionSearcher(
+                SegmentReader(part_dir(index_dir, p)), analyzer_name, params, dtype
+            )
+            for p in parts
+        }
+
+    def local_stats(self, terms):
+        out: dict[str, tuple[int, int]] = {}
+        for s in self.searchers.values():
+            for t, (d, ttf) in s.local_stats(terms).items():
+                prev = out.get(t, (0, 0))
+                out[t] = (prev[0] + d, prev[1] + ttf)
+        return out
+
+    def topk(self, q, scorers, k, mode):
+        return [(p, *s.topk(q, scorers, k, mode)) for p, s in self.searchers.items()]

@@ -1,0 +1,126 @@
+"""Query AST — the subset of the reference's 51 registered query types that
+executes over our postings (SURVEY §2.5; registry ``search/SearchModule.java:
+1081-1170``). Construction mirrors the DSL builders in ``index/query/``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    """Exact term, no analysis (index/query/TermQueryBuilder.java)."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermsQuery(Query):
+    """Any-of terms, constant per-term scoring (TermsQueryBuilder.java)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchQuery(Query):
+    """Analyze text → boolean of term queries (index/search/MatchQueryParser.java:
+    58,197-243): operator 'or' → SHOULD clauses, 'and' → MUST clauses;
+    minimum_should_match per Queries.calculateMinShouldMatch."""
+
+    text: str
+    operator: str = "or"
+    minimum_should_match: int | str | None = None
+    analyzer: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchPhraseQuery(Query):
+    """Positions-based exact phrase (MatchPhraseQueryBuilder.java); slop=0 only."""
+
+    text: str
+    analyzer: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Term-dict range scan → constant-score disjunction (PrefixQueryBuilder.java)."""
+
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RangeFilter(Query):
+    """Doc-values range filter on a docs.parquet column (RangeQueryBuilder.java
+    semantics over our doc columns, e.g. warc_ts / lang). Non-scoring."""
+
+    column: str
+    gte: object = None
+    lte: object = None
+    gt: object = None
+    lt: object = None
+
+
+@dataclass(frozen=True)
+class TermFilter(Query):
+    """Non-scoring exact filter on a doc column (e.g. lang = 'en')."""
+
+    column: str
+    value: object = None
+
+
+@dataclass(frozen=True)
+class BoolQuery(Query):
+    """must / should / filter / must_not with minimum_should_match
+    (index/query/BoolQueryBuilder.java): scores sum over scoring clauses;
+    filter and must_not are non-scoring; should is optional when must/filter
+    present (msm defaults to 0 then, else 1)."""
+
+    must: tuple = ()
+    should: tuple = ()
+    filter: tuple = ()
+    must_not: tuple = ()
+    minimum_should_match: int | None = None
+    boost: float = 1.0
+
+
+def query_terms(q: Query, default_analyzer: str) -> list[str]:
+    """All analyzed terms a query needs postings for (the DFS-phase term set,
+    search/dfs/DfsPhase.java:29-75)."""
+    from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+    out: list[str] = []
+
+    def walk(q: Query):
+        if isinstance(q, TermQuery):
+            out.append(q.term)
+        elif isinstance(q, TermsQuery):
+            out.extend(q.terms)
+        elif isinstance(q, (MatchQuery, MatchPhraseQuery)):
+            an = get_analyzer(q.analyzer or default_analyzer)
+            out.extend(an(q.text)[0])
+        elif isinstance(q, BoolQuery):
+            for sub in (*q.must, *q.should, *q.filter, *q.must_not):
+                walk(sub)
+
+    walk(q)
+    seen = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq

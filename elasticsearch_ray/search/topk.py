@@ -1,0 +1,170 @@
+"""Per-partition vectorized scoring kernels: exhaustive and Block-Max-WAND.
+
+The BMW variant here is impact-ordered ("score-at-a-time") rather than
+Lucene's document-at-a-time pointer machine — the public Block-Max WAND
+(Ding & Suel, SIGIR'11) bound logic applied over coarse doc-range windows so
+the inner work stays in numpy kernels:
+
+  1. per term, per 128-doc block, an upper-bound score from the stored
+     impacts (max_tf, min_norm) — the Lucene91 'impacts' analog;
+  2. windows of W docs get an upper bound = Σ_terms max(block σ overlapping
+     the window), built with a vectorized diff-array;
+  3. windows are processed in descending-bound order; once the running top-k
+     threshold θ exceeds the next window's bound, every remaining window is
+     pruned — no posting bytes of theirs are ever decoded.
+
+Equality with the exhaustive scorer (including float32 narrowing and the
+(score desc, doc asc) tie-break) is property-tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from elasticsearch_ray.index.postings import (
+    _payload_offsets,
+    decode_block,
+    decode_postings,
+    read_headers,
+)
+
+
+def combine_sum(doc_arrays, score_arrays, dtype=np.float32):
+    """Union-sum per doc → (docs, scores, counts). Scores summed in float64
+    then narrowed (Lucene DisjunctionSumScorer)."""
+    docs = np.concatenate(doc_arrays)
+    if len(docs) == 0:
+        return docs, np.empty(0, dtype), np.empty(0, np.int64)
+    scores = np.concatenate([np.asarray(s, dtype=np.float64) for s in score_arrays])
+    order = np.argsort(docs, kind="stable")
+    docs_s = docs[order]
+    sc_s = scores[order]
+    change = np.empty(len(docs_s), dtype=bool)
+    change[0] = True
+    change[1:] = docs_s[1:] != docs_s[:-1]
+    starts = np.flatnonzero(change)
+    u_docs = docs_s[starts]
+    sums = np.add.reduceat(sc_s, starts)
+    counts = np.diff(np.append(starts, len(docs_s)))
+    return u_docs, sums.astype(dtype), counts
+
+
+def topk_select(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc asc) — the within-shard tie-break of
+    TopScoreDocCollector."""
+    if len(docs) <= k:
+        order = np.lexsort((docs, -scores.astype(np.float64)))
+        return docs[order], scores[order]
+    # candidates = everything scoring >= the kth score (keeps all ties for the
+    # doc-asc tie-break), then exact sort of that small set
+    kth = np.partition(-scores, k - 1)[k - 1]
+    cand = np.flatnonzero(-scores <= kth)
+    order = np.lexsort((docs[cand], -scores[cand].astype(np.float64)))[:k]
+    sel = cand[order]
+    return docs[sel], scores[sel]
+
+
+class TermCursor:
+    """One query term's postings inside one partition."""
+
+    __slots__ = ("blob", "headers", "offsets", "scorer", "_cache")
+
+    def __init__(self, blob, scorer):
+        self.blob = blob
+        self.headers = read_headers(blob)
+        self.offsets = _payload_offsets(self.headers) if len(self.headers) else None
+        self.scorer = scorer
+        self._cache: dict[int, tuple] = {}
+
+    def decode_all(self):
+        return decode_postings(self.blob)
+
+    def block(self, bi: int):
+        got = self._cache.get(bi)
+        if got is None:
+            got = decode_block(self.blob, self.headers, self.offsets, bi)
+            self._cache[bi] = got
+        return got
+
+    def block_max_scores(self) -> np.ndarray:
+        h = self.headers
+        return np.asarray(
+            self.scorer.max_score(h["max_tf"].astype(np.int64), h["min_norm"]), dtype=np.float64
+        )
+
+
+def exhaustive_disjunction(cursors, norms, dtype=np.float32, min_match: int = 1):
+    """Decode everything, score, union-sum; returns (docs, scores) filtered by
+    the number of matching clauses >= min_match."""
+    d_arrays, s_arrays = [], []
+    for c in cursors:
+        d, t = c.decode_all()
+        d_arrays.append(d)
+        s_arrays.append(c.scorer.score(t, norms[d]))
+    docs, scores, counts = combine_sum(d_arrays, s_arrays, dtype)
+    if min_match > 1:
+        keep = counts >= min_match
+        docs, scores = docs[keep], scores[keep]
+    return docs, scores
+
+
+def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int = 4096,
+             min_match: int = 1):
+    """Block-max pruned top-k disjunction; returns (docs, scores) of ≤k hits,
+    ordered (score desc, doc asc). Bit-identical to
+    topk_select(*exhaustive_disjunction(...), k)."""
+    if not cursors or n_docs == 0:
+        return np.empty(0, np.int64), np.empty(0, dtype)
+    n_windows = (n_docs + window - 1) // window
+    ub_diff = np.zeros(n_windows + 1, dtype=np.float64)
+    for c in cursors:
+        h = c.headers
+        if len(h) == 0:
+            continue
+        sigma = c.block_max_scores()
+        w0 = h["first_doc"].astype(np.int64) // window
+        w1 = h["last_doc"].astype(np.int64) // window
+        np.add.at(ub_diff, w0, sigma)
+        np.add.at(ub_diff, w1 + 1, -sigma)
+    ub = np.cumsum(ub_diff[:-1]) * (1.0 + 1e-6)  # guard float32-narrowing overshoot
+
+    order = np.argsort(-ub, kind="stable")
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, dtype)
+    theta = -np.inf
+    for w in order:
+        if ub[w] <= 0:
+            break
+        if len(top_docs) >= k and ub[w] < theta:
+            break  # every remaining window has a smaller bound — pruned
+        wstart, wend = w * window, (w + 1) * window
+        d_arrays, s_arrays = [], []
+        for c in cursors:
+            h = c.headers
+            if len(h) == 0:
+                continue
+            # candidate blocks: sorted disjoint ranges intersecting the window
+            b0 = int(np.searchsorted(h["last_doc"], wstart, side="left"))
+            bi = b0
+            while bi < len(h) and int(h["first_doc"][bi]) < wend:
+                d, t = c.block(bi)
+                m = (d >= wstart) & (d < wend)
+                if m.any():
+                    dm = d[m]
+                    d_arrays.append(dm)
+                    s_arrays.append(c.scorer.score(t[m], norms[dm]))
+                bi += 1
+        if not d_arrays:
+            continue
+        docs, scores, counts = combine_sum(d_arrays, s_arrays, dtype)
+        if min_match > 1:
+            keep = counts >= min_match
+            docs, scores = docs[keep], scores[keep]
+        if len(docs) == 0:
+            continue
+        all_d = np.concatenate([top_docs, docs])
+        all_s = np.concatenate([top_scores, scores])
+        top_docs, top_scores = topk_select(all_d, all_s, k)
+        if len(top_docs) >= k:
+            theta = float(top_scores[-1])
+    return top_docs, top_scores

@@ -1,0 +1,211 @@
+"""Deterministic synthetic Common-Crawl-style web-page corpus.
+
+BASELINE.json ``input_hint`` fixes the input shape:
+    (url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string)
+
+We synthesize it from the driver's ``documents.parquet`` (doc_id, text, lang,
+source, n_chars) — no external data. For every page we build an HTML rendering
+plan (title, paragraphs, inline wraps, a script block, comments, entities) and
+derive BOTH the html bytes and the expected extracted text from the same plan,
+written per HTMLStripCharFilter semantics (block tags → "\n", inline tags
+dropped, script/comment content dropped, entities decoded). That makes the
+per-row invariant — ``strip_html(html) == text`` byte-identical per url —
+a real, non-circular test.
+
+``multiplier`` deterministically expands the corpus for benchmark scale by
+emitting seeded word-shuffled variants of each document; everything is keyed
+by (seed, doc_id, rep) so regeneration is byte-stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_INLINE_TAGS = ["b", "em", "strong", "span", "code"]
+_BLOCK_TAGS = ["p", "div", "li", "blockquote"]
+# (html fragment, expected text fragment) — entity round-trips
+_ENTITY_WORDS = [("&amp;", "&"), ("&lt;tag&gt;", "<tag>"), ("&#8212;", "—"), ("&quot;q&quot;", '"q"')]
+
+
+def _render_page(words: list[str], rng: np.random.Generator) -> tuple[str, str]:
+    """Build (html, expected_text) from one plan. Independent of strip_html."""
+    html_parts: list[str] = ["<html>"]
+    text_parts: list[str] = ["\n"]
+    title = words[: min(3, len(words))]
+    html_parts.append("<head><title>" + " ".join(title) + "</title></head>")
+    # head+title are block-level (non-inline): \n for head, title, /title, /head
+    text_parts.append("\n\n" + " ".join(title) + "\n\n")
+    html_parts.append("<body>")
+    text_parts.append("\n")
+    if rng.random() < 0.3:
+        html_parts.append("<script>var x = 1 < 2;</script>")
+        text_parts.append("\n")
+    i = min(3, len(words))
+    para = 0
+    while i < len(words):
+        n = int(rng.integers(6, 14))
+        chunk = words[i : i + n]
+        i += n
+        para += 1
+        rendered = []
+        for w in chunk:
+            r = rng.random()
+            if r < 0.08:
+                tag = _INLINE_TAGS[int(rng.integers(0, len(_INLINE_TAGS)))]
+                rendered.append(f"<{tag}>{w}</{tag}>")
+            elif r < 0.10:
+                ent_html, ent_text = _ENTITY_WORDS[int(rng.integers(0, len(_ENTITY_WORDS)))]
+                rendered.append(f"{w} {ent_html}")
+                w = f"{w} {ent_text}"
+            else:
+                rendered.append(w)
+        block = _BLOCK_TAGS[int(rng.integers(0, len(_BLOCK_TAGS)))]
+        body = " ".join(rendered)
+        # expected text: strip inline tags from body
+        expected = " ".join(
+            [w if not w.startswith("<") else w.split(">", 1)[1].rsplit("<", 1)[0] for w in rendered]
+        )
+        for ent_html, ent_text in _ENTITY_WORDS:
+            expected = expected.replace(ent_html, ent_text)
+        html_parts.append(f"<{block}>{body}</{block}>")
+        text_parts.append("\n" + expected + "\n")
+        if rng.random() < 0.15:
+            html_parts.append("<!-- chunk boundary -->")
+    html_parts.append("</body></html>")
+    text_parts.append("\n\n")
+    return "".join(html_parts), "".join(text_parts)
+
+
+def synthesize_webpages(
+    documents_parquet: str,
+    out_dir: str,
+    multiplier: int = 1,
+    num_files: int = 8,
+    seed: int = 42,
+    force: bool = False,
+) -> str:
+    """Write the web-page corpus as ``num_files`` parquet shards under out_dir.
+
+    Idempotent: if ``out_dir/corpus_meta.json`` matches the parameters, the
+    existing corpus is reused (byte-stable regeneration otherwise).
+    """
+    meta_path = os.path.join(out_dir, "corpus_meta.json")
+    params = {
+        "source": os.path.abspath(documents_parquet),
+        "multiplier": multiplier,
+        "num_files": num_files,
+        "seed": seed,
+        "version": 3,
+    }
+    if not force and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("params") == params:
+                return out_dir
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    docs = pq.read_table(documents_parquet, columns=["doc_id", "text", "lang", "source"])
+    doc_ids = docs["doc_id"].to_numpy()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    sources = docs["source"].to_pylist()
+
+    n_total = len(texts) * multiplier
+    per_file = (n_total + num_files - 1) // num_files
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+
+    rows_written = 0
+    file_rows = []
+    buf: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    fidx = 0
+
+    def flush():
+        nonlocal fidx, buf
+        if not buf["url"]:
+            return
+        tbl = pa.table(
+            {
+                "url": pa.array(buf["url"], pa.string()),
+                "warc_ts": pa.array(buf["warc_ts"], pa.timestamp("us")),
+                "html": pa.array(buf["html"], pa.binary()),
+                "text": pa.array(buf["text"], pa.string()),
+                "lang": pa.array(buf["lang"], pa.string()),
+            },
+            schema=SCHEMA,
+        )
+        path = os.path.join(out_dir, f"pages-{fidx:05d}.parquet")
+        pq.write_table(tbl, path)
+        file_rows.append({"path": path, "rows": len(tbl)})
+        fidx += 1
+        buf = {k: [] for k in buf}
+
+    for rep in range(multiplier):
+        for j, (did, text, lang, src) in enumerate(zip(doc_ids, texts, langs, sources)):
+            rng = np.random.default_rng([seed, int(did), rep])
+            words = text.split()
+            if rep > 0:
+                words = list(rng.permutation(words))
+            html, expected = _render_page(words, rng)
+            url = f"https://{src}.example.com/{lang}/page-{int(did)}-{rep}.html"
+            ts = base_ts + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
+            buf["url"].append(url)
+            buf["warc_ts"].append(ts.astype("datetime64[us]").item())
+            buf["html"].append(html.encode("utf-8"))
+            buf["text"].append(expected)
+            buf["lang"].append(lang)
+            rows_written += 1
+            if len(buf["url"]) >= per_file:
+                flush()
+    flush()
+
+    with open(meta_path, "w") as f:
+        json.dump({"params": params, "rows": rows_written, "files": file_rows}, f, indent=1)
+    return out_dir
+
+
+def corpus_for_sf(sf_dir: str, multiplier: int = 1, num_files: int = 8, cache_root: str = "/tmp/esray_corpus") -> str:
+    """Deterministic corpus cached under /tmp, keyed by sf dir + params."""
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}-m{multiplier}-f{num_files}"
+    out = os.path.join(cache_root, key)
+    return synthesize_webpages(
+        os.path.join(sf_dir, "documents.parquet"), out, multiplier=multiplier, num_files=num_files
+    )
+
+
+def plan_shards(corpus_dir: str) -> list[dict]:
+    """Driver-side input planning: one build partition per parquet file, with
+    global doc_id base offsets from parquet metadata only (no data read).
+
+    This is the lineage unit: partition i covers global doc_ids
+    [base, base + rows). The reference analog is the shard split of an index
+    (``cluster/routing/IndexRouting.java``); we use contiguous ranges rather
+    than url-hash routing so partition-local docids stay dense (better delta
+    compression) — hash routing is available via ``route_shard`` for parity.
+    """
+    files = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+    )
+    shards = []
+    base = 0
+    for i, path in enumerate(files):
+        rows = pq.read_metadata(path).num_rows
+        shards.append({"part": i, "path": path, "base": base, "rows": rows})
+        base += rows
+    return shards
