@@ -1,44 +1,556 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible entry. Non-SQL-expressible
+ops (BMW over HTML-extracted corpus, sketches, LSH, IVF, lang-ID,
+fingerprints) are rows-only checked.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+# ---------------------------------------------------------------- helpers
+
+_ENGINES: dict[str, Any] = {}
+
+
+def _sf_key(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _ds(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _documents_index(sf_dir: str):
+    """Build (or resume) the inverted index over the documents table; cached
+    per scale factor. doc_id == input row order (asserted in tests)."""
+    key = f"docs-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang", "source", "n_chars"))
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
+def _webpages_index(sf_dir: str):
+    """Flagship path: synthesize the Common-Crawl-shaped corpus, build the
+    index from the html column (strip → analyze → postings)."""
+    key = f"web-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    corpus = corpus_for_sf(sf_dir, multiplier=1, num_files=4)
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    build_index(corpus, idx_dir, IndexSpec(use_html=True))
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    eng._corpus_dir = corpus
+    return eng
+
+
+def _docs_index_parts_ordered(sf_dir):
+    # documents index is built from the single documents.parquet → 1 part and
+    # local id == doc_id; search results expose doc_id via fetch.
+    return None
+
+
+def _search_table(eng, q, k=10, round_to=4) -> pa.Table:
+    res = eng.search(q, k=k, mode="bmw", fetch=("doc_id",))
+    df = res.to_pandas()[["rank", "doc_id", "score"]]
+    df["score"] = df["score"].round(round_to)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 web corpus → html_strip → analyze → salted
+    term-keyed shuffle → segments → BMW BM25 top-10."""
+    eng = _webpages_index("/root/testdata/sf0.001")
+    return eng.search("spark join merge", k=10, mode="bmw", fetch=("url", "doc_id"))
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from elasticsearch_ray.search.query import (
+        BoolQuery,
+        MatchPhraseQuery,
+        MatchQuery,
+        PrefixQuery,
+        TermFilter,
+        TermQuery,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- search family (documents index, float64 scoring for the oracle) ----
+    def search_match_top10(sf):
+        return _search_table(_documents_index(sf), MatchQuery("spark join merge"), k=10)
+
+    def search_match_and(sf):
+        return _search_table(_documents_index(sf), MatchQuery("spark window", operator="and"), k=10)
+
+    def search_term_top10(sf):
+        return _search_table(_documents_index(sf), TermQuery("window"), k=10)
+
+    def search_msm2(sf):
+        return _search_table(
+            _documents_index(sf), MatchQuery("spark join merge sort", minimum_should_match=2), k=10
+        )
+
+    def search_phrase_docs(sf):
+        eng = _documents_index(sf)
+        res = eng.search(MatchPhraseQuery("spark join"), k=10**9, mode="exhaustive",
+                         fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def search_bool_filtered(sf):
+        q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
+        return _search_table(_documents_index(sf), q, k=10)
+
+    def search_prefix_count(sf):
+        eng = _documents_index(sf)
+        res = eng.search(PrefixQuery("wi"), k=10**9, mode="exhaustive", fetch=())
+        return pa.table({"n": pa.array([res.num_rows], pa.int64())})
+
+    # ---- aggregations ----
+    def agg_terms_lang(sf):
+        from elasticsearch_ray.ops.aggs import terms_agg
+
+        out = terms_agg(_ds(sf, "documents"), "lang", value_col="n_chars")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_stats_returnflag(sf):
+        from elasticsearch_ray.ops.aggs import stats_agg
+
+        out = stats_agg(_ds(sf, "lineitem"), "l_returnflag", "l_quantity")
+        out["avg"] = out["avg"].round(6)
+        out["sum"] = out["sum"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_date_histogram_events(sf):
+        from elasticsearch_ray.ops.aggs import date_histogram
+
+        out = date_histogram(_ds(sf, "events"), "ts", "day", value_col="value")
+        out["sum_value"] = out["sum_value"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_range_orders(sf):
+        from elasticsearch_ray.ops.aggs import range_agg
+
+        out = range_agg(_ds(sf, "orders"), "o_totalprice",
+                        [(None, 1000.0), (1000.0, 5000.0), (5000.0, None)])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_cardinality_exact(sf):
+        from elasticsearch_ray.ops.aggs import cardinality_exact
+
+        out = cardinality_exact(_ds(sf, "events"), "event_type", "user_id")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_percentiles_quantity(sf):
+        from elasticsearch_ray.ops.aggs import percentiles_agg
+
+        out = percentiles_agg(_ds(sf, "lineitem"), "l_returnflag", "l_quantity",
+                              percents=(25.0, 50.0, 75.0, 95.0))
+        for c in out.columns:
+            if c.startswith("p"):
+                out[c] = out[c].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_top_hits_lang(sf):
+        from elasticsearch_ray.ops.aggs import top_hits_agg
+
+        out = top_hits_agg(_ds(sf, "documents"), "lang", "n_chars", n=3,
+                           fetch=["doc_id", "n_chars"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_composite_page(sf):
+        from elasticsearch_ray.ops.aggs import composite_agg
+
+        out = composite_agg(_ds(sf, "documents"), ["lang", "source"], size=10)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_cumulative_events(sf):
+        from elasticsearch_ray.ops.aggs import cumulative_sum, date_histogram
+
+        hist = date_histogram(_ds(sf, "events"), "ts", "day")
+        out = cumulative_sum(hist, "doc_count")
+        out["cumulative"] = out["cumulative"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_cardinality_hll(sf):  # rows-only: sketch estimate
+        from elasticsearch_ray.ops.aggs import cardinality_hll
+
+        out = cardinality_hll(_ds(sf, "events"), "event_type", "user_id")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- dedup ----
+    def dedup_exact_ids(sf):
+        from elasticsearch_ray.ops.dedup import exact_dedup_keep_ids
+
+        out = exact_dedup_keep_ids(_ds(sf, "documents"), ["text"], "doc_id")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_minhash_pairs(sf):  # rows-only (LSH)
+        from elasticsearch_ray.ops.dedup import minhash_near_dups
+
+        out = minhash_near_dups(_ds(sf, "documents"), "text", "doc_id", threshold=0.5)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_simhash_table(sf):  # rows-only
+        from elasticsearch_ray.ops.dedup import simhash_table
+
+        out = simhash_table(_ds(sf, "documents"), "text", "doc_id")
+        out["simhash"] = out["simhash"].map(lambda v: f"{int(v):016x}")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- similarity search ----
+    def _query_vectors(sf, n=5):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        ids = t["vec_id"].to_numpy()[:n]
+        m = np.stack(
+            [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()[:n]]
+        )
+        return ids.tolist(), m
+
+    def ann_cosine_top5(sf):
+        from elasticsearch_ray.ops.ann import brute_topk
+
+        qids, qm = _query_vectors(sf)
+        out = brute_topk(_ds(sf, "embeddings"), qids, qm, k=5)
+        out["cosine"] = out["cosine"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ann_ivf_top5(sf):  # rows-only (approximate by design)
+        from elasticsearch_ray.ops.ann import ivf_topk
+
+        qids, qm = _query_vectors(sf)
+        out = ivf_topk(_ds(sf, "embeddings"), qids, qm, k=5)
+        out["cosine"] = out["cosine"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- text analysis ----
+    def text_quality_table(sf):
+        from elasticsearch_ray.ops.textstats import text_quality
+
+        out = text_quality(_ds(sf, "documents"))
+        return pa.Table.from_pandas(
+            out[["doc_id", "n_tokens", "stopword_ratio", "unique_ratio"]], preserve_index=False
+        )
+
+    def text_tokens_by_lang(sf):
+        from elasticsearch_ray.ops.textstats import token_count_by
+
+        out = token_count_by(_ds(sf, "documents"), "lang")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def text_langid(sf):  # rows-only (model op)
+        from elasticsearch_ray.ops.textstats import lang_id
+
+        sample = _ds(sf, "documents").limit(200).to_pandas()
+        out = lang_id(_ds(sf, "documents"), sample)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def text_fingerprints(sf):  # rows-only
+        from elasticsearch_ray.ops.textstats import fingerprints
+
+        out = fingerprints(_ds(sf, "documents"))
+        out["fingerprint"] = out["fingerprint"].map(lambda v: f"{int(v):016x}")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- ingest processors ----
+    def pipeline_events_enrich(sf):
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        pipe = Pipeline(
+            [
+                {"json": {"field": "props", "target_field": "props_obj"}},
+                {"script": {"fn": lambda df: df.assign(k=df["props_obj"].map(lambda o: o.get("k")))}},
+                {"uppercase": {"field": "event_type"}},
+                {"remove": {"field": ["props", "props_obj"]}},
+            ]
+        )
+        out = (
+            _ds(sf, "events")
+            .map_batches(pipe, batch_format="pandas")
+            .to_pandas()[["event_id", "event_type", "k"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        out["k"] = out["k"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # ---- flagship web corpus (rows-only: html not SQL-expressible) ----
+    def web_match_top10(sf):
+        eng = _webpages_index(sf)
+        res = eng.search(MatchQuery("spark join merge"), k=10, mode="bmw",
+                         fetch=("url", "doc_id"))
+        df = res.to_pandas()[["rank", "url", "doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def web_strip_invariant(sf):
+        from elasticsearch_ray.analysis.html_strip import HtmlStripBatch
+        from elasticsearch_ray.sources.webpages import corpus_files, corpus_for_sf
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        corpus = corpus_files(corpus_for_sf(sf, multiplier=1, num_files=4), "pages-*.parquet")
+
+        def check(batch: pa.Table) -> pa.Table:
+            stripped = HtmlStripBatch(src="html", dst="_stripped")(batch)
+            ok = pc.equal(stripped["_stripped"], stripped["text"])
+            return pa.table(
+                {
+                    "pages": pa.array([len(batch)], pa.int64()),
+                    "mismatches": pa.array(
+                        [len(batch) - pc.sum(pc.cast(ok, pa.int64())).as_py()], pa.int64()
+                    ),
+                }
+            )
+
+        t = rd.read_parquet(corpus).map_batches(check, batch_format="pyarrow").to_pandas()
+        return pa.table(
+            {
+                "pages": pa.array([int(t["pages"].sum())], pa.int64()),
+                "mismatches": pa.array([int(t["mismatches"].sum())], pa.int64()),
+            }
+        )
+
+    return {
+        "search_match_top10": search_match_top10,
+        "search_match_and": search_match_and,
+        "search_term_top10": search_term_top10,
+        "search_msm2": search_msm2,
+        "search_phrase_docs": search_phrase_docs,
+        "search_bool_filtered": search_bool_filtered,
+        "search_prefix_count": search_prefix_count,
+        "agg_terms_lang": agg_terms_lang,
+        "agg_stats_returnflag": agg_stats_returnflag,
+        "agg_date_histogram_events": agg_date_histogram_events,
+        "agg_range_orders": agg_range_orders,
+        "agg_cardinality_exact": agg_cardinality_exact,
+        "agg_percentiles_quantity": agg_percentiles_quantity,
+        "agg_top_hits_lang": agg_top_hits_lang,
+        "agg_composite_page": agg_composite_page,
+        "agg_cumulative_events": agg_cumulative_events,
+        "agg_cardinality_hll": agg_cardinality_hll,
+        "dedup_exact_ids": dedup_exact_ids,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash_table": dedup_simhash_table,
+        "ann_cosine_top5": ann_cosine_top5,
+        "ann_ivf_top5": ann_ivf_top5,
+        "text_quality_table": text_quality_table,
+        "text_tokens_by_lang": text_tokens_by_lang,
+        "text_langid": text_langid,
+        "text_fingerprints": text_fingerprints,
+        "pipeline_events_enrich": pipeline_events_enrich,
+        "web_match_top10": web_match_top10,
+        "web_strip_invariant": web_strip_invariant,
+    }
+
+
+# ---------------------------------------------------------------- oracles
+
+_LOSSY_DL = """
+    CASE WHEN dl < 24 THEN dl
+         ELSE 24 + (CASE WHEN (dl-24) < 8 THEN (dl-24)
+              ELSE ((((dl-24) >> (CAST(floor(log2(dl-24)) AS INT) - 3)) & 7) | 8)
+                   << (CAST(floor(log2(dl-24)) AS INT) - 3) END)
+    END
+"""
+
+
+def _bm25_sql(terms: list[str], k: int = 10, operator: str = "or", msm: int = 1,
+              doc_filter: str = "TRUE", round_to: int = 4) -> str:
+    """DuckDB BM25 mirroring the engine exactly: global stats over the whole
+    corpus, SmallFloat-lossy dl, LegacyBM25 (k1+1) factor, exact avgdl;
+    candidates optionally restricted by doc_filter; (score desc, doc_id) order."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    need = len(terms) if operator == "and" else msm
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl_t AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM dl_t),
+dl_lossy AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll FROM dl_t),
+tf_t AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+),
+scores AS (
+  SELECT tf_t.doc_id,
+         sum( ln(1 + (s.n_docs - df_t.df + 0.5)/(df_t.df + 0.5))
+              * ({BM25_K1} + 1) * tf_t.tf
+              / (tf_t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dll
+                                        / (s.sum_dl / s.n_docs))) ) AS score,
+         count(DISTINCT tf_t.term) AS matched
+  FROM tf_t
+  JOIN df_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+  JOIN documents doc ON tf_t.doc_id = doc.doc_id
+  WHERE {doc_filter}
+  GROUP BY tf_t.doc_id
+  HAVING count(DISTINCT tf_t.term) >= {need}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, {round_to}) AS score
+FROM scores
+ORDER BY rank
+LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
+        "search_term_top10": _bm25_sql(["window"], k=10),
+        "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),
+        "search_phrase_docs": """
+            SELECT doc_id FROM documents
+            WHERE (' ' || text || ' ') LIKE '% spark join %'
+            ORDER BY doc_id
+        """,
+        "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_prefix_count": """
+            SELECT count(*)::BIGINT AS n FROM documents
+            WHERE (' ' || text) LIKE '% wi%'
+        """,
+        "agg_terms_lang": """
+            SELECT lang, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_n_chars
+            FROM documents GROUP BY lang
+            ORDER BY doc_count DESC, lang
+        """,
+        "agg_stats_returnflag": """
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS count,
+                   min(l_quantity) AS min, max(l_quantity) AS max,
+                   round(sum(l_quantity), 6) AS sum,
+                   round(avg(l_quantity), 6) AS avg
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_date_histogram_events": """
+            SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "agg_range_orders": """
+            SELECT range_key, count(*)::BIGINT AS doc_count FROM (
+              SELECT CASE
+                WHEN o_totalprice < 1000.0 THEN '*-1000.0'
+                WHEN o_totalprice >= 1000.0 AND o_totalprice < 5000.0 THEN '1000.0-5000.0'
+                ELSE '5000.0-*'
+              END AS range_key FROM orders
+            ) GROUP BY range_key ORDER BY range_key
+        """,
+        "agg_cardinality_exact": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS cardinality
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "agg_percentiles_quantity": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+                   round(quantile_cont(l_quantity, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_top_hits_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+            ORDER BY lang, doc_id
+        """,
+        "agg_composite_page": """
+            SELECT lang, source, count(*)::BIGINT AS doc_count
+            FROM documents GROUP BY lang, source
+            ORDER BY lang, source LIMIT 10
+        """,
+        "agg_cumulative_events": """
+            SELECT bucket, doc_count,
+                   sum(doc_count) OVER (ORDER BY bucket)::BIGINT AS cumulative
+            FROM (
+              SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+              FROM events GROUP BY 1
+            ) ORDER BY bucket
+        """,
+        "dedup_exact_ids": """
+            SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "ann_cosine_top5": """
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+            ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "text_quality_table": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(CASE WHEN term IN
+                     ('a','an','and','are','as','at','be','but','by','for','if','in',
+                      'into','is','it','no','not','of','on','or','such','that','the',
+                      'their','then','there','these','they','this','to','was','will',
+                      'with') THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS stopword_ratio,
+                   round(count(DISTINCT term)::DOUBLE / count(*), 6) AS unique_ratio
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_tokens_by_lang": """
+            SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "pipeline_events_enrich": """
+            SELECT event_id, upper(event_type) AS event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id
+        """,
+    }

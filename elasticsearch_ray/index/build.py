@@ -89,8 +89,9 @@ def sketch_head_terms(shards: list[dict], spec: IndexSpec) -> set[str]:
     df: Counter = Counter()
     analyzer = get_analyzer(spec.analyzer)
     pf = pq.ParquetFile(shards[0]["path"])
-    for batch in pf.iter_batches(batch_size=512, columns=["text"]):
-        for text in batch["text"].to_pylist():
+    tcol = spec.text_column if spec.text_column in pf.schema_arrow.names else "text"
+    for batch in pf.iter_batches(batch_size=512, columns=[tcol]):
+        for text in batch[tcol].to_pylist():
             terms, _ = analyzer(text or "")
             df.update(set(terms))
             n += 1
@@ -132,7 +133,10 @@ class TokenizeShard:
     def _one_shard(self, shard: dict) -> pa.Table:
         spec = self.spec
         part, base = int(shard["part"]), int(shard["base"])
-        cols = ["url", "warc_ts", "lang"] + (["html"] if spec.use_html else ["text"])
+        avail = set(pq.read_schema(shard["path"]).names)
+        doc_cols = [c for c in spec.doc_columns if c in avail]
+        src_col = "html" if spec.use_html else spec.text_column
+        cols = list(dict.fromkeys(doc_cols + [src_col]))  # prune at the read
         tbl = pq.read_table(shard["path"], columns=cols)
         if spec.use_html:
             texts = [
@@ -140,7 +144,7 @@ class TokenizeShard:
                 for h in tbl["html"].to_pylist()
             ]
         else:
-            texts = [t or "" for t in tbl["text"].to_pylist()]
+            texts = [t or "" for t in tbl[spec.text_column].to_pylist()]
 
         n_docs = len(texts)
         # flatten (doc, pos, term) over the shard
@@ -158,16 +162,15 @@ class TokenizeShard:
         norms = int_to_byte4(doclens)
 
         # docs.parquet side-write (atomic) — the lineage/fetch table
-        docs_tbl = pa.table(
-            {
-                "url": tbl["url"],
-                "doc_id": pa.array(base + np.arange(n_docs, dtype=np.int64)),
-                "doclen": pa.array(doclens.astype(np.int32)),
-                "norm": pa.array(norms),
-                "warc_ts": tbl["warc_ts"],
-                "lang": tbl["lang"],
-            }
-        )
+        dcols = {
+            "doc_id": pa.array(base + np.arange(n_docs, dtype=np.int64)),
+            "doclen": pa.array(doclens.astype(np.int32)),
+            "norm": pa.array(norms),
+        }
+        for c in doc_cols:
+            if c not in dcols:
+                dcols[c] = tbl[c]
+        docs_tbl = pa.table(dcols)
         pdir = part_dir(self.index_dir, part)
         os.makedirs(pdir, exist_ok=True)
         atomic_write_table(docs_tbl, os.path.join(pdir, "docs.parquet"))
@@ -468,11 +471,12 @@ def build_index(
     index_dir: str,
     spec: IndexSpec | None = None,
     concurrency: int | None = None,
+    file_pattern: str = "*.parquet",
 ) -> dict:
     """Build (or resume) the inverted index. Returns the index meta dict."""
     spec = spec or IndexSpec()
     os.makedirs(index_dir, exist_ok=True)
-    shards = plan_shards(corpus_dir)
+    shards = plan_shards(corpus_dir, file_pattern)
     done, todo = [], []
     for s in shards:
         m = read_manifest(index_dir, s["part"])

@@ -14,7 +14,9 @@ class IndexSpec:
     b: float = 0.75
     store_positions: bool = True  # text fields index DOCS_AND_FREQS_AND_POSITIONS
     # (TextFieldMapper.java:95-110)
-    use_html: bool = True  # extract text from html column (else trust text column)
+    use_html: bool = True  # extract text from html column (else use text_column)
+    text_column: str = "text"
+    doc_columns: tuple = ("url", "warc_ts", "lang")  # carried into docs.parquet
     escaped_tags: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
@@ -26,10 +28,12 @@ class IndexSpec:
     def to_dict(self) -> dict:
         d = asdict(self)
         d["escaped_tags"] = list(d["escaped_tags"])
+        d["doc_columns"] = list(d["doc_columns"])
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexSpec":
         d = dict(d)
         d["escaped_tags"] = tuple(d.get("escaped_tags", ()))
+        d["doc_columns"] = tuple(d.get("doc_columns", ("url", "warc_ts", "lang")))
         return cls(**d)

@@ -1,0 +1,234 @@
+"""Aggregations — the reference's agg families re-expressed as Ray Data
+groupby/aggregate pipelines (SURVEY §2.9; registry ``SearchModule.java:352-665``).
+
+Shape notes:
+  - metric + bucket aggs follow the reference's partial→final reduce contract
+    (``QueryPhaseResultConsumer.java:95-115``) which is exactly Ray Data's
+    map-side partial aggregation + small groupby;
+  - our ``terms`` agg is EXACT (term-keyed shuffle) where the reference is
+    shard-approximate with ``shard_size = 1.5*size+10`` and a doc-count error
+    bound (``bucket/BucketUtils.java:25-33``) — documented semantic upgrade;
+  - pipeline aggs (cumulative_sum, derivative, …) run as driver-side pandas
+    over the (small) final bucket table, mirroring coordinator-side reduce.
+
+All functions take/return Ray ``Dataset`` or small pandas frames and never
+materialize the big side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from elasticsearch_ray.ops.hll import HLL
+
+
+def terms_agg(ds: Dataset, key: str, size: int | None = None, value_col: str | None = None):
+    """terms bucket agg: doc_count (+ optional sum) per key, ordered by
+    (count desc, key asc) like the reference's default ordering."""
+    aggs = [Count(alias_name="doc_count")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    out = ds.groupby(key).aggregate(*aggs).to_pandas()
+    out = out.sort_values(["doc_count", key], ascending=[False, True]).reset_index(drop=True)
+    return out.head(size) if size else out
+
+
+def stats_agg(ds: Dataset, key: str | list[str], value_col: str) -> pd.DataFrame:
+    """stats metric agg per bucket: count/min/max/sum/avg
+    (metrics/StatsAggregator semantics)."""
+    out = (
+        ds.groupby(key)
+        .aggregate(
+            Count(alias_name="count"),
+            Min(value_col, alias_name="min"),
+            Max(value_col, alias_name="max"),
+            Sum(value_col, alias_name="sum"),
+            Mean(value_col, alias_name="avg"),
+        )
+        .to_pandas()
+    )
+    keys = key if isinstance(key, list) else [key]
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def date_histogram(
+    ds: Dataset, ts_col: str, interval: str = "day", value_col: str | None = None
+) -> pd.DataFrame:
+    """date_histogram bucket agg: truncate-to-interval key computed in a map
+    stage, then grouped (DateHistogramAggregationBuilder semantics, UTC)."""
+    unit = {"day": "D", "hour": "h", "month": "M", "minute": "m"}[interval]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        if unit == "M":
+            b = ts.astype("datetime64[M]").astype("datetime64[us]")
+        else:
+            b = ts.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+        return batch.append_column("bucket", pa.array(b))
+
+    aggs = [Count(alias_name="doc_count")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def range_agg(ds: Dataset, col: str, ranges: list[tuple]) -> pd.DataFrame:
+    """range bucket agg: [(from, to), ...] with half-open [from, to) buckets
+    like the reference (RangeAggregator); None = unbounded."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lab = np.full(len(v), "", dtype=object)
+        for lo, hi in ranges:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            name = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            lab = np.where(m, name, lab)  # ranges may overlap in ES; last wins here
+        t = pa.table({"range_key": pa.array(lab.tolist(), pa.string())})
+        return t
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("range_key")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    out = out[out["range_key"] != ""]
+    return out.sort_values("range_key").reset_index(drop=True)
+
+
+def cardinality_exact(ds: Dataset, key: str | None, value_col: str) -> pd.DataFrame:
+    """Exact distinct count per bucket (validation twin of cardinality_hll)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [value_col] + ([key] if key else [])
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    dedup = ds.map_batches(partial, batch_format="pyarrow")  # map-side partial dedup
+    if key:
+        out = (
+            dedup.groupby([key, value_col])
+            .aggregate(Count(alias_name="_c"))
+            .groupby(key)
+            .aggregate(Count(alias_name="cardinality"))
+            .to_pandas()
+        )
+        return out.sort_values(key).reset_index(drop=True)
+    return pd.DataFrame({"cardinality": [dedup.unique(value_col).__len__()]})
+
+
+def cardinality_hll(ds: Dataset, key: str | None, value_col: str, p: int = 14) -> pd.DataFrame:
+    """cardinality agg via HyperLogLog (the reference's HyperLogLogPlusPlus
+    analog): one sketch per (batch, bucket) partial, registers OR-merged in a
+    small final reduce — the canonical mergeable-sketch pattern."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        if key:
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            rows_k, rows_s = [], []
+            for k in pd.unique(keys):
+                h = HLL(p).add(vals[keys == k])
+                rows_k.append(k)
+                rows_s.append(h.to_bytes())
+            return pa.table({key: pa.array(rows_k), "sketch": pa.array(rows_s, pa.binary())})
+        return pa.table({"sketch": pa.array([HLL(p).add(vals).to_bytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if key:
+        rows = []
+        for k, grp in partials.groupby(key):
+            h = HLL(p)
+            for b in grp["sketch"]:
+                h.merge(HLL.from_bytes(b))
+            rows.append({key: k, "cardinality": h.cardinality()})
+        return pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    h = HLL(p)
+    for b in partials["sketch"]:
+        h.merge(HLL.from_bytes(b))
+    return pd.DataFrame({"cardinality": [h.cardinality()]})
+
+
+def percentiles_agg(ds: Dataset, key: str | None, value_col: str,
+                    percents=(25.0, 50.0, 75.0, 95.0, 99.0)) -> pd.DataFrame:
+    """percentiles metric agg — exact linear-interpolation quantiles (matches
+    DuckDB quantile_cont; the reference defaults to TDigest approximation,
+    noted semantic difference)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        row = {f"p{str(p).rstrip('0').rstrip('.')}": float(np.percentile(vals, p)) for p in percents}
+        if key:
+            row[key] = g[key].iloc[0]
+        return pd.DataFrame([row])
+
+    if key:
+        out = ds.groupby(key).map_groups(per_group, batch_format="pandas").to_pandas()
+        return out.sort_values(key).reset_index(drop=True)
+    vals = np.sort(ds.select_columns([value_col]).to_pandas()[value_col].to_numpy(np.float64))
+    return pd.DataFrame(
+        [{f"p{str(p).rstrip('0').rstrip('.')}": float(np.percentile(vals, p)) for p in percents}]
+    )
+
+
+def top_hits_agg(ds: Dataset, key: str, sort_col: str, n: int = 3,
+                 descending: bool = True, fetch: list[str] | None = None) -> pd.DataFrame:
+    """top_hits metric agg: the n best docs per bucket by sort_col
+    (tie-broken by the first fetch column for determinism)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        tie = fetch[0] if fetch else sort_col
+        g = g.sort_values([sort_col, tie], ascending=[not descending, True]).head(n)
+        return g[[key] + (fetch or [sort_col])]
+
+    out = ds.groupby(key).map_groups(per_group, batch_format="pandas").to_pandas()
+    tie = fetch[0] if fetch else sort_col
+    return out.sort_values([key, tie]).reset_index(drop=True)
+
+
+def composite_agg(ds: Dataset, keys: list[str], after: tuple | None = None,
+                  size: int = 10) -> pd.DataFrame:
+    """composite bucket agg: paginated multi-source buckets ordered by the
+    full key tuple (CompositeAggregationBuilder semantics)."""
+    out = ds.groupby(keys).aggregate(Count(alias_name="doc_count")).to_pandas()
+    out = out.sort_values(keys).reset_index(drop=True)
+    if after is not None:
+        mask = out.apply(lambda r: tuple(r[k] for k in keys) > tuple(after), axis=1)
+        out = out[mask]
+    return out.head(size).reset_index(drop=True)
+
+
+# ---- pipeline aggs (coordinator-side, small-table pandas) ----
+
+def cumulative_sum(bucket_df: pd.DataFrame, col: str, out_col: str = "cumulative") -> pd.DataFrame:
+    out = bucket_df.copy()
+    out[out_col] = out[col].cumsum()
+    return out
+
+
+def derivative(bucket_df: pd.DataFrame, col: str, out_col: str = "derivative") -> pd.DataFrame:
+    out = bucket_df.copy()
+    out[out_col] = out[col].diff()
+    return out
+
+
+def moving_fn(bucket_df: pd.DataFrame, col: str, window: int, fn="mean",
+              out_col: str = "moving") -> pd.DataFrame:
+    out = bucket_df.copy()
+    out[out_col] = getattr(out[col].rolling(window), fn)()
+    return out

@@ -189,7 +189,17 @@ def corpus_for_sf(sf_dir: str, multiplier: int = 1, num_files: int = 8, cache_ro
     )
 
 
-def plan_shards(corpus_dir: str) -> list[dict]:
+def corpus_files(corpus_dir: str, pattern: str = "*.parquet") -> list[str]:
+    import fnmatch
+
+    return sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if fnmatch.fnmatch(f, pattern)
+    )
+
+
+def plan_shards(corpus_dir: str, pattern: str = "*.parquet") -> list[dict]:
     """Driver-side input planning: one build partition per parquet file, with
     global doc_id base offsets from parquet metadata only (no data read).
 
@@ -199,9 +209,7 @@ def plan_shards(corpus_dir: str) -> list[dict]:
     than url-hash routing so partition-local docids stay dense (better delta
     compression) — hash routing is available via ``route_shard`` for parity.
     """
-    files = sorted(
-        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
-    )
+    files = corpus_files(corpus_dir, pattern)
     shards = []
     base = 0
     for i, path in enumerate(files):
