@@ -1,0 +1,201 @@
+"""Benchmark driver.
+
+Default: one JSON line with the headline pipeline time over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at $RAY_GRAFT_CPUS cpus (default 32):
+  - fresh inverted-index build over the synthetic web corpus
+    (html_strip → analyze → salted term-keyed shuffle → segments), and
+  - a BM25 top-k query set on warm searcher actors.
+
+--scaling: runs the build twice in fresh subprocesses (8 and 32 cpus by
+default, override SCALE_LO/SCALE_HI) on the same pre-generated corpus and
+reports throughput at both plus efficiency (T_lo/T_hi)/(hi/lo); also
+refreshes the measured-results section of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "20"))
+NUM_FILES = int(os.environ.get("BENCH_NUM_FILES", "128"))
+
+QUERY_SET = [
+    ("match_common", {"kind": "match", "text": "spark join merge"}),
+    ("match_rare", {"kind": "match", "text": "vector window dup"}),
+    ("match_and", {"kind": "match", "text": "spark window", "operator": "and"}),
+    ("term", {"kind": "term", "term": "batch"}),
+    ("phrase", {"kind": "phrase", "text": "batch batch"}),
+    ("bool_filtered", {"kind": "bool_lang", "text": "merge sort", "lang": "en"}),
+]
+
+
+def build_query(spec):
+    from elasticsearch_ray.search.query import (
+        BoolQuery,
+        MatchPhraseQuery,
+        MatchQuery,
+        TermFilter,
+        TermQuery,
+    )
+
+    if spec["kind"] == "match":
+        return MatchQuery(spec["text"], operator=spec.get("operator", "or"))
+    if spec["kind"] == "term":
+        return TermQuery(spec["term"])
+    if spec["kind"] == "phrase":
+        return MatchPhraseQuery(spec["text"])
+    if spec["kind"] == "bool_lang":
+        return BoolQuery(must=(MatchQuery(spec["text"]),), filter=(TermFilter("lang", spec["lang"]),))
+    raise ValueError(spec)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    # corpus generation is prep, not pipeline — cached and untimed; one warm
+    # read so build timing measures compute + shuffle, not cold disk
+    corpus = corpus_for_sf(SF_DIR, multiplier=MULTIPLIER, num_files=NUM_FILES)
+    for f in os.listdir(corpus):
+        with open(os.path.join(corpus, f), "rb") as fh:
+            fh.read()
+
+    idx_dir = f"/tmp/esray_bench/index-{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.time()
+    meta = build_index(corpus, idx_dir, IndexSpec(use_html=True))
+    build_sec = time.time() - t0
+    n_docs = meta["n_docs"]
+
+    # query QPS on warm actors
+    eng = QueryEngine(idx_dir, dtype="float32", parallel="ray")
+    queries = {}
+    # warmup
+    eng.search(build_query(QUERY_SET[0][1]), k=10)
+    total_q = 0.0
+    for name, spec in QUERY_SET:
+        q = build_query(spec)
+        reps = 5
+        tq = time.time()
+        for _ in range(reps):
+            eng.search(q, k=10, mode="bmw")
+        dt = (time.time() - tq) / reps
+        queries[name] = round(dt, 4)
+        total_q += dt
+    eng.close()
+
+    return {
+        "metric": "index_build_plus_query",
+        "value": round(build_sec + total_q, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "build_sec": round(build_sec, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "query_qps": round(len(QUERY_SET) / total_q, 2) if total_q else None,
+        "num_parts": meta["num_parts"],
+    }
+
+
+def run_scaling():
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
+
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["build_sec"] / r_hi["build_sec"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"build_sec_{lo}": r_lo["build_sec"],
+        f"build_sec_{hi}": r_hi["build_sec"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "n_docs": r_hi["n_docs"],
+        "num_parts": r_hi["num_parts"],
+        "sf": SF_DIR,
+    }
+    print(json.dumps(result))
+    _update_baseline_md(result, r_lo, r_hi)
+    return result
+
+
+def _update_baseline_md(result, r_lo, r_hi):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    begin, end = "<!-- MEASURED:BEGIN -->", "<!-- MEASURED:END -->"
+    lo = [k for k in result if k.startswith("build_sec_")][0].split("_")[-1]
+    block = f"""{begin}
+## Measured (bench.py --scaling, single node, {time.strftime('%Y-%m-%d')})
+
+| metric | value | config |
+|---|---|---|
+| build sec @{lo} cpus | {result[f'build_sec_{lo}']} | {result['n_docs']} docs, {result['num_parts']} parts, {result['sf']} |
+| build sec @{[k for k in result if k.startswith('build_sec_')][1].split('_')[-1]} cpus | {list(result.values())[4]} | same corpus, fresh process |
+| docs/sec | {r_lo['docs_per_sec']} → {r_hi['docs_per_sec']} | |
+| scaling efficiency | {result['value']} | (T_lo/T_hi)/(hi/lo), target ≥ 0.8 |
+| query latencies @hi (sec) | {json.dumps(r_hi['queries'])} | warm actors, k=10, BMW |
+{end}"""
+    try:
+        with open(path) as f:
+            content = f.read()
+        if begin in content:
+            pre = content.split(begin)[0]
+            post = content.split(end)[1]
+            content = pre + block + post
+        else:
+            content = content.rstrip() + "\n\n" + block + "\n"
+        with open(path, "w") as f:
+            f.write(content)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        res = run_bench()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()

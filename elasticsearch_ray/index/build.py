@@ -490,6 +490,11 @@ def build_index(
     if todo:
         head = frozenset(sketch_head_terms(todo, spec))
         ncpu = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
+        # Autoscaling (1, N) pools: a fixed-size pool per stage can deadlock —
+        # two stages × min(ncpu, parts) actors would each reserve the whole
+        # CPU budget and the downstream pool never starts. With min=1 the
+        # streaming executor grows/shrinks pools as CPUs free up.
+        pool = (1, min(ncpu, max(1, len(todo))))
         tuples = (
             rd.from_items(todo, override_num_blocks=len(todo))
             .map_batches(
@@ -497,7 +502,7 @@ def build_index(
                 fn_constructor_args=(index_dir, spec_dict, head),
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=min(ncpu, max(1, len(todo))),
+                concurrency=pool,
                 num_cpus=1,
             )
             .sort(["part", "term", "salt", "local"])
@@ -505,7 +510,7 @@ def build_index(
                 EncodeRuns,
                 fn_constructor_args=(index_dir, spec_dict),
                 batch_format="pyarrow",
-                concurrency=min(ncpu, max(1, len(todo))),
+                concurrency=pool,
                 num_cpus=1,
             )
         )
@@ -521,7 +526,7 @@ def build_index(
             fn_constructor_args=(index_dir, spec_dict),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=min(ncpu, max(1, len(merge_items))),
+            concurrency=(1, min(ncpu, max(1, len(merge_items)))),
             num_cpus=1,
         )
         merged.take_all()
