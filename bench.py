@@ -23,8 +23,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "20"))
-NUM_FILES = int(os.environ.get("BENCH_NUM_FILES", "128"))
+MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "100"))
+NUM_FILES = int(os.environ.get("BENCH_NUM_FILES", "256"))
 
 QUERY_SET = [
     ("match_common", {"kind": "match", "text": "spark join merge"}),
@@ -80,8 +80,20 @@ def run_bench() -> dict:
     from elasticsearch_ray.sources.webpages import corpus_for_sf
 
     # corpus generation is prep, not pipeline — cached and untimed; one warm
-    # read so build timing measures compute + shuffle, not cold disk
+    # read so build timing measures compute + shuffle, not cold disk. Restart
+    # Ray afterwards so the timed build runs in a clean session (generation
+    # leaves worker/object-store state that contaminates the measurement).
     corpus = corpus_for_sf(SF_DIR, multiplier=MULTIPLIER, num_files=NUM_FILES)
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     for f in os.listdir(corpus):
         with open(os.path.join(corpus, f), "rb") as fh:
             fh.read()

@@ -1,41 +1,43 @@
 """Distributed inverted-index build — the Ray-Data-native write path.
 
-Pipeline (SURVEY §3.1's our-pipeline sketch):
+Pipeline (SURVEY §3.1, with an explicit map-side combine):
 
-  plan_shards (driver, parquet metadata only)
+  plan_partitions (driver, parquet metadata only)
+    · input files → shards; ``files_per_partition`` shards per partition
+      (contiguous global doc ranges — the shard/segment analog)
     → from_items(shards) → map_batches(TokenizeShard, actor pool)
-        · reads its input file, html_strip, analyzer, SmallFloat norms
-        · side-writes parts/part=N/docs.parquet atomically (lineage unit)
-        · emits token tuples (part, term, salt, local, tf, norm, pos)
-    → sort(part, term, salt, local)          # THE term-keyed shuffle
-    → map_batches(EncodeRuns)
-        · delta+FOR-encodes consecutive (part, term) runs into posting
-          chunks; writes sorted run files per part; returns run manifest
-    → per-part MergeParts (one task per partition)
-        · k-way combines run chunks per term (fast path: single-chunk blobs
-          pass through byte-identical; multi-chunk re-encoded canonically)
-        · writes terms.parquet / postings.bin / positions.parquet /
-          manifest.json (completion marker)
+        · reads its file, html_strip, analyzer, SmallFloat norms
+        · side-writes part=N/docruns/docs-<base>.parquet (lineage unit)
+        · MAP-SIDE COMBINE: aggregates its docs' postings per term and emits
+          one posting-CHUNK row per (shard, term): delta+FOR-encoded blob +
+          positions + (df, total_tf) partials.  This is the Lucene
+          RAM-buffer→flush analog: the shuffle then moves compressed chunks,
+          not (doc, term) tuples — ~2 orders of magnitude less exchange
+          volume, which is what makes the wide step viable at 100 TB.
+    → sort(part, term, salt, first_doc)      # the term-keyed shuffle
+    → map_batches(RouteChunks): stream chunk rows into per-partition run
+      files (sorted within each run)
+    → per-partition MergeParts task: k-way combines each term's chunks
+      (single-chunk blobs pass through; multi-chunk re-encoded canonically),
+      concatenates doc runs → docs.parquet, writes terms.parquet /
+      postings.bin / positions.parquet / manifest.json (completion marker)
     → index_meta.json (global stats: N, sum_dl)
 
-Skew handling (north rule): Ray's sort range-partitions on key values, so a
-head term repeated hundreds of millions of times has no sub-key to split on
-and would land on one reducer.  A cheap driver-side sample pass estimates
-per-term df ratios; terms above ``head_df_ratio`` get ``salt = local //
-salt_docs`` appended to the sort key, bounding any one key group to
-``salt_docs`` postings.  Chunks re-assemble per term at merge (postings.py
-blocks are self-contained).
+Skew handling (north rule): a head term's postings arrive as bounded chunks
+(one per input shard), and the explicit ``salt`` key — populated for terms
+the driver-side sample sketch marks as heads — gives Ray's range partitioner
+distinct sub-keys to split a hot term's chunk run across reducers (equal
+keys cannot be split otherwise). Partition size itself is bounded by
+``files_per_partition``, which caps any reducer's merge work.
 
 Resumability: a partition with a valid ``manifest.json`` is skipped entirely
-on re-build; incomplete partitions are rebuilt idempotently (atomic
-temp+rename writes, run files tracked by returned manifest not directory
-listing).
+on re-build; incomplete partitions rebuild idempotently (atomic temp+rename,
+run files tracked by returned manifests, not directory listings).
 
 Reference anchors: shard routing ``cluster/routing/IndexRouting.java:113``
-(we use contiguous doc ranges; murmur3 url-routing provided in
-functions/routing for parity), RAM-buffer→segment flush
-``indices/IndexingMemoryController.java:45-48``, commit user data
-``InternalEngine.java:2585-2602``.
+(contiguous ranges by default; murmur3 parity in index/routing),
+RAM-buffer flush ``indices/IndexingMemoryController.java:45-48``, commit
+user data ``InternalEngine.java:2585-2602``.
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ import ray.data as rd
 from elasticsearch_ray.analysis.analyzers import get_analyzer
 from elasticsearch_ray.analysis.html_strip import strip_html
 from elasticsearch_ray.index.norms import int_to_byte4
-from elasticsearch_ray.index.postings import encode_postings, read_headers, reencode_canonical
+from elasticsearch_ray.index.postings import encode_postings, reencode_canonical
 from elasticsearch_ray.index.segments import (
     atomic_write_bytes,
     atomic_write_json,
@@ -68,21 +70,22 @@ from elasticsearch_ray.index.segments import (
 from elasticsearch_ray.index.spec import IndexSpec
 from elasticsearch_ray.sources.webpages import plan_shards
 
-TUPLE_SCHEMA_BASE = [
-    ("part", pa.int32()),
-    ("term", pa.string()),
-    ("salt", pa.int32()),
-    ("local", pa.int32()),
-    ("tf", pa.int32()),
-    ("norm", pa.uint8()),
-]
+
+def plan_partitions(corpus_dir: str, file_pattern: str, files_per_partition: int) -> list[dict]:
+    """Group input file shards into partitions of contiguous doc ranges."""
+    shards = plan_shards(corpus_dir, file_pattern)
+    for i, s in enumerate(shards):
+        part = i // files_per_partition
+        s["part"] = part
+    part_base: dict[int, int] = {}
+    for s in shards:
+        part_base.setdefault(s["part"], s["base"])
+        s["part_base"] = part_base[s["part"]]
+    return shards
 
 
 def sketch_head_terms(shards: list[dict], spec: IndexSpec) -> set[str]:
-    """Driver-side sample sketch of head-term df ratios (SURVEY §4 skew row).
-
-    Reads up to ``spec.sample_docs`` rows of the first shard's text column —
-    heavy hitters are exactly the terms a small uniform sample finds."""
+    """Driver-side sample sketch of head-term df ratios (SURVEY §4 skew row)."""
     if not shards:
         return set()
     n = 0
@@ -104,35 +107,46 @@ def sketch_head_terms(shards: list[dict], spec: IndexSpec) -> set[str]:
     return {t for t, c in df.items() if c / n >= spec.head_df_ratio}
 
 
-class TokenizeShard:
-    """Actor-pool stage: one call processes one input shard end-to-end.
+CHUNK_SCHEMA = [
+    ("part", pa.int32()),
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("first_doc", pa.int64()),
+    ("df", pa.int64()),
+    ("total_tf", pa.int64()),
+    ("blob", pa.binary()),
+]
 
-    Analyzer resources load once per actor (__init__), per the actor-pool
-    pattern; the head-term set arrives as a broadcast object ref."""
+
+class TokenizeShard:
+    """Actor-pool stage: one call fully processes one input file shard.
+
+    Analyzer resources load once per actor (__init__); the head-term set is
+    baked into actor construction (broadcast once, not per batch)."""
 
     def __init__(self, index_dir: str, spec_dict: dict, head_terms):
         self.index_dir = index_dir
         self.spec = IndexSpec.from_dict(spec_dict)
         self.analyzer = get_analyzer(self.spec.analyzer)
-        # head_terms is a frozenset baked into the actor-creation task — it is
-        # shipped to each actor ONCE (broadcast), not per batch.
         self.head_terms = head_terms or set()
+        self.head_arr = (
+            pa.array(sorted(self.head_terms), pa.string()) if self.head_terms else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            out.append(self._one_shard(row))
+        out = [self._one_shard(row) for row in batch.to_pylist()]
         return pa.concat_tables(out) if out else self._empty()
 
     def _empty(self) -> pa.Table:
-        fields = list(TUPLE_SCHEMA_BASE)
+        fields = list(CHUNK_SCHEMA)
         if self.spec.store_positions:
-            fields.append(("pos", pa.list_(pa.int32())))
+            fields += [("pos_flat", pa.list_(pa.int32())), ("pos_lens", pa.list_(pa.int32()))]
         return pa.table({k: pa.array([], t) for k, t in fields})
 
     def _one_shard(self, shard: dict) -> pa.Table:
         spec = self.spec
-        part, base = int(shard["part"]), int(shard["base"])
+        part = int(shard["part"])
+        local_base = int(shard["base"]) - int(shard["part_base"])
         avail = set(pq.read_schema(shard["path"]).names)
         doc_cols = [c for c in spec.doc_columns if c in avail]
         src_col = "html" if spec.use_html else spec.text_column
@@ -147,7 +161,6 @@ class TokenizeShard:
             texts = [t or "" for t in tbl[spec.text_column].to_pylist()]
 
         n_docs = len(texts)
-        # flatten (doc, pos, term) over the shard
         all_terms: list[str] = []
         locs_l: list[np.ndarray] = []
         poss_l: list[np.ndarray] = []
@@ -157,23 +170,22 @@ class TokenizeShard:
             doclens[i] = len(terms)
             if terms:
                 all_terms.extend(terms)
-                locs_l.append(np.full(len(terms), i, dtype=np.int32))
+                locs_l.append(np.full(len(terms), local_base + i, dtype=np.int64))
                 poss_l.append(np.asarray(pos, dtype=np.int32))
         norms = int_to_byte4(doclens)
 
-        # docs.parquet side-write (atomic) — the lineage/fetch table
+        # docrun side-write (atomic) — this shard's slice of docs.parquet
         dcols = {
-            "doc_id": pa.array(base + np.arange(n_docs, dtype=np.int64)),
+            "doc_id": pa.array(int(shard["base"]) + np.arange(n_docs, dtype=np.int64)),
             "doclen": pa.array(doclens.astype(np.int32)),
             "norm": pa.array(norms),
         }
         for c in doc_cols:
             if c not in dcols:
                 dcols[c] = tbl[c]
-        docs_tbl = pa.table(dcols)
-        pdir = part_dir(self.index_dir, part)
-        os.makedirs(pdir, exist_ok=True)
-        atomic_write_table(docs_tbl, os.path.join(pdir, "docs.parquet"))
+        ddir = os.path.join(part_dir(self.index_dir, part), "docruns")
+        os.makedirs(ddir, exist_ok=True)
+        atomic_write_table(pa.table(dcols), os.path.join(ddir, f"docs-{local_base:012d}.parquet"))
 
         if not all_terms:
             return self._empty()
@@ -183,52 +195,84 @@ class TokenizeShard:
         codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = codes_arr.dictionary
 
-        # group (doc, term): stable sort by (local, code, pos)
-        order = np.lexsort((poss, codes, locs))
+        # (doc, term) groups: stable sort by (code, local, pos) so each term's
+        # docs are contiguous AND doc-ordered — the per-term chunk layout
+        order = np.lexsort((poss, locs, codes))
         locs_s, codes_s, poss_s = locs[order], codes[order], poss[order]
         change = np.empty(len(locs_s), dtype=bool)
         change[0] = True
         np.logical_or(locs_s[1:] != locs_s[:-1], codes_s[1:] != codes_s[:-1], out=change[1:])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(locs_s))
-        tfs = (ends - starts).astype(np.int32)
+        tfs = (ends - starts).astype(np.int64)
         g_local = locs_s[starts]
         g_code = codes_s[starts]
-        g_terms = vocab.take(pa.array(g_code))
 
-        # head-term salting
-        if self.head_terms:
+        # term boundaries over the (doc, term) groups
+        tchange = np.empty(len(starts), dtype=bool)
+        tchange[0] = True
+        tchange[1:] = g_code[1:] != g_code[:-1]
+        tstarts = np.flatnonzero(tchange)
+        tends = np.append(tstarts[1:], len(starts))
+
+        terms_out: list[str] = []
+        blobs: list[bytes] = []
+        dfs = np.empty(len(tstarts), dtype=np.int64)
+        ttfs = np.empty(len(tstarts), dtype=np.int64)
+        firsts = np.empty(len(tstarts), dtype=np.int64)
+        pos_flat_out: list[np.ndarray] = []
+        pos_lens_out: list[np.ndarray] = []
+        with_pos = spec.store_positions
+        vocab_list = vocab.to_pylist()
+        norm_of_local = np.zeros(local_base + n_docs, dtype=np.uint8)
+        norm_of_local[local_base:] = norms
+        for gi, (s, e) in enumerate(zip(tstarts, tends)):
+            d = g_local[s:e]
+            t = tfs[s:e]
+            terms_out.append(vocab_list[int(g_code[s])])
+            dfs[gi] = e - s
+            ttfs[gi] = int(t.sum())
+            firsts[gi] = d[0]
+            blobs.append(encode_postings(d, t, norm_of_local[d]))
+            if with_pos:
+                lo, hi = starts[s], ends[e - 1]
+                pos_flat_out.append(poss_s[lo:hi])
+                pos_lens_out.append(t.astype(np.int32))
+
+        if self.head_arr is not None:
             head_mask = pa.compute.is_in(
-                g_terms, value_set=pa.array(sorted(self.head_terms), pa.string())
+                pa.array(terms_out, pa.string()), value_set=self.head_arr
             ).to_numpy(zero_copy_only=False)
-            salt = np.where(head_mask, g_local // spec.salt_docs, 0).astype(np.int32)
+            salt = np.where(head_mask, firsts // spec.salt_docs, 0).astype(np.int32)
         else:
-            salt = np.zeros(len(starts), dtype=np.int32)
+            salt = np.zeros(len(terms_out), dtype=np.int32)
 
         data = {
-            "part": pa.array(np.full(len(starts), part, dtype=np.int32)),
-            "term": g_terms.cast(pa.string()) if isinstance(g_terms, pa.Array) else g_terms,
+            "part": pa.array(np.full(len(terms_out), part, dtype=np.int32)),
+            "term": pa.array(terms_out, pa.string()),
             "salt": pa.array(salt),
-            "local": pa.array(g_local),
-            "tf": pa.array(tfs),
-            "norm": pa.array(norms[g_local]),
+            "first_doc": pa.array(firsts),
+            "df": pa.array(dfs),
+            "total_tf": pa.array(ttfs),
+            "blob": pa.array(blobs, pa.binary()),
         }
-        if spec.store_positions:
-            offsets = np.zeros(len(starts) + 1, dtype=np.int64)
-            offsets[1:] = ends
-            offsets[0] = starts[0]
-            data["pos"] = pa.ListArray.from_arrays(
-                pa.array(np.concatenate([starts[:1] * 0, ends]).astype(np.int32)),
-                pa.array(poss_s, pa.int32()),
-            )
+        if with_pos:
+            data["pos_flat"] = _list_of(pos_flat_out)
+            data["pos_lens"] = _list_of(pos_lens_out)
         return pa.table(data)
 
 
-class EncodeRuns:
-    """Post-shuffle aggregation: encode consecutive (part, term, salt) runs of
-    the sorted tuple stream into posting chunks; one run file per (partition,
-    batch). Chunks are self-contained, so batch boundaries splitting a term
-    are harmless — the merge re-combines."""
+def _list_of(arrs: list[np.ndarray]) -> pa.ListArray:
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    off = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    vals = np.concatenate(arrs) if arrs else np.empty(0, np.int32)
+    return pa.ListArray.from_arrays(pa.array(off.astype(np.int32)), pa.array(vals.astype(np.int32), pa.int32()))
+
+
+class RouteChunks:
+    """Post-shuffle routing: stream sorted chunk rows into per-partition run
+    files. Pure I/O — chunks were encoded map-side."""
 
     def __init__(self, index_dir: str, spec_dict: dict):
         self.index_dir = index_dir
@@ -240,83 +284,19 @@ class EncodeRuns:
                 {"part": pa.array([], pa.int32()), "run_path": pa.array([], pa.string())}
             )
         parts = batch["part"].to_numpy()
-        codes_arr = batch["term"].combine_chunks().dictionary_encode()
-        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = codes_arr.dictionary
-        locals_ = batch["local"].to_numpy()
-        tfs = batch["tf"].to_numpy()
-        norms = batch["norm"].to_numpy()
-        with_pos = self.spec.store_positions and "pos" in batch.column_names
-        if with_pos:
-            pos_col = batch["pos"].combine_chunks()
-            pos_values = pos_col.flatten().to_numpy(zero_copy_only=False)
-            pos_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-
         change = np.empty(len(parts), dtype=bool)
         change[0] = True
-        np.logical_or(parts[1:] != parts[:-1], codes[1:] != codes[:-1], out=change[1:])
+        change[1:] = parts[1:] != parts[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(parts))
-
-        rows: dict[int, dict[str, list]] = {}
+        out_parts, out_paths = [], []
+        drop = ["part", "salt"]
         for s, e in zip(starts, ends):
             p = int(parts[s])
-            d = locals_[s:e].astype(np.int64)
-            t = tfs[s:e].astype(np.int64)
-            nm = norms[s:e].astype(np.uint8)
-            if len(d) > 1 and np.any(d[1:] <= d[:-1]):  # defensive: sort gives order
-                o = np.argsort(d, kind="stable")
-                d, t, nm = d[o], t[o], nm[o]
-            blob = encode_postings(d, t, nm)
-            r = rows.setdefault(
-                p,
-                {"term": [], "df": [], "total_tf": [], "first_doc": [], "blob": [],
-                 "pos_flat": [], "pos_lens": []},
-            )
-            r["term"].append(str(vocab[int(codes[s])]))
-            r["df"].append(e - s)
-            r["total_tf"].append(int(t.sum()))
-            r["first_doc"].append(int(d[0]))
-            r["blob"].append(blob)
-            if with_pos:
-                r["pos_flat"].append(pos_values[pos_offsets[s] : pos_offsets[e]])
-                r["pos_lens"].append((pos_offsets[s + 1 : e + 1] - pos_offsets[s:e]).astype(np.int32))
-
-        out_parts, out_paths = [], []
-        for p, r in rows.items():
-            pdir = part_dir(self.index_dir, p)
-            rdir = os.path.join(pdir, "runs")
+            rdir = os.path.join(part_dir(self.index_dir, p), "runs")
             os.makedirs(rdir, exist_ok=True)
-            cols = {
-                "term": pa.array(r["term"], pa.string()),
-                "df": pa.array(r["df"], pa.int64()),
-                "total_tf": pa.array(r["total_tf"], pa.int64()),
-                "first_doc": pa.array(r["first_doc"], pa.int64()),
-                "blob": pa.array(r["blob"], pa.binary()),
-            }
-            if with_pos:
-                lens = np.array([len(x) for x in r["pos_flat"]], dtype=np.int32)
-                off = np.zeros(len(lens) + 1, dtype=np.int32)
-                np.cumsum(lens, out=off[1:])
-                cols["pos_flat"] = pa.ListArray.from_arrays(
-                    pa.array(off),
-                    pa.array(
-                        np.concatenate(r["pos_flat"]) if len(r["pos_flat"]) else np.empty(0, np.int32),
-                        pa.int32(),
-                    ),
-                )
-                lens2 = np.array([len(x) for x in r["pos_lens"]], dtype=np.int32)
-                off2 = np.zeros(len(lens2) + 1, dtype=np.int32)
-                np.cumsum(lens2, out=off2[1:])
-                cols["pos_lens"] = pa.ListArray.from_arrays(
-                    pa.array(off2),
-                    pa.array(
-                        np.concatenate(r["pos_lens"]) if len(r["pos_lens"]) else np.empty(0, np.int32),
-                        pa.int32(),
-                    ),
-                )
             path = os.path.join(rdir, f"run-{uuid.uuid4().hex}.parquet")
-            pq.write_table(pa.table(cols), path)
+            pq.write_table(batch.slice(s, e - s).drop_columns(drop), path)
             out_parts.append(p)
             out_paths.append(path)
         return pa.table(
@@ -324,9 +304,9 @@ class EncodeRuns:
         )
 
 
-def _concat_list_groups(col: pa.ChunkedArray | pa.ListArray, starts, ends) -> pa.ListArray:
+def _concat_list_groups(col, starts, ends) -> pa.ListArray:
     """Concatenate consecutive list rows [starts[i], ends[i]) into one list row
-    per group — vectorized (values buffer untouched; only offsets rebuilt)."""
+    per group — offsets arithmetic only, values buffer untouched."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     new_offs = np.empty(len(starts) + 1, dtype=np.int64)
@@ -337,30 +317,32 @@ def _concat_list_groups(col: pa.ChunkedArray | pa.ListArray, starts, ends) -> pa
     return pa.ListArray.from_arrays(pa.array((new_offs - lo).astype(np.int32)), vals)
 
 
-def merge_part(index_dir: str, part: int, run_paths: list[str], shard: dict, spec: IndexSpec) -> dict:
-    """Combine one partition's run chunks into the final canonical segment.
-
-    The tiered-merge primitive (MergePolicyConfig.java semantics live in
-    merge.py): k-way combine of sorted term streams; single-chunk terms pass
-    through byte-identical, multi-chunk terms (salted heads + batch-boundary
-    splits) are canonically re-encoded, so segment bytes are deterministic
-    regardless of shuffle chunking."""
+def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dict],
+               spec: IndexSpec) -> dict:
+    """Combine one partition's chunk runs into the final canonical segment:
+    docruns → docs.parquet; per term, single-chunk blobs pass through
+    byte-identical, multi-chunk terms re-encode canonically (so segment bytes
+    are independent of shuffle batching)."""
     t0 = time.time()
     pdir = part_dir(index_dir, part)
     with_pos = spec.store_positions
+
+    ddir = os.path.join(pdir, "docruns")
+    docrun_files = sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []
+    docs_tbl = pa.concat_tables([pq.read_table(os.path.join(ddir, f)) for f in docrun_files])
+    atomic_write_table(docs_tbl, os.path.join(pdir, "docs.parquet"))
+    norms_np = docs_tbl["norm"].to_numpy()
+    doclen_np = docs_tbl["doclen"].to_numpy()
+
     cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
         ["pos_flat", "pos_lens"] if with_pos else []
     )
     tables = [pq.read_table(p, columns=cols) for p in run_paths]
     runs = pa.concat_tables(tables) if tables else None
-    norms_lookup = pq.read_table(os.path.join(pdir, "docs.parquet"), columns=["norm", "doclen"])
-    norms_np = norms_lookup["norm"].to_numpy()
-    doclen_np = norms_lookup["doclen"].to_numpy()
 
     if runs is not None and len(runs):
         runs = runs.sort_by([("term", "ascending"), ("first_doc", "ascending")])
-        terms_col = runs["term"]
-        term_np = np.asarray(terms_col.to_pylist(), dtype=object)
+        term_np = np.asarray(runs["term"].to_pylist(), dtype=object)
         df_np = runs["df"].to_numpy()
         ttf_np = runs["total_tf"].to_numpy()
         blobs = runs["blob"].to_pylist()
@@ -397,9 +379,6 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shard: dict, spe
             "len": pa.array(lens),
         }
         if with_pos:
-            # canonicalize: ONE positions row per term — concat chunk lists in
-            # (term, first_doc) row order, purely via offset arithmetic so the
-            # output is independent of how the shuffle chunked each term.
             pos_tbl = pa.table(
                 {
                     "pos_flat": _concat_list_groups(runs["pos_flat"], starts, ends),
@@ -434,9 +413,9 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shard: dict, spe
 
     manifest = {
         "part": part,
-        "input_path": shard["path"],
-        "input_rows": shard["rows"],
-        "base_doc_id": shard["base"],
+        "input_path": [s["path"] for s in shards],
+        "input_rows": int(sum(s["rows"] for s in shards)),
+        "base_doc_id": int(shards[0]["part_base"]),
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
         "n_terms": int(n_terms),
@@ -446,6 +425,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shard: dict, spe
         "elapsed_sec": round(time.time() - t0, 3),
     }
     shutil.rmtree(os.path.join(pdir, "runs"), ignore_errors=True)
+    shutil.rmtree(os.path.join(pdir, "docruns"), ignore_errors=True)
     atomic_write_json(manifest_path(index_dir, part), manifest)
     return manifest
 
@@ -459,7 +439,7 @@ class MergeParts:
         out = []
         for row in batch.to_pylist():
             m = merge_part(
-                self.index_dir, int(row["part"]), list(row["run_paths"]), row["shard"], self.spec
+                self.index_dir, int(row["part"]), list(row["run_paths"]), row["shards"], self.spec
             )
             out.append({"part": m["part"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
                         "n_terms": m["n_terms"]})
@@ -476,65 +456,79 @@ def build_index(
     """Build (or resume) the inverted index. Returns the index meta dict."""
     spec = spec or IndexSpec()
     os.makedirs(index_dir, exist_ok=True)
-    shards = plan_shards(corpus_dir, file_pattern)
-    done, todo = [], []
+    shards = plan_partitions(corpus_dir, file_pattern, spec.files_per_partition)
+    by_part: dict[int, list[dict]] = {}
     for s in shards:
-        m = read_manifest(index_dir, s["part"])
-        if m and m.get("input_rows") == s["rows"] and m.get("input_path") == s["path"]:
+        by_part.setdefault(s["part"], []).append(s)
+    done, todo_parts = [], []
+    for part, plist in sorted(by_part.items()):
+        m = read_manifest(index_dir, part)
+        if (
+            m
+            and m.get("input_rows") == sum(s["rows"] for s in plist)
+            and m.get("input_path") == [s["path"] for s in plist]
+        ):
             done.append(m)
         else:
-            shutil.rmtree(part_dir(index_dir, s["part"]), ignore_errors=True)
-            todo.append(s)
+            shutil.rmtree(part_dir(index_dir, part), ignore_errors=True)
+            todo_parts.append(part)
 
     spec_dict = spec.to_dict()
-    if todo:
-        head = frozenset(sketch_head_terms(todo, spec))
+    if todo_parts:
+        todo_shards = [s for s in shards if s["part"] in set(todo_parts)]
+        head = frozenset(sketch_head_terms(todo_shards, spec))
         ncpu = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
-        # Autoscaling (1, N) pools: a fixed-size pool per stage can deadlock —
-        # two stages × min(ncpu, parts) actors would each reserve the whole
-        # CPU budget and the downstream pool never starts. With min=1 the
-        # streaming executor grows/shrinks pools as CPUs free up.
-        pool = (1, min(ncpu, max(1, len(todo))))
-        tuples = (
-            rd.from_items(todo, override_num_blocks=len(todo))
+        # Pool sizing: pools must AUTOSCALE (fixed pools for several stages
+        # each reserve the whole CPU budget up front and deadlock the
+        # streaming executor), but a min of 1 ramps too slowly — the tokenize
+        # stage gets a high min (it owns the pipeline until the sort barrier)
+        # while later pools start near 1 and grow as CPUs free up.
+        n_tok = min(ncpu, max(1, len(todo_shards)))
+        tok_pool = (max(1, min(n_tok, ncpu - 4)), n_tok)
+        # the chunk stream is small (compressed posting chunks, not tuples);
+        # coalesce before the sort — all-to-all cost scales with block count
+        sort_blocks = min(4 * ncpu, max(8, len(todo_parts)))
+        chunks = (
+            rd.from_items(todo_shards, override_num_blocks=len(todo_shards))
             .map_batches(
                 TokenizeShard,
                 fn_constructor_args=(index_dir, spec_dict, head),
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=pool,
+                concurrency=tok_pool,
                 num_cpus=1,
             )
-            .sort(["part", "term", "salt", "local"])
+            .repartition(sort_blocks)
+            .sort(["part", "term", "salt", "first_doc"])
             .map_batches(
-                EncodeRuns,
+                RouteChunks,
                 fn_constructor_args=(index_dir, spec_dict),
                 batch_format="pyarrow",
-                concurrency=pool,
+                concurrency=(1, max(1, ncpu // 4)),
                 num_cpus=1,
             )
         )
-        run_rows = tuples.take_all()
-        runs_by_part: dict[int, list[str]] = {s["part"]: [] for s in todo}
+        run_rows = chunks.take_all()
+        runs_by_part: dict[int, list[str]] = {p: [] for p in todo_parts}
         for r in run_rows:
             runs_by_part[int(r["part"])].append(r["run_path"])
         merge_items = [
-            {"part": s["part"], "run_paths": runs_by_part[s["part"]], "shard": s} for s in todo
+            {"part": p, "run_paths": runs_by_part[p], "shards": by_part[p]} for p in todo_parts
         ]
         merged = rd.from_items(merge_items, override_num_blocks=len(merge_items)).map_batches(
             MergeParts,
             fn_constructor_args=(index_dir, spec_dict),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=(1, min(ncpu, max(1, len(merge_items)))),
+            concurrency=(min(4, max(1, min(ncpu, len(merge_items)))), max(1, min(ncpu, len(merge_items)))),
             num_cpus=1,
         )
         merged.take_all()
-        done = [read_manifest(index_dir, s["part"]) for s in shards]
+        done = [read_manifest(index_dir, p) for p in sorted(by_part)]
 
     meta = {
         "spec": spec.to_dict(),
-        "num_parts": len(shards),
+        "num_parts": len(by_part),
         "n_docs": int(sum(m["n_docs"] for m in done)),
         "sum_dl": int(sum(m["sum_dl"] for m in done)),
         "parts": [

@@ -24,6 +24,9 @@ class IndexSpec:
     head_df_ratio: float = 0.02
     salt_docs: int = 16384
     sample_docs: int = 2000
+    # partition = this many contiguous input files (segment sizing; caps any
+    # merge reducer's work and the per-partition memory footprint)
+    files_per_partition: int = 8
 
     def to_dict(self) -> dict:
         d = asdict(self)

@@ -118,39 +118,31 @@ class PartitionSearcher:
 
     def _phrase_docs(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Exact phrase (slop=0): docs where terms appear at consecutive
-        positions; returns (docs, phrase_freqs)."""
-        rows = self.r.lookup(terms)
-        if np.any(rows < 0):
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        per_term = []
-        for i in rows:
-            blob = self.r.blob(int(i))
-            from elasticsearch_ray.index.postings import decode_postings
+        positions; returns (docs, phrase_freqs).
 
-            docs, _tfs = decode_postings(blob)
+        Fully vectorized: each term's (doc, position) pairs become int64 keys
+        (doc << 32 | (pos - term_offset)); consecutive-position matches are
+        the intersection of the key sets across terms (sorted-unique arrays →
+        np.intersect1d), and phrase freq = surviving keys per doc."""
+        rows = self.r.lookup(terms)
+        if len(rows) == 0 or np.any(rows < 0):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        from elasticsearch_ray.index.postings import decode_postings
+
+        keys = None
+        for ti, i in enumerate(rows):
+            docs, _tfs = decode_postings(self.r.blob(int(i)))
             flat, lens = self.r.positions_for(int(i))
-            offs = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            per_term.append((docs, flat, offs))
-        # intersect doc lists
-        common = per_term[0][0]
-        for docs, _, _ in per_term[1:]:
-            common = common[np.isin(common, docs, assume_unique=True)]
-        out_docs, out_freqs = [], []
-        # per-candidate positional intersect (candidates are few post-AND)
-        idx_maps = [dict(zip(docs.tolist(), range(len(docs)))) for docs, _, _ in per_term]
-        for d in common.tolist():
-            pos0 = None
-            for ti, (docs, flat, offs) in enumerate(per_term):
-                j = idx_maps[ti][d]
-                p = flat[offs[j] : offs[j + 1]].astype(np.int64) - ti
-                pos0 = p if pos0 is None else pos0[np.isin(pos0, p, assume_unique=True)]
-                if len(pos0) == 0:
-                    break
-            if pos0 is not None and len(pos0):
-                out_docs.append(d)
-                out_freqs.append(len(pos0))
-        return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+            doc_rep = np.repeat(docs, lens)
+            pos = flat.astype(np.int64) - ti
+            ok = pos >= 0
+            k = (doc_rep[ok] << np.int64(32)) | pos[ok]
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if len(keys) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        match_docs = keys >> np.int64(32)
+        out_docs, out_freqs = np.unique(match_docs, return_counts=True)
+        return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
     def _eval_scoring(self, q: Query, scorers, k, mode, scorers_required=True):
         """Returns (docs, scores) arrays, docs sorted asc (NOT top-k-cut unless
@@ -328,6 +320,7 @@ class QueryEngine:
         self.avgdl = self.meta["sum_dl"] / max(self.n_docs, 1)
         self.parallel = parallel
         self._searchers: dict[int, PartitionSearcher] = {}
+        self._df_cache: dict[str, int] = {}
         self._actors = None
         self._num_actors = num_actors
         if parallel == "ray":
@@ -370,18 +363,23 @@ class QueryEngine:
             self._actors = None
 
     def _global_stats(self, terms: list[str]) -> dict[str, int]:
-        """DFS phase: global df per term (sum of per-partition dfs)."""
-        df = dict.fromkeys(terms, 0)
-        if self._actors:
-            import ray
+        """DFS phase: global df per term (sum of per-partition dfs); cached —
+        term stats are immutable per index, so repeat queries skip the
+        gather round entirely."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            df = dict.fromkeys(missing, 0)
+            if self._actors:
+                import ray
 
-            results = ray.get([a.local_stats.remote(terms) for a in self._actors])
-        else:
-            results = [self._searcher(p).local_stats(terms) for p in self.parts]
-        for st in results:
-            for t, (d, _ttf) in st.items():
-                df[t] += d
-        return df
+                results = ray.get([a.local_stats.remote(missing) for a in self._actors])
+            else:
+                results = [self._searcher(p).local_stats(missing) for p in self.parts]
+            for st in results:
+                for t, (d, _ttf) in st.items():
+                    df[t] += d
+            self._df_cache.update(df)
+        return {t: self._df_cache[t] for t in terms}
 
     def _scorers(self, q: Query, boost_map=None):
         terms = query_terms(q, self.analyzer_name)

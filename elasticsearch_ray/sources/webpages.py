@@ -44,49 +44,57 @@ _ENTITY_WORDS = [("&amp;", "&"), ("&lt;tag&gt;", "<tag>"), ("&#8212;", "—"), (
 
 
 def _render_page(words: list[str], rng: np.random.Generator) -> tuple[str, str]:
-    """Build (html, expected_text) from one plan. Independent of strip_html."""
+    """Build (html, expected_text) from one plan. Independent of strip_html.
+    All random draws are bulk-vectorized (one rng call each) for speed; the
+    draw SHAPE depends only on len(words), keeping output deterministic."""
+    nw = len(words)
+    # bulk draws: para sizes, per-word choice, tag/entity picks, comments
+    para_sizes = rng.integers(6, 14, size=nw // 6 + 2)
+    word_r = rng.random(nw)
+    tag_pick = rng.integers(0, len(_INLINE_TAGS), size=nw)
+    ent_pick = rng.integers(0, len(_ENTITY_WORDS), size=nw)
+    block_pick = rng.integers(0, len(_BLOCK_TAGS), size=len(para_sizes))
+    comment_r = rng.random(len(para_sizes))
+    script_r = rng.random()
+
     html_parts: list[str] = ["<html>"]
     text_parts: list[str] = ["\n"]
-    title = words[: min(3, len(words))]
+    title = words[: min(3, nw)]
     html_parts.append("<head><title>" + " ".join(title) + "</title></head>")
-    # head+title are block-level (non-inline): \n for head, title, /title, /head
     text_parts.append("\n\n" + " ".join(title) + "\n\n")
     html_parts.append("<body>")
     text_parts.append("\n")
-    if rng.random() < 0.3:
+    if script_r < 0.3:
         html_parts.append("<script>var x = 1 < 2;</script>")
         text_parts.append("\n")
-    i = min(3, len(words))
+    i = min(3, nw)
     para = 0
-    while i < len(words):
-        n = int(rng.integers(6, 14))
-        chunk = words[i : i + n]
+    while i < nw:
+        n = int(para_sizes[para])
+        chunk_idx = range(i, min(i + n, nw))
         i += n
-        para += 1
         rendered = []
-        for w in chunk:
-            r = rng.random()
+        expected_words = []
+        for wi in chunk_idx:
+            w = words[wi]
+            r = word_r[wi]
             if r < 0.08:
-                tag = _INLINE_TAGS[int(rng.integers(0, len(_INLINE_TAGS)))]
+                tag = _INLINE_TAGS[tag_pick[wi]]
                 rendered.append(f"<{tag}>{w}</{tag}>")
+                expected_words.append(w)
             elif r < 0.10:
-                ent_html, ent_text = _ENTITY_WORDS[int(rng.integers(0, len(_ENTITY_WORDS)))]
+                ent_html, ent_text = _ENTITY_WORDS[ent_pick[wi]]
                 rendered.append(f"{w} {ent_html}")
-                w = f"{w} {ent_text}"
+                expected_words.append(f"{w} {ent_text}")
             else:
                 rendered.append(w)
-        block = _BLOCK_TAGS[int(rng.integers(0, len(_BLOCK_TAGS)))]
-        body = " ".join(rendered)
-        # expected text: strip inline tags from body
-        expected = " ".join(
-            [w if not w.startswith("<") else w.split(">", 1)[1].rsplit("<", 1)[0] for w in rendered]
-        )
-        for ent_html, ent_text in _ENTITY_WORDS:
-            expected = expected.replace(ent_html, ent_text)
-        html_parts.append(f"<{block}>{body}</{block}>")
-        text_parts.append("\n" + expected + "\n")
-        if rng.random() < 0.15:
+                expected_words.append(w)
+        block = _BLOCK_TAGS[block_pick[para]]
+        html_parts.append(f"<{block}>{' '.join(rendered)}</{block}>")
+        text_parts.append("\n" + " ".join(expected_words) + "\n")
+        if comment_r[para] < 0.15:
             html_parts.append("<!-- chunk boundary -->")
+        para += 1
     html_parts.append("</body></html>")
     text_parts.append("\n\n")
     return "".join(html_parts), "".join(text_parts)
@@ -111,7 +119,7 @@ def synthesize_webpages(
         "multiplier": multiplier,
         "num_files": num_files,
         "seed": seed,
-        "version": 3,
+        "version": 4,
     }
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -122,62 +130,76 @@ def synthesize_webpages(
     os.makedirs(out_dir)
 
     docs = pq.read_table(documents_parquet, columns=["doc_id", "text", "lang", "source"])
+    n_docs = len(docs)
+    n_total = n_docs * multiplier
+    per_file = (n_total + num_files - 1) // num_files
+    n_files = (n_total + per_file - 1) // per_file
+
+    # One task per output file; page g (= rep*n_docs + j) is a pure function
+    # of (seed, doc_id, rep), so output bytes are independent of parallelism.
+    file_specs = [
+        (fidx, fidx * per_file, min((fidx + 1) * per_file, n_total)) for fidx in range(n_files)
+    ]
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and n_total >= 20000
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        docs_ref = ray.put(docs)
+
+        @ray.remote
+        def gen(spec):
+            return _generate_file(ray.get(docs_ref), out_dir, spec, seed)
+
+        file_rows = ray.get([gen.remote(s) for s in file_specs])
+    else:
+        file_rows = [_generate_file(docs, out_dir, s, seed) for s in file_specs]
+
+    with open(meta_path, "w") as f:
+        json.dump({"params": params, "rows": n_total, "files": file_rows}, f, indent=1)
+    return out_dir
+
+
+def _generate_file(docs: pa.Table, out_dir: str, spec: tuple, seed: int) -> dict:
+    fidx, g_lo, g_hi = spec
     doc_ids = docs["doc_id"].to_numpy()
     texts = docs["text"].to_pylist()
     langs = docs["lang"].to_pylist()
     sources = docs["source"].to_pylist()
-
-    n_total = len(texts) * multiplier
-    per_file = (n_total + num_files - 1) // num_files
+    n_docs = len(texts)
     base_ts = np.datetime64("2024-01-01T00:00:00", "us")
-
-    rows_written = 0
-    file_rows = []
     buf: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
-    fidx = 0
-
-    def flush():
-        nonlocal fidx, buf
-        if not buf["url"]:
-            return
-        tbl = pa.table(
-            {
-                "url": pa.array(buf["url"], pa.string()),
-                "warc_ts": pa.array(buf["warc_ts"], pa.timestamp("us")),
-                "html": pa.array(buf["html"], pa.binary()),
-                "text": pa.array(buf["text"], pa.string()),
-                "lang": pa.array(buf["lang"], pa.string()),
-            },
-            schema=SCHEMA,
-        )
-        path = os.path.join(out_dir, f"pages-{fidx:05d}.parquet")
-        pq.write_table(tbl, path)
-        file_rows.append({"path": path, "rows": len(tbl)})
-        fidx += 1
-        buf = {k: [] for k in buf}
-
-    for rep in range(multiplier):
-        for j, (did, text, lang, src) in enumerate(zip(doc_ids, texts, langs, sources)):
-            rng = np.random.default_rng([seed, int(did), rep])
-            words = text.split()
-            if rep > 0:
-                words = list(rng.permutation(words))
-            html, expected = _render_page(words, rng)
-            url = f"https://{src}.example.com/{lang}/page-{int(did)}-{rep}.html"
-            ts = base_ts + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
-            buf["url"].append(url)
-            buf["warc_ts"].append(ts.astype("datetime64[us]").item())
-            buf["html"].append(html.encode("utf-8"))
-            buf["text"].append(expected)
-            buf["lang"].append(lang)
-            rows_written += 1
-            if len(buf["url"]) >= per_file:
-                flush()
-    flush()
-
-    with open(meta_path, "w") as f:
-        json.dump({"params": params, "rows": rows_written, "files": file_rows}, f, indent=1)
-    return out_dir
+    for g in range(g_lo, g_hi):
+        rep, j = divmod(g, n_docs)
+        did, text, lang, src = int(doc_ids[j]), texts[j], langs[j], sources[j]
+        rng = np.random.default_rng([seed, did, rep])
+        words = text.split()
+        if rep > 0:
+            words = list(rng.permutation(words))
+        html, expected = _render_page(words, rng)
+        ts = base_ts + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
+        buf["url"].append(f"https://{src}.example.com/{lang}/page-{did}-{rep}.html")
+        buf["warc_ts"].append(ts.astype("datetime64[us]").item())
+        buf["html"].append(html.encode("utf-8"))
+        buf["text"].append(expected)
+        buf["lang"].append(lang)
+    tbl = pa.table(
+        {
+            "url": pa.array(buf["url"], pa.string()),
+            "warc_ts": pa.array(buf["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(buf["html"], pa.binary()),
+            "text": pa.array(buf["text"], pa.string()),
+            "lang": pa.array(buf["lang"], pa.string()),
+        },
+        schema=SCHEMA,
+    )
+    path = os.path.join(out_dir, f"pages-{fidx:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return {"path": path, "rows": len(tbl)}
 
 
 def corpus_for_sf(sf_dir: str, multiplier: int = 1, num_files: int = 8, cache_root: str = "/tmp/esray_corpus") -> str:

@@ -36,7 +36,9 @@ def built_index(ray_session, tmp_path_factory):
 
     corpus = corpus_for_sf(SF_DIR, multiplier=1, num_files=3)
     idx = str(tmp_path_factory.mktemp("idx") / "index")
-    meta = build_index(corpus, idx, IndexSpec(), concurrency=2)
+    # files_per_partition=1 → partition == input file, which is what the
+    # brute-force oracle's (part, local) mapping assumes
+    meta = build_index(corpus, idx, IndexSpec(files_per_partition=1), concurrency=2)
     return corpus, idx, meta
 
 
@@ -218,12 +220,37 @@ def test_range_filter_on_warc_ts(built_index):
     assert 0 < len(got) < len(all_hits)
 
 
+def test_multi_file_partitions_same_results(built_index, ray_session, tmp_path_factory):
+    """files_per_partition>1 (exercising the multi-chunk merge/re-encode path)
+    must return the same docs+scores as single-file partitions."""
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus, idx, meta = built_index
+    idx2 = str(tmp_path_factory.mktemp("idxfp") / "index")
+    meta2 = build_index(corpus, idx2, IndexSpec(files_per_partition=2), concurrency=2)
+    assert meta2["num_parts"] == 2  # 3 files → ceil(3/2)
+    e1 = QueryEngine(idx, dtype="float64")
+    e2 = QueryEngine(idx2, dtype="float64")
+    for qtext in ["spark join merge", "the", "window filter group"]:
+        a = e1.search(MatchQuery(qtext), k=20, fetch=("url", "doc_id")).to_pylist()
+        b = e2.search(MatchQuery(qtext), k=20, fetch=("url", "doc_id")).to_pylist()
+        assert [(r["doc_id"], r["score"], r["url"]) for r in a] == [
+            (r["doc_id"], r["score"], r["url"]) for r in b
+        ]
+    # multi-chunk terms actually occurred (the combine path was exercised)
+    import json
+
+    with open(os.path.join(idx2, "parts", "part=00000", "manifest.json")) as f:
+        assert json.load(f)["multi_chunk_terms"] > 0
+
+
 def test_deterministic_segments(built_index, ray_session, tmp_path_factory):
     from elasticsearch_ray.index.build import build_index
 
     corpus, idx, meta = built_index
     idx2 = str(tmp_path_factory.mktemp("idx2") / "index")
-    build_index(corpus, idx2, IndexSpec(), concurrency=2)
+    build_index(corpus, idx2, IndexSpec(files_per_partition=1), concurrency=2)
     for p in sorted(glob.glob(os.path.join(idx, "parts", "*"))):
         p2 = os.path.join(idx2, "parts", os.path.basename(p))
         for fname in ("postings.bin", "terms.parquet", "docs.parquet"):
@@ -243,7 +270,7 @@ def test_resume_skips_complete_parts(built_index, ray_session):
         f = os.path.join(part_dir(idx, part), "postings.bin")
         before[part] = (os.path.getmtime(f), hashlib.md5(open(f, "rb").read()).hexdigest())
     os.remove(manifest_path(idx, 1))
-    meta2 = build_index(corpus, idx, IndexSpec(), concurrency=2)
+    meta2 = build_index(corpus, idx, IndexSpec(files_per_partition=1), concurrency=2)
     assert meta2["n_docs"] == meta["n_docs"]
     for part in (0, 2):
         f = os.path.join(part_dir(idx, part), "postings.bin")

@@ -17,8 +17,8 @@ def two_indexes(ray_session, tmp_path_factory):
     base = tmp_path_factory.mktemp("merge")
     idx_a = str(base / "unmerged")
     idx_b = str(base / "merged")
-    build_index(corpus, idx_a, IndexSpec(), concurrency=2)
-    build_index(corpus, idx_b, IndexSpec(), concurrency=2)
+    build_index(corpus, idx_a, IndexSpec(files_per_partition=1), concurrency=2)
+    build_index(corpus, idx_b, IndexSpec(files_per_partition=1), concurrency=2)
     return idx_a, idx_b
 
 
