@@ -56,7 +56,32 @@ def build_query(spec):
     raise ValueError(spec)
 
 
+def _prepare_corpus() -> str:
+    """Generate (or reuse) the corpus in a SUBPROCESS so the bench process's
+    Ray session stays pristine — a shutdown+reinit cycle in one process
+    measurably degrades subsequent pipeline performance."""
+    code = (
+        "import ray, sys, logging\n"
+        "ray.init(address='local', num_cpus={n}, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "from elasticsearch_ray.sources.webpages import corpus_for_sf\n"
+        "print(corpus_for_sf({sf!r}, multiplier={m}, num_files={f}))\n"
+        "ray.shutdown()\n"
+    ).format(n=NUM_CPUS, sf=SF_DIR, m=MULTIPLIER, f=NUM_FILES)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return out.strip().splitlines()[-1]
+
+
 def run_bench() -> dict:
+    # corpus generation is prep, not pipeline — cached, untimed, subprocess
+    corpus = _prepare_corpus()
+
     import ray
 
     if not ray.is_initialized():
@@ -77,23 +102,8 @@ def run_bench() -> dict:
     from elasticsearch_ray.index.build import build_index
     from elasticsearch_ray.index.spec import IndexSpec
     from elasticsearch_ray.search.engine import QueryEngine
-    from elasticsearch_ray.sources.webpages import corpus_for_sf
 
-    # corpus generation is prep, not pipeline — cached and untimed; one warm
-    # read so build timing measures compute + shuffle, not cold disk. Restart
-    # Ray afterwards so the timed build runs in a clean session (generation
-    # leaves worker/object-store state that contaminates the measurement).
-    corpus = corpus_for_sf(SF_DIR, multiplier=MULTIPLIER, num_files=NUM_FILES)
-    ray.shutdown()
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # one warm read so build timing measures compute + shuffle, not cold disk
     for f in os.listdir(corpus):
         with open(os.path.join(corpus, f), "rb") as fh:
             fh.read()
@@ -141,9 +151,12 @@ def run_bench() -> dict:
 def run_scaling():
     lo = int(os.environ.get("SCALE_LO", "8"))
     hi = int(os.environ.get("SCALE_HI", "32"))
+    # scaling measurements need compute to dominate fixed per-session costs:
+    # default to a larger corpus than the single-run bench
+    mult = os.environ.get("BENCH_MULTIPLIER") or "300"
 
     def run(ncpu):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MULTIPLIER=mult)
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env,

@@ -34,15 +34,23 @@ from elasticsearch_ray.index.segments import SegmentReader, part_dir
 from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer
 from elasticsearch_ray.search.query import (
     BoolQuery,
+    BoostingQuery,
+    ConstantScoreQuery,
+    DisMaxQuery,
+    ExistsQuery,
+    FuzzyQuery,
+    IdsQuery,
     MatchAllQuery,
     MatchPhraseQuery,
     MatchQuery,
     PrefixQuery,
     Query,
     RangeFilter,
+    RegexpQuery,
     TermFilter,
     TermQuery,
     TermsQuery,
+    WildcardQuery,
     query_terms,
 )
 from elasticsearch_ray.search.topk import (
@@ -194,29 +202,95 @@ class PartitionSearcher:
             # sum of per-term idfs (TFIDF/BM25: SimScorer over sum idf)
             sc = scorers.get(("__phrase__",) + tuple(terms))
             return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
-        if isinstance(q, PrefixQuery):
-            # sorted term dict range scan → constant-score disjunction
-            # (multi-term query rewrite, constant_score like the reference)
-            tcol = self.r._terms
-            terms_np = tcol.to_numpy(zero_copy_only=False)
-            lo = np.searchsorted(terms_np, q.prefix, side="left")
-            hi = np.searchsorted(terms_np, q.prefix + "￿", side="right")
-            d_arrays = []
-            from elasticsearch_ray.index.postings import decode_postings
-
-            for i in range(int(lo), int(hi)):
-                d, _t = decode_postings(self.r.blob(i))
-                d_arrays.append(d)
-            if not d_arrays:
-                return np.empty(0, np.int64), np.empty(0, dtype)
-            docs = np.unique(np.concatenate(d_arrays))
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
+            rows = self._expand_multi_term(q)
+            return self._const_score_union(rows, getattr(q, "boost", 1.0), dtype)
+        if isinstance(q, ExistsQuery):
+            lens = self._doc_col("doclen")
+            docs = np.flatnonzero(lens > 0).astype(np.int64)
             return docs, np.full(len(docs), q.boost, dtype=dtype)
+        if isinstance(q, IdsQuery):
+            gids = self._doc_col("doc_id")
+            docs = np.flatnonzero(np.isin(gids, np.asarray(list(q.ids)))).astype(np.int64)
+            return docs, np.full(len(docs), q.boost, dtype=dtype)
+        if isinstance(q, ConstantScoreQuery):
+            docs = self._eval_filter(q.filter)
+            return docs, np.full(len(docs), q.boost, dtype=dtype)
+        if isinstance(q, DisMaxQuery):
+            per = [self._eval_scoring(c, scorers, None, "exhaustive") for c in q.queries]
+            docs = np.unique(np.concatenate([d for d, _ in per])) if per else np.empty(0, np.int64)
+            if len(docs) == 0:
+                return docs, np.empty(0, dtype)
+            mx = np.zeros(len(docs), np.float64)
+            sm = np.zeros(len(docs), np.float64)
+            for d, s in per:
+                pos = np.searchsorted(docs, d)
+                np.maximum.at(mx, pos, np.asarray(s, np.float64))
+                np.add.at(sm, pos, np.asarray(s, np.float64))
+            out = mx + q.tie_breaker * (sm - mx)
+            return docs, (out * q.boost).astype(dtype)
+        if isinstance(q, BoostingQuery):
+            docs, scores = self._eval_scoring(q.positive, scorers, None, "exhaustive")
+            if q.negative is not None and len(docs):
+                neg, _ = self._eval_scoring(q.negative, scorers, None, "exhaustive")
+                hit = np.isin(docs, neg, assume_unique=True)
+                scores = np.where(hit, scores * np.asarray(q.negative_boost, dtype), scores).astype(dtype)
+            return docs, scores
         if isinstance(q, (RangeFilter, TermFilter)):
             docs = self._eval_filter(q)
             return docs, np.zeros(len(docs), dtype=dtype)
         if isinstance(q, BoolQuery):
             return self._eval_bool(q, scorers, mode)
         raise TypeError(f"unsupported query {type(q).__name__}")
+
+    def _terms_np(self) -> np.ndarray:
+        t = getattr(self, "_terms_cache", None)
+        if t is None:
+            t = self.r._terms.to_numpy(zero_copy_only=False)
+            self._terms_cache = t
+        return t
+
+    def _expand_multi_term(self, q) -> np.ndarray:
+        """Multi-term queries rewrite against the sorted term dict
+        (PrefixQueryBuilder / WildcardQueryBuilder / RegexpQueryBuilder /
+        FuzzyQueryBuilder): returns matching term rows."""
+        terms_np = self._terms_np()
+        if isinstance(q, PrefixQuery):
+            lo = np.searchsorted(terms_np, q.prefix, side="left")
+            hi = np.searchsorted(terms_np, q.prefix + "￿", side="right")
+            return np.arange(int(lo), int(hi), dtype=np.int64)
+        if isinstance(q, WildcardQuery):
+            import fnmatch
+            import re as _re
+
+            rx = _re.compile(fnmatch.translate(q.pattern))
+            return np.flatnonzero([rx.match(t) is not None for t in terms_np])
+        if isinstance(q, RegexpQuery):
+            import re as _re
+
+            rx = _re.compile(q.pattern)
+            return np.flatnonzero([rx.fullmatch(t) is not None for t in terms_np])
+        if isinstance(q, FuzzyQuery):
+            maxd = _auto_fuzziness(q.term) if q.fuzziness == "AUTO" else int(q.fuzziness)
+            pl = q.prefix_length
+            base = q.term
+            hits = []
+            for i, t in enumerate(terms_np):
+                if pl and not t.startswith(base[:pl]):
+                    continue
+                if abs(len(t) - len(base)) <= maxd and _edit_distance_le(base, t, maxd):
+                    hits.append(i)
+            return np.asarray(hits, dtype=np.int64)
+        raise TypeError(type(q))
+
+    def _const_score_union(self, rows: np.ndarray, boost: float, dtype):
+        from elasticsearch_ray.index.postings import decode_postings
+
+        d_arrays = [decode_postings(self.r.blob(int(i)))[0] for i in rows]
+        if not d_arrays:
+            return np.empty(0, np.int64), np.empty(0, dtype)
+        docs = np.unique(np.concatenate(d_arrays))
+        return docs, np.full(len(docs), boost, dtype=dtype)
 
     def _eval_bool(self, q: BoolQuery, scorers, mode):
         dtype = np.float32 if self.dtype == "float32" else np.float64
@@ -287,6 +361,43 @@ def _intersect(a: np.ndarray, b: np.ndarray, *score_arrays):
         else:  # aligned with b
             out.append(np.asarray(s, np.float64)[pos_c[hit]])
     return docs, tuple(out)
+
+
+def _auto_fuzziness(term: str) -> int:
+    """Fuzziness.AUTO: 0 for len<3, 1 for 3..5, 2 above (Fuzziness.java)."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _edit_distance_le(a: str, b: str, maxd: int) -> bool:
+    """Damerau-Levenshtein (adjacent transposition) distance <= maxd, with
+    band cutoff — Lucene fuzzy matching counts transposition as one edit."""
+    if maxd == 0:
+        return a == b
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - maxd)
+        hi = min(lb, i + maxd)
+        if lo > hi:
+            return False
+        if lo > 1:
+            cur[lo - 1] = maxd + 1
+        j = lo - 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if prev2 is not None and i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        if j < lb:
+            cur[j + 1 :] = [maxd + 1] * (lb - j)
+        if min(cur) > maxd:
+            return False
+        prev2, prev = prev, cur
+    return prev[lb] <= maxd
 
 
 def _min_should_match(msm, n_clauses: int) -> int:

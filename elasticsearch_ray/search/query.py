@@ -83,6 +83,80 @@ class TermFilter(Query):
 
 
 @dataclass(frozen=True)
+class WildcardQuery(Query):
+    """Term-dict scan with * / ? globs → constant-score disjunction
+    (WildcardQueryBuilder.java; multi-term rewrite constant_score)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Term-dict regex scan (RegexpQueryBuilder.java); python re syntax,
+    anchored like Lucene (the whole term must match)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within Damerau-Levenshtein distance <= fuzziness
+    (FuzzyQueryBuilder.java; AUTO = 0/1/2 by term length)."""
+
+    term: str
+    fuzziness: int | str = "AUTO"
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ExistsQuery(Query):
+    """Docs with at least one indexed token in the field
+    (ExistsQueryBuilder.java) — here: doclen > 0."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IdsQuery(Query):
+    """Docs by global doc_id list (SearchModule.java:1156 ids query)."""
+
+    ids: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Wraps a filter; every match scores `boost`
+    (ConstantScoreQueryBuilder.java)."""
+
+    filter: Query = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisMaxQuery(Query):
+    """max of clause scores + tie_breaker * sum of the rest
+    (DisMaxQueryBuilder.java)."""
+
+    queries: tuple = ()
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostingQuery(Query):
+    """positive clause scores; docs also matching negative are multiplied by
+    negative_boost (BoostingQueryBuilder.java)."""
+
+    positive: Query = None
+    negative: Query = None
+    negative_boost: float = 0.5
+
+
+@dataclass(frozen=True)
 class BoolQuery(Query):
     """must / should / filter / must_not with minimum_should_match
     (index/query/BoolQueryBuilder.java): scores sum over scoring clauses;
@@ -115,6 +189,16 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
         elif isinstance(q, BoolQuery):
             for sub in (*q.must, *q.should, *q.filter, *q.must_not):
                 walk(sub)
+        elif isinstance(q, ConstantScoreQuery) and q.filter is not None:
+            walk(q.filter)
+        elif isinstance(q, DisMaxQuery):
+            for sub in q.queries:
+                walk(sub)
+        elif isinstance(q, BoostingQuery):
+            if q.positive is not None:
+                walk(q.positive)
+            if q.negative is not None:
+                walk(q.negative)
 
     walk(q)
     seen = set()

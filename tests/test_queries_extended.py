@@ -1,0 +1,127 @@
+"""Multi-term (wildcard/regexp/fuzzy/prefix), exists/ids, and score-shaping
+(constant_score/dis_max/boosting) queries vs a brute-force oracle over the
+documents table."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.search.query import (
+    BoostingQuery,
+    ConstantScoreQuery,
+    DisMaxQuery,
+    ExistsQuery,
+    FuzzyQuery,
+    IdsQuery,
+    MatchQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermFilter,
+    TermQuery,
+    WildcardQuery,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_engine(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("docsidx") / "index")
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang", "source"))
+    build_index(SF_DIR, idx, spec, concurrency=2, file_pattern="documents.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(texts["doc_id"].to_pylist(), [t.split() for t in texts["text"].to_pylist()]))
+    return eng, docs
+
+
+def _hits(eng, q, **kw):
+    t = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",), **kw)
+    return {r["doc_id"] for r in t.to_pylist()}
+
+
+def test_wildcard(docs_engine):
+    eng, docs = docs_engine
+    got = _hits(eng, WildcardQuery("s*k"))
+    want = {d for d, toks in docs.items() if any(t.startswith("s") and t.endswith("k") for t in toks)}
+    assert got == want and got
+
+
+def test_regexp(docs_engine):
+    eng, docs = docs_engine
+    got = _hits(eng, RegexpQuery("w.*w"))
+    import re
+
+    rx = re.compile("w.*w")
+    want = {d for d, toks in docs.items() if any(rx.fullmatch(t) for t in toks)}
+    assert got == want and got
+
+
+def test_fuzzy(docs_engine):
+    eng, docs = docs_engine
+    got = _hits(eng, FuzzyQuery("spork", fuzziness=1))
+    # distance-1 neighbors of 'spork' in the corpus: spark? s-p-o-r-k vs
+    # s-p-a-r-k = 1 substitution → matches docs containing spark (plus any
+    # other distance-1 vocab terms)
+    assert {d for d, toks in docs.items() if "spark" in toks} <= got
+
+
+def test_prefix_equals_wildcard(docs_engine):
+    eng, docs = docs_engine
+    assert _hits(eng, PrefixQuery("wi")) == _hits(eng, WildcardQuery("wi*"))
+
+
+def test_exists_and_ids(docs_engine):
+    eng, docs = docs_engine
+    assert _hits(eng, ExistsQuery()) == {d for d, toks in docs.items() if toks}
+    assert _hits(eng, IdsQuery(ids=(3, 7, 11))) == {3, 7, 11}
+
+
+def test_constant_score(docs_engine):
+    eng, docs = docs_engine
+    t = eng.search(ConstantScoreQuery(filter=TermFilter("lang", "en"), boost=2.5),
+                   k=10**9, mode="exhaustive", fetch=("doc_id",))
+    rows = t.to_pylist()
+    assert rows and all(abs(r["score"] - 2.5) < 1e-9 for r in rows)
+
+
+def test_dismax_max_semantics(docs_engine):
+    eng, docs = docs_engine
+    qa, qb = TermQuery("spark"), TermQuery("window")
+    sa = {r["doc_id"]: r["score"] for r in eng.search(qa, k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    sb = {r["doc_id"]: r["score"] for r in eng.search(qb, k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    dm = {r["doc_id"]: r["score"] for r in eng.search(
+        DisMaxQuery(queries=(qa, qb), tie_breaker=0.3), k=10**9, mode="exhaustive",
+        fetch=("doc_id",)).to_pylist()}
+    assert set(dm) == set(sa) | set(sb)
+    for d, s in dm.items():
+        a, b = sa.get(d, 0.0), sb.get(d, 0.0)
+        want = max(a, b) + 0.3 * (min(a, b) if a and b else 0.0)
+        assert abs(s - want) < 1e-9
+
+
+def test_boosting(docs_engine):
+    eng, docs = docs_engine
+    pos = MatchQuery("spark join")
+    neg = TermFilter("lang", "de")
+    base = {r["doc_id"]: r["score"] for r in eng.search(pos, k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    bq = {r["doc_id"]: r["score"] for r in eng.search(
+        BoostingQuery(positive=pos, negative=neg, negative_boost=0.25),
+        k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    langs = dict(zip(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])["doc_id"].to_pylist(),
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])["lang"].to_pylist(),
+    ))
+    assert set(bq) == set(base)
+    saw_demoted = False
+    for d, s in bq.items():
+        if langs[d] == "de":
+            assert abs(s - base[d] * 0.25) < 1e-9
+            saw_demoted = True
+        else:
+            assert abs(s - base[d]) < 1e-9
+    assert saw_demoted
