@@ -347,8 +347,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    # ---- extended search surface ----
+    from elasticsearch_ray.search.query import DisMaxQuery, ExistsQuery, WildcardQuery
+
+    def search_wildcard_count(sf):
+        eng = _documents_index(sf)
+        res = eng.search(WildcardQuery("s*k"), k=10**9, mode="exhaustive", fetch=())
+        return pa.table({"n": pa.array([res.num_rows], pa.int64())})
+
+    def search_exists_count(sf):
+        eng = _documents_index(sf)
+        res = eng.search(ExistsQuery(), k=10**9, mode="exhaustive", fetch=())
+        return pa.table({"n": pa.array([res.num_rows], pa.int64())})
+
+    def search_sorted_page(sf):
+        eng = _documents_index(sf)
+        sort = [("n_chars", "desc"), ("doc_id", "asc")]
+        p1 = eng.search(TermQuery("spark"), k=5, sort=sort, fetch=("doc_id", "n_chars"))
+        cursor = (p1["n_chars"][-1].as_py(), p1["doc_id"][-1].as_py())
+        p2 = eng.search(TermQuery("spark"), k=5, sort=sort, search_after=cursor,
+                        fetch=("doc_id", "n_chars"))
+        df = p2.to_pandas()[["doc_id", "n_chars"]]
+        df["page_rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def search_collapse_lang(sf):
+        eng = _documents_index(sf)
+        res = eng.search(MatchQuery("spark join"), k=5, collapse="lang",
+                         fetch=("doc_id", "lang"))
+        df = res.to_pandas()[["rank", "doc_id", "lang", "score"]]
+        df["score"] = df["score"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def search_dismax(sf):
+        eng = _documents_index(sf)
+        q = DisMaxQuery(queries=(TermQuery("spark"), TermQuery("window")), tie_breaker=0.3)
+        res = eng.search(q, k=10, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["rank", "doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
+        eng = _documents_index(sf)
+        out = eng.suggest("spurk window merge", size=3)
+        rows = []
+        for tok, sugg in out.items():
+            for s in sugg:
+                rows.append({"input": tok, "suggestion": s["text"], "freq": s["freq"],
+                             "distance": s["distance"]})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"input": pa.array([], pa.string())})
+
+    # ---- extra aggs ----
+    def agg_rare_terms(sf):
+        from ray.data.aggregate import Count as _Count
+
+        def explode(batch):
+            rows_d, rows_t = [], []
+            for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                for t in set((text or "").split()):
+                    rows_d.append(did)
+                    rows_t.append(t)
+            return pa.table({"doc_id": pa.array(rows_d), "term": pa.array(rows_t)})
+
+        from elasticsearch_ray.ops.aggs import rare_terms_agg
+
+        tok = _ds(sf, "documents").map_batches(explode, batch_format="pyarrow")
+        out = rare_terms_agg(tok, "term", max_doc_count=150)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_significant_terms(sf):
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.aggs import significant_terms_agg
+
+        docs = _ds(sf, "documents")
+        fg = docs.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+        )
+        out = significant_terms_agg(fg, docs, "source")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_top_shingles(sf):
+        from elasticsearch_ray.ops.aggs import top_shingles
+
+        out = top_shingles(_ds(sf, "documents"), "text", n=2, size=20)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     return {
         "search_match_top10": search_match_top10,
+        "search_wildcard_count": search_wildcard_count,
+        "search_exists_count": search_exists_count,
+        "search_sorted_page": search_sorted_page,
+        "search_collapse_lang": search_collapse_lang,
+        "search_dismax": search_dismax,
+        "suggest_term": suggest_term,
+        "agg_rare_terms": agg_rare_terms,
+        "agg_significant_terms": agg_significant_terms,
+        "agg_top_shingles": agg_top_shingles,
         "search_match_and": search_match_and,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
@@ -437,9 +533,123 @@ LIMIT {k}
 """
 
 
+def _bm25_scores_cte(terms: list[str]) -> str:
+    """Reusable WITH-body computing per-(doc, term) BM25 contributions as
+    ``per_term(doc_id, term, s)`` over the documents view."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl_t AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM dl_t),
+dl_lossy AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll FROM dl_t),
+tf_t AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+),
+per_term AS (
+  SELECT tf_t.doc_id, tf_t.term,
+         ln(1 + (s.n_docs - df_t.df + 0.5)/(df_t.df + 0.5))
+           * ({BM25_K1} + 1) * tf_t.tf
+           / (tf_t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dll
+                                     / (s.sum_dl / s.n_docs))) AS s
+  FROM tf_t
+  JOIN df_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_wildcard_count": """
+            SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ) WHERE term LIKE 's%k'
+        """,
+        "search_exists_count": """
+            SELECT count(*)::BIGINT AS n FROM documents WHERE length(trim(text)) > 0
+        """,
+        "search_sorted_page": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS page_rank
+            FROM (
+              SELECT doc_id, n_chars FROM documents
+              WHERE (' ' || text || ' ') LIKE '% spark %'
+              ORDER BY n_chars DESC, doc_id
+              LIMIT 5 OFFSET 5
+            )
+        """,
+        "search_collapse_lang": f"""
+            WITH {_bm25_scores_cte(["spark", "join"])},
+            scores AS (
+              SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id
+            ),
+            ranked AS (
+              SELECT sc.doc_id, d.lang, sc.score,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY sc.score DESC, sc.doc_id) AS rn
+              FROM scores sc JOIN documents d USING (doc_id)
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, lang, round(score, 4) AS score
+            FROM ranked WHERE rn = 1
+            ORDER BY rank LIMIT 5
+        """,
+        "search_dismax": f"""
+            WITH {_bm25_scores_cte(["spark", "window"])},
+            pivoted AS (
+              SELECT doc_id,
+                     coalesce(max(CASE WHEN term = 'spark' THEN s END), 0) AS s1,
+                     coalesce(max(CASE WHEN term = 'window' THEN s END), 0) AS s2
+              FROM per_term GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM (
+              SELECT doc_id,
+                     greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)) AS score
+              FROM pivoted
+            )
+            ORDER BY rank LIMIT 10
+        """,
+        "agg_rare_terms": """
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ) GROUP BY term HAVING count(DISTINCT doc_id) <= 150
+            ORDER BY term
+        """,
+        "agg_significant_terms": """
+            WITH f AS (
+              SELECT source, count(*)::BIGINT AS fg_count FROM documents
+              WHERE lang = 'en' GROUP BY source
+            ),
+            b AS (SELECT source, count(*)::BIGINT AS bg_count FROM documents GROUP BY source),
+            tot AS (
+              SELECT (SELECT sum(fg_count) FROM f)::DOUBLE AS fg_total,
+                     (SELECT sum(bg_count) FROM b)::DOUBLE AS bg_total
+            )
+            SELECT f.source, f.fg_count, b.bg_count,
+                   round( (f.fg_count / t.fg_total - b.bg_count / t.bg_total)
+                          * ((f.fg_count / t.fg_total) / (b.bg_count / t.bg_total)), 9) AS score
+            FROM f JOIN b USING (source) CROSS JOIN tot t
+            WHERE f.fg_count > 0
+            ORDER BY score DESC, f.source
+        """,
+        "agg_top_shingles": """
+            SELECT shingle, count(*)::BIGINT AS doc_count FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS shingle
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+            ) GROUP BY shingle
+            ORDER BY doc_count DESC, shingle
+            LIMIT 20
+        """,
         "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),

@@ -98,12 +98,48 @@ class StopAnalyzer(StandardAnalyzer):
         super().__init__(stopwords=ENGLISH_STOP_WORDS)
 
 
+class EnglishAnalyzer(Analyzer):
+    """``english`` language analyzer (Lucene EnglishAnalyzer semantics):
+    standard tokenizer → english_possessive → lowercase → stop(_english_) →
+    porter stem; stopword removal keeps position gaps."""
+
+    name = "english"
+
+    def __call__(self, text: str) -> Analysis:
+        from elasticsearch_ray.analysis import filters as F
+        from elasticsearch_ray.analysis.tokenizer import tokenize
+
+        toks = tokenize(text)
+        terms, pos = toks, list(range(len(toks)))
+        terms, pos = F.english_possessive(terms, pos)
+        terms, pos = F.lowercase(terms, pos)
+        terms, pos = F.stop_filter(terms, pos, ENGLISH_STOP_WORDS)
+        terms, pos = F.porter(terms, pos)
+        return terms, pos
+
+
+class FingerprintAnalyzer(Analyzer):
+    """``fingerprint`` analyzer: lowercase, dedup, sort, join with space into
+    ONE token (CommonAnalysisPlugin fingerprint analyzer)."""
+
+    name = "fingerprint"
+
+    def __call__(self, text: str) -> Analysis:
+        from elasticsearch_ray.analysis.tokenizer import tokenize
+
+        toks = sorted(set(t.lower() for t in tokenize(text)))
+        joined = " ".join(toks)
+        return ([joined], [0]) if joined else ([], [])
+
+
 _REGISTRY: dict[str, Callable[[], Analyzer]] = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
     "stop": StopAnalyzer,
+    "english": EnglishAnalyzer,
+    "fingerprint": FingerprintAnalyzer,
 }
 
 

@@ -1,0 +1,110 @@
+"""Token filters — the ``CommonAnalysisPlugin.java:226-335`` registry subset
+that applies to our corpus surface. Each filter maps (terms, positions) →
+(terms, positions); n-gram producing filters emit same-position grams like
+Lucene (graph filters out of scope)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from elasticsearch_ray.analysis.porter import stem as porter_stem
+
+Analysis = tuple[list[str], list[int]]
+
+
+def lowercase(terms, pos) -> Analysis:
+    return [t.lower() for t in terms], pos
+
+
+def uppercase(terms, pos) -> Analysis:
+    return [t.upper() for t in terms], pos
+
+
+def asciifolding(terms, pos) -> Analysis:
+    """Fold diacritics to ASCII (ASCIIFoldingFilter: NFKD + drop combining)."""
+    out = []
+    for t in terms:
+        folded = unicodedata.normalize("NFKD", t).encode("ascii", "ignore").decode("ascii")
+        out.append(folded or t)
+    return out, pos
+
+
+def stop_filter(terms, pos, stopwords) -> Analysis:
+    """StopFilter — removes terms, keeps position gaps."""
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        if t not in stopwords:
+            o_t.append(t)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def porter(terms, pos) -> Analysis:
+    return [porter_stem(t) for t in terms], pos
+
+
+def english_possessive(terms, pos) -> Analysis:
+    """EnglishPossessiveFilter: strip trailing 's."""
+    return [t[:-2] if t.endswith("'s") else t for t in terms], pos
+
+
+def length_filter(terms, pos, min_len=0, max_len=1 << 30) -> Analysis:
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        if min_len <= len(t) <= max_len:
+            o_t.append(t)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def truncate(terms, pos, length=10) -> Analysis:
+    return [t[:length] for t in terms], pos
+
+
+def unique_filter(terms, pos) -> Analysis:
+    """RemoveDuplicatesTokenFilter-ish: first occurrence wins."""
+    seen = set()
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        if t not in seen:
+            seen.add(t)
+            o_t.append(t)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def reverse_filter(terms, pos) -> Analysis:
+    return [t[::-1] for t in terms], pos
+
+
+def ngram(terms, pos, min_gram=1, max_gram=2) -> Analysis:
+    """NGramTokenFilter: all [min,max]-grams of each token, token position."""
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        for n in range(min_gram, max_gram + 1):
+            for i in range(0, len(t) - n + 1):
+                o_t.append(t[i : i + n])
+                o_p.append(p)
+    return o_t, o_p
+
+
+def edge_ngram(terms, pos, min_gram=1, max_gram=2) -> Analysis:
+    """EdgeNGramTokenFilter: leading [min,max]-grams."""
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        for n in range(min_gram, min(max_gram, len(t)) + 1):
+            o_t.append(t[:n])
+            o_p.append(p)
+    return o_t, o_p
+
+
+def shingle(terms, pos, min_size=2, max_size=2, sep=" ") -> Analysis:
+    """ShingleFilter: word n-grams (unigrams NOT emitted here; output_unigrams
+    handled by callers that want them)."""
+    o_t, o_p = [], []
+    for n in range(min_size, max_size + 1):
+        for i in range(0, len(terms) - n + 1):
+            o_t.append(sep.join(terms[i : i + n]))
+            o_p.append(pos[i])
+    order = sorted(range(len(o_p)), key=lambda i: (o_p[i], o_t[i]))
+    return [o_t[i] for i in order], [o_p[i] for i in order]

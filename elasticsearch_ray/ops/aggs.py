@@ -213,6 +213,66 @@ def composite_agg(ds: Dataset, keys: list[str], after: tuple | None = None,
     return out.head(size).reset_index(drop=True)
 
 
+def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFrame:
+    """rare_terms bucket agg: buckets with doc_count <= max_doc_count
+    (RareTermsAggregationBuilder; ours is exact, the reference uses a CuckooFilter
+    approximation — documented semantic upgrade)."""
+    out = ds.groupby(key).aggregate(Count(alias_name="doc_count")).to_pandas()
+    out = out[out["doc_count"] <= max_doc_count]
+    return out.sort_values([key]).reset_index(drop=True)
+
+
+def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None) -> pd.DataFrame:
+    """significant_terms: foreground vs background JLH score
+    (significant/heuristics JLHScore.java: (fgPct - bgPct) * (fgPct / bgPct));
+    both sides reduce to small count tables before the driver-side score."""
+    f = fg.groupby(key).aggregate(Count(alias_name="fg_count")).to_pandas()
+    b = bg.groupby(key).aggregate(Count(alias_name="bg_count")).to_pandas()
+    fg_total = int(f["fg_count"].sum())
+    bg_total = int(b["bg_count"].sum())
+    m = f.merge(b, on=key, how="left").fillna({"bg_count": 0})
+    fg_pct = m["fg_count"] / max(fg_total, 1)
+    bg_pct = m["bg_count"].clip(lower=1) / max(bg_total, 1)
+    m["score"] = ((fg_pct - bg_pct) * (fg_pct / bg_pct)).round(9)
+    m = m[m["fg_count"] > 0]
+    m = m.sort_values(["score", key], ascending=[False, True]).reset_index(drop=True)
+    m["bg_count"] = m["bg_count"].astype("int64")
+    return m.head(size) if size else m
+
+
+def sampler_agg(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:
+    """random_sampler agg analog: seeded Bernoulli sample as a Dataset (keep
+    lazy — downstream aggs consume it)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+def top_shingles(ds: Dataset, text_col: str, n: int = 2, size: int = 20) -> pd.DataFrame:
+    """Top word-n-grams via the shingle filter: per-batch shingle + partial
+    counts → small groupby (significant_text-style surface over text)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            toks = (text or "").split()
+            c.update(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        return pa.table(
+            {"shingle": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .to_pandas()
+    )
+    out = out.sort_values(["doc_count", "shingle"], ascending=[False, True]).reset_index(drop=True)
+    return out.head(size)
+
+
 # ---- pipeline aggs (coordinator-side, small-table pandas) ----
 
 def cumulative_sum(bucket_df: pd.DataFrame, col: str, out_col: str = "cumulative") -> pd.DataFrame:

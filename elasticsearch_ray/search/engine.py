@@ -363,6 +363,14 @@ def _intersect(a: np.ndarray, b: np.ndarray, *score_arrays):
     return docs, tuple(out)
 
 
+def _true_distance(a: str, b: str, maxd: int) -> int:
+    """Smallest d <= maxd with edit_distance(a,b) <= d (for suggester ranking)."""
+    for d in range(maxd + 1):
+        if _edit_distance_le(a, b, d):
+            return d
+    return maxd + 1
+
+
 def _auto_fuzziness(term: str) -> int:
     """Fuzziness.AUTO: 0 for len<3, 1 for 3..5, 2 above (Fuzziness.java)."""
     n = len(term)
@@ -529,11 +537,28 @@ class QueryEngine:
         return scorers
 
     def search(self, q: Query | str, k: int = 10, mode: str = "bmw",
-               fetch: tuple = ("url", "doc_id")) -> pa.Table:
-        """Top-k search → Table(rank, score, part, local, + fetched columns),
-        merged (score desc, part asc, doc asc)."""
+               fetch: tuple = ("url", "doc_id"), sort: list | None = None,
+               search_after: tuple | None = None, collapse: str | None = None,
+               rescore: tuple | None = None, min_score: float | None = None) -> pa.Table:
+        """Top-k search → Table(rank, score, part, local, + fetched columns).
+
+        Default order: (score desc, part asc, doc asc) — the reference's
+        TopDocs.merge tie-break. Options (SURVEY §2.8):
+          sort: [(column|'_score', 'asc'|'desc'), ...] field sort
+                (FieldSortBuilder); implies per-part top-k on the sort key.
+          search_after: cursor of sort-key values (+ (part, local) tiebreak)
+                — strictly-after filtering (SearchAfterBuilder.java:40).
+          collapse: doc-column name — one best hit per distinct value
+                (SinglePassGroupingCollector analog).
+          rescore: (query, window_size, query_weight, rescore_weight) —
+                re-rank the top window with a second query (QueryRescorer).
+          min_score: drop hits below this score (QueryPhase min_score).
+        """
         if isinstance(q, str):
             q = MatchQuery(q)
+        if sort or collapse or rescore:
+            return self._search_extended(q, k, mode, fetch, sort, search_after, collapse,
+                                         rescore, min_score)
         scorers = self._scorers(q)
         if self._actors:
             import ray
@@ -542,6 +567,16 @@ class QueryEngine:
             results = [r for group in results for r in group]
         else:
             results = [(p, *self._searcher(p).topk(q, scorers, k, mode)) for p in self.parts]
+        if min_score is not None:
+            results = [(p, d[s >= min_score], s[s >= min_score]) for p, d, s in results]
+        if search_after is not None:
+            # cursor = (score, part, local): keep strictly-after hits
+            ca_s, ca_p, ca_l = search_after
+            filtered = []
+            for p, d, s in results:
+                keep = (s < ca_s) | ((s == ca_s) & ((p > ca_p) | ((p == ca_p) & (d > ca_l))))
+                filtered.append((p, d[keep], s[keep]))
+            results = filtered
         parts_l, docs_l, scores_l = [], [], []
         for p, d, s in results:
             parts_l.append(np.full(len(d), p, dtype=np.int64))
@@ -574,6 +609,192 @@ class QueryEngine:
             tbl = tbl.join(f, keys=["part", "local"], join_type="left outer")
             tbl = tbl.sort_by("rank")
         return tbl
+
+
+    def suggest(self, text: str, size: int = 5, suggest_mode: str = "missing",
+                max_edits: int = 2) -> dict[str, list[dict]]:
+        """Term suggester (search/suggest TermSuggester semantics): per input
+        token, candidate dictionary terms within ``max_edits`` Damerau-
+        Levenshtein edits, ranked by (fewer edits, higher df, term asc).
+        suggest_mode='missing' only suggests for tokens absent from the index.
+        """
+        an = get_analyzer(self.analyzer_name)
+        tokens = an(text)[0]
+        out: dict[str, list[dict]] = {}
+        # global df over the query tokens' candidates: scan each part's dict
+        for tok in tokens:
+            df_tok = self._global_stats([tok])[tok]
+            if suggest_mode == "missing" and df_tok > 0:
+                out[tok] = []
+                continue
+            cand: dict[str, int] = {}
+            for p in self.parts:
+                s = self._searcher(p)
+                terms_np = s._terms_np()
+                for i, t in enumerate(terms_np):
+                    if t != tok and abs(len(t) - len(tok)) <= max_edits and _edit_distance_le(
+                        tok, t, max_edits
+                    ):
+                        cand[t] = cand.get(t, 0) + int(s.r.df[i])
+            ranked = sorted(
+                cand.items(),
+                key=lambda kv: (_true_distance(tok, kv[0], max_edits), -kv[1], kv[0]),
+            )[:size]
+            out[tok] = [
+                {"text": t, "freq": df, "distance": _true_distance(tok, t, max_edits)}
+                for t, df in ranked
+            ]
+        return out
+
+    def _search_extended(self, q, k, mode, fetch, sort, search_after, collapse,
+                         rescore, min_score):
+        """Field-sort / collapse / rescore path (exhaustive per-part eval;
+        local backend)."""
+        scorers = self._scorers(q)
+        sort = sort or [("_score", "desc")]
+        rows = []  # (part, local, score, sort_key_tuple, collapse_val)
+        for p in self.parts:
+            s = self._searcher(p)
+            docs, scores = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
+            if min_score is not None:
+                keep = scores >= min_score
+                docs, scores = docs[keep], scores[keep]
+            if len(docs) == 0:
+                continue
+            keys = []
+            for col, direction in sort:
+                v = scores if col == "_score" else s._doc_col(col)[docs]
+                keys.append((v, direction == "desc"))
+            cvals = s._doc_col(collapse)[docs] if collapse else None
+            rows.append((p, docs, scores, keys, cvals))
+        if not rows:
+            return pa.table({"rank": pa.array([], pa.int64()), "score": pa.array([], pa.float64()),
+                             "part": pa.array([], pa.int64()), "local": pa.array([], pa.int64())})
+        parts_a = np.concatenate([np.full(len(d), p, np.int64) for p, d, *_ in rows])
+        docs_a = np.concatenate([d for _, d, *_ in rows])
+        scores_a = np.concatenate([np.asarray(s, np.float64) for _, _, s, _, _ in rows])
+        nk = len(sort)
+        key_cols = [np.concatenate([r[3][i][0] for r in rows]) for i in range(nk)]
+        descs = [sort[i][1] == "desc" for i in range(nk)]
+        coll_a = np.concatenate([r[4] for r in rows]) if collapse else None
+
+        def sort_order():
+            arrs = []
+            for kcol, desc in zip(reversed(key_cols), reversed(descs)):
+                a = kcol
+                if desc:
+                    if a.dtype.kind in "Mm":
+                        a = (a.astype("int64")) * -1
+                    elif a.dtype.kind in "if":
+                        a = -a.astype(np.float64)
+                    else:
+                        raise TypeError(f"cannot sort desc on dtype {a.dtype}")
+                arrs.append(a)
+            return np.lexsort((docs_a, parts_a, *arrs))
+
+        order = sort_order()
+        if search_after is not None:
+            # strictly-after lexicographic comparison on sort values
+            def after(idx):
+                for i, (kcol, desc) in enumerate(zip(key_cols, descs)):
+                    v, c = kcol[idx], search_after[i]
+                    if v != c:
+                        return (v < c) if desc else (v > c)
+                return False
+            order = np.asarray([i for i in order if after(i)], dtype=np.int64)
+        if collapse is not None:
+            seen = set()
+            kept = []
+            for i in order:
+                v = coll_a[i]
+                if v not in seen:
+                    seen.add(v)
+                    kept.append(i)
+                if len(kept) >= k and rescore is None:
+                    break
+            order = np.asarray(kept, dtype=np.int64)
+        if rescore is not None:
+            rq, window, qw, rw = rescore
+            window_idx = order[:window]
+            rscorers = self._scorers(rq)
+            rmap: dict[tuple, float] = {}
+            for p in np.unique(parts_a[window_idx]):
+                s = self._searcher(int(p))
+                rd, rs = s._eval_scoring(rq, rscorers, k=None, mode="exhaustive")
+                for d, sc in zip(rd.tolist(), np.asarray(rs, np.float64).tolist()):
+                    rmap[(int(p), d)] = sc
+            new_scores = scores_a.copy()
+            for i in window_idx:
+                base = scores_a[i] * qw
+                extra = rmap.get((int(parts_a[i]), int(docs_a[i])), None)
+                new_scores[i] = base + (extra * rw if extra is not None else 0.0)
+            sub = window_idx[np.lexsort((docs_a[window_idx], parts_a[window_idx],
+                                         -new_scores[window_idx]))]
+            order = np.concatenate([sub, order[window:]])
+            scores_a = new_scores
+        order = order[:k]
+        tbl = pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1)),
+                "score": pa.array(scores_a[order]),
+                "part": pa.array(parts_a[order]),
+                "local": pa.array(docs_a[order]),
+            }
+        )
+        return self._attach_fetch(tbl, parts_a[order], docs_a[order], fetch)
+
+    def _attach_fetch(self, tbl, parts_a, docs_a, fetch):
+        if not fetch or len(tbl) == 0:
+            return tbl
+        fetched = []
+        for p in np.unique(parts_a):
+            mask = parts_a == p
+            ft = self._searcher(int(p)).r.doc_fields(docs_a[mask], fetch)
+            ft = ft.append_column("part", pa.array(np.full(mask.sum(), p, np.int64)))
+            ft = ft.append_column("local", pa.array(docs_a[mask]))
+            fetched.append(ft)
+        f = pa.concat_tables(fetched)
+        return tbl.join(f, keys=["part", "local"], join_type="left outer").sort_by("rank")
+
+    def fetch_source(self, part: int, locals_: np.ndarray, columns=None) -> pa.Table:
+        """_source fetch via lineage: read the original input rows for hits
+        (FetchPhase analog — our _source is the input parquet row)."""
+        s = self._searcher(int(part))
+        man = s.r.manifest
+        paths = man["input_path"]
+        if isinstance(paths, str):
+            paths = [paths]
+        import pyarrow.parquet as pq
+
+        bases = []
+        acc = 0
+        tables = []
+        for pth in paths:
+            n = pq.read_metadata(pth).num_rows
+            bases.append(acc)
+            acc += n
+        locs = np.asarray(locals_, dtype=np.int64)
+        out = []
+        for li in locs:
+            fi = int(np.searchsorted(bases, li, side="right") - 1)
+            t = pq.read_table(paths[fi], columns=columns)
+            out.append(t.slice(int(li - bases[fi]), 1))
+        return pa.concat_tables(out)
+
+    def highlight(self, q: Query, part: int, local: int, text_column: str = "text",
+                  pre_tag: str = "<em>", post_tag: str = "</em>") -> str:
+        """Unified-highlighter-style: wrap query-term occurrences in the
+        source text (search/fetch/subphase/highlight analog)."""
+        terms = set(query_terms(q if not isinstance(q, str) else MatchQuery(q),
+                                self.analyzer_name))
+        src = self.fetch_source(part, [local], columns=[text_column])
+        text = src[text_column][0].as_py() or ""
+        from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+
+        def repl(m):
+            return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in terms else m.group(0)
+
+        return TOKEN_RE.sub(repl, text)
 
 
 class SearcherActor:

@@ -1,0 +1,102 @@
+"""SURVEY §2.8 options: field sort, search_after, collapse, rescore,
+min_score, source fetch, highlight."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.search.query import MatchQuery, TermQuery
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def web_engine(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    corpus = corpus_for_sf(SF_DIR, multiplier=1, num_files=3)
+    idx = str(tmp_path_factory.mktemp("webidx") / "index")
+    build_index(corpus, idx, IndexSpec(files_per_partition=1), concurrency=2)
+    return QueryEngine(idx, dtype="float64")
+
+
+def test_sort_by_field(web_engine):
+    t = web_engine.search(MatchQuery("spark"), k=15, sort=[("warc_ts", "desc")],
+                          fetch=("url", "warc_ts"))
+    ts = t["warc_ts"].to_pylist()
+    assert len(ts) == 15
+    assert ts == sorted(ts, reverse=True)
+    t2 = web_engine.search(MatchQuery("spark"), k=15, sort=[("warc_ts", "asc")],
+                           fetch=("warc_ts",))
+    assert t2["warc_ts"].to_pylist() == sorted(t2["warc_ts"].to_pylist())
+
+
+def test_search_after_pagination(web_engine):
+    q = MatchQuery("spark")
+    full = web_engine.search(q, k=20, sort=[("warc_ts", "desc")], fetch=("url", "warc_ts"))
+    page1 = web_engine.search(q, k=10, sort=[("warc_ts", "desc")], fetch=("url", "warc_ts"))
+    cursor = (page1["warc_ts"][-1].as_py(),)
+    page2 = web_engine.search(q, k=10, sort=[("warc_ts", "desc")], search_after=cursor,
+                              fetch=("url", "warc_ts"))
+    assert full["url"].to_pylist() == page1["url"].to_pylist() + page2["url"].to_pylist()
+
+
+def test_search_after_score_mode(web_engine):
+    q = MatchQuery("spark join")
+    full = web_engine.search(q, k=20, fetch=("url",))
+    page1 = web_engine.search(q, k=10, fetch=("url",))
+    r = page1.to_pylist()[-1]
+    page2 = web_engine.search(q, k=10, fetch=("url",),
+                              search_after=(r["score"], r["part"], r["local"]))
+    assert full["url"].to_pylist() == page1["url"].to_pylist() + page2["url"].to_pylist()
+
+
+def test_collapse_one_per_lang(web_engine):
+    t = web_engine.search(MatchQuery("spark"), k=10, collapse="lang", fetch=("url", "lang"))
+    langs = t["lang"].to_pylist()
+    assert len(langs) == len(set(langs))
+    # collapsed winner per lang = that lang's best-scoring hit
+    allhits = web_engine.search(MatchQuery("spark"), k=1000, fetch=("url", "lang"))
+    best = {}
+    for r in allhits.to_pylist():
+        best.setdefault(r["lang"], r["url"])
+    assert {r["lang"]: r["url"] for r in t.to_pylist()} == {
+        lg: best[lg] for lg in langs
+    }
+
+
+def test_rescore_window(web_engine):
+    base = web_engine.search(MatchQuery("spark"), k=10, fetch=("url",))
+    res = web_engine.search(MatchQuery("spark"), k=10, fetch=("url",),
+                            rescore=(TermQuery("join"), 10, 1.0, 2.0))
+    assert len(res) == 10
+    # rescored docs that also contain 'join' must not score lower than base
+    joiners = {r["url"] for r in web_engine.search(TermQuery("join"), k=1000, fetch=("url",)).to_pylist()}
+    base_scores = {r["url"]: r["score"] for r in base.to_pylist()}
+    for r in res.to_pylist():
+        if r["url"] in base_scores:
+            if r["url"] in joiners:
+                assert r["score"] > base_scores[r["url"]]
+            else:
+                assert abs(r["score"] - base_scores[r["url"]]) < 1e-9
+
+
+def test_min_score(web_engine):
+    allhits = web_engine.search(MatchQuery("spark join"), k=1000, fetch=())
+    cut = float(np.median([r["score"] for r in allhits.to_pylist()]))
+    t = web_engine.search(MatchQuery("spark join"), k=1000, min_score=cut, fetch=())
+    assert 0 < len(t) < len(allhits)
+    assert all(r["score"] >= cut for r in t.to_pylist())
+
+
+def test_fetch_source_and_highlight(web_engine):
+    t = web_engine.search(MatchQuery("spark"), k=1, fetch=("url",))
+    r = t.to_pylist()[0]
+    src = web_engine.fetch_source(r["part"], [r["local"]], columns=["url", "text"])
+    assert src["url"][0].as_py() == r["url"]
+    hl = web_engine.highlight(MatchQuery("spark"), r["part"], r["local"])
+    assert "<em>spark</em>" in hl
+    assert hl.replace("<em>", "").replace("</em>", "") == src["text"][0].as_py()
