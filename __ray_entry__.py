@@ -310,6 +310,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["k"] = out["k"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_embedding_pairs(sf):  # rows-only (IVF-bucketed cosine)
+        from elasticsearch_ray.ops.dedup import embedding_near_dups
+
+        out = embedding_near_dups(_ds(sf, "embeddings"), threshold=0.35, ncells=8)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def multimodal_embed(sf):  # rows-only (decode stubbed; Ray plumbing real)
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import media_pipeline, synthesize_media
+
+        n = max(64, _ds(sf, "documents").count() // 4)
+        ds = rd.from_arrow(synthesize_media(n, n_frames=2))
+        out = media_pipeline(ds, out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
+
+    def reindex_pipeline(sf):  # rows-only ETL (read → processors → sink)
+        from elasticsearch_ray.pipelines.reindex import reindex
+        from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+        import shutil
+
+        corpus = corpus_for_sf(sf, multiplier=1, num_files=4)
+        dst = f"/tmp/esray_reindex/{_sf_key(sf)}"
+        shutil.rmtree(dst, ignore_errors=True)  # deterministic fresh run
+        r = reindex(corpus, dst, processors=[{"uppercase": {"field": "lang"}}],
+                    file_pattern="pages-*.parquet", columns=["url", "lang"])
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
+
     # ---- flagship web corpus (rows-only: html not SQL-expressible) ----
     def web_match_top10(sf):
         eng = _webpages_index(sf)
@@ -464,6 +496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_table": dedup_simhash_table,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        "multimodal_embed": multimodal_embed,
+        "reindex_pipeline": reindex_pipeline,
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
         "text_quality_table": text_quality_table,

@@ -163,6 +163,68 @@ def minhash_near_dups(ds: Dataset, text_col: str, id_col: str, threshold: float 
     return out
 
 
+def embedding_near_dups(ds: Dataset, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.95, ncells: int = 16, sample_n: int = 2048,
+                        seed: int = 11) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs: IVF-bucket the vectors (k-means cells
+    from a driver-side sample), then exact pairwise cosine WITHIN each cell —
+    the all-pairs matmul never materializes; work is Σ cell²/2 instead of N²/2.
+    Boundary pairs straddling cells are missed like any single-probe IVF
+    (raise ncells probes / lower threshold margin at scale)."""
+    import numpy as np
+
+    from elasticsearch_ray.ops.ann import _batch_matrix, _kmeans, _normalize
+
+    import ray
+
+    sample, need = [], sample_n
+    for batch in ds.select_columns([vec_col]).iter_batches(batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        need -= len(batch)
+        if need <= 0:
+            break
+    cent = _normalize(_kmeans(np.concatenate(sample)[:sample_n], ncells, seed=seed))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_batch_matrix(batch, vec_col))
+        cells = (x @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cell": pa.array(cells),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[iu[0][mask]], ids[iu[1][mask]]),
+                "id_b": np.maximum(ids[iu[0][mask]], ids[iu[1][mask]]),
+                "cosine": np.round(sims[iu][mask], 6),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 class SimHashBatch:
     """64-bit SimHash per doc (Charikar): sign-sum of token hashes."""
 

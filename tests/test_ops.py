@@ -1,0 +1,224 @@
+"""ops/: aggregations vs duckdb, HLL accuracy, dedup, ANN recall, multimodal
+plumbing, processors, reindex resume."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rds(ray_session):
+    import ray.data as rd
+
+    return {
+        "documents": rd.read_parquet(f"{SF}/documents.parquet"),
+        "events": rd.read_parquet(f"{SF}/events.parquet"),
+        "embeddings": rd.read_parquet(f"{SF}/embeddings.parquet"),
+    }
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events", "embeddings", "lineitem", "orders"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_hll_accuracy(ray_session):
+    from elasticsearch_ray.ops.hll import HLL
+
+    for true_n in (100, 10_000, 200_000):
+        h = HLL(p=14)
+        h.add(np.arange(true_n))
+        est = h.cardinality()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+    # mergeability: union of halves == whole
+    a = HLL(p=12).add(np.arange(0, 50_000))
+    b = HLL(p=12).add(np.arange(25_000, 75_000))
+    merged = a.merge(b)
+    whole = HLL(p=12).add(np.arange(75_000))
+    assert merged.cardinality() == whole.cardinality()
+    # serialization roundtrip
+    assert HLL.from_bytes(whole.to_bytes()).cardinality() == whole.cardinality()
+
+
+def test_cardinality_hll_close_to_exact(rds):
+    from elasticsearch_ray.ops.aggs import cardinality_exact, cardinality_hll
+
+    exact = cardinality_exact(rds["events"], "event_type", "user_id")
+    approx = cardinality_hll(rds["events"], "event_type", "user_id")
+    m = exact.merge(approx, on="event_type", suffixes=("_e", "_a"))
+    assert np.all(
+        np.abs(m["cardinality_e"] - m["cardinality_a"]) / m["cardinality_e"].clip(lower=1) < 0.06
+    )
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import minhash_near_dups
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, 60)))
+    # plant near-dups: doc 40/41 = copies of 0/1 with 3 words changed
+    for src in (0, 1):
+        words = docs[src].split()
+        for _ in range(3):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+        docs.append(" ".join(words))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    out = minhash_near_dups(ds, "text", "doc_id", threshold=0.6)
+    found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 40) in found and (1, 41) in found
+    # no random pair should be near-dup at 0.6 jaccard
+    assert all(b >= 40 for a, b in found)
+
+
+def test_simhash_hamming_zero_for_identical(rds, ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import simhash_near_dups
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c d", "a b c d", "x y z w"]})
+    out = simhash_near_dups(rd.from_pandas(df), "text", "doc_id", max_hamming=0)
+    assert [(r["id_a"], r["id_b"]) for _, r in out.iterrows()] == [(0, 1)]
+
+
+def test_ivf_recall_vs_brute(rds):
+    from elasticsearch_ray.ops.ann import brute_topk, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    qids = t["vec_id"].to_numpy()[:5].tolist()
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()[:5]])
+    exact = brute_topk(rds["embeddings"], qids, qm, k=10)
+    approx = ivf_topk(rds["embeddings"], qids, qm, k=10, ncells=8, nprobe=4)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base[:3] + rng.normal(scale=1e-3, size=(3, 16)).astype(np.float32)])
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    out = embedding_near_dups(rd.from_pandas(df), threshold=0.999, ncells=2, sample_n=33)
+    found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert {(0, 30), (1, 31), (2, 32)} <= found
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.multimodal import (
+        DecodeStats,
+        EmbedStage,
+        FrameSampleStage,
+        ResizeStage,
+        decode_image_stub,
+        media_pipeline,
+        synthesize_media,
+    )
+
+    tbl = synthesize_media(20, n_frames=4)
+    ds = rd.from_arrow(tbl)
+    stats = ds.map_batches(DecodeStats, batch_format="pyarrow", batch_size=8,
+                           concurrency=2).to_pandas()
+    assert len(stats) == 20 and (stats["n_frames"] == 4).all()
+    assert stats["pix_mean"].between(100, 155).all()  # uniform [0,256)
+
+    resized = ds.map_batches(ResizeStage, fn_constructor_args=(8, 8),
+                             batch_format="pyarrow", batch_size=8, concurrency=2)
+    r0 = resized.take(1)[0]
+    arr = decode_image_stub(r0["payload"])
+    assert arr.shape == (4, 8, 8) and r0["width"] == 8 and r0["height"] == 8
+
+    emb = media_pipeline(ds, out_h=8, out_w=8, dim=16).to_pandas()
+    assert len(emb) == 20 and all(len(v) == 16 for v in emb["embedding"])
+    norms = [np.linalg.norm(v) for v in emb["embedding"]]
+    assert np.allclose(norms, 1.0, atol=1e-5)
+
+    sampled = ds.map_batches(FrameSampleStage, fn_constructor_args=(2,),
+                             batch_format="pyarrow", batch_size=8, concurrency=2).take(1)[0]
+    assert sampled["n_frames"] == 2
+
+    # the decode stub refuses foreign bytes like a real codec import would
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+def test_processors_pipeline(ray_session):
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    df = pd.DataFrame(
+        {
+            "msg": ["  Hello World  ", "FOO bar  "],
+            "kv": ["a=1;b=2", "a=3;b=4"],
+            "url": ["https://a.b.example.com/x?q=1", "https://example.co.uk/y"],
+            "size": ["1kb", "2mb"],
+            "j": ['{"k": 5}', '{"k": 6}'],
+        }
+    )
+    pipe = Pipeline(
+        [
+            {"trim": {"field": "msg"}},
+            {"lowercase": {"field": "msg"}},
+            {"gsub": {"field": "msg", "pattern": "o", "replacement": "0"}},
+            {"split": {"field": "msg", "separator": " "}},
+            {"join": {"field": "msg", "separator": "-"}},
+            {"kv": {"field": "kv", "field_split": ";", "value_split": "=", "target_field": "kvp"}},
+            {"uri_parts": {"field": "url"}},
+            {"registered_domain": {"field": "url.domain"}},
+            {"bytes": {"field": "size"}},
+            {"json": {"field": "j", "add_to_root": True}},
+            {"fingerprint": {"fields": ["msg"], "target_field": "fp"}},
+            {"rename": {"field": "msg", "target_field": "message"}},
+        ]
+    )
+    out = pipe(df.copy())
+    assert out["message"].tolist() == ["hell0-w0rld", "f00-bar"]
+    assert out["kvp"].iloc[0] == {"a": "1", "b": "2"}
+    assert out["url.domain"].iloc[0] == "a.b.example.com"
+    assert out["registered_domain"].tolist() == ["example.com", "example.co.uk"]
+    assert out["size"].tolist() == [1024, 2 * 1024**2]
+    assert out["k"].tolist() == [5, 6]
+    assert out["fp"].iloc[0] != out["fp"].iloc[1]
+    # drop processor filters rows
+    from elasticsearch_ray.ops.processors import Pipeline as P
+
+    dropped = P([{"drop": {"condition": lambda d: d["size"] == "1kb"}}])(df.copy())
+    assert len(dropped) == 1
+
+
+def test_reindex_resume(ray_session, tmp_path):
+    from elasticsearch_ray.pipelines.reindex import reindex
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    corpus = corpus_for_sf(SF, multiplier=1, num_files=3)
+    dst = str(tmp_path / "reindexed")
+    r1 = reindex(corpus, dst, processors=[{"uppercase": {"field": "lang"}}],
+                 file_pattern="pages-*.parquet", columns=["url", "lang"])
+    assert r1["shards"] == 3 and r1["skipped"] == 0 and r1["rows"] == 500
+    out = pq.read_table(os.path.join(dst, "part-00000.parquet"))
+    assert set(out["lang"].to_pylist()) <= {"EN", "DE", "FR", "ES", "ZH"}
+    r2 = reindex(corpus, dst, processors=[{"uppercase": {"field": "lang"}}],
+                 file_pattern="pages-*.parquet", columns=["url", "lang"])
+    assert r2["skipped"] == 3 and r2["rows"] == 0
