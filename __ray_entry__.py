@@ -82,10 +82,17 @@ def _docs_index_parts_ordered(sf_dir):
 
 
 def _search_table(eng, q, k=10, round_to=4) -> pa.Table:
-    res = eng.search(q, k=k, mode="bmw", fetch=("doc_id",))
-    df = res.to_pandas()[["rank", "doc_id", "score"]]
+    """Rank on ROUNDED scores with doc_id tiebreak, mirrored in the SQL
+    oracles: mathematically-tied scores otherwise get ordered by fp summation
+    noise, which is nondeterministic in DuckDB's parallel aggregation. Over-
+    fetch a margin so every doc tied at round_to digits with the kth score is
+    present before the rounded re-rank."""
+    res = eng.search(q, k=k + 50, mode="bmw", fetch=("doc_id",))
+    df = res.to_pandas()[["doc_id", "score"]]
     df["score"] = df["score"].round(round_to)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    df.insert(0, "rank", range(1, len(df) + 1))
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
 # ---------------------------------------------------------------- entry
@@ -404,20 +411,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def search_collapse_lang(sf):
+        # rounded re-rank (see _search_table) applied around the collapse
         eng = _documents_index(sf)
-        res = eng.search(MatchQuery("spark join"), k=5, collapse="lang",
+        res = eng.search(MatchQuery("spark join"), k=10**9, mode="exhaustive",
                          fetch=("doc_id", "lang"))
-        df = res.to_pandas()[["rank", "doc_id", "lang", "score"]]
+        df = res.to_pandas()[["doc_id", "lang", "score"]]
         df["score"] = df["score"].round(4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.drop_duplicates("lang", keep="first").head(5)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
     def search_dismax(sf):
         eng = _documents_index(sf)
         q = DisMaxQuery(queries=(TermQuery("spark"), TermQuery("window")), tie_breaker=0.3)
-        res = eng.search(q, k=10, mode="exhaustive", fetch=("doc_id",))
-        df = res.to_pandas()[["rank", "doc_id", "score"]]
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id", "score"]]
         df["score"] = df["score"].round(4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
@@ -560,7 +573,7 @@ scores AS (
   GROUP BY tf_t.doc_id
   HAVING count(DISTINCT tf_t.term) >= {need}
 )
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+SELECT CAST(row_number() OVER (ORDER BY round(score, {round_to}) DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, {round_to}) AS score
 FROM scores
 ORDER BY rank
@@ -627,13 +640,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id
             ),
             ranked AS (
-              SELECT sc.doc_id, d.lang, sc.score,
+              SELECT sc.doc_id, d.lang, round(sc.score, 4) AS score,
                      row_number() OVER (PARTITION BY d.lang
-                                        ORDER BY sc.score DESC, sc.doc_id) AS rn
+                                        ORDER BY round(sc.score, 4) DESC, sc.doc_id) AS rn
               FROM scores sc JOIN documents d USING (doc_id)
             )
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-                   doc_id, lang, round(score, 4) AS score
+                   doc_id, lang, score
             FROM ranked WHERE rn = 1
             ORDER BY rank LIMIT 5
         """,
@@ -646,10 +659,10 @@ def oracle_sql() -> dict[str, str]:
               FROM per_term GROUP BY doc_id
             )
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-                   doc_id, round(score, 4) AS score
+                   doc_id, score
             FROM (
               SELECT doc_id,
-                     greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)) AS score
+                     round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 4) AS score
               FROM pivoted
             )
             ORDER BY rank LIMIT 10
