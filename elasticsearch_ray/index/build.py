@@ -60,6 +60,7 @@ from elasticsearch_ray.analysis.html_strip import strip_html
 from elasticsearch_ray.index.norms import int_to_byte4
 from elasticsearch_ray.index.postings import encode_postings, reencode_canonical
 from elasticsearch_ray.index.segments import (
+    FORMAT_VERSION,
     atomic_write_bytes,
     atomic_write_json,
     atomic_write_table,
@@ -412,6 +413,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
         n_multi = 0
 
     manifest = {
+        "format": FORMAT_VERSION,
         "part": part,
         "input_path": [s["path"] for s in shards],
         "input_rows": int(sum(s["rows"] for s in shards)),

@@ -28,6 +28,7 @@ import ray
 
 from elasticsearch_ray.index.postings import decode_postings, encode_postings
 from elasticsearch_ray.index.segments import (
+    FORMAT_VERSION,
     atomic_write_bytes,
     atomic_write_json,
     atomic_write_table,
@@ -165,6 +166,7 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         )
     atomic_write_table(new_docs, os.path.join(pd0, "docs.parquet"))
     manifest = {
+        "format": FORMAT_VERSION,
         "part": new_part,
         "input_path": [m["input_path"] for m in manifests],
         "input_rows": sum(m["input_rows"] for m in manifests),

@@ -27,6 +27,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 PART_FMT = "part={:05d}"
+# Bump when the on-disk segment layout changes: resume logic treats
+# manifests with a different format as incomplete (stale caches rebuilt).
+FORMAT_VERSION = 2
 
 
 def part_dir(index_dir: str, part: int) -> str:
@@ -62,7 +65,10 @@ def read_manifest(index_dir: str, part: int) -> dict | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    if m.get("format") != FORMAT_VERSION:
+        return None  # stale layout → partition rebuilds
+    return m
 
 
 class SegmentReader:
@@ -113,6 +119,10 @@ class SegmentReader:
         return flat, lens
 
     def doc_fields(self, locals_: np.ndarray, columns=("url", "doc_id")) -> pa.Table:
-        """Fetch-phase lookup of doc metadata for winning local ids."""
-        t = pq.read_table(os.path.join(self.dir, "docs.parquet"), columns=list(columns))
+        """Fetch-phase lookup of doc metadata for winning local ids; columns
+        not stored in this index's docs table are silently skipped (doc_id is
+        always present)."""
+        avail = set(pq.read_schema(os.path.join(self.dir, "docs.parquet")).names)
+        cols = [c for c in columns if c in avail] or ["doc_id"]
+        t = pq.read_table(os.path.join(self.dir, "docs.parquet"), columns=cols)
         return t.take(pa.array(locals_))

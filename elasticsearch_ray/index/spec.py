@@ -10,6 +10,7 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class IndexSpec:
     analyzer: str = "standard"  # default analyzer (AnalysisRegistry.java:634-646)
+    similarity: str = "BM25"  # "BM25" | "boolean" (SimilarityService.java:43,58)
     k1: float = 1.2  # BM25 defaults (SimilarityProviders.java:254-261)
     b: float = 0.75
     store_positions: bool = True  # text fields index DOCS_AND_FREQS_AND_POSITIONS

@@ -100,3 +100,28 @@ class BM25Scorer:
         our analog of Lucene's per-block impact entries.
         """
         return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
+class BooleanScorer:
+    """``boolean`` similarity (SimilarityProviders.java:254-324 option;
+    Lucene BooleanSimilarity): every match scores the query boost, ignoring
+    tf/norms — the only non-BM25 similarity worth porting per SURVEY §2.6."""
+
+    def __init__(self, boost: float = 1.0, dtype: str = "float32"):
+        self.dtype = dtype
+        self.weight = np.float32(boost) if dtype == "float32" else float(boost)
+
+    def score(self, tfs, norm_bytes) -> np.ndarray:
+        dt = np.float32 if self.dtype == "float32" else np.float64
+        return np.full(np.shape(tfs), self.weight, dtype=dt)
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        dt = np.float32 if self.dtype == "float32" else np.float64
+        return np.asarray(self.weight, dtype=dt)
+
+
+def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
+                params: BM25Params, boost: float = 1.0, dtype: str = "float32"):
+    if similarity == "boolean":
+        return BooleanScorer(boost, dtype)
+    return BM25Scorer(df, doc_count, avgdl, params, boost, dtype)

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 from elasticsearch_ray.analysis.analyzers import get_analyzer
 from elasticsearch_ray.index.segments import SegmentReader, part_dir
-from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer
+from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer, make_scorer
 from elasticsearch_ray.search.query import (
     BoolQuery,
     BoostingQuery,
@@ -175,6 +175,9 @@ class PartitionSearcher:
                 op = q.operator
                 msm = _min_should_match(q.minimum_should_match, len(terms))
             if not terms:
+                if isinstance(q, MatchQuery) and q.zero_terms_query == "all":
+                    docs = np.arange(r.n_docs, dtype=np.int64)
+                    return docs, np.full(r.n_docs, 1.0, dtype=dtype)
                 return np.empty(0, np.int64), np.empty(0, dtype)
             cursors = [c for t in terms if (c := self._cursor(t, scorers)) is not None]
             if op == "and":
@@ -432,6 +435,7 @@ class QueryEngine:
             self.meta = json.load(f)
         self.spec = self.meta["spec"]
         self.params = BM25Params(k1=self.spec["k1"], b=self.spec["b"])
+        self.similarity = self.spec.get("similarity", "BM25")
         self.dtype = dtype
         self.analyzer_name = self.spec["analyzer"]
         self.parts = [p["part"] for p in self.meta["parts"]]
@@ -504,7 +508,8 @@ class QueryEngine:
         terms = query_terms(q, self.analyzer_name)
         df = self._global_stats(terms)
         scorers = {
-            t: BM25Scorer(df[t], self.n_docs, self.avgdl, self.params, dtype=self.dtype)
+            t: make_scorer(self.similarity, df[t], self.n_docs, self.avgdl, self.params,
+                           dtype=self.dtype)
             for t in terms
         }
         # phrase scorers: Lucene PhraseQuery uses the SUM of member idfs

@@ -37,6 +37,7 @@ class MatchQuery(Query):
     operator: str = "or"
     minimum_should_match: int | str | None = None
     analyzer: str | None = None
+    zero_terms_query: str = "none"  # "none" | "all" (MatchQueryParser zeroTermsQuery)
     boost: float = 1.0
 
 
