@@ -22,10 +22,9 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 
 def add_content_hash(ds: Dataset, cols: list[str], out_col: str = "content_hash") -> Dataset:

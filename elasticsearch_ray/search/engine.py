@@ -518,8 +518,6 @@ class QueryEngine:
                 an = get_analyzer(qq.analyzer or self.analyzer_name)
                 pterms = an(qq.text)[0]
                 sc = BM25Scorer(1, self.n_docs, self.avgdl, self.params, dtype=self.dtype)
-                import math
-
                 from elasticsearch_ray.search.bm25 import idf as idf_fn
 
                 if self.dtype == "float32":
