@@ -332,6 +332,63 @@ class DissectProcessor(Processor):
         return df
 
 
+@register("grok")
+class GrokProcessor(Processor):
+    """Simplified grok (GrokProcessor): %{PATTERN:field} syntax over a
+    built-in pattern dictionary subset (the reference ships the full grok
+    pattern bank + a watchdog; our corpus surface needs the common ones)."""
+
+    _patterns = {
+        "WORD": r"\w+",
+        "NOTSPACE": r"\S+",
+        "DATA": r".*?",
+        "GREEDYDATA": r".*",
+        "NUMBER": r"(?:[+-]?(?:[0-9]*\.)?[0-9]+)",
+        "INT": r"[+-]?[0-9]+",
+        "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+        "LOGLEVEL": r"(?:DEBUG|INFO|WARN|WARNING|ERROR|FATAL|TRACE)",
+        "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    }
+
+    def __init__(self, field, pattern):
+        self.field = field
+
+        def sub(m):
+            pat, name = m.group(1), m.group(2)
+            return f"(?P<{name}>{self._patterns[pat]})"
+
+        self.re = re.compile(re.sub(r"%\{(\w+):(\w+)\}", sub, pattern))
+
+    def __call__(self, df):
+        extracted = df[self.field].str.extract(self.re)
+        for c in extracted.columns:
+            df[c] = extracted[c]
+        return df
+
+
+@register("foreach")
+class ForeachProcessor(Processor):
+    """Apply a sub-processor over each element of a list field
+    (ForeachProcessor; the element is exposed as a scalar to the sub-op)."""
+
+    def __init__(self, field, processor):
+        (name, kwargs), = processor.items()
+        kwargs = dict(kwargs)
+        kwargs["field"] = "_ingest_item"
+        self.field = field
+        self.sub = _REGISTRY[name](**kwargs)
+
+    def __call__(self, df):
+        def apply(lst):
+            if lst is None:
+                return lst
+            tmp = pd.DataFrame({"_ingest_item": list(lst)})
+            return self.sub(tmp)["_ingest_item"].tolist()
+
+        df[self.field] = df[self.field].map(apply)
+        return df
+
+
 @register("script")
 class ScriptProcessor(Processor):
     """UDF hook — the Painless-script analog is a python callable df→df."""

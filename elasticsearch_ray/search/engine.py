@@ -614,6 +614,26 @@ class QueryEngine:
         return tbl
 
 
+    def scan(self, q: Query | str, batch_size: int = 1000, fetch: tuple = ("doc_id",)):
+        """Scroll analog (search/Scroll.java semantics): iterate ALL hits in
+        (part, doc) order as pyarrow tables — server-held-cursor pagination
+        becomes a generator over immutable segments (point-in-time for free)."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        scorers = self._scorers(q)
+        for p in self.parts:
+            s = self._searcher(p)
+            docs, scores = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
+            for lo in range(0, len(docs), batch_size):
+                sl = docs[lo : lo + batch_size]
+                tbl = s.r.doc_fields(sl, fetch) if fetch else pa.table({})
+                tbl = tbl.append_column("part", pa.array(np.full(len(sl), p, np.int64)))
+                tbl = tbl.append_column("local", pa.array(sl))
+                tbl = tbl.append_column(
+                    "score", pa.array(np.asarray(scores[lo : lo + batch_size], np.float64))
+                )
+                yield tbl
+
     def suggest(self, text: str, size: int = 5, suggest_mode: str = "missing",
                 max_edits: int = 2) -> dict[str, list[dict]]:
         """Term suggester (search/suggest TermSuggester semantics): per input

@@ -23,7 +23,7 @@ import numpy as np
 
 from elasticsearch_ray.index.postings import (
     _payload_offsets,
-    decode_block,
+    decode_blocks_range,
     decode_postings,
     read_headers,
 )
@@ -67,24 +67,19 @@ def topk_select(docs: np.ndarray, scores: np.ndarray, k: int):
 class TermCursor:
     """One query term's postings inside one partition."""
 
-    __slots__ = ("blob", "headers", "offsets", "scorer", "_cache")
+    __slots__ = ("blob", "headers", "offsets", "scorer")
 
     def __init__(self, blob, scorer):
         self.blob = blob
         self.headers = read_headers(blob)
         self.offsets = _payload_offsets(self.headers) if len(self.headers) else None
         self.scorer = scorer
-        self._cache: dict[int, tuple] = {}
 
     def decode_all(self):
         return decode_postings(self.blob)
 
-    def block(self, bi: int):
-        got = self._cache.get(bi)
-        if got is None:
-            got = decode_block(self.blob, self.headers, self.offsets, bi)
-            self._cache[bi] = got
-        return got
+    def block_range(self, b0: int, b1: int):
+        return decode_blocks_range(self.blob, self.headers, self.offsets, b0, b1)
 
     def block_max_scores(self) -> np.ndarray:
         h = self.headers
@@ -93,19 +88,34 @@ class TermCursor:
         )
 
 
+def accumulate_dense(d_arrays, s_arrays, base: int, length: int, dtype=np.float32,
+                     min_match: int = 1):
+    """Dense union-sum over a doc range [base, base+length): per-term bincount
+    into float64 accumulators (O(length + postings), no sort). Per-doc addend
+    order is term order — identical to the sorted-reduceat path, so results
+    are bit-equal between the dense and sparse combiners."""
+    acc = np.zeros(length, dtype=np.float64)
+    cnt = np.zeros(length, dtype=np.int64)
+    for d, s in zip(d_arrays, s_arrays):
+        rel = d - base
+        acc += np.bincount(rel, weights=np.asarray(s, np.float64), minlength=length)
+        cnt += np.bincount(rel, minlength=length)
+    rel_docs = np.flatnonzero(cnt >= max(min_match, 1))
+    return rel_docs + base, acc[rel_docs].astype(dtype)
+
+
 def exhaustive_disjunction(cursors, norms, dtype=np.float32, min_match: int = 1):
     """Decode everything, score, union-sum; returns (docs, scores) filtered by
-    the number of matching clauses >= min_match."""
+    the number of matching clauses >= min_match. Dense accumulation over the
+    partition's doc space (partition sizing bounds it)."""
     d_arrays, s_arrays = [], []
     for c in cursors:
         d, t = c.decode_all()
         d_arrays.append(d)
         s_arrays.append(c.scorer.score(t, norms[d]))
-    docs, scores, counts = combine_sum(d_arrays, s_arrays, dtype)
-    if min_match > 1:
-        keep = counts >= min_match
-        docs, scores = docs[keep], scores[keep]
-    return docs, scores
+    if not d_arrays:
+        return np.empty(0, np.int64), np.empty(0, dtype)
+    return accumulate_dense(d_arrays, s_arrays, 0, len(norms), dtype, min_match)
 
 
 def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int = 4096,
@@ -145,21 +155,20 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
                 continue
             # candidate blocks: sorted disjoint ranges intersecting the window
             b0 = int(np.searchsorted(h["last_doc"], wstart, side="left"))
-            bi = b0
-            while bi < len(h) and int(h["first_doc"][bi]) < wend:
-                d, t = c.block(bi)
-                m = (d >= wstart) & (d < wend)
-                if m.any():
-                    dm = d[m]
-                    d_arrays.append(dm)
-                    s_arrays.append(c.scorer.score(t[m], norms[dm]))
-                bi += 1
+            b1 = int(np.searchsorted(h["first_doc"], wend, side="left"))
+            if b1 <= b0:
+                continue
+            d, t = c.block_range(b0, b1)  # bulk vectorized decode
+            m = (d >= wstart) & (d < wend)
+            if m.any():
+                dm = d[m]
+                d_arrays.append(dm)
+                s_arrays.append(c.scorer.score(t[m], norms[dm]))
         if not d_arrays:
             continue
-        docs, scores, counts = combine_sum(d_arrays, s_arrays, dtype)
-        if min_match > 1:
-            keep = counts >= min_match
-            docs, scores = docs[keep], scores[keep]
+        docs, scores = accumulate_dense(
+            d_arrays, s_arrays, wstart, min(window, n_docs - wstart), dtype, min_match
+        )
         if len(docs) == 0:
             continue
         all_d = np.concatenate([top_docs, docs])

@@ -222,3 +222,29 @@ def test_reindex_resume(ray_session, tmp_path):
     r2 = reindex(corpus, dst, processors=[{"uppercase": {"field": "lang"}}],
                  file_pattern="pages-*.parquet", columns=["url", "lang"])
     assert r2["skipped"] == 3 and r2["rows"] == 0
+
+
+def test_grok_and_foreach(ray_session):
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    df = pd.DataFrame(
+        {
+            "log": [
+                "2024-01-02T03:04:05Z ERROR 10.0.0.7 disk full",
+                "2024-06-07 11:12:13 INFO 192.168.1.1 started",
+            ],
+            "tags": [["Alpha", "Beta"], ["Gamma"]],
+        }
+    )
+    pipe = Pipeline(
+        [
+            {"grok": {"field": "log",
+                      "pattern": "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{IP:ip} %{GREEDYDATA:msg}"}},
+            {"foreach": {"field": "tags", "processor": {"lowercase": {}}}},
+        ]
+    )
+    out = pipe(df.copy())
+    assert out["level"].tolist() == ["ERROR", "INFO"]
+    assert out["ip"].tolist() == ["10.0.0.7", "192.168.1.1"]
+    assert out["msg"].tolist() == ["disk full", "started"]
+    assert out["tags"].tolist() == [["alpha", "beta"], ["gamma"]]

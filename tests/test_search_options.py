@@ -100,3 +100,14 @@ def test_fetch_source_and_highlight(web_engine):
     hl = web_engine.highlight(MatchQuery("spark"), r["part"], r["local"])
     assert "<em>spark</em>" in hl
     assert hl.replace("<em>", "").replace("</em>", "") == src["text"][0].as_py()
+
+
+def test_scan_iterates_all_hits(web_engine):
+    total = web_engine.search(MatchQuery("spark"), k=10**9, mode="exhaustive", fetch=())
+    seen = 0
+    import pyarrow as pa
+
+    for tbl in web_engine.scan(MatchQuery("spark"), batch_size=37, fetch=("url",)):
+        assert isinstance(tbl, pa.Table) and tbl.num_rows <= 37
+        seen += tbl.num_rows
+    assert seen == total.num_rows
