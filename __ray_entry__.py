@@ -432,6 +432,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df.insert(0, "rank", range(1, len(df) + 1))
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
+    def search_sqs(sf):
+        from elasticsearch_ray.search.query import parse_simple_query_string
+
+        eng = _documents_index(sf)
+        q = parse_simple_query_string("+spark -window merge")
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
         out = eng.suggest("spurk window merge", size=3)
@@ -486,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_page": search_sorted_page,
         "search_collapse_lang": search_collapse_lang,
         "search_dismax": search_dismax,
+        "search_sqs": search_sqs,
         "suggest_term": suggest_term,
         "agg_rare_terms": agg_rare_terms,
         "agg_significant_terms": agg_significant_terms,
@@ -666,6 +679,26 @@ def oracle_sql() -> dict[str, str]:
               FROM pivoted
             )
             ORDER BY rank LIMIT 10
+        """,
+        "search_sqs": f"""
+            WITH {_bm25_scores_cte(["spark", "merge", "window"])},
+            has AS (
+              SELECT doc_id,
+                     max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS has_window,
+                     max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS has_spark
+              FROM tok WHERE term IN ('spark', 'window') GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     sum(CASE WHEN p.term IN ('spark', 'merge') THEN p.s ELSE 0 END) AS score
+              FROM per_term p
+              JOIN has h ON p.doc_id = h.doc_id
+              WHERE h.has_spark = 1 AND h.has_window = 0
+              GROUP BY p.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM scored ORDER BY rank LIMIT 10
         """,
         "agg_rare_terms": """
             SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count FROM (

@@ -103,7 +103,7 @@ class PartitionSearcher:
             self._doc_cols[name] = col
         return col
 
-    def _eval_filter(self, q: Query) -> np.ndarray:
+    def _eval_filter(self, q: Query, scorers=None) -> np.ndarray:
         """Non-scoring clause → sorted doc array."""
         if isinstance(q, RangeFilter):
             col = self._doc_col(q.column)
@@ -121,7 +121,8 @@ class PartitionSearcher:
             col = self._doc_col(q.column)
             return np.flatnonzero(col == q.value).astype(np.int64)
         # any scoring query used as filter: matching docs, scores ignored
-        docs, _ = self._eval_scoring(q, {}, k=None, mode="exhaustive", scorers_required=False)
+        docs, _ = self._eval_scoring(q, scorers or {}, k=None, mode="exhaustive",
+                                     scorers_required=False)
         return docs
 
     def _phrase_docs(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -217,7 +218,7 @@ class PartitionSearcher:
             docs = np.flatnonzero(np.isin(gids, np.asarray(list(q.ids)))).astype(np.int64)
             return docs, np.full(len(docs), q.boost, dtype=dtype)
         if isinstance(q, ConstantScoreQuery):
-            docs = self._eval_filter(q.filter)
+            docs = self._eval_filter(q.filter, scorers)
             return docs, np.full(len(docs), q.boost, dtype=dtype)
         if isinstance(q, DisMaxQuery):
             per = [self._eval_scoring(c, scorers, None, "exhaustive") for c in q.queries]
@@ -307,7 +308,7 @@ class PartitionSearcher:
                 base_docs, (base_scores, s2) = _intersect(base_docs, d, base_scores, s)
                 base_scores = base_scores + s2
         for clause in q.filter:
-            d = self._eval_filter(clause)
+            d = self._eval_filter(clause, scorers)
             if base_docs is None:
                 base_docs, base_scores = d, np.zeros(len(d), dtype=np.float64)
             else:
@@ -339,7 +340,7 @@ class PartitionSearcher:
             base_docs = np.arange(self.r.n_docs, dtype=np.int64)
             base_scores = np.zeros(len(base_docs), dtype=np.float64)
         for clause in q.must_not:
-            d = self._eval_filter(clause)
+            d = self._eval_filter(clause, scorers)
             keep = ~np.isin(base_docs, d, assume_unique=True)
             base_docs, base_scores = base_docs[keep], base_scores[keep]
         return base_docs, (base_scores * q.boost).astype(dtype)

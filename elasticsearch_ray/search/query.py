@@ -172,6 +172,46 @@ class BoolQuery(Query):
     boost: float = 1.0
 
 
+def parse_simple_query_string(text: str, default_operator: str = "or") -> Query:
+    """``simple_query_string`` syntax subset (SimpleQueryStringBuilder /
+    Lucene SimpleQueryParser; single text field):
+
+        +foo     required clause (MUST)
+        -foo     prohibited clause (MUST_NOT)
+        "a b"    phrase
+        foo*     prefix
+        foo      optional clause (SHOULD; MUST when default_operator='and')
+
+    Never raises on malformed input (the simple parser's contract)."""
+    import re as _re
+
+    toks = _re.findall(r'[+-]?"[^"]*"|\S+', text)
+    must, should, must_not = [], [], []
+    for tok in toks:
+        bucket = should
+        if tok.startswith("+"):
+            bucket = must
+            tok = tok[1:]
+        elif tok.startswith("-"):
+            bucket = must_not
+            tok = tok[1:]
+        if not tok:
+            continue
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            inner = tok[1:-1]
+            if inner.strip():
+                bucket.append(MatchPhraseQuery(inner))
+            continue
+        if tok.endswith("*") and len(tok) > 1 and "*" not in tok[:-1]:
+            bucket.append(PrefixQuery(tok[:-1].lower()))
+            continue
+        bucket.append(MatchQuery(tok))
+    if default_operator == "and":
+        must.extend(should)
+        should = []
+    return BoolQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+
 def query_terms(q: Query, default_analyzer: str) -> list[str]:
     """All analyzed terms a query needs postings for (the DFS-phase term set,
     search/dfs/DfsPhase.java:29-75)."""

@@ -125,3 +125,30 @@ def test_boosting(docs_engine):
         else:
             assert abs(s - base[d]) < 1e-9
     assert saw_demoted
+
+
+def test_simple_query_string(docs_engine):
+    from elasticsearch_ray.search.query import (
+        BoolQuery,
+        MatchPhraseQuery,
+        MatchQuery,
+        PrefixQuery,
+        parse_simple_query_string,
+    )
+
+    q = parse_simple_query_string('+spark -window "join merge" ta*')
+    assert isinstance(q, BoolQuery)
+    assert q.must == (MatchQuery("spark"),)
+    assert q.must_not == (MatchQuery("window"),)
+    assert q.should == (MatchPhraseQuery("join merge"), PrefixQuery("ta"))
+
+    eng, docs = docs_engine
+    hits = _hits(eng, q)
+    for d in hits:
+        assert "spark" in docs[d] and "window" not in docs[d]
+    # default_operator=and folds optional clauses into must
+    q2 = parse_simple_query_string("spark merge", default_operator="and")
+    want = {d for d, t in docs.items() if "spark" in t and "merge" in t}
+    assert _hits(eng, q2) == want
+    # malformed input does not raise
+    parse_simple_query_string('+"unclosed -')
