@@ -213,6 +213,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cumulative"] = out["cumulative"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_extended_stats(sf):
+        from elasticsearch_ray.ops.aggs import extended_stats_agg
+
+        out = extended_stats_agg(_ds(sf, "lineitem"), "l_linestatus", "l_extendedprice")
+        # sum_of_squares (~2e14) carries fp-summation-order noise beyond any
+        # fixed rounding; compare the numerically stable derived stats
+        out = out[["l_linestatus", "count", "sum", "avg", "std_deviation"]].copy()
+        out["sum"] = out["sum"].round(1)
+        out["avg"] = out["avg"].round(4)
+        out["std_deviation"] = out["std_deviation"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_weighted_avg(sf):
+        from elasticsearch_ray.ops.aggs import weighted_avg_agg
+
+        out = weighted_avg_agg(_ds(sf, "lineitem"), "l_returnflag", "l_extendedprice",
+                               "l_quantity")
+        out["weighted_avg"] = out["weighted_avg"].round(2)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_histogram_prices(sf):
+        from elasticsearch_ray.ops.aggs import histogram_agg
+
+        out = histogram_agg(_ds(sf, "orders"), "o_totalprice", 2000.0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_filters_events(sf):
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.aggs import filters_agg
+
+        out = filters_agg(
+            _ds(sf, "events"),
+            {
+                "high_value": lambda t: pc.greater(t["value"], 50.0),
+                "click_type": lambda t: pc.equal(t["event_type"], "click"),
+            },
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -518,6 +558,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_top_hits_lang": agg_top_hits_lang,
         "agg_composite_page": agg_composite_page,
         "agg_cumulative_events": agg_cumulative_events,
+        "agg_extended_stats": agg_extended_stats,
+        "agg_weighted_avg": agg_weighted_avg,
+        "agg_histogram_prices": agg_histogram_prices,
+        "agg_filters_events": agg_filters_events,
         "agg_cardinality_hll": agg_cardinality_hll,
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -770,6 +814,33 @@ def oracle_sql() -> dict[str, str]:
                 ELSE '5000.0-*'
               END AS range_key FROM orders
             ) GROUP BY range_key ORDER BY range_key
+        """,
+        "agg_extended_stats": """
+            SELECT l_linestatus,
+                   count(*)::BIGINT AS count,
+                   round(sum(l_extendedprice), 1) AS sum,
+                   round(avg(l_extendedprice), 4) AS avg,
+                   round(sqrt(sum(l_extendedprice * l_extendedprice) / count(*)
+                         - avg(l_extendedprice) * avg(l_extendedprice)), 4) AS std_deviation
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "agg_weighted_avg": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS weighted_avg
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "agg_histogram_prices": """
+            SELECT floor(o_totalprice / 2000.0) * 2000.0 AS bucket,
+                   count(*)::BIGINT AS doc_count
+            FROM orders GROUP BY bucket ORDER BY bucket
+        """,
+        "agg_filters_events": """
+            SELECT 'click_type' AS filter_key,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT AS doc_count
+            FROM events
+            UNION ALL
+            SELECT 'high_value', count(*) FILTER (WHERE value > 50.0)::BIGINT FROM events
+            ORDER BY filter_key
         """,
         "agg_cardinality_exact": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS cardinality

@@ -213,6 +213,102 @@ def composite_agg(ds: Dataset, keys: list[str], after: tuple | None = None,
     return out.head(size).reset_index(drop=True)
 
 
+def extended_stats_agg(ds: Dataset, key: str | list[str], value_col: str) -> pd.DataFrame:
+    """extended_stats: stats + sum_of_squares, variance (population, like the
+    reference's ExtendedStatsAggregator) and std_deviation. Built from
+    mergeable partials (count, sum, sum2) only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = batch.select([key] if isinstance(key, str) else list(key)).to_pandas()
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df["_c"] = 1
+        df["_s"] = v
+        df["_s2"] = v * v
+        g = df.groupby(key if isinstance(key, str) else list(key), as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("_c", alias_name="count"),
+            Sum("_s", alias_name="sum"),
+            Sum("_s2", alias_name="sum_of_squares"),
+        )
+        .to_pandas()
+    )
+    p = partials
+    p["avg"] = p["sum"] / p["count"]
+    p["variance"] = p["sum_of_squares"] / p["count"] - p["avg"] ** 2
+    p["std_deviation"] = np.sqrt(p["variance"].clip(lower=0))
+    keys = [key] if isinstance(key, str) else list(key)
+    return p.sort_values(keys).reset_index(drop=True)
+
+
+def weighted_avg_agg(ds: Dataset, key: str, value_col: str, weight_col: str) -> pd.DataFrame:
+    """weighted_avg metric agg: Σ(v·w)/Σw per bucket via partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key]).to_pandas()
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df["_vw"] = v * w
+        df["_w"] = w
+        return pa.Table.from_pandas(df.groupby(key, as_index=False).sum(), preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("_vw", alias_name="vw"), Sum("_w", alias_name="w"))
+        .to_pandas()
+    )
+    out["weighted_avg"] = out["vw"] / out["w"]
+    return out[[key, "weighted_avg"]].sort_values(key).reset_index(drop=True)
+
+
+def histogram_agg(ds: Dataset, col: str, interval: float) -> pd.DataFrame:
+    """histogram bucket agg: floor(value/interval)*interval keys
+    (HistogramAggregator semantics, empty buckets omitted)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / interval) * interval
+        return pa.table({"bucket": pa.array(b)})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def filters_agg(ds: Dataset, filters: dict) -> pd.DataFrame:
+    """filters bucket agg: named vectorized predicates → doc counts
+    (FiltersAggregator; predicates are pyarrow-compute callables table→mask)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rows = []
+        for name, pred in filters.items():
+            mask = pred(batch)
+            rows.append({"filter_key": name,
+                         "n": int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)})
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("filter_key")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("filter_key").reset_index(drop=True)
+
+
 def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFrame:
     """rare_terms bucket agg: buckets with doc_count <= max_doc_count
     (RareTermsAggregationBuilder; ours is exact, the reference uses a CuckooFilter
