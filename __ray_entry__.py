@@ -389,6 +389,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     file_pattern="pages-*.parquet", columns=["url", "lang"])
         return pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
 
+    def training_pipeline(sf):  # rows-only composed pipeline
+        from elasticsearch_ray.pipelines.training_data import training_data_pipeline
+        from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+        corpus = corpus_for_sf(sf, multiplier=1, num_files=4)
+        out = training_data_pipeline(corpus, f"/tmp/esray_td/{_sf_key(sf)}")
+        return pa.table(
+            {
+                "input_pages": pa.array([out["input_pages"]], pa.int64()),
+                "after_quality": pa.array([out["after_quality"]], pa.int64()),
+                "after_dedup": pa.array([out["after_dedup"]], pa.int64()),
+            }
+        )
+
     # ---- flagship web corpus (rows-only: html not SQL-expressible) ----
     def web_match_top10(sf):
         eng = _webpages_index(sf)
@@ -569,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
         "reindex_pipeline": reindex_pipeline,
+        "training_pipeline": training_pipeline,
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
         "text_quality_table": text_quality_table,

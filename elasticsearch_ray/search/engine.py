@@ -125,33 +125,87 @@ class PartitionSearcher:
                                      scorers_required=False)
         return docs
 
-    def _phrase_docs(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """Exact phrase (slop=0): docs where terms appear at consecutive
-        positions; returns (docs, phrase_freqs).
+    def _phrase_docs(self, terms: list[str], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase matching; returns (docs, phrase_freqs).
 
-        Fully vectorized: each term's (doc, position) pairs become int64 keys
-        (doc << 32 | (pos - term_offset)); consecutive-position matches are
-        the intersection of the key sets across terms (sorted-unique arrays →
-        np.intersect1d), and phrase freq = surviving keys per doc."""
+        slop=0 (exact) is fully vectorized: each term's (doc, position) pairs
+        become int64 keys (doc << 32 | (pos - term_offset)); consecutive-
+        position matches are the intersection of the key sets across terms
+        (sorted-unique arrays → np.intersect1d); freq = surviving keys/doc.
+
+        slop>0 uses the window interpretation (see MatchPhraseQuery): sliding
+        minimal-window over the merged shifted-position stream per candidate
+        doc (candidates are few after the AND of all terms)."""
         rows = self.r.lookup(terms)
         if len(rows) == 0 or np.any(rows < 0):
             return np.empty(0, np.int64), np.empty(0, np.int64)
         from elasticsearch_ray.index.postings import decode_postings
 
-        keys = None
+        if slop == 0:
+            keys = None
+            for ti, i in enumerate(rows):
+                docs, _tfs = decode_postings(self.r.blob(int(i)))
+                flat, lens = self.r.positions_for(int(i))
+                doc_rep = np.repeat(docs, lens)
+                pos = flat.astype(np.int64) - ti
+                ok = pos >= 0
+                k = (doc_rep[ok] << np.int64(32)) | pos[ok]
+                keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                if len(keys) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.int64)
+            match_docs = keys >> np.int64(32)
+            out_docs, out_freqs = np.unique(match_docs, return_counts=True)
+            return out_docs.astype(np.int64), out_freqs.astype(np.int64)
+
+        # sloppy path: AND-intersect docs, then per-candidate window check
+        per_term = []
+        common = None
         for ti, i in enumerate(rows):
             docs, _tfs = decode_postings(self.r.blob(int(i)))
             flat, lens = self.r.positions_for(int(i))
-            doc_rep = np.repeat(docs, lens)
-            pos = flat.astype(np.int64) - ti
-            ok = pos >= 0
-            k = (doc_rep[ok] << np.int64(32)) | pos[ok]
-            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
-            if len(keys) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-        match_docs = keys >> np.int64(32)
-        out_docs, out_freqs = np.unique(match_docs, return_counts=True)
-        return out_docs.astype(np.int64), out_freqs.astype(np.int64)
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            per_term.append((docs, flat.astype(np.int64), offs))
+            common = docs if common is None else common[np.isin(common, docs, assume_unique=True)]
+        if common is None or len(common) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        idx_maps = [
+            dict(zip(docs.tolist(), range(len(docs)))) for docs, _, _ in per_term
+        ]
+        out_docs, out_freqs = [], []
+        nt = len(terms)
+        for d in common.tolist():
+            streams = []
+            for ti, (docs, flat, offs) in enumerate(per_term):
+                j = idx_maps[ti][d]
+                base = flat[offs[j] : offs[j + 1]] - ti
+                streams.append(np.stack([base, np.full(len(base), ti, np.int64)], axis=1))
+            merged = np.concatenate(streams)
+            merged = merged[np.argsort(merged[:, 0], kind="stable")]
+            # sliding minimal window containing all nt terms with span <= slop
+            count = np.zeros(nt, np.int64)
+            have = 0
+            lo = 0
+            matches = 0
+            for hi in range(len(merged)):
+                t = merged[hi, 1]
+                count[t] += 1
+                if count[t] == 1:
+                    have += 1
+                while have == nt and count[merged[lo, 1]] > 1:
+                    count[merged[lo, 1]] -= 1
+                    lo += 1
+                if have == nt and merged[hi, 0] - merged[lo, 0] <= slop:
+                    matches += 1
+                    # consume window start to look for further matches
+                    count[merged[lo, 1]] -= 1
+                    if count[merged[lo, 1]] == 0:
+                        have -= 1
+                    lo += 1
+            if matches:
+                out_docs.append(d)
+                out_freqs.append(matches)
+        return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
     def _eval_scoring(self, q: Query, scorers, k, mode, scorers_required=True):
         """Returns (docs, scores) arrays, docs sorted asc (NOT top-k-cut unless
@@ -198,7 +252,7 @@ class PartitionSearcher:
             terms = an(q.text)[0]
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, dtype)
-            docs, freqs = self._phrase_docs(terms)
+            docs, freqs = self._phrase_docs(terms, slop=getattr(q, "slop", 0))
             if len(docs) == 0:
                 return docs, np.empty(0, dtype)
             # phrase scored like a term with tf = phrase_freq and the FIRST

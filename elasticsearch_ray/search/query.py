@@ -43,9 +43,13 @@ class MatchQuery(Query):
 
 @dataclass(frozen=True)
 class MatchPhraseQuery(Query):
-    """Positions-based exact phrase (MatchPhraseQueryBuilder.java); slop=0 only."""
+    """Positions-based phrase (MatchPhraseQueryBuilder.java). slop=0 is exact
+    consecutive positions; slop>0 uses the window interpretation: positions
+    p_i exist with max(p_i - i) - min(p_i - i) <= slop (a documented
+    simplification of Lucene's sloppy edit-distance semantics)."""
 
     text: str
+    slop: int = 0
     analyzer: str | None = None
     boost: float = 1.0
 

@@ -77,3 +77,18 @@ def test_plan_tiered_merges():
     assert sum(len(g) for g in groups) >= 20  # below-floor segments merge eagerly
     big = [{"part": i, "bytes": 6 * 1024**3} for i in range(3)]
     assert plan_tiered_merges(big) == []
+
+
+def test_tiered_merge_rounds(ray_session, tmp_path_factory):
+    """tiered_merge: below-floor segments merge eagerly; scores unchanged."""
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.merge import tiered_merge
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    corpus = corpus_for_sf("/root/testdata/sf0.001", multiplier=1, num_files=6)
+    idx = str(tmp_path_factory.mktemp("tiered") / "index")
+    build_index(corpus, idx, IndexSpec(files_per_partition=1), concurrency=2)
+    before = _results(idx, QUERIES)
+    meta = tiered_merge(idx)  # all 6 tiny segments are below the 2MB floor
+    assert meta["num_parts"] < 6
+    assert _results(idx, QUERIES) == before

@@ -248,3 +248,19 @@ def test_grok_and_foreach(ray_session):
     assert out["ip"].tolist() == ["10.0.0.7", "192.168.1.1"]
     assert out["msg"].tolist() == ["disk full", "started"]
     assert out["tags"].tolist() == [["alpha", "beta"], ["gamma"]]
+
+
+def test_training_data_pipeline(ray_session, tmp_path):
+    from elasticsearch_ray.pipelines.training_data import training_data_pipeline
+    from elasticsearch_ray.search.query import MatchQuery
+    from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+    corpus = corpus_for_sf(SF, multiplier=2, num_files=4)  # rep 1 = permuted dups
+    out = training_data_pipeline(corpus, str(tmp_path / "td"), min_tokens=10)
+    assert out["input_pages"] == 1000
+    assert 0 < out["after_quality"] <= 1000
+    # permuted reps have identical token BAGS but different text → exact dedup
+    # keeps them; the pipeline still must not LOSE uniques
+    assert out["after_dedup"] <= out["after_quality"]
+    hits = out["engine"].search(MatchQuery("spark join"), k=5, fetch=("url",))
+    assert hits.num_rows == 5

@@ -111,3 +111,21 @@ def test_scan_iterates_all_hits(web_engine):
         assert isinstance(tbl, pa.Table) and tbl.num_rows <= 37
         seen += tbl.num_rows
     assert seen == total.num_rows
+
+
+def test_phrase_slop(web_engine):
+    from elasticsearch_ray.search.query import MatchPhraseQuery
+
+    # pick two terms that co-occur within small windows from a known doc
+    src = web_engine.fetch_source(0, [0], columns=["text"])
+    toks = [t.lower() for t in src["text"][0].as_py().split()]
+    a, b = toks[2], toks[5]  # 3 apart as a phrase "a b" needs slop >= 2
+    exact = web_engine.search(MatchPhraseQuery(f"{a} {b}"), k=10**9,
+                              mode="exhaustive", fetch=())
+    sloppy = web_engine.search(MatchPhraseQuery(f"{a} {b}", slop=4), k=10**9,
+                               mode="exhaustive", fetch=())
+    # slop widens (or keeps) the result set, and slop result includes doc 0
+    assert set((r["part"], r["local"]) for r in exact.to_pylist()) <= set(
+        (r["part"], r["local"]) for r in sloppy.to_pylist()
+    )
+    assert (0, 0) in {(r["part"], r["local"]) for r in sloppy.to_pylist()}
