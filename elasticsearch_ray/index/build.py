@@ -218,43 +218,53 @@ class TokenizeShard:
 
         terms_out: list[str] = []
         blobs: list[bytes] = []
-        dfs = np.empty(len(tstarts), dtype=np.int64)
-        ttfs = np.empty(len(tstarts), dtype=np.int64)
-        firsts = np.empty(len(tstarts), dtype=np.int64)
+        dfs: list[int] = []
+        ttfs: list[int] = []
+        firsts: list[int] = []
+        salts: list[int] = []
         pos_flat_out: list[np.ndarray] = []
         pos_lens_out: list[np.ndarray] = []
         with_pos = spec.store_positions
         vocab_list = vocab.to_pylist()
         norm_of_local = np.zeros(local_base + n_docs, dtype=np.uint8)
         norm_of_local[local_base:] = norms
-        for gi, (s, e) in enumerate(zip(tstarts, tends)):
-            d = g_local[s:e]
-            t = tfs[s:e]
-            terms_out.append(vocab_list[int(g_code[s])])
-            dfs[gi] = e - s
-            ttfs[gi] = int(t.sum())
-            firsts[gi] = d[0]
-            blobs.append(encode_postings(d, t, norm_of_local[d]))
-            if with_pos:
-                lo, hi = starts[s], ends[e - 1]
-                pos_flat_out.append(poss_s[lo:hi])
-                pos_lens_out.append(t.astype(np.int32))
-
-        if self.head_arr is not None:
-            head_mask = pa.compute.is_in(
-                pa.array(terms_out, pa.string()), value_set=self.head_arr
-            ).to_numpy(zero_copy_only=False)
-            salt = np.where(head_mask, firsts // spec.salt_docs, 0).astype(np.int32)
-        else:
-            salt = np.zeros(len(terms_out), dtype=np.int32)
+        head = self.head_terms
+        salt_docs = spec.salt_docs
+        for s, e in zip(tstarts, tends):
+            term = vocab_list[int(g_code[s])]
+            d_all = g_local[s:e]
+            # HEAD-TERM SALTING: split a head term's run at salt_docs doc-range
+            # boundaries so each chunk ROW carries a bounded payload — the
+            # range partitioner can then spread a hot term's chunks across
+            # reducer blocks (equal keys are unsplittable otherwise).
+            if term in head and int(d_all[-1] // salt_docs) != int(d_all[0] // salt_docs):
+                salt_vals = d_all // salt_docs
+                cuts = np.flatnonzero(salt_vals[1:] != salt_vals[:-1]) + 1
+                bounds = np.concatenate([[0], cuts, [e - s]])
+            else:
+                bounds = np.array([0, e - s])
+            for bi in range(len(bounds) - 1):
+                lo_g, hi_g = s + int(bounds[bi]), s + int(bounds[bi + 1])
+                d = g_local[lo_g:hi_g]
+                t = tfs[lo_g:hi_g]
+                terms_out.append(term)
+                dfs.append(hi_g - lo_g)
+                ttfs.append(int(t.sum()))
+                firsts.append(int(d[0]))
+                salts.append(int(d[0] // salt_docs) if term in head else 0)
+                blobs.append(encode_postings(d, t, norm_of_local[d]))
+                if with_pos:
+                    lo, hi = starts[lo_g], ends[hi_g - 1]
+                    pos_flat_out.append(poss_s[lo:hi])
+                    pos_lens_out.append(t.astype(np.int32))
 
         data = {
             "part": pa.array(np.full(len(terms_out), part, dtype=np.int32)),
             "term": pa.array(terms_out, pa.string()),
-            "salt": pa.array(salt),
-            "first_doc": pa.array(firsts),
-            "df": pa.array(dfs),
-            "total_tf": pa.array(ttfs),
+            "salt": pa.array(np.asarray(salts, dtype=np.int32)),
+            "first_doc": pa.array(np.asarray(firsts, dtype=np.int64)),
+            "df": pa.array(np.asarray(dfs, dtype=np.int64)),
+            "total_tf": pa.array(np.asarray(ttfs, dtype=np.int64)),
             "blob": pa.array(blobs, pa.binary()),
         }
         if with_pos:

@@ -280,3 +280,38 @@ def test_resume_skips_complete_parts(built_index, ray_session):
 
     eng = QueryEngine(idx, dtype="float64")
     assert len(eng.search(MatchQuery("spark"), k=5)) == 5
+
+
+def test_salted_build_same_results(built_index, ray_session, tmp_path_factory):
+    """Force head-term salting (tiny salt_docs → every head term splits into
+    many doc-range sub-chunks through the shuffle) and verify segment content
+    is byte-identical to the unsalted build — the canonical re-encode makes
+    chunking invisible."""
+    import json
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus, idx, meta = built_index
+    idx2 = str(tmp_path_factory.mktemp("salted") / "index")
+    spec = IndexSpec(files_per_partition=1, salt_docs=16, head_df_ratio=0.01)
+    build_index(corpus, idx2, spec, concurrency=2)
+    # the salted path actually ran: multi-chunk terms occurred in every part
+    multi = 0
+    for p in range(meta["num_parts"]):
+        with open(os.path.join(idx2, "parts", f"part={p:05d}", "manifest.json")) as f:
+            multi += json.load(f)["multi_chunk_terms"]
+    assert multi > 0, "salting did not produce multi-chunk terms"
+    # byte-identical segments vs the unsalted build
+    for p in range(meta["num_parts"]):
+        for fname in ("postings.bin", "terms.parquet"):
+            a = open(os.path.join(idx, "parts", f"part={p:05d}", fname), "rb").read()
+            b = open(os.path.join(idx2, "parts", f"part={p:05d}", fname), "rb").read()
+            assert a == b, (p, fname)
+    # and identical search results incl. positions (phrase)
+    e1 = QueryEngine(idx, dtype="float64")
+    e2 = QueryEngine(idx2, dtype="float64")
+    for q in (MatchQuery("spark join merge"), MatchPhraseQuery("batch batch")):
+        r1 = e1.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
+        r2 = e2.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
+        assert [(r["url"], r["score"]) for r in r1] == [(r["url"], r["score"]) for r in r2]
