@@ -129,6 +129,11 @@ class TokenizeShard:
         self.index_dir = index_dir
         self.spec = IndexSpec.from_dict(spec_dict)
         self.analyzer = get_analyzer(self.spec.analyzer)
+        # per-language analyzer resources load ONCE per actor/worker — the
+        # stateful actor-pool analyzer dispatch keyed by the lang column
+        self.lang_analyzers = {
+            lg: get_analyzer(name) for lg, name in (self.spec.lang_analyzers or {}).items()
+        }
         self.head_terms = head_terms or set()
         self.head_arr = (
             pa.array(sorted(self.head_terms), pa.string()) if self.head_terms else None
@@ -152,6 +157,8 @@ class TokenizeShard:
         doc_cols = [c for c in spec.doc_columns if c in avail]
         src_col = "html" if spec.use_html else spec.text_column
         cols = list(dict.fromkeys(doc_cols + [src_col]))  # prune at the read
+        if self.lang_analyzers and spec.lang_column in avail and spec.lang_column not in cols:
+            cols.append(spec.lang_column)
         tbl = pq.read_table(shard["path"], columns=cols)
         if spec.use_html:
             texts = [
@@ -162,12 +169,17 @@ class TokenizeShard:
             texts = [t or "" for t in tbl[spec.text_column].to_pylist()]
 
         n_docs = len(texts)
+        if self.lang_analyzers and spec.lang_column in avail:
+            langs = tbl[spec.lang_column].to_pylist()
+            analyzers = [self.lang_analyzers.get(lg, self.analyzer) for lg in langs]
+        else:
+            analyzers = None
         all_terms: list[str] = []
         locs_l: list[np.ndarray] = []
         poss_l: list[np.ndarray] = []
         doclens = np.zeros(n_docs, dtype=np.int64)
         for i, text in enumerate(texts):
-            terms, pos = self.analyzer(text)
+            terms, pos = (analyzers[i] if analyzers else self.analyzer)(text)
             doclens[i] = len(terms)
             if terms:
                 all_terms.extend(terms)

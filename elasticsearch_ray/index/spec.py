@@ -10,6 +10,11 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class IndexSpec:
     analyzer: str = "standard"  # default analyzer (AnalysisRegistry.java:634-646)
+    # per-language analyzer dispatch keyed by the lang column (the reference's
+    # 36 language analyzers surface, SURVEY §2.3): {"en": "english", ...};
+    # langs not listed fall back to `analyzer`. Loaded once per actor/worker.
+    lang_analyzers: dict | None = None
+    lang_column: str = "lang"
     similarity: str = "BM25"  # "BM25" | "boolean" (SimilarityService.java:43,58)
     k1: float = 1.2  # BM25 defaults (SimilarityProviders.java:254-261)
     b: float = 0.75

@@ -121,3 +121,31 @@ def test_zero_terms_query(ray_session, tmp_path):
     assert none_hits.num_rows == 0
     all_hits = eng.search(MatchQuery("the and of", zero_terms_query="all"), k=10)
     assert all_hits.num_rows == 2
+
+
+def test_per_language_analyzer_dispatch(ray_session, tmp_path):
+    """North-star surface: per-language tokenization — the lang column picks
+    the analyzer per row (english docs are stemmed+stopworded, others use
+    standard), loaded once per worker."""
+    rows = [
+        {"id": "1", "lang": "en", "text": "the running dogs are merging quickly"},
+        {"id": "2", "lang": "de", "text": "the running dogs are merging quickly"},
+        {"id": "3", "lang": "en", "text": "unrelated words entirely"},
+    ]
+    eng = _build(
+        tmp_path,
+        rows,
+        spec=IndexSpec(use_html=False, text_column="text", doc_columns=("id", "lang"),
+                       lang_analyzers={"en": "english"}),
+        name="perlang",
+    )
+    # 'merges' analyzed with english stems to 'merg' → matches ONLY the en doc
+    # (the de doc indexed literal 'merging' via standard)
+    en_hits = eng.search(MatchQuery("merges", analyzer="english"), k=10, fetch=("id",))
+    assert en_hits["id"].to_pylist() == ["1"]
+    # literal 'merging' via standard matches ONLY the de doc
+    std_hits = eng.search(MatchQuery("merging", analyzer="standard"), k=10, fetch=("id",))
+    assert std_hits["id"].to_pylist() == ["2"]
+    # english stopword 'the' was dropped from en docs but indexed for de
+    the_hits = eng.search(MatchQuery("the", analyzer="standard"), k=10, fetch=("id",))
+    assert the_hits["id"].to_pylist() == ["2"]
