@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import unicodedata
 
+import numpy as np
+
 from elasticsearch_ray.analysis.porter import stem as porter_stem
 
 Analysis = tuple[list[str], list[int]]
@@ -96,6 +98,38 @@ def edge_ngram(terms, pos, min_gram=1, max_gram=2) -> Analysis:
             o_t.append(t[:n])
             o_p.append(p)
     return o_t, o_p
+
+
+def synonym(terms, pos, synonyms: dict) -> Analysis:
+    """SynonymFilter (non-graph): map token → extra tokens emitted at the
+    SAME position (so phrases keep working); synonyms = {"fast": ["quick"]}."""
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        o_t.append(t)
+        o_p.append(p)
+        for s in synonyms.get(t, ()):
+            o_t.append(s)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def min_hash(terms, pos, num_hashes: int = 16) -> Analysis:
+    """min_hash token filter (CommonAnalysisPlugin.java:284): replaces the
+    token stream with its MinHash signature tokens — indexing these gives
+    LSH-style near-dup lookup straight through the inverted index."""
+    import hashlib
+
+    if not terms:
+        return [], []
+    hs = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in set(terms)],
+        dtype=np.uint64,
+    )
+    out = []
+    for i in range(num_hashes):
+        mixed = hs ^ np.uint64(0x9E3779B97F4A7C15 * (i + 1) & 0xFFFFFFFFFFFFFFFF)
+        out.append(f"mh{i}_{int(mixed.min()):016x}")
+    return out, list(range(len(out)))
 
 
 def shingle(terms, pos, min_size=2, max_size=2, sep=" ") -> Analysis:

@@ -42,6 +42,7 @@ from elasticsearch_ray.search.query import (
     IdsQuery,
     MatchAllQuery,
     MatchPhraseQuery,
+    MatchPhrasePrefixQuery,
     MatchQuery,
     PrefixQuery,
     Query,
@@ -260,6 +261,24 @@ class PartitionSearcher:
             # sum of per-term idfs (TFIDF/BM25: SimScorer over sum idf)
             sc = scorers.get(("__phrase__",) + tuple(terms))
             return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
+        if isinstance(q, MatchPhrasePrefixQuery):
+            an = get_analyzer(q.analyzer or self.analyzer_name)
+            terms = an(q.text)[0]
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            # expand the last term against the sorted term dict
+            rows = self._expand_multi_term(PrefixQuery(terms[-1]))[: q.max_expansions]
+            terms_np = self._terms_np()
+            d_arrays = []
+            for ri in rows:
+                full = terms[:-1] + [str(terms_np[int(ri)])]
+                d, _f = self._phrase_docs(full)
+                if len(d):
+                    d_arrays.append(d)
+            if not d_arrays:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs = np.unique(np.concatenate(d_arrays))
+            return docs, np.full(len(docs), q.boost, dtype=dtype)  # constant-score rewrite
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
             rows = self._expand_multi_term(q)
             return self._const_score_union(rows, getattr(q, "boost", 1.0), dtype)

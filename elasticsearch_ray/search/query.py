@@ -55,6 +55,18 @@ class MatchPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchPhrasePrefixQuery(Query):
+    """Phrase whose LAST term is a prefix (MatchPhrasePrefixQueryBuilder):
+    the prefix expands against the term dict (≤ max_expansions, like the
+    reference's default 50) into a disjunction of exact phrases."""
+
+    text: str
+    max_expansions: int = 50
+    analyzer: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

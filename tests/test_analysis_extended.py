@@ -67,3 +67,16 @@ def test_rank_eval():
     assert 0 < err_at_k(ranked, grades, 5) <= 1
     out = rank_eval([{"ranked": ranked, "relevant": rel}], metric="precision", k=4)
     assert out["metric_score"] == 0.5
+
+
+def test_synonym_and_minhash_filters():
+    t, p = F.synonym(["fast", "dog"], [0, 1], {"fast": ["quick", "rapid"]})
+    assert t == ["fast", "quick", "rapid", "dog"]
+    assert p == [0, 0, 0, 1]  # same-position synonyms keep phrases working
+
+    a, _ = F.min_hash(["a", "b", "c"], [0, 1, 2], num_hashes=8)
+    b, _ = F.min_hash(["c", "b", "a", "a"], [0, 1, 2, 3], num_hashes=8)
+    assert a == b  # signature is set-based and order-insensitive
+    c, _ = F.min_hash(["x", "y", "z"], [0, 1, 2], num_hashes=8)
+    assert a != c
+    assert len(a) == 8 and all(tok.startswith("mh") for tok in a)

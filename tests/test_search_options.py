@@ -129,3 +129,16 @@ def test_phrase_slop(web_engine):
         (r["part"], r["local"]) for r in sloppy.to_pylist()
     )
     assert (0, 0) in {(r["part"], r["local"]) for r in sloppy.to_pylist()}
+
+
+def test_match_phrase_prefix(web_engine):
+    from elasticsearch_ray.search.query import MatchPhrasePrefixQuery, MatchPhraseQuery
+
+    # "batch ba" prefix-expands 'ba' → {batch, ...}; must cover "batch batch"
+    exact = web_engine.search(MatchPhraseQuery("batch batch"), k=10**9,
+                              mode="exhaustive", fetch=())
+    pre = web_engine.search(MatchPhrasePrefixQuery("batch ba"), k=10**9,
+                            mode="exhaustive", fetch=())
+    exact_set = {(r["part"], r["local"]) for r in exact.to_pylist()}
+    pre_set = {(r["part"], r["local"]) for r in pre.to_pylist()}
+    assert exact_set <= pre_set and exact_set
