@@ -68,17 +68,13 @@ def _webpages_index(sf_dir: str):
 
     corpus = corpus_for_sf(sf_dir, multiplier=1, num_files=4)
     idx_dir = f"/tmp/esray_indexes/{key}"
-    build_index(corpus, idx_dir, IndexSpec(use_html=True))
+    # north-star flagship: per-language stateful analyzer dispatch — english
+    # pages get the full english chain, others the standard analyzer
+    build_index(corpus, idx_dir, IndexSpec(use_html=True, lang_analyzers={"en": "english"}))
     eng = QueryEngine(idx_dir, dtype="float64")
     _ENGINES[key] = eng
     eng._corpus_dir = corpus
     return eng
-
-
-def _docs_index_parts_ordered(sf_dir):
-    # documents index is built from the single documents.parquet → 1 part and
-    # local id == doc_id; search results expose doc_id via fetch.
-    return None
 
 
 def _search_table(eng, q, k=10, round_to=4) -> pa.Table:
