@@ -117,7 +117,7 @@ class BooleanScorer:
 
     def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
         dt = np.float32 if self.dtype == "float32" else np.float64
-        return np.asarray(self.weight, dtype=dt)
+        return np.full(np.shape(max_tf), self.weight, dtype=dt)
 
 
 def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,

@@ -119,24 +119,39 @@ def exhaustive_disjunction(cursors, norms, dtype=np.float32, min_match: int = 1)
 
 
 def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int = 4096,
-             min_match: int = 1):
+             min_match: int = 1, stats: dict | None = None):
     """Block-max pruned top-k disjunction; returns (docs, scores) of ≤k hits,
     ordered (score desc, doc asc). Bit-identical to
-    topk_select(*exhaustive_disjunction(...), k)."""
+    topk_select(*exhaustive_disjunction(...), k). Pass ``stats`` to receive
+    {'windows_total', 'windows_scored'} — the pruning evidence."""
+    if stats is not None:
+        stats["windows_total"] = (n_docs + window - 1) // window if n_docs else 0
+        stats["windows_scored"] = 0
     if not cursors or n_docs == 0:
         return np.empty(0, np.int64), np.empty(0, dtype)
     n_windows = (n_docs + window - 1) // window
-    ub_diff = np.zeros(n_windows + 1, dtype=np.float64)
+    wstarts = np.arange(n_windows, dtype=np.int64) * window
+    wends = wstarts + window
+    ub = np.zeros(n_windows, dtype=np.float64)
     for c in cursors:
         h = c.headers
-        if len(h) == 0:
+        nb = len(h)
+        if nb == 0:
             continue
         sigma = c.block_max_scores()
-        w0 = h["first_doc"].astype(np.int64) // window
-        w1 = h["last_doc"].astype(np.int64) // window
-        np.add.at(ub_diff, w0, sigma)
-        np.add.at(ub_diff, w1 + 1, -sigma)
-    ub = np.cumsum(ub_diff[:-1]) * (1.0 + 1e-6)  # guard float32-narrowing overshoot
+        # per-window upper bound for THIS term = max σ over its blocks
+        # intersecting the window (NOT the sum — a dense term has many blocks
+        # per window and summing makes the bound uselessly loose).
+        lo = np.searchsorted(h["last_doc"], wstarts, side="left")
+        hi = np.searchsorted(h["first_doc"], wends, side="left")
+        red = np.maximum.reduceat(sigma, np.minimum(lo, nb - 1))
+        red = np.where(lo < hi, red, 0.0)
+        # at most one block straddles a window's right boundary; reduceat's
+        # segment [lo_w, lo_{w+1}) can miss it — patch with sigma[hi-1]
+        last_blk = np.clip(hi - 1, 0, nb - 1)
+        boundary = np.where(hi - 1 >= lo, sigma[last_blk], 0.0)
+        ub += np.maximum(red, boundary)
+    ub *= 1.0 + 1e-6  # guard float32-narrowing overshoot
 
     order = np.argsort(-ub, kind="stable")
     top_docs = np.empty(0, np.int64)
@@ -148,6 +163,8 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
         if len(top_docs) >= k and ub[w] < theta:
             break  # every remaining window has a smaller bound — pruned
         wstart, wend = w * window, (w + 1) * window
+        if stats is not None:
+            stats["windows_scored"] += 1
         d_arrays, s_arrays = [], []
         for c in cursors:
             h = c.headers
