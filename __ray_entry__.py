@@ -216,7 +216,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sum_of_squares (~2e14) carries fp-summation-order noise beyond any
         # fixed rounding; compare the numerically stable derived stats
         out = out[["l_linestatus", "count", "sum", "avg", "std_deviation"]].copy()
-        out["sum"] = out["sum"].round(1)
+        # integer cents: immune to both fp-summation noise AND the pandas
+        # (half-even) vs DuckDB (half-away) rounding-mode difference that
+        # bites exact .x5 sums of 2-decimal money data
+        out["sum_cents"] = (out["sum"] * 100).round().astype("int64")
+        out = out.drop(columns=["sum"])
         out["avg"] = out["avg"].round(4)
         out["std_deviation"] = out["std_deviation"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -307,9 +311,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from elasticsearch_ray.ops.textstats import text_quality
 
         out = text_quality(_ds(sf, "documents"))
-        return pa.Table.from_pandas(
-            out[["doc_id", "n_tokens", "stopword_ratio", "unique_ratio"]], preserve_index=False
-        )
+        out = out[["doc_id", "n_tokens", "stopword_ratio", "unique_ratio"]].copy()
+        # floor-truncate ratios: round() differs between pandas (half-even)
+        # and DuckDB (half-away) exactly on dyadic ratios like k/128
+        for c in ("stopword_ratio", "unique_ratio"):
+            out[c] = np.floor(out[c] * 1e6) / 1e6
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def text_tokens_by_lang(sf):
         from elasticsearch_ray.ops.textstats import token_count_by
@@ -829,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_extended_stats": """
             SELECT l_linestatus,
                    count(*)::BIGINT AS count,
-                   round(sum(l_extendedprice), 1) AS sum,
+                   CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_cents,
                    round(avg(l_extendedprice), 4) AS avg,
                    round(sqrt(sum(l_extendedprice * l_extendedprice) / count(*)
                          - avg(l_extendedprice) * avg(l_extendedprice)), 4) AS std_deviation
@@ -909,12 +916,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             )
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                   round(sum(CASE WHEN term IN
+                   floor(sum(CASE WHEN term IN
                      ('a','an','and','are','as','at','be','but','by','for','if','in',
                       'into','is','it','no','not','of','on','or','such','that','the',
                       'their','then','there','these','they','this','to','was','will',
-                      'with') THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS stopword_ratio,
-                   round(count(DISTINCT term)::DOUBLE / count(*), 6) AS unique_ratio
+                      'with') THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1000000) / 1000000 AS stopword_ratio,
+                   floor(count(DISTINCT term)::DOUBLE / count(*) * 1000000) / 1000000 AS unique_ratio
             FROM tok GROUP BY doc_id ORDER BY doc_id
         """,
         "text_tokens_by_lang": """

@@ -34,13 +34,15 @@ class TextQuality:
                 mean_len[i] = sum(map(len, toks)) / len(toks)
                 stop_ratio[i] = sum(t in self.stop for t in toks) / len(toks)
                 uniq_ratio[i] = len(set(toks)) / len(toks)
+        # raw float64 — presentation rounding is the consumer's concern
+        # (oracle-compared entries floor-truncate; see __ray_entry__)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
                 "n_tokens": pa.array(tok_n),
-                "mean_token_len": pa.array(np.round(mean_len, 6)),
-                "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
-                "unique_ratio": pa.array(np.round(uniq_ratio, 6)),
+                "mean_token_len": pa.array(mean_len),
+                "stopword_ratio": pa.array(stop_ratio),
+                "unique_ratio": pa.array(uniq_ratio),
             }
         )
 
