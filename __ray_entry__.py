@@ -501,6 +501,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df.insert(0, "rank", range(1, len(df) + 1))
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
+    def search_function_score(sf):
+        from elasticsearch_ray.search.query import FunctionScoreQuery
+
+        eng = _documents_index(sf)
+        q = FunctionScoreQuery(query=TermQuery("spark"), field="doclen",
+                               modifier="log1p", weight=1.0, boost_mode="multiply")
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
         out = eng.suggest("spurk window merge", size=3)
@@ -556,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_collapse_lang": search_collapse_lang,
         "search_dismax": search_dismax,
         "search_sqs": search_sqs,
+        "search_function_score": search_function_score,
         "suggest_term": suggest_term,
         "agg_rare_terms": agg_rare_terms,
         "agg_significant_terms": agg_significant_terms,
@@ -757,6 +771,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN has h ON p.doc_id = h.doc_id
               WHERE h.has_spark = 1 AND h.has_window = 0
               GROUP BY p.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "search_function_score": f"""
+            WITH {_bm25_scores_cte(["spark"])},
+            scored AS (
+              SELECT p.doc_id, sum(p.s) * ln(1 + d.dl) AS score
+              FROM per_term p JOIN dl_t d ON p.doc_id = d.doc_id
+              GROUP BY p.doc_id, d.dl
             )
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
                    doc_id, round(score, 4) AS score

@@ -38,12 +38,14 @@ from elasticsearch_ray.search.query import (
     ConstantScoreQuery,
     DisMaxQuery,
     ExistsQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     IdsQuery,
     MatchAllQuery,
     MatchPhraseQuery,
     MatchPhrasePrefixQuery,
     MatchQuery,
+    MoreLikeThisQuery,
     PrefixQuery,
     Query,
     RangeFilter,
@@ -313,6 +315,21 @@ class PartitionSearcher:
                 hit = np.isin(docs, neg, assume_unique=True)
                 scores = np.where(hit, scores * np.asarray(q.negative_boost, dtype), scores).astype(dtype)
             return docs, scores
+        if isinstance(q, FunctionScoreQuery):
+            docs, scores = self._eval_scoring(q.query, scorers, None, "exhaustive")
+            if len(docs) == 0:
+                return docs, scores
+            fv = self._doc_col(q.field)[docs].astype(np.float64) * q.factor
+            if q.modifier == "log1p":
+                fv = np.log1p(fv)
+            elif q.modifier == "sqrt":
+                fv = np.sqrt(np.maximum(fv, 0))
+            base = np.asarray(scores, np.float64)
+            if q.boost_mode == "sum":
+                out = base + q.weight * fv
+            else:  # multiply (default)
+                out = base * (q.weight * fv)
+            return docs, out.astype(dtype)
         if isinstance(q, (RangeFilter, TermFilter)):
             docs = self._eval_filter(q)
             return docs, np.zeros(len(docs), dtype=dtype)
@@ -551,6 +568,25 @@ class QueryEngine:
             for g in groups if g
         ]
 
+    def stats(self) -> pa.Table:
+        """_stats/_segments analog: per-partition docs, terms, postings bytes,
+        sum_dl, merged-chunk counts — straight from the commit manifests."""
+        rows = []
+        for p in self.parts:
+            m = self._searcher(p).r.manifest
+            rows.append(
+                {
+                    "part": p,
+                    "n_docs": m["n_docs"],
+                    "n_terms": m["n_terms"],
+                    "postings_bytes": m["postings_bytes"],
+                    "sum_dl": m["sum_dl"],
+                    "runs_merged": m.get("runs_merged", 0),
+                    "multi_chunk_terms": m.get("multi_chunk_terms", 0),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
     def close(self):
         if self._actors:
             import ray
@@ -558,6 +594,26 @@ class QueryEngine:
             for a in self._actors:
                 ray.kill(a)
             self._actors = None
+
+    def _rewrite(self, q: Query) -> Query:
+        """Engine-level query rewrites needing GLOBAL stats: more_like_this
+        selects its top tf·idf terms once here (so every partition scores the
+        same rewritten disjunction), mirroring the coordinator-side rewrite
+        of MoreLikeThisQueryBuilder."""
+        if isinstance(q, MoreLikeThisQuery):
+            from collections import Counter
+
+            from elasticsearch_ray.search.bm25 import idf as idf_fn
+
+            an = get_analyzer(q.analyzer or self.analyzer_name)
+            tf = Counter(an(q.like)[0])
+            cand = [t for t, c in tf.items() if c >= q.min_term_freq]
+            df = self._global_stats(cand) if cand else {}
+            cand = [t for t in cand if df.get(t, 0) >= q.min_doc_freq]
+            ranked = sorted(cand, key=lambda t: (-tf[t] * idf_fn(df[t], self.n_docs), t))
+            sel = ranked[: q.max_query_terms]
+            return BoolQuery(should=tuple(TermQuery(t) for t in sel), boost=q.boost)
+        return q
 
     def _global_stats(self, terms: list[str]) -> dict[str, int]:
         """DFS phase: global df per term (sum of per-partition dfs); cached —
@@ -633,6 +689,7 @@ class QueryEngine:
         """
         if isinstance(q, str):
             q = MatchQuery(q)
+        q = self._rewrite(q)
         if sort or collapse or rescore:
             return self._search_extended(q, k, mode, fetch, sort, search_after, collapse,
                                          rescore, min_score)
@@ -694,6 +751,7 @@ class QueryEngine:
         becomes a generator over immutable segments (point-in-time for free)."""
         if isinstance(q, str):
             q = MatchQuery(q)
+        q = self._rewrite(q)
         scorers = self._scorers(q)
         for p in self.parts:
             s = self._searcher(p)

@@ -174,6 +174,35 @@ class BoostingQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """function_score subset (FunctionScoreQueryBuilder): base query score
+    combined with a field_value_factor function —
+    factor = modifier(field * factor); score = boost_mode(base, weight*factor).
+    modifiers: none|log1p|sqrt; boost_mode: multiply|sum (the common pair)."""
+
+    query: Query = None
+    field: str = None
+    factor: float = 1.0
+    modifier: str = "none"
+    weight: float = 1.0
+    boost_mode: str = "multiply"
+
+
+@dataclass(frozen=True)
+class MoreLikeThisQuery(Query):
+    """more_like_this subset (MoreLikeThisQueryBuilder): from the LIKE text,
+    keep terms passing min_term_freq/min_doc_freq, rank by tf·idf, take the
+    top max_query_terms, run as a SHOULD disjunction."""
+
+    like: str
+    max_query_terms: int = 25
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+    analyzer: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BoolQuery(Query):
     """must / should / filter / must_not with minimum_should_match
     (index/query/BoolQueryBuilder.java): scores sum over scoring clauses;
@@ -248,6 +277,8 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
                 walk(sub)
         elif isinstance(q, ConstantScoreQuery) and q.filter is not None:
             walk(q.filter)
+        elif isinstance(q, FunctionScoreQuery) and q.query is not None:
+            walk(q.query)
         elif isinstance(q, DisMaxQuery):
             for sub in q.queries:
                 walk(sub)

@@ -152,3 +152,39 @@ def test_simple_query_string(docs_engine):
     assert _hits(eng, q2) == want
     # malformed input does not raise
     parse_simple_query_string('+"unclosed -')
+
+
+def test_function_score_field_value_factor(docs_engine):
+    import numpy as _np
+
+    from elasticsearch_ray.search.query import FunctionScoreQuery
+
+    eng, docs = docs_engine
+    base = {r["doc_id"]: r["score"] for r in eng.search(
+        TermQuery("spark"), k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    q = FunctionScoreQuery(query=TermQuery("spark"), field="doclen",
+                           modifier="log1p", weight=2.0, boost_mode="multiply")
+    res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id", "doclen")).to_pylist()
+    assert {r["doc_id"] for r in res} == set(base)
+    for r in res:
+        want = base[r["doc_id"]] * 2.0 * _np.log1p(r["doclen"])
+        assert abs(r["score"] - want) < 1e-9 * max(abs(want), 1)
+
+
+def test_more_like_this(docs_engine):
+    from elasticsearch_ray.search.query import MoreLikeThisQuery
+
+    eng, docs = docs_engine
+    like = " ".join(docs[0])
+    q = MoreLikeThisQuery(like=like, max_query_terms=5, min_term_freq=2, min_doc_freq=5)
+    hits = eng.search(q, k=10, fetch=("doc_id",))
+    assert hits.num_rows == 10
+    # the source doc itself should rank near the top of its own MLT query
+    assert 0 in set(hits["doc_id"].to_pylist())
+
+
+def test_index_stats(docs_engine):
+    eng, docs = docs_engine
+    st = eng.stats().to_pylist()
+    assert sum(r["n_docs"] for r in st) == len(docs)
+    assert all(r["postings_bytes"] > 0 and r["n_terms"] > 0 for r in st)
