@@ -131,6 +131,29 @@ def run_bench() -> dict:
         dt = (time.time() - tq) / reps
         queries[name] = round(dt, 4)
         total_q += dt
+
+    # concurrent QPS: overlapping searches from driver threads (the search
+    # path is ray.get-bound, so threads pipeline the actor round-trips)
+    import threading
+
+    qs = [build_query(s) for _, s in QUERY_SET]
+    done = [0]
+    lock = threading.Lock()
+
+    def worker(n_iters):
+        for i in range(n_iters):
+            eng.search(qs[i % len(qs)], k=10, mode="bmw")
+            with lock:
+                done[0] += 1
+
+    n_threads, per_thread = 8, 10
+    tq = time.time()
+    threads = [threading.Thread(target=worker, args=(per_thread,)) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    concurrent_qps = done[0] / (time.time() - tq)
     eng.close()
 
     return {
@@ -144,6 +167,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "query_qps": round(len(QUERY_SET) / total_q, 2) if total_q else None,
+        "concurrent_qps": round(concurrent_qps, 2),
         "num_parts": meta["num_parts"],
     }
 

@@ -94,6 +94,7 @@ class SegmentReader:
         pb = os.path.join(pdir, "postings.bin")
         self.postings = np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else b""
         self._positions_tbl = None
+        self._docs_cols: dict[tuple, pa.Table] = {}
 
     def lookup(self, terms: list[str]) -> np.ndarray:
         """Row index per term in the sorted term dict, -1 when absent."""
@@ -121,8 +122,13 @@ class SegmentReader:
     def doc_fields(self, locals_: np.ndarray, columns=("url", "doc_id")) -> pa.Table:
         """Fetch-phase lookup of doc metadata for winning local ids; columns
         not stored in this index's docs table are silently skipped (doc_id is
-        always present)."""
-        avail = set(pq.read_schema(os.path.join(self.dir, "docs.parquet")).names)
-        cols = [c for c in columns if c in avail] or ["doc_id"]
-        t = pq.read_table(os.path.join(self.dir, "docs.parquet"), columns=cols)
+        always present). Columns are cached per reader — a warm searcher must
+        not re-read docs.parquet on every query."""
+        key = tuple(columns)
+        t = self._docs_cols.get(key)
+        if t is None:
+            avail = set(pq.read_schema(os.path.join(self.dir, "docs.parquet")).names)
+            cols = [c for c in columns if c in avail] or ["doc_id"]
+            t = pq.read_table(os.path.join(self.dir, "docs.parquet"), columns=cols)
+            self._docs_cols[key] = t
         return t.take(pa.array(locals_))
