@@ -686,6 +686,9 @@ class QueryEngine:
           rescore: (query, window_size, query_weight, rescore_weight) —
                 re-rank the top window with a second query (QueryRescorer).
           min_score: drop hits below this score (QueryPhase min_score).
+
+        sort/collapse/rescore evaluate on the local backend (cached readers);
+        the warm-actor backend serves the hot default-order top-k path.
         """
         if isinstance(q, str):
             q = MatchQuery(q)

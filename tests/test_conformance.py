@@ -149,3 +149,34 @@ def test_per_language_analyzer_dispatch(ray_session, tmp_path):
     # english stopword 'the' was dropped from en docs but indexed for de
     the_hits = eng.search(MatchQuery("the", analyzer="standard"), k=10, fetch=("id",))
     assert the_hits["id"].to_pylist() == ["2"]
+
+
+def test_empty_and_single_doc_index(ray_session, tmp_path):
+    """Degenerate sizes: empty corpus and 1-doc corpus build and query."""
+    import ray.data  # noqa: F401
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    # single doc
+    eng = _build(tmp_path, [{"id": "only", "text": "lonely document"}], name="one")
+    hits = eng.search(MatchQuery("lonely"), k=10, fetch=("id",))
+    assert hits["id"].to_pylist() == ["only"]
+    assert hits["score"][0].as_py() > 0
+    assert eng.search(MatchQuery("absent"), k=10).num_rows == 0
+
+    # empty corpus (a parquet file with zero rows)
+    src = tmp_path / "empty-src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([], pa.string()), "text": pa.array([], pa.string())}),
+        src / "docs.parquet",
+    )
+    idx = str(tmp_path / "empty-idx")
+    meta = build_index(str(src), idx,
+                       IndexSpec(use_html=False, text_column="text", doc_columns=("id",)),
+                       concurrency=2)
+    assert meta["n_docs"] == 0
+    eng2 = QueryEngine(idx, dtype="float64")
+    assert eng2.search(MatchQuery("anything"), k=5).num_rows == 0
+    assert eng2.stats().to_pylist()[0]["n_docs"] == 0
