@@ -253,6 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_percentiles_tdigest(sf):  # rows-only: t-digest sketch estimate
+        from elasticsearch_ray.ops.aggs import percentiles_tdigest
+
+        out = percentiles_tdigest(_ds(sf, "lineitem"), "l_returnflag", "l_quantity",
+                                  percents=(50.0, 95.0))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -593,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_weighted_avg": agg_weighted_avg,
         "agg_histogram_prices": agg_histogram_prices,
         "agg_filters_events": agg_filters_events,
+        "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_minhash_pairs": dedup_minhash_pairs,

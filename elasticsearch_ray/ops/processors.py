@@ -266,6 +266,25 @@ class DateProcessor(Processor):
         return df
 
 
+@register("date_index_name")
+class DateIndexNameProcessor(Processor):
+    """Route docs to time-bucketed index names (DateIndexNameProcessor):
+    date field → '<prefix>-<rounded date>' per date_rounding (y/M/d/h)."""
+
+    _fmt = {"y": "%Y", "M": "%Y-%m", "d": "%Y-%m-%d", "h": "%Y-%m-%d-%H"}
+
+    def __init__(self, field, index_name_prefix, date_rounding="d",
+                 target_field="_index"):
+        self.field, self.prefix = field, index_name_prefix
+        self.fmt = self._fmt[date_rounding]
+        self.target = target_field
+
+    def __call__(self, df):
+        ts = pd.to_datetime(df[self.field])
+        df[self.target] = self.prefix + "-" + ts.dt.strftime(self.fmt)
+        return df
+
+
 @register("uri_parts")
 class UriPartsProcessor(Processor):
     def __init__(self, field, target_field="url"):

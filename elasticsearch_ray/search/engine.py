@@ -52,6 +52,7 @@ from elasticsearch_ray.search.query import (
     RegexpQuery,
     TermFilter,
     TermQuery,
+    TermsLookupQuery,
     TermsQuery,
     WildcardQuery,
     query_terms,
@@ -613,7 +614,26 @@ class QueryEngine:
             ranked = sorted(cand, key=lambda t: (-tf[t] * idf_fn(df[t], self.n_docs), t))
             sel = ranked[: q.max_query_terms]
             return BoolQuery(should=tuple(TermQuery(t) for t in sel), boost=q.boost)
+        if isinstance(q, TermsLookupQuery):
+            # resolve the lookup doc ONCE on the coordinator (broadcast
+            # small-side; the reference fetches the list with a GET)
+            part, local = self._locate(q.doc_id)
+            src_tbl = self.fetch_source(part, [local], columns=[q.text_column])
+            text = src_tbl[q.text_column][0].as_py() or ""
+            an = get_analyzer(self.analyzer_name)
+            terms = tuple(dict.fromkeys(an(text)[0]))
+            return TermsQuery(terms=terms, boost=q.boost)
         return q
+
+    def _locate(self, doc_id: int) -> tuple[int, int]:
+        """Global doc_id → (part, local) via the contiguous part bases."""
+        bases = []
+        acc = 0
+        for p in self.meta["parts"]:
+            bases.append(acc)
+            acc += p["n_docs"]
+        i = int(np.searchsorted(bases, doc_id, side="right") - 1)
+        return self.meta["parts"][i]["part"], int(doc_id - bases[i])
 
     def _global_stats(self, terms: list[str]) -> dict[str, int]:
         """DFS phase: global df per term (sum of per-partition dfs); cached —

@@ -28,6 +28,18 @@ class TermsQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermsLookupQuery(Query):
+    """``terms`` lookup variant (``indices/TermsLookup.java:33``): the term
+    set is fetched from another document — here the analyzed tokens of the
+    source doc's text field, resolved ONCE at the engine (broadcast
+    small-side lookup, no shuffle), then run as a constant-score TermsQuery."""
+
+    doc_id: int = 0
+    text_column: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchQuery(Query):
     """Analyze text → boolean of term queries (index/search/MatchQueryParser.java:
     58,197-243): operator 'or' → SHOULD clauses, 'and' → MUST clauses;

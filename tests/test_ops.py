@@ -264,3 +264,47 @@ def test_training_data_pipeline(ray_session, tmp_path):
     assert out["after_dedup"] <= out["after_quality"]
     hits = out["engine"].search(MatchQuery("spark join"), k=5, fetch=("url",))
     assert hits.num_rows == 5
+
+
+def test_tdigest_accuracy_and_merge(ray_session):
+    from elasticsearch_ray.ops.tdigest import TDigest
+
+    rng = np.random.default_rng(7)
+    data = np.concatenate([rng.lognormal(0, 1.2, 100_000), rng.normal(50, 5, 50_000)])
+    d = TDigest(delta=200).add(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+        approx = d.quantile(q)
+        # rank error: how far off is the approx value's true rank from q
+        rank = (data <= approx).mean()
+        assert abs(rank - q) < 0.01, (q, approx, rank)
+    # mergeability: split/merge ~= whole
+    half = len(data) // 2
+    a = TDigest(delta=200).add(data[:half])
+    b = TDigest(delta=200).add(data[half:])
+    merged = a.merge(b)
+    for q in (0.25, 0.5, 0.95):
+        rank = (data <= merged.quantile(q)).mean()
+        assert abs(rank - q) < 0.015
+    # serialization roundtrip
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert abs(rt.quantile(0.5) - merged.quantile(0.5)) < 1e-9
+
+
+def test_percentiles_tdigest_vs_exact(rds, con):
+    from elasticsearch_ray.ops.aggs import percentiles_agg, percentiles_tdigest
+
+    exact = percentiles_agg(rds["documents"], "lang", "n_chars", percents=(50.0, 95.0))
+    approx = percentiles_tdigest(rds["documents"], "lang", "n_chars", percents=(50.0, 95.0))
+    m = exact.merge(approx, on="lang", suffixes=("_e", "_a"))
+    # approximate but close on this modest-skew data
+    assert np.all(np.abs(m["p50_e"] - m["p50_a"]) / m["p50_e"].clip(lower=1) < 0.05)
+    assert np.all(np.abs(m["p95_e"] - m["p95_a"]) / m["p95_e"].clip(lower=1) < 0.05)
+
+
+def test_date_index_name_processor(ray_session):
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    df = pd.DataFrame({"ts": ["2024-03-05 10:00:00", "2024-11-30 23:59:59"]})
+    out = Pipeline([{"date_index_name": {"field": "ts", "index_name_prefix": "logs",
+                                          "date_rounding": "M"}}])(df)
+    assert out["_index"].tolist() == ["logs-2024-03", "logs-2024-11"]

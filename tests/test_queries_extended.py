@@ -188,3 +188,12 @@ def test_index_stats(docs_engine):
     st = eng.stats().to_pylist()
     assert sum(r["n_docs"] for r in st) == len(docs)
     assert all(r["postings_bytes"] > 0 and r["n_terms"] > 0 for r in st)
+
+
+def test_terms_lookup(docs_engine):
+    from elasticsearch_ray.search.query import TermsLookupQuery
+
+    eng, docs = docs_engine
+    got = _hits(eng, TermsLookupQuery(doc_id=0))
+    want = {d for d, toks in docs.items() if set(toks) & set(docs[0])}
+    assert got == want and 0 in got
