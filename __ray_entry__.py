@@ -253,6 +253,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_adjacency_matrix(sf):
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.aggs import adjacency_matrix_agg
+
+        out = adjacency_matrix_agg(
+            _ds(sf, "events"),
+            {
+                "click": lambda t: pc.equal(t["event_type"], "click"),
+                "high": lambda t: pc.greater(t["value"], 50.0),
+                "night": lambda t: pc.less(pc.hour(t["ts"]), 6),
+            },
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_composite_after(sf):
+        from elasticsearch_ray.ops.aggs import composite_agg
+
+        page1 = composite_agg(_ds(sf, "documents"), ["lang", "source"], size=7)
+        cursor = (page1["lang"].iloc[-1], page1["source"].iloc[-1])
+        out = composite_agg(_ds(sf, "documents"), ["lang", "source"], after=cursor, size=7)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_percentiles_tdigest(sf):  # rows-only: t-digest sketch estimate
         from elasticsearch_ray.ops.aggs import percentiles_tdigest
 
@@ -600,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_weighted_avg": agg_weighted_avg,
         "agg_histogram_prices": agg_histogram_prices,
         "agg_filters_events": agg_filters_events,
+        "agg_adjacency_matrix": agg_adjacency_matrix,
+        "agg_composite_after": agg_composite_after,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
         "dedup_exact_ids": dedup_exact_ids,
@@ -892,6 +917,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'high_value', count(*) FILTER (WHERE value > 50.0)::BIGINT FROM events
             ORDER BY filter_key
+        """,
+        "agg_adjacency_matrix": """
+            SELECT key, doc_count FROM (
+              SELECT 'click' AS key, count(*) FILTER (WHERE event_type = 'click')::BIGINT AS doc_count FROM events
+              UNION ALL SELECT 'high', count(*) FILTER (WHERE value > 50.0)::BIGINT FROM events
+              UNION ALL SELECT 'night', count(*) FILTER (WHERE hour(ts) < 6)::BIGINT FROM events
+              UNION ALL SELECT 'click&high', count(*) FILTER (WHERE event_type = 'click' AND value > 50.0)::BIGINT FROM events
+              UNION ALL SELECT 'click&night', count(*) FILTER (WHERE event_type = 'click' AND hour(ts) < 6)::BIGINT FROM events
+              UNION ALL SELECT 'high&night', count(*) FILTER (WHERE value > 50.0 AND hour(ts) < 6)::BIGINT FROM events
+            ) WHERE doc_count > 0 ORDER BY key
+        """,
+        "agg_composite_after": """
+            WITH pages AS (
+              SELECT lang, source, count(*)::BIGINT AS doc_count
+              FROM documents GROUP BY lang, source ORDER BY lang, source
+            ),
+            cursor AS (
+              SELECT lang, source FROM pages ORDER BY lang, source LIMIT 1 OFFSET 6
+            )
+            SELECT p.lang, p.source, p.doc_count FROM pages p, cursor c
+            WHERE (p.lang, p.source) > (c.lang, c.source)
+            ORDER BY p.lang, p.source LIMIT 7
         """,
         "agg_cardinality_exact": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS cardinality

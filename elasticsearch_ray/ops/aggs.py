@@ -345,6 +345,33 @@ def filters_agg(ds: Dataset, filters: dict) -> pd.DataFrame:
     return out.sort_values("filter_key").reset_index(drop=True)
 
 
+def adjacency_matrix_agg(ds: Dataset, filters: dict) -> pd.DataFrame:
+    """adjacency_matrix bucket agg (AdjacencyMatrixAggregator): doc counts
+    for each named filter AND each pairwise intersection key 'a&b' (a<b),
+    from vectorized per-batch predicate masks."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = sorted(filters)
+        masks = {n: filters[n](batch).to_numpy(zero_copy_only=False) for n in names}
+        rows = []
+        for i, a in enumerate(names):
+            rows.append({"key": a, "n": int(masks[a].sum())})
+            for b in names[i + 1 :]:
+                rows.append({"key": f"{a}&{b}", "n": int((masks[a] & masks[b]).sum())})
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .to_pandas()
+    )
+    out = out[out["doc_count"] > 0]
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFrame:
     """rare_terms bucket agg: buckets with doc_count <= max_doc_count
     (RareTermsAggregationBuilder; ours is exact, the reference uses a CuckooFilter
