@@ -62,6 +62,7 @@ from elasticsearch_ray.index.postings import encode_postings, reencode_canonical
 from elasticsearch_ray.index.segments import (
     FORMAT_VERSION,
     atomic_write_bytes,
+    write_term_bloom,
     atomic_write_json,
     atomic_write_table,
     manifest_path,
@@ -410,6 +411,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
             )
             atomic_write_table(pos_tbl, os.path.join(pdir, "positions.parquet"))
         atomic_write_table(pa.table(tcols), os.path.join(pdir, "terms.parquet"))
+        bloom_bits = write_term_bloom(pdir, final_terms)
         n_terms = len(final_terms)
     else:
         atomic_write_bytes(b"", os.path.join(pdir, "postings.bin"))
@@ -431,6 +433,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
                 os.path.join(pdir, "positions.parquet"),
             )
         atomic_write_table(pa.table(tcols), os.path.join(pdir, "terms.parquet"))
+        bloom_bits = write_term_bloom(pdir, [])
         n_terms = 0
         n_multi = 0
 
@@ -443,6 +446,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
         "n_terms": int(n_terms),
+        "bloom_bits": int(bloom_bits),
         "multi_chunk_terms": int(n_multi),
         "runs_merged": len(run_paths),
         "postings_bytes": int(os.path.getsize(os.path.join(pdir, "postings.bin"))),

@@ -30,6 +30,7 @@ from elasticsearch_ray.index.postings import decode_postings, encode_postings
 from elasticsearch_ray.index.segments import (
     FORMAT_VERSION,
     atomic_write_bytes,
+    write_term_bloom,
     atomic_write_json,
     atomic_write_table,
     manifest_path,
@@ -165,6 +166,7 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
             os.path.join(pd0, "positions.parquet"),
         )
     atomic_write_table(new_docs, os.path.join(pd0, "docs.parquet"))
+    bloom_bits = write_term_bloom(pd0, final_terms)
     manifest = {
         "format": FORMAT_VERSION,
         "part": new_part,
@@ -174,6 +176,7 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         "n_docs": int(len(new_docs)),
         "sum_dl": int(sum(m["sum_dl"] for m in manifests)),
         "n_terms": len(final_terms),
+        "bloom_bits": int(bloom_bits),
         "merged_from": group,
         "postings_bytes": int(os.path.getsize(os.path.join(pd0, "postings.bin"))),
     }

@@ -29,7 +29,52 @@ import pyarrow.parquet as pq
 PART_FMT = "part={:05d}"
 # Bump when the on-disk segment layout changes: resume logic treats
 # manifests with a different format as incomplete (stale caches rebuilt).
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
+
+
+# ---- per-partition term Bloom filter (coordinator-side can_match pruning,
+# the CanMatchPreFilterSearchPhase.java:66,160-183 analog: skip partitions
+# that definitely contain none of the query's terms without opening them) ----
+
+def _bloom_hashes(term: str, m_bits: int) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(term.encode()).digest()
+    h1 = int.from_bytes(d[:8], "little") % m_bits
+    h2 = int.from_bytes(d[8:16], "little") % m_bits
+    return h1, h2
+
+
+def build_term_bloom(terms, bits_per_term: int = 10) -> tuple[bytes, int]:
+    """Build a k=2 Bloom filter over the term dict (~1.2% fp at 10 bits/term)."""
+    m_bits = max(64, bits_per_term * max(len(terms), 1))
+    m_bits = (m_bits + 7) // 8 * 8
+    arr = np.zeros(m_bits // 8, dtype=np.uint8)
+    for t in terms:
+        for h in _bloom_hashes(t, m_bits):
+            arr[h >> 3] |= 1 << (h & 7)
+    return arr.tobytes(), m_bits
+
+
+def bloom_might_contain(bloom: bytes, m_bits: int, term: str) -> bool:
+    for h in _bloom_hashes(term, m_bits):
+        if not (bloom[h >> 3] >> (h & 7)) & 1:
+            return False
+    return True
+
+
+def write_term_bloom(pdir: str, terms) -> int:
+    data, m_bits = build_term_bloom(terms)
+    atomic_write_bytes(data, os.path.join(pdir, "termbloom.bin"))
+    return m_bits
+
+
+def read_term_bloom(pdir: str, m_bits: int) -> bytes | None:
+    p = os.path.join(pdir, "termbloom.bin")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return f.read()
 
 
 def part_dir(index_dir: str, part: int) -> str:

@@ -30,7 +30,8 @@ import numpy as np
 import pyarrow as pa
 
 from elasticsearch_ray.analysis.analyzers import get_analyzer
-from elasticsearch_ray.index.segments import SegmentReader, part_dir
+from elasticsearch_ray.index.segments import (SegmentReader, bloom_might_contain, part_dir,
+                                              read_manifest, read_term_bloom)
 from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer, make_scorer
 from elasticsearch_ray.search.query import (
     BoolQuery,
@@ -536,6 +537,7 @@ class QueryEngine:
         self.parallel = parallel
         self._searchers: dict[int, PartitionSearcher] = {}
         self._df_cache: dict[str, int] = {}
+        self._blooms: dict[int, tuple] = {}
         self._actors = None
         self._num_actors = num_actors
         if parallel == "ray":
@@ -635,19 +637,46 @@ class QueryEngine:
         i = int(np.searchsorted(bases, doc_id, side="right") - 1)
         return self.meta["parts"][i]["part"], int(doc_id - bases[i])
 
+    def _bloom(self, part: int):
+        """Per-partition term Bloom filter, loaded from the segment dir
+        WITHOUT opening the segment (can_match pre-filter state)."""
+        b = self._blooms.get(part)
+        if b is None:
+            m = read_manifest(self.index_dir, part) or {}
+            bits = m.get("bloom_bits")
+            data = read_term_bloom(part_dir(self.index_dir, part), bits) if bits else None
+            b = (data, bits)
+            self._blooms[part] = b
+        return b
+
+    def can_match_parts(self, terms: list[str]) -> list[int]:
+        """CanMatchPreFilterSearchPhase analog: partitions that MIGHT contain
+        at least one of the terms (bloom-missing partitions always match)."""
+        if not terms:
+            return list(self.parts)
+        out = []
+        for p in self.parts:
+            data, bits = self._bloom(p)
+            if data is None or any(bloom_might_contain(data, bits, t) for t in terms):
+                out.append(p)
+        return out
+
     def _global_stats(self, terms: list[str]) -> dict[str, int]:
         """DFS phase: global df per term (sum of per-partition dfs); cached —
         term stats are immutable per index, so repeat queries skip the
-        gather round entirely."""
+        gather round entirely. Partitions whose bloom excludes every missing
+        term are not consulted (and never opened)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             df = dict.fromkeys(missing, 0)
+            cand = set(self.can_match_parts(missing))
             if self._actors:
                 import ray
 
                 results = ray.get([a.local_stats.remote(missing) for a in self._actors])
             else:
-                results = [self._searcher(p).local_stats(missing) for p in self.parts]
+                results = [self._searcher(p).local_stats(missing) for p in self.parts
+                           if p in cand]
             for st in results:
                 for t, (d, _ttf) in st.items():
                     df[t] += d
@@ -717,13 +746,21 @@ class QueryEngine:
             return self._search_extended(q, k, mode, fetch, sort, search_after, collapse,
                                          rescore, min_score)
         scorers = self._scorers(q)
+        # can_match pruning: for purely term-scored query types, partitions
+        # whose bloom excludes every query term cannot produce hits
+        if isinstance(q, (TermQuery, TermsQuery, MatchQuery, MatchPhraseQuery)):
+            cand = self.can_match_parts(query_terms(q, self.analyzer_name))
+        else:
+            cand = list(self.parts)
         if self._actors:
             import ray
 
-            results = ray.get([a.topk.remote(q, scorers, k, mode) for a in self._actors])
+            cand_set = set(cand)
+            results = ray.get([a.topk.remote(q, scorers, k, mode, list(cand_set))
+                               for a in self._actors])
             results = [r for group in results for r in group]
         else:
-            results = [(p, *self._searcher(p).topk(q, scorers, k, mode)) for p in self.parts]
+            results = [(p, *self._searcher(p).topk(q, scorers, k, mode)) for p in cand]
         if min_score is not None:
             results = [(p, d[s >= min_score], s[s >= min_score]) for p, d, s in results]
         if search_after is not None:
@@ -995,5 +1032,9 @@ class SearcherActor:
                 out[t] = (prev[0] + d, prev[1] + ttf)
         return out
 
-    def topk(self, q, scorers, k, mode):
-        return [(p, *s.topk(q, scorers, k, mode)) for p, s in self.searchers.items()]
+    def topk(self, q, scorers, k, mode, parts=None):
+        items = self.searchers.items()
+        if parts is not None:
+            allowed = set(parts)
+            items = [(p, s) for p, s in items if p in allowed]
+        return [(p, *s.topk(q, scorers, k, mode)) for p, s in items]

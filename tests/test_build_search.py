@@ -315,3 +315,39 @@ def test_salted_build_same_results(built_index, ray_session, tmp_path_factory):
         r1 = e1.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
         r2 = e2.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
         assert [(r["url"], r["score"]) for r in r1] == [(r["url"], r["score"]) for r in r2]
+
+
+def test_can_match_bloom_pruning(ray_session, tmp_path):
+    """CanMatchPreFilterSearchPhase analog: partitions whose term bloom
+    excludes every query term are never opened."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files with DISJOINT vocabularies → two partitions
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        {"id": range(50), "text": ["alpha beta gamma"] * 50}), preserve_index=False),
+        src / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        {"id": range(50, 100), "text": ["delta epsilon zeta"] * 50}), preserve_index=False),
+        src / "b.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, IndexSpec(use_html=False, text_column="text",
+                                          doc_columns=("id",), files_per_partition=1),
+                concurrency=2)
+    eng = QueryEngine(idx, dtype="float64")
+    assert eng.can_match_parts(["alpha"]) == [0]
+    assert eng.can_match_parts(["zeta"]) == [1]
+    assert set(eng.can_match_parts(["alpha", "zeta"])) == {0, 1}
+    assert eng.can_match_parts(["nosuchterm"]) == []
+    hits = eng.search(MatchQuery("alpha"), k=100, fetch=("id",))
+    assert hits.num_rows == 50
+    # partition 1 was never opened for this query (stats + topk both pruned)
+    assert 1 not in eng._searchers
+    # and a cross-partition query still sees both
+    both = eng.search(MatchQuery("alpha zeta"), k=200, fetch=("id",))
+    assert both.num_rows == 100
