@@ -341,12 +341,178 @@ def _concat_list_groups(col, starts, ends) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array((new_offs - lo).astype(np.int32)), vals)
 
 
+def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
+                         shards: list[dict], spec: IndexSpec) -> dict:
+    """Spill path of merge_part: k-way HEAP merge over the term-sorted run
+    files with bounded memory — postings.bin and positions.parquet are
+    appended incrementally; only the (small) term dictionary, norms column
+    and per-run read buffers are resident. Produces the identical segment
+    (postings.bin / terms.parquet byte-identical; docs/positions logically
+    identical, parquet row-group layout may differ). Used when a partition's
+    run bytes exceed ``spec.merge_spill_bytes``."""
+    import heapq
+
+    t0 = time.time()
+    pdir = part_dir(index_dir, part)
+    with_pos = spec.store_positions
+
+    # docs: stream docruns through a ParquetWriter; keep only norm/doclen
+    ddir = os.path.join(pdir, "docruns")
+    docrun_files = sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []
+    norms_l, doclen_l = [], []
+    docs_tmp = os.path.join(pdir, "docs.parquet.tmp")
+    writer = None
+    for f in docrun_files:
+        t = pq.read_table(os.path.join(ddir, f))
+        if writer is None:
+            writer = pq.ParquetWriter(docs_tmp, t.schema)
+        writer.write_table(t)
+        norms_l.append(t["norm"].to_numpy())
+        doclen_l.append(t["doclen"].to_numpy())
+    if writer is not None:
+        writer.close()
+        os.replace(docs_tmp, os.path.join(pdir, "docs.parquet"))
+    norms_np = np.concatenate(norms_l) if norms_l else np.empty(0, np.uint8)
+    doclen_np = np.concatenate(doclen_l) if doclen_l else np.empty(0, np.int64)
+
+    cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
+        ["pos_flat", "pos_lens"] if with_pos else []
+    )
+
+    def run_rows(path):
+        pf = pq.ParquetFile(path)
+        for b in pf.iter_batches(batch_size=1024, columns=cols):
+            rows = b.to_pylist()
+            yield from rows
+
+    # k-way merge on (term, first_doc); runs are sorted by construction
+    iters = [run_rows(p) for p in run_paths]
+    heap = []
+    for ri, it in enumerate(iters):
+        row = next(it, None)
+        if row is not None:
+            heapq.heappush(heap, (row["term"], row["first_doc"], ri, row))
+
+    final_terms: list[str] = []
+    final_df: list[int] = []
+    final_ttf: list[int] = []
+    offs_l: list[int] = []
+    lens_l: list[int] = []
+    pos_writer = None
+    pos_buf: list[dict] = []
+    n_multi = 0
+    group: list[dict] = []
+    off = 0
+
+    postings_tmp = os.path.join(pdir, "postings.bin.tmp")
+    pos_tmp = os.path.join(pdir, "positions.parquet.tmp")
+    pos_schema = pa.schema(
+        [("pos_flat", pa.list_(pa.int32())), ("pos_lens", pa.list_(pa.int32()))]
+    )
+
+    def flush_pos():
+        nonlocal pos_writer, pos_buf
+        if not pos_buf:
+            return
+        tbl = pa.Table.from_pylist(pos_buf, schema=pos_schema)
+        if pos_writer is None:
+            pos_writer = pq.ParquetWriter(pos_tmp, pos_schema)
+        pos_writer.write_table(tbl)
+        pos_buf = []
+
+    with open(postings_tmp, "wb") as pf_out:
+
+        def finalize_group():
+            nonlocal off, n_multi
+            if not group:
+                return
+            term = group[0]["term"]
+            if len(group) == 1:
+                blob = group[0]["blob"]
+            else:
+                n_multi += 1
+                blob = reencode_canonical([g["blob"] for g in group], norms_np)
+            final_terms.append(term)
+            final_df.append(sum(g["df"] for g in group))
+            final_ttf.append(sum(g["total_tf"] for g in group))
+            offs_l.append(off)
+            lens_l.append(len(blob))
+            pf_out.write(blob)
+            off += len(blob)
+            if with_pos:
+                pos_buf.append(
+                    {
+                        "pos_flat": [p for g in group for p in g["pos_flat"]],
+                        "pos_lens": [p for g in group for p in g["pos_lens"]],
+                    }
+                )
+                if len(pos_buf) >= 1024:
+                    flush_pos()
+
+        while heap:
+            term, _fd, ri, row = heapq.heappop(heap)
+            if group and term != group[0]["term"]:
+                finalize_group()
+                group = []
+            group.append(row)
+            nxt = next(iters[ri], None)
+            if nxt is not None:
+                heapq.heappush(heap, (nxt["term"], nxt["first_doc"], ri, nxt))
+        finalize_group()
+    flush_pos()
+    if with_pos:
+        if pos_writer is None:
+            pos_writer = pq.ParquetWriter(pos_tmp, pos_schema)
+        pos_writer.close()
+        os.replace(pos_tmp, os.path.join(pdir, "positions.parquet"))
+    os.replace(postings_tmp, os.path.join(pdir, "postings.bin"))
+
+    atomic_write_table(
+        pa.table(
+            {
+                "term": pa.array(final_terms, pa.string()),
+                "df": pa.array(final_df, pa.int64()),
+                "total_tf": pa.array(final_ttf, pa.int64()),
+                "off": pa.array(offs_l, pa.int64()),
+                "len": pa.array(lens_l, pa.int64()),
+            }
+        ),
+        os.path.join(pdir, "terms.parquet"),
+    )
+    bloom_bits = write_term_bloom(pdir, final_terms)
+    manifest = {
+        "format": FORMAT_VERSION,
+        "part": part,
+        "input_path": [s["path"] for s in shards],
+        "input_rows": int(sum(s["rows"] for s in shards)),
+        "base_doc_id": int(shards[0]["part_base"]),
+        "n_docs": int(len(norms_np)),
+        "sum_dl": int(doclen_np.sum()),
+        "n_terms": len(final_terms),
+        "bloom_bits": int(bloom_bits),
+        "multi_chunk_terms": int(n_multi),
+        "runs_merged": len(run_paths),
+        "streaming_merge": True,
+        "postings_bytes": int(os.path.getsize(os.path.join(pdir, "postings.bin"))),
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+    shutil.rmtree(os.path.join(pdir, "runs"), ignore_errors=True)
+    shutil.rmtree(os.path.join(pdir, "docruns"), ignore_errors=True)
+    atomic_write_json(manifest_path(index_dir, part), manifest)
+    return manifest
+
+
 def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dict],
                spec: IndexSpec) -> dict:
     """Combine one partition's chunk runs into the final canonical segment:
     docruns → docs.parquet; per term, single-chunk blobs pass through
     byte-identical, multi-chunk terms re-encode canonically (so segment bytes
-    are independent of shuffle batching)."""
+    are independent of shuffle batching). Falls back to the bounded-memory
+    ``merge_part_streaming`` when the partition's run bytes exceed
+    ``spec.merge_spill_bytes``."""
+    run_bytes = sum(os.path.getsize(p) for p in run_paths) if run_paths else 0
+    if run_bytes > spec.merge_spill_bytes:
+        return merge_part_streaming(index_dir, part, run_paths, shards, spec)
     t0 = time.time()
     pdir = part_dir(index_dir, part)
     with_pos = spec.store_positions

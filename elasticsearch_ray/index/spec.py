@@ -33,6 +33,9 @@ class IndexSpec:
     # partition = this many contiguous input files (segment sizing; caps any
     # merge reducer's work and the per-partition memory footprint)
     files_per_partition: int = 8
+    # partitions whose run files exceed this switch to the bounded-memory
+    # streaming k-way merge (spill path)
+    merge_spill_bytes: int = 1 << 30
 
     def to_dict(self) -> dict:
         d = asdict(self)

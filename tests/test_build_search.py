@@ -351,3 +351,37 @@ def test_can_match_bloom_pruning(ray_session, tmp_path):
     # and a cross-partition query still sees both
     both = eng.search(MatchQuery("alpha zeta"), k=200, fetch=("id",))
     assert both.num_rows == 100
+
+
+def test_streaming_merge_identical_output(built_index, ray_session, tmp_path_factory):
+    """merge_spill_bytes=0 forces the bounded-memory k-way merge; postings.bin
+    and terms.parquet must be BYTE-identical to the in-memory path, docs and
+    positions logically identical, and searches equal."""
+    import json
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus, idx, meta = built_index
+    idx2 = str(tmp_path_factory.mktemp("spill") / "index")
+    build_index(corpus, idx2,
+                IndexSpec(files_per_partition=1, merge_spill_bytes=0), concurrency=2)
+    for p in range(meta["num_parts"]):
+        pd_a = os.path.join(idx, "parts", f"part={p:05d}")
+        pd_b = os.path.join(idx2, "parts", f"part={p:05d}")
+        with open(os.path.join(pd_b, "manifest.json")) as f:
+            assert json.load(f)["streaming_merge"] is True
+        for fname in ("postings.bin", "terms.parquet"):
+            a = open(os.path.join(pd_a, fname), "rb").read()
+            b = open(os.path.join(pd_b, fname), "rb").read()
+            assert a == b, (p, fname)
+        for fname in ("docs.parquet", "positions.parquet"):
+            ta = pq.read_table(os.path.join(pd_a, fname))
+            tb = pq.read_table(os.path.join(pd_b, fname))
+            assert ta.equals(tb), (p, fname)
+    e1 = QueryEngine(idx, dtype="float64")
+    e2 = QueryEngine(idx2, dtype="float64")
+    for q in (MatchQuery("spark join merge"), MatchPhraseQuery("batch batch")):
+        a = e1.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
+        b = e2.search(q, k=20, mode="exhaustive", fetch=("url",)).to_pylist()
+        assert [(r["url"], r["score"]) for r in a] == [(r["url"], r["score"]) for r in b]
