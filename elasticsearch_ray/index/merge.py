@@ -140,6 +140,14 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         np.cumsum(lens[:-1], out=offs[1:])
     new_part = group[0]
     pd0 = part_dir(index_dir, new_part)
+    # Crash safety: each file write below is individually atomic, but the SET
+    # of files is not — a crash mid-way would leave group[0]'s old manifest
+    # validating a mix of old/new files (e.g. old term offsets into new
+    # postings bytes). Invalidate the manifest FIRST so resume treats the
+    # partition as incomplete until the new manifest lands last.
+    mpath = manifest_path(index_dir, new_part)
+    if os.path.exists(mpath):
+        os.remove(mpath)
     atomic_write_bytes(b"".join(final_blobs), os.path.join(pd0, "postings.bin"))
     atomic_write_table(
         pa.table(

@@ -397,14 +397,14 @@ class PartitionSearcher:
             if base_docs is None:
                 base_docs, base_scores = d, s.astype(np.float64)
             else:
-                base_docs, (base_scores, s2) = _intersect(base_docs, d, base_scores, s)
+                base_docs, (base_scores, s2) = _intersect(base_docs, d, (base_scores,), (s,))
                 base_scores = base_scores + s2
         for clause in q.filter:
             d = self._eval_filter(clause, scorers)
             if base_docs is None:
                 base_docs, base_scores = d, np.zeros(len(d), dtype=np.float64)
             else:
-                base_docs, (base_scores,) = _intersect(base_docs, d, base_scores)
+                base_docs, (base_scores,) = _intersect(base_docs, d, (base_scores,))
         if q.should:
             sd, ss, scounts = [], [], None
             per_clause = [
@@ -413,14 +413,24 @@ class PartitionSearcher:
             docs_u, scores_u, counts = combine_sum(
                 [d for d, _ in per_clause], [s for _, s in per_clause], np.float64
             )
-            msm = q.minimum_should_match
-            if msm is None:
+            explicit = q.minimum_should_match is not None
+            if explicit:
+                msm = _min_should_match(q.minimum_should_match, len(q.should))
+            else:
                 msm = 0 if (q.must or q.filter) else 1
             if msm > 0:
                 keep = counts >= msm
                 docs_u, scores_u = docs_u[keep], scores_u[keep]
             if base_docs is None:
                 base_docs, base_scores = docs_u, scores_u
+            elif explicit and msm > 0:
+                # explicit msm is a HARD constraint even with must/filter
+                # present (BooleanQuery semantics): candidates must satisfy
+                # >= msm should clauses.
+                base_docs, (base_scores, s_add) = _intersect(
+                    base_docs, docs_u, (base_scores,), (scores_u,)
+                )
+                base_scores = base_scores + s_add
             else:
                 # optional should: add scores where overlapping
                 pos = np.searchsorted(docs_u, base_docs)
@@ -437,25 +447,37 @@ class PartitionSearcher:
             base_docs, base_scores = base_docs[keep], base_scores[keep]
         return base_docs, (base_scores * q.boost).astype(dtype)
 
-    def topk(self, q: Query, scorers, k: int, mode: str = "bmw"):
+    def topk(self, q: Query, scorers, k: int, mode: str = "bmw",
+             search_after: tuple | None = None, part: int = -1):
+        """Per-partition top-k. When a ``search_after`` cursor
+        (score, part, local) is given it is applied BEFORE the top-k cut
+        (SearchAfterBuilder semantics): hits beyond the local top-k must stay
+        reachable on later pages, so the cursor forces exhaustive evaluation
+        (BMW's threshold prunes exactly the below-cursor region we need)."""
+        if search_after is not None:
+            mode = "exhaustive"
         docs, scores = self._eval_scoring(q, scorers, k=k, mode=mode)
+        if search_after is not None:
+            ca_s, ca_p, ca_l = search_after
+            keep = (scores < ca_s) | (
+                (scores == ca_s) & ((part > ca_p) | ((part == ca_p) & (docs > ca_l)))
+            )
+            docs, scores = docs[keep], scores[keep]
         return topk_select(docs, scores, k)
 
 
-def _intersect(a: np.ndarray, b: np.ndarray, *score_arrays):
+def _intersect(a: np.ndarray, b: np.ndarray, a_scores: tuple = (), b_scores: tuple = ()):
     """Intersect sorted unique doc arrays; returns (docs, remapped scores).
-    score_arrays aligned with `a` are remapped; a score array aligned with `b`
-    may be passed as the last element — detected by length."""
+    Alignment is EXPLICIT: arrays in ``a_scores`` are aligned with `a`, arrays
+    in ``b_scores`` with `b` (a length heuristic silently mis-aligned scores
+    whenever both sides matched the same number of docs). The returned tuple
+    is a_scores' remaps followed by b_scores'."""
     pos = np.searchsorted(b, a)
     pos_c = np.clip(pos, 0, max(len(b) - 1, 0))
     hit = (b[pos_c] == a) if len(b) else np.zeros(len(a), bool)
     docs = a[hit]
-    out = []
-    for s in score_arrays:
-        if len(s) == len(a):
-            out.append(np.asarray(s, np.float64)[hit])
-        else:  # aligned with b
-            out.append(np.asarray(s, np.float64)[pos_c[hit]])
+    out = [np.asarray(s, np.float64)[hit] for s in a_scores]
+    out += [np.asarray(s, np.float64)[pos_c[hit]] for s in b_scores]
     return docs, tuple(out)
 
 
@@ -756,21 +778,14 @@ class QueryEngine:
             import ray
 
             cand_set = set(cand)
-            results = ray.get([a.topk.remote(q, scorers, k, mode, list(cand_set))
+            results = ray.get([a.topk.remote(q, scorers, k, mode, list(cand_set), search_after)
                                for a in self._actors])
             results = [r for group in results for r in group]
         else:
-            results = [(p, *self._searcher(p).topk(q, scorers, k, mode)) for p in cand]
+            results = [(p, *self._searcher(p).topk(q, scorers, k, mode, search_after, p))
+                       for p in cand]
         if min_score is not None:
             results = [(p, d[s >= min_score], s[s >= min_score]) for p, d, s in results]
-        if search_after is not None:
-            # cursor = (score, part, local): keep strictly-after hits
-            ca_s, ca_p, ca_l = search_after
-            filtered = []
-            for p, d, s in results:
-                keep = (s < ca_s) | ((s == ca_s) & ((p > ca_p) | ((p == ca_p) & (d > ca_l))))
-                filtered.append((p, d[keep], s[keep]))
-            results = filtered
         parts_l, docs_l, scores_l = [], [], []
         for p, d, s in results:
             parts_l.append(np.full(len(d), p, dtype=np.int64))
@@ -1032,9 +1047,9 @@ class SearcherActor:
                 out[t] = (prev[0] + d, prev[1] + ttf)
         return out
 
-    def topk(self, q, scorers, k, mode, parts=None):
+    def topk(self, q, scorers, k, mode, parts=None, search_after=None):
         items = self.searchers.items()
         if parts is not None:
             allowed = set(parts)
             items = [(p, s) for p, s in items if p in allowed]
-        return [(p, *s.topk(q, scorers, k, mode)) for p, s in items]
+        return [(p, *s.topk(q, scorers, k, mode, search_after, p)) for p, s in items]

@@ -83,9 +83,16 @@ class TermCursor:
 
     def block_max_scores(self) -> np.ndarray:
         h = self.headers
-        return np.asarray(
-            self.scorer.max_score(h["max_tf"].astype(np.int64), h["min_norm"]), dtype=np.float64
-        )
+        mt = h["max_tf"].astype(np.int64)
+        s = np.asarray(self.scorer.max_score(mt, h["min_norm"]), dtype=np.float64)
+        # max_tf is a u16 header field clamped at 0xFFFF; a block whose true
+        # max tf exceeds that would get an UNDER-estimated bound and could be
+        # wrongly pruned. Treat 0xFFFF as a saturation sentinel and fall back
+        # to the tf→∞ limit (scorer weight), a valid upper bound.
+        sat = mt == 0xFFFF
+        if sat.any():
+            s[sat] = float(self.scorer.weight)
+        return s
 
 
 def accumulate_dense(d_arrays, s_arrays, base: int, length: int, dtype=np.float32,

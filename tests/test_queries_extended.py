@@ -8,6 +8,7 @@ import pytest
 
 from elasticsearch_ray.index.spec import IndexSpec
 from elasticsearch_ray.search.query import (
+    BoolQuery,
     BoostingQuery,
     ConstantScoreQuery,
     DisMaxQuery,
@@ -197,3 +198,26 @@ def test_terms_lookup(docs_engine):
     got = _hits(eng, TermsLookupQuery(doc_id=0))
     want = {d for d, toks in docs.items() if set(toks) & set(docs[0])}
     assert got == want and 0 in got
+
+
+def test_bool_explicit_msm_is_hard_constraint(docs_engine):
+    """ADVICE: explicit minimum_should_match with must present must EXCLUDE
+    docs matching too few should clauses (BooleanQuery semantics)."""
+    from collections import Counter
+
+    eng, docs = docs_engine
+    cnt = Counter(t for toks in docs.values() for t in set(toks))
+    common = cnt.most_common(1)[0][0]
+    # the two rarest tokens (small vocab corpus): their union must not cover
+    # every doc containing the must term, so the constraint has teeth
+    a, b = [t for t, _c in sorted(cnt.items(), key=lambda kv: kv[1]) if t != common][:2]
+    q = BoolQuery(must=(TermQuery(common),), should=(TermQuery(a), TermQuery(b)),
+                  minimum_should_match=1)
+    want = {d for d, toks in docs.items() if common in toks and (a in toks or b in toks)}
+    assert _hits(eng, q) == want
+    # sanity: the constraint actually excludes something, and implicit msm
+    # (None) keeps should optional when must is present
+    base = {d for d, toks in docs.items() if common in toks}
+    assert want < base
+    q2 = BoolQuery(must=(TermQuery(common),), should=(TermQuery(a), TermQuery(b)))
+    assert _hits(eng, q2) == base

@@ -142,3 +142,22 @@ def test_match_phrase_prefix(web_engine):
     exact_set = {(r["part"], r["local"]) for r in exact.to_pylist()}
     pre_set = {(r["part"], r["local"]) for r in pre.to_pylist()}
     assert exact_set <= pre_set and exact_set
+
+
+def test_search_after_score_deep_pagination(web_engine):
+    """ADVICE: score-mode search_after must reach hits beyond each
+    partition's local top-k — chain small pages and compare to one big page."""
+    from elasticsearch_ray.search.query import MatchQuery as MQ
+
+    q = MQ("spark join")
+    full = web_engine.search(q, k=60, fetch=("url",))
+    urls, cursor = [], None
+    for _ in range(12):
+        t = web_engine.search(q, k=5, fetch=("url",), search_after=cursor)
+        if len(t) == 0:
+            break
+        urls.extend(t["url"].to_pylist())
+        r = t.to_pylist()[-1]
+        cursor = (r["score"], r["part"], r["local"])
+    assert len(urls) >= 20
+    assert urls == full["url"].to_pylist()[: len(urls)]
