@@ -20,7 +20,7 @@ Pipeline (SURVEY §3.1, with an explicit map-side combine):
     → per-partition MergeParts task: k-way combines each term's chunks
       (single-chunk blobs pass through; multi-chunk re-encoded canonically),
       concatenates doc runs → docs.parquet, writes terms.parquet /
-      postings.bin / positions.parquet / manifest.json (completion marker)
+      postings.bin / positions.bin / manifest.json (completion marker)
     → index_meta.json (global stats: N, sum_dl)
 
 Skew handling (north rule): a head term's postings arrive as bounded chunks
@@ -147,7 +147,7 @@ class TokenizeShard:
     def _empty(self) -> pa.Table:
         fields = list(CHUNK_SCHEMA)
         if self.spec.store_positions:
-            fields += [("pos_flat", pa.list_(pa.int32())), ("pos_lens", pa.list_(pa.int32()))]
+            fields += [("pos_flat", pa.list_(pa.int32()))]
         return pa.table({k: pa.array([], t) for k, t in fields})
 
     def _one_shard(self, shard: dict) -> pa.Table:
@@ -236,7 +236,6 @@ class TokenizeShard:
         firsts: list[int] = []
         salts: list[int] = []
         pos_flat_out: list[np.ndarray] = []
-        pos_lens_out: list[np.ndarray] = []
         with_pos = spec.store_positions
         vocab_list = vocab.to_pylist()
         norm_of_local = np.zeros(local_base + n_docs, dtype=np.uint8)
@@ -269,7 +268,6 @@ class TokenizeShard:
                 if with_pos:
                     lo, hi = starts[lo_g], ends[hi_g - 1]
                     pos_flat_out.append(poss_s[lo:hi])
-                    pos_lens_out.append(t.astype(np.int32))
 
         data = {
             "part": pa.array(np.full(len(terms_out), part, dtype=np.int32)),
@@ -282,7 +280,6 @@ class TokenizeShard:
         }
         if with_pos:
             data["pos_flat"] = _list_of(pos_flat_out)
-            data["pos_lens"] = _list_of(pos_lens_out)
         return pa.table(data)
 
 
@@ -328,23 +325,10 @@ class RouteChunks:
         )
 
 
-def _concat_list_groups(col, starts, ends) -> pa.ListArray:
-    """Concatenate consecutive list rows [starts[i], ends[i]) into one list row
-    per group — offsets arithmetic only, values buffer untouched."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    new_offs = np.empty(len(starts) + 1, dtype=np.int64)
-    new_offs[0] = offs[starts[0]] if len(starts) else 0
-    new_offs[1:] = offs[ends]
-    lo, hi = int(new_offs[0]), int(new_offs[-1])
-    vals = arr.values.slice(lo, hi - lo)
-    return pa.ListArray.from_arrays(pa.array((new_offs - lo).astype(np.int32)), vals)
-
-
 def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
                          shards: list[dict], spec: IndexSpec) -> dict:
     """Spill path of merge_part: k-way HEAP merge over the term-sorted run
-    files with bounded memory — postings.bin and positions.parquet are
+    files with bounded memory — postings.bin and positions.bin are
     appended incrementally; only the (small) term dictionary, norms column
     and per-run read buffers are resident. Produces the identical segment
     (postings.bin / terms.parquet byte-identical; docs/positions logically
@@ -376,7 +360,7 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
     doclen_np = np.concatenate(doclen_l) if doclen_l else np.empty(0, np.int64)
 
     cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
-        ["pos_flat", "pos_lens"] if with_pos else []
+        ["pos_flat"] if with_pos else []
     )
 
     def run_rows(path):
@@ -398,32 +382,21 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
     final_ttf: list[int] = []
     offs_l: list[int] = []
     lens_l: list[int] = []
-    pos_writer = None
-    pos_buf: list[dict] = []
+    pos_offs_l: list[int] = []
+    pos_lens_l: list[int] = []
     n_multi = 0
     group: list[dict] = []
     off = 0
+    pos_off = 0
 
     postings_tmp = os.path.join(pdir, "postings.bin.tmp")
-    pos_tmp = os.path.join(pdir, "positions.parquet.tmp")
-    pos_schema = pa.schema(
-        [("pos_flat", pa.list_(pa.int32())), ("pos_lens", pa.list_(pa.int32()))]
-    )
+    pos_tmp = os.path.join(pdir, "positions.bin.tmp")
 
-    def flush_pos():
-        nonlocal pos_writer, pos_buf
-        if not pos_buf:
-            return
-        tbl = pa.Table.from_pylist(pos_buf, schema=pos_schema)
-        if pos_writer is None:
-            pos_writer = pq.ParquetWriter(pos_tmp, pos_schema)
-        pos_writer.write_table(tbl)
-        pos_buf = []
-
+    pos_out = open(pos_tmp, "wb") if with_pos else None
     with open(postings_tmp, "wb") as pf_out:
 
         def finalize_group():
-            nonlocal off, n_multi
+            nonlocal off, pos_off, n_multi
             if not group:
                 return
             term = group[0]["term"]
@@ -440,14 +413,16 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
             pf_out.write(blob)
             off += len(blob)
             if with_pos:
-                pos_buf.append(
-                    {
-                        "pos_flat": [p for g in group for p in g["pos_flat"]],
-                        "pos_lens": [p for g in group for p in g["pos_lens"]],
-                    }
+                # group order = (term, first_doc) = doc order (chunk doc
+                # ranges are disjoint) — same invariant reencode relies on
+                flat = np.concatenate(
+                    [np.asarray(g["pos_flat"], dtype="<i4") for g in group]
                 )
-                if len(pos_buf) >= 1024:
-                    flush_pos()
+                b = flat.tobytes()
+                pos_offs_l.append(pos_off)
+                pos_lens_l.append(len(b))
+                pos_out.write(b)
+                pos_off += len(b)
 
         while heap:
             term, _fd, ri, row = heapq.heappop(heap)
@@ -459,26 +434,22 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
             if nxt is not None:
                 heapq.heappush(heap, (nxt["term"], nxt["first_doc"], ri, nxt))
         finalize_group()
-    flush_pos()
-    if with_pos:
-        if pos_writer is None:
-            pos_writer = pq.ParquetWriter(pos_tmp, pos_schema)
-        pos_writer.close()
-        os.replace(pos_tmp, os.path.join(pdir, "positions.parquet"))
+    if pos_out is not None:
+        pos_out.close()
+        os.replace(pos_tmp, os.path.join(pdir, "positions.bin"))
     os.replace(postings_tmp, os.path.join(pdir, "postings.bin"))
 
-    atomic_write_table(
-        pa.table(
-            {
-                "term": pa.array(final_terms, pa.string()),
-                "df": pa.array(final_df, pa.int64()),
-                "total_tf": pa.array(final_ttf, pa.int64()),
-                "off": pa.array(offs_l, pa.int64()),
-                "len": pa.array(lens_l, pa.int64()),
-            }
-        ),
-        os.path.join(pdir, "terms.parquet"),
-    )
+    tcols = {
+        "term": pa.array(final_terms, pa.string()),
+        "df": pa.array(final_df, pa.int64()),
+        "total_tf": pa.array(final_ttf, pa.int64()),
+        "off": pa.array(offs_l, pa.int64()),
+        "len": pa.array(lens_l, pa.int64()),
+    }
+    if with_pos:
+        tcols["pos_off"] = pa.array(pos_offs_l, pa.int64())
+        tcols["pos_len"] = pa.array(pos_lens_l, pa.int64())
+    atomic_write_table(pa.table(tcols), os.path.join(pdir, "terms.parquet"))
     bloom_bits = write_term_bloom(pdir, final_terms)
     manifest = {
         "format": FORMAT_VERSION,
@@ -525,7 +496,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
     doclen_np = docs_tbl["doclen"].to_numpy()
 
     cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
-        ["pos_flat", "pos_lens"] if with_pos else []
+        ["pos_flat"] if with_pos else []
     )
     tables = [pq.read_table(p, columns=cols) for p in run_paths]
     runs = pa.concat_tables(tables) if tables else None
@@ -569,13 +540,22 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
             "len": pa.array(lens),
         }
         if with_pos:
-            pos_tbl = pa.table(
-                {
-                    "pos_flat": _concat_list_groups(runs["pos_flat"], starts, ends),
-                    "pos_lens": _concat_list_groups(runs["pos_lens"], starts, ends),
-                }
+            # runs are sorted by (term, first_doc); within a term, chunk doc
+            # ranges are disjoint and ordered, so the pos_flat values buffer
+            # in row order IS the per-term doc-order flat positions stream —
+            # positions.bin is one contiguous write, offsets are arithmetic.
+            plist = runs["pos_flat"].combine_chunks()
+            el_offs = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base_el = int(el_offs[0])
+            vals = plist.values.to_numpy(zero_copy_only=False)
+            atomic_write_bytes(
+                np.ascontiguousarray(
+                    vals[base_el : int(el_offs[-1])], dtype="<i4"
+                ).tobytes(),
+                os.path.join(pdir, "positions.bin"),
             )
-            atomic_write_table(pos_tbl, os.path.join(pdir, "positions.parquet"))
+            tcols["pos_off"] = pa.array((el_offs[starts] - base_el) * 4)
+            tcols["pos_len"] = pa.array((el_offs[ends] - el_offs[starts]) * 4)
         atomic_write_table(pa.table(tcols), os.path.join(pdir, "terms.parquet"))
         bloom_bits = write_term_bloom(pdir, final_terms)
         n_terms = len(final_terms)
@@ -589,15 +569,9 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
             "len": pa.array([], pa.int64()),
         }
         if with_pos:
-            atomic_write_table(
-                pa.table(
-                    {
-                        "pos_flat": pa.array([], pa.list_(pa.int32())),
-                        "pos_lens": pa.array([], pa.list_(pa.int32())),
-                    }
-                ),
-                os.path.join(pdir, "positions.parquet"),
-            )
+            atomic_write_bytes(b"", os.path.join(pdir, "positions.bin"))
+            tcols["pos_off"] = pa.array([], pa.int64())
+            tcols["pos_len"] = pa.array([], pa.int64())
         atomic_write_table(pa.table(tcols), os.path.join(pdir, "terms.parquet"))
         bloom_bits = write_term_bloom(pdir, [])
         n_terms = 0

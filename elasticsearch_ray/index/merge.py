@@ -81,9 +81,9 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
     new_docs = pa.concat_tables(docs_tables)
     norms_np = new_docs["norm"].to_numpy()
 
-    with_pos = all(os.path.exists(os.path.join(pd, "positions.parquet")) for pd in pdirs)
+    with_pos = all(os.path.exists(os.path.join(pd, "positions.bin")) for pd in pdirs)
     rows = []  # (term, src_idx, term_row)
-    terms_tbls, blobs, pos_tbls, offsets = [], [], [], []
+    terms_tbls, blobs, pos_bins, offsets = [], [], [], []
     for si, (pd, m) in enumerate(zip(pdirs, manifests)):
         t = pq.read_table(os.path.join(pd, "terms.parquet"))
         terms_tbls.append(t)
@@ -91,7 +91,10 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         with open(pb, "rb") as f:
             blobs.append(f.read())
         if with_pos:
-            pos_tbls.append(pq.read_table(os.path.join(pd, "positions.parquet")))
+            pbin = os.path.join(pd, "positions.bin")
+            pos_bins.append(
+                np.fromfile(pbin, dtype="<i4") if os.path.getsize(pbin) else np.empty(0, "<i4")
+            )
         offsets.append(m["base_doc_id"] - new_base)
         for ri, term in enumerate(t["term"].to_pylist()):
             rows.append((term, si, ri))
@@ -102,14 +105,13 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
     final_ttf: list[int] = []
     final_blobs: list[bytes] = []
     pos_flat_out: list[np.ndarray] = []
-    pos_lens_out: list[np.ndarray] = []
     i = 0
     while i < len(rows):
         j = i
         term = rows[i][0]
         while j < len(rows) and rows[j][0] == term:
             j += 1
-        d_arr, t_arr, pf_arr, pl_arr = [], [], [], []
+        d_arr, t_arr, pf_arr = [], [], []
         df = ttf = 0
         for _, si, ri in rows[i:j]:  # sources in part order → doc order
             tt = terms_tbls[si]
@@ -120,9 +122,9 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
             df += int(tt["df"][ri].as_py())
             ttf += int(tt["total_tf"][ri].as_py())
             if with_pos:
-                sl = pos_tbls[si].slice(ri, 1)
-                pf_arr.append(sl["pos_flat"].combine_chunks().flatten().to_numpy(zero_copy_only=False))
-                pl_arr.append(sl["pos_lens"].combine_chunks().flatten().to_numpy(zero_copy_only=False))
+                po = int(tt["pos_off"][ri].as_py()) // 4
+                pn = int(tt["pos_len"][ri].as_py()) // 4
+                pf_arr.append(pos_bins[si][po : po + pn])
         docs = np.concatenate(d_arr)
         tfs = np.concatenate(t_arr)
         final_terms.append(term)
@@ -131,7 +133,6 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         final_blobs.append(encode_postings(docs, tfs, norms_np[docs]))
         if with_pos:
             pos_flat_out.append(np.concatenate(pf_arr) if pf_arr else np.empty(0, np.int32))
-            pos_lens_out.append(np.concatenate(pl_arr) if pl_arr else np.empty(0, np.int32))
         i = j
 
     lens = np.array([len(b) for b in final_blobs], dtype=np.int64)
@@ -149,30 +150,27 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
     if os.path.exists(mpath):
         os.remove(mpath)
     atomic_write_bytes(b"".join(final_blobs), os.path.join(pd0, "postings.bin"))
-    atomic_write_table(
-        pa.table(
-            {
-                "term": pa.array(final_terms, pa.string()),
-                "df": pa.array(final_df, pa.int64()),
-                "total_tf": pa.array(final_ttf, pa.int64()),
-                "off": pa.array(offs),
-                "len": pa.array(lens),
-            }
-        ),
-        os.path.join(pd0, "terms.parquet"),
-    )
+    tcols = {
+        "term": pa.array(final_terms, pa.string()),
+        "df": pa.array(final_df, pa.int64()),
+        "total_tf": pa.array(final_ttf, pa.int64()),
+        "off": pa.array(offs),
+        "len": pa.array(lens),
+    }
     if with_pos:
-        def mk_list(arrs):
-            lens2 = np.array([len(a) for a in arrs], dtype=np.int32)
-            o = np.zeros(len(arrs) + 1, dtype=np.int32)
-            np.cumsum(lens2, out=o[1:])
-            vals = np.concatenate(arrs) if arrs else np.empty(0, np.int32)
-            return pa.ListArray.from_arrays(pa.array(o), pa.array(vals.astype(np.int32), pa.int32()))
-
-        atomic_write_table(
-            pa.table({"pos_flat": mk_list(pos_flat_out), "pos_lens": mk_list(pos_lens_out)}),
-            os.path.join(pd0, "positions.parquet"),
+        plens = np.array([len(a) * 4 for a in pos_flat_out], dtype=np.int64)
+        poffs = np.zeros(len(plens), dtype=np.int64)
+        if len(plens):
+            np.cumsum(plens[:-1], out=poffs[1:])
+        vals = (
+            np.concatenate(pos_flat_out).astype("<i4", copy=False)
+            if pos_flat_out
+            else np.empty(0, "<i4")
         )
+        atomic_write_bytes(vals.tobytes(), os.path.join(pd0, "positions.bin"))
+        tcols["pos_off"] = pa.array(poffs)
+        tcols["pos_len"] = pa.array(plens)
+    atomic_write_table(pa.table(tcols), os.path.join(pd0, "terms.parquet"))
     atomic_write_table(new_docs, os.path.join(pd0, "docs.parquet"))
     bloom_bits = write_term_bloom(pd0, final_terms)
     manifest = {

@@ -7,8 +7,13 @@ parts/part=NNNNN/
   terms.parquet      sorted term dictionary: term, df, total_tf, off, len
                      (byte range in postings.bin)
   postings.bin       concatenated per-term posting blobs (postings.py codec)
-  positions.parquet  row i = term row i: pos_flat (list<int32>, all positions
-                     concatenated in doc order), pos_lens (per-doc counts)
+  positions.bin      concatenated per-term flat int32 position arrays in doc
+                     order; terms.parquet carries (pos_off, pos_len) byte
+                     ranges — memory-mapped and range-read per term, exactly
+                     like postings.bin (per-doc counts are NOT stored: they
+                     equal the decoded postings tfs). Replaces the v3
+                     positions.parquet whole-table layout whose first-touch
+                     read was O(segment), not O(term).
   manifest.json      completion marker + lineage + metrics (the commit-point
                      analog of InternalEngine.commitIndexWriter user data,
                      InternalEngine.java:2585-2602)
@@ -29,7 +34,7 @@ import pyarrow.parquet as pq
 PART_FMT = "part={:05d}"
 # Bump when the on-disk segment layout changes: resume logic treats
 # manifests with a different format as incomplete (stale caches rebuilt).
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 # ---- per-partition term Bloom filter (coordinator-side can_match pruning,
@@ -131,14 +136,22 @@ class SegmentReader:
         self.total_tf = t["total_tf"].to_numpy()
         self.off = t["off"].to_numpy()
         self.len = t["len"].to_numpy()
-        self.has_positions = os.path.exists(os.path.join(pdir, "positions.parquet"))
+        pos_bin = os.path.join(pdir, "positions.bin")
+        self.has_positions = "pos_off" in t.schema.names and os.path.exists(pos_bin)
+        if self.has_positions:
+            self.pos_off = t["pos_off"].to_numpy()
+            self.pos_len = t["pos_len"].to_numpy()
+            self.positions = (
+                np.memmap(pos_bin, dtype="<i4", mode="r")
+                if os.path.getsize(pos_bin)
+                else np.empty(0, np.int32)
+            )
         d = pq.read_table(os.path.join(pdir, "docs.parquet"), columns=["norm", "doclen"])
         self.norms = d["norm"].to_numpy()
         self.n_docs = len(self.norms)
         self.sum_dl = int(self.manifest["sum_dl"])
         pb = os.path.join(pdir, "postings.bin")
         self.postings = np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else b""
-        self._positions_tbl = None
         self._docs_cols: dict[tuple, pa.Table] = {}
 
     def lookup(self, terms: list[str]) -> np.ndarray:
@@ -152,17 +165,15 @@ class SegmentReader:
         o, ln = int(self.off[row]), int(self.len[row])
         return memoryview(self.postings)[o : o + ln]
 
-    def positions_for(self, row: int):
-        """Positions for term row → (pos_flat:int32[], pos_lens:int32[]) in doc
-        order (positions.parquet row i ↔ terms.parquet row i)."""
+    def positions_for(self, row: int) -> np.ndarray:
+        """Flat int32 positions of term row, in doc order — an O(term-bytes)
+        range view into the memmapped positions.bin (per-doc counts = the
+        term's decoded postings tfs)."""
         if not self.has_positions:
             raise ValueError("index built without positions")
-        if self._positions_tbl is None:
-            self._positions_tbl = pq.read_table(os.path.join(self.dir, "positions.parquet"))
-        sl = self._positions_tbl.slice(row, 1)
-        flat = sl["pos_flat"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        lens = sl["pos_lens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        return flat, lens
+        o = int(self.pos_off[row]) // 4
+        n = int(self.pos_len[row]) // 4
+        return self.positions[o : o + n]
 
     def doc_fields(self, locals_: np.ndarray, columns=("url", "doc_id")) -> pa.Table:
         """Fetch-phase lookup of doc metadata for winning local ids; columns

@@ -149,9 +149,9 @@ class PartitionSearcher:
         if slop == 0:
             keys = None
             for ti, i in enumerate(rows):
-                docs, _tfs = decode_postings(self.r.blob(int(i)))
-                flat, lens = self.r.positions_for(int(i))
-                doc_rep = np.repeat(docs, lens)
+                docs, tfs = decode_postings(self.r.blob(int(i)))
+                flat = self.r.positions_for(int(i))
+                doc_rep = np.repeat(docs, tfs)
                 pos = flat.astype(np.int64) - ti
                 ok = pos >= 0
                 k = (doc_rep[ok] << np.int64(32)) | pos[ok]
@@ -166,10 +166,10 @@ class PartitionSearcher:
         per_term = []
         common = None
         for ti, i in enumerate(rows):
-            docs, _tfs = decode_postings(self.r.blob(int(i)))
-            flat, lens = self.r.positions_for(int(i))
-            offs = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
+            docs, tfs = decode_postings(self.r.blob(int(i)))
+            flat = self.r.positions_for(int(i))
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
             per_term.append((docs, flat.astype(np.int64), offs))
             common = docs if common is None else common[np.isin(common, docs, assume_unique=True)]
         if common is None or len(common) == 0:

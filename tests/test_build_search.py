@@ -371,11 +371,11 @@ def test_streaming_merge_identical_output(built_index, ray_session, tmp_path_fac
         pd_b = os.path.join(idx2, "parts", f"part={p:05d}")
         with open(os.path.join(pd_b, "manifest.json")) as f:
             assert json.load(f)["streaming_merge"] is True
-        for fname in ("postings.bin", "terms.parquet"):
+        for fname in ("postings.bin", "terms.parquet", "positions.bin"):
             a = open(os.path.join(pd_a, fname), "rb").read()
             b = open(os.path.join(pd_b, fname), "rb").read()
             assert a == b, (p, fname)
-        for fname in ("docs.parquet", "positions.parquet"):
+        for fname in ("docs.parquet",):
             ta = pq.read_table(os.path.join(pd_a, fname))
             tb = pq.read_table(os.path.join(pd_b, fname))
             assert ta.equals(tb), (p, fname)
