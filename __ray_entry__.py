@@ -138,6 +138,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
 
+    def _doc_set(eng, q):
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def search_span_near_ordered(sf):
+        from elasticsearch_ray.search.query import SpanNearQuery
+
+        return _doc_set(_documents_index(sf),
+                        SpanNearQuery(clauses=("spark", "join"), slop=2, in_order=True))
+
+    def search_span_near_unordered(sf):
+        from elasticsearch_ray.search.query import SpanNearQuery
+
+        return _doc_set(_documents_index(sf),
+                        SpanNearQuery(clauses=("merge", "sort"), slop=1, in_order=False))
+
+    def search_intervals_any_of(sf):
+        from elasticsearch_ray.search.query import IntervalsQuery
+
+        src_ = ("any_of", (("match", "spark join", 2, True),
+                           ("match", "merge sort", 1, False)))
+        return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
+
     def search_prefix_count(sf):
         eng = _documents_index(sf)
         res = eng.search(PrefixQuery("wi"), k=10**9, mode="exhaustive", fetch=())
@@ -608,6 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
         "search_phrase_docs": search_phrase_docs,
+        "search_span_near_ordered": search_span_near_ordered,
+        "search_span_near_unordered": search_span_near_unordered,
+        "search_intervals_any_of": search_intervals_any_of,
         "search_bool_filtered": search_bool_filtered,
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
@@ -857,6 +884,24 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_docs": """
             SELECT doc_id FROM documents
             WHERE (' ' || text || ' ') LIKE '% spark join %'
+            ORDER BY doc_id
+        """,
+        "search_span_near_ordered": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
+            ORDER BY doc_id
+        """,
+        "search_span_near_unordered": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
+               OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
+            ORDER BY doc_id
+        """,
+        "search_intervals_any_of": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
+               OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
+               OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
             ORDER BY doc_id
         """,
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),

@@ -42,6 +42,7 @@ from elasticsearch_ray.search.query import (
     FunctionScoreQuery,
     FuzzyQuery,
     IdsQuery,
+    IntervalsQuery,
     MatchAllQuery,
     MatchPhraseQuery,
     MatchPhrasePrefixQuery,
@@ -51,11 +52,13 @@ from elasticsearch_ray.search.query import (
     Query,
     RangeFilter,
     RegexpQuery,
+    SpanNearQuery,
     TermFilter,
     TermQuery,
     TermsLookupQuery,
     TermsQuery,
     WildcardQuery,
+    intervals_terms,
     query_terms,
 )
 from elasticsearch_ray.search.topk import (
@@ -187,30 +190,93 @@ class PartitionSearcher:
                 streams.append(np.stack([base, np.full(len(base), ti, np.int64)], axis=1))
             merged = np.concatenate(streams)
             merged = merged[np.argsort(merged[:, 0], kind="stable")]
-            # sliding minimal window containing all nt terms with span <= slop
-            count = np.zeros(nt, np.int64)
-            have = 0
-            lo = 0
-            matches = 0
-            for hi in range(len(merged)):
-                t = merged[hi, 1]
-                count[t] += 1
-                if count[t] == 1:
-                    have += 1
-                while have == nt and count[merged[lo, 1]] > 1:
-                    count[merged[lo, 1]] -= 1
-                    lo += 1
-                if have == nt and merged[hi, 0] - merged[lo, 0] <= slop:
-                    matches += 1
-                    # consume window start to look for further matches
-                    count[merged[lo, 1]] -= 1
-                    if count[merged[lo, 1]] == 0:
-                        have -= 1
-                    lo += 1
+            matches = _window_match_count(merged, nt, slop)
             if matches:
                 out_docs.append(d)
                 out_freqs.append(matches)
         return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+    def _span_docs(self, terms: list[str], slop: int, in_order: bool):
+        """span_near matching over stored positions; returns (docs, freqs).
+
+        Candidates are the AND of all clause terms (cheap postings
+        intersection); the positional check runs only on those. in_order
+        chains are evaluated VECTORIZED over all start positions of the first
+        clause; unordered uses the minimal-window sweep with allowed span
+        slop + n - 1 (slop counts intervening non-clause tokens, Lucene
+        NearSpansUnordered's matchWidth)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        rows = self.r.lookup(terms)
+        if len(rows) == 0 or np.any(rows < 0):
+            return empty
+        from elasticsearch_ray.index.postings import decode_postings
+
+        nt = len(terms)
+        per_term = []
+        common = None
+        for i in rows:
+            docs, tfs = decode_postings(self.r.blob(int(i)))
+            flat = np.asarray(self.r.positions_for(int(i)), dtype=np.int64)
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            per_term.append((docs, flat, offs))
+            common = docs if common is None else common[np.isin(common, docs, assume_unique=True)]
+        if nt == 1:
+            docs, _flat, offs = per_term[0]
+            return docs, np.diff(offs)
+        if common is None or len(common) == 0:
+            return empty
+        idxs = [np.searchsorted(docs, common) for docs, _, _ in per_term]
+        out_docs, out_freqs = [], []
+        for ci, d in enumerate(common.tolist()):
+            pls = [
+                per_term[ti][1][per_term[ti][2][int(idxs[ti][ci])] : per_term[ti][2][int(idxs[ti][ci]) + 1]]
+                for ti in range(nt)
+            ]
+            if in_order:
+                c = _ordered_span_count(pls, slop)
+            else:
+                streams = [
+                    np.stack([pl, np.full(len(pl), ti, np.int64)], axis=1)
+                    for ti, pl in enumerate(pls)
+                ]
+                merged = np.concatenate(streams)
+                merged = merged[np.argsort(merged[:, 0], kind="stable")]
+                c = _window_match_count(merged, nt, slop + nt - 1)
+            if c:
+                out_docs.append(d)
+                out_freqs.append(c)
+        return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+    def _eval_intervals(self, source: tuple):
+        """Evaluate an intervals source → (docs, freqs)."""
+        kind = source[0]
+        if kind == "match":
+            _k, text, max_gaps, ordered = source
+            terms = get_analyzer(self.analyzer_name)(text)[0]
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            slop = int(max_gaps) if max_gaps is not None and max_gaps >= 0 else 1 << 30
+            return self._span_docs(terms, slop, bool(ordered))
+        if kind == "all_of":
+            _k, leaves, max_gaps, ordered = source
+            slop = int(max_gaps) if max_gaps is not None and max_gaps >= 0 else 1 << 30
+            return self._span_docs(list(leaves), slop, bool(ordered))
+        if kind == "any_of":
+            parts = [self._eval_intervals(s) for s in source[1]]
+            d_all = [d for d, _ in parts if len(d)]
+            if not d_all:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            docs = np.concatenate(d_all)
+            freqs = np.concatenate([f for _, f in parts if len(f)])
+            order = np.argsort(docs, kind="stable")
+            docs, freqs = docs[order], freqs[order]
+            change = np.empty(len(docs), dtype=bool)
+            change[0] = True
+            change[1:] = docs[1:] != docs[:-1]
+            starts = np.flatnonzero(change)
+            return docs[starts], np.add.reduceat(freqs, starts)
+        raise ValueError(f"unsupported intervals source {kind!r}")
 
     def _eval_scoring(self, q: Query, scorers, k, mode, scorers_required=True):
         """Returns (docs, scores) arrays, docs sorted asc (NOT top-k-cut unless
@@ -283,6 +349,19 @@ class PartitionSearcher:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             docs = np.unique(np.concatenate(d_arrays))
             return docs, np.full(len(docs), q.boost, dtype=dtype)  # constant-score rewrite
+        if isinstance(q, SpanNearQuery):
+            docs, freqs = self._span_docs(list(q.clauses), q.slop, q.in_order)
+            if len(docs) == 0:
+                return docs, np.empty(0, dtype)
+            sc = scorers.get(("__phrase__",) + tuple(dict.fromkeys(q.clauses)))
+            return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
+        if isinstance(q, IntervalsQuery):
+            docs, freqs = self._eval_intervals(q.source)
+            if len(docs) == 0:
+                return docs, np.empty(0, dtype)
+            terms = tuple(dict.fromkeys(intervals_terms(q.source, self.analyzer_name)))
+            sc = scorers.get(("__phrase__",) + terms)
+            return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
             rows = self._expand_multi_term(q)
             return self._const_score_union(rows, getattr(q, "boost", 1.0), dtype)
@@ -464,6 +543,49 @@ class PartitionSearcher:
             )
             docs, scores = docs[keep], scores[keep]
         return topk_select(docs, scores, k)
+
+
+def _window_match_count(merged: np.ndarray, nt: int, width: int) -> int:
+    """Minimal-window sweep over a merged (pos, term_idx) stream sorted by
+    pos: count windows containing all nt terms with span <= width; each match
+    consumes its window start (so matches don't overlap at the start)."""
+    count = np.zeros(nt, np.int64)
+    have = 0
+    lo = 0
+    matches = 0
+    for hi in range(len(merged)):
+        t = merged[hi, 1]
+        count[t] += 1
+        if count[t] == 1:
+            have += 1
+        while have == nt and count[merged[lo, 1]] > 1:
+            count[merged[lo, 1]] -= 1
+            lo += 1
+        if have == nt and merged[hi, 0] - merged[lo, 0] <= width:
+            matches += 1
+            count[merged[lo, 1]] -= 1
+            if count[merged[lo, 1]] == 0:
+                have -= 1
+            lo += 1
+    return matches
+
+
+def _ordered_span_count(pls: list[np.ndarray], slop: int) -> int:
+    """Ordered span chains: for every occurrence of clause 0, chain through
+    the EARLIEST strictly-later occurrence of each next clause; a chain whose
+    total gap (end - start - (n-1)) <= slop is a match. Vectorized over all
+    start positions (NearSpansOrdered semantics)."""
+    n = len(pls)
+    starts = pls[0]
+    ends = starts.copy()
+    ok = np.ones(len(starts), dtype=bool)
+    for k in range(1, n):
+        nxt = pls[k]
+        idx = np.searchsorted(nxt, ends, side="right")
+        valid = idx < len(nxt)
+        ok &= valid
+        ends = np.where(valid, nxt[np.minimum(idx, len(nxt) - 1)], ends)
+    return int(np.count_nonzero(ok & (ends - starts - (n - 1) <= slop)))
 
 
 def _intersect(a: np.ndarray, b: np.ndarray, a_scores: tuple = (), b_scores: tuple = ()):
@@ -713,28 +835,39 @@ class QueryEngine:
                            dtype=self.dtype)
             for t in terms
         }
-        # phrase scorers: Lucene PhraseQuery uses the SUM of member idfs
+        # phrase/span scorers: Lucene PhraseQuery (and SpanWeight's
+        # buildSimWeight over clause terms) uses the SUM of member idfs
+        from elasticsearch_ray.search.bm25 import idf as idf_fn
+
+        def reg(pterms: tuple, boost: float):
+            sc = BM25Scorer(1, self.n_docs, self.avgdl, self.params, dtype=self.dtype)
+            if self.dtype == "float32":
+                idf_sum = np.float32(0.0)
+                for t in pterms:
+                    idf_sum = np.float32(idf_sum + np.float32(idf_fn(df.get(t, 0), self.n_docs)))
+                sc.weight = np.float32(
+                    np.float32(boost) * np.float32(np.float32(self.params.k1) + np.float32(1.0)) * idf_sum
+                )
+            else:
+                sc.weight = boost * (self.params.k1 + 1.0) * sum(
+                    idf_fn(df.get(t, 0), self.n_docs) for t in pterms
+                )
+            scorers[("__phrase__",) + pterms] = sc
+
         def add_phrase(qq):
             if isinstance(qq, MatchPhraseQuery):
                 an = get_analyzer(qq.analyzer or self.analyzer_name)
-                pterms = an(qq.text)[0]
-                sc = BM25Scorer(1, self.n_docs, self.avgdl, self.params, dtype=self.dtype)
-                from elasticsearch_ray.search.bm25 import idf as idf_fn
-
-                if self.dtype == "float32":
-                    idf_sum = np.float32(0.0)
-                    for t in pterms:
-                        idf_sum = np.float32(idf_sum + np.float32(idf_fn(df.get(t, 0), self.n_docs)))
-                    sc.weight = np.float32(
-                        np.float32(qq.boost) * np.float32(np.float32(self.params.k1) + np.float32(1.0)) * idf_sum
-                    )
-                else:
-                    sc.weight = qq.boost * (self.params.k1 + 1.0) * sum(
-                        idf_fn(df.get(t, 0), self.n_docs) for t in pterms
-                    )
-                scorers[("__phrase__",) + tuple(pterms)] = sc
+                reg(tuple(an(qq.text)[0]), qq.boost)
+            elif isinstance(qq, SpanNearQuery):
+                reg(tuple(dict.fromkeys(qq.clauses)), qq.boost)
+            elif isinstance(qq, IntervalsQuery):
+                reg(tuple(dict.fromkeys(intervals_terms(qq.source, self.analyzer_name))),
+                    qq.boost)
             elif isinstance(qq, BoolQuery):
                 for sub in (*qq.must, *qq.should, *qq.filter, *qq.must_not):
+                    add_phrase(sub)
+            elif isinstance(qq, DisMaxQuery):
+                for sub in qq.queries:
                     add_phrase(sub)
 
         add_phrase(q)
@@ -770,7 +903,8 @@ class QueryEngine:
         scorers = self._scorers(q)
         # can_match pruning: for purely term-scored query types, partitions
         # whose bloom excludes every query term cannot produce hits
-        if isinstance(q, (TermQuery, TermsQuery, MatchQuery, MatchPhraseQuery)):
+        if isinstance(q, (TermQuery, TermsQuery, MatchQuery, MatchPhraseQuery,
+                          SpanNearQuery, IntervalsQuery)):
             cand = self.can_match_parts(query_terms(q, self.analyzer_name))
         else:
             cand = list(self.parts)

@@ -215,6 +215,36 @@ class MoreLikeThisQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """span_near over span_term clauses (SpanNearQueryBuilder.java; registry
+    SearchModule.java:1112-1128). A doc matches when an occurrence of every
+    clause term exists with total intervening-token gap <= slop; in_order
+    additionally requires occurrences in clause order (NearSpansOrdered
+    semantics: chain each start through the earliest later occurrence of the
+    next clause). Matches count as a sloppy freq and score like a phrase
+    (BM25 over the clauses' combined idf)."""
+
+    clauses: tuple = ()
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalsQuery(Query):
+    """intervals query subset (IntervalsQueryBuilder /
+    IntervalsSourceProvider.java): supported sources —
+      ("match", text, max_gaps, ordered)   analyzed text; max_gaps<0 = unbounded
+      ("any_of", (source, ...))            union; freq = sum of branch freqs
+      ("all_of", (term, ...), max_gaps, ordered)   over TERM leaves only
+    all_of over non-term sub-sources (nested intervals) is out of scope —
+    the term-leaf case reduces to span_near, which is what we execute."""
+
+    source: tuple = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BoolQuery(Query):
     """must / should / filter / must_not with minimum_should_match
     (index/query/BoolQueryBuilder.java): scores sum over scoring clauses;
@@ -269,6 +299,23 @@ def parse_simple_query_string(text: str, default_operator: str = "or") -> Query:
     return BoolQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
 
 
+def intervals_terms(source: tuple, default_analyzer: str) -> list[str]:
+    """All terms an intervals source needs postings for (walk order)."""
+    from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+    kind = source[0]
+    if kind == "match":
+        return get_analyzer(default_analyzer)(source[1])[0]
+    if kind == "any_of":
+        out: list[str] = []
+        for s in source[1]:
+            out.extend(intervals_terms(s, default_analyzer))
+        return out
+    if kind == "all_of":
+        return list(source[1])
+    raise ValueError(f"unsupported intervals source {kind!r}")
+
+
 def query_terms(q: Query, default_analyzer: str) -> list[str]:
     """All analyzed terms a query needs postings for (the DFS-phase term set,
     search/dfs/DfsPhase.java:29-75)."""
@@ -284,6 +331,10 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
         elif isinstance(q, (MatchQuery, MatchPhraseQuery)):
             an = get_analyzer(q.analyzer or default_analyzer)
             out.extend(an(q.text)[0])
+        elif isinstance(q, SpanNearQuery):
+            out.extend(q.clauses)
+        elif isinstance(q, IntervalsQuery):
+            out.extend(intervals_terms(q.source, default_analyzer))
         elif isinstance(q, BoolQuery):
             for sub in (*q.must, *q.should, *q.filter, *q.must_not):
                 walk(sub)

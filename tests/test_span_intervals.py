@@ -1,0 +1,114 @@
+"""span_near / intervals positional algebra vs brute-force oracles over the
+documents table (reference: SpanNearQueryBuilder.java, IntervalsQueryBuilder /
+IntervalsSourceProvider.java; registry SearchModule.java:1112-1128)."""
+
+import itertools
+
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.search.query import (
+    IntervalsQuery,
+    MatchPhraseQuery,
+    SpanNearQuery,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def span_engine(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("spanidx") / "index")
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",))
+    build_index(SF_DIR, idx, spec, concurrency=2, file_pattern="documents.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), [x.split() for x in t["text"].to_pylist()]))
+    return eng, docs
+
+
+def _hits(eng, q):
+    t = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+    return {r["doc_id"] for r in t.to_pylist()}
+
+
+def _pos(toks, term):
+    return [i for i, t in enumerate(toks) if t == term]
+
+
+def _ordered_oracle(toks, terms, slop):
+    pos = [_pos(toks, t) for t in terms]
+    if any(not p for p in pos):
+        return False
+    n = len(terms)
+    for combo in itertools.product(*pos):
+        if all(combo[i] < combo[i + 1] for i in range(n - 1)) and (
+            combo[-1] - combo[0] - (n - 1) <= slop
+        ):
+            return True
+    return False
+
+
+def _unordered_oracle(toks, terms, slop):
+    pos = [_pos(toks, t) for t in terms]
+    if any(not p for p in pos):
+        return False
+    n = len(terms)
+    for combo in itertools.product(*pos):
+        if len(set(combo)) == n and max(combo) - min(combo) - (n - 1) <= slop:
+            return True
+    return False
+
+
+def test_span_near_ordered(span_engine):
+    eng, docs = span_engine
+    for terms, slop in [(("spark", "join"), 0), (("spark", "join"), 2),
+                        (("merge", "sort", "key"), 3)]:
+        got = _hits(eng, SpanNearQuery(clauses=terms, slop=slop, in_order=True))
+        want = {d for d, toks in docs.items() if _ordered_oracle(toks, terms, slop)}
+        assert got == want, (terms, slop)
+    assert _hits(eng, SpanNearQuery(clauses=("spark", "join"), slop=2, in_order=True))
+
+
+def test_span_near_unordered(span_engine):
+    eng, docs = span_engine
+    for terms, slop in [(("spark", "join"), 1), (("merge", "sort"), 3)]:
+        got = _hits(eng, SpanNearQuery(clauses=terms, slop=slop, in_order=False))
+        want = {d for d, toks in docs.items() if _unordered_oracle(toks, terms, slop)}
+        assert got == want, (terms, slop)
+        # unordered is a superset of ordered at the same slop
+        assert got >= _hits(eng, SpanNearQuery(clauses=terms, slop=slop, in_order=True))
+
+
+def test_span_slop0_equals_exact_phrase(span_engine):
+    eng, _docs = span_engine
+    a = _hits(eng, SpanNearQuery(clauses=("spark", "join"), slop=0, in_order=True))
+    b = _hits(eng, MatchPhraseQuery("spark join"))
+    assert a == b and a
+
+
+def test_intervals_match_and_any_of(span_engine):
+    eng, docs = span_engine
+    m1 = ("match", "spark join", 2, True)
+    got = _hits(eng, IntervalsQuery(source=m1))
+    want = {d for d, toks in docs.items() if _ordered_oracle(toks, ("spark", "join"), 2)}
+    assert got == want
+    m2 = ("match", "merge sort", 1, False)
+    u = _hits(eng, IntervalsQuery(source=("any_of", (m1, m2))))
+    assert u == got | _hits(eng, IntervalsQuery(source=m2))
+    # all_of over term leaves == span_near
+    a = _hits(eng, IntervalsQuery(source=("all_of", ("spark", "join"), 2, True)))
+    assert a == got
+
+
+def test_span_scoring_ranked(span_engine):
+    eng, _docs = span_engine
+    t = eng.search(SpanNearQuery(clauses=("spark", "join"), slop=4, in_order=False),
+                   k=10, mode="exhaustive", fetch=("doc_id",))
+    scores = t["score"].to_pylist()
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
