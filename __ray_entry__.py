@@ -326,6 +326,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = minhash_near_dups(_ds(sf, "documents"), "text", "doc_id", threshold=0.5)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_simhash_pairs(sf):  # rows-only (distributed banded groupby)
+        from elasticsearch_ray.ops.dedup import simhash_near_dups
+
+        out = simhash_near_dups(_ds(sf, "documents"), "text", "doc_id", max_hamming=8)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def dedup_simhash_table(sf):  # rows-only
         from elasticsearch_ray.ops.dedup import simhash_table
 
@@ -657,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_table": dedup_simhash_table,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
         "reindex_pipeline": reindex_pipeline,

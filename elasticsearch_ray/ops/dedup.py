@@ -10,9 +10,9 @@ Scale shapes:
     aggregate (vectorized, no per-group Python);
   - MinHash-LSH: per-batch vectorized signatures → explode to
     (band, band_hash, doc_id) rows → groupby bands → candidate pairs →
-    Jaccard verify. Candidate pairs are assumed small relative to corpus
-    (the LSH premise); verification joins text back by broadcast at test
-    scale and notes the partitioned-join scale path.
+    Jaccard verify over distributed shingle-hash arrays (the candidate-id
+    set, small by the LSH premise, is the only broadcast);
+  - SimHash: 4×16-bit chunk banding as the same distributed groupby.
 """
 
 from __future__ import annotations
@@ -47,10 +47,43 @@ def exact_dedup_keep_ids(ds: Dataset, cols: list[str], id_col: str) -> pd.DataFr
     return out[[id_col]].sort_values(id_col).reset_index(drop=True)
 
 
-def _shingles(tokens: list[str], k: int) -> set:
-    if len(tokens) < k:
-        return {" ".join(tokens)} if tokens else set()
-    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+def _shingle_hashes(texts: list, k: int) -> list[np.ndarray]:
+    """Per doc: unique uint64 hashes of its k-token shingles — VECTORIZED.
+
+    All tokens in the batch are hashed in ONE pd.util.hash_array call (stable
+    siphash, fixed key — safe across workers, unlike process-salted hash());
+    shingle hashes are a polynomial combine of k token-hash windows (numpy
+    strided, no per-shingle Python/string work)."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.empty(0, np.uint64) for _ in texts]
+    all_toks = np.empty(total, dtype=object)
+    pos = 0
+    for t in toks_per_doc:
+        all_toks[pos : pos + len(t)] = t
+        pos += len(t)
+    th = pd.util.hash_array(all_toks)  # uint64
+    C = np.uint64(0x9E3779B97F4A7C15)
+    out: list[np.ndarray] = []
+    pos = 0
+    for n in lens.tolist():
+        h = th[pos : pos + n]
+        pos += n
+        if n == 0:
+            out.append(np.empty(0, np.uint64))
+        elif n < k:
+            s = np.uint64(0)
+            for x in h:
+                s = s * C + x
+            out.append(np.array([s], np.uint64))
+        else:
+            acc = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * C + h[j : j + n - k + 1]
+            out.append(np.unique(acc))
+    return out
 
 
 _MERSENNE = (1 << 61) - 1
@@ -63,24 +96,13 @@ def _minhash_params(num_perm: int, seed: int):
     return a, b
 
 
-def _hash_shingles(sh: set) -> np.ndarray:
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in sh],
-        dtype=np.uint64,
-    )
-
-
-def _signature(hvals: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if len(hvals) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    # (a*x + b) mod p, universal hashing; min per permutation
-    x = hvals[:, None]
-    vals = (a[None, :] * (x % _MERSENNE) + b[None, :]) % np.uint64(_MERSENNE)
-    return vals.min(axis=0)
-
-
 class MinHashBatch:
-    """Actor-pool stage: text → (band, band_hash, doc_id) LSH bucket rows."""
+    """Stage: text → (band, band_hash, doc_id) LSH bucket rows.
+
+    Fully vectorized across the batch: one token-hash pass, per-permutation
+    (a·x+b) mod p over the batch's concatenated shingle stream with a
+    minimum.reduceat over doc boundaries (no per-doc signature loop), band
+    keys via a polynomial combine of the band's signature columns."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16,
                  shingle_k: int = 3, seed: int = 7):
@@ -90,28 +112,49 @@ class MinHashBatch:
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm, seed)
 
+    def _signatures(self, sh_list: list[np.ndarray]) -> np.ndarray:
+        """(ndocs, num_perm) uint64 signatures; empty docs = MERSENNE fill."""
+        ndocs = len(sh_list)
+        sigs = np.full((ndocs, self.num_perm), _MERSENNE, dtype=np.uint64)
+        nonempty = [i for i, s in enumerate(sh_list) if len(s)]
+        if not nonempty:
+            return sigs
+        x = np.concatenate([sh_list[i] for i in nonempty]) % np.uint64(_MERSENNE)
+        seg_lens = np.array([len(sh_list[i]) for i in nonempty], dtype=np.int64)
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(seg_lens[:-1], out=starts[1:])
+        M = np.uint64(_MERSENNE)
+        for j in range(self.num_perm):
+            v = (self.a[j] * x + self.b[j]) % M
+            sigs[nonempty, j] = np.minimum.reduceat(v, starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands_out, bhash = [], [], []
-        for did, text in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
-            sig = _signature(_hash_shingles(_shingles((text or "").split(), self.k)), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                ids.append(did)
-                bands_out.append(bi)
-                bhash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = self._signatures(_shingle_hashes(texts, self.k))
+        n = len(ids)
+        # band key: polynomial combine over the band's columns (uint64 wrap)
+        C = np.uint64(0x9E3779B97F4A7C15)
+        r = sigs.reshape(n, self.bands, self.rows_per_band)
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            keys = keys * C + r[:, :, j]
         return pa.table(
             {
-                "band": pa.array(bands_out, pa.int32()),
-                "band_hash": pa.array(bhash, pa.string()),
-                self.id_col: pa.array(ids),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(keys.reshape(-1).view(np.int64)),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
             }
         )
 
 
-def jaccard(a: set, b: set) -> float:
-    if not a and not b:
+def jaccard_arrays(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard over unique hash arrays (== shingle-set Jaccard w.h.p.)."""
+    if len(a) == 0 and len(b) == 0:
         return 1.0
-    return len(a & b) / max(len(a | b), 1)
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / max(len(a) + len(b) - inter, 1)
 
 
 def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: int = 64,
@@ -138,25 +181,44 @@ def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: i
 
 def minhash_near_dups(ds: Dataset, text_col: str, id_col: str, threshold: float = 0.8,
                       shingle_k: int = 3, **kw) -> pd.DataFrame:
-    """Full near-dup pipeline: LSH candidates + exact n-gram Jaccard verify.
+    """Full near-dup pipeline: LSH candidates + exact shingle-Jaccard verify.
 
-    Verification gathers candidate texts with a driver-side id→text lookup —
-    fine while |candidates| ≪ |corpus| (the LSH premise). At 100 TB the same
-    verify runs as a bucketed self-join: repartition texts by id-hash and ship
-    each pair's bucket, never the corpus.
-    """
+    The verify never ships corpus text to the driver: the (small, LSH-premise)
+    candidate-id set is broadcast once via ray.put, shingle-hash arrays are
+    computed DISTRIBUTED inside map_batches for candidate docs only, and only
+    those |candidates| rows of uint64 hashes come back for the pairwise
+    check."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k=shingle_k, **kw)
     if len(cand) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    need = set(cand["id_a"]) | set(cand["id_b"])
-    texts = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
-        for did, tx in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if did in need:
-                texts[did] = tx
-    sh = {d: _shingles((t or "").split(), shingle_k) for d, t in texts.items()}
+    import ray
+
+    need_ref = ray.put(frozenset(set(cand["id_a"]) | set(cand["id_b"])))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids = batch[id_col].to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in need]
+        texts = batch[text_col].to_pylist()
+        sh = _shingle_hashes([texts[i] for i in keep], shingle_k)
+        lens = np.array([len(s) for s in sh], dtype=np.int32)
+        offs = np.zeros(len(sh) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        vals = np.concatenate(sh).view(np.int64) if sh else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array([ids[i] for i in keep]),
+                "sh": pa.ListArray.from_arrays(pa.array(offs), pa.array(vals, pa.int64())),
+            }
+        )
+
+    sh_tbl = ds.map_batches(cand_shingles, batch_format="pyarrow").to_pandas()
+    shd = {
+        row[id_col]: np.asarray(row["sh"], np.int64).view(np.uint64)
+        for _, row in sh_tbl.iterrows()
+    }
     cand["jaccard"] = [
-        round(jaccard(sh[a], sh[b]), 6) for a, b in zip(cand["id_a"], cand["id_b"])
+        round(jaccard_arrays(shd[a], shd[b]), 6) for a, b in zip(cand["id_a"], cand["id_b"])
     ]
     out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
     return out
@@ -225,27 +287,37 @@ def embedding_near_dups(ds: Dataset, id_col: str = "vec_id", vec_col: str = "emb
 
 
 class SimHashBatch:
-    """64-bit SimHash per doc (Charikar): sign-sum of token hashes."""
+    """64-bit SimHash per doc (Charikar): sign-sum of token hashes.
+
+    Vectorized across the batch: one stable token-hash pass, bit expansion
+    via unpackbits, per-doc column sums via add.reduceat."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        out = np.zeros(len(ids), dtype=np.uint64)
-        for i, text in enumerate(batch[self.text_col].to_pylist()):
-            toks = (text or "").split()
-            if not toks:
-                continue
-            hs = np.array(
-                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        texts = batch[self.text_col].to_pylist()
+        toks_per_doc = [(t or "").split() for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            all_toks = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for t in toks_per_doc:
+                all_toks[pos : pos + len(t)] = t
+                pos += len(t)
+            th = pd.util.hash_array(all_toks)
+            bits = np.unpackbits(
+                th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            ne_lens = lens[nonempty]
+            starts = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0)
+            v = 2 * sums - ne_lens[:, None]
+            packed = np.packbits((v > 0).astype(np.uint8), axis=1, bitorder="little")
+            out[nonempty] = packed.view(np.uint64).ravel()
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(out, pa.uint64())})
 
 
@@ -259,29 +331,67 @@ def simhash_table(ds: Dataset, text_col: str, id_col: str) -> pd.DataFrame:
 
 def simhash_near_dups(ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dups by SimHash hamming distance, banded on 4×16-bit chunks (a
-    pair within hamming ≤3 shares at least one exact chunk — pigeonhole)."""
-    t = simhash_table(ds, text_col, id_col)
-    sims = t["simhash"].to_numpy().astype(np.uint64)
-    ids = t[id_col].to_numpy()
-    pairs = set()
-    for chunk in range(4):
-        key = (sims >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": key, "i": np.arange(len(ids))})
-        for _, g in df.groupby("k"):
-            idx = g["i"].to_numpy()
-            if len(idx) < 2:
-                continue
-            for x in range(len(idx)):
-                for y in range(x + 1, len(idx)):
-                    pairs.add((int(idx[x]), int(idx[y])))
-    rows = []
-    for x, y in pairs:
-        ham = int(bin(int(sims[x]) ^ int(sims[y])).count("1"))
-        if ham <= max_hamming:
-            a, b = sorted((int(ids[x]), int(ids[y])))
-            rows.append({"id_a": a, "id_b": b, "hamming": ham})
+    pair within hamming ≤3 shares at least one exact chunk — pigeonhole).
+
+    DISTRIBUTED banding: each doc explodes to 4 (chunk, key) rows, the
+    groupby shuffles bucket rows (never the corpus to the driver), and the
+    pairwise hamming check runs vectorized inside map_groups — the same
+    banded-groupby shape as the MinHash path."""
+    sims = ds.map_batches(
+        SimHashBatch, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(s)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for c in range(4):
+            keys[:, c] = ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(s, 4).view(np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        iu = np.triu_indices(len(ids), k=1)
+        x = sh[iu[0]] ^ sh[iu[1]]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        if not m.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[iu[0][m]], ids[iu[1][m]]),
+                "id_b": np.maximum(ids[iu[0][m]], ids[iu[1][m]]),
+                "hamming": ham[m],
+            }
+        )
+
+    out = (
+        sims.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["chunk", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
     return (
-        pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        out.drop_duplicates(["id_a", "id_b"])
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )

@@ -3,20 +3,23 @@
   raw web pages → html_strip → quality filter → exact dedup → inverted index
   → BM25 search
 
-All stages stream as one Ray Data flow up to the dedup groupby; the kept-id
-set is broadcast for the filter (semi-join pattern); the index build then
-consumes the cleaned corpus. Demonstrates that the engine's pieces compose
-without driver-side materialization of the big path."""
+All stages stream as ONE Ray Data flow through the dedup groupby: the hash
+groupby itself emits the kept rows (min-url survivor per content hash inside
+map_groups), so there is no driver-side keep-set, no corpus-sized broadcast,
+and no per-row membership loop. Counts come from parquet metadata of the
+written output plus a tiny dup_count column — the big path is executed
+exactly once."""
 
 from __future__ import annotations
 
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-import ray
 import ray.data as rd
 
 from elasticsearch_ray.analysis.html_strip import HtmlStripBatch
@@ -38,8 +41,9 @@ def training_data_pipeline(
     """Returns {'input_pages', 'after_quality', 'after_dedup', 'engine'}."""
     os.makedirs(work_dir, exist_ok=True)
     files = corpus_files(corpus_dir, "pages-*.parquet")
+    # input count from parquet footers only — no data pass
+    n_input = sum(pq.read_metadata(f).num_rows for f in files)
     ds = rd.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
-    n_input = ds.count()
 
     # html_strip + quality features in one streaming pass
     def strip_and_score(batch: pa.Table) -> pa.Table:
@@ -64,29 +68,40 @@ def training_data_pipeline(
 
     clean = scored.map_batches(quality_filter, batch_format="pyarrow")
 
-    # exact dedup: min-url per content hash → broadcast keep-set semi-join
-    hashed = add_content_hash(clean, ["text"])
-    from ray.data.aggregate import Min
-
-    kept = (
-        hashed.select_columns(["content_hash", "url"])
-        .groupby("content_hash")
-        .aggregate(Min("url", alias_name="url"))
-        .to_pandas()
+    # exact dedup as a DISTRIBUTED semi-join: full records ride the hash
+    # groupby and each group emits its min-url survivor directly — the only
+    # shuffle is by content_hash, nothing corpus-sized touches the driver.
+    hashed = add_content_hash(clean, ["text"]).select_columns(
+        ["content_hash", "url", "warc_ts", "text", "lang"]
     )
-    keep_ref = ray.put(frozenset(kept["url"]))
 
-    def keep_only(batch: pa.Table) -> pa.Table:
-        keep_set = ray.get(keep_ref)
-        mask = pa.array([u in keep_set for u in batch["url"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
+    def first_by_url(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("url").head(1).copy()
+        r["dup_count"] = len(g)  # group size rides along for the counts
+        return r
 
-    deduped = clean.map_batches(keep_only, batch_format="pyarrow")
+    deduped = hashed.groupby("content_hash").map_groups(first_by_url, batch_format="pandas")
 
     # write the cleaned corpus partitioned, then index it
     clean_dir = os.path.join(work_dir, "clean")
     shutil.rmtree(clean_dir, ignore_errors=True)
-    deduped.select_columns(["url", "warc_ts", "text", "lang"]).write_parquet(clean_dir)
+    deduped.select_columns(["url", "warc_ts", "text", "lang", "dup_count"]).write_parquet(
+        clean_dir
+    )
+
+    # counts from the WRITTEN output: row count is parquet metadata,
+    # after_quality = Σ dup_count (one small int column scan, no re-execution
+    # of the pipeline)
+    out_files = [
+        os.path.join(clean_dir, f) for f in os.listdir(clean_dir) if f.endswith(".parquet")
+    ]
+    after_dedup = sum(pq.read_metadata(f).num_rows for f in out_files)
+    after_quality = int(
+        sum(
+            pc.sum(pq.read_table(f, columns=["dup_count"])["dup_count"]).as_py() or 0
+            for f in out_files
+        )
+    )
 
     idx_dir = os.path.join(work_dir, "index")
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -95,10 +110,11 @@ def training_data_pipeline(
         idx_dir,
         IndexSpec(use_html=False, text_column="text", doc_columns=("url", "warc_ts", "lang")),
     )
+    assert meta["n_docs"] == after_dedup
     return {
         "input_pages": int(n_input),
-        "after_quality": int(clean.count()),
-        "after_dedup": int(meta["n_docs"]),
+        "after_quality": after_quality,
+        "after_dedup": int(after_dedup),
         "index_dir": idx_dir,
         "engine": QueryEngine(idx_dir, dtype="float64"),
     }
