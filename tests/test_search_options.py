@@ -161,3 +161,36 @@ def test_search_after_score_deep_pagination(web_engine):
         cursor = (r["score"], r["part"], r["local"])
     assert len(urls) >= 20
     assert urls == full["url"].to_pylist()[: len(urls)]
+
+
+def test_extended_ray_backend_matches_local(web_engine, ray_session):
+    """sort/collapse/rescore served by the warm-actor backend must equal the
+    local backend row-for-row."""
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchQuery as MQ, TermQuery as TQ
+
+    ray_eng = QueryEngine(web_engine.index_dir, dtype="float64", parallel="ray",
+                          num_actors=2)
+    try:
+        cases = [
+            dict(q=MQ("spark"), k=12, sort=[("warc_ts", "desc")], fetch=("url", "warc_ts")),
+            dict(q=MQ("spark"), k=10, collapse="lang", fetch=("url", "lang")),
+            dict(q=MQ("spark"), k=10, rescore=(TQ("join"), 10, 1.0, 2.0), fetch=("url",)),
+            dict(q=MQ("spark join"), k=8, sort=[("warc_ts", "asc")], min_score=0.1,
+                 fetch=("url",)),
+        ]
+        for kw in cases:
+            a = web_engine.search(**kw).to_pylist()
+            b = ray_eng.search(**kw).to_pylist()
+            assert a == b, kw
+        # search_after paging on field sort through the ray backend
+        p1 = ray_eng.search(MQ("spark"), k=10, sort=[("warc_ts", "desc")],
+                            fetch=("url", "warc_ts"))
+        cur = (p1["warc_ts"][-1].as_py(),)
+        p2 = ray_eng.search(MQ("spark"), k=10, sort=[("warc_ts", "desc")],
+                            search_after=cur, fetch=("url", "warc_ts"))
+        full = web_engine.search(MQ("spark"), k=20, sort=[("warc_ts", "desc")],
+                                 fetch=("url", "warc_ts"))
+        assert full["url"].to_pylist() == p1["url"].to_pylist() + p2["url"].to_pylist()
+    finally:
+        ray_eng.close()
