@@ -55,6 +55,36 @@ def _documents_index(sf_dir: str):
     return eng
 
 
+def _multifield_index(sf_dir: str):
+    """Two-field index over documents: body = text, title = first 5 tokens
+    (derived deterministically so DuckDB can reproduce the field)."""
+    key = f"mf-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus = f"/tmp/esray_indexes/{key}-corpus"
+    marker = os.path.join(corpus, "docs.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        titles = [" ".join((x or "").split()[:5]) for x in t["text"].to_pylist()]
+        t = t.append_column("title", pa.array(titles, pa.string()))
+        pq.write_table(t, marker + ".tmp")
+        os.replace(marker + ".tmp", marker)
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     fields={"title": "title"})
+    build_index(corpus, idx_dir, spec, file_pattern="docs.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _webpages_index(sf_dir: str):
     """Flagship path: synthesize the Common-Crawl-shaped corpus, build the
     index from the html column (strip → analyze → postings)."""
@@ -137,6 +167,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_bool_filtered(sf):
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
+
+    def search_multi_match(sf):
+        from elasticsearch_ray.search.query import MultiMatchQuery
+
+        q = MultiMatchQuery("spark join", fields=(None, "title"), tie_breaker=0.3)
+        return _search_table(_multifield_index(sf), q, k=10)
+
+    def search_most_fields(sf):
+        from elasticsearch_ray.search.query import MultiMatchQuery
+
+        q = MultiMatchQuery("spark join", fields=(None, "title"), type="most_fields")
+        return _search_table(_multifield_index(sf), q, k=10)
+
+    def search_query_string(sf):
+        from elasticsearch_ray.search.query import QueryStringQuery
+
+        return _search_table(_multifield_index(sf), QueryStringQuery("title:spark AND merge"),
+                             k=10)
 
     def _doc_set(eng, q):
         res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
@@ -642,6 +690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
         "search_bool_filtered": search_bool_filtered,
+        "search_multi_match": search_multi_match,
+        "search_most_fields": search_most_fields,
+        "search_query_string": search_query_string,
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
         "agg_stats_returnflag": agg_stats_returnflag,
@@ -735,6 +786,43 @@ FROM scores
 ORDER BY rank
 LIMIT {k}
 """
+
+
+def _field_scores_sql(alias: str, tok_src: str, terms: list[str]) -> str:
+    """CTE fragment: per-doc summed BM25 over ``terms`` for one FIELD whose
+    (doc_id, term) token stream is ``tok_src`` — own dl/avgdl/df, the
+    SmallFloat-lossy dl, LegacyBM25 (k1+1). Defines sc_<alias>(doc_id, score,
+    matched)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    a = alias
+    return f"""
+tok_{a} AS ({tok_src}),
+dl_{a} AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok_{a} GROUP BY doc_id),
+st_{a} AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                  sum(dl)::DOUBLE AS sum_dl FROM dl_{a}),
+dll_{a} AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll FROM dl_{a}),
+tf_{a} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_{a}
+           WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df_{a} AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok_{a}
+           WHERE term IN ({tlist}) GROUP BY term),
+sc_{a} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * ({BM25_K1} + 1) * tf.tf
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dll
+                                      / (s.sum_dl / s.n_docs))) ) AS score,
+         count(DISTINCT tf.term) AS matched
+  FROM tf_{a} tf
+  JOIN df_{a} df USING (term)
+  CROSS JOIN st_{a} s
+  JOIN dll_{a} d ON tf.doc_id = d.doc_id
+  GROUP BY tf.doc_id
+)"""
+
+
+_TOK_BODY = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+_TOK_TITLE = ("SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS term "
+              "FROM documents")
 
 
 def _bm25_scores_cte(terms: list[str]) -> str:
@@ -912,6 +1000,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_multi_match": f"""
+            WITH {_field_scores_sql("b", _TOK_BODY, ["spark", "join"])},
+                 {_field_scores_sql("t", _TOK_TITLE, ["spark", "join"])},
+            comb AS (
+              SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+                     greatest(COALESCE(b.score, 0), COALESCE(t.score, 0))
+                     + 0.3 * least(COALESCE(b.score, 0), COALESCE(t.score, 0)) AS score
+              FROM sc_b b FULL OUTER JOIN sc_t t ON b.doc_id = t.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM comb ORDER BY rank LIMIT 10
+        """,
+        "search_most_fields": f"""
+            WITH {_field_scores_sql("b", _TOK_BODY, ["spark", "join"])},
+                 {_field_scores_sql("t", _TOK_TITLE, ["spark", "join"])},
+            comb AS (
+              SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+                     COALESCE(b.score, 0) + COALESCE(t.score, 0) AS score
+              FROM sc_b b FULL OUTER JOIN sc_t t ON b.doc_id = t.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM comb ORDER BY rank LIMIT 10
+        """,
+        "search_query_string": f"""
+            WITH {_field_scores_sql("b", _TOK_BODY, ["merge"])},
+                 {_field_scores_sql("t", _TOK_TITLE, ["spark"])},
+            comb AS (
+              SELECT b.doc_id, b.score + t.score AS score
+              FROM sc_b b JOIN sc_t t ON b.doc_id = t.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM comb ORDER BY rank LIMIT 10
+        """,
         "search_prefix_count": """
             SELECT count(*)::BIGINT AS n FROM documents
             WHERE (' ' || text) LIKE '% wi%'

@@ -69,7 +69,7 @@ from elasticsearch_ray.index.segments import (
     part_dir,
     read_manifest,
 )
-from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.index.spec import FIELD_SEP, IndexSpec, field_of_term
 from elasticsearch_ray.sources.webpages import plan_shards
 
 
@@ -157,7 +157,8 @@ class TokenizeShard:
         avail = set(pq.read_schema(shard["path"]).names)
         doc_cols = [c for c in spec.doc_columns if c in avail]
         src_col = "html" if spec.use_html else spec.text_column
-        cols = list(dict.fromkeys(doc_cols + [src_col]))  # prune at the read
+        extra_fields = {f: c for f, c in (spec.fields or {}).items() if c in avail}
+        cols = list(dict.fromkeys(doc_cols + [src_col] + list(extra_fields.values())))
         if self.lang_analyzers and spec.lang_column in avail and spec.lang_column not in cols:
             cols.append(spec.lang_column)
         tbl = pq.read_table(shard["path"], columns=cols)
@@ -179,6 +180,8 @@ class TokenizeShard:
         locs_l: list[np.ndarray] = []
         poss_l: list[np.ndarray] = []
         doclens = np.zeros(n_docs, dtype=np.int64)
+        field_doclens = {f: np.zeros(n_docs, dtype=np.int64) for f in extra_fields}
+        field_texts = {f: tbl[c].to_pylist() for f, c in extra_fields.items()}
         for i, text in enumerate(texts):
             terms, pos = (analyzers[i] if analyzers else self.analyzer)(text)
             doclens[i] = len(terms)
@@ -186,7 +189,15 @@ class TokenizeShard:
                 all_terms.extend(terms)
                 locs_l.append(np.full(len(terms), local_base + i, dtype=np.int64))
                 poss_l.append(np.asarray(pos, dtype=np.int32))
+            for f in extra_fields:
+                fterms, fpos = self.analyzer(field_texts[f][i] or "")
+                field_doclens[f][i] = len(fterms)
+                if fterms:
+                    all_terms.extend(f + FIELD_SEP + t for t in fterms)
+                    locs_l.append(np.full(len(fterms), local_base + i, dtype=np.int64))
+                    poss_l.append(np.asarray(fpos, dtype=np.int32))
         norms = int_to_byte4(doclens)
+        field_norms = {f: int_to_byte4(dl) for f, dl in field_doclens.items()}
 
         # docrun side-write (atomic) — this shard's slice of docs.parquet
         dcols = {
@@ -194,6 +205,9 @@ class TokenizeShard:
             "doclen": pa.array(doclens.astype(np.int32)),
             "norm": pa.array(norms),
         }
+        for f in extra_fields:
+            dcols[f"doclen_{f}"] = pa.array(field_doclens[f].astype(np.int32))
+            dcols[f"norm_{f}"] = pa.array(field_norms[f])
         for c in doc_cols:
             if c not in dcols:
                 dcols[c] = tbl[c]
@@ -240,10 +254,17 @@ class TokenizeShard:
         vocab_list = vocab.to_pylist()
         norm_of_local = np.zeros(local_base + n_docs, dtype=np.uint8)
         norm_of_local[local_base:] = norms
+        field_norm_of_local = {}
+        for f in extra_fields:
+            a = np.zeros(local_base + n_docs, dtype=np.uint8)
+            a[local_base:] = field_norms[f]
+            field_norm_of_local[f] = a
         head = self.head_terms
         salt_docs = spec.salt_docs
         for s, e in zip(tstarts, tends):
             term = vocab_list[int(g_code[s])]
+            fld = field_of_term(term)
+            nlookup = norm_of_local if fld is None else field_norm_of_local[fld]
             d_all = g_local[s:e]
             # HEAD-TERM SALTING: split a head term's run at salt_docs doc-range
             # boundaries so each chunk ROW carries a bounded payload — the
@@ -264,7 +285,7 @@ class TokenizeShard:
                 ttfs.append(int(t.sum()))
                 firsts.append(int(d[0]))
                 salts.append(int(d[0] // salt_docs) if term in head else 0)
-                blobs.append(encode_postings(d, t, norm_of_local[d]))
+                blobs.append(encode_postings(d, t, nlookup[d]))
                 if with_pos:
                     lo, hi = starts[lo_g], ends[hi_g - 1]
                     pos_flat_out.append(poss_s[lo:hi])
@@ -344,6 +365,8 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
     ddir = os.path.join(pdir, "docruns")
     docrun_files = sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []
     norms_l, doclen_l = [], []
+    fnorm_l: dict[str, list] = {}
+    fdl_sums: dict[str, int] = {}
     docs_tmp = os.path.join(pdir, "docs.parquet.tmp")
     writer = None
     for f in docrun_files:
@@ -353,11 +376,20 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
         writer.write_table(t)
         norms_l.append(t["norm"].to_numpy())
         doclen_l.append(t["doclen"].to_numpy())
+        for name in t.schema.names:
+            if name.startswith("norm_"):
+                fnorm_l.setdefault(name[5:], []).append(t[name].to_numpy())
+            elif name.startswith("doclen_"):
+                fld = name[7:]
+                fdl_sums[fld] = fdl_sums.get(fld, 0) + int(
+                    np.asarray(t[name].to_numpy()).sum()
+                )
     if writer is not None:
         writer.close()
         os.replace(docs_tmp, os.path.join(pdir, "docs.parquet"))
     norms_np = np.concatenate(norms_l) if norms_l else np.empty(0, np.uint8)
     doclen_np = np.concatenate(doclen_l) if doclen_l else np.empty(0, np.int64)
+    field_norms_np = {f: np.concatenate(v) for f, v in fnorm_l.items()}
 
     cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
         ["pos_flat"] if with_pos else []
@@ -404,7 +436,9 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
                 blob = group[0]["blob"]
             else:
                 n_multi += 1
-                blob = reencode_canonical([g["blob"] for g in group], norms_np)
+                fld = field_of_term(term)
+                nl = norms_np if fld is None else field_norms_np[fld]
+                blob = reencode_canonical([g["blob"] for g in group], nl)
             final_terms.append(term)
             final_df.append(sum(g["df"] for g in group))
             final_ttf.append(sum(g["total_tf"] for g in group))
@@ -459,6 +493,7 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
         "base_doc_id": int(shards[0]["part_base"]),
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
+        "sum_dl_fields": fdl_sums,
         "n_terms": len(final_terms),
         "bloom_bits": int(bloom_bits),
         "multi_chunk_terms": int(n_multi),
@@ -494,6 +529,14 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
     atomic_write_table(docs_tbl, os.path.join(pdir, "docs.parquet"))
     norms_np = docs_tbl["norm"].to_numpy()
     doclen_np = docs_tbl["doclen"].to_numpy()
+    field_norms_np = {
+        n[5:]: docs_tbl[n].to_numpy() for n in docs_tbl.schema.names if n.startswith("norm_")
+    }
+    fdl_sums = {
+        n[7:]: int(np.asarray(docs_tbl[n].to_numpy()).sum())
+        for n in docs_tbl.schema.names
+        if n.startswith("doclen_")
+    }
 
     cols = ["term", "df", "total_tf", "first_doc", "blob"] + (
         ["pos_flat"] if with_pos else []
@@ -526,7 +569,9 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
                 final_blobs.append(blobs[s])
             else:
                 n_multi += 1
-                final_blobs.append(reencode_canonical(blobs[s:e], norms_np))
+                fld = field_of_term(term_np[s])
+                nl = norms_np if fld is None else field_norms_np[fld]
+                final_blobs.append(reencode_canonical(blobs[s:e], nl))
         lens = np.array([len(b) for b in final_blobs], dtype=np.int64)
         offs = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
@@ -585,6 +630,7 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
         "base_doc_id": int(shards[0]["part_base"]),
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
+        "sum_dl_fields": fdl_sums,
         "n_terms": int(n_terms),
         "bloom_bits": int(bloom_bits),
         "multi_chunk_terms": int(n_multi),
@@ -721,11 +767,16 @@ def build_index(
         merged.take_all()
         done = [read_manifest(index_dir, p) for p in sorted(by_part)]
 
+    sum_dl_fields: dict[str, int] = {}
+    for m in done:
+        for f, v in (m.get("sum_dl_fields") or {}).items():
+            sum_dl_fields[f] = sum_dl_fields.get(f, 0) + int(v)
     meta = {
         "spec": spec.to_dict(),
         "num_parts": len(by_part),
         "n_docs": int(sum(m["n_docs"] for m in done)),
         "sum_dl": int(sum(m["sum_dl"] for m in done)),
+        "sum_dl_fields": sum_dl_fields,
         "parts": [
             {"part": m["part"], "n_docs": m["n_docs"], "input_path": m["input_path"]} for m in done
         ],

@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 
 import ray
 
+from elasticsearch_ray.index.spec import field_of_term
 from elasticsearch_ray.index.postings import decode_postings, encode_postings
 from elasticsearch_ray.index.segments import (
     FORMAT_VERSION,
@@ -80,6 +81,9 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
     docs_tables = [pq.read_table(os.path.join(pd, "docs.parquet")) for pd in pdirs]
     new_docs = pa.concat_tables(docs_tables)
     norms_np = new_docs["norm"].to_numpy()
+    field_norms_np = {
+        n[5:]: new_docs[n].to_numpy() for n in new_docs.schema.names if n.startswith("norm_")
+    }
 
     with_pos = all(os.path.exists(os.path.join(pd, "positions.bin")) for pd in pdirs)
     rows = []  # (term, src_idx, term_row)
@@ -130,7 +134,9 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         final_terms.append(term)
         final_df.append(df)
         final_ttf.append(ttf)
-        final_blobs.append(encode_postings(docs, tfs, norms_np[docs]))
+        fld = field_of_term(term)
+        nl = norms_np if fld is None else field_norms_np[fld]
+        final_blobs.append(encode_postings(docs, tfs, nl[docs]))
         if with_pos:
             pos_flat_out.append(np.concatenate(pf_arr) if pf_arr else np.empty(0, np.int32))
         i = j
@@ -181,6 +187,11 @@ def merge_group(index_dir: str, group: list[int]) -> dict:
         "base_doc_id": new_base,
         "n_docs": int(len(new_docs)),
         "sum_dl": int(sum(m["sum_dl"] for m in manifests)),
+        "sum_dl_fields": {
+            f: sum(int((m.get("sum_dl_fields") or {}).get(f, 0)) for m in manifests)
+            for m0 in manifests[:1]
+            for f in (m0.get("sum_dl_fields") or {})
+        },
         "n_terms": len(final_terms),
         "bloom_bits": int(bloom_bits),
         "merged_from": group,

@@ -153,6 +153,20 @@ class SegmentReader:
         pb = os.path.join(pdir, "postings.bin")
         self.postings = np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else b""
         self._docs_cols: dict[tuple, pa.Table] = {}
+        self._field_norms: dict[str, np.ndarray] = {}
+
+    def norms_for(self, field: str | None) -> np.ndarray:
+        """Per-field norm bytes (default field when None) — extra fields'
+        norm_<field> columns load lazily from docs.parquet, cached."""
+        if field is None:
+            return self.norms
+        a = self._field_norms.get(field)
+        if a is None:
+            d = pq.read_table(os.path.join(self.dir, "docs.parquet"),
+                              columns=[f"norm_{field}"])
+            a = d[f"norm_{field}"].to_numpy()
+            self._field_norms[field] = a
+        return a
 
     def lookup(self, terms: list[str]) -> np.ndarray:
         """Row index per term in the sorted term dict, -1 when absent."""

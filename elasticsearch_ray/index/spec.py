@@ -6,6 +6,21 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
 
+# Extra-field terms are namespaced "<field>\x1f<term>" inside the shared term
+# dict / postings stream; \x1f (unit separator) never survives tokenization.
+FIELD_SEP = "\x1f"
+
+
+def fkey(field_name: str | None, term: str) -> str:
+    """Term-dict key of ``term`` in ``field_name`` (None = default field)."""
+    return term if field_name is None else field_name + FIELD_SEP + term
+
+
+def field_of_term(term: str) -> str | None:
+    """None for the default field, else the field name."""
+    i = term.find(FIELD_SEP)
+    return None if i < 0 else term[:i]
+
 
 @dataclass
 class IndexSpec:
@@ -22,6 +37,12 @@ class IndexSpec:
     # (TextFieldMapper.java:95-110)
     use_html: bool = True  # extract text from html column (else use text_column)
     text_column: str = "text"
+    # extra indexed fields: {field_name: source_column}. Their terms share the
+    # postings structure namespaced as "<field>\x1f<term>" (the reference's
+    # per-field postings, FieldMapper.java); each gets its own doclen/norm
+    # column and avgdl so BM25 is exact per field. The default field (the
+    # text/html body) stays unprefixed.
+    fields: dict | None = None
     doc_columns: tuple = ("url", "warc_ts", "lang")  # carried into docs.parquet
     escaped_tags: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are

@@ -32,6 +32,7 @@ import pyarrow as pa
 from elasticsearch_ray.analysis.analyzers import get_analyzer
 from elasticsearch_ray.index.segments import (SegmentReader, bloom_might_contain, part_dir,
                                               read_manifest, read_term_bloom)
+from elasticsearch_ray.index.spec import field_of_term, fkey
 from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer, make_scorer
 from elasticsearch_ray.search.query import (
     BoolQuery,
@@ -48,7 +49,9 @@ from elasticsearch_ray.search.query import (
     MatchPhrasePrefixQuery,
     MatchQuery,
     MoreLikeThisQuery,
+    MultiMatchQuery,
     PrefixQuery,
+    QueryStringQuery,
     Query,
     RangeFilter,
     RegexpQuery,
@@ -59,6 +62,7 @@ from elasticsearch_ray.search.query import (
     TermsQuery,
     WildcardQuery,
     intervals_terms,
+    parse_query_string,
     query_terms,
 )
 from elasticsearch_ray.search.topk import (
@@ -99,7 +103,9 @@ class PartitionSearcher:
         i = self.r.lookup([term])[0]
         if i < 0:
             return None
-        return TermCursor(self.r.blob(int(i)), scorers[term])
+        fld = field_of_term(term)
+        norms = self.r.norms_for(fld) if fld is not None else None
+        return TermCursor(self.r.blob(int(i)), scorers[term], norms)
 
     def _doc_col(self, name: str):
         col = self._doc_cols.get(name)
@@ -287,17 +293,18 @@ class PartitionSearcher:
             docs = np.arange(r.n_docs, dtype=np.int64)
             return docs, np.full(r.n_docs, q.boost, dtype=dtype)
         if isinstance(q, TermQuery):
-            c = self._cursor(q.term, scorers)
+            c = self._cursor(fkey(q.field, q.term), scorers)
             if c is None:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             d, t = c.decode_all()
-            return d, np.asarray(c.scorer.score(t, r.norms[d]), dtype=dtype)
+            nl = c.norms if c.norms is not None else r.norms
+            return d, np.asarray(c.scorer.score(t, nl[d]), dtype=dtype)
         if isinstance(q, (TermsQuery, MatchQuery)):
             if isinstance(q, TermsQuery):
                 terms, op, msm = list(q.terms), "or", 1
             else:
                 an = get_analyzer(q.analyzer or self.analyzer_name)
-                terms = an(q.text)[0]
+                terms = [fkey(q.field, t) for t in an(q.text)[0]]
                 op = q.operator
                 msm = _min_should_match(q.minimum_should_match, len(terms))
             if not terms:
@@ -320,17 +327,17 @@ class PartitionSearcher:
             return docs, scores
         if isinstance(q, MatchPhraseQuery):
             an = get_analyzer(q.analyzer or self.analyzer_name)
-            terms = an(q.text)[0]
+            terms = [fkey(q.field, t) for t in an(q.text)[0]]
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             docs, freqs = self._phrase_docs(terms, slop=getattr(q, "slop", 0))
             if len(docs) == 0:
                 return docs, np.empty(0, dtype)
-            # phrase scored like a term with tf = phrase_freq and the FIRST
-            # term's... — Lucene PhraseQuery uses combined idf of all terms:
-            # sum of per-term idfs (TFIDF/BM25: SimScorer over sum idf)
+            # phrase scored like a term with tf = phrase_freq; Lucene
+            # PhraseQuery uses the combined (summed) idf of all terms
             sc = scorers.get(("__phrase__",) + tuple(terms))
-            return docs, np.asarray(sc.score(freqs, r.norms[docs]), dtype=dtype)
+            nl = r.norms if q.field is None else r.norms_for(q.field)
+            return docs, np.asarray(sc.score(freqs, nl[docs]), dtype=dtype)
         if isinstance(q, MatchPhrasePrefixQuery):
             an = get_analyzer(q.analyzer or self.analyzer_name)
             terms = an(q.text)[0]
@@ -366,7 +373,7 @@ class PartitionSearcher:
             rows = self._expand_multi_term(q)
             return self._const_score_union(rows, getattr(q, "boost", 1.0), dtype)
         if isinstance(q, ExistsQuery):
-            lens = self._doc_col("doclen")
+            lens = self._doc_col("doclen" if q.field is None else f"doclen_{q.field}")
             docs = np.flatnonzero(lens > 0).astype(np.int64)
             return docs, np.full(len(docs), q.boost, dtype=dtype)
         if isinstance(q, IdsQuery):
@@ -743,6 +750,7 @@ class QueryEngine:
         self.parts = [p["part"] for p in self.meta["parts"]]
         self.n_docs = self.meta["n_docs"]
         self.avgdl = self.meta["sum_dl"] / max(self.n_docs, 1)
+        self.sum_dl_fields = self.meta.get("sum_dl_fields") or {}
         self.parallel = parallel
         self._searchers: dict[int, PartitionSearcher] = {}
         self._df_cache: dict[str, int] = {}
@@ -850,6 +858,17 @@ class QueryEngine:
             ranked = sorted(cand, key=lambda t: (-tf[t] * idf_fn(df[t], self.n_docs), t))
             sel = ranked[: q.max_query_terms]
             return BoolQuery(should=tuple(TermQuery(t) for t in sel), boost=q.boost)
+        if isinstance(q, MultiMatchQuery):
+            boosts = dict(q.boosts)
+            subs = tuple(
+                MatchQuery(q.text, operator=q.operator, field=f, boost=boosts.get(f, 1.0))
+                for f in q.fields
+            )
+            if q.type == "most_fields":
+                return BoolQuery(should=subs, boost=q.boost)
+            return DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker, boost=q.boost)
+        if isinstance(q, QueryStringQuery):
+            return parse_query_string(q.query, q.default_field, q.default_operator)
         if isinstance(q, TermsLookupQuery):
             # resolve the lookup doc ONCE on the coordinator (broadcast
             # small-side; the reference fetches the list with a GET)
@@ -917,11 +936,19 @@ class QueryEngine:
             self._df_cache.update(df)
         return {t: self._df_cache[t] for t in terms}
 
+    def avgdl_for(self, field: str | None) -> float:
+        """Per-field average doc length (BM25 normalizes each field against
+        its own length distribution, FieldMapper per-field norms)."""
+        if field is None:
+            return self.avgdl
+        return self.sum_dl_fields.get(field, 0) / max(self.n_docs, 1)
+
     def _scorers(self, q: Query, boost_map=None):
         terms = query_terms(q, self.analyzer_name)
         df = self._global_stats(terms)
         scorers = {
-            t: make_scorer(self.similarity, df[t], self.n_docs, self.avgdl, self.params,
+            t: make_scorer(self.similarity, df[t], self.n_docs,
+                           self.avgdl_for(field_of_term(t)), self.params,
                            dtype=self.dtype)
             for t in terms
         }
@@ -947,7 +974,7 @@ class QueryEngine:
         def add_phrase(qq):
             if isinstance(qq, MatchPhraseQuery):
                 an = get_analyzer(qq.analyzer or self.analyzer_name)
-                reg(tuple(an(qq.text)[0]), qq.boost)
+                reg(tuple(fkey(qq.field, t) for t in an(qq.text)[0]), qq.boost)
             elif isinstance(qq, SpanNearQuery):
                 reg(tuple(dict.fromkeys(qq.clauses)), qq.boost)
             elif isinstance(qq, IntervalsQuery):

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from elasticsearch_ray.index.spec import fkey
+
 
 class Query:
     pass
@@ -13,10 +15,12 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
-    """Exact term, no analysis (index/query/TermQueryBuilder.java)."""
+    """Exact term, no analysis (index/query/TermQueryBuilder.java).
+    ``field`` selects an extra indexed field (None = default text field)."""
 
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -51,6 +55,7 @@ class MatchQuery(Query):
     analyzer: str | None = None
     zero_terms_query: str = "none"  # "none" | "all" (MatchQueryParser zeroTermsQuery)
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -64,6 +69,7 @@ class MatchPhraseQuery(Query):
     slop: int = 0
     analyzer: str | None = None
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -143,9 +149,11 @@ class FuzzyQuery(Query):
 @dataclass(frozen=True)
 class ExistsQuery(Query):
     """Docs with at least one indexed token in the field
-    (ExistsQueryBuilder.java) — here: doclen > 0."""
+    (ExistsQueryBuilder.java) — here: doclen > 0 (per-field doclen for extra
+    fields)."""
 
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -211,6 +219,36 @@ class MoreLikeThisQuery(Query):
     min_term_freq: int = 2
     min_doc_freq: int = 5
     analyzer: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiMatchQuery(Query):
+    """multi_match over the indexed fields (MultiMatchQueryBuilder.java):
+    best_fields = dis_max of per-field match queries (+ tie_breaker);
+    most_fields = bool-should sum of per-field matches. Rewritten at the
+    coordinator into the corresponding compound query; per-field boosts via
+    ``boosts`` (field → boost)."""
+
+    text: str
+    fields: tuple = (None,)  # None = default field
+    type: str = "best_fields"  # "best_fields" | "most_fields"
+    tie_breaker: float = 0.0
+    operator: str = "or"
+    boosts: tuple = ()  # ((field, boost), ...)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class QueryStringQuery(Query):
+    """query_string subset (QueryStringQueryBuilder.java / Lucene classic
+    syntax): field:term, field:"phrase", AND / OR / NOT, +/- prefixes,
+    parentheses, quoted phrases, trailing-* prefix terms. Parsed at the
+    coordinator into the bool/phrase/prefix AST."""
+
+    query: str
+    default_field: str | None = None
+    default_operator: str = "or"
     boost: float = 1.0
 
 
@@ -299,6 +337,107 @@ def parse_simple_query_string(text: str, default_operator: str = "or") -> Query:
     return BoolQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
 
 
+def parse_query_string(text: str, default_field: str | None = None,
+                       default_operator: str = "or") -> Query:
+    """Lucene classic query syntax subset (QueryStringQueryBuilder.java →
+    Lucene's QueryParser), recursive descent over:
+
+        expr     := clause (("AND"|"OR") clause)*     (AND binds per-pair)
+        clause   := ["+"|"-"|"NOT"] atom
+        atom     := "(" expr ")" | [field":"] ("\"...\"" | word["*"])
+
+    Unqualified words search ``default_field``; AND/NOT produce must/must_not
+    clauses, OR (and the default operator "or") produce should clauses."""
+    import re as _re
+
+    toks = _re.findall(r'\(|\)|[^\s()":]+:"[^"]*"|"[^"]*"|[^\s()]+', text)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def advance():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t == "(":
+            advance()
+            q = expr()
+            if peek() == ")":
+                advance()
+            return q
+        t = advance()
+        fld = default_field
+        if ":" in t and not t.startswith('"'):
+            fname, rest = t.split(":", 1)
+            fld = fname or default_field
+            t = rest if rest else (advance() if peek() else "")
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            return MatchPhraseQuery(t[1:-1], field=fld)
+        if t.endswith("*") and len(t) > 1 and "*" not in t[:-1]:
+            if fld is not None:
+                # fielded prefix: expand via the term dict with the field key
+                return PrefixQuery(fkey(fld, t[:-1].lower()))
+            return PrefixQuery(t[:-1].lower())
+        return MatchQuery(t, field=fld)
+
+    def clause():
+        t = peek()
+        neg = False
+        req = False
+        if t in ("NOT", "-"):
+            advance()
+            neg = True
+        elif t == "+":
+            advance()
+            req = True
+        elif t is not None and t.startswith("-") and len(t) > 1 and t != "-":
+            toks[pos[0]] = t[1:]
+            neg = True
+        elif t is not None and t.startswith("+") and len(t) > 1 and t != "+":
+            toks[pos[0]] = t[1:]
+            req = True
+        return neg, req, atom()
+
+    def expr():
+        must, should, must_not = [], [], []
+        neg, req, q = clause()
+        pending = [(neg, req, q)]
+        ops = []
+        while peek() is not None and peek() != ")":
+            t = peek()
+            if t in ("AND", "OR"):
+                advance()
+                ops.append(t)
+                pending.append(clause())
+            else:
+                ops.append("OR" if default_operator == "or" else "AND")
+                pending.append(clause())
+        # AND joins its two operands as must; OR leaves them should
+        buckets = ["should"] * len(pending)
+        for i, op in enumerate(ops):
+            if op == "AND":
+                buckets[i] = "must"
+                buckets[i + 1] = "must"
+        for (neg, req, q), b in zip(pending, buckets):
+            if neg:
+                must_not.append(q)
+            elif req or b == "must":
+                must.append(q)
+            else:
+                should.append(q)
+        if len(must) == 1 and not should and not must_not:
+            return must[0]
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        return BoolQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+    return expr()
+
+
 def intervals_terms(source: tuple, default_analyzer: str) -> list[str]:
     """All terms an intervals source needs postings for (walk order)."""
     from elasticsearch_ray.analysis.analyzers import get_analyzer
@@ -325,12 +464,18 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
 
     def walk(q: Query):
         if isinstance(q, TermQuery):
-            out.append(q.term)
+            out.append(fkey(q.field, q.term))
         elif isinstance(q, TermsQuery):
             out.extend(q.terms)
         elif isinstance(q, (MatchQuery, MatchPhraseQuery)):
             an = get_analyzer(q.analyzer or default_analyzer)
-            out.extend(an(q.text)[0])
+            out.extend(fkey(q.field, t) for t in an(q.text)[0])
+        elif isinstance(q, MultiMatchQuery):
+            an = get_analyzer(default_analyzer)
+            for f in q.fields:
+                out.extend(fkey(f, t) for t in an(q.text)[0])
+        elif isinstance(q, QueryStringQuery):
+            walk(parse_query_string(q.query, q.default_field, q.default_operator))
         elif isinstance(q, SpanNearQuery):
             out.extend(q.clauses)
         elif isinstance(q, IntervalsQuery):

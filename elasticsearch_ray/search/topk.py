@@ -65,15 +65,19 @@ def topk_select(docs: np.ndarray, scores: np.ndarray, k: int):
 
 
 class TermCursor:
-    """One query term's postings inside one partition."""
+    """One query term's postings inside one partition. ``norms`` optionally
+    carries the term's FIELD-specific norm bytes (multi-field indexes score
+    each field against its own doc lengths); kernels fall back to the
+    passed-in default-field norms when unset."""
 
-    __slots__ = ("blob", "headers", "offsets", "scorer")
+    __slots__ = ("blob", "headers", "offsets", "scorer", "norms")
 
-    def __init__(self, blob, scorer):
+    def __init__(self, blob, scorer, norms=None):
         self.blob = blob
         self.headers = read_headers(blob)
         self.offsets = _payload_offsets(self.headers) if len(self.headers) else None
         self.scorer = scorer
+        self.norms = norms
 
     def decode_all(self):
         return decode_postings(self.blob)
@@ -118,8 +122,9 @@ def exhaustive_disjunction(cursors, norms, dtype=np.float32, min_match: int = 1)
     d_arrays, s_arrays = [], []
     for c in cursors:
         d, t = c.decode_all()
+        nl = c.norms if c.norms is not None else norms
         d_arrays.append(d)
-        s_arrays.append(c.scorer.score(t, norms[d]))
+        s_arrays.append(c.scorer.score(t, nl[d]))
     if not d_arrays:
         return np.empty(0, np.int64), np.empty(0, dtype)
     return accumulate_dense(d_arrays, s_arrays, 0, len(norms), dtype, min_match)
@@ -186,8 +191,9 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
             m = (d >= wstart) & (d < wend)
             if m.any():
                 dm = d[m]
+                nl = c.norms if c.norms is not None else norms
                 d_arrays.append(dm)
-                s_arrays.append(c.scorer.score(t[m], norms[dm]))
+                s_arrays.append(c.scorer.score(t[m], nl[dm]))
         if not d_arrays:
             continue
         docs, scores = accumulate_dense(

@@ -1,0 +1,139 @@
+"""Multi-field indexing + multi_match / query_string
+(MultiMatchQueryBuilder.java, QueryStringQueryBuilder.java; per-field
+postings + norms as in FieldMapper): the title field is derived (first 5
+tokens) so a single-field index over the same column is an exact scoring
+oracle."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.search.query import (
+    MatchPhraseQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    QueryStringQuery,
+    TermQuery,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def mf(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    base = tmp_path_factory.mktemp("mfidx")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    titles = [" ".join((x or "").split()[:5]) for x in t["text"].to_pylist()]
+    t = t.append_column("title", pa.array(titles, pa.string()))
+    corpus = str(base / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(t, os.path.join(corpus, "docs.parquet"))
+
+    idx = str(base / "index")
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     fields={"title": "title"}, files_per_partition=1)
+    build_index(corpus, idx, spec, concurrency=2, file_pattern="docs.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+
+    # single-field oracle index over ONLY the title column
+    tidx = str(base / "title_index")
+    tspec = IndexSpec(use_html=False, text_column="title", doc_columns=("lang",),
+                      files_per_partition=1)
+    build_index(corpus, tidx, tspec, concurrency=2, file_pattern="docs.parquet")
+    teng = QueryEngine(tidx, dtype="float64")
+
+    docs = dict(zip(t["doc_id"].to_pylist(), [x.split() for x in t["text"].to_pylist()]))
+    tdocs = dict(zip(t["doc_id"].to_pylist(), [x.split() for x in titles]))
+    return eng, teng, docs, tdocs
+
+
+def _res(eng, q, **kw):
+    t = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",), **kw)
+    return {r["doc_id"]: r["score"] for r in t.to_pylist()}
+
+
+def test_title_term_matches_only_titles(mf):
+    eng, _teng, docs, tdocs = mf
+    tok = "spark"
+    got = set(_res(eng, TermQuery(tok, field="title")))
+    want = {d for d, toks in tdocs.items() if tok in toks}
+    assert got == want and got
+    # and the default field still matches body text
+    got_body = set(_res(eng, TermQuery(tok)))
+    assert got_body == {d for d, toks in docs.items() if tok in toks}
+    assert got < got_body
+
+
+def test_title_scores_equal_single_field_index(mf):
+    """BM25 on the title field (own df, norms, avgdl) must equal an index
+    built over the title column alone — exact float64 equality."""
+    eng, teng, _docs, _tdocs = mf
+    for tok in ("spark", "merge", "window"):
+        a = _res(eng, TermQuery(tok, field="title"))
+        b = _res(teng, TermQuery(tok))
+        assert a == b and a
+    a = _res(eng, MatchQuery("spark join merge", field="title"))
+    b = _res(teng, MatchQuery("spark join merge"))
+    assert a == b
+
+
+def test_multi_match_best_and_most_fields(mf):
+    eng, _teng, _docs, _tdocs = mf
+    text = "spark join"
+    body = _res(eng, MatchQuery(text))
+    title = _res(eng, MatchQuery(text, field="title"))
+    best = _res(eng, MultiMatchQuery(text, fields=(None, "title"), tie_breaker=0.25))
+    most = _res(eng, MultiMatchQuery(text, fields=(None, "title"), type="most_fields"))
+    assert set(best) == set(body) | set(title) == set(most)
+    for d, s in best.items():
+        b, t = body.get(d, 0.0), title.get(d, 0.0)
+        expect = max(b, t) + 0.25 * min(b, t)
+        assert abs(s - expect) < 1e-9, d
+    for d, s in most.items():
+        assert abs(s - (body.get(d, 0.0) + title.get(d, 0.0))) < 1e-9, d
+
+
+def test_phrase_on_title_field(mf):
+    eng, _teng, _docs, tdocs = mf
+    got = set(_res(eng, MatchPhraseQuery("spark join", field="title")))
+    want = {
+        d for d, toks in tdocs.items()
+        if any(toks[i : i + 2] == ["spark", "join"] for i in range(len(toks) - 1))
+    }
+    assert got == want
+
+
+def test_query_string_fielded(mf):
+    eng, _teng, docs, tdocs = mf
+    got = set(_res(eng, QueryStringQuery("title:spark AND merge")))
+    want = {d for d in docs if "spark" in tdocs[d] and "merge" in docs[d]}
+    assert got == want and got
+    got2 = set(_res(eng, QueryStringQuery('title:"spark join" OR window')))
+    phr = {
+        d for d, toks in tdocs.items()
+        if any(toks[i : i + 2] == ["spark", "join"] for i in range(len(toks) - 1))
+    }
+    assert got2 == phr | {d for d, toks in docs.items() if "window" in toks}
+
+
+def test_exists_on_field(mf):
+    eng, _teng, _docs, tdocs = mf
+    from elasticsearch_ray.search.query import ExistsQuery
+
+    got = set(_res(eng, ExistsQuery(field="title")))
+    assert got == {d for d, toks in tdocs.items() if toks}
+
+
+def test_bmw_equals_exhaustive_on_title(mf):
+    eng, _teng, _docs, _tdocs = mf
+    q = MatchQuery("spark join merge", field="title")
+    a = eng.search(q, k=10, mode="bmw", fetch=("doc_id",)).to_pylist()
+    b = eng.search(q, k=10, mode="exhaustive", fetch=("doc_id",)).to_pylist()
+    assert a == b and len(a) == 10
