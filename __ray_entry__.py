@@ -98,9 +98,10 @@ def _webpages_index(sf_dir: str):
 
     corpus = corpus_for_sf(sf_dir, multiplier=1, num_files=4)
     idx_dir = f"/tmp/esray_indexes/{key}"
-    # north-star flagship: per-language stateful analyzer dispatch — english
-    # pages get the full english chain, others the standard analyzer
-    build_index(corpus, idx_dir, IndexSpec(use_html=True, lang_analyzers={"en": "english"}))
+    # north-star flagship: per-language stateful analyzer dispatch — every
+    # corpus language gets its chain (elision/stemming/umlauts/CJK bigrams)
+    build_index(corpus, idx_dir, IndexSpec(use_html=True, lang_analyzers={
+        "en": "english", "fr": "french", "de": "german", "es": "spanish", "zh": "cjk"}))
     eng = QueryEngine(idx_dir, dtype="float64")
     _ENGINES[key] = eng
     eng._corpus_dir = corpus
@@ -523,6 +524,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["score"] = df["score"].round(4)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def web_lang_french(sf):  # rows-only: cross-inflection match via stemmer
+        from elasticsearch_ray.search.query import MatchQuery
+
+        eng = _webpages_index(sf)
+        res = eng.search(MatchQuery("requête d'analyses", analyzer="french"), k=10,
+                         fetch=("url", "lang"))
+        return res
+
+    def web_lang_cjk(sf):  # rows-only: bigram query hits ideograph runs
+        from elasticsearch_ray.search.query import MatchQuery
+
+        eng = _webpages_index(sf)
+        res = eng.search(MatchQuery("搜索", analyzer="cjk"), k=10, fetch=("url", "lang"))
+        return res
+
     def web_strip_invariant(sf):
         from elasticsearch_ray.analysis.html_strip import HtmlStripBatch
         from elasticsearch_ray.sources.webpages import corpus_files, corpus_for_sf
@@ -711,6 +727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_composite_after": agg_composite_after,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
+        "web_lang_french": web_lang_french,
+        "web_lang_cjk": web_lang_cjk,
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_table": dedup_simhash_table,

@@ -149,6 +149,9 @@ def register(name: str, factory: Callable[[], Analyzer]) -> None:
 
 
 def get_analyzer(name: str) -> Analyzer:
+    if name not in _REGISTRY:
+        # language chains register on first use (keeps the base module light)
+        import elasticsearch_ray.analysis.lang  # noqa: F401
     try:
         return _REGISTRY[name]()
     except KeyError:

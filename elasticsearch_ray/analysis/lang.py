@@ -1,0 +1,245 @@
+"""Language analyzer chains beyond English — the reference registers 36
+(`modules/analysis-common/.../CommonAnalysisPlugin.java:179-219`); we provide
+the big five for this corpus's languages (fr/de/es/ru/zh) as light chains:
+
+  french   standard → elision → lowercase → stop(fr) → french light stem
+  german   standard → lowercase → stop(de) → umlaut-normalize → light stem
+  spanish  standard → lowercase → stop(es) → accent-fold → light stem
+  russian  standard → lowercase → stop(ru) → light suffix stem
+  cjk      standard → lowercase → CJK BIGRAMS (CJKBigramFilter semantics:
+           ideograph runs emit overlapping bigrams; isolated single
+           ideographs emit a unigram; non-CJK tokens pass through)
+
+The stemmers follow the published *light/minimal* stemming family (Jacques
+Savoy, "Light stemming approaches for the French, Portuguese, German and
+Hungarian languages", ACM SAC 2006; "A stemming procedure and stopword list
+for general French corpora", JASIS 1999) rather than full Snowball — a
+documented simplification; golden fixtures in tests/test_lang_analyzers.py
+pin the exact semantics. Stopword sets are compact subsets of the public
+Snowball lists."""
+
+from __future__ import annotations
+
+from elasticsearch_ray.analysis.analyzers import Analysis, Analyzer, register
+from elasticsearch_ray.analysis.tokenizer import tokenize
+
+FRENCH_STOP = frozenset(
+    """le la les de des du un une et en au aux ce ces dans il elle je tu nous
+    vous ne pas que qui sur se son sa ses est sont être avec pour par plus ou
+    où mais comme si tout aussi leur y a à""".split()
+)
+GERMAN_STOP = frozenset(
+    """der die das und oder aber nicht ein eine einer eines einem einen dem
+    den ist sind war waren wird werden mit von zu im in auf für als auch an
+    es er sie ich du wir ihr sich des am um bei nach über unter durch""".split()
+)
+SPANISH_STOP = frozenset(
+    """el la los las de del un una unos unas y o pero no es son fue en a al
+    con por para como su sus se que más este esta estos estas lo le les mi tu
+    si ya""".split()
+)
+RUSSIAN_STOP = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у же
+    вы за бы по только ее мне было вот от меня еще нет о из ему""".split()
+)
+
+# Lucene FrenchAnalyzer DEFAULT_ARTICLES (ElisionFilter)
+FRENCH_ARTICLES = frozenset("l m t qu n s j d c".split())
+
+
+def elision(term: str, articles: frozenset = FRENCH_ARTICLES) -> str:
+    """Strip a leading article + apostrophe (l'avion → avion)."""
+    for apo in ("'", "’"):
+        i = term.find(apo)
+        if 0 < i <= 2 and term[:i] in articles:
+            return term[i + 1 :]
+    return term
+
+
+def french_light_stem(t: str) -> str:
+    """French minimal stemmer (Savoy 1999 family): -aux→-al, drop final
+    x/s/r/e/é (one each, in order), collapse a final doubled letter."""
+    if len(t) > 5 and t.endswith("aux"):
+        t = t[:-2] + "l"
+    elif len(t) > 4 and t.endswith("x"):
+        t = t[:-1]
+    if len(t) > 4 and t.endswith("s"):
+        t = t[:-1]
+    if len(t) > 4 and t.endswith("r"):
+        t = t[:-1]
+    if len(t) > 4 and t.endswith("e"):
+        t = t[:-1]
+    if len(t) > 4 and t.endswith("é"):
+        t = t[:-1]
+    if len(t) > 4 and t[-1] == t[-2]:
+        t = t[:-1]
+    return t
+
+
+_DE_NORM = str.maketrans({"ä": "a", "ö": "o", "ü": "u"})
+
+
+def german_normalize(t: str) -> str:
+    return t.translate(_DE_NORM).replace("ß", "ss")
+
+
+_DE_SUFFIXES = ("nen", "en", "er", "es", "em", "nd", "e", "s", "n")
+
+
+def german_light_stem(t: str) -> str:
+    """German light stemmer (Savoy family): normalize umlauts/ß, then strip
+    one plural/case suffix (longest match), minimum stem length 4."""
+    t = german_normalize(t)
+    for suf in _DE_SUFFIXES:
+        if t.endswith(suf) and len(t) - len(suf) >= 4:
+            return t[: -len(suf)]
+    return t
+
+
+_ES_NORM = str.maketrans({"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u", "ü": "u"})
+
+
+def spanish_light_stem(t: str) -> str:
+    """Spanish light stemmer: fold accents, strip plural -es/-s and a final
+    gender vowel a/o (minimum stem length 4)."""
+    t = t.translate(_ES_NORM)
+    if len(t) > 5 and t.endswith("es"):
+        t = t[:-2]
+    elif len(t) > 4 and t.endswith("s"):
+        t = t[:-1]
+    if len(t) > 4 and t[-1] in "ao":
+        t = t[:-1]
+    return t
+
+
+# Russian light stemmer suffixes (adjective + noun endings), longest first;
+# minimum stem length 3 (Savoy RussianLightStemmer family).
+_RU_SUFFIXES = (
+    "иями", "ями", "ами", "его", "ого", "ему", "ому", "ыми", "ими",
+    "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом",
+    "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею", "ия", "ии",
+    "ов", "ев", "ах", "ях", "ам", "ям", "ом", "ем",
+    "а", "я", "ы", "и", "е", "у", "ю", "о", "ь",
+)
+
+
+def russian_light_stem(t: str) -> str:
+    for suf in _RU_SUFFIXES:
+        if t.endswith(suf) and len(t) - len(suf) >= 3:
+            return t[: -len(suf)]
+    return t
+
+
+def _is_cjk(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x4E00 <= o <= 0x9FFF      # CJK Unified Ideographs
+        or 0x3400 <= o <= 0x4DBF   # Extension A
+        or 0xF900 <= o <= 0xFAFF   # Compatibility Ideographs
+        or 0x3040 <= o <= 0x30FF   # Hiragana + Katakana
+        or 0xAC00 <= o <= 0xD7AF   # Hangul syllables
+    )
+
+
+class _StemAnalyzer(Analyzer):
+    """Shared chain: tokenize → per-token pre → lowercase → stop (position
+    gaps) → stem."""
+
+    stopwords: frozenset = frozenset()
+
+    def pre(self, t: str) -> str:
+        return t
+
+    def stem(self, t: str) -> str:
+        return t
+
+    def __call__(self, text: str) -> Analysis:
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokenize(text)):
+            t = self.pre(tok).lower()
+            if not t or t in self.stopwords:
+                continue
+            terms.append(self.stem(t))
+            positions.append(pos)
+        return terms, positions
+
+
+class FrenchAnalyzer(_StemAnalyzer):
+    name = "french"
+    stopwords = FRENCH_STOP
+
+    def pre(self, t: str) -> str:
+        return elision(t)
+
+    def stem(self, t: str) -> str:
+        return french_light_stem(t)
+
+
+class GermanAnalyzer(_StemAnalyzer):
+    name = "german"
+    stopwords = GERMAN_STOP
+
+    def stem(self, t: str) -> str:
+        return german_light_stem(t)
+
+
+class SpanishAnalyzer(_StemAnalyzer):
+    name = "spanish"
+    stopwords = SPANISH_STOP
+
+    def stem(self, t: str) -> str:
+        return spanish_light_stem(t)
+
+
+class RussianAnalyzer(_StemAnalyzer):
+    name = "russian"
+    stopwords = RUSSIAN_STOP
+
+    def stem(self, t: str) -> str:
+        return russian_light_stem(t)
+
+
+class CjkAnalyzer(Analyzer):
+    """``cjk``: standard tokens, lowercased; ideograph runs emit overlapping
+    BIGRAMS at consecutive positions (CJKBigramFilter), single isolated
+    ideographs emit a unigram; non-CJK tokens pass through unchanged."""
+
+    name = "cjk"
+
+    def __call__(self, text: str) -> Analysis:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for tok in tokenize(text):
+            t = tok.lower()
+            # split the token into CJK / non-CJK segments
+            segs: list[tuple[bool, str]] = []
+            for ch in t:
+                cjk = _is_cjk(ch)
+                if segs and segs[-1][0] == cjk:
+                    segs[-1] = (cjk, segs[-1][1] + ch)
+                else:
+                    segs.append((cjk, ch))
+            for cjk, seg in segs:
+                if not cjk:
+                    terms.append(seg)
+                    positions.append(pos)
+                    pos += 1
+                elif len(seg) == 1:
+                    terms.append(seg)
+                    positions.append(pos)
+                    pos += 1
+                else:
+                    for i in range(len(seg) - 1):
+                        terms.append(seg[i : i + 2])
+                        positions.append(pos)
+                        pos += 1
+        return terms, positions
+
+
+register("french", FrenchAnalyzer)
+register("german", GermanAnalyzer)
+register("spanish", SpanishAnalyzer)
+register("russian", RussianAnalyzer)
+register("cjk", CjkAnalyzer)

@@ -35,8 +35,8 @@ _DIGIT = r"\d"
 TOKEN_RE = re.compile(
     rf"\w+"
     rf"(?:"
-    rf"(?:(?<={_LETTER})[.':·״‧](?={_LETTER})"  # WB6/WB7
-    rf"|(?<={_DIGIT})[.,';٬](?={_DIGIT})"  # WB11/WB12
+    rf"(?:(?<={_LETTER})[.':\u2019·״‧](?={_LETTER})"  # WB6/WB7 (’ = MidNumLet)
+    rf"|(?<={_DIGIT})[.,'\u2019;٬](?={_DIGIT})"  # WB11/WB12
     rf")\w+"
     rf")*",
     re.UNICODE,

@@ -73,6 +73,23 @@ from elasticsearch_ray.index.spec import FIELD_SEP, IndexSpec, field_of_term
 from elasticsearch_ray.sources.webpages import plan_shards
 
 
+def spec_fingerprint(spec: IndexSpec) -> str:
+    """Hash of the analysis-relevant spec fields — part of a partition's
+    resume identity (changing analyzer/fields/similarity must rebuild;
+    execution-only knobs must not)."""
+    import hashlib
+
+    return hashlib.md5(
+        repr(
+            sorted(
+                (k, repr(v))
+                for k, v in spec.to_dict().items()
+                if k not in ("files_per_partition", "merge_spill_bytes", "sample_docs")
+            )
+        ).encode()
+    ).hexdigest()[:16]
+
+
 def plan_partitions(corpus_dir: str, file_pattern: str, files_per_partition: int) -> list[dict]:
     """Group input file shards into partitions of contiguous doc ranges."""
     shards = plan_shards(corpus_dir, file_pattern)
@@ -490,6 +507,8 @@ def merge_part_streaming(index_dir: str, part: int, run_paths: list[str],
         "part": part,
         "input_path": [s["path"] for s in shards],
         "input_rows": int(sum(s["rows"] for s in shards)),
+        "input_bytes": int(sum(s.get("bytes", 0) for s in shards)),
+        "spec_fp": spec_fingerprint(spec),
         "base_doc_id": int(shards[0]["part_base"]),
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
@@ -627,6 +646,8 @@ def merge_part(index_dir: str, part: int, run_paths: list[str], shards: list[dic
         "part": part,
         "input_path": [s["path"] for s in shards],
         "input_rows": int(sum(s["rows"] for s in shards)),
+        "input_bytes": int(sum(s.get("bytes", 0) for s in shards)),
+        "spec_fp": spec_fingerprint(spec),
         "base_doc_id": int(shards[0]["part_base"]),
         "n_docs": int(len(norms_np)),
         "sum_dl": int(doclen_np.sum()),
@@ -707,6 +728,10 @@ def build_index(
     by_part: dict[int, list[dict]] = {}
     for s in shards:
         by_part.setdefault(s["part"], []).append(s)
+    # resume identity: input paths + rows + BYTES (a regenerated corpus with
+    # identical row counts must invalidate) + the analysis-relevant spec
+    # fingerprint (changing analyzer/fields/positions must rebuild).
+    spec_fp = spec_fingerprint(spec)
     done, todo_parts = [], []
     for part, plist in sorted(by_part.items()):
         m = read_manifest(index_dir, part)
@@ -714,6 +739,8 @@ def build_index(
             m
             and m.get("input_rows") == sum(s["rows"] for s in plist)
             and m.get("input_path") == [s["path"] for s in plist]
+            and m.get("input_bytes") == sum(s.get("bytes", 0) for s in plist)
+            and m.get("spec_fp") == spec_fp
         ):
             done.append(m)
         else:

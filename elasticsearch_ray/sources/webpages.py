@@ -43,7 +43,23 @@ _BLOCK_TAGS = ["p", "div", "li", "blockquote"]
 _ENTITY_WORDS = [("&amp;", "&"), ("&lt;tag&gt;", "<tag>"), ("&#8212;", "—"), ("&quot;q&quot;", '"q"')]
 
 
-def _render_page(words: list[str], rng: np.random.Generator) -> tuple[str, str]:
+# Per-language native-script vocab: a deterministic tail paragraph of these
+# words makes non-English pages exercise the language analyzer chains
+# (elision, umlauts, accents, CJK bigrams) while the body stays shared.
+_LANG_WORDS = {
+    "fr": ["l'étincelle", "jointures", "données", "requêtes", "fenêtres",
+           "d'analyse", "résultats", "qu'elle", "rapides", "flux"],
+    "de": ["zusammenführung", "abfragen", "fenster", "ergebnisse", "größe",
+           "bäume", "ströme", "verteilte", "suche", "daten"],
+    "es": ["consultas", "ventanas", "resultados", "uniones", "análisis",
+           "número", "rápidas", "flujos", "búsqueda", "datos"],
+    "zh": ["分布式搜索引擎", "数据处理", "查询窗口", "流式计算", "倒排索引",
+           "批量合并", "相关性排序"],
+}
+
+
+def _render_page(words: list[str], rng: np.random.Generator,
+                 lang: str = "en") -> tuple[str, str]:
     """Build (html, expected_text) from one plan. Independent of strip_html.
     All random draws are bulk-vectorized (one rng call each) for speed; the
     draw SHAPE depends only on len(words), keeping output deterministic."""
@@ -95,6 +111,14 @@ def _render_page(words: list[str], rng: np.random.Generator) -> tuple[str, str]:
         if comment_r[para] < 0.15:
             html_parts.append("<!-- chunk boundary -->")
         para += 1
+    vocab = _LANG_WORDS.get(lang)
+    if vocab:
+        # deterministic native-script tail paragraph (size from one rng draw)
+        n_extra = int(rng.integers(4, 9))
+        picks = rng.integers(0, len(vocab), size=n_extra)
+        extra = " ".join(vocab[int(j)] for j in picks)
+        html_parts.append(f"<p>{extra}</p>")
+        text_parts.append("\n" + extra + "\n")
     html_parts.append("</body></html>")
     text_parts.append("\n\n")
     return "".join(html_parts), "".join(text_parts)
@@ -119,7 +143,7 @@ def synthesize_webpages(
         "multiplier": multiplier,
         "num_files": num_files,
         "seed": seed,
-        "version": 4,
+        "version": 5,
     }
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -178,7 +202,7 @@ def _generate_file(docs: pa.Table, out_dir: str, spec: tuple, seed: int) -> dict
         words = text.split()
         if rep > 0:
             words = list(rng.permutation(words))
-        html, expected = _render_page(words, rng)
+        html, expected = _render_page(words, rng, lang)
         ts = base_ts + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
         buf["url"].append(f"https://{src}.example.com/{lang}/page-{did}-{rep}.html")
         buf["warc_ts"].append(ts.astype("datetime64[us]").item())
@@ -236,6 +260,7 @@ def plan_shards(corpus_dir: str, pattern: str = "*.parquet") -> list[dict]:
     base = 0
     for i, path in enumerate(files):
         rows = pq.read_metadata(path).num_rows
-        shards.append({"part": i, "path": path, "base": base, "rows": rows})
+        shards.append({"part": i, "path": path, "base": base, "rows": rows,
+                       "bytes": os.path.getsize(path)})
         base += rows
     return shards
