@@ -349,6 +349,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = composite_agg(_ds(sf, "documents"), ["lang", "source"], after=cursor, size=7)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_missing_value(sf):
+        from elasticsearch_ray.ops.aggs import missing_agg
+
+        def derive(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            masked = pc.if_else(pc.less(batch["value"], 10.0), pa.scalar(None, pa.float64()),
+                                batch["value"])
+            return batch.set_column(batch.schema.get_field_index("value"), "value", masked)
+
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pyarrow")
+        out = missing_agg(ds, "value")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_global_stats(sf):
+        from elasticsearch_ray.ops.aggs import global_stats_agg
+
+        out = global_stats_agg(_ds(sf, "lineitem"), "l_extendedprice")
+        out["sum"] = out["sum"].round(4)
+        out["avg"] = out["avg"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_date_range_events(sf):
+        from elasticsearch_ray.ops.aggs import date_range_agg
+
+        out = date_range_agg(_ds(sf, "events"), "ts",
+                             [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+                              ("2024-01-20", None)])
+        return pa.Table.from_pandas(out[["bucket", "doc_count"]], preserve_index=False)
+
+    def agg_mad_quantity(sf):
+        from elasticsearch_ray.ops.aggs import median_absolute_deviation_agg
+
+        out = median_absolute_deviation_agg(_ds(sf, "lineitem"), "l_returnflag", "l_quantity")
+        out["mad"] = out["mad"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_percentile_ranks(sf):
+        from elasticsearch_ray.ops.aggs import percentile_ranks_agg
+
+        out = percentile_ranks_agg(_ds(sf, "lineitem"), "l_quantity", [10.0, 25.0, 49.0])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _daily_counts(sf):
+        from elasticsearch_ray.ops.aggs import date_histogram
+
+        return date_histogram(_ds(sf, "events"), "ts", "day", value_col="value")
+
+    def agg_max_bucket_daily(sf):
+        from elasticsearch_ray.ops.aggs import max_bucket
+
+        daily = _daily_counts(sf)
+        out = max_bucket(daily, "bucket", "doc_count")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_bucket_pipeline(sf):
+        from elasticsearch_ray.ops.aggs import bucket_script, bucket_selector, bucket_sort
+
+        daily = _daily_counts(sf)
+        daily = bucket_script(daily, lambda d: (d["sum_value"] / d["doc_count"]).round(6),
+                              out_col="avg_value")
+        daily = bucket_selector(daily, lambda d: d["doc_count"] >= 10)
+        daily = bucket_sort(daily, [("avg_value", "desc"), ("bucket", "asc")], size=5)
+        out = daily[["bucket", "doc_count", "avg_value"]].copy()
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    def agg_serial_diff_daily(sf):
+        from elasticsearch_ray.ops.aggs import serial_diff
+
+        daily = _daily_counts(sf)
+        out = serial_diff(daily, "doc_count", lag=7)[["bucket", "doc_count", "diff"]]
+        out = out.dropna().copy()
+        out["diff"] = out["diff"].astype("int64")
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    def agg_stats_bucket_daily(sf):
+        from elasticsearch_ray.ops.aggs import stats_bucket
+
+        out = stats_bucket(_daily_counts(sf), "doc_count")
+        out["avg"] = out["avg"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_auto_date_histogram(sf):  # rows-only (interval chosen from data)
+        from elasticsearch_ray.ops.aggs import auto_date_histogram
+
+        out = auto_date_histogram(_ds(sf, "events"), "ts", target_buckets=12)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_percentiles_tdigest(sf):  # rows-only: t-digest sketch estimate
         from elasticsearch_ray.ops.aggs import percentiles_tdigest
 
@@ -725,6 +813,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_filters_events": agg_filters_events,
         "agg_adjacency_matrix": agg_adjacency_matrix,
         "agg_composite_after": agg_composite_after,
+        "agg_missing_value": agg_missing_value,
+        "agg_global_stats": agg_global_stats,
+        "agg_date_range_events": agg_date_range_events,
+        "agg_mad_quantity": agg_mad_quantity,
+        "agg_percentile_ranks": agg_percentile_ranks,
+        "agg_max_bucket_daily": agg_max_bucket_daily,
+        "agg_bucket_pipeline": agg_bucket_pipeline,
+        "agg_serial_diff_daily": agg_serial_diff_daily,
+        "agg_stats_bucket_daily": agg_stats_bucket_daily,
+        "agg_auto_date_histogram": agg_auto_date_histogram,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
@@ -1162,6 +1260,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS doc_count
             FROM documents GROUP BY lang, source
             ORDER BY lang, source LIMIT 10
+        """,
+        "agg_missing_value": """
+            SELECT count(*) FILTER (WHERE value < 10.0)::BIGINT AS doc_count FROM events
+        """,
+        "agg_global_stats": """
+            SELECT count(*)::BIGINT AS count,
+                   min(l_extendedprice) AS min, max(l_extendedprice) AS max,
+                   round(sum(l_extendedprice), 4) AS sum,
+                   round(avg(l_extendedprice), 6) AS avg
+            FROM lineitem
+        """,
+        "agg_date_range_events": """
+            SELECT bucket, count(*)::BIGINT AS doc_count FROM (
+              SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 0
+                          WHEN ts < TIMESTAMP '2024-01-20' THEN 1
+                          ELSE 2 END AS bucket
+              FROM events
+            ) GROUP BY bucket ORDER BY bucket
+        """,
+        "agg_mad_quantity": """
+            WITH med AS (
+              SELECT l_returnflag, median(l_quantity) AS m
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag, round(median(abs(l.l_quantity - med.m)), 6) AS mad
+            FROM lineitem l JOIN med USING (l_returnflag)
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "agg_percentile_ranks": """
+            SELECT v AS value,
+                   round(100.0 * sum(CASE WHEN l_quantity <= v THEN 1 ELSE 0 END)
+                         / count(*), 6) AS rank_pct
+            FROM lineitem CROSS JOIN (SELECT unnest([10.0, 25.0, 49.0]) AS v)
+            GROUP BY v ORDER BY v
+        """,
+        "agg_max_bucket_daily": """
+            SELECT date_trunc('day', ts) AS key, count(*)::BIGINT AS value
+            FROM events GROUP BY 1
+            ORDER BY value DESC, key ASC LIMIT 1
+        """,
+        "agg_bucket_pipeline": """
+            SELECT bucket, doc_count, avg_value FROM (
+              SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+                     round(sum(value) / count(*), 6) AS avg_value
+              FROM events GROUP BY 1
+            ) WHERE doc_count >= 10
+            ORDER BY avg_value DESC, bucket ASC LIMIT 5
+        """,
+        "agg_serial_diff_daily": """
+            SELECT bucket, doc_count,
+                   (doc_count - lag(doc_count, 7) OVER (ORDER BY bucket))::BIGINT AS diff
+            FROM (
+              SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+              FROM events GROUP BY 1
+            ) QUALIFY diff IS NOT NULL ORDER BY bucket
+        """,
+        "agg_stats_bucket_daily": """
+            SELECT count(*)::BIGINT AS count, min(doc_count)::DOUBLE AS min,
+                   max(doc_count)::DOUBLE AS max, sum(doc_count)::DOUBLE AS sum,
+                   round(avg(doc_count), 6) AS avg
+            FROM (SELECT count(*)::BIGINT AS doc_count FROM events
+                  GROUP BY date_trunc('day', ts))
         """,
         "agg_cumulative_events": """
             SELECT bucket, doc_count,

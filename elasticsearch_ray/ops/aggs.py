@@ -451,3 +451,221 @@ def moving_fn(bucket_df: pd.DataFrame, col: str, window: int, fn="mean",
     out = bucket_df.copy()
     out[out_col] = getattr(out[col].rolling(window), fn)()
     return out
+
+
+# ---- round-2 additions: missing/global/date_range/auto_date_histogram,
+# median_absolute_deviation, percentile_ranks, and the pipeline-agg bank
+# (SearchModule.java:352-829 registrations) ----
+
+
+def missing_agg(ds: Dataset, col: str) -> pd.DataFrame:
+    """missing bucket agg (MissingAggregator): docs with a null field.
+    Map-side partial counts → one-row sum (no shuffle of data rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch[col].null_count], pa.int64())})
+
+    n = ds.map_batches(partial, batch_format="pyarrow").sum("n")
+    return pd.DataFrame({"doc_count": [int(n or 0)]})
+
+
+def global_stats_agg(ds: Dataset, value_col: str) -> pd.DataFrame:
+    """global bucket + stats sub-agg (GlobalAggregator): the whole dataset as
+    one bucket regardless of any query context."""
+    out = ds.aggregate(
+        Count(alias_name="count"),
+        Min(value_col, alias_name="min"),
+        Max(value_col, alias_name="max"),
+        Sum(value_col, alias_name="sum"),
+        Mean(value_col, alias_name="avg"),
+    )
+    return pd.DataFrame([out])
+
+
+def date_range_agg(ds: Dataset, col: str, ranges: list[tuple]) -> pd.DataFrame:
+    """date_range bucket agg: [from, to) buckets over a timestamp column;
+    open ends via None. Counting is map-side partial per batch."""
+    import numpy as np
+
+    bounds = [
+        (np.datetime64(f) if f else None, np.datetime64(t) if t else None) for f, t in ranges
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        counts = []
+        for f, t in bounds:
+            m = np.ones(len(v), dtype=bool)
+            if f is not None:
+                m &= v >= f
+            if t is not None:
+                m &= v < t
+            counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "bucket": pa.array(range(len(bounds)), pa.int64()),
+                "doc_count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["from"] = [str(f) if f is not None else None for f, _ in bounds]
+    out["to"] = [str(t) if t is not None else None for _, t in bounds]
+    return out[["bucket", "from", "to", "doc_count"]]
+
+
+_AUTO_INTERVALS_SEC = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600, 12 * 3600,
+                       86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400]
+
+
+def auto_date_histogram(ds: Dataset, col: str, target_buckets: int = 10) -> pd.DataFrame:
+    """auto_date_histogram: pick the smallest ladder interval giving
+    <= target_buckets buckets over [min, max], then a fixed-interval
+    histogram (AutoDateHistogramAggregationBuilder's rounding ladder,
+    fixed-interval approximation)."""
+    import numpy as np
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo = np.datetime64(mm["lo"]).astype("datetime64[s]").astype(np.int64)
+    hi = np.datetime64(mm["hi"]).astype("datetime64[s]").astype(np.int64)
+    span = max(int(hi - lo), 1)
+    interval = next(
+        (s for s in _AUTO_INTERVALS_SEC if span // s + 1 <= target_buckets),
+        _AUTO_INTERVALS_SEC[-1],
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+        b = (v // interval) * interval
+        return pa.table({"key": pa.array(b.astype("datetime64[s]").astype("datetime64[us]"))})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    out["interval_sec"] = interval
+    return out
+
+
+def median_absolute_deviation_agg(ds: Dataset, key: str, value_col: str) -> pd.DataFrame:
+    """median_absolute_deviation per bucket (exact: median of |x - median|;
+    the reference estimates via TDigest — documented exact upgrade). Runs
+    inside map_groups, so each group's values stay on its worker."""
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        m = float(np.median(v))
+        return pd.DataFrame({key: [g[key].iloc[0]], "mad": [float(np.median(np.abs(v - m)))]})
+
+    out = ds.groupby(key).map_groups(mad, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def percentile_ranks_agg(ds: Dataset, value_col: str, values: list[float]) -> pd.DataFrame:
+    """percentile_ranks (exact): for each v, 100 * fraction of docs <= v.
+    Map-side partial (count per v, total) → one-row reduce."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "value": pa.array([float(v) for v in values], pa.float64()),
+                "le": pa.array([int((x <= v).sum()) for v in values], pa.int64()),
+                "total": pa.array([len(x)] * len(values), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("le", alias_name="le"), Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    out["rank_pct"] = (100.0 * out["le"] / out["total"]).round(6)
+    return out[["value", "rank_pct"]]
+
+
+# ---- pipeline aggs: coordinator-side reduce over the (small) final bucket
+# table (SearchModule.java:714-829 — x_bucket family, bucket_script/
+# selector/sort, serial_diff) ----
+
+
+def bucket_script(bucket_df: pd.DataFrame, fn, out_col: str = "value") -> pd.DataFrame:
+    """bucket_script: per-bucket computed column from sibling metrics."""
+    out = bucket_df.copy()
+    out[out_col] = fn(out)
+    return out
+
+
+def bucket_selector(bucket_df: pd.DataFrame, pred) -> pd.DataFrame:
+    """bucket_selector: keep buckets where pred(df) is True."""
+    return bucket_df[pred(bucket_df)].reset_index(drop=True)
+
+
+def bucket_sort(bucket_df: pd.DataFrame, by: list[tuple], size: int | None = None,
+                from_: int = 0) -> pd.DataFrame:
+    """bucket_sort: order buckets by sibling metrics + from/size window."""
+    cols = [c for c, _ in by]
+    asc = [d == "asc" for _, d in by]
+    out = bucket_df.sort_values(cols, ascending=asc, kind="mergesort")
+    out = out.iloc[from_ : from_ + size if size is not None else None]
+    return out.reset_index(drop=True)
+
+
+def serial_diff(bucket_df: pd.DataFrame, col: str, lag: int = 1,
+                out_col: str = "diff") -> pd.DataFrame:
+    out = bucket_df.copy()
+    out[out_col] = out[col].diff(lag)
+    return out
+
+
+def max_bucket(bucket_df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+    i = bucket_df[col].idxmax()
+    return pd.DataFrame({"key": [bucket_df[key][i]], "value": [bucket_df[col][i]]})
+
+
+def min_bucket(bucket_df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+    i = bucket_df[col].idxmin()
+    return pd.DataFrame({"key": [bucket_df[key][i]], "value": [bucket_df[col][i]]})
+
+
+def avg_bucket(bucket_df: pd.DataFrame, col: str) -> pd.DataFrame:
+    return pd.DataFrame({"value": [float(bucket_df[col].mean())]})
+
+
+def sum_bucket(bucket_df: pd.DataFrame, col: str) -> pd.DataFrame:
+    return pd.DataFrame({"value": [float(bucket_df[col].sum())]})
+
+
+def stats_bucket(bucket_df: pd.DataFrame, col: str) -> pd.DataFrame:
+    v = bucket_df[col]
+    return pd.DataFrame(
+        {
+            "count": [int(v.count())],
+            "min": [float(v.min())],
+            "max": [float(v.max())],
+            "sum": [float(v.sum())],
+            "avg": [float(v.mean())],
+        }
+    )
+
+
+def percentiles_bucket(bucket_df: pd.DataFrame, col: str,
+                       pcts=(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)) -> pd.DataFrame:
+    v = bucket_df[col].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {"pct": list(pcts), "value": [float(np.percentile(v, p)) for p in pcts]}
+    )

@@ -308,3 +308,61 @@ def test_date_index_name_processor(ray_session):
     out = Pipeline([{"date_index_name": {"field": "ts", "index_name_prefix": "logs",
                                           "date_rounding": "M"}}])(df)
     assert out["_index"].tolist() == ["logs-2024-03", "logs-2024-11"]
+
+
+def test_new_agg_bank(rds, ray_session):
+    """missing/global/date_range/MAD/percentile_ranks + pipeline-agg bank."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_ray.ops import aggs as A
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "v": [1.0, 3.0, 2.0, 8.0, 4.0],
+            "n": pd.array([1.0, None, 2.0, None, 5.0], dtype="float64"),
+        }
+    )
+    ds = rd.from_pandas(df)
+    assert A.missing_agg(ds, "n")["doc_count"].iloc[0] == 2
+    g = A.global_stats_agg(ds, "v")
+    assert g["count"].iloc[0] == 5 and g["sum"].iloc[0] == 18.0
+    mad = A.median_absolute_deviation_agg(ds, "k", "v")
+    assert mad.set_index("k")["mad"].to_dict() == {"a": 1.0, "b": 2.0}
+    pr = A.percentile_ranks_agg(ds, "v", [2.0, 8.0])
+    assert pr["rank_pct"].tolist() == [40.0, 100.0]
+
+    buckets = pd.DataFrame({"key": [1, 2, 3, 4], "c": [10, 30, 20, 40], "s": [1.0, 2.0, 3.0, 4.0]})
+    assert A.max_bucket(buckets, "key", "c").iloc[0].tolist() == [4, 40]
+    assert A.min_bucket(buckets, "key", "c").iloc[0].tolist() == [1, 10]
+    assert A.avg_bucket(buckets, "c")["value"].iloc[0] == 25.0
+    assert A.sum_bucket(buckets, "c")["value"].iloc[0] == 100.0
+    sb = A.stats_bucket(buckets, "c")
+    assert sb["min"].iloc[0] == 10.0 and sb["max"].iloc[0] == 40.0
+    bs = A.bucket_script(buckets, lambda d: d["c"] / 10, out_col="r")
+    assert bs["r"].tolist() == [1.0, 3.0, 2.0, 4.0]
+    sel = A.bucket_selector(buckets, lambda d: d["c"] > 15)
+    assert sel["key"].tolist() == [2, 3, 4]
+    srt = A.bucket_sort(buckets, [("c", "desc")], size=2)
+    assert srt["key"].tolist() == [4, 2]
+    sd = A.serial_diff(buckets, "c", lag=1)
+    assert sd["diff"].tolist()[1:] == [20.0, -10.0, 20.0]
+    pb = A.percentiles_bucket(buckets, "c", pcts=(50.0,))
+    assert pb["value"].iloc[0] == 25.0
+
+
+def test_date_range_and_auto_histogram(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import auto_date_histogram, date_range_agg
+
+    ts = pd.date_range("2024-01-01", periods=48, freq="h")
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts}))
+    out = date_range_agg(ds, "ts", [(None, "2024-01-02"), ("2024-01-02", None)])
+    assert out["doc_count"].tolist() == [24, 24]
+    ah = auto_date_histogram(ds, "ts", target_buckets=3)
+    assert len(ah) <= 3 and ah["doc_count"].sum() == 48
