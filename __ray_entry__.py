@@ -495,6 +495,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = out["cosine"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ann_hnsw_top5(sf):  # rows-only (approximate by design; recall-tested)
+        from elasticsearch_ray.ops.hnsw import hnsw_topk
+
+        qids, qm = _query_vectors(sf)
+        out = hnsw_topk(_ds(sf, "embeddings"), qids, qm, k=5)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ann_ivf_top5(sf):  # rows-only (approximate by design)
         from elasticsearch_ray.ops.ann import ivf_topk
 
@@ -837,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": training_pipeline,
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
+        "ann_hnsw_top5": ann_hnsw_top5,
         "text_quality_table": text_quality_table,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,

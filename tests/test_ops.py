@@ -366,3 +366,31 @@ def test_date_range_and_auto_histogram(ray_session):
     assert out["doc_count"].tolist() == [24, 24]
     ah = auto_date_histogram(ds, "ts", target_buckets=3)
     assert len(ah) <= 3 and ah["doc_count"].sum() == 48
+
+
+def test_hnsw_recall_vs_brute(ray_session):
+    """Sharded HNSW (Malkov & Yashunin) recall@10 >= 0.95 vs exact brute
+    force on the embeddings fixture."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.ann import brute_topk
+    from elasticsearch_ray.ops.hnsw import hnsw_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_arrow(t)
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"][:8].to_pylist()])
+    qids = t["vec_id"][:8].to_pylist()
+    exact = brute_topk(ds, qids, qm, k=10)
+    approx = hnsw_topk(rd.from_arrow(t), qids, qm, k=10)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.95, recalls
+    # self-match sanity: each query's own vector is its top neighbor
+    for q in qids:
+        top = approx[approx["query_id"] == q].iloc[0]
+        assert top["neighbor_id"] == q and top["cosine"] >= 0.999999
