@@ -110,17 +110,26 @@ def sketch_head_terms(shards: list[dict], spec: IndexSpec) -> set[str]:
     n = 0
     df: Counter = Counter()
     analyzer = get_analyzer(spec.analyzer)
-    pf = pq.ParquetFile(shards[0]["path"])
-    tcol = spec.text_column if spec.text_column in pf.schema_arrow.names else "text"
-    for batch in pf.iter_batches(batch_size=512, columns=[tcol]):
-        for text in batch[tcol].to_pylist():
-            terms, _ = analyzer(text or "")
-            df.update(set(terms))
-            n += 1
-            if n >= spec.sample_docs:
+    # sample a few SPREAD-OUT shards, not just shard 0 — a head term
+    # localized away from file 0 would otherwise escape salting
+    n_sample_shards = min(4, len(shards))
+    step = max(1, len(shards) // n_sample_shards)
+    sample_shards = shards[::step][:n_sample_shards]
+    per_shard = max(1, spec.sample_docs // len(sample_shards))
+    for sh in sample_shards:
+        pf = pq.ParquetFile(sh["path"])
+        tcol = spec.text_column if spec.text_column in pf.schema_arrow.names else "text"
+        taken = 0
+        for batch in pf.iter_batches(batch_size=512, columns=[tcol]):
+            for text in batch[tcol].to_pylist():
+                terms, _ = analyzer(text or "")
+                df.update(set(terms))
+                n += 1
+                taken += 1
+                if taken >= per_shard:
+                    break
+            if taken >= per_shard:
                 break
-        if n >= spec.sample_docs:
-            break
     if n == 0:
         return set()
     return {t for t, c in df.items() if c / n >= spec.head_df_ratio}

@@ -180,10 +180,38 @@ def percentiles_agg(ds: Dataset, key: str | None, value_col: str,
     if key:
         out = ds.groupby(key).map_groups(per_group, batch_format="pandas").to_pandas()
         return out.sort_values(key).reset_index(drop=True)
-    vals = np.sort(ds.select_columns([value_col]).to_pandas()[value_col].to_numpy(np.float64))
-    return pd.DataFrame(
-        [{f"p{str(p).rstrip('0').rstrip('.')}": float(np.percentile(vals, p)) for p in percents}]
-    )
+    # global case: distributed sort + ONE streaming pass picking the
+    # interpolation rows — exact, never materializes the column on the driver
+    # (the t-digest twin remains the sketch alternative)
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame([{f"p{str(p).rstrip('0').rstrip('.')}": float("nan")
+                              for p in percents}])
+    # linear-interpolation positions (numpy 'linear' method)
+    pos = [(p / 100.0) * (n - 1) for p in percents]
+    need = sorted({int(np.floor(x)) for x in pos} | {int(np.ceil(x)) for x in pos})
+    picked: dict[int, float] = {}
+    seen = 0
+    it = iter(need)
+    want = next(it, None)
+    for batch in ds.sort(value_col).select_columns([value_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        if want is None:
+            break
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        hi = seen + len(v)
+        while want is not None and want < hi:
+            picked[want] = float(v[want - seen])
+            want = next(it, None)
+        seen = hi
+    row = {}
+    for p, x in zip(percents, pos):
+        lo_i, hi_i = int(np.floor(x)), int(np.ceil(x))
+        frac = x - lo_i
+        val = picked[lo_i] * (1 - frac) + picked[hi_i] * frac
+        row[f"p{str(p).rstrip('0').rstrip('.')}"] = float(val)
+    return pd.DataFrame([row])
 
 
 def percentiles_tdigest(ds: Dataset, key: str | None, value_col: str,

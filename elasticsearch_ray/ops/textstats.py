@@ -27,13 +27,32 @@ class TextQuality:
         mean_len = np.zeros(n, np.float64)
         stop_ratio = np.zeros(n, np.float64)
         uniq_ratio = np.zeros(n, np.float64)
-        for i, text in enumerate(batch[self.text_col].to_pylist()):
-            toks = (text or "").split()
-            tok_n[i] = len(toks)
-            if toks:
-                mean_len[i] = sum(map(len, toks)) / len(toks)
-                stop_ratio[i] = sum(t in self.stop for t in toks) / len(toks)
-                uniq_ratio[i] = len(set(toks)) / len(toks)
+        texts = batch[self.text_col].to_pylist()
+        toks_per_doc = [(t or "").split() for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        tok_n[:] = lens
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            # one flat token array; everything else is C-vectorized:
+            # char lengths via fromiter, stopword membership via isin,
+            # per-doc uniques via duplicated() on (doc, token)
+            total = int(lens.sum())
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for t in toks_per_doc:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            doc_rep = np.repeat(np.arange(n), lens)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            char_lens = np.fromiter(map(len, flat), dtype=np.int64, count=total)
+            s = pd.Series(flat)
+            is_stop = s.isin(self.stop).to_numpy()
+            dup = pd.DataFrame({"d": doc_rep, "t": flat}).duplicated().to_numpy()
+            mean_len[nz] = np.add.reduceat(char_lens, starts) / lens[nz]
+            stop_ratio[nz] = np.add.reduceat(is_stop.astype(np.int64), starts) / lens[nz]
+            uniq = lens[nz] - np.add.reduceat(dup.astype(np.int64), starts)
+            uniq_ratio[nz] = uniq / lens[nz]
         # raw float64 — presentation rounding is the consumer's concern
         # (oracle-compared entries floor-truncate; see __ray_entry__)
         return pa.table(
@@ -105,10 +124,21 @@ class NgramLangProfiles:
         nrm = np.linalg.norm(v)
         return v / nrm if nrm else v
 
+    def vec_ids(self, text: str) -> np.ndarray:
+        """Vocab-id counts for one text — pandas-map instead of a Python
+        dict-lookup loop."""
+        grams = self.ngrams(text, self.n)
+        if not grams:
+            return np.zeros(len(self.vocab), np.float64)
+        ids = pd.Series(grams).map(self.vocab).dropna().to_numpy(dtype=np.int64)
+        v = np.bincount(ids, minlength=len(self.vocab)).astype(np.float64)
+        nrm = np.linalg.norm(v)
+        return v / nrm if nrm else v
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = []
         for text in batch[self.text_col].to_pylist():
-            v = self.vec(text or "")
+            v = self.vec_ids(text or "")
             preds.append(self.langs[int(np.argmax(self.mat @ v))])
         return pa.table({self.id_col: batch[self.id_col], "lang_pred": pa.array(preds)})
 
@@ -154,24 +184,40 @@ class Fingerprint:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
+    SEED = np.uint64(1469598103934665603)
+    # B is odd, hence invertible mod 2^64 — lets the rolling fold vectorize:
+    # h = seed*B^n + Σ t_i·B^(n-1-i) = seed*B^n + B^(start+n-1)·Σ t_g·Binv^g
+    BINV = np.uint64(pow(1000003, -1, 1 << 64))
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
         np.seterr(over="ignore")  # uint64 wrap-around is the hash semantics
-        out = np.zeros(len(batch), np.uint64)
-        cache: dict[str, np.uint64] = {}
-        for i, text in enumerate(batch[self.text_col].to_pylist()):
-            h = np.uint64(1469598103934665603)
-            for tok in (text or "").split():
-                th = cache.get(tok)
-                if th is None:
-                    # stable across processes (python hash() is salted)
-                    th = np.uint64(
-                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                    )
-                    cache[tok] = th
-                h = h * self.B + th
-            out[i] = h
+        n = len(batch)
+        out = np.zeros(n, np.uint64)
+        toks_per_doc = [(t or "").split() for t in batch[self.text_col].to_pylist()]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        total = int(lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for t in toks_per_doc:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            th = pd.util.hash_array(flat)  # stable siphash, one C pass
+            # per-token Binv^g and per-position B^g via cumprod (wraps mod 2^64)
+            binv_pows = np.ones(total, np.uint64)
+            binv_pows[1:] = self.BINV
+            np.cumprod(binv_pows, out=binv_pows)
+            b_pows = np.ones(total + 1, np.uint64)
+            b_pows[1:] = self.B
+            np.cumprod(b_pows, out=b_pows)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sums = np.add.reduceat(th * binv_pows, starts)
+            ends = starts + lens[nz]
+            out[nz] = self.SEED * b_pows[lens[nz]] + b_pows[ends - 1] * sums
+        # empty docs keep the seed as their fingerprint
+        out[lens == 0] = self.SEED
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(out, pa.uint64())})
 
 

@@ -445,25 +445,49 @@ class PartitionSearcher:
             import fnmatch
             import re as _re
 
-            rx = _re.compile(fnmatch.translate(q.pattern))
-            return np.flatnonzero([rx.match(t) is not None for t in terms_np])
+            # literal prefix before the first metachar cuts the SORTED dict
+            # to a range; the residual matches via pandas' C regex loop
+            lit = _re.match(r"^[^*?\[]*", q.pattern).group(0)
+            cand, base = self._prefix_cut(terms_np, lit)
+            import pandas as pd
+
+            rx = fnmatch.translate(q.pattern)
+            mask = pd.Series(cand, dtype=object).str.match(rx, na=False).to_numpy()
+            return base + np.flatnonzero(mask)
         if isinstance(q, RegexpQuery):
             import re as _re
 
-            rx = _re.compile(q.pattern)
-            return np.flatnonzero([rx.fullmatch(t) is not None for t in terms_np])
+            m = _re.match(r"[A-Za-z0-9_]+", q.pattern)
+            lit = m.group(0) if m else ""
+            nxt = q.pattern[len(lit) : len(lit) + 1]
+            if lit and nxt in "*?{":
+                lit = lit[:-1]  # the last literal char is quantified → optional
+            cand, base = self._prefix_cut(terms_np, lit)
+            import pandas as pd
+
+            mask = pd.Series(cand, dtype=object).str.fullmatch(q.pattern, na=False).to_numpy()
+            return base + np.flatnonzero(mask)
         if isinstance(q, FuzzyQuery):
             maxd = _auto_fuzziness(q.term) if q.fuzziness == "AUTO" else int(q.fuzziness)
-            pl = q.prefix_length
-            base = q.term
-            hits = []
-            for i, t in enumerate(terms_np):
-                if pl and not t.startswith(base[:pl]):
-                    continue
-                if abs(len(t) - len(base)) <= maxd and _edit_distance_le(base, t, maxd):
-                    hits.append(i)
+            base_t = q.term
+            cand, base = self._prefix_cut(terms_np, base_t[: q.prefix_length])
+            lens = self._term_lens()[base : base + len(cand)]
+            lmask = np.abs(lens - len(base_t)) <= maxd
+            hits = [
+                base + ri
+                for ri, t in zip(np.flatnonzero(lmask), cand[lmask])
+                if _edit_distance_le(base_t, t, maxd)
+            ]
             return np.asarray(hits, dtype=np.int64)
         raise TypeError(type(q))
+
+    def _prefix_cut(self, terms_np: np.ndarray, lit: str) -> tuple[np.ndarray, int]:
+        """Sorted-dict range sharing the literal prefix → (slice, base row)."""
+        if not lit:
+            return terms_np, 0
+        lo = int(np.searchsorted(terms_np, lit, side="left"))
+        hi = int(np.searchsorted(terms_np, lit + "\uffff", side="right"))
+        return terms_np[lo:hi], lo
 
     def _const_score_union(self, rows: np.ndarray, boost: float, dtype):
         from elasticsearch_ray.index.postings import decode_postings
@@ -550,6 +574,40 @@ class PartitionSearcher:
             )
             docs, scores = docs[keep], scores[keep]
         return topk_select(docs, scores, k)
+
+    def suggest_candidates(self, tok: str, max_edits: int,
+                           prefix_length: int = 1) -> dict[str, int]:
+        """Per-partition term-suggester candidates: dictionary terms within
+        ``max_edits`` Damerau-Levenshtein edits of ``tok`` → their df.
+
+        Pruning instead of a full-dict scan: with prefix_length>=1 the SORTED
+        term dict is cut to the shared-prefix range (searchsorted, like the
+        reference's DirectSpellChecker default prefix=1), then a length
+        window ±max_edits filters before any edit-distance work."""
+        terms_np = self._terms_np()
+        if prefix_length >= 1 and tok:
+            pre = tok[:prefix_length]
+            lo = int(np.searchsorted(terms_np, pre, side="left"))
+            hi = int(np.searchsorted(terms_np, pre + "\uffff", side="right"))
+            cand_terms = terms_np[lo:hi]
+            rows = np.arange(lo, hi)
+        else:
+            cand_terms = terms_np
+            rows = np.arange(len(terms_np))
+        lens = self._term_lens()[rows[0] : rows[-1] + 1] if len(rows) else np.empty(0, np.int64)
+        lmask = np.abs(lens - len(tok)) <= max_edits
+        out: dict[str, int] = {}
+        for t, ri in zip(cand_terms[lmask], rows[lmask]):
+            if t != tok and "\x1f" not in t and _edit_distance_le(tok, t, max_edits):
+                out[t] = int(self.r.df[ri])
+        return out
+
+    def _term_lens(self) -> np.ndarray:
+        a = getattr(self, "_term_lens_cache", None)
+        if a is None:
+            a = np.fromiter((len(t) for t in self._terms_np()), dtype=np.int64)
+            self._term_lens_cache = a
+        return a
 
     def extended_candidates(self, q, scorers, sort, k, search_after=None,
                             collapse=None, min_score=None):
@@ -1131,30 +1189,39 @@ class QueryEngine:
                 yield tbl
 
     def suggest(self, text: str, size: int = 5, suggest_mode: str = "missing",
-                max_edits: int = 2) -> dict[str, list[dict]]:
+                max_edits: int = 2, prefix_length: int = 1) -> dict[str, list[dict]]:
         """Term suggester (search/suggest TermSuggester semantics): per input
         token, candidate dictionary terms within ``max_edits`` Damerau-
         Levenshtein edits, ranked by (fewer edits, higher df, term asc).
-        suggest_mode='missing' only suggests for tokens absent from the index.
-        """
+        suggest_mode='missing' only suggests for tokens absent from the
+        index. Candidates are gathered PER PARTITION (warm actors when
+        enabled) with sorted-dict prefix + length pruning; the driver merges
+        small df maps."""
         an = get_analyzer(self.analyzer_name)
         tokens = an(text)[0]
         out: dict[str, list[dict]] = {}
-        # global df over the query tokens' candidates: scan each part's dict
         for tok in tokens:
             df_tok = self._global_stats([tok])[tok]
             if suggest_mode == "missing" and df_tok > 0:
                 out[tok] = []
                 continue
             cand: dict[str, int] = {}
-            for p in self.parts:
-                s = self._searcher(p)
-                terms_np = s._terms_np()
-                for i, t in enumerate(terms_np):
-                    if t != tok and abs(len(t) - len(tok)) <= max_edits and _edit_distance_le(
-                        tok, t, max_edits
-                    ):
-                        cand[t] = cand.get(t, 0) + int(s.r.df[i])
+            if self._actors:
+                import ray
+
+                results = ray.get([
+                    a.suggest_candidates.remote(tok, max_edits, prefix_length)
+                    for a in self._actors
+                ])
+                results = [d for group in results for d in group]
+            else:
+                results = [
+                    self._searcher(p).suggest_candidates(tok, max_edits, prefix_length)
+                    for p in self.parts
+                ]
+            for d in results:
+                for t, df in d.items():
+                    cand[t] = cand.get(t, 0) + df
             ranked = sorted(
                 cand.items(),
                 key=lambda kv: (_true_distance(tok, kv[0], max_edits), -kv[1], kv[0]),
@@ -1280,11 +1347,22 @@ class QueryEngine:
             bases.append(acc)
             acc += n
         locs = np.asarray(locals_, dtype=np.int64)
+        # group hits by input file: ONE pruned read per touched file, then
+        # take() the hit rows (the old per-hit full-file read was
+        # O(hits × file bytes))
+        fis = np.searchsorted(bases, locs, side="right") - 1
+        pieces = {}
+        for fi in np.unique(fis):
+            t = pq.read_table(paths[int(fi)], columns=columns)
+            rel = locs[fis == fi] - bases[int(fi)]
+            pieces[int(fi)] = t.take(pa.array(rel))
+        # reassemble in the original hit order
+        counters = {fi: 0 for fi in pieces}
         out = []
-        for li in locs:
-            fi = int(np.searchsorted(bases, li, side="right") - 1)
-            t = pq.read_table(paths[fi], columns=columns)
-            out.append(t.slice(int(li - bases[fi]), 1))
+        for fi in fis:
+            i = counters[int(fi)]
+            counters[int(fi)] += 1
+            out.append(pieces[int(fi)].slice(i, 1))
         return pa.concat_tables(out)
 
     def highlight(self, q: Query, part: int, local: int, text_column: str = "text",
@@ -1336,6 +1414,10 @@ class SearcherActor:
             (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse, min_score))
             for p, s in self.searchers.items()
         ]
+
+    def suggest_candidates(self, tok, max_edits, prefix_length=1):
+        return [s.suggest_candidates(tok, max_edits, prefix_length)
+                for s in self.searchers.values()]
 
     def eval_exhaustive(self, q, scorers, parts):
         allowed = set(parts)
