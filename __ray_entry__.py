@@ -169,6 +169,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
 
+    def search_synonym_graph(sf):
+        from elasticsearch_ray.analysis.synonyms import synonym_graph_expand
+
+        q = synonym_graph_expand("mergesort", ["mergesort, merge sort"])
+        eng = _documents_index(sf)
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def search_multi_match(sf):
         from elasticsearch_ray.search.query import MultiMatchQuery
 
@@ -543,6 +552,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # ---- ingest processors ----
+    def pipeline_events_csv(sf):
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        pipe = Pipeline(
+            [
+                {"script": {"fn": lambda df: df.assign(
+                    line=df["event_type"] + "," + df["user_id"].astype(str))}},
+                {"csv": {"field": "line", "target_fields": ["et2", "u2"]}},
+                {"pipeline": {"processors": [{"uppercase": {"field": "et2"}}]}},
+                {"sort": {"field": "tags_list"}},
+            ]
+        )
+
+        def add_tags(df):
+            df["tags_list"] = [["b", "a"]] * len(df)
+            return df
+
+        out = (
+            _ds(sf, "events")
+            .map_batches(lambda df: pipe(add_tags(df)), batch_format="pandas")
+            .to_pandas()[["event_id", "et2", "u2", "tags_list"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        out["tags_list"] = out["tags_list"].map(lambda v: ",".join(v))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_enrich(sf):
         from elasticsearch_ray.ops.processors import Pipeline
 
@@ -801,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
         "search_bool_filtered": search_bool_filtered,
+        "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
         "search_most_fields": search_most_fields,
         "search_query_string": search_query_string,
@@ -850,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
+        "pipeline_events_csv": pipeline_events_csv,
         "web_match_top10": web_match_top10,
         "web_strip_invariant": web_strip_invariant,
     }
@@ -1124,6 +1162,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_synonym_graph": """
+            SELECT doc_id FROM documents
+            WHERE (' ' || text || ' ') LIKE '% merge sort %'
+               OR (' ' || text || ' ') LIKE '% mergesort %'
+            ORDER BY doc_id
+        """,
         "search_multi_match": f"""
             WITH {_field_scores_sql("b", _TOK_BODY, ["spark", "join"])},
                  {_field_scores_sql("t", _TOK_TITLE, ["spark", "join"])},
@@ -1268,6 +1312,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS doc_count
             FROM documents GROUP BY lang, source
             ORDER BY lang, source LIMIT 10
+        """,
+        "pipeline_events_csv": """
+            SELECT event_id, upper(event_type) AS et2,
+                   CAST(user_id AS VARCHAR) AS u2, 'a,b' AS tags_list
+            FROM events ORDER BY event_id
         """,
         "agg_missing_value": """
             SELECT count(*) FILTER (WHERE value < 10.0)::BIGINT AS doc_count FROM events

@@ -150,8 +150,9 @@ def register(name: str, factory: Callable[[], Analyzer]) -> None:
 
 def get_analyzer(name: str) -> Analyzer:
     if name not in _REGISTRY:
-        # language chains register on first use (keeps the base module light)
+        # language chains + extra tokenizers register on first use
         import elasticsearch_ray.analysis.lang  # noqa: F401
+        import elasticsearch_ray.analysis.tokenizers_extra  # noqa: F401
     try:
         return _REGISTRY[name]()
     except KeyError:

@@ -1,0 +1,120 @@
+"""Non-standard tokenizers/analyzers (CommonAnalysisPlugin.java:349-402
+registrations): uax_url_email, pattern, char_group, ngram (tokenizer),
+path_hierarchy. Each registers as an analyzer-shaped callable
+(text → (tokens, positions)); custom configs go through ``register`` with a
+configured factory."""
+
+from __future__ import annotations
+
+import re
+
+from elasticsearch_ray.analysis.analyzers import Analysis, Analyzer, register
+from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+
+# URL: scheme://non-space  |  email: local@dom.tld (pragmatic patterns; the
+# reference uses the UAX#29 URL/EMAIL grammar from ICU)
+_URL_EMAIL_RE = re.compile(
+    r"[a-zA-Z][a-zA-Z0-9+.-]*://[^\s<>\"']+"
+    r"|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+)
+
+
+class UaxUrlEmailAnalyzer(Analyzer):
+    """``uax_url_email`` tokenizer + lowercase: URLs and emails survive as
+    single tokens; everything between them tokenizes standard."""
+
+    name = "uax_url_email"
+
+    def __call__(self, text: str) -> Analysis:
+        terms: list[str] = []
+        last = 0
+        for m in _URL_EMAIL_RE.finditer(text):
+            terms.extend(t.lower() for t in TOKEN_RE.findall(text[last : m.start()]))
+            terms.append(m.group(0).lower())
+            last = m.end()
+        terms.extend(t.lower() for t in TOKEN_RE.findall(text[last:]))
+        return terms, list(range(len(terms)))
+
+
+class PatternAnalyzer(Analyzer):
+    """``pattern`` analyzer: split on a regex (default \\W+), lowercase
+    (PatternAnalyzerProvider defaults)."""
+
+    name = "pattern"
+
+    def __init__(self, pattern: str = r"\W+", lowercase: bool = True):
+        self.rx = re.compile(pattern)
+        self.lower = lowercase
+
+    def __call__(self, text: str) -> Analysis:
+        terms = [t for t in self.rx.split(text) if t]
+        if self.lower:
+            terms = [t.lower() for t in terms]
+        return terms, list(range(len(terms)))
+
+
+class CharGroupAnalyzer(Analyzer):
+    """``char_group`` tokenizer: split on a configured character set
+    (default: whitespace + punctuation-ish)."""
+
+    name = "char_group"
+
+    def __init__(self, tokenize_on_chars: str = " \t\n\r.,;:!?()[]{}\"'-/"):
+        self.rx = re.compile("[" + re.escape(tokenize_on_chars) + "]+")
+
+    def __call__(self, text: str) -> Analysis:
+        terms = [t for t in self.rx.split(text) if t]
+        return terms, list(range(len(terms)))
+
+
+class NgramTokenizerAnalyzer(Analyzer):
+    """``ngram`` TOKENIZER (distinct from the ngram token filter): sliding
+    character n-grams of the lowercased input, min..max per start offset."""
+
+    name = "ngram_tokenizer"
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3):
+        self.lo, self.hi = min_gram, max_gram
+
+    def __call__(self, text: str) -> Analysis:
+        t = text.lower()
+        terms: list[str] = []
+        positions: list[int] = []
+        for i in range(len(t)):
+            for n in range(self.lo, self.hi + 1):
+                if i + n <= len(t):
+                    terms.append(t[i : i + n])
+                    positions.append(i)
+        return terms, positions
+
+
+class PathHierarchyAnalyzer(Analyzer):
+    """``path_hierarchy`` tokenizer: /a/b/c → /a, /a/b, /a/b/c
+    (all prefixes, same position — PathHierarchyTokenizer)."""
+
+    name = "path_hierarchy"
+
+    def __init__(self, delimiter: str = "/"):
+        self.delim = delimiter
+
+    def __call__(self, text: str) -> Analysis:
+        if not text:
+            return [], []
+        parts = text.split(self.delim)
+        lead = ""
+        if parts and parts[0] == "":
+            lead = self.delim
+            parts = parts[1:]
+        terms: list[str] = []
+        acc = None
+        for p in parts:
+            acc = p if acc is None else acc + self.delim + p
+            terms.append(lead + acc)
+        return terms, [0] * len(terms)
+
+
+register("uax_url_email", UaxUrlEmailAnalyzer)
+register("pattern", PatternAnalyzer)
+register("char_group", CharGroupAnalyzer)
+register("ngram_tokenizer", NgramTokenizerAnalyzer)
+register("path_hierarchy", PathHierarchyAnalyzer)

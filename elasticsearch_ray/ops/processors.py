@@ -10,8 +10,11 @@ a doc before it reaches the shard.
 
 Implemented (name → reference processor): set, append, rename, remove,
 lowercase, uppercase, trim, gsub, split, join, convert, json, kv, urldecode,
-bytes, fingerprint, drop, date, uri_parts, registered_domain, html_strip,
-dissect (subset), script (python callable = the Painless analog).
+bytes, fingerprint, drop, date, date_index_name, uri_parts,
+registered_domain, html_strip, dissect (subset), grok (subset), foreach,
+fail, sort (array), dot_expander, csv, pipeline (composition),
+network_direction, community_id, script (python callable = the Painless
+analog).
 """
 
 from __future__ import annotations
@@ -405,6 +408,172 @@ class ForeachProcessor(Processor):
             return self.sub(tmp)["_ingest_item"].tolist()
 
         df[self.field] = df[self.field].map(apply)
+        return df
+
+
+@register("fail")
+class FailProcessor(Processor):
+    """FailProcessor: abort the pipeline with a message when any row matches
+    ``where`` (a vectorized predicate df→bool Series; None = always)."""
+
+    def __init__(self, message="fail processor triggered", where=None):
+        self.message, self.where = message, where
+
+    def __call__(self, df):
+        if self.where is None:
+            if len(df):
+                raise ValueError(self.message)
+        else:
+            m = self.where(df)
+            if bool(np.asarray(m).any()):
+                raise ValueError(self.message)
+        return df
+
+
+@register("sort")
+class SortProcessor(Processor):
+    """SortProcessor: sort the elements of a LIST field in each doc."""
+
+    def __init__(self, field, order="asc"):
+        self.field, self.desc = field, order == "desc"
+
+    def __call__(self, df):
+        df[self.field] = df[self.field].map(
+            lambda v: v if v is None else sorted(v, reverse=self.desc)
+        )
+        return df
+
+
+@register("dot_expander")
+class DotExpanderProcessor(Processor):
+    """DotExpanderProcessor: our flat-column analog — a column literally
+    named "a.b" becomes the nested-style pair (parent dict column untyped in
+    the reference; here we rename to parent__child, the flattened layout)."""
+
+    def __init__(self, field):
+        self.field = field
+
+    def __call__(self, df):
+        if self.field in df.columns and "." in self.field:
+            df = df.rename(columns={self.field: self.field.replace(".", "__")})
+        return df
+
+
+@register("csv")
+class CsvProcessor(Processor):
+    """CsvProcessor: parse a delimited field into target fields (quote-aware
+    via the C csv reader applied column-wise)."""
+
+    def __init__(self, field, target_fields, separator=",", quote='"', trim=False):
+        self.field, self.targets = field, list(target_fields)
+        self.sep, self.quote, self.trim = separator, quote, trim
+
+    def __call__(self, df):
+        import csv as _csv
+        import io
+
+        def parse(v):
+            if v is None:
+                return [None] * len(self.targets)
+            row = next(_csv.reader(io.StringIO(v), delimiter=self.sep,
+                                   quotechar=self.quote), [])
+            row = [x.strip() if self.trim and x is not None else x for x in row]
+            row += [None] * (len(self.targets) - len(row))
+            return row[: len(self.targets)]
+
+        parsed = df[self.field].map(parse)
+        for i, tgt in enumerate(self.targets):
+            df[tgt] = parsed.map(lambda r: r[i])
+        return df
+
+
+@register("pipeline")
+class PipelineProcessor(Processor):
+    """PipelineProcessor: execute another (inline) pipeline — pipeline
+    composition within a chain."""
+
+    def __init__(self, processors):
+        self.sub = Pipeline(processors)
+
+    def __call__(self, df):
+        return self.sub(df)
+
+
+@register("network_direction")
+class NetworkDirectionProcessor(Processor):
+    """NetworkDirectionProcessor: classify source/destination IPs against
+    internal CIDR networks → inbound/outbound/internal/external."""
+
+    def __init__(self, source_field="source_ip", dest_field="dest_ip",
+                 internal_networks=("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"),
+                 target_field="network_direction"):
+        import ipaddress
+
+        self.src, self.dst, self.tgt = source_field, dest_field, target_field
+        self.nets = [ipaddress.ip_network(n) for n in internal_networks]
+
+    def _internal(self, ip):
+        import ipaddress
+
+        if ip is None:
+            return False
+        try:
+            a = ipaddress.ip_address(ip)
+        except ValueError:
+            return False
+        return any(a in n for n in self.nets)
+
+    def __call__(self, df):
+        si = df[self.src].map(self._internal)
+        di = df[self.dst].map(self._internal)
+        out = np.where(si & di, "internal",
+                       np.where(si, "outbound", np.where(di, "inbound", "external")))
+        df[self.tgt] = out
+        return df
+
+
+@register("community_id")
+class CommunityIdProcessor(Processor):
+    """CommunityIdProcessor: the open Community ID flow hash v1
+    (https://github.com/corelight/community-id-spec): seed + sorted
+    (ip, port) endpoint tuple + protocol → base64(sha1)."""
+
+    _PROTO = {"icmp": 1, "tcp": 6, "udp": 17, "sctp": 132}
+
+    def __init__(self, source_ip="source_ip", source_port="source_port",
+                 dest_ip="dest_ip", dest_port="dest_port", iana_number=None,
+                 transport="transport", seed=0, target_field="community_id"):
+        self.f = (source_ip, source_port, dest_ip, dest_port)
+        self.transport, self.seed, self.tgt = transport, seed, target_field
+        self.iana = iana_number
+
+    def _one(self, sip, sport, dip, dport, proto):
+        import base64
+        import ipaddress
+        import struct
+
+        try:
+            sa = ipaddress.ip_address(sip).packed
+            da = ipaddress.ip_address(dip).packed
+        except (ValueError, TypeError):
+            return None
+        p = int(proto)
+        sp, dp = int(sport), int(dport)
+        if (sa, sp) > (da, dp):
+            sa, da, sp, dp = da, sa, dp, sp
+        data = struct.pack("!H", self.seed) + sa + da + struct.pack("!BBHH", p, 0, sp, dp)
+        return "1:" + base64.b64encode(hashlib.sha1(data).digest()).decode()
+
+    def __call__(self, df):
+        if self.iana is not None:
+            protos = df[self.iana]
+        else:
+            protos = df[self.transport].map(lambda t: self._PROTO.get(str(t).lower(), 0))
+        df[self.tgt] = [
+            self._one(a, b, c, d, pr)
+            for a, b, c, d, pr in zip(df[self.f[0]], df[self.f[1]], df[self.f[2]],
+                                      df[self.f[3]], protos)
+        ]
         return df
 
 

@@ -80,3 +80,42 @@ def test_synonym_and_minhash_filters():
     c, _ = F.min_hash(["x", "y", "z"], [0, 1, 2], num_hashes=8)
     assert a != c
     assert len(a) == 8 and all(tok.startswith("mh") for tok in a)
+
+
+def test_extra_tokenizers():
+    """uax_url_email / pattern / char_group / ngram tokenizer /
+    path_hierarchy (CommonAnalysisPlugin.java:349-402)."""
+    from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+    t, _ = get_analyzer("uax_url_email")("See https://Example.com/a?b=1 or Bob@Test.ORG now")
+    assert t == ["see", "https://example.com/a?b=1", "or", "bob@test.org", "now"]
+    assert get_analyzer("pattern")("Foo-Bar baz_7")[0] == ["foo", "bar", "baz_7"]
+    assert get_analyzer("char_group")("a,b c'd")[0] == ["a", "b", "c", "d"]
+    terms, pos = get_analyzer("ngram_tokenizer")("abcd")
+    assert terms == ["ab", "abc", "bc", "bcd", "cd"] and pos == [0, 0, 1, 1, 2]
+    assert get_analyzer("path_hierarchy")("/usr/local/bin")[0] == [
+        "/usr", "/usr/local", "/usr/local/bin"]
+    assert get_analyzer("path_hierarchy")("a/b")[0] == ["a", "a/b"]
+    assert get_analyzer("path_hierarchy")("")[0] == []
+
+
+def test_synonym_graph_expansion_shapes():
+    from elasticsearch_ray.analysis.synonyms import synonym_graph_expand
+    from elasticsearch_ray.search.query import (
+        BoolQuery, DisMaxQuery, MatchPhraseQuery, TermQuery,
+    )
+
+    # equivalence group with a multi-token variant
+    q = synonym_graph_expand("visit ny today", ["ny, new york"])
+    assert isinstance(q, BoolQuery) and len(q.must) == 3
+    dm = q.must[1]
+    assert isinstance(dm, DisMaxQuery)
+    kinds = {type(b) for b in dm.queries}
+    assert kinds == {TermQuery, MatchPhraseQuery}
+    # the multi-token SOURCE side also matches ("new york" in the query)
+    q2 = synonym_graph_expand("new york pizza", ["ny, new york"])
+    assert isinstance(q2.must[0], DisMaxQuery) and isinstance(q2.must[1], TermQuery)
+    # directed rule: lhs replaced, not kept
+    q3 = synonym_graph_expand("sata drive", ["sata => serial ata"])
+    assert isinstance(q3.must[0], MatchPhraseQuery)
+    assert q3.must[0].text == "serial ata"

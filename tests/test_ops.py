@@ -394,3 +394,60 @@ def test_hnsw_recall_vs_brute(ray_session):
     for q in qids:
         top = approx[approx["query_id"] == q].iloc[0]
         assert top["neighbor_id"] == q and top["cosine"] >= 0.999999
+
+
+def test_new_processors():
+    """fail, sort, dot_expander, csv, pipeline-in-pipeline,
+    network_direction, community_id (IngestCommonPlugin.java:57-89)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    df = pd.DataFrame(
+        {
+            "tags": [["b", "a", "c"], ["z", "y"]],
+            "line": ['x,1,"a,b"', "y,2,c"],
+            "a.b": [1, 2],
+            "source_ip": ["10.1.2.3", "8.8.8.8"],
+            "dest_ip": ["93.184.216.34", "192.168.0.5"],
+            "source_port": [34855, 53],
+            "dest_port": [80, 53],
+            "transport": ["tcp", "udp"],
+        }
+    )
+    pipe = Pipeline(
+        [
+            {"sort": {"field": "tags"}},
+            {"csv": {"field": "line", "target_fields": ["c1", "c2", "c3"]}},
+            {"dot_expander": {"field": "a.b"}},
+            {"pipeline": {"processors": [{"uppercase": {"field": "c1"}}]}},
+            {"network_direction": {}},
+            {"community_id": {}},
+        ]
+    )
+    out = pipe(df.copy())
+    assert out["tags"].tolist() == [["a", "b", "c"], ["y", "z"]]
+    assert out["c1"].tolist() == ["X", "Y"]
+    assert out["c3"].tolist() == ["a,b", "c"]
+    assert "a__b" in out.columns and "a.b" not in out.columns
+    assert out["network_direction"].tolist() == ["outbound", "inbound"]
+    # community-id: symmetric under endpoint swap (flow identity)
+    rev = df.copy()
+    rev[["source_ip", "dest_ip"]] = rev[["dest_ip", "source_ip"]]
+    rev[["source_port", "dest_port"]] = rev[["dest_port", "source_port"]]
+    out2 = Pipeline([{"community_id": {}}])(rev)
+    assert out["community_id"].tolist() == out2["community_id"].tolist()
+    assert all(c.startswith("1:") for c in out["community_id"])
+    # community-id spec published test vector (corelight/community-id-spec)
+    v = pd.DataFrame(
+        {
+            "source_ip": ["128.232.110.120"], "dest_ip": ["66.35.250.204"],
+            "source_port": [34855], "dest_port": [80], "transport": ["tcp"],
+        }
+    )
+    got = Pipeline([{"community_id": {}}])(v)["community_id"].iloc[0]
+    assert got == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # fail processor raises on match
+    with _pt.raises(ValueError):
+        Pipeline([{"fail": {"where": lambda d: d["source_port"] > 0}}])(df.copy())
