@@ -769,6 +769,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df.insert(0, "rank", range(1, len(df) + 1))
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
+    def suggest_completion(sf):  # rows-only
+        eng = _documents_index(sf)
+        out = eng.complete("w", size=5)
+        return pa.Table.from_pylist(out)
+
+    def suggest_phrase(sf):  # rows-only
+        eng = _documents_index(sf)
+        out = eng.suggest_phrase("spark joim", size=3)
+        return pa.Table.from_pylist(out)
+
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
         out = eng.suggest("spurk window merge", size=3)
@@ -826,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sqs": search_sqs,
         "search_function_score": search_function_score,
         "suggest_term": suggest_term,
+        "suggest_completion": suggest_completion,
+        "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,
         "agg_significant_terms": agg_significant_terms,
         "agg_top_shingles": agg_top_shingles,

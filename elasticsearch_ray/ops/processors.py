@@ -356,30 +356,93 @@ class DissectProcessor(Processor):
 
 @register("grok")
 class GrokProcessor(Processor):
-    """Simplified grok (GrokProcessor): %{PATTERN:field} syntax over a
-    built-in pattern dictionary subset (the reference ships the full grok
-    pattern bank + a watchdog; our corpus surface needs the common ones)."""
+    """grok (GrokProcessor): %{PATTERN:field} syntax over the standard grok
+    pattern bank (the public logstash/grok pattern definitions; recursive
+    %{NAME} references between bank entries are resolved like the
+    reference's Grok compiler). Named captures extract to columns."""
 
-    _patterns = {
-        "WORD": r"\w+",
+    _BANK = {
+        "USERNAME": r"[a-zA-Z0-9._-]+",
+        "USER": r"%{USERNAME}",
+        "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+        "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+        "INT": r"[+-]?[0-9]+",
+        "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+        "NUMBER": r"%{BASE10NUM}",
+        "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+        "POSINT": r"[1-9][0-9]*",
+        "NONNEGINT": r"[0-9]+",
+        "WORD": r"\b\w+\b",
         "NOTSPACE": r"\S+",
+        "SPACE": r"\s*",
         "DATA": r".*?",
         "GREEDYDATA": r".*",
-        "NUMBER": r"(?:[+-]?(?:[0-9]*\.)?[0-9]+)",
-        "INT": r"[+-]?[0-9]+",
-        "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
-        "LOGLEVEL": r"(?:DEBUG|INFO|WARN|WARNING|ERROR|FATAL|TRACE)",
-        "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+        "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"]+)*\"|'(?:\\.|[^\\']+)*')",
+        "QS": r"%{QUOTEDSTRING}",
+        "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+        "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+        "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+        "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+        "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+        "IPV4": r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}",
+        "IPV6": r"(?:[0-9A-Fa-f]{1,4}:){1,7}[0-9A-Fa-f]{0,4}",
+        "IP": r"(?:%{IPV6}|%{IPV4})",
+        "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+        "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+        "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+        "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+        "WINPATH": r"(?:[A-Za-z]:|\\\\)(?:\\\\[^\\\\?*]*)+",
+        "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+        "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?(?:/\w+)?",
+        "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]+",
+        "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+        "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
+        "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+        "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+        "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+        "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+        "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+        "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+        "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+        "YEAR": r"(?:\d\d){1,2}",
+        "HOUR": r"(?:2[0123]|[01]?[0-9])",
+        "MINUTE": r"(?:[0-5][0-9])",
+        "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+        "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+        "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+        "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+        "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+        "ISO8601_SECOND": r"%{SECOND}",
+        "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+        "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+        "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+        "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+        "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+        "PROG": r"[\w._/%-]+",
+        "SYSLOGPROG": r"%{PROG}(?:\[%{POSINT}\])?",
+        "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+        "COMMONAPACHELOG": r'%{IPORHOST} %{USER} %{USER} \[%{HTTPDATE}\] "(?:%{WORD} %{NOTSPACE}(?: HTTP/%{NUMBER})?|%{DATA})" %{NUMBER} (?:%{NUMBER}|-)',
     }
+
+    @classmethod
+    def _resolve(cls, pattern: str, depth: int = 0) -> str:
+        """Expand %{NAME:field} → named capture, %{NAME} → bare group,
+        recursively through the bank (the grok compiler's behavior)."""
+        if depth > 12:
+            raise ValueError("grok pattern recursion too deep")
+
+        def sub(m):
+            pat, name = m.group(1), m.group(3)
+            body = cls._resolve(cls._BANK[pat], depth + 1)
+            if name:
+                return f"(?P<{name}>{body})"
+            return f"(?:{body})"
+
+        return re.sub(r"%\{(\w+)(:(\w+))?\}", sub, pattern)
 
     def __init__(self, field, pattern):
         self.field = field
-
-        def sub(m):
-            pat, name = m.group(1), m.group(2)
-            return f"(?P<{name}>{self._patterns[pat]})"
-
-        self.re = re.compile(re.sub(r"%\{(\w+):(\w+)\}", sub, pattern))
+        self.re = re.compile(self._resolve(pattern))
 
     def __call__(self, df):
         extracted = df[self.field].str.extract(self.re)

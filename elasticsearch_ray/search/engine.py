@@ -602,6 +602,17 @@ class PartitionSearcher:
                 out[t] = int(self.r.df[ri])
         return out
 
+    def completion_candidates(self, prefix: str, limit: int = 1000) -> dict[str, int]:
+        """Sorted-dict prefix range → {term: df} (completion suggester data;
+        the FST prefix walk becomes a searchsorted range cut)."""
+        terms_np = self._terms_np()
+        cand, base = self._prefix_cut(terms_np, prefix)
+        out: dict[str, int] = {}
+        for i, t in enumerate(cand[:limit]):
+            if "\x1f" not in t:
+                out[t] = int(self.r.df[base + i])
+        return out
+
     def _term_lens(self) -> np.ndarray:
         a = getattr(self, "_term_lens_cache", None)
         if a is None:
@@ -1232,6 +1243,87 @@ class QueryEngine:
             ]
         return out
 
+    def complete(self, prefix: str, size: int = 5) -> list[dict]:
+        """Completion suggester analog (search/suggest/completion — the FST
+        prefix automaton is our sorted term dict): terms with the prefix,
+        ranked by (df desc, term asc), merged across partitions."""
+        prefix = prefix.lower()
+        if self._actors:
+            import ray
+
+            results = ray.get([a.completion_candidates.remote(prefix)
+                               for a in self._actors])
+            results = [d for group in results for d in group]
+        else:
+            results = [self._searcher(p).completion_candidates(prefix) for p in self.parts]
+        merged: dict[str, int] = {}
+        for d in results:
+            for t, df in d.items():
+                merged[t] = merged.get(t, 0) + df
+        ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return [{"text": t, "freq": df} for t, df in ranked]
+
+    def suggest_phrase(self, text: str, size: int = 3, max_edits: int = 2,
+                       candidates_per_token: int = 3,
+                       edit_penalty: float = 4.0) -> list[dict]:
+        """Phrase suggester (search/suggest/phrase PhraseSuggester,
+        simplified): per-token candidate generation (term-suggester pruning),
+        then a BEAM over token corrections scored by a unigram language
+        model, sum of log(1 + df/N) minus an edit penalty per corrected
+        token — the reference's LaplaceScorer-with-candidate-generator shape
+        without the shingle bigram model (documented simplification)."""
+        an = get_analyzer(self.analyzer_name)
+        tokens = an(text)[0]
+        if not tokens:
+            return []
+        n = max(self.n_docs, 1)
+
+        def lm(df: int) -> float:
+            return float(np.log1p(df / n))
+
+        per_token: list[list[tuple[str, float]]] = []
+        for tok in tokens:
+            df_tok = self._global_stats([tok])[tok]
+            opts = [(tok, lm(df_tok))]
+            if self._actors:
+                import ray
+
+                results = ray.get([a.suggest_candidates.remote(tok, max_edits, 1)
+                                   for a in self._actors])
+                results = [d for group in results for d in group]
+            else:
+                results = [self._searcher(p).suggest_candidates(tok, max_edits, 1)
+                           for p in self.parts]
+            cand: dict[str, int] = {}
+            for d in results:
+                for t, df in d.items():
+                    cand[t] = cand.get(t, 0) + df
+            ranked = sorted(
+                cand.items(),
+                key=lambda kv: (_true_distance(tok, kv[0], max_edits), -kv[1], kv[0]),
+            )[:candidates_per_token]
+            for t, df in ranked:
+                opts.append((t, lm(df) - edit_penalty * _true_distance(tok, t, max_edits) / 10.0))
+            per_token.append(opts)
+        # beam over per-token options
+        beam: list[tuple[float, list[str]]] = [(0.0, [])]
+        for opts in per_token:
+            beam = sorted(
+                ((s + os, words + [w]) for s, words in beam for w, os in opts),
+                key=lambda x: -x[0],
+            )[: max(size * 4, 8)]
+        out = []
+        seen = set()
+        for s, words in beam:
+            phrase = " ".join(words)
+            if phrase in seen:
+                continue
+            seen.add(phrase)
+            out.append({"text": phrase, "score": round(float(s), 6)})
+            if len(out) >= size:
+                break
+        return out
+
     def _search_extended(self, q, k, mode, fetch, sort, search_after, collapse,
                          rescore, min_score):
         """Field-sort / collapse / rescore path — DISTRIBUTED: each partition
@@ -1414,6 +1506,9 @@ class SearcherActor:
             (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse, min_score))
             for p, s in self.searchers.items()
         ]
+
+    def completion_candidates(self, prefix, limit=1000):
+        return [s.completion_candidates(prefix, limit) for s in self.searchers.values()]
 
     def suggest_candidates(self, tok, max_edits, prefix_length=1):
         return [s.suggest_candidates(tok, max_edits, prefix_length)

@@ -451,3 +451,26 @@ def test_new_processors():
     # fail processor raises on match
     with _pt.raises(ValueError):
         Pipeline([{"fail": {"where": lambda d: d["source_port"] > 0}}])(df.copy())
+
+
+def test_grok_full_bank():
+    """Apache common log + ISO8601/LOGLEVEL/PATH/EMAIL via the recursive
+    grok bank (public logstash grok pattern semantics)."""
+    import pandas as pd
+
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    df = pd.DataFrame({"msg": [
+        '10.0.0.5 - alice [10/Oct/2000:13:55:36 -0700] "POST /api/v1?x=1 HTTP/1.1" 201 99',
+    ]})
+    pat = (r'%{IPORHOST:client} %{USER:ident} %{USER:auth} \[%{HTTPDATE:ts}\] '
+           r'"%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?" '
+           r'%{NUMBER:status} (?:%{NUMBER:bytes}|-)')
+    out = Pipeline([{"grok": {"field": "msg", "pattern": pat}}])(df)
+    r = out.iloc[0]
+    assert (r["client"], r["verb"], r["status"], r["httpversion"]) == (
+        "10.0.0.5", "POST", "201", "1.1")
+    df2 = pd.DataFrame({"m": ["2024-03-01 10:11:12 WARN /opt/app/log bob@ex.org"]})
+    out2 = Pipeline([{"grok": {"field": "m", "pattern":
+        r"%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{UNIXPATH:p} %{EMAILADDRESS:mail}"}}])(df2)
+    assert out2.iloc[0]["mail"] == "bob@ex.org" and out2.iloc[0]["lvl"] == "WARN"

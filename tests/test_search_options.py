@@ -194,3 +194,21 @@ def test_extended_ray_backend_matches_local(web_engine, ray_session):
         assert full["url"].to_pylist() == p1["url"].to_pylist() + p2["url"].to_pylist()
     finally:
         ray_eng.close()
+
+
+def test_completion_suggester(web_engine):
+    """Prefix completion ranked by (df desc, term asc)."""
+    out = web_engine.complete("sp", size=5)
+    assert out and all(o["text"].startswith("sp") for o in out)
+    freqs = [o["freq"] for o in out]
+    assert freqs == sorted(freqs, reverse=True)
+    assert any(o["text"] == "spark" for o in out)
+
+
+def test_phrase_suggester_corrects_typos(web_engine):
+    out = web_engine.suggest_phrase("spark joim", size=3)
+    assert out
+    texts = [o["text"] for o in out]
+    assert "spark join" in texts
+    scores = [o["score"] for o in out]
+    assert scores == sorted(scores, reverse=True)
