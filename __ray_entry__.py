@@ -769,6 +769,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df.insert(0, "rank", range(1, len(df) + 1))
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
+    def rank_eval_report(sf):  # rows-only (graded relevance from term containment)
+        from elasticsearch_ray.search.query import MatchQuery
+        from elasticsearch_ray.search.rank_eval import (
+            dcg_at_k, mean_reciprocal_rank, precision_at_k, recall_at_k,
+        )
+
+        eng = _documents_index(sf)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        toks = {d: set(x.split()) for d, x in zip(t["doc_id"].to_pylist(),
+                                                  t["text"].to_pylist())}
+        rows = []
+        for qtext in ("spark join", "merge sort", "window query"):
+            terms = qtext.split()
+            grades = {d: sum(tm in tk for tm in terms) for d, tk in toks.items()}
+            grades = {d: g for d, g in grades.items() if g > 0}
+            full_rel = {d for d, g in grades.items() if g == len(terms)}
+            res = eng.search(MatchQuery(qtext), k=10, mode="bmw", fetch=("doc_id",))
+            ranked = res["doc_id"].to_pylist()
+            rows.append({
+                "query": qtext,
+                "p_at_10": round(precision_at_k(ranked, full_rel, 10), 6),
+                "recall_at_10": round(recall_at_k(ranked, full_rel, 10), 6),
+                "mrr": round(mean_reciprocal_rank(ranked, full_rel), 6),
+                "ndcg_at_10": round(dcg_at_k(ranked, grades, 10, normalize=True), 6),
+            })
+        return pa.Table.from_pylist(rows)
+
     def suggest_completion(sf):  # rows-only
         eng = _documents_index(sf)
         out = eng.complete("w", size=5)
@@ -837,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score": search_function_score,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
+        "rank_eval_report": rank_eval_report,
         "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,
         "agg_significant_terms": agg_significant_terms,

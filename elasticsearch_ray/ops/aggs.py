@@ -697,3 +697,18 @@ def percentiles_bucket(bucket_df: pd.DataFrame, col: str,
     return pd.DataFrame(
         {"pct": list(pcts), "value": [float(np.percentile(v, p)) for p in pcts]}
     )
+
+
+def diversified_sampler_agg(ds: Dataset, key: str, max_docs_per_value: int,
+                            sort_col: str | None = None) -> Dataset:
+    """diversified_sampler bucket agg (DiversifiedAggregationBuilder): cap
+    the number of docs sharing a key value — per-key head inside map_groups
+    (deterministic by sort_col when given), so downstream aggs see a
+    de-duplicated sample. Returns a Dataset (composable like sampler_agg)."""
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if sort_col is not None:
+            g = g.sort_values(sort_col, kind="mergesort")
+        return g.head(max_docs_per_value)
+
+    return ds.groupby(key).map_groups(cap, batch_format="pandas")

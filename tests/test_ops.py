@@ -474,3 +474,16 @@ def test_grok_full_bank():
     out2 = Pipeline([{"grok": {"field": "m", "pattern":
         r"%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{UNIXPATH:p} %{EMAILADDRESS:mail}"}}])(df2)
     assert out2.iloc[0]["mail"] == "bob@ex.org" and out2.iloc[0]["lvl"] == "WARN"
+
+
+def test_diversified_sampler(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import diversified_sampler_agg
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2, "i": range(7)})
+    out = diversified_sampler_agg(rd.from_pandas(df), "k", 2, sort_col="i").to_pandas()
+    counts = out["k"].value_counts().to_dict()
+    assert counts == {"a": 2, "b": 2}
+    assert sorted(out[out["k"] == "a"]["i"].tolist()) == [0, 1]
