@@ -46,6 +46,8 @@ class StandardAnalyzer(Analyzer):
 
     def __call__(self, text: str) -> Analysis:
         toks = tokenize(text, self.max_token_length)
+        if not self.stopwords:  # the default standard config: empty stopwords
+            return [t.lower() for t in toks], list(range(len(toks)))
         terms: list[str] = []
         positions: list[int] = []
         for pos, t in enumerate(toks):

@@ -76,29 +76,36 @@ def strip_html(text: str, escaped_tags: Iterable[str] = (), processor_mode: bool
             return text
     escaped = {t.lower() for t in escaped_tags}
 
+    inline = INLINE_ELEMENTS
+    entities = _ENTITIES
+
     def repl(m: re.Match) -> str:
-        kind = m.lastgroup
-        if m.group("comment") is not None or m.group("decl") is not None:
-            return ""
-        if m.group("cdata") is not None:
-            return m.group("cdata_body")
-        if m.group("script") is not None or m.group("style") is not None:
-            return "\n"
-        if m.group("tag") is not None:
+        # dispatch on lastgroup (the innermost matched name) — ONE attribute
+        # read instead of probing every alternative's group (this callback
+        # runs per construct and dominated build-time profiles)
+        g = m.lastgroup
+        if g == "tag":
             name = m.group("tagname").lower()
             if name in escaped:
                 return m.group(0)
-            return "" if name in INLINE_ELEMENTS else "\n"
-        if m.group("entity") is not None:
-            if m.group("dec") is not None:
-                cp = int(m.group("dec"))
+            return "" if name in inline else "\n"
+        if g == "entity":
+            dec = m.group("dec")
+            if dec is not None:
+                cp = int(dec)
                 return chr(cp) if cp <= 0x10FFFF else "�"
-            if m.group("hex") is not None:
-                cp = int(m.group("hex"), 16)
+            hx = m.group("hex")
+            if hx is not None:
+                cp = int(hx, 16)
                 return chr(cp) if cp <= 0x10FFFF else "�"
-            name = m.group("named")
-            ent = _ENTITIES.get(name)
+            ent = entities.get(m.group("named"))
             return ent if ent is not None else m.group(0)
+        if g == "comment" or g == "decl":
+            return ""
+        if g == "script" or g == "style":
+            return "\n"
+        if g == "cdata":
+            return m.group("cdata_body")
         return m.group(0)  # pragma: no cover
 
     return _SCANNER.sub(repl, text)
