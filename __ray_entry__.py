@@ -446,6 +446,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = auto_date_histogram(_ds(sf, "events"), "ts", target_buckets=12)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_variable_width_histogram(sf):  # rows-only (clustered buckets)
+        from elasticsearch_ray.ops.aggs import variable_width_histogram
+
+        out = variable_width_histogram(_ds(sf, "events"), "value", buckets=6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_percentiles_tdigest(sf):  # rows-only: t-digest sketch estimate
         from elasticsearch_ray.ops.aggs import percentiles_tdigest
 
@@ -909,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_serial_diff_daily": agg_serial_diff_daily,
         "agg_stats_bucket_daily": agg_stats_bucket_daily,
         "agg_auto_date_histogram": agg_auto_date_histogram,
+        "agg_variable_width_histogram": agg_variable_width_histogram,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,

@@ -161,6 +161,9 @@ class TokenizeShard:
         self.lang_analyzers = {
             lg: get_analyzer(name) for lg, name in (self.spec.lang_analyzers or {}).items()
         }
+        self.field_analyzers = {
+            f: get_analyzer(name) for f, name in (self.spec.field_analyzers or {}).items()
+        }
         self.head_terms = head_terms or set()
         self.head_arr = (
             pa.array(sorted(self.head_terms), pa.string()) if self.head_terms else None
@@ -216,7 +219,8 @@ class TokenizeShard:
                 locs_l.append(np.full(len(terms), local_base + i, dtype=np.int64))
                 poss_l.append(np.asarray(pos, dtype=np.int32))
             for f in extra_fields:
-                fterms, fpos = self.analyzer(field_texts[f][i] or "")
+                fan = self.field_analyzers.get(f, self.analyzer)
+                fterms, fpos = fan(field_texts[f][i] or "")
                 field_doclens[f][i] = len(fterms)
                 if fterms:
                     all_terms.extend(f + FIELD_SEP + t for t in fterms)

@@ -43,6 +43,11 @@ class IndexSpec:
     # column and avgdl so BM25 is exact per field. The default field (the
     # text/html body) stays unprefixed.
     fields: dict | None = None
+    # per-extra-field analyzer names: {field_name: analyzer}; fields not
+    # listed use `analyzer`. Applied at index time AND auto-filled into
+    # fielded queries at the coordinator (TextFieldMapper per-field
+    # analyzers).
+    field_analyzers: dict | None = None
     doc_columns: tuple = ("url", "warc_ts", "lang")  # carried into docs.parquet
     escaped_tags: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are

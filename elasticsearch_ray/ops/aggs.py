@@ -712,3 +712,55 @@ def diversified_sampler_agg(ds: Dataset, key: str, max_docs_per_value: int,
         return g.head(max_docs_per_value)
 
     return ds.groupby(key).map_groups(cap, batch_format="pandas")
+
+
+def variable_width_histogram(ds: Dataset, col: str, buckets: int = 10,
+                             sample_n: int = 4096, seed: int = 5) -> pd.DataFrame:
+    """variable_width_histogram (VariableWidthHistogramAggregationBuilder):
+    1-D clustering into ~`buckets` variable-width buckets. Centroids come
+    from a driver-side sample (quantile-seeded k-means, the aggregator's
+    nearest-centroid collection); assignment is a broadcast map stage and the
+    reduce is a tiny per-cluster groupby — no global sort."""
+    import ray
+
+    sample = []
+    need = sample_n
+    for batch in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        sample.append(batch[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        need -= len(batch)
+        if need <= 0:
+            break
+    s = np.concatenate(sample)[:sample_n]
+    if len(s) == 0:
+        return pd.DataFrame({"key": [], "min": [], "max": [], "doc_count": []})
+    k = min(buckets, len(np.unique(s)))
+    cent = np.quantile(np.unique(s), np.linspace(0, 1, k))
+    for _ in range(8):
+        assign = np.abs(s[:, None] - cent[None, :]).argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = s[m].mean()
+        cent = np.sort(cent)
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.abs(v[:, None] - c[None, :]).argmin(axis=1).astype(np.int32)
+        return pa.table({"cluster": pa.array(a), "v": pa.array(v)})
+
+    out = (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Count(alias_name="doc_count"),
+            Min("v", alias_name="min"),
+            Max("v", alias_name="max"),
+            Mean("v", alias_name="key"),
+        )
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return out[["key", "min", "max", "doc_count"]]

@@ -909,6 +909,45 @@ class QueryEngine:
                 ray.kill(a)
             self._actors = None
 
+    def _apply_field_analyzers(self, q: Query) -> Query:
+        """Fill q.analyzer on fielded match/phrase queries from the spec's
+        per-field analyzers (TextFieldMapper: each field analyzes queries
+        with its own chain) — done once at the coordinator so DFS term sets,
+        scorers and partition eval all agree."""
+        fa = self.spec.get("field_analyzers") or {}
+        if not fa:
+            return q
+        import dataclasses
+
+        def walk(qq):
+            if isinstance(qq, (MatchQuery, MatchPhraseQuery)):
+                if qq.field in fa and qq.analyzer is None:
+                    return dataclasses.replace(qq, analyzer=fa[qq.field])
+                return qq
+            if isinstance(qq, BoolQuery):
+                return dataclasses.replace(
+                    qq,
+                    must=tuple(walk(s) for s in qq.must),
+                    should=tuple(walk(s) for s in qq.should),
+                    filter=tuple(walk(s) for s in qq.filter),
+                    must_not=tuple(walk(s) for s in qq.must_not),
+                )
+            if isinstance(qq, DisMaxQuery):
+                return dataclasses.replace(qq, queries=tuple(walk(s) for s in qq.queries))
+            if isinstance(qq, ConstantScoreQuery) and qq.filter is not None:
+                return dataclasses.replace(qq, filter=walk(qq.filter))
+            if isinstance(qq, BoostingQuery):
+                return dataclasses.replace(
+                    qq,
+                    positive=walk(qq.positive) if qq.positive else None,
+                    negative=walk(qq.negative) if qq.negative else None,
+                )
+            if isinstance(qq, FunctionScoreQuery) and qq.query is not None:
+                return dataclasses.replace(qq, query=walk(qq.query))
+            return qq
+
+        return walk(q)
+
     def _rewrite(self, q: Query) -> Query:
         """Engine-level query rewrites needing GLOBAL stats: more_like_this
         selects its top tf·idf terms once here (so every partition scores the
@@ -1104,7 +1143,7 @@ class QueryEngine:
         """
         if isinstance(q, str):
             q = MatchQuery(q)
-        q = self._rewrite(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
         if self._coords:
             import ray
 
@@ -1456,6 +1495,32 @@ class QueryEngine:
             counters[int(fi)] += 1
             out.append(pieces[int(fi)].slice(i, 1))
         return pa.concat_tables(out)
+
+    def highlight_hits(self, q: Query | str, hits: pa.Table, text_column: str = "text",
+                       pre_tag: str = "<em>", post_tag: str = "</em>") -> list[str]:
+        """Highlight a whole hits table (rank/part/local) in one pass:
+        sources fetch batched per partition/input-file (fetch_source groups
+        reads), then the term-wrap runs per hit — no per-hit file reads."""
+        terms = set(query_terms(q if not isinstance(q, str) else MatchQuery(q),
+                                self.analyzer_name))
+        from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+
+        def wrap(text: str) -> str:
+            def repl(m):
+                return (f"{pre_tag}{m.group(0)}{post_tag}"
+                        if m.group(0).lower() in terms else m.group(0))
+
+            return TOKEN_RE.sub(repl, text or "")
+
+        parts_a = hits["part"].to_numpy()
+        locals_a = hits["local"].to_numpy()
+        out: list[str | None] = [None] * len(hits)
+        for p in np.unique(parts_a):
+            idx = np.flatnonzero(parts_a == p)
+            src_tbl = self.fetch_source(int(p), locals_a[idx], columns=[text_column])
+            for j, text in zip(idx.tolist(), src_tbl[text_column].to_pylist()):
+                out[j] = wrap(text)
+        return out
 
     def highlight(self, q: Query, part: int, local: int, text_column: str = "text",
                   pre_tag: str = "<em>", post_tag: str = "</em>") -> str:

@@ -137,3 +137,38 @@ def test_bmw_equals_exhaustive_on_title(mf):
     a = eng.search(q, k=10, mode="bmw", fetch=("doc_id",)).to_pylist()
     b = eng.search(q, k=10, mode="exhaustive", fetch=("doc_id",)).to_pylist()
     assert a == b and len(a) == 10
+
+
+def test_per_field_analyzer(ray_session, tmp_path_factory):
+    """IndexSpec.field_analyzers: the title field indexes AND queries through
+    its own chain (english here), auto-filled into fielded queries."""
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    base = tmp_path_factory.mktemp("fldan")
+    corpus = str(base / "c")
+    os.makedirs(corpus)
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta", "alpha gamma", "beta gamma"],
+            "title": ["running joins", "sorted windows", "join runner"],
+        }
+    )
+    pq.write_table(t, os.path.join(corpus, "d.parquet"))
+    idx = str(base / "i")
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=(),
+                     fields={"title": "title"}, field_analyzers={"title": "english"},
+                     files_per_partition=1)
+    build_index(corpus, idx, spec, concurrency=2, file_pattern="d.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    # porter stems: running->run, joins->join; query "runs join" stems the
+    # same way through the auto-filled english analyzer
+    got = {r["doc_id"] for r in eng.search(
+        MatchQuery("runs joining", field="title"), k=10, mode="exhaustive",
+        fetch=("doc_id",)).to_pylist()}
+    assert got == {0, 2}
+    # default field still standard-analyzed
+    got2 = {r["doc_id"] for r in eng.search(MatchQuery("alpha"), k=10,
+                                            mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    assert got2 == {0, 1}

@@ -487,3 +487,20 @@ def test_diversified_sampler(ray_session):
     counts = out["k"].value_counts().to_dict()
     assert counts == {"a": 2, "b": 2}
     assert sorted(out[out["k"] == "a"]["i"].tolist()) == [0, 1]
+
+
+def test_variable_width_histogram(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import variable_width_histogram
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.normal(0, 1, 500), rng.normal(50, 1, 300), rng.normal(200, 2, 200)])
+    out = variable_width_histogram(rd.from_pandas(pd.DataFrame({"v": v})), "v", buckets=3)
+    assert len(out) == 3
+    assert out["doc_count"].sum() == 1000
+    # the three modes separate: bucket boundaries don't overlap
+    assert (out["min"].to_numpy()[1:] > out["max"].to_numpy()[:-1]).all()
+    assert abs(out["key"].iloc[2] - 200) < 5

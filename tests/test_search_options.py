@@ -212,3 +212,16 @@ def test_phrase_suggester_corrects_typos(web_engine):
     assert "spark join" in texts
     scores = [o["score"] for o in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_highlight_hits_batched(web_engine):
+    from elasticsearch_ray.search.query import MatchQuery as MQ
+
+    hits = web_engine.search(MQ("spark join"), k=8)
+    hl = web_engine.highlight_hits(MQ("spark join"), hits)
+    assert len(hl) == len(hits)
+    assert any("<em>spark</em>" in h or "<em>join</em>" in h for h in hl)
+    # per-hit highlight agrees with the batched path
+    r = hits.to_pylist()[0]
+    single = web_engine.highlight(MQ("spark join"), r["part"], r["local"])
+    assert single == hl[0]
