@@ -472,6 +472,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = exact_dedup_keep_ids(_ds(sf, "documents"), ["text"], "doc_id")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_url_norm(sf):
+        from elasticsearch_ray.ops.dedup import url_dedup_keep_ids
+
+        def derive(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            d = batch.to_pandas()
+            scheme = pd.Series(["https"] * len(d))
+            scheme[d["doc_id"] % 3 == 0] = "HTTPS"
+            www = pd.Series([""] * len(d))
+            www[d["doc_id"] % 5 == 0] = "www."
+            tail = pd.Series([""] * len(d))
+            tail[d["doc_id"] % 2 == 0] = "/"
+            frag = pd.Series([""] * len(d))
+            frag[d["doc_id"] % 7 == 0] = "#frag"
+            d["url"] = (scheme + "://" + www + d["source"] + ".example.com/page/"
+                        + (d["doc_id"] % 40).astype(str) + tail + frag)
+            return pa.Table.from_pandas(d[["doc_id", "url"]], preserve_index=False)
+
+        ds = _ds(sf, "documents").map_batches(derive, batch_format="pyarrow")
+        out = url_dedup_keep_ids(ds, "url", "doc_id")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def dedup_minhash_pairs(sf):  # rows-only (LSH)
         from elasticsearch_ray.ops.dedup import minhash_near_dups
 
@@ -921,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_lang_french": web_lang_french,
         "web_lang_cjk": web_lang_cjk,
         "dedup_exact_ids": dedup_exact_ids,
+        "dedup_url_norm": dedup_url_norm,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_table": dedup_simhash_table,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1436,6 +1460,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
               FROM events GROUP BY 1
             ) ORDER BY bucket
+        """,
+        "dedup_url_norm": """
+            WITH raw AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+                (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) || source ||
+                '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+                (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+              FROM documents
+            ),
+            norm AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(lower(url),
+                        '#.*$', ''), '/$', ''), '^(https?://)www\\.', '\\1') AS url_norm
+              FROM raw
+            )
+            SELECT min(doc_id)::BIGINT AS doc_id, url_norm
+            FROM norm GROUP BY url_norm ORDER BY doc_id
         """,
         "dedup_exact_ids": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents

@@ -703,6 +703,11 @@ class MergeParts:
 # and pool spawn dominates at benchmark scale.
 _STAGE_CACHE: dict = {}
 
+# Ray Data per-operator stats of the most recent build_index call in this
+# process (tokenize/sort/route and merge pipelines) — the ds.stats() review
+# feedstock for BASELINE.md.
+LAST_BUILD_STATS: dict = {}
+
 
 def _cached_stage(cls, *args):
     key = (cls.__name__,) + tuple(
@@ -792,6 +797,7 @@ def build_index(
             )
         )
         run_rows = chunks.take_all()
+        LAST_BUILD_STATS["chunks"] = chunks.stats()
         runs_by_part: dict[int, list[str]] = {p: [] for p in todo_parts}
         for r in run_rows:
             runs_by_part[int(r["part"])].append(r["run_path"])
@@ -805,6 +811,7 @@ def build_index(
             num_cpus=1,
         )
         merged.take_all()
+        LAST_BUILD_STATS["merge"] = merged.stats()
         done = [read_manifest(index_dir, p) for p in sorted(by_part)]
 
     sum_dl_fields: dict[str, int] = {}

@@ -395,3 +395,32 @@ def simhash_near_dups(ds: Dataset, text_col: str, id_col: str, max_hamming: int 
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def normalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalization for training-data dedup: lowercase,
+    drop the fragment, drop a trailing slash, drop a leading www. after the
+    scheme — the standard Common-Crawl-style canonical key (each step is a C
+    regex pass; the DuckDB oracle applies the identical chain)."""
+    s = urls.astype(str).str.lower()
+    s = s.str.replace(r"#.*$", "", regex=True)
+    s = s.str.replace(r"/$", "", regex=True)
+    s = s.str.replace(r"^(https?://)www\.", r"\1", regex=True)
+    return s
+
+
+def url_dedup_keep_ids(ds: Dataset, url_col: str, id_col: str) -> pd.DataFrame:
+    """URL-canonical dedup: first (min id) doc per normalized URL — one
+    (norm_url, id) shuffle, like exact_dedup_keep_ids."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        u = normalize_urls(batch[url_col].to_pandas())
+        return pa.table({"url_norm": pa.Array.from_pandas(u), id_col: batch[id_col]})
+
+    out = (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .groupby("url_norm")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .to_pandas()
+    )
+    return out[[id_col, "url_norm"]].sort_values(id_col).reset_index(drop=True)
