@@ -446,6 +446,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = auto_date_histogram(_ds(sf, "events"), "ts", target_buckets=12)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def _events_with_ips(sf):
+        def derive(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            d = batch.to_pandas()
+            u = d["event_id"].astype("int64")
+            d["ip"] = ("10." + (u % 64).astype(str) + "."
+                       + ((u * 3) % 256).astype(str) + "." + ((u * 7) % 256).astype(str))
+            return pa.Table.from_pandas(d[["event_id", "ip"]], preserve_index=False)
+
+        return _ds(sf, "events").map_batches(derive, batch_format="pyarrow")
+
+    def agg_ip_range(sf):
+        from elasticsearch_ray.ops.aggs import ip_range_agg
+
+        out = ip_range_agg(_events_with_ips(sf), "ip",
+                           ["10.0.0.0/19", ("10.32.0.0", "10.48.0.0"), "10.48.0.0/20"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_ip_prefix(sf):
+        from elasticsearch_ray.ops.aggs import ip_prefix_agg
+
+        out = ip_prefix_agg(_events_with_ips(sf), "ip", prefix_length=20)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_variable_width_histogram(sf):  # rows-only (clustered buckets)
         from elasticsearch_ray.ops.aggs import variable_width_histogram
 
@@ -939,6 +964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats_bucket_daily": agg_stats_bucket_daily,
         "agg_auto_date_histogram": agg_auto_date_histogram,
         "agg_variable_width_histogram": agg_variable_width_histogram,
+        "agg_ip_range": agg_ip_range,
+        "agg_ip_prefix": agg_ip_prefix,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
@@ -1390,6 +1417,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, upper(event_type) AS et2,
                    CAST(user_id AS VARCHAR) AS u2, 'a,b' AS tags_list
             FROM events ORDER BY event_id
+        """,
+        "agg_ip_range": """
+            WITH ips AS (
+              SELECT ((10::BIGINT << 24) | ((event_id % 64) << 16)
+                      | (((event_id * 3) % 256) << 8) | ((event_id * 7) % 256)) AS packed
+              FROM events
+            ),
+            hits AS (
+              SELECT CASE
+                WHEN packed >= (10::BIGINT << 24)
+                 AND packed < ((10::BIGINT << 24) + (1 << 13)) THEN 0
+                WHEN packed >= ((10::BIGINT << 24) + (32 << 16))
+                 AND packed < ((10::BIGINT << 24) + (48 << 16)) THEN 1
+                WHEN packed >= ((10::BIGINT << 24) + (48 << 16))
+                 AND packed < ((10::BIGINT << 24) + (48 << 16) + (1 << 12)) THEN 2
+              END AS bucket
+              FROM ips
+            ),
+            b AS (SELECT unnest([0, 1, 2]) AS bucket)
+            SELECT b.bucket, count(hits.bucket)::BIGINT AS doc_count
+            FROM b LEFT JOIN hits ON b.bucket = hits.bucket
+            GROUP BY b.bucket ORDER BY b.bucket
+        """,
+        "agg_ip_prefix": """
+            WITH ips AS (
+              SELECT ((10::BIGINT << 24) | ((event_id % 64) << 16)
+                      | (((event_id * 3) % 256) << 8) | ((event_id * 7) % 256)) AS packed
+              FROM events
+            ),
+            nets AS (SELECT (packed >> 12) << 12 AS net FROM ips)
+            SELECT CAST((net >> 24) & 255 AS VARCHAR) || '.' ||
+                   CAST((net >> 16) & 255 AS VARCHAR) || '.' ||
+                   CAST((net >> 8) & 255 AS VARCHAR) || '.' ||
+                   CAST(net & 255 AS VARCHAR) || '/20' AS prefix,
+                   count(*)::BIGINT AS doc_count
+            FROM nets GROUP BY net ORDER BY net
         """,
         "agg_missing_value": """
             SELECT count(*) FILTER (WHERE value < 10.0)::BIGINT AS doc_count FROM events

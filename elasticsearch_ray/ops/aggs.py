@@ -764,3 +764,82 @@ def variable_width_histogram(ds: Dataset, col: str, buckets: int = 10,
         .reset_index(drop=True)
     )
     return out[["key", "min", "max", "doc_count"]]
+
+
+def _pack_ipv4(ips) -> np.ndarray:
+    """Dotted-quad strings → uint32 (vectorized split/cast)."""
+    parts = pd.Series(ips, dtype=object).str.split(".", expand=True).astype(np.int64)
+    return (
+        (parts[0].to_numpy() << 24)
+        | (parts[1].to_numpy() << 16)
+        | (parts[2].to_numpy() << 8)
+        | parts[3].to_numpy()
+    ).astype(np.int64)
+
+
+def _cidr_bounds(cidr: str) -> tuple[int, int]:
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr)
+    return int(net.network_address), int(net.broadcast_address) + 1
+
+
+def ip_range_agg(ds: Dataset, col: str, ranges: list) -> pd.DataFrame:
+    """ip_range bucket agg (IpRangeAggregationBuilder): buckets are CIDR
+    masks or (from, to) dotted-quad pairs, half-open like date_range;
+    counting is a map-side partial over packed uint32 addresses."""
+    bounds = []
+    for r in ranges:
+        if isinstance(r, str):
+            bounds.append(_cidr_bounds(r))
+        else:
+            f, t = r
+            bounds.append((int(_pack_ipv4([f])[0]) if f else 0,
+                           int(_pack_ipv4([t])[0]) if t else 1 << 32))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _pack_ipv4(batch[col].to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(range(len(bounds)), pa.int64()),
+                "doc_count": pa.array(
+                    [int(((v >= lo) & (v < hi)).sum()) for lo, hi in bounds], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ip_prefix_agg(ds: Dataset, col: str, prefix_length: int = 24) -> pd.DataFrame:
+    """ip_prefix bucket agg: group by the /prefix_length network; the bucket
+    key is the network address in dotted-quad form."""
+    shift = 32 - prefix_length
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _pack_ipv4(batch[col].to_pylist())
+        net = (v >> shift) << shift
+        return pa.table({"net": pa.array(net, pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("net")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("net")
+        .reset_index(drop=True)
+    )
+    n = out["net"].to_numpy().astype(np.int64)
+    out["prefix"] = [
+        f"{(x >> 24) & 255}.{(x >> 16) & 255}.{(x >> 8) & 255}.{x & 255}/{prefix_length}"
+        for x in n
+    ]
+    return out[["prefix", "doc_count"]]

@@ -504,3 +504,20 @@ def test_variable_width_histogram(ray_session):
     # the three modes separate: bucket boundaries don't overlap
     assert (out["min"].to_numpy()[1:] > out["max"].to_numpy()[:-1]).all()
     assert abs(out["key"].iloc[2] - 200) < 5
+
+
+def test_ip_range_and_prefix(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import ip_prefix_agg, ip_range_agg
+
+    df = pd.DataFrame({"ip": ["10.0.0.1", "10.0.1.200", "10.32.5.5", "192.168.1.1"]})
+    ds = rd.from_pandas(df)
+    out = ip_range_agg(ds, "ip", ["10.0.0.0/19", ("10.32.0.0", "10.48.0.0"),
+                                  "192.168.0.0/16"])
+    assert out["doc_count"].tolist() == [2, 1, 1]
+    pref = ip_prefix_agg(rd.from_pandas(df), "ip", prefix_length=24)
+    m = dict(zip(pref["prefix"], pref["doc_count"]))
+    assert m == {"10.0.0.0/24": 1, "10.0.1.0/24": 1, "10.32.5.0/24": 1,
+                 "192.168.1.0/24": 1}
