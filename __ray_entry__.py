@@ -190,6 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = MultiMatchQuery("spark join", fields=(None, "title"), type="most_fields")
         return _search_table(_multifield_index(sf), q, k=10)
 
+    def search_combined_fields(sf):
+        from elasticsearch_ray.search.query import CombinedFieldsQuery
+
+        q = CombinedFieldsQuery("spark join", fields=(None, "title"), weights=(1.0, 2.0))
+        return _search_table(_multifield_index(sf), q, k=10)
+
     def search_query_string(sf):
         from elasticsearch_ray.search.query import QueryStringQuery
 
@@ -937,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_multi_match": search_multi_match,
         "search_most_fields": search_most_fields,
         "search_query_string": search_query_string,
+        "search_combined_fields": search_combined_fields,
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
         "agg_stats_returnflag": agg_stats_returnflag,
@@ -1294,6 +1301,49 @@ def oracle_sql() -> dict[str, str]:
                      AS rank,
                    doc_id, round(score, 4) AS score
             FROM comb ORDER BY rank LIMIT 10
+        """,
+        "search_combined_fields": f"""
+            WITH tok_b AS ({_TOK_BODY}),
+            tok_t AS ({_TOK_TITLE}),
+            dl AS (
+              SELECT b.doc_id, b.dl + 2.0 * t.dl AS dl FROM
+                (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok_b GROUP BY doc_id) b
+                JOIN (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok_t GROUP BY doc_id) t
+                USING (doc_id)
+            ),
+            st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                          (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+            tf AS (
+              SELECT doc_id, term,
+                     sum(CASE WHEN src = 'b' THEN w ELSE 2.0 * w END) AS tf
+              FROM (
+                SELECT doc_id, term, 'b' AS src, count(*)::DOUBLE AS w
+                FROM tok_b WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+                UNION ALL
+                SELECT doc_id, term, 't' AS src, count(*)::DOUBLE AS w
+                FROM tok_t WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+              ) GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, greatest(
+                (SELECT count(DISTINCT doc_id) FROM tok_b x WHERE x.term = df0.term),
+                (SELECT count(DISTINCT doc_id) FROM tok_t x WHERE x.term = df0.term)
+              )::DOUBLE AS df
+              FROM (SELECT unnest(['spark', 'join']) AS term) df0
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                          * ({BM25_K1} + 1) * tf.tf
+                          / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) )
+                       AS score
+              FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st s
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM scores ORDER BY rank LIMIT 10
         """,
         "search_query_string": f"""
             WITH {_field_scores_sql("b", _TOK_BODY, ["merge"])},

@@ -33,6 +33,8 @@ QUERY_SET = [
     ("term", {"kind": "term", "term": "batch"}),
     ("phrase", {"kind": "phrase", "text": "batch batch"}),
     ("bool_filtered", {"kind": "bool_lang", "text": "merge sort", "lang": "en"}),
+    ("span_near", {"kind": "span", "clauses": ["spark", "join"], "slop": 3}),
+    ("query_string", {"kind": "qs", "query": "spark AND (join OR merge)"}),
 ]
 
 
@@ -53,6 +55,14 @@ def build_query(spec):
         return MatchPhraseQuery(spec["text"])
     if spec["kind"] == "bool_lang":
         return BoolQuery(must=(MatchQuery(spec["text"]),), filter=(TermFilter("lang", spec["lang"]),))
+    if spec["kind"] == "span":
+        from elasticsearch_ray.search.query import SpanNearQuery
+
+        return SpanNearQuery(clauses=tuple(spec["clauses"]), slop=spec["slop"], in_order=True)
+    if spec["kind"] == "qs":
+        from elasticsearch_ray.search.query import QueryStringQuery
+
+        return QueryStringQuery(spec["query"])
     raise ValueError(spec)
 
 

@@ -37,6 +37,7 @@ from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer, make_scorer
 from elasticsearch_ray.search.query import (
     BoolQuery,
     BoostingQuery,
+    CombinedFieldsQuery,
     ConstantScoreQuery,
     DisMaxQuery,
     ExistsQuery,
@@ -205,12 +206,13 @@ class PartitionSearcher:
     def _span_docs(self, terms: list[str], slop: int, in_order: bool):
         """span_near matching over stored positions; returns (docs, freqs).
 
-        Candidates are the AND of all clause terms (cheap postings
-        intersection); the positional check runs only on those. in_order
-        chains are evaluated VECTORIZED over all start positions of the first
-        clause; unordered uses the minimal-window sweep with allowed span
-        slop + n - 1 (slop counts intervening non-clause tokens, Lucene
-        NearSpansUnordered's matchWidth)."""
+        in_order: chains are evaluated VECTORIZED across the whole partition
+        — every clause-0 occurrence is encoded (doc<<32|pos) and chained
+        through the earliest strictly-later occurrence of each next clause
+        with one searchsorted per level (NearSpansOrdered semantics, no
+        per-doc Python). Unordered n=2 likewise checks the nearest
+        neighbor on both sides vectorized; unordered n>2 falls back to the
+        per-candidate minimal-window sweep (span <= slop + n - 1)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         rows = self.r.lookup(terms)
         if len(rows) == 0 or np.any(rows < 0):
@@ -218,37 +220,83 @@ class PartitionSearcher:
         from elasticsearch_ray.index.postings import decode_postings
 
         nt = len(terms)
+        keys_per_term = []
         per_term = []
-        common = None
         for i in rows:
             docs, tfs = decode_postings(self.r.blob(int(i)))
             flat = np.asarray(self.r.positions_for(int(i)), dtype=np.int64)
+            doc_rep = np.repeat(docs, tfs)
+            keys_per_term.append((doc_rep << np.int64(32)) | flat)
+            per_term.append((docs, flat, tfs))
+        if nt == 1:
+            docs, _flat, tfs = per_term[0]
+            return docs, tfs
+        MASK = np.int64((1 << 32) - 1)
+
+        if in_order:
+            starts = keys_per_term[0]
+            ends = starts.copy()
+            ok = np.ones(len(starts), dtype=bool)
+            for k in range(1, nt):
+                bk = keys_per_term[k]
+                idx = np.searchsorted(bk, ends, side="right")
+                idx_c = np.minimum(idx, max(len(bk) - 1, 0))
+                valid = (idx < len(bk)) & (
+                    (bk[idx_c] >> np.int64(32)) == (ends >> np.int64(32))
+                ) if len(bk) else np.zeros(len(ends), dtype=bool)
+                ok &= valid
+                ends = np.where(valid, bk[idx_c], ends)
+            hit = ok & ((ends & MASK) - (starts & MASK) - (nt - 1) <= slop)
+            if not hit.any():
+                return empty
+            hit_docs = (starts[hit] >> np.int64(32))
+            out_docs, out_freqs = np.unique(hit_docs, return_counts=True)
+            return out_docs.astype(np.int64), out_freqs.astype(np.int64)
+
+        if nt == 2 and terms[0] != terms[1]:
+            a, b = keys_per_term
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            idx = np.searchsorted(b, a, side="right")
+            il = np.maximum(idx - 1, 0)
+            ir = np.minimum(idx, len(b) - 1)
+            da = a >> np.int64(32)
+            near = np.zeros(len(a), dtype=bool)
+            for side in (il, ir):
+                cand = b[side]
+                same = (cand >> np.int64(32)) == da
+                gap = np.abs((cand & MASK) - (a & MASK)) - 1
+                near |= same & (gap <= slop)
+            if not near.any():
+                return empty
+            out_docs, out_freqs = np.unique(da[near], return_counts=True)
+            return out_docs.astype(np.int64), out_freqs.astype(np.int64)
+
+        # unordered n>2: AND-candidates, per-doc minimal-window sweep
+        common = None
+        offs_per_term = []
+        for docs, _flat, tfs in per_term:
             offs = np.zeros(len(tfs) + 1, dtype=np.int64)
             np.cumsum(tfs, out=offs[1:])
-            per_term.append((docs, flat, offs))
+            offs_per_term.append(offs)
             common = docs if common is None else common[np.isin(common, docs, assume_unique=True)]
-        if nt == 1:
-            docs, _flat, offs = per_term[0]
-            return docs, np.diff(offs)
         if common is None or len(common) == 0:
             return empty
         idxs = [np.searchsorted(docs, common) for docs, _, _ in per_term]
         out_docs, out_freqs = [], []
         for ci, d in enumerate(common.tolist()):
             pls = [
-                per_term[ti][1][per_term[ti][2][int(idxs[ti][ci])] : per_term[ti][2][int(idxs[ti][ci]) + 1]]
+                per_term[ti][1][offs_per_term[ti][int(idxs[ti][ci])]:
+                                offs_per_term[ti][int(idxs[ti][ci]) + 1]]
                 for ti in range(nt)
             ]
-            if in_order:
-                c = _ordered_span_count(pls, slop)
-            else:
-                streams = [
-                    np.stack([pl, np.full(len(pl), ti, np.int64)], axis=1)
-                    for ti, pl in enumerate(pls)
-                ]
-                merged = np.concatenate(streams)
-                merged = merged[np.argsort(merged[:, 0], kind="stable")]
-                c = _window_match_count(merged, nt, slop + nt - 1)
+            streams = [
+                np.stack([pl, np.full(len(pl), ti, np.int64)], axis=1)
+                for ti, pl in enumerate(pls)
+            ]
+            merged = np.concatenate(streams)
+            merged = merged[np.argsort(merged[:, 0], kind="stable")]
+            c = _window_match_count(merged, nt, slop + nt - 1)
             if c:
                 out_docs.append(d)
                 out_freqs.append(c)
@@ -356,6 +404,52 @@ class PartitionSearcher:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             docs = np.unique(np.concatenate(d_arrays))
             return docs, np.full(len(docs), q.boost, dtype=dtype)  # constant-score rewrite
+        if isinstance(q, CombinedFieldsQuery):
+            from elasticsearch_ray.index.postings import decode_postings
+
+            an = get_analyzer(self.analyzer_name)
+            terms = an(q.text)[0]
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            weights = dict(zip(q.fields, q.weights)) if q.weights else {}
+            # blended per-doc length dl' = Σ_f w_f · exact doclen_f
+            dl = None
+            for f in q.fields:
+                w = weights.get(f, 1.0)
+                col = self._doc_col("doclen" if f is None else f"doclen_{f}").astype(np.float64)
+                dl = w * col if dl is None else dl + w * col
+            d_arrays, s_arrays = [], []
+            n_present = 0
+            for t in terms:
+                parts = []
+                for f in q.fields:
+                    i = self.r.lookup([fkey(f, t)])[0]
+                    if i < 0:
+                        continue
+                    d_, tf_ = decode_postings(self.r.blob(int(i)))
+                    parts.append((d_, tf_.astype(np.float64) * weights.get(f, 1.0)))
+                if not parts:
+                    continue
+                n_present += 1
+                dd = np.concatenate([p[0] for p in parts])
+                tt = np.concatenate([p[1] for p in parts])
+                order = np.argsort(dd, kind="stable")
+                dd, tt = dd[order], tt[order]
+                chg = np.empty(len(dd), dtype=bool)
+                chg[0] = True
+                chg[1:] = dd[1:] != dd[:-1]
+                starts = np.flatnonzero(chg)
+                docs_u = dd[starts]
+                tf_u = np.add.reduceat(tt, starts)
+                sc = scorers[("__cf__", t, q.fields, tuple(q.weights))]
+                d_arrays.append(docs_u)
+                s_arrays.append(sc.score_dl(tf_u, dl[docs_u]))
+            if not d_arrays:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            min_match = n_present if q.operator == "and" else 1
+            from elasticsearch_ray.search.topk import accumulate_dense
+
+            return accumulate_dense(d_arrays, s_arrays, 0, r.n_docs, dtype, min_match)
         if isinstance(q, SpanNearQuery):
             docs, freqs = self._span_docs(list(q.clauses), q.slop, q.in_order)
             if len(docs) == 0:
@@ -709,24 +803,6 @@ def _window_match_count(merged: np.ndarray, nt: int, width: int) -> int:
                 have -= 1
             lo += 1
     return matches
-
-
-def _ordered_span_count(pls: list[np.ndarray], slop: int) -> int:
-    """Ordered span chains: for every occurrence of clause 0, chain through
-    the EARLIEST strictly-later occurrence of each next clause; a chain whose
-    total gap (end - start - (n-1)) <= slop is a match. Vectorized over all
-    start positions (NearSpansOrdered semantics)."""
-    n = len(pls)
-    starts = pls[0]
-    ends = starts.copy()
-    ok = np.ones(len(starts), dtype=bool)
-    for k in range(1, n):
-        nxt = pls[k]
-        idx = np.searchsorted(nxt, ends, side="right")
-        valid = idx < len(nxt)
-        ok &= valid
-        ends = np.where(valid, nxt[np.minimum(idx, len(nxt) - 1)], ends)
-    return int(np.count_nonzero(ok & (ends - starts - (n - 1) <= slop)))
 
 
 def _intersect(a: np.ndarray, b: np.ndarray, a_scores: tuple = (), b_scores: tuple = ()):
@@ -1088,6 +1164,16 @@ class QueryEngine:
             elif isinstance(qq, IntervalsQuery):
                 reg(tuple(dict.fromkeys(intervals_terms(qq.source, self.analyzer_name))),
                     qq.boost)
+            elif isinstance(qq, CombinedFieldsQuery):
+                an2 = get_analyzer(self.analyzer_name)
+                weights = dict(zip(qq.fields, qq.weights)) if qq.weights else {}
+                avgdl_cf = sum(weights.get(f, 1.0) * self.avgdl_for(f) for f in qq.fields)
+                for t in an2(qq.text)[0]:
+                    df_cf = max(df.get(fkey(f, t), 0) for f in qq.fields)
+                    w = qq.boost * (self.params.k1 + 1.0) * idf_fn(df_cf, self.n_docs)
+                    scorers[("__cf__", t, qq.fields, tuple(qq.weights))] = _CombinedScorer(
+                        w, self.params.k1, self.params.b, avgdl_cf, self.dtype
+                    )
             elif isinstance(qq, BoolQuery):
                 for sub in (*qq.must, *qq.should, *qq.filter, *qq.must_not):
                     add_phrase(sub)
@@ -1586,6 +1672,21 @@ class SearcherActor:
             for p, s in self.searchers.items()
             if p in allowed
         ]
+
+
+class _CombinedScorer:
+    """combined_fields pseudo-field scorer: BM25 over blended tf'/dl' with
+    EXACT dl (the reference encodes blended dl through the lossy norm; exact
+    is a documented upgrade, mirrored in the oracle)."""
+
+    def __init__(self, weight, k1, b, avgdl, dtype):
+        self.weight, self.k1, self.b, self.avgdl = float(weight), float(k1), float(b), float(avgdl)
+        self.dtype = dtype
+
+    def score_dl(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        norm = self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+        out = self.weight * (tfs / (tfs + norm))
+        return out.astype(np.float32) if self.dtype == "float32" else out
 
 
 class CoordinatorActor:

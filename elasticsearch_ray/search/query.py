@@ -240,6 +240,22 @@ class MultiMatchQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldsQuery(Query):
+    """combined_fields (CombinedFieldQueryBuilder / Lucene
+    CombinedFieldQuery, the BM25F simplification): fields are blended into
+    ONE pseudo-field per term — tf' = Σ_f w_f·tf_f, dl' = Σ_f w_f·dl_f,
+    avgdl' = Σ_f w_f·avgdl_f, df' = max_f df_f, idf from df' — then scored
+    as ordinary BM25 over the pseudo-field. Exhaustive evaluation (per-field
+    postings decode + blend; no BMW bound is defined for blended tf)."""
+
+    text: str
+    fields: tuple = (None,)
+    weights: tuple = ()  # aligned with fields; default 1.0 each
+    operator: str = "or"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class QueryStringQuery(Query):
     """query_string subset (QueryStringQueryBuilder.java / Lucene classic
     syntax): field:term, field:"phrase", AND / OR / NOT, +/- prefixes,
@@ -471,6 +487,10 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
             an = get_analyzer(q.analyzer or default_analyzer)
             out.extend(fkey(q.field, t) for t in an(q.text)[0])
         elif isinstance(q, MultiMatchQuery):
+            an = get_analyzer(default_analyzer)
+            for f in q.fields:
+                out.extend(fkey(f, t) for t in an(q.text)[0])
+        elif isinstance(q, CombinedFieldsQuery):
             an = get_analyzer(default_analyzer)
             for f in q.fields:
                 out.extend(fkey(f, t) for t in an(q.text)[0])

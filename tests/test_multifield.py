@@ -172,3 +172,43 @@ def test_per_field_analyzer(ray_session, tmp_path_factory):
     got2 = {r["doc_id"] for r in eng.search(MatchQuery("alpha"), k=10,
                                             mode="exhaustive", fetch=("doc_id",)).to_pylist()}
     assert got2 == {0, 1}
+
+
+def test_combined_fields_vs_bruteforce(mf):
+    """combined_fields: BM25F-simplified pseudo-field (tf' = Σ w·tf_f,
+    dl' = Σ w·dl_f, df' = max df_f) vs a python brute-force oracle."""
+    import math
+
+    from elasticsearch_ray.search.query import CombinedFieldsQuery
+
+    eng, _teng, docs, tdocs = mf
+    text = "spark join"
+    w_title = 2.0
+    q = CombinedFieldsQuery(text, fields=(None, "title"), weights=(1.0, w_title))
+    got = _res(eng, q)
+
+    n = len(docs)
+    avgdl = (sum(len(t) for t in docs.values()) / n
+             + w_title * sum(len(t) for t in tdocs.values()) / n)
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in text.split():
+        df_b = sum(term in set(t) for t in docs.values())
+        df_t = sum(term in set(t) for t in tdocs.values())
+        idf = math.log(1 + (n - max(df_b, df_t) + 0.5) / (max(df_b, df_t) + 0.5))
+        for d in docs:
+            tf = docs[d].count(term) + w_title * tdocs[d].count(term)
+            if tf <= 0:
+                continue
+            dl = len(docs[d]) + w_title * len(tdocs[d])
+            s = idf * (k1 + 1) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+            want[d] = want.get(d, 0.0) + s
+    assert set(got) == set(want)
+    for d, s in got.items():
+        assert abs(s - want[d]) < 1e-9, d
+    # operator=and requires every term present in the blend
+    got_and = _res(eng, CombinedFieldsQuery(text, fields=(None, "title"),
+                                            weights=(1.0, w_title), operator="and"))
+    both = {d for d in want
+            if all(t in docs[d] or t in tdocs[d] for t in text.split())}
+    assert set(got_and) == both
