@@ -56,9 +56,10 @@ def _documents_index(sf_dir: str):
 
 
 def _multifield_index(sf_dir: str):
-    """Two-field index over documents: body = text, title = first 5 tokens
-    (derived deterministically so DuckDB can reproduce the field)."""
-    key = f"mf-{_sf_key(sf_dir)}"
+    """Two-field index over documents: body = text, title = first 5 tokens,
+    plus a derived per-doc required-match column req_m = 1 + doc_id % 3 for
+    terms_set (all derived deterministically so DuckDB can reproduce them)."""
+    key = f"mf2-{_sf_key(sf_dir)}"
     if key in _ENGINES:
         return _ENGINES[key]
     import pyarrow.parquet as pq
@@ -74,10 +75,13 @@ def _multifield_index(sf_dir: str):
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
         titles = [" ".join((x or "").split()[:5]) for x in t["text"].to_pylist()]
         t = t.append_column("title", pa.array(titles, pa.string()))
+        req = pa.array([1 + int(d) % 3 for d in t["doc_id"].to_pylist()], pa.int64())
+        t = t.append_column("req_m", req)
         pq.write_table(t, marker + ".tmp")
         os.replace(marker + ".tmp", marker)
     idx_dir = f"/tmp/esray_indexes/{key}"
-    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang", "req_m"),
                      fields={"title": "title"})
     build_index(corpus, idx_dir, spec, file_pattern="docs.parquet")
     eng = QueryEngine(idx_dir, dtype="float64")
@@ -225,6 +229,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src_ = ("any_of", (("match", "spark join", 2, True),
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
+
+    def search_span_first(sf):
+        from elasticsearch_ray.search.query import SpanFirstQuery
+
+        return _doc_set(_documents_index(sf), SpanFirstQuery(term="spark", end=3))
+
+    def search_terms_set(sf):
+        from elasticsearch_ray.search.query import TermsSetQuery
+
+        q = TermsSetQuery(terms=("spark", "join", "merge"),
+                          minimum_should_match_field="req_m")
+        return _doc_set(_multifield_index(sf), q)
+
+    def search_distance_feature(sf):
+        from elasticsearch_ray.search.query import DistanceFeatureQuery
+
+        q = BoolQuery(
+            must=(MatchQuery("spark"),),
+            should=(DistanceFeatureQuery(field="n_chars", origin=1000.0,
+                                         pivot=500.0, boost=5.0),),
+        )
+        return _search_table(_documents_index(sf), q, k=10)
 
     def search_prefix_count(sf):
         eng = _documents_index(sf)
@@ -938,6 +964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "search_span_first": search_span_first,
+        "search_terms_set": search_terms_set,
+        "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
@@ -1012,10 +1041,13 @@ _LOSSY_DL = """
 
 
 def _bm25_sql(terms: list[str], k: int = 10, operator: str = "or", msm: int = 1,
-              doc_filter: str = "TRUE", round_to: int = 4) -> str:
+              doc_filter: str = "TRUE", round_to: int = 4,
+              extra_score: str = "0.0") -> str:
     """DuckDB BM25 mirroring the engine exactly: global stats over the whole
     corpus, SmallFloat-lossy dl, LegacyBM25 (k1+1) factor, exact avgdl;
-    candidates optionally restricted by doc_filter; (score desc, doc_id) order."""
+    candidates optionally restricted by doc_filter; (score desc, doc_id) order.
+    extra_score: per-doc additive score expression over `doc` columns (e.g. a
+    distance_feature proximity addend) — constant within a doc_id group."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     need = len(terms) if operator == "and" else msm
     return f"""
@@ -1038,7 +1070,8 @@ scores AS (
          sum( ln(1 + (s.n_docs - df_t.df + 0.5)/(df_t.df + 0.5))
               * ({BM25_K1} + 1) * tf_t.tf
               / (tf_t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dll
-                                        / (s.sum_dl / s.n_docs))) ) AS score,
+                                        / (s.sum_dl / s.n_docs))) )
+           + min({extra_score}) AS score,
          count(DISTINCT tf_t.term) AS matched
   FROM tf_t
   JOIN df_t USING (term)
@@ -1268,6 +1301,22 @@ def oracle_sql() -> dict[str, str]:
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
             ORDER BY doc_id
         """,
+        "search_span_first": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '^([^ ]+ ){0,2}spark( |$)')
+            ORDER BY doc_id
+        """,
+        "search_terms_set": """
+            SELECT doc_id FROM documents
+            WHERE (CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' ' || text || ' ' LIKE '% join %' THEN 1 ELSE 0 END
+                 + CASE WHEN ' ' || text || ' ' LIKE '% merge %' THEN 1 ELSE 0 END)
+                  >= 1 + doc_id % 3
+            ORDER BY doc_id
+        """,
+        "search_distance_feature": _bm25_sql(
+            ["spark"], k=10,
+            extra_score="5.0 * 500.0 / (500.0 + abs(doc.n_chars - 1000.0))"),
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
         "search_synonym_graph": """
             SELECT doc_id FROM documents

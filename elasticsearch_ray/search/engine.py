@@ -49,6 +49,7 @@ from elasticsearch_ray.search.query import (
     MatchPhraseQuery,
     MatchPhrasePrefixQuery,
     MatchQuery,
+    DistanceFeatureQuery,
     MoreLikeThisQuery,
     MultiMatchQuery,
     PrefixQuery,
@@ -56,11 +57,13 @@ from elasticsearch_ray.search.query import (
     Query,
     RangeFilter,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
     TermFilter,
     TermQuery,
     TermsLookupQuery,
     TermsQuery,
+    TermsSetQuery,
     WildcardQuery,
     intervals_terms,
     parse_query_string,
@@ -404,6 +407,49 @@ class PartitionSearcher:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             docs = np.unique(np.concatenate(d_arrays))
             return docs, np.full(len(docs), q.boost, dtype=dtype)  # constant-score rewrite
+        if isinstance(q, SpanFirstQuery):
+            i = self.r.lookup([q.term])[0]
+            if i < 0:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            from elasticsearch_ray.index.postings import decode_postings
+
+            d, tfs = decode_postings(self.r.blob(int(i)))
+            flat = np.asarray(self.r.positions_for(int(i)), dtype=np.int64)
+            doc_rep = np.repeat(d, tfs)
+            hit = flat < q.end
+            if not hit.any():
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs_u, freqs = np.unique(doc_rep[hit], return_counts=True)
+            sc = scorers.get(("__phrase__", q.term))
+            return docs_u.astype(np.int64), np.asarray(
+                sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, TermsSetQuery):
+            cursors = [c for t in q.terms if (c := self._cursor(t, scorers)) is not None]
+            if not cursors:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            d_arrays, s_arrays = [], []
+            for c in cursors:
+                d, t = c.decode_all()
+                nl = c.norms if c.norms is not None else r.norms
+                d_arrays.append(d)
+                s_arrays.append(c.scorer.score(t, nl[d]))
+            docs_u, scores_u, counts = combine_sum(d_arrays, s_arrays, np.float64)
+            need = self._doc_col(q.minimum_should_match_field)[docs_u]
+            keep = counts >= need
+            return docs_u[keep], (scores_u[keep] * q.boost).astype(dtype)
+        if isinstance(q, DistanceFeatureQuery):
+            col = self._doc_col(q.field)
+            v = col.astype("datetime64[us]").astype(np.int64).astype(np.float64) \
+                if col.dtype.kind == "M" else col.astype(np.float64)
+            if col.dtype.kind == "M":
+                origin = np.datetime64(q.origin).astype("datetime64[us]").astype(np.int64)
+                pivot = float(np.timedelta64(q.pivot).astype("timedelta64[us]").astype(np.int64)) \
+                    if not isinstance(q.pivot, (int, float)) else float(q.pivot)
+            else:
+                origin, pivot = float(q.origin), float(q.pivot)
+            s = q.boost * pivot / (pivot + np.abs(v - float(origin)))
+            docs = np.arange(r.n_docs, dtype=np.int64)
+            return docs, s.astype(dtype)
         if isinstance(q, CombinedFieldsQuery):
             from elasticsearch_ray.index.postings import decode_postings
 
@@ -1164,6 +1210,8 @@ class QueryEngine:
             elif isinstance(qq, IntervalsQuery):
                 reg(tuple(dict.fromkeys(intervals_terms(qq.source, self.analyzer_name))),
                     qq.boost)
+            elif isinstance(qq, SpanFirstQuery):
+                reg((qq.term,), qq.boost)
             elif isinstance(qq, CombinedFieldsQuery):
                 an2 = get_analyzer(self.analyzer_name)
                 weights = dict(zip(qq.fields, qq.weights)) if qq.weights else {}

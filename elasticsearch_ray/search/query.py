@@ -285,6 +285,40 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """span_first (SpanFirstQueryBuilder): the inner span_term must match
+    within the first ``end`` positions (position < end)."""
+
+    term: str
+    end: int = 3
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermsSetQuery(Query):
+    """terms_set (TermsSetQueryBuilder): docs matching at least
+    minimum_should_match_field's PER-DOC value of the given terms; scores sum
+    like a bool-should over the matching terms."""
+
+    terms: tuple = ()
+    minimum_should_match_field: str = ""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DistanceFeatureQuery(Query):
+    """distance_feature (DistanceFeatureQueryBuilder, numeric/date origin):
+    score = boost · pivot / (pivot + |value − origin|) — a decaying boost by
+    proximity on a doc column; docs missing the field don't match (here: all
+    docs carry the column)."""
+
+    field: str = ""
+    origin: object = None
+    pivot: object = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalsQuery(Query):
     """intervals query subset (IntervalsQueryBuilder /
     IntervalsSourceProvider.java): supported sources —
@@ -498,6 +532,10 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
             walk(parse_query_string(q.query, q.default_field, q.default_operator))
         elif isinstance(q, SpanNearQuery):
             out.extend(q.clauses)
+        elif isinstance(q, SpanFirstQuery):
+            out.append(q.term)
+        elif isinstance(q, TermsSetQuery):
+            out.extend(q.terms)
         elif isinstance(q, IntervalsQuery):
             out.extend(intervals_terms(q.source, default_analyzer))
         elif isinstance(q, BoolQuery):

@@ -11,6 +11,7 @@ from elasticsearch_ray.index.spec import IndexSpec
 from elasticsearch_ray.search.query import (
     IntervalsQuery,
     MatchPhraseQuery,
+    SpanFirstQuery,
     SpanNearQuery,
 )
 
@@ -103,6 +104,27 @@ def test_intervals_match_and_any_of(span_engine):
     # all_of over term leaves == span_near
     a = _hits(eng, IntervalsQuery(source=("all_of", ("spark", "join"), 2, True)))
     assert a == got
+
+
+def test_span_first(span_engine):
+    """span_first: inner span_term must end within the first `end` positions
+    (SpanFirstQueryBuilder.java semantics: match.end <= end; a single term
+    span at position p has end p+1, so p < end)."""
+    eng, docs = span_engine
+    for term, end in [("spark", 1), ("spark", 3), ("merge", 5), ("the", 2)]:
+        got = _hits(eng, SpanFirstQuery(term=term, end=end))
+        want = {d for d, toks in docs.items() if term in toks[:end]}
+        assert got == want, (term, end)
+    assert _hits(eng, SpanFirstQuery(term="spark", end=5))
+
+
+def test_span_first_scores_positive_sorted(span_engine):
+    eng, _docs = span_engine
+    t = eng.search(SpanFirstQuery(term="spark", end=4), k=10, mode="exhaustive",
+                   fetch=("doc_id",))
+    scores = t["score"].to_pylist()
+    assert scores and all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_span_scoring_ranked(span_engine):
