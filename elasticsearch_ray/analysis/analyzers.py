@@ -20,7 +20,7 @@ from collections.abc import Callable
 import numpy as np
 
 from elasticsearch_ray.analysis.stopwords import ENGLISH_STOP_WORDS
-from elasticsearch_ray.analysis.tokenizer import MAX_TOKEN_LENGTH, tokenize
+from elasticsearch_ray.analysis.tokenizer import MAX_TOKEN_LENGTH, TOKEN_RE, tokenize
 
 Analysis = tuple[list[str], list[int]]  # (terms, positions)
 
@@ -57,6 +57,57 @@ class StandardAnalyzer(Analyzer):
             terms.append(t)
             positions.append(pos)
         return terms, positions
+
+    def analyze_block(self, texts: list[str]):
+        """Batched tokenize+lowercase over a whole block of docs — the build
+        pipeline's hot path. Returns ``(flat_terms: pa.StringArray, lens:
+        np.int64[n_docs])`` with terms in doc order, or None when this config
+        can't batch (stopwords need per-token position gaps).
+
+        Byte-identical to per-doc ``__call__``: lowercase runs vectorized via
+        Arrow's utf8_lower, whose only divergence from Python str.lower over
+        all of Unicode is U+0130 ('İ' full-lowers to 'i'+U+0307, simple-lowers
+        to 'i'); docs containing it pre-lower in Python, on which utf8_lower
+        is then idempotent (verified exhaustively in tests)."""
+        if self.stopwords:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        findall = TOKEN_RE.findall
+        mtl = self.max_token_length
+        flat: list[str] = []
+        ext = flat.extend
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = findall(text)
+            if "İ" in text:
+                toks = [t.lower() for t in toks]
+            lens[i] = len(toks)
+            ext(toks)
+        arr = pa.array(flat, pa.string())
+        # overlong-token splitting (rare) checked vectorized, not per doc;
+        # only the offending tokens are rewritten (tokenize() splits each
+        # overlong token into consecutive mtl-sized chunks in place)
+        if len(arr):
+            tok_lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+            bad = np.flatnonzero(tok_lens > mtl)
+            if len(bad):
+                cum = np.cumsum(lens)
+                out: list[str] = []
+                oext = out.extend
+                prev = 0
+                for k in bad:
+                    k = int(k)
+                    oext(flat[prev:k])
+                    t = flat[k]
+                    chunks = [t[j : j + mtl] for j in range(0, len(t), mtl)]
+                    oext(chunks)
+                    lens[int(np.searchsorted(cum, k, side="right"))] += len(chunks) - 1
+                    prev = k + 1
+                oext(flat[prev:])
+                arr = pa.array(out, pa.string())
+        return pc.utf8_lower(arr), lens
 
 
 class SimpleAnalyzer(Analyzer):

@@ -205,27 +205,42 @@ class TokenizeShard:
             analyzers = [self.lang_analyzers.get(lg, self.analyzer) for lg in langs]
         else:
             analyzers = None
-        all_terms: list[str] = []
-        locs_l: list[np.ndarray] = []
-        poss_l: list[np.ndarray] = []
-        doclens = np.zeros(n_docs, dtype=np.int64)
         field_doclens = {f: np.zeros(n_docs, dtype=np.int64) for f in extra_fields}
-        field_texts = {f: tbl[c].to_pylist() for f, c in extra_fields.items()}
-        for i, text in enumerate(texts):
-            terms, pos = (analyzers[i] if analyzers else self.analyzer)(text)
-            doclens[i] = len(terms)
-            if terms:
-                all_terms.extend(terms)
-                locs_l.append(np.full(len(terms), local_base + i, dtype=np.int64))
-                poss_l.append(np.asarray(pos, dtype=np.int32))
-            for f in extra_fields:
-                fan = self.field_analyzers.get(f, self.analyzer)
-                fterms, fpos = fan(field_texts[f][i] or "")
-                field_doclens[f][i] = len(fterms)
-                if fterms:
-                    all_terms.extend(f + FIELD_SEP + t for t in fterms)
-                    locs_l.append(np.full(len(fterms), local_base + i, dtype=np.int64))
-                    poss_l.append(np.asarray(fpos, dtype=np.int32))
+        terms_arr = None  # batched path: flat pa.StringArray of analyzed terms
+        blk = None
+        if analyzers is None and not extra_fields:
+            blk = getattr(self.analyzer, "analyze_block", lambda _t: None)(texts)
+        if blk is not None:
+            # vectorized hot path (default `standard` config): one Arrow
+            # lowercase over the whole shard; locs/positions by repeat/arange
+            terms_arr, doclens = blk
+            total = int(doclens.sum())
+            locs = np.repeat(local_base + np.arange(n_docs, dtype=np.int64), doclens)
+            cum = np.cumsum(doclens) - doclens
+            poss = (np.arange(total, dtype=np.int64) - np.repeat(cum, doclens)).astype(
+                np.int32
+            )
+        else:
+            all_terms: list[str] = []
+            locs_l: list[np.ndarray] = []
+            poss_l: list[np.ndarray] = []
+            doclens = np.zeros(n_docs, dtype=np.int64)
+            field_texts = {f: tbl[c].to_pylist() for f, c in extra_fields.items()}
+            for i, text in enumerate(texts):
+                terms, pos = (analyzers[i] if analyzers else self.analyzer)(text)
+                doclens[i] = len(terms)
+                if terms:
+                    all_terms.extend(terms)
+                    locs_l.append(np.full(len(terms), local_base + i, dtype=np.int64))
+                    poss_l.append(np.asarray(pos, dtype=np.int32))
+                for f in extra_fields:
+                    fan = self.field_analyzers.get(f, self.analyzer)
+                    fterms, fpos = fan(field_texts[f][i] or "")
+                    field_doclens[f][i] = len(fterms)
+                    if fterms:
+                        all_terms.extend(f + FIELD_SEP + t for t in fterms)
+                        locs_l.append(np.full(len(fterms), local_base + i, dtype=np.int64))
+                        poss_l.append(np.asarray(fpos, dtype=np.int32))
         norms = int_to_byte4(doclens)
         field_norms = {f: int_to_byte4(dl) for f, dl in field_doclens.items()}
 
@@ -245,11 +260,16 @@ class TokenizeShard:
         os.makedirs(ddir, exist_ok=True)
         atomic_write_table(pa.table(dcols), os.path.join(ddir, f"docs-{local_base:012d}.parquet"))
 
-        if not all_terms:
-            return self._empty()
-        locs = np.concatenate(locs_l)
-        poss = np.concatenate(poss_l)
-        codes_arr = pa.array(all_terms, pa.string()).dictionary_encode()
+        if terms_arr is not None:
+            if len(terms_arr) == 0:
+                return self._empty()
+            codes_arr = terms_arr.dictionary_encode()
+        else:
+            if not all_terms:
+                return self._empty()
+            locs = np.concatenate(locs_l)
+            poss = np.concatenate(poss_l)
+            codes_arr = pa.array(all_terms, pa.string()).dictionary_encode()
         codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = codes_arr.dictionary
 
