@@ -154,6 +154,8 @@ class SegmentReader:
         self.postings = np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else b""
         self._docs_cols: dict[tuple, pa.Table] = {}
         self._field_norms: dict[str, np.ndarray] = {}
+        self._lk: dict[str, int] = {}  # term→row memo (vocab is immutable)
+        self._terms_np_cache: np.ndarray | None = None
 
     def norms_for(self, field: str | None) -> np.ndarray:
         """Per-field norm bytes (default field when None) — extra fields'
@@ -169,11 +171,29 @@ class SegmentReader:
         return a
 
     def lookup(self, terms: list[str]) -> np.ndarray:
-        """Row index per term in the sorted term dict, -1 when absent."""
+        """Row index per term in the sorted term dict, -1 when absent.
+
+        Binary search over the (sorted) dict with a per-term memo — the
+        previous pa.compute.index_in rebuilt a hash set over the WHOLE
+        vocabulary on every call, which showed up as ~10% of warm query
+        latency in per-partition profiles."""
         if not terms:
             return np.empty(0, np.int64)
-        idx = pa.compute.index_in(pa.array(terms, self._terms.type), value_set=self._terms)
-        return idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        lk = self._lk
+        missing = [t for t in terms if t not in lk]
+        if missing:
+            tn = self._terms_np_cache
+            if tn is None:
+                tn = self._terms_np_cache = self._terms.to_numpy(zero_copy_only=False)
+            n = len(tn)
+            pos = np.searchsorted(tn, np.array(missing, dtype=object))
+            for t, p in zip(missing, pos):
+                p = int(p)
+                lk[t] = p if p < n and tn[p] == t else -1
+            if len(lk) > 1_000_000:  # unbounded-vocab safety valve
+                self._lk = dict(zip(terms, (lk[t] for t in terms)))
+                lk = self._lk
+        return np.fromiter((lk[t] for t in terms), np.int64, count=len(terms))
 
     def blob(self, row: int) -> memoryview:
         o, ln = int(self.off[row]), int(self.len[row])
