@@ -55,6 +55,25 @@ def _documents_index(sf_dir: str):
     return eng
 
 
+def _synonym_index(sf_dir: str):
+    """Documents index built with INDEX-TIME synonyms (equivalence injection
+    + contraction), so unseen query terms resolve through stored postings."""
+    key = f"syn-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     index_synonyms=("spark, flink", "merge sort => mergesort"))
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _multifield_index(sf_dir: str):
     """Two-field index over documents: body = text, title = first 5 tokens,
     plus a derived per-doc required-match column req_m = 1 + doc_id % 3 for
@@ -229,6 +248,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src_ = ("any_of", (("match", "spark join", 2, True),
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
+
+    def search_index_synonym(sf):
+        # 'flink' never occurs in the corpus — it resolves purely through the
+        # index-time injected postings at spark's positions
+        return _doc_set(_synonym_index(sf), TermQuery("flink"))
+
+    def search_index_synonym_contraction(sf):
+        return _doc_set(_synonym_index(sf), TermQuery("mergesort"))
 
     def search_span_first(sf):
         from elasticsearch_ray.search.query import SpanFirstQuery
@@ -964,6 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "search_index_synonym": search_index_synonym,
+        "search_index_synonym_contraction": search_index_synonym_contraction,
         "search_span_first": search_span_first,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
@@ -1299,6 +1328,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
+            ORDER BY doc_id
+        """,
+        "search_index_synonym": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+            ORDER BY doc_id
+        """,
+        "search_index_synonym_contraction": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% merge sort %'
             ORDER BY doc_id
         """,
         "search_span_first": """

@@ -87,3 +87,76 @@ def synonym_graph_expand(text: str, rules: list[str], analyzer: str = "standard"
     if len(clauses) == 1:
         return clauses[0]
     return BoolQuery(must=tuple(clauses))
+
+
+class IndexTimeSynonyms:
+    """Index-time ``synonym`` token filter (SynonymTokenFilterFactory /
+    Lucene SynonymFilter in flatten mode — CommonAnalysisPlugin.java:226-335).
+
+    Wraps a base analyzer; applied once per actor in TokenizeShard. Semantics
+    (documented subset of Lucene flatten):
+      - equivalence group "a, b": every occurrence of one variant injects the
+        others at the SAME position (posInc=0) — phrases through the span
+        keep working for every variant.
+      - directed "x => y" / contraction "new york => ny": the source span is
+        consumed and each right-hand variant is emitted at the span's start
+        position.
+      - a multi-token variant flattens: its tokens occupy consecutive
+        positions from the match start (Lucene's 'sausage' flattening —
+        the reason the reference recommends synonym_graph at query time).
+      - norms: injected tokens count toward doclen (the discountOverlaps=
+        false analog; score parity with the reference's default would need
+        posInc plumbing the flat (terms, positions) interface doesn't carry).
+    """
+
+    name = "index_synonyms"
+
+    def __init__(self, base, rules: list[str], analyzer: str = "standard"):
+        self.base = base
+        self.sources: dict[tuple, tuple[str, list[tuple]]] = {}
+        for r in parse_synonym_rules(list(rules), analyzer):
+            if r["match_only"] is not None:
+                for src in r["match_only"]:
+                    if src:
+                        self.sources[src] = ("replace", list(r["variants"]))
+            else:
+                for src in r["variants"]:
+                    if src:
+                        others = [v for v in r["variants"] if v != src]
+                        if others:
+                            self.sources[src] = ("expand", others)
+        self.max_len = max((len(s) for s in self.sources), default=1)
+
+    def __call__(self, text: str):
+        terms, pos = self.base(text)
+        if not terms or not self.sources:
+            return terms, pos
+        srcs = self.sources
+        out_t: list[str] = []
+        out_p: list[int] = []
+        n = len(terms)
+        i = 0
+        while i < n:
+            hit = None
+            for L in range(min(self.max_len, n - i), 0, -1):
+                span = tuple(terms[i : i + L])
+                ent = srcs.get(span)
+                if ent is not None:
+                    hit = (L, ent)
+                    break
+            if hit is None:
+                out_t.append(terms[i])
+                out_p.append(pos[i])
+                i += 1
+                continue
+            L, (kind, variants) = hit
+            p0 = pos[i]
+            if kind == "expand":  # originals stay, variants stack on top
+                out_t.extend(terms[i : i + L])
+                out_p.extend(pos[i : i + L])
+            for v in variants:
+                for j, tok in enumerate(v):
+                    out_t.append(tok)
+                    out_p.append(p0 + j)
+            i += L
+        return out_t, out_p

@@ -156,6 +156,13 @@ class TokenizeShard:
         self.index_dir = index_dir
         self.spec = IndexSpec.from_dict(spec_dict)
         self.analyzer = get_analyzer(self.spec.analyzer)
+        if self.spec.index_synonyms:
+            from elasticsearch_ray.analysis.synonyms import IndexTimeSynonyms
+
+            # rule parsing/compilation once per actor (actor-pool discipline)
+            self.analyzer = IndexTimeSynonyms(
+                self.analyzer, list(self.spec.index_synonyms), self.spec.analyzer
+            )
         # per-language analyzer resources load ONCE per actor/worker — the
         # stateful actor-pool analyzer dispatch keyed by the lang column
         self.lang_analyzers = {

@@ -50,6 +50,10 @@ class IndexSpec:
     field_analyzers: dict | None = None
     doc_columns: tuple = ("url", "warc_ts", "lang")  # carried into docs.parquet
     escaped_tags: tuple = ()
+    # index-time synonym rules (Solr syntax; SynonymTokenFilterFactory —
+    # applied to the default text field's analyzer output at build time;
+    # see analysis/synonyms.IndexTimeSynonyms for the flatten semantics)
+    index_synonyms: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
     # term-keyed shuffle (SURVEY §4 skew row).
@@ -67,6 +71,7 @@ class IndexSpec:
         d = asdict(self)
         d["escaped_tags"] = list(d["escaped_tags"])
         d["doc_columns"] = list(d["doc_columns"])
+        d["index_synonyms"] = list(d["index_synonyms"])
         return d
 
     @classmethod
@@ -74,4 +79,5 @@ class IndexSpec:
         d = dict(d)
         d["escaped_tags"] = tuple(d.get("escaped_tags", ()))
         d["doc_columns"] = tuple(d.get("doc_columns", ("url", "warc_ts", "lang")))
+        d["index_synonyms"] = tuple(d.get("index_synonyms", ()))
         return cls(**d)
