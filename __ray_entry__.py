@@ -306,6 +306,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = out["sum_value"].round(6)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_time_series(sf):
+        from elasticsearch_ray.ops.aggs import time_series_agg
+
+        out = time_series_agg(_ds(sf, "events"), ["user_id", "event_type"],
+                              interval="day", value_col="value")
+        out["sum_value"] = out["sum_value"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_diversified_sampler(sf):
+        from elasticsearch_ray.ops.aggs import diversified_sampler_agg
+
+        capped = diversified_sampler_agg(_ds(sf, "events"), "event_type", 3,
+                                         sort_col="event_id")
+        df = capped.to_pandas()[["event_id", "event_type"]]
+        df = df.sort_values("event_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def agg_range_orders(sf):
         from elasticsearch_ray.ops.aggs import range_agg
 
@@ -1006,6 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_terms_lang": agg_terms_lang,
         "agg_stats_returnflag": agg_stats_returnflag,
         "agg_date_histogram_events": agg_date_histogram_events,
+        "agg_time_series": agg_time_series,
+        "agg_diversified_sampler": agg_diversified_sampler,
         "agg_range_orders": agg_range_orders,
         "agg_cardinality_exact": agg_cardinality_exact,
         "agg_percentiles_quantity": agg_percentiles_quantity,
@@ -1466,6 +1485,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "agg_time_series": """
+            SELECT user_id, event_type, date_trunc('day', ts) AS ts_bucket,
+                   count(*)::BIGINT AS doc_count, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2, 3 ORDER BY user_id, event_type, ts_bucket
+        """,
+        "agg_diversified_sampler": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+                       AS rn
+              FROM events
+            ) WHERE rn <= 3 ORDER BY event_id
         """,
         "agg_range_orders": """
             SELECT range_key, count(*)::BIGINT AS doc_count FROM (

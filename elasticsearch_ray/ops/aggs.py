@@ -714,6 +714,32 @@ def diversified_sampler_agg(ds: Dataset, key: str, max_docs_per_value: int,
     return ds.groupby(key).map_groups(cap, batch_format="pandas")
 
 
+def time_series_agg(ds: Dataset, dimensions: list[str], ts_col: str = "ts",
+                    interval: str | None = None,
+                    value_col: str | None = None) -> pd.DataFrame:
+    """time_series bucket agg (TimeSeriesAggregationBuilder): one bucket per
+    unique dimension combination — the _tsid analog of a TSDB index — with
+    doc_count (+ optional value sum); with ``interval``, each series is
+    downsampled into truncate-to-interval sub-buckets (the reference's
+    downsampling rollup shape). One map-side-combined groupby either way."""
+    keys = list(dimensions)
+    if interval is not None:
+        unit = {"day": "D", "hour": "h", "month": "M", "minute": "m"}[interval]
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            b = ts.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+            return batch.append_column("ts_bucket", pa.array(b))
+
+        ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+        keys = keys + ["ts_bucket"]
+    aggs = [Count(alias_name="doc_count")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    out = ds.groupby(keys).aggregate(*aggs).to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def variable_width_histogram(ds: Dataset, col: str, buckets: int = 10,
                              sample_n: int = 4096, seed: int = 5) -> pd.DataFrame:
     """variable_width_histogram (VariableWidthHistogramAggregationBuilder):

@@ -489,6 +489,35 @@ def test_diversified_sampler(ray_session):
     assert sorted(out[out["k"] == "a"]["i"].tolist()) == [0, 1]
 
 
+def test_time_series_agg(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import time_series_agg
+
+    df = pd.DataFrame(
+        {
+            "host": ["a", "a", "a", "b", "b"],
+            "metric": ["cpu", "cpu", "mem", "cpu", "cpu"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 03:00", "2024-01-01 09:00", "2024-01-01 04:00",
+                 "2024-01-02 01:00", "2024-01-02 02:00"]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    # tsid-style buckets: one per (host, metric)
+    out = time_series_agg(rd.from_pandas(df), ["host", "metric"], value_col="value")
+    assert out[["host", "metric", "doc_count"]].values.tolist() == [
+        ["a", "cpu", 2], ["a", "mem", 1], ["b", "cpu", 2]]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 24.0]
+    # daily downsampling within each series
+    out2 = time_series_agg(rd.from_pandas(df), ["host"], interval="day",
+                           value_col="value")
+    assert out2["doc_count"].tolist() == [3, 2]
+    assert out2["sum_value"].tolist() == [7.0, 24.0]
+
+
 def test_variable_width_histogram(ray_session):
     import numpy as np
     import pandas as pd
