@@ -262,6 +262,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _doc_set(_documents_index(sf), SpanFirstQuery(term="spark", end=3))
 
+    def search_span_or(sf):
+        from elasticsearch_ray.search.query import SpanOrQuery
+
+        return _doc_set(_documents_index(sf), SpanOrQuery(clauses=("spark", "window")))
+
+    def search_span_not(sf):
+        from elasticsearch_ray.search.query import SpanNotQuery
+
+        return _doc_set(_documents_index(sf),
+                        SpanNotQuery(include="spark", exclude="join", post=1))
+
+    def search_rank_feature(sf):
+        from elasticsearch_ray.search.query import RankFeatureQuery
+
+        q = BoolQuery(
+            must=(MatchQuery("spark"),),
+            should=(RankFeatureQuery(field="n_chars", function="saturation",
+                                     pivot=800.0, boost=3.0),),
+        )
+        return _search_table(_documents_index(sf), q, k=10)
+
     def search_terms_set(sf):
         from elasticsearch_ray.search.query import TermsSetQuery
 
@@ -1011,6 +1032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index_synonym": search_index_synonym,
         "search_index_synonym_contraction": search_index_synonym_contraction,
         "search_span_first": search_span_first,
+        "search_span_or": search_span_or,
+        "search_span_not": search_span_not,
+        "search_rank_feature": search_rank_feature,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -1364,6 +1388,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(text, '^([^ ]+ ){0,2}spark( |$)')
             ORDER BY doc_id
         """,
+        "search_span_or": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+               OR ' ' || text || ' ' LIKE '% window %'
+            ORDER BY doc_id
+        """,
+        "search_span_not": """
+            WITH tokpos AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS p
+              FROM documents
+            )
+            SELECT DISTINCT doc_id FROM tokpos a
+            WHERE a.tok = 'spark' AND NOT EXISTS (
+              SELECT 1 FROM tokpos b
+              WHERE b.doc_id = a.doc_id AND b.tok = 'join'
+                AND b.p BETWEEN a.p AND a.p + 1)
+            ORDER BY doc_id
+        """,
+        "search_rank_feature": _bm25_sql(
+            ["spark"], k=10,
+            extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
         "search_terms_set": """
             SELECT doc_id FROM documents
             WHERE (CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END

@@ -57,8 +57,11 @@ from elasticsearch_ray.search.query import (
     Query,
     RangeFilter,
     RegexpQuery,
+    RankFeatureQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermFilter,
     TermQuery,
     TermsLookupQuery,
@@ -423,6 +426,66 @@ class PartitionSearcher:
             sc = scorers.get(("__phrase__", q.term))
             return docs_u.astype(np.int64), np.asarray(
                 sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, SpanOrQuery):
+            from elasticsearch_ray.index.postings import decode_postings
+
+            d_arrays, t_arrays = [], []
+            for t in q.clauses:
+                i = self.r.lookup([t])[0]
+                if i < 0:
+                    continue
+                d, tfs = decode_postings(self.r.blob(int(i)))
+                d_arrays.append(d)
+                t_arrays.append(tfs)
+            if not d_arrays:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            alld = np.concatenate(d_arrays)
+            allt = np.concatenate(t_arrays).astype(np.int64)
+            docs_u, inv = np.unique(alld, return_inverse=True)
+            freqs = np.bincount(inv, weights=allt).astype(np.int64)
+            sc = scorers.get(("__phrase__",) + tuple(dict.fromkeys(q.clauses)))
+            return docs_u.astype(np.int64), np.asarray(
+                sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, SpanNotQuery):
+            from elasticsearch_ray.index.postings import decode_postings
+
+            i = self.r.lookup([q.include])[0]
+            if i < 0:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            d_inc, tf_inc = decode_postings(self.r.blob(int(i)))
+            pos_inc = np.asarray(self.r.positions_for(int(i)), dtype=np.int64)
+            doc_inc = np.repeat(d_inc, tf_inc)
+            j = self.r.lookup([q.exclude])[0]
+            if j < 0:
+                keep = np.ones(len(pos_inc), dtype=bool)
+            else:
+                d_exc, tf_exc = decode_postings(self.r.blob(int(j)))
+                pos_exc = np.asarray(self.r.positions_for(int(j)), dtype=np.int64)
+                doc_exc = np.repeat(d_exc, tf_exc)
+                # encode (doc, pos) pairs on one axis; an include occurrence
+                # dies if any exclude position falls in [p - pre, p + post]
+                kill = np.zeros(len(pos_inc), dtype=bool)
+                enc_exc = doc_exc * (1 << 32) + pos_exc
+                for off in range(-int(q.pre), int(q.post) + 1):
+                    kill |= np.isin(doc_inc * (1 << 32) + (pos_inc + off), enc_exc)
+                keep = ~kill
+            if not keep.any():
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs_u, freqs = np.unique(doc_inc[keep], return_counts=True)
+            sc = scorers.get(("__phrase__", q.include))
+            return docs_u.astype(np.int64), np.asarray(
+                sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, RankFeatureQuery):
+            x = self._doc_col(q.field).astype(np.float64)
+            if q.function == "log":
+                s = np.log(q.scaling_factor + x)
+            elif q.function == "sigmoid":
+                xe = np.power(x, q.exponent)
+                s = xe / (xe + q.pivot ** q.exponent)
+            else:  # saturation
+                s = x / (x + q.pivot)
+            docs = np.arange(r.n_docs, dtype=np.int64)
+            return docs, (q.boost * s).astype(dtype)
         if isinstance(q, TermsSetQuery):
             cursors = [c for t in q.terms if (c := self._cursor(t, scorers)) is not None]
             if not cursors:
@@ -1212,6 +1275,10 @@ class QueryEngine:
                     qq.boost)
             elif isinstance(qq, SpanFirstQuery):
                 reg((qq.term,), qq.boost)
+            elif isinstance(qq, SpanOrQuery):
+                reg(tuple(dict.fromkeys(qq.clauses)), qq.boost)
+            elif isinstance(qq, SpanNotQuery):
+                reg((qq.include,), qq.boost)
             elif isinstance(qq, CombinedFieldsQuery):
                 an2 = get_analyzer(self.analyzer_name)
                 weights = dict(zip(qq.fields, qq.weights)) if qq.weights else {}

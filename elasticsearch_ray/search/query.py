@@ -295,6 +295,47 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """span_or (SpanOrQueryBuilder) over span_term clauses: spans are the
+    union of the clause terms' occurrences; per-doc freq = total occurrence
+    count, scored with the summed idf of the clause terms (SpanWeight's
+    buildSimWeight over all clause terms)."""
+
+    clauses: tuple = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """span_not (SpanNotQueryBuilder) with span_term include/exclude: an
+    include occurrence at position p is dropped when an exclude occurrence
+    lies within [p - pre, p + post]; freq = surviving occurrences, scored
+    with the include term's idf."""
+
+    include: str = ""
+    exclude: str = ""
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RankFeatureQuery(Query):
+    """rank_feature (RankFeatureQueryBuilder) over a numeric doc column:
+    saturation  S = x / (x + pivot)
+    log         S = ln(scaling_factor + x)
+    sigmoid     S = x^exp / (x^exp + pivot^exp)
+    score = boost * S; matches every doc carrying the field (here: all)."""
+
+    field: str = ""
+    function: str = "saturation"  # saturation | log | sigmoid
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermsSetQuery(Query):
     """terms_set (TermsSetQueryBuilder): docs matching at least
     minimum_should_match_field's PER-DOC value of the given terms; scores sum
@@ -534,6 +575,10 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
             out.extend(q.clauses)
         elif isinstance(q, SpanFirstQuery):
             out.append(q.term)
+        elif isinstance(q, SpanOrQuery):
+            out.extend(q.clauses)
+        elif isinstance(q, SpanNotQuery):
+            out.extend((q.include, q.exclude))
         elif isinstance(q, TermsSetQuery):
             out.extend(q.terms)
         elif isinstance(q, IntervalsQuery):

@@ -13,6 +13,8 @@ from elasticsearch_ray.search.query import (
     MatchPhraseQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -125,6 +127,37 @@ def test_span_first_scores_positive_sorted(span_engine):
     scores = t["score"].to_pylist()
     assert scores and all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_span_or(span_engine):
+    eng, docs = span_engine
+    got = _hits(eng, SpanOrQuery(clauses=("spark", "window")))
+    want = {d for d, toks in docs.items() if "spark" in toks or "window" in toks}
+    assert got == want and got
+    # per-doc freq = total occurrences across clauses → scores positive
+    t = eng.search(SpanOrQuery(clauses=("spark", "window")), k=5,
+                   mode="exhaustive", fetch=("doc_id",))
+    assert all(s > 0 for s in t["score"].to_pylist())
+
+
+def test_span_not(span_engine):
+    eng, docs = span_engine
+
+    def survives(toks, pre, post):
+        inc = [i for i, t in enumerate(toks) if t == "spark"]
+        exc = [i for i, t in enumerate(toks) if t == "join"]
+        return any(all(not (p - pre <= q <= p + post) for q in exc) for p in inc)
+
+    for pre, post in [(0, 1), (1, 1), (0, 3)]:
+        got = _hits(eng, SpanNotQuery(include="spark", exclude="join",
+                                      pre=pre, post=post))
+        want = {d for d, toks in docs.items() if survives(toks, pre, post)}
+        assert got == want, (pre, post)
+    # exclude term absent → identical to plain include-term doc set
+    from elasticsearch_ray.search.query import TermQuery
+
+    assert _hits(eng, SpanNotQuery(include="spark", exclude="zzznope",
+                                   post=2)) == _hits(eng, TermQuery("spark"))
 
 
 def test_span_scoring_ranked(span_engine):

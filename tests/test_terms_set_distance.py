@@ -97,6 +97,29 @@ def test_distance_feature_scores(tsd_engine):
         assert abs(r["score"] - want) < 1e-12, r["doc_id"]
 
 
+def test_rank_feature_functions(tsd_engine):
+    import math
+
+    from elasticsearch_ray.search.query import RankFeatureQuery
+
+    eng, _docs, meta = tsd_engine
+    cases = [
+        (RankFeatureQuery(field="n_chars", function="saturation", pivot=800.0,
+                          boost=2.0),
+         lambda x: 2.0 * x / (x + 800.0)),
+        (RankFeatureQuery(field="n_chars", function="log", scaling_factor=3.0),
+         lambda x: math.log(3.0 + x)),
+        (RankFeatureQuery(field="n_chars", function="sigmoid", pivot=700.0,
+                          exponent=2.0),
+         lambda x: x**2.0 / (x**2.0 + 700.0**2.0)),
+    ]
+    for q, f in cases:
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        assert res.num_rows == len(meta)
+        for r in res.to_pylist()[:200]:
+            assert abs(r["score"] - f(float(meta[r["doc_id"]][0]))) < 1e-9
+
+
 def test_distance_feature_in_bool_should(tsd_engine):
     """The canonical usage: proximity boost added to a match's BM25 score."""
     eng, docs, meta = tsd_engine
