@@ -273,6 +273,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _doc_set(_documents_index(sf),
                         SpanNotQuery(include="spark", exclude="join", post=1))
 
+    def search_pinned(sf):
+        from elasticsearch_ray.search.query import PinnedQuery
+
+        q = PinnedQuery(ids=(17, 5), organic=MatchQuery("spark join"))
+        return _search_table(_documents_index(sf), q, k=10)
+
     def search_rank_feature(sf):
         from elasticsearch_ray.search.query import RankFeatureQuery
 
@@ -1034,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_first": search_span_first,
         "search_span_or": search_span_or,
         "search_span_not": search_span_not,
+        "search_pinned": search_pinned,
         "search_rank_feature": search_rank_feature,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
@@ -1114,14 +1121,27 @@ _LOSSY_DL = """
 
 def _bm25_sql(terms: list[str], k: int = 10, operator: str = "or", msm: int = 1,
               doc_filter: str = "TRUE", round_to: int = 4,
-              extra_score: str = "0.0") -> str:
+              extra_score: str = "0.0", pinned: tuple = ()) -> str:
     """DuckDB BM25 mirroring the engine exactly: global stats over the whole
     corpus, SmallFloat-lossy dl, LegacyBM25 (k1+1) factor, exact avgdl;
     candidates optionally restricted by doc_filter; (score desc, doc_id) order.
     extra_score: per-doc additive score expression over `doc` columns (e.g. a
-    distance_feature proximity addend) — constant within a doc_id group."""
+    distance_feature proximity addend) — constant within a doc_id group.
+    pinned: doc ids ranked above every organic hit on the engine's exact
+    2^25 − 4i descending ladder (PinnedQueryBuilder analog)."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     need = len(terms) if operator == "and" else msm
+    if pinned:
+        pin_vals = ", ".join(
+            f"({int(d)}, {33554432.0 - 4.0 * i!r})" for i, d in enumerate(pinned)
+        )
+        pin_ids = ", ".join(str(int(d)) for d in pinned)
+        final_src = f"""(
+  SELECT doc_id, score FROM scores WHERE doc_id NOT IN ({pin_ids})
+  UNION ALL SELECT * FROM (VALUES {pin_vals}) AS pin(doc_id, score)
+)"""
+    else:
+        final_src = "scores"
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1156,7 +1176,7 @@ scores AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY round(score, {round_to}) DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, {round_to}) AS score
-FROM scores
+FROM {final_src}
 ORDER BY rank
 LIMIT {k}
 """
@@ -1407,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
                 AND b.p BETWEEN a.p AND a.p + 1)
             ORDER BY doc_id
         """,
+        "search_pinned": _bm25_sql(["spark", "join"], k=10, pinned=(17, 5)),
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),

@@ -57,6 +57,7 @@ from elasticsearch_ray.search.query import (
     Query,
     RangeFilter,
     RegexpQuery,
+    PinnedQuery,
     RankFeatureQuery,
     SpanFirstQuery,
     SpanNearQuery,
@@ -475,6 +476,31 @@ class PartitionSearcher:
             sc = scorers.get(("__phrase__", q.include))
             return docs_u.astype(np.int64), np.asarray(
                 sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, PinnedQuery):
+            gids = self._doc_col("doc_id")
+            pos = np.searchsorted(gids, np.asarray(q.ids, dtype=np.int64))
+            pin_loc, pin_sc = [], []
+            for rank_i, (p, gid) in enumerate(zip(pos, q.ids)):
+                if p < len(gids) and gids[p] == gid:
+                    pin_loc.append(int(p))
+                    # descending ladder far above any BM25 score; 2^25 − 4i
+                    # is exactly representable in float32 AND float64 (ulp at
+                    # 2^25 is 4 in float32), so the pinned order survives the
+                    # dtype narrowing — 1e30−i would collapse to equal scores
+                    pin_sc.append(33554432.0 - 4.0 * rank_i)
+            if q.organic is not None:
+                od, osc = self._eval_scoring(q.organic, scorers, None, "exhaustive")
+            else:
+                od = np.empty(0, np.int64)
+                osc = np.empty(0, dtype)
+            if pin_loc:
+                keep = ~np.isin(od, np.asarray(pin_loc, dtype=np.int64))
+                od, osc = od[keep], osc[keep]
+            docs = np.concatenate([np.asarray(pin_loc, dtype=np.int64), od])
+            sc = np.concatenate([np.asarray(pin_sc, dtype=np.float64),
+                                 np.asarray(osc, np.float64)])
+            order = np.argsort(docs, kind="stable")
+            return docs[order], sc[order].astype(dtype)
         if isinstance(q, RankFeatureQuery):
             x = self._doc_col(q.field).astype(np.float64)
             if q.function == "log":
@@ -1277,6 +1303,9 @@ class QueryEngine:
                 reg((qq.term,), qq.boost)
             elif isinstance(qq, SpanOrQuery):
                 reg(tuple(dict.fromkeys(qq.clauses)), qq.boost)
+            elif isinstance(qq, PinnedQuery):
+                if qq.organic is not None:
+                    add_phrase(qq.organic)
             elif isinstance(qq, SpanNotQuery):
                 reg((qq.include,), qq.boost)
             elif isinstance(qq, CombinedFieldsQuery):

@@ -320,6 +320,17 @@ class SpanNotQuery(Query):
 
 
 @dataclass(frozen=True)
+class PinnedQuery(Query):
+    """pinned (x-pack PinnedQueryBuilder): the given doc ids rank above every
+    organic hit, in the listed order (pinned scores descend from a constant
+    far above any BM25 score); pinned docs are removed from the organic set."""
+
+    ids: tuple = ()
+    organic: Query | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RankFeatureQuery(Query):
     """rank_feature (RankFeatureQueryBuilder) over a numeric doc column:
     saturation  S = x / (x + pivot)
@@ -577,6 +588,9 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
             out.append(q.term)
         elif isinstance(q, SpanOrQuery):
             out.extend(q.clauses)
+        elif isinstance(q, PinnedQuery):
+            if q.organic is not None:
+                walk(q.organic)
         elif isinstance(q, SpanNotQuery):
             out.extend((q.include, q.exclude))
         elif isinstance(q, TermsSetQuery):

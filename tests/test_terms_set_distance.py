@@ -97,6 +97,25 @@ def test_distance_feature_scores(tsd_engine):
         assert abs(r["score"] - want) < 1e-12, r["doc_id"]
 
 
+def test_pinned_query(tsd_engine):
+    from elasticsearch_ray.search.query import PinnedQuery
+
+    eng, docs, _meta = tsd_engine
+    organic = MatchQuery("spark join")
+    base = eng.search(organic, k=10, mode="exhaustive", fetch=("doc_id",))
+    base_ids = base["doc_id"].to_pylist()
+    # pin two docs that are NOT the organic top hits
+    all_ids = sorted(docs)
+    pins = [d for d in all_ids if d not in base_ids[:2]][:2]
+    res = eng.search(PinnedQuery(ids=tuple(pins), organic=organic), k=10,
+                     mode="exhaustive", fetch=("doc_id",))
+    got = res["doc_id"].to_pylist()
+    assert got[:2] == pins  # pinned first, in listed order
+    # organic tail preserved minus any pinned member
+    want_tail = [d for d in base_ids if d not in pins][: 10 - 2]
+    assert got[2:] == want_tail
+
+
 def test_rank_feature_functions(tsd_engine):
     import math
 
