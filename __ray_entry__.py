@@ -629,6 +629,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = minhash_near_dups(_ds(sf, "documents"), "text", "doc_id", threshold=0.5)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_ngram_jaccard_pairs(sf):  # rows-only (bottom-M shingle sketch)
+        from elasticsearch_ray.ops.dedup import ngram_jaccard_dups
+
+        out = ngram_jaccard_dups(_ds(sf, "documents"), "text", "doc_id",
+                                 threshold=0.5, shingle_k=4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def dedup_simhash_pairs(sf):  # rows-only (distributed banded groupby)
         from elasticsearch_ray.ops.dedup import simhash_near_dups
 
@@ -1088,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_ids": dedup_exact_ids,
         "dedup_url_norm": dedup_url_norm,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "dedup_simhash_table": dedup_simhash_table,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,

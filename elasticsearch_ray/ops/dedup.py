@@ -179,16 +179,13 @@ def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: i
     return pdf
 
 
-def minhash_near_dups(ds: Dataset, text_col: str, id_col: str, threshold: float = 0.8,
-                      shingle_k: int = 3, **kw) -> pd.DataFrame:
-    """Full near-dup pipeline: LSH candidates + exact shingle-Jaccard verify.
-
-    The verify never ships corpus text to the driver: the (small, LSH-premise)
-    candidate-id set is broadcast once via ray.put, shingle-hash arrays are
-    computed DISTRIBUTED inside map_batches for candidate docs only, and only
-    those |candidates| rows of uint64 hashes come back for the pairwise
-    check."""
-    cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k=shingle_k, **kw)
+def _verify_jaccard(ds: Dataset, cand: pd.DataFrame, text_col: str, id_col: str,
+                    shingle_k: int, threshold: float) -> pd.DataFrame:
+    """Exact shingle-Jaccard verify of candidate pairs, never shipping corpus
+    text to the driver: the (small, candidate-premise) id set is broadcast
+    once via ray.put, shingle-hash arrays are computed DISTRIBUTED inside
+    map_batches for candidate docs only, and only those |candidates| rows of
+    uint64 hashes come back for the pairwise check."""
     if len(cand) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     import ray
@@ -217,11 +214,65 @@ def minhash_near_dups(ds: Dataset, text_col: str, id_col: str, threshold: float 
         row[id_col]: np.asarray(row["sh"], np.int64).view(np.uint64)
         for _, row in sh_tbl.iterrows()
     }
+    cand = cand.copy()
     cand["jaccard"] = [
         round(jaccard_arrays(shd[a], shd[b]), 6) for a, b in zip(cand["id_a"], cand["id_b"])
     ]
-    out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
-    return out
+    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def minhash_near_dups(ds: Dataset, text_col: str, id_col: str, threshold: float = 0.8,
+                      shingle_k: int = 3, **kw) -> pd.DataFrame:
+    """Full near-dup pipeline: LSH candidates + exact shingle-Jaccard verify
+    (distributed, see _verify_jaccard)."""
+    cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k=shingle_k, **kw)
+    return _verify_jaccard(ds, cand, text_col, id_col, shingle_k, threshold)
+
+
+def ngram_jaccard_candidates(ds: Dataset, text_col: str, id_col: str, shingle_k: int = 5,
+                             sketch_m: int = 8, bucket_cap: int = 64) -> pd.DataFrame:
+    """n-gram-Jaccard candidate pairs WITHOUT MinHash: each doc emits its
+    bottom-``sketch_m`` shingle hashes (a deterministic bottom-M sketch — the
+    one-permutation analog of minhashing); an inverted-shingle groupby then
+    pairs docs sharing a sketch element. Buckets over ``bucket_cap`` (shingles
+    common to many docs) are dropped — they carry no near-DUPLICATE signal
+    and would otherwise quadratically blow up a hot shingle. Never all-pairs."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = _shingle_hashes(texts, shingle_k)
+        bottoms = [np.sort(s)[:sketch_m] for s in sh]
+        lens = np.array([len(b) for b in bottoms], dtype=np.int64)
+        vals = np.concatenate(bottoms) if bottoms else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "sh": pa.array(vals.view(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(ids, lens)),
+            }
+        )
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > bucket_cap:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = sorted(set(g[id_col].tolist()))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    cand = rows.groupby("sh").map_groups(pairs, batch_format="pandas")
+    return cand.to_pandas().drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_dups(ds: Dataset, text_col: str, id_col: str, threshold: float = 0.8,
+                       shingle_k: int = 5, sketch_m: int = 8,
+                       bucket_cap: int = 64) -> pd.DataFrame:
+    """n-gram Jaccard near-dup pairs: bottom-M shingle-sketch candidates +
+    exact shingle-Jaccard verify. Fully deterministic (stable siphash), no
+    random permutations."""
+    cand = ngram_jaccard_candidates(ds, text_col, id_col, shingle_k, sketch_m, bucket_cap)
+    return _verify_jaccard(ds, cand, text_col, id_col, shingle_k, threshold)
 
 
 def embedding_near_dups(ds: Dataset, id_col: str = "vec_id", vec_col: str = "embedding",

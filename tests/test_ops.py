@@ -85,6 +85,29 @@ def test_minhash_finds_planted_near_dups(ray_session):
     assert all(b >= 40 for a, b in found)
 
 
+def test_ngram_jaccard_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import ngram_jaccard_dups
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(vocab, 80)) for _ in range(40)]
+    for src in (0, 1):  # near-dups: 2 words changed
+        words = docs[src].split()
+        for _ in range(2):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+        docs.append(" ".join(words))
+    docs.append(docs[2])  # exact dup of doc 2
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    out = ngram_jaccard_dups(ds, "text", "doc_id", threshold=0.5, shingle_k=4)
+    found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 40) in found and (1, 41) in found and (2, 42) in found
+    assert all(b >= 40 for _a, b in found)  # no false positives among randoms
+    jac = dict(zip(zip(out["id_a"], out["id_b"]), out["jaccard"]))
+    assert jac[(2, 42)] == 1.0
+
+
 def test_simhash_hamming_zero_for_identical(rds, ray_session):
     import ray.data as rd
 
