@@ -74,6 +74,27 @@ def _synonym_index(sf_dir: str):
     return eng
 
 
+def _charfilter_index(sf_dir: str):
+    """Documents index whose analyzer chain starts with pattern_replace +
+    mapping char filters (custom-analyzer assembly), shared by index AND
+    query sides via the parametric custom analyzer name."""
+    key = f"cf-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     char_filters=(("pattern_replace", ("(join|merge)", "blend")),
+                                   ("mapping", (("query", "qry"),))))
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _multifield_index(sf_dir: str):
     """Two-field index over documents: body = text, title = first 5 tokens,
     plus a derived per-doc required-match column req_m = 1 + doc_id % 3 for
@@ -248,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src_ = ("any_of", (("match", "spark join", 2, True),
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
+
+    def search_char_filters(sf):
+        # pattern_replace folded join|merge into one token; mapping rewired
+        # 'query'→'qry'; both tested through stored postings
+        return _doc_set(_charfilter_index(sf), TermQuery("blend"))
+
+    def search_char_filters_mapping(sf):
+        return _doc_set(_charfilter_index(sf), TermQuery("qry"))
 
     def search_index_synonym(sf):
         # 'flink' never occurs in the corpus — it resolves purely through the
@@ -1042,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "search_char_filters": search_char_filters,
+        "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
         "search_index_synonym_contraction": search_index_synonym_contraction,
         "search_span_first": search_span_first,
@@ -1399,6 +1430,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
+            ORDER BY doc_id
+        """,
+        "search_char_filters": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% join %'
+               OR ' ' || text || ' ' LIKE '% merge %'
+            ORDER BY doc_id
+        """,
+        "search_char_filters_mapping": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% query %'
             ORDER BY doc_id
         """,
         "search_index_synonym": """

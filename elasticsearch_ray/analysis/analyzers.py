@@ -201,7 +201,41 @@ def register(name: str, factory: Callable[[], Analyzer]) -> None:
     _REGISTRY[name] = factory
 
 
+class CharFilteredAnalyzer(Analyzer):
+    """Base analyzer preceded by a char-filter chain (custom-analyzer shape:
+    char_filter list → tokenizer → token filters, AnalysisRegistry custom
+    analyzer assembly). Compiled once per actor via get_analyzer caching of
+    the parametric name."""
+
+    name = "char_filtered"
+
+    def __init__(self, base: Analyzer, char_filters):
+        from elasticsearch_ray.analysis.char_filters import compile_chain
+
+        self.base = base
+        self.chain = compile_chain(char_filters)
+
+    def __call__(self, text: str) -> Analysis:
+        return self.base(self.chain(text))
+
+    def analyze_block(self, texts: list[str]):
+        blk = getattr(self.base, "analyze_block", None)
+        if blk is None:
+            return None
+        ch = self.chain
+        return blk([ch(t) for t in texts])
+
+
 def get_analyzer(name: str) -> Analyzer:
+    if name.startswith("custom:"):
+        # parametric custom analyzer: the NAME carries the config, so any
+        # worker/actor process can resolve it locally with no registry setup
+        # (names travel through spec dicts and actor constructors as strings)
+        import json as _json
+
+        cfg = _json.loads(name[len("custom:"):])
+        base = get_analyzer(cfg.get("base", "standard"))
+        return CharFilteredAnalyzer(base, cfg.get("char_filters", []))
     if name not in _REGISTRY:
         # language chains + extra tokenizers register on first use
         import elasticsearch_ray.analysis.lang  # noqa: F401

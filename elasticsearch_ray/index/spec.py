@@ -54,6 +54,11 @@ class IndexSpec:
     # applied to the default text field's analyzer output at build time;
     # see analysis/synonyms.IndexTimeSynonyms for the flatten semantics)
     index_synonyms: tuple = ()
+    # char filters applied before the tokenizer, custom-analyzer style:
+    # (("pattern_replace", (pattern, repl)), ("mapping", (("k","v"), ...))).
+    # build_index folds these into a parametric "custom:{json}" analyzer name
+    # so tokenize actors AND the query engine share the exact chain.
+    char_filters: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
     # term-keyed shuffle (SURVEY §4 skew row).
@@ -72,6 +77,8 @@ class IndexSpec:
         d["escaped_tags"] = list(d["escaped_tags"])
         d["doc_columns"] = list(d["doc_columns"])
         d["index_synonyms"] = list(d["index_synonyms"])
+        d["char_filters"] = [[k, [list(x) if isinstance(x, (list, tuple)) else x
+                                  for x in a]] for k, a in d["char_filters"]]
         return d
 
     @classmethod
@@ -80,4 +87,8 @@ class IndexSpec:
         d["escaped_tags"] = tuple(d.get("escaped_tags", ()))
         d["doc_columns"] = tuple(d.get("doc_columns", ("url", "warc_ts", "lang")))
         d["index_synonyms"] = tuple(d.get("index_synonyms", ()))
+        d["char_filters"] = tuple(
+            (k, tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in a))
+            for k, a in d.get("char_filters", ())
+        )
         return cls(**d)
