@@ -145,6 +145,7 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
     wstarts = np.arange(n_windows, dtype=np.int64) * window
     wends = wstarts + window
     ub = np.zeros(n_windows, dtype=np.float64)
+    present = np.zeros(n_windows, dtype=np.int32)
     for c in cursors:
         h = c.headers
         nb = len(h)
@@ -163,6 +164,12 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
         last_blk = np.clip(hi - 1, 0, nb - 1)
         boundary = np.where(hi - 1 >= lo, sigma[last_blk], 0.0)
         ub += np.maximum(red, boundary)
+        present += (lo < hi).astype(np.int32)
+    if min_match > 1:
+        # conjunction-aware bound: a window lacking blocks from >= min_match
+        # distinct terms cannot produce a qualifying doc — prune before any
+        # decode. Result-identical: accumulate_dense would emit nothing there.
+        ub[present < min_match] = 0.0
     ub *= 1.0 + 1e-6  # guard float32-narrowing overshoot
 
     order = np.argsort(-ub, kind="stable")
@@ -178,14 +185,22 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
         if stats is not None:
             stats["windows_scored"] += 1
         d_arrays, s_arrays = [], []
+        full_conj = min_match >= len(cursors)
+        dead = False
         for c in cursors:
             h = c.headers
             if len(h) == 0:
+                if full_conj:
+                    dead = True
+                    break
                 continue
             # candidate blocks: sorted disjoint ranges intersecting the window
             b0 = int(np.searchsorted(h["last_doc"], wstart, side="left"))
             b1 = int(np.searchsorted(h["first_doc"], wend, side="left"))
             if b1 <= b0:
+                if full_conj:  # conjunction: one absent term kills the window
+                    dead = True
+                    break
                 continue
             d, t = c.block_range(b0, b1)  # bulk vectorized decode
             m = (d >= wstart) & (d < wend)
@@ -194,7 +209,10 @@ def bmw_topk(cursors, norms, k: int, n_docs: int, dtype=np.float32, window: int 
                 nl = c.norms if c.norms is not None else norms
                 d_arrays.append(dm)
                 s_arrays.append(c.scorer.score(t[m], nl[dm]))
-        if not d_arrays:
+            elif full_conj:
+                dead = True
+                break
+        if dead or not d_arrays:
             continue
         docs, scores = accumulate_dense(
             d_arrays, s_arrays, wstart, min(window, n_docs - wstart), dtype, min_match

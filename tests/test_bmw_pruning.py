@@ -76,3 +76,29 @@ def test_bmw_no_pruning_when_k_large():
     e_docs, e_scores = exhaustive_disjunction(cursors, norms)
     assert len(docs) == len(e_docs)
     assert stats["windows_scored"] == stats["windows_total"]
+
+
+def test_bmw_conjunction_window_pruning():
+    """min_match == n_cursors (the AND path): windows missing the rare term
+    are pruned at the BOUND level — only windows intersecting the rare range
+    are ever scored — and results stay bit-equal to exhaustive."""
+    n_docs, norms, common, rare = _make_corpus(ranges=((50_000, 52_000),))
+    cd, ct = common
+    rd_, rt = rare
+    avgdl = 75.0
+    cursors = [
+        TermCursor(encode_postings(cd, ct, norms[cd]),
+                   BM25Scorer(df=len(cd), doc_count=n_docs, avgdl=avgdl)),
+        TermCursor(encode_postings(rd_, rt, norms[rd_]),
+                   BM25Scorer(df=len(rd_), doc_count=n_docs, avgdl=avgdl)),
+    ]
+    stats: dict = {}
+    docs, scores = bmw_topk(cursors, norms, k=10, n_docs=n_docs,
+                            min_match=2, stats=stats)
+    e_docs, e_scores = topk_select(
+        *exhaustive_disjunction(cursors, norms, min_match=2), 10)
+    assert np.array_equal(docs, e_docs)
+    assert np.array_equal(scores, e_scores)
+    # rare range spans 2000 docs ≈ 1-2 windows (+1 straddling block slack)
+    assert stats["windows_scored"] <= 3, stats
+    assert stats["windows_total"] == (n_docs + 4095) // 4096
