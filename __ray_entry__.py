@@ -270,6 +270,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
 
+    def search_highlight(sf):
+        # fetch-phase highlight over the top-10 match hits: batched source
+        # fetch per partition, term-wrap per hit (highlight_hits)
+        eng = _documents_index(sf)
+        q = MatchQuery("spark")
+        res = eng.search(q, k=60, mode="bmw", fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id", "score", "part", "local"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        hits = pa.Table.from_pandas(df, preserve_index=False)
+        hl = eng.highlight_hits(q, hits)
+        out = pa.table({"doc_id": hits["doc_id"], "hl": pa.array(hl, pa.string())})
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def search_char_filters(sf):
         # pattern_replace folded join|merge into one token; mapping rewired
         # 'query'→'qry'; both tested through stored postings
@@ -1071,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "search_highlight": search_highlight,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
@@ -1431,6 +1446,13 @@ def oracle_sql() -> dict[str, str]:
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
             ORDER BY doc_id
+        """,
+        "search_highlight": f"""
+            WITH ranked AS ({_bm25_sql(['spark'], k=10)})
+            SELECT r.doc_id,
+                   regexp_replace(d.text, '\\b(spark)\\b', '<em>spark</em>', 'g') AS hl
+            FROM ranked r JOIN documents d USING (doc_id)
+            ORDER BY r.doc_id
         """,
         "search_char_filters": """
             SELECT doc_id FROM documents
