@@ -284,6 +284,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = pa.table({"doc_id": hits["doc_id"], "hl": pa.array(hl, pa.string())})
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def search_highlight_scan(sf):
+        # distributed highlight over ALL hits: one map_batches task per
+        # partition runs query-eval + pruned source fetch + term-wrap locally
+        # and the result streams back as a Dataset (engine.highlight_scan)
+        eng = _documents_index(sf)
+        ds = eng.highlight_scan(MatchQuery("spark"), fetch=("doc_id",))
+        df = pd.DataFrame(ds.take_all())[["doc_id", "hl"]]
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def search_char_filters(sf):
         # pattern_replace folded join|merge into one token; mapping rewired
         # 'query'→'qry'; both tested through stored postings
@@ -1086,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
         "search_highlight": search_highlight,
+        "search_highlight_scan": search_highlight_scan,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
@@ -1453,6 +1463,13 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(d.text, '\\b(spark)\\b', '<em>spark</em>', 'g') AS hl
             FROM ranked r JOIN documents d USING (doc_id)
             ORDER BY r.doc_id
+        """,
+        "search_highlight_scan": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(spark)\b', '<em>spark</em>', 'g') AS hl
+            FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+            ORDER BY doc_id
         """,
         "search_char_filters": """
             SELECT doc_id FROM documents

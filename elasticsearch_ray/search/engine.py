@@ -1693,38 +1693,7 @@ class QueryEngine:
     def fetch_source(self, part: int, locals_: np.ndarray, columns=None) -> pa.Table:
         """_source fetch via lineage: read the original input rows for hits
         (FetchPhase analog — our _source is the input parquet row)."""
-        s = self._searcher(int(part))
-        man = s.r.manifest
-        paths = man["input_path"]
-        if isinstance(paths, str):
-            paths = [paths]
-        import pyarrow.parquet as pq
-
-        bases = []
-        acc = 0
-        tables = []
-        for pth in paths:
-            n = pq.read_metadata(pth).num_rows
-            bases.append(acc)
-            acc += n
-        locs = np.asarray(locals_, dtype=np.int64)
-        # group hits by input file: ONE pruned read per touched file, then
-        # take() the hit rows (the old per-hit full-file read was
-        # O(hits × file bytes))
-        fis = np.searchsorted(bases, locs, side="right") - 1
-        pieces = {}
-        for fi in np.unique(fis):
-            t = pq.read_table(paths[int(fi)], columns=columns)
-            rel = locs[fis == fi] - bases[int(fi)]
-            pieces[int(fi)] = t.take(pa.array(rel))
-        # reassemble in the original hit order
-        counters = {fi: 0 for fi in pieces}
-        out = []
-        for fi in fis:
-            i = counters[int(fi)]
-            counters[int(fi)] += 1
-            out.append(pieces[int(fi)].slice(i, 1))
-        return pa.concat_tables(out)
+        return _fetch_source_rows(self._searcher(int(part)).r.manifest, locals_, columns)
 
     def highlight_hits(self, q: Query | str, hits: pa.Table, text_column: str = "text",
                        pre_tag: str = "<em>", post_tag: str = "</em>") -> list[str]:
@@ -1752,6 +1721,43 @@ class QueryEngine:
                 out[j] = wrap(text)
         return out
 
+    def highlight_scan(self, q: Query | str, text_column: str = "text",
+                       pre_tag: str = "<em>", post_tag: str = "</em>",
+                       fetch: tuple = ("doc_id",)):
+        """Distributed highlight over ALL hits, as a streaming Ray Dataset.
+
+        The scan/fetch/highlight phases all run inside one map_batches task
+        per partition (query eval, pruned source read and term-wrap are
+        partition-local — no shuffle), so highlighting an arbitrarily large
+        result set streams block-by-block instead of looping on the driver
+        the way ``highlight_hits`` does for a small top-k page. Scorers are
+        built once on the driver from global stats and ship once per task.
+        """
+        import ray.data
+
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        q = self._rewrite(q)
+        scorers, _ = self._scorers_cached(q)
+        terms = frozenset(query_terms(q, self.analyzer_name))
+        cfg = {
+            "index_dir": self.index_dir,
+            "q": q,
+            "scorers": scorers,
+            "analyzer": self.analyzer_name,
+            "params_kb": (self.params.k1, self.params.b),
+            "dtype": self.dtype,
+            "terms": terms,
+            "text_column": text_column,
+            "pre_tag": pre_tag,
+            "post_tag": post_tag,
+            "fetch": tuple(fetch),
+        }
+        ds = ray.data.from_items([{"part": int(p)} for p in self.parts],
+                                 override_num_blocks=len(self.parts))
+        return ds.map_batches(_highlight_part_fn, fn_args=(cfg,),
+                              batch_format="pyarrow", batch_size=None)
+
     def highlight(self, q: Query, part: int, local: int, text_column: str = "text",
                   pre_tag: str = "<em>", post_tag: str = "</em>") -> str:
         """Unified-highlighter-style: wrap query-term occurrences in the
@@ -1766,6 +1772,100 @@ class QueryEngine:
             return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in terms else m.group(0)
 
         return TOKEN_RE.sub(repl, text)
+
+
+def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.Table:
+    """Pruned _source read for one partition: group hit locals by input file
+    (the manifest's lineage), ONE read per touched file, rows reassembled in
+    the original hit order."""
+    paths = manifest["input_path"]
+    if isinstance(paths, str):
+        paths = [paths]
+    import pyarrow.parquet as pq
+
+    bases = []
+    acc = 0
+    for pth in paths:
+        n = pq.read_metadata(pth).num_rows
+        bases.append(acc)
+        acc += n
+    locs = np.asarray(locals_, dtype=np.int64)
+    fis = np.searchsorted(bases, locs, side="right") - 1
+    pieces = {}
+    for fi in np.unique(fis):
+        t = pq.read_table(paths[int(fi)], columns=columns)
+        rel = locs[fis == fi] - bases[int(fi)]
+        pieces[int(fi)] = t.take(pa.array(rel))
+    counters = {fi: 0 for fi in pieces}
+    out = []
+    for fi in fis:
+        i = counters[int(fi)]
+        counters[int(fi)] += 1
+        out.append(pieces[int(fi)].slice(i, 1))
+    return pa.concat_tables(out)
+
+
+def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str:
+    """Unified-highlighter term wrap (case-insensitive on analyzed terms)."""
+    from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+
+    def repl(m):
+        return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in terms else m.group(0)
+
+    return TOKEN_RE.sub(repl, text or "")
+
+
+# per-worker-process searcher cache for the stateless-task highlight stage
+# (same pattern as index.build._STAGE_CACHE: plain-function map_batches runs
+# in long-lived worker processes, so warm readers are reused across tasks
+# without reserving a fixed actor pool)
+_HL_SEARCHERS: dict = {}
+
+
+def _hl_searcher(index_dir: str, part: int, analyzer_name: str, params_kb: tuple,
+                 dtype: str) -> "PartitionSearcher":
+    key = (index_dir, part, analyzer_name, params_kb, dtype)
+    s = _HL_SEARCHERS.get(key)
+    if s is None:
+        if len(_HL_SEARCHERS) > 256:
+            _HL_SEARCHERS.clear()
+        s = PartitionSearcher(
+            SegmentReader(part_dir(index_dir, part)), analyzer_name,
+            BM25Params(*params_kb), dtype
+        )
+        _HL_SEARCHERS[key] = s
+    return s
+
+
+def _highlight_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
+    """One Ray-Data task per partition: evaluate the (pre-rewritten) query
+    exhaustively, fetch matching sources from the partition's input files,
+    and term-wrap — query, fetch and highlight phases all run partition-local
+    (no shuffle, no driver loop)."""
+    out_tables = []
+    fetch = cfg["fetch"]
+    terms = cfg["terms"]
+    for part in batch["part"].to_pylist():
+        s = _hl_searcher(cfg["index_dir"], int(part), cfg["analyzer"],
+                         cfg["params_kb"], cfg["dtype"])
+        docs, scores = s._eval_scoring(cfg["q"], cfg["scorers"], k=None, mode="exhaustive")
+        docs = _as_np(docs).astype(np.int64)
+        if len(docs):
+            src = _fetch_source_rows(s.r.manifest, docs, columns=[cfg["text_column"]])
+            hl = [_wrap_terms(t, terms, cfg["pre_tag"], cfg["post_tag"])
+                  for t in src[cfg["text_column"]].to_pylist()]
+        else:
+            hl = []
+        cols = {}
+        if fetch:
+            ft = s.r.doc_fields(docs, fetch)
+            cols = {c: ft[c] for c in ft.column_names}
+        cols["part"] = pa.array(np.full(len(docs), part, np.int64))
+        cols["local"] = pa.array(docs)
+        cols["score"] = pa.array(np.asarray(scores, np.float64))
+        cols["hl"] = pa.array(hl, pa.string())
+        out_tables.append(pa.table(cols))
+    return pa.concat_tables(out_tables)
 
 
 class SearcherActor:

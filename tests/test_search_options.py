@@ -225,3 +225,27 @@ def test_highlight_hits_batched(web_engine):
     r = hits.to_pylist()[0]
     single = web_engine.highlight(MQ("spark join"), r["part"], r["local"])
     assert single == hl[0]
+
+
+def test_highlight_scan_distributed(web_engine):
+    """highlight_scan covers ALL hits and agrees per-doc with the
+    driver-side highlight path (same wrap semantics, same hit set)."""
+    import pandas as pd
+
+    from elasticsearch_ray.search.query import MatchQuery as MQ
+
+    q = MQ("spark join")
+    ds = web_engine.highlight_scan(q, fetch=("doc_id",))
+    df = pd.DataFrame(ds.take_all()).sort_values(["part", "local"]).reset_index(drop=True)
+    # hit set == exhaustive scan hit set
+    import pyarrow as pa
+
+    scan_tbls = list(web_engine.scan(q, fetch=("doc_id",)))
+    scan = pa.concat_tables(scan_tbls).to_pandas().sort_values(
+        ["part", "local"]).reset_index(drop=True)
+    assert df["doc_id"].tolist() == scan["doc_id"].tolist()
+    np.testing.assert_allclose(df["score"].to_numpy(), scan["score"].to_numpy(), rtol=1e-12)
+    # wrap agrees with the single-doc highlighter on a few rows
+    for _, r in df.head(3).iterrows():
+        assert r["hl"] == web_engine.highlight(q, int(r["part"]), int(r["local"]))
+    assert (df["hl"].str.contains("<em>")).all() or len(df) == 0
