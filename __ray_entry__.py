@@ -284,6 +284,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = pa.table({"doc_id": hits["doc_id"], "hl": pa.array(hl, pa.string())})
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def search_dsl_wrapper(sf):
+        # the reference's JSON query surface end-to-end: a wrapper query
+        # (base64 JSON) containing a bool over match/term/must_not, parsed by
+        # search/dsl.py into the same Query tree the engine executes
+        import base64
+        import json as _json
+
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        inner = {"bool": {"must": [{"match": {"text": "spark join"}}],
+                          "must_not": [{"term": {"text": "window"}}]}}
+        b64 = base64.b64encode(_json.dumps(inner).encode()).decode()
+        q = parse_dsl({"query": {"wrapper": {"query": b64}}})
+        return _doc_set(_documents_index(sf), q)
+
     def search_highlight_scan(sf):
         # distributed highlight over ALL hits: one map_batches task per
         # partition runs query-eval + pruned source fetch + term-wrap locally
@@ -1096,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_intervals_any_of": search_intervals_any_of,
         "search_highlight": search_highlight,
         "search_highlight_scan": search_highlight_scan,
+        "search_dsl_wrapper": search_dsl_wrapper,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
@@ -1463,6 +1479,13 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(d.text, '\\b(spark)\\b', '<em>spark</em>', 'g') AS hl
             FROM ranked r JOIN documents d USING (doc_id)
             ORDER BY r.doc_id
+        """,
+        "search_dsl_wrapper": """
+            SELECT doc_id FROM documents
+            WHERE (' ' || text || ' ' LIKE '% spark %'
+                   OR ' ' || text || ' ' LIKE '% join %')
+              AND ' ' || text || ' ' NOT LIKE '% window %'
+            ORDER BY doc_id
         """,
         "search_highlight_scan": r"""
             SELECT doc_id,

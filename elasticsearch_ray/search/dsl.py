@@ -1,0 +1,407 @@
+"""JSON query-DSL parser — the reference's user-facing query surface.
+
+Reference: every query builder registers a ``fromXContent`` parser
+(``search/SearchModule.java:1081-1170``; builders under ``index/query/``) so a
+search body like ``{"query": {"bool": {"must": [{"match": {"text": "spark"}}]}}}``
+becomes a query tree. ``parse_dsl`` re-expresses that surface over this repo's
+frozen Query dataclasses, so a user of the reference can run their existing
+JSON queries unchanged. The ``wrapper`` query (WrapperQueryBuilder,
+SearchModule.java:1132) — a base64-encoded embedded JSON query — is supported
+by recursion.
+
+Field-name convention: the DSL names the indexed body field explicitly (ES
+``"text"``/``"content"``); our engine calls that the DEFAULT field
+(``field=None``). ``default_field`` (default ``"text"``) maps that name to
+None; other names are extra indexed fields (namespaced postings) or doc
+columns (``doc_columns`` → Term/Range filters), matching how the reference
+routes keyword/numeric fields to doc values instead of analyzed postings.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from elasticsearch_ray.index.spec import fkey
+from elasticsearch_ray.search.query import (
+    BoolQuery,
+    BoostingQuery,
+    CombinedFieldsQuery,
+    ConstantScoreQuery,
+    DisMaxQuery,
+    DistanceFeatureQuery,
+    ExistsQuery,
+    FunctionScoreQuery,
+    FuzzyQuery,
+    IdsQuery,
+    IntervalsQuery,
+    MatchAllQuery,
+    MatchNoneQuery,
+    MatchPhrasePrefixQuery,
+    MatchPhraseQuery,
+    MatchQuery,
+    MoreLikeThisQuery,
+    MultiMatchQuery,
+    PinnedQuery,
+    PrefixQuery,
+    Query,
+    QueryStringQuery,
+    RangeFilter,
+    RankFeatureQuery,
+    RegexpQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    TermFilter,
+    TermQuery,
+    TermsLookupQuery,
+    TermsQuery,
+    TermsSetQuery,
+    WildcardQuery,
+    parse_simple_query_string,
+)
+
+# doc columns of the standard web-page/documents schema: term/range on these
+# become non-scoring doc-value filters (the reference's keyword/date/numeric
+# field behavior), everything else hits the analyzed postings.
+DEFAULT_DOC_COLUMNS = frozenset(
+    {"url", "warc_ts", "lang", "doc_id", "date", "tags", "category", "pagerank"}
+)
+
+
+class DslError(ValueError):
+    pass
+
+
+def _one_entry(body: dict, what: str) -> tuple[str, object]:
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"{what} body must be a single {{field: ...}} object")
+    return next(iter(body.items()))
+
+
+def _field_body(body: dict, what: str, value_key: str = "value") -> tuple[str, dict]:
+    """``{"field": X}`` → (field, {value_key: X}); ``{"field": {...}}`` passes
+    through — the two accepted shorthand forms of every fielded query."""
+    field, v = _one_entry(body, what)
+    if not isinstance(v, dict):
+        v = {value_key: v}
+    return field, v
+
+
+def _fields_boosts(fields: list[str], default_field: str) -> tuple[tuple, tuple]:
+    """Parse the ``["title^2", "text"]`` caret-boost form."""
+    names, boosts = [], []
+    for f in fields:
+        if "^" in f:
+            name, b = f.rsplit("^", 1)
+            boosts.append(float(b))
+        else:
+            name, b = f, None
+            boosts.append(1.0)
+        names.append(None if name == default_field else name)
+    return tuple(names), tuple(boosts)
+
+
+class _Parser:
+    def __init__(self, default_field: str, doc_columns: frozenset):
+        self.default_field = default_field
+        self.doc_columns = doc_columns
+
+    def _f(self, field: str):
+        return None if field == self.default_field else field
+
+    def parse(self, d: dict) -> Query:
+        if not isinstance(d, dict) or len(d) != 1:
+            raise DslError("a query is a single {type: body} object")
+        kind, body = next(iter(d.items()))
+        fn = getattr(self, f"q_{kind}", None)
+        if fn is None:
+            raise DslError(f"unsupported query type {kind!r}")
+        return fn(body)
+
+    def _list(self, v) -> tuple:
+        if isinstance(v, dict):
+            v = [v]
+        return tuple(self.parse(x) for x in v)
+
+    # --- leaf queries -----------------------------------------------------
+    def q_match(self, body):
+        field, v = _field_body(body, "match", "query")
+        return MatchQuery(
+            text=str(v["query"]), operator=v.get("operator", "or").lower(),
+            minimum_should_match=v.get("minimum_should_match"),
+            analyzer=v.get("analyzer"),
+            zero_terms_query=v.get("zero_terms_query", "none").lower(),
+            boost=float(v.get("boost", 1.0)), field=self._f(field),
+        )
+
+    def q_match_phrase(self, body):
+        field, v = _field_body(body, "match_phrase", "query")
+        return MatchPhraseQuery(text=str(v["query"]), slop=int(v.get("slop", 0)),
+                                analyzer=v.get("analyzer"),
+                                boost=float(v.get("boost", 1.0)), field=self._f(field))
+
+    def q_match_phrase_prefix(self, body):
+        field, v = _field_body(body, "match_phrase_prefix", "query")
+        if self._f(field) is not None:
+            raise DslError("match_phrase_prefix supports the default field only")
+        return MatchPhrasePrefixQuery(text=str(v["query"]),
+                                      max_expansions=int(v.get("max_expansions", 50)),
+                                      analyzer=v.get("analyzer"),
+                                      boost=float(v.get("boost", 1.0)))
+
+    def q_term(self, body):
+        field, v = _field_body(body, "term")
+        if field in self.doc_columns:
+            return TermFilter(column=field, value=v["value"])
+        return TermQuery(term=str(v["value"]), boost=float(v.get("boost", 1.0)),
+                         field=self._f(field))
+
+    def q_terms(self, body):
+        boost = 1.0
+        body = dict(body)
+        if "boost" in body:
+            boost = float(body.pop("boost"))
+        field, v = _one_entry(body, "terms")
+        if isinstance(v, dict):  # terms lookup: {"index":..., "id":..., "path":...}
+            return TermsLookupQuery(doc_id=int(v["id"]),
+                                    text_column=v.get("path", "text"), boost=boost)
+        if field in self.doc_columns:
+            return BoolQuery(should=tuple(TermFilter(column=field, value=x) for x in v),
+                             minimum_should_match=1)
+        if self._f(field) is not None:
+            raise DslError("terms on an extra indexed field is not supported")
+        return TermsQuery(terms=tuple(str(x) for x in v), boost=boost)
+
+    def q_terms_set(self, body):
+        field, v = _field_body(body, "terms_set", "terms")
+        terms = tuple(fkey(self._f(field), str(t)) for t in v["terms"])
+        return TermsSetQuery(terms=terms,
+                             minimum_should_match_field=v["minimum_should_match_field"],
+                             boost=float(v.get("boost", 1.0)))
+
+    def q_range(self, body):
+        field, v = _field_body(body, "range")
+        return RangeFilter(column=field, gte=v.get("gte"), lte=v.get("lte"),
+                           gt=v.get("gt"), lt=v.get("lt"))
+
+    def q_exists(self, body):
+        return ExistsQuery(field=body["field"], boost=float(body.get("boost", 1.0)))
+
+    def q_prefix(self, body):
+        field, v = _field_body(body, "prefix")
+        # non-default fields work through the sorted term dict: namespaced
+        # terms "<field>\x1f<term>" share the prefix "<field>\x1f<value>"
+        pfx = v.get("value", v.get("prefix"))
+        return PrefixQuery(prefix=fkey(self._f(field), str(pfx)),
+                           boost=float(v.get("boost", 1.0)))
+
+    def q_wildcard(self, body):
+        field, v = _field_body(body, "wildcard")
+        if self._f(field) is not None:
+            raise DslError("wildcard supports the default field only")
+        return WildcardQuery(pattern=str(v.get("value", v.get("wildcard"))),
+                             boost=float(v.get("boost", 1.0)))
+
+    def q_regexp(self, body):
+        field, v = _field_body(body, "regexp")
+        if self._f(field) is not None:
+            raise DslError("regexp supports the default field only")
+        return RegexpQuery(pattern=str(v["value"]), boost=float(v.get("boost", 1.0)))
+
+    def q_fuzzy(self, body):
+        field, v = _field_body(body, "fuzzy")
+        if self._f(field) is not None:
+            raise DslError("fuzzy supports the default field only")
+        return FuzzyQuery(term=str(v["value"]), fuzziness=str(v.get("fuzziness", "AUTO")),
+                          prefix_length=int(v.get("prefix_length", 0)),
+                          boost=float(v.get("boost", 1.0)))
+
+    def q_ids(self, body):
+        return IdsQuery(ids=tuple(int(i) for i in body["values"]),
+                        boost=float(body.get("boost", 1.0)))
+
+    def q_match_all(self, body):
+        return MatchAllQuery(boost=float((body or {}).get("boost", 1.0)))
+
+    def q_match_none(self, body):
+        return MatchNoneQuery(boost=float((body or {}).get("boost", 1.0)))
+
+    # --- compound ---------------------------------------------------------
+    def q_bool(self, body):
+        return BoolQuery(
+            must=self._list(body.get("must", [])),
+            should=self._list(body.get("should", [])),
+            filter=self._list(body.get("filter", [])),
+            must_not=self._list(body.get("must_not", [])),
+            minimum_should_match=body.get("minimum_should_match"),
+            boost=float(body.get("boost", 1.0)),
+        )
+
+    def q_dis_max(self, body):
+        return DisMaxQuery(queries=self._list(body["queries"]),
+                           tie_breaker=float(body.get("tie_breaker", 0.0)),
+                           boost=float(body.get("boost", 1.0)))
+
+    def q_constant_score(self, body):
+        return ConstantScoreQuery(filter=self.parse(body["filter"]),
+                                  boost=float(body.get("boost", 1.0)))
+
+    def q_boosting(self, body):
+        return BoostingQuery(positive=self.parse(body["positive"]),
+                             negative=self.parse(body["negative"]),
+                             negative_boost=float(body.get("negative_boost", 0.5)))
+
+    def q_function_score(self, body):
+        fvf = body.get("field_value_factor", {})
+        return FunctionScoreQuery(
+            query=self.parse(body["query"]) if "query" in body else None,
+            field=fvf.get("field"), factor=float(fvf.get("factor", 1.0)),
+            modifier=fvf.get("modifier", "none"),
+            weight=float(body.get("weight", 1.0)),
+            boost_mode=body.get("boost_mode", "multiply"),
+        )
+
+    def q_script_score(self, body):
+        # script_score with the documented field-value idiom maps onto the
+        # same FunctionScoreQuery surface (ScriptScoreQueryBuilder analog)
+        return self.q_function_score(body)
+
+    # --- multi-field ------------------------------------------------------
+    def q_multi_match(self, body):
+        fields, boosts = _fields_boosts(body["fields"], self.default_field)
+        return MultiMatchQuery(text=str(body["query"]), fields=fields,
+                               type=body.get("type", "best_fields"),
+                               tie_breaker=float(body.get("tie_breaker", 0.0)),
+                               operator=body.get("operator", "or").lower(),
+                               boosts=boosts, boost=float(body.get("boost", 1.0)))
+
+    def q_combined_fields(self, body):
+        fields, weights = _fields_boosts(body["fields"], self.default_field)
+        return CombinedFieldsQuery(text=str(body["query"]), fields=fields,
+                                   weights=weights,
+                                   operator=body.get("operator", "or").lower(),
+                                   boost=float(body.get("boost", 1.0)))
+
+    def q_query_string(self, body):
+        return QueryStringQuery(query=str(body["query"]),
+                                default_field=self._f(body.get("default_field",
+                                                               self.default_field)),
+                                default_operator=body.get("default_operator", "or").lower(),
+                                boost=float(body.get("boost", 1.0)))
+
+    def q_simple_query_string(self, body):
+        return parse_simple_query_string(
+            str(body["query"]), body.get("default_operator", "or").lower())
+
+    # --- span / intervals -------------------------------------------------
+    def _span_term(self, d) -> str:
+        kind, body = next(iter(d.items()))
+        if kind != "span_term":
+            raise DslError("span clauses must be span_term leaves")
+        field, v = _field_body(body, "span_term")
+        return fkey(self._f(field), str(v["value"]))
+
+    def q_span_term(self, body):
+        field, v = _field_body(body, "span_term")
+        return TermQuery(term=str(v["value"]), boost=float(v.get("boost", 1.0)),
+                         field=self._f(field))
+
+    def q_span_near(self, body):
+        return SpanNearQuery(clauses=tuple(self._span_term(c) for c in body["clauses"]),
+                             slop=int(body.get("slop", 0)),
+                             in_order=bool(body.get("in_order", True)),
+                             boost=float(body.get("boost", 1.0)))
+
+    def q_span_first(self, body):
+        return SpanFirstQuery(term=self._span_term(body["match"]),
+                              end=int(body.get("end", 3)),
+                              boost=float(body.get("boost", 1.0)))
+
+    def q_span_or(self, body):
+        return SpanOrQuery(clauses=tuple(self._span_term(c) for c in body["clauses"]),
+                           boost=float(body.get("boost", 1.0)))
+
+    def q_span_not(self, body):
+        return SpanNotQuery(include=self._span_term(body["include"]),
+                            exclude=self._span_term(body["exclude"]),
+                            pre=int(body.get("pre", 0)), post=int(body.get("post", 0)),
+                            boost=float(body.get("boost", 1.0)))
+
+    def q_intervals(self, body):
+        field, v = _one_entry(body, "intervals")
+        if self._f(field) is not None:
+            raise DslError("intervals supports the default field only")
+        return IntervalsQuery(source=self._intervals_source(v))
+
+    def _intervals_source(self, v: dict) -> tuple:
+        kind, b = next(iter(v.items()))
+        if kind == "match":
+            return ("match", str(b["query"]), int(b.get("max_gaps", -1)),
+                    bool(b.get("ordered", False)))
+        if kind == "any_of":
+            return ("any_of", tuple(self._intervals_source(x) for x in b["intervals"]))
+        if kind == "all_of":
+            terms = []
+            for x in b["intervals"]:
+                k2, b2 = next(iter(x.items()))
+                if k2 != "match":
+                    raise DslError("all_of supports match term leaves only")
+                terms.append(str(b2["query"]))
+            return ("all_of", tuple(terms), int(b.get("max_gaps", -1)),
+                    bool(b.get("ordered", False)))
+        raise DslError(f"unsupported intervals source {kind!r}")
+
+    # --- feature / misc ---------------------------------------------------
+    def q_rank_feature(self, body):
+        field = body["field"]
+        if "log" in body:
+            return RankFeatureQuery(field=field, function="log",
+                                    scaling_factor=float(body["log"]["scaling_factor"]),
+                                    boost=float(body.get("boost", 1.0)))
+        if "sigmoid" in body:
+            return RankFeatureQuery(field=field, function="sigmoid",
+                                    pivot=float(body["sigmoid"]["pivot"]),
+                                    exponent=float(body["sigmoid"]["exponent"]),
+                                    boost=float(body.get("boost", 1.0)))
+        sat = body.get("saturation", {})
+        return RankFeatureQuery(field=field, function="saturation",
+                                pivot=float(sat.get("pivot", 1.0)),
+                                boost=float(body.get("boost", 1.0)))
+
+    def q_distance_feature(self, body):
+        return DistanceFeatureQuery(field=body["field"], origin=body["origin"],
+                                    pivot=body["pivot"],
+                                    boost=float(body.get("boost", 1.0)))
+
+    def q_pinned(self, body):
+        return PinnedQuery(ids=tuple(int(i) for i in body["ids"]),
+                           organic=self.parse(body["organic"]),
+                           boost=float(body.get("boost", 1.0)))
+
+    def q_more_like_this(self, body):
+        like = body["like"]
+        if isinstance(like, list):
+            like = " ".join(str(x) for x in like)
+        return MoreLikeThisQuery(like=str(like),
+                                 max_query_terms=int(body.get("max_query_terms", 25)),
+                                 min_term_freq=int(body.get("min_term_freq", 2)),
+                                 min_doc_freq=int(body.get("min_doc_freq", 5)),
+                                 analyzer=body.get("analyzer"),
+                                 boost=float(body.get("boost", 1.0)))
+
+    def q_wrapper(self, body):
+        inner = json.loads(base64.b64decode(body["query"]).decode("utf-8"))
+        return self.parse(inner)
+
+
+def parse_dsl(query: dict | str, default_field: str = "text",
+              doc_columns: frozenset = DEFAULT_DOC_COLUMNS) -> Query:
+    """Parse a JSON query-DSL object (or JSON string, or a whole search body
+    with a top-level ``"query"`` key) into this engine's Query tree."""
+    if isinstance(query, str):
+        query = json.loads(query)
+    if "query" in query and len(query) == 1:
+        query = query["query"]
+    return _Parser(default_field, frozenset(doc_columns)).parse(query)

@@ -46,6 +46,7 @@ from elasticsearch_ray.search.query import (
     IdsQuery,
     IntervalsQuery,
     MatchAllQuery,
+    MatchNoneQuery,
     MatchPhraseQuery,
     MatchPhrasePrefixQuery,
     MatchQuery,
@@ -347,6 +348,8 @@ class PartitionSearcher:
         if isinstance(q, MatchAllQuery):
             docs = np.arange(r.n_docs, dtype=np.int64)
             return docs, np.full(r.n_docs, q.boost, dtype=dtype)
+        if isinstance(q, MatchNoneQuery):
+            return np.empty(0, np.int64), np.empty(0, dtype)
         if isinstance(q, TermQuery):
             c = self._cursor(fkey(q.field, q.term), scorers)
             if c is None:

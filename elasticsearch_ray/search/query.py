@@ -90,6 +90,14 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoneQuery(Query):
+    """match_none (MatchNoneQueryBuilder, SearchModule.java:1097): matches
+    no documents."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     """Term-dict range scan → constant-score disjunction (PrefixQueryBuilder.java)."""
 
