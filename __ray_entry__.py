@@ -417,6 +417,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.sort_values("event_id").reset_index(drop=True)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def agg_multi_terms(sf):
+        # x-pack multi_terms: buckets over (lang, source) tuples, exact via
+        # the term-keyed shuffle (reference's shard_size cut is approximate)
+        from elasticsearch_ray.ops.aggs import multi_terms_agg
+
+        df = multi_terms_agg(_ds(sf, "documents"), ["lang", "source"],
+                             value_col="n_chars")
+        return df.reset_index(drop=True)
+
+    def agg_random_sampler(sf):
+        # x-pack random_sampler: deterministic Knuth-hash inclusion so the
+        # sampled stats are reproducible and SQL-checkable (p = 0.25)
+        from elasticsearch_ray.ops.aggs import random_sampler_agg, stats_agg
+
+        sampled = random_sampler_agg(_ds(sf, "documents"), "doc_id", 0.25)
+        df = stats_agg(sampled, "lang", "n_chars")
+        # avg recomputed as sum/count of exact integer partials: bit-identical
+        # to DuckDB's SUM/COUNT division, no rounding-boundary risk
+        df["avg"] = df["sum"] / df["count"]
+        return df[["lang", "count", "min", "max", "sum", "avg"]]
+
     def agg_range_orders(sf):
         from elasticsearch_ray.ops.aggs import range_agg
 
@@ -1135,6 +1156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_date_histogram_events": agg_date_histogram_events,
         "agg_time_series": agg_time_series,
         "agg_diversified_sampler": agg_diversified_sampler,
+        "agg_multi_terms": agg_multi_terms,
+        "agg_random_sampler": agg_random_sampler,
         "agg_range_orders": agg_range_orders,
         "agg_cardinality_exact": agg_cardinality_exact,
         "agg_percentiles_quantity": agg_percentiles_quantity,
@@ -1677,6 +1700,22 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM events
             ) WHERE rn <= 3 ORDER BY event_id
+        """,
+        "agg_multi_terms": """
+            SELECT lang, source, count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS sum_n_chars
+            FROM documents
+            GROUP BY lang, source
+            ORDER BY doc_count DESC, lang, source
+        """,
+        "agg_random_sampler": """
+            SELECT lang, count(*)::BIGINT AS count,
+                   min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+                   sum(n_chars)::BIGINT AS sum,
+                   sum(n_chars)::DOUBLE / count(*) AS avg
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < 0.25 * 4294967296
+            GROUP BY lang ORDER BY lang
         """,
         "agg_range_orders": """
             SELECT range_key, count(*)::BIGINT AS doc_count FROM (

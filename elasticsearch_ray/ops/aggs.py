@@ -433,6 +433,38 @@ def sampler_agg(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:
     return ds.random_sample(fraction, seed=seed)
 
 
+def multi_terms_agg(ds: Dataset, keys: list[str], size: int | None = None,
+                    value_col: str | None = None) -> pd.DataFrame:
+    """multi_terms bucket agg (x-pack MultiTermsAggregationBuilder): one
+    bucket per distinct key TUPLE, default order (doc_count desc, keys asc).
+    Same exactness note as terms_agg: the term-keyed shuffle makes this exact
+    where the reference's shard_size cut is approximate."""
+    aggs = [Count(alias_name="doc_count")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    out = ds.groupby(list(keys)).aggregate(*aggs).to_pandas()
+    out = out.sort_values(["doc_count", *keys],
+                          ascending=[False] + [True] * len(keys)).reset_index(drop=True)
+    return out.head(size) if size else out
+
+
+def random_sampler_agg(ds: Dataset, id_col: str, probability: float) -> Dataset:
+    """random_sampler bucket agg (x-pack RandomSamplerAggregationBuilder):
+    probability-p inclusion decided per doc by a DETERMINISTIC multiplicative
+    hash of the id column (Knuth 2654435761 mod 2^32) instead of a seeded
+    RNG — the sample is reproducible across runs/parallelism AND expressible
+    in the SQL oracle, unlike block-order-dependent random_sample. Stays a
+    lazy Dataset; downstream aggs consume the sampled stream."""
+    threshold = int(probability * 4294967296.0)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return batch.filter(pa.array(h < np.uint64(threshold)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def top_shingles(ds: Dataset, text_col: str, n: int = 2, size: int = 20) -> pd.DataFrame:
     """Top word-n-grams via the shingle filter: per-batch shingle + partial
     counts → small groupby (significant_text-style surface over text)."""

@@ -573,3 +573,36 @@ def test_ip_range_and_prefix(ray_session):
     m = dict(zip(pref["prefix"], pref["doc_count"]))
     assert m == {"10.0.0.0/24": 1, "10.0.1.0/24": 1, "10.32.5.0/24": 1,
                  "192.168.1.0/24": 1}
+
+
+def test_multi_terms_agg(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from elasticsearch_ray.ops.aggs import multi_terms_agg
+
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "y"], "b": [1, 1, 1, 2, 2],
+                       "v": [10, 20, 30, 40, 50]})
+    out = multi_terms_agg(ray.data.from_pandas(df), ["a", "b"], value_col="v")
+    assert out.iloc[0][["a", "b"]].tolist() in (["x", 1], ["y", 2])  # both count 2
+    assert out["doc_count"].tolist() == sorted(out["doc_count"], reverse=True)
+    got = {(r["a"], r["b"]): (r["doc_count"], r["sum_v"]) for _, r in out.iterrows()}
+    assert got == {("x", 1): (2, 30), ("y", 1): (1, 30), ("y", 2): (2, 90)}
+
+
+def test_random_sampler_agg_deterministic(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from elasticsearch_ray.ops.aggs import random_sampler_agg
+
+    df = pd.DataFrame({"doc_id": range(1000), "v": range(1000)})
+    a = set(random_sampler_agg(ray.data.from_pandas(df), "doc_id", 0.3)
+            .to_pandas()["doc_id"])
+    b = set(random_sampler_agg(ray.data.from_pandas(df), "doc_id", 0.3)
+            .to_pandas()["doc_id"])
+    assert a == b  # hash-based: identical across runs and block layouts
+    assert 0.2 < len(a) / 1000 < 0.4
+    # matches the SQL-oracle predicate exactly
+    expect = {i for i in range(1000) if (i * 2654435761) % 4294967296 < 0.3 * 4294967296}
+    assert a == expect
