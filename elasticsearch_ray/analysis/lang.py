@@ -5,7 +5,9 @@ the big five for this corpus's languages (fr/de/es/ru/zh) as light chains:
   french   standard → elision → lowercase → stop(fr) → french light stem
   german   standard → lowercase → stop(de) → umlaut-normalize → light stem
   spanish  standard → lowercase → stop(es) → accent-fold → light stem
-  russian  standard → lowercase → stop(ru) → light suffix stem
+  russian  standard → lowercase → stop(ru) → Snowball Russian stem
+           (Lucene RussianAnalyzer wraps SnowballFilter — the one chain of
+           the five whose reference stemmer is Snowball, not light)
   cjk      standard → lowercase → CJK BIGRAMS (CJKBigramFilter semantics:
            ideograph runs emit overlapping bigrams; isolated single
            ideographs emit a unigram; non-CJK tokens pass through)
@@ -193,8 +195,25 @@ class SpanishAnalyzer(_StemAnalyzer):
 
 
 class RussianAnalyzer(_StemAnalyzer):
+    """russian: Lucene RussianAnalyzer parity — SnowballFilter(RussianStemmer),
+    i.e. the published Snowball Russian algorithm, NOT the light family the
+    other chains use (Lucene's fr/de/es analyzers really do use the Light
+    stemmers; only Russian defaults to Snowball)."""
+
     name = "russian"
     stopwords = RUSSIAN_STOP
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.snowball_ru import stem as snowball_stem
+
+        return snowball_stem(t)
+
+
+class RussianLightAnalyzer(RussianAnalyzer):
+    """light_russian stemmer option (StemmerTokenFilterFactory's
+    ``light_russian`` / Savoy family) kept as a named variant."""
+
+    name = "russian_light"
 
     def stem(self, t: str) -> str:
         return russian_light_stem(t)
@@ -242,4 +261,5 @@ register("french", FrenchAnalyzer)
 register("german", GermanAnalyzer)
 register("spanish", SpanishAnalyzer)
 register("russian", RussianAnalyzer)
+register("russian_light", RussianLightAnalyzer)
 register("cjk", CjkAnalyzer)

@@ -1,6 +1,8 @@
 """Golden token fixtures for the language analyzer chains
-(CommonAnalysisPlugin.java:179-219 surface; light-stemmer family per Savoy
-SAC'06 / JASIS'99 — semantics pinned HERE, not snowball parity)."""
+(CommonAnalysisPlugin.java:179-219 surface). fr/de/es use the light-stemmer
+family (Savoy SAC'06 / JASIS'99) — which is what Lucene's analyzers for those
+languages actually run; russian uses the Snowball stemmer (Lucene
+RussianAnalyzer parity, see analysis/snowball_ru.py)."""
 
 import pytest
 
@@ -22,8 +24,10 @@ GOLDEN = {
         ("los resultados únicos", (["resultad", "unic"], [1, 2])),
     ],
     "russian": [
+        # snowball russian (Lucene RussianAnalyzer parity): данных → да
+        # (adjective ых, then participle нн preceded by а)
         ("быстрые запросы", (["быстр", "запрос"], [0, 1])),
-        ("окна данных", (["окн", "данн"], [0, 1])),
+        ("окна данных", (["окн", "да"], [0, 1])),
     ],
     "cjk": [
         ("分布式搜索", (["分布", "布式", "式搜", "搜索"], [0, 1, 2, 3])),
