@@ -299,6 +299,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"query": {"wrapper": {"query": b64}}})
         return _doc_set(_documents_index(sf), q)
 
+    def search_matched_queries(sf):
+        # matched_queries fetch subphase over _name-tagged DSL clauses: every
+        # OR hit annotated with which named clauses matched it
+        from elasticsearch_ray.search.dsl import parse_dsl_with_names
+
+        eng = _documents_index(sf)
+        q, named = parse_dsl_with_names({"bool": {"should": [
+            {"match": {"text": {"query": "spark", "_name": "q_spark"}}},
+            {"match": {"text": {"query": "join", "_name": "q_join"}}},
+            {"match_phrase": {"text": {"query": "spark join", "_name": "q_phrase"}}},
+        ]}})
+        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+        mq = eng.matched_queries(named, res)
+        df = pd.DataFrame({"doc_id": res["doc_id"].to_pylist(),
+                           "mq": [",".join(n) for n in mq]})
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def search_highlight_scan(sf):
         # distributed highlight over ALL hits: one map_batches task per
         # partition runs query-eval + pruned source fetch + term-wrap locally
@@ -1133,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_highlight": search_highlight,
         "search_highlight_scan": search_highlight_scan,
         "search_dsl_wrapper": search_dsl_wrapper,
+        "search_matched_queries": search_matched_queries,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
@@ -1508,6 +1526,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (' ' || text || ' ' LIKE '% spark %'
                    OR ' ' || text || ' ' LIKE '% join %')
               AND ' ' || text || ' ' NOT LIKE '% window %'
+            ORDER BY doc_id
+        """,
+        "search_matched_queries": """
+            SELECT doc_id,
+                   concat_ws(',',
+                     CASE WHEN ' ' || text || ' ' LIKE '% join %' THEN 'q_join' END,
+                     CASE WHEN ' ' || text || ' ' LIKE '% spark join %' THEN 'q_phrase' END,
+                     CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 'q_spark' END
+                   ) AS mq
+            FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+               OR ' ' || text || ' ' LIKE '% join %'
             ORDER BY doc_id
         """,
         "search_highlight_scan": r"""

@@ -107,6 +107,7 @@ class _Parser:
     def __init__(self, default_field: str, doc_columns: frozenset):
         self.default_field = default_field
         self.doc_columns = doc_columns
+        self.named: dict[str, Query] = {}  # _name → parsed clause (matched_queries)
 
     def _f(self, field: str):
         return None if field == self.default_field else field
@@ -118,7 +119,21 @@ class _Parser:
         fn = getattr(self, f"q_{kind}", None)
         if fn is None:
             raise DslError(f"unsupported query type {kind!r}")
-        return fn(body)
+        name = None
+        if isinstance(body, dict):
+            if "_name" in body:  # compound-level: {"bool": {..., "_name": n}}
+                body = dict(body)
+                name = body.pop("_name")
+            elif len(body) == 1:  # fielded: {"match": {"f": {..., "_name": n}}}
+                f, v = next(iter(body.items()))
+                if isinstance(v, dict) and "_name" in v:
+                    v = dict(v)
+                    name = v.pop("_name")
+                    body = {f: v}
+        q = fn(body)
+        if name is not None:
+            self.named[str(name)] = q
+        return q
 
     def _list(self, v) -> tuple:
         if isinstance(v, dict):
@@ -400,8 +415,19 @@ def parse_dsl(query: dict | str, default_field: str = "text",
               doc_columns: frozenset = DEFAULT_DOC_COLUMNS) -> Query:
     """Parse a JSON query-DSL object (or JSON string, or a whole search body
     with a top-level ``"query"`` key) into this engine's Query tree."""
+    q, _ = parse_dsl_with_names(query, default_field, doc_columns)
+    return q
+
+
+def parse_dsl_with_names(query: dict | str, default_field: str = "text",
+                         doc_columns: frozenset = DEFAULT_DOC_COLUMNS
+                         ) -> tuple[Query, dict[str, Query]]:
+    """Like parse_dsl but also returns the ``_name``-tagged clauses
+    ({name: sub-query}) for the matched_queries fetch feature
+    (AbstractQueryBuilder#queryName / MatchedQueriesPhase analog)."""
     if isinstance(query, str):
         query = json.loads(query)
     if "query" in query and len(query) == 1:
         query = query["query"]
-    return _Parser(default_field, frozenset(doc_columns)).parse(query)
+    p = _Parser(default_field, frozenset(doc_columns))
+    return p.parse(query), p.named

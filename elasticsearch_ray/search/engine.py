@@ -1724,6 +1724,196 @@ class QueryEngine:
                 out[j] = wrap(text)
         return out
 
+    def matched_queries(self, named: dict[str, Query], hits: pa.Table) -> list[list[str]]:
+        """matched_queries fetch subphase (MatchedQueriesPhase analog): for
+        each hit row (part, local), the sorted list of ``_name``-tagged
+        clauses that match it. Each named clause is evaluated ONCE per
+        touched partition as a non-scoring filter; per-hit membership is a
+        searchsorted against that doc set."""
+        parts_a = hits["part"].to_numpy()
+        locals_a = hits["local"].to_numpy()
+        out: list[list[str]] = [[] for _ in range(len(hits))]
+        for p in np.unique(parts_a):
+            s = self._searcher(int(p))
+            idx = np.flatnonzero(parts_a == p)
+            for name in sorted(named):
+                q = self._rewrite(named[name])
+                scorers, _ = self._scorers_cached(q)
+                docs = s._eval_filter(q, scorers)
+                pos = np.searchsorted(docs, locals_a[idx])
+                ok = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)]
+                                          == locals_a[idx]) if len(docs) else \
+                    np.zeros(len(idx), dtype=bool)
+                for j in idx[ok]:
+                    out[int(j)].append(name)
+        return out
+
+    def script_fields(self, hits: pa.Table, fields: dict,
+                      source_columns: tuple = ()) -> pa.Table:
+        """script_fields / runtime-field fetch subphase (FetchScriptFieldsPhase;
+        Painless's role is played by Python callables): each callable receives
+        the per-hit SOURCE table (requested ``source_columns``, rows in hit
+        order) and returns a column (pa.Array / numpy / list) appended under
+        its field name. Source reads are batched per partition/input file."""
+        parts_a = hits["part"].to_numpy()
+        locals_a = hits["local"].to_numpy()
+        pieces = []
+        order = []
+        for p in np.unique(parts_a):
+            idx = np.flatnonzero(parts_a == p)
+            order.append(idx)
+            pieces.append(_fetch_source_rows(self._searcher(int(p)).r.manifest,
+                                             locals_a[idx], list(source_columns)))
+        src = pa.concat_tables(pieces)
+        # back to original hit order
+        inv = np.empty(len(hits), dtype=np.int64)
+        inv[np.concatenate(order)] = np.arange(len(hits))
+        src = src.take(pa.array(inv))
+        out = hits
+        for name, fn in fields.items():
+            col = fn(src)
+            if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                col = pa.array(col)
+            out = out.append_column(name, col)
+        return out
+
+    def explain(self, q: Query | str, doc_id: int) -> dict:
+        """_explain API analog (RestExplainAction / Lucene Explanation tree):
+        per-doc score breakdown as nested {value, description, details, match}.
+
+        The top-level value is the ACTUAL engine score for the doc (same
+        evaluation path as search, so it is bit-identical, float32 narrowing
+        included); the detail tree decomposes it per clause/term with the
+        BM25 components (boost, idf(n,N), tf/dl/avgdl fraction)."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        q = self._rewrite(q)
+        scorers, _ = self._scorers_cached(q)
+        part, local = self._locate(int(doc_id))
+        s = self._searcher(part)
+        docs, scores = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
+        i = int(np.searchsorted(docs, local))
+        if i >= len(docs) or docs[i] != local:
+            return {"match": False, "value": 0.0,
+                    "description": f"no matching clauses for doc {doc_id}", "details": []}
+        node = self._explain_node(q, scorers, s, local)
+        node["value"] = float(scores[i])  # authoritative: the search-path score
+        node["match"] = True
+        return node
+
+    def _explain_term(self, term: str, scorers, s, local: int, freq=None) -> dict:
+        """Leaf explanation for one term (or a phrase pseudo-term when
+        ``freq`` is pre-computed): Lucene BM25Similarity.explain shape."""
+        sc = scorers.get(term if freq is None else ("__phrase__",) + tuple(term))
+        if freq is None:
+            row = s.r.lookup([term])[0]
+            if row < 0:
+                return {"match": False, "value": 0.0,
+                        "description": f"no occurrences of {term!r}", "details": []}
+            from elasticsearch_ray.index.postings import decode_postings
+
+            d, tfs = decode_postings(s.r.blob(int(row)))
+            j = int(np.searchsorted(d, local))
+            if j >= len(d) or d[j] != local:
+                return {"match": False, "value": 0.0,
+                        "description": f"term {term!r} absent from doc", "details": []}
+            tf = int(tfs[j])
+            fld = field_of_term(term)
+            label = f"weight({term!r} in doc) [BM25Similarity]"
+        else:
+            tf = int(freq)
+            fld = None
+            label = f"phrase({'/'.join(term)}) freq-scored [BM25Similarity]"
+        nl = s.r.norms if fld is None else s.r.norms_for(fld)
+        nb = int(nl[local]) & 0xFF
+        val = float(sc.score(np.array([tf]), np.array([nb]))[0])
+        df_map = self._global_stats([term]) if freq is None else {}
+        n = int(df_map.get(term, 0))
+        from elasticsearch_ray.index.norms import LENGTH_TABLE
+        from elasticsearch_ray.search.bm25 import idf as idf_fn
+
+        details = [
+            {"value": float(sc.weight), "description":
+                "query weight = boost * (k1 + 1) * idf", "details": (
+                [{"value": idf_fn(n, self.n_docs),
+                  "description": "idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5))",
+                  "details": [
+                      {"value": n, "description": "n, number of documents containing term",
+                       "details": []},
+                      {"value": self.n_docs, "description":
+                          "N, total number of documents", "details": []}]}]
+                if freq is None else [])},
+            {"value": val / float(sc.weight) if sc.weight else 0.0,
+             "description": "tf fraction, computed as freq / (freq + k1 * "
+                            "(1 - b + b * dl / avgdl))",
+             "details": [
+                 {"value": tf, "description": "freq, occurrences of term within document",
+                  "details": []},
+                 {"value": self.params.k1, "description": "k1, term saturation parameter",
+                  "details": []},
+                 {"value": self.params.b, "description": "b, length normalization parameter",
+                  "details": []},
+                 {"value": float(LENGTH_TABLE[nb]), "description":
+                     "dl, length of field (SmallFloat-lossy)", "details": []},
+                 {"value": float(self.avgdl_for(fld)), "description":
+                     "avgdl, average length of field", "details": []}]},
+        ]
+        return {"match": True, "value": val, "description": label, "details": details}
+
+    def _explain_node(self, q: Query, scorers, s, local: int) -> dict:
+        """Structural decomposition; unknown types fall back to a single
+        opaque node whose value the caller overwrites with the real score."""
+        an_name = self.analyzer_name
+        if isinstance(q, TermQuery):
+            return self._explain_term(fkey(q.field, q.term), scorers, s, local)
+        if isinstance(q, (MatchQuery, TermsQuery)):
+            if isinstance(q, MatchQuery):
+                terms = [fkey(q.field, t)
+                         for t in get_analyzer(q.analyzer or an_name)(q.text)[0]]
+            else:
+                terms = list(q.terms)
+            details = [self._explain_term(t, scorers, s, local) for t in terms]
+            matched = [d for d in details if d["match"]]
+            return {"match": bool(matched), "value": float(sum(d["value"] for d in matched)),
+                    "description": "sum of:", "details": details}
+        if isinstance(q, MatchPhraseQuery):
+            terms = [fkey(q.field, t)
+                     for t in get_analyzer(q.analyzer or an_name)(q.text)[0]]
+            docs, freqs = s._phrase_docs(terms, slop=q.slop)
+            j = int(np.searchsorted(docs, local))
+            if j >= len(docs) or docs[j] != local:
+                return {"match": False, "value": 0.0,
+                        "description": "phrase absent from doc", "details": []}
+            return self._explain_term(tuple(terms), scorers, s, local, freq=int(freqs[j]))
+        if isinstance(q, BoolQuery):
+            details = []
+            for group, subs in (("must", q.must), ("should", q.should)):
+                for sub in subs:
+                    d = self._explain_node(sub, scorers, s, local)
+                    d["description"] = f"{group}: " + d["description"]
+                    details.append(d)
+            for sub in q.filter:
+                details.append({"match": True, "value": 0.0,
+                                "description": f"filter: {type(sub).__name__} "
+                                               "(non-scoring)", "details": []})
+            matched = [d for d in details if d["match"]]
+            return {"match": bool(matched), "value": float(sum(d["value"] for d in matched)),
+                    "description": "sum of:", "details": details}
+        if isinstance(q, ConstantScoreQuery):
+            return {"match": True, "value": float(q.boost),
+                    "description": "ConstantScore, query boost", "details": []}
+        if isinstance(q, DisMaxQuery):
+            details = [self._explain_node(sub, scorers, s, local) for sub in q.queries]
+            vals = [d["value"] for d in details if d["match"]]
+            best = max(vals) if vals else 0.0
+            val = best + q.tie_breaker * (sum(vals) - best)
+            return {"match": bool(vals), "value": float(val),
+                    "description": f"max plus {q.tie_breaker} times others of:",
+                    "details": details}
+        return {"match": True, "value": 0.0,
+                "description": f"{type(q).__name__} score (evaluated by the "
+                               "search path; no further decomposition)", "details": []}
+
     def highlight_scan(self, q: Query | str, text_column: str = "text",
                        pre_tag: str = "<em>", post_tag: str = "</em>",
                        fetch: tuple = ("doc_id",)):
