@@ -299,6 +299,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"query": {"wrapper": {"query": b64}}})
         return _doc_set(_documents_index(sf), q)
 
+    def search_post_filter(sf):
+        # post_filter: hits filtered AFTER scoring (scores computed from the
+        # UNfiltered corpus stats), SearchSourceBuilder#postFilter analog
+        from elasticsearch_ray.search.query import TermFilter
+
+        eng = _documents_index(sf)
+        res = eng.search(MatchQuery("spark"), k=60, fetch=("doc_id",),
+                         post_filter=TermFilter(column="lang", value="en"))
+        df = res.to_pandas()[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+    def search_terminate_after(sf):
+        # terminate_after: stop collecting after N matching docs per shard
+        # (collection = doc order); documents table is one partition, so the
+        # cut is the global first-N matching doc_ids
+        eng = _documents_index(sf)
+        res = eng.search(MatchQuery("spark"), k=10**9, fetch=("doc_id",),
+                         terminate_after=25)
+        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def search_matched_queries(sf):
         # matched_queries fetch subphase over _name-tagged DSL clauses: every
         # OR hit annotated with which named clauses matched it
@@ -1151,6 +1175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_highlight_scan": search_highlight_scan,
         "search_dsl_wrapper": search_dsl_wrapper,
         "search_matched_queries": search_matched_queries,
+        "search_post_filter": search_post_filter,
+        "search_terminate_after": search_terminate_after,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_index_synonym": search_index_synonym,
@@ -1527,6 +1553,14 @@ def oracle_sql() -> dict[str, str]:
                    OR ' ' || text || ' ' LIKE '% join %')
               AND ' ' || text || ' ' NOT LIKE '% window %'
             ORDER BY doc_id
+        """,
+        "search_post_filter": _bm25_sql(["spark"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_terminate_after": """
+            SELECT doc_id FROM (
+              SELECT doc_id FROM documents
+              WHERE ' ' || text || ' ' LIKE '% spark %'
+              ORDER BY doc_id LIMIT 25
+            ) ORDER BY doc_id
         """,
         "search_matched_queries": """
             SELECT doc_id,

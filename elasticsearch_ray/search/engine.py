@@ -1356,7 +1356,9 @@ class QueryEngine:
     def search(self, q: Query | str, k: int = 10, mode: str = "bmw",
                fetch: tuple = ("url", "doc_id"), sort: list | None = None,
                search_after: tuple | None = None, collapse: str | None = None,
-               rescore: tuple | None = None, min_score: float | None = None) -> pa.Table:
+               rescore: tuple | None = None, min_score: float | None = None,
+               post_filter: Query | None = None,
+               terminate_after: int | None = None) -> pa.Table:
         """Top-k search → Table(rank, score, part, local, + fetched columns).
 
         Default order: (score desc, part asc, doc asc) — the reference's
@@ -1370,6 +1372,12 @@ class QueryEngine:
           rescore: (query, window_size, query_weight, rescore_weight) —
                 re-rank the top window with a second query (QueryRescorer).
           min_score: drop hits below this score (QueryPhase min_score).
+          post_filter: non-scoring filter applied to HITS after scoring
+                (SearchSourceBuilder#postFilter — scores unchanged, an agg
+                collector would see the unfiltered stream).
+          terminate_after: per-shard collection cut after N matching docs in
+                doc order (QueryPhase terminate_after; counts become lower
+                bounds, like the reference's terminated_early response).
 
         sort/collapse/rescore evaluate on the local backend (cached readers);
         the warm-actor backend serves the hot default-order top-k path.
@@ -1377,6 +1385,8 @@ class QueryEngine:
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
+        if post_filter is not None or terminate_after is not None:
+            return self._search_post(q, k, fetch, post_filter, terminate_after)
         if self._coords:
             import ray
 
@@ -1449,6 +1459,42 @@ class QueryEngine:
             tbl = tbl.sort_by("rank")
         return tbl
 
+
+    def _search_post(self, q: Query, k: int, fetch: tuple,
+                     post_filter: Query | None, terminate_after: int | None) -> pa.Table:
+        """post_filter / terminate_after path: per-partition exhaustive
+        collection (terminate_after is a COLLECTION-order cut, so the scored
+        stream must be walked in doc order, not best-first), filter
+        intersection without score changes, then the usual merged top-k."""
+        scorers, _ = self._scorers_cached(q)
+        pf = self._rewrite(post_filter) if post_filter is not None else None
+        parts_l, docs_l, scores_l = [], [], []
+        for p in self.parts:
+            s = self._searcher(p)
+            docs, scores = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
+            if terminate_after is not None:
+                docs, scores = docs[:terminate_after], scores[:terminate_after]
+            if pf is not None and len(docs):
+                fd = s._eval_filter(pf, scorers)
+                keep = np.isin(docs, fd, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+            parts_l.append(np.full(len(docs), p, dtype=np.int64))
+            docs_l.append(docs)
+            scores_l.append(np.asarray(scores, np.float64))
+        if not docs_l or sum(map(len, docs_l)) == 0:
+            return pa.table({"rank": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "part": pa.array([], pa.int64()),
+                             "local": pa.array([], pa.int64())})
+        parts_a = np.concatenate(parts_l)
+        docs_a = np.concatenate(docs_l)
+        scores_a = np.concatenate(scores_l)
+        order = np.lexsort((docs_a, parts_a, -scores_a))[:k]
+        parts_a, docs_a, scores_a = parts_a[order], docs_a[order], scores_a[order]
+        tbl = pa.table({"rank": pa.array(np.arange(1, len(order) + 1)),
+                        "score": pa.array(scores_a),
+                        "part": pa.array(parts_a), "local": pa.array(docs_a)})
+        return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
     def scan(self, q: Query | str, batch_size: int = 1000, fetch: tuple = ("doc_id",)):
         """Scroll analog (search/Scroll.java semantics): iterate ALL hits in

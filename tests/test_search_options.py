@@ -249,3 +249,41 @@ def test_highlight_scan_distributed(web_engine):
     for _, r in df.head(3).iterrows():
         assert r["hl"] == web_engine.highlight(q, int(r["part"]), int(r["local"]))
     assert (df["hl"].str.contains("<em>")).all() or len(df) == 0
+
+
+def test_post_filter_scores_unchanged(web_engine):
+    """post_filter removes hits but never changes scores (scores computed
+    against the UNfiltered corpus)."""
+    from elasticsearch_ray.search.query import TermFilter
+
+    q = MatchQuery("spark")
+    plain = web_engine.search(q, k=50, fetch=("doc_id", "lang"))
+    filt = web_engine.search(q, k=50, fetch=("doc_id", "lang"),
+                             post_filter=TermFilter(column="lang", value="en"))
+    assert set(filt["lang"].to_pylist()) == {"en"}
+    by_doc = dict(zip(plain["doc_id"].to_pylist(), plain["score"].to_pylist()))
+    for r in filt.to_pylist():
+        if r["doc_id"] in by_doc:
+            assert r["score"] == by_doc[r["doc_id"]]
+    # filtered hits are exactly the en-subset of the full ranking
+    want = [r["doc_id"] for r in plain.to_pylist() if r["lang"] == "en"]
+    got = filt["doc_id"].to_pylist()
+    assert got[: len(want)] == want[: len(got)]
+
+
+def test_terminate_after_per_shard_cut(web_engine):
+    q = MatchQuery("spark")
+    full = web_engine.search(q, k=10**9, fetch=("doc_id",), terminate_after=None)
+    cut = web_engine.search(q, k=10**9, fetch=("doc_id",), terminate_after=3)
+    # ≤ 3 hits per partition, and each partition's hits are its first 3 in doc order
+    import collections
+
+    per_part = collections.defaultdict(list)
+    for r in cut.to_pylist():
+        per_part[r["part"]].append(r["local"])
+    full_per_part = collections.defaultdict(list)
+    for r in full.to_pylist():
+        full_per_part[r["part"]].append(r["local"])
+    for p, locs in per_part.items():
+        assert len(locs) <= 3
+        assert sorted(locs) == sorted(full_per_part[p])[:len(locs)]
