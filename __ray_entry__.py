@@ -299,6 +299,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"query": {"wrapper": {"query": b64}}})
         return _doc_set(_documents_index(sf), q)
 
+    def search_scan_dataset(sf):
+        # sliced-scroll analog: ALL hits as a streaming Dataset (one task per
+        # partition; _source columns via pruned lineage reads)
+        eng = _documents_index(sf)
+        ds = eng.scan_dataset(MatchQuery("merge sort"), fetch=("doc_id",),
+                              source_columns=("lang",))
+        df = pd.DataFrame(ds.take_all())[["doc_id", "lang"]]
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def search_post_filter(sf):
         # post_filter: hits filtered AFTER scoring (scores computed from the
         # UNfiltered corpus stats), SearchSourceBuilder#postFilter analog
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dsl_wrapper": search_dsl_wrapper,
         "search_matched_queries": search_matched_queries,
         "search_post_filter": search_post_filter,
+        "search_scan_dataset": search_scan_dataset,
         "search_terminate_after": search_terminate_after,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
@@ -1552,6 +1562,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE (' ' || text || ' ' LIKE '% spark %'
                    OR ' ' || text || ' ' LIKE '% join %')
               AND ' ' || text || ' ' NOT LIKE '% window %'
+            ORDER BY doc_id
+        """,
+        "search_scan_dataset": """
+            SELECT doc_id, lang FROM documents
+            WHERE ' ' || text || ' ' LIKE '% merge %'
+               OR ' ' || text || ' ' LIKE '% sort %'
             ORDER BY doc_id
         """,
         "search_post_filter": _bm25_sql(["spark"], k=10, doc_filter="doc.lang = 'en'"),

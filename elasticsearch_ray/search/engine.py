@@ -1972,13 +1972,30 @@ class QueryEngine:
         the way ``highlight_hits`` does for a small top-k page. Scorers are
         built once on the driver from global stats and ship once per task.
         """
+        return self._scan_ds(q, fetch, source_columns=(), source_out=(),
+                             highlight=True, text_column=text_column,
+                             pre_tag=pre_tag, post_tag=post_tag)
+
+    def scan_dataset(self, q: Query | str, fetch: tuple = ("doc_id",),
+                     source_columns: tuple = ()):
+        """Sliced-scroll analog (SliceBuilder / parallel scroll): ALL hits of
+        a query as a streaming Ray Dataset — one map_batches task per
+        partition evaluates locally and attaches doc fields plus requested
+        ``_source`` columns (pruned reads from the partition's input files).
+        The natural head of a reindex/export pipeline: compose with
+        map_batches / write_parquet downstream."""
+        return self._scan_ds(q, fetch, source_columns=tuple(source_columns),
+                             source_out=tuple(source_columns), highlight=False,
+                             text_column="text", pre_tag="", post_tag="")
+
+    def _scan_ds(self, q, fetch, source_columns, source_out, highlight,
+                 text_column, pre_tag, post_tag):
         import ray.data
 
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._rewrite(q)
         scorers, _ = self._scorers_cached(q)
-        terms = frozenset(query_terms(q, self.analyzer_name))
         cfg = {
             "index_dir": self.index_dir,
             "q": q,
@@ -1986,15 +2003,18 @@ class QueryEngine:
             "analyzer": self.analyzer_name,
             "params_kb": (self.params.k1, self.params.b),
             "dtype": self.dtype,
-            "terms": terms,
+            "terms": (frozenset(query_terms(q, self.analyzer_name))
+                      if highlight else None),
             "text_column": text_column,
             "pre_tag": pre_tag,
             "post_tag": post_tag,
             "fetch": tuple(fetch),
+            "source_columns": source_columns,
+            "source_out": source_out,
         }
         ds = ray.data.from_items([{"part": int(p)} for p in self.parts],
                                  override_num_blocks=len(self.parts))
-        return ds.map_batches(_highlight_part_fn, fn_args=(cfg,),
+        return ds.map_batches(_scan_part_fn, fn_args=(cfg,),
                               batch_format="pyarrow", batch_size=None)
 
     def highlight(self, q: Query, part: int, local: int, text_column: str = "text",
@@ -2029,6 +2049,11 @@ def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.
         bases.append(acc)
         acc += n
     locs = np.asarray(locals_, dtype=np.int64)
+    if len(locs) == 0:
+        schema = pq.read_schema(paths[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return schema.empty_table()
     fis = np.searchsorted(bases, locs, side="right") - 1
     pieces = {}
     for fi in np.unique(fis):
@@ -2076,33 +2101,37 @@ def _hl_searcher(index_dir: str, part: int, analyzer_name: str, params_kb: tuple
     return s
 
 
-def _highlight_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
+def _scan_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
     """One Ray-Data task per partition: evaluate the (pre-rewritten) query
-    exhaustively, fetch matching sources from the partition's input files,
-    and term-wrap — query, fetch and highlight phases all run partition-local
-    (no shuffle, no driver loop)."""
+    exhaustively, attach fetched doc fields / source columns, optionally
+    term-wrap a highlight — query, fetch and highlight phases all run
+    partition-local (no shuffle, no driver loop)."""
     out_tables = []
     fetch = cfg["fetch"]
-    terms = cfg["terms"]
+    source_columns = list(cfg.get("source_columns") or ())
+    hl_terms = cfg.get("terms")
+    if hl_terms is not None and cfg["text_column"] not in source_columns:
+        source_columns = source_columns + [cfg["text_column"]]
     for part in batch["part"].to_pylist():
         s = _hl_searcher(cfg["index_dir"], int(part), cfg["analyzer"],
                          cfg["params_kb"], cfg["dtype"])
         docs, scores = s._eval_scoring(cfg["q"], cfg["scorers"], k=None, mode="exhaustive")
         docs = _as_np(docs).astype(np.int64)
-        if len(docs):
-            src = _fetch_source_rows(s.r.manifest, docs, columns=[cfg["text_column"]])
-            hl = [_wrap_terms(t, terms, cfg["pre_tag"], cfg["post_tag"])
-                  for t in src[cfg["text_column"]].to_pylist()]
-        else:
-            hl = []
         cols = {}
         if fetch:
             ft = s.r.doc_fields(docs, fetch)
             cols = {c: ft[c] for c in ft.column_names}
+        if source_columns:
+            src = _fetch_source_rows(s.r.manifest, docs, columns=source_columns)
+            for c in cfg.get("source_out", source_columns):
+                cols[c] = src[c]
         cols["part"] = pa.array(np.full(len(docs), part, np.int64))
         cols["local"] = pa.array(docs)
         cols["score"] = pa.array(np.asarray(scores, np.float64))
-        cols["hl"] = pa.array(hl, pa.string())
+        if hl_terms is not None:
+            hl = [_wrap_terms(t, hl_terms, cfg["pre_tag"], cfg["post_tag"])
+                  for t in (src[cfg["text_column"]].to_pylist() if len(docs) else [])]
+            cols["hl"] = pa.array(hl, pa.string())
         out_tables.append(pa.table(cols))
     return pa.concat_tables(out_tables)
 

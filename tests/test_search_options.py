@@ -287,3 +287,19 @@ def test_terminate_after_per_shard_cut(web_engine):
     for p, locs in per_part.items():
         assert len(locs) <= 3
         assert sorted(locs) == sorted(full_per_part[p])[:len(locs)]
+
+
+def test_scan_dataset_matches_scan(web_engine):
+    """Distributed sliced-scroll == driver-side scan (same hits, fields,
+    source columns)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    q = MatchQuery("spark join")
+    ds = web_engine.scan_dataset(q, fetch=("doc_id",), source_columns=("url",))
+    got = pd.DataFrame(ds.take_all()).sort_values(["part", "local"]).reset_index(drop=True)
+    ser = pa.concat_tables(list(web_engine.scan(q, fetch=("doc_id", "url")))).to_pandas()
+    ser = ser.sort_values(["part", "local"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == ser["doc_id"].tolist()
+    assert got["url"].tolist() == ser["url"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(), ser["score"].to_numpy(), rtol=1e-12)
