@@ -299,6 +299,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"query": {"wrapper": {"query": b64}}})
         return _doc_set(_documents_index(sf), q)
 
+    def reindex_query_pipeline(sf):
+        # index → query (sliced scroll) → ingest processor → parquet sink,
+        # read back for the oracle compare (uppercase(lang) transform)
+        import shutil
+        import tempfile
+
+        from elasticsearch_ray.pipelines.reindex import reindex_query
+
+        eng = _documents_index(sf)
+        dst = tempfile.mkdtemp(prefix="esray_reindexq_")
+        try:
+            reindex_query(eng, dst, MatchQuery("filter"),
+                          processors=[{"uppercase": {"field": "lang"}}],
+                          source_columns=("lang",))
+            import pyarrow.dataset as pads
+
+            out = pads.dataset(dst).to_table().to_pandas()[["doc_id", "lang"]]
+            return out.sort_values("doc_id").reset_index(drop=True)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
     def search_scan_dataset(sf):
         # sliced-scroll analog: ALL hits as a streaming Dataset (one task per
         # partition; _source columns via pruned lineage reads)
@@ -1186,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_matched_queries": search_matched_queries,
         "search_post_filter": search_post_filter,
         "search_scan_dataset": search_scan_dataset,
+        "reindex_query_pipeline": reindex_query_pipeline,
         "search_terminate_after": search_terminate_after,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
@@ -1562,6 +1584,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE (' ' || text || ' ' LIKE '% spark %'
                    OR ' ' || text || ' ' LIKE '% join %')
               AND ' ' || text || ' ' NOT LIKE '% window %'
+            ORDER BY doc_id
+        """,
+        "reindex_query_pipeline": """
+            SELECT doc_id, upper(lang) AS lang FROM documents
+            WHERE ' ' || text || ' ' LIKE '% filter %'
             ORDER BY doc_id
         """,
         "search_scan_dataset": """

@@ -69,3 +69,27 @@ def reindex(
         )
         rows = sum(r["rows"] for r in res)
     return {"shards": len(shards), "skipped": skipped, "rows": rows}
+
+
+def reindex_query(engine, dst_dir: str, q, processors: list | None = None,
+                  source_columns: tuple = ("text", "lang"),
+                  fetch: tuple = ("doc_id",)) -> int:
+    """Query-filtered reindex (``Reindexer.java`` source-with-query +
+    ``remote.query`` surface): the distributed sliced scroll
+    (``engine.scan_dataset``) heads the pipeline, ingest processors run per
+    batch, and the partitioned parquet sink streams — index → query →
+    transform → sink without any driver materialization. Returns rows
+    written."""
+    pipe = Pipeline(processors or [])
+    ds = engine.scan_dataset(q, fetch=fetch, source_columns=source_columns)
+
+    def xf(df):
+        return pipe(df)
+
+    ds = ds.map_batches(xf, batch_format="pandas")
+    os.makedirs(dst_dir, exist_ok=True)
+    ds.write_parquet(dst_dir)
+    import glob
+
+    return sum(pq.read_metadata(p).num_rows
+               for p in glob.glob(os.path.join(dst_dir, "*.parquet")))
