@@ -299,6 +299,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"query": {"wrapper": {"query": b64}}})
         return _doc_set(_documents_index(sf), q)
 
+    def agg_query_scoped_terms(sf):
+        # the reference's search-request agg: buckets computed over the
+        # QUERY's matching docs — scan_dataset (per-partition eval) feeds the
+        # terms agg, Ray-Data-first composition with no driver loop
+        from elasticsearch_ray.ops.aggs import terms_agg
+
+        eng = _documents_index(sf)
+        ds = eng.scan_dataset(MatchQuery("spark"), fetch=("lang",))
+        df = terms_agg(ds.select_columns(["lang"]), "lang")
+        return df.reset_index(drop=True)
+
+    def agg_query_scoped_stats(sf):
+        # metric agg over a query's hit set (stats on n_chars of spark docs)
+        from elasticsearch_ray.ops.aggs import stats_agg
+
+        eng = _documents_index(sf)
+        ds = eng.scan_dataset(MatchQuery("spark"), fetch=("lang", "n_chars"))
+        df = stats_agg(ds.select_columns(["lang", "n_chars"]), "lang", "n_chars")
+        df["avg"] = df["sum"] / df["count"]
+        return df[["lang", "count", "min", "max", "sum", "avg"]]
+
     def reindex_query_pipeline(sf):
         # index → query (sliced scroll) → ingest processor → parquet sink,
         # read back for the oracle compare (uppercase(lang) transform)
@@ -1208,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_post_filter": search_post_filter,
         "search_scan_dataset": search_scan_dataset,
         "reindex_query_pipeline": reindex_query_pipeline,
+        "agg_query_scoped_terms": agg_query_scoped_terms,
+        "agg_query_scoped_stats": agg_query_scoped_stats,
         "search_terminate_after": search_terminate_after,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
@@ -1585,6 +1608,20 @@ def oracle_sql() -> dict[str, str]:
                    OR ' ' || text || ' ' LIKE '% join %')
               AND ' ' || text || ' ' NOT LIKE '% window %'
             ORDER BY doc_id
+        """,
+        "agg_query_scoped_terms": """
+            SELECT lang, count(*)::BIGINT AS doc_count FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+            GROUP BY lang ORDER BY doc_count DESC, lang
+        """,
+        "agg_query_scoped_stats": """
+            SELECT lang, count(*)::BIGINT AS count,
+                   min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+                   sum(n_chars)::BIGINT AS sum,
+                   sum(n_chars)::DOUBLE / count(*) AS avg
+            FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
+            GROUP BY lang ORDER BY lang
         """,
         "reindex_query_pipeline": """
             SELECT doc_id, upper(lang) AS lang FROM documents
