@@ -290,7 +290,8 @@ class _Parser:
                                type=body.get("type", "best_fields"),
                                tie_breaker=float(body.get("tie_breaker", 0.0)),
                                operator=body.get("operator", "or").lower(),
-                               boosts=boosts, boost=float(body.get("boost", 1.0)))
+                               boosts=tuple(zip(fields, boosts)),
+                               boost=float(body.get("boost", 1.0)))
 
     def q_combined_fields(self, body):
         fields, weights = _fields_boosts(body["fields"], self.default_field)

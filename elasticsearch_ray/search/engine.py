@@ -1203,6 +1203,23 @@ class QueryEngine:
             return BoolQuery(should=tuple(TermQuery(t) for t in sel), boost=q.boost)
         if isinstance(q, MultiMatchQuery):
             boosts = dict(q.boosts)
+            if q.type == "phrase":
+                # MultiMatchQueryBuilder Type.PHRASE: dis_max of per-field
+                # phrase queries (namespaced positions make fielded phrases
+                # exact)
+                subs = tuple(MatchPhraseQuery(q.text, field=f,
+                                              boost=boosts.get(f, 1.0))
+                             for f in q.fields)
+                return DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker,
+                                   boost=q.boost)
+            if q.type == "phrase_prefix":
+                # Type.PHRASE_PREFIX: default field only (the engine's
+                # match_phrase_prefix expansion is default-field scoped)
+                subs = tuple(MatchPhrasePrefixQuery(q.text, boost=boosts.get(f, 1.0))
+                             for f in q.fields if f is None)
+                if not subs:
+                    raise ValueError("multi_match phrase_prefix needs the default field")
+                return DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker, boost=q.boost)
             subs = tuple(
                 MatchQuery(q.text, operator=q.operator, field=f, boost=boosts.get(f, 1.0))
                 for f in q.fields

@@ -240,7 +240,8 @@ class MultiMatchQuery(Query):
 
     text: str
     fields: tuple = (None,)  # None = default field
-    type: str = "best_fields"  # "best_fields" | "most_fields"
+    # "best_fields" | "most_fields" | "phrase" | "phrase_prefix"
+    type: str = "best_fields"
     tie_breaker: float = 0.0
     operator: str = "or"
     boosts: tuple = ()  # ((field, boost), ...)

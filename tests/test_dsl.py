@@ -86,7 +86,8 @@ def test_multi_match_caret_boosts():
     q = parse_dsl({"multi_match": {"query": "spark", "fields": ["title^2", "text"],
                                    "type": "most_fields"}})
     assert q == MultiMatchQuery(text="spark", fields=("title", None),
-                                type="most_fields", boosts=(2.0, 1.0))
+                                type="most_fields",
+                                boosts=(("title", 2.0), (None, 1.0)))
 
 
 def test_span_and_intervals():

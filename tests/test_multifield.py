@@ -212,3 +212,30 @@ def test_combined_fields_vs_bruteforce(mf):
     both = {d for d in want
             if all(t in docs[d] or t in tdocs[d] for t in text.split())}
     assert set(got_and) == both
+
+
+def test_multi_match_phrase_type(mf):
+    """multi_match type=phrase == dis_max of per-field match_phrase."""
+    from elasticsearch_ray.search.query import DisMaxQuery
+
+    eng, teng, docs, tdocs = mf
+    # a phrase that exists in some docs: first two tokens of some title
+    pair = None
+    for d, toks in tdocs.items():
+        if len(toks) >= 2:
+            pair = f"{toks[0]} {toks[1]}"
+            break
+    assert pair
+    mm = _res(eng, MultiMatchQuery(pair, fields=(None, "title"), type="phrase",
+                                   tie_breaker=0.2))
+    direct = _res(eng, DisMaxQuery(queries=(MatchPhraseQuery(pair),
+                                            MatchPhraseQuery(pair, field="title")),
+                                   tie_breaker=0.2))
+    assert mm == direct
+    assert len(mm) > 0
+    # brute-force containment: every hit has the phrase in text OR title
+    for d in mm:
+        w, tw = docs[d], tdocs[d]
+        in_text = any(w[i:i + 2] == pair.split() for i in range(len(w) - 1))
+        in_title = any(tw[i:i + 2] == pair.split() for i in range(len(tw) - 1))
+        assert in_text or in_title
