@@ -412,6 +412,170 @@ class _Parser:
         return self.parse(inner)
 
 
+def to_dsl(q: Query, default_field: str = "text") -> dict:
+    """Inverse of parse_dsl: serialize a Query tree to the reference's JSON
+    DSL (AbstractQueryBuilder#toXContent analog). ``parse_dsl(to_dsl(q)) ==
+    q`` for every supported type (property-tested)."""
+    f = lambda field: default_field if field is None else field  # noqa: E731
+
+    def span_term(term: str) -> dict:
+        i = term.find("\x1f")
+        fld, t = (default_field, term) if i < 0 else (term[:i], term[i + 1:])
+        return {"span_term": {fld: {"value": t}}}
+
+    if isinstance(q, MatchQuery):
+        return {"match": {f(q.field): {
+            "query": q.text, "operator": q.operator,
+            **({"minimum_should_match": q.minimum_should_match}
+               if q.minimum_should_match is not None else {}),
+            **({"analyzer": q.analyzer} if q.analyzer else {}),
+            "zero_terms_query": q.zero_terms_query, "boost": q.boost}}}
+    if isinstance(q, MatchPhraseQuery):
+        return {"match_phrase": {f(q.field): {"query": q.text, "slop": q.slop,
+                **({"analyzer": q.analyzer} if q.analyzer else {}),
+                "boost": q.boost}}}
+    if isinstance(q, MatchPhrasePrefixQuery):
+        return {"match_phrase_prefix": {default_field: {
+            "query": q.text, "max_expansions": q.max_expansions,
+            **({"analyzer": q.analyzer} if q.analyzer else {}), "boost": q.boost}}}
+    if isinstance(q, TermQuery):
+        return {"term": {f(q.field): {"value": q.term, "boost": q.boost}}}
+    if isinstance(q, TermFilter):
+        return {"term": {q.column: {"value": q.value}}}
+    if isinstance(q, TermsQuery):
+        return {"terms": {default_field: list(q.terms), "boost": q.boost}}
+    if isinstance(q, TermsLookupQuery):
+        return {"terms": {default_field: {"id": q.doc_id, "path": q.text_column},
+                          "boost": q.boost}}
+    if isinstance(q, TermsSetQuery):
+        fld = None
+        terms = []
+        for t in q.terms:
+            i = t.find("\x1f")
+            fld = None if i < 0 else t[:i]
+            terms.append(t if i < 0 else t[i + 1:])
+        return {"terms_set": {f(fld): {
+            "terms": terms, "minimum_should_match_field": q.minimum_should_match_field,
+            "boost": q.boost}}}
+    if isinstance(q, RangeFilter):
+        body = {}
+        for attr in ("gte", "lte", "gt", "lt"):
+            v = getattr(q, attr)
+            if v is not None:
+                body[attr] = v
+        return {"range": {q.column: body}}
+    if isinstance(q, ExistsQuery):
+        return {"exists": {"field": q.field, "boost": q.boost}}
+    if isinstance(q, PrefixQuery):
+        i = q.prefix.find("\x1f")
+        fld, pfx = (default_field, q.prefix) if i < 0 else (q.prefix[:i], q.prefix[i + 1:])
+        return {"prefix": {fld: {"value": pfx, "boost": q.boost}}}
+    if isinstance(q, WildcardQuery):
+        return {"wildcard": {default_field: {"value": q.pattern, "boost": q.boost}}}
+    if isinstance(q, RegexpQuery):
+        return {"regexp": {default_field: {"value": q.pattern, "boost": q.boost}}}
+    if isinstance(q, FuzzyQuery):
+        return {"fuzzy": {default_field: {"value": q.term, "fuzziness": q.fuzziness,
+                                          "prefix_length": q.prefix_length,
+                                          "boost": q.boost}}}
+    if isinstance(q, IdsQuery):
+        return {"ids": {"values": list(q.ids), "boost": q.boost}}
+    if isinstance(q, MatchAllQuery):
+        return {"match_all": {"boost": q.boost}}
+    if isinstance(q, MatchNoneQuery):
+        return {"match_none": {"boost": q.boost}}
+    if isinstance(q, BoolQuery):
+        return {"bool": {
+            "must": [to_dsl(s, default_field) for s in q.must],
+            "should": [to_dsl(s, default_field) for s in q.should],
+            "filter": [to_dsl(s, default_field) for s in q.filter],
+            "must_not": [to_dsl(s, default_field) for s in q.must_not],
+            **({"minimum_should_match": q.minimum_should_match}
+               if q.minimum_should_match is not None else {}),
+            "boost": q.boost}}
+    if isinstance(q, DisMaxQuery):
+        return {"dis_max": {"queries": [to_dsl(s, default_field) for s in q.queries],
+                            "tie_breaker": q.tie_breaker, "boost": q.boost}}
+    if isinstance(q, ConstantScoreQuery):
+        return {"constant_score": {"filter": to_dsl(q.filter, default_field),
+                                   "boost": q.boost}}
+    if isinstance(q, BoostingQuery):
+        return {"boosting": {"positive": to_dsl(q.positive, default_field),
+                             "negative": to_dsl(q.negative, default_field),
+                             "negative_boost": q.negative_boost}}
+    if isinstance(q, FunctionScoreQuery):
+        return {"function_score": {
+            **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
+            "field_value_factor": {"field": q.field, "factor": q.factor,
+                                   "modifier": q.modifier},
+            "weight": q.weight, "boost_mode": q.boost_mode}}
+    if isinstance(q, MultiMatchQuery):
+        boosts = dict(q.boosts)
+        return {"multi_match": {
+            "query": q.text,
+            "fields": [f(fl) + (f"^{boosts[fl]:g}" if boosts.get(fl, 1.0) != 1.0 else "")
+                       for fl in q.fields],
+            "type": q.type, "tie_breaker": q.tie_breaker, "operator": q.operator,
+            "boost": q.boost}}
+    if isinstance(q, CombinedFieldsQuery):
+        ws = dict(zip(q.fields, q.weights)) if q.weights else {}
+        return {"combined_fields": {
+            "query": q.text,
+            "fields": [f(fl) + (f"^{ws[fl]:g}" if ws.get(fl, 1.0) != 1.0 else "")
+                       for fl in q.fields],
+            "operator": q.operator, "boost": q.boost}}
+    if isinstance(q, QueryStringQuery):
+        return {"query_string": {"query": q.query, "default_field": f(q.default_field),
+                                 "default_operator": q.default_operator,
+                                 "boost": q.boost}}
+    if isinstance(q, SpanNearQuery):
+        return {"span_near": {"clauses": [span_term(t) for t in q.clauses],
+                              "slop": q.slop, "in_order": q.in_order, "boost": q.boost}}
+    if isinstance(q, SpanFirstQuery):
+        return {"span_first": {"match": span_term(q.term), "end": q.end,
+                               "boost": q.boost}}
+    if isinstance(q, SpanOrQuery):
+        return {"span_or": {"clauses": [span_term(t) for t in q.clauses],
+                            "boost": q.boost}}
+    if isinstance(q, SpanNotQuery):
+        return {"span_not": {"include": span_term(q.include),
+                             "exclude": span_term(q.exclude),
+                             "pre": q.pre, "post": q.post, "boost": q.boost}}
+    if isinstance(q, IntervalsQuery):
+        def src(s: tuple) -> dict:
+            if s[0] == "match":
+                return {"match": {"query": s[1], "max_gaps": s[2], "ordered": s[3]}}
+            if s[0] == "any_of":
+                return {"any_of": {"intervals": [src(x) for x in s[1]]}}
+            return {"all_of": {"intervals": [{"match": {"query": t}} for t in s[1]],
+                               "max_gaps": s[2], "ordered": s[3]}}
+        return {"intervals": {default_field: src(q.source)}}
+    if isinstance(q, RankFeatureQuery):
+        body = {"field": q.field, "boost": q.boost}
+        if q.function == "log":
+            body["log"] = {"scaling_factor": q.scaling_factor}
+        elif q.function == "sigmoid":
+            body["sigmoid"] = {"pivot": q.pivot, "exponent": q.exponent}
+        else:
+            body["saturation"] = {"pivot": q.pivot}
+        return {"rank_feature": body}
+    if isinstance(q, DistanceFeatureQuery):
+        return {"distance_feature": {"field": q.field, "origin": q.origin,
+                                     "pivot": q.pivot, "boost": q.boost}}
+    if isinstance(q, PinnedQuery):
+        return {"pinned": {"ids": list(q.ids),
+                           "organic": to_dsl(q.organic, default_field),
+                           "boost": q.boost}}
+    if isinstance(q, MoreLikeThisQuery):
+        return {"more_like_this": {"like": q.like,
+                                   "max_query_terms": q.max_query_terms,
+                                   "min_term_freq": q.min_term_freq,
+                                   "min_doc_freq": q.min_doc_freq,
+                                   **({"analyzer": q.analyzer} if q.analyzer else {}),
+                                   "boost": q.boost}}
+    raise DslError(f"cannot serialize {type(q).__name__}")
+
+
 def parse_dsl(query: dict | str, default_field: str = "text",
               doc_columns: frozenset = DEFAULT_DOC_COLUMNS) -> Query:
     """Parse a JSON query-DSL object (or JSON string, or a whole search body
