@@ -165,33 +165,42 @@ class PartitionSearcher:
         from elasticsearch_ray.index.postings import decode_postings
 
         if slop == 0:
-            # doc-level AND first, rarest term first (classic leapfrog order):
-            # position keys are then built ONLY for surviving docs, so a
-            # phrase with one rare member never materializes the dense
-            # member's full (doc, pos) key set
             decoded = [decode_postings(self.r.blob(int(i))) for i in rows]
-            order_df = np.argsort([len(d[0]) for d in decoded], kind="stable")
-            common = decoded[int(order_df[0])][0]
-            for oi in order_df[1:]:
-                d = decoded[int(oi)][0]
-                common = common[np.isin(common, d, assume_unique=True)]
-                if len(common) == 0:
-                    return np.empty(0, np.int64), np.empty(0, np.int64)
+            sizes = [len(d[0]) for d in decoded]
+            # ADAPTIVE: with skewed dfs, a doc-level AND first (rarest term
+            # leading) means position keys are built only for surviving docs
+            # — a phrase with one rare member never materializes the dense
+            # member's full (doc, pos) key set. With uniform dfs the AND
+            # filters nothing, so the extra isin+gather is pure overhead and
+            # the straight full-decode intersection is faster.
+            common = None
+            if min(sizes) * 4 < max(sizes):
+                order_df = np.argsort(sizes, kind="stable")
+                common = decoded[int(order_df[0])][0]
+                for oi in order_df[1:]:
+                    common = common[np.isin(common, decoded[int(oi)][0],
+                                            assume_unique=True)]
+                    if len(common) == 0:
+                        return np.empty(0, np.int64), np.empty(0, np.int64)
             keys = None
             for ti, i in enumerate(rows):
                 docs, tfs = decoded[ti]
                 flat = self.r.positions_for(int(i))
-                # gather positions for common docs only
-                j = np.searchsorted(docs, common)
-                tf_c = tfs[j]
-                offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-                np.cumsum(tfs, out=offs[1:])
-                starts = offs[j]
-                total = int(tf_c.sum())
-                idx = np.repeat(starts + tf_c, tf_c) - np.repeat(
-                    np.cumsum(tf_c), tf_c) + np.arange(total, dtype=np.int64)
-                pos = flat[idx].astype(np.int64) - ti
-                doc_rep = np.repeat(common, tf_c)
+                if common is not None and len(common) * 2 < len(docs):
+                    # gather positions for surviving docs only
+                    j = np.searchsorted(docs, common)
+                    tf_c = tfs[j]
+                    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=offs[1:])
+                    starts = offs[j]
+                    total = int(tf_c.sum())
+                    idx = np.repeat(starts + tf_c, tf_c) - np.repeat(
+                        np.cumsum(tf_c), tf_c) + np.arange(total, dtype=np.int64)
+                    pos = flat[idx].astype(np.int64) - ti
+                    doc_rep = np.repeat(common, tf_c)
+                else:
+                    doc_rep = np.repeat(docs, tfs)
+                    pos = flat.astype(np.int64) - ti
                 ok = pos >= 0
                 k = (doc_rep[ok] << np.int64(32)) | pos[ok]
                 keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)

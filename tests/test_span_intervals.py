@@ -167,3 +167,44 @@ def test_span_scoring_ranked(span_engine):
     scores = t["score"].to_pylist()
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_skewed_df_gather_path(ray_session, tmp_path_factory):
+    """Skewed-df phrase exercises the rarest-first doc-AND + position gather
+    branch; results must equal the brute-force window check."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchPhraseQuery
+
+    base = tmp_path_factory.mktemp("skewidx")
+    texts = []
+    for i in range(300):
+        if i % 97 == 0:
+            texts.append("filler rare common filler common")   # phrase present
+        elif i % 31 == 0:
+            texts.append("common rare filler")                 # both, no phrase
+        else:
+            texts.append("common filler common filler")        # only common
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    corpus = str(base / "c")
+    os.makedirs(corpus)
+    pq.write_table(t, os.path.join(corpus, "d.parquet"))
+    idx = str(base / "i")
+    build_index(corpus, idx, IndexSpec(use_html=False, text_column="text",
+                                       doc_columns=()), concurrency=2,
+                file_pattern="d.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    hits = eng.search(MatchPhraseQuery("rare common"), k=10**9,
+                      mode="exhaustive", fetch=("doc_id",))
+    want = sorted(i for i, tx in enumerate(texts)
+                  if any(tx.split()[j:j + 2] == ["rare", "common"]
+                         for j in range(len(tx.split()) - 1)))
+    assert sorted(hits["doc_id"].to_pylist()) == want
+    assert len(want) > 0
