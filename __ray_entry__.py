@@ -656,12 +656,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def agg_global_stats(sf):
-        from elasticsearch_ray.ops.aggs import global_stats_agg
+        # money sum via EXACT integer cents: the float sum's parallel
+        # accumulation order diverged from DuckDB in the 13th digit at sf0.1
+        # (CLAUDE.md fp-sum lesson) — int64 partials are order-independent
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Max, Min, Sum
 
-        out = global_stats_agg(_ds(sf, "lineitem"), "l_extendedprice")
-        out["sum"] = out["sum"].round(4)
-        out["avg"] = out["avg"].round(6)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        def cents(b: pa.Table) -> pa.Table:
+            v = b["l_extendedprice"]
+            return pa.table({
+                "v": v,
+                "cents": pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64()),
+            })
+
+        ds = _ds(sf, "lineitem").map_batches(cents, batch_format="pyarrow")
+        out = ds.aggregate(Count(alias_name="count"), Min("v", alias_name="min"),
+                           Max("v", alias_name="max"),
+                           Sum("cents", alias_name="sum_cents"))
+        n, s = out["count"], out["sum_cents"]
+        row = {"count": n, "min": out["min"], "max": out["max"],
+               "sum": s / 100.0, "avg": s / 100.0 / n}
+        return pa.Table.from_pandas(pd.DataFrame([row]), preserve_index=False)
 
     def agg_date_range_events(sf):
         from elasticsearch_ray.ops.aggs import date_range_agg
@@ -1992,8 +2007,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_global_stats": """
             SELECT count(*)::BIGINT AS count,
                    min(l_extendedprice) AS min, max(l_extendedprice) AS max,
-                   round(sum(l_extendedprice), 4) AS sum,
-                   round(avg(l_extendedprice), 6) AS avg
+                   sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum,
+                   sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0
+                       / count(*) AS avg
             FROM lineitem
         """,
         "agg_date_range_events": """

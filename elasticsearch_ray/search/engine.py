@@ -1221,6 +1221,15 @@ class QueryEngine:
                              for f in q.fields)
                 return DisMaxQuery(queries=subs, tie_breaker=q.tie_breaker,
                                    boost=q.boost)
+            if q.type == "cross_fields":
+                # Type.CROSS_FIELDS: term-centric blended stats across
+                # fields — executed through the combined_fields scorer (the
+                # reference's documented successor of cross_fields; blended
+                # df = max over fields, weighted dl/avgdl)
+                return CombinedFieldsQuery(
+                    text=q.text, fields=q.fields,
+                    weights=tuple(boosts.get(f, 1.0) for f in q.fields),
+                    operator=q.operator, boost=q.boost)
             if q.type == "phrase_prefix":
                 # Type.PHRASE_PREFIX: default field only (the engine's
                 # match_phrase_prefix expansion is default-field scoped)

@@ -239,3 +239,17 @@ def test_multi_match_phrase_type(mf):
         in_text = any(w[i:i + 2] == pair.split() for i in range(len(w) - 1))
         in_title = any(tw[i:i + 2] == pair.split() for i in range(len(tw) - 1))
         assert in_text or in_title
+
+
+def test_multi_match_cross_fields_type(mf):
+    """multi_match type=cross_fields routes through the combined_fields
+    (BM25F-blended) scorer with per-field boosts as weights."""
+    from elasticsearch_ray.search.query import CombinedFieldsQuery
+
+    eng, _, _, _ = mf
+    mm = _res(eng, MultiMatchQuery("spark join", fields=(None, "title"),
+                                   type="cross_fields",
+                                   boosts=((None, 1.0), ("title", 2.0))))
+    direct = _res(eng, CombinedFieldsQuery("spark join", fields=(None, "title"),
+                                           weights=(1.0, 2.0)))
+    assert mm == direct and len(mm) > 0
