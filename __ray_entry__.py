@@ -270,6 +270,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
 
+    def search_span_within(sf):
+        # little term inside an ordered big chain (slop<=2): regex oracle
+        # enumerates the gap layouts with 'fast' in the merge..sort window
+        from elasticsearch_ray.search.query import SpanWithinQuery
+
+        return _doc_set(_documents_index(sf),
+                        SpanWithinQuery(little="fast", big=("merge", "sort"),
+                                        big_slop=2))
+
+    def search_span_containing(sf):
+        from elasticsearch_ray.search.query import SpanContainingQuery
+
+        return _doc_set(_documents_index(sf),
+                        SpanContainingQuery(little="slow", big=("hash", "join"),
+                                            big_slop=2))
+
     def search_highlight(sf):
         # fetch-phase highlight over the top-10 match hits: batched source
         # fetch per partition, term-wrap per hit (highlight_hits)
@@ -1237,6 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "search_span_within": search_span_within,
+        "search_span_containing": search_span_containing,
         "search_highlight": search_highlight,
         "search_highlight_scan": search_highlight_scan,
         "search_dsl_wrapper": search_dsl_wrapper,
@@ -1608,6 +1626,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
+            ORDER BY doc_id
+        """,
+        "search_span_within": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || text || ' ',
+                  ' merge (fast|fast [^ ]+|[^ ]+ fast) sort ')
+            ORDER BY doc_id
+        """,
+        "search_span_containing": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(' ' || text || ' ',
+                  ' hash (slow|slow [^ ]+|[^ ]+ slow) join ')
             ORDER BY doc_id
         """,
         "search_highlight": f"""

@@ -53,6 +53,8 @@ from elasticsearch_ray.search.query import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanWithinQuery,
+    SpanContainingQuery,
     TermFilter,
     TermQuery,
     TermsLookupQuery,
@@ -345,6 +347,27 @@ class _Parser:
                             pre=int(body.get("pre", 0)), post=int(body.get("post", 0)),
                             boost=float(body.get("boost", 1.0)))
 
+    def _span_big(self, d) -> tuple:
+        kind, body = next(iter(d.items()))
+        if kind == "span_term":
+            return (self._span_term(d),), 0
+        if kind != "span_near":
+            raise DslError("big span must be span_near or span_term")
+        if not body.get("in_order", True):
+            raise DslError("span_within/containing big spans must be in_order")
+        return (tuple(self._span_term(c) for c in body["clauses"]),
+                int(body.get("slop", 0)))
+
+    def q_span_within(self, body):
+        big, slop = self._span_big(body["big"])
+        return SpanWithinQuery(little=self._span_term(body["little"]), big=big,
+                               big_slop=slop, boost=float(body.get("boost", 1.0)))
+
+    def q_span_containing(self, body):
+        big, slop = self._span_big(body["big"])
+        return SpanContainingQuery(little=self._span_term(body["little"]), big=big,
+                                   big_slop=slop, boost=float(body.get("boost", 1.0)))
+
     def q_intervals(self, body):
         field, v = _one_entry(body, "intervals")
         if self._f(field) is not None:
@@ -541,6 +564,12 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
         return {"span_not": {"include": span_term(q.include),
                              "exclude": span_term(q.exclude),
                              "pre": q.pre, "post": q.post, "boost": q.boost}}
+    if isinstance(q, (SpanWithinQuery, SpanContainingQuery)):
+        kind = "span_within" if isinstance(q, SpanWithinQuery) else "span_containing"
+        return {kind: {"little": span_term(q.little),
+                       "big": {"span_near": {"clauses": [span_term(t) for t in q.big],
+                                             "slop": q.big_slop, "in_order": True}},
+                       "boost": q.boost}}
     if isinstance(q, IntervalsQuery):
         def src(s: tuple) -> dict:
             if s[0] == "match":

@@ -64,6 +64,8 @@ from elasticsearch_ray.search.query import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanWithinQuery,
+    SpanContainingQuery,
     TermFilter,
     TermQuery,
     TermsLookupQuery,
@@ -241,6 +243,26 @@ class PartitionSearcher:
                 out_freqs.append(matches)
         return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
+    def _ordered_spans(self, terms: list[str], slop: int):
+        """Enumerate ordered span_near matches: (start_keys, end_keys) with
+        keys = doc<<32|pos, sorted by start key. Empty arrays when any term
+        is absent."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        rows = self.r.lookup(terms)
+        if len(rows) == 0 or np.any(rows < 0):
+            return empty
+        from elasticsearch_ray.index.postings import decode_postings
+
+        keys_per_term = []
+        for i in rows:
+            docs, tfs = decode_postings(self.r.blob(int(i)))
+            flat = np.asarray(self.r.positions_for(int(i)), dtype=np.int64)
+            keys_per_term.append((np.repeat(docs, tfs) << np.int64(32)) | flat)
+        if len(terms) == 1:
+            k = keys_per_term[0]
+            return k, k
+        return _ordered_chain(keys_per_term, slop)
+
     def _span_docs(self, terms: list[str], slop: int, in_order: bool):
         """span_near matching over stored positions; returns (docs, freqs).
 
@@ -272,22 +294,10 @@ class PartitionSearcher:
         MASK = np.int64((1 << 32) - 1)
 
         if in_order:
-            starts = keys_per_term[0]
-            ends = starts.copy()
-            ok = np.ones(len(starts), dtype=bool)
-            for k in range(1, nt):
-                bk = keys_per_term[k]
-                idx = np.searchsorted(bk, ends, side="right")
-                idx_c = np.minimum(idx, max(len(bk) - 1, 0))
-                valid = (idx < len(bk)) & (
-                    (bk[idx_c] >> np.int64(32)) == (ends >> np.int64(32))
-                ) if len(bk) else np.zeros(len(ends), dtype=bool)
-                ok &= valid
-                ends = np.where(valid, bk[idx_c], ends)
-            hit = ok & ((ends & MASK) - (starts & MASK) - (nt - 1) <= slop)
-            if not hit.any():
+            starts, ends = _ordered_chain(keys_per_term, slop)
+            if len(starts) == 0:
                 return empty
-            hit_docs = (starts[hit] >> np.int64(32))
+            hit_docs = (starts >> np.int64(32))
             out_docs, out_freqs = np.unique(hit_docs, return_counts=True)
             return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
@@ -507,6 +517,40 @@ class PartitionSearcher:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             docs_u, freqs = np.unique(doc_inc[keep], return_counts=True)
             sc = scorers.get(("__phrase__", q.include))
+            return docs_u.astype(np.int64), np.asarray(
+                sc.score(freqs, r.norms[docs_u]), dtype=dtype)
+        if isinstance(q, (SpanWithinQuery, SpanContainingQuery)):
+            from elasticsearch_ray.index.postings import decode_postings
+
+            s_keys, e_keys = self._ordered_spans(list(q.big), q.big_slop)
+            i = self.r.lookup([q.little])[0]
+            if len(s_keys) == 0 or i < 0:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            d_l, tf_l = decode_postings(self.r.blob(int(i)))
+            lk = (np.repeat(d_l, tf_l) << np.int64(32)) | np.asarray(
+                self.r.positions_for(int(i)), dtype=np.int64)
+            if isinstance(q, SpanWithinQuery):
+                # little occurrence covered by some big span: the span with
+                # the largest start <= key works via a GLOBAL running max of
+                # end keys — an earlier doc's end key is always smaller than
+                # any later doc's keys (doc id in the high bits), so no
+                # per-doc reset is needed
+                em = np.maximum.accumulate(e_keys)
+                idx = np.searchsorted(s_keys, lk, side="right") - 1
+                cov = (idx >= 0) & (em[np.maximum(idx, 0)] >= lk)
+                if not cov.any():
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                docs_u, freqs = np.unique(lk[cov] >> np.int64(32), return_counts=True)
+            else:
+                # big spans containing >=1 little occurrence
+                lo = np.searchsorted(lk, s_keys, side="left")
+                hi = np.searchsorted(lk, e_keys, side="right")
+                has = hi > lo
+                if not has.any():
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                docs_u, freqs = np.unique(s_keys[has] >> np.int64(32),
+                                          return_counts=True)
+            sc = scorers.get(("__phrase__",) + tuple(dict.fromkeys((q.little, *q.big))))
             return docs_u.astype(np.int64), np.asarray(
                 sc.score(freqs, r.norms[docs_u]), dtype=dtype)
         if isinstance(q, PinnedQuery):
@@ -915,6 +959,29 @@ class PartitionSearcher:
         order = order[:k]
         return (docs[order], scores[order], [kc[order] for kc in key_cols],
                 coll[order] if collapse is not None else None)
+
+
+def _ordered_chain(keys_per_term: list, slop: int):
+    """NearSpansOrdered chain over per-term sorted (doc<<32|pos) key arrays:
+    every clause-0 occurrence chains through the earliest strictly-later
+    occurrence of each following clause; returns (start_keys, end_keys) of
+    chains whose in-doc width - (n-1) <= slop, sorted by start key."""
+    MASK = np.int64((1 << 32) - 1)
+    nt = len(keys_per_term)
+    starts = keys_per_term[0]
+    ends = starts.copy()
+    ok = np.ones(len(starts), dtype=bool)
+    for k in range(1, nt):
+        bk = keys_per_term[k]
+        idx = np.searchsorted(bk, ends, side="right")
+        idx_c = np.minimum(idx, max(len(bk) - 1, 0))
+        valid = (idx < len(bk)) & (
+            (bk[idx_c] >> np.int64(32)) == (ends >> np.int64(32))
+        ) if len(bk) else np.zeros(len(ends), dtype=bool)
+        ok &= valid
+        ends = np.where(valid, bk[idx_c], ends)
+    hit = ok & ((ends & MASK) - (starts & MASK) - (nt - 1) <= slop)
+    return starts[hit], ends[hit]
 
 
 def _after_mask(key_cols, descs, cursor) -> np.ndarray:
@@ -1367,6 +1434,8 @@ class QueryEngine:
                     add_phrase(qq.organic)
             elif isinstance(qq, SpanNotQuery):
                 reg((qq.include,), qq.boost)
+            elif isinstance(qq, (SpanWithinQuery, SpanContainingQuery)):
+                reg(tuple(dict.fromkeys((qq.little, *qq.big))), qq.boost)
             elif isinstance(qq, CombinedFieldsQuery):
                 an2 = get_analyzer(self.analyzer_name)
                 weights = dict(zip(qq.fields, qq.weights)) if qq.weights else {}

@@ -304,6 +304,32 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """span_within (SpanWithinQueryBuilder, SearchModule.java:1112-1128
+    registry): occurrences of the ``little`` span_term lying inside a match
+    of the ordered ``big`` span_near chain; scored on the little term's
+    contained freq (Lucene SpanWithinQuery/SpanContainQuery semantics over
+    term-leaf spans)."""
+
+    little: str = ""
+    big: tuple = ()  # ordered span_near clause terms
+    big_slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """span_containing (SpanContainingQueryBuilder): matches of the ordered
+    ``big`` span_near chain that contain at least one ``little`` occurrence;
+    freq = number of such big spans per doc."""
+
+    little: str = ""
+    big: tuple = ()
+    big_slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanOrQuery(Query):
     """span_or (SpanOrQueryBuilder) over span_term clauses: spans are the
     union of the clause terms' occurrences; per-doc freq = total occurrence
@@ -602,6 +628,9 @@ def query_terms(q: Query, default_analyzer: str) -> list[str]:
                 walk(q.organic)
         elif isinstance(q, SpanNotQuery):
             out.extend((q.include, q.exclude))
+        elif isinstance(q, (SpanWithinQuery, SpanContainingQuery)):
+            out.append(q.little)
+            out.extend(q.big)
         elif isinstance(q, TermsSetQuery):
             out.extend(q.terms)
         elif isinstance(q, IntervalsQuery):

@@ -208,3 +208,52 @@ def test_phrase_skewed_df_gather_path(ray_session, tmp_path_factory):
                          for j in range(len(tx.split()) - 1)))
     assert sorted(hits["doc_id"].to_pylist()) == want
     assert len(want) > 0
+
+
+def test_span_within_and_containing(ray_session, tmp_path_factory):
+    """span_within / span_containing over an ordered big chain vs brute
+    force on crafted docs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import SpanContainingQuery, SpanWithinQuery
+
+    texts = [
+        "merge fast sort tail",        # fast within merge..sort (slop 2)
+        "merge slow fast sort",        # within (gap 2)
+        "fast merge sort",             # fast BEFORE the span -> not within
+        "merge sort fast",             # fast AFTER -> not within
+        "merge one two three sort fast",  # gap 3 > slop -> no big span
+        "fast filler merge x sort",    # fast outside, span exists
+        "merge fast sort merge sort",  # within once
+    ]
+    base = tmp_path_factory.mktemp("spanwc")
+    corpus = str(base / "c")
+    os.makedirs(corpus)
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   os.path.join(corpus, "d.parquet"))
+    idx = str(base / "i")
+    build_index(corpus, idx, IndexSpec(use_html=False, text_column="text",
+                                       doc_columns=()), concurrency=2,
+                file_pattern="d.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+
+    win = eng.search(SpanWithinQuery(little="fast", big=("merge", "sort"),
+                                     big_slop=2), k=100, mode="exhaustive",
+                     fetch=("doc_id",))
+    got = sorted(win["doc_id"].to_pylist())
+    assert got == [0, 1, 6], got
+    con = eng.search(SpanContainingQuery(little="fast", big=("merge", "sort"),
+                                         big_slop=2), k=100, mode="exhaustive",
+                     fetch=("doc_id",))
+    assert sorted(con["doc_id"].to_pylist()) == [0, 1, 6]
+    # freqs differ in role: within counts little occs, containing counts spans
+    w = {r["doc_id"]: r["score"] for r in win.to_pylist()}
+    c = {r["doc_id"]: r["score"] for r in con.to_pylist()}
+    assert set(w) == set(c)
