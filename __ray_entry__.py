@@ -1629,16 +1629,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "search_span_within": """
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(' ' || text || ' ',
-                  ' merge (fast|fast [^ ]+|[^ ]+ fast) sort ')
-            ORDER BY doc_id
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents
+            ),
+            spans AS (
+              SELECT m.doc_id, m.pos AS s,
+                     (SELECT min(s2.pos) FROM tok s2
+                      WHERE s2.doc_id = m.doc_id AND s2.term = 'sort'
+                        AND s2.pos > m.pos) AS e
+              FROM tok m WHERE m.term = 'merge'
+            )
+            SELECT DISTINCT v.doc_id FROM spans v
+            JOIN tok f ON f.doc_id = v.doc_id AND f.term = 'fast'
+                      AND f.pos >= v.s AND f.pos <= v.e
+            WHERE v.e IS NOT NULL AND v.e - v.s - 1 <= 2
+            ORDER BY v.doc_id
         """,
         "search_span_containing": """
-            SELECT doc_id FROM documents
-            WHERE regexp_matches(' ' || text || ' ',
-                  ' hash (slow|slow [^ ]+|[^ ]+ slow) join ')
-            ORDER BY doc_id
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+              FROM documents
+            ),
+            spans AS (
+              SELECT m.doc_id, m.pos AS s,
+                     (SELECT min(s2.pos) FROM tok s2
+                      WHERE s2.doc_id = m.doc_id AND s2.term = 'join'
+                        AND s2.pos > m.pos) AS e
+              FROM tok m WHERE m.term = 'hash'
+            )
+            SELECT DISTINCT v.doc_id FROM spans v
+            JOIN tok f ON f.doc_id = v.doc_id AND f.term = 'slow'
+                      AND f.pos >= v.s AND f.pos <= v.e
+            WHERE v.e IS NOT NULL AND v.e - v.s - 1 <= 2
+            ORDER BY v.doc_id
         """,
         "search_highlight": f"""
             WITH ranked AS ({_bm25_sql(['spark'], k=10)})

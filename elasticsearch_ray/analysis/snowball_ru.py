@@ -89,11 +89,13 @@ def _ends_in(word: str, suffixes: tuple, start: int) -> str | None:
 
 
 def _ends_in_g1(word: str, suffixes: tuple, start: int) -> str | None:
-    """Group-1 form: the suffix must be preceded by а or я (which remains)."""
+    """Group-1 form: the suffix must be preceded by а or я (which remains).
+    The preceding letter must ALSO lie inside the region — Snowball's
+    generated code runs step 1 under ``setlimit tomark pV``, so matching the
+    'а'/'я' fails when that char sits before RV."""
     best = None
     for s in suffixes:
-        if (word.endswith(s) and len(word) - len(s) >= start
-                and len(word) - len(s) - 1 >= 0
+        if (word.endswith(s) and len(word) - len(s) - 1 >= start
                 and word[len(word) - len(s) - 1] in "ая"):
             if best is None or len(s) > len(best):
                 best = s
@@ -145,14 +147,14 @@ def stem(word: str) -> str:
     if d is not None:
         w = w[: len(w) - len(d)]
 
-    # Step 4
-    if w.endswith("нн") and len(w) - 1 >= rv:
+    # Step 4 (the 'нн' among-pattern lies wholly in RV: both chars)
+    if w.endswith("нн") and len(w) - 2 >= rv:
         w = w[:-1]
     else:
         sup = _ends_in(w, _SUPERLATIVE, rv)
         if sup is not None:
             w = w[: len(w) - len(sup)]
-            if w.endswith("нн") and len(w) - 1 >= rv:
+            if w.endswith("нн") and len(w) - 2 >= rv:
                 w = w[:-1]
         elif w.endswith("ь") and len(w) - 1 >= rv:
             w = w[:-1]

@@ -186,7 +186,7 @@ class _Parser:
                                     text_column=v.get("path", "text"), boost=boost)
         if field in self.doc_columns:
             return BoolQuery(should=tuple(TermFilter(column=field, value=x) for x in v),
-                             minimum_should_match=1)
+                             minimum_should_match=1, boost=boost)
         if self._f(field) is not None:
             raise DslError("terms on an extra indexed field is not supported")
         return TermsQuery(terms=tuple(str(x) for x in v), boost=boost)

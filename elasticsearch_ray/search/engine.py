@@ -1511,7 +1511,11 @@ class QueryEngine:
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
         if post_filter is not None or terminate_after is not None:
-            return self._search_post(q, k, fetch, post_filter, terminate_after)
+            if sort or collapse or rescore or search_after:
+                raise ValueError("post_filter/terminate_after cannot be combined "
+                                 "with sort/collapse/rescore/search_after")
+            return self._search_post(q, k, fetch, post_filter, terminate_after,
+                                     min_score)
         if self._coords:
             import ray
 
@@ -1586,13 +1590,19 @@ class QueryEngine:
 
 
     def _search_post(self, q: Query, k: int, fetch: tuple,
-                     post_filter: Query | None, terminate_after: int | None) -> pa.Table:
+                     post_filter: Query | None, terminate_after: int | None,
+                     min_score: float | None = None) -> pa.Table:
         """post_filter / terminate_after path: per-partition exhaustive
         collection (terminate_after is a COLLECTION-order cut, so the scored
         stream must be walked in doc order, not best-first), filter
         intersection without score changes, then the usual merged top-k."""
         scorers, _ = self._scorers_cached(q)
-        pf = self._rewrite(post_filter) if post_filter is not None else None
+        pf = pf_scorers = None
+        if post_filter is not None:
+            # the filter may be any query (ES postFilter accepts the full
+            # DSL) — it needs its OWN scorers for analyzed/phrase members
+            pf = self._apply_field_analyzers(self._rewrite(post_filter))
+            pf_scorers = self._scorers(pf)
         parts_l, docs_l, scores_l = [], [], []
         for p in self.parts:
             s = self._searcher(p)
@@ -1600,9 +1610,12 @@ class QueryEngine:
             if terminate_after is not None:
                 docs, scores = docs[:terminate_after], scores[:terminate_after]
             if pf is not None and len(docs):
-                fd = s._eval_filter(pf, scorers)
+                fd = s._eval_filter(pf, pf_scorers)
                 keep = np.isin(docs, fd, assume_unique=True)
                 docs, scores = docs[keep], scores[keep]
+            if min_score is not None and len(docs):
+                m = np.asarray(scores) >= min_score
+                docs, scores = docs[m], np.asarray(scores)[m]
             parts_l.append(np.full(len(docs), p, dtype=np.int64))
             docs_l.append(docs)
             scores_l.append(np.asarray(scores, np.float64))
@@ -1627,7 +1640,7 @@ class QueryEngine:
         becomes a generator over immutable segments (point-in-time for free)."""
         if isinstance(q, str):
             q = MatchQuery(q)
-        q = self._rewrite(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
         scorers = self._scorers(q)
         for p in self.parts:
             s = self._searcher(p)
@@ -1874,16 +1887,11 @@ class QueryEngine:
         """Highlight a whole hits table (rank/part/local) in one pass:
         sources fetch batched per partition/input-file (fetch_source groups
         reads), then the term-wrap runs per hit — no per-hit file reads."""
-        terms = set(query_terms(q if not isinstance(q, str) else MatchQuery(q),
-                                self.analyzer_name))
-        from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+        terms = frozenset(query_terms(q if not isinstance(q, str) else MatchQuery(q),
+                                      self.analyzer_name))
 
         def wrap(text: str) -> str:
-            def repl(m):
-                return (f"{pre_tag}{m.group(0)}{post_tag}"
-                        if m.group(0).lower() in terms else m.group(0))
-
-            return TOKEN_RE.sub(repl, text or "")
+            return _wrap_terms(text, terms, pre_tag, post_tag)
 
         parts_a = hits["part"].to_numpy()
         locals_a = hits["local"].to_numpy()
@@ -1908,7 +1916,7 @@ class QueryEngine:
             s = self._searcher(int(p))
             idx = np.flatnonzero(parts_a == p)
             for name in sorted(named):
-                q = self._rewrite(named[name])
+                q = self._apply_field_analyzers(self._rewrite(named[name]))
                 scorers, _ = self._scorers_cached(q)
                 docs = s._eval_filter(q, scorers)
                 pos = np.searchsorted(docs, locals_a[idx])
@@ -1935,11 +1943,16 @@ class QueryEngine:
             order.append(idx)
             pieces.append(_fetch_source_rows(self._searcher(int(p)).r.manifest,
                                              locals_a[idx], list(source_columns)))
+        if not pieces:  # zero hits: empty source table with the right schema
+            pieces = [_fetch_source_rows(
+                self._searcher(int(self.parts[0])).r.manifest,
+                np.empty(0, np.int64), list(source_columns))]
         src = pa.concat_tables(pieces)
         # back to original hit order
-        inv = np.empty(len(hits), dtype=np.int64)
-        inv[np.concatenate(order)] = np.arange(len(hits))
-        src = src.take(pa.array(inv))
+        if order:
+            inv = np.empty(len(hits), dtype=np.int64)
+            inv[np.concatenate(order)] = np.arange(len(hits))
+            src = src.take(pa.array(inv))
         out = hits
         for name, fn in fields.items():
             col = fn(src)
@@ -1958,7 +1971,7 @@ class QueryEngine:
         BM25 components (boost, idf(n,N), tf/dl/avgdl fraction)."""
         if isinstance(q, str):
             q = MatchQuery(q)
-        q = self._rewrite(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
         scorers, _ = self._scorers_cached(q)
         part, local = self._locate(int(doc_id))
         s = self._searcher(part)
@@ -2119,7 +2132,7 @@ class QueryEngine:
 
         if isinstance(q, str):
             q = MatchQuery(q)
-        q = self._rewrite(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
         scorers, _ = self._scorers_cached(q)
         cfg = {
             "index_dir": self.index_dir,
@@ -2146,16 +2159,10 @@ class QueryEngine:
                   pre_tag: str = "<em>", post_tag: str = "</em>") -> str:
         """Unified-highlighter-style: wrap query-term occurrences in the
         source text (search/fetch/subphase/highlight analog)."""
-        terms = set(query_terms(q if not isinstance(q, str) else MatchQuery(q),
-                                self.analyzer_name))
+        terms = frozenset(query_terms(q if not isinstance(q, str) else MatchQuery(q),
+                                      self.analyzer_name))
         src = self.fetch_source(part, [local], columns=[text_column])
-        text = src[text_column][0].as_py() or ""
-        from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
-
-        def repl(m):
-            return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in terms else m.group(0)
-
-        return TOKEN_RE.sub(repl, text)
+        return _wrap_terms(src[text_column][0].as_py() or "", terms, pre_tag, post_tag)
 
 
 def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.Table:

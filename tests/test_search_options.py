@@ -6,7 +6,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from elasticsearch_ray.index.spec import IndexSpec
-from elasticsearch_ray.search.query import MatchQuery, TermQuery
+from elasticsearch_ray.search.query import MatchPhraseQuery, MatchQuery, TermQuery
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -303,3 +303,47 @@ def test_scan_dataset_matches_scan(web_engine):
     assert got["doc_id"].tolist() == ser["doc_id"].tolist()
     assert got["url"].tolist() == ser["url"].tolist()
     np.testing.assert_allclose(got["score"].to_numpy(), ser["score"].to_numpy(), rtol=1e-12)
+
+
+def test_post_filter_accepts_scoring_queries(web_engine):
+    """post_filter may be ANY query (ES postFilter surface): analyzed match
+    and phrase filters need their own scorers, not the main query's."""
+    q = MatchQuery("spark")
+    filt = web_engine.search(q, k=50, fetch=("doc_id",),
+                             post_filter=MatchQuery("join"))
+    plain = web_engine.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+    join_docs = {r["doc_id"] for r in web_engine.search(
+        MatchQuery("join"), k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    for r in filt.to_pylist():
+        assert r["doc_id"] in join_docs
+    # phrase post_filter runs too
+    ph = web_engine.search(q, k=10, fetch=("doc_id",),
+                           post_filter=MatchPhraseQuery("spark join"))
+    assert len(ph) >= 0  # no crash; containment:
+    phrase_docs = {r["doc_id"] for r in web_engine.search(
+        MatchPhraseQuery("spark join"), k=10**9, mode="exhaustive",
+        fetch=("doc_id",)).to_pylist()}
+    assert all(r["doc_id"] in phrase_docs for r in ph.to_pylist())
+
+
+def test_post_filter_min_score_combo_and_rejections(web_engine):
+    import pytest as _pt
+
+    q = MatchQuery("spark")
+    hi = web_engine.search(q, k=10, fetch=("doc_id",), terminate_after=10**9,
+                           min_score=1e9)
+    assert len(hi) == 0  # min_score honored alongside terminate_after
+    with _pt.raises(ValueError):
+        web_engine.search(q, k=10, post_filter=MatchQuery("join"),
+                          sort=[("warc_ts", "desc")])
+
+
+def test_script_fields_empty_hits(web_engine):
+    import pyarrow as pa
+
+    empty = web_engine.search(MatchQuery("zzzneverthere"), k=5, fetch=("doc_id",))
+    out = web_engine.script_fields(
+        empty, {"n": lambda src: pa.array([len(t or "") for t in
+                                           src["html"].to_pylist()], pa.int64())},
+        source_columns=("html",))
+    assert len(out) == 0 and "n" in out.column_names
