@@ -1323,6 +1323,38 @@ class QueryEngine:
             an = get_analyzer(self.analyzer_name)
             terms = tuple(dict.fromkeys(an(text)[0]))
             return TermsQuery(terms=terms, boost=q.boost)
+        # recurse into compound children so a rewriteable query nested in a
+        # bool/dis_max/… clause is rewritten too (Lucene rewrites the whole
+        # tree); rebuild only when a child actually changed, preserving
+        # object identity for the scorer cache
+        import dataclasses
+
+        def _kids(qq, attrs):
+            changed = {}
+            for a in attrs:
+                v = getattr(qq, a)
+                if isinstance(v, tuple):
+                    nv = tuple(self._rewrite(s) for s in v)
+                    if any(x is not y for x, y in zip(nv, v)):
+                        changed[a] = nv
+                elif isinstance(v, Query):
+                    nv = self._rewrite(v)
+                    if nv is not v:
+                        changed[a] = nv
+            return dataclasses.replace(qq, **changed) if changed else qq
+
+        if isinstance(q, BoolQuery):
+            return _kids(q, ("must", "should", "filter", "must_not"))
+        if isinstance(q, DisMaxQuery):
+            return _kids(q, ("queries",))
+        if isinstance(q, ConstantScoreQuery):
+            return _kids(q, ("filter",))
+        if isinstance(q, BoostingQuery):
+            return _kids(q, ("positive", "negative"))
+        if isinstance(q, FunctionScoreQuery):
+            return _kids(q, ("query",))
+        if isinstance(q, PinnedQuery):
+            return _kids(q, ("organic",))
         return q
 
     def _locate(self, doc_id: int) -> tuple[int, int]:

@@ -221,3 +221,23 @@ def test_bool_explicit_msm_is_hard_constraint(docs_engine):
     assert want < base
     q2 = BoolQuery(must=(TermQuery(common),), should=(TermQuery(a), TermQuery(b)))
     assert _hits(eng, q2) == base
+
+
+def test_nested_rewriteable_queries_in_bool(docs_engine):
+    """_rewrite recurses into compound children (Lucene rewrites the whole
+    tree): query_string / multi_match nested in bool clauses evaluate the
+    same as their top-level forms."""
+    from elasticsearch_ray.search.query import (ConstantScoreQuery,
+                                                MultiMatchQuery,
+                                                QueryStringQuery)
+
+    eng, _ = docs_engine
+    nested = eng.search(BoolQuery(must=(QueryStringQuery("spark AND join"),)),
+                        k=20, fetch=("doc_id",))
+    direct = eng.search(QueryStringQuery("spark AND join"), k=20, fetch=("doc_id",))
+    assert nested.equals(direct) and len(nested) > 0
+    mm = eng.search(BoolQuery(should=(MultiMatchQuery("spark", fields=(None,)),)),
+                    k=10, fetch=("doc_id",))
+    assert len(mm) > 0
+    cs = eng.search(ConstantScoreQuery(filter=QueryStringQuery("merge OR sort")), k=10)
+    assert len(cs) > 0
