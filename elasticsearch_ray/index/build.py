@@ -172,9 +172,6 @@ class TokenizeShard:
             f: get_analyzer(name) for f, name in (self.spec.field_analyzers or {}).items()
         }
         self.head_terms = head_terms or set()
-        self.head_arr = (
-            pa.array(sorted(self.head_terms), pa.string()) if self.head_terms else None
-        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = [self._one_shard(row) for row in batch.to_pylist()]

@@ -46,8 +46,13 @@ MAX_MERGED_BYTES = 5 * 1024**3
 
 def plan_tiered_merges(parts: list[dict]) -> list[list[int]]:
     """Pick groups of ADJACENT partitions to merge, TieredMergePolicy-style:
-    below-floor segments merge eagerly; otherwise keep ≤ SEGMENTS_PER_TIER
-    segments per size tier. Input: [{part, bytes}] sorted by part id."""
+    below-floor segments merge eagerly; above-floor segments are binned into
+    logarithmic size tiers (tier = log2(bytes/floor)) and an over-budget
+    tier (> SEGMENTS_PER_TIER members) merges adjacent same-tier runs.
+    Input: [{part, bytes}] sorted by part id. Only consecutive part ids ever
+    group (doc ranges must stay contiguous)."""
+    import math
+
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_bytes = 0
@@ -65,6 +70,32 @@ def plan_tiered_merges(parts: list[dict]) -> list[list[int]]:
         cur_bytes += b
     if len(cur) > 1:
         groups.append(cur)
+
+    # tier pass: cap segments-per-size-tier for healthy (above-floor)
+    # segments the floor pass left alone
+    in_group = {p for g in groups for p in g}
+    by_tier: dict[int, list[dict]] = {}
+    for p in parts:
+        if p["part"] in in_group or p["bytes"] < FLOOR_BYTES:
+            continue
+        t = int(math.log2(p["bytes"] / FLOOR_BYTES))
+        by_tier.setdefault(t, []).append(p)
+    for seg in by_tier.values():
+        if len(seg) <= SEGMENTS_PER_TIER:
+            continue
+        run = [seg[0]]
+        run_bytes = seg[0]["bytes"]
+        for prev, nxt in zip(seg, seg[1:]):
+            if (nxt["part"] == prev["part"] + 1 and len(run) < MAX_MERGE_AT_ONCE
+                    and run_bytes + nxt["bytes"] <= MAX_MERGED_BYTES):
+                run.append(nxt)
+                run_bytes += nxt["bytes"]
+            else:
+                if len(run) > 1:
+                    groups.append([x["part"] for x in run])
+                run, run_bytes = [nxt], nxt["bytes"]
+        if len(run) > 1:
+            groups.append([x["part"] for x in run])
     return groups
 
 

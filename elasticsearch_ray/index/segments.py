@@ -75,11 +75,17 @@ def write_term_bloom(pdir: str, terms) -> int:
 
 
 def read_term_bloom(pdir: str, m_bits: int) -> bytes | None:
+    """Load the partition's term Bloom filter; ``m_bits`` (from the
+    manifest) gates a length consistency check — a truncated/stale file is
+    treated as absent rather than indexed out of range."""
     p = os.path.join(pdir, "termbloom.bin")
     if not os.path.exists(p):
         return None
     with open(p, "rb") as f:
-        return f.read()
+        data = f.read()
+    if m_bits and len(data) * 8 != m_bits:
+        return None
+    return data
 
 
 def part_dir(index_dir: str, part: int) -> str:

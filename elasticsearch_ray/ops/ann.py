@@ -69,7 +69,9 @@ def brute_topk(ds: Dataset, query_ids, query_matrix: np.ndarray, id_col: str = "
                vec_col: str = "embedding", k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k per query. Result ordered (query_id, -cosine,
     neighbor_id). Per-batch partials keep the reduce tiny: batches×q×k rows."""
-    qref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float32)))
+    # float64 throughout: a float32 downcast here would diverge from the
+    # DuckDB oracle (and from ivf/hnsw) near round() boundaries
+    qref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float64)))
     partial = ds.map_batches(
         BruteTopK, fn_constructor_args=(qref, id_col, vec_col, k),
         batch_format="pyarrow", concurrency=2,

@@ -170,7 +170,10 @@ def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: i
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            # typed empty: object-dtype blocks from singleton buckets would
+            # fight int64 blocks at schema unification (simhash hardening)
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(out, columns=["id_a", "id_b"])
 
@@ -187,7 +190,9 @@ def _verify_jaccard(ds: Dataset, cand: pd.DataFrame, text_col: str, id_col: str,
     map_batches for candidate docs only, and only those |candidates| rows of
     uint64 hashes come back for the pairwise check."""
     if len(cand) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     import ray
 
     need_ref = ray.put(frozenset(set(cand["id_a"]) | set(cand["id_b"])))
@@ -256,7 +261,8 @@ def ngram_jaccard_candidates(ds: Dataset, text_col: str, id_col: str, shingle_k:
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2 or len(g) > bucket_cap:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         ids = sorted(set(g[id_col].tolist()))
         out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(out, columns=["id_a", "id_b"])

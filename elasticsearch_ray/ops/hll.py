@@ -16,6 +16,11 @@ def _hash64(values: np.ndarray) -> np.ndarray:
         import pandas as pd
 
         h = pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+    elif values.dtype.kind == "f":
+        # hash the float's BIT PATTERN: a uint cast truncates toward zero,
+        # collapsing every value in [n, n+1) to one register (and negative
+        # floats are an undefined cast)
+        h = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64).copy()
     else:
         h = np.asarray(values).astype(np.uint64, copy=False).copy()
     h ^= np.uint64(0x9E3779B97F4A7C15)

@@ -169,10 +169,24 @@ def hnsw_topk(ds: Dataset, query_ids, query_matrix: np.ndarray, id_col: str = "v
             "_part", pa.array((ids % num_partitions).astype(np.int64))
         )
 
-    stage = _PartitionHNSW(qref, id_col, vec_col, k, m, ef_construction, ef_search)
+    stage_args = (qref, id_col, vec_col, k, m, ef_construction, ef_search)
 
     def build_and_search(g: pd.DataFrame) -> pd.DataFrame:
-        return stage(g)
+        # construct (and cache) the stage ON THE WORKER: the closure carries
+        # only the small ObjectRef, so the query matrix ships once via the
+        # object store instead of inside every pickled task
+        global _HNSW_STAGE_CACHE
+        try:
+            cache = _HNSW_STAGE_CACHE
+        except NameError:
+            cache = _HNSW_STAGE_CACHE = {}
+        key = (qref.hex(), id_col, vec_col, k, m, ef_construction, ef_search)
+        st = cache.get(key)
+        if st is None:
+            if len(cache) > 8:
+                cache.clear()
+            st = cache[key] = _PartitionHNSW(*stage_args)
+        return st(g)
 
     partial = (
         ds.map_batches(assign, batch_format="pyarrow")

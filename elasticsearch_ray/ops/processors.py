@@ -159,8 +159,25 @@ class ConvertProcessor(Processor):
     def __init__(self, field, type):
         self.field, self.type = field, self._types[type]
 
+    @staticmethod
+    def _to_bool(v):
+        # ConvertProcessor.Type.BOOLEAN semantics: parse "true"/"false"
+        # (case-insensitive), error otherwise — astype('bool') would map the
+        # non-empty string "false" to True
+        if isinstance(v, (bool, np.bool_)):
+            return bool(v)
+        s = str(v).strip().lower()
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        raise ValueError(f"[{v!r}] is not a boolean value")
+
     def __call__(self, df):
-        df[self.field] = df[self.field].astype(self.type)
+        if self.type == "bool":
+            df[self.field] = df[self.field].map(self._to_bool)
+        else:
+            df[self.field] = df[self.field].astype(self.type)
         return df
 
 

@@ -190,7 +190,10 @@ class Fingerprint:
     BINV = np.uint64(pow(1000003, -1, 1 << 64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wrap-around is the hash semantics
+        with np.errstate(over="ignore"):  # uint64 wrap-around is the hash semantics
+            return self._fold(batch)
+
+    def _fold(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = np.zeros(n, np.uint64)
         toks_per_doc = [(t or "").split() for t in batch[self.text_col].to_pylist()]

@@ -606,3 +606,48 @@ def test_random_sampler_agg_deterministic(ray_session):
     # matches the SQL-oracle predicate exactly
     expect = {i for i in range(1000) if (i * 2654435761) % 4294967296 < 0.3 * 4294967296}
     assert a == expect
+
+
+def test_convert_boolean_parses_strings():
+    import pandas as pd
+    import pytest as _pt
+
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    pipe = Pipeline([{"convert": {"field": "flag", "type": "boolean"}}])
+    df = pipe(pd.DataFrame({"flag": ["true", "False", "TRUE", False]}))
+    assert df["flag"].tolist() == [True, False, True, False]
+    with _pt.raises(ValueError):
+        pipe(pd.DataFrame({"flag": ["yes"]}))
+
+
+def test_hll_float_values_hash_bits(ray_session):
+    import ray.data
+
+    from elasticsearch_ray.ops.hll import HLL
+
+    # 5000 distinct floats in [0,1): a truncate-cast would collapse them all
+    vals = (np.arange(5000) / 5000.0).astype(np.float64)
+    h = HLL(p=12)
+    h.add(vals)
+    est = h.cardinality()
+    assert 4000 < est < 6000, est
+
+
+def test_tiered_merge_caps_segments_per_tier():
+    from elasticsearch_ray.index.merge import (FLOOR_BYTES, SEGMENTS_PER_TIER,
+                                               plan_tiered_merges)
+
+    # 50 healthy same-tier segments: the tier is over budget and adjacent
+    # runs must merge (the old planner returned nothing here)
+    parts = [{"part": i, "bytes": 10 * 1024 * 1024} for i in range(50)]
+    groups = plan_tiered_merges(parts)
+    assert groups, "above-floor tier over budget must produce merges"
+    merged = {p for g in groups for p in g}
+    assert all(len(g) > 1 for g in groups)
+    # within budget: no merges
+    small = [{"part": i, "bytes": 10 * 1024 * 1024} for i in range(SEGMENTS_PER_TIER)]
+    assert plan_tiered_merges(small) == []
+    # below-floor eager behavior unchanged
+    tiny = [{"part": i, "bytes": FLOOR_BYTES // 4} for i in range(4)]
+    assert plan_tiered_merges(tiny) == [[0, 1, 2, 3]]
