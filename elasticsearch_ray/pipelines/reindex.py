@@ -87,6 +87,11 @@ def reindex_query(engine, dst_dir: str, q, processors: list | None = None,
         return pipe(df)
 
     ds = ds.map_batches(xf, batch_format="pandas")
+    # fresh sink: write_parquet emits uuid-named files, so stale output from
+    # a previous run would otherwise mix into (and inflate) the result
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)
     os.makedirs(dst_dir, exist_ok=True)
     ds.write_parquet(dst_dir)
     import glob

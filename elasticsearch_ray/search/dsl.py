@@ -204,7 +204,8 @@ class _Parser:
                            gt=v.get("gt"), lt=v.get("lt"))
 
     def q_exists(self, body):
-        return ExistsQuery(field=body["field"], boost=float(body.get("boost", 1.0)))
+        return ExistsQuery(field=self._f(body["field"]),
+                           boost=float(body.get("boost", 1.0)))
 
     def q_prefix(self, body):
         field, v = _field_body(body, "prefix")

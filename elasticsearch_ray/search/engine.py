@@ -713,6 +713,12 @@ class PartitionSearcher:
             docs, scores = self._eval_scoring(q.query, scorers, None, "exhaustive")
             if len(docs) == 0:
                 return docs, scores
+            if q.field is None:
+                # weight-only function (FunctionScoreQuery with no
+                # field_value_factor): score composed with the bare weight
+                base = np.asarray(scores, np.float64)
+                out = base + q.weight if q.boost_mode == "sum" else base * q.weight
+                return docs, out.astype(dtype)
             fv = self._doc_col(q.field)[docs].astype(np.float64) * q.factor
             if q.modifier == "log1p":
                 fv = np.log1p(fv)
@@ -1255,6 +1261,8 @@ class QueryEngine:
                 )
             if isinstance(qq, FunctionScoreQuery) and qq.query is not None:
                 return dataclasses.replace(qq, query=walk(qq.query))
+            if isinstance(qq, PinnedQuery) and qq.organic is not None:
+                return dataclasses.replace(qq, organic=walk(qq.organic))
             return qq
 
         return walk(q)
@@ -1481,6 +1489,17 @@ class QueryEngine:
             elif isinstance(qq, BoolQuery):
                 for sub in (*qq.must, *qq.should, *qq.filter, *qq.must_not):
                     add_phrase(sub)
+            elif isinstance(qq, ConstantScoreQuery):
+                if qq.filter is not None:
+                    add_phrase(qq.filter)
+            elif isinstance(qq, FunctionScoreQuery):
+                if qq.query is not None:
+                    add_phrase(qq.query)
+            elif isinstance(qq, BoostingQuery):
+                if qq.positive is not None:
+                    add_phrase(qq.positive)
+                if qq.negative is not None:
+                    add_phrase(qq.negative)
             elif isinstance(qq, DisMaxQuery):
                 for sub in qq.queries:
                     add_phrase(sub)
@@ -1607,18 +1626,7 @@ class QueryEngine:
             "local": pa.array(docs_a),
         }
         tbl = pa.table(cols)
-        if fetch:
-            fetched = []
-            for p in np.unique(parts_a):
-                mask = parts_a == p
-                ft = self._searcher(int(p)).r.doc_fields(docs_a[mask], fetch)
-                ft = ft.append_column("part", pa.array(np.full(mask.sum(), p, np.int64)))
-                ft = ft.append_column("local", pa.array(docs_a[mask]))
-                fetched.append(ft)
-            f = pa.concat_tables(fetched)
-            tbl = tbl.join(f, keys=["part", "local"], join_type="left outer")
-            tbl = tbl.sort_by("rank")
-        return tbl
+        return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
 
     def _search_post(self, q: Query, k: int, fetch: tuple,
@@ -1857,6 +1865,7 @@ class QueryEngine:
             order = order[~pd.Series(vals).duplicated().to_numpy()]
         if rescore is not None:
             rq, window, qw, rw = rescore
+            rq = self._apply_field_analyzers(self._rewrite(rq))
             window_idx = order[:window]
             rscorers = self._scorers(rq)
             need_parts = set(np.unique(parts_a[window_idx]).tolist())
@@ -2224,21 +2233,28 @@ def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.
         t = pq.read_table(paths[int(fi)], columns=columns)
         rel = locs[fis == fi] - bases[int(fi)]
         pieces[int(fi)] = t.take(pa.array(rel))
-    counters = {fi: 0 for fi in pieces}
-    out = []
-    for fi in fis:
-        i = counters[int(fi)]
-        counters[int(fi)] += 1
-        out.append(pieces[int(fi)].slice(i, 1))
-    return pa.concat_tables(out)
+    # reassemble in the original hit order WITHOUT a per-row slice loop:
+    # concat the per-file pieces (grouped order), then one argsort-take back
+    # to hit order — O(n log n), not n 1-row tables
+    cat = pa.concat_tables([pieces[int(fi)] for fi in np.unique(fis)])
+    grouped_pos = np.argsort(fis, kind="stable")  # hit idx -> position grouped
+    inv = np.empty(len(fis), dtype=np.int64)
+    inv[grouped_pos] = np.arange(len(fis))
+    return cat.take(pa.array(inv))
 
 
 def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str:
-    """Unified-highlighter term wrap (case-insensitive on analyzed terms)."""
+    """Unified-highlighter term wrap (case-insensitive on analyzed terms).
+    Field-namespaced query terms ("<field>\x1f<term>") are matched by their
+    bare term — \x1f never survives tokenization, so without stripping a
+    fielded query would highlight nothing."""
     from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
 
+    bare = frozenset(t.rsplit("\x1f", 1)[-1] if isinstance(t, str) else t
+                     for t in terms)
+
     def repl(m):
-        return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in terms else m.group(0)
+        return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in bare else m.group(0)
 
     return TOKEN_RE.sub(repl, text or "")
 

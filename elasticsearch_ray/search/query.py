@@ -494,6 +494,11 @@ def parse_query_string(text: str, default_field: str | None = None,
         return toks[pos[0]] if pos[0] < len(toks) else None
 
     def advance():
+        if pos[0] >= len(toks):
+            # trailing operator / dangling paren: a parse error, not an
+            # IndexError (QueryParser raises ParseException here)
+            raise ValueError(f"query_string syntax error: unexpected end of "
+                             f"input in {text!r}")
         t = toks[pos[0]]
         pos[0] += 1
         return t

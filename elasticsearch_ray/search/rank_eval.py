@@ -28,7 +28,9 @@ def recall_at_k(ranked, relevant: set, k: int) -> float:
 
 
 def mean_reciprocal_rank(ranked, relevant: set, k: int | None = None) -> float:
-    top = list(ranked)[: k or len(list(ranked))]
+    top = list(ranked)  # materialize ONCE (ranked may be a generator)
+    if k is not None:
+        top = top[:k]
     for i, d in enumerate(top, start=1):
         if d in relevant:
             return 1.0 / i

@@ -241,3 +241,61 @@ def test_nested_rewriteable_queries_in_bool(docs_engine):
     assert len(mm) > 0
     cs = eng.search(ConstantScoreQuery(filter=QueryStringQuery("merge OR sort")), k=10)
     assert len(cs) > 0
+
+
+def test_phrase_under_score_wrappers(docs_engine):
+    """Phrase/span scorers register through constant_score / function_score /
+    boosting wrappers (add_phrase recursion)."""
+    from elasticsearch_ray.search.query import (BoostingQuery,
+                                                ConstantScoreQuery,
+                                                FunctionScoreQuery,
+                                                MatchPhraseQuery)
+
+    eng, docs = docs_engine
+    base = eng.search(MatchPhraseQuery("spark join"), k=10**9, mode="exhaustive",
+                      fetch=("doc_id",))
+    cs = eng.search(ConstantScoreQuery(filter=MatchPhraseQuery("spark join")),
+                    k=10**9, mode="exhaustive", fetch=("doc_id",))
+    assert sorted(cs["doc_id"].to_pylist()) == sorted(base["doc_id"].to_pylist())
+    fs = eng.search(FunctionScoreQuery(query=MatchPhraseQuery("spark join"),
+                                       weight=2.0), k=5)
+    assert len(fs) > 0
+    bq = eng.search(BoostingQuery(positive=MatchPhraseQuery("spark join"),
+                                  negative=MatchPhraseQuery("merge sort"),
+                                  negative_boost=0.3), k=5)
+    assert len(bq) > 0
+
+
+def test_rescore_with_rewriteable_query(docs_engine):
+    from elasticsearch_ray.search.query import QueryStringQuery
+
+    eng, _ = docs_engine
+    r = eng.search(MatchQuery("spark"), k=10,
+                   rescore=(QueryStringQuery("spark AND join"), 20, 1.0, 2.0))
+    assert len(r) > 0
+
+
+def test_query_string_trailing_operator_raises_cleanly():
+    import pytest as _pt
+
+    from elasticsearch_ray.search.query import parse_query_string
+
+    for bad in ("spark AND", "(", "NOT"):
+        with _pt.raises(ValueError):
+            parse_query_string(bad)
+
+
+def test_mrr_generator_and_k_zero():
+    from elasticsearch_ray.search.rank_eval import mean_reciprocal_rank
+
+    assert mean_reciprocal_rank((d for d in [5, 3, 1]), {3}) == 0.5
+    assert mean_reciprocal_rank([5, 3, 1], {3}, k=0) == 0.0
+    assert mean_reciprocal_rank([5, 3, 1], {3}, k=1) == 0.0
+
+
+def test_dsl_exists_default_field():
+    from elasticsearch_ray.search.dsl import parse_dsl
+    from elasticsearch_ray.search.query import ExistsQuery
+
+    assert parse_dsl({"exists": {"field": "text"}}) == ExistsQuery(field=None)
+    assert parse_dsl({"exists": {"field": "lang"}}) == ExistsQuery(field="lang")
