@@ -28,7 +28,14 @@ _ENGINES: dict[str, Any] = {}
 
 
 def _sf_key(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir))
+    """Cache key for an input dir: basename + a short hash of the FULL
+    normalized path, so two different dirs sharing a basename (e.g.
+    /a/sf0.01 vs /b/sf0.01) never collide in _ENGINES or /tmp caches."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    h = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    return f"{os.path.basename(norm)}-{h}"
 
 
 def _ds(sf_dir: str, table: str):
@@ -99,7 +106,10 @@ def _multifield_index(sf_dir: str):
     """Two-field index over documents: body = text, title = first 5 tokens,
     plus a derived per-doc required-match column req_m = 1 + doc_id % 3 for
     terms_set (all derived deterministically so DuckDB can reproduce them)."""
-    key = f"mf2-{_sf_key(sf_dir)}"
+    # v2 in the key = derivation version: bump whenever the title/req_m
+    # formulas change so stale /tmp corpora rebuild (same discipline as the
+    # webpages generator's params["version"])
+    key = f"mf2v2-{_sf_key(sf_dir)}"
     if key in _ENGINES:
         return _ENGINES[key]
     import pyarrow.parquet as pq
@@ -152,13 +162,14 @@ def _webpages_index(sf_dir: str):
     return eng
 
 
-def _search_table(eng, q, k=10, round_to=4) -> pa.Table:
+def _search_table(eng, q, k=10, round_to=4, mode="bmw", overfetch=50,
+                  **search_kw) -> pa.Table:
     """Rank on ROUNDED scores with doc_id tiebreak, mirrored in the SQL
     oracles: mathematically-tied scores otherwise get ordered by fp summation
     noise, which is nondeterministic in DuckDB's parallel aggregation. Over-
     fetch a margin so every doc tied at round_to digits with the kth score is
     present before the rounded re-rank."""
-    res = eng.search(q, k=k + 50, mode="bmw", fetch=("doc_id",))
+    res = eng.search(q, k=k + overfetch, mode=mode, fetch=("doc_id",), **search_kw)
     df = res.to_pandas()[["doc_id", "score"]]
     df["score"] = df["score"].round(round_to)
     df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
@@ -203,11 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def search_phrase_docs(sf):
-        eng = _documents_index(sf)
-        res = eng.search(MatchPhraseQuery("spark join"), k=10**9, mode="exhaustive",
-                         fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _doc_set(_documents_index(sf), MatchPhraseQuery("spark join"))
 
     def search_bool_filtered(sf):
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
@@ -217,10 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from elasticsearch_ray.analysis.synonyms import synonym_graph_expand
 
         q = synonym_graph_expand("mergesort", ["mergesort, merge sort"])
-        eng = _documents_index(sf)
-        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _doc_set(_documents_index(sf), q)
 
     def search_multi_match(sf):
         from elasticsearch_ray.search.query import MultiMatchQuery
@@ -372,13 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from elasticsearch_ray.search.query import TermFilter
 
         eng = _documents_index(sf)
-        res = eng.search(MatchQuery("spark"), k=60, fetch=("doc_id",),
-                         post_filter=TermFilter(column="lang", value="en"))
-        df = res.to_pandas()[["doc_id", "score"]]
-        df["score"] = df["score"].round(4)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
-        df.insert(0, "rank", range(1, len(df) + 1))
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return _search_table(eng, MatchQuery("spark"), k=10,
+                             post_filter=TermFilter(column="lang", value="en"))
 
     def search_terminate_after(sf):
         # terminate_after: stop collecting after N matching docs per shard
@@ -1110,26 +1109,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
     def search_dismax(sf):
-        eng = _documents_index(sf)
         q = DisMaxQuery(queries=(TermQuery("spark"), TermQuery("window")), tie_breaker=0.3)
-        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id", "score"]]
-        df["score"] = df["score"].round(4)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
-        df.insert(0, "rank", range(1, len(df) + 1))
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return _search_table(_documents_index(sf), q, k=10, mode="exhaustive",
+                             overfetch=10**9)
 
     def search_sqs(sf):
         from elasticsearch_ray.search.query import parse_simple_query_string
 
         eng = _documents_index(sf)
         q = parse_simple_query_string("+spark -window merge")
-        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id", "score"]]
-        df["score"] = df["score"].round(4)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
-        df.insert(0, "rank", range(1, len(df) + 1))
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
     def search_function_score(sf):
         from elasticsearch_ray.search.query import FunctionScoreQuery
@@ -1137,12 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = _documents_index(sf)
         q = FunctionScoreQuery(query=TermQuery("spark"), field="doclen",
                                modifier="log1p", weight=1.0, boost_mode="multiply")
-        res = eng.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id", "score"]]
-        df["score"] = df["score"].round(4)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
-        df.insert(0, "rank", range(1, len(df) + 1))
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
     def rank_eval_report(sf):  # rows-only (graded relevance from term containment)
         from elasticsearch_ray.search.query import MatchQuery

@@ -125,9 +125,9 @@ def run_bench() -> dict:
     # so min() measures steady-state build compute, not cold-start variance
     # (run-to-run spread at a fixed cpu count was ±20%, which made the
     # scaling-efficiency ratio flap around the 0.8 bar).
-    reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
     build_sec = float("inf")
-    for _ in range(max(1, reps)):
+    for _ in range(max(1, build_reps)):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         meta = build_index(corpus, idx_dir, IndexSpec(use_html=True))
@@ -136,20 +136,26 @@ def run_bench() -> dict:
 
     # query QPS on warm actors behind coordinator actors (the reference's
     # any-node-coordinates model: driver does one submit+get per query)
-    eng = QueryEngine(idx_dir, dtype="float32", parallel="ray", num_coordinators=4)
+    num_coords = 4
+    eng = QueryEngine(idx_dir, dtype="float32", parallel="ray",
+                      num_coordinators=num_coords)
     queries = {}
-    # warmup: populate every coordinator's scorer cache for every query
-    for _ in range(4):
+    # warmup: every coordinator must build scorers for every query. The
+    # round-robin stride aligns when len(QUERY_SET) is a multiple of the
+    # coordinator count (query j would always land on coordinator j%4), so
+    # each round starts at a different coordinator explicitly.
+    for r in range(num_coords):
+        eng._coord_rr = r
         for _name, _spec in QUERY_SET:
             eng.search(build_query(_spec), k=10)
     total_q = 0.0
     for name, spec in QUERY_SET:
         q = build_query(spec)
-        reps = 5
+        query_reps = 5
         tq = time.time()
-        for _ in range(reps):
+        for _ in range(query_reps):
             eng.search(q, k=10, mode="bmw")
-        dt = (time.time() - tq) / reps
+        dt = (time.time() - tq) / query_reps
         queries[name] = round(dt, 4)
         total_q += dt
 
@@ -227,21 +233,20 @@ def run_scaling():
         "sf": SF_DIR,
     }
     print(json.dumps(result))
-    _update_baseline_md(result, r_lo, r_hi)
+    _update_baseline_md(result, r_lo, r_hi, lo, hi)
     return result
 
 
-def _update_baseline_md(result, r_lo, r_hi):
+def _update_baseline_md(result, r_lo, r_hi, lo, hi):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     begin, end = "<!-- MEASURED:BEGIN -->", "<!-- MEASURED:END -->"
-    lo = [k for k in result if k.startswith("build_sec_")][0].split("_")[-1]
     block = f"""{begin}
 ## Measured (bench.py --scaling, single node, {time.strftime('%Y-%m-%d')})
 
 | metric | value | config |
 |---|---|---|
-| build sec @{lo} cpus | {result[f'build_sec_{lo}']} | {result['n_docs']} docs, {result['num_parts']} parts, {result['sf']} |
-| build sec @{[k for k in result if k.startswith('build_sec_')][1].split('_')[-1]} cpus | {list(result.values())[4]} | same corpus, fresh process |
+| build sec @{lo} cpus | {r_lo['build_sec']} | {result['n_docs']} docs, {result['num_parts']} parts, {result['sf']} |
+| build sec @{hi} cpus | {r_hi['build_sec']} | same corpus, fresh process |
 | docs/sec | {r_lo['docs_per_sec']} → {r_hi['docs_per_sec']} | |
 | scaling efficiency | {result['value']} | (T_lo/T_hi)/(hi/lo), target ≥ 0.8 |
 | query latencies @hi (sec) | {json.dumps(r_hi['queries'])} | warm actors, k=10, BMW |

@@ -66,6 +66,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rowsonly = 0
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a misspelled filter must not produce a vacuous green gate
+            print(f"FAIL unknown entry name(s): {unknown}")
+            n_fail += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
