@@ -274,6 +274,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
 
+    def percolate_bank(sf):
+        # reverse search: the DSL query bank is the ray.put broadcast small
+        # side; documents stream through a stateless map_batches matcher
+        from elasticsearch_ray.ops.percolate import percolate
+
+        bank = [
+            ("q_phrase", {"match_phrase": {"text": "merge sort"}}),
+            ("q_bool", {"bool": {"must": [{"match": {"text": "join"}}],
+                                 "must_not": [{"term": {"text": "window"}}]}}),
+            ("q_lang_hash", {"bool": {"filter": [{"term": {"lang": "en"}}],
+                                      "must": [{"match": {"text": "hash"}}]}}),
+        ]
+        out = percolate(_ds(sf, "documents"), bank, doc_columns=("lang",))
+        df = out.to_pandas().sort_values(["doc_id", "query_name"]).reset_index(drop=True)
+        return df
+
     def search_span_within(sf):
         # little term inside an ordered big chain (slop<=2): regex oracle
         # enumerates the gap layouts with 'fast' in the merge..sort window
@@ -1237,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "percolate_bank": percolate_bank,
         "search_span_within": search_span_within,
         "search_span_containing": search_span_containing,
         "search_highlight": search_highlight,
@@ -1611,6 +1628,19 @@ def oracle_sql() -> dict[str, str]:
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
             ORDER BY doc_id
+        """,
+        "percolate_bank": """
+            SELECT doc_id, query_name FROM (
+              SELECT doc_id, 'q_phrase' AS query_name FROM documents
+              WHERE ' ' || text || ' ' LIKE '% merge sort %'
+              UNION ALL
+              SELECT doc_id, 'q_bool' FROM documents
+              WHERE ' ' || text || ' ' LIKE '% join %'
+                AND ' ' || text || ' ' NOT LIKE '% window %'
+              UNION ALL
+              SELECT doc_id, 'q_lang_hash' FROM documents
+              WHERE lang = 'en' AND ' ' || text || ' ' LIKE '% hash %'
+            ) ORDER BY doc_id, query_name
         """,
         "search_span_within": """
             WITH tok AS (

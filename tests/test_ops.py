@@ -651,3 +651,39 @@ def test_tiered_merge_caps_segments_per_tier():
     # below-floor eager behavior unchanged
     tiny = [{"part": i, "bytes": FLOOR_BYTES // 4} for i in range(4)]
     assert plan_tiered_merges(tiny) == [[0, 1, 2, 3]]
+
+
+def test_percolate_matches_forward_search(ray_session, tmp_path_factory):
+    """Reverse search agrees with forward search: the set of docs a bank
+    query percolates equals that query's exhaustive hit set on an index."""
+    import ray.data as rd
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.ops.percolate import percolate
+    from elasticsearch_ray.search.dsl import parse_dsl
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    sf = "/root/testdata/sf0.001"
+    bank = [
+        ("spark", {"match": {"text": "spark"}}),
+        ("and2", {"match": {"text": {"query": "merge sort", "operator": "and"}}}),
+        ("phrase", {"match_phrase": {"text": "spark join"}}),
+        ("near", {"span_near": {"clauses": [{"span_term": {"text": "merge"}},
+                                            {"span_term": {"text": "sort"}}],
+                                "slop": 2, "in_order": True}}),
+        ("notq", {"bool": {"must_not": [{"match": {"text": "spark"}}]}}),
+        ("pfx", {"prefix": {"text": "spar"}}),
+    ]
+    perc = percolate(rd.read_parquet(f"{sf}/documents.parquet"), bank).to_pandas()
+    got = {name: set(g["doc_id"]) for name, g in perc.groupby("query_name")}
+
+    idx = str(tmp_path_factory.mktemp("percidx") / "index")
+    build_index(sf, idx, IndexSpec(use_html=False, text_column="text",
+                                   doc_columns=("lang",)), concurrency=2,
+                file_pattern="documents.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    for name, dsl in bank:
+        fwd = eng.search(parse_dsl(dsl), k=10**9, mode="exhaustive",
+                         fetch=("doc_id",))
+        assert got.get(name, set()) == set(fwd["doc_id"].to_pylist()), name
