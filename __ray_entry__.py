@@ -274,6 +274,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ("match", "merge sort", 1, False)))
         return _doc_set(_documents_index(sf), IntervalsQuery(source=src_))
 
+    def delete_by_query_pipeline(sf):
+        # delete-by-query as a partition-local corpus rewrite (no id-set
+        # broadcast); read back = all docs NOT matching
+        import shutil
+        import tempfile
+
+        from elasticsearch_ray.pipelines.reindex import delete_by_query
+
+        eng = _documents_index(sf)
+        dst = tempfile.mkdtemp(prefix="esray_dbq_")
+        try:
+            delete_by_query(eng, dst, MatchQuery("window"))
+            import pyarrow.dataset as pads
+
+            out = pads.dataset(dst).to_table().to_pandas()[["doc_id", "lang"]]
+            return out.sort_values("doc_id").reset_index(drop=True)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
+    def update_by_query_pipeline(sf):
+        # update-by-query: matching docs get uppercase(lang), others pass
+        import shutil
+        import tempfile
+
+        from elasticsearch_ray.pipelines.reindex import update_by_query
+
+        eng = _documents_index(sf)
+        dst = tempfile.mkdtemp(prefix="esray_ubq_")
+        try:
+            update_by_query(eng, dst, MatchQuery("window"),
+                            [{"uppercase": {"field": "lang"}}])
+            import pyarrow.dataset as pads
+
+            out = pads.dataset(dst).to_table().to_pandas()[["doc_id", "lang"]]
+            return out.sort_values("doc_id").reset_index(drop=True)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
     def percolate_bank(sf):
         # reverse search: the DSL query bank is the ray.put broadcast small
         # side; documents stream through a stateless map_batches matcher
@@ -1253,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_ordered": search_span_near_ordered,
         "search_span_near_unordered": search_span_near_unordered,
         "search_intervals_any_of": search_intervals_any_of,
+        "delete_by_query_pipeline": delete_by_query_pipeline,
+        "update_by_query_pipeline": update_by_query_pipeline,
         "percolate_bank": percolate_bank,
         "search_span_within": search_span_within,
         "search_span_containing": search_span_containing,
@@ -1627,6 +1667,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(' ' || text || ' ', ' spark( [^ ]+){0,2} join ')
                OR regexp_matches(' ' || text || ' ', ' merge( [^ ]+){0,1} sort ')
                OR regexp_matches(' ' || text || ' ', ' sort( [^ ]+){0,1} merge ')
+            ORDER BY doc_id
+        """,
+        "delete_by_query_pipeline": """
+            SELECT doc_id, lang FROM documents
+            WHERE ' ' || text || ' ' NOT LIKE '% window %'
+            ORDER BY doc_id
+        """,
+        "update_by_query_pipeline": """
+            SELECT doc_id,
+                   CASE WHEN ' ' || text || ' ' LIKE '% window %'
+                        THEN upper(lang) ELSE lang END AS lang
+            FROM documents
             ORDER BY doc_id
         """,
         "percolate_bank": """

@@ -71,6 +71,92 @@ def reindex(
     return {"shards": len(shards), "skipped": skipped, "rows": rows}
 
 
+def _rewrite_partition(batch: pa.Table, cfg: dict) -> pa.Table:
+    """One task per partition: evaluate the query locally, then rewrite the
+    partition's OWN input files — delete-by-query drops matching rows,
+    update-by-query pipes matching rows through the processor chain. No
+    broadcast of a corpus-sized id set; output is one file per input file
+    (resumable, partitioned)."""
+    import numpy as np
+
+    from elasticsearch_ray.search.engine import _hl_searcher
+
+    pipe = Pipeline(cfg["processors"]) if cfg["processors"] else None
+    outs = []
+    for part in batch["part"].to_pylist():
+        s = _hl_searcher(cfg["index_dir"], int(part), cfg["analyzer"],
+                         cfg["params_kb"], cfg["dtype"])
+        docs, _ = s._eval_scoring(cfg["q"], cfg["scorers"], k=None, mode="exhaustive")
+        docs = np.asarray(docs, dtype=np.int64)
+        paths = s.r.manifest["input_path"]
+        if isinstance(paths, str):
+            paths = [paths]
+        base = 0
+        n_out = 0
+        for fi, pth in enumerate(paths):
+            t = pq.read_table(pth)
+            n = len(t)
+            in_file = docs[(docs >= base) & (docs < base + n)] - base
+            mask = np.zeros(n, dtype=bool)
+            mask[in_file] = True
+            if cfg["mode"] == "delete":
+                t = t.filter(pa.array(~mask))
+            elif mask.any():  # update: pipe matching rows, splice back
+                df = t.to_pandas()
+                df.loc[mask] = pipe(df.loc[mask].copy())
+                t = pa.Table.from_pandas(df, preserve_index=False)
+            out_path = os.path.join(cfg["dst_dir"], f"part-{int(part):05d}-{fi:03d}.parquet")
+            tmp = out_path + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, out_path)
+            n_out += len(t)
+            base += n
+        outs.append({"part": int(part), "rows": n_out})
+    return pa.Table.from_pylist(outs)
+
+
+def _by_query(engine, dst_dir: str, q, mode: str, processors: list | None) -> int:
+    from elasticsearch_ray.search.query import MatchQuery
+
+    if isinstance(q, str):
+        q = MatchQuery(q)
+    q = engine._apply_field_analyzers(engine._rewrite(q))
+    scorers, _ = engine._scorers_cached(q)
+    os.makedirs(dst_dir, exist_ok=True)
+    cfg = {
+        "index_dir": engine.index_dir,
+        "q": q,
+        "scorers": scorers,
+        "analyzer": engine.analyzer_name,
+        "params_kb": (engine.params.k1, engine.params.b),
+        "dtype": engine.dtype,
+        "dst_dir": dst_dir,
+        "mode": mode,
+        "processors": processors or [],
+    }
+    res = (
+        rd.from_items([{"part": int(p)} for p in engine.parts],
+                      override_num_blocks=len(engine.parts))
+        .map_batches(_rewrite_partition, fn_args=(cfg,), batch_format="pyarrow")
+        .take_all()
+    )
+    return sum(r["rows"] for r in res)
+
+
+def delete_by_query(engine, dst_dir: str, q) -> int:
+    """delete-by-query (TransportDeleteByQueryAction analog) over the
+    immutable corpus: writes a new partitioned corpus WITHOUT the matching
+    rows; returns rows written. Each partition task is self-contained."""
+    return _by_query(engine, dst_dir, q, "delete", None)
+
+
+def update_by_query(engine, dst_dir: str, q, processors: list) -> int:
+    """update-by-query (TransportUpdateByQueryAction analog): matching rows
+    run through the ingest-processor chain (the script's role), all rows are
+    rewritten to the destination corpus."""
+    return _by_query(engine, dst_dir, q, "update", processors)
+
+
 def reindex_query(engine, dst_dir: str, q, processors: list | None = None,
                   source_columns: tuple = ("text", "lang"),
                   fetch: tuple = ("doc_id",)) -> int:
