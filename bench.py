@@ -151,11 +151,15 @@ def run_bench() -> dict:
     total_q = 0.0
     for name, spec in QUERY_SET:
         q = build_query(spec)
-        query_reps = 5
-        tq = time.time()
-        for _ in range(query_reps):
+        # median of 7 reps: the mean was dominated by one slow outlier rep
+        # whenever the shared host hiccuped mid-measurement
+        ts = []
+        for _ in range(7):
+            tq = time.time()
             eng.search(q, k=10, mode="bmw")
-        dt = (time.time() - tq) / query_reps
+            ts.append(time.time() - tq)
+        ts.sort()
+        dt = ts[len(ts) // 2]
         queries[name] = round(dt, 4)
         total_q += dt
 
