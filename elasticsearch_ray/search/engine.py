@@ -933,11 +933,15 @@ class PartitionSearcher:
         return a
 
     def extended_candidates(self, q, scorers, sort, k, search_after=None,
-                            collapse=None, min_score=None):
+                            collapse=None, min_score=None, part=0):
         """Per-partition candidate collection for the field-sort / collapse /
         rescore path: exhaustive eval → min_score → sort keys → search_after
         cursor → per-value best (collapse) → top-k BY SORT ORDER. The driver
-        merges k·P rows; nothing partition-sized leaves the partition."""
+        merges k·P rows; nothing partition-sized leaves the partition.
+
+        A cursor two entries longer than the sort spec carries the implicit
+        (part, doc) tiebreak (the reference's ``_shard_doc`` PIT field), so
+        pagination is exact even when sort values tie at a page boundary."""
         docs, scores = self._eval_scoring(q, scorers, k=None, mode="exhaustive")
         scores = np.asarray(scores, np.float64)
         if min_score is not None:
@@ -950,7 +954,12 @@ class PartitionSearcher:
                     for col, _ in sort]
         descs = [d == "desc" for _, d in sort]
         if search_after is not None:
-            keep = _after_mask(key_cols, descs, search_after)
+            cols, ds_ = key_cols, descs
+            if len(search_after) == len(key_cols) + 2:
+                cols = key_cols + [np.full(len(docs), int(part), np.int64),
+                                   np.asarray(docs, np.int64)]
+                ds_ = descs + [False, False]
+            keep = _after_mask(cols, ds_, search_after)
             docs, scores = docs[keep], scores[keep]
             key_cols = [kc[keep] for kc in key_cols]
             if len(docs) == 0:
@@ -1843,7 +1852,8 @@ class QueryEngine:
         else:
             per_part = [
                 (p, *self._searcher(p).extended_candidates(q, scorers, sort, fetch_k,
-                                                           search_after, collapse, min_score))
+                                                           search_after, collapse, min_score,
+                                                           part=p))
                 for p in self.parts
             ]
         per_part = [r for r in per_part if len(r[1])]
@@ -2346,7 +2356,8 @@ class SearcherActor:
     def extended_candidates(self, q, scorers, sort, k, search_after=None, collapse=None,
                             min_score=None):
         return [
-            (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse, min_score))
+            (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse,
+                                       min_score, part=p))
             for p, s in self.searchers.items()
         ]
 

@@ -74,7 +74,12 @@ def test_bmw_no_pruning_when_k_large():
     docs, scores = bmw_topk(cursors, norms, k=10**9, n_docs=n_docs, stats=stats)
     # k unbounded → nothing can be pruned; still equal to exhaustive
     e_docs, e_scores = exhaustive_disjunction(cursors, norms)
-    assert len(docs) == len(e_docs)
+    import numpy as _np
+
+    order = _np.lexsort((docs,))
+    e_order = _np.lexsort((e_docs,))
+    assert _np.array_equal(docs[order], e_docs[e_order])
+    assert _np.array_equal(scores[order], e_scores[e_order])  # bit-equal
     assert stats["windows_scored"] == stats["windows_total"]
 
 

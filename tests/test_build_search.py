@@ -264,9 +264,10 @@ def test_resume_skips_complete_parts(built_index, ray_session):
     from elasticsearch_ray.index.segments import manifest_path, part_dir
 
     corpus, idx, meta = built_index
-    # invalidate part 1 only
+    # invalidate part 1 only; hash ALL parts first so the rebuild can be
+    # verified byte-identical (mtime alone can't prove content)
     before = {}
-    for part in (0, 2):
+    for part in (0, 1, 2):
         f = os.path.join(part_dir(idx, part), "postings.bin")
         before[part] = (os.path.getmtime(f), hashlib.md5(open(f, "rb").read()).hexdigest())
     os.remove(manifest_path(idx, 1))
@@ -275,7 +276,10 @@ def test_resume_skips_complete_parts(built_index, ray_session):
     for part in (0, 2):
         f = os.path.join(part_dir(idx, part), "postings.bin")
         assert os.path.getmtime(f) == before[part][0], "untouched part was rebuilt"
-    # part 1 rebuilt byte-identically
+    # every part's postings byte-identical after resume (part 1 rebuilt)
+    for part in (0, 1, 2):
+        f = os.path.join(part_dir(idx, part), "postings.bin")
+        assert hashlib.md5(open(f, "rb").read()).hexdigest() == before[part][1], part
     from elasticsearch_ray.search.engine import QueryEngine
 
     eng = QueryEngine(idx, dtype="float64")

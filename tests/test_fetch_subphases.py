@@ -75,10 +75,15 @@ def test_matched_queries_vs_brute_force(eng):
     hits = eng.search(MatchQuery("spark join"), k=20, fetch=("doc_id",))
     got = eng.matched_queries(named, hits)
     assert len(got) == len(hits)
+    toks = {d: t.split() for d, t in zip(texts["doc_id"].to_pylist(),
+                                          texts["text"].to_pylist())}
     for r, names in zip(hits.to_pylist(), got):
         w = words[r["doc_id"]]
         assert ("has_spark" in names) == ("spark" in w)
         assert ("has_join" in names) == ("join" in w)
+        seq = toks[r["doc_id"]]
+        adjacent = any(seq[i:i + 2] == ["spark", "join"] for i in range(len(seq) - 1))
+        assert ("spark_join_phrase" in names) == adjacent  # positional, not just AND
         assert names == sorted(names)
 
 

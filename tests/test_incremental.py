@@ -75,13 +75,20 @@ def test_incremental_partial_boundary_partition(ray_session, tmp_path):
     build_index(str(src), idx, spec, concurrency=2)
     m0 = os.path.getmtime(os.path.join(idx, "parts", "part=00000", "postings.bin"))
     m1 = os.path.getmtime(os.path.join(idx, "parts", "part=00001", "postings.bin"))
+    import hashlib as _hl
+
+    h1 = _hl.md5(open(os.path.join(idx, "parts", "part=00001", "postings.bin"),
+                      "rb").read()).hexdigest()
 
     _write_file(src, "g-03.parquet", "word3 shared", base=120)
     meta = build_index(str(src), idx, spec, concurrency=2)
     assert meta["num_parts"] == 2 and meta["n_docs"] == 160
-    # part 0 untouched; part 1 (its file list grew) rebuilt
+    # part 0 untouched; part 1 (its file list grew) rebuilt — mtime can tie
+    # on coarse-granularity filesystems, so the rebuild is proven by CONTENT
     assert os.path.getmtime(os.path.join(idx, "parts", "part=00000", "postings.bin")) == m0
-    assert os.path.getmtime(os.path.join(idx, "parts", "part=00001", "postings.bin")) > m1
+    h1b = _hl.md5(open(os.path.join(idx, "parts", "part=00001", "postings.bin"),
+                       "rb").read()).hexdigest()
+    assert h1b != h1, "part 1 postings must change (new docs merged in)"
     eng = QueryEngine(idx, dtype="float64")
     assert eng.search(MatchQuery("shared"), k=1000).num_rows == 160
     assert eng.search(MatchQuery("word3"), k=1000).num_rows == 40

@@ -59,13 +59,19 @@ def test_force_merge_score_identical(two_indexes, ray_session):
         assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
 
 
-def test_force_merge_single_segment(two_indexes, ray_session):
+def test_force_merge_single_segment(two_indexes, ray_session, tmp_path):
+    import shutil
+
     from elasticsearch_ray.index.merge import force_merge
 
     idx_a, idx_b = two_indexes
-    meta = force_merge(idx_b, max_segments=1)
+    # merge a COPY: the module-scoped fixture is shared with the 6→2 merge
+    # test, and mutating idx_b here would make the tests order-dependent
+    idx_c = str(tmp_path / "copy")
+    shutil.copytree(idx_b, idx_c)
+    meta = force_merge(idx_c, max_segments=1)
     assert meta["num_parts"] == 1
-    assert _results(idx_b, QUERIES) == _results(idx_a, QUERIES)
+    assert _results(idx_c, QUERIES) == _results(idx_a, QUERIES)
 
 
 def test_plan_tiered_merges():

@@ -643,7 +643,9 @@ def test_tiered_merge_caps_segments_per_tier():
     parts = [{"part": i, "bytes": 10 * 1024 * 1024} for i in range(50)]
     groups = plan_tiered_merges(parts)
     assert groups, "above-floor tier over budget must produce merges"
-    merged = {p for g in groups for p in g}
+    flat = [p for g in groups for p in g]
+    assert len(flat) == len(set(flat)), "a segment may appear in ONE group only"
+    assert set(flat) <= {p["part"] for p in parts}
     assert all(len(g) > 1 for g in groups)
     # within budget: no merges
     small = [{"part": i, "bytes": 10 * 1024 * 1024} for i in range(SEGMENTS_PER_TIER)]

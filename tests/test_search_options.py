@@ -38,7 +38,10 @@ def test_search_after_pagination(web_engine):
     q = MatchQuery("spark")
     full = web_engine.search(q, k=20, sort=[("warc_ts", "desc")], fetch=("url", "warc_ts"))
     page1 = web_engine.search(q, k=10, sort=[("warc_ts", "desc")], fetch=("url", "warc_ts"))
-    cursor = (page1["warc_ts"][-1].as_py(),)
+    last = page1.to_pylist()[-1]
+    # cursor with the implicit (part, doc) tiebreak (the reference's
+    # _shard_doc): exact pagination even if warc_ts ties at the boundary
+    cursor = (last["warc_ts"], last["part"], last["local"])
     page2 = web_engine.search(q, k=10, sort=[("warc_ts", "desc")], search_after=cursor,
                               fetch=("url", "warc_ts"))
     assert full["url"].to_pylist() == page1["url"].to_pylist() + page2["url"].to_pylist()
@@ -312,14 +315,17 @@ def test_post_filter_accepts_scoring_queries(web_engine):
     filt = web_engine.search(q, k=50, fetch=("doc_id",),
                              post_filter=MatchQuery("join"))
     plain = web_engine.search(q, k=10**9, mode="exhaustive", fetch=("doc_id",))
+    plain_scores = {r["doc_id"]: r["score"] for r in plain.to_pylist()}
     join_docs = {r["doc_id"] for r in web_engine.search(
         MatchQuery("join"), k=10**9, mode="exhaustive", fetch=("doc_id",)).to_pylist()}
+    assert len(filt) > 0
     for r in filt.to_pylist():
         assert r["doc_id"] in join_docs
-    # phrase post_filter runs too
+        # subset of the main query's hits, scores untouched by the filter
+        assert r["score"] == plain_scores[r["doc_id"]]
+    # phrase post_filter: containment in the phrase hit set
     ph = web_engine.search(q, k=10, fetch=("doc_id",),
                            post_filter=MatchPhraseQuery("spark join"))
-    assert len(ph) >= 0  # no crash; containment:
     phrase_docs = {r["doc_id"] for r in web_engine.search(
         MatchPhraseQuery("spark join"), k=10**9, mode="exhaustive",
         fetch=("doc_id",)).to_pylist()}
