@@ -145,7 +145,7 @@ def run_bench() -> dict:
     # coordinator count (query j would always land on coordinator j%4), so
     # each round starts at a different coordinator explicitly.
     for r in range(num_coords):
-        eng._coord_rr = r
+        eng.set_coordinator_rotation(r)
         for _name, _spec in QUERY_SET:
             eng.search(build_query(_spec), k=10)
     total_q = 0.0

@@ -22,6 +22,7 @@ document's non-text columns.
 from __future__ import annotations
 
 import fnmatch
+import functools
 import re
 
 import pyarrow as pa
@@ -134,13 +135,35 @@ def _span_near_match(doc: _Doc, clauses: tuple, slop: int, in_order: bool) -> bo
     return False
 
 
+@functools.lru_cache(maxsize=4096)
+def _analyze_cached(analyzer_name: str, text: str) -> tuple:
+    """Bank query strings are constant across the whole stream — analyze
+    each (analyzer, text) pair once per worker, not once per document."""
+    return tuple(get_analyzer(analyzer_name)(text)[0])
+
+
+@functools.lru_cache(maxsize=1024)
+def _wildcard_re(pattern: str):
+    return re.compile(fnmatch.translate(pattern))
+
+
+@functools.lru_cache(maxsize=1024)
+def _regexp_re(pattern: str):
+    return re.compile(pattern)
+
+
 def _match(q: Query, doc: _Doc, analyzer_name: str) -> bool:
     if isinstance(q, TermQuery):
-        return q.term in doc.terms if q.field is None else False
+        if q.field is not None:
+            raise TypeError("percolate: field-scoped term queries are not "
+                            "supported (single analyzed text column)")
+        return q.term in doc.terms
     if isinstance(q, TermsQuery):
         return any(t in doc.terms for t in q.terms)
     if isinstance(q, MatchQuery):
-        terms = get_analyzer(q.analyzer or analyzer_name)(q.text)[0]
+        if q.field is not None:
+            raise TypeError("percolate: field-scoped match queries are not supported")
+        terms = _analyze_cached(q.analyzer or analyzer_name, q.text)
         if not terms:
             return q.zero_terms_query == "all"
         hits = sum(1 for t in terms if t in doc.terms)
@@ -148,15 +171,17 @@ def _match(q: Query, doc: _Doc, analyzer_name: str) -> bool:
             return hits == len(terms)
         return hits >= _min_should_match(q.minimum_should_match, len(terms))
     if isinstance(q, MatchPhraseQuery):
-        terms = get_analyzer(q.analyzer or analyzer_name)(q.text)[0]
+        if q.field is not None:
+            raise TypeError("percolate: field-scoped phrase queries are not supported")
+        terms = list(_analyze_cached(q.analyzer or analyzer_name, q.text))
         return _phrase_match(doc, terms, q.slop)
     if isinstance(q, PrefixQuery):
         return any(t.startswith(q.prefix) for t in doc.terms)
     if isinstance(q, WildcardQuery):
-        rx = re.compile(fnmatch.translate(q.pattern))
+        rx = _wildcard_re(q.pattern)
         return any(rx.match(t) for t in doc.terms)
     if isinstance(q, RegexpQuery):
-        rx = re.compile(q.pattern)
+        rx = _regexp_re(q.pattern)
         return any(rx.fullmatch(t) for t in doc.terms)
     if isinstance(q, SpanNearQuery):
         return _span_near_match(doc, q.clauses, q.slop, q.in_order)
@@ -213,6 +238,11 @@ class PercolateBatch:
                      for name, q in bank]
         self.text_col, self.id_col = text_col, id_col
         self.analyzer_name = analyzer
+        # validate the bank upfront: an unsupported/field-scoped query should
+        # fail at stage construction, not mid-stream on the first batch
+        probe = _Doc([], {})
+        for _name, q in self.bank:
+            _match(q, probe, analyzer)
         self.an = get_analyzer(analyzer)
         self.doc_columns = tuple(doc_columns)
 
@@ -228,7 +258,9 @@ class PercolateBatch:
                 if _match(q, doc, self.analyzer_name):
                     out_id.append(ids[i])
                     out_name.append(name)
-        return pa.table({self.id_col: pa.array(out_id),
+        # type the id column from the input schema: an all-empty batch would
+        # otherwise infer null and fight int64 blocks at schema unification
+        return pa.table({self.id_col: pa.array(out_id, type=batch[self.id_col].type),
                          "query_name": pa.array(out_name, pa.string())})
 
 

@@ -76,12 +76,12 @@ def _rewrite_partition(batch: pa.Table, cfg: dict) -> pa.Table:
     partition's OWN input files — delete-by-query drops matching rows,
     update-by-query pipes matching rows through the processor chain. No
     broadcast of a corpus-sized id set; output is one file per input file
-    (resumable, partitioned)."""
+    (partitioned; the destination is recreated fresh each run)."""
     import numpy as np
 
     from elasticsearch_ray.search.engine import _hl_searcher
 
-    pipe = Pipeline(cfg["processors"]) if cfg["processors"] else None
+    pipe = Pipeline(cfg["processors"])  # Pipeline([]) is the identity
     outs = []
     for part in batch["part"].to_pylist():
         s = _hl_searcher(cfg["index_dir"], int(part), cfg["analyzer"],
@@ -103,7 +103,21 @@ def _rewrite_partition(batch: pa.Table, cfg: dict) -> pa.Table:
                 t = t.filter(pa.array(~mask))
             elif mask.any():  # update: pipe matching rows, splice back
                 df = t.to_pandas()
-                df.loc[mask] = pipe(df.loc[mask].copy())
+                out = pipe(df.loc[mask].copy())
+                # splice POSITIONALLY (label alignment would NaN-fill if a
+                # processor reindexed); row-dropping or column-removing
+                # processors cannot be spliced — that's reindex_query's job
+                if len(out) != int(mask.sum()):
+                    raise ValueError("update_by_query processors must keep the "
+                                     "row count (use reindex_query to drop rows)")
+                for c in out.columns:  # script-added fields extend the schema
+                    if c not in df.columns:
+                        df[c] = None
+                missing = set(df.columns) - set(out.columns)
+                if missing:
+                    raise ValueError(f"update_by_query processors removed "
+                                     f"columns {sorted(missing)}")
+                df.loc[mask, list(df.columns)] = out[list(df.columns)].to_numpy()
                 t = pa.Table.from_pandas(df, preserve_index=False)
             out_path = os.path.join(cfg["dst_dir"], f"part-{int(part):05d}-{fi:03d}.parquet")
             tmp = out_path + ".tmp"
@@ -122,7 +136,10 @@ def _by_query(engine, dst_dir: str, q, mode: str, processors: list | None) -> in
         q = MatchQuery(q)
     q = engine._apply_field_analyzers(engine._rewrite(q))
     scorers, _ = engine._scorers_cached(q)
-    os.makedirs(dst_dir, exist_ok=True)
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)  # deterministic names: stale
+    os.makedirs(dst_dir, exist_ok=True)         # files must not mix in
     cfg = {
         "index_dir": engine.index_dir,
         "q": q,

@@ -1204,6 +1204,14 @@ class QueryEngine:
             coord_cls.remote(self.index_dir, self.dtype, self._actors) for _ in range(n)
         ]
 
+    def set_coordinator_rotation(self, i: int) -> None:
+        """Pin the round-robin pointer so a warmup pass can address each
+        coordinator in turn (benchmarks: every coordinator must build its
+        scorer caches for every query; the stride otherwise aligns when the
+        query-set size is a multiple of the coordinator count)."""
+        if self._coords:
+            self._coord_rr = i % len(self._coords)
+
     def stats(self) -> pa.Table:
         """_stats/_segments analog: per-partition docs, terms, postings bytes,
         sum_dl, merged-chunk counts — straight from the commit manifests."""

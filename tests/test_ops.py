@@ -689,3 +689,44 @@ def test_percolate_matches_forward_search(ray_session, tmp_path_factory):
         fwd = eng.search(parse_dsl(dsl), k=10**9, mode="exhaustive",
                          fetch=("doc_id",))
         assert got.get(name, set()) == set(fwd["doc_id"].to_pylist()), name
+
+
+def test_update_by_query_rejects_reshaping_and_handles_added_columns(
+        ray_session, tmp_path_factory):
+    import pyarrow.dataset as pads
+    import pytest as _pt
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.pipelines.reindex import delete_by_query, update_by_query
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchQuery
+
+    sf = "/root/testdata/sf0.001"
+    base = tmp_path_factory.mktemp("ubq")
+    idx = str(base / "idx")
+    build_index(sf, idx, IndexSpec(use_html=False, text_column="text",
+                                   doc_columns=("lang",)), concurrency=2,
+                file_pattern="documents.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    # a row-dropping processor must be rejected, not silently NaN-spliced
+    with _pt.raises(Exception):
+        update_by_query(eng, str(base / "bad"), MatchQuery("spark"),
+                        [{"drop": {"where": lambda df: df["lang"] == "en"}}])
+    # a field-ADDING processor extends the schema for all rows
+    dst = str(base / "add")
+    update_by_query(eng, dst, MatchQuery("spark"),
+                    [{"set": {"field": "flag", "value": "hit"}}])
+    out = pads.dataset(dst).to_table().to_pandas()
+    import pyarrow.parquet as _pq
+
+    texts = _pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    has = {d for d, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())
+           if "spark" in t.split()}
+    for _, r in out.iterrows():
+        assert (r["flag"] == "hit") == (r["doc_id"] in has)
+    # rerunning into the same dst does not accumulate stale files
+    n1 = len(out)
+    delete_by_query(eng, dst, MatchQuery("spark"))
+    out2 = pads.dataset(dst).to_table().to_pandas()
+    assert len(out2) == n1 - len(has)
