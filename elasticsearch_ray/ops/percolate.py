@@ -264,17 +264,38 @@ class PercolateBatch:
                          "query_name": pa.array(out_name, pa.string())})
 
 
+# worker-process stage cache (the build.py _STAGE_CACHE pattern): stateless
+# TASKS instead of a fixed actor pool — no up-front CPU reservation, no
+# actor-restart-with-object-store-args hazard; the parsed/validated bank is
+# still constructed once per worker process.
+_PERC_CACHE: dict = {}
+
+
+def _percolate_fn(batch: pa.Table, bank_ref, text_col, id_col, analyzer,
+                  doc_columns) -> pa.Table:
+    key = (bank_ref.hex(), text_col, id_col, analyzer, doc_columns)
+    st = _PERC_CACHE.get(key)
+    if st is None:
+        if len(_PERC_CACHE) > 16:
+            _PERC_CACHE.clear()
+        st = _PERC_CACHE[key] = PercolateBatch(bank_ref, text_col, id_col,
+                                               analyzer, doc_columns)
+    return st(batch)
+
+
 def percolate(ds: Dataset, bank: list, text_col: str = "text",
               id_col: str = "doc_id", analyzer: str = "standard",
-              doc_columns: tuple = (), concurrency=(1, 8)) -> Dataset:
+              doc_columns: tuple = ()) -> Dataset:
     """Percolate a document stream against a stored-query bank; returns a
-    Dataset of (id, query_name) pairs. The bank is broadcast once."""
+    Dataset of (id, query_name) pairs. The bank is broadcast once via
+    ``ray.put`` and read once per worker process."""
     import ray
 
+    # fail fast on an invalid bank (driver-side), then broadcast
+    PercolateBatch(list(bank), text_col, id_col, analyzer, tuple(doc_columns))
     bank_ref = ray.put(list(bank))
     return ds.map_batches(
-        PercolateBatch,
-        fn_constructor_args=(bank_ref, text_col, id_col, analyzer, tuple(doc_columns)),
+        _percolate_fn,
+        fn_args=(bank_ref, text_col, id_col, analyzer, tuple(doc_columns)),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
