@@ -312,6 +312,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(dst, ignore_errors=True)
 
+    def agg_significant_text(sf):
+        # real significant_text: hit docs' re-analyzed tokens vs the index's
+        # own background term stats, JLH score (fgPct-bgPct)*(fgPct/bgPct)
+        eng = _documents_index(sf)
+        out = eng.significant_text(MatchQuery("spark"), size=10)
+        return out.reset_index(drop=True)
+
     def percolate_bank(sf):
         # reverse search: the DSL query bank is the ray.put broadcast small
         # side; documents stream through a stateless map_batches matcher
@@ -1293,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_intervals_any_of": search_intervals_any_of,
         "delete_by_query_pipeline": delete_by_query_pipeline,
         "update_by_query_pipeline": update_by_query_pipeline,
+        "agg_significant_text": agg_significant_text,
         "percolate_bank": percolate_bank,
         "search_span_within": search_span_within,
         "search_span_containing": search_span_containing,
@@ -1680,6 +1688,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN upper(lang) ELSE lang END AS lang
             FROM documents
             ORDER BY doc_id
+        """,
+        "agg_significant_text": """
+            WITH fg_docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE ' ' || text || ' ' LIKE '% spark %'
+            ),
+            fg_tok AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fg_docs)
+            ),
+            fg AS (SELECT term, count(*)::DOUBLE AS fgc FROM fg_tok GROUP BY term),
+            bg_tok AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+            ),
+            bg AS (SELECT term, count(*)::DOUBLE AS bgc FROM bg_tok GROUP BY term),
+            tot AS (SELECT (SELECT count(*) FROM fg_docs)::DOUBLE AS n_fg,
+                           (SELECT count(*) FROM documents)::DOUBLE AS n_bg)
+            SELECT term, CAST(fgc AS BIGINT) AS fg_count,
+                   CAST(bgc AS BIGINT) AS bg_count,
+                   round((fgc / n_fg - bgc / n_bg) * ((fgc / n_fg) / (bgc / n_bg)), 9)
+                     AS score
+            FROM fg JOIN bg USING (term) CROSS JOIN tot
+            ORDER BY score DESC, term
+            LIMIT 10
         """,
         "percolate_bank": """
             SELECT doc_id, query_name FROM (

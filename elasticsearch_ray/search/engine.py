@@ -2157,6 +2157,56 @@ class QueryEngine:
                 "description": f"{type(q).__name__} score (evaluated by the "
                                "search path; no further decomposition)", "details": []}
 
+    def significant_text(self, q: Query | str, size: int = 10,
+                         text_column: str = "text",
+                         sample_per_partition: int | None = None):
+        """significant_text agg (SignificantTextAggregationBuilder + JLH
+        heuristic): terms over-represented in the query's hit docs vs the
+        corpus background. Hit docs' text is re-analyzed per partition
+        (distinct-per-doc counting, like the reference's _source analysis);
+        each partition returns a vocab-bounded (term, df_fg) partial, and
+        the BACKGROUND doc frequencies come from the index's own term
+        dictionary — no second corpus pass. ``sample_per_partition`` mirrors
+        the reference's shard sampling (None = all hits)."""
+        import pandas as pd
+
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
+        scorers, _ = self._scorers_cached(q)
+        an = get_analyzer(self.analyzer_name)
+        fg: dict[str, int] = {}
+        n_fg = 0
+        for p in self.parts:
+            s = self._searcher(p)
+            docs, _sc = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
+            docs = _as_np(docs).astype(np.int64)
+            if sample_per_partition is not None:
+                docs = docs[:sample_per_partition]
+            n_fg += len(docs)
+            if len(docs) == 0:
+                continue
+            src = _fetch_source_rows(s.r.manifest, docs, columns=[text_column])
+            for text in src[text_column].to_pylist():
+                for t in set(an(text or "")[0]):
+                    fg[t] = fg.get(t, 0) + 1
+        if not fg:
+            return pd.DataFrame({"term": [], "fg_count": [], "bg_count": [],
+                                 "score": []})
+        terms = sorted(fg)
+        bg = self._global_stats(terms)
+        n_bg = float(self.n_docs)
+        rows = []
+        for t in terms:
+            fg_pct = fg[t] / float(n_fg)
+            bg_pct = max(bg.get(t, 0), 1) / n_bg
+            rows.append((t, fg[t], int(bg.get(t, 0)),
+                         round((fg_pct - bg_pct) * (fg_pct / bg_pct), 9)))
+        out = pd.DataFrame(rows, columns=["term", "fg_count", "bg_count", "score"])
+        out = out.sort_values(["score", "term"],
+                              ascending=[False, True]).reset_index(drop=True)
+        return out.head(size)
+
     def highlight_scan(self, q: Query | str, text_column: str = "text",
                        pre_tag: str = "<em>", post_tag: str = "</em>",
                        fetch: tuple = ("doc_id",)):
