@@ -356,18 +356,55 @@ class HtmlStripProcessor(Processor):
 
 @register("dissect")
 class DissectProcessor(Processor):
-    """%{field} pattern extraction (subset of DissectProcessor)."""
+    """%{field} pattern extraction with the reference's key modifiers
+    (libs/dissect DissectParser): ``%{}``/``%{?skip}`` named-skip keys
+    produce no output, ``%{field->}`` right-padding skips repeated trailing
+    delimiter characters, ``%{+field}`` appends to a previous capture with
+    ``append_separator`` between parts."""
 
-    def __init__(self, field, pattern):
+    def __init__(self, field, pattern, append_separator: str = ""):
         self.field = field
-        rx = re.escape(pattern)
-        rx = re.sub(r"%\\\{(\w+)\\\}", r"(?P<\1>.*?)", rx) + "$"
-        self.re = re.compile("^" + rx)
+        self.sep = append_separator
+        keys = re.findall(r"%\{([^}]*)\}", pattern)
+        parts = re.split(r"%\{[^}]*\}", pattern)
+        rx = ""
+        self.out_keys: list[str | None] = []   # group order → output key
+        self.appends: list[bool] = []
+        for i, key in enumerate(keys):
+            rx += re.escape(parts[i])
+            pad = key.endswith("->")
+            if pad:
+                key = key[:-2]
+            app = key.startswith("+")
+            if app:
+                key = key[1:]
+            skip = key == "" or key.startswith("?")
+            if skip:
+                rx += r"(?:.*?)"
+                self.out_keys.append(None)
+            else:
+                rx += f"(?P<g{i}>.*?)"
+                self.out_keys.append(key)
+            self.appends.append(app)
+            if pad and i + 1 < len(parts) and parts[i + 1]:
+                # absorb runs of the following delimiter's first char
+                rx += "(?:" + re.escape(parts[i + 1][0]) + ")*"
+        rx += re.escape(parts[-1])
+        self.re = re.compile("^" + rx + "$")
 
     def __call__(self, df):
         extracted = df[self.field].str.extract(self.re)
-        for c in extracted.columns:
-            df[c] = extracted[c]
+        out: dict[str, object] = {}
+        for i, key in enumerate(self.out_keys):
+            if key is None:
+                continue
+            col = extracted[f"g{i}"]
+            if self.appends[i] and key in out:
+                out[key] = out[key].fillna("") + self.sep + col.fillna("")
+            else:
+                out[key] = col
+        for key, col in out.items():
+            df[key] = col
         return df
 
 

