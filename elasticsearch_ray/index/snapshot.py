@@ -15,6 +15,9 @@ import time
 
 
 def _snap_dir(repo_dir: str, name: str) -> str:
+    if (not name or name.endswith(".tmp") or os.sep in name
+            or (os.altsep and os.altsep in name) or ".." in name):
+        raise ValueError(f"invalid snapshot name {name!r}")
     return os.path.join(repo_dir, name)
 
 

@@ -387,13 +387,18 @@ class DissectProcessor(Processor):
                 self.out_keys.append(key)
             self.appends.append(app)
             if pad and i + 1 < len(parts) and parts[i + 1]:
-                # absorb runs of the following delimiter's first char
-                rx += "(?:" + re.escape(parts[i + 1][0]) + ")*"
+                # absorb REPEATED whole delimiters (DissectParser skips
+                # repeats of the full delimiter, not just its first char)
+                rx += "(?:" + re.escape(parts[i + 1]) + ")*"
         rx += re.escape(parts[-1])
         self.re = re.compile("^" + rx + "$")
+        self.has_outputs = any(k is not None for k in self.out_keys)
 
     def __call__(self, df):
+        if not self.has_outputs:  # skip-only pattern: structural assertion
+            return df
         extracted = df[self.field].str.extract(self.re)
+        matched = extracted.notna().any(axis=1)
         out: dict[str, object] = {}
         for i, key in enumerate(self.out_keys):
             if key is None:
@@ -404,7 +409,9 @@ class DissectProcessor(Processor):
             else:
                 out[key] = col
         for key, col in out.items():
-            df[key] = col
+            # non-matching rows stay unset (the reference fails the doc; we
+            # leave NaN), never separator-joined empties
+            df[key] = col.where(matched)
         return df
 
 

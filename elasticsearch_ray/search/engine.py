@@ -2159,50 +2159,62 @@ class QueryEngine:
 
     def significant_text(self, q: Query | str, size: int = 10,
                          text_column: str = "text",
-                         sample_per_partition: int | None = None):
+                         sample_per_partition: int | None = None,
+                         field: str | None = None):
         """significant_text agg (SignificantTextAggregationBuilder + JLH
         heuristic): terms over-represented in the query's hit docs vs the
-        corpus background. Hit docs' text is re-analyzed per partition
-        (distinct-per-doc counting, like the reference's _source analysis);
-        each partition returns a vocab-bounded (term, df_fg) partial, and
-        the BACKGROUND doc frequencies come from the index's own term
-        dictionary — no second corpus pass. ``sample_per_partition`` mirrors
-        the reference's shard sampling (None = all hits)."""
+        corpus background. DISTRIBUTED: one task per partition re-analyzes
+        its hit docs' source (distinct-per-doc counting, like the
+        reference's _source analysis) and returns a vocab-bounded
+        (term, df_fg) partial; the BACKGROUND doc frequencies come from the
+        index's own term dictionary — no second corpus pass.
+        ``sample_per_partition`` mirrors the reference's shard sampling
+        (None = all hits). ``field`` selects which indexed field's stats
+        back the background (None = default field; its per-field analyzer is
+        applied to the re-analysis so fg and bg tokenize identically)."""
         import pandas as pd
+        import ray.data
 
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
         scorers, _ = self._scorers_cached(q)
-        an = get_analyzer(self.analyzer_name)
-        fg: dict[str, int] = {}
-        n_fg = 0
-        for p in self.parts:
-            s = self._searcher(p)
-            docs, _sc = s._eval_scoring(q, scorers, k=None, mode="exhaustive")
-            docs = _as_np(docs).astype(np.int64)
-            if sample_per_partition is not None:
-                docs = docs[:sample_per_partition]
-            n_fg += len(docs)
-            if len(docs) == 0:
-                continue
-            src = _fetch_source_rows(s.r.manifest, docs, columns=[text_column])
-            for text in src[text_column].to_pylist():
-                for t in set(an(text or "")[0]):
-                    fg[t] = fg.get(t, 0) + 1
-        if not fg:
+        an_name = (self.spec.get("field_analyzers") or {}).get(
+            field, self.analyzer_name) if field else self.analyzer_name
+        cfg = {
+            "index_dir": self.index_dir,
+            "q": q,
+            "scorers": scorers,
+            "analyzer": self.analyzer_name,
+            "params_kb": (self.params.k1, self.params.b),
+            "dtype": self.dtype,
+            "text_column": text_column,
+            "sample": sample_per_partition,
+            "an_name": an_name,
+        }
+        ds = ray.data.from_items([{"part": int(p)} for p in self.parts],
+                                 override_num_blocks=len(self.parts))
+        rows = ds.map_batches(_sigtext_part_fn, fn_args=(cfg,),
+                              batch_format="pyarrow").to_pandas()
+        n_fg = int(rows.loc[rows["term"] == _SIGTEXT_COUNT, "df"].sum())
+        fg = (rows[rows["term"] != _SIGTEXT_COUNT]
+              .groupby("term", as_index=False)["df"].sum())
+        if n_fg == 0 or len(fg) == 0:
             return pd.DataFrame({"term": [], "fg_count": [], "bg_count": [],
                                  "score": []})
-        terms = sorted(fg)
-        bg = self._global_stats(terms)
+        terms = sorted(fg["term"])
+        bg = self._global_stats([fkey(field, t) for t in terms])
         n_bg = float(self.n_docs)
-        rows = []
+        fg_map = dict(zip(fg["term"], fg["df"]))
+        out_rows = []
         for t in terms:
-            fg_pct = fg[t] / float(n_fg)
-            bg_pct = max(bg.get(t, 0), 1) / n_bg
-            rows.append((t, fg[t], int(bg.get(t, 0)),
-                         round((fg_pct - bg_pct) * (fg_pct / bg_pct), 9)))
-        out = pd.DataFrame(rows, columns=["term", "fg_count", "bg_count", "score"])
+            fgc = int(fg_map[t])
+            bgc = int(bg.get(fkey(field, t), 0))
+            fg_pct = fgc / float(n_fg)
+            bg_pct = max(bgc, 1) / n_bg
+            out_rows.append((t, fgc, bgc,
+                             round((fg_pct - bg_pct) * (fg_pct / bg_pct), 9)))
+        out = pd.DataFrame(out_rows, columns=["term", "fg_count", "bg_count", "score"])
         out = out.sort_values(["score", "term"],
                               ascending=[False, True]).reset_index(drop=True)
         return out.head(size)
@@ -2347,6 +2359,39 @@ def _hl_searcher(index_dir: str, part: int, analyzer_name: str, params_kb: tuple
         )
         _HL_SEARCHERS[key] = s
     return s
+
+
+_SIGTEXT_COUNT = "\x00__n_docs__\x00"  # sentinel row: partition hit count
+
+
+def _sigtext_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
+    """significant_text partial: per partition, (term, distinct-doc df) over
+    the query's hit docs + one sentinel row carrying the hit count."""
+    terms_out: list[str] = []
+    dfs_out: list[int] = []
+    for part in batch["part"].to_pylist():
+        s = _hl_searcher(cfg["index_dir"], int(part), cfg["analyzer"],
+                         cfg["params_kb"], cfg["dtype"])
+        docs, _sc = s._eval_scoring(cfg["q"], cfg["scorers"], k=None,
+                                    mode="exhaustive")
+        docs = _as_np(docs).astype(np.int64)
+        if cfg["sample"] is not None:
+            docs = docs[: cfg["sample"]]
+        terms_out.append(_SIGTEXT_COUNT)
+        dfs_out.append(len(docs))
+        if len(docs) == 0:
+            continue
+        an = get_analyzer(cfg["an_name"])
+        src_t = _fetch_source_rows(s.r.manifest, docs,
+                                   columns=[cfg["text_column"]])
+        counts: dict[str, int] = {}
+        for text in src_t[cfg["text_column"]].to_pylist():
+            for t in set(an(text or "")[0]):
+                counts[t] = counts.get(t, 0) + 1
+        terms_out.extend(counts.keys())
+        dfs_out.extend(counts.values())
+    return pa.table({"term": pa.array(terms_out, pa.string()),
+                     "df": pa.array(dfs_out, pa.int64())})
 
 
 def _scan_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:

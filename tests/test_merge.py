@@ -132,3 +132,15 @@ def test_snapshot_create_restore_roundtrip(two_indexes, ray_session, tmp_path):
         snapshot_restore(repo, "dead", str(tmp_path / "x"))
     snapshot_delete(repo, "snap1")
     assert snapshot_list(repo) == []
+
+
+def test_snapshot_name_validation(tmp_path):
+    import pytest as _pt
+
+    from elasticsearch_ray.index.snapshot import snapshot_create, snapshot_delete
+
+    for bad in ("", "..", "a/b", "x.tmp", "../../evil"):
+        with _pt.raises(ValueError):
+            snapshot_create("/nonexistent", str(tmp_path), bad)
+        with _pt.raises(ValueError):
+            snapshot_delete(str(tmp_path), bad)

@@ -738,11 +738,10 @@ def test_dissect_modifiers():
 
     from elasticsearch_ray.ops.processors import DissectProcessor
 
-    d = DissectProcessor("msg", "%{a->} %{?skip} [%{+lvl}%{+lvl}]",
-                         append_separator="-")
+    d = DissectProcessor("msg", "%{a->} %{?skip} [%{rest}]")
     df = d(pd.DataFrame({"msg": ["web01    prod [ERRORHIGH]"]}))
-    # NOTE: two adjacent +lvl captures split lazily: first takes '' and the
-    # second the rest — exercise separated appends instead for determinism
+    assert df["a"][0] == "web01" and df["rest"][0] == "ERRORHIGH"
+    assert "skip" not in df.columns and "?skip" not in df.columns
     d2 = DissectProcessor("msg", "%{+who} said %{+who}", append_separator=" ")
     df2 = d2(pd.DataFrame({"msg": ["alice said hi"]}))
     assert df2["who"][0] == "alice hi"
