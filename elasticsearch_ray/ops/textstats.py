@@ -103,12 +103,29 @@ class NgramLangProfiles:
     trigram frequency profiles). Profiles are trained once per actor from the
     provided labeled sample (broadcast), then applied per batch."""
 
+    _CP = np.uint64(0x110000)  # trigram → uint64 key base (max codepoint + 1)
+
     def __init__(self, profiles: dict, text_col: str, id_col: str, n: int = 3):
         self.profiles = {k: v for k, v in profiles.items()}
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.langs = sorted(self.profiles)
         self.mat = np.stack([self.profiles[lg][1] for lg in self.langs])
         self.vocab = {g: i for i, g in enumerate(self.profiles[self.langs[0]][0])}
+        # Sorted uint64 trigram keys for vectorized searchsorted lookup
+        # (built once per actor; key = cp0*CP² + cp1*CP + cp2).
+        keys = np.array(
+            [self._gram_key(g) for g in self.vocab], dtype=np.uint64
+        )
+        order = np.argsort(keys)
+        self._keys_sorted = keys[order]
+        self._key_to_vid = np.fromiter(self.vocab.values(), np.int64, len(self.vocab))[order]
+
+    @classmethod
+    def _gram_key(cls, g: str) -> np.uint64:
+        k = np.uint64(0)
+        for ch in g:
+            k = k * cls._CP + np.uint64(ord(ch))
+        return k
 
     @staticmethod
     def ngrams(text: str, n: int = 3):
@@ -136,11 +153,44 @@ class NgramLangProfiles:
         return v / nrm if nrm else v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch[self.text_col].to_pylist():
-            v = self.vec_ids(text or "")
-            preds.append(self.langs[int(np.argmax(self.mat @ v))])
-        return pa.table({self.id_col: batch[self.id_col], "lang_pred": pa.array(preds)})
+        """Whole-batch vectorized scoring: one flat codepoint array for all
+        docs (NUL-sentinel joined — NUL never appears in a trained vocab
+        gram, so boundary-spanning windows can't match), sliding-window
+        uint64 gram keys, one searchsorted vocab lookup, per-doc counts via
+        a single bincount over (doc, vocab_id) pairs, one matmul."""
+        texts = [(t or "") for t in batch[self.text_col].to_pylist()]
+        nd, V = len(texts), len(self.vocab)
+        if nd == 0 or self.n > 3:
+            preds = [self.langs[int(np.argmax(self.mat @ self.vec_ids(t)))] for t in texts]
+            return pa.table({self.id_col: batch[self.id_col], "lang_pred": pa.array(preds, pa.string())})
+        padded = [f" {t.strip()} " for t in texts]
+        joined = "\x00".join(padded)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        L, n = len(codes), self.n
+        if L < n:
+            keys = np.empty(0, np.uint64)
+        else:
+            keys = np.zeros(L - n + 1, np.uint64)
+            for j in range(n):
+                keys = keys * self._CP + codes[j : L - n + 1 + j]
+        # window → owning doc: doc of the window's first char
+        doc_lens = np.array([len(p) for p in padded], dtype=np.int64)
+        starts = np.zeros(nd, np.int64)
+        np.cumsum(doc_lens[:-1] + 1, out=starts[1:])
+        doc_of = np.zeros(len(keys), np.int64)
+        if nd > 1 and len(keys):
+            doc_of = (np.searchsorted(starts, np.arange(len(keys)), side="right") - 1)
+        idx = np.searchsorted(self._keys_sorted, keys)
+        idx[idx >= len(self._keys_sorted)] = 0
+        valid = self._keys_sorted[idx] == keys if len(self._keys_sorted) else np.zeros(len(keys), bool)
+        vids = self._key_to_vid[idx[valid]]
+        docs = doc_of[valid]
+        M = np.bincount(docs * V + vids, minlength=nd * V).reshape(nd, V).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        scores = (M / nrm[:, None]) @ self.mat.T
+        preds = [self.langs[i] for i in np.argmax(scores, axis=1)]
+        return pa.table({self.id_col: batch[self.id_col], "lang_pred": pa.array(preds, pa.string())})
 
 
 def train_lang_profiles(sample: pd.DataFrame, text_col: str, lang_col: str, n: int = 3,
