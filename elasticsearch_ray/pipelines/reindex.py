@@ -157,7 +157,33 @@ def _by_query(engine, dst_dir: str, q, mode: str, processors: list | None) -> in
         .map_batches(_rewrite_partition, fn_args=(cfg,), batch_format="pyarrow")
         .take_all()
     )
+    if mode == "update" and processors:
+        _unify_output_schema(dst_dir)
     return sum(r["rows"] for r in res)
+
+
+def _unify_output_schema(dst_dir: str) -> None:
+    """Processor-added columns only appear in output files whose slice had
+    matching rows; schema-strict readers (ray.data.read_parquet, a rebuild
+    over the destination) would fail or drop the column. Unify: footer-only
+    schema scan (cheap), then rewrite ONLY the non-conforming files with
+    null-filled missing columns in the union column order."""
+    paths = sorted(
+        os.path.join(dst_dir, f) for f in os.listdir(dst_dir) if f.endswith(".parquet")
+    )
+    schemas = [pq.read_schema(p) for p in paths]
+    union = pa.unify_schemas(schemas)
+    for p, s in zip(paths, schemas):
+        if s.equals(union):
+            continue
+        t = pq.read_table(p)
+        cols = [
+            t[f.name].cast(f.type) if f.name in t.column_names else pa.nulls(len(t), f.type)
+            for f in union
+        ]
+        tmp = p + ".tmp"
+        pq.write_table(pa.table(dict(zip(union.names, cols))), tmp)
+        os.replace(tmp, p)
 
 
 def delete_by_query(engine, dst_dir: str, q) -> int:

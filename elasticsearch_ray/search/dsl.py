@@ -200,6 +200,11 @@ class _Parser:
 
     def q_range(self, body):
         field, v = _field_body(body, "range")
+        if field not in self.doc_columns:
+            # parse-time guard (consistent with wildcard/regexp/fuzzy):
+            # range over the analyzed default field or an unknown column
+            # would only fail later inside partition eval
+            raise DslError(f"range requires a stored doc column, got {field!r}")
         return RangeFilter(column=field, gte=v.get("gte"), lte=v.get("lte"),
                            gt=v.get("gt"), lt=v.get("lt"))
 

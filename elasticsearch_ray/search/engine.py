@@ -1845,6 +1845,10 @@ class QueryEngine:
         the driver merges ≤ k·P rows. Runs on the warm-actor backend when
         enabled, sequential cached readers otherwise."""
         scorers, scorers_ref = self._scorers_cached(q)
+        if rescore is not None and sort and list(sort) != [("_score", "desc")]:
+            # QueryRescorer rejects explicit sort + rescore (the rescorer
+            # would silently re-order the sorted window by _score).
+            raise ValueError("Cannot use [sort] option in conjunction with [rescore]")
         sort = sort or [("_score", "desc")]
         descs = [d == "desc" for _, d in sort]
         fetch_k = k if rescore is None else max(k, rescore[1])
@@ -2375,8 +2379,12 @@ def _sigtext_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
         docs, _sc = s._eval_scoring(cfg["q"], cfg["scorers"], k=None,
                                     mode="exhaustive")
         docs = _as_np(docs).astype(np.int64)
-        if cfg["sample"] is not None:
-            docs = docs[: cfg["sample"]]
+        if cfg["sample"] is not None and len(docs) > cfg["sample"]:
+            # shard sampling keeps the TOP-SCORING docs per partition (the
+            # reference's sampler-agg wrapping), not the first by doc id
+            sc = _as_np(_sc).astype(np.float64)
+            keep = np.lexsort((docs, -sc))[: cfg["sample"]]
+            docs = np.sort(docs[keep])
         terms_out.append(_SIGTEXT_COUNT)
         dfs_out.append(len(docs))
         if len(docs) == 0:

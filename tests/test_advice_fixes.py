@@ -54,3 +54,18 @@ def test_blockmax_bound_with_saturated_tf():
     true_score = float(sc.score(t, norm_bytes)[0])
     assert bound >= true_score
     assert bound <= float(sc.weight) * (1 + 1e-12)
+
+
+# ---- round-2 advisor findings ----
+
+def test_range_on_unknown_field_is_parse_error():
+    import pytest
+
+    from elasticsearch_ray.search.dsl import DslError, parse_dsl
+
+    cols = frozenset({"lang", "length"})
+    assert parse_dsl({"range": {"length": {"gte": 10}}}, doc_columns=cols) is not None
+    with pytest.raises(DslError):
+        parse_dsl({"range": {"text": {"gte": "a"}}}, doc_columns=cols)
+    with pytest.raises(DslError):
+        parse_dsl({"range": {"nope": {"gte": 1}}}, doc_columns=cols)

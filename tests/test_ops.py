@@ -720,6 +720,29 @@ def test_update_by_query_rejects_reshaping_and_handles_added_columns(
     out = pads.dataset(dst).to_table().to_pandas()
     import pyarrow.parquet as _pq
 
+    # every output file carries the SAME unified schema (processor-added
+    # columns null-filled in files whose slice had no matches)
+    import glob as _glob
+
+    schemas = [_pq.read_schema(p) for p in sorted(_glob.glob(f"{dst}/*.parquet"))]
+    assert all(s.equals(schemas[0]) for s in schemas)
+    assert "flag" in schemas[0].names
+    # multi-file divergence is exercised directly: a file written WITHOUT
+    # the processor-added column gets it null-filled in union order
+    import pyarrow as _pa
+
+    div = base / "div"
+    div.mkdir()
+    _pq.write_table(_pa.table({"a": [1, 2], "flag": ["x", "y"]}), div / "f1.parquet")
+    _pq.write_table(_pa.table({"a": [3]}), div / "f2.parquet")
+    from elasticsearch_ray.pipelines.reindex import _unify_output_schema
+
+    _unify_output_schema(str(div))
+    s1, s2 = (_pq.read_schema(div / f) for f in ("f1.parquet", "f2.parquet"))
+    assert s1.equals(s2)
+    t2 = _pq.read_table(div / "f2.parquet")
+    assert t2["flag"].null_count == 1
+
     texts = _pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     has = {d for d, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())
            if "spark" in t.split()}

@@ -353,3 +353,14 @@ def test_script_fields_empty_hits(web_engine):
                                            src["html"].to_pylist()], pa.int64())},
         source_columns=("html",))
     assert len(out) == 0 and "n" in out.column_names
+
+
+def test_rescore_rejects_explicit_sort(web_engine):
+    # QueryRescorer: 'Cannot use [sort] option in conjunction with [rescore]'
+    with pytest.raises(ValueError, match=r"\[sort\].*\[rescore\]"):
+        web_engine.search(MatchQuery("spark"), k=5, sort=[("warc_ts", "asc")],
+                          rescore=(TermQuery("join"), 10, 1.0, 2.0))
+    # default _score sort still works with rescore
+    out = web_engine.search(MatchQuery("spark"), k=5,
+                            rescore=(TermQuery("join"), 10, 1.0, 2.0))
+    assert len(out) > 0
