@@ -20,7 +20,7 @@ from collections.abc import Callable
 import numpy as np
 
 from elasticsearch_ray.analysis.stopwords import ENGLISH_STOP_WORDS
-from elasticsearch_ray.analysis.tokenizer import MAX_TOKEN_LENGTH, TOKEN_RE, tokenize
+from elasticsearch_ray.analysis.tokenizer import MAX_TOKEN_LENGTH, findall_tokens, tokenize
 
 Analysis = tuple[list[str], list[int]]  # (terms, positions)
 
@@ -74,7 +74,7 @@ class StandardAnalyzer(Analyzer):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        findall = TOKEN_RE.findall
+        findall = findall_tokens  # fast-path re for ASCII, full UAX#29 otherwise
         mtl = self.max_token_length
         flat: list[str] = []
         ext = flat.extend

@@ -220,9 +220,15 @@ class RussianLightAnalyzer(RussianAnalyzer):
 
 
 class CjkAnalyzer(Analyzer):
-    """``cjk``: standard tokens, lowercased; ideograph runs emit overlapping
-    BIGRAMS at consecutive positions (CJKBigramFilter), single isolated
-    ideographs emit a unigram; non-CJK tokens pass through unchanged."""
+    """``cjk``: standard (UAX#29) tokens, lowercased, then CJKBigramFilter
+    semantics: CONSECUTIVE CJK tokens (single-char Han/Hiragana tokens,
+    Katakana/Hangul runs — the filter's default han|hiragana|katakana|hangul
+    flag set) are buffered into one character stream and emit overlapping
+    BIGRAMS at consecutive positions; a lone buffered char emits a unigram;
+    non-CJK tokens flush the buffer and pass through. Like the reference
+    filter, buffering looks only at token adjacency (no position gaps occur
+    with the empty stopword set), so ideographs separated by whitespace still
+    bigram together."""
 
     name = "cjk"
 
@@ -230,30 +236,34 @@ class CjkAnalyzer(Analyzer):
         terms: list[str] = []
         positions: list[int] = []
         pos = 0
+        buf: list[str] = []
+
+        def flush() -> None:
+            nonlocal pos
+            if not buf:
+                return
+            if len(buf) == 1:
+                terms.append(buf[0])
+                positions.append(pos)
+                pos += 1
+            else:
+                s = "".join(buf)
+                for i in range(len(s) - 1):
+                    terms.append(s[i : i + 2])
+                    positions.append(pos)
+                    pos += 1
+            buf.clear()
+
         for tok in tokenize(text):
             t = tok.lower()
-            # split the token into CJK / non-CJK segments
-            segs: list[tuple[bool, str]] = []
-            for ch in t:
-                cjk = _is_cjk(ch)
-                if segs and segs[-1][0] == cjk:
-                    segs[-1] = (cjk, segs[-1][1] + ch)
-                else:
-                    segs.append((cjk, ch))
-            for cjk, seg in segs:
-                if not cjk:
-                    terms.append(seg)
-                    positions.append(pos)
-                    pos += 1
-                elif len(seg) == 1:
-                    terms.append(seg)
-                    positions.append(pos)
-                    pos += 1
-                else:
-                    for i in range(len(seg) - 1):
-                        terms.append(seg[i : i + 2])
-                        positions.append(pos)
-                        pos += 1
+            if all(_is_cjk(ch) for ch in t):
+                buf.extend(t)
+            else:
+                flush()
+                terms.append(t)
+                positions.append(pos)
+                pos += 1
+        flush()
         return terms, positions
 
 

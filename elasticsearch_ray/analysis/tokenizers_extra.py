@@ -9,7 +9,7 @@ from __future__ import annotations
 import re
 
 from elasticsearch_ray.analysis.analyzers import Analysis, Analyzer, register
-from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+from elasticsearch_ray.analysis.tokenizer import findall_tokens
 
 # URL: scheme://non-space  |  email: local@dom.tld (pragmatic patterns; the
 # reference uses the UAX#29 URL/EMAIL grammar from ICU)
@@ -29,10 +29,10 @@ class UaxUrlEmailAnalyzer(Analyzer):
         terms: list[str] = []
         last = 0
         for m in _URL_EMAIL_RE.finditer(text):
-            terms.extend(t.lower() for t in TOKEN_RE.findall(text[last : m.start()]))
+            terms.extend(t.lower() for t in findall_tokens(text[last : m.start()]))
             terms.append(m.group(0).lower())
             last = m.end()
-        terms.extend(t.lower() for t in TOKEN_RE.findall(text[last:]))
+        terms.extend(t.lower() for t in findall_tokens(text[last:]))
         return terms, list(range(len(terms)))
 
 

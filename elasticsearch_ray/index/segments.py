@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 PART_FMT = "part={:05d}"
 # Bump when the on-disk segment layout changes: resume logic treats
 # manifests with a different format as incomplete (stale caches rebuilt).
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5  # v5: full UAX#29 standard tokenizer (CJK single-char/run tokens)
 
 
 # ---- per-partition term Bloom filter (coordinator-side can_match pruning,

@@ -2332,7 +2332,7 @@ def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str
     Field-namespaced query terms ("<field>\x1f<term>") are matched by their
     bare term — \x1f never survives tokenization, so without stripping a
     fielded query would highlight nothing."""
-    from elasticsearch_ray.analysis.tokenizer import TOKEN_RE
+    from elasticsearch_ray.analysis.tokenizer import TOKEN_FULL_RE, TOKEN_RE, needs_full
 
     bare = frozenset(t.rsplit("\x1f", 1)[-1] if isinstance(t, str) else t
                      for t in terms)
@@ -2340,7 +2340,9 @@ def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str
     def repl(m):
         return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in bare else m.group(0)
 
-    return TOKEN_RE.sub(repl, text or "")
+    text = text or ""
+    pat = TOKEN_RE if (text.isascii() or not needs_full(text)) else TOKEN_FULL_RE
+    return pat.sub(repl, text)
 
 
 # per-worker-process searcher cache for the stateless-task highlight stage
