@@ -102,6 +102,56 @@ def _charfilter_index(sf_dir: str):
     return eng
 
 
+def _derived_index(sf_dir: str, key_tag: str, words, mod: int, *,
+                   analyzer: str = "standard", token_filters: tuple = ()):
+    """Documents index over a derived corpus: ``text || ' ' || words[doc_id %
+    mod]`` — the appended word is deterministic from doc_id, so DuckDB
+    oracles reduce to ``doc_id % mod IN (...)`` literals while the Ray side
+    resolves the match through STORED POSTINGS built with the given analyzer
+    chain (language light-stem chains, word_delimiter_graph, stemmer_override
+    — SURVEY §2.3 depth entries)."""
+    key = f"{key_tag}-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus = f"/tmp/esray_indexes/{key}-corpus"
+    marker = os.path.join(corpus, "docs.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        derived = pa.array(
+            [f"{x} {words[int(d) % mod]}" for x, d in zip(texts, ids)], pa.string()
+        )
+        t = t.set_column(t.schema.get_field_index("text"), "text", derived)
+        pq.write_table(t, marker + ".tmp")
+        os.replace(marker + ".tmp", marker)
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     analyzer=analyzer, token_filters=token_filters)
+    build_index(corpus, idx_dir, spec, file_pattern="docs.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
+# appended-word banks for the derived-corpus entries (stems in comments)
+_IT_WORDS = ("ragazzi", "ragazza", "veloci", "finestre", "risultati",
+             "analisi", "rapidissimo", "flusso")  # ragazz ragazz veloc ...
+_PT_WORDS = ("nações", "nação", "livros", "meninos", "rápidas",
+             "janelas", "cidade", "resultados")  # naca naca livr menin ...
+_WDG_WORDS = ("TurboShot", "SnapShot", "WiFiHub", "MegaCorp", "plainzz",
+              "Quxx")  # → turbo+shot, snap+shot, wi+fi+hub, mega+corp, ...
+_OVR_WORDS = ("mice", "mouse", "mouses", "gerbil", "hamster",
+              "capivara")  # override: mice/mouses => mouse (protected)
+
+
 def _multifield_index(sf_dir: str):
     """Two-field index over documents: body = text, title = first 5 tokens,
     plus a derived per-doc required-match column req_m = 1 + doc_id % 3 for
@@ -491,6 +541,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def search_index_synonym_contraction(sf):
         return _doc_set(_synonym_index(sf), TermQuery("mergesort"))
+
+    def search_lang_italian(sf):
+        # 'ragazzo' and the appended 'ragazzi'/'ragazza' conflate to stem
+        # 'ragazz' through the italian light chain's stored postings
+        eng = _derived_index(sf, "it3", _IT_WORDS, 8, analyzer="italian")
+        return _doc_set(eng, MatchQuery("ragazzo", analyzer="italian"))
+
+    def search_lang_portuguese(sf):
+        # 'nação' ↔ appended 'nações' via the -ões → -ão rule
+        eng = _derived_index(sf, "pt3", _PT_WORDS, 8, analyzer="portuguese")
+        return _doc_set(eng, MatchQuery("nação", analyzer="portuguese"))
+
+    def search_word_delimiter(sf):
+        # TurboShot/SnapShot split on the case transition at index time;
+        # the bare subword 'shot' resolves purely through stored postings
+        eng = _derived_index(
+            sf, "wdg3", _WDG_WORDS, 6, analyzer="standard",
+            token_filters=(("word_delimiter_graph", {}), "lowercase"))
+        return _doc_set(eng, TermQuery("shot"))
+
+    def search_stemmer_override(sf):
+        # mice/mouses => mouse is rewritten AND protected from the english
+        # stemmer; the un-overridden literal 'mouse' porter-stems to 'mous',
+        # so the stored term 'mouse' matches exactly the overridden docs
+        eng = _derived_index(
+            sf, "ovr3", _OVR_WORDS, 6, analyzer="standard",
+            token_filters=("lowercase",
+                           ("stemmer_override",
+                            {"rules": ["mice, mouses => mouse"]}),
+                           ("stemmer", {"language": "english"})))
+        return _doc_set(eng, TermQuery("mouse"))
 
     def search_span_first(sf):
         from elasticsearch_ray.search.query import SpanFirstQuery
@@ -1316,6 +1397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_terminate_after": search_terminate_after,
         "search_char_filters": search_char_filters,
         "search_char_filters_mapping": search_char_filters_mapping,
+        "search_lang_italian": search_lang_italian,
+        "search_lang_portuguese": search_lang_portuguese,
+        "search_word_delimiter": search_word_delimiter,
+        "search_stemmer_override": search_stemmer_override,
         "search_index_synonym": search_index_synonym,
         "search_index_synonym_contraction": search_index_synonym_contraction,
         "search_span_first": search_span_first,
@@ -1842,6 +1927,26 @@ def oracle_sql() -> dict[str, str]:
         "search_char_filters_mapping": """
             SELECT doc_id FROM documents
             WHERE ' ' || text || ' ' LIKE '% query %'
+            ORDER BY doc_id
+        """,
+        "search_lang_italian": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 8 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_lang_portuguese": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 8 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_word_delimiter": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_stemmer_override": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 IN (0, 2)
             ORDER BY doc_id
         """,
         "search_index_synonym": """

@@ -226,6 +226,93 @@ class CharFilteredAnalyzer(Analyzer):
         return blk([ch(t) for t in texts])
 
 
+def _filter_registry() -> dict:
+    """Token-filter registry for custom-analyzer assembly — the
+    CommonAnalysisPlugin.java:226-335 named-filter surface. Each entry is
+    ``(terms, positions, **params) -> (terms, positions)``."""
+    from elasticsearch_ray.analysis import filters as F
+
+    return {
+        "lowercase": F.lowercase, "uppercase": F.uppercase,
+        "asciifolding": F.asciifolding, "stop": F.stop_filter,
+        "porter_stem": F.porter, "english_possessive": F.english_possessive,
+        "length": F.length_filter, "truncate": F.truncate,
+        "unique": F.unique_filter, "reverse": F.reverse_filter,
+        "ngram": F.ngram, "edge_ngram": F.edge_ngram,
+        "synonym": F.synonym, "min_hash": F.min_hash, "shingle": F.shingle,
+        # round-3 additions
+        "stemmer": F.stemmer, "kstem": F.kstem_filter,
+        "stemmer_override": F.stemmer_override,
+        "keyword_marker": F.keyword_marker,
+        "elision": F.elision_filter, "cjk_width": F.cjk_width,
+        "word_delimiter_graph": F.word_delimiter_graph,
+        "word_delimiter": F.word_delimiter_graph,
+        "common_grams": F.common_grams, "pattern_capture": F.pattern_capture,
+        "dictionary_decompounder": F.dictionary_decompounder,
+        "decimal_digit": F.decimal_digit, "apostrophe": F.apostrophe_filter,
+        "limit": F.limit_count, "trim": F.trim_filter,
+    }
+
+
+class CustomChainAnalyzer(Analyzer):
+    """Full custom-analyzer assembly: char_filter chain → RAW tokenizer →
+    named token-filter chain (AnalysisRegistry custom analyzer; the filters
+    own lowercasing/stopwords/stemming — 'lowercase' must be listed
+    explicitly, as in the reference). Keyword-protection markers from
+    keyword_marker / stemmer_override are stripped at the end of the chain.
+
+    Tokenizer names: standard (UAX#29, original case), whitespace, keyword,
+    letter."""
+
+    name = "custom_chain"
+
+    def __init__(self, tokenizer: str, char_filters, filters):
+        from elasticsearch_ray.analysis.char_filters import compile_chain
+
+        self.chain = compile_chain(char_filters or [])
+        self.tokenizer = tokenizer
+        reg = _filter_registry()
+        compiled = []
+        for f in filters or []:
+            if isinstance(f, str):
+                name, params = f, {}
+            else:
+                name, params = f[0], (f[1] if len(f) > 1 else {})
+            fn = reg.get(name)
+            if fn is None:
+                raise ValueError(f"unknown token filter {name!r}; known: {sorted(reg)}")
+            # JSON round-trips set-ish params as lists; refreeze the ones
+            # used for membership tests
+            params = {k: (frozenset(v) if k in ("stopwords", "keywords", "common_words")
+                          and isinstance(v, (list, tuple)) else v)
+                      for k, v in dict(params).items()}
+            compiled.append((fn, params))
+        self.filters = compiled
+
+    def _raw_tokens(self, text: str) -> list[str]:
+        from elasticsearch_ray.analysis.tokenizer import tokenize
+
+        tk = self.tokenizer
+        if tk == "standard":
+            return tokenize(text)
+        if tk == "whitespace":
+            return text.split()
+        if tk == "keyword":
+            return [text] if text else []
+        if tk == "letter":
+            return SimpleAnalyzer._re.findall(text)
+        raise ValueError(f"unknown tokenizer {tk!r}")
+
+    def __call__(self, text: str) -> Analysis:
+        from elasticsearch_ray.analysis import filters as F
+
+        terms = self._raw_tokens(self.chain(text))
+        pos = list(range(len(terms)))
+        for fn, params in self.filters:
+            terms, pos = fn(terms, pos, **params)
+        return F.finish_keywords(terms, pos)
+
+
 def get_analyzer(name: str) -> Analyzer:
     if name.startswith("custom:"):
         # parametric custom analyzer: the NAME carries the config, so any
@@ -234,6 +321,10 @@ def get_analyzer(name: str) -> Analyzer:
         import json as _json
 
         cfg = _json.loads(name[len("custom:"):])
+        if cfg.get("filters") or cfg.get("tokenizer"):
+            return CustomChainAnalyzer(cfg.get("tokenizer", cfg.get("base", "standard")),
+                                       cfg.get("char_filters", []),
+                                       cfg.get("filters", []))
         base = get_analyzer(cfg.get("base", "standard"))
         return CharFilteredAnalyzer(base, cfg.get("char_filters", []))
     if name not in _REGISTRY:

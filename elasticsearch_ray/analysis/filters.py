@@ -142,3 +142,302 @@ def shingle(terms, pos, min_size=2, max_size=2, sep=" ") -> Analysis:
             o_p.append(pos[i])
     order = sorted(range(len(o_p)), key=lambda i: (o_p[i], o_t[i]))
     return [o_t[i] for i in order], [o_p[i] for i in order]
+
+
+# ---------------------------------------------------------------- round 3 —
+# the highest-traffic absentees from CommonAnalysisPlugin.java:226-335:
+# stemmer/stemmer_override, keyword_marker, elision (standalone), cjk_width,
+# word_delimiter_graph, kstem, common_grams, pattern_capture, decompounder,
+# decimal_digit, apostrophe, limit, trim.
+
+_KEYWORD_MARK = "\x00kw\x00"  # internal prefix marking protected tokens
+
+
+def keyword_marker(terms, pos, keywords) -> Analysis:
+    """KeywordMarkerFilter: protect listed terms from downstream stemmers
+    (internal marker stripped by finish_keywords / end of chain)."""
+    kws = frozenset(keywords)
+    return [(_KEYWORD_MARK + t) if t in kws else t for t in terms], pos
+
+
+def finish_keywords(terms, pos) -> Analysis:
+    """Strip keyword-protection markers (appended automatically at the end
+    of a custom chain)."""
+    n = len(_KEYWORD_MARK)
+    return [t[n:] if t.startswith(_KEYWORD_MARK) else t for t in terms], pos
+
+
+def _stemmer_registry() -> dict:
+    from elasticsearch_ray.analysis import lang as L
+    from elasticsearch_ray.analysis import stemmers as S
+    from elasticsearch_ray.analysis.porter import stem as porter_stem
+    from elasticsearch_ray.analysis.snowball_ru import stem as ru_snowball
+
+    return {
+        "porter": porter_stem, "english": porter_stem,
+        "light_french": L.french_light_stem, "french": L.french_light_stem,
+        "light_german": L.german_light_stem, "german": L.german_light_stem,
+        "light_spanish": L.spanish_light_stem, "spanish": L.spanish_light_stem,
+        "russian": ru_snowball, "light_russian": L.russian_light_stem,
+        "light_italian": S.italian_light_stem, "italian": S.italian_light_stem,
+        "light_portuguese": S.portuguese_light_stem,
+        "portuguese": S.portuguese_light_stem,
+        "dutch": S.dutch_light_stem, "catalan": S.catalan_light_stem,
+        "romanian": S.romanian_light_stem,
+        "light_norwegian": S.norwegian_light_stem,
+        "norwegian": S.norwegian_light_stem,
+        "kstem": S.kstem,
+    }
+
+
+def stemmer(terms, pos, language="english") -> Analysis:
+    """``stemmer`` token filter (StemmerTokenFilterFactory): named-language
+    dispatch over the registered stem functions; keyword-marked tokens pass
+    through untouched."""
+    fn = _stemmer_registry().get(language)
+    if fn is None:
+        raise ValueError(f"unknown stemmer language {language!r}")
+    return [t if t.startswith(_KEYWORD_MARK) else fn(t) for t in terms], pos
+
+
+def kstem_filter(terms, pos) -> Analysis:
+    from elasticsearch_ray.analysis.stemmers import kstem
+
+    return [t if t.startswith(_KEYWORD_MARK) else kstem(t) for t in terms], pos
+
+
+def stemmer_override(terms, pos, rules) -> Analysis:
+    """StemmerOverrideFilter: dictionary lookup that both REWRITES the token
+    and PROTECTS it from later stemmers (rules: {"mice": "mouse"} or
+    Solr-style "mice => mouse" lines)."""
+    if not isinstance(rules, dict):
+        parsed = {}
+        for line in rules:
+            lhs, _, rhs = line.partition("=>")
+            for k in lhs.split(","):
+                parsed[k.strip()] = rhs.strip()
+        rules = parsed
+    out = []
+    for t in terms:
+        hit = rules.get(t)
+        out.append((_KEYWORD_MARK + hit) if hit is not None else t)
+    return out, pos
+
+
+def elision_filter(terms, pos, articles=None) -> Analysis:
+    """Standalone ``elision`` filter (ElisionTokenFilterFactory): strip a
+    leading article + apostrophe; default article set = French."""
+    from elasticsearch_ray.analysis.lang import FRENCH_ARTICLES, elision
+
+    arts = frozenset(articles) if articles else FRENCH_ARTICLES
+    return [elision(t, arts) for t in terms], pos
+
+
+# fullwidth ASCII → halfwidth (FF01-FF5E → 21-7E), ideographic space → space
+_CJK_WIDTH_ASCII = {c: c - 0xFEE0 for c in range(0xFF01, 0xFF5F)}
+_CJK_WIDTH_ASCII[0x3000] = 0x20
+# halfwidth katakana → fullwidth (U+FF66-FF9D base forms)
+_HW_KATA = "ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝ"
+_FW_KATA = "ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテトナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン"
+_CJK_WIDTH_KATA = {ord(h): ord(f) for h, f in zip(_HW_KATA, _FW_KATA)}
+# voiced / semi-voiced sound marks combine with the preceding kana
+_DAKUTEN = {"カ": "ガ", "キ": "ギ", "ク": "グ", "ケ": "ゲ", "コ": "ゴ",
+            "サ": "ザ", "シ": "ジ", "ス": "ズ", "セ": "ゼ", "ソ": "ゾ",
+            "タ": "ダ", "チ": "ヂ", "ツ": "ヅ", "テ": "デ", "ト": "ド",
+            "ハ": "バ", "ヒ": "ビ", "フ": "ブ", "ヘ": "ベ", "ホ": "ボ",
+            "ウ": "ヴ"}
+_HANDAKUTEN = {"ハ": "パ", "ヒ": "ピ", "フ": "プ", "ヘ": "ペ", "ホ": "ポ"}
+_WIDTH_TABLE = {**_CJK_WIDTH_ASCII, **_CJK_WIDTH_KATA}
+
+
+def cjk_width(terms, pos) -> Analysis:
+    """CJKWidthFilter: fold fullwidth ASCII to halfwidth and halfwidth
+    katakana to fullwidth, composing ﾞ/ﾟ voicing marks (ﾊﾞ → バ)."""
+    out = []
+    for t in terms:
+        t = t.translate(_WIDTH_TABLE)
+        if "ﾞ" in t or "ﾟ" in t:
+            chars: list[str] = []
+            for ch in t:
+                if ch == "ﾞ" and chars and chars[-1] in _DAKUTEN:
+                    chars[-1] = _DAKUTEN[chars[-1]]
+                elif ch == "ﾟ" and chars and chars[-1] in _HANDAKUTEN:
+                    chars[-1] = _HANDAKUTEN[chars[-1]]
+                else:
+                    chars.append(ch)
+            t = "".join(chars)
+        out.append(t)
+    return out, pos
+
+
+import re as _re
+
+_WDG_SPLIT = _re.compile(
+    r"[^0-9A-Za-zÀ-ɏͰ-῿]+"  # non-alphanumeric runs
+)
+_WDG_PARTS = _re.compile(
+    # case transitions + alpha/digit boundaries inside a clean subword
+    r"[A-ZÀ-Þ]+(?![a-zß-ÿ])"   # UPPER run not followed by lower
+    r"|[A-ZÀ-Þ]?[a-zß-ɏͰ-῿]+"  # Capitalized/lower run
+    r"|[0-9]+"
+)
+
+
+def word_delimiter_graph(terms, pos, generate_word_parts=True,
+                         generate_number_parts=True, catenate_words=False,
+                         catenate_numbers=False, catenate_all=False,
+                         preserve_original=False,
+                         stem_english_possessive=True) -> Analysis:
+    """WordDelimiterGraphFilter, flattened to same-position emission (our
+    chains never consume graphs downstream, matching how the reference
+    flattens at index time): split on intra-token non-alphanumerics, case
+    transitions and letter↔digit boundaries; optionally re-catenate runs and
+    keep the original. "PowerShot500-WiFi" → power, shot, 500, wi, fi (+
+    catenations when enabled)."""
+    o_t: list[str] = []
+    o_p: list[int] = []
+    for t, p in zip(terms, pos):
+        if stem_english_possessive and t.lower().endswith("'s"):
+            t = t[:-2]
+        subwords = []
+        for piece in _WDG_SPLIT.split(t):
+            if not piece:
+                continue
+            subwords.extend(_WDG_PARTS.findall(piece))
+        if not subwords:
+            continue
+        emitted = []
+        if preserve_original:
+            emitted.append(t)
+        single = len(subwords) == 1 and subwords[0] == t
+        for sw in subwords:
+            is_num = sw[0].isdigit()
+            if (generate_number_parts if is_num else generate_word_parts) or single:
+                emitted.append(sw)
+        if len(subwords) > 1:
+            if catenate_all:
+                emitted.append("".join(subwords))
+            else:
+                if catenate_words:
+                    words = [s for s in subwords if not s[0].isdigit()]
+                    if len(words) > 1:
+                        emitted.append("".join(words))
+                if catenate_numbers:
+                    nums = [s for s in subwords if s[0].isdigit()]
+                    if len(nums) > 1:
+                        emitted.append("".join(nums))
+        seen = set()
+        for e in emitted:
+            low = e.lower()
+            if low not in seen:
+                seen.add(low)
+                o_t.append(e)
+                o_p.append(p)
+    return o_t, o_p
+
+
+def common_grams(terms, pos, common_words, query_mode=False) -> Analysis:
+    """CommonGramsFilter: emit word+common / common+word bigrams alongside
+    (index mode) or instead of (query mode) the unigrams, so phrases over
+    stopword-dense text stay fast. Bigram joins with '_' like the reference."""
+    common = frozenset(common_words)
+    o_t: list[str] = []
+    o_p: list[int] = []
+    n = len(terms)
+    for i, (t, p) in enumerate(zip(terms, pos)):
+        gram = None
+        if i + 1 < n and pos[i + 1] == p + 1 and (t in common or terms[i + 1] in common):
+            gram = f"{t}_{terms[i + 1]}"
+        if not query_mode or gram is None:
+            o_t.append(t)
+            o_p.append(p)
+        if gram is not None:
+            o_t.append(gram)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def pattern_capture(terms, pos, patterns, preserve_original=True) -> Analysis:
+    """PatternCaptureGroupTokenFilter: emit every capture group of every
+    pattern as a same-position token."""
+    pats = [_re.compile(p) for p in patterns]
+    o_t: list[str] = []
+    o_p: list[int] = []
+    for t, p in zip(terms, pos):
+        emitted = [t] if preserve_original else []
+        for pat in pats:
+            for m in pat.finditer(t):
+                for g in m.groups() or ():
+                    if g:
+                        emitted.append(g)
+        if not emitted:
+            emitted = [t]
+        seen = set()
+        for e in emitted:
+            if e not in seen:
+                seen.add(e)
+                o_t.append(e)
+                o_p.append(p)
+    return o_t, o_p
+
+
+def dictionary_decompounder(terms, pos, word_list, min_word_size=5,
+                            min_subword_size=2, max_subword_size=15,
+                            only_longest_match=False) -> Analysis:
+    """DictionaryCompoundWordTokenFilter: for each token ≥ min_word_size,
+    emit every dictionary word found as a substring (same position, original
+    kept first) — the reference's brute-force subword scan."""
+    words = [w.lower() for w in word_list
+             if min_subword_size <= len(w) <= max_subword_size]
+    o_t: list[str] = []
+    o_p: list[int] = []
+    for t, p in zip(terms, pos):
+        o_t.append(t)
+        o_p.append(p)
+        if len(t) < min_word_size:
+            continue
+        low = t.lower()
+        found = [w for w in words if w in low and w != low]
+        if only_longest_match and found:
+            found = [max(found, key=len)]
+        for w in found:
+            o_t.append(w)
+            o_p.append(p)
+    return o_t, o_p
+
+
+def decimal_digit(terms, pos) -> Analysis:
+    """DecimalDigitFilter: fold any Unicode decimal digit to 0-9."""
+    import unicodedata
+
+    def fold(t: str) -> str:
+        if t.isascii():
+            return t
+        return "".join(str(unicodedata.digit(c)) if c.isdigit() and not c.isascii()
+                       else c for c in t)
+
+    return [fold(t) for t in terms], pos
+
+
+def apostrophe_filter(terms, pos) -> Analysis:
+    """ApostropheFilter (Turkish): strip the apostrophe and everything after
+    it (İstanbul'da → İstanbul)."""
+    out = []
+    for t in terms:
+        for apo in ("'", "’"):
+            i = t.find(apo)
+            if i >= 0:
+                t = t[:i]
+                break
+        out.append(t)
+    return [t for t in out if t], [p for t, p in zip(out, pos) if t]
+
+
+def limit_count(terms, pos, max_token_count=1) -> Analysis:
+    """LimitTokenCountFilter."""
+    return terms[:max_token_count], pos[:max_token_count]
+
+
+def trim_filter(terms, pos) -> Analysis:
+    """TrimFilter."""
+    return [t.strip() for t in terms], pos

@@ -50,10 +50,11 @@ FRENCH_ARTICLES = frozenset("l m t qu n s j d c".split())
 
 
 def elision(term: str, articles: frozenset = FRENCH_ARTICLES) -> str:
-    """Strip a leading article + apostrophe (l'avion → avion)."""
+    """Strip a leading article + apostrophe (l'avion → avion; Italian's
+    four-letter dell'/nell'/sull' family included via the article set)."""
     for apo in ("'", "’"):
         i = term.find(apo)
-        if 0 < i <= 2 and term[:i] in articles:
+        if 0 < i <= 4 and term[:i] in articles:
             return term[i + 1 :]
     return term
 
@@ -267,9 +268,131 @@ class CjkAnalyzer(Analyzer):
         return terms, positions
 
 
+# ---- round-3 chains (next six highest-traffic per the reference registry,
+# CommonAnalysisPlugin.java:179-219): italian, portuguese, dutch, catalan,
+# romanian, norwegian. Same light-chain shape as fr/de/es: standard tokens →
+# (elision) → lowercase → stop → light stem (analysis/stemmers.py).
+
+ITALIAN_STOP = frozenset(
+    """il lo la i gli le un uno una di a da in con su per tra fra e o ma se
+    che chi cui non più quale quanto quanti questa questo questi queste si
+    tutto tutti del della dei delle al alla ai alle dal dalla nel nella sono
+    è era come anche ancora dove ci loro mio tuo suo""".split()
+)
+PORTUGUESE_STOP = frozenset(
+    """o a os as um uma uns umas de do da dos das em no na nos nas por para
+    com sem sob sobre e ou mas que se não mais muito já também só pelo pela
+    ao aos à às este esta isto esse essa isso aquele aquela são ser foi eram
+    como quando onde quem seu sua meu minha nosso nossa""".split()
+)
+DUTCH_STOP = frozenset(
+    """de het een en van in op te dat die voor met als maar om aan er nog
+    door over bij ook tot uit naar dan zo zij hij ik je we ze niet is zijn
+    was waren wordt worden werd deze dit der den of heeft hebben had""".split()
+)
+CATALAN_STOP = frozenset(
+    """el la els les un una uns unes de a en amb per sense sobre i o però
+    que si no més molt ja també només al als del dels aquest aquesta això
+    aquell aquella són ser va ser era com quan on qui seu seva el meu la
+    meva nostre nostra hi ho es""".split()
+)
+ROMANIAN_STOP = frozenset(
+    """un o şi și în la cu de pe din pentru prin după sub peste dar iar sau
+    că dacă nu mai foarte deja doar este sunt era erau fost fi ca cum când
+    unde cine al a ale lui ei lor meu mea său sa acest această acel acea
+    ce se îşi își""".split()
+)
+NORWEGIAN_STOP = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke der så
+    var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra
+    du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her
+    alle vil bli ble blitt kunne inn når være kom noen noe""".split()
+)
+
+# Lucene ItalianAnalyzer DEFAULT_ARTICLES (ElisionFilter) — c/l/all/dall/
+# dell/nell/sull/coll/pell/gl/agl/dagl/degl/negl/sugl/un/m/t/s/v/d
+ITALIAN_ARTICLES = frozenset(
+    "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl un m t s v d".split()
+)
+# Lucene CatalanAnalyzer DEFAULT_ARTICLES
+CATALAN_ARTICLES = frozenset("d l m n s t".split())
+
+
+class ItalianAnalyzer(_StemAnalyzer):
+    name = "italian"
+    stopwords = ITALIAN_STOP
+
+    def pre(self, t: str) -> str:
+        return elision(t, ITALIAN_ARTICLES)
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import italian_light_stem
+
+        return italian_light_stem(t)
+
+
+class PortugueseAnalyzer(_StemAnalyzer):
+    name = "portuguese"
+    stopwords = PORTUGUESE_STOP
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import portuguese_light_stem
+
+        return portuguese_light_stem(t)
+
+
+class DutchAnalyzer(_StemAnalyzer):
+    name = "dutch"
+    stopwords = DUTCH_STOP
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import dutch_light_stem
+
+        return dutch_light_stem(t)
+
+
+class CatalanAnalyzer(_StemAnalyzer):
+    name = "catalan"
+    stopwords = CATALAN_STOP
+
+    def pre(self, t: str) -> str:
+        return elision(t, CATALAN_ARTICLES)
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import catalan_light_stem
+
+        return catalan_light_stem(t)
+
+
+class RomanianAnalyzer(_StemAnalyzer):
+    name = "romanian"
+    stopwords = ROMANIAN_STOP
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import romanian_light_stem
+
+        return romanian_light_stem(t)
+
+
+class NorwegianAnalyzer(_StemAnalyzer):
+    name = "norwegian"
+    stopwords = NORWEGIAN_STOP
+
+    def stem(self, t: str) -> str:
+        from elasticsearch_ray.analysis.stemmers import norwegian_light_stem
+
+        return norwegian_light_stem(t)
+
+
 register("french", FrenchAnalyzer)
 register("german", GermanAnalyzer)
 register("spanish", SpanishAnalyzer)
 register("russian", RussianAnalyzer)
 register("russian_light", RussianLightAnalyzer)
 register("cjk", CjkAnalyzer)
+register("italian", ItalianAnalyzer)
+register("portuguese", PortugueseAnalyzer)
+register("dutch", DutchAnalyzer)
+register("catalan", CatalanAnalyzer)
+register("romanian", RomanianAnalyzer)
+register("norwegian", NorwegianAnalyzer)

@@ -765,20 +765,23 @@ def build_index(
 ) -> dict:
     """Build (or resume) the inverted index. Returns the index meta dict."""
     spec = spec or IndexSpec()
-    if spec.char_filters:
-        # fold char filters into a parametric analyzer NAME: every consumer
-        # (tokenize actors, searcher actors, the coordinator's query-text
-        # analysis) resolves the same chain locally from the string alone
+    if spec.char_filters or spec.token_filters:
+        # fold char/token filters into a parametric analyzer NAME: every
+        # consumer (tokenize actors, searcher actors, the coordinator's
+        # query-text analysis) resolves the same chain locally from the
+        # string alone
         import dataclasses
         import json as _json
 
-        cfg = _json.dumps(
-            {"base": spec.analyzer,
-             "char_filters": [[k, [list(x) if isinstance(x, (list, tuple)) else x
-                                   for x in a]] for k, a in spec.char_filters]},
-            sort_keys=True,
-        )
-        spec = dataclasses.replace(spec, analyzer="custom:" + cfg, char_filters=())
+        cfg_d = {"base": spec.analyzer,
+                 "char_filters": [[k, [list(x) if isinstance(x, (list, tuple)) else x
+                                       for x in a]] for k, a in spec.char_filters]}
+        if spec.token_filters:
+            cfg_d["filters"] = [f if isinstance(f, str) else list(f)
+                                for f in spec.token_filters]
+        cfg = _json.dumps(cfg_d, sort_keys=True)
+        spec = dataclasses.replace(spec, analyzer="custom:" + cfg,
+                                   char_filters=(), token_filters=())
     os.makedirs(index_dir, exist_ok=True)
     shards = plan_partitions(corpus_dir, file_pattern, spec.files_per_partition)
     by_part: dict[int, list[dict]] = {}

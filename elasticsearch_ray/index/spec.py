@@ -59,6 +59,13 @@ class IndexSpec:
     # build_index folds these into a parametric "custom:{json}" analyzer name
     # so tokenize actors AND the query engine share the exact chain.
     char_filters: tuple = ()
+    # token filters applied after the tokenizer (custom-analyzer assembly,
+    # CommonAnalysisPlugin token-filter registry): ("lowercase",
+    # ("stemmer", {"language": "light_italian"}), ...). Folded into the same
+    # parametric "custom:{json}" analyzer name as char_filters; when set,
+    # `analyzer` names the TOKENIZER stage ("standard"/"whitespace"/
+    # "keyword") and the filters list owns lowercasing/stopwords/stemming.
+    token_filters: tuple = ()
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
     # term-keyed shuffle (SURVEY §4 skew row).
@@ -79,6 +86,8 @@ class IndexSpec:
         d["index_synonyms"] = list(d["index_synonyms"])
         d["char_filters"] = [[k, [list(x) if isinstance(x, (list, tuple)) else x
                                   for x in a]] for k, a in d["char_filters"]]
+        d["token_filters"] = [f if isinstance(f, str) else list(f)
+                              for f in d["token_filters"]]
         return d
 
     @classmethod
@@ -90,5 +99,8 @@ class IndexSpec:
         d["char_filters"] = tuple(
             (k, tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in a))
             for k, a in d.get("char_filters", ())
+        )
+        d["token_filters"] = tuple(
+            f if isinstance(f, str) else tuple(f) for f in d.get("token_filters", ())
         )
         return cls(**d)

@@ -66,3 +66,61 @@ def test_cjk_bigram_query_matches_run():
     an = get_analyzer("cjk")
     doc_terms = set(an("分布式搜索引擎")[0])
     assert set(an("搜索")[0]) <= doc_terms  # bigram query hits the long run
+
+
+# ---- round-3 chains: italian, portuguese, dutch, catalan, romanian,
+# norwegian (light-stemmer family, analysis/stemmers.py) ----
+
+GOLDEN_R3 = {
+    "italian": [
+        ("i ragazzi veloci dell'analisi", (["ragazz", "veloc", "analis"], [1, 2, 3])),
+        ("le finestre rapidissime", (["finestr", "rapid"], [1, 2])),
+    ],
+    "portuguese": [
+        ("as nações rápidas", (["naca", "rapid"], [1, 2])),
+        ("os livros do menino", (["livr", "menin"], [1, 3])),
+    ],
+    "dutch": [
+        ("de kinderen bakken boeken", (["kind", "bak", "boek"], [1, 2, 3])),
+        ("het boekje van de vrouwen", (["boek", "vrouw"], [1, 4])),
+    ],
+    "catalan": [
+        ("les cançons de l'home", (["canc", "home"], [1, 3])),
+        ("els resultats ràpids", (["resultat", "rapid"], [1, 2])),
+    ],
+    "romanian": [
+        ("băieții și fetele", (["baiet", "fet"], [0, 2])),
+        ("rezultatele căutării", (["rezultat", "cautar"], [0, 1])),
+    ],
+    "norwegian": [
+        ("bøkene og husene", (["bøk", "hus"], [0, 2])),
+        ("resultatene av søkene", (["resultat", "søk"], [0, 2])),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN_R3))
+def test_golden_tokens_r3(lang):
+    an = get_analyzer(lang)
+    for text, want in GOLDEN_R3[lang]:
+        assert an(text) == want, (lang, text, an(text))
+
+
+@pytest.mark.parametrize(
+    "lang,a,b",
+    [
+        ("italian", "ragazzo", "ragazzi"),
+        ("italian", "finestra", "finestre"),
+        ("portuguese", "nação", "nações"),
+        ("portuguese", "livro", "livros"),
+        ("dutch", "boek", "boeken"),
+        ("dutch", "kind", "kinderen"),
+        ("catalan", "cançó", "cançons"),
+        ("catalan", "resultat", "resultats"),
+        ("romanian", "rezultat", "rezultatele"),
+        ("norwegian", "resultat", "resultatene"),
+    ],
+)
+def test_inflections_conflate_r3(lang, a, b):
+    an = get_analyzer(lang)
+    assert an(a)[0] == an(b)[0] != []
