@@ -1035,6 +1035,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = out["cosine"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def search_knn_dsl(sf):
+        """knn as a DSL clause (KnnVectorQueryBuilder): parse → route. With
+        num_candidates covering the table the route is the exact brute
+        fallback, so the DuckDB cosine oracle applies; the HNSW route is
+        recall-tested separately (ann_hnsw_top5)."""
+        from elasticsearch_ray.ops.hnsw import knn_search
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        ids, m = _query_vectors(sf, 4)
+        body = {"query": {"knn": {
+            "field": "embedding",
+            "query_vector": [float(x) for x in m[3]],
+            "k": 10, "num_candidates": 10_000_000, "boost": 1.5,
+        }}}
+        out = knn_search(_ds(sf, "embeddings"), parse_dsl(body))
+        out["_score"] = out["_score"].round(4)
+        out = out.sort_values(["_score", "vec_id"], ascending=[False, True],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     # ---- text analysis ----
     def text_quality_table(sf):
         from elasticsearch_ray.ops.textstats import text_quality
@@ -1466,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
         "ann_hnsw_top5": ann_hnsw_top5,
+        "search_knn_dsl": search_knn_dsl,
         "text_quality_table": text_quality_table,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
@@ -2356,6 +2377,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_ids": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        "search_knn_dsl": """
+            SELECT vec_id, _score FROM (
+              SELECT e.vec_id AS vec_id,
+                     round(1.5 * (1 + round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)) / 2, 4)
+                       AS _score,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+            ) WHERE rn <= 10
+            ORDER BY _score DESC, vec_id
         """,
         "ann_cosine_top5": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (

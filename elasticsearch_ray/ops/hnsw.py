@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from elasticsearch_ray.ops.ann import _batch_matrix, _normalize
+from elasticsearch_ray.ops.ann import _batch_matrix, _normalize, brute_topk
 
 
 def _topk_rows(sims: np.ndarray, k: int) -> np.ndarray:
@@ -489,3 +489,36 @@ def hnsw_topk(ds: Dataset, query_ids, query_matrix: np.ndarray, id_col: str = "v
     )
     out["cosine"] = out["cosine"].round(6)
     return out
+
+
+def knn_search(ds: Dataset, query, id_col: str = "vec_id",
+               num_partitions: int = 2) -> pd.DataFrame:
+    """Execute a parsed ``knn`` DSL clause (search.query.KnnQuery — x-pack
+    ``KnnVectorQueryBuilder``) over a dense-vector Dataset.
+
+    Routing mirrors the reference's per-shard exploration budget:
+    ``num_candidates`` below the table size → per-partition HNSW graphs with
+    ef = num_candidates; ``num_candidates`` covering the table → exact brute
+    force (the exhaustive fallback). Scores use the reference's cosine
+    mapping ``boost · (1 + cos) / 2`` (DenseVectorFieldMapper cosine
+    similarity); ``similarity`` drops hits below the raw-cosine floor.
+    Returns (id_col, _score), score-descending with id ascending tiebreak.
+    Cosines arrive pre-rounded to 6 decimals from brute/hnsw_topk, so
+    scores are quantized at 5e-7 — inside the 4-decimal oracle rounding."""
+    qm = np.asarray([query.query_vector], np.float64)
+    n = ds.count()
+    if query.num_candidates >= n:
+        hits = brute_topk(ds, [0], qm, id_col=id_col, vec_col=query.field,
+                          k=query.k)
+    else:
+        hits = hnsw_topk(ds, [0], qm, id_col=id_col, vec_col=query.field,
+                         k=query.k, ef_search=query.num_candidates,
+                         num_partitions=num_partitions)
+    if query.similarity is not None:
+        hits = hits[hits["cosine"] >= query.similarity]
+    out = pd.DataFrame({
+        id_col: hits["neighbor_id"].to_numpy(),
+        "_score": query.boost * (1.0 + hits["cosine"].to_numpy()) / 2.0,
+    })
+    return out.sort_values(["_score", id_col], ascending=[False, True],
+                           ignore_index=True)

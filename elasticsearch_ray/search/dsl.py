@@ -35,6 +35,7 @@ from elasticsearch_ray.search.query import (
     FuzzyQuery,
     IdsQuery,
     IntervalsQuery,
+    KnnQuery,
     MatchAllQuery,
     MatchNoneQuery,
     MatchPhrasePrefixQuery,
@@ -420,6 +421,29 @@ class _Parser:
                                     pivot=body["pivot"],
                                     boost=float(body.get("boost", 1.0)))
 
+    def q_knn(self, body):
+        """knn clause (KnnVectorQueryBuilder.fromXContent): requires field +
+        query_vector; num_candidates must cover k (the reference rejects
+        num_candidates < k at parse time)."""
+        if "field" not in body or "query_vector" not in body:
+            raise DslError("knn requires 'field' and 'query_vector'")
+        qv = body["query_vector"]
+        if (not isinstance(qv, (list, tuple)) or not qv
+                or not all(isinstance(x, (int, float)) for x in qv)):
+            raise DslError("knn query_vector must be a non-empty number list")
+        k = int(body.get("k", 10))
+        num_candidates = int(body.get("num_candidates", max(100, k)))
+        if k <= 0:
+            raise DslError("knn k must be positive")
+        if num_candidates < k:
+            raise DslError("knn num_candidates cannot be less than k")
+        sim = body.get("similarity")
+        return KnnQuery(field=str(body["field"]),
+                        query_vector=tuple(float(x) for x in qv),
+                        k=k, num_candidates=num_candidates,
+                        similarity=None if sim is None else float(sim),
+                        boost=float(body.get("boost", 1.0)))
+
     def q_pinned(self, body):
         return PinnedQuery(ids=tuple(int(i) for i in body["ids"]),
                            organic=self.parse(body["organic"]),
@@ -597,6 +621,13 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
     if isinstance(q, DistanceFeatureQuery):
         return {"distance_feature": {"field": q.field, "origin": q.origin,
                                      "pivot": q.pivot, "boost": q.boost}}
+    if isinstance(q, KnnQuery):
+        body = {"field": q.field, "query_vector": list(q.query_vector),
+                "k": q.k, "num_candidates": q.num_candidates,
+                "boost": q.boost}
+        if q.similarity is not None:
+            body["similarity"] = q.similarity
+        return {"knn": body}
     if isinstance(q, PinnedQuery):
         return {"pinned": {"ids": list(q.ids),
                            "organic": to_dsl(q.organic, default_field),

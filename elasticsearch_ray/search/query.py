@@ -406,6 +406,25 @@ class DistanceFeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class KnnQuery(Query):
+    """knn vector search (x-pack ``KnnVectorQueryBuilder`` /
+    ``KnnSearchBuilder``): top-``k`` by similarity over a dense-vector
+    column. ``num_candidates`` caps per-shard graph exploration (our
+    analog: per-partition HNSW ef; when num_candidates covers the whole
+    table the route degrades to exact brute-force, matching the
+    reference's exhaustive fallback). ``similarity`` is the optional raw
+    cosine floor (hits below it are dropped). Score is the reference's
+    cosine mapping (1 + cos) / 2, times boost."""
+
+    field: str = "embedding"
+    query_vector: tuple = ()
+    k: int = 10
+    num_candidates: int = 100
+    similarity: float | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalsQuery(Query):
     """intervals query subset (IntervalsQueryBuilder /
     IntervalsSourceProvider.java): supported sources —

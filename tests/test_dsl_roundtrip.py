@@ -15,6 +15,7 @@ from elasticsearch_ray.search.query import (
     FuzzyQuery,
     IdsQuery,
     IntervalsQuery,
+    KnnQuery,
     MatchAllQuery,
     MatchNoneQuery,
     MatchPhraseQuery,
@@ -58,6 +59,11 @@ leaf = st.one_of(
     st.builds(IdsQuery, ids=st.tuples(st.integers(0, 99), st.integers(100, 199)),
               boost=boosts),
     st.builds(MatchAllQuery, boost=boosts),
+    st.builds(KnnQuery, field=st.sampled_from(["embedding", "vec"]),
+              query_vector=st.tuples(st.sampled_from([0.5, -0.25, 1.0]),
+                                     st.sampled_from([0.0, 2.0])),
+              k=st.integers(1, 5), num_candidates=st.integers(50, 100),
+              similarity=st.one_of(st.none(), st.just(0.25)), boost=boosts),
     st.builds(MatchNoneQuery, boost=boosts),
     st.builds(SpanNearQuery, clauses=st.tuples(words, words), slop=st.integers(0, 3),
               in_order=st.booleans(), boost=boosts),

@@ -774,3 +774,55 @@ def test_dissect_modifiers():
     d4 = DissectProcessor("msg", "%{} %{keep}")
     df4 = d4(pd.DataFrame({"msg": ["drop this"]}))
     assert df4["keep"][0] == "this"
+
+
+def test_knn_dsl_search(ray_session):
+    """knn DSL clause (KnnVectorQueryBuilder): parse-time validation, exact
+    brute route when num_candidates covers the table, HNSW route otherwise,
+    similarity floor, and the (1+cos)/2 score mapping."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.ann import brute_topk
+    from elasticsearch_ray.ops.hnsw import knn_search
+    from elasticsearch_ray.search.dsl import DslError, parse_dsl
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in t["embedding"][0].as_py()]
+
+    # parse-time validation (mirrors the reference's parser errors)
+    with pytest.raises(DslError):
+        parse_dsl({"knn": {"field": "embedding"}})
+    with pytest.raises(DslError):
+        parse_dsl({"knn": {"field": "embedding", "query_vector": []}})
+    with pytest.raises(DslError):
+        parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                           "k": 10, "num_candidates": 3}})
+
+    q = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                           "k": 5, "num_candidates": 10_000, "boost": 2.0}})
+    out = knn_search(rd.from_arrow(t), q)
+    # brute route: must equal the exact baseline with the ES score mapping
+    exact = brute_topk(rd.from_arrow(t), [0], np.asarray([qv]), k=5)
+    assert out["vec_id"].tolist() == exact["neighbor_id"].tolist()
+    np.testing.assert_allclose(
+        out["_score"].to_numpy(),
+        2.0 * (1 + exact["cosine"].to_numpy()) / 2, rtol=1e-9)
+    # self-match scores boost*(1+1)/2 = boost
+    assert abs(out["_score"].iloc[0] - 2.0) < 1e-6
+
+    # similarity floor drops below-threshold hits
+    thresh = float(exact["cosine"].iloc[2])
+    q2 = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                            "k": 5, "num_candidates": 10_000,
+                            "similarity": thresh}})
+    out2 = knn_search(rd.from_arrow(t), q2)
+    assert len(out2) == 3
+
+    # HNSW route (num_candidates < table size): same top-1, k rows
+    q3 = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                            "k": 5, "num_candidates": 50}})
+    out3 = knn_search(rd.from_arrow(t), q3)
+    assert len(out3) == 5 and out3["vec_id"].iloc[0] == out["vec_id"].iloc[0]
