@@ -2314,9 +2314,23 @@ def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.
     fis = np.searchsorted(bases, locs, side="right") - 1
     pieces = {}
     for fi in np.unique(fis):
-        t = pq.read_table(paths[int(fi)], columns=columns)
         rel = locs[fis == fi] - bases[int(fi)]
-        pieces[int(fi)] = t.take(pa.array(rel))
+        # row-group pushdown: read ONLY the row groups covering the hits
+        # (multi-GB inputs would otherwise be fully decoded for a handful
+        # of rows), then remap hit offsets into the concatenated selection
+        pf = pq.ParquetFile(paths[int(fi)])
+        md = pf.metadata
+        rg_rows = np.asarray(
+            [md.row_group(g).num_rows for g in range(md.num_row_groups)],
+            dtype=np.int64,
+        )
+        rg_starts = np.concatenate(([0], np.cumsum(rg_rows)[:-1]))
+        gis = np.searchsorted(rg_starts, rel, side="right") - 1
+        need = np.unique(gis)
+        t = pf.read_row_groups(need.tolist(), columns=columns)
+        sel_starts = np.concatenate(([0], np.cumsum(rg_rows[need])[:-1]))
+        gpos = np.searchsorted(need, gis)
+        pieces[int(fi)] = t.take(pa.array(sel_starts[gpos] + rel - rg_starts[gis]))
     # reassemble in the original hit order WITHOUT a per-row slice loop:
     # concat the per-file pieces (grouped order), then one argsort-take back
     # to hit order — O(n log n), not n 1-row tables
