@@ -914,6 +914,28 @@ class PartitionSearcher:
                 out[t] = int(self.r.df[ri])
         return out
 
+    def bigram_freqs(self, pairs: list) -> dict:
+        """Adjacent-occurrence (shingle) counts over stored positions — the
+        phrase-suggester bigram model data (the reference's LaplaceScorer
+        reads a shingle FIELD; positions.bin already holds the same
+        information, so no separate shingle index is needed)."""
+        if not getattr(self.r, "has_positions", False):
+            return {tuple(p): 0 for p in pairs}
+        out = {}
+        for w1, w2 in pairs:
+            _docs, freqs = self._phrase_docs([w1, w2], 0)
+            out[(w1, w2)] = int(freqs.sum()) if len(freqs) else 0
+        return out
+
+    def vocab_size(self) -> int:
+        """Main-field dictionary size (field-namespaced entries excluded) —
+        the Laplace smoothing vocabulary term; cached per searcher."""
+        v = getattr(self, "_vocab_cache", None)
+        if v is None:
+            v = sum(1 for t in self._terms_np().tolist() if "\x1f" not in t)
+            self._vocab_cache = v
+        return v
+
     def completion_candidates(self, prefix: str, limit: int = 1000) -> dict[str, int]:
         """Sorted-dict prefix range → {term: df} (completion suggester data;
         the FST prefix walk becomes a searchsorted range cut)."""
@@ -1149,6 +1171,7 @@ class QueryEngine:
         self.parallel = parallel
         self._searchers: dict[int, PartitionSearcher] = {}
         self._df_cache: dict[str, int] = {}
+        self._ttf_cache: dict[str, int] = {}
         self._blooms: dict[int, tuple] = {}
         self._actors = None
         self._num_actors = num_actors
@@ -1437,6 +1460,57 @@ class QueryEngine:
                     df[t] += d
             self._df_cache.update(df)
         return {t: self._df_cache[t] for t in terms}
+
+    def _global_ttf(self, terms: list[str]) -> dict[str, int]:
+        """Global total term frequency per term (sum of per-partition ttfs;
+        cached like _global_stats) — the unigram counts of the
+        phrase-suggester language model."""
+        missing = [t for t in terms if t not in self._ttf_cache]
+        if missing:
+            ttf = dict.fromkeys(missing, 0)
+            if self._actors:
+                import ray
+
+                results = ray.get([a.local_stats.remote(missing) for a in self._actors])
+            else:
+                cand = set(self.can_match_parts(missing))
+                results = [self._searcher(p).local_stats(missing) for p in self.parts
+                           if p in cand]
+            for st in results:
+                for t, (_d, tt) in st.items():
+                    ttf[t] += tt
+            self._ttf_cache.update(ttf)
+        return {t: self._ttf_cache[t] for t in terms}
+
+    def _global_bigram_freqs(self, pairs: list) -> dict:
+        """Global adjacent-occurrence counts for candidate word pairs: one
+        fan-out carrying ALL pairs (not one call per pair), summed on the
+        driver — the phrase-suggester shingle statistics."""
+        if not pairs:
+            return {}
+        if self._actors:
+            import ray
+
+            results = ray.get([a.bigram_freqs.remote(pairs) for a in self._actors])
+        else:
+            results = [self._searcher(p).bigram_freqs(pairs) for p in self.parts]
+        out = dict.fromkeys(pairs, 0)
+        for d in results:
+            for k, v in d.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def _vocab_size(self) -> int:
+        v = getattr(self, "_vocab_total", None)
+        if v is None:
+            if self._actors:
+                import ray
+
+                v = sum(ray.get([a.vocab_size.remote() for a in self._actors]))
+            else:
+                v = sum(self._searcher(p).vocab_size() for p in self.parts)
+            self._vocab_total = v
+        return v
 
     def avgdl_for(self, field: str | None) -> float:
         """Per-field average doc length (BM25 normalizes each field against
@@ -1778,26 +1852,26 @@ class QueryEngine:
 
     def suggest_phrase(self, text: str, size: int = 3, max_edits: int = 2,
                        candidates_per_token: int = 3,
-                       edit_penalty: float = 4.0) -> list[dict]:
-        """Phrase suggester (search/suggest/phrase PhraseSuggester,
-        simplified): per-token candidate generation (term-suggester pruning),
-        then a BEAM over token corrections scored by a unigram language
-        model, sum of log(1 + df/N) minus an edit penalty per corrected
-        token — the reference's LaplaceScorer-with-candidate-generator shape
-        without the shingle bigram model (documented simplification)."""
+                       edit_penalty: float = 4.0, alpha: float = 0.5) -> list[dict]:
+        """Phrase suggester (search/suggest/phrase PhraseSuggester +
+        LaplaceScorer): per-token candidate generation (term-suggester
+        pruning), then a BEAM over corrections scored by a Laplace-smoothed
+        BIGRAM language model over the index's stored positions —
+        log P(w₁) + Σ log P(wᵢ | wᵢ₋₁) with
+        P(w₂|w₁) = (c(w₁ w₂) + α) / (c(w₁) + α·V) — the reference's shingle
+        field re-expressed over positions.bin (no separate shingle index).
+        The candidate generator's edit distance stays as a log-space prior
+        (the reference's channel score). Bigram counts come from ONE
+        distributed gather over all adjacent candidate pairs; V is the
+        summed per-partition dictionary size (an upper bound that only
+        shifts smoothing mass)."""
         an = get_analyzer(self.analyzer_name)
         tokens = an(text)[0]
         if not tokens:
             return []
-        n = max(self.n_docs, 1)
-
-        def lm(df: int) -> float:
-            return float(np.log1p(df / n))
-
         per_token: list[list[tuple[str, float]]] = []
         for tok in tokens:
-            df_tok = self._global_stats([tok])[tok]
-            opts = [(tok, lm(df_tok))]
+            opts = [(tok, 0.0)]
             if self._actors:
                 import ray
 
@@ -1815,14 +1889,33 @@ class QueryEngine:
                 cand.items(),
                 key=lambda kv: (_true_distance(tok, kv[0], max_edits), -kv[1], kv[0]),
             )[:candidates_per_token]
-            for t, df in ranked:
-                opts.append((t, lm(df) - edit_penalty * _true_distance(tok, t, max_edits) / 10.0))
+            for t, _df in ranked:
+                opts.append((t, -edit_penalty * _true_distance(tok, t, max_edits) / 10.0))
             per_token.append(opts)
-        # beam over per-token options
+        # one distributed gather for every model statistic the beam needs
+        unis = sorted({w for opts in per_token for w, _ in opts})
+        ttf = self._global_ttf(unis)
+        pairs = sorted({(w1, w2) for i in range(1, len(per_token))
+                        for w1, _ in per_token[i - 1] for w2, _ in per_token[i]})
+        big = self._global_bigram_freqs(pairs)
+        V = max(self._vocab_size(), 1)
+        T = max(float(self.meta.get("sum_dl", self.n_docs)), 1.0)
+
+        def uni_lp(w: str) -> float:
+            return float(np.log((ttf.get(w, 0) + alpha) / (T + alpha * V)))
+
+        def bi_lp(w1: str, w2: str) -> float:
+            return float(np.log((big.get((w1, w2), 0) + alpha)
+                                / (ttf.get(w1, 0) + alpha * V)))
+
+        # beam over per-token options (bigram scores depend on the previous
+        # word, so scoring happens during expansion, not per option)
         beam: list[tuple[float, list[str]]] = [(0.0, [])]
-        for opts in per_token:
+        for i, opts in enumerate(per_token):
             beam = sorted(
-                ((s + os, words + [w]) for s, words in beam for w, os in opts),
+                ((s + prior + (uni_lp(w) if i == 0 else bi_lp(words[-1], w)),
+                  words + [w])
+                 for s, words in beam for w, prior in opts),
                 key=lambda x: -x[0],
             )[: max(size * 4, 8)]
         out = []
@@ -2494,6 +2587,16 @@ class SearcherActor:
     def suggest_candidates(self, tok, max_edits, prefix_length=1):
         return [s.suggest_candidates(tok, max_edits, prefix_length)
                 for s in self.searchers.values()]
+
+    def bigram_freqs(self, pairs):
+        out: dict = {}
+        for s in self.searchers.values():
+            for k, v in s.bigram_freqs(pairs).items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def vocab_size(self):
+        return sum(s.vocab_size() for s in self.searchers.values())
 
     def eval_exhaustive(self, q, scorers, parts):
         allowed = set(parts)

@@ -364,3 +364,35 @@ def test_rescore_rejects_explicit_sort(web_engine):
     out = web_engine.search(MatchQuery("spark"), k=5,
                             rescore=(TermQuery("join"), 10, 1.0, 2.0))
     assert len(out) > 0
+
+
+def test_phrase_suggester_bigram_context(ray_session, tmp_path_factory):
+    """LaplaceScorer bigram model: context picks the correction. 'bean' has
+    the higher unigram frequency, but 'drum beat' is the only bigram that
+    occurs, so 'drum beaf' must correct to 'drum beat' — a unigram LM would
+    rank 'drum bean' first."""
+    import os
+
+    import pyarrow as pa
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    texts = ["drum beat solo"] * 3 + ["green bean soup"] * 10
+    corpus = str(tmp_path_factory.mktemp("bigram_corpus"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(["en"] * len(texts))}),
+        os.path.join(corpus, "d.parquet"))
+    idx = str(tmp_path_factory.mktemp("bigram_idx") / "index")
+    build_index(corpus, idx,
+                IndexSpec(use_html=False, text_column="text", doc_columns=("lang",)),
+                concurrency=2, file_pattern="d.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+    # sanity: the wrong candidate really does dominate on unigram counts
+    ttf = eng._global_ttf(["bean", "beat"])
+    assert ttf["bean"] > ttf["beat"]
+    out = eng.suggest_phrase("drum beaf", size=3, max_edits=1)
+    assert out and out[0]["text"] == "drum beat"
+    texts_out = [o["text"] for o in out]
+    assert texts_out.index("drum beat") < texts_out.index("drum bean")
