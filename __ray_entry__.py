@@ -62,6 +62,41 @@ def _documents_index(sf_dir: str):
     return eng
 
 
+def _sorted_index(sf_dir: str):
+    """Documents index built with INDEX SORTING (index.sort.field=orig_id
+    desc): the corpus is range-shuffled into sort order at build time, so
+    queries sorted by (orig_id desc) early-terminate per partition.
+    ``orig_id`` carries the source doc_id as a doc COLUMN — the engine's own
+    doc_id is storage-positional by design (reassigned after the sort
+    shuffle), so the sort key must be a stored column, exactly like the
+    reference sorts on a doc-values field, never on Lucene's docid."""
+    key = f"sorted-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus = f"/tmp/esray_indexes/{key}-corpus"
+    marker = os.path.join(corpus, "docs.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        t = t.append_column("orig_id", t["doc_id"])
+        pq.write_table(t, marker + ".tmp")
+        os.replace(marker + ".tmp", marker)
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang", "orig_id", "n_chars"),
+                     sort_field="orig_id", sort_order="desc")
+    build_index(corpus, idx_dir, spec, file_pattern="docs.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _synonym_index(sf_dir: str):
     """Documents index built with INDEX-TIME synonyms (equivalence injection
     + contraction), so unseen query terms resolve through stored postings."""
@@ -1258,6 +1293,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["page_rank"] = range(1, len(df) + 1)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def search_index_sorted(sf):
+        """Index sorting: the build stored docs in (doc_id desc) order, so
+        this sorted query takes the early-termination path (first-k matches
+        in storage order, no scoring, NaN _score) — paginated across a
+        _shard_doc cursor to prove the early path's search_after is exact."""
+        eng = _sorted_index(sf)
+        sort = [("orig_id", "desc")]
+        p1 = eng.search(TermQuery("spark"), k=5, sort=sort,
+                        fetch=("orig_id", "n_chars"))
+        cursor = (p1["orig_id"][-1].as_py(), p1["part"][-1].as_py(),
+                  p1["local"][-1].as_py())
+        p2 = eng.search(TermQuery("spark"), k=5, sort=sort, search_after=cursor,
+                        fetch=("orig_id", "n_chars"))
+        df = pa.concat_tables([p1, p2]).to_pandas()[["orig_id", "n_chars"]]
+        df["rn"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def search_collapse_lang(sf):
         # rounded re-rank (see _search_table) applied around the collapse
         eng = _documents_index(sf)
@@ -1381,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
+        "search_index_sorted": search_index_sorted,
         "search_collapse_lang": search_collapse_lang,
         "search_dismax": search_dismax,
         "search_sqs": search_sqs,
@@ -1661,6 +1714,15 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY n_chars DESC, doc_id
               LIMIT 5 OFFSET 5
             )
+        """,
+        "search_index_sorted": """
+            SELECT orig_id, n_chars, rn FROM (
+              SELECT doc_id AS orig_id, n_chars,
+                     CAST(row_number() OVER (ORDER BY doc_id DESC) AS BIGINT) AS rn
+              FROM documents
+              WHERE (' ' || text || ' ') LIKE '% spark %'
+              ORDER BY doc_id DESC LIMIT 10
+            ) ORDER BY rn
         """,
         "search_collapse_lang": f"""
             WITH {_bm25_scores_cte(["spark", "join"])},

@@ -70,7 +70,7 @@ from elasticsearch_ray.index.segments import (
     read_manifest,
 )
 from elasticsearch_ray.index.spec import FIELD_SEP, IndexSpec, field_of_term
-from elasticsearch_ray.sources.webpages import plan_shards
+from elasticsearch_ray.sources.webpages import corpus_files, plan_shards
 
 
 def spec_fingerprint(spec: IndexSpec) -> str:
@@ -756,6 +756,42 @@ def _merge_fn(batch, index_dir, spec_dict):
     return _cached_stage(MergeParts, index_dir, spec_dict)(batch)
 
 
+def _stage_sorted_corpus(corpus_dir: str, staged_dir: str, spec: IndexSpec,
+                         file_pattern: str) -> str:
+    """Index-sorting staging pass (``index.sort.field`` / ``index.sort.order``
+    — IndexSettings + Lucene ``setIndexSort``): range-shuffle the corpus
+    into sort-field order ONCE (``Dataset.sort`` — the distributed
+    all-to-all the reference pays at every segment flush/merge instead), so
+    document storage order equals the sort order and sorted queries can
+    early-terminate. Resumable: a marker records the input identity;
+    unchanged inputs reuse the staged files (and with them the downstream
+    per-partition manifests)."""
+    import json
+
+    files = corpus_files(corpus_dir, file_pattern)
+    ident = {
+        "files": [os.path.basename(f) for f in files],
+        "bytes": int(sum(os.path.getsize(f) for f in files)),
+        "sort": [spec.sort_field, spec.sort_order],
+    }
+    marker = os.path.join(staged_dir, "_staged.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == ident:
+                    return staged_dir
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(staged_dir, ignore_errors=True)
+    os.makedirs(staged_dir, exist_ok=True)
+    ds = rd.read_parquet(files)
+    ds = ds.sort(spec.sort_field, descending=(spec.sort_order == "desc"))
+    ds.write_parquet(staged_dir)
+    # marker written only after the data: a crashed staging run re-stages
+    atomic_write_json(marker, ident)
+    return staged_dir
+
+
 def build_index(
     corpus_dir: str,
     index_dir: str,
@@ -783,6 +819,11 @@ def build_index(
         spec = dataclasses.replace(spec, analyzer="custom:" + cfg,
                                    char_filters=(), token_filters=())
     os.makedirs(index_dir, exist_ok=True)
+    if spec.sort_field:
+        corpus_dir = _stage_sorted_corpus(
+            corpus_dir, os.path.join(index_dir, "sorted_corpus"), spec, file_pattern
+        )
+        file_pattern = "*.parquet"
     shards = plan_partitions(corpus_dir, file_pattern, spec.files_per_partition)
     by_part: dict[int, list[dict]] = {}
     for s in shards:

@@ -66,6 +66,16 @@ class IndexSpec:
     # `analyzer` names the TOKENIZER stage ("standard"/"whitespace"/
     # "keyword") and the filters list owns lowercasing/stopwords/stemming.
     token_filters: tuple = ()
+    # index sorting (index.sort.field / index.sort.order — IndexSettings +
+    # Lucene IndexWriterConfig.setIndexSort): when set, the corpus is
+    # range-shuffled into sort-field order in ONE staging pass before
+    # tokenization (ray.data.Dataset.sort — the all-to-all the reference
+    # pays at segment flush/merge instead), so local doc order within AND
+    # across partitions IS the sort order. Queries sorted on exactly this
+    # field early-terminate per partition (take the first k matches in
+    # storage order instead of scoring+sorting every match).
+    sort_field: str | None = None
+    sort_order: str = "asc"  # "asc" | "desc"
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
     # term-keyed shuffle (SURVEY §4 skew row).

@@ -955,7 +955,8 @@ class PartitionSearcher:
         return a
 
     def extended_candidates(self, q, scorers, sort, k, search_after=None,
-                            collapse=None, min_score=None, part=0):
+                            collapse=None, min_score=None, part=0,
+                            index_sorted=False):
         """Per-partition candidate collection for the field-sort / collapse /
         rescore path: exhaustive eval → min_score → sort keys → search_after
         cursor → per-value best (collapse) → top-k BY SORT ORDER. The driver
@@ -963,7 +964,37 @@ class PartitionSearcher:
 
         A cursor two entries longer than the sort spec carries the implicit
         (part, doc) tiebreak (the reference's ``_shard_doc`` PIT field), so
-        pagination is exact even when sort values tie at a page boundary."""
+        pagination is exact even when sort values tie at a page boundary.
+
+        ``index_sorted=True`` (the engine sets it only when the requested
+        sort is exactly the index sort — field AND direction) takes the
+        early-terminating path of a Lucene sorted index: storage order IS
+        the sort order, so the partition evaluates MATCHES only (no
+        scoring), applies the cursor, and slices the first k — no sort, no
+        per-match score. Scores come back NaN (the reference's null _score
+        on early-terminated sorted queries)."""
+        empty0 = (np.empty(0, np.int64), np.empty(0, np.float64), [], None)
+        if index_sorted:
+            docs = self._eval_filter(q, scorers)
+            if len(docs) == 0:
+                return empty0
+            key_cols = [self._doc_col(sort[0][0])[docs]]
+            if search_after is not None:
+                cols = key_cols
+                ds_ = [sort[0][1] == "desc"]
+                if len(search_after) == len(key_cols) + 2:
+                    cols = key_cols + [np.full(len(docs), int(part), np.int64),
+                                       np.asarray(docs, np.int64)]
+                    ds_ = ds_ + [False, False]
+                keep = _after_mask(cols, ds_, search_after)
+                docs = docs[keep]
+                key_cols = [kc[keep] for kc in key_cols]
+                if len(docs) == 0:
+                    return empty0
+            self.sorted_early_hits = getattr(self, "sorted_early_hits", 0) + 1
+            docs = docs[:k]
+            return (docs, np.full(len(docs), np.nan),
+                    [kc[:k] for kc in key_cols], None)
         docs, scores = self._eval_scoring(q, scorers, k=None, mode="exhaustive")
         scores = np.asarray(scores, np.float64)
         if min_score is not None:
@@ -1945,12 +1976,21 @@ class QueryEngine:
         sort = sort or [("_score", "desc")]
         descs = [d == "desc" for _, d in sort]
         fetch_k = k if rescore is None else max(k, rescore[1])
+        # index-sorting early termination (Lucene sorted-index search): only
+        # when the requested sort IS the index sort (field and direction)
+        # and nothing needs scores or full candidate sets
+        index_sorted = bool(
+            self.spec.get("sort_field")
+            and len(sort) == 1
+            and sort[0] == (self.spec["sort_field"], self.spec.get("sort_order", "asc"))
+            and rescore is None and collapse is None and min_score is None
+        )
         if self._actors:
             import ray
 
             groups = ray.get([
                 a.extended_candidates.remote(q, scorers_ref, sort, fetch_k, search_after,
-                                             collapse, min_score)
+                                             collapse, min_score, index_sorted)
                 for a in self._actors
             ])
             per_part = [r for g in groups for r in g]
@@ -1958,7 +1998,7 @@ class QueryEngine:
             per_part = [
                 (p, *self._searcher(p).extended_candidates(q, scorers, sort, fetch_k,
                                                            search_after, collapse, min_score,
-                                                           part=p))
+                                                           part=p, index_sorted=index_sorted))
                 for p in self.parts
             ]
         per_part = [r for r in per_part if len(r[1])]
@@ -2574,10 +2614,10 @@ class SearcherActor:
         return [(p, *s.topk(q, scorers, k, mode, search_after, p)) for p, s in items]
 
     def extended_candidates(self, q, scorers, sort, k, search_after=None, collapse=None,
-                            min_score=None):
+                            min_score=None, index_sorted=False):
         return [
             (p, *s.extended_candidates(q, scorers, sort, k, search_after, collapse,
-                                       min_score, part=p))
+                                       min_score, part=p, index_sorted=index_sorted))
             for p, s in self.searchers.items()
         ]
 
