@@ -137,8 +137,12 @@ def run_bench() -> dict:
     # query QPS on warm actors behind coordinator actors (the reference's
     # any-node-coordinates model: driver does one submit+get per query)
     num_coords = 4
+    # num_replicas: replica-shard pools (one per coordinator) — measured 3x
+    # concurrent QPS at 1.5M docs vs a single shared pool (queries fan out
+    # to one replica's actors, so concurrent queries don't contend)
     eng = QueryEngine(idx_dir, dtype="float32", parallel="ray",
-                      num_coordinators=num_coords)
+                      num_coordinators=num_coords,
+                      num_replicas=int(os.environ.get("BENCH_REPLICAS", "4")))
     queries = {}
     # warmup: every coordinator must build scorers for every query. The
     # round-robin stride aligns when len(QUERY_SET) is a multiple of the

@@ -1186,7 +1186,8 @@ class QueryEngine:
     """Search over a built index directory."""
 
     def __init__(self, index_dir: str, dtype: str = "float32", parallel: str = "local",
-                 num_actors: int | None = None, num_coordinators: int = 0):
+                 num_actors: int | None = None, num_coordinators: int = 0,
+                 num_replicas: int = 1):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
@@ -1205,7 +1206,10 @@ class QueryEngine:
         self._ttf_cache: dict[str, int] = {}
         self._blooms: dict[int, tuple] = {}
         self._actors = None
+        self._actor_pools = None
         self._num_actors = num_actors
+        self._num_replicas = max(1, int(num_replicas))
+        self._pool_rr = 0
         self._coords = None
         self._coord_rr = 0
         self._scorer_cache: dict = {}
@@ -1231,19 +1235,45 @@ class QueryEngine:
     def _init_actors(self):
         import ray
 
-        n = self._num_actors or max(1, min(len(self.parts), int(ray.cluster_resources().get("CPU", 4))))
-        groups: list[list[int]] = [[] for _ in range(n)]
-        for i, p in enumerate(self.parts):
-            groups[i % n].append(p)
+        # num_replicas > 1 = the reference's replica-shard model: R pools,
+        # each covering EVERY partition, with queries round-robined across
+        # pools (_qpool). Each query then fans out to one pool's (narrower)
+        # actor set, so concurrent queries neither contend on actors nor
+        # multiply per-query RPC width. Memory cost is bounded: postings are
+        # memmapped (page cache shared across replicas); only term-dict /
+        # doc-column arrays duplicate.
+        R = self._num_replicas
+        n_total = self._num_actors or max(
+            1, min(len(self.parts) * R, int(ray.cluster_resources().get("CPU", 4)))
+        )
+        per_pool = max(1, min(n_total // R, len(self.parts)))
         # max_concurrency: concurrent queries share each warm actor via
         # threads (numpy kernels release the GIL), so driver-side concurrent
         # search does not serialize behind one in-flight task per actor
         actor_cls = ray.remote(max_concurrency=8)(SearcherActor)
-        self._actors = [
-            actor_cls.remote(self.index_dir, g, self.analyzer_name,
-                             (self.params.k1, self.params.b), self.dtype)
-            for g in groups if g
-        ]
+        self._actor_pools = []
+        for _r in range(R):
+            groups: list[list[int]] = [[] for _ in range(per_pool)]
+            for i, p in enumerate(self.parts):
+                groups[i % per_pool].append(p)
+            self._actor_pools.append([
+                actor_cls.remote(self.index_dir, g, self.analyzer_name,
+                                 (self.params.k1, self.params.b), self.dtype)
+                for g in groups if g
+            ])
+        # stats / suggest / vocab gathers iterate self._actors and SUM over
+        # actors — they must see every partition exactly ONCE, so they are
+        # pinned to pool 0 regardless of replica count
+        self._actors = self._actor_pools[0]
+
+    def _qpool(self):
+        """Searcher pool for one query: round-robin over replica pools
+        (benign data race on the counter — any pool is correct)."""
+        pools = self._actor_pools
+        if not pools or len(pools) == 1:
+            return self._actors
+        self._pool_rr = (self._pool_rr + 1) % len(pools)
+        return pools[self._pool_rr]
 
     def _init_coordinators(self, n: int):
         """ES-style coordinating nodes: each coordinator actor owns the whole
@@ -1254,8 +1284,13 @@ class QueryEngine:
         import ray
 
         coord_cls = ray.remote(max_concurrency=4)(CoordinatorActor)
+        # with replica pools, each coordinator owns one replica (i % R) —
+        # its whole query phase (stats, scorers, fan-out, merge) runs
+        # against that replica's actors only
         self._coords = [
-            coord_cls.remote(self.index_dir, self.dtype, self._actors) for _ in range(n)
+            coord_cls.remote(self.index_dir, self.dtype,
+                             self._actor_pools[i % len(self._actor_pools)])
+            for i in range(n)
         ]
 
     def set_coordinator_rotation(self, i: int) -> None:
@@ -1292,7 +1327,13 @@ class QueryEngine:
             for c in self._coords:
                 ray.kill(c)
             self._coords = None
-        if self._actors:
+        if self._actor_pools:
+            for pool in self._actor_pools:
+                for a in pool:
+                    ray.kill(a)
+            self._actor_pools = None
+            self._actors = None
+        elif self._actors:
             for a in self._actors:
                 ray.kill(a)
             self._actors = None
@@ -1721,7 +1762,7 @@ class QueryEngine:
             # the scorer dict was the dominant per-query driver cost)
             results = ray.get([a.topk.remote(q, scorers_ref, k, mode, list(cand_set),
                                              search_after)
-                               for a in self._actors])
+                               for a in self._qpool()])
             results = [r for group in results for r in group]
         else:
             results = [(p, *self._searcher(p).topk(q, scorers, k, mode, search_after, p))
@@ -1991,7 +2032,7 @@ class QueryEngine:
             groups = ray.get([
                 a.extended_candidates.remote(q, scorers_ref, sort, fetch_k, search_after,
                                              collapse, min_score, index_sorted)
-                for a in self._actors
+                for a in self._qpool()
             ])
             per_part = [r for g in groups for r in g]
         else:
@@ -2055,7 +2096,7 @@ class QueryEngine:
             import ray
 
             groups = ray.get([a.eval_exhaustive.remote(q, scorers, list(parts))
-                              for a in self._actors])
+                              for a in self._qpool()])
             return [r for g in groups for r in g]
         return [(p, *self._searcher(p)._eval_scoring(q, scorers, None, "exhaustive"))
                 for p in parts]

@@ -396,3 +396,26 @@ def test_phrase_suggester_bigram_context(ray_session, tmp_path_factory):
     assert out and out[0]["text"] == "drum beat"
     texts_out = [o["text"] for o in out]
     assert texts_out.index("drum beat") < texts_out.index("drum bean")
+
+
+def test_replica_pools_identical_results(web_engine, tmp_path_factory):
+    """num_replicas>1 (replica-shard pools): every replica answers with the
+    same results as the local backend; round-robin covers multiple pools."""
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchQuery as MQ
+
+    eng = QueryEngine(web_engine.index_dir, dtype="float64", parallel="ray",
+                      num_replicas=2, num_actors=4)
+    try:
+        want = web_engine.search(MQ("spark join"), k=10).to_pylist()
+        for _ in range(4):  # round-robin hits both pools
+            got = eng.search(MQ("spark join"), k=10).to_pylist()
+            assert got == want
+        assert len(eng._actor_pools) == 2
+        s1 = eng.search(MQ("spark"), k=8, sort=[("warc_ts", "desc")],
+                        fetch=("warc_ts",))
+        s2 = web_engine.search(MQ("spark"), k=8, sort=[("warc_ts", "desc")],
+                               fetch=("warc_ts",))
+        assert s1["warc_ts"].to_pylist() == s2["warc_ts"].to_pylist()
+    finally:
+        eng.close()
