@@ -185,6 +185,12 @@ _WDG_WORDS = ("TurboShot", "SnapShot", "WiFiHub", "MegaCorp", "plainzz",
               "Quxx")  # → turbo+shot, snap+shot, wi+fi+hub, mega+corp, ...
 _OVR_WORDS = ("mice", "mouse", "mouses", "gerbil", "hamster",
               "capivara")  # override: mice/mouses => mouse (protected)
+_SV_WORDS = ("flickorna", "bilarna", "husen", "snabba", "gamla",
+             "katten")  # → flick bil hus snabb gaml katt (Snowball Swedish)
+_TR_WORDS = ("kitaplar", "arabalarda", "evlerde", "okuyor", "sehir",
+             "kalem")  # → kitap arab evler okuyor sehir kalem
+_AR_WORDS = ("المدرسات", "مدرسة", "الكتاب", "قلم", "بيت",
+             "شمس")  # light10: first two both → مدرس
 
 
 def _multifield_index(sf_dir: str):
@@ -587,6 +593,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 'nação' ↔ appended 'nações' via the -ões → -ão rule
         eng = _derived_index(sf, "pt3", _PT_WORDS, 8, analyzer="portuguese")
         return _doc_set(eng, MatchQuery("nação", analyzer="portuguese"))
+
+    def search_lang_swedish(sf):
+        # 'flicka' ↔ appended definite-plural 'flickorna' through the
+        # Snowball Swedish chain's stored postings (analysis/lang2.py)
+        eng = _derived_index(sf, "sv3", _SV_WORDS, 6, analyzer="swedish")
+        return _doc_set(eng, MatchQuery("flicka", analyzer="swedish"))
+
+    def search_lang_turkish(sf):
+        # 'kitap' ↔ appended plural 'kitaplar' (apostrophe cut + Turkish
+        # lowercase + iterated light suffix strip)
+        eng = _derived_index(sf, "tr3", _TR_WORDS, 6, analyzer="turkish")
+        return _doc_set(eng, MatchQuery("kitap", analyzer="turkish"))
+
+    def search_lang_arabic(sf):
+        # 'مدرسة' matches both the bare noun and the ال+ات form through the
+        # Larkey light10 prefix/suffix strips after normalization
+        eng = _derived_index(sf, "ar3", _AR_WORDS, 6, analyzer="arabic")
+        return _doc_set(eng, MatchQuery("مدرسة", analyzer="arabic"))
 
     def search_word_delimiter(sf):
         # TurboShot/SnapShot split on the case transition at index time;
@@ -1472,6 +1496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_lang_italian": search_lang_italian,
         "search_lang_portuguese": search_lang_portuguese,
+        "search_lang_swedish": search_lang_swedish,
+        "search_lang_turkish": search_lang_turkish,
+        "search_lang_arabic": search_lang_arabic,
         "search_word_delimiter": search_word_delimiter,
         "search_stemmer_override": search_stemmer_override,
         "search_index_synonym": search_index_synonym,
@@ -2020,6 +2047,21 @@ def oracle_sql() -> dict[str, str]:
         "search_lang_portuguese": """
             SELECT doc_id FROM documents
             WHERE doc_id % 8 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_lang_swedish": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 = 0
+            ORDER BY doc_id
+        """,
+        "search_lang_turkish": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 = 0
+            ORDER BY doc_id
+        """,
+        "search_lang_arabic": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 IN (0, 1)
             ORDER BY doc_id
         """,
         "search_word_delimiter": """

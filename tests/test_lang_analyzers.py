@@ -124,3 +124,85 @@ def test_golden_tokens_r3(lang):
 def test_inflections_conflate_r3(lang, a, b):
     an = get_analyzer(lang)
     assert an(a)[0] == an(b)[0] != []
+
+
+# ---- batch-2 chains (analysis/lang2.py): swedish, danish, finnish,
+# hungarian, czech, greek, turkish, arabic, indonesian, persian ----
+
+GOLDEN_B2 = {
+    "swedish": [
+        ("böckerna och husen", (["böck", "hus"], [0, 2])),
+        ("flickorna läser snabba böcker", (["flick", "läs", "snabb", "böck"], [0, 1, 2, 3])),
+    ],
+    "danish": [
+        ("bøgerne og husene", (["bøg", "hus"], [0, 2])),
+        ("pigerne læser hurtige bøger", (["pig", "læs", "hurt", "bøg"], [0, 1, 2, 3])),
+    ],
+    "finnish": [
+        ("taloissa ja autoissa", (["talo", "auto"], [0, 2])),
+        ("kirjat ovat pöydällä", (["kirj", "pöyd"], [0, 2])),
+    ],
+    "hungarian": [
+        ("a házakban és az autókban", (["haz", "aut"], [1, 4])),
+        ("a gyerekek könyveket olvasnak", (["gyer", "konyv", "olvas"], [1, 2, 3])),
+    ],
+    "czech": [
+        ("ženy a muži ve městech", (["žen", "muž", "měst"], [0, 2, 4])),
+        ("rychlá auta na silnicích", (["rychl", "aut", "silnic"], [0, 1, 3])),
+    ],
+    "greek": [
+        ("τα παιδιά και οι γυναίκες", (["παιδ", "γυναικ"], [1, 4])),
+        ("βιβλίο βιβλία", (["βιβλ", "βιβλ"], [0, 1])),
+    ],
+    "turkish": [
+        ("Ankara'da çocuklar kitaplar okuyor", (["ankar", "çocuk", "kitap", "okuyor"], [0, 1, 2, 3])),
+        ("evlerde ve arabalarda", (["evler", "arab"], [0, 2])),
+    ],
+    "arabic": [
+        ("الكتاب والكتب في المدرسة", (["كتاب", "كتب", "مدرس"], [0, 1, 3])),
+        ("مدرسة المدارس", (["مدرس", "مدارس"], [0, 1])),
+    ],
+    "indonesian": [
+        ("mereka membaca bukunya", (["baca", "buku"], [1, 2])),
+        ("buku-buku dan anak-anak", (["buku", "buku", "anak", "anak"], [0, 1, 3, 4])),
+    ],
+    "persian": [
+        ("کتاب‌ها و مدارس", (["کتاب", "مدارس"], [0, 3])),
+        ("دانش‌آموزان کتاب می‌خوانند", (["دانش", "اموزان", "کتاب", "می", "خوانند"], [0, 1, 2, 3, 4])),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN_B2))
+def test_golden_tokens_b2(lang):
+    an = get_analyzer(lang)
+    for text, want in GOLDEN_B2[lang]:
+        assert an(text) == want, (lang, text, an(text))
+
+
+@pytest.mark.parametrize(
+    "lang,a,b",
+    [
+        ("swedish", "flicka", "flickorna"),
+        ("swedish", "bil", "bilarna"),
+        ("danish", "bøger", "bøgerne"),
+        ("danish", "hus", "husene"),
+        ("finnish", "kirja", "kirjat"),
+        ("finnish", "talo", "taloissa"),
+        ("hungarian", "könyv", "könyveket"),
+        ("hungarian", "ház", "házakban"),
+        ("czech", "žena", "ženy"),
+        ("czech", "město", "městech"),
+        ("greek", "βιβλίο", "βιβλία"),
+        ("greek", "παιδί", "παιδιά"),
+        ("turkish", "kitap", "kitaplar"),
+        ("turkish", "araba", "arabalarda"),
+        ("arabic", "مدرسة", "المدرسات"),
+        ("indonesian", "buku", "bukunya"),
+        ("indonesian", "baca", "membaca"),
+        ("persian", "كتاب", "کتاب"),
+    ],
+)
+def test_inflections_conflate_b2(lang, a, b):
+    an = get_analyzer(lang)
+    assert an(a)[0] == an(b)[0] != []
