@@ -191,6 +191,10 @@ _TR_WORDS = ("kitaplar", "arabalarda", "evlerde", "okuyor", "sehir",
              "kalem")  # → kitap arab evler okuyor sehir kalem
 _AR_WORDS = ("المدرسات", "مدرسة", "الكتاب", "قلم", "بيت",
              "شمس")  # light10: first two both → مدرس
+_HI_WORDS = ("किताबें", "लड़कों", "बड़ा", "घर", "पानी",
+             "सूरज")  # → किताब लडक बड घर पान सूरज (one matra/ending strip)
+_BG_WORDS = ("книгите", "къщите", "голяма", "море", "слънце",
+             "гора")  # → книг къщ голям мор слънц гор (article+plural)
 
 
 def _multifield_index(sf_dir: str):
@@ -611,6 +615,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Larkey light10 prefix/suffix strips after normalization
         eng = _derived_index(sf, "ar3", _AR_WORDS, 6, analyzer="arabic")
         return _doc_set(eng, MatchQuery("مدرسة", analyzer="arabic"))
+
+    def search_lang_hindi(sf):
+        # 'किताब' ↔ appended plural 'किताबें' through the HindiNormalizer +
+        # light-stemmer chain's stored postings (analysis/lang3.py)
+        eng = _derived_index(sf, "hi3", _HI_WORDS, 6, analyzer="hindi")
+        return _doc_set(eng, MatchQuery("किताब", analyzer="hindi"))
+
+    def search_lang_bulgarian(sf):
+        # 'книга' ↔ appended definite-plural 'книгите' via the BulStem-family
+        # two-pass article+plural strip
+        eng = _derived_index(sf, "bg3", _BG_WORDS, 6, analyzer="bulgarian")
+        return _doc_set(eng, MatchQuery("книга", analyzer="bulgarian"))
 
     def search_word_delimiter(sf):
         # TurboShot/SnapShot split on the case transition at index time;
@@ -1499,6 +1515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_lang_swedish": search_lang_swedish,
         "search_lang_turkish": search_lang_turkish,
         "search_lang_arabic": search_lang_arabic,
+        "search_lang_hindi": search_lang_hindi,
+        "search_lang_bulgarian": search_lang_bulgarian,
         "search_word_delimiter": search_word_delimiter,
         "search_stemmer_override": search_stemmer_override,
         "search_index_synonym": search_index_synonym,
@@ -2062,6 +2080,16 @@ def oracle_sql() -> dict[str, str]:
         "search_lang_arabic": """
             SELECT doc_id FROM documents
             WHERE doc_id % 6 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_lang_hindi": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 = 0
+            ORDER BY doc_id
+        """,
+        "search_lang_bulgarian": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 = 0
             ORDER BY doc_id
         """,
         "search_word_delimiter": """
