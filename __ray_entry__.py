@@ -97,6 +97,26 @@ def _sorted_index(sf_dir: str):
     return eng
 
 
+def _sim_index(sf_dir: str, similarity: str):
+    """Documents index built with a non-default similarity (the reference's
+    index-level ``index.similarity.default.type`` setting) — postings are
+    identical to the BM25 build; only the per-term scorer family changes."""
+    key = f"sim-{similarity}-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     similarity=similarity)
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _synonym_index(sf_dir: str):
     """Documents index built with INDEX-TIME synonyms (equivalence injection
     + contraction), so unseen query terms resolve through stored postings."""
@@ -597,6 +617,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 'nação' ↔ appended 'nações' via the -ões → -ão rule
         eng = _derived_index(sf, "pt3", _PT_WORDS, 8, analyzer="portuguese")
         return _doc_set(eng, MatchQuery("nação", analyzer="portuguese"))
+
+    def search_lm_dirichlet(sf):
+        # LMDirichlet similarity (LMDirichletSimilarity, mu=2000): ranked
+        # top-10 for a multi-term match, oracle = full DuckDB twin with the
+        # lossy-dl decode and the per-term >=0 clamp
+        eng = _sim_index(sf, "LMDirichlet")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
+    def search_dfr(sf):
+        # DFR I(n)L2 (Amati & van Rijsbergen): H2 tf-normalization against
+        # exact avgdl, basic model I(n), after-effect L
+        eng = _sim_index(sf, "DFR")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
 
     def search_lang_swedish(sf):
         # 'flicka' ↔ appended definite-plural 'flickorna' through the
@@ -1512,6 +1545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_char_filters_mapping": search_char_filters_mapping,
         "search_lang_italian": search_lang_italian,
         "search_lang_portuguese": search_lang_portuguese,
+        "search_lm_dirichlet": search_lm_dirichlet,
+        "search_dfr": search_dfr,
         "search_lang_swedish": search_lang_swedish,
         "search_lang_turkish": search_lang_turkish,
         "search_lang_arabic": search_lang_arabic,
@@ -1739,9 +1774,69 @@ per_term AS (
 )"""
 
 
+def _sim_sql(similarity: str, terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of the non-default similarity scorers in search/bm25.py
+    (LMDirichletScorer / DFRScorer), with the same SmallFloat-lossy dl and
+    exact collection stats the engine uses."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    if similarity == "LMDirichlet":
+        # score = Σ_t max(0, ln(1 + tf/(μ·P(w|C))) + ln(μ/(dl+μ))), μ=2000,
+        # P(w|C) = (ttf+1)/(total_tokens+1); total_tokens = exact Σdl
+        per_term = """
+per_term AS (
+  SELECT tf_t.doc_id,
+         greatest(0.0,
+             ln(1.0 + tf_t.tf / (2000.0 * (ttf_t.ttf + 1.0) / (s.sum_dl + 1.0)))
+             + ln(2000.0 / (d.dll + 2000.0))) AS s
+  FROM tf_t
+  JOIN ttf_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+)"""
+    else:  # DFR I(n)L2: inf = log2((N+1)/(df+0.5)), tfn = tf·log2(1 + avgdl/dl)
+        per_term = """
+per_term AS (
+  SELECT tf_t.doc_id,
+         log2((s.n_docs + 1.0) / (df_t.df + 0.5))
+           * (tf_t.tf * log2(1.0 + (s.sum_dl / s.n_docs) / greatest(d.dll, 1.0)))
+           / (tf_t.tf * log2(1.0 + (s.sum_dl / s.n_docs) / greatest(d.dll, 1.0)) + 1.0) AS s
+  FROM tf_t
+  JOIN df_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+)"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl_t AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM dl_t),
+dl_lossy AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll FROM dl_t),
+tf_t AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+),
+ttf_t AS (
+  SELECT term, count(*)::DOUBLE AS ttf FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+),
+{per_term},
+scores AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scores ORDER BY rank LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_lm_dirichlet": _sim_sql("LMDirichlet", ["spark", "join", "merge"]),
+        "search_dfr": _sim_sql("DFR", ["spark", "join", "merge"]),
         "search_wildcard_count": """
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -30,7 +30,9 @@ class IndexSpec:
     # langs not listed fall back to `analyzer`. Loaded once per actor/worker.
     lang_analyzers: dict | None = None
     lang_column: str = "lang"
-    similarity: str = "BM25"  # "BM25" | "boolean" (SimilarityService.java:43,58)
+    # "BM25" | "boolean" (SimilarityService.java:43,58) | "LMDirichlet" |
+    # "DFR" (SimilarityProviders.java:262-291 — alt similarity families)
+    similarity: str = "BM25"
     k1: float = 1.2  # BM25 defaults (SimilarityProviders.java:254-261)
     b: float = 0.75
     store_positions: bool = True  # text fields index DOCS_AND_FREQS_AND_POSITIONS

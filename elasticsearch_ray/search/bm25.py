@@ -120,8 +120,72 @@ class BooleanScorer:
         return np.full(np.shape(max_tf), self.weight, dtype=dt)
 
 
+class LMDirichletScorer:
+    """``LMDirichlet`` similarity (SimilarityProviders.java:284-291; Lucene
+    LMDirichletSimilarity, Zhai & Lafferty smoothing, default μ=2000):
+
+        score = boost · max(0, ln(1 + tf / (μ·P(w|C))) + ln(μ / (dl + μ)))
+        P(w|C) = (ttf + 1) / (total_tokens + 1)
+
+    dl decodes through the same lossy SmallFloat LENGTH_TABLE as BM25.
+    Increasing in tf, decreasing in dl, and the ≥0 clamp preserves both, so
+    the (max_tf, min_norm) impact bound stays valid for BMW pruning."""
+
+    def __init__(self, ttf: int, total_tokens: int, boost: float = 1.0,
+                 mu: float = 2000.0, dtype: str = "float32"):
+        self.dtype = dtype
+        self.boost = float(boost)
+        self.mu = float(mu)
+        self.mu_p = self.mu * (ttf + 1.0) / (total_tokens + 1.0)
+        self.dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = self.dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tf = np.asarray(tfs, dtype=np.float64)
+        s = self.boost * (np.log1p(tf / self.mu_p) + np.log(self.mu / (dl + self.mu)))
+        s = np.maximum(s, 0.0)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
+class DFRScorer:
+    """``DFR`` similarity (SimilarityProviders.java:262-283 option) in the
+    classic I(n)L2 composition (Amati & van Rijsbergen, "Probabilistic
+    models of information retrieval based on measuring the divergence from
+    randomness", TOIS 2002):
+
+        tfn   = tf · log2(1 + c · avgdl / dl)          (normalization H2, c=1)
+        score = boost · log2((N + 1)/(df + 0.5)) · tfn / (tfn + 1)
+                                                (basic model I(n) × after-effect L)
+
+    Monotone in tf and anti-monotone in dl → impact bounds valid."""
+
+    def __init__(self, df: int, doc_count: int, avgdl: float,
+                 boost: float = 1.0, c: float = 1.0, dtype: str = "float32"):
+        self.dtype = dtype
+        self.inf = float(boost) * math.log2((doc_count + 1.0) / (df + 0.5))
+        self.cavg = float(c) * float(avgdl)
+        self.dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = np.maximum(self.dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF], 1.0)
+        tfn = np.asarray(tfs, dtype=np.float64) * np.log2(1.0 + self.cavg / dl)
+        s = self.inf * tfn / (tfn + 1.0)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
 def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
-                params: BM25Params, boost: float = 1.0, dtype: str = "float32"):
+                params: BM25Params, boost: float = 1.0, dtype: str = "float32",
+                ttf: int = 0, total_tokens: int = 0):
     if similarity == "boolean":
         return BooleanScorer(boost, dtype)
+    if similarity == "LMDirichlet":
+        return LMDirichletScorer(ttf, total_tokens, boost, dtype=dtype)
+    if similarity == "DFR":
+        return DFRScorer(df, doc_count, avgdl, boost, dtype=dtype)
     return BM25Scorer(df, doc_count, avgdl, params, boost, dtype)

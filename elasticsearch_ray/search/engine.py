@@ -1594,10 +1594,21 @@ class QueryEngine:
     def _scorers(self, q: Query, boost_map=None):
         terms = query_terms(q, self.analyzer_name)
         df = self._global_stats(terms)
+        # collection LM stats only for the similarities that need them
+        # (the gather is cached like the df gather)
+        ttf = (self._global_ttf(terms)
+               if self.similarity in ("LMDirichlet", "DFR") else {})
+
+        def tokens_for(field):
+            if field is None:
+                return self.meta["sum_dl"]
+            return self.sum_dl_fields.get(field, 0)
+
         scorers = {
             t: make_scorer(self.similarity, df[t], self.n_docs,
                            self.avgdl_for(field_of_term(t)), self.params,
-                           dtype=self.dtype)
+                           dtype=self.dtype, ttf=ttf.get(t, 0),
+                           total_tokens=tokens_for(field_of_term(t)))
             for t in terms
         }
         # phrase/span scorers: Lucene PhraseQuery (and SpanWeight's
