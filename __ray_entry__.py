@@ -631,6 +631,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = _sim_index(sf, "DFR")
         return _search_table(eng, MatchQuery("spark join merge"), k=10)
 
+    def search_lm_jelinek_mercer(sf):
+        # LMJelinekMercer (λ=0.1): linear interpolation of doc and
+        # collection language models
+        eng = _sim_index(sf, "LMJelinekMercer")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
+    def search_dfi(sf):
+        # DFI standardized independence (Kocabas et al. 2014): clamp-at-
+        # expected divergence from term/doc independence
+        eng = _sim_index(sf, "DFI")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
+    def search_ib(sf):
+        # IB LL/df/H2 (Clinchant & Gaussier SIGIR'10) information-based model
+        eng = _sim_index(sf, "IB")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
     def search_lang_swedish(sf):
         # 'flicka' ↔ appended definite-plural 'flickorna' through the
         # Snowball Swedish chain's stored postings (analysis/lang2.py)
@@ -1547,6 +1564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_lang_portuguese": search_lang_portuguese,
         "search_lm_dirichlet": search_lm_dirichlet,
         "search_dfr": search_dfr,
+        "search_lm_jelinek_mercer": search_lm_jelinek_mercer,
+        "search_dfi": search_dfi,
+        "search_ib": search_ib,
         "search_lang_swedish": search_lang_swedish,
         "search_lang_turkish": search_lang_turkish,
         "search_lang_arabic": search_lang_arabic,
@@ -1793,6 +1813,48 @@ per_term AS (
   CROSS JOIN stats s
   JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
 )"""
+    elif similarity == "LMJelinekMercer":
+        # score = Σ_t ln(1 + ((1−λ)·tf/dl) / (λ·P(w|C))), λ=0.1
+        per_term = """
+per_term AS (
+  SELECT tf_t.doc_id,
+         ln(1.0 + (0.9 * tf_t.tf / greatest(d.dll, 1.0))
+                  / (0.1 * (ttf_t.ttf + 1.0) / (s.sum_dl + 1.0))) AS s
+  FROM tf_t
+  JOIN ttf_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+)"""
+    elif similarity == "DFI":
+        # expected = (ttf+1)·dl/(total+1); 0 below expected, else
+        # log2(1 + (tf−expected)/√expected)
+        per_term = """
+per_term AS (
+  SELECT tf_t.doc_id,
+         CASE WHEN tf_t.tf > exp_v
+              THEN log2(1.0 + (tf_t.tf - exp_v) / sqrt(exp_v)) ELSE 0.0 END AS s
+  FROM (
+    SELECT tf_t.doc_id AS did, tf_t.term,
+           greatest((ttf_t.ttf + 1.0) * d.dll / (s.sum_dl + 1.0), 1e-12) AS exp_v
+    FROM tf_t
+    JOIN ttf_t USING (term)
+    CROSS JOIN stats s
+    JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+  ) e
+  JOIN tf_t ON tf_t.doc_id = e.did AND tf_t.term = e.term
+)"""
+    elif similarity == "IB":
+        # tfn as DFR-H2; λ = (df+1)/(N+1); score = ln(1 + tfn/λ)
+        per_term = """
+per_term AS (
+  SELECT tf_t.doc_id,
+         ln(1.0 + (tf_t.tf * log2(1.0 + (s.sum_dl / s.n_docs) / greatest(d.dll, 1.0)))
+                  * (s.n_docs + 1.0) / (df_t.df + 1.0)) AS s
+  FROM tf_t
+  JOIN df_t USING (term)
+  CROSS JOIN stats s
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+)"""
     else:  # DFR I(n)L2: inf = log2((N+1)/(df+0.5)), tfn = tf·log2(1 + avgdl/dl)
         per_term = """
 per_term AS (
@@ -1837,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_lm_dirichlet": _sim_sql("LMDirichlet", ["spark", "join", "merge"]),
         "search_dfr": _sim_sql("DFR", ["spark", "join", "merge"]),
+        "search_lm_jelinek_mercer": _sim_sql("LMJelinekMercer", ["spark", "join", "merge"]),
+        "search_dfi": _sim_sql("DFI", ["spark", "join", "merge"]),
+        "search_ib": _sim_sql("IB", ["spark", "join", "merge"]),
         "search_wildcard_count": """
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

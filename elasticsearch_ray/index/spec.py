@@ -30,8 +30,9 @@ class IndexSpec:
     # langs not listed fall back to `analyzer`. Loaded once per actor/worker.
     lang_analyzers: dict | None = None
     lang_column: str = "lang"
-    # "BM25" | "boolean" (SimilarityService.java:43,58) | "LMDirichlet" |
-    # "DFR" (SimilarityProviders.java:262-291 — alt similarity families)
+    # "BM25" | "boolean" (SimilarityService.java:43,58) | "DFR" | "DFI" |
+    # "IB" | "LMDirichlet" | "LMJelinekMercer"
+    # (SimilarityProviders.java:262-324 — the full alt-similarity family)
     similarity: str = "BM25"
     k1: float = 1.2  # BM25 defaults (SimilarityProviders.java:254-261)
     b: float = 0.75

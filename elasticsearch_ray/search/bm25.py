@@ -179,6 +179,97 @@ class DFRScorer:
         return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
 
 
+class LMJelinekMercerScorer:
+    """``LMJelinekMercer`` similarity (SimilarityProviders.java:292-299;
+    Lucene LMJelinekMercerSimilarity, default λ=0.1):
+
+        score = boost · ln(1 + ((1−λ)·tf/dl) / (λ·P(w|C)))
+        P(w|C) = (ttf + 1) / (total_tokens + 1)
+
+    Increasing in tf, decreasing in dl (dl divides tf), always ≥ 0 —
+    impact bounds stay valid."""
+
+    def __init__(self, ttf: int, total_tokens: int, boost: float = 1.0,
+                 lam: float = 0.1, dtype: str = "float32"):
+        self.dtype = dtype
+        self.boost = float(boost)
+        # (1-λ) / (λ · P(w|C)) precombined
+        p_wc = (ttf + 1.0) / (total_tokens + 1.0)
+        self.ratio = (1.0 - lam) / (lam * p_wc)
+        self.dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = self.dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tf = np.asarray(tfs, dtype=np.float64)
+        s = self.boost * np.log1p(self.ratio * tf / dl)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
+class DFIScorer:
+    """``DFI`` similarity (SimilarityProviders.java:300-307; Lucene
+    DFISimilarity with the ``standardized`` independence measure,
+    Kocabas, Dincer & Karaoglan, "A nonparametric term weighting method
+    for information retrieval based on measuring the divergence from
+    independence", IR 2014):
+
+        expected = (ttf + 1) · dl / (total_tokens + 1)
+        score    = 0                                 if tf ≤ expected
+                 = boost · log2(1 + (tf − expected)/√expected)   otherwise
+
+    Increasing in tf; expected grows with dl so the score falls with dl;
+    the ≤-expected clamp preserves both → impact bounds valid."""
+
+    def __init__(self, ttf: int, total_tokens: int, boost: float = 1.0,
+                 dtype: str = "float32"):
+        self.dtype = dtype
+        self.boost = float(boost)
+        self.exp_per_dl = (ttf + 1.0) / (total_tokens + 1.0)
+        self.dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = self.dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tf = np.asarray(tfs, dtype=np.float64)
+        expected = np.maximum(self.exp_per_dl * dl, 1e-12)
+        meas = (tf - expected) / np.sqrt(expected)
+        s = np.where(tf > expected, self.boost * np.log2(1.0 + np.maximum(meas, 0.0)), 0.0)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
+class IBScorer:
+    """``IB`` similarity (SimilarityProviders.java:308-324; Lucene
+    IBSimilarity, Clinchant & Gaussier "Information-based models for ad hoc
+    IR", SIGIR 2010) in the LL / df / H2 composition:
+
+        tfn   = tf · log2(1 + c · avgdl / dl)     (normalization H2, c=1)
+        λ     = (df + 1) / (N + 1)                (LambdaDF)
+        score = boost · ln(1 + tfn / λ)           (DistributionLL)
+
+    Monotone in tf, anti-monotone in dl → impact bounds valid."""
+
+    def __init__(self, df: int, doc_count: int, avgdl: float,
+                 boost: float = 1.0, c: float = 1.0, dtype: str = "float32"):
+        self.dtype = dtype
+        self.boost = float(boost)
+        self.inv_lambda = (doc_count + 1.0) / (df + 1.0)
+        self.cavg = float(c) * float(avgdl)
+        self.dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = self.dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tfn = np.asarray(tfs, dtype=np.float64) * np.log2(1.0 + self.cavg / dl)
+        s = self.boost * np.log1p(tfn * self.inv_lambda)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        return self.score(np.asarray(max_tf), np.asarray(min_norm_byte))
+
+
 def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
                 params: BM25Params, boost: float = 1.0, dtype: str = "float32",
                 ttf: int = 0, total_tokens: int = 0):
@@ -186,6 +277,12 @@ def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
         return BooleanScorer(boost, dtype)
     if similarity == "LMDirichlet":
         return LMDirichletScorer(ttf, total_tokens, boost, dtype=dtype)
+    if similarity == "LMJelinekMercer":
+        return LMJelinekMercerScorer(ttf, total_tokens, boost, dtype=dtype)
+    if similarity == "DFI":
+        return DFIScorer(ttf, total_tokens, boost, dtype=dtype)
     if similarity == "DFR":
         return DFRScorer(df, doc_count, avgdl, boost, dtype=dtype)
+    if similarity == "IB":
+        return IBScorer(df, doc_count, avgdl, boost, dtype=dtype)
     return BM25Scorer(df, doc_count, avgdl, params, boost, dtype)

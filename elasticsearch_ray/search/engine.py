@@ -1597,7 +1597,8 @@ class QueryEngine:
         # collection LM stats only for the similarities that need them
         # (the gather is cached like the df gather)
         ttf = (self._global_ttf(terms)
-               if self.similarity in ("LMDirichlet", "DFR") else {})
+               if self.similarity in ("LMDirichlet", "LMJelinekMercer", "DFI")
+               else {})
 
         def tokens_for(field):
             if field is None:

@@ -14,8 +14,11 @@ from elasticsearch_ray.index.norms import LENGTH_TABLE, int_to_byte4
 from elasticsearch_ray.index.postings import encode_postings
 from elasticsearch_ray.search.bm25 import (
     BM25Params,
+    DFIScorer,
     DFRScorer,
+    IBScorer,
     LMDirichletScorer,
+    LMJelinekMercerScorer,
     make_scorer,
 )
 from elasticsearch_ray.search.topk import (
@@ -67,12 +70,54 @@ def test_dfr_formula():
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_lm_jelinek_mercer_formula():
+    sc = LMJelinekMercerScorer(ttf=5000, total_tokens=1_000_000, dtype="float64")
+    tfs = np.array([1, 4, 12], dtype=np.int64)
+    norm_bytes = int_to_byte4(np.array([15, 90, 700]))
+    got = sc.score(tfs, norm_bytes)
+    p_wc = 5001.0 / 1_000_001.0
+    want = [
+        math.log1p((0.9 * tf / max(float(LENGTH_TABLE[b]), 1.0)) / (0.1 * p_wc))
+        for tf, b in zip(tfs, norm_bytes)
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dfi_formula_and_clamp():
+    sc = DFIScorer(ttf=5000, total_tokens=1_000_000, dtype="float64")
+    # long doc, tf below expected → 0
+    b_long = int_to_byte4(np.array([500_000]))
+    assert sc.score(np.array([1]), b_long)[0] == 0.0
+    # short doc, tf above expected → standardized divergence
+    b = int_to_byte4(np.array([50]))
+    dl = float(LENGTH_TABLE[b[0]])
+    exp_v = 5001.0 * dl / 1_000_001.0
+    want = math.log2(1.0 + (3.0 - exp_v) / math.sqrt(exp_v))
+    np.testing.assert_allclose(sc.score(np.array([3]), b), [want], rtol=1e-12)
+
+
+def test_ib_formula():
+    sc = IBScorer(df=120, doc_count=10_000, avgdl=75.0, dtype="float64")
+    tfs = np.array([1, 5], dtype=np.int64)
+    norm_bytes = int_to_byte4(np.array([20, 300]))
+    got = sc.score(tfs, norm_bytes)
+    want = []
+    for tf, b in zip(tfs, norm_bytes):
+        dl = max(float(LENGTH_TABLE[b]), 1.0)
+        tfn = tf * math.log2(1.0 + 75.0 / dl)
+        want.append(math.log1p(tfn * 10_001.0 / 121.0))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_monotone_in_tf_and_antimonotone_in_dl():
     """The (max_tf, min_norm) block impact is an upper bound iff score is
-    nondecreasing in tf and nonincreasing in dl — check both scorers."""
+    nondecreasing in tf and nonincreasing in dl — check every scorer."""
     for sc in (
         LMDirichletScorer(ttf=5000, total_tokens=1_000_000, dtype="float64"),
         DFRScorer(df=120, doc_count=10_000, avgdl=75.0, dtype="float64"),
+        LMJelinekMercerScorer(ttf=5000, total_tokens=1_000_000, dtype="float64"),
+        DFIScorer(ttf=5000, total_tokens=1_000_000, dtype="float64"),
+        IBScorer(df=120, doc_count=10_000, avgdl=75.0, dtype="float64"),
     ):
         tf_sweep = sc.score(np.arange(1, 200), np.full(199, 100, dtype=np.int64))
         assert (np.diff(tf_sweep) >= -1e-15).all()
@@ -103,6 +148,13 @@ def _pruning_corpus(n_docs=100_000, seed=11):
 def _scorer_for(similarity, docs, tfs, n_docs, total_tokens):
     if similarity == "LMDirichlet":
         return LMDirichletScorer(ttf=int(tfs.sum()), total_tokens=total_tokens)
+    if similarity == "LMJelinekMercer":
+        return LMJelinekMercerScorer(ttf=int(tfs.sum()), total_tokens=total_tokens)
+    if similarity == "DFI":
+        return DFIScorer(ttf=int(tfs.sum()), total_tokens=total_tokens)
+    if similarity == "IB":
+        return IBScorer(df=len(docs), doc_count=n_docs,
+                        avgdl=total_tokens / n_docs)
     return DFRScorer(df=len(docs), doc_count=n_docs,
                      avgdl=total_tokens / n_docs)
 
@@ -110,7 +162,7 @@ def _scorer_for(similarity, docs, tfs, n_docs, total_tokens):
 def test_bmw_equals_exhaustive_under_alt_similarities():
     n_docs, norms, (cd, ct), (rd, rt) = _pruning_corpus()
     total_tokens = int(LENGTH_TABLE[norms].sum())
-    for similarity in ("LMDirichlet", "DFR"):
+    for similarity in ("LMDirichlet", "DFR", "LMJelinekMercer", "DFI", "IB"):
         cursors = [
             TermCursor(encode_postings(cd, ct, norms[cd]),
                        _scorer_for(similarity, cd, ct, n_docs, total_tokens)),
