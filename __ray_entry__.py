@@ -203,6 +203,8 @@ _PT_WORDS = ("nações", "nação", "livros", "meninos", "rápidas",
              "janelas", "cidade", "resultados")  # naca naca livr menin ...
 _WDG_WORDS = ("TurboShot", "SnapShot", "WiFiHub", "MegaCorp", "plainzz",
               "Quxx")  # → turbo+shot, snap+shot, wi+fi+hub, mega+corp, ...
+_KWR_WORDS = ("galloping", "gallops", "trotted", "cantered", "neighed",
+              "whinnied")  # porter: gallop gallop trot canter neigh whinni
 _OVR_WORDS = ("mice", "mouse", "mouses", "gerbil", "hamster",
               "capivara")  # override: mice/mouses => mouse (protected)
 _SV_WORDS = ("flickorna", "bilarna", "husen", "snabba", "gamla",
@@ -697,6 +699,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             {"rules": ["mice, mouses => mouse"]}),
                            ("stemmer", {"language": "english"})))
         return _doc_set(eng, TermQuery("mouse"))
+
+    def _kwr_index(sf):
+        # lowercase → keyword_repeat → porter → remove_duplicates: each token
+        # stores BOTH its surface form and its stem at the same position
+        # (KeywordRepeatFilter + RemoveDuplicatesTokenFilter pairing)
+        return _derived_index(
+            sf, "kwr3", _KWR_WORDS, 6, analyzer="standard",
+            token_filters=("lowercase", "keyword_repeat",
+                           ("stemmer", {"language": "english"}),
+                           "remove_duplicates"))
+
+    def search_keyword_repeat_stem(sf):
+        # the STEM matches both inflections (galloping + gallops)
+        return _doc_set(_kwr_index(sf), TermQuery("gallop"))
+
+    def search_keyword_repeat_surface(sf):
+        # the SURFACE form survived stemming only because keyword_repeat
+        # kept a protected copy — matches exactly the 'galloping' docs
+        return _doc_set(_kwr_index(sf), TermQuery("galloping"))
+
+    def search_condition_filter(sf):
+        # conditional sub-chain: tokens shorter than 6 chars are reversed at
+        # index time, so the stored term for corpus word 'spark' is 'kraps'
+        eng = _derived_index(
+            sf, "cond3", ("zzzfiller",), 1, analyzer="standard",
+            token_filters=("lowercase",
+                           ("condition", {"filter": ["reverse"],
+                                          "script": "len(term) < 6"})))
+        return _doc_set(eng, TermQuery("kraps"))
 
     def search_span_first(sf):
         from elasticsearch_ray.search.query import SpanFirstQuery
@@ -1574,6 +1605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_lang_bulgarian": search_lang_bulgarian,
         "search_word_delimiter": search_word_delimiter,
         "search_stemmer_override": search_stemmer_override,
+        "search_keyword_repeat_stem": search_keyword_repeat_stem,
+        "search_keyword_repeat_surface": search_keyword_repeat_surface,
+        "search_condition_filter": search_condition_filter,
         "search_index_synonym": search_index_synonym,
         "search_index_synonym_contraction": search_index_synonym_contraction,
         "search_span_first": search_span_first,
@@ -2260,6 +2294,21 @@ def oracle_sql() -> dict[str, str]:
         "search_stemmer_override": """
             SELECT doc_id FROM documents
             WHERE doc_id % 6 IN (0, 2)
+            ORDER BY doc_id
+        """,
+        "search_keyword_repeat_stem": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 IN (0, 1)
+            ORDER BY doc_id
+        """,
+        "search_keyword_repeat_surface": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 6 = 0
+            ORDER BY doc_id
+        """,
+        "search_condition_filter": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark %'
             ORDER BY doc_id
         """,
         "search_index_synonym": """

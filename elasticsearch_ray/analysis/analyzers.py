@@ -226,6 +226,74 @@ class CharFilteredAnalyzer(Analyzer):
         return blk([ch(t) for t in texts])
 
 
+def _chain_of(names, reg) -> list:
+    """Resolve a sub-chain spec (comma-joined string or list of names /
+    (name, params) pairs) against the filter registry."""
+    if isinstance(names, str):
+        names = [s.strip() for s in names.split(",") if s.strip()]
+    chain = []
+    for f in names:
+        if isinstance(f, str):
+            name, params = f, {}
+        else:
+            name, params = f[0], (f[1] if len(f) > 1 else {})
+        fn = reg.get(name)
+        if fn is None:
+            raise ValueError(f"unknown token filter {name!r} in sub-chain")
+        chain.append((fn, dict(params)))
+    return chain
+
+
+def _multiplexer(terms, pos, filters, preserve_original=True):
+    """``multiplexer`` (MultiplexerTokenFilterFactory): run the stream
+    through each listed sub-chain (comma-joined filter names, as in the
+    reference's settings syntax), stack every output at its source position,
+    and drop same-position duplicates."""
+    reg = _filter_registry()
+    variants = [list(zip(terms, pos))] if preserve_original else []
+    for spec in filters:
+        t2, p2 = list(terms), list(pos)
+        for fn, params in _chain_of(spec, reg):
+            t2, p2 = fn(t2, p2, **params)
+        variants.append(list(zip(t2, p2)))
+    merged = [tp for var in variants for tp in var]
+    merged.sort(key=lambda tp: tp[1])
+    seen: set = set()
+    o_t, o_p = [], []
+    for t, p in merged:
+        if (p, t) in seen:
+            continue
+        seen.add((p, t))
+        o_t.append(t)
+        o_p.append(p)
+    return o_t, o_p
+
+
+def _condition(terms, pos, filter, script):
+    """``condition`` (ScriptedConditionTokenFilter): apply the sub-chain
+    only to tokens matching the predicate expression (Painless-subset over
+    ``term``/``position``/``len``). The sub-chain is applied per matching
+    token — exact for the term-level filters this registry holds."""
+    from elasticsearch_ray.analysis.filters import predicate_code
+
+    reg = _filter_registry()
+    chain = _chain_of(filter, reg)
+    code = predicate_code(script)
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        if eval(code, {"__builtins__": {}}, {"term": t, "position": p, "len": len}):
+            ts, ps = [t], [0]
+            for fn, params in chain:
+                ts, ps = fn(ts, ps, **params)
+            for t2 in ts:
+                o_t.append(t2)
+                o_p.append(p)
+        else:
+            o_t.append(t)
+            o_p.append(p)
+    return o_t, o_p
+
+
 def _filter_registry() -> dict:
     """Token-filter registry for custom-analyzer assembly — the
     CommonAnalysisPlugin.java:226-335 named-filter surface. Each entry is
@@ -251,6 +319,25 @@ def _filter_registry() -> dict:
         "dictionary_decompounder": F.dictionary_decompounder,
         "decimal_digit": F.decimal_digit, "apostrophe": F.apostrophe_filter,
         "limit": F.limit_count, "trim": F.trim_filter,
+        # round-3 batch 2
+        "keep": F.keep_filter, "keep_types": F.keep_types,
+        "keyword_repeat": F.keyword_repeat,
+        "remove_duplicates": F.remove_duplicates,
+        "delimited_payload": F.delimited_payload,
+        "classic": F.classic_filter, "snowball": F.snowball_filter,
+        "fingerprint": F.fingerprint_filter,
+        "pattern_replace": F.pattern_replace_filter,
+        "predicate_token_filter": F.predicate_token_filter,
+        "flatten_graph": F.flatten_graph,
+        "scandinavian_folding": F.scandinavian_folding,
+        "scandinavian_normalization": F.scandinavian_normalization,
+        "german_normalization": F.german_normalization,
+        "arabic_normalization": F.arabic_normalization,
+        # no hyphenation-pattern XML ships in this sandbox: the hyphenation
+        # decompounder degrades to the dictionary subterm matcher
+        # (HyphenationCompoundWordTokenFilter's word-list fallback)
+        "hyphenation_decompounder": F.dictionary_decompounder,
+        "multiplexer": _multiplexer, "condition": _condition,
     }
 
 

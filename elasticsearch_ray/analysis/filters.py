@@ -441,3 +441,200 @@ def limit_count(terms, pos, max_token_count=1) -> Analysis:
 def trim_filter(terms, pos) -> Analysis:
     """TrimFilter."""
     return [t.strip() for t in terms], pos
+
+
+# ---------------------------------------------------------------- round 3
+# batch 2 — the rest of the CommonAnalysisPlugin.java:226-335 named surface.
+
+
+def keep_filter(terms, pos, keep_words) -> Analysis:
+    """``keep`` (KeepWordFilter): pass only listed words."""
+    kws = frozenset(keep_words)
+    kept = [(t, p) for t, p in zip(terms, pos) if t in kws]
+    return [t for t, _ in kept], [p for _, p in kept]
+
+
+def _token_type(t: str) -> str:
+    """Token type the way the standard tokenizer would tag it — the subset
+    our flat (term, pos) stream can reconstruct (no per-token type attribute
+    is stored): all-digit runs are <NUM>, everything else <ALPHANUM>."""
+    return "<NUM>" if t and all(c.isdigit() or c in ".," for c in t) and any(
+        c.isdigit() for c in t) else "<ALPHANUM>"
+
+
+def keep_types(terms, pos, types, mode="include") -> Analysis:
+    """``keep_types`` (TokenTypeFilter) over reconstructed <NUM>/<ALPHANUM>
+    types (documented simplification: the stream carries no type attribute,
+    so <EMAIL>/<URL> classes from uax_url_email are not distinguishable
+    here)."""
+    tset = frozenset(types)
+    want = (lambda t: _token_type(t) in tset) if mode == "include" else (
+        lambda t: _token_type(t) not in tset)
+    kept = [(t, p) for t, p in zip(terms, pos) if want(t)]
+    return [t for t, _ in kept], [p for _, p in kept]
+
+
+def keyword_repeat(terms, pos) -> Analysis:
+    """KeywordRepeatFilter: emit each token twice at the same position, the
+    first copy keyword-protected so downstream stemmers leave it alone; pair
+    with ``remove_duplicates`` to drop the copy when stemming was a no-op."""
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        if t.startswith(_KEYWORD_MARK):
+            o_t.append(t)
+            o_p.append(p)
+            continue
+        o_t.append(_KEYWORD_MARK + t)
+        o_p.append(p)
+        o_t.append(t)
+        o_p.append(p)
+    return o_t, o_p
+
+
+def remove_duplicates(terms, pos) -> Analysis:
+    """RemoveDuplicatesTokenFilter: drop tokens equal (ignoring the internal
+    keyword-protection marker) to an earlier token at the same position."""
+    n = len(_KEYWORD_MARK)
+    seen: set = set()
+    o_t, o_p = [], []
+    for t, p in zip(terms, pos):
+        bare = t[n:] if t.startswith(_KEYWORD_MARK) else t
+        if (p, bare) in seen:
+            continue
+        seen.add((p, bare))
+        o_t.append(t)
+        o_p.append(p)
+    return o_t, o_p
+
+
+def delimited_payload(terms, pos, delimiter="|") -> Analysis:
+    """``delimited_payload`` (DelimitedPayloadTokenFilter): strip the
+    ``token|payload`` suffix (payloads themselves are not indexed — the
+    postings format stores no payload stream, same visible effect)."""
+    return [t.split(delimiter, 1)[0] for t in terms], pos
+
+
+def classic_filter(terms, pos) -> Analysis:
+    """ClassicFilter: strip trailing possessive 's and dots from acronyms
+    (A.B.C. → ABC)."""
+    out = []
+    for t in terms:
+        if t.endswith("'s") or t.endswith("’s"):
+            t = t[:-2]
+        if "." in t and all(len(part) <= 1 for part in t.split(".")):
+            t = t.replace(".", "")
+        out.append(t)
+    return out, pos
+
+
+def snowball_filter(terms, pos, language="English") -> Analysis:
+    """``snowball`` filter (SnowballTokenFilterFactory): dispatch into the
+    registered stemmer family by language name."""
+    return stemmer(terms, pos, language=language.lower())
+
+
+def fingerprint_filter(terms, pos, max_output_size=255, separator=" ") -> Analysis:
+    """``fingerprint`` filter (FingerprintTokenFilter): sort unique terms and
+    concatenate into a single token; empty output if over max_output_size."""
+    joined = separator.join(sorted(set(terms)))
+    if not joined or len(joined) > max_output_size:
+        return [], []
+    return [joined], [0]
+
+
+_PATTERN_CACHE: dict = {}
+
+
+def _compiled(pattern: str):
+    rx = _PATTERN_CACHE.get(pattern)
+    if rx is None:
+        import re
+
+        rx = _PATTERN_CACHE[pattern] = re.compile(pattern)
+    return rx
+
+
+def pattern_replace_filter(terms, pos, pattern, replacement="", all=True) -> Analysis:
+    """``pattern_replace`` TOKEN filter (PatternReplaceFilter) — per-token
+    regex rewrite; tokens rewritten to empty are kept empty (Lucene keeps
+    zero-length tokens here; add a ``length`` filter to drop them)."""
+    rx = _compiled(pattern)
+    count = 0 if all else 1
+    return [rx.sub(replacement, t, count=count) for t in terms], pos
+
+
+_PREDICATE_CACHE: dict = {}
+
+
+def predicate_code(script: str):
+    """Compile-once cache for the mini-predicate expressions standing in for
+    Painless token scripts (``token.term``/``token.position`` analog: the
+    names ``term`` and ``position`` plus ``len``)."""
+    code = _PREDICATE_CACHE.get(script)
+    if code is None:
+        code = _PREDICATE_CACHE[script] = compile(script, "<token-predicate>", "eval")
+    return code
+
+
+def predicate_token_filter(terms, pos, script) -> Analysis:
+    """``predicate_token_filter`` (ScriptedConditionTokenFilterFactory's
+    keep-variant): keep tokens for which the predicate expression holds.
+    The script is the documented Painless-subset: an expression over
+    ``term``, ``position`` and ``len``."""
+    code = predicate_code(script)
+    kept = [(t, p) for t, p in zip(terms, pos)
+            if eval(code, {"__builtins__": {}}, {"term": t, "position": p, "len": len})]
+    return [t for t, _ in kept], [p for _, p in kept]
+
+
+def flatten_graph(terms, pos) -> Analysis:
+    """``flatten_graph``: identity on this stream — multi-token graphs
+    (synonym_graph, word_delimiter_graph) are flattened to same-position
+    stacked tokens at injection time, which is exactly the FlattenGraphFilter
+    output contract for indexing."""
+    return terms, pos
+
+
+# scandinavian folding table (ScandinavianFoldingFilter): å/ä/æ → a, ö/ø → o
+_SCANDI_FOLD = str.maketrans({
+    "å": "a", "ä": "a", "æ": "a", "Å": "A", "Ä": "A", "Æ": "A",
+    "ö": "o", "ø": "o", "Ö": "O", "Ø": "O",
+    "ü": "u", "Ü": "U",
+})
+# normalization variant (ScandinavianNormalizationFilter): interchange the
+# national spellings without losing the vowel class: æ→ä? — the Lucene
+# normalizer maps ae→æ, oe→ø digraphs and unifies å-family; folding above is
+# the aggressive cross-language form.
+_SCANDI_NORM_DIGRAPHS = (("aa", "å"), ("ae", "æ"), ("ao", "å"), ("oe", "ø"))
+
+
+def scandinavian_folding(terms, pos) -> Analysis:
+    """ScandinavianFoldingFilter: fold å/ä/æ→a and ö/ø→o (plus ü→u) so the
+    Scandinavian spellings cross-match."""
+    return [t.translate(_SCANDI_FOLD) for t in terms], pos
+
+
+def scandinavian_normalization(terms, pos) -> Analysis:
+    """ScandinavianNormalizationFilter: unify aa/ae/ao/oe digraphs with the
+    single-codepoint å/æ/ø forms."""
+    out = []
+    for t in terms:
+        for dig, ch in _SCANDI_NORM_DIGRAPHS:
+            if dig in t:
+                t = t.replace(dig, ch)
+        out.append(t)
+    return out, pos
+
+
+def german_normalization(terms, pos) -> Analysis:
+    """GermanNormalizationFilter as a standalone named filter."""
+    from elasticsearch_ray.analysis.lang import german_normalize
+
+    return [german_normalize(t) for t in terms], pos
+
+
+def arabic_normalization(terms, pos) -> Analysis:
+    """ArabicNormalizationFilter as a standalone named filter."""
+    from elasticsearch_ray.analysis.lang2 import arabic_normalize
+
+    return [arabic_normalize(t) for t in terms], pos
