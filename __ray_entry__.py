@@ -1150,6 +1150,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = simhash_near_dups(_ds(sf, "documents"), "text", "doc_id", max_hamming=8)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_connected_components(sf):
+        # distributed transitive closure over a deterministic island graph:
+        # edges (i, i+1) for i%10 ∈ {0,1,2} → components are runs {10k..10k+3}
+        # labeled by their minimum — the oracle is closed-form (i//10)*10
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.components import connected_components
+
+        ds = rd.read_parquet(os.path.join(sf, "documents.parquet"), columns=["doc_id"])
+        mx = ds.max("doc_id")
+
+        def edges(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy()
+            keep = d[(d % 10 <= 2) & (d + 1 <= mx)]
+            return pa.table({"id_a": keep, "id_b": keep + 1})
+
+        out = connected_components(ds.map_batches(edges, batch_format="pyarrow"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_minhash_components(sf):  # rows-only (LSH pairs → clusters)
+        from elasticsearch_ray.ops.components import near_dup_components
+
+        out = near_dup_components(_ds(sf, "documents"), "text", "doc_id",
+                                  threshold=0.5)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def dedup_simhash_table(sf):  # rows-only
         from elasticsearch_ray.ops.dedup import simhash_table
 
@@ -1666,6 +1692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "dedup_simhash_table": dedup_simhash_table,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_connected_components": dedup_connected_components,
+        "dedup_minhash_components": dedup_minhash_components,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
         "reindex_pipeline": reindex_pipeline,
@@ -2695,6 +2723,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
               FROM events GROUP BY 1
             ) ORDER BY bucket
+        """,
+        "dedup_connected_components": """
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            nodes AS (
+              SELECT doc_id AS id FROM documents, mx
+              WHERE doc_id % 10 <= 2 AND doc_id + 1 <= m
+              UNION
+              SELECT doc_id + 1 FROM documents, mx
+              WHERE doc_id % 10 <= 2 AND doc_id + 1 <= m
+            )
+            SELECT id::BIGINT AS id, ((id // 10) * 10)::BIGINT AS component
+            FROM nodes ORDER BY id
         """,
         "dedup_url_norm": """
             WITH raw AS (

@@ -1,0 +1,140 @@
+"""Distributed connected components over an edge Dataset — the transitive-
+closure step that turns near-duplicate PAIRS (MinHash/SimHash/embedding
+banding, ops/dedup.py) into duplicate CLUSTERS with one representative each,
+so "keep one per cluster" dedup is well-defined even when similarity is not
+transitive (a~b, b~c, a≁c).
+
+Algorithm: "hash-to-min" star contraction (Rastogi, Machanavajjhala, Chitnis
+& Das Sarma, "Finding Connected Components in Map-Reduce in Logarithmic
+Rounds", ICDE 2013). Each round is ONE Ray Data groupby over the edge list:
+every node attaches its whole known neighborhood to the smallest id it has
+seen, converging to per-component stars rooted at the component minimum in
+O(log n) rounds. No driver-side union-find — the edge list never has to fit
+on one machine; each round is an all-to-all keyed shuffle, which is exactly
+the shape Ray Data's sort-based groupby is built for.
+
+Reference semantics: the reference has no clustering operator (dedup there
+is per-key exact); this is one of the beyond-reference training-data
+operators the engine adds (SURVEY LLM-pipeline section)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _star_round(edges: Dataset) -> Dataset:
+    """One hash-to-min round: symmetrize, then per node u emit canonical
+    edges {m, x} linking everything u can see (its neighbors and itself) to
+    m = min(neighborhood ∪ {u})."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        vs = g["v"].to_numpy()
+        m = int(min(vs.min(), u))
+        members = np.unique(np.append(vs, u))
+        members = members[members != m]
+        if len(members) == 0:
+            # isolated self-loop: keep the node visible as (m, m)
+            return pd.DataFrame({"a": pd.Series([m], dtype="int64"),
+                                 "b": pd.Series([m], dtype="int64")})
+        return pd.DataFrame({"a": np.full(len(members), m, dtype=np.int64),
+                             "b": members.astype(np.int64)})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
+    out = sym.groupby("u").map_groups(star, batch_format="pandas")
+
+    # global edge dedup: one groupby on the canonical (a, b) key
+    def first_only(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return out.groupby(["a", "b"]).map_groups(first_only, batch_format="pandas")
+
+
+def _checksum(edges: Dataset) -> tuple:
+    """(count, order-independent hash) of the edge set — the convergence
+    probe. Stable mixing (no Python hash(): process-salted)."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x165667B19E3779F9))
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        # one modular-uint64 partial per batch — a plain Sum("h") would
+        # overflow int64 inside Ray's Python-int aggregate and fail the
+        # Arrow conversion; uint64 wraparound is exact mod-2^64 arithmetic
+        # and order-independent, so partials combine on the driver
+        s = np.add.reduce(x, dtype=np.uint64) if len(x) else np.uint64(0)
+        return pa.table({"h": np.array([s], dtype=np.uint64).view(np.int64),
+                         "n": np.array([len(x)], dtype=np.int64)})
+
+    parts = edges.map_batches(h, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return (0, 0)
+    total = np.add.reduce(parts["h"].to_numpy().view(np.uint64), dtype=np.uint64)
+    return (int(parts["n"].sum()), int(total))
+
+
+def connected_components(edges, src: str = "id_a", dst: str = "id_b",
+                         max_rounds: int = 16) -> pd.DataFrame:
+    """Label every node reachable through ``edges`` with its component's
+    minimum id. Accepts a Ray Dataset or a pandas DataFrame of pairs;
+    returns a DataFrame (id, component) sorted by id.
+
+    Each round materializes the (shrinking) edge list — iterative fixpoints
+    can't stream end-to-end — but the edge list is candidate-pair-sized,
+    never corpus-sized."""
+    import ray.data as rd
+
+    if isinstance(edges, pd.DataFrame):
+        if len(edges) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "component": pd.Series([], dtype="int64")})
+        edges = rd.from_pandas(edges[[src, dst]])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    prev_sig = _checksum(cur)
+    for _ in range(max_rounds):
+        cur = _star_round(cur).materialize()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: edges are (root, member) stars; component(id) = root,
+    # and every root labels itself
+    pdf = cur.to_pandas()
+    members = pdf.rename(columns={"b": "id", "a": "component"})
+    roots = pd.DataFrame({"id": pdf["a"].unique()})
+    roots["component"] = roots["id"]
+    out = (pd.concat([members, roots], ignore_index=True)
+           .drop_duplicates("id")
+           .sort_values("id")
+           .reset_index(drop=True))
+    return out[["id", "component"]].astype({"id": "int64", "component": "int64"})
+
+
+def near_dup_components(ds: Dataset, text_col: str, id_col: str,
+                        threshold: float = 0.8, **kw) -> pd.DataFrame:
+    """MinHash near-dup pairs → connected components: (id, component) for
+    every doc in a near-duplicate cluster; docs with no near-dup are absent.
+    ``component`` = smallest doc id in the cluster (the canonical survivor
+    under keep-first dedup)."""
+    from elasticsearch_ray.ops.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(ds, text_col, id_col, threshold=threshold, **kw)
+    return connected_components(pairs)

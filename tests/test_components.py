@@ -1,0 +1,96 @@
+"""Distributed connected components (hash-to-min star contraction) —
+correctness vs a driver union-find reference, plus the MinHash-pairs →
+clusters composition on a planted-duplicate corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from elasticsearch_ray.ops.components import connected_components, near_dup_components
+
+
+def _union_find_ref(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per node
+    labels = {}
+    for x in list(parent):
+        r = find(x)
+        labels.setdefault(r, r)
+        labels[x] = min(labels.get(r, r), r)
+    # second pass: root label = min id in component
+    comp_min = {}
+    for x in parent:
+        comp_min.setdefault(find(x), x)
+        comp_min[find(x)] = min(comp_min[find(x)], x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def _check(pairs):
+    got = connected_components(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    want = _union_find_ref(pairs)
+    assert dict(zip(got["id"], got["component"])) == want
+    return got
+
+
+def test_path_graph_collapses_to_min():
+    got = _check([(i, i + 1) for i in range(10)])
+    assert set(got["component"]) == {0}
+
+
+def test_two_cliques_and_bridge():
+    pairs = [(a, b) for i, a in enumerate([1, 2, 3]) for b in [1, 2, 3][i + 1:]]
+    pairs += [(a, b) for i, a in enumerate([10, 11, 12]) for b in [10, 11, 12][i + 1:]]
+    pairs += [(100, 200)]
+    got = _check(pairs)
+    assert set(got["component"]) == {1, 10, 100}
+
+
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(3)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 400, (300, 2)) if p[0] != p[1]]
+    _check(pairs)
+
+
+def test_empty_and_dataset_input():
+    out = connected_components(pd.DataFrame({"id_a": [], "id_b": []}))
+    assert len(out) == 0
+    ds = rd.from_pandas(pd.DataFrame({"id_a": [5, 1], "id_b": [7, 5]}))
+    got = connected_components(ds)
+    assert dict(zip(got["id"], got["component"])) == {1: 1, 5: 1, 7: 1}
+
+
+def test_near_dup_components_planted(ray_session):
+    rows = []
+    # three planted clusters of 3 near-identical docs + distinct filler;
+    # each cluster gets its OWN vocabulary so clusters aren't near-dups of
+    # each other
+    for c in range(3):
+        base = " ".join(f"c{c}term{i}" for i in range(16))
+        for j in range(3):
+            rows.append({"doc_id": c * 10 + j,
+                         "text": base + (" extra" if j == 2 else "")})
+    for k in range(40):
+        rows.append({"doc_id": 100 + k,
+                     "text": f"totally different text number {k} " +
+                             " ".join(f"w{k}x{i}" for i in range(20))})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = near_dup_components(ds, "text", "doc_id", threshold=0.5)
+    comp = dict(zip(got["id"], got["component"]))
+    for c in range(3):
+        ids = [c * 10, c * 10 + 1, c * 10 + 2]
+        labels = {comp.get(i) for i in ids}
+        assert labels == {c * 10}, (c, comp)
+    assert all(i < 100 for i in comp), comp
