@@ -1364,6 +1364,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def training_pipeline_neardup(sf):  # rows-only: + MinHash-cluster dedup
+        from elasticsearch_ray.pipelines.training_data import training_data_pipeline
+        from elasticsearch_ray.sources.webpages import corpus_for_sf
+
+        corpus = corpus_for_sf(sf, multiplier=1, num_files=4)
+        out = training_data_pipeline(corpus, f"/tmp/esray_tdnd/{_sf_key(sf)}",
+                                     near_dup_threshold=0.85)
+        return pa.table(
+            {
+                "after_dedup": pa.array([out["after_dedup"]], pa.int64()),
+                "after_near_dedup": pa.array([out["after_near_dedup"]], pa.int64()),
+            }
+        )
+
     # ---- flagship web corpus (rows-only: html not SQL-expressible) ----
     def web_match_top10(sf):
         eng = _webpages_index(sf)
@@ -1698,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_embed": multimodal_embed,
         "reindex_pipeline": reindex_pipeline,
         "training_pipeline": training_pipeline,
+        "training_pipeline_neardup": training_pipeline_neardup,
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
         "ann_hnsw_top5": ann_hnsw_top5,

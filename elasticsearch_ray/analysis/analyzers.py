@@ -226,6 +226,27 @@ class CharFilteredAnalyzer(Analyzer):
         return blk([ch(t) for t in texts])
 
 
+_SUBCHAIN_CACHE: dict = {}
+
+
+def _cached_subchain(spec) -> list:
+    """Resolve-once cache for multiplexer/condition sub-chains: these run
+    once per DOCUMENT on the tokenize hot path, and rebuilding the registry
+    + re-resolving names there measurably dominates the filter work."""
+    try:
+        key = spec if isinstance(spec, str) else tuple(
+            f if isinstance(f, str)
+            else (f[0], tuple(sorted((f[1] if len(f) > 1 else {}).items())))
+            for f in spec)
+        hash(key)
+    except TypeError:  # unhashable params: resolve uncached
+        return _chain_of(spec, _filter_registry())
+    ch = _SUBCHAIN_CACHE.get(key)
+    if ch is None:
+        ch = _SUBCHAIN_CACHE[key] = _chain_of(spec, _filter_registry())
+    return ch
+
+
 def _chain_of(names, reg) -> list:
     """Resolve a sub-chain spec (comma-joined string or list of names /
     (name, params) pairs) against the filter registry."""
@@ -249,11 +270,10 @@ def _multiplexer(terms, pos, filters, preserve_original=True):
     through each listed sub-chain (comma-joined filter names, as in the
     reference's settings syntax), stack every output at its source position,
     and drop same-position duplicates."""
-    reg = _filter_registry()
     variants = [list(zip(terms, pos))] if preserve_original else []
     for spec in filters:
         t2, p2 = list(terms), list(pos)
-        for fn, params in _chain_of(spec, reg):
+        for fn, params in _cached_subchain(spec):
             t2, p2 = fn(t2, p2, **params)
         variants.append(list(zip(t2, p2)))
     merged = [tp for var in variants for tp in var]
@@ -276,8 +296,7 @@ def _condition(terms, pos, filter, script):
     token — exact for the term-level filters this registry holds."""
     from elasticsearch_ray.analysis.filters import predicate_code
 
-    reg = _filter_registry()
-    chain = _chain_of(filter, reg)
+    chain = _cached_subchain(filter)
     code = predicate_code(script)
     o_t, o_p = [], []
     for t, p in zip(terms, pos):
@@ -294,13 +313,21 @@ def _condition(terms, pos, filter, script):
     return o_t, o_p
 
 
+_REGISTRY_CACHE: dict | None = None
+
+
 def _filter_registry() -> dict:
     """Token-filter registry for custom-analyzer assembly — the
     CommonAnalysisPlugin.java:226-335 named-filter surface. Each entry is
-    ``(terms, positions, **params) -> (terms, positions)``."""
+    ``(terms, positions, **params) -> (terms, positions)``. Built once per
+    process (callers must not mutate the returned dict)."""
+    global _REGISTRY_CACHE
+    if _REGISTRY_CACHE is not None:
+        return _REGISTRY_CACHE
+
     from elasticsearch_ray.analysis import filters as F
 
-    return {
+    _REGISTRY_CACHE = {
         "lowercase": F.lowercase, "uppercase": F.uppercase,
         "asciifolding": F.asciifolding, "stop": F.stop_filter,
         "porter_stem": F.porter, "english_possessive": F.english_possessive,
@@ -339,6 +366,7 @@ def _filter_registry() -> dict:
         "hyphenation_decompounder": F.dictionary_decompounder,
         "multiplexer": _multiplexer, "condition": _condition,
     }
+    return _REGISTRY_CACHE
 
 
 class CustomChainAnalyzer(Analyzer):

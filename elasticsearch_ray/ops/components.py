@@ -118,6 +118,10 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     # converged: edges are (root, member) stars; component(id) = root,
     # and every root labels itself
     pdf = cur.to_pandas()
+    if len(pdf) == 0 or "a" not in pdf.columns:
+        # an empty Dataset loses its schema through map_batches
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
     members = pdf.rename(columns={"b": "id", "a": "component"})
     roots = pd.DataFrame({"id": pdf["a"].unique()})
     roots["component"] = roots["id"]

@@ -82,15 +82,19 @@ def _symmetrize_capped(nb: np.ndarray, vv: np.ndarray, cap: int) -> np.ndarray:
 
 
 def _diversify(cand: np.ndarray, vv: np.ndarray, deg: int,
-               chunk: int = 8192) -> np.ndarray:
+               chunk: int = 8192, owners: np.ndarray | None = None) -> np.ndarray:
     """Malkov & Yashunin select-neighbors HEURISTIC, vectorized across nodes:
     walk candidates in similarity order, keep one only if it is closer to the
     owner than to every already-kept neighbor (prunes intra-cluster edges,
     preserves long-range links), then backfill pruned candidates up to `deg`
-    (keepPrunedConnections). `cand` must be sim-descending, -1 padded."""
+    (keepPrunedConnections). `cand` must be sim-descending, -1 padded.
+    ``owners[i]`` is the global node index that owns row i (default: row i
+    owns itself — only correct when cand rows are aligned with vv rows)."""
     cand = cand[:, : 2 * deg]  # sim-desc input: the heuristic + backfill
     # never look past 2·deg candidates, and the dominated matrix is O(C²)
     n, C = cand.shape
+    if owners is None:
+        owners = np.arange(n, dtype=np.int64)
     out = np.full((n, deg), -1, dtype=np.int64)
     out_sims = np.full((n, deg), -np.inf, dtype=np.float32)
     for lo in range(0, n, chunk):
@@ -100,7 +104,7 @@ def _diversify(cand: np.ndarray, vv: np.ndarray, deg: int,
         valid = cc >= 0
         safe = np.clip(cc, 0, None)
         vc = vv[safe]
-        q_sims = np.matmul(vc, vv[lo:hi][:, :, None])[:, :, 0]
+        q_sims = np.matmul(vc, vv[owners[lo:hi]][:, :, None])[:, :, 0]
         pair = np.matmul(vc, vc.transpose(0, 2, 1))
         keptmask = np.zeros((r, C), dtype=bool)
         kept_n = np.zeros(r, dtype=np.int64)
@@ -275,7 +279,8 @@ def _wave_insert(vv, deg, ef, rng, first=1024, wave=4096):
         order = np.argsort(-cand_sims, axis=1, kind="stable")
         cand_sorted = np.take_along_axis(cand_ids, order, 1)
         cand_sorted[np.take_along_axis(cand_sims, order, 1) == -np.inf] = -1
-        sel, sel_s = _diversify(cand_sorted, vv, deg)
+        sel, sel_s = _diversify(cand_sorted, vv, deg,
+                                owners=np.arange(lo, hi, dtype=np.int64))
         adj[lo:hi] = sel
         adj_s[lo:hi] = sel_s
         # reverse links: append each new node to its selected neighbors,
@@ -302,7 +307,7 @@ def _wave_insert(vv, deg, ef, rng, first=1024, wave=4096):
             # its diversified long-range links within a few waves); cap the
             # candidate window at deg+8 to bound the O(C²) pair matmul
             merged_ids, merged_sims = _dedup_topk(cand2, s2, deg + 8)
-            div_ids, div_sims = _diversify(merged_ids, vv, deg)
+            div_ids, div_sims = _diversify(merged_ids, vv, deg, owners=uniq)
             adj[uniq] = div_ids
             adj_s[uniq] = div_sims
     return adj

@@ -31,14 +31,64 @@ from elasticsearch_ray.search.engine import QueryEngine
 from elasticsearch_ray.sources.webpages import corpus_files
 
 
+def _url_id64(col: pa.ChunkedArray) -> "np.ndarray":
+    """Stable non-negative int64 id per url (pd.util.hash_array — process-
+    safe, recomputable in any worker; collision odds ~n²/2⁶⁴)."""
+    import numpy as np
+
+    vals = col.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
+    ids = pd.util.hash_array(vals, hash_key="esray-neardup-id")
+    return (ids >> np.uint64(1)).astype(np.int64)
+
+
+def _near_dedup(clean_dir: str, nd_dir: str, threshold: float) -> None:
+    """Near-dup stage over the exact-deduped corpus: MinHash LSH pairs →
+    distributed connected components → drop every cluster member except the
+    representative (component minimum). Only the drop-ID SET (cluster
+    members, tiny vs corpus) is broadcast; the corpus streams from parquet
+    to parquet."""
+    import numpy as np
+
+    import ray
+
+    from elasticsearch_ray.ops.components import connected_components
+    from elasticsearch_ray.ops.dedup import minhash_near_dups
+
+    src = rd.read_parquet(corpus_files(clean_dir, "*.parquet"))
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_nd_id", pa.array(_url_id64(batch["url"])))
+
+    pairs = minhash_near_dups(src.map_batches(with_id, batch_format="pyarrow"),
+                              "text", "_nd_id", threshold=threshold)
+    comp = connected_components(pairs)
+    drop = np.sort(comp.loc[comp["id"] != comp["component"], "id"].to_numpy())
+    dref = ray.put(drop)
+
+    def drop_members(batch: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        ids = _url_id64(batch["url"])
+        idx = np.searchsorted(d, ids)
+        member = (idx < len(d)) & (d[np.clip(idx, 0, max(len(d) - 1, 0))] == ids) \
+            if len(d) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(~member))
+
+    shutil.rmtree(nd_dir, ignore_errors=True)
+    src.map_batches(drop_members, batch_format="pyarrow").write_parquet(nd_dir)
+
+
 def training_data_pipeline(
     corpus_dir: str,
     work_dir: str,
     min_tokens: int = 20,
     max_stopword_ratio: float = 0.9,
     min_unique_ratio: float = 0.1,
+    near_dup_threshold: float | None = None,
 ) -> dict:
-    """Returns {'input_pages', 'after_quality', 'after_dedup', 'engine'}."""
+    """Returns {'input_pages', 'after_quality', 'after_dedup', 'engine'}
+    (+ 'after_near_dedup' when ``near_dup_threshold`` is set: MinHash-LSH
+    clusters collapsed to one representative each between exact dedup and
+    indexing)."""
     os.makedirs(work_dir, exist_ok=True)
     files = corpus_files(corpus_dir, "pages-*.parquet")
     # input count from parquet footers only — no data pass
@@ -103,6 +153,15 @@ def training_data_pipeline(
         )
     )
 
+    counts = {}
+    if near_dup_threshold is not None:
+        nd_dir = os.path.join(work_dir, "clean_nd")
+        _near_dedup(clean_dir, nd_dir, near_dup_threshold)
+        clean_dir = nd_dir
+        counts["after_near_dedup"] = sum(
+            pq.read_metadata(os.path.join(nd_dir, f)).num_rows
+            for f in os.listdir(nd_dir) if f.endswith(".parquet"))
+
     idx_dir = os.path.join(work_dir, "index")
     shutil.rmtree(idx_dir, ignore_errors=True)
     meta = build_index(
@@ -110,11 +169,12 @@ def training_data_pipeline(
         idx_dir,
         IndexSpec(use_html=False, text_column="text", doc_columns=("url", "warc_ts", "lang")),
     )
-    assert meta["n_docs"] == after_dedup
+    assert meta["n_docs"] == counts.get("after_near_dedup", after_dedup)
     return {
         "input_pages": int(n_input),
         "after_quality": after_quality,
         "after_dedup": int(after_dedup),
+        **counts,
         "index_dir": idx_dir,
         "engine": QueryEngine(idx_dir, dtype="float64"),
     }

@@ -107,9 +107,11 @@ def _fields_boosts(fields: list[str], default_field: str) -> tuple[tuple, tuple]
 
 
 class _Parser:
-    def __init__(self, default_field: str, doc_columns: frozenset):
+    def __init__(self, default_field: str, doc_columns: frozenset,
+                 strict_columns: bool = False):
         self.default_field = default_field
         self.doc_columns = doc_columns
+        self.strict_columns = strict_columns
         self.named: dict[str, Query] = {}  # _name → parsed clause (matched_queries)
 
     def _f(self, field: str):
@@ -201,10 +203,13 @@ class _Parser:
 
     def q_range(self, body):
         field, v = _field_body(body, "range")
-        if field not in self.doc_columns:
+        if self._f(field) is None:
             # parse-time guard (consistent with wildcard/regexp/fuzzy):
-            # range over the analyzed default field or an unknown column
-            # would only fail later inside partition eval
+            # range over the analyzed default text field has no ordered
+            # column semantics
+            raise DslError(f"range over the analyzed field {field!r} "
+                           "is not supported")
+        if self.strict_columns and field not in self.doc_columns:
             raise DslError(f"range requires a stored doc column, got {field!r}")
         return RangeFilter(column=field, gte=v.get("gte"), lte=v.get("lte"),
                            gt=v.get("gt"), lt=v.get("lt"))
@@ -660,5 +665,11 @@ def parse_dsl_with_names(query: dict | str, default_field: str = "text",
         query = json.loads(query)
     if "query" in query and len(query) == 1:
         query = query["query"]
-    p = _Parser(default_field, frozenset(doc_columns))
+    # explicit doc_columns = the caller declared the stored-column set, so
+    # unknown range fields are parse-time errors (advisor finding); with the
+    # built-in default set the parser can't know what the engine stores
+    # (n_chars, orig_id, …) and stays lenient — a truly missing column still
+    # fails with a clear error at partition eval
+    strict = doc_columns is not DEFAULT_DOC_COLUMNS
+    p = _Parser(default_field, frozenset(doc_columns), strict_columns=strict)
     return p.parse(query), p.named

@@ -70,6 +70,12 @@ def test_empty_and_dataset_input():
     ds = rd.from_pandas(pd.DataFrame({"id_a": [5, 1], "id_b": [7, 5]}))
     got = connected_components(ds)
     assert dict(zip(got["id"], got["component"])) == {1: 1, 5: 1, 7: 1}
+    # a Dataset that ends up EMPTY (all candidate pairs filtered upstream)
+    # must return the documented empty frame, not KeyError on lost schema
+    empty = rd.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]})).filter(
+        lambda r: False)
+    out2 = connected_components(empty)
+    assert len(out2) == 0 and list(out2.columns) == ["id", "component"]
 
 
 def test_near_dup_components_planted(ray_session):

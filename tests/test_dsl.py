@@ -49,6 +49,17 @@ def test_term_routes_doc_columns_to_filters():
     assert parse_dsl({"term": {"text": {"value": "spark"}}}) == TermQuery("spark")
     assert parse_dsl({"range": {"warc_ts": {"gte": 5, "lt": 9}}}) == RangeFilter(
         column="warc_ts", gte=5, lt=9)
+    # stored columns beyond the parser's default set stay parseable
+    # (engines store doc columns the parser can't know about: n_chars, …)
+    assert parse_dsl({"range": {"n_chars": {"gte": 100}}}) == RangeFilter(
+        column="n_chars", gte=100)
+    # …but the analyzed default field has no range semantics: parse-time error
+    import pytest
+
+    from elasticsearch_ray.search.dsl import DslError
+
+    with pytest.raises(DslError):
+        parse_dsl({"range": {"text": {"gte": "a"}}})
 
 
 def test_terms_and_lookup():

@@ -289,6 +289,43 @@ def test_training_data_pipeline(ray_session, tmp_path):
     assert hits.num_rows == 5
 
 
+def test_training_pipeline_near_dedup(ray_session, tmp_path):
+    """near_dup_threshold collapses each planted MinHash cluster to ONE
+    representative between exact dedup and indexing (exact dedup alone
+    cannot: the members differ by a trailing edit)."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.training_data import training_data_pipeline
+
+    rows = []
+    for c in range(3):
+        base = " ".join(f"cluster{c}word{i}" for i in range(40))
+        for j in range(3):  # 3 near-identical variants per cluster
+            rows.append({"url": f"https://nd.example.com/c{c}/v{j}",
+                         "warc_ts": pd.Timestamp("2024-01-01"),
+                         "html": f"<html><body><p>{base}{' tail edit' if j else ''}"
+                                 f"{' two' if j == 2 else ''}</p></body></html>",
+                         "lang": "en"})
+    for k in range(30):
+        words = " ".join(f"unique{k}tok{i}" for i in range(30))
+        rows.append({"url": f"https://nd.example.com/u{k}",
+                     "warc_ts": pd.Timestamp("2024-01-02"),
+                     "html": f"<html><body><p>{words}</p></body></html>",
+                     "lang": "en"})
+    corpus = tmp_path / "ndcorpus"
+    corpus.mkdir()
+    df = pd.DataFrame(rows)
+    for part in range(2):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part::2], preserve_index=False),
+                       corpus / f"pages-{part:05d}.parquet")
+
+    out = training_data_pipeline(str(corpus), str(tmp_path / "td"),
+                                 min_tokens=10, near_dup_threshold=0.5)
+    assert out["after_dedup"] == 39  # all texts distinct → exact dedup keeps all
+    assert out["after_near_dedup"] == 33  # 3 clusters × 2 dropped members
+    out["engine"].close() if hasattr(out["engine"], "close") else None
+
+
 def test_tdigest_accuracy_and_merge(ray_session):
     from elasticsearch_ray.ops.tdigest import TDigest
 
@@ -417,6 +454,40 @@ def test_hnsw_recall_vs_brute(ray_session):
     for q in qids:
         top = approx[approx["query_id"] == q].iloc[0]
         assert top["neighbor_id"] == q and top["cosine"] >= 0.999999
+
+
+def test_hnsw_wave_path_recall():
+    """n > 4096 forces the batched wave-insert build (the exact-kNN small
+    path can't mask it). Regression for the _diversify owner-vector bug:
+    wave rows belong to nodes lo..hi, not 0..wave — scoring candidates
+    against the wrong owners silently degraded graph quality at scale."""
+    import numpy as np
+
+    from elasticsearch_ray.ops.ann import _normalize
+    from elasticsearch_ray.ops.hnsw import HNSWGraph, _diversify
+
+    rng = np.random.default_rng(11)
+    v = _normalize(rng.normal(size=(5000, 24)))
+    g = HNSWGraph(v, m=16, ef_construction=100)
+    q = _normalize(rng.normal(size=(10, 24)))
+    k, hits = 10, 0
+    for i in range(len(q)):
+        ids, _ = g.search(q[i], k, ef=120)
+        exact = np.argsort(-(v @ q[i]))[:k]
+        hits += len(set(ids.tolist()) & set(exact.tolist()))
+    assert hits / (len(q) * k) >= 0.95
+
+    # owner-sim invariant: with explicit owners, returned sims are the
+    # TRUE owner→neighbor cosines (what reverse merges rely on)
+    vv = _normalize(rng.normal(size=(300, 16)))
+    owners = np.array([250, 260, 270], dtype=np.int64)
+    sims_all = vv[owners] @ vv.T
+    cand = np.argsort(-sims_all, axis=1)[:, 1:9].astype(np.int64)
+    out, out_s = _diversify(cand, vv, 4, owners=owners)
+    for r in range(len(owners)):
+        for c in range(out.shape[1]):
+            if out[r, c] >= 0:
+                assert abs(vv[owners[r]] @ vv[out[r, c]] - out_s[r, c]) < 1e-5
 
 
 def test_new_processors():
