@@ -258,6 +258,9 @@ def _update_baseline_md(result, r_lo, r_hi, lo, hi):
 | docs/sec | {r_lo['docs_per_sec']} → {r_hi['docs_per_sec']} | |
 | scaling efficiency | {result['value']} | (T_lo/T_hi)/(hi/lo), target ≥ 0.8 |
 | query latencies @hi (sec) | {json.dumps(r_hi['queries'])} | warm actors, k=10, BMW |
+| sequential QPS @hi | {r_hi['query_qps']} | driver-serial, warm coordinators |
+| concurrent QPS @hi | {r_hi['concurrent_qps']} | 8 driver threads, replica-shard pools |
+| concurrent / sequential | {round(r_hi['concurrent_qps'] / r_hi['query_qps'], 2) if r_hi.get('query_qps') else 'n/a'} | target ≥ 1.5 at this corpus size |
 {end}"""
     try:
         with open(path) as f:

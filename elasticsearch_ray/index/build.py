@@ -792,6 +792,57 @@ def _stage_sorted_corpus(corpus_dir: str, staged_dir: str, spec: IndexSpec,
     return staged_dir
 
 
+def _build_runs_and_merge(index_dir, spec, spec_dict, shards, by_part,
+                          todo_parts, concurrency):
+    """Execute the tokenize → sort → route run-file pass and the
+    per-partition merge for the given todo partitions."""
+    todo_shards = [s for s in shards if s["part"] in set(todo_parts)]
+    import functools
+
+    head = frozenset(sketch_head_terms(todo_shards, spec))
+    ncpu = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
+    # Task granularity: a few input files per tokenize task keeps task
+    # count ≈ 2×cpus (amortizes per-task overhead, leaves room for work
+    # stealing) and yields right-sized blocks for the sort — all-to-all
+    # cost scales with block count, so no repartition pass is needed.
+    tok_bs = max(1, min(spec.files_per_partition,
+                        (len(todo_shards) + 2 * ncpu - 1) // (2 * ncpu)))
+    n_blocks = (len(todo_shards) + tok_bs - 1) // tok_bs
+    chunks = (
+        rd.from_items(todo_shards, override_num_blocks=n_blocks)
+        .map_batches(
+            functools.partial(
+                _tokenize_fn, index_dir=index_dir, spec_dict=spec_dict, head_terms=head
+            ),
+            batch_size=tok_bs,
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+        .sort(["part", "term", "salt", "first_doc"])
+        .map_batches(
+            functools.partial(_route_fn, index_dir=index_dir, spec_dict=spec_dict),
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+    )
+    run_rows = chunks.take_all()
+    LAST_BUILD_STATS["chunks"] = chunks.stats()
+    runs_by_part: dict[int, list[str]] = {p: [] for p in todo_parts}
+    for r in run_rows:
+        runs_by_part[int(r["part"])].append(r["run_path"])
+    merge_items = [
+        {"part": p, "run_paths": runs_by_part[p], "shards": by_part[p]} for p in todo_parts
+    ]
+    merged = rd.from_items(merge_items, override_num_blocks=len(merge_items)).map_batches(
+        functools.partial(_merge_fn, index_dir=index_dir, spec_dict=spec_dict),
+        batch_size=1,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    merged.take_all()
+    LAST_BUILD_STATS["merge"] = merged.stats()
+
+
 def build_index(
     corpus_dir: str,
     index_dir: str,
@@ -849,51 +900,24 @@ def build_index(
 
     spec_dict = spec.to_dict()
     if todo_parts:
-        todo_shards = [s for s in shards if s["part"] in set(todo_parts)]
-        import functools
+        # The streaming executor's per-operator resource reservation
+        # (default ratio 0.5) caps the tokenize stage at HALF the CPUs even
+        # though downstream sort/route need almost none until it finishes —
+        # measured 13.4 s → 9.8 s tokenize wall at 1.5M docs/32 cpus with it
+        # off. Safe here: map → sort → map consumed by take_all has no
+        # concurrent-consumer backpressure to protect. Restored afterwards.
+        from ray.data import DataContext as _DC
 
-        head = frozenset(sketch_head_terms(todo_shards, spec))
-        ncpu = concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
-        # Task granularity: a few input files per tokenize task keeps task
-        # count ≈ 2×cpus (amortizes per-task overhead, leaves room for work
-        # stealing) and yields right-sized blocks for the sort — all-to-all
-        # cost scales with block count, so no repartition pass is needed.
-        tok_bs = max(1, min(spec.files_per_partition,
-                            (len(todo_shards) + 2 * ncpu - 1) // (2 * ncpu)))
-        n_blocks = (len(todo_shards) + tok_bs - 1) // tok_bs
-        chunks = (
-            rd.from_items(todo_shards, override_num_blocks=n_blocks)
-            .map_batches(
-                functools.partial(
-                    _tokenize_fn, index_dir=index_dir, spec_dict=spec_dict, head_terms=head
-                ),
-                batch_size=tok_bs,
-                batch_format="pyarrow",
-                num_cpus=1,
-            )
-            .sort(["part", "term", "salt", "first_doc"])
-            .map_batches(
-                functools.partial(_route_fn, index_dir=index_dir, spec_dict=spec_dict),
-                batch_format="pyarrow",
-                num_cpus=1,
-            )
-        )
-        run_rows = chunks.take_all()
-        LAST_BUILD_STATS["chunks"] = chunks.stats()
-        runs_by_part: dict[int, list[str]] = {p: [] for p in todo_parts}
-        for r in run_rows:
-            runs_by_part[int(r["part"])].append(r["run_path"])
-        merge_items = [
-            {"part": p, "run_paths": runs_by_part[p], "shards": by_part[p]} for p in todo_parts
-        ]
-        merged = rd.from_items(merge_items, override_num_blocks=len(merge_items)).map_batches(
-            functools.partial(_merge_fn, index_dir=index_dir, spec_dict=spec_dict),
-            batch_size=1,
-            batch_format="pyarrow",
-            num_cpus=1,
-        )
-        merged.take_all()
-        LAST_BUILD_STATS["merge"] = merged.stats()
+        _ctx = _DC.get_current()
+        _prev_reserve = getattr(_ctx, "op_resource_reservation_enabled", None)
+        if _prev_reserve is not None:
+            _ctx.op_resource_reservation_enabled = False
+        try:
+            _build_runs_and_merge(index_dir, spec, spec_dict, shards, by_part,
+                                  todo_parts, concurrency)
+        finally:
+            if _prev_reserve is not None:
+                _ctx.op_resource_reservation_enabled = _prev_reserve
         done = [read_manifest(index_dir, p) for p in sorted(by_part)]
 
     sum_dl_fields: dict[str, int] = {}
