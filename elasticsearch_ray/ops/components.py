@@ -108,12 +108,21 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
 
     cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
     prev_sig = _checksum(cur)
+    converged = False
     for _ in range(max_rounds):
         cur = _star_round(cur).materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # hash-to-min needs O(log n) rounds; silently mislabeled components
+        # would corrupt a dedup downstream, so an unconverged fixpoint is an
+        # error, not a result
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (components of diameter ~2^rounds are covered)")
 
     # converged: edges are (root, member) stars; component(id) = root,
     # and every root labels itself

@@ -78,6 +78,15 @@ def test_empty_and_dataset_input():
     assert len(out2) == 0 and list(out2.columns) == ["id", "component"]
 
 
+def test_long_path_converges_and_unconverged_raises():
+    pairs = [(i, i + 1) for i in range(80)]
+    got = _check(pairs)  # default max_rounds: log-round contraction covers it
+    assert set(got["component"]) == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pd.DataFrame(pairs, columns=["id_a", "id_b"]),
+                             max_rounds=1)
+
+
 def test_near_dup_components_planted(ray_session):
     rows = []
     # three planted clusters of 3 near-identical docs + distinct filler;
