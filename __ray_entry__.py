@@ -1337,6 +1337,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
 
+    def multimodal_bmp_embed(sf):  # rows-only — REAL from-scratch BMP codec
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (media_pipeline,
+                                                      synthesize_bmp_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = media_pipeline(rd.from_arrow(synthesize_bmp_media(n)),
+                             out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
+
+    def multimodal_audio_features(sf):  # rows-only — REAL PCM-WAV decode + DSP
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (AudioFeatures,
+                                                      synthesize_wav_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = (rd.from_arrow(synthesize_wav_media(n))
+               .map_batches(AudioFeatures, batch_format="pyarrow",
+                            batch_size=16, concurrency=2)
+               .to_pandas().sort_values("media_id"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def reindex_pipeline(sf):  # rows-only ETL (read → processors → sink)
         from elasticsearch_ray.pipelines.reindex import reindex
         from elasticsearch_ray.sources.webpages import corpus_for_sf
@@ -1710,6 +1737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_components": dedup_minhash_components,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
+        "multimodal_bmp_embed": multimodal_bmp_embed,
+        "multimodal_audio_features": multimodal_audio_features,
         "reindex_pipeline": reindex_pipeline,
         "training_pipeline": training_pipeline,
         "training_pipeline_neardup": training_pipeline_neardup,

@@ -2,14 +2,19 @@
 pipelines.
 
 Media travel as opaque ``binary`` columns with typed metadata columns
-(mime, width/height/duration). Stages are actor-pool ``map_batches`` classes
-— the Ray-side plumbing (schema, batch sizing for large payloads, actor
-signature, output layout) is real and tested; the actual codec call is
-STUBBED behind ``decode_image_stub`` / ``decode_audio_stub`` because no
-image/audio libraries exist in this container. The stub parses a small
-deterministic header format (see ``synthesize_media``) so tests exercise
-real bytes→array→feature flows; swapping in PIL/torchaudio means replacing
-ONLY the ``_decode`` method body.
+(mime, width/height/duration). Stages are actor-pool ``map_batches`` classes.
+
+Codec status (no image/audio libraries ship in this container):
+
+- **REAL, from scratch**: uncompressed formats decoded/encoded with
+  stdlib + numpy only — 24-bit BI_RGB **BMP** (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, bottom-up rows, 4-byte row padding), binary **PPM**
+  (P6), and 16-bit PCM **WAV** (stdlib ``wave``). Round-trip tested.
+- **STUBBED**: compressed codecs (JPEG/PNG/MP3/H.264 …) raise
+  ``NotImplementedError`` from the dispatching decoders; swapping in
+  PIL/torchaudio means replacing only the decoder-dispatch bodies.
+- The deterministic ``ESRIMG`` synthetic format (``synthesize_media``)
+  remains for multi-frame "video" tests.
 
 Batch-size guidance encoded here (SURVEY memory-aware rule): media rows are
 large, so stages default to small ``batch_size`` and ``batch_format="pyarrow"``
@@ -17,6 +22,8 @@ large, so stages default to small ``batch_size`` and ``batch_format="pyarrow"``
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -71,6 +78,140 @@ def synthesize_media(n: int, seed: int = 42, max_side: int = 32, n_frames: int =
     )
 
 
+# ------------------------------------------------------------- real codecs
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up rows,
+    BGR order, rows padded to 4 bytes — the on-disk format, not a sketch)."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = arr[::-1, :, ::-1]  # bottom-up, BGR
+    padded = np.zeros((h, row_size), np.uint8)
+    padded[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + padded.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes → (1, h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=row_size * h,
+                         offset=data_off).reshape(h, row_size)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = (bgr if top_down else bgr[::-1])[:, :, ::-1]
+    return rgb[None, :, :, :].copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6)."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (1, h, w, 3) uint8 RGB. Handles comment lines."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM decodes here")
+    rgb = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos)
+    return rgb.reshape(1, h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n,) or (n, channels) int16 PCM → WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(s.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n, channels) int16, sample_rate). 16-bit PCM only;
+    compressed audio (MP3/AAC/…) raises — no codecs in this container."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "compressed audio codecs are unavailable in this environment; "
+            "only PCM WAV decodes")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV decodes here")
+        n, ch, rate = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+        raw = wf.readframes(n)
+    return np.frombuffer(raw, np.int16).reshape(n, ch).copy(), rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatching image/video decoder → (frames, h, w, channels) uint8.
+    BMP ('BM') and PPM ('P6') decode for real; the synthetic ESRIMG format
+    decodes via its header (channels=1); anything else (JPEG/PNG/…) raises
+    like a missing codec."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload.startswith(_MAGIC):
+        return decode_image_stub(payload)[:, :, :, None]
+    raise NotImplementedError(
+        "compressed image codecs are unavailable in this environment; "
+        "BMP, P6 PPM and the synthetic ESRIMG format decode")
+
+
+def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
+    """Re-encode ``(f, h, w, c)`` pixels in ``src_payload``'s own format
+    (the decode → transform → encode round trip stays within one codec)."""
+    if src_payload[:2] == b"BM":
+        return encode_bmp(arr[0])
+    if src_payload[:2] == b"P6":
+        return encode_ppm(arr[0])
+    f, h, w, _c = arr.shape
+    return (_MAGIC + np.array([w, h, f], dtype="<i4").tobytes()
+            + np.ascontiguousarray(arr[:, :, :, 0]).tobytes())
+
+
 def decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decode: parses the synthetic header → (frames, h, w) uint8 array.
     Real deployment: replace body with PIL.Image.open / cv2.imdecode.
@@ -96,7 +237,7 @@ class DecodeStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, means, stds, frames = [], [], [], []
         for mid, payload in zip(batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()):
-            arr = decode_image_stub(payload)
+            arr = decode_image(payload)
             ids.append(mid)
             means.append(float(arr.mean()))
             stds.append(float(arr.std()))
@@ -122,16 +263,12 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch[self.payload_col].to_pylist():
-            arr = decode_image_stub(payload)
-            f, h, w = arr.shape
+            arr = decode_image(payload)
+            _f, h, w, _c = arr.shape
             yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
             xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
             resized = arr[:, yi][:, :, xi]
-            out.append(
-                _MAGIC
-                + np.array([self.out_w, self.out_h, f], dtype="<i4").tobytes()
-                + resized.tobytes()
-            )
+            out.append(_encode_like(payload, resized))
         cols = {c: batch[c] for c in batch.column_names if c != self.payload_col}
         cols["width"] = pa.array(np.full(len(batch), self.out_w, np.int32))
         cols["height"] = pa.array(np.full(len(batch), self.out_h, np.int32))
@@ -150,7 +287,7 @@ class EmbedStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, vecs = [], []
         for mid, payload in zip(batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()):
-            arr = decode_image_stub(payload)
+            arr = decode_image(payload)
             hist, _ = np.histogram(arr, bins=self.dim, range=(0, 256))
             v = hist.astype(np.float32)
             n = np.linalg.norm(v)
@@ -175,15 +312,102 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out, nf = [], []
         for payload in batch[self.payload_col].to_pylist():
-            arr = decode_image_stub(payload)
+            arr = decode_image(payload)
             sampled = arr[:: self.every_k]
-            f, h, w = sampled.shape
-            out.append(_MAGIC + np.array([w, h, f], dtype="<i4").tobytes() + sampled.tobytes())
-            nf.append(f)
+            out.append(_encode_like(payload, sampled))
+            nf.append(sampled.shape[0])
         cols = {c: batch[c] for c in batch.column_names if c not in (self.payload_col, "n_frames")}
         cols["n_frames"] = pa.array(nf, pa.int32())
         cols[self.payload_col] = pa.array(out, pa.binary())
         return pa.table(cols)
+
+
+class AudioFeatures:
+    """Actor-pool stage: PCM WAV payload → real DSP features (all numpy):
+    duration, RMS level, zero-crossing rate, spectral centroid via rFFT.
+    A learned audio model would load in __init__ once per actor and run
+    batched inference here instead."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id"):
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur, rms, zcr, cent = [], [], [], [], []
+        for mid, payload in zip(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            samples, rate = decode_audio(payload)
+            x = samples.mean(axis=1) / 32768.0  # downmix to mono, [-1, 1)
+            n = len(x)
+            spec = np.abs(np.fft.rfft(x)) ** 2  # power weighting: robust to
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)  # a broadband noise floor
+            power = spec.sum()
+            ids.append(mid)
+            dur.append(round(n / rate, 6))
+            rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            zcr.append(round(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), 6))
+            cent.append(round(float((freqs * spec).sum() / power) if power else 0.0, 3))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "duration_s": pa.array(dur, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_cross_rate": pa.array(zcr, pa.float64()),
+                "spectral_centroid_hz": pa.array(cent, pa.float64()),
+            }
+        )
+
+
+def synthesize_bmp_media(n: int, seed: int = 42, max_side: int = 24) -> pa.Table:
+    """Deterministic REAL 24-bit BMP payloads (gradient + noise RGB)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "mime", "width", "height", "n_frames", "payload")}
+    for i in range(n):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        grad = (np.arange(h)[:, None, None] * 8 + np.arange(w)[None, :, None] * 4)
+        img = ((grad + rng.integers(0, 64, (h, w, 3))) % 256).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["mime"].append("image/bmp")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(1)
+        rows["payload"].append(encode_bmp(img))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthesize_wav_media(n: int, seed: int = 42, rate: int = 8000) -> pa.Table:
+    """Deterministic REAL PCM-WAV payloads: pure tones at known frequencies
+    (so spectral features have closed-form expectations) + mild noise."""
+    rng = np.random.default_rng(seed)
+    ids, mimes, payloads, tones = [], [], [], []
+    for i in range(n):
+        f0 = float(rng.integers(200, 1800))
+        secs = float(rng.integers(1, 3)) / 2.0
+        t = np.arange(int(rate * secs)) / rate
+        x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.normal(size=len(t))
+        s = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        ids.append(i)
+        mimes.append("audio/wav")
+        payloads.append(encode_wav(s, rate))
+        tones.append(f0)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "tone_hz": pa.array(tones, pa.float64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
 
 
 def media_pipeline(ds: Dataset, out_h: int = 16, out_w: int = 16, dim: int = 16,
