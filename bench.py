@@ -6,10 +6,11 @@ Default: one JSON line with the headline pipeline time over $GRAFT_SF_DIR
     (html_strip → analyze → salted term-keyed shuffle → segments), and
   - a BM25 top-k query set on warm searcher actors.
 
---scaling: runs the build twice in fresh subprocesses (8 and 32 cpus by
-default, override SCALE_LO/SCALE_HI) on the same pre-generated corpus and
-reports throughput at both plus efficiency (T_lo/T_hi)/(hi/lo); also
-refreshes the measured-results section of BASELINE.md.
+--scaling: runs the build twice in fresh subprocesses (4 and 16 cpus by
+default — both inside this shared host's real capacity, see the rationale
+at run_scaling(); override SCALE_LO/SCALE_HI) on the same pre-generated
+corpus and reports throughput at both plus efficiency (T_lo/T_hi)/(hi/lo);
+also refreshes the measured-results section of BASELINE.md.
 """
 
 from __future__ import annotations

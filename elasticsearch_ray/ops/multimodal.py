@@ -172,7 +172,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     import io
     import wave
 
-    if payload[:4] != b"RIFF":
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        # full container check: other RIFF formats (WebP 'RIFF..WEBP',
+        # AVI 'RIFF..AVI ') must take the documented missing-codec path,
+        # not leak wave.Error out of wave.open
         raise NotImplementedError(
             "compressed audio codecs are unavailable in this environment; "
             "only PCM WAV decodes")

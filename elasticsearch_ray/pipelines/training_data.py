@@ -31,14 +31,22 @@ from elasticsearch_ray.search.engine import QueryEngine
 from elasticsearch_ray.sources.webpages import corpus_files
 
 
-def _url_id64(col: pa.ChunkedArray) -> "np.ndarray":
-    """Stable non-negative int64 id per url (pd.util.hash_array — process-
-    safe, recomputable in any worker; collision odds ~n²/2⁶⁴)."""
+def _row_id64(batch: pa.Table) -> "np.ndarray":
+    """Stable non-negative int64 id per (url, text) row (pd.util.hash_array
+    — process-safe, recomputable in any worker; collision odds ~n²/2⁶⁴).
+    Hashing the URL alone would conflate distinct post-exact-dedup rows that
+    share a URL (two crawls with different text), making one row's drop
+    verdict silently delete the other."""
     import numpy as np
 
-    vals = col.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
-    ids = pd.util.hash_array(vals, hash_key="esray-neardup-id")
-    return (ids >> np.uint64(1)).astype(np.int64)
+    acc = np.uint64(0)
+    out = None
+    # hash_key must be EXACTLY 16 chars (pandas hashing contract)
+    for col, key in (("url", "esray-ndid-url-1"), ("text", "esray-ndid-txt-2")):
+        vals = batch[col].cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
+        h = pd.util.hash_array(vals, hash_key=key)
+        out = h if out is None else (out * np.uint64(0x9E3779B97F4A7C15)) ^ h
+    return (out >> np.uint64(1)).astype(np.int64)
 
 
 def _near_dedup(clean_dir: str, nd_dir: str, threshold: float) -> None:
@@ -57,7 +65,7 @@ def _near_dedup(clean_dir: str, nd_dir: str, threshold: float) -> None:
     src = rd.read_parquet(corpus_files(clean_dir, "*.parquet"))
 
     def with_id(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_nd_id", pa.array(_url_id64(batch["url"])))
+        return batch.append_column("_nd_id", pa.array(_row_id64(batch)))
 
     pairs = minhash_near_dups(src.map_batches(with_id, batch_format="pyarrow"),
                               "text", "_nd_id", threshold=threshold)
@@ -67,7 +75,7 @@ def _near_dedup(clean_dir: str, nd_dir: str, threshold: float) -> None:
 
     def drop_members(batch: pa.Table) -> pa.Table:
         d = ray.get(dref)
-        ids = _url_id64(batch["url"])
+        ids = _row_id64(batch)
         idx = np.searchsorted(d, ids)
         member = (idx < len(d)) & (d[np.clip(idx, 0, max(len(d) - 1, 0))] == ids) \
             if len(d) else np.zeros(len(ids), bool)

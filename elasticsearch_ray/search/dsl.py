@@ -648,7 +648,7 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
 
 
 def parse_dsl(query: dict | str, default_field: str = "text",
-              doc_columns: frozenset = DEFAULT_DOC_COLUMNS) -> Query:
+              doc_columns: frozenset | None = None) -> Query:
     """Parse a JSON query-DSL object (or JSON string, or a whole search body
     with a top-level ``"query"`` key) into this engine's Query tree."""
     q, _ = parse_dsl_with_names(query, default_field, doc_columns)
@@ -656,7 +656,7 @@ def parse_dsl(query: dict | str, default_field: str = "text",
 
 
 def parse_dsl_with_names(query: dict | str, default_field: str = "text",
-                         doc_columns: frozenset = DEFAULT_DOC_COLUMNS
+                         doc_columns: frozenset | None = None
                          ) -> tuple[Query, dict[str, Query]]:
     """Like parse_dsl but also returns the ``_name``-tagged clauses
     ({name: sub-query}) for the matched_queries fetch feature
@@ -665,11 +665,14 @@ def parse_dsl_with_names(query: dict | str, default_field: str = "text",
         query = json.loads(query)
     if "query" in query and len(query) == 1:
         query = query["query"]
-    # explicit doc_columns = the caller declared the stored-column set, so
-    # unknown range fields are parse-time errors (advisor finding); with the
-    # built-in default set the parser can't know what the engine stores
-    # (n_chars, orig_id, …) and stays lenient — a truly missing column still
-    # fails with a clear error at partition eval
-    strict = doc_columns is not DEFAULT_DOC_COLUMNS
-    p = _Parser(default_field, frozenset(doc_columns), strict_columns=strict)
+    # passing doc_columns = the caller declared the stored-column set, so
+    # unknown range fields are parse-time errors (advisor finding); with no
+    # declaration (None → built-in defaults) the parser can't know what the
+    # engine stores (n_chars, orig_id, …) and stays lenient — a truly
+    # missing column still fails with a clear error at partition eval. The
+    # None sentinel keeps the contract value-based (a value-equal copy of
+    # the default set behaves like any other explicit declaration).
+    strict = doc_columns is not None
+    cols = DEFAULT_DOC_COLUMNS if doc_columns is None else frozenset(doc_columns)
+    p = _Parser(default_field, cols, strict_columns=strict)
     return p.parse(query), p.named
