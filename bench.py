@@ -126,7 +126,10 @@ def run_bench() -> dict:
     # so min() measures steady-state build compute, not cold-start variance
     # (run-to-run spread at a fixed cpu count was ±20%, which made the
     # scaling-efficiency ratio flap around the 0.8 bar).
-    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
+    # default best-of-2: the first build in a fresh session pays worker-pool
+    # startup + page-cache warming, and single-rep numbers on this shared
+    # host swing ±35% run-to-run; min() of two reads steady-state compute
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
     build_sec = float("inf")
     for _ in range(max(1, build_reps)):
         shutil.rmtree(idx_dir, ignore_errors=True)

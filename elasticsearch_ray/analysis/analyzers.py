@@ -365,6 +365,20 @@ def _filter_registry() -> dict:
         # (HyphenationCompoundWordTokenFilter's word-list fallback)
         "hyphenation_decompounder": F.dictionary_decompounder,
         "multiplexer": _multiplexer, "condition": _condition,
+        # round-3 batch 3: remaining CommonAnalysisPlugin.java:226-335 rows
+        "arabic_stem": F.arabic_stem, "brazilian_stem": F.brazilian_stem,
+        "czech_stem": F.czech_stem, "dutch_stem": F.dutch_stem,
+        "french_stem": F.french_stem, "german_stem": F.german_stem,
+        "russian_stem": F.russian_stem, "cjk_bigram": F.cjk_bigram,
+        "persian_normalization": F.persian_normalization,
+        "serbian_normalization": F.serbian_normalization,
+        "hindi_normalization": F.hindi_normalization,
+        "bengali_normalization": F.bengali_normalization,
+        "indic_normalization": F.indic_normalization,
+        # graph-synonym output flattened to same-position injection (the
+        # index-side contract of this engine; query-time multi-token graph
+        # handling lives in analysis/synonyms.py)
+        "synonym_graph": F.synonym,
     }
     return _REGISTRY_CACHE
 

@@ -638,3 +638,166 @@ def arabic_normalization(terms, pos) -> Analysis:
     from elasticsearch_ray.analysis.lang2 import arabic_normalize
 
     return [arabic_normalize(t) for t in terms], pos
+
+
+# -------- round-3 batch 3: remaining CommonAnalysisPlugin named filters
+# (language stem/normalization rows whose implementations already exist as
+# language-chain components — exposed here under their registry names,
+# CommonAnalysisPlugin.java:226-335)
+
+def arabic_stem(terms, pos) -> Analysis:
+    """``arabic_stem`` (ArabicStemTokenFilterFactory): the light10 prefix/
+    suffix strip shared with the arabic analyzer chain."""
+    from elasticsearch_ray.analysis.lang2 import arabic_light_stem
+
+    return [arabic_light_stem(t) for t in terms], pos
+
+
+def brazilian_stem(terms, pos) -> Analysis:
+    """``brazilian_stem``: Portuguese-family plural/gender strip (the
+    reference registers an RSLP-derived stemmer; same inflection classes —
+    documented simplification shared with the brazilian analyzer)."""
+    from elasticsearch_ray.analysis.stemmers import portuguese_light_stem
+
+    return [portuguese_light_stem(t) for t in terms], pos
+
+
+def czech_stem(terms, pos) -> Analysis:
+    from elasticsearch_ray.analysis.lang2 import czech_light_stem
+
+    return [czech_light_stem(t) for t in terms], pos
+
+
+def dutch_stem(terms, pos) -> Analysis:
+    from elasticsearch_ray.analysis.stemmers import dutch_light_stem
+
+    return [dutch_light_stem(t) for t in terms], pos
+
+
+def french_stem(terms, pos) -> Analysis:
+    from elasticsearch_ray.analysis.lang import french_light_stem
+
+    return [french_light_stem(t) for t in terms], pos
+
+
+def german_stem(terms, pos) -> Analysis:
+    """``german_stem`` (GermanStemFilter: normalizes umlauts internally,
+    then strips plural/case suffixes — both steps in german_light_stem)."""
+    from elasticsearch_ray.analysis.lang import german_light_stem
+
+    return [german_light_stem(t) for t in terms], pos
+
+
+def russian_stem(terms, pos) -> Analysis:
+    """``russian_stem``: the Snowball Russian stemmer (same algorithm the
+    reference's RussianStemTokenFilterFactory wraps)."""
+    from elasticsearch_ray.analysis.snowball_ru import stem as ru_stem
+
+    return [ru_stem(t) for t in terms], pos
+
+
+def cjk_bigram(terms, pos, output_unigrams=False) -> Analysis:
+    """``cjk_bigram`` (CJKBigramFilter): the standard tokenizer emits Han/
+    Hiragana ideographs one token per char; runs of consecutive single-char
+    CJK tokens at consecutive positions re-emit as overlapping bigrams
+    (isolated ideographs stay unigrams; ``output_unigrams`` keeps both)."""
+    from elasticsearch_ray.analysis.lang import _is_cjk
+
+    o_t: list[str] = []
+    o_p: list[int] = []
+
+    def flush(buf):
+        if not buf:
+            return
+        if len(buf) == 1:
+            o_t.append(buf[0][0])
+            o_p.append(buf[0][1])
+        else:
+            for i in range(len(buf) - 1):
+                if output_unigrams:
+                    o_t.append(buf[i][0])
+                    o_p.append(buf[i][1])
+                o_t.append(buf[i][0] + buf[i + 1][0])
+                o_p.append(buf[i][1])
+            if output_unigrams:
+                o_t.append(buf[-1][0])
+                o_p.append(buf[-1][1])
+        buf.clear()
+
+    run: list[tuple[str, int]] = []
+    for t, p in zip(terms, pos):
+        if len(t) == 1 and _is_cjk(t) and (not run or p == run[-1][1] + 1):
+            run.append((t, p))
+        else:
+            flush(run)
+            if len(t) == 1 and _is_cjk(t):
+                run.append((t, p))
+            else:
+                o_t.append(t)
+                o_p.append(p)
+    flush(run)
+    return o_t, o_p
+
+
+# Lucene PersianNormalizer rules: Arabic yeh / alef maksura → Farsi yeh,
+# Arabic kaf → keheh, heh-with-yeh / heh-goal → heh, drop hamza above.
+_FA_NORM = str.maketrans({"ي": "ی", "ى": "ی",
+                          "ك": "ک", "ۀ": "ه",
+                          "ہ": "ه", "ٔ": None})
+
+
+def persian_normalization(terms, pos) -> Analysis:
+    return [t.translate(_FA_NORM) for t in terms], pos
+
+
+# Lucene SerbianNormalizationFilter: fold Serbian Cyrillic AND accented
+# Latin to "bald" Latin so the two orthographies cross-match.
+_SR_CYR = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj", "е": "e",
+    "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj",
+    "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "c", "у": "u", "ф": "f", "х": "h", "ц": "c", "ч": "c",
+    "џ": "dz", "ш": "s",
+    "š": "s", "đ": "dj", "č": "c", "ć": "c", "ž": "z",
+}
+_SR_NORM = str.maketrans(_SR_CYR)
+
+
+def serbian_normalization(terms, pos) -> Analysis:
+    return [t.translate(_SR_NORM) for t in terms], pos
+
+
+# Lucene HindiNormalizer subset: nukta consonants → base consonant, bare
+# nukta dropped, chandrabindu → anusvara.
+_HI_NORM = str.maketrans({
+    "क़": "क", "ख़": "ख", "ग़": "ग",
+    "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य",
+    "़": None, "ँ": "ं",
+})
+
+
+def hindi_normalization(terms, pos) -> Analysis:
+    return [t.translate(_HI_NORM) for t in terms], pos
+
+
+# Lucene BengaliNormalizer subset: nukta forms → base, bare nukta dropped,
+# candrabindu → anusvara.
+_BN_NORM = str.maketrans({
+    "ড়": "ড", "ঢ়": "ঢ", "য়": "য",
+    "়": None, "ঁ": "ং",
+})
+
+
+def bengali_normalization(terms, pos) -> Analysis:
+    return [t.translate(_BN_NORM) for t in terms], pos
+
+
+def indic_normalization(terms, pos) -> Analysis:
+    """``indic_normalization`` (IndicNormalizationFilter): canonical
+    composition across Indic scripts — NFC plus the Devanagari/Bengali
+    nukta tables above (documented subset of Lucene's full script data)."""
+    import unicodedata as _ud
+
+    return [_ud.normalize("NFC", t).translate(_HI_NORM).translate(_BN_NORM)
+            for t in terms], pos

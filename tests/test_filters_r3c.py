@@ -1,0 +1,83 @@
+"""Round-3 batch 3: the remaining CommonAnalysisPlugin named token filters
+(language stems exposed under registry names, Indic/Persian/Serbian
+normalizers, cjk_bigram) + a completeness meta-test of the registry against
+the reference's full filter list (CommonAnalysisPlugin.java:226-335)."""
+
+import pytest
+
+from elasticsearch_ray.analysis import filters as F
+from elasticsearch_ray.analysis.analyzers import _filter_registry
+
+
+def _one(fn, term, **kw):
+    ts, _ = fn([term], [0], **kw)
+    return ts
+
+
+def test_named_language_stems():
+    assert _one(F.french_stem, "chevaux") == ["cheval"]
+    assert _one(F.german_stem, "häusern")[0].startswith("haus")
+    assert _one(F.dutch_stem, "huizen")[0].startswith("hui")
+    assert _one(F.russian_stem, "книгами") == ["книг"]
+    assert _one(F.arabic_stem, "الكتاب")[0] != "الكتاب"  # article stripped
+    assert _one(F.brazilian_stem, "livros")[0].startswith("livr")
+    assert _one(F.czech_stem, "knihami")[0].startswith("knih")
+
+
+def test_cjk_bigram_runs():
+    # standard tokenizer emits one token per Han char at consecutive pos
+    terms, pos = F.cjk_bigram(list("中文搜索"), [0, 1, 2, 3])
+    assert terms == ["中文", "文搜", "搜索"] and pos == [0, 1, 2]
+    # isolated ideograph stays a unigram; Latin tokens pass through
+    terms, pos = F.cjk_bigram(["data", "中", "base"], [0, 1, 2])
+    assert terms == ["data", "中", "base"]
+    # non-consecutive positions break the run
+    terms, _ = F.cjk_bigram(["中", "文"], [0, 5])
+    assert terms == ["中", "文"]
+    # output_unigrams keeps both granularities
+    terms, _ = F.cjk_bigram(list("中文"), [0, 1], output_unigrams=True)
+    assert terms == ["中", "中文", "文"]
+
+
+def test_indic_persian_serbian_normalizers():
+    assert _one(F.persian_normalization, "كتابي") == ["کتابی"]  # kaf + yeh
+    assert _one(F.serbian_normalization, "џеп") == ["dzep"]
+    assert _one(F.serbian_normalization, "ђак") == ["djak"]
+    assert _one(F.serbian_normalization, "čžš") == ["czs"]
+    assert _one(F.hindi_normalization, "क़िला") == ["किला"]  # nukta form
+    assert _one(F.hindi_normalization, "चाँद") == ["चांद"]  # chandrabindu
+    assert _one(F.bengali_normalization, "বড়") == ["বড"]
+    assert _one(F.indic_normalization, "क़िला") == ["किला"]
+
+
+SURVEY_FILTER_LIST = """apostrophe arabic_normalization arabic_stem
+asciifolding bengali_normalization brazilian_stem cjk_bigram cjk_width
+classic common_grams czech_stem decimal_digit delimited_payload
+dictionary_decompounder dutch_stem edge_ngram elision fingerprint
+flatten_graph french_stem german_normalization german_stem
+hindi_normalization hyphenation_decompounder indic_normalization keep
+keep_types keyword_marker kstem length limit lowercase min_hash multiplexer
+ngram pattern_capture pattern_replace persian_normalization porter_stem
+predicate_token_filter remove_duplicates reverse russian_stem
+scandinavian_folding scandinavian_normalization serbian_normalization
+snowball stemmer stemmer_override synonym synonym_graph trim truncate
+unique uppercase word_delimiter word_delimiter_graph""".split()
+
+
+def test_registry_covers_survey_filter_list():
+    """Every named token filter in the reference registry list (SURVEY §2.3,
+    CommonAnalysisPlugin.java:226-335) resolves in our custom-chain
+    registry."""
+    reg = _filter_registry()
+    missing = [n for n in SURVEY_FILTER_LIST if n not in reg]
+    assert not missing, missing
+
+
+def test_batch3_filters_through_custom_chain():
+    from elasticsearch_ray.analysis.analyzers import CustomChainAnalyzer
+
+    an = CustomChainAnalyzer("standard", [], ["lowercase", "cjk_bigram"])
+    terms, _ = an("中文 data")
+    assert terms == ["中文", "data"]
+    an2 = CustomChainAnalyzer("standard", [], ["lowercase", "serbian_normalization"])
+    assert an2("Џеп")[0] == ["dzep"]
