@@ -390,8 +390,11 @@ class CustomChainAnalyzer(Analyzer):
     explicitly, as in the reference). Keyword-protection markers from
     keyword_marker / stemmer_override are stripped at the end of the chain.
 
-    Tokenizer names: standard (UAX#29, original case), whitespace, keyword,
-    letter."""
+    Tokenizer: a registry name from tokenizers_extra.TOKENIZER_REGISTRY
+    (standard/whitespace/keyword/letter/lowercase/classic/simple_pattern/
+    simple_pattern_split/pattern/char_group/ngram/edge_ngram/path_hierarchy/
+    uax_url_email/thai — the SURVEY §2.3 getTokenizers list), or a
+    ``(name, params)`` pair for parameterized ones."""
 
     name = "custom_chain"
 
@@ -419,18 +422,15 @@ class CustomChainAnalyzer(Analyzer):
         self.filters = compiled
 
     def _raw_tokens(self, text: str) -> list[str]:
-        from elasticsearch_ray.analysis.tokenizer import tokenize
+        from elasticsearch_ray.analysis.tokenizers_extra import TOKENIZER_REGISTRY
 
         tk = self.tokenizer
-        if tk == "standard":
-            return tokenize(text)
-        if tk == "whitespace":
-            return text.split()
-        if tk == "keyword":
-            return [text] if text else []
-        if tk == "letter":
-            return SimpleAnalyzer._re.findall(text)
-        raise ValueError(f"unknown tokenizer {tk!r}")
+        name, params = (tk, {}) if isinstance(tk, str) else (tk[0], dict(tk[1]))
+        fn = TOKENIZER_REGISTRY.get(name)
+        if fn is None:
+            raise ValueError(
+                f"unknown tokenizer {name!r}; known: {sorted(TOKENIZER_REGISTRY)}")
+        return fn(text, **params)
 
     def __call__(self, text: str) -> Analysis:
         from elasticsearch_ray.analysis import filters as F

@@ -118,3 +118,121 @@ register("pattern", PatternAnalyzer)
 register("char_group", CharGroupAnalyzer)
 register("ngram_tokenizer", NgramTokenizerAnalyzer)
 register("path_hierarchy", PathHierarchyAnalyzer)
+
+
+# ------- raw-tokenizer registry (SURVEY §2.3 getTokenizers list) — the
+# building blocks CustomChainAnalyzer resolves by name: text → list[str].
+
+def _tok_simple_pattern(text, pattern="[a-zA-Z0-9]+"):
+    """``simple_pattern`` (SimplePatternTokenizerFactory): regex MATCHES
+    become the tokens."""
+    return re.findall(pattern, text)
+
+
+def _tok_simple_pattern_split(text, pattern=r"\s+"):
+    """``simple_pattern_split``: regex matches are the SEPARATORS."""
+    return [t for t in re.split(pattern, text) if t]
+
+
+_CLASSIC_RX = re.compile(
+    r"[a-zA-Z0-9]+(?:\.[a-zA-Z0-9]+)*@[a-zA-Z0-9]+(?:[.-][a-zA-Z0-9]+)*"  # email
+    r"|[a-zA-Z0-9]+(?:\.[a-zA-Z0-9]+)+"   # host / dotted acronym (U.S.A, ex.com)
+    r"|[a-zA-Z]+(?:'[a-zA-Z]+)?"          # word, possessive kept
+    r"|[0-9]+(?:[.,][0-9]+)*"             # numbers with inner punctuation
+)
+
+
+def _tok_classic(text):
+    """``classic`` (ClassicTokenizer — the pre-UAX#29 StandardTokenizer
+    grammar): emails and dotted hosts stay ONE token, words keep inner
+    apostrophes, numbers keep inner . and , (documented subset of the
+    JFlex grammar)."""
+    return _CLASSIC_RX.findall(text)
+
+
+def _tok_letter(text):
+    from elasticsearch_ray.analysis.analyzers import SimpleAnalyzer
+
+    return SimpleAnalyzer._re.findall(text)
+
+
+def _tok_lowercase(text):
+    """``lowercase`` tokenizer = letter tokenizer + lowercase in one step."""
+    return [t.lower() for t in _tok_letter(text)]
+
+
+def _tok_edge_ngram(text, min_gram=1, max_gram=2):
+    """``edge_ngram`` TOKENIZER: leading grams of each maximal alnum run
+    (EdgeNGramTokenizer with the default letter/digit token chars)."""
+    out = []
+    for m in re.finditer(r"[a-zA-Z0-9]+", text.lower()):
+        t = m.group()
+        for n in range(min_gram, min(max_gram, len(t)) + 1):
+            out.append(t[:n])
+    return out
+
+
+def _tok_thai(text):
+    """``thai`` tokenizer: Thai runs → overlapping character bigrams, other
+    scripts UAX#29 (the dictionary-free fallback shared with the thai
+    analyzer chain — no ICU/dictionary in this environment)."""
+    from elasticsearch_ray.analysis.lang3 import ThaiAnalyzer
+
+    return ThaiAnalyzer()(text)[0]
+
+
+def _tok_whitespace(text):
+    return text.split()
+
+
+def _tok_keyword(text):
+    return [text] if text else []
+
+
+def _tok_standard(text):
+    from elasticsearch_ray.analysis.tokenizer import tokenize
+
+    return tokenize(text)
+
+
+def _tok_uax_url_email(text):
+    return UaxUrlEmailAnalyzer()(text)[0]
+
+
+def _tok_pattern(text, pattern=r"\W+"):
+    return [t for t in re.split(pattern, text) if t]
+
+
+def _tok_char_group(text, tokenize_on_chars=" \t\n\r.,;:!?()[]{}\"'-/"):
+    rx = re.compile("[" + re.escape(tokenize_on_chars) + "]+")
+    return [t for t in rx.split(text) if t]
+
+
+def _tok_ngram(text, min_gram=2, max_gram=3):
+    t = text.lower()
+    return [t[i:i + n] for i in range(len(t))
+            for n in range(min_gram, max_gram + 1) if i + n <= len(t)]
+
+
+def _tok_path_hierarchy(text, delimiter="/"):
+    terms, _ = PathHierarchyAnalyzer(delimiter)(text)
+    return terms
+
+
+TOKENIZER_REGISTRY = {
+    "standard": _tok_standard,
+    "whitespace": _tok_whitespace,
+    "keyword": _tok_keyword,
+    "letter": _tok_letter,
+    "lowercase": _tok_lowercase,
+    "classic": _tok_classic,
+    "simple_pattern": _tok_simple_pattern,
+    "simple_pattern_split": _tok_simple_pattern_split,
+    "pattern": _tok_pattern,
+    "char_group": _tok_char_group,
+    "ngram": _tok_ngram,
+    "edge_ngram": _tok_edge_ngram,
+    "path_hierarchy": _tok_path_hierarchy,
+    "uax_url_email": _tok_uax_url_email,
+    "thai": _tok_thai,
+}

@@ -81,3 +81,41 @@ def test_batch3_filters_through_custom_chain():
     assert terms == ["中文", "data"]
     an2 = CustomChainAnalyzer("standard", [], ["lowercase", "serbian_normalization"])
     assert an2("Џеп")[0] == ["dzep"]
+
+
+SURVEY_TOKENIZER_LIST = """simple_pattern simple_pattern_split thai ngram
+edge_ngram char_group classic letter lowercase path_hierarchy pattern
+uax_url_email whitespace keyword standard""".split()
+
+
+def test_tokenizer_registry_covers_survey_list():
+    """Every tokenizer in the reference's getTokenizers list (SURVEY §2.3,
+    CommonAnalysisPlugin.java:349-402 + core standard) resolves in
+    TOKENIZER_REGISTRY."""
+    from elasticsearch_ray.analysis.tokenizers_extra import TOKENIZER_REGISTRY
+
+    missing = [n for n in SURVEY_TOKENIZER_LIST if n not in TOKENIZER_REGISTRY]
+    assert not missing, missing
+
+
+def test_new_named_tokenizers():
+    from elasticsearch_ray.analysis.tokenizers_extra import TOKENIZER_REGISTRY as R
+
+    assert R["classic"]("mail bob@ex.com at U.S.A. pays 3,000") == [
+        "mail", "bob@ex.com", "at", "U.S.A", "pays", "3,000"]
+    assert R["simple_pattern"]("ab-cd 12", pattern="[a-z]+") == ["ab", "cd"]
+    assert R["simple_pattern_split"]("a-b c", pattern="-") == ["a", "b c"]
+    assert R["lowercase"]("Foo BAR9") == ["foo", "bar"]
+    assert R["edge_ngram"]("spark", min_gram=2, max_gram=3) == ["sp", "spa"]
+    assert R["thai"]("การทดสอบ fun")[-1] == "fun"
+
+
+def test_custom_chain_with_registry_tokenizers():
+    from elasticsearch_ray.analysis.analyzers import CustomChainAnalyzer
+
+    an = CustomChainAnalyzer("classic", [], ["lowercase"])
+    assert an("Bob@Ex.com rocks")[0] == ["bob@ex.com", "rocks"]
+    an2 = CustomChainAnalyzer(("simple_pattern", {"pattern": "[0-9]+"}), [], [])
+    assert an2("a1b22c333")[0] == ["1", "22", "333"]
+    with pytest.raises(ValueError):
+        CustomChainAnalyzer("nope", [], [])("x")
