@@ -185,6 +185,29 @@ class FingerprintAnalyzer(Analyzer):
         return ([joined], [0]) if joined else ([], [])
 
 
+class SnowballAnalyzer(Analyzer):
+    """``snowball`` analyzer (SnowballAnalyzerProvider): standard tokenizer
+    → lowercase → stop → snowball stemmer for the configured language
+    (English default; any language in the stemmer registry — other
+    languages via ``SnowballAnalyzer(language=...)`` or a custom chain)."""
+
+    name = "snowball"
+
+    def __init__(self, language: str = "English"):
+        self.language = language
+
+    def __call__(self, text: str) -> Analysis:
+        from elasticsearch_ray.analysis import filters as F
+        from elasticsearch_ray.analysis.tokenizer import tokenize
+
+        toks = tokenize(text)
+        terms, pos = F.lowercase(toks, list(range(len(toks))))
+        if self.language.lower() == "english":
+            terms, pos = F.stop_filter(terms, pos, ENGLISH_STOP_WORDS)
+        terms, pos = F.snowball_filter(terms, pos, language=self.language)
+        return terms, pos
+
+
 _REGISTRY: dict[str, Callable[[], Analyzer]] = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
@@ -193,6 +216,7 @@ _REGISTRY: dict[str, Callable[[], Analyzer]] = {
     "stop": StopAnalyzer,
     "english": EnglishAnalyzer,
     "fingerprint": FingerprintAnalyzer,
+    "snowball": SnowballAnalyzer,
 }
 
 

@@ -119,3 +119,12 @@ def test_custom_chain_with_registry_tokenizers():
     assert an2("a1b22c333")[0] == ["1", "22", "333"]
     with pytest.raises(ValueError):
         CustomChainAnalyzer("nope", [], [])("x")
+
+
+def test_snowball_analyzer():
+    from elasticsearch_ray.analysis.analyzers import SnowballAnalyzer, get_analyzer
+
+    assert get_analyzer("snowball")("The running dogs jumped")[0] == [
+        "run", "dog", "jump"]
+    assert SnowballAnalyzer("Russian")("книгами")[0] == ["книг"]
+    assert SnowballAnalyzer("French")("chevaux")[0] == ["cheval"]
