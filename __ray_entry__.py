@@ -62,6 +62,46 @@ def _documents_index(sf_dir: str):
     return eng
 
 
+def _multi_docs_index(sf_dir: str):
+    """TWO indexes over complementary row-halves of the documents table,
+    searched through MultiIndexEngine (cross-index DFS search — combined
+    term stats make results rank-identical to the single merged index, so
+    the ordinary BM25 twin SQL over the WHOLE table is the oracle)."""
+    key = f"multidocs-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    import pyarrow.parquet as _pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.multi import MultiIndexEngine
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tbl = _pq.read_table(src)
+    mid = len(tbl) // 2
+    root = f"/tmp/esray_indexes/{key}"
+    dirs = []
+    for i, part in enumerate((tbl[:mid], tbl[mid:])):
+        # the build assigns its own per-index doc_id (global row order WITHIN
+        # that index); the original table id rides along as a stored column
+        part = part.append_column("orig_id", part["doc_id"])
+        cdir = os.path.join(root, f"corpus{i}")
+        fp = os.path.join(cdir, "documents.parquet")
+        if not (os.path.exists(fp)
+                and _pq.read_metadata(fp).num_rows == len(part)):
+            os.makedirs(cdir, exist_ok=True)
+            _pq.write_table(part, fp)
+        idx = os.path.join(root, f"idx{i}")
+        build_index(cdir, idx,
+                    IndexSpec(use_html=False, text_column="text",
+                              doc_columns=("orig_id", "lang")),
+                    file_pattern="documents.parquet")
+        dirs.append(idx)
+    eng = MultiIndexEngine(dirs, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _sorted_index(sf_dir: str):
     """Documents index built with INDEX SORTING (index.sort.field=orig_id
     desc): the corpus is range-shuffled into sort order at build time, so
@@ -321,6 +361,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def search_match_and(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark window", operator="and"), k=10)
+
+    def search_multi_index(sf):
+        # cross-index DFS search over a row-partitioned corpus: oracle is
+        # the SAME merged-table BM25 twin as search_match_top10 (the DFS
+        # rank-identity guarantee IS the thing under test). orig_id carries
+        # the whole-table doc id through the per-index builds.
+        res = _multi_docs_index(sf).search(MatchQuery("spark join merge"),
+                                           k=60, fetch=("orig_id",))
+        df = res.to_pandas()[["orig_id", "score"]].rename(
+            columns={"orig_id": "doc_id"})
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
 
     def search_term_top10(sf):
         return _search_table(_documents_index(sf), TermQuery("window"), k=10)
@@ -1634,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_significant_terms": agg_significant_terms,
         "agg_top_shingles": agg_top_shingles,
         "search_match_and": search_match_and,
+        "search_multi_index": search_multi_index,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
         "search_phrase_docs": search_phrase_docs,
@@ -2131,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
+        "search_multi_index": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),
         "search_phrase_docs": """

@@ -1533,6 +1533,26 @@ class QueryEngine:
             self._df_cache.update(df)
         return {t: self._df_cache[t] for t in terms}
 
+    def raw_df(self, terms: list[str]) -> dict[str, int]:
+        """THIS index's df per term, bypassing (and not touching) the DFS
+        cache — the building block MultiIndexEngine uses to combine stats
+        across indices before priming each index's cache with the totals."""
+        df = dict.fromkeys(terms, 0)
+        if not terms:
+            return df
+        cand = set(self.can_match_parts(terms))
+        if self._actors:
+            import ray
+
+            results = ray.get([a.local_stats.remote(terms) for a in self._actors])
+        else:
+            results = [self._searcher(p).local_stats(terms) for p in self.parts
+                       if p in cand]
+        for st in results:
+            for t, (d, _ttf) in st.items():
+                df[t] += d
+        return df
+
     def _global_ttf(self, terms: list[str]) -> dict[str, int]:
         """Global total term frequency per term (sum of per-partition ttfs;
         cached like _global_stats) — the unigram counts of the

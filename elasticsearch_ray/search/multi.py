@@ -1,0 +1,104 @@
+"""Cross-index search — the reference's comma-separated-indices surface
+(`POST /idx1,idx2/_search`; TransportSearchAction expands the index list and
+fans the query out over every shard of every matched index).
+
+This engine searches N independently-built indexes as one, in DFS mode
+(`dfs_query_then_fetch`, SearchType.DFS_QUERY_THEN_FETCH): term statistics
+are first gathered from EVERY index and combined (df summed, N summed,
+avgdl recomputed over the union), so every sub-index scores with the same
+global weights. Consequence (and the correctness oracle): for analyzed term
+queries, searching k indexes that PARTITION a corpus is **rank- and
+score-identical to searching one merged index over the whole corpus** —
+exactly the reference's DFS guarantee.
+
+Scope notes:
+- Sub-engines are owned by this object: their global stats (n_docs, sum_dl,
+  per-field sums) are rewritten to the combined values at construction and
+  their DFS caches are primed with combined dfs before each query. Do not
+  share a QueryEngine between a MultiIndexEngine and standalone use.
+- Multi-term rewrites (wildcard/prefix/fuzzy) expand against each index's
+  own term dictionary; expansions can differ per index, so the merged-index
+  equivalence holds for analyzed/term/phrase/bool queries (the DFS-stats
+  query family). Same caveat as the reference, where per-shard rewrites are
+  also dictionary-local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_ray.search.engine import QueryEngine
+from elasticsearch_ray.search.query import MatchQuery, query_terms
+
+
+class MultiIndexEngine:
+    def __init__(self, index_dirs: list[str], **engine_kwargs):
+        # coordinators build scorers actor-side from their own stat copies,
+        # which would bypass the combined stats — sub-engines stay
+        # coordinator-free (plain actor pools still work: scorers ship from
+        # the driver via the object store)
+        engine_kwargs.pop("num_coordinators", None)
+        self.engines = [QueryEngine(d, **engine_kwargs) for d in index_dirs]
+        n = sum(e.n_docs for e in self.engines)
+        sum_dl = sum(e.meta["sum_dl"] for e in self.engines)
+        sum_dl_fields: dict[str, int] = {}
+        for e in self.engines:
+            for f, v in (e.sum_dl_fields or {}).items():
+                sum_dl_fields[f] = sum_dl_fields.get(f, 0) + int(v)
+        for e in self.engines:
+            e.n_docs = n
+            e.meta = {**e.meta, "sum_dl": sum_dl}
+            e.avgdl = sum_dl / max(n, 1)
+            e.sum_dl_fields = sum_dl_fields
+
+    def _prime_dfs(self, q) -> None:
+        """The DFS round: raw per-index dfs for the query's terms, summed,
+        written into every sub-engine's stat cache (so their scorer builds
+        see combined numbers). Idempotent; cached scorers stay valid because
+        combined stats never change for an immutable index set."""
+        term_set: set[str] = set()
+        per_engine_q = []
+        for e in self.engines:
+            qq = e._apply_field_analyzers(e._rewrite(q))
+            per_engine_q.append(qq)
+            term_set.update(query_terms(qq, e.analyzer_name))
+        terms = sorted(term_set)
+        missing = [t for t in terms
+                   if any(t not in e._df_cache for e in self.engines)]
+        if not missing:
+            return
+        combined = dict.fromkeys(missing, 0)
+        for e in self.engines:
+            for t, d in e.raw_df(missing).items():
+                combined[t] += d
+        for e in self.engines:
+            e._df_cache.update(combined)
+
+    def search(self, q, k: int = 10, mode: str = "bmw",
+               fetch: tuple = ("url", "doc_id")) -> pa.Table:
+        """Combined top-k: DFS prime → per-index top-k (each already sorted
+        by the reference tie-break) → k-way merge on (score desc, index,
+        part, doc) with ranks reassigned over the union."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        self._prime_dfs(q)
+        tables = []
+        for i, e in enumerate(self.engines):
+            t = e.search(q, k=k, mode=mode, fetch=fetch)
+            tables.append(t.append_column("_index", pa.array(
+                np.full(len(t), i, dtype=np.int64))))
+        merged = pa.concat_tables(tables, promote_options="default")
+        if len(merged) == 0:
+            return merged
+        score = merged["score"].to_numpy()
+        order = np.lexsort((merged["local"].to_numpy(),
+                            merged["part"].to_numpy(),
+                            merged["_index"].to_numpy(), -score))[:k]
+        out = merged.take(order)
+        return out.set_column(out.column_names.index("rank"), "rank",
+                              pa.array(np.arange(1, len(out) + 1)))
+
+    def close(self) -> None:
+        for e in self.engines:
+            e.close()
