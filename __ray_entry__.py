@@ -393,6 +393,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
 
+    def search_template_render(sf):
+        # _search/template analog: mustache source + params render into the
+        # DSL, then execute — same oracle as the equivalent direct query
+        from elasticsearch_ray.search.dsl import parse_dsl
+        from elasticsearch_ray.search.templates import render_template
+
+        body = render_template(
+            '{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}]'
+            '{{#lang}}, "filter": [{"term": {"lang": "{{lang}}"}}]{{/lang}}'
+            '}}}',
+            {"q": "merge sort", "lang": "en"})
+        return _search_table(_documents_index(sf), parse_dsl(body), k=10)
+
+    def search_alias_filtered(sf):
+        # filtered alias (AliasFilter analog): alias carries the lang filter,
+        # search goes through the alias — oracle = the filtered query's SQL
+        from elasticsearch_ray.search.aliases import AliasRegistry
+
+        reg = AliasRegistry()
+        reg.put("docs_en", _documents_index(sf),
+                filter={"term": {"lang": "en"}})
+        res = reg.search("docs_en", MatchQuery("merge sort"), k=60,
+                         fetch=("doc_id",))
+        df = res.to_pandas()[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def search_synonym_graph(sf):
         from elasticsearch_ray.analysis.synonyms import synonym_graph_expand
 
@@ -1742,6 +1773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
+        "search_template_render": search_template_render,
+        "search_alias_filtered": search_alias_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
         "search_most_fields": search_most_fields,
@@ -2491,6 +2524,8 @@ def oracle_sql() -> dict[str, str]:
             ["spark"], k=10,
             extra_score="5.0 * 500.0 / (500.0 + abs(doc.n_chars - 1000.0))"),
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_template_render": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_alias_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
         "search_synonym_graph": """
             SELECT doc_id FROM documents
             WHERE (' ' || text || ' ') LIKE '% merge sort %'

@@ -1,0 +1,120 @@
+"""Search templates (mustache subset) + index aliases (filtered, multi-index,
+atomic update) — `_search/template` and IndicesAliasesRequest analogs."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.search.templates import (TemplateRegistry,
+                                                render_template,
+                                                search_template)
+from elasticsearch_ray.search.aliases import AliasRegistry
+from elasticsearch_ray.search.query import MatchQuery, TermFilter, BoolQuery
+
+
+# ---------------------------------------------------------------- templates
+
+def test_render_plain_and_tojson():
+    body = render_template(
+        '{"query": {"match": {"text": "{{q}}"}}, "size": {{size}}}',
+        {"q": "spark join", "size": 5})
+    assert body == {"query": {"match": {"text": "spark join"}}, "size": 5}
+    body = render_template(
+        '{"query": {"terms": {"lang": {{#toJson}}langs{{/toJson}}}}}',
+        {"langs": ["en", "fr"]})
+    assert body["query"]["terms"]["lang"] == ["en", "fr"]
+
+
+def test_render_sections_and_defaults():
+    src = ('{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}]'
+           '{{#lang}}, "filter": [{"term": {"lang": "{{lang}}"}}]{{/lang}}'
+           '}}}')
+    with_f = render_template(src, {"q": "x", "lang": "fr"})
+    assert with_f["query"]["bool"]["filter"] == [{"term": {"lang": "fr"}}]
+    without = render_template(src, {"q": "x"})
+    assert "filter" not in without["query"]["bool"]
+    # inverted section = default value idiom
+    src2 = '{"size": {{#size}}{{size}}{{/size}}{{^size}}10{{/size}}}'
+    assert render_template(src2, {"size": 3}) == {"size": 3}
+    assert render_template(src2, {}) == {"size": 10}
+
+
+def test_render_list_iteration():
+    src = ('{"query": {"bool": {"should": ['
+           '{{#clauses}}{"term": {"text": "{{.}}"}},{{/clauses}}'
+           '{"match_none": {}}]}}}')
+    body = render_template(src, {"clauses": ["a", "b"]})
+    shoulds = body["query"]["bool"]["should"]
+    assert {"term": {"text": "a"}} in shoulds and {"term": {"text": "b"}} in shoulds
+
+
+def test_unclosed_section_raises():
+    with pytest.raises(ValueError):
+        render_template('{"a": {{#x}}1}', {"x": 1})
+
+
+def test_stored_registry():
+    reg = TemplateRegistry()
+    reg.put("t1", {"query": {"match": {"text": "{{q}}"}}})
+    assert reg.render("t1", {"q": "hi"})["query"]["match"]["text"] == "hi"
+    reg.delete("t1")
+    with pytest.raises(KeyError):
+        reg.render("t1")
+
+
+# ------------------------------------------------------------------ aliases
+
+@pytest.fixture(scope="module")
+def doc_engine(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    return entrymod._documents_index("/root/testdata/sf0.001")
+
+
+def test_search_template_end_to_end(doc_engine):
+    res = search_template(
+        doc_engine,
+        '{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}],'
+        ' "filter": [{"term": {"lang": "{{lang}}"}}]}}}',
+        {"q": "spark join", "lang": "en"}, k=5, fetch=("doc_id",))
+    direct = doc_engine.search(
+        BoolQuery(must=(MatchQuery("spark join"),),
+                  filter=(TermFilter("lang", "en"),)), k=5, fetch=("doc_id",))
+    assert res["doc_id"].to_pylist() == direct["doc_id"].to_pylist()
+    assert np.allclose(res["score"].to_numpy(), direct["score"].to_numpy())
+
+
+def test_filtered_alias_matches_explicit_filter(doc_engine):
+    reg = AliasRegistry()
+    reg.put("en_docs", doc_engine, filter={"term": {"lang": "en"}})
+    via_alias = reg.search("en_docs", MatchQuery("spark join"), k=5,
+                           fetch=("doc_id",))
+    direct = doc_engine.search(
+        BoolQuery(must=(MatchQuery("spark join"),),
+                  filter=(TermFilter("lang", "en"),)), k=5, fetch=("doc_id",))
+    assert via_alias["doc_id"].to_pylist() == direct["doc_id"].to_pylist()
+    # alias filter is non-scoring: scores equal the filtered-query scores
+    assert np.allclose(via_alias["score"].to_numpy(),
+                       direct["score"].to_numpy())
+
+
+def test_alias_atomic_update(doc_engine):
+    reg = AliasRegistry()
+    reg.put("a", doc_engine)
+    # batch with a bad remove: NOTHING applies
+    with pytest.raises(KeyError):
+        reg.update_aliases([
+            {"add": {"alias": "b", "engines": doc_engine}},
+            {"remove": {"alias": "nope"}},
+        ])
+    assert reg.aliases() == {"a": 1}
+    # atomic swap
+    reg.update_aliases([
+        {"remove": {"alias": "a"}},
+        {"add": {"alias": "current", "engines": doc_engine,
+                 "filter": {"term": {"lang": "fr"}}}},
+    ])
+    assert set(reg.aliases()) == {"current"}
+    res = reg.search("current", MatchQuery("spark"), k=5, fetch=("lang",))
+    assert all(v == "fr" for v in res["lang"].to_pylist())
