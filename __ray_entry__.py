@@ -393,6 +393,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
 
+    def search_count_api(sf):
+        # _count API: per-partition match-set sizes summed, no top-k path
+        n = _documents_index(sf).count(MatchQuery("merge sort"))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
     def search_template_render(sf):
         # _search/template analog: mustache source + params render into the
         # DSL, then execute — same oracle as the equivalent direct query
@@ -1774,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
         "search_template_render": search_template_render,
+        "search_count_api": search_count_api,
         "search_alias_filtered": search_alias_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
@@ -2525,6 +2531,11 @@ def oracle_sql() -> dict[str, str]:
             extra_score="5.0 * 500.0 / (500.0 + abs(doc.n_chars - 1000.0))"),
         "search_bool_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
         "search_template_render": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
+        "search_count_api": """
+            SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ) WHERE term IN ('merge', 'sort')
+        """,
         "search_alias_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
         "search_synonym_graph": """
             SELECT doc_id FROM documents

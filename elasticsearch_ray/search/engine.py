@@ -1869,6 +1869,43 @@ class QueryEngine:
                         "part": pa.array(parts_a), "local": pa.array(docs_a)})
         return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
+    def count(self, q: "Query | str") -> int:
+        """The `_count` API (TransportCountAction): total matching docs.
+        Per-partition match-set SIZES sum on the driver — no top-k merge,
+        no score sort, no fetch, and from actors only an int per pool
+        member crosses the wire."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
+        scorers, scorers_ref = self._scorers_cached(q)
+        if isinstance(q, (TermQuery, TermsQuery, MatchQuery, MatchPhraseQuery,
+                          SpanNearQuery, IntervalsQuery)):
+            cand = self.can_match_parts(query_terms(q, self.analyzer_name))
+        else:
+            cand = list(self.parts)
+        if self._actors:
+            import ray
+
+            counts = ray.get([a.count_local.remote(q, scorers_ref, list(set(cand)))
+                              for a in self._qpool()])
+            return int(sum(counts))
+        return int(sum(
+            len(self._searcher(p)._eval_scoring(q, scorers, None, "exhaustive")[0])
+            for p in cand))
+
+    def msearch(self, queries: list, k: int = 10, **kw) -> list:
+        """The `_msearch` bulk API: execute several searches in one call.
+        With coordinator/replica pools the requests overlap through driver
+        threads (the search path is ray.get-bound); otherwise sequential."""
+        if not queries:
+            return []
+        if self._coords or self._actors:
+            import concurrent.futures as _fut
+
+            with _fut.ThreadPoolExecutor(min(8, len(queries))) as ex:
+                return list(ex.map(lambda q: self.search(q, k=k, **kw), queries))
+        return [self.search(q, k=k, **kw) for q in queries]
+
     def scan(self, q: Query | str, batch_size: int = 1000, fetch: tuple = ("doc_id",)):
         """Scroll analog (search/Scroll.java semantics): iterate ALL hits in
         (part, doc) order as pyarrow tables — server-held-cursor pagination
@@ -2685,6 +2722,16 @@ class SearcherActor:
             allowed = set(parts)
             items = [(p, s) for p, s in items if p in allowed]
         return [(p, *s.topk(q, scorers, k, mode, search_after, p)) for p, s in items]
+
+    def count_local(self, q, scorers, parts=None):
+        """Matching-doc count over this actor's partitions — only an int
+        crosses the wire (the _count API never ships doc ids)."""
+        items = self.searchers.items()
+        if parts is not None:
+            allowed = set(parts)
+            items = [(p, s) for p, s in items if p in allowed]
+        return sum(len(s._eval_scoring(q, scorers, None, "exhaustive")[0])
+                   for _p, s in items)
 
     def extended_candidates(self, q, scorers, sort, k, search_after=None, collapse=None,
                             min_score=None, index_sorted=False):

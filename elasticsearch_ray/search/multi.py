@@ -99,6 +99,12 @@ class MultiIndexEngine:
         return out.set_column(out.column_names.index("rank"), "rank",
                               pa.array(np.arange(1, len(out) + 1)))
 
+    def count(self, q) -> int:
+        """Cross-index `_count`: per-index counts summed (stats-independent)."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        return sum(e.count(q) for e in self.engines)
+
     def close(self) -> None:
         for e in self.engines:
             e.close()

@@ -72,3 +72,18 @@ def test_multi_bmw_equals_exhaustive(split_indexes):
     a = multi.search(q, k=10, mode="bmw", fetch=("url",))
     b = multi.search(q, k=10, mode="exhaustive", fetch=("url",))
     assert a["url"].to_pylist() == b["url"].to_pylist()
+
+
+def test_count_and_msearch(split_indexes):
+    multi, full = split_indexes
+    q = MatchQuery("spark join")
+    # count == exhaustive hit count, and multi == merged
+    exhaustive = full.search(q, k=10**9, mode="exhaustive", fetch=())
+    assert full.count(q) == exhaustive.num_rows
+    assert multi.count(q) == full.count(q)
+    # msearch returns the same tables as individual searches, in order
+    qs = [MatchQuery("spark join"), TermQuery("batch"), MatchQuery("merge")]
+    bulk = full.msearch(qs, k=5, fetch=("url",))
+    for got, q2 in zip(bulk, qs):
+        want = full.search(q2, k=5, fetch=("url",))
+        assert got["url"].to_pylist() == want["url"].to_pylist()
