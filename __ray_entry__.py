@@ -87,10 +87,15 @@ def _multi_docs_index(sf_dir: str):
         part = part.append_column("orig_id", part["doc_id"])
         cdir = os.path.join(root, f"corpus{i}")
         fp = os.path.join(cdir, "documents.parquet")
-        if not (os.path.exists(fp)
-                and _pq.read_metadata(fp).num_rows == len(part)):
+        try:
+            fresh = _pq.read_metadata(fp).num_rows == len(part)
+        except Exception:  # missing OR truncated by a crashed writer
+            fresh = False
+        if not fresh:
             os.makedirs(cdir, exist_ok=True)
-            _pq.write_table(part, fp)
+            tmp = fp + ".tmp"
+            _pq.write_table(part, tmp)
+            os.replace(tmp, fp)  # atomic: no wedged half-written cache
         idx = os.path.join(root, f"idx{i}")
         build_index(cdir, idx,
                     IndexSpec(use_html=False, text_column="text",

@@ -163,9 +163,10 @@ def _tok_lowercase(text):
 
 def _tok_edge_ngram(text, min_gram=1, max_gram=2):
     """``edge_ngram`` TOKENIZER: leading grams of each maximal alnum run
-    (EdgeNGramTokenizer with the default letter/digit token chars)."""
+    (EdgeNGramTokenizer with the default letter/digit token chars). Raw
+    tokenizers never case-fold — lowercase is a filter."""
     out = []
-    for m in re.finditer(r"[a-zA-Z0-9]+", text.lower()):
+    for m in re.finditer(r"[a-zA-Z0-9]+", text):
         t = m.group()
         for n in range(min_gram, min(max_gram, len(t)) + 1):
             out.append(t[:n])
@@ -174,11 +175,19 @@ def _tok_edge_ngram(text, min_gram=1, max_gram=2):
 
 def _tok_thai(text):
     """``thai`` tokenizer: Thai runs → overlapping character bigrams, other
-    scripts UAX#29 (the dictionary-free fallback shared with the thai
-    analyzer chain — no ICU/dictionary in this environment)."""
-    from elasticsearch_ray.analysis.lang3 import ThaiAnalyzer
+    scripts UAX#29 and CASE-PRESERVED (raw tokenizers never case-fold; the
+    thai ANALYZER adds lowercase+stop on top). Dictionary-free fallback —
+    no ICU/dictionary in this environment."""
+    from elasticsearch_ray.analysis.lang3 import _is_thai
+    from elasticsearch_ray.analysis.tokenizer import tokenize
 
-    return ThaiAnalyzer()(text)[0]
+    out = []
+    for tok in tokenize(text):
+        if len(tok) > 1 and all(_is_thai(ch) for ch in tok):
+            out.extend(tok[i:i + 2] for i in range(len(tok) - 1))
+        else:
+            out.append(tok)
+    return out
 
 
 def _tok_whitespace(text):
@@ -196,7 +205,18 @@ def _tok_standard(text):
 
 
 def _tok_uax_url_email(text):
-    return UaxUrlEmailAnalyzer()(text)[0]
+    """Raw uax_url_email: URLs/emails one token, rest standard — case
+    preserved (the ANALYZER of the same name adds lowercase)."""
+    from elasticsearch_ray.analysis.tokenizer import tokenize as _t
+
+    out = []
+    last = 0
+    for m in _URL_EMAIL_RE.finditer(text):
+        out.extend(_t(text[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.extend(_t(text[last:]))
+    return out
 
 
 def _tok_pattern(text, pattern=r"\W+"):
@@ -209,9 +229,9 @@ def _tok_char_group(text, tokenize_on_chars=" \t\n\r.,;:!?()[]{}\"'-/"):
 
 
 def _tok_ngram(text, min_gram=2, max_gram=3):
-    t = text.lower()
-    return [t[i:i + n] for i in range(len(t))
-            for n in range(min_gram, max_gram + 1) if i + n <= len(t)]
+    # raw tokenizer: case preserved (NGramTokenizer does not fold)
+    return [text[i:i + n] for i in range(len(text))
+            for n in range(min_gram, max_gram + 1) if i + n <= len(text)]
 
 
 def _tok_path_hierarchy(text, delimiter="/"):

@@ -78,12 +78,14 @@ class AliasRegistry:
             raise KeyError(f"no alias {alias!r}")
         if len(ent["engines"]) == 1:
             return ent["engines"][0], ent["filter"]
-        from elasticsearch_ray.search.multi import MultiIndexEngine
-
         multi = ent.get("_multi")
         if multi is None:
-            # members must already BE engines; wrap their index dirs once
-            multi = ent["_multi"] = _wrap_multi(ent["engines"])
+            from elasticsearch_ray.search.multi import MultiIndexEngine
+
+            # idempotent: from_engines recombines from each member's
+            # original-stats snapshot, so re-puts / shared members never
+            # compound the mutated totals
+            multi = ent["_multi"] = MultiIndexEngine.from_engines(ent["engines"])
         return multi, ent["filter"]
 
     def search(self, alias: str, q, k: int = 10, **kw):
@@ -97,22 +99,3 @@ class AliasRegistry:
         return eng.search(q, k=k, **kw)
 
 
-def _wrap_multi(engines):
-    """Multi-member alias: reuse the already-open engines inside a
-    MultiIndexEngine shell (combined stats computed over the members)."""
-    from elasticsearch_ray.search.multi import MultiIndexEngine
-
-    m = MultiIndexEngine.__new__(MultiIndexEngine)
-    m.engines = list(engines)
-    n = sum(e.n_docs for e in m.engines)
-    sum_dl = sum(e.meta["sum_dl"] for e in m.engines)
-    sum_dl_fields: dict[str, int] = {}
-    for e in m.engines:
-        for f, v in (e.sum_dl_fields or {}).items():
-            sum_dl_fields[f] = sum_dl_fields.get(f, 0) + int(v)
-    for e in m.engines:
-        e.n_docs = n
-        e.meta = {**e.meta, "sum_dl": sum_dl}
-        e.avgdl = sum_dl / max(n, 1)
-        e.sum_dl_fields = sum_dl_fields
-    return m

@@ -1540,12 +1540,12 @@ class QueryEngine:
         df = dict.fromkeys(terms, 0)
         if not terms:
             return df
-        cand = set(self.can_match_parts(terms))
         if self._actors:
             import ray
 
             results = ray.get([a.local_stats.remote(terms) for a in self._actors])
         else:
+            cand = set(self.can_match_parts(terms))
             results = [self._searcher(p).local_stats(terms) for p in self.parts
                        if p in cand]
         for st in results:

@@ -21,6 +21,11 @@ Scope notes:
   equivalence holds for analyzed/term/phrase/bool queries (the DFS-stats
   query family). Same caveat as the reference, where per-shard rewrites are
   also dictionary-local.
+- EXACT score ties order by (sub-index, part, doc) here vs the merged
+  index's own (part, doc) — tie order across bit-equal scores is placement-
+  dependent, the same caveat the reference has across shards. Consumers
+  needing determinism under ties re-rank on (rounded score, stable id), as
+  the oracle entries do.
 """
 
 from __future__ import annotations
@@ -39,18 +44,45 @@ class MultiIndexEngine:
         # coordinator-free (plain actor pools still work: scorers ship from
         # the driver via the object store)
         engine_kwargs.pop("num_coordinators", None)
-        self.engines = [QueryEngine(d, **engine_kwargs) for d in index_dirs]
-        n = sum(e.n_docs for e in self.engines)
-        sum_dl = sum(e.meta["sum_dl"] for e in self.engines)
+        self._init_from([QueryEngine(d, **engine_kwargs) for d in index_dirs])
+
+    @classmethod
+    def from_engines(cls, engines: list) -> "MultiIndexEngine":
+        """Wrap ALREADY-OPEN engines (the alias path). Idempotent: each
+        engine's original stats snapshot once on first wrap, so re-wrapping
+        (alias re-put, shared members) recombines from the originals
+        instead of compounding the mutated values."""
+        m = cls.__new__(cls)
+        m._init_from(list(engines))
+        return m
+
+    def _init_from(self, engines: list) -> None:
+        self.engines = engines
+        for e in self.engines:
+            if getattr(e, "_coords", None):
+                # a coordinator actor rebuilds its own engine from the index
+                # dir and would score with single-index stats — refuse loudly
+                raise ValueError(
+                    "MultiIndexEngine members must not have coordinators "
+                    "(coordinator-side scorers bypass combined stats)")
+            if not hasattr(e, "_orig_stats"):
+                e._orig_stats = (e.n_docs, e.meta["sum_dl"],
+                                 dict(e.sum_dl_fields or {}))
+        n = sum(e._orig_stats[0] for e in self.engines)
+        sum_dl = sum(e._orig_stats[1] for e in self.engines)
         sum_dl_fields: dict[str, int] = {}
         for e in self.engines:
-            for f, v in (e.sum_dl_fields or {}).items():
+            for f, v in e._orig_stats[2].items():
                 sum_dl_fields[f] = sum_dl_fields.get(f, 0) + int(v)
         for e in self.engines:
             e.n_docs = n
             e.meta = {**e.meta, "sum_dl": sum_dl}
             e.avgdl = sum_dl / max(n, 1)
             e.sum_dl_fields = sum_dl_fields
+        # terms THIS multi-engine has combined: sub-engine caches may hold
+        # per-index dfs from earlier standalone/other-alias use, so priming
+        # decisions key on our own set and always overwrite
+        self._primed: set[str] = set()
 
     def _prime_dfs(self, q) -> None:
         """The DFS round: raw per-index dfs for the query's terms, summed,
@@ -58,14 +90,10 @@ class MultiIndexEngine:
         see combined numbers). Idempotent; cached scorers stay valid because
         combined stats never change for an immutable index set."""
         term_set: set[str] = set()
-        per_engine_q = []
         for e in self.engines:
             qq = e._apply_field_analyzers(e._rewrite(q))
-            per_engine_q.append(qq)
             term_set.update(query_terms(qq, e.analyzer_name))
-        terms = sorted(term_set)
-        missing = [t for t in terms
-                   if any(t not in e._df_cache for e in self.engines)]
+        missing = sorted(term_set - self._primed)
         if not missing:
             return
         combined = dict.fromkeys(missing, 0)
@@ -74,6 +102,8 @@ class MultiIndexEngine:
                 combined[t] += d
         for e in self.engines:
             e._df_cache.update(combined)
+            e._scorer_cache.clear()  # stale per-index dfs may be baked in
+        self._primed.update(missing)
 
     def search(self, q, k: int = 10, mode: str = "bmw",
                fetch: tuple = ("url", "doc_id")) -> pa.Table:

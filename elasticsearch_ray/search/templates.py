@@ -13,8 +13,9 @@ Mustache subset implemented (the constructs the reference's own docs use):
 - ``{{^var}}…{{/var}}``   — inverted section: rendered when var is falsy /
                             missing (the "default value" idiom)
 
-Unknown ``{{var}}`` renders empty, like mustache. Lambdas, partials and
-HTML-escaping distinctions are out of scope (documented).
+Unknown ``{{var}}`` renders empty, like mustache. String params are
+JSON-escaped into their surrounding context (the reference's default
+escaping behavior). Lambdas and partials are out of scope (documented).
 """
 
 from __future__ import annotations
@@ -51,8 +52,18 @@ def _render(src: str, params) -> str:
             raise ValueError(f"unmatched section close {{{{/{name}}}}}")
         if kind == "":
             v = _lookup(params, name)
-            out.append("" if v is None else
-                       (json.dumps(v) if isinstance(v, bool) else str(v)))
+            if v is None:
+                out.append("")
+            elif isinstance(v, str):
+                # JSON-escape into the surrounding string context (quotes,
+                # backslashes, control chars) — the reference's mustache
+                # escapes by default; raw str() would both break the render
+                # and allow query-structure injection
+                out.append(json.dumps(v)[1:-1])
+            elif isinstance(v, bool):
+                out.append(json.dumps(v))
+            else:
+                out.append(str(v))
             i = m.end()
             continue
         # section: find the matching close tag at this nesting level
@@ -116,9 +127,13 @@ class TemplateRegistry:
 
 def search_template(engine, source: str | dict, params: dict | None = None,
                     k: int = 10, **search_kw):
-    """Render + execute in one call (TransportSearchTemplateAction):
-    the rendered body's ``query`` goes through the JSON DSL parser."""
+    """Render + execute in one call (TransportSearchTemplateAction): the
+    rendered body's ``query`` goes through the JSON DSL parser; a rendered
+    ``size`` overrides ``k`` (the body shape templates produce)."""
     from elasticsearch_ray.search.dsl import parse_dsl
 
     body = render_template(source, params)
+    if isinstance(body, dict) and "query" in body:
+        k = int(body.get("size", k))
+        body = body["query"]
     return engine.search(parse_dsl(body), k=k, **search_kw)

@@ -118,3 +118,46 @@ def test_alias_atomic_update(doc_engine):
     assert set(reg.aliases()) == {"current"}
     res = reg.search("current", MatchQuery("spark"), k=5, fetch=("lang",))
     assert all(v == "fr" for v in res["lang"].to_pylist())
+
+
+def test_template_json_escaping_and_injection():
+    body = render_template('{"query": {"match": {"text": "{{q}}"}}}',
+                           {"q": 'say "hi" \\ there\n'})
+    assert body["query"]["match"]["text"] == 'say "hi" \\ there\n'
+    # a crafted param cannot inject structure — it stays a string value
+    body = render_template('{"query": {"match": {"text": "{{q}}"}}}',
+                           {"q": '"}}, "size": 9999, "x": {"y": "'})
+    assert "size" not in body and body["query"]["match"]["text"].startswith('"}}')
+
+
+def test_search_template_full_body_with_size(doc_engine):
+    res = search_template(
+        doc_engine,
+        '{"query": {"match": {"text": "{{q}}"}}, "size": {{n}}}',
+        {"q": "spark join", "n": 3}, fetch=("doc_id",))
+    assert res.num_rows == 3
+
+
+def test_multi_alias_stats_idempotent(doc_engine, tmp_path):
+    """Re-putting a multi-member alias (or sharing members) must NOT
+    compound the combined stats: scores stay identical across re-wraps."""
+    import __ray_entry__ as entrymod
+
+    multi = entrymod._multi_docs_index("/root/testdata/sf0.001")
+    e1, e2 = multi.engines
+    reg = AliasRegistry()
+    reg.put("ab", [e1, e2])
+    first = reg.search("ab", MatchQuery("spark join"), k=5, fetch=("orig_id",))
+    reg.put("ab", [e1, e2])  # re-put drops the cached wrapper → re-wrap
+    second = reg.search("ab", MatchQuery("spark join"), k=5, fetch=("orig_id",))
+    assert first["orig_id"].to_pylist() == second["orig_id"].to_pylist()
+    assert np.allclose(first["score"].to_numpy(), second["score"].to_numpy())
+
+
+def test_raw_tokenizers_preserve_case():
+    from elasticsearch_ray.analysis.tokenizers_extra import TOKENIZER_REGISTRY as R
+
+    assert R["ngram"]("Ab", min_gram=2, max_gram=2) == ["Ab"]
+    assert R["edge_ngram"]("Spark", min_gram=2, max_gram=2) == ["Sp"]
+    assert R["uax_url_email"]("See Bob@Ex.com") == ["See", "Bob@Ex.com"]
+    assert R["thai"]("การทดสอบ Fun")[-1] == "Fun"
