@@ -1869,6 +1869,47 @@ class QueryEngine:
                         "part": pa.array(parts_a), "local": pa.array(docs_a)})
         return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
+    def field_caps(self) -> dict:
+        """The `_field_caps` API (FieldCapabilitiesRequest): per-field type
+        and searchability over this index — the analyzed text field(s),
+        extra indexed fields (their own postings namespaces), and the stored
+        doc columns (filter/sort/agg-able), with Arrow types read from the
+        docs schema."""
+        import pyarrow.parquet as _pq
+
+        caps: dict[str, dict] = {}
+        text_col = self.spec.get("text_column", "text")
+        caps[text_col] = {"type": "text", "searchable": True,
+                          "aggregatable": False,
+                          "analyzer": self.analyzer_name}
+        for f, an in (self.spec.get("field_analyzers") or {}).items():
+            caps[f] = {"type": "text", "searchable": True,
+                       "aggregatable": False, "analyzer": an}
+        p0 = self.meta["parts"][0]["part"]
+        schema = _pq.read_schema(
+            os.path.join(part_dir(self.index_dir, p0), "docs.parquet"))
+        for name, typ in zip(schema.names, schema.types):
+            if name not in caps:
+                caps[name] = {"type": str(typ), "searchable": True,
+                              "aggregatable": True}
+        return caps
+
+    def validate_query(self, body) -> dict:
+        """The `_validate/query?explain` API (ValidateQueryRequest): parse
+        the JSON DSL without executing. Returns {valid, explanation|error} —
+        the explanation is the round-tripped canonical DSL."""
+        from elasticsearch_ray.search.dsl import DslError, parse_dsl, to_dsl
+
+        try:
+            q = parse_dsl(body) if not isinstance(body, Query) else body
+        except (DslError, KeyError, TypeError, ValueError) as e:
+            return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+        try:
+            expl = to_dsl(q)
+        except Exception:
+            expl = repr(q)
+        return {"valid": True, "explanation": expl}
+
     def count(self, q: "Query | str") -> int:
         """The `_count` API (TransportCountAction): total matching docs.
         Per-partition match-set SIZES sum on the driver — no top-k merge,

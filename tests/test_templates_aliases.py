@@ -161,3 +161,17 @@ def test_raw_tokenizers_preserve_case():
     assert R["edge_ngram"]("Spark", min_gram=2, max_gram=2) == ["Sp"]
     assert R["uax_url_email"]("See Bob@Ex.com") == ["See", "Bob@Ex.com"]
     assert R["thai"]("การทดสอบ Fun")[-1] == "Fun"
+
+
+def test_field_caps_and_validate(doc_engine):
+    caps = doc_engine.field_caps()
+    assert caps["text"]["type"] == "text" and caps["text"]["searchable"]
+    assert "lang" in caps and caps["lang"]["aggregatable"]
+    assert caps["doc_id"]["aggregatable"]
+
+    ok = doc_engine.validate_query({"query": {"match": {"text": "spark"}}})
+    assert ok["valid"] and "match" in ok["explanation"]
+    bad = doc_engine.validate_query({"query": {"nope": {}}})
+    assert not bad["valid"] and "nope" in bad["error"]
+    bad2 = doc_engine.validate_query({"query": {"range": {"text": {"gte": 1}}}})
+    assert not bad2["valid"]
