@@ -1869,6 +1869,25 @@ class QueryEngine:
                         "part": pa.array(parts_a), "local": pa.array(docs_a)})
         return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
+    def analyze(self, text: str, analyzer: str | None = None) -> list[dict]:
+        """The `_analyze` API (AnalyzeAction): run text through a named
+        analyzer (default: this index's) and return the token stream as
+        [{token, position}] — the standard debugging surface for chains."""
+        an = get_analyzer(analyzer or self.analyzer_name)
+        terms, pos = an(text)
+        return [{"token": t, "position": int(p)} for t, p in zip(terms, pos)]
+
+    def terms_enum(self, prefix: str, size: int = 10) -> list[str]:
+        """The `_terms_enum` API (TermsEnumAction): up to ``size`` index
+        terms starting with ``prefix``, sorted — gathered as per-partition
+        sorted-dict prefix cuts merged on the driver (the reference's
+        per-shard terms enum + coordinator merge)."""
+        out: set[str] = set()
+        for p in self.parts:
+            out.update(self._searcher(p).completion_candidates(prefix,
+                                                               limit=size * 4))
+        return sorted(out)[:size]
+
     def field_caps(self) -> dict:
         """The `_field_caps` API (FieldCapabilitiesRequest): per-field type
         and searchability over this index — the analyzed text field(s),

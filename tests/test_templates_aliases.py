@@ -175,3 +175,17 @@ def test_field_caps_and_validate(doc_engine):
     assert not bad["valid"] and "nope" in bad["error"]
     bad2 = doc_engine.validate_query({"query": {"range": {"text": {"gte": 1}}}})
     assert not bad2["valid"]
+
+
+def test_analyze_and_terms_enum(doc_engine):
+    toks = doc_engine.analyze("The Running Dogs")
+    assert [t["token"] for t in toks] == ["the", "running", "dogs"]
+    assert [t["position"] for t in toks] == [0, 1, 2]
+    # named analyzer override
+    stemmed = doc_engine.analyze("The Running Dogs", analyzer="english")
+    assert [t["token"] for t in stemmed] == ["run", "dog"]
+
+    terms = doc_engine.terms_enum("sp", size=5)
+    assert terms and all(t.startswith("sp") for t in terms)
+    assert terms == sorted(terms) and len(terms) <= 5
+    assert "spark" in doc_engine.terms_enum("spark", size=3)
