@@ -93,6 +93,16 @@ def run_bench() -> dict:
     # corpus generation is prep, not pipeline — cached, untimed, subprocess
     corpus = _prepare_corpus()
 
+    # host-state probe BEFORE the timed work: single-core tokenize docs/s
+    # moves with the shared HOST, not with this repo's code (calm ~10k,
+    # degraded hours ~7k) — lets a reader normalize wall-clock swings
+    try:
+        from tools.probe_core import probe_once
+
+        core_probe = round(probe_once(), 1)
+    except Exception:
+        core_probe = None
+
     import ray
 
     if not ray.is_initialized():
@@ -208,6 +218,7 @@ def run_bench() -> dict:
         "query_qps": round(len(QUERY_SET) / total_q, 2) if total_q else None,
         "concurrent_qps": round(concurrent_qps, 2),
         "num_parts": meta["num_parts"],
+        "core_probe_docs_per_sec": core_probe,
     }
 
 
