@@ -1247,6 +1247,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = simhash_near_dups(_ds(sf, "documents"), "text", "doc_id", max_hamming=8)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_decontaminate(sf):
+        # benchmark decontamination (GPT-3 appendix-C practice): docs with
+        # doc_id%97==0 act as the "eval set"; any other doc sharing a word
+        # 3-gram with them is dropped. The benchmark side is tiny → driver
+        # collect + one broadcast; the corpus streams.
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.ops.dedup import decontaminate
+
+        src = os.path.join(sf, "documents.parquet")
+        bench_tbl = _pq.read_table(src, columns=["doc_id", "text"])
+        ids = bench_tbl["doc_id"].to_numpy()
+        bench_texts = bench_tbl.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+
+        def rest(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array(d % 97 != 0))
+
+        kept = decontaminate(
+            _ds(sf, "documents").map_batches(rest, batch_format="pyarrow"),
+            bench_texts, ngram=3).to_pandas()
+        out = kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def dedup_connected_components(sf):
         # distributed transitive closure over a deterministic island graph:
         # edges (i, i+1) for i%10 ∈ {0,1,2} → components are runs {10k..10k+3}
@@ -1835,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_table": dedup_simhash_table,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_connected_components": dedup_connected_components,
+        "dedup_decontaminate": dedup_decontaminate,
         "dedup_minhash_components": dedup_minhash_components,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
@@ -2876,6 +2902,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
               FROM events GROUP BY 1
             ) ORDER BY bucket
+        """,
+        "dedup_decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(ts[i.i:i.i+2], ' ') AS gram
+              FROM d JOIN (SELECT unnest(range(1, 100000)) AS i) AS i(i)
+                ON i.i <= len(ts) - 2
+            ),
+            bench_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench_g USING (gram)
+                    WHERE g.doc_id % 97 != 0)
+            SELECT doc_id::BIGINT AS doc_id FROM documents
+            WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
         """,
         "dedup_connected_components": """
             WITH mx AS (SELECT max(doc_id) AS m FROM documents),

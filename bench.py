@@ -284,6 +284,7 @@ def _update_baseline_md(result, r_lo, r_hi, lo, hi):
 | sequential QPS @hi | {r_hi['query_qps']} | driver-serial, warm coordinators |
 | concurrent QPS @hi | {r_hi['concurrent_qps']} | 8 driver threads, replica-shard pools |
 | concurrent / sequential | {round(r_hi['concurrent_qps'] / r_hi['query_qps'], 2) if r_hi.get('query_qps') else 'n/a'} | target ≥ 1.5 at this corpus size |
+| core probe @lo → @hi (docs/s/core) | {r_lo.get('core_probe_docs_per_sec')} → {r_hi.get('core_probe_docs_per_sec')} | host-state control (tools/probe_core.py); calm ≈ 10k |
 {end}"""
     try:
         with open(path) as f:

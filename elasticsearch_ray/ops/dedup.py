@@ -490,3 +490,53 @@ def url_dedup_keep_ids(ds: Dataset, url_col: str, id_col: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out[[id_col, "url_norm"]].sort_values(id_col).reset_index(drop=True)
+
+
+def decontaminate(ds: Dataset, benchmark_texts, text_col: str = "text",
+                  ngram: int = 13, mode: str = "drop") -> Dataset:
+    """Benchmark decontamination — the published training-data practice
+    (GPT-3 appendix C / The Pile: remove training docs sharing any word
+    n-gram with an eval/test set, 13-grams being the canonical window).
+
+    Scale shape: the benchmark side is tiny next to the corpus, so its
+    n-gram hash SET broadcasts once via ray.put; each batch computes its
+    docs' shingle hashes with the vectorized `_shingle_hashes` kernel and
+    membership-checks them in one searchsorted pass (per-doc verdicts via
+    reduceat) — the corpus streams, nothing corpus-sized centralizes.
+
+    mode="drop" filters contaminated docs out; mode="flag" appends a
+    boolean ``contaminated`` column instead (for audit pipelines)."""
+    import ray
+
+    bench = _shingle_hashes([t or "" for t in benchmark_texts], ngram)
+    bench_arr = (np.unique(np.concatenate(bench))
+                 if any(len(b) for b in bench) else np.empty(0, np.uint64))
+    ref = ray.put(bench_arr)  # already sorted by np.unique
+
+    def verdicts(batch: pa.Table) -> np.ndarray:
+        b = ray.get(ref)
+        sh = _shingle_hashes(batch[text_col].to_pylist(), ngram)
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        if len(b) == 0 or lens.sum() == 0:
+            return np.zeros(len(sh), bool)
+        flat = np.concatenate([s for s in sh if len(s)])
+        idx = np.searchsorted(b, flat)
+        member = (idx < len(b)) & (b[np.clip(idx, 0, len(b) - 1)] == flat)
+        out = np.zeros(len(sh), bool)
+        nz = lens > 0
+        offs = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offs[1:])
+        out[nz] = np.maximum.reduceat(member.astype(np.int8), offs) > 0 \
+            if len(member) else False
+        return out
+
+    if mode == "flag":
+        def flag(batch: pa.Table) -> pa.Table:
+            return batch.append_column("contaminated", pa.array(verdicts(batch)))
+
+        return ds.map_batches(flag, batch_format="pyarrow")
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~verdicts(batch)))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -109,3 +109,27 @@ def test_near_dup_components_planted(ray_session):
         labels = {comp.get(i) for i in ids}
         assert labels == {c * 10}, (c, comp)
     assert all(i < 100 for i in comp), comp
+
+
+def test_decontaminate_planted(ray_session):
+    """Docs sharing an n-gram with the benchmark set are dropped (or
+    flagged); clean docs and sub-n-gram docs survive."""
+    from elasticsearch_ray.ops.dedup import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    rows = [
+        # contains the benchmark 5-gram "quick brown fox jumps over"
+        {"doc_id": 0, "text": "intro words then quick brown fox jumps over and more"},
+        {"doc_id": 1, "text": "totally unrelated content about spark pipelines"},
+        {"doc_id": 2, "text": "quick brown fox"},  # shorter than the n-gram
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    kept = decontaminate(ds, bench, ngram=5).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 3]
+    flagged = decontaminate(ds, bench, ngram=5, mode="flag").to_pandas()
+    assert dict(zip(flagged["doc_id"], flagged["contaminated"])) == {
+        0: True, 1: False, 2: False, 3: False}
+    # empty benchmark: nothing contaminated
+    all_kept = decontaminate(ds, [], ngram=5).to_pandas()
+    assert len(all_kept) == 4
