@@ -92,11 +92,15 @@ def training_data_pipeline(
     max_stopword_ratio: float = 0.9,
     min_unique_ratio: float = 0.1,
     near_dup_threshold: float | None = None,
+    decontaminate_benchmark: list | None = None,
+    decontaminate_ngram: int = 13,
 ) -> dict:
     """Returns {'input_pages', 'after_quality', 'after_dedup', 'engine'}
     (+ 'after_near_dedup' when ``near_dup_threshold`` is set: MinHash-LSH
     clusters collapsed to one representative each between exact dedup and
-    indexing)."""
+    indexing; + 'after_decontaminate' when ``decontaminate_benchmark``
+    texts are given: docs sharing any ``decontaminate_ngram``-gram with
+    the benchmark are dropped before indexing)."""
     os.makedirs(work_dir, exist_ok=True)
     files = corpus_files(corpus_dir, "pages-*.parquet")
     # input count from parquet footers only — no data pass
@@ -170,6 +174,20 @@ def training_data_pipeline(
             pq.read_metadata(os.path.join(nd_dir, f)).num_rows
             for f in os.listdir(nd_dir) if f.endswith(".parquet"))
 
+    if decontaminate_benchmark is not None:
+        from elasticsearch_ray.ops.dedup import decontaminate
+
+        dc_dir = os.path.join(work_dir, "clean_dc")
+        shutil.rmtree(dc_dir, ignore_errors=True)
+        decontaminate(
+            rd.read_parquet(corpus_files(clean_dir, "*.parquet")),
+            decontaminate_benchmark, ngram=decontaminate_ngram,
+        ).write_parquet(dc_dir)
+        clean_dir = dc_dir
+        counts["after_decontaminate"] = sum(
+            pq.read_metadata(os.path.join(dc_dir, f)).num_rows
+            for f in os.listdir(dc_dir) if f.endswith(".parquet"))
+
     idx_dir = os.path.join(work_dir, "index")
     shutil.rmtree(idx_dir, ignore_errors=True)
     meta = build_index(
@@ -177,7 +195,8 @@ def training_data_pipeline(
         idx_dir,
         IndexSpec(use_html=False, text_column="text", doc_columns=("url", "warc_ts", "lang")),
     )
-    assert meta["n_docs"] == counts.get("after_near_dedup", after_dedup)
+    assert meta["n_docs"] == counts.get(
+        "after_decontaminate", counts.get("after_near_dedup", after_dedup))
     return {
         "input_pages": int(n_input),
         "after_quality": after_quality,

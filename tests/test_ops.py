@@ -963,3 +963,33 @@ def test_knn_dsl_search(ray_session):
                             "k": 5, "num_candidates": 50}})
     out3 = knn_search(rd.from_arrow(t), q3)
     assert len(out3) == 5 and out3["vec_id"].iloc[0] == out["vec_id"].iloc[0]
+
+
+def test_training_pipeline_decontaminate(ray_session, tmp_path):
+    """decontaminate_benchmark drops eval-overlapping docs between dedup and
+    indexing; counts and the built index reflect the smaller corpus."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.training_data import training_data_pipeline
+
+    secret = " ".join(f"benchtok{i}" for i in range(8))
+    rows = []
+    for k in range(24):
+        words = " ".join(f"doc{k}tok{i}" for i in range(30))
+        # plant the benchmark 8-gram inside every 6th doc
+        body = words + (" " + secret if k % 6 == 0 else "")
+        rows.append({"url": f"https://dc.example.com/{k}",
+                     "warc_ts": pd.Timestamp("2024-02-01"),
+                     "html": f"<html><body><p>{body}</p></body></html>",
+                     "lang": "en"})
+    corpus = tmp_path / "dccorpus"
+    corpus.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                   corpus / "pages-00000.parquet")
+
+    out = training_data_pipeline(str(corpus), str(tmp_path / "td"),
+                                 min_tokens=10,
+                                 decontaminate_benchmark=[secret],
+                                 decontaminate_ngram=8)
+    assert out["after_dedup"] == 24
+    assert out["after_decontaminate"] == 20  # 4 planted docs dropped
