@@ -2906,9 +2906,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
             g AS (
-              SELECT doc_id, array_to_string(ts[i.i:i.i+2], ' ') AS gram
-              FROM d JOIN (SELECT unnest(range(1, 100000)) AS i) AS i(i)
-                ON i.i <= len(ts) - 2
+              SELECT doc_id,
+                     unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                             FOR i IN range(1, len(ts) - 1)]) AS gram
+              FROM d
             ),
             bench_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
             bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench_g USING (gram)

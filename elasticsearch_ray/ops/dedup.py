@@ -504,30 +504,52 @@ def decontaminate(ds: Dataset, benchmark_texts, text_col: str = "text",
     membership-checks them in one searchsorted pass (per-doc verdicts via
     reduceat) — the corpus streams, nothing corpus-sized centralizes.
 
+    Benchmark texts SHORTER than ``ngram`` are matched at their own whole
+    length (the min(len, N)-gram rule the published pipelines use): a
+    6-token eval question still contaminates any doc containing those 6
+    tokens verbatim — without this, short eval entries would silently pass.
+
     mode="drop" filters contaminated docs out; mode="flag" appends a
     boolean ``contaminated`` column instead (for audit pipelines)."""
     import ray
 
-    bench = _shingle_hashes([t or "" for t in benchmark_texts], ngram)
-    bench_arr = (np.unique(np.concatenate(bench))
-                 if any(len(b) for b in bench) else np.empty(0, np.uint64))
-    ref = ray.put(bench_arr)  # already sorted by np.unique
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    # per effective window length k = min(len(bench_text), ngram): the set
+    # of bench k-gram hashes; the corpus side must hash at the SAME k
+    by_k: dict[int, list] = {}
+    for t in benchmark_texts:
+        toks = (t or "").split()
+        if not toks:
+            continue
+        by_k.setdefault(min(len(toks), ngram), []).append(" ".join(toks))
+    bench_by_k = {
+        k: np.unique(np.concatenate(_shingle_hashes(texts, k)))
+        for k, texts in by_k.items()
+    }
+    bench_by_k = {k: v for k, v in bench_by_k.items() if len(v)}
+    ref = ray.put(bench_by_k)  # arrays sorted by np.unique
 
-    def verdicts(batch: pa.Table) -> np.ndarray:
-        b = ray.get(ref)
-        sh = _shingle_hashes(batch[text_col].to_pylist(), ngram)
+    def _member_any(sh: list, b: np.ndarray) -> np.ndarray:
         lens = np.array([len(s) for s in sh], dtype=np.int64)
-        if len(b) == 0 or lens.sum() == 0:
-            return np.zeros(len(sh), bool)
+        out = np.zeros(len(sh), bool)
+        if lens.sum() == 0:
+            return out
         flat = np.concatenate([s for s in sh if len(s)])
         idx = np.searchsorted(b, flat)
         member = (idx < len(b)) & (b[np.clip(idx, 0, len(b) - 1)] == flat)
-        out = np.zeros(len(sh), bool)
         nz = lens > 0
         offs = np.zeros(int(nz.sum()), dtype=np.int64)
         np.cumsum(lens[nz][:-1], out=offs[1:])
-        out[nz] = np.maximum.reduceat(member.astype(np.int8), offs) > 0 \
-            if len(member) else False
+        out[nz] = np.maximum.reduceat(member.astype(np.int8), offs) > 0
+        return out
+
+    def verdicts(batch: pa.Table) -> np.ndarray:
+        bk = ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        out = np.zeros(len(texts), bool)
+        for k, b in bk.items():
+            out |= _member_any(_shingle_hashes(texts, k), b)
         return out
 
     if mode == "flag":

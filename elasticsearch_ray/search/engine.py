@@ -947,6 +947,20 @@ class PartitionSearcher:
                 out[t] = int(self.r.df[base + i])
         return out
 
+    def terms_with_prefix(self, prefix: str, limit: int) -> list[str]:
+        """Exact prefix listing for _terms_enum: field-scoped ('\\x1f') keys
+        are filtered BEFORE the limit cut — a field name sharing the prefix
+        must not consume the window (field keys sort interleaved with bare
+        terms)."""
+        cand, _base = self._prefix_cut(self._terms_np(), prefix)
+        out = []
+        for t in cand:
+            if "\x1f" not in t:
+                out.append(t)
+                if len(out) >= limit:
+                    break
+        return out
+
     def _term_lens(self) -> np.ndarray:
         a = getattr(self, "_term_lens_cache", None)
         if a is None:
@@ -1879,13 +1893,20 @@ class QueryEngine:
 
     def terms_enum(self, prefix: str, size: int = 10) -> list[str]:
         """The `_terms_enum` API (TermsEnumAction): up to ``size`` index
-        terms starting with ``prefix``, sorted — gathered as per-partition
-        sorted-dict prefix cuts merged on the driver (the reference's
-        per-shard terms enum + coordinator merge)."""
-        out: set[str] = set()
-        for p in self.parts:
-            out.update(self._searcher(p).completion_candidates(prefix,
-                                                               limit=size * 4))
+        terms starting with ``prefix``, sorted — per-partition sorted-dict
+        prefix cuts (field-scoped keys excluded BEFORE the cut limit),
+        gathered from the warm actor pool when one exists, merged on the
+        driver (the reference's per-shard terms enum + coordinator merge)."""
+        if self._actors:
+            import ray
+
+            results = ray.get([a.terms_with_prefix.remote(prefix, size)
+                               for a in self._actors])
+            out = {t for group in results for t in group}
+        else:
+            out = set()
+            for p in self.parts:
+                out.update(self._searcher(p).terms_with_prefix(prefix, size))
         return sorted(out)[:size]
 
     def field_caps(self) -> dict:
@@ -2803,6 +2824,12 @@ class SearcherActor:
 
     def completion_candidates(self, prefix, limit=1000):
         return [s.completion_candidates(prefix, limit) for s in self.searchers.values()]
+
+    def terms_with_prefix(self, prefix, limit):
+        out: set = set()
+        for s in self.searchers.values():
+            out.update(s.terms_with_prefix(prefix, limit))
+        return sorted(out)[:limit]
 
     def suggest_candidates(self, tok, max_edits, prefix_length=1):
         return [s.suggest_candidates(tok, max_edits, prefix_length)

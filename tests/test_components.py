@@ -133,3 +133,9 @@ def test_decontaminate_planted(ray_session):
     # empty benchmark: nothing contaminated
     all_kept = decontaminate(ds, [], ngram=5).to_pandas()
     assert len(all_kept) == 4
+    # benchmark text SHORTER than ngram matches at its own length
+    # (min(len, N)-gram rule): "quick brown fox" is 3 tokens vs ngram=5
+    kept2 = decontaminate(ds, ["quick brown fox"], ngram=5).to_pandas()
+    assert sorted(kept2["doc_id"]) == [1, 3]  # docs 0 and 2 contain it
+    with pytest.raises(ValueError):
+        decontaminate(ds, ["x"], mode="audit")

@@ -253,3 +253,15 @@ def test_multi_match_cross_fields_type(mf):
     direct = _res(eng, CombinedFieldsQuery("spark join", fields=(None, "title"),
                                            weights=(1.0, 2.0)))
     assert mm == direct and len(mm) > 0
+
+
+def test_terms_enum_excludes_field_keys(mf):
+    """_terms_enum over a multifield index: 'title\\x1fterm' keys must not
+    consume the window or leak — only bare default-field terms return, even
+    when the field name shares a sort range with matching terms."""
+    eng, _teng, docs, _tdocs = mf
+    expect = sorted({t for toks in docs.values() for t in toks
+                     if t.startswith("t")})[:8]
+    got = eng.terms_enum("t", size=8)
+    assert got == expect
+    assert all("\x1f" not in t for t in eng.terms_enum("", size=50))

@@ -189,3 +189,19 @@ def test_analyze_and_terms_enum(doc_engine):
     assert terms and all(t.startswith("sp") for t in terms)
     assert terms == sorted(terms) and len(terms) <= 5
     assert "spark" in doc_engine.terms_enum("spark", size=3)
+
+
+def test_template_escaping_property():
+    """Any printable param string round-trips exactly through a quoted
+    template slot (hypothesis: JSON-escaping is complete)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def check(s):
+        body = render_template('{"query": {"match": {"text": "{{q}}"}}}',
+                               {"q": s})
+        assert body["query"]["match"]["text"] == s
+
+    check()

@@ -61,6 +61,9 @@ def _worker(q):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    _corpus_file()  # materialize the corpus ONCE in the parent: children
+    # racing the generator (rmtree vs mid-write) under the same cache key
+    # was a hang source
     if n <= 1:
         print(f"1 proc: {probe_once():.0f} docs/s/core")
         return
@@ -68,7 +71,8 @@ def main() -> None:
     ps = [mp.Process(target=_worker, args=(q,)) for _ in range(n)]
     for p in ps:
         p.start()
-    rates = [q.get() for _ in ps]
+    rates = [q.get(timeout=120) for _ in ps]  # a dead child must not hang
+    # the probe on the very degraded hosts it exists to diagnose
     for p in ps:
         p.join()
     print(f"{n} procs: per-proc {sum(rates) / n:.0f} docs/s, "
