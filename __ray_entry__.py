@@ -1360,6 +1360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # ---- text analysis ----
+    def text_perplexity(sf):
+        # CCNet-style LM quality scoring (unigram add-one LM fit on the
+        # SAME table → per-doc mean NLL); logs never land on rounding
+        # boundaries, so round(4) is DuckDB-safe
+        from elasticsearch_ray.ops.textstats import add_nll, fit_unigram_lm
+
+        ds = _ds(sf, "documents")
+        lm = fit_unigram_lm(ds)
+        out = add_nll(ds, lm).to_pandas()[["doc_id", "nll"]]
+        out = out.dropna().sort_values("doc_id").reset_index(drop=True)
+        out["nll"] = out["nll"].round(4)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def text_quality_table(sf):
         from elasticsearch_ray.ops.textstats import text_quality
 
@@ -1874,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_top5": ann_hnsw_top5,
         "search_knn_dsl": search_knn_dsl,
         "text_quality_table": text_quality_table,
+        "text_perplexity": text_perplexity,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
@@ -2980,6 +2995,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rn <= 5
             ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "text_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+              WHERE length(text) > 0
+            ),
+            freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            tot AS (SELECT sum(c) AS s, count(*) AS v FROM freq),
+            lp AS (SELECT t, ln((c + 1.0) / (s + v)) AS logp FROM freq, tot)
+            SELECT doc_id::BIGINT AS doc_id,
+                   round(avg(-logp), 4) AS nll
+            FROM toks JOIN lp USING (t)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "text_quality_table": """
             WITH tok AS (

@@ -280,3 +280,92 @@ def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") ->
         concurrency=2,
     ).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- unigram LM
+# perplexity-style quality scoring (the CCNet practice: score documents by a
+# language-model NLL and filter/partition on it; public description in
+# Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data", arXiv:1911.00359 — their KenLM 5-gram becomes a unigram
+# LM here, the smallest model with the same pipeline shape).
+
+def fit_unigram_lm(ds: Dataset, text_col: str = "text",
+                   vocab_cap: int | None = None) -> dict:
+    """Distributed unigram-LM fit: per-batch token-hash count PARTIALS
+    (map-side combine) → one (hash, count) groupby — the shuffle is
+    vocabulary-sized, never corpus-sized. Returns the broadcastable model
+    {hashes (sorted uint64), logp, oov_logp} with add-one smoothing:
+    p(t) = (c_t + 1) / (total + V)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [(t or "").split() for t in batch[text_col].to_pylist()]
+        flat = np.concatenate([np.asarray(t, object) for t in toks if t]) \
+            if any(toks) else np.empty(0, object)
+        if len(flat) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hashes = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
+        uniq, cnt = np.unique(hashes, return_counts=True)
+        return pa.table({"h": uniq.view(np.int64), "n": cnt.astype(np.int64)})
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="c")).to_pandas())
+    counts = counts.sort_values("c", ascending=False)
+    if vocab_cap is not None:
+        counts = counts.head(vocab_cap)
+    total = int(counts["c"].sum())
+    v = len(counts)
+    order = np.argsort(counts["h"].to_numpy().view(np.uint64))
+    hashes = counts["h"].to_numpy().view(np.uint64)[order]
+    c = counts["c"].to_numpy()[order].astype(np.float64)
+    logp = np.log((c + 1.0) / (total + v))
+    return {"hashes": hashes, "logp": logp,
+            "oov_logp": float(np.log(1.0 / (total + v)))}
+
+
+def add_nll(ds: Dataset, lm: dict, text_col: str = "text",
+            out_col: str = "nll") -> Dataset:
+    """Append each doc's mean negative log-likelihood under the unigram LM
+    (the perplexity score: ppl = exp(nll)). The model broadcasts once via
+    ray.put; scoring is one hash pass + searchsorted + reduceat per batch.
+    Empty docs get NaN (no tokens to score)."""
+    import ray
+
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        toks = [(t or "").split() for t in batch[text_col].to_pylist()]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        out = np.full(len(toks), np.nan)
+        if lens.sum():
+            flat = np.concatenate([np.asarray(t, object) for t in toks if t])
+            h = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
+            idx = np.searchsorted(m["hashes"], h)
+            ok = (idx < len(m["hashes"])) & (
+                m["hashes"][np.clip(idx, 0, max(len(m["hashes"]) - 1, 0))] == h)
+            lp = np.where(ok, m["logp"][np.clip(idx, 0, max(len(m["logp"]) - 1, 0))],
+                          m["oov_logp"])
+            nz = lens > 0
+            offs = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            out[nz] = np.add.reduceat(-lp, offs) / lens[nz]
+        return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_filter(ds: Dataset, lm: dict, max_ppl: float,
+                      text_col: str = "text") -> Dataset:
+    """CCNet-style quality gate: keep docs whose unigram perplexity is at
+    most ``max_ppl`` (high-ppl = far from the corpus distribution — boilerplate,
+    gibberish, wrong language)."""
+    scored = add_nll(ds, lm, text_col=text_col, out_col="_nll")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nll = batch["_nll"].to_numpy(zero_copy_only=False)
+        mask = np.exp(nll) <= max_ppl  # NaN (empty doc) compares False → drop
+        return batch.filter(pa.array(mask)).drop_columns(["_nll"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")

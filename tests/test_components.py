@@ -139,3 +139,31 @@ def test_decontaminate_planted(ray_session):
     assert sorted(kept2["doc_id"]) == [1, 3]  # docs 0 and 2 contain it
     with pytest.raises(ValueError):
         decontaminate(ds, ["x"], mode="audit")
+
+
+def test_unigram_lm_perplexity(ray_session):
+    """Fit on a corpus; in-distribution docs score lower NLL than
+    gibberish; perplexity_filter keeps the former and drops the latter
+    + empty docs; NLL matches a hand unigram computation."""
+    import math
+
+    from elasticsearch_ray.ops.textstats import (add_nll, fit_unigram_lm,
+                                                 perplexity_filter)
+
+    rows = [{"doc_id": i, "text": "the cat sat on the mat"} for i in range(20)]
+    rows.append({"doc_id": 100, "text": "zxqv wjkp qqqq zzzz xxxx yyyy"})
+    rows.append({"doc_id": 101, "text": ""})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    lm = fit_unigram_lm(ds)
+    scored = add_nll(ds, lm).to_pandas().set_index("doc_id")
+    assert scored.loc[0, "nll"] < scored.loc[100, "nll"]
+    assert np.isnan(scored.loc[101, "nll"])
+    # hand check: total tokens = 20*6 + 6 = 126; vocab = 5 common + 6 rare
+    total, v = 126, 11
+    counts = {"the": 40, "cat": 20, "sat": 20, "on": 20, "mat": 20}
+    want = -np.mean([math.log((counts[t] + 1) / (total + v))
+                     for t in "the cat sat on the mat".split()])
+    assert abs(scored.loc[0, "nll"] - want) < 1e-12
+    cutoff = math.exp(scored.loc[0, "nll"]) + 1
+    kept = perplexity_filter(ds, lm, max_ppl=cutoff).to_pandas()
+    assert set(kept["doc_id"]) == set(range(20))
