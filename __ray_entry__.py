@@ -1360,6 +1360,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # ---- text analysis ----
+    def search_rrf_hybrid(sf):
+        # hybrid lexical+vector retrieval (rank: rrf / RRFRankBuilder):
+        # BM25 top-50 + brute-cosine top-50 around embedding(vec_id=0),
+        # fused with 1/(60+rank); the SQL twin reuses the BM25 oracle as a
+        # subquery joined against a DuckDB cosine ranking
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.search.hybrid import hybrid_rrf
+
+        qvec = _pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qvec = next(v for i, v in zip(qvec["vec_id"].to_pylist(),
+                                      qvec["embedding"].to_pylist()) if i == 0)
+        out = hybrid_rrf(_documents_index(sf), _ds(sf, "embeddings"),
+                         "spark join merge", qvec, k=10, window=50)
+        out["rrf"] = out["rrf"].round(6)
+        return pa.Table.from_pandas(
+            out.astype({"doc_id": "int64", "rank": "int64"}),
+            preserve_index=False)
+
     def text_perplexity(sf):
         # CCNet-style LM quality scoring (unigram add-one LM fit on the
         # SAME table → per-doc mean NLL); logs never land on rounding
@@ -1889,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_knn_dsl": search_knn_dsl,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
+        "search_rrf_hybrid": search_rrf_hybrid,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
@@ -2995,6 +3015,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rn <= 5
             ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "search_rrf_hybrid": f"""
+            WITH lex AS (
+              SELECT doc_id, rank AS r FROM ({_bm25_sql(["spark", "join", "merge"], k=50)})
+            ),
+            vec AS (
+              SELECT doc_id, r FROM (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                         e.vec_id ASC) AS r
+                FROM embeddings e CROSS JOIN
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              ) WHERE r <= 50
+            ),
+            fused AS (
+              SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                     COALESCE(1.0/(60 + l.r), 0) + COALESCE(1.0/(60 + v.r), 0) AS rrf
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(rrf, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id::BIGINT AS doc_id, round(rrf, 6) AS rrf
+            FROM fused ORDER BY rank LIMIT 10
         """,
         "text_perplexity": """
             WITH toks AS (

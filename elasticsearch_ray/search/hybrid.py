@@ -1,0 +1,58 @@
+"""Hybrid lexical + vector retrieval via Reciprocal Rank Fusion — the
+reference's `rank: {rrf: ...}` search option (RRFRankBuilder, 8.x): run a
+BM25 query and a kNN query independently, then fuse by
+
+    rrf(doc) = Σ_rankers 1 / (rank_constant + rank_in_ranker)
+
+over each ranker's top ``window`` (docs absent from a ranker contribute 0
+for it). RRF is the published fusion rule of Cormack, Clarke & Büttcher
+(SIGIR 2009), which is also what the reference cites.
+
+Distribution shape: both legs are already distributed (BM25 over warm
+partition searchers, cosine via broadcast-query map_batches); fusion
+itself touches only 2×window (doc_id, rank) pairs on the driver."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from elasticsearch_ray.search.query import MatchQuery
+
+
+def rrf_fuse(rankings: list, k: int = 10, rank_constant: int = 60) -> pd.DataFrame:
+    """Fuse ranked id lists (each: ids best-first). Returns (rank, doc_id,
+    rrf), rrf-descending with doc_id tiebreak; ties compared on round(rrf,9)
+    so both fp-noise and the SQL oracle agree."""
+    scores: dict = {}
+    for ranking in rankings:
+        for r, doc in enumerate(ranking, start=1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (rank_constant + r)
+    df = pd.DataFrame({"doc_id": list(scores), "rrf": list(scores.values())})
+    df["_key"] = df["rrf"].round(9)
+    df = (df.sort_values(["_key", "doc_id"], ascending=[False, True])
+          .head(k).drop(columns="_key").reset_index(drop=True))
+    df.insert(0, "rank", np.arange(1, len(df) + 1))
+    return df
+
+
+def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
+               k: int = 10, window: int = 50, rank_constant: int = 60,
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """BM25 + brute-cosine kNN fused with RRF. The lexical leg ranks on
+    (round(score, 4) desc, doc_id) — the repo's deterministic tie rule —
+    and the vector leg on (cosine desc, id), both over their top
+    ``window``."""
+    from elasticsearch_ray.ops.ann import brute_topk
+
+    lex_raw = engine.search(MatchQuery(query_text), k=window + 40,
+                            fetch=("doc_id",))
+    lex = lex_raw.to_pandas()[["doc_id", "score"]]
+    lex["score"] = lex["score"].round(4)
+    lex = lex.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(window)
+    vec = brute_topk(embeddings_ds, [0], np.asarray([query_vector], np.float64),
+                     id_col=id_col, k=window)
+    return rrf_fuse([lex["doc_id"].tolist(),
+                     vec["neighbor_id"].tolist()],
+                    k=k, rank_constant=rank_constant)

@@ -205,3 +205,33 @@ def test_template_escaping_property():
         assert body["query"]["match"]["text"] == s
 
     check()
+
+
+def test_rrf_fuse_semantics():
+    from elasticsearch_ray.search.hybrid import rrf_fuse
+
+    got = rrf_fuse([[1, 2, 3], [3, 4]], k=10, rank_constant=60)
+    by = dict(zip(got["doc_id"], got["rrf"]))
+    assert abs(by[3] - (1 / 63 + 1 / 61)) < 1e-12  # in both rankers
+    assert abs(by[1] - 1 / 61) < 1e-12             # one ranker only
+    # doc in both rankers outranks single-ranker docs here
+    assert got.iloc[0]["doc_id"] == 3
+    # deterministic tie-break: identical rrf → lower doc_id first
+    t = rrf_fuse([[5], [9]], k=5)
+    assert t["doc_id"].tolist() == [5, 9]
+
+
+def test_hybrid_rrf_end_to_end(doc_engine):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from elasticsearch_ray.search.hybrid import hybrid_rrf
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb["embedding"][0].as_py()
+    out = hybrid_rrf(doc_engine, rd.from_arrow(emb), "spark join merge",
+                     qvec, k=10, window=20)
+    assert len(out) == 10 and out["rank"].tolist() == list(range(1, 11))
+    # vec_id 0 is its own nearest neighbor → rank 1 in the vector leg:
+    # its rrf includes 1/61
+    assert 0 in set(out["doc_id"]) or out["rrf"].max() >= 1 / 61
