@@ -1359,6 +1359,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def search_knn_filtered(sf):
+        # knn with PRE-filter (KnnVectorQueryBuilder#filter): only label=1
+        # vectors compete, so k survivors return whenever they exist
+        from elasticsearch_ray.ops.hnsw import knn_search
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        ids, m = _query_vectors(sf, 4)
+        body = {"query": {"knn": {
+            "field": "embedding",
+            "query_vector": [float(x) for x in m[3]],
+            "k": 10, "num_candidates": 10_000_000,
+            "filter": {"term": {"label": 1}},
+        }}}
+        out = knn_search(_ds(sf, "embeddings"), parse_dsl(body))
+        out["_score"] = out["_score"].round(4)
+        out = out.sort_values(["_score", "vec_id"], ascending=[False, True],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     # ---- text analysis ----
     def search_rrf_hybrid(sf):
         # hybrid lexical+vector retrieval (rank: rrf / RRFRankBuilder):
@@ -1906,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top5": ann_ivf_top5,
         "ann_hnsw_top5": ann_hnsw_top5,
         "search_knn_dsl": search_knn_dsl,
+        "search_knn_filtered": search_knn_filtered,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
         "search_rrf_hybrid": search_rrf_hybrid,
@@ -2987,6 +3007,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_ids": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        "search_knn_filtered": """
+            SELECT vec_id, _score FROM (
+              SELECT e.vec_id AS vec_id,
+                     round(1.0 * (1 + round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)) / 2, 4)
+                       AS _score,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+              WHERE e.label = 1
+            ) WHERE rn <= 10
+            ORDER BY _score DESC, vec_id
         """,
         "search_knn_dsl": """
             SELECT vec_id, _score FROM (

@@ -511,6 +511,21 @@ def knn_search(ds: Dataset, query, id_col: str = "vec_id",
     Cosines arrive pre-rounded to 6 decimals from brute/hnsw_topk, so
     scores are quantized at 5e-7 — inside the 4-decimal oracle rounding."""
     qm = np.asarray([query.query_vector], np.float64)
+    if query.filter:
+        # PRE-filter (KnnVectorQueryBuilder#filter): candidates restrict
+        # BEFORE k selection — the brute leg scores only survivors, and the
+        # HNSW leg builds its per-partition graphs over survivors (graphs
+        # are per-call here, so pre-filtering is exact, not a traversal
+        # approximation)
+        pairs = tuple(query.filter)
+
+        def _flt(batch: pa.Table) -> pa.Table:
+            mask = np.ones(len(batch), bool)
+            for col, val in pairs:
+                mask &= batch[col].to_numpy(zero_copy_only=False) == val
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(_flt, batch_format="pyarrow")
     n = ds.count()
     if query.num_candidates >= n:
         hits = brute_topk(ds, [0], qm, id_col=id_col, vec_col=query.field,

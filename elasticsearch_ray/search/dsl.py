@@ -443,11 +443,26 @@ class _Parser:
         if num_candidates < k:
             raise DslError("knn num_candidates cannot be less than k")
         sim = body.get("similarity")
+        filt = body.get("filter") or []
+        if isinstance(filt, dict):
+            filt = [filt]
+        pairs = []
+        for f in filt:
+            # pre-filter subset: term predicates over vector-table columns
+            # (the reference accepts arbitrary DSL; our vector tables carry
+            # plain metadata columns)
+            if not (isinstance(f, dict) and len(f) == 1 and "term" in f):
+                raise DslError("knn filter supports term clauses only")
+            col, val = _one_entry(dict(f["term"]), "term")
+            if isinstance(val, dict):
+                val = val.get("value")
+            pairs.append((str(col), val))
         return KnnQuery(field=str(body["field"]),
                         query_vector=tuple(float(x) for x in qv),
                         k=k, num_candidates=num_candidates,
                         similarity=None if sim is None else float(sim),
-                        boost=float(body.get("boost", 1.0)))
+                        boost=float(body.get("boost", 1.0)),
+                        filter=tuple(pairs))
 
     def q_pinned(self, body):
         return PinnedQuery(ids=tuple(int(i) for i in body["ids"]),

@@ -422,6 +422,10 @@ class KnnQuery(Query):
     num_candidates: int = 100
     similarity: float | None = None
     boost: float = 1.0
+    # PRE-filter (KnnVectorQueryBuilder#filter: restricts candidates BEFORE
+    # k selection, so k survivors always return when they exist): term
+    # predicates over the vector table's columns, as ((column, value), ...)
+    filter: tuple = ()
 
 
 @dataclass(frozen=True)

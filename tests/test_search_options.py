@@ -419,3 +419,32 @@ def test_replica_pools_identical_results(web_engine, tmp_path_factory):
         assert s1["warc_ts"].to_pylist() == s2["warc_ts"].to_pylist()
     finally:
         eng.close()
+
+
+def test_knn_filter_dsl_and_prefilter(ray_session):
+    """knn.filter is a PRE-filter: only matching vectors compete, so k
+    survivors return whenever they exist; non-term filters are rejected."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.hnsw import knn_search
+    from elasticsearch_ray.search.dsl import DslError, parse_dsl
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(60, 8))
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [v.tolist() for v in vecs],
+                       "label": [i % 3 for i in range(60)]})
+    q = parse_dsl({"query": {"knn": {
+        "field": "embedding", "query_vector": vecs[0].tolist(),
+        "k": 5, "num_candidates": 10_000,
+        "filter": {"term": {"label": 2}}}}})
+    out = knn_search(rd.from_pandas(df), q)
+    assert len(out) == 5
+    assert all(int(v) % 3 == 2 for v in out["vec_id"])
+    with pytest.raises(DslError):
+        parse_dsl({"query": {"knn": {"field": "embedding",
+                                     "query_vector": [1.0],
+                                     "filter": {"range": {"label": {"gte": 1}}}}}})
