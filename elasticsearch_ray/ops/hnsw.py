@@ -518,6 +518,13 @@ def knn_search(ds: Dataset, query, id_col: str = "vec_id",
         # are per-call here, so pre-filtering is exact, not a traversal
         # approximation)
         pairs = tuple(query.filter)
+        avail = set(ds.schema().names)
+        missing = [c for c, _v in pairs if c not in avail]
+        if missing:
+            # fail fast with a clear error instead of a KeyError buried in
+            # a Ray worker traceback
+            raise ValueError(f"knn filter column(s) {missing} not in the "
+                             f"vector table; available: {sorted(avail)}")
 
         def _flt(batch: pa.Table) -> pa.Table:
             mask = np.ones(len(batch), bool)
@@ -525,7 +532,9 @@ def knn_search(ds: Dataset, query, id_col: str = "vec_id",
                 mask &= batch[col].to_numpy(zero_copy_only=False) == val
             return batch.filter(pa.array(mask))
 
-        ds = ds.map_batches(_flt, batch_format="pyarrow")
+        # materialize the survivors once: count() would otherwise run the
+        # full filter pass and brute/hnsw would re-execute the lineage
+        ds = ds.map_batches(_flt, batch_format="pyarrow").materialize()
     n = ds.count()
     if query.num_candidates >= n:
         hits = brute_topk(ds, [0], qm, id_col=id_col, vec_col=query.field,

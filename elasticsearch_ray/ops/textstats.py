@@ -311,11 +311,19 @@ def fit_unigram_lm(ds: Dataset, text_col: str = "text",
 
     counts = (ds.map_batches(partials, batch_format="pyarrow")
               .groupby("h").aggregate(Sum("n", alias_name="c")).to_pandas())
-    counts = counts.sort_values("c", ascending=False)
+    # deterministic cap cut: count-tied tokens at the boundary order by
+    # hash (the groupby's row order is nondeterministic across runs)
+    counts = counts.sort_values(["c", "h"], ascending=[False, True],
+                                kind="stable")
     if vocab_cap is not None:
         counts = counts.head(vocab_cap)
     total = int(counts["c"].sum())
     v = len(counts)
+    if v == 0:
+        # empty/all-empty corpus: a degenerate uniform model (every token
+        # OOV at probability 1) instead of a ZeroDivisionError
+        return {"hashes": np.empty(0, np.uint64),
+                "logp": np.empty(0, np.float64), "oov_logp": 0.0}
     order = np.argsort(counts["h"].to_numpy().view(np.uint64))
     hashes = counts["h"].to_numpy().view(np.uint64)[order]
     c = counts["c"].to_numpy()[order].astype(np.float64)
@@ -341,12 +349,15 @@ def add_nll(ds: Dataset, lm: dict, text_col: str = "text",
         out = np.full(len(toks), np.nan)
         if lens.sum():
             flat = np.concatenate([np.asarray(t, object) for t in toks if t])
-            h = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
-            idx = np.searchsorted(m["hashes"], h)
-            ok = (idx < len(m["hashes"])) & (
-                m["hashes"][np.clip(idx, 0, max(len(m["hashes"]) - 1, 0))] == h)
-            lp = np.where(ok, m["logp"][np.clip(idx, 0, max(len(m["logp"]) - 1, 0))],
-                          m["oov_logp"])
+            if len(m["hashes"]) == 0:  # degenerate model: everything OOV
+                lp = np.full(len(flat), m["oov_logp"])
+            else:
+                h = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
+                idx = np.searchsorted(m["hashes"], h)
+                ok = (idx < len(m["hashes"])) & (
+                    m["hashes"][np.clip(idx, 0, len(m["hashes"]) - 1)] == h)
+                lp = np.where(ok, m["logp"][np.clip(idx, 0, len(m["logp"]) - 1)],
+                              m["oov_logp"])
             nz = lens > 0
             offs = np.zeros(int(nz.sum()), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offs[1:])

@@ -455,7 +455,9 @@ class _Parser:
                 raise DslError("knn filter supports term clauses only")
             col, val = _one_entry(dict(f["term"]), "term")
             if isinstance(val, dict):
-                val = val.get("value")
+                if "value" not in val:
+                    raise DslError("knn filter term object requires 'value'")
+                val = val["value"]
             pairs.append((str(col), val))
         return KnnQuery(field=str(body["field"]),
                         query_vector=tuple(float(x) for x in qv),
@@ -647,6 +649,8 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
                 "boost": q.boost}
         if q.similarity is not None:
             body["similarity"] = q.similarity
+        if q.filter:
+            body["filter"] = [{"term": {c: v}} for c, v in q.filter]
         return {"knn": body}
     if isinstance(q, PinnedQuery):
         return {"pinned": {"ids": list(q.ids),

@@ -45,7 +45,11 @@ def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
     ``window``."""
     from elasticsearch_ray.ops.ann import brute_topk
 
-    lex_raw = engine.search(MatchQuery(query_text), k=window + 40,
+    # overfetch margin 50 = the repo's established tie convention
+    # (__ray_entry__._search_table): every doc tied at round(4) with the
+    # windowth score must be present before the rounded re-rank, or the
+    # engine leg diverges from a full-corpus oracle on tie groups
+    lex_raw = engine.search(MatchQuery(query_text), k=window + 50,
                             fetch=("doc_id",))
     lex = lex_raw.to_pandas()[["doc_id", "score"]]
     lex["score"] = lex["score"].round(4)

@@ -448,3 +448,18 @@ def test_knn_filter_dsl_and_prefilter(ray_session):
         parse_dsl({"query": {"knn": {"field": "embedding",
                                      "query_vector": [1.0],
                                      "filter": {"range": {"label": {"gte": 1}}}}}})
+
+
+def test_knn_filter_roundtrip_and_validation():
+    from elasticsearch_ray.search.dsl import DslError, parse_dsl, to_dsl
+    import pytest
+
+    body = {"query": {"knn": {"field": "embedding", "query_vector": [1.0, 2.0],
+                              "k": 3, "num_candidates": 50,
+                              "filter": [{"term": {"label": 2}}]}}}
+    q = parse_dsl(body)
+    assert q.filter == (("label", 2),)
+    assert parse_dsl(to_dsl(q)) == q  # filter survives the round-trip
+    with pytest.raises(DslError):  # term object without 'value'
+        parse_dsl({"query": {"knn": {"field": "e", "query_vector": [1.0],
+                                     "filter": {"term": {"label": {"boost": 2}}}}}})
