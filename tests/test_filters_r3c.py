@@ -128,3 +128,18 @@ def test_snowball_analyzer():
         "run", "dog", "jump"]
     assert SnowballAnalyzer("Russian")("книгами")[0] == ["книг"]
     assert SnowballAnalyzer("French")("chevaux")[0] == ["cheval"]
+
+
+SURVEY_PROCESSOR_LIST = """date set append rename remove split join uppercase
+lowercase trim convert gsub fail foreach date_index_name sort grok script
+dot_expander json kv urldecode bytes pipeline dissect drop html_strip csv
+uri_parts network_direction community_id fingerprint registered_domain""".split()
+
+
+def test_processor_registry_covers_survey_list():
+    """Every ingest processor named in the reference registry (SURVEY §2.2,
+    IngestCommonPlugin.java:57-89) resolves in ops/processors."""
+    from elasticsearch_ray.ops.processors import _REGISTRY
+
+    missing = [n for n in SURVEY_PROCESSOR_LIST if n not in _REGISTRY]
+    assert not missing, missing
