@@ -6,12 +6,12 @@ transitive (a~b, b~c, a≁c).
 
 Algorithm: "hash-to-min" star contraction (Rastogi, Machanavajjhala, Chitnis
 & Das Sarma, "Finding Connected Components in Map-Reduce in Logarithmic
-Rounds", ICDE 2013). Each round is ONE Ray Data groupby over the edge list:
-every node attaches its whole known neighborhood to the smallest id it has
-seen, converging to per-component stars rooted at the component minimum in
-O(log n) rounds. No driver-side union-find — the edge list never has to fit
-on one machine; each round is an all-to-all keyed shuffle, which is exactly
-the shape Ray Data's sort-based groupby is built for.
+Rounds", ICDE 2013). Each round is two sort-based all-to-all shuffles over
+the edge list with fully VECTORIZED per-block kernels between them (range
+partitioning contains each key in one block, so np.unique + reduceat do the
+per-node work — no per-group Python, no driver-side union-find; the edge
+list never has to fit on one machine). Converges to per-component stars
+rooted at the component minimum in O(log n) rounds.
 
 Reference semantics: the reference has no clustering operator (dedup there
 is per-key exact); this is one of the beyond-reference training-data
@@ -26,37 +26,60 @@ from ray.data import Dataset
 
 
 def _star_round(edges: Dataset) -> Dataset:
-    """One hash-to-min round: symmetrize, then per node u emit canonical
-    edges {m, x} linking everything u can see (its neighbors and itself) to
-    m = min(neighborhood ∪ {u})."""
+    """One hash-to-min round, FULLY VECTORIZED with sort-based shuffles (no
+    per-group Python callbacks — at a million-node candidate graph per-node
+    map_groups would dominate; and no Dataset.join — Ray's hash-shuffle
+    stages emit zero-schema empty blocks that map_batches passes through
+    and downstream key resolution chokes on).
+
+    Plan: symmetrize → sort("u") (range partitioning puts ALL rows of a key
+    in one block) → per-BLOCK vectorized star emission (np.unique +
+    minimum.reduceat) → sort(["a","b"]) → per-block dedup (same containment
+    argument makes block-local distinct global). Self-loops (m, m) persist
+    at component roots — harmless at the fixpoint and they keep isolated
+    nodes visible."""
+
+    def _empty(*cols: str) -> pa.Table:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
 
     def symmetrize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return _empty("u", "v")
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         return pa.table({"u": np.concatenate([a, b]),
                          "v": np.concatenate([b, a])})
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        vs = g["v"].to_numpy()
-        m = int(min(vs.min(), u))
-        members = np.unique(np.append(vs, u))
-        members = members[members != m]
-        if len(members) == 0:
-            # isolated self-loop: keep the node visible as (m, m)
-            return pd.DataFrame({"a": pd.Series([m], dtype="int64"),
-                                 "b": pd.Series([m], dtype="int64")})
-        return pd.DataFrame({"a": np.full(len(members), m, dtype=np.int64),
-                             "b": members.astype(np.int64)})
+    def star_block(batch: pa.Table) -> pa.Table:
+        # batch = one sorted block; every u-group is fully contained
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _empty("a", "b")
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        uniq, starts = np.unique(u, return_index=True)  # u sorted → O(n)
+        m = np.minimum(np.minimum.reduceat(v, starts), uniq)
+        sizes = np.diff(np.r_[starts, len(u)])
+        a = np.concatenate([np.repeat(m, sizes), m])
+        b = np.concatenate([v, uniq])
+        return pa.table({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
-    out = sym.groupby("u").map_groups(star, batch_format="pandas")
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        # sorted by (a, b): global distinct == block-local distinct
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return _empty("a", "b")
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"a": a[keep], "b": b[keep]})
 
-    # global edge dedup: one groupby on the canonical (a, b) key
-    def first_only(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    return out.groupby(["a", "b"]).map_groups(first_only, batch_format="pandas")
+    stars = (edges.map_batches(symmetrize, batch_format="pyarrow")
+             .sort("u")
+             .map_batches(star_block, batch_format="pyarrow",
+                          batch_size=None))
+    return (stars.sort(["a", "b"])
+            .map_batches(dedup_block, batch_format="pyarrow",
+                         batch_size=None))
 
 
 def _checksum(edges: Dataset) -> tuple:
