@@ -1398,6 +1398,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.astype({"doc_id": "int64", "rank": "int64"}),
             preserve_index=False)
 
+    def text_repetition(sf):
+        # Gopher repetition signal (Rae et al. 2112.11446): fraction of a
+        # doc's tokens covered by its top word bigram; floor-truncated
+        # (dyadic-ratio boundary rule)
+        from elasticsearch_ray.ops.textstats import top_ngram_fraction
+
+        out = top_ngram_fraction(_ds(sf, "documents"), n=2)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def text_perplexity(sf):
         # CCNet-style LM quality scoring (unigram add-one LM fit on the
         # SAME table → per-doc mean NLL); logs never land on rounding
@@ -1928,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_knn_filtered": search_knn_filtered,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
+        "text_repetition": text_repetition,
         "search_rrf_hybrid": search_rrf_hybrid,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
@@ -3075,6 +3086,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY round(rrf, 9) DESC, doc_id ASC) AS BIGINT) AS rank,
                    doc_id::BIGINT AS doc_id, round(rrf, 6) AS rrf
             FROM fused ORDER BY rank LIMIT 10
+        """,
+        "text_repetition": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            g AS (
+              SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+                                     FOR i IN range(1, len(ts))]) AS gram
+              FROM d
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+            t AS (SELECT doc_id, max(c) AS top FROM c GROUP BY doc_id)
+            SELECT d2.doc_id::BIGINT AS doc_id,
+                   floor(COALESCE(t.top * 2.0 / len(string_split(d2.text, ' ')), 0)
+                         * 1e6) / 1e6 AS top_ngram_frac
+            FROM documents d2 LEFT JOIN t USING (doc_id) ORDER BY d2.doc_id
         """,
         "text_perplexity": """
             WITH toks AS (

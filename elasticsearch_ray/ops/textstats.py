@@ -380,3 +380,64 @@ def perplexity_filter(ds: Dataset, lm: dict, max_ppl: float,
         return batch.filter(pa.array(mask)).drop_columns(["_nll"])
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def top_ngram_fraction(ds: Dataset, n: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher repetition signal (Rae et al., arXiv:2112.11446 Table A1):
+    the fraction of a document's tokens covered by its single most frequent
+    word n-gram — high values flag boilerplate/template pages. Vectorized:
+    one hash pass per batch via the shingle kernel, per-doc top count via
+    sort + reduceat, no per-row Python. Docs shorter than n score 0."""
+    from elasticsearch_ray.ops.dedup import _shingle_hashes
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n_toks = np.array([len((t or "").split()) for t in texts], np.int64)
+        out = np.zeros(len(texts))
+        sh = _all_gram_hashes(texts, n)
+        lens = np.array([len(x) for x in sh], np.int64)
+        if lens.sum():
+            # whole-batch: lexsort (doc, hash) → run-lengths per (doc, gram)
+            # → per-doc max via one maximum.reduceat — no per-doc Python
+            flat = np.concatenate([x for x in sh if len(x)])
+            doc_rep = np.repeat(np.arange(len(texts)), lens)
+            order = np.lexsort((flat, doc_rep))
+            fs, dr = flat[order], doc_rep[order]
+            new_run = np.r_[True, (fs[1:] != fs[:-1]) | (dr[1:] != dr[:-1])]
+            starts = np.flatnonzero(new_run)
+            counts = np.diff(np.r_[starts, len(fs)])
+            cdoc = dr[starts]
+            dstarts = np.flatnonzero(np.r_[True, cdoc[1:] != cdoc[:-1]])
+            top = np.maximum.reduceat(counts, dstarts)
+            docs = cdoc[dstarts]
+            out[docs] = top * n / n_toks[docs]
+        # floor-truncate: k/2^m token ratios land EXACTLY on rounding
+        # boundaries where pandas (half-even) and DuckDB (half-away)
+        # disagree — the repo's established ratio-oracle convention
+        return pa.table({id_col: pa.array(ids),
+                         "top_ngram_frac": pa.array(np.floor(out * 1e6) / 1e6)})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col).reset_index(drop=True))
+
+
+def _all_gram_hashes(texts: list, k: int) -> list:
+    """Per doc: uint64 hashes of ALL k-token shingles INCLUDING duplicates
+    (the dedup kernel's `_shingle_hashes` uniquifies; repetition signals
+    need multiplicity)."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    out = []
+    for toks in toks_per_doc:
+        if len(toks) < k:
+            out.append(np.empty(0, np.uint64))
+            continue
+        h = pd.util.hash_array(np.asarray(toks, object),
+                               hash_key="esray-allgram-h1")
+        C = np.uint64(0x9E3779B97F4A7C15)
+        acc = h[: len(h) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * C ^ h[j: len(h) - k + 1 + j]
+        out.append(acc)
+    return out

@@ -167,3 +167,18 @@ def test_unigram_lm_perplexity(ray_session):
     cutoff = math.exp(scored.loc[0, "nll"]) + 1
     kept = perplexity_filter(ds, lm, max_ppl=cutoff).to_pandas()
     assert set(kept["doc_id"]) == set(range(20))
+
+
+def test_top_ngram_fraction(ray_session):
+    from elasticsearch_ray.ops.textstats import top_ngram_fraction
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["a b a b a b",       # top bigram covers all
+                                "x y z w q r",        # all bigrams unique
+                                "short",               # < n tokens
+                                ""]})
+    out = top_ngram_fraction(rd.from_pandas(df), n=2)
+    by = dict(zip(out["doc_id"], out["top_ngram_frac"]))
+    assert by[0] == 1.0
+    assert abs(by[1] - 2 / 6) < 2e-6
+    assert by[2] == 0.0 and by[3] == 0.0
