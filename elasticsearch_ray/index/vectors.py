@@ -1,0 +1,324 @@
+"""Persistent per-partition HNSW vector index — the dense-vector segment
+store (reference: x-pack ``DenseVectorFieldMapper`` with
+``indexOptions type=hnsw`` delegating to Lucene's
+``Lucene91HnswVectorsFormat``, where HNSW graphs are SEGMENT FILES written
+once at index time and memory-mapped by every searcher).
+
+Round-3 verdict finding #1: ``knn_search``/``hnsw_topk`` rebuilt
+per-partition graphs inside the query path, so every knn call re-streamed
+the vector table and re-ran graph construction — a full index build per
+query at 100 TB. This module moves construction to INDEX TIME:
+
+  vparts/part=NNNNN/
+    vecs.parquet    (id_col, vec_col float64) raw vectors in local-row
+                    order — the fetch/exact-rescore store (.vec analog)
+    vnorm.npy       float32 unit-normalized vectors (n, d) — graph
+                    traversal reads these memmapped (half the bandwidth
+                    of f64; recall-gated)
+    levels.npy      int64 per-node HNSW level
+    adj_l{L}.npy    int64 (n_at_level, deg) partition-local adjacency,
+                    -1 padded (one file per level, memmapped)
+    pos_l{L}.npy    int64 (n,) node → row in adj_l{L} (-1 = not at level)
+    manifest.json   completion marker + lineage (n, dim, entry node,
+                    entry level, m, build spec fingerprint)
+  vector_meta.json  index-level spec + per-part lineage once complete
+
+Build is a Ray Data job (map_batches partition assignment → groupby →
+map_groups graph build, one part per group, atomic manifest-last writes)
+and is RESUMABLE: parts with a valid manifest are filtered out of the
+shuffle entirely, so a restarted build streams only pending partitions.
+
+Queries run on warm workers: per-part Ray tasks rehydrate the graph from
+memmaps via a process-level cache keyed on (part dir, manifest mtime) —
+the second query touches no parquet and builds nothing. The driver merges
+k·P candidate rows. Scale-out = more partitions, exactly like postings
+segments (index/segments.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from elasticsearch_ray.index.segments import atomic_write_json, atomic_write_table
+from elasticsearch_ray.ops.ann import _batch_matrix, _normalize
+from elasticsearch_ray.ops.hnsw import HNSWGraph
+
+VEC_FORMAT_VERSION = 1
+VPART_FMT = "vpart={:05d}"
+
+
+def vpart_dir(index_dir: str, part: int) -> str:
+    return os.path.join(index_dir, "vparts", VPART_FMT.format(part))
+
+
+def _atomic_save_npy(arr: np.ndarray, path: str) -> None:
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
+def _read_vpart_manifest(index_dir: str, part: int) -> dict | None:
+    p = os.path.join(vpart_dir(index_dir, part), "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        m = json.load(f)
+    if m.get("format") != VEC_FORMAT_VERSION:
+        return None  # stale layout → partition rebuilds
+    return m
+
+
+def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
+                 m: int, ef_construction: int) -> pd.DataFrame:
+    """map_groups stage body: build ONE partition's HNSW graph and persist
+    it. Rows are sorted by id inside the group so the graph (and therefore
+    every downstream search) is deterministic regardless of shuffle
+    arrival order. Emits a one-row build summary (lineage), not data."""
+    part = int(g["_vpart"].iloc[0])
+    g = g.sort_values(id_col, kind="stable")
+    ids = g[id_col].to_numpy(dtype=np.int64)
+    vecs = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+    pdir = vpart_dir(index_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    graph = HNSWGraph(vecs, m=m, ef_construction=ef_construction)
+    atomic_write_table(
+        pa.table({id_col: pa.array(ids), vec_col: pa.array(list(vecs))}),
+        os.path.join(pdir, "vecs.parquet"),
+    )
+    _atomic_save_npy(graph.v.astype(np.float32), os.path.join(pdir, "vnorm.npy"))
+    _atomic_save_npy(graph.levels, os.path.join(pdir, "levels.npy"))
+    for lv, (adj, pos) in enumerate(zip(graph.adj, graph.pos)):
+        _atomic_save_npy(adj, os.path.join(pdir, f"adj_l{lv}.npy"))
+        _atomic_save_npy(pos, os.path.join(pdir, f"pos_l{lv}.npy"))
+    # manifest LAST: its presence (with matching format) is the
+    # completion marker the resume path trusts
+    atomic_write_json(os.path.join(pdir, "manifest.json"), {
+        "format": VEC_FORMAT_VERSION,
+        "part": part,
+        "n": int(len(ids)),
+        "dim": int(vecs.shape[1]),
+        "m": m,
+        "ef_construction": ef_construction,
+        "entry": int(graph.entry),
+        "entry_level": int(graph.entry_level),
+        "n_levels": len(graph.adj),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    })
+    return pd.DataFrame({"part": [part], "n": [len(ids)]})
+
+
+def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 16,
+                       ef_construction: int = 100,
+                       num_partitions: int = 2) -> dict:
+    """Build (or RESUME) the persistent vector index over `ds`.
+
+    Partition = id % num_partitions (same routing as hnsw_topk, so graph
+    contents match the per-call path). Completed partitions are filtered
+    out BEFORE the shuffle — a resumed build never re-streams their rows.
+    Returns the index meta dict."""
+    pending = [p for p in range(num_partitions)
+               if _read_vpart_manifest(index_dir, p) is None]
+    if pending:
+        pend = np.array(pending, dtype=np.int64)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            part = (ids % num_partitions).astype(np.int64)
+            batch = batch.append_column("_vpart", pa.array(part))
+            return batch.filter(pa.array(np.isin(part, pend)))
+
+        def build_part(g: pd.DataFrame) -> pd.DataFrame:
+            return _build_vpart(g, index_dir, id_col, vec_col, m,
+                                ef_construction)
+
+        (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("_vpart")
+            .map_groups(build_part, batch_format="pandas")
+            .count()  # consume: summaries only, one row per partition
+        )
+    parts = []
+    for p in range(num_partitions):
+        mf = _read_vpart_manifest(index_dir, p)
+        if mf is None:
+            raise RuntimeError(f"vector partition {p} did not complete")
+        parts.append({"part": p, "n": mf["n"]})
+    meta = {
+        "format": VEC_FORMAT_VERSION,
+        "num_partitions": num_partitions,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "m": m,
+        "ef_construction": ef_construction,
+        "n_total": int(sum(x["n"] for x in parts)),
+        "parts": parts,
+    }
+    atomic_write_json(os.path.join(index_dir, "vector_meta.json"), meta)
+    return meta
+
+
+def read_vector_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "vector_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != VEC_FORMAT_VERSION:
+        raise ValueError(f"vector index at {index_dir} has stale format "
+                         f"{meta.get('format')} (want {VEC_FORMAT_VERSION})")
+    return meta
+
+
+class VPartSearcher:
+    """Warm searcher over one persisted vector partition: every array is a
+    read-only memmap (npy) so rehydration is O(open), not O(n), and the
+    traversal touches only visited pages — the postings SegmentReader
+    model applied to vectors."""
+
+    def __init__(self, pdir: str):
+        with open(os.path.join(pdir, "manifest.json")) as f:
+            self.manifest = mf = json.load(f)
+        if mf.get("format") != VEC_FORMAT_VERSION:
+            raise ValueError(f"stale vector partition format at {pdir}")
+        v = np.load(os.path.join(pdir, "vnorm.npy"), mmap_mode="r")
+        levels = np.load(os.path.join(pdir, "levels.npy"), mmap_mode="r")
+        adj, pos = [], []
+        for lv in range(mf["n_levels"]):
+            adj.append(np.load(os.path.join(pdir, f"adj_l{lv}.npy"), mmap_mode="r"))
+            pos.append(np.load(os.path.join(pdir, f"pos_l{lv}.npy"), mmap_mode="r"))
+        self.graph = HNSWGraph.from_state(
+            v, levels, mf["entry"], mf["entry_level"], adj, pos, mf["m"])
+        self.ids = pq.read_table(
+            os.path.join(pdir, "vecs.parquet"),
+            columns=[mf["id_col"]])[mf["id_col"]].to_numpy()
+        self._raw: np.ndarray | None = None  # float64 exact store, lazy
+        self.pdir = pdir
+
+    def raw_matrix(self) -> np.ndarray:
+        if self._raw is None:
+            t = pq.read_table(os.path.join(self.pdir, "vecs.parquet"),
+                              columns=[self.manifest["vec_col"]])
+            self._raw = _batch_matrix(t, self.manifest["vec_col"])
+        return self._raw
+
+    def search(self, qn: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (global ids, cosines) for one unit query via the graph."""
+        loc, sims = self.graph.search(qn.astype(np.float32), k, ef)
+        return self.ids[loc], np.asarray(sims, np.float64)
+
+    def search_brute(self, qn: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT top-k over the partition's raw float64 vectors (the
+        num_candidates ≥ n exhaustive route — bit-comparable to the
+        per-call brute path / DuckDB list_cosine_similarity)."""
+        x = _normalize(self.raw_matrix())
+        s = x @ qn
+        kk = min(k, len(s))
+        top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+        return self.ids[top], s[top]
+
+
+# process-level cache: (pdir, manifest mtime) → VPartSearcher. Lives in
+# each Ray worker process, so repeated queries rehydrate NOTHING — the
+# warm-actor analog of index/build.py's _STAGE_CACHE.
+_VPART_CACHE: dict[tuple, VPartSearcher] = {}
+
+
+def _cached_searcher(pdir: str) -> VPartSearcher:
+    mt = os.path.getmtime(os.path.join(pdir, "manifest.json"))
+    key = (pdir, mt)
+    s = _VPART_CACHE.get(key)
+    if s is None:
+        if len(_VPART_CACHE) > 64:
+            _VPART_CACHE.clear()
+        s = _VPART_CACHE[key] = VPartSearcher(pdir)
+    return s
+
+
+@ray.remote
+def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
+                 brute: bool):
+    """One partition's top-k for every query — runs on a warm worker whose
+    _VPART_CACHE holds the memmapped graph across calls."""
+    s = _cached_searcher(pdir)
+    out_q, out_id, out_sim = [], [], []
+    for qi, qid in enumerate(qids):
+        ids, sims = (s.search_brute(qn[qi], k) if brute
+                     else s.search(qn[qi], k, ef))
+        out_q.extend([qid] * len(ids))
+        out_id.extend(ids.tolist())
+        out_sim.extend(sims.tolist())
+    return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                         "cosine": out_sim})
+
+
+class VectorIndexReader:
+    """Query-side handle: fans per-partition searches out as Ray tasks
+    (k·P-row results), merges on the driver. No vector-table streaming,
+    no graph construction — that all happened at build time."""
+
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        self.meta = read_vector_meta(index_dir)
+
+    def topk(self, query_ids, query_matrix: np.ndarray, k: int = 10,
+             ef_search: int = 80, brute: bool = False) -> pd.DataFrame:
+        """Same output schema/rounding as ops.ann.brute_topk /
+        ops.hnsw.hnsw_topk: (query_id, neighbor_id, cosine) ordered
+        (query_id, -cosine, neighbor_id), cosine rounded to 6."""
+        qn = _normalize(np.asarray(query_matrix, np.float64))
+        qids = list(query_ids)
+        futs = [
+            _search_part.remote(vpart_dir(self.dir, p["part"]), qids, qn, k,
+                                ef_search, brute)
+            for p in self.meta["parts"] if p["n"] > 0
+        ]
+        partial = pd.concat(ray.get(futs), ignore_index=True) if futs else \
+            pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        out = (
+            partial.sort_values(["query_id", "cosine", "neighbor_id"],
+                                ascending=[True, False, True])
+            .groupby("query_id", as_index=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["cosine"] = out["cosine"].round(6)
+        return out
+
+
+def knn_index_search(index_dir: str, query) -> pd.DataFrame:
+    """Execute a parsed ``knn`` DSL clause against the PERSISTED index —
+    the serving path (KnnVectorQueryBuilder over Lucene HNSW segments).
+
+    Routing mirrors ops.hnsw.knn_search: num_candidates covering the index
+    → exact brute scan of the per-part float64 stores; otherwise graph
+    search with ef = num_candidates. ``filter`` is NOT supported here —
+    exact pre-filtered knn intentionally stays on the per-call path
+    (ops.hnsw.knn_search), where graphs built over the survivors make the
+    pre-filter exact rather than a traversal approximation."""
+    if query.filter:
+        raise ValueError(
+            "knn filter requires the per-call path (ops.hnsw.knn_search): "
+            "persisted graphs cover the full partition, so pre-filtering "
+            "through them would be approximate")
+    reader = VectorIndexReader(index_dir)
+    qm = np.asarray([query.query_vector], np.float64)
+    brute = query.num_candidates >= reader.meta["n_total"]
+    hits = reader.topk([0], qm, k=query.k,
+                       ef_search=query.num_candidates, brute=brute)
+    if query.similarity is not None:
+        hits = hits[hits["cosine"] >= query.similarity]
+    out = pd.DataFrame({
+        reader.meta["id_col"]: hits["neighbor_id"].to_numpy(),
+        "_score": query.boost * (1.0 + hits["cosine"].to_numpy()) / 2.0,
+    })
+    return out.sort_values(["_score", reader.meta["id_col"]],
+                           ascending=[False, True], ignore_index=True)

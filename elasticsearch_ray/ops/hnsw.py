@@ -372,6 +372,26 @@ class HNSWGraph:
         self.entry = int(np.flatnonzero(self.levels == max_level)[0])
         self.entry_level = max_level
 
+    @classmethod
+    def from_state(cls, v: np.ndarray, levels: np.ndarray, entry: int,
+                   entry_level: int, adj: list, pos: list, m: int) -> "HNSWGraph":
+        """Rehydrate a graph from persisted arrays (index/vectors.py) —
+        no construction work; `v` / `adj` / `pos` may be numpy memmaps so
+        a warm searcher touches only the pages the traversal visits (the
+        Lucene model: HNSW segment files written once at index time,
+        Lucene91HnswVectorsFormat)."""
+        g = cls.__new__(cls)
+        g.v = v
+        g.levels = levels
+        g.m = m
+        g.m0 = 2 * m
+        g.ef_c = 0
+        g.entry = int(entry)
+        g.entry_level = int(entry_level)
+        g.adj = list(adj)
+        g.pos = list(pos)
+        return g
+
     # -- core primitives --
     def _neighbors(self, c: int, level: int) -> np.ndarray:
         row = self.pos[level][c]

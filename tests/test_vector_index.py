@@ -1,0 +1,156 @@
+"""Persistent HNSW vector index (index/vectors.py) — graphs built ONCE at
+index time, memmapped at query time (the Lucene HNSW-segment-file model,
+Lucene91HnswVectorsFormat). Round-3 verdict #1 regression coverage."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+
+def _embeddings():
+    return pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _build(tmp_path, t, P=2):
+    from elasticsearch_ray.index.vectors import build_vector_index
+
+    idx = str(tmp_path / "vecidx")
+    meta = build_vector_index(rd.from_arrow(t), idx, num_partitions=P)
+    return idx, meta
+
+
+def test_vector_index_brute_matches_exact(ray_session, tmp_path):
+    """The persisted index's exhaustive route is bit-comparable to the
+    per-call brute path (both float64 over float32-origin values)."""
+    from elasticsearch_ray.index.vectors import VectorIndexReader
+    from elasticsearch_ray.ops.ann import brute_topk
+
+    t = _embeddings()
+    idx, meta = _build(tmp_path, t)
+    assert meta["n_total"] == len(t)
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"][:6].to_pylist()])
+    qids = t["vec_id"][:6].to_pylist()
+    exact = brute_topk(rd.from_arrow(t), qids, qm, k=10)
+    viaidx = VectorIndexReader(idx).topk(qids, qm, k=10, brute=True)
+    pd.testing.assert_frame_equal(
+        viaidx.astype({"neighbor_id": "int64"}),
+        exact.astype({"neighbor_id": "int64"}))
+
+
+def test_vector_index_hnsw_recall(ray_session, tmp_path):
+    """Graph route recall@10 >= 0.95 vs exact, self-match on top."""
+    from elasticsearch_ray.index.vectors import VectorIndexReader
+    from elasticsearch_ray.ops.ann import brute_topk
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"][:8].to_pylist()])
+    qids = t["vec_id"][:8].to_pylist()
+    exact = brute_topk(rd.from_arrow(t), qids, qm, k=10)
+    approx = VectorIndexReader(idx).topk(qids, qm, k=10, ef_search=80)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.95, recalls
+    for q in qids:
+        top = approx[approx["query_id"] == q].iloc[0]
+        assert top["neighbor_id"] == q and top["cosine"] >= 0.999999
+
+
+def test_vector_index_resume_skips_complete_parts(ray_session, tmp_path):
+    """Rebuild over an intact index touches NOTHING; deleting one part's
+    manifest rebuilds only that part (per-partition checkpoint/lineage)."""
+    from elasticsearch_ray.index.vectors import build_vector_index, vpart_dir
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t, P=3)
+    mts = {p: os.path.getmtime(os.path.join(vpart_dir(idx, p), "manifest.json"))
+           for p in range(3)}
+    build_vector_index(rd.from_arrow(t), idx, num_partitions=3)
+    for p in range(3):
+        assert os.path.getmtime(
+            os.path.join(vpart_dir(idx, p), "manifest.json")) == mts[p]
+    os.remove(os.path.join(vpart_dir(idx, 1), "manifest.json"))
+    build_vector_index(rd.from_arrow(t), idx, num_partitions=3)
+    assert os.path.getmtime(
+        os.path.join(vpart_dir(idx, 0), "manifest.json")) == mts[0]
+    assert os.path.getmtime(
+        os.path.join(vpart_dir(idx, 2), "manifest.json")) == mts[2]
+    assert os.path.getmtime(
+        os.path.join(vpart_dir(idx, 1), "manifest.json")) != mts[1]
+
+
+def test_vector_index_warm_cache_no_rehydrate(ray_session, tmp_path):
+    """The process-level searcher cache returns the SAME object across
+    calls — a warm query rebuilds/rereads nothing (verdict #1: per-call
+    graph construction was the 100-TB scale killer)."""
+    from elasticsearch_ray.index.vectors import _cached_searcher, vpart_dir
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    pdir = vpart_dir(idx, 0)
+    s1 = _cached_searcher(pdir)
+    s2 = _cached_searcher(pdir)
+    assert s1 is s2
+    # graph arrays are memmaps, not heap copies
+    assert isinstance(s1.graph.v, np.memmap)
+    assert isinstance(s1.graph.adj[0], np.memmap)
+
+
+def test_knn_index_search_routing(ray_session, tmp_path):
+    """knn DSL over the persisted index: brute route == per-call exact
+    baseline (scores + mapping); filter refuses (pre-filter exactness
+    lives on the per-call path by design)."""
+    from elasticsearch_ray.index.vectors import knn_index_search
+    from elasticsearch_ray.ops.ann import brute_topk
+    from elasticsearch_ray.search.dsl import parse_dsl
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    qv = [float(x) for x in t["embedding"][0].as_py()]
+    q = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                           "k": 5, "num_candidates": 10_000, "boost": 2.0}})
+    out = knn_index_search(idx, q)
+    exact = brute_topk(rd.from_arrow(t), [0], np.asarray([qv]), k=5)
+    assert out["vec_id"].tolist() == exact["neighbor_id"].tolist()
+    np.testing.assert_allclose(
+        out["_score"].to_numpy(),
+        2.0 * (1 + exact["cosine"].to_numpy()) / 2, rtol=1e-9)
+
+    # graph route (num_candidates < n): self-match still lands on top
+    q2 = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                            "k": 5, "num_candidates": 60}})
+    out2 = knn_index_search(idx, q2)
+    assert out2["vec_id"].iloc[0] == 0
+
+    q3 = parse_dsl({"knn": {"field": "embedding", "query_vector": qv,
+                            "k": 5, "num_candidates": 10_000,
+                            "filter": {"term": {"label": 1}}}})
+    with pytest.raises(ValueError, match="per-call"):
+        knn_index_search(idx, q3)
+
+
+def test_vector_index_stale_format_rebuilds(ray_session, tmp_path):
+    """A manifest with a different format version is treated as absent."""
+    import json
+
+    from elasticsearch_ray.index.vectors import (
+        _read_vpart_manifest, build_vector_index, vpart_dir)
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    mpath = os.path.join(vpart_dir(idx, 0), "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["format"] = -1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert _read_vpart_manifest(idx, 0) is None
+    build_vector_index(rd.from_arrow(t), idx, num_partitions=2)
+    assert _read_vpart_manifest(idx, 0) is not None
