@@ -167,24 +167,45 @@ def jaccard_arrays(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: int = 64,
-                            bands: int = 16, shingle_k: int = 3, seed: int = 7) -> pd.DataFrame:
-    """LSH bucket groupby → unique candidate pairs (id_a < id_b), sorted."""
+                            bands: int = 16, shingle_k: int = 3, seed: int = 7,
+                            bucket_cap: int = 64) -> pd.DataFrame:
+    """LSH bucket groupby → unique candidate pairs (id_a < id_b), sorted.
+
+    Buckets larger than ``bucket_cap`` (templated/boilerplate pages that
+    survive exact dedup land every copy in the SAME band bucket) do NOT
+    emit all C(n,2) pairs — that degrades to quadratic pair volume on a
+    degenerate corpus (round-3 verdict #2). Instead an oversized bucket
+    emits a sorted CHAIN over its members: n-1 pairs (linear, full
+    coverage), which keeps the mega cluster CONNECTED for the downstream
+    connected-components stage (the near-dup CLUSTER dedup consumer).
+    Chain pairs are adjacent near-identical members, so the exact-Jaccard
+    verify stage still confirms them; only the redundant transitive pairs
+    are dropped."""
     buckets = ds.map_batches(
         MinHashBatch,
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
         batch_format="pyarrow",
         concurrency=2,
     )
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        n = len(ids)
+        if n < 2:
             # typed empty: object-dtype blocks from singleton buckets would
             # fight int64 blocks at schema unification (simhash hardening)
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+        if n > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH: hot bucket of %d docs emits an n-1 chain "
+                "instead of C(n,2) pairs (band=%s)", n,
+                int(g["band"].iloc[0]))
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+        lst = ids.tolist()
+        out = [(a, b) for i, a in enumerate(lst) for b in lst[i + 1:]]
+        return pd.DataFrame(out, columns=["id_a", "id_b"]).astype("int64")
 
     cand = buckets.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
     pdf = cand.to_pandas().drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)

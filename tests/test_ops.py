@@ -85,6 +85,32 @@ def test_minhash_finds_planted_near_dups(ray_session):
     assert all(b >= 40 for a, b in found)
 
 
+def test_minhash_hot_bucket_capped(ray_session):
+    """Round-3 verdict #2: a degenerate band bucket (here 220 identical
+    docs) must NOT emit C(n,2) pairs. Oversized buckets emit an n-1
+    sorted chain — linear emission, full coverage, and the mega cluster
+    stays CONNECTED for the components stage."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.components import connected_components
+    from elasticsearch_ray.ops.dedup import minhash_candidate_pairs
+
+    n_hot = 220
+    docs = ["alpha beta gamma delta epsilon zeta eta theta"] * n_hot
+    docs += [f"unique{i} filler{i} words{i} here{i} now{i}" for i in range(10)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    cap = 16
+    pairs = minhash_candidate_pairs(ds, "text", "doc_id", bucket_cap=cap)
+    # uncapped would be C(220,2) = 24090 pairs; the chain is n-1 (all
+    # 16 bands emit the SAME chain, deduped away)
+    assert len(pairs) <= n_hot + 16, len(pairs)
+    comp = connected_components(pairs)
+    hot = comp[comp["id"] < n_hot]
+    # every hot doc is covered and the cluster is ONE component
+    assert len(hot) == n_hot
+    assert hot["component"].nunique() == 1
+
+
 def test_ngram_jaccard_finds_planted_near_dups(ray_session):
     import ray.data as rd
 
