@@ -3149,7 +3149,10 @@ def oracle_sql() -> dict[str, str]:
             FROM fused ORDER BY rank LIMIT 10
         """,
         "text_repetition": """
-            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            WITH d AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '') AS ts
+                       FROM documents),
             g AS (
               SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
                                      FOR i IN range(1, len(ts))]) AS gram
@@ -3157,15 +3160,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
             t AS (SELECT doc_id, max(c) AS top FROM c GROUP BY doc_id)
-            SELECT d2.doc_id::BIGINT AS doc_id,
-                   floor(COALESCE(t.top * 2.0 / len(string_split(d2.text, ' ')), 0)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   floor(LEAST(COALESCE(t.top * 2.0 / len(d.ts), 0), 1.0)
                          * 1e6) / 1e6 AS top_ngram_frac
-            FROM documents d2 LEFT JOIN t USING (doc_id) ORDER BY d2.doc_id
+            FROM d LEFT JOIN t USING (doc_id) ORDER BY d.doc_id
         """,
         "text_perplexity": """
             WITH toks AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-              WHERE length(text) > 0
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE length(text) > 0
             ),
             freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
             tot AS (SELECT sum(c) AS s, count(*) AS v FROM freq),

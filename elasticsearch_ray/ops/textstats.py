@@ -412,7 +412,9 @@ def top_ngram_fraction(ds: Dataset, n: int = 2, text_col: str = "text",
             dstarts = np.flatnonzero(np.r_[True, cdoc[1:] != cdoc[:-1]])
             top = np.maximum.reduceat(counts, dstarts)
             docs = cdoc[dstarts]
-            out[docs] = top * n / n_toks[docs]
+            # clamp: self-overlapping grams ('a a a a', n=2) push top·n
+            # past n_toks; downstream filter thresholds assume [0, 1]
+            out[docs] = np.minimum(top * n / n_toks[docs], 1.0)
         # floor-truncate: k/2^m token ratios land EXACTLY on rounding
         # boundaries where pandas (half-even) and DuckDB (half-away)
         # disagree — the repo's established ratio-oracle convention

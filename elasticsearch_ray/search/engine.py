@@ -1547,13 +1547,15 @@ class QueryEngine:
             self._df_cache.update(df)
         return {t: self._df_cache[t] for t in terms}
 
-    def raw_df(self, terms: list[str]) -> dict[str, int]:
-        """THIS index's df per term, bypassing (and not touching) the DFS
-        cache — the building block MultiIndexEngine uses to combine stats
-        across indices before priming each index's cache with the totals."""
-        df = dict.fromkeys(terms, 0)
+    def raw_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """THIS index's (df, ttf) per term, bypassing (and not touching)
+        the DFS caches — the building block MultiIndexEngine uses to
+        combine stats across indices before priming each index's caches
+        with the totals (ttf matters for the LM similarity family, where
+        P(w|C) must come from the COMBINED collection)."""
+        stats = {t: (0, 0) for t in terms}
         if not terms:
-            return df
+            return stats
         if self._actors:
             import ray
 
@@ -1563,9 +1565,14 @@ class QueryEngine:
             results = [self._searcher(p).local_stats(terms) for p in self.parts
                        if p in cand]
         for st in results:
-            for t, (d, _ttf) in st.items():
-                df[t] += d
-        return df
+            for t, (d, tt) in st.items():
+                pd, pt = stats[t]
+                stats[t] = (pd + d, pt + tt)
+        return stats
+
+    def raw_df(self, terms: list[str]) -> dict[str, int]:
+        """THIS index's df per term (raw_stats projection)."""
+        return {t: d for t, (d, _tt) in self.raw_stats(terms).items()}
 
     def _global_ttf(self, terms: list[str]) -> dict[str, int]:
         """Global total term frequency per term (sum of per-partition ttfs;

@@ -45,16 +45,27 @@ def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
     ``window``."""
     from elasticsearch_ray.ops.ann import brute_topk
 
-    # overfetch margin 50 = the repo's established tie convention
-    # (__ray_entry__._search_table): every doc tied at round(4) with the
-    # windowth score must be present before the rounded re-rank, or the
-    # engine leg diverges from a full-corpus oracle on tie groups
-    lex_raw = engine.search(MatchQuery(query_text), k=window + 50,
-                            fetch=("doc_id",))
-    lex = lex_raw.to_pandas()[["doc_id", "score"]]
-    lex["score"] = lex["score"].round(4)
-    lex = lex.sort_values(["score", "doc_id"],
-                          ascending=[False, True]).head(window)
+    # overfetch margin (starting at 50 = the repo's established tie
+    # convention, __ray_entry__._search_table): every doc tied at round(4)
+    # with the windowth score must be present before the rounded re-rank,
+    # or the engine leg diverges from a full-corpus oracle on tie groups.
+    # If the LAST fetched doc still ties the windowth score the tie group
+    # may extend past the fetch boundary — refetch with a wider margin
+    # (round-3 advice: a fixed +50 silently diverged on wider tie groups).
+    margin = 50
+    while True:
+        lex_raw = engine.search(MatchQuery(query_text), k=window + margin,
+                                fetch=("doc_id",))
+        lex = lex_raw.to_pandas()[["doc_id", "score"]]
+        lex["score"] = lex["score"].round(4)
+        lex = lex.sort_values(["score", "doc_id"], ascending=[False, True])
+        exhausted = len(lex) < window + margin  # corpus has no more hits
+        open_tie = (len(lex) > window
+                    and lex["score"].iloc[-1] == lex["score"].iloc[window - 1])
+        if exhausted or not open_tie:
+            break
+        margin *= 4
+    lex = lex.head(window)
     vec = brute_topk(embeddings_ds, [0], np.asarray([query_vector], np.float64),
                      id_col=id_col, k=window)
     return rrf_fuse([lex["doc_id"].tolist(),

@@ -97,11 +97,19 @@ class MultiIndexEngine:
         if not missing:
             return
         combined = dict.fromkeys(missing, 0)
+        combined_ttf = dict.fromkeys(missing, 0)
         for e in self.engines:
-            for t, d in e.raw_df(missing).items():
+            for t, (d, tt) in e.raw_stats(missing).items():
                 combined[t] += d
+                combined_ttf[t] += tt
         for e in self.engines:
             e._df_cache.update(combined)
+            # ttf primes too: LM-family similarities (LMDirichlet /
+            # LMJelinekMercer / DFI) score P(w|C) from ttf — a sub-engine
+            # left with LOCAL ttf against the combined total_tokens would
+            # silently break the merged-index score identity (round-3
+            # advice, medium)
+            e._ttf_cache.update(combined_ttf)
             e._scorer_cache.clear()  # stale per-index dfs may be baked in
         self._primed.update(missing)
 

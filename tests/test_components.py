@@ -172,13 +172,19 @@ def test_unigram_lm_perplexity(ray_session):
 def test_top_ngram_fraction(ray_session):
     from elasticsearch_ray.ops.textstats import top_ngram_fraction
 
-    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5],
                        "text": ["a b a b a b",       # top bigram covers all
                                 "x y z w q r",        # all bigrams unique
                                 "short",               # < n tokens
-                                ""]})
+                                "",
+                                "a a a a",            # self-overlap: clamp
+                                "a  b\ta b\na b"]})   # irregular whitespace
     out = top_ngram_fraction(rd.from_pandas(df), n=2)
     by = dict(zip(out["doc_id"], out["top_ngram_frac"]))
     assert by[0] == 1.0
     assert abs(by[1] - 2 / 6) < 2e-6
     assert by[2] == 0.0 and by[3] == 0.0
+    # 'a a a a': top bigram (a,a) count 3 → 3·2/4 = 1.5, clamped to [0,1]
+    assert by[4] == 1.0
+    # tabs/newlines/doubled spaces tokenize like str.split()
+    assert by[5] == 1.0

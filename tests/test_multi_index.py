@@ -66,6 +66,31 @@ def test_multi_matches_merged(split_indexes, q):
                        rtol=0, atol=1e-9)
 
 
+@pytest.mark.parametrize("sim", ["LMDirichlet", "LMJelinekMercer", "DFI"])
+def test_multi_lm_family_matches_merged(split_indexes, sim):
+    """LM-family similarities score P(w|C) from ttf: sub-engines must be
+    primed with COMBINED ttf, not local ttf against the combined
+    total_tokens (round-3 advice, medium). Score identity vs the merged
+    index is the oracle."""
+    multi0, full0 = split_indexes
+    subs = [QueryEngine(e.index_dir, dtype="float64") for e in multi0.engines]
+    for e in subs:
+        e.similarity = sim
+    multi = MultiIndexEngine.from_engines(subs)
+    full = QueryEngine(full0.index_dir, dtype="float64")
+    full.similarity = sim
+    try:
+        for q in (MatchQuery("spark join merge"), TermQuery("batch")):
+            a = multi.search(q, k=10, fetch=("url",))
+            b = full.search(q, k=10, fetch=("url",))
+            assert a["url"].to_pylist() == b["url"].to_pylist()
+            assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                               rtol=0, atol=1e-9)
+    finally:
+        multi.close()
+        full.close()
+
+
 def test_multi_bmw_equals_exhaustive(split_indexes):
     multi, _ = split_indexes
     q = MatchQuery("spark join merge")
