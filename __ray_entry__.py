@@ -67,7 +67,10 @@ def _documents_index(sf_dir: str):
     from elasticsearch_ray.search.engine import QueryEngine
 
     idx_dir = f"/tmp/esray_indexes/{key}"
-    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang", "source", "n_chars"))
+    # "text" rides into docs.parquet as the stored _source analog so the
+    # _termvectors re-analysis path works on this index
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang", "source", "n_chars", "text"))
     build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
     eng = QueryEngine(idx_dir, dtype="float64")
     _ENGINES[key] = eng
@@ -414,6 +417,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _count API: per-partition match-set sizes summed, no top-k path
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
+
+    def termvectors_doc(sf):
+        # _termvectors API (TermVectorsService model: re-analyze stored
+        # _source, stats from the index). Tabular projection (doc_id, term,
+        # term_freq, positions) for two docs; the DuckDB twin recomputes
+        # tf + zipped token ordinals from the documents table.
+        from elasticsearch_ray.search.termvectors import termvectors_table
+
+        return termvectors_table(_documents_index(sf), [7, 42])
 
     def search_template_render(sf):
         # _search/template analog: mustache source + params render into the
@@ -1916,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bool_filtered": search_bool_filtered,
         "search_template_render": search_template_render,
         "search_count_api": search_count_api,
+        "termvectors_doc": termvectors_doc,
         "search_alias_filtered": search_alias_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
@@ -2678,6 +2691,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             ) WHERE term IN ('merge', 'sort')
+        """,
+        "termvectors_doc": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+                       FROM documents WHERE doc_id IN (7, 42)),
+            u AS (SELECT doc_id, unnest(ts) AS term,
+                         unnest(range(len(ts))) AS pos FROM d)
+            SELECT doc_id::BIGINT AS doc_id, term,
+                   count(*)::BIGINT AS term_freq,
+                   array_to_string(list_sort(list(pos)), ',') AS positions
+            FROM u GROUP BY doc_id, term ORDER BY doc_id, term
         """,
         "search_alias_filtered": _bm25_sql(["merge", "sort"], k=10, doc_filter="doc.lang = 'en'"),
         "search_synonym_graph": """

@@ -1916,6 +1916,20 @@ class QueryEngine:
                 out.update(self._searcher(p).terms_with_prefix(prefix, size))
         return sorted(out)[:size]
 
+    def termvectors(self, doc_id: int | None = None, doc: str | None = None,
+                    **kw) -> dict:
+        """_termvectors API (TermVectorsRequest.java) — see
+        search/termvectors.py for the re-analysis + index-stats model."""
+        from elasticsearch_ray.search.termvectors import termvectors
+
+        return termvectors(self, doc_id=doc_id, doc=doc, **kw)
+
+    def mtermvectors(self, doc_ids, **kw) -> list[dict]:
+        """_mtermvectors API (MultiTermVectorsRequest.java)."""
+        from elasticsearch_ray.search.termvectors import mtermvectors
+
+        return mtermvectors(self, doc_ids, **kw)
+
     def field_caps(self) -> dict:
         """The `_field_caps` API (FieldCapabilitiesRequest): per-field type
         and searchability over this index — the analyzed text field(s),

@@ -1,0 +1,133 @@
+"""_termvectors / _mtermvectors — per-document term/tf/positions
+introspection (reference: `action/termvectors/TermVectorsRequest.java`,
+`MultiTermVectorsRequest.java`, with the response assembled by
+`index/termvectors/TermVectorsService.java`).
+
+Model parity: when a field does not STORE term vectors, the reference
+re-analyzes the document's ``_source`` with the field's analyzer and
+generates the vector on the fly (TermVectorsService.generateTermVectors);
+term statistics (df, ttf) and field statistics (doc_count, sum_doc_freq,
+sum_ttf) always come from the INDEX. This module does exactly that:
+
+- the document text comes from the stored source column in docs.parquet
+  (the ``_source`` analog — the index must carry it in ``doc_columns``),
+  or from a caller-provided ``doc`` string (the reference's "artificial
+  documents" mode: a termvectors request with a ``doc`` body instead of
+  an id);
+- term_freq/positions come from re-analysis with the index's analyzer
+  (per-language dispatch honored when the index was built with
+  ``lang_analyzers``);
+- doc_freq/ttf reuse the engine's cached DFS gathers, so they are GLOBAL
+  across partitions exactly like dfs=true in the reference;
+- consistency with the inverted index (re-analyzed tf == postings tf) is
+  pinned by tests/test_termvectors.py.
+
+Everything here is driver-side O(one doc) — no Dataset pass."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+
+def _source_text(engine, doc_id: int, source_col: str) -> tuple[str, str | None]:
+    """(text, lang) of one doc from the stored source column."""
+    part, local = engine._locate(int(doc_id))
+    s = engine._searcher(part)
+    cols = (source_col, engine.spec.get("lang_column", "lang"))
+    t = s.r.doc_fields(np.array([local], dtype=np.int64), columns=cols)
+    if source_col not in t.column_names:
+        raise ValueError(
+            f"index does not store source column {source_col!r} "
+            "(build with doc_columns including it — the _source analog); "
+            "or pass doc= for artificial-document term vectors")
+    text = t[source_col][0].as_py()
+    lang_col = engine.spec.get("lang_column", "lang")
+    lang = t[lang_col][0].as_py() if lang_col in t.column_names else None
+    return text or "", lang
+
+
+def _sum_doc_freq(engine) -> int:
+    """Σ df over the whole term dictionary (the field_statistics
+    sum_doc_freq; includes namespaced extra-field terms). One term-dict
+    column scan per partition, cached on the engine."""
+    v = getattr(engine, "_sum_doc_freq_cache", None)
+    if v is None:
+        v = sum(int(engine._searcher(p).r.df.sum()) for p in engine.parts)
+        engine._sum_doc_freq_cache = v
+    return v
+
+
+def termvectors(engine, doc_id: int | None = None, doc: str | None = None,
+                positions: bool = True, term_statistics: bool = False,
+                field_statistics: bool = False, analyzer: str | None = None,
+                source_col: str = "text") -> dict:
+    """One document's term vector: {term: {term_freq, positions[,
+    doc_freq, ttf]}} (+ field_statistics). Exactly one of ``doc_id`` /
+    ``doc`` must be given."""
+    if (doc_id is None) == (doc is None):
+        raise ValueError("exactly one of doc_id / doc is required")
+    lang = None
+    if doc is None:
+        text, lang = _source_text(engine, doc_id, source_col)
+    else:
+        text = doc
+    if analyzer is None:
+        analyzer = engine.analyzer_name
+        la = engine.spec.get("lang_analyzers")
+        if la and lang is not None:
+            analyzer = la.get(lang, analyzer)
+    toks, poss = get_analyzer(analyzer)(text)
+    terms: dict = {}
+    for tok, p in zip(toks, poss):
+        e = terms.setdefault(tok, {"term_freq": 0, "positions": []})
+        e["term_freq"] += 1
+        e["positions"].append(int(p))
+    if not positions:
+        for e in terms.values():
+            del e["positions"]
+    if term_statistics:
+        tl = sorted(terms)
+        df = engine._global_stats(tl)
+        ttf = engine._global_ttf(tl)
+        for t in tl:
+            terms[t]["doc_freq"] = int(df[t])
+            terms[t]["ttf"] = int(ttf[t])
+    out = {"doc_id": doc_id, "found": True, "terms": terms}
+    if field_statistics:
+        out["field_statistics"] = {
+            "doc_count": int(engine.n_docs),
+            "sum_ttf": int(engine.meta["sum_dl"]),
+            "sum_doc_freq": _sum_doc_freq(engine),
+        }
+    return out
+
+
+def mtermvectors(engine, doc_ids, **kw) -> list[dict]:
+    """_mtermvectors: one termvectors() response per id, in order
+    (MultiTermVectorsRequest is a flat fan-out of singles)."""
+    return [termvectors(engine, doc_id=d, **kw) for d in doc_ids]
+
+
+def termvectors_table(engine, doc_ids, **kw):
+    """Tabular projection for oracle comparison: (doc_id, term, term_freq,
+    positions) rows, positions comma-joined ascending, ordered (doc_id,
+    term)."""
+    import pyarrow as pa
+
+    rows_doc, rows_term, rows_tf, rows_pos = [], [], [], []
+    for d in doc_ids:
+        tv = termvectors(engine, doc_id=d, positions=True, **kw)
+        for term in sorted(tv["terms"]):
+            e = tv["terms"][term]
+            rows_doc.append(int(d))
+            rows_term.append(term)
+            rows_tf.append(int(e["term_freq"]))
+            rows_pos.append(",".join(str(p) for p in sorted(e["positions"])))
+    return pa.table({
+        "doc_id": pa.array(rows_doc, pa.int64()),
+        "term": pa.array(rows_term),
+        "term_freq": pa.array(rows_tf, pa.int64()),
+        "positions": pa.array(rows_pos),
+    })

@@ -1,0 +1,111 @@
+"""_termvectors / _mtermvectors (TermVectorsService model): re-analyzed
+term vectors must be CONSISTENT with the inverted index — tf equals the
+decoded postings tf, positions equal the stored positions slice — and
+term/field statistics come from the index's global stats."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("tvidx") / "index")
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang", "text"))
+    build_index(SF_DIR, idx, spec, concurrency=2,
+                file_pattern="documents.parquet")
+    e = QueryEngine(idx, dtype="float64")
+    yield e
+    e.close()
+
+
+def _postings_for(eng, term, doc_id):
+    """(tf, positions) of term in doc straight from the index."""
+    from elasticsearch_ray.index.postings import decode_postings
+
+    part, local = eng._locate(doc_id)
+    s = eng._searcher(part)
+    row = int(s.r.lookup([term])[0])
+    assert row >= 0
+    d, tfs = decode_postings(bytes(s.r.blob(row)))
+    j = int(np.searchsorted(d, local))
+    assert j < len(d) and d[j] == local
+    flat = np.asarray(s.r.positions_for(row), np.int64)
+    off = int(tfs[:j].sum())
+    return int(tfs[j]), flat[off:off + int(tfs[j])].tolist()
+
+
+def test_termvectors_consistent_with_postings(eng):
+    for doc_id in (3, 17, 101):
+        tv = eng.termvectors(doc_id=doc_id)
+        assert tv["found"] and tv["terms"]
+        # doclen invariant: Σ tf == stored doclen for the doc
+        part, local = eng._locate(doc_id)
+        s = eng._searcher(part)
+        import pyarrow.parquet as pq
+        import os
+        dl = pq.read_table(os.path.join(s.r.dir, "docs.parquet"),
+                           columns=["doclen"])["doclen"][local].as_py()
+        assert sum(e["term_freq"] for e in tv["terms"].values()) == dl
+        for term in list(tv["terms"])[:10]:
+            tf, pos = _postings_for(eng, term, doc_id)
+            assert tv["terms"][term]["term_freq"] == tf
+            assert tv["terms"][term]["positions"] == pos
+
+
+def test_termvectors_statistics(eng):
+    tv = eng.termvectors(doc_id=5, term_statistics=True,
+                         field_statistics=True)
+    terms = list(tv["terms"])[:5]
+    df = eng._global_stats(terms)
+    ttf = eng._global_ttf(terms)
+    for t in terms:
+        assert tv["terms"][t]["doc_freq"] == df[t] > 0
+        assert tv["terms"][t]["ttf"] == ttf[t] >= tv["terms"][t]["term_freq"]
+    fs = tv["field_statistics"]
+    assert fs["doc_count"] == eng.n_docs
+    assert fs["sum_ttf"] == eng.meta["sum_dl"]
+    # sum_doc_freq: Σ df over the term dict == Σ per-doc distinct terms
+    assert fs["sum_doc_freq"] >= fs["doc_count"]
+
+
+def test_termvectors_artificial_doc(eng):
+    tv = eng.termvectors(doc="Spark joins merge SPARK", term_statistics=True)
+    assert tv["terms"]["spark"]["term_freq"] == 2
+    assert tv["terms"]["spark"]["positions"] == [0, 3]
+    assert tv["terms"]["merge"]["doc_freq"] == eng._global_stats(["merge"])["merge"]
+
+
+def test_mtermvectors_and_validation(eng):
+    out = eng.mtermvectors([1, 2, 3])
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.termvectors()
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.termvectors(doc_id=1, doc="x")
+
+
+def test_termvectors_requires_stored_source(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("tvnosrc") / "index")
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang",))
+    build_index(SF_DIR, idx, spec, concurrency=2,
+                file_pattern="documents.parquet")
+    e = QueryEngine(idx, dtype="float64")
+    try:
+        with pytest.raises(ValueError, match="_source"):
+            e.termvectors(doc_id=1)
+        # artificial-doc mode still works without stored source
+        assert e.termvectors(doc="spark join")["terms"]["spark"]["term_freq"] == 1
+    finally:
+        e.close()
