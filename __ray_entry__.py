@@ -1558,6 +1558,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["k"] = out["k"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def pipeline_events_ua(sf):
+        # user_agent processor (ingest-user-agent): a deterministic UA
+        # column synthesized from event_id % 5 runs through the parsing
+        # pipeline; the DuckDB twin hard-codes the expected parse per UA
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        uas = [
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+            "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 "
+            "Mobile/15E148 Safari/604.1",
+            "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 "
+            "Firefox/115.0",
+            "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like "
+            "Gecko) Chrome/119.0.0.0 Safari/537.36 Edg/119.0.2151.44",
+            "curl/8.4.0",
+        ]
+
+        def add_ua(df):
+            df["ua"] = [uas[int(i) % 5] for i in df["event_id"]]
+            return df
+
+        pipe = Pipeline([
+            {"script": {"fn": add_ua}},
+            {"user_agent": {"field": "ua"}},
+        ])
+        out = (
+            _ds(sf, "events")
+            .map_batches(pipe, batch_format="pandas")
+            .to_pandas()
+        )
+        out = pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "ua_name": out["user_agent.name"],
+            "ua_os": out["user_agent.os.name"],
+        }).sort_values("event_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def dedup_embedding_pairs(sf):  # rows-only (IVF-bucketed cosine)
         from elasticsearch_ray.ops.dedup import embedding_near_dups
 
@@ -2003,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
+        "pipeline_events_ua": pipeline_events_ua,
         "pipeline_events_csv": pipeline_events_csv,
         "web_match_top10": web_match_top10,
         "web_strip_invariant": web_strip_invariant,
@@ -3219,6 +3259,18 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "pipeline_events_ua": """
+            SELECT event_id,
+                   CASE event_id % 5
+                     WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                     WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Edge'
+                     ELSE 'curl' END AS ua_name,
+                   CASE event_id % 5
+                     WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                     WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows'
+                     ELSE 'Other' END AS ua_os
+            FROM events ORDER BY event_id
         """,
         "pipeline_events_enrich": """
             SELECT event_id, upper(event_type) AS event_type,

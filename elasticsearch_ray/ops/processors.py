@@ -340,6 +340,183 @@ class RegisteredDomainProcessor(Processor):
         return df
 
 
+@register("user_agent")
+class UserAgentProcessor(Processor):
+    """``user_agent`` ingest processor (modules/ingest-user-agent,
+    UserAgentProcessor.java) — parse a User-Agent string into
+    ``<target>.name`` / ``.version`` / ``.os.name`` / ``.os.version`` /
+    ``.os.full`` / ``.device.name`` / ``.original``.
+
+    The reference ships the ua-parser project's public regexes.yaml; this
+    is a compact from-scratch subset of the same PUBLIC pattern family
+    covering the mainstream engines (Edge before Chrome before Safari —
+    Chromium UAs carry all three tokens, so match order is load-bearing),
+    legacy IE, CLI clients and major crawlers. Vectorized: one compiled
+    ``.str.extract`` per family over the whole batch, later families fill
+    only still-unmatched rows."""
+
+    # (name, regex with ONE version group) — first match wins
+    _BROWSERS = [
+        ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\w.]*)"),
+        ("Opera", r"OPR/(\d+[\w.]*)"),
+        ("Opera", r"Opera[/ ](\d+[\w.]*)"),
+        ("Samsung Internet", r"SamsungBrowser/(\d+[\w.]*)"),
+        ("HeadlessChrome", r"HeadlessChrome/(\d+[\w.]*)"),
+        ("Chrome Mobile", r"Chrome/(\d+[\w.]*) Mobile"),
+        ("Chrome", r"Chrom(?:e|ium)/(\d+[\w.]*)"),
+        ("Firefox", r"Firefox/(\d+[\w.]*)"),
+        ("Mobile Safari", r"Version/(\d+[\w.]*).* Mobile/\w+ Safari/"),
+        ("Safari", r"Version/(\d+[\w.]*).* Safari/"),
+        ("IE", r"MSIE (\d+[\w.]*)"),
+        ("IE", r"Trident/.*rv:(\d+[\w.]*)"),
+        ("curl", r"curl/(\d+[\w.]*)"),
+        ("Wget", r"Wget/(\d+[\w.]*)"),
+        ("Python Requests", r"python-requests/(\d+[\w.]*)"),
+        ("Googlebot", r"Googlebot/(\d+[\w.]*)"),
+        ("bingbot", r"bingbot/(\d+[\w.]*)"),
+    ]
+    _OSES = [
+        ("Windows", r"Windows NT (\d+[\w.]*)"),
+        ("Android", r"Android (\d+[\w.]*)"),
+        # iOS before Mac OS X: iPad/iPhone UAs contain "like Mac OS X"
+        ("iOS", r"(?:iPhone|CPU) OS (\d+[_\d]*) like Mac OS X"),
+        ("Mac OS X", r"Mac OS X (\d+[_\d]*)"),
+        ("Chrome OS", r"CrOS \w+ (\d+[\w.]*)"),
+        ("Linux", r"(Linux)"),
+    ]
+    _DEVICES = [("iPhone", r"iPhone"), ("iPad", r"iPad"),
+                ("Mac", r"Macintosh"), ("Generic Smartphone", r"Android")]
+
+    def __init__(self, field, target_field="user_agent",
+                 ignore_missing=False):
+        self.field, self.target = field, target_field
+        self.ignore_missing = ignore_missing
+        self._browsers = [(n, re.compile(p)) for n, p in self._BROWSERS]
+        self._oses = [(n, re.compile(p)) for n, p in self._OSES]
+        self._devices = [(n, re.compile(p)) for n, p in self._DEVICES]
+
+    def __call__(self, df):
+        ua = df[self.field].fillna("") if self.ignore_missing else df[self.field]
+        t = self.target
+        name = pd.Series("Other", index=df.index)
+        version = pd.Series("", index=df.index)
+        todo = pd.Series(True, index=df.index)
+        for n, rx in self._browsers:
+            if not todo.any():
+                break
+            m = ua.str.extract(rx, expand=False)
+            hit = todo & m.notna()
+            name[hit] = n
+            version[hit] = m[hit]
+            todo &= ~hit
+        os_name = pd.Series("Other", index=df.index)
+        os_version = pd.Series("", index=df.index)
+        todo = pd.Series(True, index=df.index)
+        for n, rx in self._oses:
+            if not todo.any():
+                break
+            m = ua.str.extract(rx, expand=False)
+            hit = todo & m.notna()
+            os_name[hit] = n
+            os_version[hit] = m[hit].str.replace("_", ".") if n != "Linux" else ""
+            todo &= ~hit
+        device = pd.Series("Other", index=df.index)
+        todo = pd.Series(True, index=df.index)
+        for n, rx in self._devices:
+            hit = todo & ua.str.contains(rx)
+            device[hit] = n
+            todo &= ~hit
+        df[f"{t}.name"] = name
+        df[f"{t}.version"] = version
+        df[f"{t}.os.name"] = os_name
+        df[f"{t}.os.version"] = os_version
+        df[f"{t}.os.full"] = (os_name + " " + os_version).str.strip()
+        df[f"{t}.device.name"] = device
+        df[f"{t}.original"] = ua
+        return df
+
+
+@register("geoip")
+class GeoIpProcessor(Processor):
+    """``geoip`` ingest processor (modules/ingest-geoip,
+    GeoIpProcessor.java) as a CIDR-table lookup interface: the reference
+    resolves IPs against a MaxMind database file; no database ships in
+    this environment, so the lookup table is caller-provided —
+    ``database`` is a list of ``(cidr, {prop: value})`` rows (or a path
+    to a two-column csv ``cidr,json_props``). Lookup is vectorized:
+    CIDRs become sorted (lo, hi) uint32 ranges once in __init__, each
+    batch is one IPv4→uint32 conversion + one searchsorted. Most-specific
+    (longest-prefix) match wins, like the MaxMind tree. IPv6 and
+    unmatched IPs yield nulls (ignore_missing semantics)."""
+
+    def __init__(self, field, database, target_field="geoip",
+                 properties=("country_iso_code", "city_name", "location")):
+        self.field, self.target = field, target_field
+        self.properties = tuple(properties)
+        if isinstance(database, str):
+            import csv as _csv
+
+            rows = []
+            with open(database) as f:
+                for cidr, props in _csv.reader(f):
+                    rows.append((cidr, _json.loads(props)))
+            database = rows
+        lo, hi, plen, props = [], [], [], []
+        for cidr, p in database:
+            net, _, bits = cidr.partition("/")
+            bits = int(bits or 32)
+            base = self._ip_u32(net)
+            if base is None:
+                raise ValueError(f"bad CIDR {cidr!r}")
+            mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
+            lo.append(base & mask)
+            hi.append((base & mask) | (~mask & 0xFFFFFFFF))
+            plen.append(bits)
+            props.append(p)
+        # longest-prefix within equal lo: sort by (lo, prefix_len) so the
+        # MOST specific row is the last one with lo <= ip; nested shorter
+        # prefixes are checked by walking left until a range covers ip
+        order = np.lexsort((np.array(plen), np.array(lo, np.uint32)))
+        self._lo = np.array(lo, np.uint32)[order]
+        self._hi = np.array(hi, np.uint32)[order]
+        self._props = [props[i] for i in order]
+
+    @staticmethod
+    def _ip_u32(s):
+        parts = (s or "").split(".")
+        if len(parts) != 4:
+            return None
+        try:
+            o = [int(x) for x in parts]
+        except ValueError:
+            return None
+        if any(x < 0 or x > 255 for x in o):
+            return None
+        return (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+
+    def __call__(self, df):
+        u = df[self.field].map(self._ip_u32)
+        valid = u.notna()
+        ips = u[valid].to_numpy(dtype=np.uint32) if valid.any() else \
+            np.empty(0, np.uint32)
+        idx = np.searchsorted(self._lo, ips, side="right") - 1
+        out = {p: pd.Series([None] * len(df), index=df.index, dtype=object)
+               for p in self.properties}
+        vi = df.index[valid]
+        for row, (ip, j) in zip(vi, zip(ips.tolist(), idx.tolist())):
+            # walk left over candidate ranges (most-specific first)
+            while j >= 0 and self._lo[j] <= ip:
+                if ip <= self._hi[j]:
+                    for p in self.properties:
+                        if p in self._props[j]:
+                            out[p][row] = self._props[j][p]
+                    break
+                j -= 1
+        for p in self.properties:
+            df[f"{self.target}.{p}"] = out[p]
+        return df
+
+
 @register("html_strip")
 class HtmlStripProcessor(Processor):
     """HtmlStripProcessor.java:27-44 — processor-mode short circuit applies."""
