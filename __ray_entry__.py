@@ -1216,6 +1216,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   percents=(50.0, 95.0))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_percentiles_hdr(sf):  # rows-only: HDR bucket representative
+        # ("hdr" percentiles method, InternalHDRPercentiles — fixed
+        # significant digits, losslessly mergeable; error-bound +
+        # associativity properties pinned in tests/test_hdr_matrix.py)
+        from elasticsearch_ray.ops.aggs import percentiles_hdr
+
+        out = percentiles_hdr(_ds(sf, "lineitem"), "l_returnflag", "l_quantity",
+                              percents=(50.0, 95.0), significant_digits=3)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_matrix_stats(sf):
+        # matrix_stats (aggs-matrix-stats module): pairwise sample
+        # covariance/correlation over numeric event fields from exact
+        # mergeable Chan-combine partials; DuckDB covar_samp/corr twin
+        from elasticsearch_ray.ops.matrix_stats import matrix_stats
+
+        res = matrix_stats(_ds(sf, "events"), ["user_id", "value"])
+        out = res["pairs"].copy()
+        out["covariance"] = out["covariance"].round(4)
+        out["correlation"] = out["correlation"].round(4)
+        out = out.sort_values(["field_a", "field_b"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -2008,6 +2031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_ip_range": agg_ip_range,
         "agg_ip_prefix": agg_ip_prefix,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
+        "agg_percentiles_hdr": agg_percentiles_hdr,
+        "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
         "web_lang_cjk": web_lang_cjk,
@@ -3259,6 +3284,24 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "agg_matrix_stats": """
+            WITH s AS (SELECT user_id::DOUBLE AS a, value::DOUBLE AS b
+                       FROM events)
+            SELECT * FROM (
+              SELECT 'user_id' AS field_a, 'user_id' AS field_b,
+                     round(covar_samp(a, a), 4) AS covariance,
+                     round(corr(a, a), 4) AS correlation FROM s
+              UNION ALL
+              SELECT 'user_id', 'value', round(covar_samp(a, b), 4),
+                     round(corr(a, b), 4) FROM s
+              UNION ALL
+              SELECT 'value', 'user_id', round(covar_samp(b, a), 4),
+                     round(corr(b, a), 4) FROM s
+              UNION ALL
+              SELECT 'value', 'value', round(covar_samp(b, b), 4),
+                     round(corr(b, b), 4) FROM s
+            ) ORDER BY field_a, field_b
         """,
         "pipeline_events_ua": """
             SELECT event_id,

@@ -250,6 +250,47 @@ def percentiles_tdigest(ds: Dataset, key: str | None, value_col: str,
     return pd.DataFrame([finish(partials["sketch"])])
 
 
+def percentiles_hdr(ds: Dataset, key: str | None, value_col: str,
+                    percents=(25.0, 50.0, 75.0, 95.0, 99.0),
+                    significant_digits: int = 3) -> pd.DataFrame:
+    """percentiles via the HDR histogram — the reference's ``"hdr"``
+    method option (InternalHDRPercentiles, fixed significant digits,
+    losslessly mergeable counts). Same partial/final reduce shape as
+    percentiles_tdigest: one sketch per (batch, bucket), count-merge in a
+    tiny driver reduce."""
+    from elasticsearch_ray.ops.hdr import HdrHistogram
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if key:
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            rows_k, rows_s = [], []
+            for k in pd.unique(keys):
+                rows_k.append(k)
+                rows_s.append(
+                    HdrHistogram(significant_digits).add(vals[keys == k]).to_bytes())
+            return pa.table({key: pa.array(rows_k),
+                             "sketch": pa.array(rows_s, pa.binary())})
+        return pa.table({"sketch": pa.array(
+            [HdrHistogram(significant_digits).add(vals).to_bytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def finish(sketches) -> dict:
+        h = HdrHistogram(significant_digits)
+        for b in sketches:
+            h.merge(HdrHistogram.from_bytes(b))
+        return {f"p{str(p).rstrip('0').rstrip('.')}": round(h.value_at_percentile(p), 6)
+                for p in percents}
+
+    if key:
+        rows = []
+        for k, grp in partials.groupby(key):
+            rows.append({key: k, **finish(grp["sketch"])})
+        return pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    return pd.DataFrame([finish(partials["sketch"])])
+
+
 def top_hits_agg(ds: Dataset, key: str, sort_col: str, n: int = 3,
                  descending: bool = True, fetch: list[str] | None = None) -> pd.DataFrame:
     """top_hits metric agg: the n best docs per bucket by sort_col
