@@ -1866,6 +1866,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = eng.complete("w", size=5)
         return pa.Table.from_pylist(out)
 
+    def suggest_completion_fuzzy(sf):  # rows-only
+        # FuzzyCompletionSuggestion: typo'd prefix, exact-first ranking
+        # (edits asc, df desc, term asc); ranking pinned in
+        # tests/test_search_options.py::test_fuzzy_completion_suggester
+        eng = _documents_index(sf)
+        out = eng.complete_fuzzy("spork", size=5, fuzziness=1)
+        return pa.Table.from_pylist(out)
+
     def suggest_phrase(sf):  # rows-only
         eng = _documents_index(sf)
         out = eng.suggest_phrase("spark joim", size=3)
@@ -1930,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score": search_function_score,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
+        "suggest_completion_fuzzy": suggest_completion_fuzzy,
         "rank_eval_report": rank_eval_report,
         "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,

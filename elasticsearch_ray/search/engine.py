@@ -947,6 +947,35 @@ class PartitionSearcher:
                 out[t] = int(self.r.df[base + i])
         return out
 
+    def fuzzy_completion_candidates(self, prefix: str, max_edits: int = 1,
+                                    prefix_length: int = 1,
+                                    min_length: int = 3,
+                                    limit: int = 2000) -> dict[str, tuple[int, int]]:
+        """Fuzzy completion candidates (search/suggest/completion
+        FuzzyCompletionSuggestion / Lucene FuzzyCompletionQuery): terms
+        with SOME prefix within ``max_edits`` edits of the typed prefix →
+        {term: (df, edits)}. Reference defaults kept: the first
+        ``prefix_length`` chars must match exactly (prunes the sorted dict
+        to one searchsorted range, like the exact path), and prefixes
+        shorter than ``min_length`` don't fuzz at all."""
+        if len(prefix) < min_length:
+            max_edits = 0
+        if max_edits == 0:
+            return {t: (df, 0)
+                    for t, df in self.completion_candidates(prefix, limit).items()}
+        terms_np = self._terms_np()
+        cand, base = self._prefix_cut(terms_np, prefix[:prefix_length])
+        out: dict[str, tuple[int, int]] = {}
+        for i, t in enumerate(cand):
+            if len(out) >= limit:
+                break
+            if "\x1f" in t or len(t) < len(prefix) - max_edits:
+                continue
+            e = _prefix_edits(prefix, t, max_edits)
+            if e is not None:
+                out[t] = (int(self.r.df[base + i]), e)
+        return out
+
     def terms_with_prefix(self, prefix: str, limit: int) -> list[str]:
         """Exact prefix listing for _terms_enum: field-scoped ('\\x1f') keys
         are filtered BEFORE the limit cut — a field name sharing the prefix
@@ -1149,6 +1178,34 @@ def _auto_fuzziness(term: str) -> int:
     """Fuzziness.AUTO: 0 for len<3, 1 for 3..5, 2 above (Fuzziness.java)."""
     n = len(term)
     return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _prefix_edits(a: str, b: str, maxd: int) -> int | None:
+    """Min Damerau-Levenshtein distance from ``a`` to ANY PREFIX of ``b``
+    (≤ maxd), or None — the fuzzy-completion predicate (Lucene
+    FuzzyCompletionQuery matches analyzed suggestions whose prefix is
+    within ``maxEdits`` of the typed prefix). Only the first
+    len(a)+maxd chars of b can matter."""
+    if maxd == 0:
+        return 0 if b.startswith(a) else None
+    b = b[: len(a) + maxd]
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (prev2 is not None and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        if min(cur) > maxd:
+            return None
+        prev2, prev = prev, cur
+    best = min(prev)  # min over all prefixes of b
+    return best if best <= maxd else None
 
 
 def _edit_distance_le(a: str, b: str, maxd: int) -> bool:
@@ -2093,6 +2150,37 @@ class QueryEngine:
         ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
         return [{"text": t, "freq": df} for t, df in ranked]
 
+    def complete_fuzzy(self, prefix: str, size: int = 5, fuzziness: int = 1,
+                       prefix_length: int = 1, min_length: int = 3) -> list[dict]:
+        """Fuzzy completion suggester (FuzzyCompletionSuggestion): prefix
+        typos within ``fuzziness`` Damerau edits still complete. Ranking
+        mirrors Lucene's exact-first boosting deterministically: (edits
+        asc, df desc, term asc) — an exact-prefix completion always beats
+        a fuzzy one regardless of frequency."""
+        prefix = prefix.lower()
+        args = (prefix, fuzziness, prefix_length, min_length)
+        if self._actors:
+            import ray
+
+            results = ray.get([a.fuzzy_completion_candidates.remote(*args)
+                               for a in self._actors])
+            results = [d for group in results for d in group]
+        else:
+            results = [self._searcher(p).fuzzy_completion_candidates(*args)
+                       for p in self.parts]
+        merged: dict[str, list] = {}
+        for d in results:
+            for t, (df, e) in d.items():
+                cur = merged.get(t)
+                if cur is None:
+                    merged[t] = [df, e]
+                else:
+                    cur[0] += df
+                    cur[1] = min(cur[1], e)
+        ranked = sorted(merged.items(),
+                        key=lambda kv: (kv[1][1], -kv[1][0], kv[0]))[:size]
+        return [{"text": t, "freq": df, "edits": e} for t, (df, e) in ranked]
+
     def suggest_phrase(self, text: str, size: int = 3, max_edits: int = 2,
                        candidates_per_token: int = 3,
                        edit_penalty: float = 4.0, alpha: float = 0.5) -> list[dict]:
@@ -2845,6 +2933,12 @@ class SearcherActor:
 
     def completion_candidates(self, prefix, limit=1000):
         return [s.completion_candidates(prefix, limit) for s in self.searchers.values()]
+
+    def fuzzy_completion_candidates(self, prefix, max_edits=1, prefix_length=1,
+                                    min_length=3):
+        return [s.fuzzy_completion_candidates(prefix, max_edits, prefix_length,
+                                              min_length)
+                for s in self.searchers.values()]
 
     def terms_with_prefix(self, prefix, limit):
         out: set = set()

@@ -208,6 +208,38 @@ def test_completion_suggester(web_engine):
     assert any(o["text"] == "spark" for o in out)
 
 
+def test_fuzzy_completion_suggester(web_engine):
+    """FuzzyCompletionSuggestion: typo'd prefixes still complete; exact
+    prefix matches rank before fuzzy ones regardless of frequency."""
+    # 'sparl' (typo for 'spark') is no term's exact prefix
+    assert not web_engine.complete("sparl", size=5)
+    out = web_engine.complete_fuzzy("sparl", size=5, fuzziness=1)
+    assert any(o["text"] == "spark" for o in out)
+    assert all(o["edits"] <= 1 for o in out)
+    # exact-first: edits ascending, then freq descending
+    keys = [(o["edits"], -o["freq"], o["text"]) for o in out]
+    assert keys == sorted(keys)
+    # exact prefix with fuzz: edits-0 completions come first and match
+    # the exact completion suggester's ranking
+    fz = web_engine.complete_fuzzy("spa", size=5, fuzziness=1)
+    exact = web_engine.complete("spa", size=5)
+    n0 = sum(1 for o in fz if o["edits"] == 0)
+    assert [o["text"] for o in fz[:n0]] == [o["text"] for o in exact][:n0]
+    # below min_length no fuzz applies (reference default min_length=3)
+    short = web_engine.complete_fuzzy("sp", size=5, fuzziness=1)
+    assert all(o["edits"] == 0 and o["text"].startswith("sp") for o in short)
+    # transposition counts as ONE edit (Damerau)
+    tr = web_engine.complete_fuzzy("sprak", size=5, fuzziness=1)
+    assert any(o["text"] == "spark" for o in tr)
+    # ...but not within the non-fuzzy prefix (prefix_length=1 default):
+    # a first-char transposition only matches with prefix_length=0
+    assert not any(o["text"] == "spark"
+                   for o in web_engine.complete_fuzzy("psark", size=5))
+    tr0 = web_engine.complete_fuzzy("psark", size=5, fuzziness=1,
+                                    prefix_length=0)
+    assert any(o["text"] == "spark" for o in tr0)
+
+
 def test_phrase_suggester_corrects_typos(web_engine):
     out = web_engine.suggest_phrase("spark joim", size=3)
     assert out
