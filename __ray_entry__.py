@@ -316,6 +316,27 @@ def _multifield_index(sf_dir: str):
     return eng
 
 
+def _sayt_index(sf_dir: str):
+    """documents index with search_as_you_type subfields (text._2gram /
+    text._3gram shingle fields — SearchAsYouTypeFieldMapper composition)."""
+    key = f"sayt-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.sayt import sayt_spec
+
+    fields, fa = sayt_spec("text", "text")
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     fields=fields, field_analyzers=fa)
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _webpages_index(sf_dir: str):
     """Flagship path: synthesize the Common-Crawl-shaped corpus, build the
     index from the html column (strip → analyze → postings)."""
@@ -463,6 +484,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         q = synonym_graph_expand("mergesort", ["mergesort, merge sort"])
         return _doc_set(_documents_index(sf), q)
+
+    def search_sayt(sf):
+        # search_as_you_type (SearchAsYouTypeFieldMapper): match over the
+        # ._2gram shingle subfield — the query analyzes through the same
+        # shingle chain, BM25 runs on the subfield's own dl/avgdl/norms;
+        # DuckDB twin rebuilds the gram stream with zipped adjacent tokens
+        return _search_table(_sayt_index(sf),
+                             MatchQuery("spark join merge", field="text._2gram"),
+                             k=10)
+
+    def search_sayt_bool_prefix(sf):  # rows-only (prefix leg constant-score)
+        # multi_match type=bool_prefix over root + shingle subfields with a
+        # mid-type last token ("mer") — the as-you-type serving query
+        from elasticsearch_ray.search.sayt import sayt_query
+
+        q = sayt_query("text", "spark join mer")
+        return _search_table(_sayt_index(sf), q, k=10)
 
     def search_multi_match(sf):
         from elasticsearch_ray.search.query import MultiMatchQuery
@@ -2003,6 +2041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_alias_filtered": search_alias_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
+        "search_sayt": search_sayt,
+        "search_sayt_bool_prefix": search_sayt_bool_prefix,
         "search_most_fields": search_most_fields,
         "search_query_string": search_query_string,
         "search_combined_fields": search_combined_fields,
@@ -2190,6 +2230,9 @@ sc_{a} AS (
 
 
 _TOK_BODY = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+_TOK_2GRAM = ("SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] "
+              "FOR i IN range(1, len(ts))]) AS term "
+              "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)")
 _TOK_TITLE = ("SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS term "
               "FROM documents")
 
@@ -2782,6 +2825,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE (' ' || text || ' ') LIKE '% merge sort %'
                OR (' ' || text || ' ') LIKE '% mergesort %'
             ORDER BY doc_id
+        """,
+        "search_sayt": f"""
+            WITH {_field_scores_sql("g", _TOK_2GRAM, ["spark join", "join merge"])}
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                     AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM sc_g ORDER BY rank LIMIT 10
         """,
         "search_multi_match": f"""
             WITH {_field_scores_sql("b", _TOK_BODY, ["spark", "join"])},
