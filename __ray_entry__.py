@@ -1619,6 +1619,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["k"] = out["k"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def script_expression_column(sf):
+        # lang-expression analog: sandboxed arithmetic source compiled once,
+        # evaluated vectorized per batch (runtime-field / script shape)
+        from elasticsearch_ray.search.expressions import add_expression_column
+
+        ds = add_expression_column(_ds(sf, "documents"), "v",
+                                   "sqrt(n_chars) + doc_id % 7")
+        out = (ds.select_columns(["doc_id", "v"]).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        out["v"] = out["v"].round(6)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -2117,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_ua": pipeline_events_ua,
+        "script_expression_column": script_expression_column,
         "pipeline_events_csv": pipeline_events_csv,
         "web_match_top10": web_match_top10,
         "web_strip_invariant": web_strip_invariant,
@@ -3361,6 +3375,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'value', 'value', round(covar_samp(b, b), 4),
                      round(corr(b, b), 4) FROM s
             ) ORDER BY field_a, field_b
+        """,
+        "script_expression_column": """
+            SELECT doc_id, round(sqrt(n_chars) + doc_id % 7, 6) AS v
+            FROM documents ORDER BY doc_id
         """,
         "pipeline_events_ua": """
             SELECT event_id,

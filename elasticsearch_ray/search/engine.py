@@ -2451,6 +2451,14 @@ class QueryEngine:
             src = src.take(pa.array(inv))
         out = hits
         for name, fn in fields.items():
+            if isinstance(fn, str):
+                # expression-language script (lang-expression analog):
+                # compile the sandboxed arithmetic source once per call
+                from elasticsearch_ray.search.expressions import (
+                    expression_script_field,
+                )
+
+                fn = expression_script_field(fn)
             col = fn(src)
             if not isinstance(col, (pa.Array, pa.ChunkedArray)):
                 col = pa.array(col)
