@@ -1264,6 +1264,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               percents=(50.0, 95.0), significant_digits=3)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_percentile_ranks_hdr(sf):  # rows-only: HDR bucket granularity
+        from elasticsearch_ray.ops.aggs import percentile_ranks_hdr
+
+        out = percentile_ranks_hdr(_ds(sf, "lineitem"), "l_quantity",
+                                   [10.0, 25.0, 40.0])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_matrix_stats(sf):
         # matrix_stats (aggs-matrix-stats module): pairwise sample
         # covariance/correlation over numeric event fields from exact
@@ -2094,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_ip_prefix": agg_ip_prefix,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_percentiles_hdr": agg_percentiles_hdr,
+        "agg_percentile_ranks_hdr": agg_percentile_ranks_hdr,
         "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,

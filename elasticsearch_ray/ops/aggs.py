@@ -291,6 +291,27 @@ def percentiles_hdr(ds: Dataset, key: str | None, value_col: str,
     return pd.DataFrame([finish(partials["sketch"])])
 
 
+def percentile_ranks_hdr(ds: Dataset, value_col: str, values: list[float],
+                         significant_digits: int = 3) -> pd.DataFrame:
+    """percentile_ranks with the ``"hdr"`` method: one histogram per
+    batch, count-merged, then getPercentileAtOrBelowValue per probe."""
+    from elasticsearch_ray.ops.hdr import HdrHistogram
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"sketch": pa.array(
+            [HdrHistogram(significant_digits).add(vals).to_bytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    h = HdrHistogram(significant_digits)
+    for b in partials["sketch"]:
+        h.merge(HdrHistogram.from_bytes(b))
+    return pd.DataFrame({
+        "value": [float(v) for v in values],
+        "rank": [round(h.percentile_at_or_below(v), 6) for v in values],
+    })
+
+
 def top_hits_agg(ds: Dataset, key: str, sort_col: str, n: int = 3,
                  descending: bool = True, fetch: list[str] | None = None) -> pd.DataFrame:
     """top_hits metric agg: the n best docs per bucket by sort_col

@@ -100,6 +100,16 @@ class HdrHistogram:
     def quantile(self, q: float) -> float:
         return self.value_at_percentile(q * 100.0)
 
+    def percentile_at_or_below(self, v: float) -> float:
+        """HdrHistogram getPercentileAtOrBelowValue: 100 · fraction of
+        recorded values in buckets whose representative is ≤ v (the
+        percentile_ranks read path)."""
+        reps, cnts = self._sorted()
+        if not len(reps):
+            return float("nan")
+        i = int(np.searchsorted(reps, v, side="right"))
+        return 100.0 * float(cnts[:i].sum()) / float(cnts.sum())
+
     # -- ser/de (Ray partial shape) --
     def to_bytes(self) -> bytes:
         e = np.array([k[0] for k in self._counts], np.int64)

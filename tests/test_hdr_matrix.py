@@ -82,6 +82,21 @@ def test_percentiles_hdr_agg(ray_session):
         assert abs(got - exact) / exact < 0.01
 
 
+def test_percentile_ranks_hdr(ray_session):
+    from elasticsearch_ray.ops.aggs import percentile_ranks_hdr
+
+    rng = np.random.default_rng(6)
+    vals = rng.lognormal(2, 1, 4000)
+    df = pd.DataFrame({"v": vals})
+    probes = [float(np.percentile(vals, p)) for p in (25, 50, 90)]
+    out = percentile_ranks_hdr(rd.from_pandas(df).repartition(5), "v", probes)
+    for probe, got, want in zip(probes, out["rank"], (25, 50, 90)):
+        # bucket granularity can shift values within 0.05% of the probe
+        exact = 100.0 * float((vals <= probe).sum()) / len(vals)
+        assert abs(got - exact) < 1.0, (probe, got, exact)
+        assert abs(got - want) < 1.5
+
+
 def test_matrix_stats_exact_and_batch_independent(ray_session):
     from elasticsearch_ray.ops.matrix_stats import matrix_stats
 
