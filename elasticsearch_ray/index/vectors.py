@@ -66,7 +66,14 @@ def _atomic_save_npy(arr: np.ndarray, path: str) -> None:
     os.replace(tmp, path)
 
 
-def _read_vpart_manifest(index_dir: str, part: int) -> dict | None:
+def _read_vpart_manifest(index_dir: str, part: int,
+                         spec: dict | None = None) -> dict | None:
+    """Partition completion marker, validated against the REQUESTED build
+    spec: a manifest written under different routing (num_partitions),
+    graph params (m/ef), columns, or input data is stale, not complete —
+    trusting it would silently serve a wrong or partial index (the
+    inverted index guards the same way via spec_fingerprint,
+    index/build.py)."""
     p = os.path.join(vpart_dir(index_dir, part), "manifest.json")
     if not os.path.exists(p):
         return None
@@ -74,11 +81,16 @@ def _read_vpart_manifest(index_dir: str, part: int) -> dict | None:
         m = json.load(f)
     if m.get("format") != VEC_FORMAT_VERSION:
         return None  # stale layout → partition rebuilds
+    if spec is not None:
+        for k, want in spec.items():
+            if m.get(k) != want:
+                return None  # spec mismatch → partition rebuilds
     return m
 
 
 def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
-                 m: int, ef_construction: int) -> pd.DataFrame:
+                 m: int, ef_construction: int, num_partitions: int,
+                 input_fingerprint: str | None) -> pd.DataFrame:
     """map_groups stage body: build ONE partition's HNSW graph and persist
     it. Rows are sorted by id inside the group so the graph (and therefore
     every downstream search) is deterministic regardless of shuffle
@@ -108,6 +120,8 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
         "dim": int(vecs.shape[1]),
         "m": m,
         "ef_construction": ef_construction,
+        "num_partitions": num_partitions,
+        "input_fingerprint": input_fingerprint,
         "entry": int(graph.entry),
         "entry_level": int(graph.entry_level),
         "n_levels": len(graph.adj),
@@ -117,18 +131,42 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
     return pd.DataFrame({"part": [part], "n": [len(ids)]})
 
 
+def parquet_fingerprint(paths) -> str:
+    """Cheap input-identity fingerprint from parquet footers (path + rows
+    + bytes per file) — the index/build.py lineage discipline applied to
+    the vector index's resume check."""
+    import hashlib
+
+    if isinstance(paths, str):
+        paths = [paths]
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        md = pq.read_metadata(p)
+        h.update(f"{os.path.abspath(p)}:{md.num_rows}:"
+                 f"{os.path.getsize(p)};".encode())
+    return h.hexdigest()[:16]
+
+
 def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
                        vec_col: str = "embedding", m: int = 16,
                        ef_construction: int = 100,
-                       num_partitions: int = 2) -> dict:
+                       num_partitions: int = 2,
+                       input_fingerprint: str | None = None) -> dict:
     """Build (or RESUME) the persistent vector index over `ds`.
 
     Partition = id % num_partitions (same routing as hnsw_topk, so graph
     contents match the per-call path). Completed partitions are filtered
     out BEFORE the shuffle — a resumed build never re-streams their rows.
-    Returns the index meta dict."""
+    A manifest only counts as complete if it was written under the SAME
+    spec (num_partitions/m/ef/columns) and, when ``input_fingerprint``
+    is given (see parquet_fingerprint), the same input data. Partitions
+    that receive zero rows get an n=0 manifest — empty residues are a
+    valid state, not a failure. Returns the index meta dict."""
+    spec = {"m": m, "ef_construction": ef_construction,
+            "num_partitions": num_partitions, "id_col": id_col,
+            "vec_col": vec_col, "input_fingerprint": input_fingerprint}
     pending = [p for p in range(num_partitions)
-               if _read_vpart_manifest(index_dir, p) is None]
+               if _read_vpart_manifest(index_dir, p, spec) is None]
     if pending:
         pend = np.array(pending, dtype=np.int64)
 
@@ -140,7 +178,8 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
 
         def build_part(g: pd.DataFrame) -> pd.DataFrame:
             return _build_vpart(g, index_dir, id_col, vec_col, m,
-                                ef_construction)
+                                ef_construction, num_partitions,
+                                input_fingerprint)
 
         (
             ds.select_columns([id_col, vec_col])
@@ -149,9 +188,27 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
             .map_groups(build_part, batch_format="pandas")
             .count()  # consume: summaries only, one row per partition
         )
+        # the shuffle consumed every row; a pending partition still missing
+        # its manifest received ZERO rows — mark it complete-and-empty
+        for p in pending:
+            if _read_vpart_manifest(index_dir, p, spec) is None:
+                pdir = vpart_dir(index_dir, p)
+                os.makedirs(pdir, exist_ok=True)
+                atomic_write_table(
+                    pa.table({id_col: pa.array([], pa.int64()),
+                              vec_col: pa.array([], pa.list_(pa.float64()))}),
+                    os.path.join(pdir, "vecs.parquet"))
+                atomic_write_json(os.path.join(pdir, "manifest.json"), {
+                    "format": VEC_FORMAT_VERSION, "part": p, "n": 0,
+                    "dim": 0, "m": m, "ef_construction": ef_construction,
+                    "num_partitions": num_partitions,
+                    "input_fingerprint": input_fingerprint,
+                    "entry": -1, "entry_level": 0, "n_levels": 0,
+                    "id_col": id_col, "vec_col": vec_col,
+                })
     parts = []
     for p in range(num_partitions):
-        mf = _read_vpart_manifest(index_dir, p)
+        mf = _read_vpart_manifest(index_dir, p, spec)
         if mf is None:
             raise RuntimeError(f"vector partition {p} did not complete")
         parts.append({"part": p, "n": mf["n"]})
@@ -162,6 +219,7 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
         "vec_col": vec_col,
         "m": m,
         "ef_construction": ef_construction,
+        "input_fingerprint": input_fingerprint,
         "n_total": int(sum(x["n"] for x in parts)),
         "parts": parts,
     }
@@ -200,15 +258,18 @@ class VPartSearcher:
         self.ids = pq.read_table(
             os.path.join(pdir, "vecs.parquet"),
             columns=[mf["id_col"]])[mf["id_col"]].to_numpy()
-        self._raw: np.ndarray | None = None  # float64 exact store, lazy
+        self._rawn: np.ndarray | None = None  # normalized f64 store, lazy
         self.pdir = pdir
 
     def raw_matrix(self) -> np.ndarray:
-        if self._raw is None:
+        """Unit-normalized float64 vectors — normalized ONCE per warm
+        searcher (a per-query _normalize would undercut the warm-path
+        design the cache exists for)."""
+        if self._rawn is None:
             t = pq.read_table(os.path.join(self.pdir, "vecs.parquet"),
                               columns=[self.manifest["vec_col"]])
-            self._raw = _batch_matrix(t, self.manifest["vec_col"])
-        return self._raw
+            self._rawn = _normalize(_batch_matrix(t, self.manifest["vec_col"]))
+        return self._rawn
 
     def search(self, qn: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (global ids, cosines) for one unit query via the graph."""
@@ -219,8 +280,7 @@ class VPartSearcher:
         """EXACT top-k over the partition's raw float64 vectors (the
         num_candidates ≥ n exhaustive route — bit-comparable to the
         per-call brute path / DuckDB list_cosine_similarity)."""
-        x = _normalize(self.raw_matrix())
-        s = x @ qn
+        s = self.raw_matrix() @ qn
         kk = min(k, len(s))
         top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
         return self.ids[top], s[top]
@@ -310,6 +370,13 @@ def knn_index_search(index_dir: str, query) -> pd.DataFrame:
             "persisted graphs cover the full partition, so pre-filtering "
             "through them would be approximate")
     reader = VectorIndexReader(index_dir)
+    if query.field != reader.meta["vec_col"]:
+        # the per-call path honors query.field as the vector column;
+        # silently answering from a different field would make the two
+        # routes disagree on the same DSL body
+        raise ValueError(
+            f"knn field {query.field!r} does not match the indexed vector "
+            f"column {reader.meta['vec_col']!r}")
     qm = np.asarray([query.query_vector], np.float64)
     brute = query.num_candidates >= reader.meta["n_total"]
     hits = reader.topk([0], qm, k=query.k,

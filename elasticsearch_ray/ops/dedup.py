@@ -178,9 +178,15 @@ def minhash_candidate_pairs(ds: Dataset, text_col: str, id_col: str, num_perm: i
     emits a sorted CHAIN over its members: n-1 pairs (linear, full
     coverage), which keeps the mega cluster CONNECTED for the downstream
     connected-components stage (the near-dup CLUSTER dedup consumer).
-    Chain pairs are adjacent near-identical members, so the exact-Jaccard
-    verify stage still confirms them; only the redundant transitive pairs
-    are dropped."""
+    Tradeoff made explicit: the chain assumes an oversized bucket is
+    dominated by one near-identical cluster (the templated-pages case the
+    cap exists for). A COLLISION-MIXED mega bucket can fragment — a
+    dissimilar chain link fails the exact-Jaccard verify and the pair it
+    bridged is never emitted — but a true near-dup pair agrees on ~all
+    ``bands`` buckets, so it still surfaces intact from any of its
+    other, non-oversized buckets; only pairs whose EVERY shared bucket is
+    oversized-and-mixed can be missed, which requires a corpus that is
+    degenerate at the scale of bucket_cap in every band."""
     buckets = ds.map_batches(
         MinHashBatch,
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),

@@ -161,7 +161,9 @@ class _Parser:
         while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%", "**"):
             _, op = self.take()
             rhs = self.unary()
-            f = {"*": np.multiply, "/": np.divide, "%": np.mod,
+            # fmod, not mod: JS/Lucene-expressions % is TRUNCATED remainder
+            # (sign of the dividend), numpy's % is floored
+            f = {"*": np.multiply, "/": np.divide, "%": np.fmod,
                  "**": np.power}[op]
             node = (lambda l, r, fn: lambda env: fn(l(env), r(env)))(node, rhs, f)
         return node
@@ -222,17 +224,23 @@ class _Parser:
 
 
 def compile_expression(src: str):
-    """Compile to ``fn(env: dict[str, np.ndarray]) -> np.ndarray`` —
-    columns arrive float64; booleans are 1.0/0.0."""
+    """Compile to ``fn(env: dict[str, np.ndarray], length=None) ->
+    np.ndarray`` — columns arrive float64; booleans are 1.0/0.0. A scalar
+    result (constant expression, or no numeric columns in the batch)
+    broadcasts to ``length`` when given — callers that know the batch/hit
+    count MUST pass it, or an all-string batch would yield a length-1
+    column for an N-row table."""
     node = _Parser(_tokenize(src)).parse()
 
-    def run(env: dict) -> np.ndarray:
+    def run(env: dict, length: int | None = None) -> np.ndarray:
         cast = {k: np.asarray(v, np.float64) for k, v in env.items()}
         with np.errstate(divide="ignore", invalid="ignore"):
             out = node(cast)
-        n = max((len(v) for v in cast.values() if np.ndim(v)), default=1)
-        return np.broadcast_to(np.asarray(out, np.float64), (n,)).copy() \
-            if np.ndim(out) == 0 else np.asarray(out, np.float64)
+        if np.ndim(out) == 0:
+            n = length if length is not None else max(
+                (len(v) for v in cast.values() if np.ndim(v)), default=1)
+            return np.full(n, float(out))
+        return np.asarray(out, np.float64)
 
     run.source = src
     return run
@@ -251,7 +259,7 @@ def expression_script_field(src: str, columns: list[str] | None = None):
                 env[c] = tbl[c].to_numpy(zero_copy_only=False).astype(np.float64)
             except (ValueError, TypeError):
                 pass  # non-numeric columns are not expression-visible
-        return fn(env)
+        return fn(env, length=len(tbl))
 
     return script
 
@@ -270,6 +278,7 @@ def add_expression_column(ds, name: str, src: str):
                 env[c] = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
             except (ValueError, TypeError):
                 pass
-        return batch.append_column(name, pa.array(fn(env), pa.float64()))
+        return batch.append_column(
+            name, pa.array(fn(env, length=len(batch)), pa.float64()))
 
     return ds.map_batches(stage, batch_format="pyarrow")

@@ -45,8 +45,8 @@ def sayt_spec(field: str, source: str, max_shingle_size: int = 3) -> tuple[dict,
     return fields, analyzers
 
 
-def sayt_query(field: str | None, text: str, max_shingle_size: int = 3,
-               root_is_default: bool = True) -> BoolQuery:
+def sayt_query(field: str | None, text: str,
+               max_shingle_size: int = 3) -> BoolQuery:
     """``multi_match type=bool_prefix`` over the sayt fields
     (MultiMatchQueryBuilder.Type.BOOL_PREFIX + SearchAsYouTypeFieldMapper):
     the root field matches every fully-typed term plus the LAST term as a
@@ -54,14 +54,16 @@ def sayt_query(field: str | None, text: str, max_shingle_size: int = 3,
     chain shingles the query text). Scores sum across fields (boolean
     should), which is the bool_prefix combination rule.
 
-    ``root_is_default=True`` routes the root clauses to the engine's
-    default text field (our documents index shape); pass False to field
-    them explicitly."""
+    The root clauses (terms + last-term prefix) target the engine's
+    DEFAULT text field — the sayt composition this module builds indexes
+    the root as the default field (``IndexSpec.text_column``), and
+    PrefixQuery rewrites against the default field's term dictionary
+    only. ``field`` names the sayt MAPPING (the subfield prefix), not a
+    different root."""
     toks = text.lower().split()
-    root_field = None if root_is_default else field
     should: list = []
     for t in toks[:-1]:
-        should.append(MatchQuery(t, field=root_field))
+        should.append(MatchQuery(t))
     if toks:
         # last term may be mid-type → prefix over the term dict
         should.append(PrefixQuery(toks[-1]))

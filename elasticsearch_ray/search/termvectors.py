@@ -9,11 +9,11 @@ generates the vector on the fly (TermVectorsService.generateTermVectors);
 term statistics (df, ttf) and field statistics (doc_count, sum_doc_freq,
 sum_ttf) always come from the INDEX. This module does exactly that:
 
-- the document text comes from the stored source column in docs.parquet
-  (the ``_source`` analog — the index must carry it in ``doc_columns``),
-  or from a caller-provided ``doc`` string (the reference's "artificial
-  documents" mode: a termvectors request with a ``doc`` body instead of
-  an id);
+- the document text comes from the partition's INPUT lineage via the
+  fetch phase's row-group-pushdown reader (the ``_source`` analog —
+  O(one row group) per lookup, no whole-column load), or from a
+  caller-provided ``doc`` string (the reference's "artificial documents"
+  mode: a termvectors request with a ``doc`` body instead of an id);
 - term_freq/positions come from re-analysis with the index's analyzer
   (per-language dispatch honored when the index was built with
   ``lang_analyzers``);
@@ -32,18 +32,30 @@ from elasticsearch_ray.analysis.analyzers import get_analyzer
 
 
 def _source_text(engine, doc_id: int, source_col: str) -> tuple[str, str | None]:
-    """(text, lang) of one doc from the stored source column."""
+    """(text, lang) of one doc from the partition's INPUT lineage — the
+    _source store. Uses the fetch phase's row-group-pushdown reader
+    (engine._fetch_source_rows), so the cost is O(one row group), never a
+    whole-column load."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.search.engine import _fetch_source_rows
+
     part, local = engine._locate(int(doc_id))
     s = engine._searcher(part)
-    cols = (source_col, engine.spec.get("lang_column", "lang"))
-    t = s.r.doc_fields(np.array([local], dtype=np.int64), columns=cols)
-    if source_col not in t.column_names:
+    paths = s.r.manifest["input_path"]
+    first = paths[0] if isinstance(paths, list) else paths
+    avail = set(pq.read_schema(first).names)
+    if source_col not in avail:
         raise ValueError(
-            f"index does not store source column {source_col!r} "
-            "(build with doc_columns including it — the _source analog); "
-            "or pass doc= for artificial-document term vectors")
-    text = t[source_col][0].as_py()
+            f"source column {source_col!r} is not in this index's input "
+            "lineage (the _source analog) — derived fields (e.g. text "
+            "stripped from html) have no re-analyzable source; pass doc= "
+            "for artificial-document term vectors")
     lang_col = engine.spec.get("lang_column", "lang")
+    cols = [source_col] + ([lang_col] if lang_col in avail else [])
+    t = _fetch_source_rows(s.r.manifest, np.array([local], dtype=np.int64),
+                           cols)
+    text = t[source_col][0].as_py()
     lang = t[lang_col][0].as_py() if lang_col in t.column_names else None
     return text or "", lang
 

@@ -55,6 +55,22 @@ def test_docref_sugar_and_score():
                                     _score=np.array([0.5])), [3.5])
 
 
+def test_modulo_is_truncated_remainder():
+    # JS/Lucene-expressions %: sign of the DIVIDEND (np.fmod, not np.mod)
+    np.testing.assert_allclose(_run("x % 7", x=np.array([-1.0, 8.0])),
+                               [-1.0, 1.0])
+
+
+def test_constant_expression_over_nonnumeric_batch(ray_session):
+    # review finding: all-string batch left env empty and a constant
+    # expression produced a 1-row column for an N-row table
+    import ray.data as rd
+
+    df = pd.DataFrame({"s": ["a", "b", "c", "d"]})
+    out = add_expression_column(rd.from_pandas(df), "k", "1 + 2").to_pandas()
+    assert out["k"].tolist() == [3.0] * 4
+
+
 def test_ieee_division():
     out = _run("x / y", x=np.array([1.0, 0.0]), y=np.array([0.0, 0.0]))
     assert np.isinf(out[0]) and np.isnan(out[1])

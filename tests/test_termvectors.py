@@ -17,8 +17,9 @@ def eng(ray_session, tmp_path_factory):
     from elasticsearch_ray.search.engine import QueryEngine
 
     idx = str(tmp_path_factory.mktemp("tvidx") / "index")
+    # no stored text column: _source comes from the input lineage
     spec = IndexSpec(use_html=False, text_column="text",
-                     doc_columns=("lang", "text"))
+                     doc_columns=("lang",))
     build_index(SF_DIR, idx, spec, concurrency=2,
                 file_pattern="documents.parquet")
     e = QueryEngine(idx, dtype="float64")
@@ -92,20 +93,9 @@ def test_mtermvectors_and_validation(eng):
         eng.termvectors(doc_id=1, doc="x")
 
 
-def test_termvectors_requires_stored_source(ray_session, tmp_path_factory):
-    from elasticsearch_ray.index.build import build_index
-    from elasticsearch_ray.search.engine import QueryEngine
-
-    idx = str(tmp_path_factory.mktemp("tvnosrc") / "index")
-    spec = IndexSpec(use_html=False, text_column="text",
-                     doc_columns=("lang",))
-    build_index(SF_DIR, idx, spec, concurrency=2,
-                file_pattern="documents.parquet")
-    e = QueryEngine(idx, dtype="float64")
-    try:
-        with pytest.raises(ValueError, match="_source"):
-            e.termvectors(doc_id=1)
-        # artificial-doc mode still works without stored source
-        assert e.termvectors(doc="spark join")["terms"]["spark"]["term_freq"] == 1
-    finally:
-        e.close()
+def test_termvectors_requires_source_in_lineage(eng):
+    # a source column absent from the input lineage refuses clearly...
+    with pytest.raises(ValueError, match="_source"):
+        eng.termvectors(doc_id=1, source_col="no_such_column")
+    # ...and artificial-doc mode needs no source at all
+    assert eng.termvectors(doc="spark join")["terms"]["spark"]["term_freq"] == 1

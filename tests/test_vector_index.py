@@ -136,6 +136,69 @@ def test_knn_index_search_routing(ray_session, tmp_path):
         knn_index_search(idx, q3)
 
 
+def test_vector_index_spec_mismatch_rebuilds(ray_session, tmp_path):
+    """Resume must NOT trust manifests written under a different spec:
+    re-requesting with fewer partitions/other graph params rebuilds
+    (review finding: id%3-built parts served an id%2 request silently)."""
+    import os
+
+    from elasticsearch_ray.index.vectors import (
+        VectorIndexReader, build_vector_index, vpart_dir)
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t, P=3)
+    meta = build_vector_index(rd.from_arrow(t), idx, num_partitions=2)
+    assert meta["num_partitions"] == 2
+    assert meta["n_total"] == len(t)  # every vector searchable again
+    viaidx = VectorIndexReader(idx).topk(
+        [0], np.asarray([t["embedding"][0].as_py()], np.float64),
+        k=5, brute=True)
+    assert len(viaidx) == 5
+    # changed m also rebuilds
+    mt = os.path.getmtime(os.path.join(vpart_dir(idx, 0), "manifest.json"))
+    build_vector_index(rd.from_arrow(t), idx, num_partitions=2, m=8)
+    assert os.path.getmtime(
+        os.path.join(vpart_dir(idx, 0), "manifest.json")) != mt
+    # changed input fingerprint also rebuilds
+    mt = os.path.getmtime(os.path.join(vpart_dir(idx, 0), "manifest.json"))
+    build_vector_index(rd.from_arrow(t), idx, num_partitions=2, m=8,
+                       input_fingerprint="other-data")
+    assert os.path.getmtime(
+        os.path.join(vpart_dir(idx, 0), "manifest.json")) != mt
+
+
+def test_vector_index_empty_partition_ok(ray_session, tmp_path):
+    """A partition whose id residue receives zero rows is a valid empty
+    part (n=0 manifest), not a build failure."""
+    import pyarrow as pa
+
+    from elasticsearch_ray.index.vectors import (
+        VectorIndexReader, build_vector_index)
+
+    t = _embeddings()
+    even = t.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(t["vec_id"], 1), 0))
+    idx = str(tmp_path / "evenidx")
+    meta = build_vector_index(rd.from_arrow(even), idx, num_partitions=2)
+    assert [p["n"] for p in meta["parts"]] == [len(even), 0]
+    qm = np.asarray([even["embedding"][0].as_py()], np.float64)
+    out = VectorIndexReader(idx).topk([0], qm, k=5, brute=True)
+    assert len(out) == 5
+
+
+def test_knn_index_search_field_mismatch(ray_session, tmp_path):
+    from elasticsearch_ray.index.vectors import knn_index_search
+    from elasticsearch_ray.search.dsl import parse_dsl
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    qv = [float(x) for x in t["embedding"][0].as_py()]
+    q = parse_dsl({"knn": {"field": "other_vec", "query_vector": qv,
+                           "k": 5, "num_candidates": 10_000}})
+    with pytest.raises(ValueError, match="indexed vector column"):
+        knn_index_search(idx, q)
+
+
 def test_vector_index_stale_format_rebuilds(ray_session, tmp_path):
     """A manifest with a different format version is treated as absent."""
     import json
