@@ -1942,6 +1942,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = eng.suggest_phrase("spark joim", size=3)
         return pa.Table.from_pylist(out)
 
+    def suggest_phrase_backoff(sf):  # rows-only
+        # StupidBackoffScorer — the reference's DEFAULT phrase smoothing
+        eng = _documents_index(sf)
+        out = eng.suggest_phrase("spark joim", size=3,
+                                 smoothing="stupid_backoff")
+        return pa.Table.from_pylist(out)
+
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
         out = eng.suggest("spurk window merge", size=3)
@@ -2002,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
         "suggest_completion_fuzzy": suggest_completion_fuzzy,
+        "suggest_phrase_backoff": suggest_phrase_backoff,
         "rank_eval_report": rank_eval_report,
         "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,

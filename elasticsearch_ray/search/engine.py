@@ -2183,19 +2183,32 @@ class QueryEngine:
 
     def suggest_phrase(self, text: str, size: int = 3, max_edits: int = 2,
                        candidates_per_token: int = 3,
-                       edit_penalty: float = 4.0, alpha: float = 0.5) -> list[dict]:
-        """Phrase suggester (search/suggest/phrase PhraseSuggester +
-        LaplaceScorer): per-token candidate generation (term-suggester
-        pruning), then a BEAM over corrections scored by a Laplace-smoothed
-        BIGRAM language model over the index's stored positions —
-        log P(w₁) + Σ log P(wᵢ | wᵢ₋₁) with
-        P(w₂|w₁) = (c(w₁ w₂) + α) / (c(w₁) + α·V) — the reference's shingle
-        field re-expressed over positions.bin (no separate shingle index).
+                       edit_penalty: float = 4.0, alpha: float = 0.5,
+                       smoothing: str = "laplace",
+                       discount: float = 0.4,
+                       bigram_lambda: float = 0.7) -> list[dict]:
+        """Phrase suggester (search/suggest/phrase PhraseSuggester): per-
+        token candidate generation (term-suggester pruning), then a BEAM
+        over corrections scored by a BIGRAM language model over the
+        index's stored positions — the reference's shingle field
+        re-expressed over positions.bin (no separate shingle index).
+
+        The full reference smoothing family (WordScorer subclasses):
+        - ``laplace`` (LaplaceScorer, our default):
+          P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V)
+        - ``stupid_backoff`` (StupidBackoffScorer — the REFERENCE default):
+          c(w₁w₂)/c(w₁) when the bigram was seen, else discount·P(w₂)
+        - ``linear_interpolation`` (LinearInterpolatingScorer, collapsed
+          to the bigram order this model has):
+          λ·c(w₁w₂)/c(w₁) + (1-λ)·P(w₂)
         The candidate generator's edit distance stays as a log-space prior
         (the reference's channel score). Bigram counts come from ONE
         distributed gather over all adjacent candidate pairs; V is the
         summed per-partition dictionary size (an upper bound that only
         shifts smoothing mass)."""
+        if smoothing not in ("laplace", "stupid_backoff",
+                             "linear_interpolation"):
+            raise ValueError(f"unknown smoothing {smoothing!r}")
         an = get_analyzer(self.analyzer_name)
         tokens = an(text)[0]
         if not tokens:
@@ -2233,11 +2246,25 @@ class QueryEngine:
         T = max(float(self.meta.get("sum_dl", self.n_docs)), 1.0)
 
         def uni_lp(w: str) -> float:
+            # unigram stays add-α in every mode (a pure-MLE zero would
+            # -inf the whole beam path; the reference's scorers guard
+            # unseen unigrams the same way via frequency plus-one-ing)
             return float(np.log((ttf.get(w, 0) + alpha) / (T + alpha * V)))
 
         def bi_lp(w1: str, w2: str) -> float:
-            return float(np.log((big.get((w1, w2), 0) + alpha)
-                                / (ttf.get(w1, 0) + alpha * V)))
+            c12 = big.get((w1, w2), 0)
+            c1 = ttf.get(w1, 0)
+            if smoothing == "laplace":
+                return float(np.log((c12 + alpha) / (c1 + alpha * V)))
+            if smoothing == "stupid_backoff":
+                if c12 > 0 and c1 > 0:
+                    return float(np.log(c12 / c1))
+                return float(np.log(discount)) + uni_lp(w2)
+            # linear_interpolation (bigram order)
+            mle = c12 / c1 if c1 > 0 else 0.0
+            mix = (bigram_lambda * mle
+                   + (1.0 - bigram_lambda) * np.exp(uni_lp(w2)))
+            return float(np.log(mix))
 
         # beam over per-token options (bigram scores depend on the previous
         # word, so scoring happens during expansion, not per option)

@@ -249,6 +249,30 @@ def test_phrase_suggester_corrects_typos(web_engine):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_phrase_suggester_smoothing_family(web_engine):
+    """The reference's full WordScorer family: stupid_backoff (its
+    default) and linear_interpolation rank the planted correction top,
+    like laplace; scores stay sorted; unknown names reject."""
+    import pytest as _pytest
+
+    for smoothing in ("stupid_backoff", "linear_interpolation"):
+        out = web_engine.suggest_phrase("spark joim", size=3,
+                                        smoothing=smoothing)
+        assert out, smoothing
+        assert "spark join" in [o["text"] for o in out], smoothing
+        scores = [o["score"] for o in out]
+        assert scores == sorted(scores, reverse=True)
+    # seen-bigram stupid_backoff scores pure MLE: a common phrase scores
+    # strictly higher than under add-alpha laplace (no smoothing mass)
+    sb = web_engine.suggest_phrase("spark join", size=1,
+                                   smoothing="stupid_backoff")[0]
+    lp = web_engine.suggest_phrase("spark join", size=1)[0]
+    assert sb["text"] == lp["text"]
+    assert sb["score"] > lp["score"]
+    with _pytest.raises(ValueError, match="unknown smoothing"):
+        web_engine.suggest_phrase("spark", smoothing="kneser_ney")
+
+
 def test_highlight_hits_batched(web_engine):
     from elasticsearch_ray.search.query import MatchQuery as MQ
 
