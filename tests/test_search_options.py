@@ -249,6 +249,21 @@ def test_phrase_suggester_corrects_typos(web_engine):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_fuzzy_completion_ray_actor_path(web_engine):
+    """complete_fuzzy through the warm-actor backend must equal the local
+    backend (the actor passthrough is a separate code path)."""
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    ray_eng = QueryEngine(web_engine.index_dir, dtype="float64",
+                          parallel="ray", num_actors=2)
+    try:
+        for prefix in ("sparl", "spa", "sprak"):
+            assert (ray_eng.complete_fuzzy(prefix, size=5)
+                    == web_engine.complete_fuzzy(prefix, size=5)), prefix
+    finally:
+        ray_eng.close()
+
+
 def test_phrase_suggester_smoothing_family(web_engine):
     """The reference's full WordScorer family: stupid_backoff (its
     default) and linear_interpolation rank the planted correction top,
