@@ -321,20 +321,113 @@ class UriPartsProcessor(Processor):
 
 @register("registered_domain")
 class RegisteredDomainProcessor(Processor):
-    """eTLD+1 extraction — simplified public-suffix handling (two-label
-    suffixes like co.uk, com.au hardcoded; full PSL out of scope)."""
+    """eTLD+1 extraction (RegisteredDomainProcessor in ingest-common,
+    backed by the PUBLIC SUFFIX LIST, publicsuffix.org). Ships a curated
+    subset of the public list: the high-traffic ccTLD second-level rules
+    (ICANN section) plus the common private-registry suffixes; rule
+    semantics follow the PSL algorithm — longest matching suffix wins,
+    ``*.<tld>`` wildcard rules match any single label, ``!`` exceptions
+    override wildcards. Hosts whose suffix is not listed fall back to the
+    last-two-labels heuristic (documented partial vs the full list)."""
 
-    _two_label = {"co.uk", "com.au", "co.jp", "com.br", "co.in", "org.uk"}
+    # two-label public suffixes (PSL ICANN + common private sections)
+    _two_label = {
+        # UK / Ireland / Oceania
+        "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk",
+        "plc.uk", "sch.uk", "com.au", "net.au", "org.au", "edu.au",
+        "gov.au", "asn.au", "id.au", "co.nz", "net.nz", "org.nz",
+        "govt.nz", "ac.nz", "geek.nz",
+        # Asia
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+        "gr.jp", "lg.jp", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
+        "ac.kr", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+        "ac.cn", "com.tw", "org.tw", "idv.tw", "edu.tw", "gov.tw",
+        "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "co.in",
+        "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+        "edu.in", "res.in", "gov.in", "nic.in", "com.sg", "org.sg",
+        "net.sg", "edu.sg", "gov.sg", "com.my", "net.my", "org.my",
+        "edu.my", "gov.my", "co.th", "in.th", "ac.th", "go.th", "or.th",
+        "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "co.id",
+        "or.id", "ac.id", "go.id", "web.id", "com.ph", "net.ph",
+        "org.ph", "edu.ph", "gov.ph", "com.pk", "net.pk", "org.pk",
+        "edu.pk", "gov.pk", "com.bd", "net.bd", "org.bd", "edu.bd",
+        "gov.bd", "com.np", "org.np", "edu.np", "gov.np", "com.lk",
+        "org.lk", "edu.lk", "gov.lk",
+        # Middle East / Africa
+        "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr",
+        "web.tr", "co.il", "org.il", "net.il", "ac.il", "gov.il",
+        "muni.il", "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+        "med.sa", "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+        "co.za", "net.za", "org.za", "web.za", "ac.za", "gov.za",
+        "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "com.ng", "net.ng",
+        "org.ng", "edu.ng", "gov.ng", "com.gh", "org.gh", "edu.gh",
+        "gov.gh", "co.tz", "or.tz", "ac.tz", "go.tz", "co.ug", "or.ug",
+        "ac.ug", "go.ug", "com.ae", "net.ae", "org.ae", "ac.ae",
+        "gov.ae", "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa",
+        "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw",
+        # Americas
+        "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+        "adv.br", "ind.br", "inf.br", "com.mx", "net.mx", "org.mx",
+        "edu.mx", "gob.mx", "com.ar", "net.ar", "org.ar", "edu.ar",
+        "gob.ar", "int.ar", "com.co", "net.co", "org.co", "edu.co",
+        "gov.co", "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+        "com.ve", "net.ve", "org.ve", "com.ec", "net.ec", "org.ec",
+        "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "com.bo",
+        "net.bo", "org.bo", "com.py", "net.py", "org.py", "com.do",
+        "net.do", "org.do", "com.gt", "net.gt", "org.gt", "com.sv",
+        "com.pa", "com.ni", "com.hn", "com.cu", "com.pr", "com.jm",
+        "com.tt", "co.cr", "ac.cr", "go.cr", "qc.ca", "on.ca", "bc.ca",
+        "ab.ca", "mb.ca", "ns.ca", "sk.ca",
+        # Europe
+        "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+        "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "com.es",
+        "nom.es", "org.es", "gob.es", "edu.es", "com.gr", "net.gr",
+        "org.gr", "edu.gr", "gov.gr", "com.ro", "org.ro", "nt.ro",
+        "co.at", "or.at", "ac.at", "gv.at", "com.ua", "net.ua",
+        "org.ua", "edu.ua", "gov.ua", "kiev.ua", "com.ru", "net.ru",
+        "org.ru", "msk.ru", "spb.ru", "com.by", "org.by", "com.ge",
+        "org.ge", "edu.ge", "gov.ge", "com.cy", "org.cy", "ltd.cy",
+        "com.mt", "org.mt", "net.mt", "edu.mt", "com.is", "net.is",
+        "org.is", "co.hu", "org.hu", "info.hu", "priv.no",
+        # private-registry suffixes users hit constantly
+        "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+        "herokuapp.com", "cloudfront.net", "amazonaws.com", "azurewebsites.net",
+        "netlify.app", "vercel.app", "pages.dev", "web.app", "firebaseapp.com",
+        "wordpress.com", "tumblr.com", "fastly.net",
+    }
+    # three-label public suffixes (PSL third-level rules)
+    _three_label = {
+        "pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us",
+        "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+        "s3.amazonaws.com", "co.uk.com",
+    }
+    # wildcard TLDs: *.<tld> — every second-level label is itself a suffix
+    _wildcard_tld = {"ck", "er", "fj", "gu", "kh", "mm", "np", "pg"}
+    # PSL '!' exceptions to the wildcards above
+    _wildcard_exceptions = {"www.ck"}
 
     def __init__(self, field, target_field="registered_domain"):
         self.field, self.target = field, target_field
 
     def __call__(self, df):
+        two, three = self._two_label, self._three_label
+        wild, exc = self._wildcard_tld, self._wildcard_exceptions
+
         def etld1(host):
-            labels = (host or "").split(".")
-            if len(labels) >= 3 and ".".join(labels[-2:]) in self._two_label:
+            labels = (host or "").lower().rstrip(".").split(".")
+            n = len(labels)
+            if n >= 4 and ".".join(labels[-4:]) in three:
+                # a listed 3-label suffix needs a 4th label to register
+                return ".".join(labels[-5:]) if n >= 5 else host
+            if n >= 3 and ".".join(labels[-3:]) in three:
+                return ".".join(labels[-4:]) if n >= 4 else host
+            if n >= 2 and labels[-1] in wild:
+                if ".".join(labels[-2:]) in exc:
+                    return ".".join(labels[-2:])  # !exception: itself eTLD+1
+                return ".".join(labels[-3:]) if n >= 3 else host
+            if n >= 3 and ".".join(labels[-2:]) in two:
                 return ".".join(labels[-3:])
-            return ".".join(labels[-2:]) if len(labels) >= 2 else host
+            return ".".join(labels[-2:]) if n >= 2 else host
 
         df[self.target] = df[self.field].map(etld1)
         return df

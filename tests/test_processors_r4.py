@@ -73,6 +73,29 @@ def test_geoip_processor_cidr_lookup(tmp_path):
         GeoIpProcessor("ip", [("nonsense/8", {})])
 
 
+def test_registered_domain_psl_subset():
+    """PSL algorithm semantics on the curated subset: longest suffix wins,
+    wildcard *.tld rules, ! exceptions, private-registry suffixes."""
+    from elasticsearch_ray.ops.processors import RegisteredDomainProcessor
+
+    cases = {
+        "www.example.co.uk": "example.co.uk",
+        "deep.sub.example.com.au": "example.com.au",
+        "a.b.github.io": "b.github.io",          # private registry suffix
+        "foo.blogspot.com": "foo.blogspot.com",
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",  # 3-label
+        "school.act.edu.au": "school.act.edu.au",
+        "x.foo.ck": "x.foo.ck",                  # wildcard *.ck
+        "www.ck": "www.ck",                      # !www.ck exception
+        "sub.example.org": "example.org",
+        "www.example.de": "example.de",          # unlisted ccTLD fallback
+        "API.Example.COM.": "example.com",       # case + trailing dot
+    }
+    df = pd.DataFrame({"h": list(cases)})
+    out = RegisteredDomainProcessor("h")(df)
+    assert out["registered_domain"].tolist() == list(cases.values())
+
+
 def test_ua_geoip_registered():
     from elasticsearch_ray.ops.processors import _REGISTRY
 
