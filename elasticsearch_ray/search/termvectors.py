@@ -71,13 +71,58 @@ def _sum_doc_freq(engine) -> int:
     return v
 
 
+def _apply_tv_filter(engine, terms: dict, flt: dict) -> dict:
+    """TermVectorsFilter (index/termvectors/TermVectorsFilter.java): keep
+    only "interesting" terms — bounded by word length / term freq / doc
+    freq, ranked by the MLT-style tf·idf score, cut to max_num_terms.
+    Adds a ``score`` to every surviving term."""
+    allowed = {"max_num_terms", "min_term_freq", "max_term_freq",
+               "min_doc_freq", "max_doc_freq", "min_word_length",
+               "max_word_length"}
+    unknown = set(flt) - allowed
+    if unknown:
+        raise ValueError(f"unknown termvectors filter option(s) {sorted(unknown)}; "
+                         f"allowed: {sorted(allowed)}")
+    tl = sorted(terms)
+    df = engine._global_stats(tl)
+    n = max(engine.n_docs, 1)
+    out = {}
+    for t in tl:
+        e = terms[t]
+        tf = e["term_freq"]
+        d = df[t]
+        if tf < flt.get("min_term_freq", 1):
+            continue
+        if tf > flt.get("max_term_freq", 2 ** 31):
+            continue
+        if d < flt.get("min_doc_freq", 1):
+            continue
+        if d > flt.get("max_doc_freq", 2 ** 31):
+            continue
+        if len(t) < flt.get("min_word_length", 0):
+            continue
+        if len(t) > flt.get("max_word_length", 2 ** 31):
+            continue
+        # the reference scores candidates with the MLT similarity:
+        # tf · idf, idf = 1 + ln(N / (df + 1))
+        out[t] = dict(e, score=round(tf * (1.0 + np.log(n / (d + 1.0))), 6))
+    k = flt.get("max_num_terms")
+    if k is not None and len(out) > k:
+        top = sorted(out.items(), key=lambda kv: (-kv[1]["score"], kv[0]))[:k]
+        out = dict(top)
+    return out
+
+
 def termvectors(engine, doc_id: int | None = None, doc: str | None = None,
                 positions: bool = True, term_statistics: bool = False,
                 field_statistics: bool = False, analyzer: str | None = None,
-                source_col: str = "text") -> dict:
+                source_col: str = "text",
+                filter: dict | None = None) -> dict:
     """One document's term vector: {term: {term_freq, positions[,
-    doc_freq, ttf]}} (+ field_statistics). Exactly one of ``doc_id`` /
-    ``doc`` must be given."""
+    doc_freq, ttf, score]}} (+ field_statistics). Exactly one of
+    ``doc_id`` / ``doc`` must be given. ``filter`` applies the
+    TermVectorsFilter options (max_num_terms, min/max_term_freq,
+    min/max_doc_freq, min/max_word_length) with tf·idf ranking."""
     if (doc_id is None) == (doc is None):
         raise ValueError("exactly one of doc_id / doc is required")
     lang = None
@@ -99,6 +144,8 @@ def termvectors(engine, doc_id: int | None = None, doc: str | None = None,
     if not positions:
         for e in terms.values():
             del e["positions"]
+    if filter:
+        terms = _apply_tv_filter(engine, terms, filter)
     if term_statistics:
         tl = sorted(terms)
         df = engine._global_stats(tl)

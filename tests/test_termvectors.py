@@ -84,6 +84,30 @@ def test_termvectors_artificial_doc(eng):
     assert tv["terms"]["merge"]["doc_freq"] == eng._global_stats(["merge"])["merge"]
 
 
+def test_termvectors_filter(eng):
+    """TermVectorsFilter: tf·idf ranking, max_num_terms cut, bound
+    options, unknown options reject."""
+    import numpy as np
+
+    full = eng.termvectors(doc_id=9)
+    flt = eng.termvectors(doc_id=9, filter={"max_num_terms": 3})
+    assert len(flt["terms"]) == 3
+    assert set(flt["terms"]) <= set(full["terms"])
+    # scores are tf·idf with idf = 1 + ln(N/(df+1)), descending top-k
+    df = eng._global_stats(sorted(full["terms"]))
+    want = {t: e["term_freq"] * (1.0 + np.log(eng.n_docs / (df[t] + 1.0)))
+            for t, e in full["terms"].items()}
+    top3 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert set(flt["terms"]) == {t for t, _ in top3}
+    for t, s in top3:
+        assert abs(flt["terms"][t]["score"] - s) < 1e-4
+    # min_term_freq bound: keeps only repeated terms
+    rep = eng.termvectors(doc_id=9, filter={"min_term_freq": 2})
+    assert all(e["term_freq"] >= 2 for e in rep["terms"].values())
+    with pytest.raises(ValueError, match="unknown termvectors filter"):
+        eng.termvectors(doc_id=9, filter={"max_terms": 3})
+
+
 def test_mtermvectors_and_validation(eng):
     out = eng.mtermvectors([1, 2, 3])
     assert [r["doc_id"] for r in out] == [1, 2, 3]
