@@ -1990,6 +1990,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = significant_terms_agg(fg, docs, "source")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_significant_chi_square(sf):
+        # chi_square heuristic (ChiSquare.java:58-66 over the
+        # NXYSignificanceHeuristic contingency table) — the SQL twin
+        # recomputes the same table and formula
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.aggs import significant_terms_agg
+
+        docs = _ds(sf, "documents")
+        fg = docs.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+        )
+        out = significant_terms_agg(fg, docs, "source", heuristic="chi_square")
+        out["score"] = out["score"].round(6)
+        # re-sort on the ROUNDED score so tie order matches the SQL twin
+        out = out.sort_values(["score", "source"], ascending=[False, True],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_top_shingles(sf):
         from elasticsearch_ray.ops.aggs import top_shingles
 
@@ -2115,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
         "agg_percentiles_hdr": agg_percentiles_hdr,
         "agg_percentile_ranks_hdr": agg_percentile_ranks_hdr,
+        "agg_significant_chi_square": agg_significant_chi_square,
         "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
@@ -2525,6 +2545,25 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN b USING (source) CROSS JOIN tot t
             WHERE f.fg_count > 0
             ORDER BY score DESC, f.source
+        """,
+        "agg_significant_chi_square": """
+            WITH f AS (
+              SELECT source, count(*)::BIGINT AS fg_count FROM documents
+              WHERE lang = 'en' GROUP BY source
+            ),
+            b AS (SELECT source, count(*)::BIGINT AS bg_count FROM documents GROUP BY source),
+            tot AS (
+              SELECT (SELECT sum(fg_count) FROM f)::DOUBLE AS ss,
+                     (SELECT sum(bg_count) FROM b)::DOUBLE AS ps
+            )
+            SELECT source, fg_count, bg_count, round(score, 6) AS score FROM (
+              SELECT f.source, f.fg_count, b.bg_count,
+                     t.ps * pow(f.fg_count * (t.ps - b.bg_count - (t.ss - f.fg_count))
+                                - (t.ss - f.fg_count) * (b.bg_count - f.fg_count), 2)
+                     / (t.ss * b.bg_count * (t.ps - b.bg_count) * (t.ps - t.ss)) AS score
+              FROM f JOIN b USING (source) CROSS JOIN tot t
+              WHERE f.fg_count > 0
+            ) ORDER BY score DESC, source
         """,
         "agg_top_shingles": """
             SELECT shingle, count(*)::BIGINT AS doc_count FROM (

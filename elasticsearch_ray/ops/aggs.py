@@ -471,18 +471,25 @@ def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFram
     return out.sort_values([key]).reset_index(drop=True)
 
 
-def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None) -> pd.DataFrame:
-    """significant_terms: foreground vs background JLH score
-    (significant/heuristics JLHScore.java: (fgPct - bgPct) * (fgPct / bgPct));
-    both sides reduce to small count tables before the driver-side score."""
+def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None,
+                          heuristic: str = "jlh",
+                          include_negatives: bool = True) -> pd.DataFrame:
+    """significant_terms: foreground vs background significance, with the
+    reference's FULL heuristic family (bucket/terms/heuristic/): jlh
+    (default), chi_square, mutual_information, gnd, percentage — see
+    ops/sig_heuristics.py. Both sides reduce to small count tables before
+    the driver-side score, so heuristic choice never re-reads data."""
+    from elasticsearch_ray.ops.sig_heuristics import sig_score
+
     f = fg.groupby(key).aggregate(Count(alias_name="fg_count")).to_pandas()
     b = bg.groupby(key).aggregate(Count(alias_name="bg_count")).to_pandas()
     fg_total = int(f["fg_count"].sum())
     bg_total = int(b["bg_count"].sum())
     m = f.merge(b, on=key, how="left").fillna({"bg_count": 0})
-    fg_pct = m["fg_count"] / max(fg_total, 1)
-    bg_pct = m["bg_count"].clip(lower=1) / max(bg_total, 1)
-    m["score"] = ((fg_pct - bg_pct) * (fg_pct / bg_pct)).round(9)
+    m["score"] = np.round(
+        sig_score(heuristic, m["fg_count"].to_numpy(), fg_total,
+                  m["bg_count"].to_numpy(), bg_total,
+                  include_negatives=include_negatives), 9)
     m = m[m["fg_count"] > 0]
     m = m.sort_values(["score", key], ascending=[False, True]).reset_index(drop=True)
     m["bg_count"] = m["bg_count"].astype("int64")

