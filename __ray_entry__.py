@@ -1895,6 +1895,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                modifier="log1p", weight=1.0, boost_mode="multiply")
         return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
+    def search_script_score_expr(sf):
+        # script_score with a sandboxed EXPRESSION source (lang-expression
+        # analog): score = _score + sqrt(n_chars); the SQL twin adds the
+        # same per-doc addend to the exact BM25 mirror
+        from elasticsearch_ray.search.query import FunctionScoreQuery
+
+        eng = _documents_index(sf)
+        q = FunctionScoreQuery(query=MatchQuery("spark join"),
+                               script="_score + sqrt(n_chars)")
+        return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
+
     def rank_eval_report(sf):  # rows-only (graded relevance from term containment)
         from elasticsearch_ray.search.query import MatchQuery
         from elasticsearch_ray.search.rank_eval import (
@@ -2025,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dismax": search_dismax,
         "search_sqs": search_sqs,
         "search_function_score": search_function_score,
+        "search_script_score_expr": search_script_score_expr,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
         "suggest_completion_fuzzy": suggest_completion_fuzzy,
@@ -2865,6 +2877,8 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "search_script_score_expr": _bm25_sql(
+            ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
         "search_terms_set": """
             SELECT doc_id FROM documents
             WHERE (CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END

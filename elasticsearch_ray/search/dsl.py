@@ -293,8 +293,19 @@ class _Parser:
         )
 
     def q_script_score(self, body):
-        # script_score with the documented field-value idiom maps onto the
-        # same FunctionScoreQuery surface (ScriptScoreQueryBuilder analog)
+        # ScriptScoreQueryBuilder: a script block parses into the sandboxed
+        # expression scorer (search/expressions.py); the documented
+        # field-value idiom still maps onto field_value_factor
+        if "script" in body:
+            script = body["script"]
+            source = script.get("source") if isinstance(script, dict) else script
+            if not isinstance(source, str) or not source.strip():
+                raise DslError("script_score.script needs a source string")
+            return FunctionScoreQuery(
+                query=self.parse(body["query"]) if "query" in body else None,
+                script=source,
+                weight=float(body.get("weight", 1.0)),
+            )
         return self.q_function_score(body)
 
     # --- multi-field ------------------------------------------------------
@@ -579,6 +590,10 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
                              "negative": to_dsl(q.negative, default_field),
                              "negative_boost": q.negative_boost}}
     if isinstance(q, FunctionScoreQuery):
+        if q.script:
+            return {"script_score": {
+                **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
+                "script": {"source": q.script}, "weight": q.weight}}
         return {"function_score": {
             **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
             "field_value_factor": {"field": q.field, "factor": q.factor,

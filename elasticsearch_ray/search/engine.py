@@ -713,6 +713,22 @@ class PartitionSearcher:
             docs, scores = self._eval_scoring(q.query, scorers, None, "exhaustive")
             if len(docs) == 0:
                 return docs, scores
+            if q.script:
+                # ScriptScoreQueryBuilder: expression REPLACES the score,
+                # reading numeric doc columns + _score (base query score)
+                from elasticsearch_ray.search.expressions import (
+                    compile_expression,
+                    expression_variables,
+                )
+
+                fn = compile_expression(q.script)
+                env = {}
+                for name in expression_variables(q.script):
+                    if name != "_score":
+                        env[name] = self._doc_col(name)[docs].astype(np.float64)
+                env["_score"] = np.asarray(scores, np.float64)
+                out = q.weight * fn(env, length=len(docs))
+                return docs, out.astype(dtype)
             if q.field is None:
                 # weight-only function (FunctionScoreQuery with no
                 # field_value_factor): score composed with the bare weight

@@ -223,6 +223,22 @@ class _Parser:
         raise ExpressionError(f"unexpected token {val!r}")
 
 
+def expression_variables(src: str) -> list[str]:
+    """Variable identifiers an expression reads (doc columns + _score):
+    name tokens that are neither function calls nor constants — what a
+    scorer must fetch before evaluating."""
+    toks = _tokenize(src)
+    out = []
+    for i, (kind, val) in enumerate(toks):
+        if kind != "name" or val in CONSTANTS:
+            continue
+        if i + 1 < len(toks) and toks[i + 1] == ("op", "("):
+            continue  # function call
+        if val not in out:
+            out.append(val)
+    return out
+
+
 def compile_expression(src: str):
     """Compile to ``fn(env: dict[str, np.ndarray], length=None) ->
     np.ndarray`` — columns arrive float64; booleans are 1.0/0.0. A scalar

@@ -206,7 +206,12 @@ class FunctionScoreQuery(Query):
     """function_score subset (FunctionScoreQueryBuilder): base query score
     combined with a field_value_factor function —
     factor = modifier(field * factor); score = boost_mode(base, weight*factor).
-    modifiers: none|log1p|sqrt; boost_mode: multiply|sum (the common pair)."""
+    modifiers: none|log1p|sqrt; boost_mode: multiply|sum (the common pair).
+
+    ``script`` set = ScriptScoreQueryBuilder semantics instead: the
+    sandboxed expression (search/expressions.py, lang-expression analog)
+    REPLACES the score — it reads numeric doc columns and ``_score``
+    (the base query score); final score is weight · expression."""
 
     query: Query = None
     field: str = None
@@ -214,6 +219,7 @@ class FunctionScoreQuery(Query):
     modifier: str = "none"
     weight: float = 1.0
     boost_mode: str = "multiply"
+    script: str | None = None
 
 
 @dataclass(frozen=True)

@@ -103,25 +103,62 @@ def test_dataset_expression_column(ray_session):
     np.testing.assert_allclose(out["c"], np.sqrt(df["a"]) + df["b"] / 10)
 
 
-def test_script_fields_accepts_expression_source(ray_session, tmp_path_factory):
+@pytest.fixture(scope="module")
+def expr_eng(ray_session, tmp_path_factory):
     from elasticsearch_ray.index.build import build_index
     from elasticsearch_ray.index.spec import IndexSpec
     from elasticsearch_ray.search.engine import QueryEngine
-    from elasticsearch_ray.search.query import MatchQuery
 
     idx = str(tmp_path_factory.mktemp("expridx") / "index")
     build_index("/root/testdata/sf0.001", idx,
                 IndexSpec(use_html=False, text_column="text",
                           doc_columns=("lang", "n_chars")),
                 concurrency=2, file_pattern="documents.parquet")
-    eng = QueryEngine(idx, dtype="float64")
-    try:
-        hits = eng.search(MatchQuery("spark"), k=5, fetch=("doc_id",))
-        out = eng.script_fields(hits, {"half": "n_chars / 2"},
-                                source_columns=("n_chars",))
-        n_chars = eng.script_fields(hits, {"nc": "n_chars"},
-                                    source_columns=("n_chars",))["nc"]
-        np.testing.assert_allclose(out["half"].to_numpy(),
-                                   n_chars.to_numpy() / 2)
-    finally:
-        eng.close()
+    e = QueryEngine(idx, dtype="float64")
+    yield e
+    e.close()
+
+
+def test_script_fields_accepts_expression_source(expr_eng):
+    from elasticsearch_ray.search.query import MatchQuery
+
+    eng = expr_eng
+    hits = eng.search(MatchQuery("spark"), k=5, fetch=("doc_id",))
+    out = eng.script_fields(hits, {"half": "n_chars / 2"},
+                            source_columns=("n_chars",))
+    n_chars = eng.script_fields(hits, {"nc": "n_chars"},
+                                source_columns=("n_chars",))["nc"]
+    np.testing.assert_allclose(out["half"].to_numpy(),
+                               n_chars.to_numpy() / 2)
+
+
+def test_script_score_expression_query(expr_eng):
+    """script_score with an expression source: score == expression over
+    (_score, doc columns), bit-checked against the base query + stored
+    n_chars; DSL parse → to_dsl round-trips."""
+    from elasticsearch_ray.search.dsl import parse_dsl, to_dsl
+    from elasticsearch_ray.search.query import FunctionScoreQuery, MatchQuery
+
+    eng = expr_eng
+    base = eng.search(MatchQuery("spark join"), k=10_000, mode="exhaustive",
+                      fetch=("doc_id", "n_chars"))
+    q = FunctionScoreQuery(query=MatchQuery("spark join"),
+                           script="_score * 2 + sqrt(n_chars)")
+    out = eng.search(q, k=10_000, mode="exhaustive",
+                     fetch=("doc_id", "n_chars"))
+    assert len(out) == len(base) > 0
+    want = {r["doc_id"]: 2 * r["score"] + np.sqrt(r["n_chars"])
+            for r in base.to_pylist()}
+    for r in out.to_pylist():
+        assert abs(r["score"] - want[r["doc_id"]]) < 1e-9
+
+    body = {"script_score": {"query": {"match": {"text": "spark join"}},
+                             "script": {"source": "_score * 2 + sqrt(n_chars)"}}}
+    parsed = parse_dsl(body)
+    assert parsed.script == "_score * 2 + sqrt(n_chars)"
+    rt = to_dsl(parsed)
+    assert parse_dsl(rt) == parsed
+    out2 = eng.search(parsed, k=5, mode="exhaustive", fetch=("doc_id",))
+    assert len(out2) == 5
+    for r in out2.to_pylist():
+        assert abs(r["score"] - want[r["doc_id"]]) < 1e-9
