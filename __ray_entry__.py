@@ -1906,6 +1906,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                script="_score + sqrt(n_chars)")
         return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
+    def search_mlt_doc(sf):  # rows-only (coordinator tf-idf term selection)
+        # more_like_this with a like-DOCUMENT item: the doc's text comes
+        # from the _source lineage (TermVectorsService path), top tf-idf
+        # terms rewrite to a SHOULD disjunction. The liked doc itself must
+        # rank first.
+        from elasticsearch_ray.search.query import MoreLikeThisQuery
+
+        eng = _documents_index(sf)
+        out = _search_table(eng, MoreLikeThisQuery(like_ids=(12,),
+                                                   min_doc_freq=1), k=10)
+        assert out["doc_id"][0].as_py() == 12
+        return out
+
     def rank_eval_report(sf):  # rows-only (graded relevance from term containment)
         from elasticsearch_ray.search.query import MatchQuery
         from elasticsearch_ray.search.rank_eval import (
@@ -2037,6 +2050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sqs": search_sqs,
         "search_function_score": search_function_score,
         "search_script_score_expr": search_script_score_expr,
+        "search_mlt_doc": search_mlt_doc,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
         "suggest_completion_fuzzy": suggest_completion_fuzzy,

@@ -484,9 +484,19 @@ class _Parser:
 
     def q_more_like_this(self, body):
         like = body["like"]
-        if isinstance(like, list):
-            like = " ".join(str(x) for x in like)
-        return MoreLikeThisQuery(like=str(like),
+        items = like if isinstance(like, list) else [like]
+        texts, ids = [], []
+        for x in items:
+            if isinstance(x, dict):
+                # like-document item ({"_id": ...}, MoreLikeThisQueryBuilder
+                # Item): text fetched from _source at rewrite time
+                if "_id" not in x:
+                    raise DslError("more_like_this like-document items need _id")
+                ids.append(int(x["_id"]))
+            else:
+                texts.append(str(x))
+        return MoreLikeThisQuery(like=" ".join(texts),
+                                 like_ids=tuple(ids),
                                  max_query_terms=int(body.get("max_query_terms", 25)),
                                  min_term_freq=int(body.get("min_term_freq", 2)),
                                  min_doc_freq=int(body.get("min_doc_freq", 5)),
@@ -672,7 +682,9 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
                            "organic": to_dsl(q.organic, default_field),
                            "boost": q.boost}}
     if isinstance(q, MoreLikeThisQuery):
-        return {"more_like_this": {"like": q.like,
+        like: list = ([q.like] if q.like else []) + \
+            [{"_id": int(d)} for d in q.like_ids]
+        return {"more_like_this": {"like": like if q.like_ids else q.like,
                                    "max_query_terms": q.max_query_terms,
                                    "min_term_freq": q.min_term_freq,
                                    "min_doc_freq": q.min_doc_freq,

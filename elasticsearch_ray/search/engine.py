@@ -1476,8 +1476,18 @@ class QueryEngine:
 
             from elasticsearch_ray.search.bm25 import idf as idf_fn
 
+            like = q.like or ""
+            if q.like_ids:
+                # like-DOCUMENT items: fetch each doc's text from the
+                # _source lineage (the TermVectorsService path MLT uses)
+                from elasticsearch_ray.search.termvectors import _source_text
+
+                src_col = self.spec.get("text_column", "text")
+                texts = [_source_text(self, d, src_col)[0]
+                         for d in q.like_ids]
+                like = " ".join([like] + texts).strip()
             an = get_analyzer(q.analyzer or self.analyzer_name)
-            tf = Counter(an(q.like)[0])
+            tf = Counter(an(like)[0])
             cand = [t for t, c in tf.items() if c >= q.min_term_freq]
             df = self._global_stats(cand) if cand else {}
             cand = [t for t in cand if df.get(t, 0) >= q.min_doc_freq]

@@ -224,16 +224,20 @@ class FunctionScoreQuery(Query):
 
 @dataclass(frozen=True)
 class MoreLikeThisQuery(Query):
-    """more_like_this subset (MoreLikeThisQueryBuilder): from the LIKE text,
-    keep terms passing min_term_freq/min_doc_freq, rank by tf·idf, take the
-    top max_query_terms, run as a SHOULD disjunction."""
+    """more_like_this subset (MoreLikeThisQueryBuilder): from the LIKE text
+    and/or LIKE documents (``like_ids`` — the reference's ``{"_id": ...}``
+    items, whose text is fetched from the _source lineage like
+    _termvectors does), keep terms passing min_term_freq/min_doc_freq,
+    rank by tf·idf, take the top max_query_terms, run as a SHOULD
+    disjunction."""
 
-    like: str
+    like: str = ""
     max_query_terms: int = 25
     min_term_freq: int = 2
     min_doc_freq: int = 5
     analyzer: str | None = None
     boost: float = 1.0
+    like_ids: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -108,6 +108,29 @@ def test_termvectors_filter(eng):
         eng.termvectors(doc_id=9, filter={"max_terms": 3})
 
 
+def test_more_like_this_like_document(eng):
+    """MLT like-document items ({'_id': d}): text fetched from _source
+    lineage — results equal MLT over the doc's literal text; DSL parses
+    and round-trips the item form."""
+    from elasticsearch_ray.search.dsl import parse_dsl, to_dsl
+    from elasticsearch_ray.search.query import MoreLikeThisQuery
+    from elasticsearch_ray.search.termvectors import _source_text
+
+    text, _ = _source_text(eng, 12, "text")
+    by_id = eng.search(MoreLikeThisQuery(like_ids=(12,), min_doc_freq=1),
+                       k=10, fetch=("doc_id",))
+    by_text = eng.search(MoreLikeThisQuery(like=text, min_doc_freq=1),
+                         k=10, fetch=("doc_id",))
+    assert by_id["doc_id"].to_pylist() == by_text["doc_id"].to_pylist()
+    assert by_id["doc_id"].to_pylist()  # non-empty; doc 12 itself matches
+
+    body = {"more_like_this": {"like": [{"_id": 12}, "extra words"],
+                               "min_doc_freq": 1}}
+    q = parse_dsl(body)
+    assert q.like_ids == (12,) and q.like == "extra words"
+    assert parse_dsl(to_dsl(q)) == q
+
+
 def test_mtermvectors_and_validation(eng):
     out = eng.mtermvectors([1, 2, 3])
     assert [r["doc_id"] for r in out] == [1, 2, 3]
