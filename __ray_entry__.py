@@ -1289,6 +1289,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values(["field_a", "field_b"]).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_string_stats(sf):
+        # string_stats (x-pack analytics InternalStringStats): count /
+        # min / max / avg length + Shannon entropy over the char
+        # distribution; DuckDB twin recomputes via per-char unnest
+        from elasticsearch_ray.ops.analytics import string_stats
+
+        st = string_stats(_ds(sf, "documents"), "text")
+        return pa.table({
+            "count": pa.array([st["count"]], pa.int64()),
+            "min_length": pa.array([st["min_length"]], pa.int64()),
+            "max_length": pa.array([st["max_length"]], pa.int64()),
+            "avg_length": pa.array([round(st["avg_length"], 6)]),
+            "entropy": pa.array([round(st["entropy"], 6)]),
+        })
+
+    def agg_boxplot(sf):  # rows-only: t-digest quartile estimates
+        from elasticsearch_ray.ops.analytics import boxplot_agg
+
+        out = boxplot_agg(_ds(sf, "lineitem"), "l_quantity")
+        return pa.table({k: pa.array([round(float(v), 6)])
+                         for k, v in out.items()})
+
+    def agg_t_test(sf):
+        # t_test (x-pack analytics, Welch/heteroscedastic): the SQL twin
+        # recomputes the t statistic and Welch df from avg/var_samp;
+        # the p-value (incomplete-beta CDF) is pinned by unit tests
+        from elasticsearch_ray.ops.analytics import t_test
+
+        r = t_test(_ds(sf, "events"), "value", "user_id",
+                   type="heteroscedastic")
+        return pa.table({"t_stat": pa.array([round(r["t_stat"], 6)]),
+                         "df": pa.array([round(r["df"], 4)])})
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -2161,6 +2194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentiles_hdr": agg_percentiles_hdr,
         "agg_percentile_ranks_hdr": agg_percentile_ranks_hdr,
         "agg_significant_chi_square": agg_significant_chi_square,
+        "agg_string_stats": agg_string_stats,
+        "agg_boxplot": agg_boxplot,
+        "agg_t_test": agg_t_test,
         "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
@@ -3467,6 +3503,35 @@ def oracle_sql() -> dict[str, str]:
         "script_expression_column": """
             SELECT doc_id, round(sqrt(n_chars) + doc_id % 7, 6) AS v
             FROM documents ORDER BY doc_id
+        """,
+        "agg_string_stats": """
+            WITH chars AS (
+              SELECT unnest(string_split(text, '')) AS ch FROM documents
+            ),
+            dist AS (
+              SELECT count(*)::DOUBLE
+                     / (sum(count(*)) OVER ())::DOUBLE AS p
+              FROM chars GROUP BY ch
+            )
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS count,
+                   (SELECT min(length(text)) FROM documents)::BIGINT AS min_length,
+                   (SELECT max(length(text)) FROM documents)::BIGINT AS max_length,
+                   (SELECT round(avg(length(text)), 6) FROM documents) AS avg_length,
+                   (SELECT round(-sum(p * log2(p)), 6) FROM dist) AS entropy
+        """,
+        "agg_t_test": """
+            WITH s AS (
+              SELECT avg(value) AS ma, var_samp(value) AS va,
+                     count(*)::DOUBLE AS na,
+                     avg(user_id) AS mb, var_samp(user_id) AS vb,
+                     count(*)::DOUBLE AS nb
+              FROM events
+            )
+            SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                   round(pow(va / na + vb / nb, 2)
+                         / (pow(va / na, 2) / (na - 1)
+                            + pow(vb / nb, 2) / (nb - 1)), 4) AS df
+            FROM s
         """,
         "pipeline_events_ua": """
             SELECT event_id,
