@@ -1322,6 +1322,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"t_stat": pa.array([round(r["t_stat"], 6)]),
                          "df": pa.array([round(r["df"], 4)])})
 
+    def agg_top_metrics(sf):
+        # top_metrics (x-pack analytics): metric values of the top-3 docs
+        # by the sort field — per-batch partial top-k, tiny merge
+        from elasticsearch_ray.ops.analytics import top_metrics
+
+        out = top_metrics(_ds(sf, "events"), "value", ["user_id"], size=3)
+        out["value"] = out["value"].round(6)
+        return pa.Table.from_pandas(
+            out.astype({"user_id": "int64"}), preserve_index=False)
+
+    def agg_rate_daily(sf):
+        # rate agg: per-day buckets, rate per HOUR = count / 24
+        from elasticsearch_ray.ops.analytics import rate_agg
+
+        out = rate_agg(_ds(sf, "events"), "ts", unit="day", rate_unit="hour")
+        out["rate"] = out["rate"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_normalize_daily(sf):
+        # normalize pipeline agg (percent_of_sum) over daily event counts
+        from elasticsearch_ray.ops.analytics import normalize_bucket, rate_agg
+
+        daily = rate_agg(_ds(sf, "events"), "ts", unit="day")  # rate == count
+        out = normalize_bucket(daily.rename(columns={"rate": "doc_count"}),
+                               "doc_count", "percent_of_sum", out_col="pct")
+        out["doc_count"] = out["doc_count"].astype("int64")
+        out["pct"] = out["pct"].round(9)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_cumulative_cardinality(sf):
+        # cumulative_cardinality: distinct users ever seen per day bucket
+        # (first-appearance formulation — no per-bucket set union)
+        from elasticsearch_ray.ops.analytics import cumulative_cardinality
+
+        out = cumulative_cardinality(_ds(sf, "events"), "ts", "user_id")
+        out["cumulative_cardinality"] = out["cumulative_cardinality"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -2197,6 +2235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_string_stats": agg_string_stats,
         "agg_boxplot": agg_boxplot,
         "agg_t_test": agg_t_test,
+        "agg_top_metrics": agg_top_metrics,
+        "agg_rate_daily": agg_rate_daily,
+        "agg_normalize_daily": agg_normalize_daily,
+        "agg_cumulative_cardinality": agg_cumulative_cardinality,
         "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,
@@ -3518,6 +3560,35 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT max(length(text)) FROM documents)::BIGINT AS max_length,
                    (SELECT round(avg(length(text)), 6) FROM documents) AS avg_length,
                    (SELECT round(-sum(p * log2(p)), 6) FROM dist) AS entropy
+        """,
+        "agg_top_metrics": """
+            SELECT round(value, 6) AS value, user_id::BIGINT AS user_id
+            FROM events ORDER BY value DESC, user_id LIMIT 3
+        """,
+        "agg_rate_daily": """
+            SELECT date_trunc('day', ts) AS bucket,
+                   round(count(*) / 24.0, 6) AS rate
+            FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "agg_normalize_daily": """
+            SELECT bucket, doc_count,
+                   round(doc_count::DOUBLE
+                         / (sum(doc_count) OVER ()), 9) AS pct
+            FROM (
+              SELECT date_trunc('day', ts) AS bucket,
+                     count(*)::BIGINT AS doc_count
+              FROM events GROUP BY bucket
+            ) ORDER BY bucket
+        """,
+        "agg_cumulative_cardinality": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS bucket
+              FROM events GROUP BY user_id
+            )
+            SELECT bucket,
+                   (sum(count(*)) OVER (ORDER BY bucket))::BIGINT
+                     AS cumulative_cardinality
+            FROM f GROUP BY bucket ORDER BY bucket
         """,
         "agg_t_test": """
             WITH s AS (

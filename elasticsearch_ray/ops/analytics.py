@@ -102,6 +102,118 @@ def boxplot_agg(ds: Dataset, col: str, delta: float = 200.0) -> dict:
             "lower": max(mn, q1 - 1.5 * iqr), "upper": min(mx, q3 + 1.5 * iqr)}
 
 
+# ---------------------------------------------------------------- top_metrics
+
+def top_metrics(ds: Dataset, sort_col: str, metrics: list[str], size: int = 1,
+                descending: bool = True) -> pd.DataFrame:
+    """top_metrics (`topmetrics/TopMetricsAggregationBuilder.java`): the
+    metric values of the top-``size`` docs by the sort field. Per-batch
+    partial top-k → tiny driver merge (never a full sort). Ties break on
+    the first metric column for determinism."""
+    cols = [sort_col] + [m for m in metrics if m != sort_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values([sort_col, cols[-1]],
+                           ascending=[not descending, True]).head(size),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values([sort_col, cols[-1]],
+                            ascending=[not descending, True]).head(size)
+    return out[[sort_col] + metrics].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- rate
+
+def rate_agg(ds: Dataset, ts_col: str, unit: str = "day",
+             rate_unit: str | None = None, value_col: str | None = None) -> pd.DataFrame:
+    """rate (`rate/RateAggregationBuilder.java`): per date-histogram
+    bucket, doc count (or Σ value_col) divided by (bucket interval /
+    rate unit). With rate_unit == the histogram unit the rate equals the
+    raw bucket metric; finer rate units scale down proportionally —
+    exactly the reference's RateAggregator math."""
+    _SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 7 * 86400, "month": 30 * 86400, "year": 365 * 86400}
+    if unit not in _SECONDS or (rate_unit or unit) not in _SECONDS:
+        raise ValueError(f"unknown calendar unit; known: {sorted(_SECONDS)}")
+    factor = _SECONDS[unit] / _SECONDS[rate_unit or unit]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bucket = pd.to_datetime(df[ts_col]).dt.floor(
+            {"second": "s", "minute": "min", "hour": "h", "day": "D",
+             "week": "7D", "month": "30D", "year": "365D"}[unit])
+        g = df.groupby(bucket)
+        val = (g[value_col].sum() if value_col else g.size()).astype(np.float64)
+        return pa.table({"bucket": pa.array(val.index),
+                         "v": pa.array(val.to_numpy())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bucket", as_index=False)["v"].sum()
+    out["rate"] = out["v"] / factor
+    return (out[["bucket", "rate"]]
+            .sort_values("bucket").reset_index(drop=True))
+
+
+# --------------------------------------------------------------- normalize
+
+def normalize_bucket(bucket_df: pd.DataFrame, col: str, method: str,
+                     out_col: str = "normalized") -> pd.DataFrame:
+    """normalize pipeline agg (`normalize/NormalizePipelineAggregator`):
+    rescale a sibling bucket metric — methods from the reference list."""
+    v = bucket_df[col].to_numpy(np.float64)
+    if method == "rescale_0_1":
+        span = v.max() - v.min()
+        out = (v - v.min()) / span if span else np.zeros_like(v)
+    elif method == "rescale_0_100":
+        span = v.max() - v.min()
+        out = 100.0 * (v - v.min()) / span if span else np.zeros_like(v)
+    elif method == "percent_of_sum":
+        out = v / v.sum() if v.sum() else np.zeros_like(v)
+    elif method == "mean":
+        span = v.max() - v.min()
+        out = (v - v.mean()) / span if span else np.zeros_like(v)
+    elif method == "z-score":
+        sd = v.std()
+        out = (v - v.mean()) / sd if sd else np.zeros_like(v)
+    elif method == "softmax":
+        e = np.exp(v - v.max())
+        out = e / e.sum()
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    res = bucket_df.copy()
+    res[out_col] = out
+    return res
+
+
+# -------------------------------------------- cumulative_cardinality
+
+def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,
+                           unit: str = "day") -> pd.DataFrame:
+    """cumulative_cardinality (`cumulativecardinality/...Aggregator`):
+    per date bucket, the number of DISTINCT ids seen in that bucket or
+    any earlier one. Shuffle-light exact form: one groupby computes each
+    id's FIRST bucket; the cumulative count of first-appearances equals
+    the cumulative cardinality (ids count once, at first sight) — no
+    per-bucket set union ships anywhere."""
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bucket = pd.to_datetime(df[ts_col]).dt.floor(
+            {"hour": "h", "day": "D", "week": "7D"}[unit])
+        g = pd.DataFrame({"id": df[id_col], "bucket": bucket})
+        first = g.groupby("id", as_index=False)["bucket"].min()
+        return pa.Table.from_pandas(first, preserve_index=False)
+
+    parts = ds.map_batches(first_seen, batch_format="pyarrow").to_pandas()
+    first = parts.groupby("id", as_index=False)["bucket"].min()
+    per_bucket = (first.groupby("bucket").size()
+                  .sort_index().cumsum().rename("cumulative_cardinality"))
+    return per_bucket.reset_index()
+
+
 # ---------------------------------------------------------------- t_test
 
 def _betacf(a: float, b: float, x: float) -> float:

@@ -42,6 +42,70 @@ def test_boxplot_agg(ray_session):
     assert out["q1"] <= out["q2"] <= out["q3"]
 
 
+def test_top_metrics(ray_session):
+    from elasticsearch_ray.ops.analytics import top_metrics
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"s": rng.permutation(1000).astype(float),
+                       "m": np.arange(1000).astype(float)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = top_metrics(ds, "s", ["m"], size=3)
+    want = df.sort_values("s", ascending=False).head(3)
+    assert out["s"].tolist() == want["s"].tolist()
+    assert out["m"].tolist() == want["m"].tolist()
+    asc = top_metrics(ds, "s", ["m"], size=2, descending=False)
+    assert asc["s"].tolist() == sorted(df["s"])[:2]
+
+
+def test_rate_agg(ray_session):
+    from elasticsearch_ray.ops.analytics import rate_agg
+
+    ts = pd.date_range("2024-01-01", periods=48, freq="h")
+    df = pd.DataFrame({"ts": ts, "v": 1.0})
+    ds = rd.from_pandas(df).repartition(3)
+    # day buckets, rate per day == raw count (24 per bucket)
+    per_day = rate_agg(ds, "ts", unit="day")
+    assert per_day["rate"].tolist() == [24.0, 24.0]
+    # rate per hour within day buckets: 24 docs / 24 = 1 per hour
+    per_hour = rate_agg(ds, "ts", unit="day", rate_unit="hour")
+    assert per_hour["rate"].tolist() == [1.0, 1.0]
+    # value-based rate
+    vrate = rate_agg(ds, "ts", unit="day", rate_unit="hour", value_col="v")
+    assert vrate["rate"].tolist() == [1.0, 1.0]
+    with pytest.raises(ValueError, match="calendar unit"):
+        rate_agg(ds, "ts", unit="fortnight")
+
+
+def test_normalize_bucket():
+    from elasticsearch_ray.ops.analytics import normalize_bucket
+
+    df = pd.DataFrame({"k": list("abcd"), "v": [1.0, 2.0, 3.0, 4.0]})
+    np.testing.assert_allclose(
+        normalize_bucket(df, "v", "rescale_0_1")["normalized"],
+        [0, 1 / 3, 2 / 3, 1.0])
+    np.testing.assert_allclose(
+        normalize_bucket(df, "v", "percent_of_sum")["normalized"],
+        [0.1, 0.2, 0.3, 0.4])
+    z = normalize_bucket(df, "v", "z-score")["normalized"].to_numpy()
+    assert abs(z.mean()) < 1e-12 and abs(np.std(z) - 1) < 1e-12  # population σ
+    sm = normalize_bucket(df, "v", "softmax")["normalized"]
+    assert abs(sm.sum() - 1.0) < 1e-12 and sm.is_monotonic_increasing
+    with pytest.raises(ValueError, match="unknown normalize"):
+        normalize_bucket(df, "v", "minmax")
+
+
+def test_cumulative_cardinality(ray_session):
+    from elasticsearch_ray.ops.analytics import cumulative_cardinality
+
+    # user 1 appears day1+day2 (counts once, day1); user 2 day2; user 3 day3
+    ts = pd.to_datetime(["2024-01-01 05:00", "2024-01-02 06:00",
+                         "2024-01-02 07:00", "2024-01-03 08:00"])
+    df = pd.DataFrame({"ts": ts, "uid": [1, 1, 2, 3]})
+    out = cumulative_cardinality(rd.from_pandas(df).repartition(2),
+                                 "ts", "uid")
+    assert out["cumulative_cardinality"].tolist() == [1, 2, 3]
+
+
 def test_t_cdf_known_values():
     """Student-t two-sided tails vs published table values."""
     from elasticsearch_ray.ops.analytics import t_sf2
