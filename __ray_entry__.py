@@ -1360,6 +1360,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cumulative_cardinality"] = out["cumulative_cardinality"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_moving_percentiles(sf):  # rows-only: t-digest window estimates
+        from elasticsearch_ray.ops.analytics import moving_percentiles
+
+        out = moving_percentiles(_ds(sf, "events"), "ts", "value",
+                                 window=3, percents=(50.0,))
+        out["p50"] = out["p50"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_cardinality_hll(sf):  # rows-only: sketch estimate
         from elasticsearch_ray.ops.aggs import cardinality_hll
 
@@ -2239,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rate_daily": agg_rate_daily,
         "agg_normalize_daily": agg_normalize_daily,
         "agg_cumulative_cardinality": agg_cumulative_cardinality,
+        "agg_moving_percentiles": agg_moving_percentiles,
         "agg_matrix_stats": agg_matrix_stats,
         "agg_cardinality_hll": agg_cardinality_hll,
         "web_lang_french": web_lang_french,

@@ -188,6 +188,51 @@ def normalize_bucket(bucket_df: pd.DataFrame, col: str, method: str,
     return res
 
 
+# ----------------------------------------------------- moving_percentiles
+
+def moving_percentiles(ds: Dataset, ts_col: str, value_col: str,
+                       unit: str = "day", window: int = 3,
+                       percents=(50.0,), delta: float = 200.0) -> pd.DataFrame:
+    """moving_percentiles (`movingPercentiles/MovingPercentilesPipeline
+    Aggregator.java`): a sliding window over a date histogram's per-bucket
+    t-digest SKETCHES, merged per output bucket — the whole point of the
+    reference op is that digests merge, so the window never re-reads
+    values. One distributed pass builds (bucket, digest) partials; the
+    driver merges window·buckets tiny sketches."""
+    from elasticsearch_ray.ops.tdigest import TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bucket = pd.to_datetime(df[ts_col]).dt.floor(
+            {"hour": "h", "day": "D", "week": "7D"}[unit])
+        rows_b, rows_s = [], []
+        for b, g in df.groupby(bucket):
+            rows_b.append(b)
+            rows_s.append(TDigest(delta).add(
+                g[value_col].to_numpy(np.float64)).to_bytes())
+        return pa.table({"bucket": pa.array(rows_b),
+                         "sketch": pa.array(rows_s, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    per_bucket: dict = {}
+    for b, s in zip(parts["bucket"], parts["sketch"]):
+        d = per_bucket.get(b)
+        nd = TDigest.from_bytes(s)
+        per_bucket[b] = nd if d is None else d.merge(nd)
+    buckets = sorted(per_bucket)
+    rows = []
+    for i, b in enumerate(buckets):
+        lo = max(0, i - window + 1)
+        acc = TDigest(delta)
+        for bb in buckets[lo:i + 1]:
+            acc.merge(TDigest.from_bytes(per_bucket[bb].to_bytes()))
+        row = {"bucket": b}
+        for p in percents:
+            row[f"p{str(p).rstrip('0').rstrip('.')}"] = acc.quantile(p / 100.0)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 # -------------------------------------------- cumulative_cardinality
 
 def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,

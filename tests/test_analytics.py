@@ -94,6 +94,23 @@ def test_normalize_bucket():
         normalize_bucket(df, "v", "minmax")
 
 
+def test_moving_percentiles(ray_session):
+    from elasticsearch_ray.ops.analytics import moving_percentiles
+
+    rng = np.random.default_rng(7)
+    days = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.repeat(np.arange(6), 500), unit="D")
+    v = rng.normal(np.repeat(np.arange(6) * 10.0, 500), 2.0)
+    ds = rd.from_pandas(pd.DataFrame({"ts": days, "v": v})).repartition(4)
+    out = moving_percentiles(ds, "ts", "v", window=3, percents=(50.0,))
+    assert len(out) == 6
+    for i in range(6):
+        lo = max(0, i - 2)
+        wvals = v[(np.repeat(np.arange(6), 500) >= lo)
+                  & (np.repeat(np.arange(6), 500) <= i)]
+        assert abs(out["p50"].iloc[i] - np.median(wvals)) < 1.0, i
+
+
 def test_cumulative_cardinality(ray_session):
     from elasticsearch_ray.ops.analytics import cumulative_cardinality
 
