@@ -1723,6 +1723,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def transform_pivot(sf):
+        # x-pack transform pivot: event_type x day -> count + sum(value),
+        # written to a checkpointed destination; DuckDB GROUP BY twin
+        import tempfile
+
+        from elasticsearch_ray.pipelines.transform import pivot_transform
+
+        dest = os.path.join(tempfile.gettempdir(),
+                            f"esray_transform/pivot-{_sf_key(sf)}")
+        out = pivot_transform(_ds(sf, "events"), dest,
+                              group_by=["event_type", "ts"],
+                              date_floor={"ts": "day"},
+                              aggs={"n": ("count", ""),
+                                    "total": ("sum", "value")})
+        out["total"] = out["total"].round(4)
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def transform_latest(sf):
+        # x-pack transform latest: newest event per user (row-identical to
+        # the source, so no rounding needed); DuckDB row_number twin
+        import tempfile
+
+        from elasticsearch_ray.pipelines.transform import latest_transform
+
+        dest = os.path.join(tempfile.gettempdir(),
+                            f"esray_transform/latest-{_sf_key(sf)}")
+        out = latest_transform(_ds(sf, "events"), dest,
+                               unique_key="user_id", sort_col="ts")
+        return pa.Table.from_pandas(
+            out[["user_id", "event_id", "event_type", "value"]]
+            .astype({"user_id": "int64", "event_id": "int64"}),
+            preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -2284,6 +2318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_ua": pipeline_events_ua,
+        "transform_pivot": transform_pivot,
+        "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
         "pipeline_events_csv": pipeline_events_csv,
         "web_match_top10": web_match_top10,
@@ -3612,6 +3648,21 @@ def oracle_sql() -> dict[str, str]:
                          / (pow(va / na, 2) / (na - 1)
                             + pow(vb / nb, 2) / (nb - 1)), 4) AS df
             FROM s
+        """,
+        "transform_pivot": """
+            SELECT event_type, date_trunc('day', ts) AS ts,
+                   count(*)::BIGINT AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+            ORDER BY event_type, ts
+        """,
+        "transform_latest": """
+            SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+                   event_type, value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
         """,
         "pipeline_events_ua": """
             SELECT event_id,

@@ -131,12 +131,15 @@ def training_data_pipeline(
 
     clean = scored.map_batches(quality_filter, batch_format="pyarrow")
 
-    # exact dedup as a DISTRIBUTED semi-join: full records ride a SORT by
-    # content_hash (range partitioning contains each hash in one block —
-    # the ops/components.py pattern), then a vectorized per-block
-    # min-by-(hash, url) emits each group's survivor. No per-group Python:
-    # a pathological single-content corpus is one lexsort + reduceat in one
-    # block, not one reducer looping groups (round-3 verdict minor #3).
+    # exact dedup as a two-phase DISTRIBUTED reduce: a block-local
+    # vectorized min-by-(hash, url) COMBINER over the hash-sorted stream
+    # (one lexsort + reduceat per block, batch_size=None = one block per
+    # batch), then a hash-grouped final pick. Ray sort boundaries are
+    # row-based and can split a hash run across blocks, so the combiner
+    # alone could emit duplicate survivors; after it, the final groupby
+    # sees at most #blocks candidate rows per hash — bounded per-group
+    # work even on a pathological single-content corpus (round-3 verdict
+    # minor #3: the old one-phase groupby looped dup-count-sized groups).
     hashed = add_content_hash(clean, ["text"]).select_columns(
         ["content_hash", "url", "warc_ts", "text", "lang"]
     )
@@ -153,8 +156,16 @@ def training_data_pipeline(
         return out.append_column("dup_count",
                                  pa.array(group_sizes.astype(np.int64)))
 
-    deduped = hashed.sort("content_hash").map_batches(survivors,
-                                                      batch_format="pyarrow")
+    def final_pick(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("url", kind="stable").head(1).copy()
+        r["dup_count"] = int(g["dup_count"].sum())
+        return r
+
+    deduped = (hashed.sort("content_hash")
+               .map_batches(survivors, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby("content_hash")
+               .map_groups(final_pick, batch_format="pandas"))
 
     # write the cleaned corpus partitioned, then index it
     clean_dir = os.path.join(work_dir, "clean")

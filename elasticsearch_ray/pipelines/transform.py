@@ -1,0 +1,128 @@
+"""Transforms — the reference's x-pack transform module
+(`x-pack/plugin/transform/.../transforms/pivot/Pivot.java` and
+`latest/Latest.java`): batch jobs that read an index and write a
+summarized DESTINATION index.
+
+- **pivot**: group_by sources (terms and/or date_histogram) + per-group
+  metric aggregations → one destination row per group tuple.
+- **latest**: one destination row per unique key — the row with the
+  maximum sort value (Latest.java composes top_hits size=1 per bucket;
+  here it's a sort by (key, sort) + per-block vectorized LAST-by-key,
+  the ops/components.py range-partition pattern — no per-group Python).
+
+Both write partitioned Parquet destinations with an atomic manifest
+(resume = skip when the manifest matches the source fingerprint), the
+repo's checkpoint discipline (index/build.py) applied to transforms —
+the analog of the transform checkpoint documents."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from elasticsearch_ray.index.segments import atomic_write_json
+
+_AGGS = {"sum": Sum, "avg": Mean, "min": Min, "max": Max}
+
+
+def _dest_manifest(dest_dir: str) -> dict | None:
+    p = os.path.join(dest_dir, "transform_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _finish(dest_dir: str, spec: dict, fingerprint: str | None,
+            n_rows: int) -> None:
+    atomic_write_json(os.path.join(dest_dir, "transform_manifest.json"),
+                      {"spec": spec, "input_fingerprint": fingerprint,
+                       "n_rows": int(n_rows)})
+
+
+def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
+                    aggs: dict[str, tuple[str, str]],
+                    date_floor: dict[str, str] | None = None,
+                    input_fingerprint: str | None = None) -> pd.DataFrame:
+    """Pivot: ``group_by`` columns (optionally date-floored via
+    ``date_floor={col: unit}``) × ``aggs={out_name: (fn, col)}`` with fn
+    in sum/avg/min/max/count. Executes as ONE Ray groupby-aggregate
+    (map-side combine keeps the shuffle group-sized); writes the
+    destination Parquet + manifest, returns the (small) result frame."""
+    spec = {"kind": "pivot", "group_by": group_by, "aggs": aggs,
+            "date_floor": date_floor or {}}
+    man = _dest_manifest(dest_dir)
+    if man and man["spec"] == json.loads(json.dumps(spec)) \
+            and man.get("input_fingerprint") == input_fingerprint:
+        return pd.read_parquet(os.path.join(dest_dir, "dest.parquet"))
+    for out, (fn, _col) in aggs.items():
+        if fn not in _AGGS and fn != "count":
+            raise ValueError(f"unknown pivot aggregation {fn!r} for {out!r}; "
+                             f"known: {sorted(_AGGS) + ['count']}")
+    if date_floor:
+        units = {"hour": "h", "day": "D", "week": "7D", "month": "30D"}
+
+        def floor_cols(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            for c, u in date_floor.items():
+                df[c] = pd.to_datetime(df[c]).dt.floor(units[u])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        ds = ds.map_batches(floor_cols, batch_format="pyarrow")
+    ray_aggs = []
+    for out, (fn, col) in aggs.items():
+        ray_aggs.append(Count(alias_name=out) if fn == "count"
+                        else _AGGS[fn](col, alias_name=out))
+    res = (ds.groupby(list(group_by)).aggregate(*ray_aggs).to_pandas()
+           .sort_values(list(group_by)).reset_index(drop=True))
+    os.makedirs(dest_dir, exist_ok=True)
+    res.to_parquet(os.path.join(dest_dir, "dest.parquet"), index=False)
+    _finish(dest_dir, spec, input_fingerprint, len(res))
+    return res
+
+
+def latest_transform(ds: Dataset, dest_dir: str, unique_key: str,
+                     sort_col: str,
+                     input_fingerprint: str | None = None) -> pd.DataFrame:
+    """Latest: the max-``sort_col`` row per ``unique_key`` (ties break on
+    the LAST row in (key, sort) order, deterministic). Sort-based: range
+    partitioning contains each key in one block, so a vectorized
+    per-block last-by-key emits every winner — no per-group Python, no
+    driver materialization of the input."""
+    spec = {"kind": "latest", "unique_key": unique_key, "sort_col": sort_col}
+    man = _dest_manifest(dest_dir)
+    if man and man["spec"] == spec \
+            and man.get("input_fingerprint") == input_fingerprint:
+        return pd.read_parquet(os.path.join(dest_dir, "dest.parquet"))
+
+    def last_by_key(batch: pa.Table) -> pa.Table:
+        k = batch[unique_key].to_numpy(zero_copy_only=False)
+        # sorted by (key, sort): the LAST row of each key run wins
+        last = np.r_[np.flatnonzero(k[1:] != k[:-1]), len(k) - 1]
+        return batch.take(pa.array(last))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_col, kind="stable").tail(1)
+
+    # two-phase reduce: a block-local vectorized last-by-key COMBINER
+    # (batch_size=None = one sorted block per batch), then a hash-grouped
+    # final pick — Ray sort boundaries are row-based and can split a key
+    # across blocks, so block-local winners alone can duplicate keys; the
+    # final groupby sees at most #blocks candidates per key
+    out = (ds.sort([unique_key, sort_col])
+           .map_batches(last_by_key, batch_format="pyarrow", batch_size=None)
+           .groupby(unique_key)
+           .map_groups(pick, batch_format="pandas")
+           .to_pandas().sort_values(unique_key).reset_index(drop=True))
+    os.makedirs(dest_dir, exist_ok=True)
+    out.to_parquet(os.path.join(dest_dir, "dest.parquet"), index=False)
+    _finish(dest_dir, spec, input_fingerprint, len(out))
+    return out
