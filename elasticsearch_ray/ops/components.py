@@ -32,11 +32,18 @@ def _star_round(edges: Dataset) -> Dataset:
     stages emit zero-schema empty blocks that map_batches passes through
     and downstream key resolution chokes on).
 
-    Plan: symmetrize → sort("u") (range partitioning puts ALL rows of a key
-    in one block) → per-BLOCK vectorized star emission (np.unique +
-    minimum.reduceat) → sort(["a","b"]) → per-block dedup (same containment
-    argument makes block-local distinct global). Self-loops (m, m) persist
-    at component roots — harmless at the fixpoint and they keep isolated
+    Plan: symmetrize → sort("u") → per-BLOCK vectorized star emission
+    (np.unique + minimum.reduceat) → sort(["a","b"]) → per-block dedup.
+    Sort boundaries are row-based, so a key run CAN straddle two blocks
+    (measured round 4) — this algorithm is SPLIT-TOLERANT by design: a
+    u split into blocks with local minima m1 ≠ m2 emits (m1,u) and
+    (m2,u), which keep the component connected through u (hash-to-min
+    converges regardless of per-block granularity), and a (a,b) pair
+    duplicated across a dedup-block boundary is just extra volume at the
+    fixpoint. Do NOT copy this per-block shape for arg-min/dedup-by-key
+    semantics — those need the two-phase combiner + grouped final pick
+    (see pipelines/transform.py latest). Self-loops (m, m) persist at
+    component roots — harmless at the fixpoint and they keep isolated
     nodes visible."""
 
     def _empty(*cols: str) -> pa.Table:
