@@ -1728,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # written to a checkpointed destination; DuckDB GROUP BY twin
         import tempfile
 
+        from elasticsearch_ray.index.vectors import parquet_fingerprint
         from elasticsearch_ray.pipelines.transform import pivot_transform
 
         dest = os.path.join(tempfile.gettempdir(),
@@ -1736,7 +1737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               group_by=["event_type", "ts"],
                               date_floor={"ts": "day"},
                               aggs={"n": ("count", ""),
-                                    "total": ("sum", "value")})
+                                    "total": ("sum", "value")},
+                              input_fingerprint=parquet_fingerprint(
+                                  os.path.join(sf, "events.parquet")))
         out["total"] = out["total"].round(4)
         out["n"] = out["n"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -1746,12 +1749,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the source, so no rounding needed); DuckDB row_number twin
         import tempfile
 
+        from elasticsearch_ray.index.vectors import parquet_fingerprint
         from elasticsearch_ray.pipelines.transform import latest_transform
 
         dest = os.path.join(tempfile.gettempdir(),
                             f"esray_transform/latest-{_sf_key(sf)}")
         out = latest_transform(_ds(sf, "events"), dest,
-                               unique_key="user_id", sort_col="ts")
+                               unique_key="user_id", sort_col="ts",
+                               input_fingerprint=parquet_fingerprint(
+                                   os.path.join(sf, "events.parquet")))
         return pa.Table.from_pandas(
             out[["user_id", "event_id", "event_type", "value"]]
             .astype({"user_id": "int64", "event_id": "int64"}),

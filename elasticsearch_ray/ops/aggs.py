@@ -172,7 +172,7 @@ def percentiles_agg(ds: Dataset, key: str | None, value_col: str,
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
-        row = {f"p{str(p).rstrip('0').rstrip('.')}": float(np.percentile(vals, p)) for p in percents}
+        row = {f"p{float(p):g}": float(np.percentile(vals, p)) for p in percents}
         if key:
             row[key] = g[key].iloc[0]
         return pd.DataFrame([row])
@@ -185,7 +185,7 @@ def percentiles_agg(ds: Dataset, key: str | None, value_col: str,
     # (the t-digest twin remains the sketch alternative)
     n = ds.count()
     if n == 0:
-        return pd.DataFrame([{f"p{str(p).rstrip('0').rstrip('.')}": float("nan")
+        return pd.DataFrame([{f"p{float(p):g}": float("nan")
                               for p in percents}])
     # linear-interpolation positions (numpy 'linear' method)
     pos = [(p / 100.0) * (n - 1) for p in percents]
@@ -210,7 +210,7 @@ def percentiles_agg(ds: Dataset, key: str | None, value_col: str,
         lo_i, hi_i = int(np.floor(x)), int(np.ceil(x))
         frac = x - lo_i
         val = picked[lo_i] * (1 - frac) + picked[hi_i] * frac
-        row[f"p{str(p).rstrip('0').rstrip('.')}"] = float(val)
+        row[f"p{float(p):g}"] = float(val)
     return pd.DataFrame([row])
 
 
@@ -239,7 +239,7 @@ def percentiles_tdigest(ds: Dataset, key: str | None, value_col: str,
         d = TDigest(delta)
         for b in sketches:
             d.merge(TDigest.from_bytes(b))
-        return {f"p{str(p).rstrip('0').rstrip('.')}": round(d.quantile(p / 100.0), 6)
+        return {f"p{float(p):g}": round(d.quantile(p / 100.0), 6)
                 for p in percents}
 
     if key:
@@ -280,7 +280,7 @@ def percentiles_hdr(ds: Dataset, key: str | None, value_col: str,
         h = HdrHistogram(significant_digits)
         for b in sketches:
             h.merge(HdrHistogram.from_bytes(b))
-        return {f"p{str(p).rstrip('0').rstrip('.')}": round(h.value_at_percentile(p), 6)
+        return {f"p{float(p):g}": round(h.value_at_percentile(p), 6)
                 for p in percents}
 
     if key:
@@ -473,7 +473,8 @@ def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFram
 
 def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None,
                           heuristic: str = "jlh",
-                          include_negatives: bool = True) -> pd.DataFrame:
+                          include_negatives: bool = True,
+                          background_is_superset: bool = True) -> pd.DataFrame:
     """significant_terms: foreground vs background significance, with the
     reference's FULL heuristic family (bucket/terms/heuristic/): jlh
     (default), chi_square, mutual_information, gnd, percentage — see
@@ -489,7 +490,8 @@ def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None =
     m["score"] = np.round(
         sig_score(heuristic, m["fg_count"].to_numpy(), fg_total,
                   m["bg_count"].to_numpy(), bg_total,
-                  include_negatives=include_negatives), 9)
+                  include_negatives=include_negatives,
+                  background_is_superset=background_is_superset), 9)
     m = m[m["fg_count"] > 0]
     m = m.sort_values(["score", key], ascending=[False, True]).reset_index(drop=True)
     m["bg_count"] = m["bg_count"].astype("int64")

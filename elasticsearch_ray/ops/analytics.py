@@ -25,6 +25,29 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def calendar_floor(ts: pd.Series, unit: str) -> pd.Series:
+    """Truncate timestamps to a CALENDAR unit (DateHistogramAggregation
+    calendar_interval semantics, UTC): fixed-width units floor; week
+    starts Monday; month/quarter/year truncate to real calendar
+    boundaries — never epoch-anchored 7D/30D blocks (those are what
+    fixed_interval means, not calendar_interval)."""
+    ts = pd.to_datetime(ts)
+    fixed = {"second": "s", "minute": "min", "hour": "h", "day": "D"}
+    if unit in fixed:
+        return ts.dt.floor(fixed[unit])
+    if unit in ("week", "month", "quarter", "year"):
+        period = {"week": "W", "month": "M", "quarter": "Q", "year": "Y"}[unit]
+        return ts.dt.to_period(period).dt.start_time
+    raise ValueError(f"unknown calendar unit {unit!r}; known: "
+                     "second minute hour day week month quarter year")
+
+
+def _pct_label(p) -> str:
+    """'p50' for 50 and 50.0, 'p99.9' for 99.9 — int inputs must not be
+    mangled by decimal-string stripping."""
+    return f"p{float(p):g}"
+
+
 # ---------------------------------------------------------------- string_stats
 
 def string_stats(ds: Dataset, col: str, show_distribution: bool = False) -> dict:
@@ -108,20 +131,23 @@ def top_metrics(ds: Dataset, sort_col: str, metrics: list[str], size: int = 1,
                 descending: bool = True) -> pd.DataFrame:
     """top_metrics (`topmetrics/TopMetricsAggregationBuilder.java`): the
     metric values of the top-``size`` docs by the sort field. Per-batch
-    partial top-k → tiny driver merge (never a full sort). Ties break on
-    the first metric column for determinism."""
-    cols = [sort_col] + [m for m in metrics if m != sort_col]
+    partial top-k → tiny driver merge (never a full sort). Sort-value
+    ties break on the remaining metric columns in order (deterministic;
+    with metrics == [sort_col] alone, ties at the size boundary are
+    partition-layout-dependent — pass a distinguishing metric)."""
+    extra = [m for m in metrics if m != sort_col]
+    cols = [sort_col] + extra
+    sort_keys = [sort_col] + extra
+    order = [not descending] + [True] * len(extra)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(cols).to_pandas()
         return pa.Table.from_pandas(
-            df.sort_values([sort_col, cols[-1]],
-                           ascending=[not descending, True]).head(size),
+            df.sort_values(sort_keys, ascending=order).head(size),
             preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.sort_values([sort_col, cols[-1]],
-                            ascending=[not descending, True]).head(size)
+    out = parts.sort_values(sort_keys, ascending=order).head(size)
     return out[[sort_col] + metrics].reset_index(drop=True)
 
 
@@ -133,18 +159,20 @@ def rate_agg(ds: Dataset, ts_col: str, unit: str = "day",
     bucket, doc count (or Σ value_col) divided by (bucket interval /
     rate unit). With rate_unit == the histogram unit the rate equals the
     raw bucket metric; finer rate units scale down proportionally —
-    exactly the reference's RateAggregator math."""
+    exactly the reference's RateAggregator math. Buckets use true
+    CALENDAR truncation (calendar_floor — epoch-anchored 7D/30D blocks
+    would be fixed_interval, not calendar_interval); the rate factor
+    uses average unit lengths like the reference."""
     _SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                "week": 7 * 86400, "month": 30 * 86400, "year": 365 * 86400}
+                "week": 7 * 86400, "month": 30 * 86400,
+                "quarter": 92 * 86400, "year": 365 * 86400}
     if unit not in _SECONDS or (rate_unit or unit) not in _SECONDS:
         raise ValueError(f"unknown calendar unit; known: {sorted(_SECONDS)}")
     factor = _SECONDS[unit] / _SECONDS[rate_unit or unit]
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        bucket = pd.to_datetime(df[ts_col]).dt.floor(
-            {"second": "s", "minute": "min", "hour": "h", "day": "D",
-             "week": "7D", "month": "30D", "year": "365D"}[unit])
+        bucket = calendar_floor(df[ts_col], unit)
         g = df.groupby(bucket)
         val = (g[value_col].sum() if value_col else g.size()).astype(np.float64)
         return pa.table({"bucket": pa.array(val.index),
@@ -203,8 +231,7 @@ def moving_percentiles(ds: Dataset, ts_col: str, value_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        bucket = pd.to_datetime(df[ts_col]).dt.floor(
-            {"hour": "h", "day": "D", "week": "7D"}[unit])
+        bucket = calendar_floor(df[ts_col], unit)
         rows_b, rows_s = [], []
         for b, g in df.groupby(bucket):
             rows_b.append(b)
@@ -228,7 +255,7 @@ def moving_percentiles(ds: Dataset, ts_col: str, value_col: str,
             acc.merge(TDigest.from_bytes(per_bucket[bb].to_bytes()))
         row = {"bucket": b}
         for p in percents:
-            row[f"p{str(p).rstrip('0').rstrip('.')}"] = acc.quantile(p / 100.0)
+            row[_pct_label(p)] = acc.quantile(p / 100.0)
         rows.append(row)
     return pd.DataFrame(rows)
 
@@ -246,9 +273,8 @@ def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,
 
     def first_seen(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        bucket = pd.to_datetime(df[ts_col]).dt.floor(
-            {"hour": "h", "day": "D", "week": "7D"}[unit])
-        g = pd.DataFrame({"id": df[id_col], "bucket": bucket})
+        g = pd.DataFrame({"id": df[id_col],
+                          "bucket": calendar_floor(df[ts_col], unit)})
         first = g.groupby("id", as_index=False)["bucket"].min()
         return pa.Table.from_pandas(first, preserve_index=False)
 

@@ -41,11 +41,40 @@ def _dest_manifest(dest_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _finish(dest_dir: str, spec: dict, fingerprint: str | None,
-            n_rows: int) -> None:
+def _spec_key(spec: dict, fingerprint: str | None) -> str:
+    import hashlib
+
+    return hashlib.sha1(
+        json.dumps([spec, fingerprint], sort_keys=True).encode()
+    ).hexdigest()[:12]
+
+
+def _resume(dest_dir: str, spec: dict, fingerprint: str | None):
+    """Serve the destination iff the manifest matches (spec, fingerprint)
+    AND the data file it POINTS TO exists — the data file name embeds the
+    spec key, so a crash between writing new data and the manifest can
+    never pair an old manifest with new rows."""
+    man = _dest_manifest(dest_dir)
+    if not man:
+        return None
+    if man.get("spec") != json.loads(json.dumps(spec)) \
+            or man.get("input_fingerprint") != fingerprint:
+        return None
+    p = os.path.join(dest_dir, man.get("data_file", ""))
+    return pd.read_parquet(p) if man.get("data_file") and os.path.exists(p) \
+        else None
+
+
+def _publish(dest_dir: str, spec: dict, fingerprint: str | None,
+             frame: pd.DataFrame) -> None:
+    os.makedirs(dest_dir, exist_ok=True)
+    data_file = f"dest-{_spec_key(spec, fingerprint)}.parquet"
+    tmp = os.path.join(dest_dir, data_file + ".tmp")
+    frame.to_parquet(tmp, index=False)
+    os.replace(tmp, os.path.join(dest_dir, data_file))
     atomic_write_json(os.path.join(dest_dir, "transform_manifest.json"),
                       {"spec": spec, "input_fingerprint": fingerprint,
-                       "n_rows": int(n_rows)})
+                       "data_file": data_file, "n_rows": int(len(frame))})
 
 
 def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
@@ -59,21 +88,20 @@ def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
     destination Parquet + manifest, returns the (small) result frame."""
     spec = {"kind": "pivot", "group_by": group_by, "aggs": aggs,
             "date_floor": date_floor or {}}
-    man = _dest_manifest(dest_dir)
-    if man and man["spec"] == json.loads(json.dumps(spec)) \
-            and man.get("input_fingerprint") == input_fingerprint:
-        return pd.read_parquet(os.path.join(dest_dir, "dest.parquet"))
+    cached = _resume(dest_dir, spec, input_fingerprint)
+    if cached is not None:
+        return cached
     for out, (fn, _col) in aggs.items():
         if fn not in _AGGS and fn != "count":
             raise ValueError(f"unknown pivot aggregation {fn!r} for {out!r}; "
                              f"known: {sorted(_AGGS) + ['count']}")
     if date_floor:
-        units = {"hour": "h", "day": "D", "week": "7D", "month": "30D"}
+        from elasticsearch_ray.ops.analytics import calendar_floor
 
         def floor_cols(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
             for c, u in date_floor.items():
-                df[c] = pd.to_datetime(df[c]).dt.floor(units[u])
+                df[c] = calendar_floor(df[c], u)
             return pa.Table.from_pandas(df, preserve_index=False)
 
         ds = ds.map_batches(floor_cols, batch_format="pyarrow")
@@ -83,25 +111,23 @@ def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
                         else _AGGS[fn](col, alias_name=out))
     res = (ds.groupby(list(group_by)).aggregate(*ray_aggs).to_pandas()
            .sort_values(list(group_by)).reset_index(drop=True))
-    os.makedirs(dest_dir, exist_ok=True)
-    res.to_parquet(os.path.join(dest_dir, "dest.parquet"), index=False)
-    _finish(dest_dir, spec, input_fingerprint, len(res))
+    _publish(dest_dir, spec, input_fingerprint, res)
     return res
 
 
 def latest_transform(ds: Dataset, dest_dir: str, unique_key: str,
                      sort_col: str,
                      input_fingerprint: str | None = None) -> pd.DataFrame:
-    """Latest: the max-``sort_col`` row per ``unique_key`` (ties break on
-    the LAST row in (key, sort) order, deterministic). Sort-based: range
-    partitioning contains each key in one block, so a vectorized
-    per-block last-by-key emits every winner — no per-group Python, no
-    driver materialization of the input."""
+    """Latest: the max-``sort_col`` row per ``unique_key``. Deterministic
+    whenever (key, sort) pairs are unique; under exact (key, sort) TIES
+    the final pick breaks on the remaining columns, but the block-local
+    combiner may already have dropped a tied row, so tie choice is
+    block-layout-dependent — the same caveat the reference has (Latest
+    composes top_hits sorted on the sort field alone)."""
     spec = {"kind": "latest", "unique_key": unique_key, "sort_col": sort_col}
-    man = _dest_manifest(dest_dir)
-    if man and man["spec"] == spec \
-            and man.get("input_fingerprint") == input_fingerprint:
-        return pd.read_parquet(os.path.join(dest_dir, "dest.parquet"))
+    cached = _resume(dest_dir, spec, input_fingerprint)
+    if cached is not None:
+        return cached
 
     def last_by_key(batch: pa.Table) -> pa.Table:
         k = batch[unique_key].to_numpy(zero_copy_only=False)
@@ -110,7 +136,8 @@ def latest_transform(ds: Dataset, dest_dir: str, unique_key: str,
         return batch.take(pa.array(last))
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sort_col, kind="stable").tail(1)
+        tie = [c for c in g.columns if c != sort_col]
+        return g.sort_values([sort_col] + tie, kind="stable").tail(1)
 
     # two-phase reduce: a block-local vectorized last-by-key COMBINER
     # (batch_size=None = one sorted block per batch), then a hash-grouped
@@ -122,7 +149,5 @@ def latest_transform(ds: Dataset, dest_dir: str, unique_key: str,
            .groupby(unique_key)
            .map_groups(pick, batch_format="pandas")
            .to_pandas().sort_values(unique_key).reset_index(drop=True))
-    os.makedirs(dest_dir, exist_ok=True)
-    out.to_parquet(os.path.join(dest_dir, "dest.parquet"), index=False)
-    _finish(dest_dir, spec, input_fingerprint, len(out))
+    _publish(dest_dir, spec, input_fingerprint, out)
     return out

@@ -301,8 +301,13 @@ class _Parser:
             source = script.get("source") if isinstance(script, dict) else script
             if not isinstance(source, str) or not source.strip():
                 raise DslError("script_score.script needs a source string")
+            if "query" not in body:
+                # the reference requires a base query on script_score;
+                # a None query would die with a TypeError deep inside a
+                # partition task instead of a parse error here
+                raise DslError("script_score requires a query")
             return FunctionScoreQuery(
-                query=self.parse(body["query"]) if "query" in body else None,
+                query=self.parse(body["query"]),
                 script=source,
                 weight=float(body.get("weight", 1.0)),
             )

@@ -710,6 +710,10 @@ class PartitionSearcher:
                 scores = np.where(hit, scores * np.asarray(q.negative_boost, dtype), scores).astype(dtype)
             return docs, scores
         if isinstance(q, FunctionScoreQuery):
+            if q.query is None:
+                raise ValueError(
+                    "function_score/script_score needs a base query "
+                    "(the reference rejects a missing query too)")
             docs, scores = self._eval_scoring(q.query, scorers, None, "exhaustive")
             if len(docs) == 0:
                 return docs, scores

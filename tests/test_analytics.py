@@ -76,6 +76,36 @@ def test_rate_agg(ray_session):
         rate_agg(ds, "ts", unit="fortnight")
 
 
+def test_calendar_floor_true_calendar_units(ray_session):
+    """month/week/year truncate to CALENDAR boundaries, not epoch-anchored
+    30D/7D blocks (review finding: fixed_interval vs calendar_interval)."""
+    from elasticsearch_ray.ops.analytics import calendar_floor, rate_agg
+
+    ts = pd.Series(pd.to_datetime(
+        ["2024-01-05", "2024-01-31", "2024-02-01", "2024-02-29"]))
+    assert calendar_floor(ts, "month").dt.strftime("%Y-%m-%d").tolist() == \
+        ["2024-01-01", "2024-01-01", "2024-02-01", "2024-02-01"]
+    # week starts Monday (2024-01-05 is a Friday)
+    assert calendar_floor(ts, "week").iloc[0] == pd.Timestamp("2024-01-01")
+    assert calendar_floor(ts, "year").nunique() == 1
+    with pytest.raises(ValueError, match="calendar unit"):
+        calendar_floor(ts, "fortnight")
+    # rate by month: Jan has 2 events, Feb has 2 — calendar buckets
+    df = pd.DataFrame({"ts": ts})
+    out = rate_agg(rd.from_pandas(df), "ts", unit="month")
+    assert out["bucket"].dt.strftime("%Y-%m-%d").tolist() == \
+        ["2024-01-01", "2024-02-01"]
+    assert out["rate"].tolist() == [2.0, 2.0]
+
+
+def test_pct_label_integer_percents():
+    from elasticsearch_ray.ops.analytics import _pct_label
+
+    assert _pct_label(50) == "p50" == _pct_label(50.0)
+    assert _pct_label(99.9) == "p99.9"
+    assert _pct_label(0.5) == "p0.5"
+
+
 def test_normalize_bucket():
     from elasticsearch_ray.ops.analytics import normalize_bucket
 

@@ -40,11 +40,12 @@ def test_pivot_transform(ray_session, tmp_path):
     assert os.path.exists(os.path.join(dest, "transform_manifest.json"))
 
     # resume: same spec + fingerprint reads the destination, no recompute
-    mt = os.path.getmtime(os.path.join(dest, "dest.parquet"))
+    data = [f for f in os.listdir(dest) if f.startswith("dest-")][0]
+    mt = os.path.getmtime(os.path.join(dest, data))
     out2 = pivot_transform(rd.from_pandas(df), dest, group_by=["kind"],
                            aggs={"n": ("count", ""), "total": ("sum", "v"),
                                  "mean_v": ("avg", "v"), "mx": ("max", "v")})
-    assert os.path.getmtime(os.path.join(dest, "dest.parquet")) == mt
+    assert os.path.getmtime(os.path.join(dest, data)) == mt
     pd.testing.assert_frame_equal(out, out2)
 
     with pytest.raises(ValueError, match="unknown pivot aggregation"):
@@ -63,6 +64,37 @@ def test_pivot_date_histogram_group(ray_session, tmp_path):
     assert out["n"].tolist() == want.tolist()
 
 
+def test_transform_stale_manifest_cannot_serve_wrong_data(ray_session, tmp_path):
+    """Crash-safety (review finding): the manifest points at a data file
+    whose NAME embeds the spec key, so new data written without a manifest
+    update can never be served as the old spec's result."""
+    import json
+
+    from elasticsearch_ray.pipelines.transform import pivot_transform
+
+    df = _events()
+    dest = str(tmp_path / "crash")
+    a = pivot_transform(rd.from_pandas(df), dest, group_by=["kind"],
+                        aggs={"n": ("count", "")})
+    # simulate: a NEW spec's data file landed but the manifest write died
+    files = [f for f in os.listdir(dest) if f.startswith("dest-")]
+    assert len(files) == 1
+    pd.DataFrame({"kind": ["x"], "n": [1]}).to_parquet(
+        os.path.join(dest, "dest-deadbeef0000.parquet"))
+    # resume of spec A still returns A's rows (reads A's file by name)
+    a2 = pivot_transform(rd.from_pandas(df), dest, group_by=["kind"],
+                         aggs={"n": ("count", "")})
+    pd.testing.assert_frame_equal(a, a2)
+    # fingerprint change → recompute, not stale cache
+    b = pivot_transform(rd.from_pandas(df), dest, group_by=["kind"],
+                        aggs={"n": ("count", "")},
+                        input_fingerprint="new-input")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+    with open(os.path.join(dest, "transform_manifest.json")) as f:
+        assert json.load(f)["input_fingerprint"] == "new-input"
+
+
 def test_latest_transform(ray_session, tmp_path):
     from elasticsearch_ray.pipelines.transform import latest_transform
 
@@ -76,7 +108,8 @@ def test_latest_transform(ray_session, tmp_path):
     assert (merged["ts"] == merged["ts_w"]).all()
     assert (merged["v"] == merged["v_w"]).all()
     # resume path
-    mt = os.path.getmtime(os.path.join(dest, "dest.parquet"))
+    data = [f for f in os.listdir(dest) if f.startswith("dest-")][0]
+    mt = os.path.getmtime(os.path.join(dest, data))
     latest_transform(rd.from_pandas(df), dest, unique_key="uid",
                      sort_col="ts")
-    assert os.path.getmtime(os.path.join(dest, "dest.parquet")) == mt
+    assert os.path.getmtime(os.path.join(dest, data)) == mt
