@@ -103,6 +103,44 @@ def test_dataset_expression_column(ray_session):
     np.testing.assert_allclose(out["c"], np.sqrt(df["a"]) + df["b"] / 10)
 
 
+def test_random_expression_trees_property():
+    """Property: a random expression tree rendered to source and compiled
+    evaluates to the same value as composing the numpy ops directly
+    (generator builds string and expected value together, so the test
+    cannot share parser bugs)."""
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0.5, 9.5, 64)
+    y = rng.uniform(0.5, 9.5, 64)
+    env = {"x": x, "y": y}
+
+    def gen(depth):
+        r = rng.integers(0, 8 if depth > 0 else 3)
+        if r == 0:
+            c = round(float(rng.uniform(0.5, 9.5)), 3)
+            return f"{c}", np.full(64, c)
+        if r == 1:
+            return "x", x
+        if r == 2:
+            return "y", y
+        a_s, a_v = gen(depth - 1)
+        b_s, b_v = gen(depth - 1)
+        if r == 3:
+            return f"({a_s} + {b_s})", a_v + b_v
+        if r == 4:
+            return f"({a_s} * {b_s})", a_v * b_v
+        if r == 5:
+            return f"({a_s} - {b_s})", a_v - b_v
+        if r == 6:
+            return f"sqrt(abs({a_s}))", np.sqrt(np.abs(a_v))
+        return (f"({a_s} > {b_s} ? {a_s} : {b_s})",
+                np.where(a_v > b_v, a_v, b_v))
+
+    for _ in range(60):
+        src, want = gen(4)
+        got = compile_expression(src)(env)
+        np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=src)
+
+
 @pytest.fixture(scope="module")
 def expr_eng(ray_session, tmp_path_factory):
     from elasticsearch_ray.index.build import build_index
