@@ -231,7 +231,9 @@ def run_bench() -> dict:
     t0 = time.time()
     build_vector_index(rd.from_arrow(vec_tbl), vdir, num_partitions=8)
     knn_build_sec = time.time() - t0
-    reader = VectorIndexReader(vdir)
+    # serving mode: pinned warm searcher actors (guaranteed cache
+    # affinity; stateless tasks may land on any worker's cache)
+    reader = VectorIndexReader(vdir, use_actors=True)
     qv = rng.normal(size=(1, dim))
     t0 = time.time()
     reader.topk([0], qv, k=10, ef_search=80)
@@ -244,6 +246,7 @@ def run_bench() -> dict:
         warm.append((time.time() - t0) * 1000)
     warm.sort()
     knn_warm_ms = warm[len(warm) // 2]
+    reader.close()
 
     return {
         "metric": "index_build_plus_query",

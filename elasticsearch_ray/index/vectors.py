@@ -320,14 +320,54 @@ def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
                          "cosine": out_sim})
 
 
+@ray.remote
+class VPartSearcherActor:
+    """Warm per-partition searcher ACTOR: the graph memmaps once in
+    __init__ and every query lands on the same process — guaranteed
+    cache affinity, unlike stateless tasks that may hit any worker's
+    _VPART_CACHE (the replica-searcher-actor model of the BM25 path)."""
+
+    def __init__(self, pdir: str):
+        self.s = VPartSearcher(pdir)
+
+    def search_batch(self, qids, qn, k, ef, brute):
+        out_q, out_id, out_sim = [], [], []
+        for qi, qid in enumerate(qids):
+            ids, sims = (self.s.search_brute(qn[qi], k) if brute
+                         else self.s.search(qn[qi], k, ef))
+            out_q.extend([qid] * len(ids))
+            out_id.extend(ids.tolist())
+            out_sim.extend(sims.tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                             "cosine": out_sim})
+
+
 class VectorIndexReader:
     """Query-side handle: fans per-partition searches out as Ray tasks
     (k·P-row results), merges on the driver. No vector-table streaming,
-    no graph construction — that all happened at build time."""
+    no graph construction — that all happened at build time.
+    ``use_actors=True`` pins one warm searcher actor per partition (the
+    serving mode: repeated queries always hit the same memmapped graph);
+    the default stateless-task mode needs no lifecycle management and
+    relies on per-worker caches."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, use_actors: bool = False):
         self.dir = index_dir
         self.meta = read_vector_meta(index_dir)
+        self._use_actors = use_actors
+        self._actors: dict[int, "ray.actor.ActorHandle"] = {}
+
+    def _actor(self, part: int):
+        a = self._actors.get(part)
+        if a is None:
+            a = self._actors[part] = VPartSearcherActor.remote(
+                vpart_dir(self.dir, part))
+        return a
+
+    def close(self) -> None:
+        for a in self._actors.values():
+            ray.kill(a)
+        self._actors.clear()
 
     def topk(self, query_ids, query_matrix: np.ndarray, k: int = 10,
              ef_search: int = 80, brute: bool = False) -> pd.DataFrame:
@@ -336,11 +376,18 @@ class VectorIndexReader:
         (query_id, -cosine, neighbor_id), cosine rounded to 6."""
         qn = _normalize(np.asarray(query_matrix, np.float64))
         qids = list(query_ids)
-        futs = [
-            _search_part.remote(vpart_dir(self.dir, p["part"]), qids, qn, k,
-                                ef_search, brute)
-            for p in self.meta["parts"] if p["n"] > 0
-        ]
+        if self._use_actors:
+            futs = [
+                self._actor(p["part"]).search_batch.remote(
+                    qids, qn, k, ef_search, brute)
+                for p in self.meta["parts"] if p["n"] > 0
+            ]
+        else:
+            futs = [
+                _search_part.remote(vpart_dir(self.dir, p["part"]), qids, qn,
+                                    k, ef_search, brute)
+                for p in self.meta["parts"] if p["n"] > 0
+            ]
         partial = pd.concat(ray.get(futs), ignore_index=True) if futs else \
             pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
         out = (

@@ -103,6 +103,29 @@ def test_vector_index_warm_cache_no_rehydrate(ray_session, tmp_path):
     assert isinstance(s1.graph.adj[0], np.memmap)
 
 
+def test_vector_index_actor_mode_matches_tasks(ray_session, tmp_path):
+    """use_actors=True (pinned warm searcher actors) returns the same
+    rows as the stateless-task mode, both routes."""
+    from elasticsearch_ray.index.vectors import VectorIndexReader
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"][:4].to_pylist()])
+    qids = t["vec_id"][:4].to_pylist()
+    tasks = VectorIndexReader(idx)
+    actors = VectorIndexReader(idx, use_actors=True)
+    try:
+        for brute in (True, False):
+            a = tasks.topk(qids, qm, k=5, brute=brute)
+            b = actors.topk(qids, qm, k=5, brute=brute)
+            pd.testing.assert_frame_equal(a, b)
+        # warm actors persist across calls
+        assert len(actors._actors) == 2
+    finally:
+        actors.close()
+        assert not actors._actors
+
+
 def test_knn_index_search_routing(ray_session, tmp_path):
     """knn DSL over the persisted index: brute route == per-call exact
     baseline (scores + mapping); filter refuses (pre-filter exactness
