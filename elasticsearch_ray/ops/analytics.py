@@ -266,10 +266,14 @@ def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,
                            unit: str = "day") -> pd.DataFrame:
     """cumulative_cardinality (`cumulativecardinality/...Aggregator`):
     per date bucket, the number of DISTINCT ids seen in that bucket or
-    any earlier one. Shuffle-light exact form: one groupby computes each
-    id's FIRST bucket; the cumulative count of first-appearances equals
-    the cumulative cardinality (ids count once, at first sight) — no
-    per-bucket set union ships anywhere."""
+    any earlier one. Shuffle-light exact form: a DISTRIBUTED min-reduce
+    computes each id's FIRST bucket (batch-local combine, then one Ray
+    groupby whose shuffle is id-distinct-sized), a second tiny groupby
+    counts first-appearances per bucket, and only the per-bucket counts
+    reach the driver — the cumulative sum of first-sightings equals the
+    cumulative cardinality (ids count once, at first sight); no id-sized
+    table and no per-bucket set union ever centralizes."""
+    from ray.data.aggregate import Count, Min
 
     def first_seen(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -278,11 +282,15 @@ def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,
         first = g.groupby("id", as_index=False)["bucket"].min()
         return pa.Table.from_pandas(first, preserve_index=False)
 
-    parts = ds.map_batches(first_seen, batch_format="pyarrow").to_pandas()
-    first = parts.groupby("id", as_index=False)["bucket"].min()
-    per_bucket = (first.groupby("bucket").size()
-                  .sort_index().cumsum().rename("cumulative_cardinality"))
-    return per_bucket.reset_index()
+    per_bucket = (ds.map_batches(first_seen, batch_format="pyarrow")
+                  .groupby("id").aggregate(Min("bucket", alias_name="first"))
+                  .groupby("first").aggregate(Count(alias_name="n"))
+                  .to_pandas().sort_values("first"))
+    out = pd.DataFrame({
+        "bucket": pd.to_datetime(per_bucket["first"]),
+        "cumulative_cardinality": per_bucket["n"].cumsum().astype("int64"),
+    })
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------- t_test
