@@ -507,6 +507,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = sayt_query("text", "spark join mer")
         return _search_table(_sayt_index(sf), q, k=10)
 
+    def search_collapse_inner_hits(sf):
+        # field-collapsing inner_hits (ExpandSearchPhase): winners = the
+        # top-3 collapsed langs (rounded re-rank convention), inner = the
+        # top-2 docs per winner; overfetch + rounded re-rank inside each
+        # group mirrors the SQL twin's row_number on round(score, 4)
+        eng = _documents_index(sf)
+        q = MatchQuery("spark join")
+        res = eng.search(q, k=10**9, mode="exhaustive",
+                         fetch=("doc_id", "lang")).to_pandas()
+        res["score"] = res["score"].round(4)
+        winners = (res.sort_values(["score", "doc_id"],
+                                   ascending=[False, True])
+                   .drop_duplicates("lang").head(3)["lang"].tolist())
+        inner = eng.inner_hits(q, "lang", winners, size=52,
+                               fetch=("doc_id",)).to_pandas()
+        inner["score"] = inner["score"].round(4)
+        inner = (inner.sort_values(["lang", "score", "doc_id"],
+                                   ascending=[True, False, True])
+                 .groupby("lang").head(2).reset_index(drop=True))
+        inner["inner_rank"] = inner.groupby("lang").cumcount() + 1
+        out = inner[["lang", "inner_rank", "doc_id", "score"]].astype(
+            {"inner_rank": "int64", "doc_id": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def search_multi_match(sf):
         from elasticsearch_ray.search.query import MultiMatchQuery
 
@@ -2239,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
         "search_sayt": search_sayt,
+        "search_collapse_inner_hits": search_collapse_inner_hits,
         "search_sayt_bool_prefix": search_sayt_bool_prefix,
         "search_most_fields": search_most_fields,
         "search_query_string": search_query_string,
@@ -3056,6 +3081,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (' ' || text || ' ') LIKE '% merge sort %'
                OR (' ' || text || ' ') LIKE '% mergesort %'
             ORDER BY doc_id
+        """,
+        "search_collapse_inner_hits": f"""
+            WITH {_field_scores_sql("b", _TOK_BODY, ["spark", "join"])},
+            ranked AS (
+              SELECT d.lang, sc.doc_id, round(sc.score, 4) AS score,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY round(sc.score, 4) DESC, sc.doc_id
+                     ) AS inner_rank
+              FROM sc_b sc JOIN documents d USING (doc_id)
+            ),
+            winners AS (
+              SELECT lang FROM (
+                SELECT lang, row_number() OVER (
+                  ORDER BY score DESC, doc_id) AS rn
+                FROM ranked WHERE inner_rank = 1
+              ) WHERE rn <= 3
+            )
+            SELECT lang, inner_rank::BIGINT AS inner_rank, doc_id, score
+            FROM ranked JOIN winners USING (lang)
+            WHERE inner_rank <= 2
+            ORDER BY lang, inner_rank
         """,
         "search_sayt": f"""
             WITH {_field_scores_sql("g", _TOK_2GRAM, ["spark join", "join merge"])}

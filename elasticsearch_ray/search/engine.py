@@ -2003,6 +2003,55 @@ class QueryEngine:
                 out.update(self._searcher(p).terms_with_prefix(prefix, size))
         return sorted(out)[:size]
 
+    def inner_hits(self, q: "Query | str", collapse: str, values,
+                   size: int = 3, fetch: tuple = ("doc_id",)) -> pa.Table:
+        """Field-collapsing inner_hits (CollapseBuilder#setInnerHits /
+        ExpandSearchPhase): for each collapsed group value in ``values``
+        (normally the collapsed top-k's winners), the top ``size`` hits in
+        the default order (score desc, part, local). Each partition
+        pre-cuts to ≤ size candidates per value, so the driver merge is
+        |values|·size·P rows — the reference's expand phase runs one
+        multi-search the same way."""
+        if isinstance(q, str):
+            q = MatchQuery(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
+        scorers, _ = self._scorers_cached(q)
+        vals = list(values)
+        rows = {"_coll": [], "score": [], "part": [], "local": []}
+        for p in self.parts:
+            s = self._searcher(p)
+            docs, scores = s._eval_scoring(q, scorers, None, "exhaustive")
+            if not len(docs):
+                continue
+            coll = s._doc_col(collapse)[docs]
+            for v in vals:
+                m = np.flatnonzero(coll == v)
+                if not len(m):
+                    continue
+                sub = m[np.lexsort((docs[m], -scores[m]))[:size]]
+                rows["_coll"].extend([v] * len(sub))
+                rows["score"].extend(np.asarray(scores[sub], np.float64).tolist())
+                rows["part"].extend([p] * len(sub))
+                rows["local"].extend(np.asarray(docs[sub], np.int64).tolist())
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        if len(df):
+            df = (df.sort_values(["_coll", "score", "part", "local"],
+                                 ascending=[True, False, True, True])
+                  .groupby("_coll").head(size).reset_index(drop=True))
+            df["inner_rank"] = df.groupby("_coll").cumcount() + 1
+        else:
+            df["inner_rank"] = pd.Series([], dtype="int64")
+        # global rank over (group, inner_rank) — _attach_fetch re-sorts on it
+        df["rank"] = np.arange(1, len(df) + 1)
+        tbl = pa.Table.from_pandas(
+            df.rename(columns={"_coll": collapse}), preserve_index=False)
+        if len(tbl) == 0:
+            return tbl
+        return self._attach_fetch(tbl, tbl["part"].to_numpy(),
+                                  tbl["local"].to_numpy(), fetch)
+
     def termvectors(self, doc_id: int | None = None, doc: str | None = None,
                     **kw) -> dict:
         """_termvectors API (TermVectorsRequest.java) — see

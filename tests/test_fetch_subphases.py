@@ -116,3 +116,29 @@ def test_script_fields(eng):
         t = lookup[r["doc_id"]]
         assert r["n_words"] == len(t.split())
         assert r["first_word"] == t.split()[0]
+
+
+def test_collapse_inner_hits(eng):
+    """inner_hits (CollapseBuilder#setInnerHits / ExpandSearchPhase): per
+    winning collapse value, top-N hits equal the exhaustive per-group
+    ranking; groups and sizes bounded."""
+    import numpy as np
+
+    q = MatchQuery("spark join")
+    full = eng.search(q, k=10**9, mode="exhaustive",
+                      fetch=("doc_id", "lang")).to_pandas()
+    winners = (full.sort_values(["score", "doc_id"], ascending=[False, True])
+               .drop_duplicates("lang").head(3)["lang"].tolist())
+    inner = eng.inner_hits(q, "lang", winners, size=2,
+                           fetch=("doc_id",)).to_pandas()
+    assert set(inner["lang"]) <= set(winners)
+    assert (inner.groupby("lang").size() <= 2).all()
+    for v in winners:
+        want = (full[full["lang"] == v]
+                .sort_values(["score", "part", "local"],
+                             ascending=[False, True, True]).head(2))
+        got = inner[inner["lang"] == v].sort_values("inner_rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), v
+        np.testing.assert_allclose(got["score"], want["score"], rtol=0,
+                                   atol=1e-12)
+        assert got["inner_rank"].tolist() == list(range(1, len(got) + 1))
