@@ -907,6 +907,26 @@ class PartitionSearcher:
             docs, scores = docs[keep], scores[keep]
         return topk_select(docs, scores, k)
 
+    def inner_hits_candidates(self, q, scorers, collapse: str, values,
+                              size: int, part: int = 0):
+        """Per-partition inner_hits pre-cut: ≤ size best hits per collapse
+        value — (part, values, scores, locals) columns, driver-mergeable."""
+        docs, scores = self._eval_scoring(q, scorers, None, "exhaustive")
+        v_out: list = []
+        s_out: list = []
+        l_out: list = []
+        if len(docs):
+            coll = self._doc_col(collapse)[docs]
+            for v in values:
+                m = np.flatnonzero(coll == v)
+                if not len(m):
+                    continue
+                sub = m[np.lexsort((docs[m], -scores[m]))[:size]]
+                v_out.extend([v] * len(sub))
+                s_out.extend(np.asarray(scores[sub], np.float64).tolist())
+                l_out.extend(np.asarray(docs[sub], np.int64).tolist())
+        return (part, v_out, s_out, l_out)
+
     def suggest_candidates(self, tok: str, max_edits: int,
                            prefix_length: int = 1) -> dict[str, int]:
         """Per-partition term-suggester candidates: dictionary terms within
@@ -2015,24 +2035,26 @@ class QueryEngine:
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
-        scorers, _ = self._scorers_cached(q)
+        scorers, scorers_ref = self._scorers_cached(q)
         vals = list(values)
         rows = {"_coll": [], "score": [], "part": [], "local": []}
-        for p in self.parts:
-            s = self._searcher(p)
-            docs, scores = s._eval_scoring(q, scorers, None, "exhaustive")
-            if not len(docs):
-                continue
-            coll = s._doc_col(collapse)[docs]
-            for v in vals:
-                m = np.flatnonzero(coll == v)
-                if not len(m):
-                    continue
-                sub = m[np.lexsort((docs[m], -scores[m]))[:size]]
-                rows["_coll"].extend([v] * len(sub))
-                rows["score"].extend(np.asarray(scores[sub], np.float64).tolist())
-                rows["part"].extend([p] * len(sub))
-                rows["local"].extend(np.asarray(docs[sub], np.int64).tolist())
+        if self._actors:
+            import ray
+
+            results = ray.get([
+                a.inner_hits_candidates.remote(q, scorers_ref, collapse,
+                                               vals, size)
+                for a in self._actors])
+            groups = [g for chunk in results for g in chunk]
+        else:
+            groups = [self._searcher(p).inner_hits_candidates(
+                q, scorers, collapse, vals, size, part=p)
+                for p in self.parts]
+        for p, v_arr, sc_arr, loc_arr in groups:
+            rows["_coll"].extend(v_arr)
+            rows["score"].extend(sc_arr)
+            rows["part"].extend([p] * len(v_arr))
+            rows["local"].extend(loc_arr)
         import pandas as pd
 
         df = pd.DataFrame(rows)
@@ -3086,6 +3108,11 @@ class SearcherActor:
             for p, s in self.searchers.items()
             if p in allowed
         ]
+
+    def inner_hits_candidates(self, q, scorers, collapse, values, size):
+        return [s.inner_hits_candidates(q, scorers, collapse, values, size,
+                                        part=p)
+                for p, s in self.searchers.items()]
 
 
 class _CombinedScorer:

@@ -142,3 +142,14 @@ def test_collapse_inner_hits(eng):
         np.testing.assert_allclose(got["score"], want["score"], rtol=0,
                                    atol=1e-12)
         assert got["inner_rank"].tolist() == list(range(1, len(got) + 1))
+    # warm-actor backend returns the same rows (separate code path)
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    ray_eng = QueryEngine(eng.index_dir, dtype="float64", parallel="ray",
+                          num_actors=2)
+    try:
+        via_actors = ray_eng.inner_hits(q, "lang", winners, size=2,
+                                        fetch=("doc_id",)).to_pandas()
+        assert via_actors.to_dict("records") == inner.to_dict("records")
+    finally:
+        ray_eng.close()
