@@ -303,12 +303,11 @@ def _cached_searcher(pdir: str) -> VPartSearcher:
     return s
 
 
-@ray.remote
-def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
-                 brute: bool):
-    """One partition's top-k for every query — runs on a warm worker whose
-    _VPART_CACHE holds the memmapped graph across calls."""
-    s = _cached_searcher(pdir)
+def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
+                brute: bool) -> pd.DataFrame:
+    """One partition's top-k for every query — the single shared body of
+    the stateless-task and pinned-actor serving paths (a fix applied to
+    one must not miss the other)."""
     out_q, out_id, out_sim = [], [], []
     for qi, qid in enumerate(qids):
         ids, sims = (s.search_brute(qn[qi], k) if brute
@@ -318,6 +317,14 @@ def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
         out_sim.extend(sims.tolist())
     return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
                          "cosine": out_sim})
+
+
+@ray.remote
+def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
+                 brute: bool):
+    """Runs on a warm worker whose _VPART_CACHE holds the memmapped graph
+    across calls."""
+    return _batch_topk(_cached_searcher(pdir), qids, qn, k, ef, brute)
 
 
 @ray.remote
@@ -331,15 +338,7 @@ class VPartSearcherActor:
         self.s = VPartSearcher(pdir)
 
     def search_batch(self, qids, qn, k, ef, brute):
-        out_q, out_id, out_sim = [], [], []
-        for qi, qid in enumerate(qids):
-            ids, sims = (self.s.search_brute(qn[qi], k) if brute
-                         else self.s.search(qn[qi], k, ef))
-            out_q.extend([qid] * len(ids))
-            out_id.extend(ids.tolist())
-            out_sim.extend(sims.tolist())
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
-                             "cosine": out_sim})
+        return _batch_topk(self.s, qids, qn, k, ef, brute)
 
 
 class VectorIndexReader:
@@ -356,12 +355,22 @@ class VectorIndexReader:
         self.meta = read_vector_meta(index_dir)
         self._use_actors = use_actors
         self._actors: dict[int, "ray.actor.ActorHandle"] = {}
+        self._actor_mtimes: dict[int, float] = {}
 
     def _actor(self, part: int):
+        # revalidate against the manifest mtime exactly like the task
+        # path's _VPART_CACHE key — a rebuilt partition must not be
+        # served by an actor still holding the OLD graph's memmaps
+        mt = os.path.getmtime(
+            os.path.join(vpart_dir(self.dir, part), "manifest.json"))
         a = self._actors.get(part)
+        if a is not None and self._actor_mtimes.get(part) != mt:
+            ray.kill(a)
+            a = None
         if a is None:
             a = self._actors[part] = VPartSearcherActor.remote(
                 vpart_dir(self.dir, part))
+            self._actor_mtimes[part] = mt
         return a
 
     def close(self) -> None:

@@ -917,14 +917,30 @@ class PartitionSearcher:
         l_out: list = []
         if len(docs):
             coll = self._doc_col(collapse)[docs]
-            for v in values:
-                m = np.flatnonzero(coll == v)
-                if not len(m):
-                    continue
-                sub = m[np.lexsort((docs[m], -scores[m]))[:size]]
-                v_out.extend([v] * len(sub))
-                s_out.extend(np.asarray(scores[sub], np.float64).tolist())
-                l_out.extend(np.asarray(docs[sub], np.int64).tolist())
+            # ONE pass over the matching docs regardless of |values|:
+            # factorize membership, lexsort by (group, -score, doc), then
+            # run-length ranks cut at `size`
+            vals_arr = np.asarray(list(values))
+            sorter = np.argsort(vals_arr, kind="stable")
+            codes = np.full(len(coll), -1, np.int64)
+            svals = vals_arr[sorter]
+            idx = np.searchsorted(svals, coll)
+            ok = (idx < len(svals))
+            ok[ok] &= svals[idx[ok]] == coll[ok]
+            codes[ok] = sorter[idx[ok]]
+            m_all = np.flatnonzero(codes >= 0)
+            if len(m_all):
+                c = codes[m_all]
+                order = np.lexsort((docs[m_all], -scores[m_all], c))
+                cs = c[order]
+                starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+                ranks = np.arange(len(cs)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(cs)]))
+                keep = order[ranks < size]
+                sel = m_all[keep]
+                v_out = np.asarray(list(values))[codes[sel]].tolist()
+                s_out = np.asarray(scores[sel], np.float64).tolist()
+                l_out = np.asarray(docs[sel], np.int64).tolist()
         return (part, v_out, s_out, l_out)
 
     def suggest_candidates(self, tok: str, max_edits: int,
@@ -2036,7 +2052,9 @@ class QueryEngine:
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
         scorers, scorers_ref = self._scorers_cached(q)
-        vals = list(values)
+        # dedupe, order-preserving: duplicate values would duplicate
+        # candidate rows AND multiply through the _attach_fetch join
+        vals = list(dict.fromkeys(values))
         rows = {"_coll": [], "score": [], "part": [], "local": []}
         if self._actors:
             import ray

@@ -131,6 +131,10 @@ def test_collapse_inner_hits(eng):
                .drop_duplicates("lang").head(3)["lang"].tolist())
     inner = eng.inner_hits(q, "lang", winners, size=2,
                            fetch=("doc_id",)).to_pandas()
+    # duplicate values must not duplicate rows (fetch-join multiplication)
+    dup = eng.inner_hits(q, "lang", winners + winners, size=2,
+                         fetch=("doc_id",)).to_pandas()
+    assert dup.to_dict("records") == inner.to_dict("records")
     assert set(inner["lang"]) <= set(winners)
     assert (inner.groupby("lang").size() <= 2).all()
     for v in winners:

@@ -121,6 +121,18 @@ def test_vector_index_actor_mode_matches_tasks(ray_session, tmp_path):
             pd.testing.assert_frame_equal(a, b)
         # warm actors persist across calls
         assert len(actors._actors) == 2
+        # a REBUILT partition (new manifest mtime) must not be served by
+        # the old actor's memmaps — the actor recreates on revalidation
+        import os
+        import time
+
+        from elasticsearch_ray.index.vectors import vpart_dir
+
+        old = actors._actors[0]
+        time.sleep(0.02)
+        os.utime(os.path.join(vpart_dir(idx, 0), "manifest.json"))
+        actors.topk(qids, qm, k=5, brute=True)
+        assert actors._actors[0] is not old
     finally:
         actors.close()
         assert not actors._actors
