@@ -38,7 +38,8 @@ def rrf_fuse(rankings: list, k: int = 10, rank_constant: int = 60) -> pd.DataFra
 
 def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
                k: int = 10, window: int = 50, rank_constant: int = 60,
-               id_col: str = "vec_id") -> pd.DataFrame:
+               id_col: str = "vec_id",
+               vector_index_dir: str | None = None) -> pd.DataFrame:
     """BM25 + brute-cosine kNN fused with RRF. The lexical leg ranks on
     (round(score, 4) desc, doc_id) — the repo's deterministic tie rule —
     and the vector leg on (cosine desc, id), both over their top
@@ -66,8 +67,18 @@ def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
             break
         margin *= 4
     lex = lex.head(window)
-    vec = brute_topk(embeddings_ds, [0], np.asarray([query_vector], np.float64),
-                     id_col=id_col, k=window)
+    if vector_index_dir is not None:
+        # serve the vector leg from the PERSISTED index's exhaustive route
+        # (bit-compatible with brute_topk: same float64 store, same
+        # rounding/ordering conventions) — no vector-table streaming
+        from elasticsearch_ray.index.vectors import VectorIndexReader
+
+        vec = VectorIndexReader(vector_index_dir).topk(
+            [0], np.asarray([query_vector], np.float64), k=window, brute=True)
+    else:
+        vec = brute_topk(embeddings_ds, [0],
+                         np.asarray([query_vector], np.float64),
+                         id_col=id_col, k=window)
     return rrf_fuse([lex["doc_id"].tolist(),
                      vec["neighbor_id"].tolist()],
                     k=k, rank_constant=rank_constant)

@@ -252,3 +252,19 @@ def test_vector_index_stale_format_rebuilds(ray_session, tmp_path):
     assert _read_vpart_manifest(idx, 0) is None
     build_vector_index(rd.from_arrow(t), idx, num_partitions=2)
     assert _read_vpart_manifest(idx, 0) is not None
+
+
+def test_hybrid_rrf_via_persisted_index(ray_session, tmp_path):
+    """hybrid_rrf's vector leg served from the persisted index must equal
+    the per-call brute leg row-for-row (same float64 store + rounding)."""
+    from elasticsearch_ray.index.vectors import VectorIndexReader
+    from elasticsearch_ray.ops.ann import brute_topk
+
+    t = _embeddings()
+    idx, _ = _build(tmp_path, t)
+    qv = np.asarray([t["embedding"][3].as_py()], np.float64)
+    via_idx = VectorIndexReader(idx).topk([0], qv, k=50, brute=True)
+    via_brute = brute_topk(rd.from_arrow(t), [0], qv, k=50)
+    pd.testing.assert_frame_equal(
+        via_idx.astype({"neighbor_id": "int64"}),
+        via_brute.astype({"neighbor_id": "int64"}))
