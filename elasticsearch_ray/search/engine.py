@@ -2142,7 +2142,7 @@ class QueryEngine:
         total = 0
         for seg in self.segments():
             for f, sz in seg["files"].items():
-                agg[kinds.get(f, "other")] = agg.get(kinds.get(f, "other"), 0) + sz
+                agg[kinds.get(f, "other")] += sz
                 total += sz
         return {"total_in_bytes": total, "num_partitions": len(self.parts),
                 "n_docs": self.n_docs, "breakdown": agg}
@@ -2917,8 +2917,10 @@ class QueryEngine:
                   pre_tag: str = "<em>", post_tag: str = "</em>") -> str:
         """Unified-highlighter-style: wrap query-term occurrences in the
         source text (search/fetch/subphase/highlight analog)."""
-        terms = frozenset(query_terms(q if not isinstance(q, str) else MatchQuery(q),
-                                      self.analyzer_name))
+        q = q if not isinstance(q, str) else MatchQuery(q)
+        q = self._apply_field_analyzers(self._rewrite(q))  # per-field
+        # analyzers must shape the highlight terms like the search path
+        terms = frozenset(query_terms(q, self.analyzer_name))
         src = self.fetch_source(part, [local], columns=[text_column])
         return _wrap_terms(src[text_column][0].as_py() or "", terms, pre_tag, post_tag)
 
@@ -2930,8 +2932,9 @@ class QueryEngine:
         """Fragmenting highlighter (HighlightBuilder fragment_size /
         number_of_fragments): top passages around match runs, document
         order, words never split — see _fragment_highlights."""
-        terms = frozenset(query_terms(q if not isinstance(q, str) else MatchQuery(q),
-                                      self.analyzer_name))
+        q = q if not isinstance(q, str) else MatchQuery(q)
+        q = self._apply_field_analyzers(self._rewrite(q))
+        terms = frozenset(query_terms(q, self.analyzer_name))
         src = self.fetch_source(part, [local], columns=[text_column])
         return _fragment_highlights(src[text_column][0].as_py() or "", terms,
                                     pre_tag, post_tag, fragment_size,
@@ -2989,22 +2992,35 @@ def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.
     return cat.take(pa.array(inv))
 
 
-def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str:
-    """Unified-highlighter term wrap (case-insensitive on analyzed terms).
-    Field-namespaced query terms ("<field>\x1f<term>") are matched by their
-    bare term — \x1f never survives tokenization, so without stripping a
-    fielded query would highlight nothing."""
-    from elasticsearch_ray.analysis.tokenizer import TOKEN_FULL_RE, TOKEN_RE, needs_full
+def _hl_ctx(text: str, terms: frozenset):
+    """(bare terms, token pattern) for highlighting — field-namespaced
+    query terms ("<field>\\x1f<term>") match by their bare term (\\x1f
+    never survives tokenization), and the token pattern follows the
+    text's script needs. One computation shared by whole-text wrap and
+    fragmenting."""
+    from elasticsearch_ray.analysis.tokenizer import (TOKEN_FULL_RE, TOKEN_RE,
+                                                      needs_full)
 
     bare = frozenset(t.rsplit("\x1f", 1)[-1] if isinstance(t, str) else t
                      for t in terms)
-
-    def repl(m):
-        return f"{pre_tag}{m.group(0)}{post_tag}" if m.group(0).lower() in bare else m.group(0)
-
-    text = text or ""
     pat = TOKEN_RE if (text.isascii() or not needs_full(text)) else TOKEN_FULL_RE
+    return bare, pat
+
+
+def _wrap_with(text: str, bare: frozenset, pat, pre_tag: str,
+               post_tag: str) -> str:
+    def repl(m):
+        return (f"{pre_tag}{m.group(0)}{post_tag}"
+                if m.group(0).lower() in bare else m.group(0))
+
     return pat.sub(repl, text)
+
+
+def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str:
+    """Unified-highlighter term wrap (case-insensitive on analyzed terms)."""
+    text = text or ""
+    bare, pat = _hl_ctx(text, terms)
+    return _wrap_with(text, bare, pat, pre_tag, post_tag)
 
 
 def _fragment_highlights(text: str, terms: frozenset, pre_tag: str,
@@ -3016,14 +3032,10 @@ def _fragment_highlights(text: str, terms: frozenset, pre_tag: str,
     runs, snapped OUT to whitespace so words never split; score = number
     of matched term occurrences in the window (a simplification of the
     reference's BM25-weighted PassageScorer — rank order is the same for
-    single-field term sets); overlapping windows merge."""
-    from elasticsearch_ray.analysis.tokenizer import (TOKEN_FULL_RE, TOKEN_RE,
-                                                      needs_full)
-
+    single-field term sets); overlapping windows merge and returned
+    fragments are DISJOINT like the reference's passages."""
     text = text or ""
-    bare = frozenset(t.rsplit("\x1f", 1)[-1] if isinstance(t, str) else t
-                     for t in terms)
-    pat = TOKEN_RE if (text.isascii() or not needs_full(text)) else TOKEN_FULL_RE
+    bare, pat = _hl_ctx(text, terms)
     hits = [m.span() for m in pat.finditer(text)
             if m.group(0).lower() in bare]
     if not hits:
@@ -3041,13 +3053,23 @@ def _fragment_highlights(text: str, terms: frozenset, pre_tag: str,
             windows.append([lo, hi, 1])
     scored = sorted(windows, key=lambda w: (-w[2], w[0]))[:number_of_fragments]
     out = []
+    snap_cap = max(16, fragment_size // 4)  # bounded: unspaced runs (CJK,
+    # URLs, base64) would otherwise balloon a fragment to the whole doc
+    prev_hi = 0
     for lo, hi, _n in sorted(scored, key=lambda w: w[0]):  # document order
-        # snap to whitespace so fragments never split words
-        while lo > 0 and not text[lo - 1].isspace():
+        for _ in range(snap_cap):
+            if lo <= 0 or text[lo - 1].isspace():
+                break
             lo -= 1
-        while hi < len(text) and not text[hi].isspace():
+        for _ in range(snap_cap):
+            if hi >= len(text) or text[hi].isspace():
+                break
             hi += 1
-        out.append(_wrap_terms(text[lo:hi], terms, pre_tag, post_tag))
+        lo = max(lo, prev_hi)  # disjoint passages, even after snapping
+        if lo >= hi:
+            continue
+        prev_hi = hi
+        out.append(_wrap_with(text[lo:hi], bare, pat, pre_tag, post_tag))
     return out
 
 

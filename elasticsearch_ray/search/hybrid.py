@@ -73,8 +73,15 @@ def hybrid_rrf(engine, embeddings_ds, query_text: str, query_vector,
         # rounding/ordering conventions) — no vector-table streaming
         from elasticsearch_ray.index.vectors import VectorIndexReader
 
-        vec = VectorIndexReader(vector_index_dir).topk(
-            [0], np.asarray([query_vector], np.float64), k=window, brute=True)
+        reader = VectorIndexReader(vector_index_dir)
+        if reader.meta["id_col"] != id_col:
+            # a mismatched id space would fuse neighbor ids that never
+            # collide with the lexical doc ids — plausible, silently wrong
+            raise ValueError(
+                f"vector index id column {reader.meta['id_col']!r} does "
+                f"not match id_col {id_col!r}")
+        vec = reader.topk([0], np.asarray([query_vector], np.float64),
+                          k=window, brute=True)
     else:
         vec = brute_topk(embeddings_ds, [0],
                          np.asarray([query_vector], np.float64),

@@ -56,10 +56,17 @@ def test_highlight_fragments():
     assert frags[0].count("<em>spark</em>") >= 1
     assert sum(f.count("<em>spark</em>") for f in frags) >= 3 - 1
     for f in frags:
-        assert len(f) <= 60 + 24 + 20  # size + tags + word-snap slack
-        assert not f.startswith(" ") or True
-        # fragments never split words: boundaries are whitespace-adjacent
+        assert len(f) <= 60 + 24 + 2 * 16  # size + tags + bounded snap
+        # fragments are real substrings (words not split mid-run)
         assert text.find(f.replace("<em>", "").replace("</em>", "")) >= 0
+    # fragments are DISJOINT (no duplicated text across passages)
+    plain = [f.replace("<em>", "").replace("</em>", "") for f in frags]
+    assert text.find(plain[1]) >= text.find(plain[0]) + len(plain[0])
+    # bounded snapping: an unspaced run cannot balloon a fragment
+    blob = "x" * 500 + " spark " + "y" * 500
+    bf = _fragment_highlights(blob, frozenset({"spark"}), "<em>", "</em>",
+                              fragment_size=40, number_of_fragments=2)
+    assert bf and all(len(f) <= 40 + 9 + 2 * 16 for f in bf)
     # no matches → no fragments; empty text safe
     assert _fragment_highlights("nothing here", frozenset({"spark"}),
                                 "<em>", "</em>") == []
