@@ -444,6 +444,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
 
+    def mget_docs(sf):
+        # _mget API (TransportMultiGetAction): stored columns + source-
+        # lineage fields by id; sorted here so the row order is
+        # SQL-canonical (the API itself preserves request order)
+        out = _documents_index(sf).mget([7, 42, 113, 256],
+                                        columns=("doc_id", "lang"),
+                                        source_columns=("n_chars",))
+        out = out.sort_by("doc_id")
+        return out.set_column(out.column_names.index("n_chars"), "n_chars",
+                              out["n_chars"].cast(pa.int64()))
+
     def termvectors_doc(sf):
         # _termvectors API (TermVectorsService model: re-analyze stored
         # _source, stats from the index). Tabular projection (doc_id, term,
@@ -2259,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_template_render": search_template_render,
         "search_count_api": search_count_api,
         "termvectors_doc": termvectors_doc,
+        "mget_docs": mget_docs,
         "search_alias_filtered": search_alias_filtered,
         "search_synonym_graph": search_synonym_graph,
         "search_multi_match": search_multi_match,
@@ -3064,6 +3076,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             ) WHERE term IN ('merge', 'sort')
+        """,
+        "mget_docs": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+            FROM documents WHERE doc_id IN (7, 42, 113, 256)
+            ORDER BY doc_id
         """,
         "termvectors_doc": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -2106,6 +2106,38 @@ class QueryEngine:
 
         return mtermvectors(self, doc_ids, **kw)
 
+    def mget(self, doc_ids, columns: tuple = ("doc_id",),
+             source_columns: tuple = ()) -> pa.Table:
+        """_mget API analog (TransportMultiGetAction): fetch docs by id,
+        in request order. ``columns`` come from the stored docs table;
+        ``source_columns`` additionally read from the _source lineage via
+        the row-group-pushdown fetch (one read per touched partition/row
+        group, grouped like the fetch phase)."""
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            return pa.table({})
+        located = [self._locate(d) for d in ids]
+        parts_a = np.array([p for p, _l in located], np.int64)
+        locals_a = np.array([l for _p, l in located], np.int64)
+        pieces = []
+        order = []
+        for p in np.unique(parts_a):
+            idx = np.flatnonzero(parts_a == p)
+            order.append(idx)
+            s = self._searcher(int(p))
+            t = s.r.doc_fields(locals_a[idx], columns)
+            if source_columns:
+                src = _fetch_source_rows(s.r.manifest, locals_a[idx],
+                                         list(source_columns))
+                for c in src.column_names:
+                    if c not in t.column_names:
+                        t = t.append_column(c, src[c])
+            pieces.append(t)
+        tbl = pa.concat_tables(pieces, promote_options="default")
+        inv = np.empty(len(ids), np.int64)
+        inv[np.concatenate(order)] = np.arange(len(ids))
+        return tbl.take(pa.array(inv))
+
     def segments(self) -> list[dict]:
         """_segments API analog (IndicesSegmentsAction): per-partition
         segment metadata straight from manifests + on-disk file sizes —

@@ -43,6 +43,20 @@ def test_disk_usage_api(eng):
         assert du["breakdown"][k] > 0, k
 
 
+def test_mget(eng):
+    """_mget: rows come back in REQUEST order, stored + source columns."""
+    ids = [42, 3, 250, 3]
+    out = eng.mget(ids, columns=("doc_id", "lang"),
+                   source_columns=("text",))
+    assert out["doc_id"].to_pylist() == ids
+    assert len(out["lang"]) == 4 and "text" in out.column_names
+    # the source text round-trips exactly
+    tv = eng.termvectors(doc_id=42)
+    assert sum(e["term_freq"] for e in tv["terms"].values()) == \
+        len(out["text"][0].as_py().split())
+    assert len(eng.mget([])) == 0
+
+
 def test_highlight_fragments():
     from elasticsearch_ray.search.engine import _fragment_highlights
 
