@@ -439,6 +439,72 @@ class HNSWGraph:
         ids = np.asarray(res, np.int64)
         return ids, self.v[ids] @ q
 
+    def _search_layer_filtered(self, q: np.ndarray, entry: list[int], ef: int,
+                               accept: np.ndarray,
+                               max_visited: int | None) -> list[int] | None:
+        """Base-layer ef search with an ACCEPTANCE bitmask (Lucene's
+        filtered ``KnnVectorQuery``): every node is traversable (routing
+        must cross non-matching regions of the graph), but only accepted
+        nodes enter the result heap. Returns ``None`` when more than
+        ``max_visited`` nodes were scored — at that point a brute scan of
+        the survivors is cheaper AND exact, so the caller falls back
+        (Lucene's visited-limit → exact-scan rule)."""
+        visited = set(entry)
+        cand: list[tuple[float, int]] = []
+        res: list[tuple[float, int]] = []
+        for e in entry:
+            s = float(self.v[e] @ q)
+            heapq.heappush(cand, (-s, e))
+            if accept[e]:
+                heapq.heappush(res, (s, e))
+        while len(res) > ef:
+            heapq.heappop(res)
+        nvis = len(visited)
+        while cand:
+            cs, c = heapq.heappop(cand)
+            if len(res) >= ef and -cs < res[0][0]:
+                break
+            neigh = [x for x in self._neighbors(c, 0).tolist()
+                     if x not in visited]
+            if not neigh:
+                continue
+            visited.update(neigh)
+            nvis += len(neigh)
+            if max_visited is not None and nvis > max_visited:
+                return None
+            s = self.v[neigh] @ q
+            floor = res[0][0] if len(res) >= ef else -np.inf
+            for x, sx in zip(neigh, s.tolist()):
+                if sx > floor or len(res) < ef:
+                    heapq.heappush(cand, (-sx, x))
+                    if accept[x]:
+                        heapq.heappush(res, (sx, x))
+                        if len(res) > ef:
+                            heapq.heappop(res)
+                            floor = res[0][0]
+        return [e for _s, e in sorted(res, reverse=True)]
+
+    def search_filtered(self, q: np.ndarray, k: int, ef: int,
+                        accept: np.ndarray,
+                        max_visited: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Top-k over ONLY the nodes where ``accept`` is True. Upper-layer
+        greedy descent is unfiltered (it is pure routing); the base layer
+        collects accepted nodes. Returns ``None`` if the traversal scored
+        more than ``max_visited`` nodes (caller must brute-scan the
+        survivors instead — exact and cheaper)."""
+        if self.entry < 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ep = [self.entry]
+        for lv in range(self.entry_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lv)[:1]
+        res = self._search_layer_filtered(q, ep, max(ef, k), accept,
+                                          max_visited)
+        if res is None:
+            return None
+        ids = np.asarray(res[:k], np.int64)
+        return ids, self.v[ids] @ q
+
 
 class _PartitionHNSW:
     """map_groups stage: build ONE graph per partition group, search every
