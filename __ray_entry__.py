@@ -3104,7 +3104,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE term IN ('merge', 'sort')
         """,
         "mget_docs": """
-            SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars, TRUE AS found
             FROM documents WHERE doc_id IN (7, 42, 113, 256)
             ORDER BY doc_id
         """,
@@ -3738,14 +3738,19 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY bucket
         """,
         "agg_cumulative_cardinality": """
-            WITH f AS (
-              SELECT user_id, min(date_trunc('day', ts)) AS bucket
+            -- running total for EVERY observed histogram bucket (the
+            -- reference pipeline-agg shape), not just first-sighting
+            -- buckets: count ids whose first appearance is <= the bucket
+            WITH b AS (
+              SELECT DISTINCT date_trunc('day', ts) AS bucket FROM events
+            ), f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS first
               FROM events GROUP BY user_id
             )
-            SELECT bucket,
-                   (sum(count(*)) OVER (ORDER BY bucket))::BIGINT
+            SELECT b.bucket,
+                   (SELECT count(*) FROM f WHERE f.first <= b.bucket)::BIGINT
                      AS cumulative_cardinality
-            FROM f GROUP BY bucket ORDER BY bucket
+            FROM b ORDER BY b.bucket
         """,
         "agg_t_test": """
             WITH s AS (

@@ -286,9 +286,30 @@ def cumulative_cardinality(ds: Dataset, ts_col: str, id_col: str,
                   .groupby("id").aggregate(Min("bucket", alias_name="first"))
                   .groupby("first").aggregate(Count(alias_name="n"))
                   .to_pandas().sort_values("first"))
+
+    # the reference pipeline agg emits the RUNNING TOTAL FOR EVERY
+    # histogram bucket — including buckets whose events are all
+    # previously-seen ids (ADVICE r4: the first-seen shape silently
+    # dropped those). The bucket universe comes from a column-pruned
+    # pass with per-batch distinct pre-aggregation (bucket-count-sized
+    # shuffle, no id-sized state).
+    def distinct_buckets(batch: pa.Table) -> pa.Table:
+        b = calendar_floor(batch.to_pandas()[ts_col], unit)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"bucket": pd.unique(b)}), preserve_index=False)
+
+    universe = (ds.select_columns([ts_col])
+                .map_batches(distinct_buckets, batch_format="pyarrow")
+                .groupby("bucket").aggregate(Count(alias_name="_n"))
+                .to_pandas()["bucket"].sort_values())
+    firsts = pd.Series(
+        per_bucket["n"].to_numpy(),
+        index=pd.to_datetime(per_bucket["first"])).cumsum()
     out = pd.DataFrame({
-        "bucket": pd.to_datetime(per_bucket["first"]),
-        "cumulative_cardinality": per_bucket["n"].cumsum().astype("int64"),
+        "bucket": pd.to_datetime(universe.to_numpy()),
+        "cumulative_cardinality": firsts.reindex(
+            pd.to_datetime(universe.to_numpy())).ffill().fillna(0)
+            .astype("int64").to_numpy(),
     })
     return out.reset_index(drop=True)
 

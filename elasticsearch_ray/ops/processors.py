@@ -573,6 +573,19 @@ class GeoIpProcessor(Processor):
         self._lo = np.array(lo, np.uint32)[order]
         self._hi = np.array(hi, np.uint32)[order]
         self._props = [props[i] for i in order]
+        # CIDR ranges are LAMINAR (nested or disjoint), so any range
+        # containing an ip also encloses the searchsorted candidate —
+        # precompute each row's nearest ENCLOSING range once (stack sweep)
+        # and the lookup walks the ancestor chain, O(nesting depth) per ip
+        # instead of O(table) for unmatched ips (ADVICE r4)
+        parent = np.full(len(self._lo), -1, np.int64)
+        stack: list[int] = []
+        for j in range(len(self._lo)):
+            while stack and self._hi[stack[-1]] < self._hi[j]:
+                stack.pop()
+            parent[j] = stack[-1] if stack else -1
+            stack.append(j)
+        self._parent = parent
 
     @staticmethod
     def _ip_u32(s):
@@ -597,14 +610,14 @@ class GeoIpProcessor(Processor):
                for p in self.properties}
         vi = df.index[valid]
         for row, (ip, j) in zip(vi, zip(ips.tolist(), idx.tolist())):
-            # walk left over candidate ranges (most-specific first)
-            while j >= 0 and self._lo[j] <= ip:
-                if ip <= self._hi[j]:
+            # ancestor chain, most-specific first (bounded by nesting depth)
+            while j >= 0:
+                if self._lo[j] <= ip <= self._hi[j]:
                     for p in self.properties:
                         if p in self._props[j]:
                             out[p][row] = self._props[j][p]
                     break
-                j -= 1
+                j = int(self._parent[j])
         for p in self.properties:
             df[f"{self.target}.{p}"] = out[p]
         return df

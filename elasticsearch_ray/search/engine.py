@@ -1615,12 +1615,17 @@ class QueryEngine:
         return q
 
     def _locate(self, doc_id: int) -> tuple[int, int]:
-        """Global doc_id → (part, local) via the contiguous part bases."""
+        """Global doc_id → (part, local) via the contiguous part bases.
+        Out-of-range ids raise a clear ValueError instead of mapping into
+        a bogus local row of the last partition (which surfaced as an
+        opaque Arrow take IndexError downstream — ADVICE r4)."""
         bases = []
         acc = 0
         for p in self.meta["parts"]:
             bases.append(acc)
             acc += p["n_docs"]
+        if doc_id < 0 or doc_id >= acc:
+            raise ValueError(f"doc_id {doc_id} outside [0, {acc})")
         i = int(np.searchsorted(bases, doc_id, side="right") - 1)
         return self.meta["parts"][i]["part"], int(doc_id - bases[i])
 
@@ -2116,14 +2121,19 @@ class QueryEngine:
         ids = [int(d) for d in doc_ids]
         if not ids:
             return pa.table({})
-        located = [self._locate(d) for d in ids]
+        # unknown ids (outside [0, n_docs)) become found=false rows with
+        # null fields — the reference's per-doc MultiGetItemResponse shape
+        # — instead of an opaque Arrow IndexError (ADVICE r4)
+        known = np.array([0 <= d < self.n_docs for d in ids], bool)
+        known_pos = np.flatnonzero(known)
+        located = [self._locate(ids[i]) for i in known_pos]
         parts_a = np.array([p for p, _l in located], np.int64)
         locals_a = np.array([l for _p, l in located], np.int64)
         pieces = []
         order = []
         for p in np.unique(parts_a):
             idx = np.flatnonzero(parts_a == p)
-            order.append(idx)
+            order.append(known_pos[idx])
             s = self._searcher(int(p))
             t = s.r.doc_fields(locals_a[idx], columns)
             if source_columns:
@@ -2133,10 +2143,23 @@ class QueryEngine:
                     if c not in t.column_names:
                         t = t.append_column(c, src[c])
             pieces.append(t)
+        if not pieces:  # every id unknown — typed empty frame for schema
+            s = self._searcher(self.parts[0])
+            pieces = [s.r.doc_fields(np.empty(0, np.int64), columns)]
+            order = [np.empty(0, np.int64)]
         tbl = pa.concat_tables(pieces, promote_options="default")
-        inv = np.empty(len(ids), np.int64)
-        inv[np.concatenate(order)] = np.arange(len(ids))
-        return tbl.take(pa.array(inv))
+        # request-order indices into tbl; unknown slots take a NULL index
+        # (Arrow take yields null rows there)
+        inv = np.full(len(ids), -1, np.int64)
+        inv[np.concatenate(order)] = np.arange(tbl.num_rows)
+        out = tbl.take(pa.array(
+            [int(i) if i >= 0 else None for i in inv], pa.int64()))
+        if "doc_id" in out.column_names:
+            # echo the REQUESTED id on not-found rows (the reference
+            # returns the _id with found=false)
+            out = out.set_column(out.column_names.index("doc_id"), "doc_id",
+                                 pa.array(ids, pa.int64()))
+        return out.append_column("found", pa.array(known))
 
     def segments(self) -> list[dict]:
         """_segments API analog (IndicesSegmentsAction): per-partition

@@ -14,7 +14,8 @@ Grammar (Lucene expressions JS subset):
   and     := cmp ('&&' cmp)*
   cmp     := add (('=='|'!='|'<'|'<='|'>'|'>=') add)?
   add     := mul (('+'|'-') mul)*
-  mul     := unary (('*'|'/'|'%') unary)*
+  mul     := power (('*'|'/'|'%') power)*
+  power   := unary ('**' power)?        (right-associative, JS semantics)
   unary   := ('-'|'!') unary | atom
   atom    := NUMBER | ident | func '(' args ')' | '(' expr ')'
   ident   := NAME | doc['NAME'].value | doc.NAME.value | _score
@@ -157,15 +158,24 @@ class _Parser:
         return node
 
     def mul(self):
-        node = self.unary()
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%", "**"):
+        node = self.power()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             _, op = self.take()
-            rhs = self.unary()
+            rhs = self.power()
             # fmod, not mod: JS/Lucene-expressions % is TRUNCATED remainder
             # (sign of the dividend), numpy's % is floored
-            f = {"*": np.multiply, "/": np.divide, "%": np.fmod,
-                 "**": np.power}[op]
+            f = {"*": np.multiply, "/": np.divide, "%": np.fmod}[op]
             node = (lambda l, r, fn: lambda env: fn(l(env), r(env)))(node, rhs, f)
+        return node
+
+    def power(self):
+        # '**' binds tighter than '*' and is RIGHT-associative (JS):
+        # 2**3**2 == 512, not 64 (ADVICE r4 — was left-assoc at mul level)
+        node = self.unary()
+        if self.peek()[0] == "op" and self.peek()[1] == "**":
+            self.take()
+            rhs = self.power()
+            node = (lambda l, r: lambda env: np.power(l(env), r(env)))(node, rhs)
         return node
 
     def unary(self):

@@ -45,7 +45,7 @@ def sayt_spec(field: str, source: str, max_shingle_size: int = 3) -> tuple[dict,
     return fields, analyzers
 
 
-def sayt_query(field: str | None, text: str,
+def sayt_query(field: str, text: str,
                max_shingle_size: int = 3) -> BoolQuery:
     """``multi_match type=bool_prefix`` over the sayt fields
     (MultiMatchQueryBuilder.Type.BOOL_PREFIX + SearchAsYouTypeFieldMapper):
@@ -60,6 +60,11 @@ def sayt_query(field: str | None, text: str,
     PrefixQuery rewrites against the default field's term dictionary
     only. ``field`` names the sayt MAPPING (the subfield prefix), not a
     different root."""
+    if not field:
+        # '._2gram' (leading dot) would query subfields that can never
+        # exist — fail loudly instead of returning 0 hits (ADVICE r4)
+        raise ValueError("sayt_query requires the sayt mapping's field "
+                         "name (the shingle-subfield prefix)")
     toks = text.lower().split()
     should: list = []
     for t in toks[:-1]:
@@ -67,7 +72,7 @@ def sayt_query(field: str | None, text: str,
     if toks:
         # last term may be mid-type → prefix over the term dict
         should.append(PrefixQuery(toks[-1]))
-    base = field if field else ""
+    base = field
     for n in range(2, max_shingle_size + 1):
         if len(toks) >= n:
             should.append(MatchQuery(text, field=f"{base}._{n}gram"))

@@ -127,6 +127,11 @@ def termvectors(engine, doc_id: int | None = None, doc: str | None = None,
         raise ValueError("exactly one of doc_id / doc is required")
     lang = None
     if doc is None:
+        if not (0 <= int(doc_id) < engine.n_docs):
+            # the reference's TermVectorsResponse for a missing doc:
+            # found=false, no terms (ADVICE r4 — was hardcoded found=True
+            # with an IndexError deeper in)
+            return {"doc_id": doc_id, "found": False, "terms": {}}
         text, lang = _source_text(engine, doc_id, source_col)
     else:
         text = doc
