@@ -1823,6 +1823,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .astype({"user_id": "int64", "event_id": "int64"}),
             preserve_index=False)
 
+    def pipeline_events_enrich_join(sf):
+        # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
+        # built from EVEN-custkey customers (so odd user_ids exercise the
+        # not-found branch at every sf), broadcast lookup join per batch;
+        # DuckDB LEFT JOIN twin
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.processors import (
+            Pipeline,
+            execute_enrich_policy,
+        )
+
+        pol_src = _ds(sf, "customer").map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t["c_custkey"], 1), 0)),
+            batch_format="pyarrow")
+        policy = execute_enrich_policy(
+            pol_src, "c_custkey", ["c_name", "c_mktsegment"])
+        pipe = Pipeline([{"enrich": {
+            "field": "user_id", "policy": policy, "target_field": "cust"}}])
+        out = (
+            _ds(sf, "events")
+            .map_batches(pipe, batch_format="pandas")
+            .to_pandas()[["event_id", "cust.c_name", "cust.c_mktsegment"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -2386,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
+        "pipeline_events_enrich_join": pipeline_events_enrich_join,
         "pipeline_events_ua": pipeline_events_ua,
         "transform_pivot": transform_pivot,
         "transform_latest": transform_latest,
@@ -3797,5 +3827,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, upper(event_type) AS event_type,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "pipeline_events_enrich_join": """
+            SELECT e.event_id,
+                   c.c_name AS "cust.c_name",
+                   c.c_mktsegment AS "cust.c_mktsegment"
+            FROM events e
+            LEFT JOIN customer c
+              ON c.c_custkey = e.user_id AND c.c_custkey % 2 = 0
+            ORDER BY e.event_id
         """,
     }

@@ -995,6 +995,103 @@ class ScriptProcessor(Processor):
         return self.fn(df)
 
 
+def execute_enrich_policy(ds, match_field: str, enrich_fields) -> pd.DataFrame:
+    """Enrich-policy execution (x-pack/plugin/enrich —
+    ``EnrichPolicyRunner.java``): project ``match_field`` + ``enrich_fields``
+    from the policy's source into a compact keyed enrich table (the
+    ``.enrich-*`` system-index analog).
+
+    Ray-native shape: a column-pruned streaming pass over the source
+    Dataset; the result is the SMALL side by design (enrich indices hold
+    reference data — geo tables, user directories — not event streams) and
+    is intended to ride inside the EnrichProcessor closure, which Ray
+    broadcasts once per worker. Accepts a Ray Dataset, pandas DataFrame or
+    pyarrow Table."""
+    import pyarrow as pa
+
+    cols = [match_field] + [f for f in enrich_fields if f != match_field]
+    if isinstance(ds, pd.DataFrame):
+        return ds[cols].reset_index(drop=True)
+    if isinstance(ds, pa.Table):
+        return ds.select(cols).to_pandas()
+    import ray
+
+    refs = ds.select_columns(cols).to_arrow_refs()
+    return pa.concat_tables(
+        [t for t in ray.get(refs) if t.num_rows], promote_options="default"
+    ).to_pandas()
+
+
+@register("enrich")
+class EnrichProcessor(Processor):
+    """``enrich`` ingest processor (x-pack/plugin/enrich —
+    ``EnrichProcessorFactory.java``, ``MatchProcessor.java``): look up each
+    document's ``field`` value in an enrich index and copy the matched
+    source's fields onto the document.
+
+    Reference shape: a term query against the ``.enrich-*`` index with up
+    to ``max_matches`` (1..128) hits stored under ``target_field``. Here
+    the enrich table (from :func:`execute_enrich_policy`) is held in the
+    processor closure — broadcast once per worker by Ray, a broadcast hash
+    join, never a shuffle. ``max_matches == 1`` lands flattened
+    ``{target_field}.{col}`` columns via one vectorized reindex per field
+    (columnar frames hold no nested objects — the geoip precedent);
+    ``max_matches > 1`` stores a list of match dicts (first ``max_matches``
+    in enrich-table order) under ``target_field``. Unmatched keys yield
+    nulls / empty lists and, with ``override=False``, existing non-null
+    target values are kept (the reference's override flag)."""
+
+    def __init__(self, field, policy, target_field="enriched",
+                 max_matches=1, override=True):
+        if not 1 <= int(max_matches) <= 128:
+            raise ValueError("max_matches must be in [1, 128]")
+        if hasattr(policy, "to_pandas") and not isinstance(policy, pd.DataFrame):
+            policy = policy.to_pandas()
+        if not isinstance(policy, pd.DataFrame):
+            raise TypeError("policy must be execute_enrich_policy output "
+                            "(pandas/arrow table)")
+        self.field, self.target = field, target_field
+        self.max_matches = int(max_matches)
+        self.override = bool(override)
+        key = policy.columns[0]
+        self._enrich_cols = [c for c in policy.columns if c != key]
+        if self.max_matches == 1:
+            first = policy.drop_duplicates(subset=[key], keep="first")
+            frame = first.set_index(key)
+            self._series = {c: frame[c] for c in self._enrich_cols}
+        else:
+            buckets: dict = {}
+            for row in policy.itertuples(index=False):
+                d = dict(zip(policy.columns, row))
+                k = d.pop(key)
+                lst = buckets.setdefault(k, [])
+                if len(lst) < self.max_matches:
+                    lst.append(d)
+            self._buckets = buckets
+
+    def __call__(self, df):
+        keys = df[self.field]
+        if self.max_matches == 1:
+            for c in self._enrich_cols:
+                name = f"{self.target}.{c}"
+                vals = self._series[c].reindex(keys)
+                vals.index = df.index
+                if vals.dtype == object:
+                    # misses surface as None (Arrow null), not float NaN
+                    vals = vals.where(vals.notna(), None)
+                if not self.override and name in df.columns:
+                    vals = df[name].where(df[name].notna(), vals)
+                df[name] = vals
+        else:
+            hits = keys.map(lambda k: self._buckets.get(k, []))
+            if not self.override and self.target in df.columns:
+                keep = df[self.target].map(
+                    lambda v: isinstance(v, list) and len(v) > 0)
+                hits = df[self.target].where(keep, hits)
+            df[self.target] = hits
+        return df
+
+
 class Pipeline:
     """Ordered processor chain; apply with
     ``ds.map_batches(pipeline, batch_format="pandas")``."""
