@@ -1823,6 +1823,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .astype({"user_id": "int64", "event_id": "int64"}),
             preserve_index=False)
 
+    def eql_sequence_asof(sf):
+        # EQL sequence, asof-sharing mode (search/eql.py): each purchase
+        # pairs with the latest preceding view within 1 day for the same
+        # user, voided by an intervening error; DuckDB ASOF JOIN twin
+        from elasticsearch_ray.search.eql import eql_sequence
+
+        out = eql_sequence(
+            _ds(sf, "events"), by="user_id", ts_col="ts",
+            stages=[{"event_type": "view"}, {"event_type": "purchase"}],
+            maxspan="1 days", until={"event_type": "error"}, mode="asof")
+        return pa.Table.from_pandas(
+            out[["user_id", "ts_0", "ts_1", "id_0", "id_1"]],
+            preserve_index=False)
+
+    def eql_sequence_events(sf):
+        # full EQL state machine (sequence by user_id [view][click][purchase]
+        # until [error] with maxspan=2d) — SequenceGroup latest-wins,
+        # no-event-sharing semantics are not ANSI-SQL-expressible
+        # (rows-only; pytest tests/test_eql.py carries the semantics)
+        from elasticsearch_ray.search.eql import eql_sequence
+
+        out = eql_sequence(
+            _ds(sf, "events"), by="user_id", ts_col="ts",
+            stages=[{"event_type": "view"}, {"event_type": "click"},
+                    {"event_type": "purchase"}],
+            maxspan="2 days", until={"event_type": "error"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_enrich_join(sf):
         # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
         # built from EVEN-custkey customers (so odd user_ids exercise the
@@ -2416,6 +2444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
+        "eql_sequence_asof": eql_sequence_asof,
+        "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
         "transform_pivot": transform_pivot,
         "transform_latest": transform_latest,
@@ -3827,6 +3857,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, upper(event_type) AS event_type,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "eql_sequence_asof": """
+            WITH c1 AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'view'),
+                 c2 AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'purchase')
+            SELECT c2.user_id AS user_id, c1.ts AS ts_0, c2.ts AS ts_1,
+                   c1.event_id AS id_0, c2.event_id AS id_1
+            FROM c2 ASOF JOIN c1
+              ON c2.user_id = c1.user_id AND c2.ts > c1.ts
+            WHERE c2.ts - c1.ts <= INTERVAL 1 DAY
+              AND NOT EXISTS (
+                SELECT 1 FROM events u
+                WHERE u.user_id = c2.user_id AND u.event_type = 'error'
+                  AND u.ts > c1.ts AND u.ts < c2.ts)
+            ORDER BY c2.user_id, id_0, id_1
         """,
         "pipeline_events_enrich_join": """
             SELECT e.event_id,

@@ -1,0 +1,213 @@
+"""EQL ``sequence`` queries over an event table (SURVEY: x-pack/plugin/eql —
+``execution/sequence/SequenceGroup.java``, ``KeyToSequences.java``,
+``plan/logical/Sequence.java``; public EQL docs for the matching contract).
+
+``sequence by <key> [q1] [q2] ... until [uq] with maxspan=...``:
+
+- events are processed in ``(ts, tiebreak)`` order per key;
+- a ``q1`` match opens a partial sequence; a ``q_{i+1}`` match advances the
+  MOST RECENTLY advanced partial waiting at stage ``i`` whose sort key is
+  strictly earlier (Elastic's ``SequenceGroup#before`` — nested /
+  non-crossing matching), consuming it (sequences never share events);
+- ``maxspan`` bounds ``last.ts - first.ts``; expired partials are pruned;
+- ``until`` cancels every pending partial for the key.
+
+Ray-native shape — the scale story is predicate pushdown, not the shuffle:
+a vectorized ``map_batches`` pre-filter reduces the stream to CANDIDATE
+rows only (rows matching any stage or the until clause), carrying a small
+stage bitmask; only that candidate sliver is hash-grouped by key
+(``groupby(by).map_groups``) and walked by the per-key state machine.
+Matched sequences (tiny relative to input) are collected on the driver.
+
+Two modes:
+
+- ``mode="eql"`` — the reference state machine above (not expressible in
+  ANSI SQL; driver entry is rows-only, pytest carries the semantics).
+- ``mode="asof"`` — the 2-stage sharing variant: each ``q2`` event pairs
+  with the LATEST preceding ``q1`` event within ``maxspan`` (sharing
+  allowed), invalid if an ``until`` event falls strictly between. This is
+  DuckDB's ``ASOF JOIN`` + ``NOT EXISTS`` — the oracle-checkable twin —
+  and doubles as the engine's as-of-join primitive.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+
+def _mask(pred, df: pd.DataFrame) -> np.ndarray:
+    """Stage predicate → boolean mask. Dict = ANDed term equalities
+    (the EQL ``event_type == "x" and f == v`` subset); callable = df→mask."""
+    if callable(pred):
+        return np.asarray(pred(df), bool)
+    m = np.ones(len(df), bool)
+    for col, val in pred.items():
+        if isinstance(val, (list, tuple, set)):
+            m &= df[col].isin(list(val)).to_numpy()
+        else:
+            m &= (df[col] == val).to_numpy()
+    return m
+
+
+def _pred_columns(preds) -> set[str]:
+    cols: set[str] = set()
+    for p in preds:
+        if isinstance(p, dict):
+            cols |= set(p.keys())
+    return cols
+
+
+def _seq_state_machine(ts: np.ndarray, tb: np.ndarray, bits: np.ndarray,
+                       n_stages: int, maxspan, has_until: bool) -> list[tuple]:
+    """Per-key walk (rows already (ts, tb)-sorted). Partials are
+    ``(first_ts, ids, tss, last_pos)``; ``pending[i]`` is ordered by
+    recency so ``before()`` = pop from the tail (SequenceGroup.java)."""
+    pending: list[list] = [[] for _ in range(n_stages)]
+    out: list[tuple] = []
+    until_bit = 1 << n_stages
+    for pos in range(len(ts)):
+        b = int(bits[pos])
+        if has_until and b & until_bit:
+            for p in pending:
+                p.clear()
+        t = ts[pos]
+        # highest stage first so one event can advance a partial AND then
+        # open a new one, but never advance the partial it just extended
+        for i in range(n_stages - 1, 0, -1):
+            if not b & (1 << i):
+                continue
+            prev = pending[i - 1]
+            # most recent partial strictly before this event; expired
+            # partials (t - first_ts > maxspan) are pruned as encountered
+            # — recency order is last-advanced order, NOT first_ts order,
+            # so each candidate's span is checked individually
+            while prev:
+                first_ts, ids, tss, last_pos = prev[-1]
+                if last_pos >= pos:
+                    break
+                prev.pop()
+                if maxspan is not None and t - first_ts > maxspan:
+                    continue  # expired — try the next most recent
+                ids2, tss2 = ids + (tb[pos],), tss + (t,)
+                if i == n_stages - 1:
+                    out.append((first_ts, ids2, tss2))
+                else:
+                    pending[i].append((first_ts, ids2, tss2, pos))
+                break
+        if b & 1:
+            pending[0].append((t, (tb[pos],), (t,), pos))
+    return out
+
+
+class _SeqGroupFn:
+    """map_groups callable: state machine per key group."""
+
+    def __init__(self, by, ts_col, tb_col, n_stages, maxspan, has_until,
+                 mode):
+        self.by, self.ts_col, self.tb_col = by, ts_col, tb_col
+        self.n, self.maxspan, self.has_until = n_stages, maxspan, has_until
+        self.mode = mode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([self.ts_col, self.tb_col], kind="mergesort")
+        ts = df[self.ts_col].to_numpy()
+        tb = df[self.tb_col].to_numpy()
+        bits = df["_stage_bits"].to_numpy()
+        key = df[self.by].iloc[0]
+        if self.mode == "asof":
+            rows = self._asof(ts, tb, bits)
+        else:
+            rows = [(ids, tss) for _f, ids, tss in _seq_state_machine(
+                ts, tb, bits, self.n, self.maxspan, self.has_until)]
+        if not rows:
+            return self._empty(df)
+        out = {self.by: [key] * len(rows)}
+        for i in range(self.n):
+            out[f"ts_{i}"] = [tss[i] for _ids, tss in rows]
+            out[f"id_{i}"] = [ids[i] for ids, _tss in rows]
+        return pd.DataFrame(out)
+
+    def _asof(self, ts, tb, bits):
+        m1 = (bits & 1).astype(bool)
+        m2 = (bits & 2).astype(bool)
+        t1, b1 = ts[m1], tb[m1]
+        t2, b2 = ts[m2], tb[m2]
+        if not len(t1) or not len(t2):
+            return []
+        idx = np.searchsorted(t1, t2, side="left") - 1
+        ok = idx >= 0
+        if self.maxspan is not None:
+            # NEVER np.where(cond, timedelta, 0): the int 0 strips the
+            # datetime64 unit and the comparison goes unit-blind
+            span = t2 - t1[np.maximum(idx, 0)]
+            ok &= span <= self.maxspan
+        if self.has_until:
+            mu = (bits & 4).astype(bool)
+            tu = ts[mu]
+            if len(tu):
+                # an until event strictly between t1 and t2 voids the pair
+                n_before2 = np.searchsorted(tu, t2, side="left")
+                n_at_or_before1 = np.searchsorted(
+                    tu, np.where(idx >= 0, t1[idx], t2), side="right")
+                ok &= n_before2 <= n_at_or_before1
+        rows = []
+        for j in np.flatnonzero(ok):
+            i = idx[j]
+            rows.append(((b1[i], b2[j]), (t1[i], t2[j])))
+        return rows
+
+    def _empty(self, df):
+        cols = {self.by: df[self.by].iloc[:0]}
+        for i in range(self.n):
+            cols[f"ts_{i}"] = df[self.ts_col].iloc[:0]
+            cols[f"id_{i}"] = df[self.tb_col].iloc[:0]
+        return pd.DataFrame(cols)
+
+
+def eql_sequence(ds, by: str, ts_col: str, stages: list,
+                 maxspan=None, until=None, tiebreak: str = "event_id",
+                 mode: str = "eql",
+                 extra_columns: tuple = ()) -> pd.DataFrame:
+    """Run ``sequence by <by> [stages...] until [until] with maxspan`` over
+    a Ray Dataset. Returns one row per matched sequence:
+    ``(by, ts_0..ts_{n-1}, id_0..id_{n-1})`` with ``id_i`` = the tiebreak
+    column of the stage-``i`` event. See module docstring for modes."""
+    if len(stages) < 2:
+        raise ValueError("sequence needs at least two stages")
+    if mode not in ("eql", "asof"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "asof" and len(stages) != 2:
+        raise ValueError("asof mode is the 2-stage sharing variant")
+    if maxspan is not None and not isinstance(maxspan, (int, float)):
+        maxspan = pd.to_timedelta(maxspan).to_numpy()
+    n = len(stages)
+    preds = list(stages) + ([until] if until is not None else [])
+    needed = sorted({by, ts_col, tiebreak}
+                    | _pred_columns(preds) | set(extra_columns))
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(len(df), np.int64)
+        for i, p in enumerate(preds):
+            bits |= _mask(p, df).astype(np.int64) << i
+        keep = bits != 0
+        out = df.loc[keep, [by, ts_col, tiebreak]].copy()
+        out["_stage_bits"] = bits[keep]
+        return out
+
+    fn = _SeqGroupFn(by, ts_col, tiebreak, n, maxspan,
+                     until is not None, mode)
+
+    def run_group(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df)
+
+    cand = (ds.select_columns(needed)
+            .map_batches(candidates, batch_format="pandas"))
+    matched = cand.groupby(by).map_groups(run_group, batch_format="pandas")
+    out = matched.to_pandas()
+    if len(out):
+        out = (out.sort_values([by, "id_0", f"id_{n-1}"])
+               .reset_index(drop=True))
+    return out

@@ -1,0 +1,149 @@
+"""EQL sequence queries (x-pack/plugin/eql SequenceGroup / KeyToSequences):
+state-machine semantics, maxspan/until, asof-sharing mode, and the
+block-boundary-straddling regression."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.search.eql import _seq_state_machine, eql_sequence
+
+
+def _run(events, n_stages, maxspan=None, has_until=False):
+    """events: list of (ts, tb, bits) — ts numeric for clarity."""
+    ts = np.array([e[0] for e in events], float)
+    tb = np.array([e[1] for e in events], np.int64)
+    bits = np.array([e[2] for e in events], np.int64)
+    return _seq_state_machine(ts, tb, bits, n_stages, maxspan, has_until)
+
+
+def test_latest_wins_nested_matching():
+    # q1@1, q1@2, q2@3, q2@4: the first q2 consumes the MOST RECENT q1
+    # (SequenceGroup#before → nested, non-crossing matching)
+    out = _run([(1, 10, 1), (2, 11, 1), (3, 20, 2), (4, 21, 2)], 2)
+    assert [(ids) for _f, ids, _t in out] == [(11, 20), (10, 21)]
+
+
+def test_no_event_sharing():
+    # one q1, two q2: only one match (sequences never share events)
+    out = _run([(1, 10, 1), (2, 20, 2), (3, 21, 2)], 2)
+    assert [ids for _f, ids, _t in out] == [(10, 20)]
+
+
+def test_maxspan_expiry_prunes_partials():
+    # q1@0, q1@2, q2@6: maxspan 4 → latest q1@2 in span (6-2=4), match;
+    # maxspan 3 → both q1 partials expired, no match
+    out = _run([(0, 1, 1), (2, 2, 1), (6, 3, 2)], 2, maxspan=4)
+    assert [ids for _f, ids, _t in out] == [(2, 3)]
+    out = _run([(0, 1, 1), (2, 2, 1), (6, 3, 2)], 2, maxspan=3)
+    assert out == []
+
+
+def test_maxspan_bounds_whole_sequence_not_per_hop():
+    # 3 stages: hops of 2 each, total 4 > maxspan 3 → no match
+    out = _run([(0, 1, 1), (2, 2, 2), (4, 3, 4)], 3, maxspan=3)
+    assert out == []
+    out = _run([(0, 1, 1), (2, 2, 2), (4, 3, 4)], 3, maxspan=4)
+    assert [ids for _f, ids, _t in out] == [(1, 2, 3)]
+
+
+def test_until_cancels_pending():
+    # q1@1, until@2, q2@3 → the until clears the partial
+    out = _run([(1, 1, 1), (2, 2, 4), (3, 3, 2)], 2, has_until=True)
+    assert out == []
+    # until BEFORE q1 is harmless
+    out = _run([(0, 0, 4), (1, 1, 1), (3, 3, 2)], 2, has_until=True)
+    assert [ids for _f, ids, _t in out] == [(1, 3)]
+
+
+def test_event_matching_two_stages_advances_then_opens():
+    # event@2 matches BOTH q1 and q2 (bits=3): it completes the pending
+    # partial AND opens a new one (which the q2@3 then completes)
+    out = _run([(1, 1, 1), (2, 2, 3), (3, 3, 2)], 2)
+    assert sorted(ids for _f, ids, _t in out) == [(1, 2), (2, 3)]
+
+
+def test_three_stage_chain_orders():
+    out = _run([(1, 1, 1), (2, 2, 2), (3, 3, 4), (4, 4, 2), (5, 5, 4)],
+               3)
+    assert [ids for _f, ids, _t in out] == [(1, 2, 3)]
+
+
+@pytest.fixture(scope="module")
+def event_frame():
+    rng = np.random.default_rng(7)
+    n = 3000
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 12, n),
+        # us precision on purpose — parquet ts columns arrive as
+        # datetime64[us]; a unitless-timedelta comparison bug only
+        # showed there (ns frames were coincidentally consistent)
+        "ts": (pd.to_datetime("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 3_000_000, n), unit="s")
+               ).astype("datetime64[us]"),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "error"], n),
+    })
+
+
+def test_boundary_straddling_blocks_identical(ray_session, event_frame):
+    """A key's event run straddling Ray block boundaries must not change
+    the result: 1-block vs 16-block datasets produce identical matches."""
+    import ray.data as rd
+
+    stages = [{"event_type": "view"}, {"event_type": "click"},
+              {"event_type": "purchase"}]
+    kw = dict(by="user_id", ts_col="ts", stages=stages,
+              maxspan="2 days", until={"event_type": "error"})
+    a = eql_sequence(rd.from_pandas(event_frame), **kw)
+    many = rd.from_pandas(event_frame).repartition(16)
+    b = eql_sequence(many, **kw)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_asof_mode_matches_duckdb(ray_session, event_frame):
+    import duckdb
+    import ray.data as rd
+
+    out = eql_sequence(
+        rd.from_pandas(event_frame), by="user_id", ts_col="ts",
+        stages=[{"event_type": "view"}, {"event_type": "purchase"}],
+        maxspan="1 days", until={"event_type": "error"}, mode="asof")
+    events = event_frame  # noqa: F841 — duckdb binds it
+    sql = duckdb.sql("""
+        WITH c1 AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'view'),
+             c2 AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'purchase')
+        SELECT c2.user_id, c1.ts AS ts_0, c2.ts AS ts_1,
+               c1.event_id AS id_0, c2.event_id AS id_1
+        FROM c2 ASOF JOIN c1
+          ON c2.user_id = c1.user_id AND c2.ts > c1.ts
+        WHERE c2.ts - c1.ts <= INTERVAL 1 DAY
+          AND NOT EXISTS (
+            SELECT 1 FROM events u
+            WHERE u.user_id = c2.user_id AND u.event_type = 'error'
+              AND u.ts > c1.ts AND u.ts < c2.ts)
+        ORDER BY c2.user_id, id_0, id_1
+    """).df()
+    got = out[["user_id", "ts_0", "ts_1", "id_0", "id_1"]].reset_index(
+        drop=True).astype({"ts_0": "datetime64[us]",
+                           "ts_1": "datetime64[us]"})
+    want = sql.astype({"user_id": "int64", "id_0": "int64",
+                       "id_1": "int64", "ts_0": "datetime64[us]",
+                       "ts_1": "datetime64[us]"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_mode_and_stage_validation():
+    with pytest.raises(ValueError):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}])
+    with pytest.raises(ValueError):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}, {}],
+                     mode="asof")
+    with pytest.raises(ValueError):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}],
+                     mode="nope")
