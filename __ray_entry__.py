@@ -322,6 +322,29 @@ def _multifield_index(sf_dir: str):
     return eng
 
 
+def _ctx_index(sf_dir: str):
+    """Documents index with lang ALSO indexed as a keyword FIELD (fielded
+    postings ``lang\\x1f<value>``) — the completion-suggester category
+    context (CategoryContextMapping) resolves per-context df by postings
+    intersection against these."""
+    key = f"ctx-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text",
+                     doc_columns=("lang",),
+                     fields={"lang": "lang"},
+                     field_analyzers={"lang": "keyword"})
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _sayt_index(sf_dir: str):
     """documents index with search_as_you_type subfields (text._2gram /
     text._3gram shingle fields — SearchAsYouTypeFieldMapper composition)."""
@@ -2197,6 +2220,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = eng.complete_fuzzy("spork", size=5, fuzziness=1)
         return pa.Table.from_pylist(out)
 
+    def suggest_completion_context(sf):
+        # completion suggester with category contexts (ContextMappings /
+        # CategoryContextMapping): candidates from the sorted-dict prefix
+        # walk, per-context df by postings intersection with the fielded
+        # lang terms; score = sum(df_in_ctx * boost); DuckDB GROUP BY twin
+        eng = _ctx_index(sf)
+        out = eng.complete_ctx(
+            "s", {"lang": [{"context": "en", "boost": 2.0},
+                           {"context": "de", "boost": 1.0}]},
+            size=10, limit=10000)
+        return pa.table({
+            "text": pa.array([r["text"] for r in out], pa.string()),
+            "score": pa.array([float(r["score"]) for r in out]),
+            "df_en": pa.array([int(r["contexts"].get("en", 0))
+                               for r in out], pa.int64()),
+            "df_de": pa.array([int(r["contexts"].get("de", 0))
+                               for r in out], pa.int64()),
+        })
+
     def suggest_phrase(sf):  # rows-only
         eng = _documents_index(sf)
         out = eng.suggest_phrase("spark joim", size=3)
@@ -2290,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
         "suggest_completion_fuzzy": suggest_completion_fuzzy,
+        "suggest_completion_context": suggest_completion_context,
         "suggest_phrase_backoff": suggest_phrase_backoff,
         "rank_eval_report": rank_eval_report,
         "suggest_phrase": suggest_phrase,
@@ -3857,6 +3900,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, upper(event_type) AS event_type,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events ORDER BY event_id
+        """,
+        "suggest_completion_context": """
+            WITH tok AS (
+              SELECT d.doc_id, d.lang,
+                     unnest(string_split(d.text, ' ')) AS term
+              FROM documents d
+            ), per AS (
+              SELECT term, lang, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tok WHERE term LIKE 's%' AND lang IN ('en', 'de')
+              GROUP BY term, lang
+            ), piv AS (
+              SELECT term AS text,
+                     coalesce(max(CASE WHEN lang='en' THEN df END), 0) AS df_en,
+                     coalesce(max(CASE WHEN lang='de' THEN df END), 0) AS df_de
+              FROM per GROUP BY term
+            )
+            SELECT text, (df_en * 2.0 + df_de * 1.0) AS score, df_en, df_de
+            FROM piv ORDER BY score DESC, text LIMIT 10
         """,
         "eql_sequence_asof": """
             WITH c1 AS (SELECT user_id, ts, event_id FROM events

@@ -1003,6 +1003,42 @@ class PartitionSearcher:
                 out[t] = int(self.r.df[base + i])
         return out
 
+    def completion_candidates_ctx(self, prefix: str, ctx_field: str,
+                                  ctx_values: list, limit: int = 200
+                                  ) -> dict[str, dict]:
+        """Category-context completion candidates (search/suggest/completion/
+        context/ — ``ContextMappings.java``, ``CategoryContextMapping.java``):
+        per candidate term, the df WITHIN each requested context =
+        |postings(term) ∩ postings(ctx_field:value)|. The reference bakes
+        context prefixes into the completion FST at index time; here the
+        sorted dict yields prefix candidates and contexts resolve by a
+        sorted-postings intersection count per (term, context) — bounded
+        by ``limit`` candidates and the requested context values."""
+        from elasticsearch_ray.index.postings import decode_postings
+
+        terms_np = self._terms_np()
+        cand, base = self._prefix_cut(terms_np, prefix)
+        ctx_docs = {}
+        for v in ctx_values:
+            i = self.r.lookup([fkey(ctx_field, str(v))])[0]
+            if i >= 0:
+                ctx_docs[v] = decode_postings(self.r.blob(int(i)))[0]
+        if not ctx_docs:
+            return {}
+        out: dict[str, dict] = {}
+        for i, t in enumerate(cand[:limit]):
+            if "\x1f" in t:
+                continue
+            docs = decode_postings(self.r.blob(int(base + i)))[0]
+            per = {}
+            for v, cd in ctx_docs.items():
+                n = int(np.isin(docs, cd, assume_unique=True).sum())
+                if n:
+                    per[v] = n
+            if per:
+                out[t] = per
+        return out
+
     def fuzzy_completion_candidates(self, prefix: str, max_edits: int = 1,
                                     prefix_length: int = 1,
                                     min_length: int = 3,
@@ -2365,6 +2401,53 @@ class QueryEngine:
         ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
         return [{"text": t, "freq": df} for t, df in ranked]
 
+    def complete_ctx(self, prefix: str, contexts: dict, size: int = 5,
+                     limit: int = 200) -> list[dict]:
+        """Completion suggester with CATEGORY CONTEXTS
+        (``ContextMappings.java`` + ``CategoryQueryContext``): ``contexts``
+        is ``{field: [{"context": value, "boost": b}, ...]}`` — bare values
+        mean boost 1. A suggestion must match at least one requested
+        context value (filter semantics); its score is
+        ``sum over matched contexts of df_in_context * boost`` (the
+        reference multiplies the suggestion weight by the context boost —
+        weight here IS the within-context df), ties broken by term asc.
+        One context field per query (the common CategoryContextMapping
+        shape)."""
+        if len(contexts) != 1:
+            raise ValueError("complete_ctx takes exactly one context field")
+        (field, specs), = contexts.items()
+        boosts: dict = {}
+        for s in specs:
+            if isinstance(s, dict):
+                boosts[s["context"]] = float(s.get("boost", 1.0))
+            else:
+                boosts[s] = 1.0
+        prefix = prefix.lower()
+        args = (prefix, field, list(boosts), limit)
+        if self._actors:
+            import ray
+
+            results = ray.get([a.completion_candidates_ctx.remote(*args)
+                               for a in self._actors])
+            results = [d for group in results for d in group]
+        else:
+            results = [self._searcher(p).completion_candidates_ctx(*args)
+                       for p in self.parts]
+        merged: dict[str, dict] = {}
+        for d in results:
+            for t, per in d.items():
+                agg = merged.setdefault(t, {})
+                for v, n in per.items():
+                    agg[v] = agg.get(v, 0) + n
+        scored = [
+            (t, sum(n * boosts[v] for v, n in per.items()), per)
+            for t, per in merged.items()
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return [{"text": t, "score": sc,
+                 "contexts": dict(sorted(per.items()))}
+                for t, sc, per in scored[:size]]
+
     def complete_fuzzy(self, prefix: str, size: int = 5, fuzziness: int = 1,
                        prefix_length: int = 1, min_length: int = 3) -> list[dict]:
         """Fuzzy completion suggester (FuzzyCompletionSuggestion): prefix
@@ -3269,6 +3352,10 @@ class SearcherActor:
 
     def completion_candidates(self, prefix, limit=1000):
         return [s.completion_candidates(prefix, limit) for s in self.searchers.values()]
+
+    def completion_candidates_ctx(self, prefix, ctx_field, ctx_values, limit=200):
+        return [s.completion_candidates_ctx(prefix, ctx_field, ctx_values, limit)
+                for s in self.searchers.values()]
 
     def fuzzy_completion_candidates(self, prefix, max_edits=1, prefix_length=1,
                                     min_length=3):
