@@ -3073,10 +3073,21 @@ class QueryEngine:
         q = q if not isinstance(q, str) else MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
         terms = frozenset(query_terms(q, self.analyzer_name))
+        # unified-highlighter PassageScorer weights: (k1+1) * BM25 idf from
+        # the cached DFS stats (keyed by BARE term — fielded query terms
+        # match by their bare form in the text)
+        df = self._global_stats(list(terms))
+        n = max(self.n_docs, 1)
+        weights = {}
+        for t, d in df.items():
+            bare_t = t.rsplit("\x1f", 1)[-1]
+            w = 2.2 * float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+            weights[bare_t] = max(weights.get(bare_t, 0.0), w)
         src = self.fetch_source(part, [local], columns=[text_column])
         return _fragment_highlights(src[text_column][0].as_py() or "", terms,
                                     pre_tag, post_tag, fragment_size,
-                                    number_of_fragments)
+                                    number_of_fragments,
+                                    term_weights=weights)
 
 
 def _fetch_source_rows(manifest: dict, locals_: np.ndarray, columns=None) -> pa.Table:
@@ -3163,33 +3174,52 @@ def _wrap_terms(text: str, terms: frozenset, pre_tag: str, post_tag: str) -> str
 
 def _fragment_highlights(text: str, terms: frozenset, pre_tag: str,
                          post_tag: str, fragment_size: int = 100,
-                         number_of_fragments: int = 3) -> list[str]:
+                         number_of_fragments: int = 3,
+                         term_weights: dict | None = None,
+                         k1: float = 1.2, b: float = 0.75,
+                         pivot: int = 87) -> list[str]:
     """Fragmenting highlighter (the unified highlighter's default response
     shape: ``number_of_fragments`` passages of ~``fragment_size`` chars,
     ordered by passage score). Passages are centered windows around match
-    runs, snapped OUT to whitespace so words never split; score = number
-    of matched term occurrences in the window (a simplification of the
-    reference's BM25-weighted PassageScorer — rank order is the same for
-    single-field term sets); overlapping windows merge and returned
-    fragments are DISJOINT like the reference's passages."""
+    runs, snapped OUT to whitespace so words never split. With
+    ``term_weights`` (bare term → weight, from the engine's DFS idf
+    cache), passages score like Lucene's ``PassageScorer``:
+    ``sum over unique terms of w(t) * tf / (tf + k1*(1-b+b*len/pivot))``
+    (k1/b/pivot defaults are Lucene's) — a rare term's passage outranks
+    one stuffed with a common term. Without weights, score = raw matched
+    occurrences (the standalone-helper fallback). Overlapping windows
+    merge and returned fragments are DISJOINT like the reference's
+    passages."""
     text = text or ""
     bare, pat = _hl_ctx(text, terms)
-    hits = [m.span() for m in pat.finditer(text)
+    hits = [(m.span(), m.group(0).lower()) for m in pat.finditer(text)
             if m.group(0).lower() in bare]
     if not hits:
         return []
-    # windows centered on each hit, merged when overlapping
-    windows: list[list[int]] = []
-    for s, e in hits:
+    # windows centered on each hit, merged when overlapping; each window
+    # carries its per-term occurrence counts for the passage scorer
+    windows: list[list] = []
+    for (s, e), t in hits:
         mid = (s + e) // 2
         lo = max(0, mid - fragment_size // 2)
         hi = min(len(text), lo + fragment_size)
         if windows and lo <= windows[-1][1]:
             windows[-1][1] = max(windows[-1][1], hi)
-            windows[-1][2] += 1
+            tfs = windows[-1][2]
+            tfs[t] = tfs.get(t, 0) + 1
         else:
-            windows.append([lo, hi, 1])
-    scored = sorted(windows, key=lambda w: (-w[2], w[0]))[:number_of_fragments]
+            windows.append([lo, hi, {t: 1}])
+
+    def passage_score(w) -> float:
+        lo, hi, tfs = w
+        if term_weights is None:
+            return float(sum(tfs.values()))
+        norm = k1 * (1 - b + b * (hi - lo) / pivot)
+        return sum(term_weights.get(t, 1.0) * n / (n + norm)
+                   for t, n in tfs.items())
+
+    scored = sorted(windows, key=lambda w: (-passage_score(w), w[0])
+                    )[:number_of_fragments]
     out = []
     snap_cap = max(16, fragment_size // 4)  # bounded: unspaced runs (CJK,
     # URLs, base64) would otherwise balloon a fragment to the whole doc

@@ -97,3 +97,69 @@ def test_highlight_fragments_engine_path(eng):
     # fielded-namespace terms highlight by bare term (shared _wrap_terms)
     whole = eng.highlight(MatchQuery("spark join"), r["part"], r["local"])
     assert "<em>" in whole
+
+
+def test_passage_scorer_bm25_weighted_ordering():
+    """Unified-highlighter PassageScorer: with DFS-idf term weights, a
+    passage holding ONE rare term outranks a passage stuffed with a
+    common term (raw match count would rank them the other way)."""
+    from elasticsearch_ray.search.engine import _fragment_highlights
+
+    gap = "pad word " * 30
+    # passage A: 3x common term; passage B (later): 1x rare term
+    text = f"common common common end {gap} start uniqum done {gap} tail"
+    no_w = _fragment_highlights(text, frozenset({"common", "uniqum"}),
+                                "<em>", "</em>", fragment_size=60,
+                                number_of_fragments=1)
+    assert "<em>common</em>" in no_w[0]  # raw-count ranking: 3 beats 1
+    weighted = _fragment_highlights(
+        text, frozenset({"common", "uniqum"}), "<em>", "</em>",
+        fragment_size=60, number_of_fragments=1,
+        term_weights={"common": 0.2, "uniqum": 8.0})
+    assert "<em>uniqum</em>" in weighted[0]  # idf-weighted: rare wins
+    # disjointness + word-snap properties hold under the new scorer
+    both = _fragment_highlights(
+        text, frozenset({"common", "uniqum"}), "<em>", "</em>",
+        fragment_size=60, number_of_fragments=2,
+        term_weights={"common": 0.2, "uniqum": 8.0})
+    plain = [f.replace("<em>", "").replace("</em>", "") for f in both]
+    assert len(both) == 2
+    assert text.find(plain[1]) >= text.find(plain[0]) + len(plain[0])
+    for p in plain:
+        assert text.find(p) >= 0
+
+
+def test_engine_fragments_use_idf_weights(ray_session, tmp_path_factory):
+    """Engine path: fragments rank by DFS-idf-weighted passage score — in
+    a corpus where 'common' saturates every doc and 'uniqum' appears
+    once, the target doc's 3x-common passage loses to its 1x-uniqum
+    passage (raw count would rank it first)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchQuery
+
+    base = tmp_path_factory.mktemp("hlidf")
+    gap = "pad word " * 30
+    target = f"common common common end {gap} start uniqum done {gap} tail"
+    texts = [target] + [f"common filler text {i}" for i in range(40)]
+    corpus = str(base / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}),
+        os.path.join(corpus, "docs.parquet"))
+    idx = str(base / "index")
+    build_index(corpus, idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=(), files_per_partition=1),
+                concurrency=2, file_pattern="docs.parquet")
+    e = QueryEngine(idx, dtype="float64")
+    frags = e.highlight_fragments(MatchQuery("common uniqum"), 0, 0,
+                                  fragment_size=60, number_of_fragments=1)
+    assert "<em>uniqum</em>" in frags[0]
+    e.close()
