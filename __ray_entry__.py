@@ -1903,6 +1903,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def rollup_daily(sf):
+        # rollup job packaging (x-pack/plugin/rollup RollupIndexer):
+        # HOURLY job over events, request served at the coarser aligned
+        # DAY interval by re-aggregating the rollup's partials (avg
+        # recomposed from stored sum+value_count); DuckDB twin aggregates
+        # the RAW table at day grain — equality proves the rollup loses
+        # nothing
+        import tempfile
+
+        from elasticsearch_ray.index.vectors import parquet_fingerprint
+        from elasticsearch_ray.pipelines.rollup import (
+            rollup_search,
+            run_rollup_job,
+        )
+
+        dest = os.path.join(tempfile.gettempdir(),
+                            f"esray_transform/rollup-{_sf_key(sf)}")
+        run_rollup_job(_ds(sf, "events"), dest, ts_field="ts",
+                       interval="hour", terms=["event_type"],
+                       metrics={"value": ["sum", "min", "max", "avg"]},
+                       input_fingerprint=parquet_fingerprint(
+                           os.path.join(sf, "events.parquet")))
+        out = rollup_search(dest, "day")
+        out["value.sum"] = out["value.sum"].round(4)
+        out["value.value_count"] = out["value.value_count"].astype("int64")
+        # avg is recomposed sum/value_count; counts of 8 put it EXACTLY on
+        # 4-decimal rounding boundaries (dyadic ratio — pandas half-even
+        # vs DuckDB half-away, the documented trap), so the oracle frame
+        # carries the robust partials and pytest pins avg with fp
+        # tolerance (tests/test_rollup.py)
+        out = out.drop(columns=["value.avg"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -2490,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_asof": eql_sequence_asof,
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
+        "rollup_daily": rollup_daily,
         "transform_pivot": transform_pivot,
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
@@ -3883,6 +3917,14 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC) AS rn
               FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "rollup_daily": """
+            SELECT date_trunc('day', ts) AS ts, event_type,
+                   round(sum(value), 4) AS "value.sum",
+                   min(value) AS "value.min",
+                   max(value) AS "value.max",
+                   count(value)::BIGINT AS "value.value_count"
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "pipeline_events_ua": """
             SELECT event_id,
