@@ -468,6 +468,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
 
+    def search_runtime_field_count(sf):
+        # mapping-level runtime field (AbstractScriptFieldType): an
+        # expression-computed column referenced by a RANGE FILTER inside
+        # the count path — computed on demand per partition from stored
+        # doc columns, never materialized in the index
+        from elasticsearch_ray.search.engine import QueryEngine
+        from elasticsearch_ray.search.query import (
+            BoolQuery,
+            MatchQuery,
+            RangeFilter,
+        )
+
+        base = _documents_index(sf)  # ensures the index is built/cached
+        eng = QueryEngine(base.index_dir, dtype="float64",
+                          runtime_fields={"chars_sqrt": "sqrt(n_chars)"})
+        n = eng.count(BoolQuery(must=(MatchQuery("merge"),),
+                                filter=(RangeFilter("chars_sqrt", gte=20.0),)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    def agg_runtime_field(sf):
+        # runtime field in the AGG path: expression column appended on
+        # scan (add_expression_column), then grouped and aggregated like
+        # a stored field; DuckDB computes the same expression inline
+        from ray.data.aggregate import Count, Sum
+
+        from elasticsearch_ray.search.expressions import (
+            add_expression_column,
+        )
+
+        ds = add_expression_column(_ds(sf, "documents"), "len_bucket",
+                                   "floor(sqrt(n_chars))")
+        out = (ds.groupby("len_bucket")
+               .aggregate(Count(alias_name="n"),
+                          Sum("n_chars", alias_name="sum_chars"))
+               .to_pandas().sort_values("len_bucket")
+               .reset_index(drop=True))
+        out["n"] = out["n"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def mget_docs(sf):
         # _mget API (TransportMultiGetAction): stored columns + source-
         # lineage fields by id; sorted here so the row order is
@@ -2427,6 +2467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bool_filtered": search_bool_filtered,
         "search_template_render": search_template_render,
         "search_count_api": search_count_api,
+        "search_runtime_field_count": search_runtime_field_count,
+        "agg_runtime_field": agg_runtime_field,
         "termvectors_doc": termvectors_doc,
         "mget_docs": mget_docs,
         "search_alias_filtered": search_alias_filtered,
@@ -3917,6 +3959,17 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC) AS rn
               FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "search_runtime_field_count": """
+            SELECT count(*)::BIGINT AS n FROM documents
+            WHERE sqrt(n_chars) >= 20.0
+              AND list_contains(string_split(text, ' '), 'merge')
+        """,
+        "agg_runtime_field": """
+            SELECT floor(sqrt(n_chars)) AS len_bucket,
+                   count(*)::BIGINT AS n,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "rollup_daily": """
             SELECT date_trunc('day', ts) AS ts, event_type,

@@ -93,11 +93,12 @@ class PartitionSearcher:
     """Evaluates a query tree over one partition's segment."""
 
     def __init__(self, reader: SegmentReader, default_analyzer: str, params: BM25Params,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", runtime_fields: dict | None = None):
         self.r = reader
         self.analyzer_name = default_analyzer
         self.params = params
         self.dtype = dtype
+        self.runtime_fields = runtime_fields or {}
         self._doc_cols: dict[str, np.ndarray] = {}
 
     # ---- stats phase ----
@@ -121,10 +122,26 @@ class PartitionSearcher:
     def _doc_col(self, name: str):
         col = self._doc_cols.get(name)
         if col is None:
-            import pyarrow.parquet as pq
+            if name in self.runtime_fields:
+                # runtime field (AbstractScriptFieldType): computed once
+                # per partition from the stored columns it references,
+                # then cached like any doc-values column
+                from elasticsearch_ray.search.expressions import (
+                    compile_expression,
+                    expression_variables,
+                )
 
-            t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"), columns=[name])
-            col = t[name].to_numpy(zero_copy_only=False)
+                src = self.runtime_fields[name]
+                fn = compile_expression(src)
+                env = {v: self._doc_col(v)
+                       for v in expression_variables(src) if v != name}
+                col = fn(env, length=self.r.n_docs)
+            else:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"),
+                                  columns=[name])
+                col = t[name].to_numpy(zero_copy_only=False)
             self._doc_cols[name] = col
         return col
 
@@ -1350,7 +1367,21 @@ class QueryEngine:
 
     def __init__(self, index_dir: str, dtype: str = "float32", parallel: str = "local",
                  num_actors: int | None = None, num_coordinators: int = 0,
-                 num_replicas: int = 1):
+                 num_replicas: int = 1,
+                 runtime_fields: dict[str, str] | None = None):
+        # mapping-level runtime fields (index/mapper/
+        # AbstractScriptFieldType.java): {name: expression source} — the
+        # column is computed on demand per partition from stored doc
+        # columns and then cached, so range/term FILTERS and sorts can
+        # reference it like a stored field (parse-validated up front)
+        if runtime_fields:
+            from elasticsearch_ray.search.expressions import (
+                compile_expression,
+            )
+
+            for _name, _src in runtime_fields.items():
+                compile_expression(_src)  # fail fast on bad grammar
+        self.runtime_fields = dict(runtime_fields or {})
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
@@ -1390,6 +1421,7 @@ class QueryEngine:
                 self.analyzer_name,
                 self.params,
                 self.dtype,
+                runtime_fields=self.runtime_fields,
             )
             self._searchers[part] = s
         return s
@@ -1421,7 +1453,8 @@ class QueryEngine:
                 groups[i % per_pool].append(p)
             self._actor_pools.append([
                 actor_cls.remote(self.index_dir, g, self.analyzer_name,
-                                 (self.params.k1, self.params.b), self.dtype)
+                                 (self.params.k1, self.params.b), self.dtype,
+                                 self.runtime_fields)
                 for g in groups if g
             ])
         # stats / suggest / vocab gathers iterate self._actors and SUM over
@@ -1452,7 +1485,8 @@ class QueryEngine:
         # against that replica's actors only
         self._coords = [
             coord_cls.remote(self.index_dir, self.dtype,
-                             self._actor_pools[i % len(self._actor_pools)])
+                             self._actor_pools[i % len(self._actor_pools)],
+                             self.runtime_fields)
             for i in range(n)
         ]
 
@@ -3338,11 +3372,13 @@ def _scan_part_fn(batch: pa.Table, cfg: dict) -> pa.Table:
 class SearcherActor:
     """Warm per-partition-group searcher (ray actor)."""
 
-    def __init__(self, index_dir, parts, analyzer_name, params_kb, dtype):
+    def __init__(self, index_dir, parts, analyzer_name, params_kb, dtype,
+                 runtime_fields=None):
         params = BM25Params(*params_kb)
         self.searchers = {
             p: PartitionSearcher(
-                SegmentReader(part_dir(index_dir, p)), analyzer_name, params, dtype
+                SegmentReader(part_dir(index_dir, p)), analyzer_name, params, dtype,
+                runtime_fields=runtime_fields,
             )
             for p in parts
         }
@@ -3448,8 +3484,9 @@ class CoordinatorActor:
     k·P merge for its queries, fanning out to the SHARED searcher actor pool.
     The driver does one submit+get per query; fetch stays on the driver."""
 
-    def __init__(self, index_dir, dtype, searcher_actors):
-        self.eng = QueryEngine(index_dir, dtype=dtype, parallel="local")
+    def __init__(self, index_dir, dtype, searcher_actors, runtime_fields=None):
+        self.eng = QueryEngine(index_dir, dtype=dtype, parallel="local",
+                               runtime_fields=runtime_fields)
         self.eng._actors = searcher_actors
 
     def search(self, q, k, mode, sort, search_after, collapse, rescore, min_score):
