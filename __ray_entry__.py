@@ -1234,7 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def agg_global_stats(sf):
         # money sum via EXACT integer cents: the float sum's parallel
         # accumulation order diverged from DuckDB in the 13th digit at sf0.1
-        # (CLAUDE.md fp-sum lesson) — int64 partials are order-independent
+        # (dev-notes fp-sum lesson) — int64 partials are order-independent
         import pyarrow.compute as pc
         from ray.data.aggregate import Count, Max, Min, Sum
 
