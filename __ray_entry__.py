@@ -1943,6 +1943,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_stats(sf):
+        # ES|QL pipe (search/esql.py — x-pack/plugin/esql grammar subset
+        # on Ray Dataset stages): WHERE -> STATS ... BY with an exact
+        # two-phase COUNT_DISTINCT; DuckDB GROUP BY twin
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | WHERE event_type IN ("click", "view", "purchase")
+            | STATS n = COUNT(*), total = SUM(value),
+                    users = COUNT_DISTINCT(user_id) BY event_type
+            | SORT event_type
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["users"] = out["users"].astype("int64")
+        out["total"] = out["total"].round(4)
+        return pa.Table.from_pandas(
+            out[["event_type", "n", "total", "users"]],
+            preserve_index=False)
+
+    def esql_eval_topk(sf):
+        # EVAL (expression engine) -> WHERE -> SORT -> LIMIT -> KEEP
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | EVAL score = value * 3 + user_id
+            | WHERE event_type == "purchase" AND score > 100
+            | SORT score DESC, event_id ASC
+            | LIMIT 25
+            | KEEP event_id, user_id, score
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["score"] = out["score"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def rollup_daily(sf):
         # rollup job packaging (x-pack/plugin/rollup RollupIndexer):
         # HOURLY job over events, request served at the coarser aligned
@@ -2566,6 +2601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
         "rollup_daily": rollup_daily,
+        "esql_stats": esql_stats,
+        "esql_eval_topk": esql_eval_topk,
         "transform_pivot": transform_pivot,
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
@@ -3970,6 +4007,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "esql_stats": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS total,
+                   count(DISTINCT user_id)::BIGINT AS users
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "esql_eval_topk": """
+            SELECT event_id, user_id,
+                   round(value * 3 + user_id, 4) AS score
+            FROM events
+            WHERE event_type = 'purchase' AND value * 3 + user_id > 100
+            ORDER BY value * 3 + user_id DESC, event_id LIMIT 25
         """,
         "rollup_daily": """
             SELECT date_trunc('day', ts) AS ts, event_type,

@@ -1,0 +1,493 @@
+"""ES|QL subset — the reference's piped query language
+(``x-pack/plugin/esql`` — ``EsqlParser.java`` / the published ES|QL
+grammar) compiled onto Ray Dataset stages.
+
+Supported pipeline::
+
+    FROM <table>
+    | WHERE <condition>            -> vectorized map_batches mask
+    | EVAL name = <expr>, ...      -> expression column (compute-on-scan)
+    | STATS [n =] AGG(col), ... [BY col, ...]
+                                   -> Ray groupby-aggregate (map-side
+                                      combined) / global ds.aggregate
+    | SORT col [ASC|DESC], ...     -> ds.sort
+    | LIMIT n                      -> ds.limit
+    | KEEP col, ... / DROP col, ...-> column projection
+    | RENAME old AS new, ...       -> projection with rename
+    | DISSECT col \"pattern\"        -> ops.processors.DissectProcessor
+    | GROK col \"pattern\"           -> ops.processors.GrokProcessor
+    | ENRICH policy ON field [WITH f1, f2]
+                                   -> broadcast lookup join
+                                      (ops.processors.EnrichProcessor)
+
+Aggregations: COUNT(*), COUNT(col), SUM, AVG, MIN, MAX,
+COUNT_DISTINCT(col). WHERE predicates: ``== != > >= < <=`` against
+literals or columns, ``IN (lit, ...)``, ``LIKE "wild*card"``,
+``IS [NOT] NULL``, combined with AND/OR/NOT and parentheses — evaluated
+as numpy/pandas masks per batch. Arithmetic belongs in EVAL (idiomatic
+ES|QL), whose expressions ride the sandboxed lang-expression engine
+(search/expressions.py).
+
+Scale shape: everything before a STATS/SORT/LIMIT is a streaming
+narrow transform; STATS is the one shuffle (map-side combined by Ray's
+groupby); ENRICH is a broadcast join, never a shuffle. WHERE pushes
+ahead of later stages simply by appearing earlier in the pipe — the
+idiom the language itself encourages.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
+    | (?P<op>==|!=|<=|>=|\|\||&&|[|,()<>=*/%+\-])
+    )""", re.VERBOSE)
+
+_KEYWORDS = {
+    "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
+    "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
+}
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
+            "MEDIAN"}
+
+
+class EsqlError(ValueError):
+    pass
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise EsqlError(f"bad ES|QL syntax at {src[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "name" and val.upper() in _KEYWORDS:
+            out.append(("kw", val.upper()))
+        elif kind == "string":
+            out.append(("string", val[1:-1].replace('\\"', '"')
+                        .replace("\\\\", "\\")))
+        else:
+            out.append((kind, val))
+    return out
+
+
+def _split_pipes(toks):
+    stages, cur = [], []
+    for t in toks:
+        if t == ("op", "|"):
+            stages.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    stages.append(cur)
+    return [s for s in stages if s]
+
+
+# ---------------------------------------------------------------- WHERE
+
+class _CondParser:
+    """condition := or; or := and (OR and)*; and := unary (AND unary)*;
+    unary := NOT unary | '(' or ')' | predicate"""
+
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_()
+        if self.peek()[0] != "eof":
+            raise EsqlError(f"trailing tokens in WHERE: {self.peek()}")
+        return node
+
+    def or_(self):
+        node = self.and_()
+        while self.peek() == ("kw", "OR"):
+            self.take()
+            rhs = self.and_()
+            node = (lambda l, r: lambda df: l(df) | r(df))(node, rhs)
+        return node
+
+    def and_(self):
+        node = self.unary()
+        while self.peek() == ("kw", "AND"):
+            self.take()
+            rhs = self.unary()
+            node = (lambda l, r: lambda df: l(df) & r(df))(node, rhs)
+        return node
+
+    def unary(self):
+        if self.peek() == ("kw", "NOT"):
+            self.take()
+            inner = self.unary()
+            return lambda df, f=inner: ~f(df)
+        if self.peek() == ("op", "("):
+            self.take()
+            node = self.or_()
+            if self.take() != ("op", ")"):
+                raise EsqlError("unclosed ( in WHERE")
+            return node
+        return self.predicate()
+
+    def _operand(self):
+        kind, val = self.take()
+        if kind == "name":
+            return ("col", val)
+        if kind == "number":
+            return ("lit", float(val) if "." in val or "e" in val.lower()
+                    else int(val))
+        if kind == "string":
+            return ("lit", val)
+        raise EsqlError(f"bad WHERE operand {val!r}")
+
+    @staticmethod
+    def _value(df, operand):
+        kind, v = operand
+        return df[v] if kind == "col" else v
+
+    def predicate(self):
+        left = self._operand()
+        kind, val = self.peek()
+        if (kind, val) == ("kw", "IS"):
+            self.take()
+            neg = self.peek() == ("kw", "NOT")
+            if neg:
+                self.take()
+            if self.take() != ("kw", "NULL"):
+                raise EsqlError("IS must be followed by [NOT] NULL")
+
+            def isnull(df, l=left, neg=neg):
+                s = self._value(df, l)
+                m = s.isna() if hasattr(s, "isna") else pd.isna(s)
+                return ~m if neg else m
+            return isnull
+        if (kind, val) == ("kw", "IN"):
+            self.take()
+            if self.take() != ("op", "("):
+                raise EsqlError("IN needs (lit, ...)")
+            lits = []
+            while True:
+                k, v = self.take()
+                if k == "number":
+                    lits.append(float(v) if "." in v else int(v))
+                elif k == "string":
+                    lits.append(v)
+                else:
+                    raise EsqlError("IN list takes literals")
+                k2 = self.take()
+                if k2 == ("op", ")"):
+                    break
+                if k2 != ("op", ","):
+                    raise EsqlError("bad IN list")
+            return lambda df, l=left, ls=lits: self._value(df, l).isin(ls)
+        if (kind, val) == ("kw", "LIKE"):
+            self.take()
+            k, pat = self.take()
+            if k != "string":
+                raise EsqlError("LIKE takes a string pattern")
+            rx = re.compile(fnmatch.translate(pat))
+            return (lambda df, l=left, rx=rx:
+                    self._value(df, l).astype(str).str.match(rx))
+        if kind == "op" and val in ("==", "!=", "<", "<=", ">", ">="):
+            self.take()
+            right = self._operand()
+
+            def cmp(df, l=left, r=right, op=val):
+                a, b = self._value(df, l), self._value(df, r)
+                return {"==": lambda: a == b, "!=": lambda: a != b,
+                        "<": lambda: a < b, "<=": lambda: a <= b,
+                        ">": lambda: a > b, ">=": lambda: a >= b}[op]()
+            return cmp
+        # bare column → truthy (non-zero / non-null boolean)
+        return lambda df, l=left: self._value(df, l).astype(bool)
+
+
+# ---------------------------------------------------------------- stages
+
+def _parse_assignments(toks, what):
+    """``name = <expr tokens>, ...`` → [(name, expr_src)] — expr passed
+    textually to the expression engine."""
+    out = []
+    i = 0
+    while i < len(toks):
+        if toks[i][0] != "name":
+            raise EsqlError(f"{what} expects name = expression")
+        name = toks[i][1]
+        if i + 1 >= len(toks) or toks[i + 1] != ("op", "="):
+            raise EsqlError(f"{what} expects '=' after {name!r}")
+        i += 2
+        expr = []
+        depth = 0
+        while i < len(toks):
+            k, v = toks[i]
+            if (k, v) == ("op", "(",):
+                depth += 1
+            elif (k, v) == ("op", ")"):
+                depth -= 1
+            elif (k, v) == ("op", ",") and depth == 0:
+                i += 1
+                break
+            expr.append(v if k != "string" else f'"{v}"')
+            i += 1
+        out.append((name, " ".join(expr)))
+    return out
+
+
+def _parse_stats(toks):
+    """STATS [name =] FN(col|*) , ... [BY col, ...]"""
+    by = []
+    if ("kw", "BY") in toks:
+        bi = toks.index(("kw", "BY"))
+        tail = toks[bi + 1:]
+        toks = toks[:bi]
+        for k, v in tail:
+            if k == "name":
+                by.append(v)
+            elif (k, v) != ("op", ","):
+                raise EsqlError("BY takes a column list")
+    aggs = []
+    i = 0
+    while i < len(toks):
+        name = None
+        if (toks[i][0] == "name" and i + 1 < len(toks)
+                and toks[i + 1] == ("op", "=")):
+            name = toks[i][1]
+            i += 2
+        if toks[i][0] != "name" or toks[i][1].upper() not in _AGG_FNS:
+            raise EsqlError(f"unknown aggregation at {toks[i][1]!r}")
+        fn = toks[i][1].upper()
+        if toks[i + 1] != ("op", "("):
+            raise EsqlError(f"{fn} needs (col)")
+        arg_tok = toks[i + 2]
+        if arg_tok == ("op", "*"):
+            arg = "*"
+        elif arg_tok[0] == "name":
+            arg = arg_tok[1]
+        else:
+            raise EsqlError(f"bad {fn} argument")
+        if toks[i + 3] != ("op", ")"):
+            raise EsqlError(f"{fn} needs a single column")
+        i += 4
+        if i < len(toks):
+            if toks[i] != ("op", ","):
+                raise EsqlError("aggregations are comma-separated")
+            i += 1
+        if name is None:
+            name = (f"{fn.lower()}" if arg == "*"
+                    else f"{fn.lower()}_{arg}".replace(".", "_"))
+        aggs.append((name, fn, arg))
+    if not aggs:
+        raise EsqlError("STATS needs at least one aggregation")
+    return aggs, by
+
+
+def _comma_names(toks, what):
+    out = []
+    for k, v in toks:
+        if k == "name":
+            out.append(v)
+        elif (k, v) != ("op", ","):
+            raise EsqlError(f"{what} takes a column list")
+    if not out:
+        raise EsqlError(f"empty {what}")
+    return out
+
+
+def esql(query: str, tables, enrich_policies: dict | None = None):
+    """Execute an ES|QL pipeline. ``tables`` maps source names to Ray
+    Datasets (or a callable ``name -> Dataset``). Returns a Ray Dataset
+    for row-preserving pipelines; STATS results come back as the
+    (small) aggregated Dataset too — call ``.to_pandas()`` on either.
+    ``enrich_policies`` maps policy names to
+    :func:`ops.processors.execute_enrich_policy` outputs."""
+    stages = _split_pipes(_tokenize(query))
+    if not stages or stages[0][0] != ("kw", "FROM"):
+        raise EsqlError("query must start with FROM <table>")
+    if len(stages[0]) != 2 or stages[0][1][0] != "name":
+        raise EsqlError("FROM takes one table name")
+    src = stages[0][1][1]
+    ds = tables(src) if callable(tables) else tables[src]
+
+    for stage in stages[1:]:
+        (k0, v0), rest = stage[0], stage[1:]
+        if k0 != "kw":
+            raise EsqlError(f"expected a command, got {v0!r}")
+        if v0 == "WHERE":
+            cond = _CondParser(rest).parse()
+
+            def where(df, cond=cond):
+                return df[np.asarray(cond(df), bool)]
+            ds = ds.map_batches(where, batch_format="pandas")
+        elif v0 == "EVAL":
+            from elasticsearch_ray.search.expressions import (
+                add_expression_column,
+            )
+
+            for name, expr in _parse_assignments(rest, "EVAL"):
+                ds = add_expression_column(ds, name, expr)
+        elif v0 == "STATS":
+            aggs, by = _parse_stats(rest)
+            ds = _run_stats(ds, aggs, by)
+        elif v0 == "SORT":
+            keys, desc = [], []
+            i = 0
+            while i < len(rest):
+                if rest[i][0] != "name":
+                    raise EsqlError("SORT takes col [ASC|DESC], ...")
+                keys.append(rest[i][1])
+                i += 1
+                d = False
+                if i < len(rest) and rest[i] in (("kw", "ASC"), ("kw", "DESC")):
+                    d = rest[i] == ("kw", "DESC")
+                    i += 1
+                desc.append(d)
+                if i < len(rest):
+                    if rest[i] != ("op", ","):
+                        raise EsqlError("SORT keys are comma-separated")
+                    i += 1
+            if not keys:
+                raise EsqlError("SORT needs at least one key")
+            ds = ds.sort(keys, descending=desc)
+        elif v0 == "LIMIT":
+            if len(rest) != 1 or rest[0][0] != "number":
+                raise EsqlError("LIMIT takes one number")
+            ds = ds.limit(int(rest[0][1]))
+        elif v0 == "KEEP":
+            ds = ds.select_columns(_comma_names(rest, "KEEP"))
+        elif v0 == "DROP":
+            drop = set(_comma_names(rest, "DROP"))
+
+            def dropper(df, drop=drop):
+                return df.drop(columns=[c for c in drop if c in df.columns])
+            ds = ds.map_batches(dropper, batch_format="pandas")
+        elif v0 == "RENAME":
+            pairs = {}
+            i = 0
+            while i < len(rest):
+                if (i + 2 >= len(rest) or rest[i][0] != "name"
+                        or rest[i + 1] != ("kw", "AS")
+                        or rest[i + 2][0] != "name"):
+                    raise EsqlError("RENAME takes old AS new, ...")
+                pairs[rest[i][1]] = rest[i + 2][1]
+                i += 3
+                if i < len(rest):
+                    if rest[i] != ("op", ","):
+                        raise EsqlError("RENAME pairs are comma-separated")
+                    i += 1
+
+            def renamer(df, pairs=pairs):
+                return df.rename(columns=pairs)
+            ds = ds.map_batches(renamer, batch_format="pandas")
+        elif v0 in ("DISSECT", "GROK"):
+            if len(rest) != 2 or rest[0][0] != "name" or rest[1][0] != "string":
+                raise EsqlError(f"{v0} takes: {v0} <col> \"pattern\"")
+            from elasticsearch_ray.ops.processors import (
+                DissectProcessor,
+                GrokProcessor,
+            )
+
+            cls = DissectProcessor if v0 == "DISSECT" else GrokProcessor
+            proc = cls(rest[0][1], rest[1][1])
+            ds = ds.map_batches(lambda df, p=proc: p(df),
+                                batch_format="pandas")
+        elif v0 == "ENRICH":
+            if not rest or rest[0][0] != "name":
+                raise EsqlError("ENRICH takes: ENRICH <policy> ON <field>")
+            policy_name = rest[0][1]
+            if len(rest) < 3 or rest[1] != ("kw", "ON") or rest[2][0] != "name":
+                raise EsqlError("ENRICH needs ON <field>")
+            field = rest[2][1]
+            with_cols = None
+            if len(rest) > 3:
+                if rest[3] != ("kw", "WITH"):
+                    raise EsqlError("ENRICH tail must be WITH col, ...")
+                with_cols = _comma_names(rest[4:], "WITH")
+            if not enrich_policies or policy_name not in enrich_policies:
+                raise EsqlError(f"unknown enrich policy {policy_name!r}")
+            pol = enrich_policies[policy_name]
+            if with_cols:
+                pol = pol[[pol.columns[0]] + with_cols]
+            from elasticsearch_ray.ops.processors import EnrichProcessor
+
+            # ES|QL ENRICH lands bare enriched column names (no target
+            # prefix) — target "" + strip the leading dot
+            proc = EnrichProcessor(field, pol, target_field="")
+
+            def enrich(df, p=proc):
+                out = p(df)
+                return out.rename(columns={
+                    c: c[1:] for c in out.columns if c.startswith(".")})
+            ds = ds.map_batches(enrich, batch_format="pandas")
+        else:
+            raise EsqlError(f"unsupported command {v0}")
+    return ds
+
+
+def _run_stats(ds, aggs, by):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    simple = {"SUM": Sum, "AVG": Mean, "MIN": Min, "MAX": Max}
+    ray_aggs = []
+    distincts = []
+    for name, fn, arg in aggs:
+        if fn == "COUNT":
+            # COUNT(col) counts non-null values, COUNT(*) counts rows
+            ray_aggs.append(Count(alias_name=name) if arg == "*"
+                            else Count(arg, ignore_nulls=True,
+                                       alias_name=name))
+        elif fn == "COUNT_DISTINCT":
+            distincts.append((name, arg))
+        elif fn == "MEDIAN":
+            raise EsqlError("MEDIAN is not supported in this subset")
+        else:
+            ray_aggs.append(simple[fn](arg, alias_name=name))
+    parts = []
+    if ray_aggs:
+        if by:
+            parts.append(ds.groupby(by).aggregate(*ray_aggs).to_pandas())
+        else:
+            row = ds.aggregate(*ray_aggs)
+            parts.append(pd.DataFrame([row]))
+    for name, arg in distincts:
+        # exact distinct via two map-side-combined groupbys: (by, arg)
+        # first-dedup, then count per by — no driver-side id sets
+        from ray.data.aggregate import Count as _C
+
+        sub = (ds.groupby((by or []) + [arg])
+               .aggregate(_C(alias_name="_one")))
+        if by:
+            parts.append(sub.groupby(by).aggregate(
+                _C(alias_name=name)).to_pandas())
+        else:
+            parts.append(pd.DataFrame(
+                [{name: sub.count()}]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.merge(p, on=by) if by else pd.concat([out, p], axis=1)
+    if by:
+        out = out.sort_values(by).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

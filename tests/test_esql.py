@@ -1,0 +1,137 @@
+"""ES|QL subset (x-pack/plugin/esql grammar on Ray Dataset stages):
+every command vs a DuckDB twin on the same frame."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.search.esql import EsqlError, esql
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(5)
+    n = 2000
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["click", "view", "purchase"], n),
+        "value": rng.normal(50, 12, n).round(2),
+        "msg": [f"u{u} did things" for u in rng.integers(0, 25, n)],
+    })
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session, frame):
+    import ray.data as rd
+
+    return {"events": rd.from_pandas(frame)}
+
+
+def _duck(frame, sql):
+    events = frame  # noqa: F841
+    return duckdb.sql(sql).df()
+
+
+def test_where_eval_sort_limit_keep(tables, frame):
+    out = esql("""
+        FROM events
+        | WHERE event_type == "click" AND value > 55
+        | EVAL boosted = value * 2 + 1
+        | SORT boosted DESC, event_id ASC
+        | LIMIT 7
+        | KEEP event_id, boosted
+    """, tables).to_pandas()
+    want = _duck(frame, """
+        SELECT event_id, value * 2 + 1 AS boosted FROM events
+        WHERE event_type = 'click' AND value > 55
+        ORDER BY boosted DESC, event_id LIMIT 7""")
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_stats_by(tables, frame):
+    out = esql("""
+        FROM events
+        | STATS n = COUNT(*), total = SUM(value), avg_v = AVG(value),
+                users = COUNT_DISTINCT(user_id) BY event_type
+        | SORT event_type
+    """, tables).to_pandas()
+    want = _duck(frame, """
+        SELECT event_type, count(*) AS n, sum(value) AS total,
+               avg(value) AS avg_v, count(DISTINCT user_id) AS users
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    out["total"] = out["total"].round(6)
+    want["total"] = want["total"].round(6)
+    out["avg_v"] = out["avg_v"].round(6)
+    want["avg_v"] = want["avg_v"].round(6)
+    pd.testing.assert_frame_equal(out[want.columns], want,
+                                  check_dtype=False)
+
+
+def test_global_stats_no_by(tables, frame):
+    out = esql("FROM events | STATS n = COUNT(*), m = MAX(value)",
+               tables).to_pandas()
+    assert out["n"].iloc[0] == len(frame)
+    assert out["m"].iloc[0] == frame["value"].max()
+
+
+def test_where_in_like_null(tables, frame):
+    out = esql("""
+        FROM events
+        | WHERE event_type IN ("view", "purchase") AND msg LIKE "u1 *"
+        | STATS n = COUNT(*)
+    """, tables).to_pandas()
+    want = frame[frame.event_type.isin(["view", "purchase"])
+                 & frame.msg.str.startswith("u1 ")]
+    assert out["n"].iloc[0] == len(want)
+
+
+def test_rename_drop(tables, frame):
+    out = esql("""
+        FROM events | RENAME value AS v | DROP msg, user_id
+        | SORT event_id | LIMIT 3
+    """, tables).to_pandas()
+    assert list(out.columns) == ["event_id", "event_type", "v"]
+
+
+def test_dissect(tables, frame):
+    out = esql('FROM events | DISSECT msg "%{who} did %{what}" '
+               '| KEEP event_id, who, what | SORT event_id | LIMIT 2',
+               tables).to_pandas()
+    assert out["what"].tolist() == ["things", "things"]
+    assert out["who"].str.match(r"u\d+").all()
+
+
+def test_enrich(tables, frame):
+    pol = pd.DataFrame({"user_id": [0, 1, 2],
+                        "tier": ["gold", "silver", "bronze"]})
+    out = esql("""
+        FROM events | ENRICH users ON user_id WITH tier
+        | WHERE tier == "gold" | STATS n = COUNT(*)
+    """, tables, enrich_policies={"users": pol}).to_pandas()
+    assert out["n"].iloc[0] == int((frame.user_id == 0).sum())
+
+
+def test_not_and_parens(tables, frame):
+    out = esql("""
+        FROM events
+        | WHERE NOT (event_type == "click" OR value >= 50)
+        | STATS n = COUNT(*)
+    """, tables).to_pandas()
+    want = frame[~((frame.event_type == "click") | (frame.value >= 50))]
+    assert out["n"].iloc[0] == len(want)
+
+
+def test_errors(tables):
+    for bad in [
+        "WHERE x == 1",                      # no FROM
+        "FROM events | FOO bar",             # unknown command
+        "FROM events | STATS",               # empty stats
+        "FROM events | SORT",                # empty sort
+        "FROM events | WHERE value ~ 3",     # bad operator
+        "FROM events | ENRICH nope ON user_id",  # unknown policy
+    ]:
+        with pytest.raises(EsqlError):
+            # parse errors surface before execution; force the lazy ones
+            esql(bad, tables)
