@@ -88,11 +88,27 @@ def _read_vpart_manifest(index_dir: str, part: int,
     return m
 
 
+def _quantize_int8(v: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Lucene-style scalar quantization (``ScalarQuantizer.java``, the
+    dense_vector ``int8_hnsw``/``int8_flat`` index options): clip to the
+    [lo, hi] QUANTILES of all components (confidence interval
+    1 - 1/(d+1), Lucene's default) and map linearly onto [0, 127]
+    (7-bit, stored int8). Returns (q, minq, alpha) with
+    x ≈ alpha * q + minq per component."""
+    d = v.shape[1] if v.ndim == 2 else len(v)
+    ci = 1.0 - 1.0 / (d + 1)
+    lo, hi = np.quantile(v, [(1 - ci) / 2, 1 - (1 - ci) / 2])
+    alpha = max((hi - lo) / 127.0, 1e-12)
+    q = np.clip(np.round((np.clip(v, lo, hi) - lo) / alpha), 0, 127)
+    return q.astype(np.int8), float(lo), float(alpha)
+
+
 def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
                  m: int, ef_construction: int,
                  manifest_extra: dict,
                  metadata_cols: tuple[str, ...] = (),
-                 extra_by_part: dict | None = None) -> pd.DataFrame:
+                 extra_by_part: dict | None = None,
+                 quantize: bool = False) -> pd.DataFrame:
     """map_groups stage body: build ONE partition's HNSW graph and persist
     it. Rows are sorted by id inside the group so the graph (and therefore
     every downstream search) is deterministic regardless of shuffle
@@ -119,6 +135,16 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
         os.path.join(pdir, "vecs.parquet"),
     )
     _atomic_save_npy(graph.v.astype(np.float32), os.path.join(pdir, "vnorm.npy"))
+    quant = None
+    if quantize:
+        # int8 store over the NORMALIZED vectors (cosine = dot on these):
+        # 4x smaller resident data; per-row component sums carry the
+        # dot-product reconstruction correction
+        vq, minq, alpha = _quantize_int8(np.asarray(graph.v, np.float64))
+        _atomic_save_npy(vq, os.path.join(pdir, "vq.npy"))
+        _atomic_save_npy(vq.astype(np.int64).sum(axis=1),
+                         os.path.join(pdir, "vqsum.npy"))
+        quant = {"minq": minq, "alpha": alpha}
     _atomic_save_npy(graph.levels, os.path.join(pdir, "levels.npy"))
     for lv, (adj, pos) in enumerate(zip(graph.adj, graph.pos)):
         _atomic_save_npy(adj, os.path.join(pdir, f"adj_l{lv}.npy"))
@@ -138,6 +164,8 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
         "id_col": id_col,
         "vec_col": vec_col,
         "metadata_cols": list(metadata_cols),
+        "quantize": bool(quantize),
+        "quant": quant,
     }
     mf.update(manifest_extra)
     if extra_by_part is not None:
@@ -167,7 +195,8 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
                        ef_construction: int = 100,
                        num_partitions: int = 2,
                        input_fingerprint: str | None = None,
-                       metadata_cols: list[str] | tuple[str, ...] = ()) -> dict:
+                       metadata_cols: list[str] | tuple[str, ...] = (),
+                       quantize: bool = False) -> dict:
     """Build (or RESUME) the persistent vector index over `ds`.
 
     Partition = id % num_partitions (same routing as hnsw_topk, so graph
@@ -184,7 +213,8 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
     spec = {"m": m, "ef_construction": ef_construction,
             "num_partitions": num_partitions, "id_col": id_col,
             "vec_col": vec_col, "input_fingerprint": input_fingerprint,
-            "metadata_cols": list(metadata_cols)}
+            "metadata_cols": list(metadata_cols),
+            "quantize": bool(quantize)}
     pending = [p for p in range(num_partitions)
                if _read_vpart_manifest(index_dir, p, spec) is None]
     if pending:
@@ -204,7 +234,7 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
                 g, index_dir, id_col, vec_col, m, ef_construction,
                 {"num_partitions": num_partitions,
                  "input_fingerprint": input_fingerprint},
-                metadata_cols)
+                metadata_cols, quantize=quantize)
 
         (
             ds.select_columns([id_col, vec_col, *metadata_cols])
@@ -233,6 +263,7 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
                     "entry": -1, "entry_level": 0, "n_levels": 0,
                     "id_col": id_col, "vec_col": vec_col,
                     "metadata_cols": list(metadata_cols),
+                    "quantize": bool(quantize), "quant": None,
                 })
     parts = []
     for p in range(num_partitions):
@@ -249,6 +280,7 @@ def build_vector_index(ds: Dataset, index_dir: str, id_col: str = "vec_id",
         "ef_construction": ef_construction,
         "input_fingerprint": input_fingerprint,
         "metadata_cols": list(metadata_cols),
+        "quantize": bool(quantize),
         "n_total": int(sum(x["n"] for x in parts)),
         "parts": parts,
     }
@@ -260,8 +292,8 @@ def build_vector_index_files(src, index_dir: str, id_col: str = "vec_id",
                              vec_col: str = "embedding", m: int = 16,
                              ef_construction: int = 100,
                              files_per_partition: int = 1,
-                             metadata_cols: list[str] | tuple[str, ...] = ()
-                             ) -> dict:
+                             metadata_cols: list[str] | tuple[str, ...] = (),
+                             quantize: bool = False) -> dict:
     """FILE-RANGED vector-index build with INCREMENTAL APPEND — the
     inverted index's ingestion discipline (index/build.py planning +
     tests/test_incremental.py) applied to vparts, which is also Lucene's
@@ -297,7 +329,7 @@ def build_vector_index_files(src, index_dir: str, id_col: str = "vec_id",
     base_spec = {"m": m, "ef_construction": ef_construction,
                  "id_col": id_col, "vec_col": vec_col,
                  "metadata_cols": list(metadata_cols),
-                 "partition_mode": "files"}
+                 "partition_mode": "files", "quantize": bool(quantize)}
     fps = {p: parquet_fingerprint(pf) for p, pf in part_files.items()}
     pending = [p for p in range(nparts)
                if _read_vpart_manifest(
@@ -312,7 +344,8 @@ def build_vector_index_files(src, index_dir: str, id_col: str = "vec_id",
         def build_part(g: pd.DataFrame) -> pd.DataFrame:
             return _build_vpart(g, index_dir, id_col, vec_col, m,
                                 ef_construction, dict(base_spec),
-                                metadata_cols, extra_by_part)
+                                metadata_cols, extra_by_part,
+                                quantize=quantize)
 
         cols = [id_col, vec_col, *metadata_cols]
         legs = []
@@ -365,6 +398,7 @@ def build_vector_index_files(src, index_dir: str, id_col: str = "vec_id",
         "m": m,
         "ef_construction": ef_construction,
         "metadata_cols": list(metadata_cols),
+        "quantize": bool(quantize),
         "n_total": int(sum(x["n"] for x in parts)),
         "parts": parts,
     }
@@ -457,6 +491,62 @@ class VPartSearcher:
             mask &= self._meta_col(col) == val
         return mask
 
+    def _int8_store(self):
+        if not self.manifest.get("quantize"):
+            raise ValueError(
+                "this vector partition was built without quantize=True — "
+                "rebuild with build_vector_index(..., quantize=True) for "
+                "int8 serving")
+        if getattr(self, "_vq", None) is None:
+            self._vq = np.load(os.path.join(self.pdir, "vq.npy"),
+                               mmap_mode="r")
+            self._vqsum = np.load(os.path.join(self.pdir, "vqsum.npy"),
+                                  mmap_mode="r")
+        return self._vq, self._vqsum, self.manifest["quant"]
+
+    def search_int8(self, qn: np.ndarray, k: int, oversample: float = 3.0,
+                    mask: np.ndarray | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """int8-quantized serving (dense_vector ``int8_flat`` /
+        ``int8_hnsw`` rescoring model): approximate scores from the 4x
+        smaller int8 store select ``ceil(k * oversample)`` candidates,
+        which are RESCORED exactly against float32 memmap rows (only the
+        candidate pages are touched). With oversample covering the whole
+        partition this is exactly the brute result.
+
+        dot(x, y) ≈ α² (qx·qy) + α·minq·(Σqx + Σqy) + d·minq² — the
+        scalar-quantization dot-product identity; the rank-only parts
+        (constants and the query's Σ) drop out of candidate selection,
+        leaving α²(qx·qy) + α·minq·Σqx."""
+        vq, vqsum, quant = self._int8_store()
+        minq, alpha = quant["minq"], quant["alpha"]
+        lo = minq
+        hi = minq + alpha * 127.0
+        qq = np.clip(np.round((np.clip(qn, lo, hi) - lo) / alpha),
+                     0, 127).astype(np.int32)
+        rows = np.flatnonzero(mask) if mask is not None             else np.arange(vq.shape[0])
+        if not len(rows):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # chunked int8 matmul: the RESIDENT store stays int8; only one
+        # chunk upcasts at a time
+        approx = np.empty(len(rows), np.float64)
+        CH = 1 << 16
+        for s0 in range(0, len(rows), CH):
+            r = rows[s0:s0 + CH]
+            approx[s0:s0 + CH] = (
+                alpha * alpha * (vq[r].astype(np.int32) @ qq)
+                + alpha * minq * vqsum[r])
+        n_cand = min(len(rows), max(k, int(np.ceil(k * oversample))))
+        top = (np.argpartition(-approx, n_cand - 1)[:n_cand]
+               if len(approx) > n_cand else np.arange(len(approx)))
+        cand = rows[top]
+        # exact rescore on float32 memmap rows (page-touch only)
+        exact = np.asarray(self.graph.v[cand], np.float64) @ qn
+        kk = min(k, len(exact))
+        best = (np.argpartition(-exact, kk - 1)[:kk]
+                if len(exact) > kk else np.arange(len(exact)))
+        return self.ids[cand[best]], exact[best]
+
     def search_brute_filtered(self, qn: np.ndarray, k: int,
                               mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """EXACT top-k over only the survivor rows — the selective-filter
@@ -508,7 +598,8 @@ def _cached_searcher(pdir: str) -> VPartSearcher:
 
 
 def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
-                brute: bool, flt=None) -> pd.DataFrame:
+                brute: bool, flt=None, int8: bool = False,
+                int8_oversample: float = 3.0) -> pd.DataFrame:
     """One partition's top-k for every query — the single shared body of
     the stateless-task and pinned-actor serving paths (a fix applied to
     one must not miss the other). ``flt`` is an AND-of-equality pair tuple
@@ -519,7 +610,10 @@ def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
     mask = s.filter_mask(flt) if flt else None
     out_q, out_id, out_sim = [], [], []
     for qi, qid in enumerate(qids):
-        if mask is not None:
+        if int8:
+            ids, sims = s.search_int8(qn[qi], k, oversample=int8_oversample,
+                                      mask=mask)
+        elif mask is not None:
             ids, sims = (s.search_brute_filtered(qn[qi], k, mask) if brute
                          else s.search_filtered(qn[qi], k, ef, mask))
         else:
@@ -534,10 +628,12 @@ def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
 
 @ray.remote
 def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
-                 brute: bool, flt=None):
+                 brute: bool, flt=None, int8: bool = False,
+                 int8_oversample: float = 3.0):
     """Runs on a warm worker whose _VPART_CACHE holds the memmapped graph
     across calls."""
-    return _batch_topk(_cached_searcher(pdir), qids, qn, k, ef, brute, flt)
+    return _batch_topk(_cached_searcher(pdir), qids, qn, k, ef, brute, flt,
+                       int8, int8_oversample)
 
 
 @ray.remote
@@ -550,8 +646,10 @@ class VPartSearcherActor:
     def __init__(self, pdir: str):
         self.s = VPartSearcher(pdir)
 
-    def search_batch(self, qids, qn, k, ef, brute, flt=None):
-        return _batch_topk(self.s, qids, qn, k, ef, brute, flt)
+    def search_batch(self, qids, qn, k, ef, brute, flt=None,
+                     int8=False, int8_oversample=3.0):
+        return _batch_topk(self.s, qids, qn, k, ef, brute, flt,
+                           int8, int8_oversample)
 
 
 class VectorIndexReader:
@@ -593,7 +691,8 @@ class VectorIndexReader:
 
     def topk(self, query_ids, query_matrix: np.ndarray, k: int = 10,
              ef_search: int = 80, brute: bool = False,
-             flt=None) -> pd.DataFrame:
+             flt=None, int8: bool = False,
+             int8_oversample: float = 3.0) -> pd.DataFrame:
         """Same output schema/rounding as ops.ann.brute_topk /
         ops.hnsw.hnsw_topk: (query_id, neighbor_id, cosine) ordered
         (query_id, -cosine, neighbor_id), cosine rounded to 6. ``flt``
@@ -609,18 +708,23 @@ class VectorIndexReader:
                     f"rebuild with metadata_cols=[...] or use the "
                     f"per-call path (ops.hnsw.knn_search)")
             flt = tuple(flt)
+        if int8 and not self.meta.get("quantize"):
+            raise ValueError("vector index was built without quantize=True"
+                             " — int8 serving unavailable")
         qn = _normalize(np.asarray(query_matrix, np.float64))
         qids = list(query_ids)
         if self._use_actors:
             futs = [
                 self._actor(p["part"]).search_batch.remote(
-                    qids, qn, k, ef_search, brute, flt)
+                    qids, qn, k, ef_search, brute, flt, int8,
+                    int8_oversample)
                 for p in self.meta["parts"] if p["n"] > 0
             ]
         else:
             futs = [
                 _search_part.remote(vpart_dir(self.dir, p["part"]), qids, qn,
-                                    k, ef_search, brute, flt)
+                                    k, ef_search, brute, flt, int8,
+                                    int8_oversample)
                 for p in self.meta["parts"] if p["n"] > 0
             ]
         partial = pd.concat(ray.get(futs), ignore_index=True) if futs else \
