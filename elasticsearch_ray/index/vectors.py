@@ -52,7 +52,7 @@ from elasticsearch_ray.index.segments import atomic_write_json, atomic_write_tab
 from elasticsearch_ray.ops.ann import _batch_matrix, _normalize
 from elasticsearch_ray.ops.hnsw import HNSWGraph
 
-VEC_FORMAT_VERSION = 2  # v2: filterable metadata columns stored per vpart
+VEC_FORMAT_VERSION = 3  # v3: float64 rescore store (vnorm64.npy) in quantized vparts; v2: filterable metadata columns
 VPART_FMT = "vpart={:05d}"
 
 
@@ -126,6 +126,13 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
     vecs = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
     pdir = vpart_dir(index_dir, part)
     os.makedirs(pdir, exist_ok=True)
+    # manifest-last means manifest-GONE-first on rewrite: an incremental
+    # rebuild of a grown boundary partition replaces data files in place,
+    # and a crash mid-rewrite must not leave the OLD (format-valid)
+    # manifest pointing at mixed files (review r5 #3)
+    stale = os.path.join(pdir, "manifest.json")
+    if os.path.exists(stale):
+        os.remove(stale)
     graph = HNSWGraph(vecs, m=m, ef_construction=ef_construction)
     cols = {id_col: pa.array(ids), vec_col: pa.array(list(vecs))}
     for c in metadata_cols:
@@ -144,6 +151,11 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
         _atomic_save_npy(vq, os.path.join(pdir, "vq.npy"))
         _atomic_save_npy(vq.astype(np.int64).sum(axis=1),
                          os.path.join(pdir, "vqsum.npy"))
+        # float64 rescore store (memmap — only candidate pages touched):
+        # rescoring against f32 vnorm drifted ~1e-7 from the brute path
+        # and could flip 4-decimal oracle rounding (review r5 #1)
+        _atomic_save_npy(np.asarray(graph.v, np.float64),
+                         os.path.join(pdir, "vnorm64.npy"))
         quant = {"minq": minq, "alpha": alpha}
     _atomic_save_npy(graph.levels, os.path.join(pdir, "levels.npy"))
     for lv, (adj, pos) in enumerate(zip(graph.adj, graph.pos)):
@@ -502,6 +514,8 @@ class VPartSearcher:
                                mmap_mode="r")
             self._vqsum = np.load(os.path.join(self.pdir, "vqsum.npy"),
                                   mmap_mode="r")
+            self._v64 = np.load(os.path.join(self.pdir, "vnorm64.npy"),
+                                mmap_mode="r")
         return self._vq, self._vqsum, self.manifest["quant"]
 
     def search_int8(self, qn: np.ndarray, k: int, oversample: float = 3.0,
@@ -540,8 +554,9 @@ class VPartSearcher:
         top = (np.argpartition(-approx, n_cand - 1)[:n_cand]
                if len(approx) > n_cand else np.arange(len(approx)))
         cand = rows[top]
-        # exact rescore on float32 memmap rows (page-touch only)
-        exact = np.asarray(self.graph.v[cand], np.float64) @ qn
+        # exact rescore on FLOAT64 memmap rows (page-touch only) —
+        # bit-equal to search_brute's normalized matrix
+        exact = np.asarray(self._v64[cand], np.float64) @ qn
         kk = min(k, len(exact))
         best = (np.argpartition(-exact, kk - 1)[:kk]
                 if len(exact) > kk else np.arange(len(exact)))
@@ -699,6 +714,8 @@ class VectorIndexReader:
         (AND-of-equality (col, val) pairs) restricts candidates via each
         partition's persisted metadata columns."""
         if flt:
+            flt = tuple(flt)  # a generator would be CONSUMED by the
+            # validation below and then silently dropped (review r5 #8)
             stored = set(self.meta.get("metadata_cols", []))
             missing = [c for c, _v in flt if c not in stored]
             if missing:
@@ -707,7 +724,6 @@ class VectorIndexReader:
                     f"vector index (metadata_cols={sorted(stored)}); "
                     f"rebuild with metadata_cols=[...] or use the "
                     f"per-call path (ops.hnsw.knn_search)")
-            flt = tuple(flt)
         if int8 and not self.meta.get("quantize"):
             raise ValueError("vector index was built without quantize=True"
                              " — int8 serving unavailable")

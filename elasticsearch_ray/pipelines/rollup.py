@@ -73,8 +73,9 @@ def run_rollup_job(ds, dest_dir: str, ts_field: str, interval: str,
     aggs = {}
     for field, ms in stored.items():
         for m in ms:
-            aggs[f"{field}.{m}"] = (("count", "") if m == "value_count"
-                                    else (m, field))
+            # value_count = NON-NULL count of the metric field (ES
+            # MetricConfig semantics; avg recomposition depends on it)
+            aggs[f"{field}.{m}"] = (m, field)
     frame = pivot_transform(ds, dest_dir,
                             group_by=[ts_field] + list(terms),
                             date_floor={ts_field: interval},

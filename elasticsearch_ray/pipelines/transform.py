@@ -92,9 +92,9 @@ def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
     if cached is not None:
         return cached
     for out, (fn, _col) in aggs.items():
-        if fn not in _AGGS and fn != "count":
+        if fn not in _AGGS and fn not in ("count", "value_count"):
             raise ValueError(f"unknown pivot aggregation {fn!r} for {out!r}; "
-                             f"known: {sorted(_AGGS) + ['count']}")
+                             f"known: {sorted(_AGGS) + ['count', 'value_count']}")
     if date_floor:
         from elasticsearch_ray.ops.analytics import calendar_floor
 
@@ -107,8 +107,14 @@ def pivot_transform(ds: Dataset, dest_dir: str, group_by: list[str],
         ds = ds.map_batches(floor_cols, batch_format="pyarrow")
     ray_aggs = []
     for out, (fn, col) in aggs.items():
-        ray_aggs.append(Count(alias_name=out) if fn == "count"
-                        else _AGGS[fn](col, alias_name=out))
+        if fn == "count":
+            ray_aggs.append(Count(alias_name=out))
+        elif fn == "value_count":
+            # non-null value count (the ES value_count metric — row count
+            # diverges whenever the metric column has nulls, review r5 #2)
+            ray_aggs.append(Count(col, ignore_nulls=True, alias_name=out))
+        else:
+            ray_aggs.append(_AGGS[fn](col, alias_name=out))
     res = (ds.groupby(list(group_by)).aggregate(*ray_aggs).to_pandas()
            .sort_values(list(group_by)).reset_index(drop=True))
     _publish(dest_dir, spec, input_fingerprint, res)

@@ -119,29 +119,46 @@ class PartitionSearcher:
         norms = self.r.norms_for(fld) if fld is not None else None
         return TermCursor(self.r.blob(int(i)), scorers[term], norms)
 
+    def _stored_col(self, name: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"),
+                          columns=[name])
+        return t[name].to_numpy(zero_copy_only=False)
+
     def _doc_col(self, name: str):
         col = self._doc_cols.get(name)
         if col is None:
             if name in self.runtime_fields:
                 # runtime field (AbstractScriptFieldType): computed once
                 # per partition from the stored columns it references,
-                # then cached like any doc-values column
+                # then cached like any doc-values column. A runtime field
+                # may SHADOW a stored column (ES allows it) — a self-named
+                # variable resolves to the STORED column; mutual recursion
+                # is a definition error, not a RecursionError (review r5)
                 from elasticsearch_ray.search.expressions import (
                     compile_expression,
                     expression_variables,
                 )
 
-                src = self.runtime_fields[name]
-                fn = compile_expression(src)
-                env = {v: self._doc_col(v)
-                       for v in expression_variables(src) if v != name}
-                col = fn(env, length=self.r.n_docs)
+                in_prog = getattr(self, "_rt_in_progress", None)
+                if in_prog is None:
+                    in_prog = self._rt_in_progress = set()
+                if name in in_prog:
+                    raise ValueError(
+                        f"runtime field cycle through {name!r}")
+                in_prog.add(name)
+                try:
+                    src = self.runtime_fields[name]
+                    fn = compile_expression(src)
+                    env = {v: (self._stored_col(v) if v == name
+                               else self._doc_col(v))
+                           for v in expression_variables(src)}
+                    col = fn(env, length=self.r.n_docs)
+                finally:
+                    in_prog.discard(name)
             else:
-                import pyarrow.parquet as pq
-
-                t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"),
-                                  columns=[name])
-                col = t[name].to_numpy(zero_copy_only=False)
+                col = self._stored_col(name)
             self._doc_cols[name] = col
         return col
 

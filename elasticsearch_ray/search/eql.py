@@ -207,7 +207,12 @@ def eql_sequence(ds, by: str, ts_col: str, stages: list,
             .map_batches(candidates, batch_format="pandas"))
     matched = cand.groupby(by).map_groups(run_group, batch_format="pandas")
     out = matched.to_pandas()
-    if len(out):
-        out = (out.sort_values([by, "id_0", f"id_{n-1}"])
-               .reset_index(drop=True))
-    return out
+    cols = [by] + [c for i in range(n) for c in (f"ts_{i}", f"id_{i}")]
+    if out.empty:
+        # zero candidate rows → map_groups never ran and the frame is
+        # SCHEMALESS; return the documented typed-empty shape so callers
+        # selecting output columns don't KeyError (review r5 #7)
+        return pd.DataFrame(columns=cols)
+    out = (out.sort_values([by, "id_0", f"id_{n-1}"])
+           .reset_index(drop=True))
+    return out[cols]

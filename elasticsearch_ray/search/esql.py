@@ -191,7 +191,8 @@ class _CondParser:
             while True:
                 k, v = self.take()
                 if k == "number":
-                    lits.append(float(v) if "." in v else int(v))
+                    lits.append(float(v) if "." in v or "e" in v.lower()
+                                else int(v))
                 elif k == "string":
                     lits.append(v)
                 else:

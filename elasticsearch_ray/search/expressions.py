@@ -14,9 +14,10 @@ Grammar (Lucene expressions JS subset):
   and     := cmp ('&&' cmp)*
   cmp     := add (('=='|'!='|'<'|'<='|'>'|'>=') add)?
   add     := mul (('+'|'-') mul)*
-  mul     := power (('*'|'/'|'%') power)*
-  power   := unary ('**' power)?        (right-associative, JS semantics)
-  unary   := ('-'|'!') unary | atom
+  mul     := unary (('*'|'/'|'%') unary)*
+  unary   := ('-'|'!') unary | power    (so -x**2 == -(x**2), Python
+                                         semantics; JS rejects the form)
+  power   := atom ('**' unary)?         (right-associative)
   atom    := NUMBER | ident | func '(' args ')' | '(' expr ')'
   ident   := NAME | doc['NAME'].value | doc.NAME.value | _score
 
@@ -158,10 +159,10 @@ class _Parser:
         return node
 
     def mul(self):
-        node = self.power()
+        node = self.unary()
         while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             _, op = self.take()
-            rhs = self.power()
+            rhs = self.unary()
             # fmod, not mod: JS/Lucene-expressions % is TRUNCATED remainder
             # (sign of the dividend), numpy's % is floored
             f = {"*": np.multiply, "/": np.divide, "%": np.fmod}[op]
@@ -169,12 +170,16 @@ class _Parser:
         return node
 
     def power(self):
-        # '**' binds tighter than '*' and is RIGHT-associative (JS):
-        # 2**3**2 == 512, not 64 (ADVICE r4 — was left-assoc at mul level)
-        node = self.unary()
+        # '**' binds tighter than '*' and is RIGHT-associative:
+        # 2**3**2 == 512, not 64 (ADVICE r4). Unary minus binds LOOSER
+        # than '**' so -x**2 == -(x**2) (review r5 #4 — the old
+        # unary-inside-power silently returned +x**2; JS rejects the
+        # unparenthesized form outright, Python's reading is the least
+        # surprising accept)
+        node = self.atom()
         if self.peek()[0] == "op" and self.peek()[1] == "**":
             self.take()
-            rhs = self.power()
+            rhs = self.unary()
             node = (lambda l, r: lambda env: np.power(l(env), r(env)))(node, rhs)
         return node
 
@@ -188,7 +193,7 @@ class _Parser:
             self.take()
             inner = self.unary()
             return lambda env: (inner(env) == 0) * 1.0
-        return self.atom()
+        return self.power()
 
     def atom(self):
         kind, val = self.peek()
