@@ -448,6 +448,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def ilm_rollover_search(sf):
+        # ILM rollover alias (index/ilm.py — RolloverAction analog): the
+        # documents table ingested across TWO write generations with a
+        # max_docs rollover between them; the cross-generation engine's
+        # DFS-combined stats make results rank-identical to one merged
+        # index, so the whole-table BM25 twin is the oracle
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.index.build import build_index
+        from elasticsearch_ray.index.ilm import RolloverAlias
+        from elasticsearch_ray.index.spec import IndexSpec
+
+        base = f"/tmp/esray_indexes/ilm-{_sf_key(sf)}"
+        ra = RolloverAlias(os.path.join(base, "logs"))
+        if len(ra.generations()) < 2:
+            tbl = _pq.read_table(os.path.join(sf, "documents.parquet"))
+            mid = len(tbl) // 2
+            for part in (tbl[:mid], tbl[mid:]):
+                part = part.append_column("orig_id", part["doc_id"])
+                cdir = os.path.join(base, f"corpus-g{ra._state()['generation']}")
+                os.makedirs(cdir, exist_ok=True)
+                fp = os.path.join(cdir, "documents.parquet")
+                tmp = fp + ".tmp"
+                _pq.write_table(part, tmp)
+                os.replace(tmp, fp)
+                build_index(cdir, ra.current(),
+                            IndexSpec(use_html=False, text_column="text",
+                                      doc_columns=("orig_id", "lang")),
+                            file_pattern="documents.parquet")
+                ra.rollover_if_needed(max_docs=1)
+        res = ra.engine(dtype="float64").search(
+            MatchQuery("spark join merge"), k=60, fetch=("orig_id",))
+        df = res.to_pandas()[["orig_id", "score"]].rename(
+            columns={"orig_id": "doc_id"})
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def search_term_top10(sf):
         return _search_table(_documents_index(sf), TermQuery("window"), k=10)
 
@@ -2474,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_top_shingles": agg_top_shingles,
         "search_match_and": search_match_and,
         "search_multi_index": search_multi_index,
+        "ilm_rollover_search": ilm_rollover_search,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
         "search_phrase_docs": search_phrase_docs,
@@ -3035,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
         "search_multi_index": _bm25_sql(["spark", "join", "merge"], k=10),
+        "ilm_rollover_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),
         "search_phrase_docs": """
