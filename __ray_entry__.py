@@ -2044,6 +2044,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_frequent_item_sets(sf):
+        # frequent_item_sets (x-pack ML FrequentItemSetsAggregationBuilder):
+        # transactions = each user's distinct event_types per day;
+        # distributed Apriori (itemset-count-sized shuffles only);
+        # closed=False so the DuckDB 1/2/3-way self-join union is the twin
+        import pandas as pd
+
+        from elasticsearch_ray.ops.frequent_items import frequent_item_sets
+
+        def tx(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(d=df["ts"].dt.floor("D"))
+            g = (df.groupby(["user_id", "d"])["event_type"]
+                 .agg(lambda s: sorted(set(s))).reset_index())
+            return g.rename(columns={"event_type": "items"})
+
+        # per-batch grouping is NOT enough (a user-day can straddle
+        # batches) — repartition to 1 block first; the transaction frame
+        # is tiny (users x days), the EVENT scan stays distributed
+        txs = (_ds(sf, "events").select_columns(["user_id", "ts",
+                                                 "event_type"])
+               .repartition(1).map_batches(tx, batch_format="pandas"))
+        out = frequent_item_sets(txs, "items", minimum_support=0.1,
+                                 max_set_size=3, size=1000, closed=False)
+        out = out[["items", "set_size", "doc_count"]]
+        out["set_size"] = out["set_size"].astype("int64")
+        out["doc_count"] = out["doc_count"].astype("int64")
+        return pa.Table.from_pandas(
+            out.sort_values(["items"]).reset_index(drop=True),
+            preserve_index=False)
+
     def rollup_daily(sf):
         # rollup job packaging (x-pack/plugin/rollup RollupIndexer):
         # HOURLY job over events, request served at the coarser aligned
@@ -2669,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
         "rollup_daily": rollup_daily,
+        "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
         "transform_pivot": transform_pivot,
@@ -4104,6 +4135,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase' AND value * 3 + user_id > 100
             ORDER BY value * 3 + user_id DESC, event_id LIMIT 25
+        """,
+        "agg_frequent_item_sets": """
+            WITH t AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                     event_type AS e FROM events
+            ), n AS (
+              SELECT count(*)::BIGINT AS c FROM (
+                SELECT DISTINCT user_id, date_trunc('day', ts) FROM events)
+            ), u AS (
+              SELECT e AS items, 1 AS set_size, count(*)::BIGINT AS doc_count
+              FROM t GROUP BY e
+              UNION ALL
+              SELECT a.e || ',' || b.e, 2, count(*)::BIGINT
+              FROM t a JOIN t b
+                ON a.user_id = b.user_id AND a.d = b.d AND a.e < b.e
+              GROUP BY a.e, b.e
+              UNION ALL
+              SELECT a.e || ',' || b.e || ',' || c.e, 3, count(*)::BIGINT
+              FROM t a
+              JOIN t b ON a.user_id = b.user_id AND a.d = b.d AND a.e < b.e
+              JOIN t c ON a.user_id = c.user_id AND a.d = c.d AND b.e < c.e
+              GROUP BY a.e, b.e, c.e
+            )
+            SELECT items, set_size, doc_count FROM u, n
+            WHERE doc_count >= ceil(0.1 * n.c)
+            ORDER BY items
         """,
         "rollup_daily": """
             SELECT date_trunc('day', ts) AS ts, event_type,
