@@ -2074,6 +2074,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["items"]).reset_index(drop=True),
             preserve_index=False)
 
+    def agg_change_point(sf):
+        # change_point sibling pipeline agg (x-pack ML
+        # ChangePointAggregator): hourly event-count histogram computed
+        # distributed (per-batch partial counts -> small groupby), then
+        # the driver-side detection cascade over the ~720-bucket series
+        # with a deterministic +500 step planted at row n//2 (same
+        # transform in the DuckDB twin). The twin replicates the
+        # outlier-weighted pooled-variance argmin, so (type, ts) must
+        # agree exactly; p-values are pinned by pytest instead (not
+        # SQL-expressible).
+        import pandas as pd
+
+        from elasticsearch_ray.ops.changepoint import change_point_agg
+
+        def hour_counts(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            hb = _pc.floor_temporal(batch["ts"], unit="hour")
+            df = pd.DataFrame({"hb": hb.to_pandas()})
+            g = df.groupby("hb").size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        buckets = (_ds(sf, "events").select_columns(["ts"])
+                   .map_batches(hour_counts, batch_format="pyarrow")
+                   .groupby("hb").aggregate(Sum("n", alias_name="c"))
+                   .to_pandas().sort_values("hb", ignore_index=True))
+        n = len(buckets)
+        buckets["c"] = buckets["c"].astype("float64")
+        buckets.loc[buckets.index >= n // 2, "c"] += 500.0
+        res = change_point_agg(buckets, "hb", "c")
+        return pa.table({
+            "type": pa.array([res["type"]], pa.string()),
+            "ts": pa.array([res["bucket"]],
+                           pa.timestamp("us")),
+        })
+
     def rollup_daily(sf):
         # rollup job packaging (x-pack/plugin/rollup RollupIndexer):
         # HOURLY job over events, request served at the coarser aligned
@@ -2699,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
         "rollup_daily": rollup_daily,
+        "agg_change_point": agg_change_point,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4161,6 +4199,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT items, set_size, doc_count FROM u, n
             WHERE doc_count >= ceil(0.1 * n.c)
             ORDER BY items
+        """,
+        "agg_change_point": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hb, count(*)::DOUBLE AS c
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT hb, c, row_number() OVER (ORDER BY hb) - 1 AS i,
+                     count(*) OVER ()::BIGINT AS n FROM h
+            ), v AS (
+              SELECT hb, i, n,
+                     c + CASE WHEN i >= n // 2 THEN 500.0 ELSE 0 END AS val
+              FROM s
+            ), q AS (
+              SELECT max(n)::BIGINT AS n,
+                     cast(ceil(0.025 * max(n)) AS INT) AS k FROM v
+            ), bounds AS (
+              SELECT
+                (SELECT val FROM v ORDER BY val
+                 LIMIT 1 OFFSET (SELECT k FROM q)) AS a,
+                (SELECT val FROM v ORDER BY val
+                 LIMIT 1 OFFSET (SELECT least(n - k, n - 1) FROM q)) AS b
+            ), wv AS (
+              SELECT i, hb, val, n,
+                     CASE WHEN val >= (SELECT a FROM bounds)
+                           AND val < (SELECT b FROM bounds)
+                          THEN 1.0 ELSE 0.01 END AS w
+              FROM v
+            ), pre AS (
+              SELECT i, n,
+                     sum(w) OVER (ORDER BY i) AS cw,
+                     sum(w * val) OVER (ORDER BY i) AS cwx,
+                     sum(w * val * val) OVER (ORDER BY i) AS cwx2,
+                     sum(w) OVER () AS tw,
+                     sum(w * val) OVER () AS twx,
+                     sum(w * val * val) OVER () AS twx2
+              FROM wv
+            ), cand AS (
+              SELECT i + 1 AS cp, n,
+                     greatest(cwx2 / cw - (cwx / cw) * (cwx / cw), 0)
+                       AS var_lo,
+                     greatest((twx2 - cwx2) / (tw - cw)
+                              - ((twx - cwx) / (tw - cw))
+                                * ((twx - cwx) / (tw - cw)), 0) AS var_hi
+              FROM pre
+              WHERE i + 1 >= greatest(cast(floor(0.1 * n + 0.5) AS INT), 10)
+                AND i + 1 < n - greatest(cast(floor(0.1 * n + 0.5) AS INT),
+                                         10)
+            ), best AS (
+              SELECT cp,
+                     (cp * var_lo + (n - cp) * var_hi) / n AS pooled
+              FROM cand ORDER BY pooled, cp LIMIT 1
+            )
+            SELECT 'step_change' AS type, v.hb AS ts
+            FROM v JOIN best ON v.i = best.cp
         """,
         "rollup_daily": """
             SELECT date_trunc('day', ts) AS ts, event_type,
