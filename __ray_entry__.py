@@ -2074,6 +2074,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["items"]).reset_index(drop=True),
             preserve_index=False)
 
+    def agg_categorize_text(sf):
+        # categorize_text agg (x-pack ML CategorizationTokenTree, drain
+        # variant): deterministic log-like messages synthesized from the
+        # events table ("user <type> completed e<id>"). The
+        # discriminating type token sits INSIDE the exact-match prefix
+        # (max_matched_tokens=4 -> tree splits on positions 0..2), the
+        # reference's stated design ("splits that give us more
+        # information come earlier in the text"), so types never share a
+        # leaf while the trailing id token wildcards away (75% >= 70) —
+        # in BOTH the per-batch trees and the driver reduce (where
+        # wildcard positions match each other and would re-merge
+        # similarity-separated categories). DuckDB twin: GROUP BY
+        # event_type with the same "*"-masked key.
+        import pandas as pd
+
+        from elasticsearch_ray.ops.categorize import categorize_text
+
+        def to_msg(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "message": "user " + df["event_type"]
+                + " completed e" + df["event_id"].astype(str)})
+
+        msgs = (_ds(sf, "events")
+                .select_columns(["event_type", "event_id"])
+                .map_batches(to_msg, batch_format="pandas"))
+        out = categorize_text(msgs, "message", size=10,
+                              similarity_threshold=70,
+                              max_matched_tokens=4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_change_point(sf):
         # change_point sibling pipeline agg (x-pack ML
         # ChangePointAggregator): hourly event-count histogram computed
@@ -2737,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_events_ua": pipeline_events_ua,
         "rollup_daily": rollup_daily,
         "agg_change_point": agg_change_point,
+        "agg_categorize_text": agg_categorize_text,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4199,6 +4230,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT items, set_size, doc_count FROM u, n
             WHERE doc_count >= ceil(0.1 * n.c)
             ORDER BY items
+        """,
+        "agg_categorize_text": """
+            SELECT 'user ' || event_type || ' completed *' AS key,
+                   count(*)::BIGINT AS doc_count
+            FROM events GROUP BY event_type
+            ORDER BY doc_count DESC, key
         """,
         "agg_change_point": """
             WITH h AS (
