@@ -2425,6 +2425,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                modifier="log1p", weight=1.0, boost_mode="multiply")
         return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
+    def search_function_score_decay(sf):
+        # function_score functions array (FunctionScoreQueryBuilder /
+        # DecayFunctionBuilder): gauss decay on n_chars × a filtered
+        # weight function (lang=en → ×2), score_mode=multiply,
+        # boost_mode=multiply over the BM25 base; the DuckDB twin
+        # recomputes BM25 exactly and applies the same closed-form decay
+        from elasticsearch_ray.search.query import (FunctionScoreQuery,
+                                                    ScoreFunction,
+                                                    TermFilter)
+
+        eng = _documents_index(sf)
+        q = FunctionScoreQuery(
+            query=TermQuery("spark"),
+            functions=(
+                ScoreFunction(kind="gauss",
+                              params=(("decay", 0.5), ("field", "n_chars"),
+                                      ("offset", 100.0), ("origin", 2000.0),
+                                      ("scale", 1500.0))),
+                ScoreFunction(kind="weight", weight=2.0,
+                              filter=TermFilter("lang", "en")),
+            ),
+            score_mode="multiply", boost_mode="multiply")
+        return _search_table(eng, q, k=10, mode="exhaustive",
+                             overfetch=10**9)
+
     def search_script_score_expr(sf):
         # script_score with a sandboxed EXPRESSION source (lang-expression
         # analog): score = _score + sqrt(n_chars); the SQL twin adds the
@@ -2598,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dismax": search_dismax,
         "search_sqs": search_sqs,
         "search_function_score": search_function_score,
+        "search_function_score_decay": search_function_score_decay,
         "search_script_score_expr": search_script_score_expr,
         "search_mlt_doc": search_mlt_doc,
         "suggest_term": suggest_term,
@@ -3120,6 +3146,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.doc_id, sum(p.s) * ln(1 + d.dl) AS score
               FROM per_term p JOIN dl_t d ON p.doc_id = d.doc_id
               GROUP BY p.doc_id, d.dl
+            )
+            SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "search_function_score_decay": f"""
+            WITH {_bm25_scores_cte(["spark"])},
+            scored AS (
+              SELECT p.doc_id,
+                     sum(p.s)
+                     * exp(-pow(greatest(abs(m.n_chars - 2000.0) - 100.0, 0), 2)
+                           / (2.0 * (-(1500.0 * 1500.0) / (2.0 * ln(0.5)))))
+                     * (CASE WHEN m.lang = 'en' THEN 2.0 ELSE 1.0 END) AS score
+              FROM per_term p JOIN documents m ON p.doc_id = m.doc_id
+              GROUP BY p.doc_id, m.n_chars, m.lang
             )
             SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
                    doc_id, round(score, 4) AS score

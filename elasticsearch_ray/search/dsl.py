@@ -283,6 +283,19 @@ class _Parser:
                              negative_boost=float(body.get("negative_boost", 0.5)))
 
     def q_function_score(self, body):
+        if "functions" in body:
+            fns = tuple(self._parse_score_function(f)
+                        for f in body["functions"])
+            mb = body.get("max_boost")
+            ms = body.get("min_score")
+            return FunctionScoreQuery(
+                query=self.parse(body["query"]) if "query" in body else None,
+                functions=fns,
+                score_mode=body.get("score_mode", "multiply"),
+                boost_mode=body.get("boost_mode", "multiply"),
+                max_boost=float(mb) if mb is not None else float("inf"),
+                min_score=float(ms) if ms is not None else None,
+            )
         fvf = body.get("field_value_factor", {})
         return FunctionScoreQuery(
             query=self.parse(body["query"]) if "query" in body else None,
@@ -291,6 +304,31 @@ class _Parser:
             weight=float(body.get("weight", 1.0)),
             boost_mode=body.get("boost_mode", "multiply"),
         )
+
+    def _parse_score_function(self, f):
+        from elasticsearch_ray.search.query import ScoreFunction
+
+        flt = self.parse(f["filter"]) if "filter" in f else None
+        weight = float(f.get("weight", 1.0))
+        kinds = [k for k in ("field_value_factor", "random_score", "gauss",
+                             "exp", "linear") if k in f]
+        if len(kinds) > 1:
+            raise DslError(f"score function has multiple kinds: {kinds}")
+        if not kinds:
+            if "weight" not in f:
+                raise DslError("score function needs weight or a function")
+            return ScoreFunction(kind="weight", weight=weight, filter=flt)
+        kind = kinds[0]
+        params = f[kind]
+        if kind in ("gauss", "exp", "linear"):
+            # DSL shape: {"gauss": {"<field>": {origin, scale, ...}}}
+            if len(params) != 1:
+                raise DslError(f"{kind} expects exactly one field")
+            field, spec = next(iter(params.items()))
+            params = {"field": field, **spec}
+        return ScoreFunction(kind=kind,
+                             params=tuple(sorted(params.items())),
+                             weight=weight, filter=flt)
 
     def q_script_score(self, body):
         # ScriptScoreQueryBuilder: a script block parses into the sandboxed
@@ -609,6 +647,33 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
             return {"script_score": {
                 **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
                 "script": {"source": q.script}, "weight": q.weight}}
+        if q.functions:
+            fns = []
+            for fn in q.functions:
+                d = {}
+                if fn.filter is not None:
+                    d["filter"] = to_dsl(fn.filter, default_field)
+                if fn.kind == "weight":
+                    d["weight"] = fn.weight
+                elif fn.kind in ("gauss", "exp", "linear"):
+                    p = dict(fn.params)
+                    field = p.pop("field")
+                    d[fn.kind] = {field: p}
+                    d["weight"] = fn.weight
+                else:
+                    d[fn.kind] = dict(fn.params)
+                    d["weight"] = fn.weight
+                fns.append(d)
+            body = {
+                **({"query": to_dsl(q.query, default_field)}
+                   if q.query is not None else {}),
+                "functions": fns, "score_mode": q.score_mode,
+                "boost_mode": q.boost_mode}
+            if q.max_boost != float("inf"):
+                body["max_boost"] = q.max_boost
+            if q.min_score is not None:
+                body["min_score"] = q.min_score
+            return {"function_score": body}
         return {"function_score": {
             **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
             "field_value_factor": {"field": q.field, "factor": q.factor,

@@ -24,6 +24,7 @@ Execution backends:
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -183,6 +184,120 @@ class PartitionSearcher:
         docs, _ = self._eval_scoring(q, scorers or {}, k=None, mode="exhaustive",
                                      scorers_required=False)
         return docs
+
+    def _function_factor(self, fn, docs: np.ndarray) -> np.ndarray:
+        """One ScoreFunction's raw output (weight already applied) for
+        every doc in ``docs`` (caller masks by the function's filter)."""
+        kind = fn.kind
+        if kind == "weight":
+            return np.full(len(docs), fn.weight, np.float64)
+        if kind == "field_value_factor":
+            fv = self._doc_col(fn.param("field"))[docs].astype(np.float64)
+            fv = fv * float(fn.param("factor", 1.0))
+            mod = fn.param("modifier", "none")
+            if mod == "log1p":
+                fv = np.log1p(fv)
+            elif mod == "sqrt":
+                fv = np.sqrt(np.maximum(fv, 0))
+            return fn.weight * fv
+        if kind == "random_score":
+            # stable per-doc uniform [0,1): splitmix64 over id ^ seed
+            # (RandomScoreFunction mixes a seed with a per-doc value the
+            # same way; exact mix constants differ, distribution and
+            # determinism match)
+            field = fn.param("field", "doc_id")
+            ids = self._doc_col(field)[docs].astype(np.int64)
+            seed = int(fn.param("seed", 0))
+            z = ids.view(np.uint64) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+            z = (z + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            return fn.weight * ((z >> np.uint64(11)).astype(np.float64)
+                                * (2.0 ** -53))
+        if kind in ("gauss", "exp", "linear"):
+            field = fn.param("field")
+            origin = float(fn.param("origin", 0.0))
+            scale = float(fn.param("scale"))
+            offset = float(fn.param("offset", 0.0))
+            decay = float(fn.param("decay", 0.5))
+            if scale <= 0 or not 0 < decay < 1:
+                raise ValueError("decay function needs scale > 0 and "
+                                 "decay in (0, 1)")
+            x = self._doc_col(field)[docs].astype(np.float64)
+            dist = np.maximum(np.abs(x - origin) - offset, 0.0)
+            if kind == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+                out = np.exp(-(dist * dist) / (2.0 * sigma2))
+            elif kind == "exp":
+                out = np.exp(math.log(decay) / scale * dist)
+            else:  # linear
+                s = scale / (1.0 - decay)
+                out = np.maximum((s - dist) / s, 0.0)
+            return fn.weight * out
+        raise ValueError(f"unsupported score function kind: {kind}")
+
+    def _apply_score_functions(self, q, docs: np.ndarray,
+                               scores: np.ndarray, scorers
+                               ) -> tuple[np.ndarray, np.ndarray]:
+        """functions-array scoring (FunctionScoreQuery.java): per-doc
+        combine of MATCHING functions per score_mode, max_boost cap,
+        boost_mode merge with the base score, min_score cut. Docs
+        matching no function keep factor 1 (reference behavior)."""
+        n = len(docs)
+        factors = np.empty((len(q.functions), n), np.float64)
+        matched = np.zeros((len(q.functions), n), bool)
+        for i, fn in enumerate(q.functions):
+            if fn.filter is None:
+                m = np.ones(n, bool)
+            else:
+                fdocs = self._eval_filter(fn.filter, scorers)
+                m = np.isin(docs, fdocs, assume_unique=True)
+            matched[i] = m
+            factors[i] = 0.0
+            if m.any():
+                factors[i, m] = self._function_factor(fn, docs[m])
+        any_match = matched.any(axis=0)
+        mode = q.score_mode
+        if mode == "multiply":
+            combined = np.where(matched, factors, 1.0).prod(axis=0)
+        elif mode == "sum":
+            combined = np.where(matched, factors, 0.0).sum(axis=0)
+        elif mode == "avg":
+            cnt = matched.sum(axis=0)
+            combined = np.where(matched, factors, 0.0).sum(axis=0) \
+                / np.maximum(cnt, 1)
+        elif mode == "max":
+            combined = np.where(matched, factors, -np.inf).max(axis=0)
+        elif mode == "min":
+            combined = np.where(matched, factors, np.inf).min(axis=0)
+        elif mode == "first":
+            first = np.argmax(matched, axis=0)
+            combined = factors[first, np.arange(n)]
+        else:
+            raise ValueError(f"unsupported score_mode: {mode}")
+        combined = np.where(any_match, combined, 1.0)
+        combined = np.minimum(combined, q.max_boost)
+        base = np.asarray(scores, np.float64)
+        bm = q.boost_mode
+        if bm == "multiply":
+            out = base * combined
+        elif bm == "sum":
+            out = base + combined
+        elif bm == "avg":
+            out = (base + combined) / 2.0
+        elif bm == "max":
+            out = np.maximum(base, combined)
+        elif bm == "min":
+            out = np.minimum(base, combined)
+        elif bm == "replace":
+            out = combined
+        else:
+            raise ValueError(f"unsupported boost_mode: {bm}")
+        if q.min_score is not None:
+            keep = out >= q.min_score
+            return docs[keep], out[keep]
+        return docs, out
 
     def _phrase_docs(self, terms: list[str], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Phrase matching; returns (docs, phrase_freqs).
@@ -751,6 +866,9 @@ class PartitionSearcher:
             docs, scores = self._eval_scoring(q.query, scorers, None, "exhaustive")
             if len(docs) == 0:
                 return docs, scores
+            if q.functions:
+                docs, out = self._apply_score_functions(q, docs, scores, scorers)
+                return docs, out.astype(dtype)
             if q.script:
                 # ScriptScoreQueryBuilder: expression REPLACES the score,
                 # reading numeric doc columns + _score (base query score)

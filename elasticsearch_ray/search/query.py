@@ -202,11 +202,45 @@ class BoostingQuery(Query):
 
 
 @dataclass(frozen=True)
+class ScoreFunction:
+    """One entry of function_score's ``functions`` array
+    (FunctionScoreQueryBuilder.FilterFunctionBuilder). ``kind``:
+
+    - ``weight`` — constant ``weight`` for docs matching ``filter``;
+    - ``field_value_factor`` — params ``field``/``factor``/``modifier``
+      (none|log1p|sqrt), FieldValueFactorFunctionBuilder;
+    - ``random_score`` — params ``seed`` (int) and ``field`` (default
+      ``doc_id``); stable uniform [0, 1) via the same murmur3 used for
+      routing (RandomScoreFunctionBuilder — the reference mixes seed and
+      a per-doc value the same way, different mix constants);
+    - ``gauss`` / ``exp`` / ``linear`` — numeric decay
+      (DecayFunctionBuilder): params ``field``, ``origin``, ``scale``,
+      ``offset`` (default 0), ``decay`` (default 0.5); value at distance
+      ``scale`` beyond ``offset`` equals ``decay``.
+
+    ``filter`` (None = match all docs of the base query) gates the
+    function; ``weight`` multiplies its output (weight function: the
+    weight IS the output)."""
+
+    kind: str = "weight"
+    params: tuple = ()  # sorted (key, value) pairs, hashable
+    weight: float = 1.0
+    filter: Query | None = None
+
+    def param(self, key, default=None):
+        return dict(self.params).get(key, default)
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
-    """function_score subset (FunctionScoreQueryBuilder): base query score
-    combined with a field_value_factor function —
-    factor = modifier(field * factor); score = boost_mode(base, weight*factor).
-    modifiers: none|log1p|sqrt; boost_mode: multiply|sum (the common pair).
+    """function_score (FunctionScoreQueryBuilder): base query score
+    combined with either the legacy single field_value_factor
+    (``field``/``factor``/``modifier``), a script, or a ``functions``
+    array of ScoreFunction entries combined per ``score_mode``
+    (multiply|sum|avg|max|min|first over MATCHING functions; docs
+    matching none keep factor 1), capped at ``max_boost``, then merged
+    with the base score per ``boost_mode``
+    (multiply|sum|avg|max|min|replace); hits below ``min_score`` drop.
 
     ``script`` set = ScriptScoreQueryBuilder semantics instead: the
     sandboxed expression (search/expressions.py, lang-expression analog)
@@ -220,6 +254,10 @@ class FunctionScoreQuery(Query):
     weight: float = 1.0
     boost_mode: str = "multiply"
     script: str | None = None
+    functions: tuple = ()
+    score_mode: str = "multiply"
+    max_boost: float = float("inf")
+    min_score: float | None = None
 
 
 @dataclass(frozen=True)
