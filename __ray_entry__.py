@@ -2074,6 +2074,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["items"]).reset_index(drop=True),
             preserve_index=False)
 
+    def graph_explore_events(sf):
+        # Graph explore API (x-pack graph TransportGraphExploreAction):
+        # seed event_type='purchase' -> hop0 top-5 users by doc_count
+        # (min_doc_count 3, ties on stringified id) -> hop1 connected
+        # event_types per user. Oracle compares the CONNECTIONS frame
+        # (exact co-occurrence doc_counts + the same top-N cuts); vertex
+        # weights (decay/normalization) are pytest-pinned instead.
+        from elasticsearch_ray.ops.graph import graph_explore
+
+        out = graph_explore(
+            _ds(sf, "events"), "event_type", ["purchase"],
+            hops=[[{"field": "user_id", "size": 5, "min_doc_count": 3}],
+                  [{"field": "event_type", "size": 5,
+                    "min_doc_count": 3}]])
+        c = out["connections"][["from_term", "to_term", "doc_count"]]
+        c = c.sort_values(["from_term", "to_term"], ignore_index=True)
+        c["doc_count"] = c["doc_count"].astype("int64")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
     def agg_categorize_text(sf):
         # categorize_text agg (x-pack ML CategorizationTokenTree, drain
         # variant): deterministic log-like messages synthesized from the
@@ -2794,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_daily": rollup_daily,
         "agg_change_point": agg_change_point,
         "agg_categorize_text": agg_categorize_text,
+        "graph_explore_events": graph_explore_events,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4271,6 +4291,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT items, set_size, doc_count FROM u, n
             WHERE doc_count >= ceil(0.1 * n.c)
             ORDER BY items
+        """,
+        "graph_explore_events": """
+            WITH seed_users AS (
+              SELECT cast(user_id AS VARCHAR) AS u, count(*) AS n
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id HAVING count(*) >= 3
+              ORDER BY n DESC, u LIMIT 5
+            ), conn AS (
+              SELECT cast(e.user_id AS VARCHAR) AS from_term,
+                     e.event_type AS to_term, count(*)::BIGINT AS doc_count
+              FROM events e
+              JOIN seed_users s ON cast(e.user_id AS VARCHAR) = s.u
+              GROUP BY 1, 2
+            )
+            SELECT from_term, to_term, doc_count FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY from_term
+                ORDER BY doc_count DESC, to_term) AS rn
+              FROM conn WHERE doc_count >= 3
+            ) WHERE rn <= 5
+            ORDER BY from_term, to_term
         """,
         "agg_categorize_text": """
             SELECT 'user ' || event_type || ' completed *' AS key,
