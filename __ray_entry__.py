@@ -2074,6 +2074,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["items"]).reset_index(drop=True),
             preserve_index=False)
 
+    def text_structure_events_csv(sf):
+        # find_structure API (x-pack text-structure): a CSV rendered
+        # deterministically from the first 1000 events (header row,
+        # ISO8601 ts, %.4f value) must come back as format=delimited
+        # with the right header/mappings; the oracle compares per-column
+        # (type, count, cardinality) computed by DuckDB over the same
+        # 1000-row subset with the same string renderings
+        import pandas as pd
+
+        from elasticsearch_ray.ops.text_structure import find_structure
+
+        head = (_ds(sf, "events")
+                .select_columns(["event_id", "ts", "user_id",
+                                 "event_type", "value"])
+                .sort("event_id").limit(1000).to_pandas())
+        lines = ["event_id,ts,user_id,event_type,value"]
+        for r in head.itertuples(index=False):
+            lines.append(
+                f"{r.event_id},{r.ts.strftime('%Y-%m-%dT%H:%M:%S')},"
+                f"{r.user_id},{r.event_type},{r.value:.4f}")
+        # header + 1000 data rows (line_limit counts raw LINES)
+        st = find_structure("\n".join(lines), line_limit=1001)
+        assert st["format"] == "delimited" and st["has_header_row"]
+        assert st["timestamp_field"] == "ts"
+        rows = []
+        for col in st["column_names"]:
+            fs = st["field_stats"][col]
+            rows.append({"column_name": col, "type": st["mappings"][col],
+                         "count": fs["count"],
+                         "cardinality": fs["cardinality"]})
+        out = pd.DataFrame(rows).sort_values("column_name",
+                                             ignore_index=True)
+        out["count"] = out["count"].astype("int64")
+        out["cardinality"] = out["cardinality"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def graph_explore_events(sf):
         # Graph explore API (x-pack graph TransportGraphExploreAction):
         # seed event_type='purchase' -> hop0 top-5 users by doc_count
@@ -2814,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_change_point": agg_change_point,
         "agg_categorize_text": agg_categorize_text,
         "graph_explore_events": graph_explore_events,
+        "text_structure_events_csv": text_structure_events_csv,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4291,6 +4328,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT items, set_size, doc_count FROM u, n
             WHERE doc_count >= ceil(0.1 * n.c)
             ORDER BY items
+        """,
+        "text_structure_events_csv": """
+            WITH s AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+            SELECT * FROM (
+              SELECT 'event_id' AS column_name, 'long' AS type,
+                     count(*)::BIGINT AS count,
+                     count(DISTINCT event_id)::BIGINT AS cardinality FROM s
+              UNION ALL
+              SELECT 'ts', 'date', count(*),
+                     count(DISTINCT strftime(ts, '%Y-%m-%dT%H:%M:%S'))
+              FROM s
+              UNION ALL
+              SELECT 'user_id', 'long', count(*),
+                     count(DISTINCT user_id) FROM s
+              UNION ALL
+              SELECT 'event_type', 'keyword', count(*),
+                     count(DISTINCT event_type) FROM s
+              UNION ALL
+              SELECT 'value', 'double', count(*),
+                     count(DISTINCT printf('%.4f', value)) FROM s
+            ) ORDER BY column_name
         """,
         "graph_explore_events": """
             WITH seed_users AS (
