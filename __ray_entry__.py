@@ -2074,6 +2074,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["items"]).reset_index(drop=True),
             preserve_index=False)
 
+    def sql_events_agg(sf):
+        # x-pack SQL subset (_sql endpoint analog): the statement
+        # compiles onto the ES|QL stage runner (sql_translate), so the
+        # DuckDB oracle IS the same statement (with round() applied to
+        # the fp sum on both sides)
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT event_type, SUM(value) AS total, COUNT(*) AS c "
+            "FROM events WHERE value > 10 GROUP BY event_type "
+            "HAVING c > 5 ORDER BY event_type",
+            {"events": _ds(sf, "events")}).to_pandas()
+        out["total"] = out["total"].round(4)
+        out["c"] = out["c"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def sql_events_topk(sf):
+        # row-preserving SQL: WHERE + IN/LIKE + ORDER + LIMIT, no shuffle
+        # beyond the sort
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type IN ('purchase', 'signup') AND value >= 50 "
+            "ORDER BY value DESC, event_id LIMIT 25",
+            {"events": _ds(sf, "events")}).to_pandas()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -2851,6 +2879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_categorize_text": agg_categorize_text,
         "graph_explore_events": graph_explore_events,
         "text_structure_events_csv": text_structure_events_csv,
+        "sql_events_agg": sql_events_agg,
+        "sql_events_topk": sql_events_topk,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4328,6 +4358,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT items, set_size, doc_count FROM u, n
             WHERE doc_count >= ceil(0.1 * n.c)
             ORDER BY items
+        """,
+        "sql_events_agg": """
+            SELECT event_type, round(sum(value), 4) AS total,
+                   count(*)::BIGINT AS c
+            FROM events WHERE value > 10 GROUP BY event_type
+            HAVING count(*) > 5 ORDER BY event_type
+        """,
+        "sql_events_topk": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type IN ('purchase', 'signup') AND value >= 50
+            ORDER BY value DESC, event_id LIMIT 25
         """,
         "text_structure_events_csv": """
             WITH s AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)

@@ -1,0 +1,118 @@
+"""x-pack SQL subset (SqlParser / _sql/translate analogs): translation
+goldens + execution equality vs DuckDB on the same frame."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.search.sql import SqlError, sql_query, sql_translate
+
+DF = pd.DataFrame({
+    "user": ["u1", "u2", "u1", "u3", "u2", "u1", None],
+    "kind": ["a", "b", "a", "a", "b", "c", "a"],
+    "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+    "n": [10, 20, 30, 40, 50, 60, 70],
+})
+
+
+@pytest.fixture(scope="module")
+def sql_ds(ray_session):
+    import ray.data as rd
+
+    return {"t": rd.from_pandas(DF).repartition(3)}
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.register("t", DF)
+    return con.execute(sql).df()
+
+
+def _run(sql, tables):
+    out = sql_query(sql, tables).to_pandas()
+    return out.reset_index(drop=True)
+
+
+def test_translate_goldens():
+    assert sql_translate("SELECT a, b FROM t WHERE x = 1 LIMIT 5") == \
+        "FROM t | WHERE x == 1 | LIMIT 5 | KEEP a, b"
+    assert sql_translate(
+        "SELECT kind, SUM(v) AS total FROM t GROUP BY kind "
+        "HAVING total > 3 ORDER BY total DESC LIMIT 2") == \
+        ("FROM t | STATS total = SUM(v) BY kind | WHERE total > 3 "
+         "| SORT total DESC | LIMIT 2 | KEEP kind, total")
+    assert sql_translate("SELECT DISTINCT kind FROM t") == \
+        "FROM t | STATS __cnt = COUNT(*) BY kind | KEEP kind"
+    assert sql_translate(
+        "SELECT user FROM t WHERE kind LIKE 'a%' AND v <> 3") == \
+        'FROM t | WHERE kind LIKE "a*" AND v != 3 | KEEP user'
+    assert sql_translate("SELECT * FROM t WHERE u IS NOT NULL") == \
+        "FROM t | WHERE u IS NOT NULL"
+
+
+def test_where_order_limit(sql_ds):
+    sql = "SELECT user, v FROM t WHERE v >= 3 ORDER BY v DESC LIMIT 3"
+    got = _run(sql, sql_ds)
+    want = _duck(sql)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_by_aggregates(sql_ds):
+    sql = ("SELECT kind, SUM(v) AS total, COUNT(*) AS c "
+           "FROM t GROUP BY kind ORDER BY kind")
+    got = _run(sql, sql_ds)
+    want = _duck(sql)
+    got["c"] = got["c"].astype("int64")
+    want["c"] = want["c"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_having(sql_ds):
+    sql = ("SELECT kind, AVG(v) AS m FROM t GROUP BY kind "
+           "HAVING m > 2 ORDER BY m")
+    got = _run(sql, sql_ds)
+    want = _duck(sql)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_count_distinct_and_null_filter(sql_ds):
+    sql = ("SELECT COUNT_DISTINCT(user) AS u FROM t "
+           "WHERE user IS NOT NULL")
+    got = _run(sql, sql_ds)
+    assert got["u"].iloc[0] == 3
+
+
+def test_distinct(sql_ds):
+    sql = "SELECT DISTINCT kind FROM t ORDER BY kind"
+    got = _run(sql, sql_ds)
+    want = _duck(sql)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_select_alias_rename(sql_ds):
+    sql = "SELECT user AS who, v FROM t WHERE v = 6"
+    got = _run(sql, sql_ds)
+    assert list(got.columns) == ["who", "v"]
+    assert got["who"].tolist() == ["u1"]
+
+
+def test_in_and_like(sql_ds):
+    sql = ("SELECT v FROM t WHERE kind IN ('a', 'c') AND user LIKE 'u_' "
+           "ORDER BY v")
+    got = _run(sql, sql_ds)
+    want = _duck("SELECT v FROM t WHERE kind IN ('a', 'c') "
+                 "AND user LIKE 'u_' ORDER BY v")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_errors():
+    with pytest.raises(SqlError):
+        sql_translate("SELECT a FROM t GROUP BY b")  # a not grouped
+    with pytest.raises(SqlError):
+        sql_translate("FROM t")  # no SELECT
+    with pytest.raises(SqlError):
+        sql_translate("SELECT a FROM t HAVING a > 1")  # HAVING w/o group
+    with pytest.raises(SqlError):
+        sql_translate("SELECT SUM(*) FROM t")
+    with pytest.raises(SqlError):
+        sql_translate("SELECT a FROM t ORDER BY")  # empty order
