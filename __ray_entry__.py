@@ -429,6 +429,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_match_top10(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark join merge"), k=10)
 
+    def async_search_match(sf):
+        # async search API (x-pack async-search): submit + wait to
+        # completion; the final response must equal the synchronous
+        # search, so the oracle is the SAME BM25 twin as
+        # search_match_top10 (partial-progress states are pytest-pinned —
+        # time-dependent, not SQL-expressible)
+        from elasticsearch_ray.search.async_search import AsyncSearchService
+
+        eng = _documents_index(sf)
+        svc = AsyncSearchService(eng)
+        resp = svc.submit(MatchQuery("spark join merge"), k=60,
+                          fetch=("doc_id",),
+                          wait_for_completion_timeout=120.0)
+        assert resp["is_running"] is False
+        df = resp["response"]["hits"].to_pandas()[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def search_match_and(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark window", operator="and"), k=10)
 
@@ -2698,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "search_match_top10": search_match_top10,
+        "async_search_match": async_search_match,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -3142,6 +3165,7 @@ FROM scores ORDER BY rank LIMIT {k}
 def oracle_sql() -> dict[str, str]:
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
+        "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_lm_dirichlet": _sim_sql("LMDirichlet", ["spark", "join", "merge"]),
         "search_dfr": _sim_sql("DFR", ["spark", "join", "merge"]),
         "search_lm_jelinek_mercer": _sim_sql("LMJelinekMercer", ["spark", "join", "merge"]),
