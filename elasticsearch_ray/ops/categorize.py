@@ -118,6 +118,10 @@ class _Leaf:
             self.categories.append(TextCategory(tokens, count))
 
     def merge_with(self, other: "_Leaf") -> None:
+        # the node COUNT absorbs the sibling's too (TreeNode.mergeWith
+        # incCount) — collapse_tiny_children ratios and smallest-child
+        # eviction read it
+        self.count += other.count
         for cat in other.categories:
             best, key = self._best(cat.tokens)
             if best is not None and key[0] * 100 >= self.threshold:

@@ -278,7 +278,9 @@ class _KDE:
 
 
 def _significance(p: float, n_tested: int) -> float:
-    return 1.0 - (1.0 - p) ** n_tested if p > 1e-10 else n_tested * p
+    """KDE ValueAndMagnitude.significance — the same independent-trials
+    correction as the cascade path."""
+    return _independent_trials(p, n_tested)
 
 
 def _spike_or_dip(values: np.ndarray, threshold: float) -> dict:

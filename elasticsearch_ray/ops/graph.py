@@ -144,6 +144,24 @@ def _field_df(ds, fields) -> dict[tuple[str, str], int]:
     return {(r.field, r.value): int(r.df) for r in res.itertuples()}
 
 
+def _fg_totals(counts, hop, lterms, bg, lf, use_significance,
+               sample_size) -> dict[str, int]:
+    """Foreground totals per from-term for JLH. Unsampled: the full-table
+    df (the significant_terms foreground is every doc holding the term).
+    Sampled: the term's doc count WITHIN the sample — rows are
+    single-valued, so summing its buckets over one target field counts
+    each sampled doc exactly once (mixing sampled counts with full-table
+    totals would deflate fg_pct and zero most buckets)."""
+    if not use_significance:
+        return {}
+    if sample_size is None:
+        return {lt: bg.get((lf, lt), 0) for lt in lterms}
+    f0 = hop[0]["field"]
+    sub = counts[counts["to_field"] == f0]
+    sums = sub.groupby("from_term")["doc_count"].sum()
+    return {lt: int(sums.get(lt, 0)) for lt in lterms}
+
+
 def graph_explore(ds, seed_field: str, seed_values, hops,
                   use_significance: bool = False,
                   sample_size: int | None = None,
@@ -172,7 +190,15 @@ def graph_explore(ds, seed_field: str, seed_values, hops,
                           sample_size, sort_key)
     fg_total = None
     if use_significance:
-        fg_total = sum(bg.get((seed_field, v), 0) for v in seed_values)
+        if sample_size is None:
+            fg_total = sum(bg.get((seed_field, v), 0)
+                           for v in seed_values)
+        else:
+            # sampled foreground: docs actually in the sample (see
+            # _fg_totals)
+            f0 = hop0[0]["field"]
+            fg_total = int(counts[counts["to_field"] == f0]
+                           ["doc_count"].sum())
     buckets = []
     for vr in hop0:
         f = vr["field"]
@@ -208,13 +234,18 @@ def graph_explore(ds, seed_field: str, seed_values, hops,
             by_field.setdefault(f, []).append(t)
         new_vertices: dict[tuple[str, str], dict] = {}
         new_connections: list[dict] = []
+        # per-from-term bucket lists (top size, min_doc_count, self-join
+        # excluded) accumulated across ALL from-fields first — the
+        # reference normalizes by the WAVE total signal
+        # (getExpandTotalSignalStrength spans every lastHop vertex
+        # request), not per from-field
+        scored = []
         for lf, lterms in by_field.items():
             counts = _wave_counts(ds, lf, lterms,
                                   [vr["field"] for vr in hop],
                                   sample_size, sort_key)
-            # per-from-term bucket lists (top size, min_doc_count,
-            # self-join excluded), then the wave-total signal
-            scored = []
+            fg_totals = _fg_totals(counts, hop, lterms, bg, lf,
+                                   use_significance, sample_size)
             for vr in hop:
                 f = vr["field"]
                 sub = counts[counts["to_field"] == f]
@@ -223,7 +254,7 @@ def graph_explore(ds, seed_field: str, seed_values, hops,
                     b = b[~((f == lf) & (b["to_term"] == lt))]
                     b = b[b["doc_count"] >= vr.get("min_doc_count", 3)]
                     if use_significance:
-                        ft = bg.get((lf, lt), 0)
+                        ft = fg_totals.get(lt, 0)
                         sc = [_jlh(c, ft, bg.get((f, t), 0), n_total)
                               for t, c in zip(b["to_term"],
                                               b["doc_count"])]
@@ -237,9 +268,8 @@ def graph_explore(ds, seed_field: str, seed_values, hops,
                     for t, c, s in zip(b["to_term"], b["doc_count"],
                                        b["score"]):
                         scored.append((lf, lt, f, t, float(s), int(c)))
-            total = sum(s for *_x, s, _c in scored)
-            if total <= 0:
-                continue
+        total = sum(s for *_x, s, _c in scored)
+        if total > 0:
             for lf2, lt, f, t, s, c in scored:
                 from_w = vertices[(lf2, lt)]["weight"]
                 signal = (s / total) * min(decay, from_w)

@@ -311,7 +311,10 @@ def _structure_from_frame(df: pd.DataFrame, base: dict,
                           timestamp_field: str | None) -> dict:
     mappings, stats = {}, {}
     for col in df.columns:
-        values = ["" if v is None else str(v) for v in df[col].tolist()]
+        # heterogeneous ndjson/xml keys surface as None OR float NaN
+        # (pandas fill) — both are "absent", never the string 'nan'
+        values = ["" if v is None or (isinstance(v, float) and v != v)
+                  else str(v) for v in df[col].tolist()]
         mappings[col] = guess_mapping(values)
         stats[col] = _field_stats(values, mappings[col])
     base["mappings"] = mappings

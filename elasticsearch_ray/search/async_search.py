@@ -70,6 +70,13 @@ class AsyncSearchService:
         if isinstance(q, str):
             q = MatchQuery(q)
         q_resolved = eng._apply_field_analyzers(eng._rewrite(q))
+        # reap expired entries (the reference's maintenance service) so a
+        # fire-and-forget caller can't grow the store unboundedly
+        now = time.time()
+        for tid in [t for t, tk in self._tasks.items()
+                    if now > tk.expiration_time]:
+            self._tasks[tid].cancelled = True
+            del self._tasks[tid]
         task_id = f"async_{next(self._ids)}"
         task = _Task(len(eng.parts), keep_alive)
         self._tasks[task_id] = task

@@ -264,9 +264,13 @@ class PartitionSearcher:
         elif mode == "sum":
             combined = np.where(matched, factors, 0.0).sum(axis=0)
         elif mode == "avg":
-            cnt = matched.sum(axis=0)
+            # reference FunctionScoreQuery AVG: sum of function outputs
+            # divided by the sum of the MATCHING functions' weights
+            weights = np.array([fn.weight for fn in q.functions],
+                               np.float64)[:, None]
+            wsum = np.where(matched, weights, 0.0).sum(axis=0)
             combined = np.where(matched, factors, 0.0).sum(axis=0) \
-                / np.maximum(cnt, 1)
+                / np.where(wsum != 0, wsum, 1.0)
         elif mode == "max":
             combined = np.where(matched, factors, -np.inf).max(axis=0)
         elif mode == "min":

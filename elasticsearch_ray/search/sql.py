@@ -183,6 +183,8 @@ def sql_translate(sql: str) -> str:
     table = frm[0][1]
 
     group_cols = []
+    if "GROUP" in clauses and star:
+        raise SqlError("SELECT * cannot be combined with GROUP BY")
     if "GROUP" in clauses:
         for p in _split_commas(clauses["GROUP"]):
             if len(p) != 1 or p[0][0] != "name":
@@ -223,13 +225,18 @@ def sql_translate(sql: str) -> str:
     else:
         renames = [(expr, alias) for expr, alias in plain
                    if alias != expr]
+    rename_map = dict(renames)
     if renames:
         pipe.append("RENAME " + ", ".join(f"{old} AS {new}"
                                           for old, new in renames))
     if "HAVING" in clauses:
         if not (aggs or group_cols):
             raise SqlError("HAVING needs GROUP BY / aggregates")
-        pipe.append("WHERE " + _cond_to_pipe(clauses["HAVING"]))
+        # RENAME already ran — SQL allows HAVING/ORDER BY to use either
+        # the original column name or its alias, so map originals forward
+        having = [("name", rename_map.get(v, v)) if k == "name" else (k, v)
+                  for k, v in clauses["HAVING"]]
+        pipe.append("WHERE " + _cond_to_pipe(having))
 
     if "ORDER" in clauses:
         if not clauses["ORDER"]:
@@ -242,7 +249,7 @@ def sql_translate(sql: str) -> str:
                 p = p[:-1]
             if len(p) != 1 or p[0][0] != "name":
                 raise SqlError("ORDER BY takes column names")
-            keys.append(p[0][1] + d)
+            keys.append(rename_map.get(p[0][1], p[0][1]) + d)
         pipe.append("SORT " + ", ".join(keys))
 
     if "LIMIT" in clauses:

@@ -51,14 +51,15 @@ def test_fast_search_completes_within_wait(async_engine):
 
 def test_partial_prefix_then_completion(async_engine):
     svc = AsyncSearchService(async_engine)
-    gate = threading.Event()
+    gate = threading.Event()      # runner -> test: "2 partitions done"
+    release = threading.Event()   # test -> runner: "carry on"
     seen = []
 
     def between(p):
         seen.append(p)
         if len(seen) == 2:
-            gate.set()           # signal "2 partitions done"
-            time.sleep(0.3)      # hold the runner so get() sees a partial
+            gate.set()
+            release.wait(30.0)   # HOLD the runner until the partial get
 
     resp = svc.submit(MatchQuery("spark"), k=10,
                       wait_for_completion_timeout=0.0,
@@ -66,8 +67,9 @@ def test_partial_prefix_then_completion(async_engine):
     sid = resp["id"]
     assert gate.wait(30.0)
     part = svc.get(sid)
+    release.set()
     done_shards = part["response"]["successful_shards"]
-    assert 2 <= done_shards <= part["response"]["total_shards"]
+    assert done_shards == 2  # runner was gated after exactly 2
     # a partial response is the exact top-k over its completed partitions
     hits = part["response"]["hits"].to_pylist()
     parts_done = {r["part"] for r in hits}

@@ -75,3 +75,18 @@ def test_empty_and_validation(ray_session):
     assert len(out) == 0
     with pytest.raises(ValueError):
         frequent_item_sets(empty, "items", minimum_support=0)
+
+
+def test_no_cooccurrence_pass_is_empty_not_crash(ray_session):
+    # frequent singletons that NEVER co-occur: the k=2 Apriori pass
+    # generates zero candidates in every batch, and Ray's hash groupby
+    # reduces all-empty typed blocks to a schema-less frame (CLAUDE.md
+    # zero-schema pitfall) — must yield the singletons, not KeyError
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"items": [["a"], ["a"],
+                                                ["b"], ["b"]]}))
+    out = frequent_item_sets(ds, "items", minimum_support=0.5,
+                             closed=False, size=10)
+    assert sorted(out["items"]) == ["a", "b"]
+    assert (out["doc_count"] == 2).all()

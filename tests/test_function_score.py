@@ -90,10 +90,13 @@ def test_functions_filters_and_score_modes(fs_engine):
         .set_index("doc_id")["source"]
 
     def expect(mode, is_web):
-        # every base doc matches fn1 (lang=en); web docs also match fn2
+        # every base doc matches fn1 (lang=en); src1 docs also match fn2.
+        # avg divides the output sum by the MATCHING functions' weight
+        # sum (reference FunctionScoreQuery AVG), so weight functions
+        # always average to 1.0
         if not is_web:
-            return 3.0
-        return {"multiply": 15.0, "sum": 8.0, "avg": 4.0,
+            return {"avg": 1.0}.get(mode, 3.0)
+        return {"multiply": 15.0, "sum": 8.0, "avg": 1.0,
                 "max": 5.0, "min": 3.0, "first": 3.0}[mode]
 
     saw_web = saw_other = False

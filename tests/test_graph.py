@@ -149,3 +149,28 @@ def test_no_matches_empty_result(log_ds):
     out = graph_explore(log_ds, "product", ["nope"],
                         hops=[[{"field": "user", "size": 5}]])
     assert out["vertices"].empty and out["connections"].empty
+
+
+def test_wave_total_spans_all_from_fields(log_ds):
+    # hop-0 over TWO vertex fields -> hop-1 signals must be normalized by
+    # the WAVE total (reference getExpandTotalSignalStrength spans every
+    # lastHop vertex request), so all hop-1 signals sum to <= max decay
+    out = graph_explore(
+        log_ds, "product", ["beatles"],
+        hops=[[{"field": "user", "size": 5, "min_doc_count": 3},
+               {"field": "ts", "size": 2, "min_doc_count": 1}],
+              [{"field": "product", "size": 10, "min_doc_count": 1}]])
+    c = out["connections"]
+    # signals are shares of ONE wave total, each decayed by <= 0.95
+    assert c["weight"].sum() <= 0.95 + 1e-9
+
+
+def test_significance_with_sampling_not_starved(log_ds):
+    # sampled foreground counts must pair with sampled fg totals — mixing
+    # sampled counts with full-table totals zeroes nearly every bucket
+    out = graph_explore(log_ds, "product", ["beatles"],
+                        hops=[[{"field": "user", "size": 5,
+                                "min_doc_count": 1}]],
+                        use_significance=True, sample_size=8,
+                        sort_key="ts")
+    assert not out["vertices"].empty

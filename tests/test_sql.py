@@ -116,3 +116,21 @@ def test_errors():
         sql_translate("SELECT SUM(*) FROM t")
     with pytest.raises(SqlError):
         sql_translate("SELECT a FROM t ORDER BY")  # empty order
+
+
+def test_order_by_original_name_with_alias(sql_ds):
+    # SQL allows ORDER BY / HAVING on the pre-alias column name
+    sql = ("SELECT kind AS k, COUNT(*) AS c FROM t GROUP BY kind "
+           "ORDER BY kind")
+    got = _run(sql, sql_ds)
+    assert list(got.columns) == ["k", "c"]
+    assert got["k"].tolist() == sorted(got["k"].tolist())
+    sql = ("SELECT kind AS k, SUM(v) AS s FROM t GROUP BY kind "
+           "HAVING s > 3 ORDER BY s DESC")
+    got = _run(sql, sql_ds)
+    assert (got["s"] > 3).all()
+
+
+def test_star_with_group_by_rejected():
+    with pytest.raises(SqlError):
+        sql_translate("SELECT * FROM t GROUP BY kind")

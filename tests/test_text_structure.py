@@ -130,3 +130,19 @@ def test_line_limit_respected():
     out = find_structure(sample, line_limit=10)
     assert out["num_lines_analyzed"] == 10
     assert out["field_stats"]["a"]["count"] == 10
+
+
+def test_heterogeneous_ndjson_keys_no_phantom_nan():
+    # a key missing from some objects becomes pandas NaN — it must be
+    # treated as absent, not the string 'nan'
+    sample = ('{"ts": "2024-01-01T00:00:00", "v": 1}\n'
+              '{"v": 3}\n'
+              '{"ts": "2024-01-02T00:00:00", "v": 5}\n')
+    out = find_structure(sample)
+    assert out["mappings"]["ts"] == "date"
+    assert out["timestamp_field"] == "ts"
+    assert out["field_stats"]["ts"]["count"] == 2
+    vals = {h["value"] for h in out["field_stats"]["ts"]["top_hits"]}
+    assert "nan" not in vals
+    # v arrives as float NaN-padded ints; values present are 1/3/5
+    assert out["field_stats"]["v"]["count"] == 3
