@@ -429,6 +429,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_match_top10(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark join merge"), k=10)
 
+    def ccr_follow_search(sf):
+        # CCR follower (x-pack ccr): follow the documents index, serve
+        # the query from the FOLLOWER; results must equal the leader's,
+        # so the oracle is the same BM25 twin as search_match_top10.
+        # A second poll after the initial sync must copy nothing.
+        import shutil
+
+        from elasticsearch_ray.index.ccr import follow, poll_follow
+        from elasticsearch_ray.search.engine import QueryEngine
+
+        _documents_index(sf)  # ensure the leader exists/resumes
+        leader = f"/tmp/esray_indexes/docs-{_sf_key(sf)}"
+        follower = f"/tmp/esray_indexes/ccr-follower-{_sf_key(sf)}"
+        shutil.rmtree(follower, ignore_errors=True)
+        follow(leader, follower)
+        rep = poll_follow(follower)
+        assert not rep["copied"] and not rep["removed"]
+        eng = QueryEngine(follower, dtype="float64")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
     def async_search_match(sf):
         # async search API (x-pack async-search): submit + wait to
         # completion; the final response must equal the synchronous
@@ -2721,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_match_top10": search_match_top10,
         "async_search_match": async_search_match,
+        "ccr_follow_search": ccr_follow_search,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -3166,6 +3187,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
+        "ccr_follow_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_lm_dirichlet": _sim_sql("LMDirichlet", ["spark", "join", "merge"]),
         "search_dfr": _sim_sql("DFR", ["spark", "join", "merge"]),
         "search_lm_jelinek_mercer": _sim_sql("LMJelinekMercer", ["spark", "join", "merge"]),

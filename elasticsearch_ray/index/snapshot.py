@@ -76,3 +76,18 @@ def snapshot_restore(repo_dir: str, name: str, dst_index_dir: str) -> dict:
 
 def snapshot_delete(repo_dir: str, name: str) -> None:
     shutil.rmtree(_snap_dir(repo_dir, name))
+
+
+def mount_snapshot(repo_dir: str, name: str, dtype: str = "float64"):
+    """Searchable snapshot (x-pack searchable-snapshots
+    ``TransportMountSearchableSnapshotAction.java``): open a QueryEngine
+    DIRECTLY over the snapshot files — no restore copy. Snapshots are
+    immutable, so the mount is read-only by construction; the extra
+    ``snapshot.json`` manifest is ignored by the reader (unknown files
+    are, like Lucene ignores non-segment files)."""
+    src = _snap_dir(repo_dir, name)
+    if not os.path.exists(os.path.join(src, "snapshot.json")):
+        raise FileNotFoundError(f"no complete snapshot {name!r} in {repo_dir}")
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    return QueryEngine(src, dtype=dtype)
