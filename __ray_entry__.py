@@ -429,6 +429,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_match_top10(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark join merge"), k=10)
 
+    def dedup_substring_spans(sf):
+        # substring-span dedup (Lee et al. 2021 suffix-array analog via
+        # window fingerprints): deterministically plant doc 0's first 20
+        # tokens as a prefix on every doc_id % 10 == 0 doc (same derive
+        # in the DuckDB twin, which compares EXACT window strings); the
+        # per-doc duplicated-window counts and span extents must agree
+        import duckdb
+        import pandas as pd
+
+        from elasticsearch_ray.ops.substring_dedup import duplicated_spans
+
+        pre = duckdb.sql(
+            f"SELECT array_to_string(list_slice(string_split(text, ' '), "
+            f"1, 20), ' ') FROM '{os.path.join(sf, 'documents.parquet')}' "
+            f"WHERE doc_id = 0").fetchone()[0]
+
+        def derive(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            planted = out["doc_id"] % 10 == 0
+            out.loc[planted, "text"] = pre + " " + out.loc[planted, "text"]
+            return out
+
+        ds2 = (_ds(sf, "documents").select_columns(["doc_id", "text"])
+               .map_batches(derive, batch_format="pandas"))
+        spans = duplicated_spans(ds2, window=20, min_count=2)
+        out = (spans.groupby("doc_id")
+               .agg(n_dup_windows=("n_windows", "sum"),
+                    first_tok=("start_tok", "min"),
+                    last_end=("end_tok", "max"))
+               .reset_index().sort_values("doc_id", ignore_index=True))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ccr_follow_search(sf):
         # CCR follower (x-pack ccr): follow the documents index, serve
         # the query from the FOLLOWER; results must equal the leader's,
@@ -2742,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_match_top10": search_match_top10,
         "async_search_match": async_search_match,
         "ccr_follow_search": ccr_follow_search,
+        "dedup_substring_spans": dedup_substring_spans,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -3188,6 +3223,41 @@ def oracle_sql() -> dict[str, str]:
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
         "ccr_follow_search": _bm25_sql(["spark", "join", "merge"], k=10),
+        "dedup_substring_spans": """
+            WITH pre AS (
+              SELECT array_to_string(
+                       list_slice(string_split(text, ' '), 1, 20), ' ')
+                     AS p
+              FROM documents WHERE doc_id = 0
+            ), d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN (SELECT p FROM pre) || ' ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM d
+            ), win AS (
+              SELECT doc_id,
+                     unnest(generate_series(1,
+                            greatest(len(toks) - 19, 0))) - 1 AS pos,
+                     toks
+              FROM tl
+            ), w AS (
+              SELECT doc_id, pos,
+                     array_to_string(
+                       list_slice(toks, pos + 1, pos + 20), ' ') AS win
+              FROM win
+            ), dupw AS (
+              SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_dup_windows,
+                   min(pos)::BIGINT AS first_tok,
+                   max(pos + 20)::BIGINT AS last_end
+            FROM w WHERE win IN (SELECT win FROM dupw)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "search_lm_dirichlet": _sim_sql("LMDirichlet", ["spark", "join", "merge"]),
         "search_dfr": _sim_sql("DFR", ["spark", "join", "merge"]),
         "search_lm_jelinek_mercer": _sim_sql("LMJelinekMercer", ["spark", "join", "merge"]),
