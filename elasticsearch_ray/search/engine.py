@@ -1546,6 +1546,12 @@ class QueryEngine:
         self._coords = None
         self._coord_rr = 0
         self._scorer_cache: dict = {}
+        # _field_usage/stats API (rest/action/admin/indices/
+        # RestFieldUsageStatsAction, shards/FieldUsageStats.java):
+        # coordinator-tracked per-field access counters, bumped on every
+        # search — inverted_index for query terms (per analyzed field),
+        # stored_fields for fetch columns, doc_values for sort/collapse
+        self.field_usage: dict[str, dict[str, int]] = {}
         if parallel == "ray":
             self._init_actors()
             if num_coordinators:
@@ -2114,6 +2120,7 @@ class QueryEngine:
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))
+        self._track_field_usage(q, fetch, sort, collapse)
         if post_filter is not None or terminate_after is not None:
             if sort or collapse or rescore or search_after:
                 raise ValueError("post_filter/terminate_after cannot be combined "
@@ -2410,6 +2417,32 @@ class QueryEngine:
                 total += sz
         return {"total_in_bytes": total, "num_partitions": len(self.parts),
                 "n_docs": self.n_docs, "breakdown": agg}
+
+    def _track_field_usage(self, q, fetch, sort, collapse) -> None:
+        def bump(field: str, kind: str) -> None:
+            self.field_usage.setdefault(field, {})
+            self.field_usage[field][kind] = \
+                self.field_usage[field].get(kind, 0) + 1
+
+        try:
+            for t in query_terms(q, self.analyzer_name):
+                bump(field_of_term(t) or self.spec["text_column"],
+                     "inverted_index")
+        except Exception:
+            bump(self.spec["text_column"], "inverted_index")
+        for col in fetch or ():
+            bump(col, "stored_fields")
+        for key, _dir in sort or ():
+            if key != "_score":
+                bump(key, "doc_values")
+        if collapse:
+            bump(collapse, "doc_values")
+
+    def field_usage_stats(self) -> dict:
+        """_field_usage_stats analog: {field: {section: count}} counters
+        accumulated since this engine was opened."""
+        return {f: dict(kinds) for f, kinds in
+                sorted(self.field_usage.items())}
 
     def field_caps(self) -> dict:
         """The `_field_caps` API (FieldCapabilitiesRequest): per-field type

@@ -56,3 +56,16 @@ def test_cat_apis(prof_engine):
     assert (segs["size_bytes"] > 0).all()
     assert int(segs["docs.count"].sum()) == prof_engine.n_docs
     assert cat_count(prof_engine).iloc[0]["count"] == prof_engine.n_docs
+
+
+def test_field_usage_stats(prof_engine):
+    from elasticsearch_ray.search.query import TermFilter
+
+    prof_engine.field_usage.clear()
+    prof_engine.search(MatchQuery("spark join"), k=5, fetch=("doc_id",))
+    prof_engine.search(TermQuery("spark"), k=5, fetch=("doc_id",),
+                       sort=[("lang", "asc")])
+    st = prof_engine.field_usage_stats()
+    assert st["text"]["inverted_index"] >= 3  # spark+join, spark
+    assert st["doc_id"]["stored_fields"] == 2
+    assert st["lang"]["doc_values"] == 1
