@@ -465,6 +465,33 @@ class CustomChainAnalyzer(Analyzer):
             terms, pos = fn(terms, pos, **params)
         return F.finish_keywords(terms, pos)
 
+    def explain(self, text: str) -> dict:
+        """_analyze ``explain: true`` (TransportAnalyzeAction detail
+        response): the charfiltered text, the tokenizer's output, then
+        the token stream AFTER EVERY filter in chain order."""
+        from elasticsearch_ray.analysis import filters as F
+
+        filtered_text = self.chain(text)
+        terms = self._raw_tokens(filtered_text)
+        pos = list(range(len(terms)))
+        steps = []
+        for fn, params in self.filters:
+            terms, pos = fn(terms, pos, **params)
+            ft, fp = F.finish_keywords(list(terms), list(pos))
+            steps.append({"name": fn.__name__,
+                          "tokens": [{"token": t, "position": int(p)}
+                                     for t, p in zip(ft, fp)]})
+        tk = self.tokenizer
+        tok_name = tk if isinstance(tk, str) else tk[0]
+        raw = self._raw_tokens(filtered_text)
+        return {
+            "charfiltered_text": filtered_text,
+            "tokenizer": {"name": tok_name,
+                          "tokens": [{"token": t, "position": i}
+                                     for i, t in enumerate(raw)]},
+            "tokenfilters": steps,
+        }
+
 
 def get_analyzer(name: str) -> Analyzer:
     if name.startswith("custom:"):

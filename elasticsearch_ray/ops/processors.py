@@ -1109,3 +1109,46 @@ class Pipeline:
         for p in self.processors:
             df = p(df)
         return df
+
+
+def simulate_pipeline(processors: list, docs: list[dict],
+                      verbose: bool = False) -> dict:
+    """``_ingest/pipeline/_simulate`` (SimulatePipelineTransportAction /
+    ``SimulateExecutionService.java``): run the pipeline over the given
+    documents — a debugging API over a handful of docs, so each doc runs
+    as its own frame with per-doc error isolation (one failing doc
+    reports its error, others still process, like the reference).
+    ``verbose`` returns per-processor intermediate states
+    (SimulateProcessorResult)."""
+    pipe = Pipeline(processors)
+    out_docs = []
+    for doc in docs:
+        df = pd.DataFrame([doc])
+        if not verbose:
+            try:
+                df = pipe(df)
+                out_docs.append({"doc": {"_source":
+                                         df.iloc[0].to_dict()}})
+            except Exception as e:
+                out_docs.append({"error": {"type": type(e).__name__,
+                                           "reason": str(e)}})
+            continue
+        results = []
+        failed = False
+        for p in pipe.processors:
+            if failed:
+                break
+            ptype = getattr(p, "name", None) or type(p).__name__
+            try:
+                df = p(df)
+                results.append({"processor_type": ptype,
+                                "status": "success",
+                                "doc": {"_source": df.iloc[0].to_dict()}})
+            except Exception as e:
+                results.append({"processor_type": ptype,
+                                "status": "error",
+                                "error": {"type": type(e).__name__,
+                                          "reason": str(e)}})
+                failed = True
+        out_docs.append({"processor_results": results})
+    return {"docs": out_docs}

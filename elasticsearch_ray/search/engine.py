@@ -2234,11 +2234,24 @@ class QueryEngine:
                         "part": pa.array(parts_a), "local": pa.array(docs_a)})
         return self._attach_fetch(tbl, parts_a, docs_a, fetch)
 
-    def analyze(self, text: str, analyzer: str | None = None) -> list[dict]:
+    def analyze(self, text: str, analyzer: str | None = None,
+                explain: bool = False):
         """The `_analyze` API (AnalyzeAction): run text through a named
         analyzer (default: this index's) and return the token stream as
-        [{token, position}] — the standard debugging surface for chains."""
+        [{token, position}] — the standard debugging surface for chains.
+        ``explain=True`` returns the per-step detail response
+        (charfiltered text, tokenizer output, tokens after every filter)
+        for custom chains, or the final tokens under a single analyzer
+        node otherwise (TransportAnalyzeAction detail shape)."""
         an = get_analyzer(analyzer or self.analyzer_name)
+        if explain:
+            if hasattr(an, "explain"):
+                return an.explain(text)
+            terms, pos = an(text)
+            return {"analyzer": {
+                "name": analyzer or self.analyzer_name,
+                "tokens": [{"token": t, "position": int(p)}
+                           for t, p in zip(terms, pos)]}}
         terms, pos = an(text)
         return [{"token": t, "position": int(p)} for t, p in zip(terms, pos)]
 
