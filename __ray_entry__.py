@@ -2178,6 +2178,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"events": _ds(sf, "events")}).to_pandas()
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def sql_events_expr(sf):
+        # scalar expression select items (x-pack SQL arithmetic in the
+        # select list): compiled onto an ES|QL EVAL stage; same-order
+        # IEEE arithmetic on both sides, ties broken by event_id
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT event_id, value * 3 + user_id AS score FROM events "
+            "WHERE event_type = 'view' ORDER BY score DESC, event_id "
+            "LIMIT 20",
+            {"events": _ds(sf, "events")}).to_pandas()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -2960,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_structure_events_csv": text_structure_events_csv,
         "sql_events_agg": sql_events_agg,
         "sql_events_topk": sql_events_topk,
+        "sql_events_expr": sql_events_expr,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -4485,6 +4499,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM events
             WHERE event_type IN ('purchase', 'signup') AND value >= 50
             ORDER BY value DESC, event_id LIMIT 25
+        """,
+        "sql_events_expr": """
+            SELECT event_id, value * 3 + user_id AS score FROM events
+            WHERE event_type = 'view' ORDER BY score DESC, event_id
+            LIMIT 20
         """,
         "text_structure_events_csv": """
             WITH s AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)

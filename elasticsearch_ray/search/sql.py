@@ -38,7 +38,7 @@ _SQL_TOKEN = re.compile(r"""
       (?P<string>'(?:[^']|'')*')
     | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
-    | (?P<op><>|!=|<=|>=|[(),*=<>])
+    | (?P<op><>|!=|<=|>=|[(),*=<>+\-/%])
     )""", re.VERBOSE)
 
 _CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
@@ -115,7 +115,8 @@ def _split_commas(toks):
 
 
 def _parse_select_item(toks):
-    """-> (kind, expr, alias): kind 'col' or 'agg'."""
+    """-> (kind, expr, alias): kind 'col', 'agg', or 'expr' (a scalar
+    arithmetic expression, compiled onto an EVAL stage)."""
     alias = None
     if len(toks) >= 2 and toks[-2] == ("kw", "AS"):
         if toks[-1][0] != "name":
@@ -138,6 +139,19 @@ def _parse_select_item(toks):
             raise SqlError(f"{fn} takes a column (or * for COUNT)")
         default = f"{fn}({argname})"
         return "agg", (fn, argname), alias or default
+    # scalar expression item (e.g. value * 2 + 1 AS x): numeric
+    # names/numbers/arithmetic only — rides the sandboxed expression
+    # engine via an ES|QL EVAL stage; an alias is required (the
+    # reference names computed columns after the source text, which the
+    # pipe dialect has no room for)
+    if toks and all(k in ("name", "number") or (k == "op" and
+                    v in "()*/%+-")
+                    for k, v in toks):
+        if alias is None:
+            raise SqlError(
+                f"expression select items need AS <alias>: {toks}")
+        src = " ".join(v for _k, v in toks)
+        return "expr", src, alias
     raise SqlError(f"unsupported select item: {toks}")
 
 
@@ -193,10 +207,17 @@ def sql_translate(sql: str) -> str:
 
     aggs = [(expr, alias) for kind, expr, alias in items if kind == "agg"]
     plain = [(expr, alias) for kind, expr, alias in items if kind == "col"]
+    exprs = [(expr, alias) for kind, expr, alias in items if kind == "expr"]
+    if exprs and (aggs or group_cols or distinct):
+        raise SqlError("expression select items cannot be combined with "
+                       "aggregates/GROUP BY/DISTINCT")
 
     pipe = [f"FROM {table}"]
     if "WHERE" in clauses:
         pipe.append("WHERE " + _cond_to_pipe(clauses["WHERE"]))
+    if exprs:
+        pipe.append("EVAL " + ", ".join(f"{alias} = {src}"
+                                        for src, alias in exprs))
 
     renames = []
     if aggs or group_cols:

@@ -134,3 +134,17 @@ def test_order_by_original_name_with_alias(sql_ds):
 def test_star_with_group_by_rejected():
     with pytest.raises(SqlError):
         sql_translate("SELECT * FROM t GROUP BY kind")
+
+
+def test_expression_select_items(sql_ds):
+    sql = ("SELECT user, v * 2 + n AS score FROM t "
+           "WHERE v >= 3 ORDER BY score DESC LIMIT 3")
+    got = _run(sql, sql_ds)
+    want = _duck(sql)
+    got["score"] = got["score"].astype(float)
+    want["score"] = want["score"].astype(float)
+    pd.testing.assert_frame_equal(got, want)
+    with pytest.raises(SqlError, match="AS"):
+        sql_translate("SELECT v * 2 FROM t")
+    with pytest.raises(SqlError, match="combined"):
+        sql_translate("SELECT v * 2 AS x, SUM(n) AS s FROM t")
