@@ -116,3 +116,38 @@ def test_mount_searchable_snapshot(leader, tmp_path):
     assert got.to_pylist() == want.to_pylist()
     with pytest.raises(FileNotFoundError):
         mount_snapshot(repo, "nope")
+
+
+def test_incremental_snapshots_share_blobs(leader, tmp_path):
+    import json
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.snapshot import (snapshot_create,
+                                                  snapshot_delete,
+                                                  snapshot_list,
+                                                  snapshot_restore)
+    from elasticsearch_ray.index.spec import IndexSpec
+
+    corpus, leader_idx, spec, t = leader
+    repo = str(tmp_path / "repo2")
+    m1 = snapshot_create(leader_idx, repo, "gen1")
+    blobs = os.path.join(repo, "blobs")
+    n_blobs_1 = len(os.listdir(blobs))
+    assert n_blobs_1 <= m1["files"]  # identical files dedup within one
+
+    # append-only growth, then snapshot again: unchanged partition
+    # files are REUSED, not re-copied
+    m2 = snapshot_create(leader_idx, repo, "gen2")
+    assert m2["reused_files"] == m2["files"]  # nothing changed at all
+    assert len(os.listdir(blobs)) == n_blobs_1
+
+    # delete gen1: gen2 still restorable; orphan GC only removes blobs
+    # nothing references
+    snapshot_delete(repo, "gen1")
+    assert [m["snapshot"] for m in snapshot_list(repo)] == ["gen2"]
+    restored = str(tmp_path / "restored_gen2")
+    snapshot_restore(repo, "gen2", restored)
+    with open(os.path.join(restored, "index_meta.json")) as f:
+        assert json.load(f)["n_docs"] > 0
+    snapshot_delete(repo, "gen2")
+    assert os.listdir(blobs) == []  # full GC once nothing references
