@@ -1141,6 +1141,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _search_table(_documents_index(sf), q, k=10)
 
+    def _tags_sidecar(sf):
+        """rank_features sidecar 'tags' over the documents index
+        (RankFeaturesFieldMapper / Lucene FeatureField analog): f_a on every
+        doc, f_b only on doc_id % 3 == 0. Weights are dyadic with <= 8
+        mantissa bits, so FeatureField's freq-encoding truncation
+        (floatToIntBits >>> 15) is EXACT and the SQL twin is plain
+        arithmetic on doc_id."""
+        import os as _os
+
+        from elasticsearch_ray.index.rank_features import build_rank_features
+
+        eng = _documents_index(sf)
+        if not _os.path.exists(_os.path.join(eng.index_dir,
+                                             "rankfeat-tags.json")):
+            n = eng.n_docs
+            ids = np.arange(n, dtype=np.int64)
+            fb_ids = ids[ids % 3 == 0]
+            feats = pa.table({
+                "doc_id": pa.array(np.concatenate([ids, fb_ids])),
+                "feature": pa.array(["f_a"] * n + ["f_b"] * len(fb_ids)),
+                "weight": pa.array(np.concatenate([
+                    (ids % 8 + 1) * 0.25, (fb_ids % 5 + 1) * 0.5,
+                ]), pa.float64()),
+            })
+            build_rank_features(eng.index_dir, "tags", feats)
+        return eng
+
+    def search_weighted_tokens(sf):
+        # sparse-vector / text-expansion retrieval: score = Σ q_w · stored_w
+        from elasticsearch_ray.search.query import WeightedTokensQuery
+
+        q = WeightedTokensQuery(field="tags",
+                                tokens=(("f_a", 0.5), ("f_b", 2.0)))
+        return _search_table(_tags_sidecar(sf), q, k=10)
+
+    def search_rank_features_feature(sf):
+        # rank_feature over a SPARSE sidecar feature boosting a BM25 match
+        from elasticsearch_ray.search.query import RankFeatureQuery
+
+        q = BoolQuery(
+            must=(MatchQuery("spark"),),
+            should=(RankFeatureQuery(field="tags.f_b", pivot=1.0,
+                                     boost=3.0),),
+        )
+        return _search_table(_tags_sidecar(sf), q, k=10)
+
     def search_terms_set(sf):
         from elasticsearch_ray.search.query import TermsSetQuery
 
@@ -2862,6 +2908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_not": search_span_not,
         "search_pinned": search_pinned,
         "search_rank_feature": search_rank_feature,
+        "search_weighted_tokens": search_weighted_tokens,
+        "search_rank_features_feature": search_rank_features_feature,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -3726,6 +3774,26 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "search_weighted_tokens": """
+            WITH f AS (
+              SELECT doc_id,
+                     0.5 * ((doc_id % 8 + 1) * 0.25)
+                     + CASE WHEN doc_id % 3 = 0
+                            THEN 2.0 * ((doc_id % 5 + 1) * 0.5)
+                            ELSE 0.0 END AS score
+              FROM documents
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM f ORDER BY rank LIMIT 10
+        """,
+        "search_rank_features_feature": _bm25_sql(
+            ["spark"], k=10,
+            extra_score=("CASE WHEN doc.doc_id % 3 = 0 THEN 3.0 * "
+                         "(((doc.doc_id % 5 + 1) * 0.5) / "
+                         "(((doc.doc_id % 5 + 1) * 0.5) + 1.0)) "
+                         "ELSE 0.0 END")),
         "search_script_score_expr": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
         "search_terms_set": """

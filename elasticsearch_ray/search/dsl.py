@@ -61,6 +61,7 @@ from elasticsearch_ray.search.query import (
     TermsLookupQuery,
     TermsQuery,
     TermsSetQuery,
+    WeightedTokensQuery,
     WildcardQuery,
     parse_simple_query_string,
 )
@@ -470,10 +471,29 @@ class _Parser:
                                     pivot=float(body["sigmoid"]["pivot"]),
                                     exponent=float(body["sigmoid"]["exponent"]),
                                     boost=float(body.get("boost", 1.0)))
+        if "linear" in body:
+            return RankFeatureQuery(field=field, function="linear",
+                                    boost=float(body.get("boost", 1.0)))
         sat = body.get("saturation", {})
+        pv = sat.get("pivot")  # absent = Lucene auto-pivot (coordinator)
         return RankFeatureQuery(field=field, function="saturation",
-                                pivot=float(sat.get("pivot", 1.0)),
+                                pivot=None if pv is None else float(pv),
                                 boost=float(body.get("boost", 1.0)))
+
+    def q_weighted_tokens(self, body):
+        # weighted_tokens ({"<field>": {"tokens": {tok: w}}}) — the sparse
+        # vector / text-expansion execution shape over a rank_features field
+        items = [(f, b) for f, b in body.items() if f != "boost"]
+        if len(items) != 1:
+            raise DslError("weighted_tokens needs exactly one field")
+        field, b = items[0]
+        toks = b.get("tokens") or {}
+        if not isinstance(toks, dict) or not toks:
+            raise DslError("weighted_tokens needs a non-empty tokens map")
+        return WeightedTokensQuery(
+            field=field,
+            tokens=tuple(sorted((str(t), float(w)) for t, w in toks.items())),
+            boost=float(b.get("boost", body.get("boost", 1.0))))
 
     def q_distance_feature(self, body):
         return DistanceFeatureQuery(field=body["field"], origin=body["origin"],
@@ -732,9 +752,14 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
             body["log"] = {"scaling_factor": q.scaling_factor}
         elif q.function == "sigmoid":
             body["sigmoid"] = {"pivot": q.pivot, "exponent": q.exponent}
+        elif q.function == "linear":
+            body["linear"] = {}
         else:
-            body["saturation"] = {"pivot": q.pivot}
+            body["saturation"] = {} if q.pivot is None else {"pivot": q.pivot}
         return {"rank_feature": body}
+    if isinstance(q, WeightedTokensQuery):
+        return {"weighted_tokens": {q.field: {"tokens": dict(q.tokens),
+                                              "boost": q.boost}}}
     if isinstance(q, DistanceFeatureQuery):
         return {"distance_feature": {"field": q.field, "origin": q.origin,
                                      "pivot": q.pivot, "boost": q.boost}}

@@ -72,6 +72,7 @@ from elasticsearch_ray.search.query import (
     TermsLookupQuery,
     TermsQuery,
     TermsSetQuery,
+    WeightedTokensQuery,
     WildcardQuery,
     intervals_terms,
     parse_query_string,
@@ -126,6 +127,41 @@ class PartitionSearcher:
         t = pq.read_table(os.path.join(self.r.dir, "docs.parquet"),
                           columns=[name])
         return t[name].to_numpy(zero_copy_only=False)
+
+    def _rank_sidecar(self, field: str):
+        """Lazy per-field rank_features sidecar (RankFeaturesFieldMapper /
+        FeatureField postings analog): {feature: (locals int64, decoded
+        float64 values)}; None when the field was never built here."""
+        cache = getattr(self, "_rankfeat", None)
+        if cache is None:
+            cache = self._rankfeat = {}
+        if field in cache:
+            return cache[field]
+        import pyarrow.parquet as pq
+
+        from elasticsearch_ray.index.rank_features import decode_feature
+
+        path = os.path.join(self.r.dir, f"rankfeat-{field}.parquet")
+        if not os.path.exists(path):
+            cache[field] = None
+            return None
+        t = pq.read_table(path)
+        feats = t["feature"].to_numpy(zero_copy_only=False)
+        locals_ = t["local"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = decode_feature(
+            t["freq"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if len(feats):
+            # rows are (feature, local)-sorted at build time → slice views
+            chg = np.empty(len(feats), dtype=bool)
+            chg[0] = True
+            chg[1:] = feats[1:] != feats[:-1]
+            starts = np.flatnonzero(chg)
+            ends = np.append(starts[1:], len(feats))
+            for s, e in zip(starts, ends):
+                out[str(feats[s])] = (locals_[s:e], vals[s:e])
+        cache[field] = out
+        return out
 
     def _doc_col(self, name: str):
         col = self._doc_cols.get(name)
@@ -732,16 +768,54 @@ class PartitionSearcher:
             order = np.argsort(docs, kind="stable")
             return docs[order], sc[order].astype(dtype)
         if isinstance(q, RankFeatureQuery):
-            x = self._doc_col(q.field).astype(np.float64)
+            docs = None
+            if "." in q.field:
+                head, feat = q.field.split(".", 1)
+                side = self._rank_sidecar(head)
+                if side is not None:
+                    # rank_features sidecar feature: only docs CARRYING the
+                    # feature match (FeatureField postings, not a dense col)
+                    locs, vals = side.get(
+                        feat, (np.empty(0, np.int64), np.empty(0)))
+                    if len(locs) == 0:
+                        return np.empty(0, np.int64), np.empty(0, dtype)
+                    docs, x = locs, vals
+            if docs is None:
+                x = self._doc_col(q.field).astype(np.float64)
+                docs = np.arange(r.n_docs, dtype=np.int64)
+            if q.pivot is None:
+                raise ValueError("auto-pivot must be resolved at the "
+                                 "coordinator rewrite (engine-level search)")
             if q.function == "log":
                 s = np.log(q.scaling_factor + x)
             elif q.function == "sigmoid":
                 xe = np.power(x, q.exponent)
                 s = xe / (xe + q.pivot ** q.exponent)
+            elif q.function == "linear":  # FeatureField.newLinearQuery
+                s = x
             else:  # saturation
                 s = x / (x + q.pivot)
-            docs = np.arange(r.n_docs, dtype=np.int64)
             return docs, (q.boost * s).astype(dtype)
+        if isinstance(q, WeightedTokensQuery):
+            side = self._rank_sidecar(q.field)
+            if side is None:
+                raise ValueError(
+                    f"weighted_tokens field {q.field!r}: no rank_features "
+                    f"sidecar built for this index")
+            d_arrays, s_arrays = [], []
+            for tok, w in q.tokens:
+                locs, vals = side.get(
+                    tok, (np.empty(0, np.int64), np.empty(0)))
+                if len(locs):
+                    d_arrays.append(locs)
+                    s_arrays.append(float(w) * vals)
+            if not d_arrays:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            from elasticsearch_ray.search.topk import accumulate_dense
+
+            docs, scores = accumulate_dense(
+                d_arrays, s_arrays, 0, r.n_docs, np.float64, 1)
+            return docs, (scores * q.boost).astype(dtype)
         if isinstance(q, TermsSetQuery):
             cursors = [c for t in q.terms if (c := self._cursor(t, scorers)) is not None]
             if not cursors:
@@ -1726,6 +1800,33 @@ class QueryEngine:
         selects its top tf·idf terms once here (so every partition scores the
         same rewritten disjunction), mirroring the coordinator-side rewrite
         of MoreLikeThisQueryBuilder."""
+        if isinstance(q, RankFeatureQuery) and q.pivot is None:
+            # Lucene FeatureField.newSaturationQuery with no pivot:
+            # computePivotFeatureValue = decode(sumTotalTermFreq / docFreq)
+            # of the feature — resolved ONCE here so every partition scores
+            # the same constant (only rank_features sidecar features carry
+            # the needed freq stats; plain doc columns require an explicit
+            # pivot, like pre-FeatureField Lucene)
+            import dataclasses
+
+            if q.function != "saturation":
+                raise ValueError(
+                    f"rank_feature {q.function} requires an explicit pivot")
+            if "." not in q.field:
+                raise ValueError(
+                    "rank_feature auto-pivot needs a rank_features "
+                    "field.feature (explicit pivot required for doc columns)")
+            from elasticsearch_ray.index.rank_features import (
+                decode_feature,
+                feature_stats,
+            )
+
+            head, feat = q.field.split(".", 1)
+            sum_freq, df = feature_stats(self.index_dir, head, feat)
+            pivot = (float(decode_feature(
+                np.array([sum_freq // df], dtype=np.uint32))[0])
+                if df else 1.0)
+            return dataclasses.replace(q, pivot=pivot)
         if isinstance(q, MoreLikeThisQuery):
             from collections import Counter
 

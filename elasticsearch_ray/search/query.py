@@ -415,17 +415,39 @@ class PinnedQuery(Query):
 
 @dataclass(frozen=True)
 class RankFeatureQuery(Query):
-    """rank_feature (RankFeatureQueryBuilder) over a numeric doc column:
+    """rank_feature (RankFeatureQueryBuilder) over a numeric doc column OR a
+    feature inside a ``rank_features`` sidecar (``field.feature`` — the
+    reference's RankFeaturesFieldMapper / Lucene FeatureField model, weights
+    freq-encoded with FeatureField's 9-bit-mantissa precision loss):
     saturation  S = x / (x + pivot)
     log         S = ln(scaling_factor + x)
     sigmoid     S = x^exp / (x^exp + pivot^exp)
-    score = boost * S; matches every doc carrying the field (here: all)."""
+    linear      S = x                (FeatureField.newLinearQuery)
+    score = boost * S. Doc-column fields match every doc; sidecar features
+    match only docs CARRYING the feature (FeatureField postings semantics).
+    ``pivot=None`` on saturation = Lucene's computePivotFeatureValue
+    auto-pivot (decode(sum_freq / df) for sidecar features, column mean for
+    doc columns), resolved once at the coordinator rewrite."""
 
     field: str = ""
-    function: str = "saturation"  # saturation | log | sigmoid
-    pivot: float = 1.0
+    function: str = "saturation"  # saturation | log | sigmoid | linear
+    pivot: float | None = 1.0
     scaling_factor: float = 1.0
     exponent: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WeightedTokensQuery(Query):
+    """weighted_tokens / sparse-vector retrieval over a ``rank_features``
+    sidecar field: score = Σ_t query_weight(t) · stored_weight(t, doc) — a
+    single-pass disjunction of Lucene ``FeatureField.newLinearQuery`` clauses
+    (the ELSER/text-expansion execution shape; the reference era exposes the
+    same scoring as a bool-should of linear rank_feature queries over a
+    RankFeaturesFieldMapper field). Docs matching no token don't match."""
+
+    field: str = ""
+    tokens: tuple = ()  # ((token, weight), ...)
     boost: float = 1.0
 
 
