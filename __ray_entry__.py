@@ -2102,6 +2102,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
             maxspan="2 days", until={"event_type": "error"})
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ml_inference_regression(sf):
+        # x-pack ml trained-model inference (TreeInferenceModel /
+        # EnsembleInferenceModel, weighted_sum): 2-tree ensemble over
+        # (one_hot(event_type), value, user_id); every split/leaf is a SQL
+        # CASE, so the DuckDB twin is exact
+        from elasticsearch_ray.ops.inference import infer_dataset
+
+        defn = {
+            "preprocessors": [
+                {"one_hot_encoding": {"field": "event_type",
+                                      "hot_map": {"purchase": "is_purchase"}}},
+            ],
+            "trained_model": {"ensemble": {
+                "feature_names": ["is_purchase", "value", "user_id"],
+                "trained_models": [
+                    {"tree": {
+                        "feature_names": ["is_purchase", "value", "user_id"],
+                        "tree_structure": [
+                            {"node_index": 0, "split_feature": 0,
+                             "threshold": 0.5, "left_child": 1,
+                             "right_child": 2},
+                            {"node_index": 1, "split_feature": 1,
+                             "threshold": 100.0, "left_child": 3,
+                             "right_child": 4},
+                            {"node_index": 2, "leaf_value": 4.0},
+                            {"node_index": 3, "leaf_value": 1.0},
+                            {"node_index": 4, "leaf_value": 2.0},
+                        ]}},
+                    {"tree": {
+                        "feature_names": ["is_purchase", "value", "user_id"],
+                        "tree_structure": [
+                            {"node_index": 0, "split_feature": 2,
+                             "threshold": 10.0, "left_child": 1,
+                             "right_child": 2},
+                            {"node_index": 1, "leaf_value": 3.0},
+                            {"node_index": 2, "split_feature": 1,
+                             "threshold": 50.0, "left_child": 3,
+                             "right_child": 4},
+                            {"node_index": 3, "leaf_value": 5.0},
+                            {"node_index": 4, "leaf_value": 6.0},
+                        ]}},
+                ],
+                "aggregate_output": {"weighted_sum": {"weights": [0.5, 1.5]}},
+            }},
+        }
+        out = infer_dataset(_ds(sf, "events"), defn).to_pandas()
+        out = out[["event_id", "ml.inference.predicted_value"]].rename(
+            columns={"ml.inference.predicted_value": "predicted_value"})
+        return pa.Table.from_pandas(
+            out.sort_values("event_id", ignore_index=True),
+            preserve_index=False)
+
+    def ml_inference_classification(sf):
+        # binary logistic_regression ensemble: probability = sigmoid(Σ leaf)
+        from elasticsearch_ray.ops.inference import infer_dataset
+
+        tree_a = {"tree": {
+            "feature_names": ["value", "is_signup"],
+            "tree_structure": [
+                {"node_index": 0, "split_feature": 0, "threshold": 80.0,
+                 "left_child": 1, "right_child": 2},
+                {"node_index": 1, "leaf_value": -0.7},
+                {"node_index": 2, "leaf_value": 0.9},
+            ]}}
+        tree_b = {"tree": {
+            "feature_names": ["value", "is_signup"],
+            "tree_structure": [
+                {"node_index": 0, "split_feature": 1, "threshold": 0.5,
+                 "left_child": 1, "right_child": 2},
+                {"node_index": 1, "leaf_value": 0.3},
+                {"node_index": 2, "leaf_value": -1.1},
+            ]}}
+        defn = {
+            "preprocessors": [
+                {"one_hot_encoding": {"field": "event_type",
+                                      "hot_map": {"signup": "is_signup"}}},
+            ],
+            "trained_model": {"ensemble": {
+                "feature_names": ["value", "is_signup"],
+                "target_type": "classification",
+                "classification_labels": ["no", "yes"],
+                "trained_models": [tree_a, tree_b],
+                "aggregate_output": {"logistic_regression": {}},
+            }},
+        }
+        out = infer_dataset(_ds(sf, "events"), defn).to_pandas()
+        out = out.rename(columns={
+            "ml.inference.predicted_value": "predicted_value",
+            "ml.inference.prediction_probability": "p"})
+        out["p"] = out["p"].round(6)
+        out = out[["event_id", "predicted_value", "p"]]
+        return pa.Table.from_pandas(
+            out.sort_values("event_id", ignore_index=True),
+            preserve_index=False)
+
     def pipeline_events_enrich_join(sf):
         # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
         # built from EVEN-custkey customers (so odd user_ids exercise the
@@ -2910,6 +3005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_feature": search_rank_feature,
         "search_weighted_tokens": search_weighted_tokens,
         "search_rank_features_feature": search_rank_features_feature,
+        "ml_inference_regression": ml_inference_regression,
+        "ml_inference_classification": ml_inference_classification,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -3787,6 +3884,36 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
                    doc_id, round(score, 4) AS score
             FROM f ORDER BY rank LIMIT 10
+        """,
+        "ml_inference_regression": """
+            SELECT event_id,
+                   0.5 * (CASE WHEN (CASE WHEN event_type = 'purchase'
+                                          THEN 1.0 ELSE 0.0 END) <= 0.5
+                               THEN CASE WHEN value <= 100.0
+                                         THEN 1.0 ELSE 2.0 END
+                               ELSE 4.0 END)
+                 + 1.5 * (CASE WHEN user_id <= 10 THEN 3.0
+                               ELSE CASE WHEN value <= 50.0
+                                         THEN 5.0 ELSE 6.0 END END)
+                   AS predicted_value
+            FROM events ORDER BY event_id
+        """,
+        "ml_inference_classification": """
+            WITH s AS (
+              SELECT event_id,
+                     (CASE WHEN value <= 80.0 THEN -0.7 ELSE 0.9 END)
+                   + (CASE WHEN (CASE WHEN event_type = 'signup'
+                                      THEN 1.0 ELSE 0.0 END) <= 0.5
+                           THEN 0.3 ELSE -1.1 END) AS lo
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN 1.0/(1.0+exp(-lo)) > 0.5
+                        THEN 'yes' ELSE 'no' END AS predicted_value,
+                   round(CASE WHEN 1.0/(1.0+exp(-lo)) > 0.5
+                              THEN 1.0/(1.0+exp(-lo))
+                              ELSE 1.0 - 1.0/(1.0+exp(-lo)) END, 6) AS p
+            FROM s ORDER BY event_id
         """,
         "search_rank_features_feature": _bm25_sql(
             ["spark"], k=10,

@@ -1022,6 +1022,44 @@ def execute_enrich_policy(ds, match_field: str, enrich_fields) -> pd.DataFrame:
     ).to_pandas()
 
 
+@register("inference")
+class InferenceProcessor(Processor):
+    """``inference`` ingest processor (x-pack ml —
+    ``ml/inference/ingest/InferenceProcessor.java``): run a trained
+    tree/ensemble model over each document's fields and write the result
+    under ``target_field`` (reference default ``ml.inference``), flattened
+    to dotted columns like the geoip/enrich precedent. ``model`` is either
+    a model_id previously stored with
+    :func:`elasticsearch_ray.ops.inference.put_trained_model` or an inline
+    TrainedModelDefinition dict; the parsed model lives in the processor
+    (broadcast once per worker), inference is fully vectorized per batch."""
+
+    def __init__(self, model, field_map=None, target_field="ml.inference",
+                 num_top_classes=0):
+        from elasticsearch_ray.ops.inference import (
+            TrainedModelDefinition,
+            get_trained_model,
+        )
+
+        self.model = (get_trained_model(model) if isinstance(model, str)
+                      else TrainedModelDefinition(model))
+        self.model_id = model if isinstance(model, str) else None
+        self.field_map = dict(field_map or {})
+        self.target = target_field
+        self.num_top_classes = int(num_top_classes)
+
+    def __call__(self, df):
+        src = df.rename(columns=self.field_map) if self.field_map else df
+        res = self.model.infer(src, num_top_classes=self.num_top_classes)
+        for k, v in res.items():
+            df[f"{self.target}.{k}"] = (
+                pd.Series(list(v), index=df.index)
+                if k == "top_classes" else v)
+        if self.model_id is not None:
+            df[f"{self.target}.model_id"] = self.model_id
+        return df
+
+
 @register("enrich")
 class EnrichProcessor(Processor):
     """``enrich`` ingest processor (x-pack/plugin/enrich —
