@@ -2197,6 +2197,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("event_id", ignore_index=True),
             preserve_index=False)
 
+    def ml_anomaly_bucket_stats(sf):
+        # anomaly job (count by hour, partitioned by event_type): the
+        # SQL-expressible half — per-series bucket actuals, Gaussian
+        # baseline mean and z-score — checked exactly; the p→score mapping
+        # is pytest-pinned (tests/test_anomaly.py)
+        from elasticsearch_ray.ops.anomaly import AnomalyJob, run_anomaly_job
+
+        job = AnomalyJob("gate", bucket_span="1h", detectors=[
+            {"function": "count", "partition_field_name": "event_type"},
+        ])
+        res = run_anomaly_job(_ds(sf, "events"), job)
+        r = res["records"][["timestamp", "partition_field_value", "actual",
+                            "typical"]].rename(
+            columns={"partition_field_value": "event_type"})
+        s = res["series"].rename(
+            columns={"event_type": "event_type"})[["event_type", "sd"]]
+        out = r.merge(s, on="event_type")
+        out["z"] = ((out["actual"] - out["typical"]) / out["sd"]).round(4)
+        out["typical"] = out["typical"].round(6)
+        out = out[["timestamp", "event_type", "actual", "typical", "z"]]
+        out = out.sort_values(["event_type", "timestamp"],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ml_anomaly_records(sf):  # rows-only (score model is the sketch half)
+        from elasticsearch_ray.ops.anomaly import (
+            AnomalyJob,
+            get_records,
+            run_anomaly_job,
+        )
+
+        job = AnomalyJob("gate2", bucket_span="6h", detectors=[
+            {"function": "high_mean", "field_name": "value"},
+            {"function": "distinct_count", "field_name": "user_id",
+             "by_field_name": "event_type"},
+        ])
+        res = run_anomaly_job(_ds(sf, "events"), job)
+        top = get_records(res).head(20)
+        top = top[["timestamp", "detector_index", "function", "actual",
+                   "typical", "probability", "record_score"]]
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
     def pipeline_events_enrich_join(sf):
         # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
         # built from EVEN-custkey customers (so odd user_ids exercise the
@@ -3007,6 +3050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_features_feature": search_rank_features_feature,
         "ml_inference_regression": ml_inference_regression,
         "ml_inference_classification": ml_inference_classification,
+        "ml_anomaly_bucket_stats": ml_anomaly_bucket_stats,
+        "ml_anomaly_records": ml_anomaly_records,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -3897,6 +3942,22 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 5.0 ELSE 6.0 END END)
                    AS predicted_value
             FROM events ORDER BY event_id
+        """,
+        "ml_anomaly_bucket_stats": """
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS timestamp, event_type,
+                     count(*)::DOUBLE AS actual
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT timestamp, event_type, actual,
+                     avg(actual) OVER (PARTITION BY event_type) AS mu,
+                     stddev_samp(actual) OVER (PARTITION BY event_type) AS sd
+              FROM b
+            )
+            SELECT timestamp, event_type, actual,
+                   round(mu, 6) AS typical,
+                   round((actual - mu) / sd, 4) AS z
+            FROM s ORDER BY event_type, timestamp
         """,
         "ml_inference_classification": """
             WITH s AS (

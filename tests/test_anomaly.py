@@ -1,0 +1,139 @@
+"""Anomaly detection jobs (x-pack ml Detector/AnomalyRecord/Bucket schemas,
+Gaussian-baseline probability — see ops/anomaly.py docstring) on planted
+anomalies."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.ops.anomaly import (
+    AnomalyJob,
+    get_records,
+    run_anomaly_job,
+)
+
+
+def _events():
+    """48 hourly buckets; count 10/h with one spike (bucket 20 → 60) and one
+    dip (bucket 33 → 1); value ~ 5.0 with one high-mean hour (bucket 40)."""
+    rows = []
+    rng = np.random.default_rng(7)
+    for h in range(48):
+        n = 60 if h == 20 else (1 if h == 33 else 10)
+        for i in range(n):
+            rows.append({
+                "ts": pd.Timestamp("2024-03-01") + pd.Timedelta(hours=h)
+                + pd.Timedelta(minutes=int(rng.integers(0, 60))),
+                "value": 50.0 if h == 40 else 5.0 + 0.01 * (i % 3),
+                "user_id": int(i % 7) if h != 20 else i,  # spike: many users
+                "event_type": "a" if i % 2 == 0 else "b",
+            })
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def result(ray_session):
+    import ray.data as rd
+
+    job = AnomalyJob("test-job", bucket_span="1h", detectors=[
+        {"function": "high_count"},
+        {"function": "low_count"},
+        {"function": "mean", "field_name": "value"},
+        {"function": "distinct_count", "field_name": "user_id"},
+        {"function": "count", "by_field_name": "event_type"},
+    ])
+    ds = rd.from_pandas(_events()).repartition(4)
+    return run_anomaly_job(ds, job), _events()
+
+
+def _det(res, di):
+    r = res["records"]
+    return r[r["detector_index"] == di].set_index("timestamp")
+
+
+def test_actuals_exact(result):
+    res, df = result
+    d0 = _det(res, 0)
+    assert d0.loc[pd.Timestamp("2024-03-01 20:00"), "actual"] == 60.0
+    assert d0.loc[pd.Timestamp("2024-03-01 33:00"
+                               if False else "2024-03-02 09:00"),
+                  "actual"] == 1.0
+    d3 = _det(res, 3)
+    assert d3.loc[pd.Timestamp("2024-03-01 20:00"), "actual"] == 60.0
+    assert d3.loc[pd.Timestamp("2024-03-01 00:00"), "actual"] == 7.0
+
+
+def test_high_low_sidedness(result):
+    res, _ = result
+    spike = pd.Timestamp("2024-03-01 20:00")
+    dip = pd.Timestamp("2024-03-02 09:00")  # hour 33
+    hi = _det(res, 0)
+    lo = _det(res, 1)
+    # high_count: spike is the top record, dip is not anomalous (p ~ 1)
+    assert hi["record_score"].idxmax() == spike
+    assert hi.loc[dip, "record_score"] < 1.0
+    # low_count: dip tops, spike benign
+    assert lo["record_score"].idxmax() == dip
+    assert lo.loc[spike, "record_score"] < 1.0
+
+
+def test_mean_detector_flags_high_hour(result):
+    res, df = result
+    d2 = _det(res, 2)
+    top = pd.Timestamp("2024-03-01 40:00" if False else "2024-03-02 16:00")
+    assert d2["record_score"].idxmax() == top
+    assert d2.loc[top, "actual"] == 50.0
+    # typical = Gaussian baseline mean over the series' bucket values
+    assert d2["typical"].iloc[0] == pytest.approx(
+        d2["actual"].mean(), rel=1e-9)
+
+
+def test_by_field_series_are_independent(result):
+    res, df = result
+    d4 = res["records"][res["records"]["detector_index"] == 4]
+    assert set(d4["by_field_value"]) == {"a", "b"}
+    spike = pd.Timestamp("2024-03-01 20:00")
+    for v, cnt in (("a", 30.0), ("b", 30.0)):
+        sub = d4[d4["by_field_value"] == v].set_index("timestamp")
+        assert sub.loc[spike, "actual"] == cnt
+        assert sub["record_score"].idxmax() == spike
+
+
+def test_bucket_scores_and_get_records(result):
+    res, _ = result
+    b = res["buckets"].set_index("timestamp")
+    spike = pd.Timestamp("2024-03-01 20:00")
+    recs = res["records"]
+    want = recs[recs["timestamp"] == spike]["record_score"].max()
+    assert b.loc[spike, "anomaly_score"] == want
+    top = get_records(res, record_score=25.0)
+    assert (top["record_score"] >= 25.0).all()
+    assert list(top["record_score"]) == sorted(top["record_score"],
+                                               reverse=True)
+    assert {"job_id", "probability", "function", "bucket_span"} <= set(
+        top.columns)
+
+
+def test_probability_matches_gaussian_tail(result):
+    res, _ = result
+    d0 = _det(res, 0)
+    vals = d0["actual"].to_numpy(float)
+    mu, sd = vals.mean(), vals.std(ddof=1)
+    import math
+
+    z = (60.0 - mu) / sd
+    p = 1.0 - 0.5 * (1.0 + math.erf(z / math.sqrt(2)))
+    spike = pd.Timestamp("2024-03-01 20:00")
+    assert d0.loc[spike, "probability"] == pytest.approx(max(p, 1e-300),
+                                                         rel=1e-9)
+    assert d0.loc[spike, "record_score"] == pytest.approx(
+        min(100.0, -10.0 * np.log10(max(p, 1e-300))), rel=1e-9)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="at least one"):
+        AnomalyJob("j", detectors=[])
+    with pytest.raises(ValueError, match="requires field_name"):
+        AnomalyJob("j", detectors=[{"function": "mean"}])
+    with pytest.raises(ValueError, match="unsupported function"):
+        AnomalyJob("j", detectors=[{"function": "median"}])
