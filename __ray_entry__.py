@@ -2240,6 +2240,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(top.reset_index(drop=True),
                                     preserve_index=False)
 
+    def ml_outlier_kth_nn(sf):
+        # dataframe-analytics outlier detection, distance_kth_nn method on
+        # a 400-row reference slice (the method's exact SQL twin is a
+        # cross-join kth-distance; the full-table path is recall/identity
+        # pytest-pinned). Standardization off so the twin needs no per-dim
+        # moments.
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.outliers import outlier_detection
+
+        ds = _ds(sf, "embeddings")
+        df = ds.to_pandas()
+        df = df[df["vec_id"] < 400]
+        out = outlier_detection(df, n_neighbors=5, method="distance_kth_nn",
+                                standardization_enabled=False)
+        out = out[["vec_id", "score"]].copy()
+        out["score"] = out["score"].round(4)
+        return pa.Table.from_pandas(
+            out.sort_values("vec_id", ignore_index=True),
+            preserve_index=False)
+
+    def ml_outlier_lof(sf):  # rows-only (ensemble/calibration half)
+        from elasticsearch_ray.ops.outliers import outlier_detection
+
+        out = outlier_detection(_ds(sf, "embeddings").limit(2000),
+                                n_neighbors=10, method="lof")
+        top = out.nlargest(20, "outlier_score")[
+            ["vec_id", "outlier_score"]]
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
     def pipeline_events_enrich_join(sf):
         # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
         # built from EVEN-custkey customers (so odd user_ids exercise the
@@ -3052,6 +3083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_inference_classification": ml_inference_classification,
         "ml_anomaly_bucket_stats": ml_anomaly_bucket_stats,
         "ml_anomaly_records": ml_anomaly_records,
+        "ml_outlier_kth_nn": ml_outlier_kth_nn,
+        "ml_outlier_lof": ml_outlier_lof,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -3942,6 +3975,23 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 5.0 ELSE 6.0 END END)
                    AS predicted_value
             FROM events ORDER BY event_id
+        """,
+        "ml_outlier_kth_nn": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 400
+            ), d AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb,
+                     list_distance(a.v, b.v) AS dist
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ), r AS (
+              SELECT ida, dist,
+                     row_number() OVER (PARTITION BY ida
+                                        ORDER BY dist, idb) AS rn
+              FROM d
+            )
+            SELECT ida AS vec_id, round(dist, 4) AS score
+            FROM r WHERE rn = 5 ORDER BY vec_id
         """,
         "ml_anomaly_bucket_stats": """
             WITH b AS (
