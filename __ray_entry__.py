@@ -2240,6 +2240,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(top.reset_index(drop=True),
                                     preserve_index=False)
 
+    def watcher_fire_index_action(sf):
+        # Watcher end-to-end: search input → compare condition → index
+        # action; the destination rows ARE the BM25 top-k, so the oracle is
+        # the ordinary BM25 twin (throttle/ack/schedule are pytest-pinned)
+        import pandas as pd
+
+        from elasticsearch_ray.ops.watcher import WatcherService
+
+        svc = WatcherService(engine=_documents_index(sf))
+        svc.put_watch("alert", {
+            "input": {"search": {"request": {"body": {
+                "query": {"match": {"text": "spark join merge"}},
+                "size": 60}}}},
+            "condition": {"compare": {"ctx.payload.hits.total": {"gte": 1}}},
+            "actions": {"store": {"index": {"index": "alerts"}}},
+        })
+        rec = svc.execute_watch("alert")
+        assert rec["actions"][0]["status"] == "executed"
+        df = pd.DataFrame(svc.dest["alerts"])[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def ml_outlier_kth_nn(sf):
         # dataframe-analytics outlier detection, distance_kth_nn method on
         # a 400-row reference slice (the method's exact SQL twin is a
@@ -3085,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_anomaly_records": ml_anomaly_records,
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
         "ml_outlier_lof": ml_outlier_lof,
+        "watcher_fire_index_action": watcher_fire_index_action,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -3976,6 +4003,8 @@ def oracle_sql() -> dict[str, str]:
                    AS predicted_value
             FROM events ORDER BY event_id
         """,
+        "watcher_fire_index_action": _bm25_sql(["spark", "join", "merge"],
+                                               k=10),
         "ml_outlier_kth_nn": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,0 +1,191 @@
+"""Watcher (x-pack alerting) — conditions, actions, throttle/ack, schedule.
+
+Reference semantics: Watch.java, CompareCondition.java (ObjectPath +
+path-valued compare operands), ArrayCompareCondition (all/some),
+IndexAction/LoggingAction, ExecutionService watch records,
+ActionThrottler + ack-reset-on-false-condition.
+"""
+
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.ops.watcher import WatcherService, object_path
+
+
+def test_object_path_dotted_and_indices():
+    m = {"a": {"b": [{"c": 5}, {"c": 7}]}}
+    assert object_path(m, "a.b.1.c") == 7
+    assert object_path(m, "a.b.0.c") == 5
+    assert object_path(m, "a.x") is None
+    assert object_path(m, "a.b.9.c") is None
+
+
+def _svc():
+    return WatcherService()
+
+
+def test_compare_condition_and_index_action():
+    svc = _svc()
+    svc.put_watch("w1", {
+        "input": {"simple": {"hits": {"total": 12}}},
+        "condition": {"compare": {"ctx.payload.hits.total": {"gte": 10}}},
+        "actions": {"store": {"index": {"index": "alerts"}}},
+    })
+    rec = svc.execute_watch("w1")
+    assert rec["condition_met"] is True
+    assert rec["actions"] == [{"id": "store", "status": "executed"}]
+    assert svc.dest["alerts"] == [{"hits": {"total": 12}}]
+
+
+def test_compare_with_path_valued_operand():
+    svc = _svc()
+    svc.put_watch("w", {
+        "input": {"simple": {"a": 5, "b": 5}},
+        "condition": {"compare": {"ctx.payload.a":
+                                  {"eq": "{{ctx.payload.b}}"}}},
+        "actions": {"log": {"logging": {"text": "x"}}},
+    })
+    assert svc.execute_watch("w")["condition_met"] is True
+
+
+def test_never_and_false_condition_records():
+    svc = _svc()
+    svc.put_watch("w", {
+        "input": {"simple": {"n": 1}},
+        "condition": {"compare": {"ctx.payload.n": {"gt": 5}}},
+        "actions": {"log": {"logging": {"text": "no"}}},
+    })
+    rec = svc.execute_watch("w")
+    assert rec["condition_met"] is False and rec["actions"] == []
+    assert svc.logs == []
+
+
+def test_array_compare_quantifiers():
+    svc = _svc()
+    for quant, vals, expect in (("some", [1, 9], True),
+                                ("all", [1, 9], False),
+                                ("all", [8, 9], True)):
+        svc.put_watch("w", {
+            "input": {"simple": {"vals": vals}},
+            "condition": {"array_compare": {"ctx.payload.vals": {
+                "quantifier": quant, "gte": {"value": 5}}}},
+            "actions": {"log": {"logging": {"text": "hit"}}},
+        })
+        assert svc.execute_watch("w")["condition_met"] is expect, (quant, vals)
+
+
+def test_logging_action_renders_mustache():
+    svc = _svc()
+    svc.put_watch("w", {
+        "input": {"simple": {"hits": {"total": 42}}},
+        "actions": {"log": {"logging": {
+            "text": "saw {{ctx.payload.hits.total}} hits on {{ctx.watch_id}}"}}},
+    })
+    svc.execute_watch("w")
+    assert svc.logs == ["saw 42 hits on w"]
+
+
+def test_throttle_period_suppresses_reruns():
+    svc = _svc()
+    svc.put_watch("w", {
+        "input": {"simple": {"n": 9}},
+        "condition": {"compare": {"ctx.payload.n": {"gt": 0}}},
+        "actions": {"store": {"throttle_period": "10m",
+                              "index": {"index": "out"}}},
+    })
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    assert svc.execute_watch("w", t0)["actions"][0]["status"] == "executed"
+    assert svc.execute_watch("w", t0 + pd.Timedelta("5m"))["actions"][0][
+        "status"] == "throttled"
+    assert svc.execute_watch("w", t0 + pd.Timedelta("11m"))["actions"][0][
+        "status"] == "executed"
+    assert len(svc.dest["out"]) == 2
+
+
+def test_ack_silences_until_condition_false():
+    svc = _svc()
+    payload = {"n": 9}
+    svc.put_watch("w", {
+        "input": {"simple": payload},
+        "condition": {"compare": {"ctx.payload.n": {"gt": 0}}},
+        "actions": {"store": {"index": {"index": "out"}}},
+    })
+    assert svc.execute_watch("w")["actions"][0]["status"] == "executed"
+    svc.ack_watch("w", "store")
+    assert svc.execute_watch("w")["actions"][0]["status"] == "acked"
+    payload["n"] = -1  # condition goes false → ack resets (Watch.ack)
+    assert svc.execute_watch("w")["condition_met"] is False
+    payload["n"] = 9
+    assert svc.execute_watch("w")["actions"][0]["status"] == "executed"
+
+
+def test_per_action_condition():
+    svc = _svc()
+    svc.put_watch("w", {
+        "input": {"simple": {"n": 3}},
+        "actions": {
+            "big": {"condition": {"compare": {"ctx.payload.n": {"gt": 5}}},
+                    "index": {"index": "big"}},
+            "small": {"condition": {"compare": {"ctx.payload.n": {"lte": 5}}},
+                      "index": {"index": "small"}},
+        },
+    })
+    rec = svc.execute_watch("w")
+    statuses = {a["id"]: a["status"] for a in rec["actions"]}
+    assert statuses == {"big": "condition_not_met", "small": "executed"}
+    assert "big" not in svc.dest and len(svc.dest["small"]) == 1
+
+
+def test_schedule_run_pending_and_activate():
+    svc = _svc()
+    svc.put_watch("w", {
+        "trigger": {"schedule": {"interval": "10m"}},
+        "input": {"simple": {"n": 1}},
+        "actions": {"store": {"index": {"index": "out"}}},
+    })
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    assert len(svc.run_pending(t0)) == 1
+    assert len(svc.run_pending(t0 + pd.Timedelta("5m"))) == 0
+    assert len(svc.run_pending(t0 + pd.Timedelta("10m"))) == 1
+    svc.activate("w", False)
+    assert len(svc.run_pending(t0 + pd.Timedelta("30m"))) == 0
+
+
+def test_search_input_payload(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(t, str(corpus / "docs.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "corpus"), idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=("lang",)),
+                concurrency=2, file_pattern="docs.parquet")
+    svc = WatcherService(engine=QueryEngine(idx, dtype="float64"))
+    svc.put_watch("w", {
+        "input": {"search": {"request": {"body": {
+            "query": {"match": {"text": "spark join"}}, "size": 5}}}},
+        "condition": {"compare": {"ctx.payload.hits.total": {"gte": 1}}},
+        "actions": {"store": {"index": {"index": "hits"}}},
+    })
+    rec = svc.execute_watch("w")
+    assert rec["condition_met"] is True
+    assert 1 <= len(svc.dest["hits"]) <= 5
+    assert "doc_id" in svc.dest["hits"][0]
+
+
+def test_validation():
+    svc = _svc()
+    with pytest.raises(ValueError, match="needs actions"):
+        svc.put_watch("w", {"input": {"simple": {}}})
+    with pytest.raises(ValueError, match="unsupported condition"):
+        svc.put_watch("w", {"condition": {"script": "1"},
+                            "actions": {"a": {"logging": {"text": ""}}}})
