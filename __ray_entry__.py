@@ -565,6 +565,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def datastream_search(sf):
+        # data stream (index/datastreams.py — DataStream.java analog):
+        # documents ingested across two backing generations with a forced
+        # rollover + an incremental in-generation append; cross-generation
+        # DFS search is rank-identical to one merged index → whole-table
+        # BM25 twin
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.index.datastreams import DataStreamService
+        from elasticsearch_ray.index.spec import IndexSpec
+
+        svc = DataStreamService(f"/tmp/esray_indexes/ds-{_sf_key(sf)}")
+        if not svc.exists("docs"):
+            tbl = _pq.read_table(os.path.join(sf, "documents.parquet"))
+            tbl = tbl.append_column("orig_id", tbl["doc_id"])
+            ts = pa.array(
+                pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(np.arange(len(tbl)), unit="m"))
+            tbl = tbl.append_column("@timestamp", ts)
+            svc.create("docs", spec=IndexSpec(
+                use_html=False, text_column="text",
+                doc_columns=("orig_id", "lang")))
+            third = len(tbl) // 3
+            svc.ingest("docs", tbl[:third])
+            svc.rollover("docs", force=True)
+            svc.ingest("docs", tbl[third: 2 * third])
+            svc.ingest("docs", tbl[2 * third:])  # incremental append
+        res = svc.engine("docs", dtype="float64").search(
+            MatchQuery("spark join merge"), k=60, fetch=("orig_id",))
+        df = res.to_pandas()[["orig_id", "score"]].rename(
+            columns={"orig_id": "doc_id"})
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def search_term_top10(sf):
         return _search_table(_documents_index(sf), TermQuery("window"), k=10)
 
@@ -3112,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
         "ml_outlier_lof": ml_outlier_lof,
         "watcher_fire_index_action": watcher_fire_index_action,
+        "datastream_search": datastream_search,
         "search_terms_set": search_terms_set,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
@@ -4005,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "watcher_fire_index_action": _bm25_sql(["spark", "join", "merge"],
                                                k=10),
+        "datastream_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "ml_outlier_kth_nn": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
