@@ -2335,6 +2335,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(top.reset_index(drop=True),
                                     preserve_index=False)
 
+    def ml_dfa_train_regression(sf):  # rows-only (GBT fit is not SQL)
+        # data-frame-analytics regression TRAINING (Regression.java +
+        # DataFrameAnalyticsManager dest shape): distributed histogram GBT
+        # over events, predictions + ml.is_training written back; model is
+        # bit-stable across block layouts (fixed-point histogram reduce),
+        # so the sampled rows are deterministic
+        from elasticsearch_ray.ops.dfa_train import start_data_frame_analytics
+
+        dest, _defn, meta = start_data_frame_analytics(
+            _ds(sf, "events"), dependent_variable="value",
+            analysis="regression", features=["user_id", "event_type"],
+            id_column="event_id", training_percent=70.0,
+            randomize_seed=42, max_trees=5, max_depth=3, num_bins=32)
+        out = dest.to_pandas()[
+            ["event_id", "ml.value_prediction", "ml.is_training"]]
+        out = out.rename(columns={"ml.value_prediction": "pred",
+                                  "ml.is_training": "is_training"})
+        out["pred"] = out["pred"].round(3)
+        out = out.sort_values("event_id", ignore_index=True).head(50)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ml_dfa_train_classification(sf):  # rows-only (GBT fit is not SQL)
+        # Classification.java analog: binary event_type over
+        # (value, user_id) on the purchase/click slice; emitted ensemble is
+        # served by the SAME TrainedModelDefinition path as
+        # ml_inference_classification
+        from elasticsearch_ray.ops.dfa_train import start_data_frame_analytics
+
+        import pyarrow.compute as pc
+
+        ds = _ds(sf, "events").map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["event_type"], value_set=pa.array(["purchase", "click"]))),
+            batch_format="pyarrow")
+        dest, _defn, meta = start_data_frame_analytics(
+            ds, dependent_variable="event_type", analysis="classification",
+            features=["value", "user_id"], id_column="event_id",
+            prediction_field_name="type_pred",
+            max_trees=4, max_depth=3, num_bins=16)
+        out = dest.to_pandas()[
+            ["event_id", "ml.type_pred", "ml.prediction_probability"]]
+        out = out.rename(columns={"ml.type_pred": "predicted",
+                                  "ml.prediction_probability": "p"})
+        out["p"] = out["p"].round(4)
+        out = out.sort_values("event_id", ignore_index=True).head(50)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_enrich_join(sf):
         # enrich processor (x-pack/plugin/enrich — MatchProcessor): policy
         # built from EVEN-custkey customers (so odd user_ids exercise the
@@ -3149,6 +3196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_anomaly_records": ml_anomaly_records,
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
         "ml_outlier_lof": ml_outlier_lof,
+        "ml_dfa_train_regression": ml_dfa_train_regression,
+        "ml_dfa_train_classification": ml_dfa_train_classification,
         "watcher_fire_index_action": watcher_fire_index_action,
         "datastream_search": datastream_search,
         "search_terms_set": search_terms_set,
