@@ -2010,6 +2010,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["fingerprint"] = out["fingerprint"].map(lambda v: f"{int(v):016x}")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    # ---- LLM data-prep ops (ops/llm_prep.py) ----
+    def llm_stratified_sample(sf):
+        # domain-mixture sampling: per-lang Knuth-hash inclusion rates;
+        # the predicate is the exact SQL CASE twin
+        from elasticsearch_ray.ops.llm_prep import stratified_sample
+
+        out = stratified_sample(
+            _ds(sf, "documents"), "lang",
+            {"en": 0.5, "de": 1.0, "fr": 0.25}, "doc_id").to_pandas()
+        out = out[["doc_id", "lang", "n_chars"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
+    def llm_pack_windows(sf):
+        # concat-and-chunk sequence packing over n_chars (GPT-2-style
+        # fixed windows); twin = prefix-sum window function
+        from elasticsearch_ray.ops.llm_prep import pack_windows
+
+        out = pack_windows(_ds(sf, "documents"), "doc_id", "n_chars",
+                           4096, group_size=256).to_pandas()
+        out = out[["doc_id", "offset", "first_window", "last_window",
+                   "n_windows"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
+    def llm_pack_bins(sf):  # rows-only (next-fit scan is not plain SQL)
+        # no-splitting bin packing; invariants (capacity, id-order,
+        # group-local bins, layout stability) are pytest-pinned
+        from elasticsearch_ray.ops.llm_prep import pack_bins
+
+        out = pack_bins(_ds(sf, "documents"), "doc_id", "n_chars",
+                        2048, group_size=256).to_pandas()
+        bins = out.groupby("bin_id").agg(
+            n_docs=("doc_id", "size"), fill=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(
+            bins.sort_values("bin_id", ignore_index=True),
+            preserve_index=False)
+
+    def llm_redact_pii(sf):
+        # PII redaction over a deterministically-seeded derivation of the
+        # docs (synthetic corpus has no PII): both sides append the same
+        # email/ip spans, DuckDB regexp_replace chain is the exact twin
+        from elasticsearch_ray.ops.llm_prep import redact_pii
+
+        def seed(df):
+            df = df.copy()
+            df["text2"] = (
+                df["text"].str.slice(0, 40) + " user" +
+                df["doc_id"].astype(str) + "@example.com from 10.0." +
+                (df["doc_id"] % 256).astype(str) + "." +
+                (df["doc_id"] % 100).astype(str))
+            return df
+
+        ds = _ds(sf, "documents").map_batches(seed, batch_format="pandas")
+        out = redact_pii(ds, "text2", out_col="clean").to_pandas()
+        out = out[["doc_id", "clean"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     # ---- ingest processors ----
     def pipeline_events_csv(sf):
         from elasticsearch_ray.ops.processors import Pipeline
@@ -3299,6 +3361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
+        "llm_stratified_sample": llm_stratified_sample,
+        "llm_pack_windows": llm_pack_windows,
+        "llm_pack_bins": llm_pack_bins,
+        "llm_redact_pii": llm_redact_pii,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
         "eql_sequence_asof": eql_sequence_asof,
@@ -3571,6 +3637,8 @@ FROM scores ORDER BY rank LIMIT {k}
 
 
 def oracle_sql() -> dict[str, str]:
+    from elasticsearch_ray.ops.llm_prep import pii_sql_expr
+
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
@@ -4760,6 +4828,41 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "llm_stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN 0.5 * 4294967296
+                        WHEN 'de' THEN 4294967295
+                        WHEN 'fr' THEN 0.25 * 4294967296
+                        ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "llm_pack_windows": """
+            WITH o AS (
+              SELECT doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS off
+              FROM documents)
+            SELECT doc_id, off AS "offset",
+                   (off // 4096)::BIGINT AS first_window,
+                   (greatest(off + n_chars - 1, off) // 4096)::BIGINT
+                     AS last_window,
+                   (greatest(off + n_chars - 1, off) // 4096
+                    - off // 4096 + 1)::BIGINT AS n_windows
+            FROM o ORDER BY doc_id
+        """,
+        "llm_redact_pii": f"""
+            SELECT doc_id, {pii_sql_expr('text2')} AS clean
+            FROM (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' user' || doc_id
+                     || '@example.com from 10.0.' || (doc_id % 256)
+                     || '.' || (doc_id % 100) AS text2
+              FROM documents)
+            ORDER BY doc_id
         """,
         "agg_matrix_stats": """
             WITH s AS (SELECT user_id::DOUBLE AS a, value::DOUBLE AS b

@@ -1,0 +1,170 @@
+"""LLM data-prep ops: stratified sampling, sequence packing, PII
+redaction — determinism, packing invariants, and DuckDB twin parity.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from elasticsearch_ray.ops.llm_prep import (
+    DEFAULT_PII_RULES,
+    pack_bins,
+    pack_windows,
+    pii_sql_expr,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def _docs(n=400):
+    rng = np.random.RandomState(3)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n, p=[0.6, 0.25, 0.15]),
+        "n_tokens": rng.randint(5, 900, n).astype(np.int64),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.from_pandas(_docs()).repartition(4).materialize()
+
+
+def test_stratified_sample_matches_hash_rule(docs_ds):
+    rates = {"en": 0.5, "de": 1.0}
+    out = stratified_sample(docs_ds, "lang", rates, "doc_id").to_pandas()
+    df = _docs()
+    h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    thr = df["lang"].map({"en": 0.5 * 2**32, "de": 2**32 - 1}).fillna(0.0)
+    expect = df[h < thr.to_numpy(np.float64).astype(np.uint64)]
+    assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+    # fr rows (default_rate=0) all dropped; de rows all kept
+    assert not set(out.loc[out["lang"] == "fr", "doc_id"])
+    assert (out["lang"] == "de").sum() == (df["lang"] == "de").sum()
+
+
+def test_stratified_sample_layout_invariant(ray_session):
+    df = _docs(300)
+    a = stratified_sample(ray.data.from_pandas(df).repartition(1),
+                          "lang", {"en": 0.3}, "doc_id").to_pandas()
+    b = stratified_sample(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=1))
+        .repartition(7), "lang", {"en": 0.3}, "doc_id").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_stratified_sample_rate_validation(docs_ds):
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(docs_ds, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_pack_windows_matches_prefix_sum(docs_ds):
+    W = 512
+    out = pack_windows(docs_ds, "doc_id", "n_tokens", W,
+                       group_size=64).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    df = _docs().sort_values("doc_id", ignore_index=True)
+    off = np.concatenate(([0], np.cumsum(df["n_tokens"].to_numpy())[:-1]))
+    assert out["offset"].tolist() == off.tolist()
+    assert out["first_window"].tolist() == (off // W).tolist()
+    last = (off + df["n_tokens"].to_numpy() - 1) // W
+    assert out["last_window"].tolist() == last.tolist()
+    # stream property: windows tile the corpus with no gaps
+    total = int(df["n_tokens"].sum())
+    assert out["last_window"].max() == (total - 1) // W
+
+
+def test_pack_windows_layout_invariant(ray_session):
+    df = _docs(200)
+    a = pack_windows(ray.data.from_pandas(df).repartition(1),
+                     "doc_id", "n_tokens", 256, group_size=32).to_pandas()
+    b = pack_windows(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=5))
+        .repartition(5), "doc_id", "n_tokens", 256, group_size=32
+    ).to_pandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    assert a[["offset", "first_window"]].equals(b[["offset",
+                                                   "first_window"]])
+
+
+def test_pack_bins_capacity_and_order(docs_ds):
+    C = 1024
+    out = pack_bins(docs_ds, "doc_id", "n_tokens", C,
+                    group_size=64).to_pandas()
+    g = out.groupby("bin_id")
+    sizes = g["n_tokens"].sum()
+    n_docs = g.size()
+    # a bin exceeds capacity only when it is a single oversized doc
+    over = sizes[sizes > C]
+    for b in over.index:
+        rows = out[out["bin_id"] == b]
+        assert len(rows) == 1 and bool(rows["oversize"].iloc[0])
+    # next-fit in id order: bin ids are nondecreasing with doc id
+    s = out.sort_values("doc_id")
+    assert (s["bin_id"].diff().dropna() >= 0).all()
+    # bins never cross group boundaries
+    assert ((s["doc_id"] // 64) == (s["bin_id"] // 64)).all()
+    assert n_docs.sum() == 400
+
+
+def test_pack_bins_next_fit_exact_small(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "n": np.array([400, 500, 200, 900, 1200, 100],
+                                     np.int64)})
+    out = pack_bins(ray.data.from_pandas(df), "doc_id", "n", 1000,
+                    group_size=100).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    # next-fit: [400+500], [200], [900], [1200 oversize], [100]
+    assert out["bin_id"].tolist() == [0, 0, 1, 2, 3, 4]
+    assert out["oversize"].tolist() == [False] * 4 + [True, False]
+
+
+def test_redact_pii_and_sql_twin(ray_session):
+    import duckdb
+
+    texts = [
+        "mail me at alice.smith+x@ex-ample.co.uk today",
+        "server 192.168.0.1 and 10.0.0.255 are up",
+        "ssn 123-45-6789 phone 555-867-5309",
+        "no pii here, just 1.2 and v1.2.3.4.5 leftovers",
+        "two emails a@b.io c@d.org",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    out = redact_pii(ray.data.from_pandas(df), "text").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["text"][0] == "mail me at <EMAIL> today"
+    assert out["text"][1] == "server <IP> and <IP> are up"
+    assert out["text"][2] == "ssn <SSN> phone <PHONE>"
+    assert out["text"][4] == "two emails <EMAIL> <EMAIL>"
+    # DuckDB twin is exact on every row
+    con = duckdb.connect()
+    con.register("t", df)
+    twin = con.execute(
+        f"SELECT {pii_sql_expr('text')} AS r FROM t ORDER BY doc_id"
+    ).df()["r"].tolist()
+    assert twin == out["text"].tolist()
+
+
+def test_redact_custom_rules_order(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "text": ["id 12-34 and 12-34-56"]})
+    rules = [("LONG", r"\b\d{2}-\d{2}-\d{2}\b"),
+             ("SHORT", r"\b\d{2}-\d{2}\b")]
+    out = redact_pii(ray.data.from_pandas(df), "text",
+                     rules=rules).to_pandas()
+    assert out["text"][0] == "id <SHORT> and <LONG>"
+    rev = redact_pii(ray.data.from_pandas(df), "text",
+                     rules=rules[::-1]).to_pandas()
+    # reversed order: SHORT fires first inside the long span
+    assert rev["text"][0] == "id <SHORT> and <SHORT>-56"
+
+
+def test_redact_out_col_preserves_source(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "text": ["a@b.io"]})
+    out = redact_pii(ray.data.from_pandas(df), "text",
+                     out_col="clean").to_pandas()
+    assert out["text"][0] == "a@b.io" and out["clean"][0] == "<EMAIL>"
