@@ -2508,6 +2508,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_mv_expand(sf):
+        # EVAL SPLIT -> MV_EXPAND (multivalued expansion) -> STATS;
+        # DuckDB unnest(string_split(...)) twin
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM documents
+            | EVAL words = SPLIT(text, " ")
+            | MV_EXPAND words
+            | STATS n = COUNT(*) BY words
+            | SORT words
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out = out[["words", "n"]]
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
     def agg_frequent_item_sets(sf):
         # frequent_item_sets (x-pack ML FrequentItemSetsAggregationBuilder):
         # transactions = each user's distinct event_types per day;
@@ -3381,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
+        "esql_mv_expand": esql_mv_expand,
         "transform_pivot": transform_pivot,
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
@@ -4989,6 +5006,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase' AND value * 3 + user_id > 100
             ORDER BY value * 3 + user_id DESC, event_id LIMIT 25
+        """,
+        "esql_mv_expand": """
+            SELECT words, count(*)::BIGINT AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS words
+              FROM documents)
+            GROUP BY words ORDER BY words
         """,
         "agg_frequent_item_sets": """
             WITH t AS (

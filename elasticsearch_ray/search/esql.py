@@ -19,6 +19,9 @@ Supported pipeline::
     | ENRICH policy ON field [WITH f1, f2]
                                    -> broadcast lookup join
                                       (ops.processors.EnrichProcessor)
+    | EVAL x = SPLIT(col, "sep")   -> multivalued (list) column
+    | MV_EXPAND col                -> one row per value (row-local
+                                      explode, a streaming transform)
 
 Aggregations: COUNT(*), COUNT(col), SUM, AVG, MIN, MAX,
 COUNT_DISTINCT(col). WHERE predicates: ``== != > >= < <=`` against
@@ -55,10 +58,16 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
+    "MV_EXPAND",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
             "MEDIAN"}
+
+# EVAL's one string function: SPLIT(col, "sep") -> multivalued column
+# (the ES|QL string function of the same name); pairs with MV_EXPAND.
+_SPLIT_RE = re.compile(r'^SPLIT \( ([A-Za-z_][A-Za-z0-9_.]*) , "(.*)" \)$',
+                       re.IGNORECASE)
 
 
 class EsqlError(ValueError):
@@ -347,7 +356,17 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             )
 
             for name, expr in _parse_assignments(rest, "EVAL"):
-                ds = add_expression_column(ds, name, expr)
+                m = _SPLIT_RE.match(expr)
+                if m:  # EVAL x = SPLIT(col, "sep") -> list column
+                    col, sep = m.group(1), m.group(2)
+
+                    def splitter(df, name=name, col=col, sep=sep):
+                        df = df.copy()
+                        df[name] = df[col].astype(str).str.split(sep)
+                        return df
+                    ds = ds.map_batches(splitter, batch_format="pandas")
+                else:
+                    ds = add_expression_column(ds, name, expr)
         elif v0 == "STATS":
             aggs, by = _parse_stats(rest)
             ds = _run_stats(ds, aggs, by)
@@ -375,6 +394,16 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             if len(rest) != 1 or rest[0][0] != "number":
                 raise EsqlError("LIMIT takes one number")
             ds = ds.limit(int(rest[0][1]))
+        elif v0 == "MV_EXPAND":
+            if len(rest) != 1 or rest[0][0] != "name":
+                raise EsqlError("MV_EXPAND takes one column")
+            col = rest[0][1]
+
+            def expand(df, col=col):
+                # row-local explode: one output row per value, null/empty
+                # multivalues keep a single null row (ES|QL semantics)
+                return df.explode(col, ignore_index=True)
+            ds = ds.map_batches(expand, batch_format="pandas")
         elif v0 == "KEEP":
             ds = ds.select_columns(_comma_names(rest, "KEEP"))
         elif v0 == "DROP":

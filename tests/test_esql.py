@@ -135,3 +135,44 @@ def test_errors(tables):
         with pytest.raises(EsqlError):
             # parse errors surface before execution; force the lazy ones
             esql(bad, tables)
+
+
+def test_split_mv_expand(tables, frame):
+    out = esql("""
+        FROM events
+        | WHERE event_id < 50
+        | EVAL words = SPLIT(msg, " ")
+        | MV_EXPAND words
+        | KEEP event_id, words
+        | SORT event_id, words
+    """, tables).to_pandas()
+    want = _duck(frame, """
+        SELECT event_id, unnest(string_split(msg, ' ')) AS words
+        FROM events WHERE event_id < 50
+        ORDER BY event_id, words""")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_mv_expand_then_stats(tables, frame):
+    out = esql("""
+        FROM events
+        | EVAL words = SPLIT(msg, " ")
+        | MV_EXPAND words
+        | STATS n = COUNT(*) BY words
+        | SORT words
+    """, tables).to_pandas()
+    want = _duck(frame, """
+        SELECT words, count(*) AS n FROM (
+          SELECT unnest(string_split(msg, ' ')) AS words FROM events)
+        GROUP BY words ORDER BY words""")
+    pd.testing.assert_frame_equal(
+        out[["words", "n"]].reset_index(drop=True), want[["words", "n"]],
+        check_dtype=False)
+
+
+def test_mv_expand_errors(tables):
+    with pytest.raises(EsqlError):
+        esql("FROM events | MV_EXPAND", tables)
+    with pytest.raises(EsqlError):
+        esql('FROM events | MV_EXPAND "msg"', tables)
