@@ -2073,6 +2073,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             preserve_index=False)
 
     # ---- ingest processors ----
+    def pipeline_events_on_failure(sf):
+        # CompoundProcessor on_failure semantics: purchase rows get a
+        # non-numeric value that fails the convert processor and falls
+        # into its handler (-1), the chain CONTINUES (uppercase still
+        # runs); everything is a SQL CASE
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        pipe = Pipeline([
+            {"script": {"fn": lambda df: df.assign(
+                v_str=df["user_id"].astype(str).where(
+                    df["event_type"] != "purchase", "not-a-number"))}},
+            {"convert": {"field": "v_str", "type": "integer",
+                         "on_failure": [
+                             {"set": {"field": "v_str", "value": -1}}]}},
+            {"uppercase": {"field": "event_type"}},
+        ])
+        out = (_ds(sf, "events")
+               .map_batches(pipe, batch_format="pandas").to_pandas())
+        out = out[["event_id", "event_type", "v_str"]].rename(
+            columns={"v_str": "v"})
+        out["v"] = out["v"].astype("int64")
+        return pa.Table.from_pandas(
+            out.sort_values("event_id", ignore_index=True),
+            preserve_index=False)
+
     def pipeline_events_csv(sf):
         from elasticsearch_ray.ops.processors import Pipeline
 
@@ -3402,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
         "pipeline_events_csv": pipeline_events_csv,
+        "pipeline_events_on_failure": pipeline_events_on_failure,
         "web_match_top10": web_match_top10,
         "web_strip_invariant": web_strip_invariant,
     }
@@ -4522,6 +4548,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS doc_count
             FROM documents GROUP BY lang, source
             ORDER BY lang, source LIMIT 10
+        """,
+        "pipeline_events_on_failure": """
+            SELECT event_id, upper(event_type) AS event_type,
+                   CASE WHEN event_type = 'purchase' THEN -1
+                        ELSE user_id END::BIGINT AS v
+            FROM events ORDER BY event_id
         """,
         "pipeline_events_csv": """
             SELECT event_id, upper(event_type) AS et2,

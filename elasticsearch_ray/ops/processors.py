@@ -1130,23 +1130,133 @@ class EnrichProcessor(Processor):
         return df
 
 
+class _Step:
+    """One pipeline step: the processor plus its COMMON config
+    (``CompoundProcessor.java`` / ``ConfigurationUtils.readProcessor``):
+    ``tag``, ``ignore_failure``, ``on_failure`` handler chain."""
+
+    __slots__ = ("proc", "type", "tag", "ignore_failure", "on_failure")
+
+    def __init__(self, proc, ptype, tag=None, ignore_failure=False,
+                 on_failure=None):
+        self.proc = proc
+        self.type = ptype
+        self.tag = tag
+        self.ignore_failure = bool(ignore_failure)
+        self.on_failure = on_failure or []
+
+
+_FAILURE_META = ["_ingest.on_failure_message",
+                 "_ingest.on_failure_processor_type",
+                 "_ingest.on_failure_processor_tag"]
+
+
 class Pipeline:
     """Ordered processor chain; apply with
-    ``ds.map_batches(pipeline, batch_format="pandas")``."""
+    ``ds.map_batches(pipeline, batch_format="pandas")``.
 
-    def __init__(self, processors: list):
-        self.processors = []
-        for p in processors:
-            if isinstance(p, Processor):
-                self.processors.append(p)
-            else:
-                (name, kwargs), = p.items()
-                self.processors.append(_REGISTRY[name](**kwargs))
+    Failure semantics (``CompoundProcessor.java:121-160``): processors are
+    vectorized over the whole batch on the FAST path; if one raises and
+    any failure handling is configured, the batch re-runs per document —
+    a failing doc's step is skipped under ``ignore_failure``, or its
+    ``on_failure`` chain runs with the ``_ingest.on_failure_*`` metadata
+    fields visible (removed afterwards, like the reference's ingest
+    metadata) and execution continues with the NEXT processor. A
+    pipeline-level ``on_failure`` catches anything unhandled. Docs that
+    still fail are dropped into ``failure_col`` (unprocessed source +
+    error message, the bulk per-doc error analog) when it is set,
+    otherwise the exception propagates."""
+
+    def __init__(self, processors: list, on_failure: list | None = None,
+                 failure_col: str | None = None):
+        self.steps = [self._build(p) for p in processors]
+        self.pipeline_on_failure = [self._build(p)
+                                    for p in (on_failure or [])]
+        self.failure_col = failure_col
+        # legacy surface (simulate_pipeline and friends iterate these)
+        self.processors = [s.proc for s in self.steps]
+
+    @staticmethod
+    def _build(p) -> "_Step":
+        if isinstance(p, Processor):
+            return _Step(p, getattr(p, "name", type(p).__name__))
+        (name, kwargs), = p.items()
+        kwargs = dict(kwargs)
+        tag = kwargs.pop("tag", None)
+        ignore = kwargs.pop("ignore_failure", False)
+        handlers = [Pipeline._build(h)
+                    for h in kwargs.pop("on_failure", [])]
+        return _Step(_REGISTRY[name](**kwargs), name, tag, ignore, handlers)
+
+    def _handled(self) -> bool:
+        return bool(self.pipeline_on_failure
+                    or self.failure_col
+                    or any(s.ignore_failure or s.on_failure
+                           for s in self.steps))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        for p in self.processors:
-            df = p(df)
+        if not self._handled():
+            for s in self.steps:
+                df = s.proc(df)
+            return df
+        orig = df.copy()
+        try:
+            for s in self.steps:
+                df = s.proc(df)
+            return df
+        except Exception:
+            return self._per_doc(orig)
+
+    def _per_doc(self, orig: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i in range(len(orig)):
+            row = orig.iloc[i: i + 1]
+            try:
+                out = self._run_chain(self.steps, row.copy())
+            except Exception as e:
+                if self.pipeline_on_failure:
+                    try:
+                        out = self._run_chain(
+                            self.pipeline_on_failure,
+                            self._with_meta(row.copy(), e, None))
+                        out = out.drop(columns=_FAILURE_META,
+                                       errors="ignore")
+                    except Exception as e2:
+                        out = self._fail_row(row, e2)
+                else:
+                    out = self._fail_row(row, e)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else orig
+
+    def _run_chain(self, steps, df: pd.DataFrame) -> pd.DataFrame:
+        for s in steps:
+            try:
+                df = s.proc(df)
+            except Exception as e:
+                if s.ignore_failure:
+                    continue
+                if s.on_failure:
+                    df = self._run_chain(s.on_failure,
+                                         self._with_meta(df, e, s))
+                    df = df.drop(columns=_FAILURE_META, errors="ignore")
+                    continue
+                raise
         return df
+
+    @staticmethod
+    def _with_meta(df: pd.DataFrame, e: Exception, step) -> pd.DataFrame:
+        df = df.copy()
+        df[_FAILURE_META[0]] = str(e)
+        df[_FAILURE_META[1]] = step.type if step else "pipeline"
+        df[_FAILURE_META[2]] = (step.tag if step else None)
+        return df
+
+    def _fail_row(self, row: pd.DataFrame, e: Exception) -> pd.DataFrame:
+        if self.failure_col is None:
+            raise e
+        row = row.copy()
+        row[self.failure_col] = f"{type(e).__name__}: {e}"
+        return row
 
 
 def simulate_pipeline(processors: list, docs: list[dict],
