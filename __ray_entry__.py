@@ -2010,6 +2010,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["fingerprint"] = out["fingerprint"].map(lambda v: f"{int(v):016x}")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def text_bpe_tokens(sf):
+        # GPT-2 pretokenizer (BPE-ish) token counts, RE2 on both sides
+        from elasticsearch_ray.ops.textstats import bpe_token_count
+
+        out = bpe_token_count(_ds(sf, "documents")).to_pandas()
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     # ---- LLM data-prep ops (ops/llm_prep.py) ----
     def llm_stratified_sample(sf):
         # domain-mixture sampling: per-lang Knuth-hash inclusion rates;
@@ -3402,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
+        "text_bpe_tokens": text_bpe_tokens,
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
@@ -3681,6 +3691,9 @@ FROM scores ORDER BY rank LIMIT {k}
 
 def oracle_sql() -> dict[str, str]:
     from elasticsearch_ray.ops.llm_prep import pii_sql_expr
+    from elasticsearch_ray.ops.textstats import BPE_SPLIT_PATTERN
+
+    _BPE_PAT_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
 
     return {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
@@ -4877,6 +4890,12 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "text_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '{_BPE_PAT_SQL}'))::BIGINT AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "llm_stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -74,6 +74,33 @@ def text_quality(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") ->
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+# GPT-2 pretokenizer pattern (Radford et al. 2019, public gpt-2 repo
+# encoder.py), restricted to RE2: the original's final "\s+(?!\S)"
+# lookahead branch is dropped (RE2 has no lookahead), so a whitespace
+# run counts as ONE token instead of splitting its last space off.
+# RE2 on both sides -> pyarrow count_substring_regex and DuckDB
+# regexp_extract_all agree exactly.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count(ds: Dataset, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    pattern: str = BPE_SPLIT_PATTERN) -> Dataset:
+    """Per-doc BPE-ish token count: the GPT-2 pretokenizer split (the
+    public proxy for subword token budgets — contractions, unicode
+    letter/number runs, punctuation clusters each count once). One
+    vectorized RE2 pass per batch; stays a lazy Dataset."""
+    def count(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(batch[text_col], pattern)
+        return pa.table({id_col: batch[id_col],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def token_count_by(ds: Dataset, group_col: str, text_col: str = "text") -> pd.DataFrame:
     """Total whitespace-token count per group (partial counts per batch →
     tiny groupby — the pre-aggregate pattern)."""

@@ -168,3 +168,28 @@ def test_redact_out_col_preserves_source(ray_session):
     out = redact_pii(ray.data.from_pandas(df), "text",
                      out_col="clean").to_pandas()
     assert out["text"][0] == "a@b.io" and out["clean"][0] == "<EMAIL>"
+
+
+def test_bpe_token_count_matches_duckdb(ray_session):
+    import duckdb
+
+    from elasticsearch_ray.ops.textstats import (
+        BPE_SPLIT_PATTERN,
+        bpe_token_count,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["Hello world, it's 2024!", "don't stop-me now (v1.2.3)",
+                 "  spaces\tand\ttabs ", "東京 123abc façade", ""],
+    })
+    out = bpe_token_count(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    want = con.execute(
+        f"SELECT len(regexp_extract_all(text, '{pat}'))::BIGINT AS n "
+        f"FROM t ORDER BY doc_id").df()["n"].tolist()
+    assert out["n_bpe_tokens"].tolist() == want
+    assert out["n_bpe_tokens"].iloc[4] == 0  # empty text
