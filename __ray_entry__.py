@@ -1807,6 +1807,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = hnsw_topk(_ds(sf, "embeddings"), qids, qm, k=5)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ann_ivfpq_rescore_all(sf):
+        # IVF-PQ (Jégou et al. IVFADC): 8x-compressed uint8 code store +
+        # ADC scan + exact rerank. Probing every cell with unbounded
+        # rerank makes the result the brute top-k, so the DuckDB cosine
+        # oracle applies exactly; approximate-setting recall is
+        # pytest-pinned (tests/test_ops.py)
+        from elasticsearch_ray.ops.ann import ivfpq_topk
+
+        qids, qm = _query_vectors(sf)
+        out = ivfpq_topk(_ds(sf, "embeddings"), qids, qm, k=5, ncells=8,
+                         nprobe=8, rerank=10**9)
+        out["cosine"] = out["cosine"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ann_ivfpq_top5(sf):  # rows-only (approximate by design)
+        from elasticsearch_ray.ops.ann import ivfpq_topk
+
+        qids, qm = _query_vectors(sf)
+        out = ivfpq_topk(_ds(sf, "embeddings"), qids, qm, k=5, ncells=8,
+                         nprobe=5, rerank=128)
+        out["cosine"] = out["cosine"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ann_ivf_top5(sf):  # rows-only (approximate by design)
         from elasticsearch_ray.ops.ann import ivf_topk
 
@@ -3397,6 +3420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline_neardup": training_pipeline_neardup,
         "ann_cosine_top5": ann_cosine_top5,
         "ann_ivf_top5": ann_ivf_top5,
+        "ann_ivfpq_rescore_all": ann_ivfpq_rescore_all,
+        "ann_ivfpq_top5": ann_ivfpq_top5,
         "ann_hnsw_top5": ann_hnsw_top5,
         "search_knn_dsl": search_knn_dsl,
         "search_knn_filtered": search_knn_filtered,
@@ -4793,6 +4818,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY _score DESC, vec_id
         """,
         "ann_cosine_top5": """
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+            ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "ann_ivfpq_rescore_all": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,

@@ -159,3 +159,179 @@ def ivf_topk(ds: Dataset, query_ids, query_matrix: np.ndarray, id_col: str = "ve
     )
     out["cosine"] = out["cosine"].round(6)
     return out
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+def _pq_train(sample: np.ndarray, m: int, ksub: int, seed: int = 11):
+    """Per-subspace k-means codebooks over the (normalized) sample —
+    product quantization (Jégou, Douze & Schmid, TPAMI 2011 §II).
+    Returns (m, ksub, dsub) float64 codebooks."""
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    rng = np.random.default_rng(seed)
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                              replace=False)].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(axis=0)
+        books[j, :len(cent)] = cent
+    return books
+
+
+def _pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 codes: nearest codeword per subspace."""
+    m, ksub, dsub = books.shape
+    codes = np.zeros((len(x), m), np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def ivfpq_topk(ds: Dataset, query_ids, query_matrix: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 10, m: int = 8, ksub: int = 16,
+               ncells: int = 16, nprobe: int = 4, rerank: int = 64,
+               sample_n: int = 2048, seed: int = 11) -> pd.DataFrame:
+    """IVF-PQ ANN (IVFADC, Jégou et al. 2011 §IV): the 100-TB scale path.
+
+    Vectors are stored ONCE as (cell, m×uint8 PQ codes of the residual
+    x − centroid) — a 32×+ compression of a float64 corpus, so the scan
+    side touches only code bytes. Search is asymmetric distance
+    computation: per (query, probed cell) an (m, ksub) lookup table of
+    sub-distances to the query residual, candidate distance = one gather
+    + sum over m. The ``rerank`` best ADC candidates per query are then
+    scored EXACTLY against the raw vectors in one filtered second pass
+    (candidate-id broadcast — |q|·rerank ids, never the corpus).
+
+    With ``nprobe=ncells`` and ``rerank`` ≥ corpus the result is
+    bit-equal to :func:`brute_topk` (the oracle configuration); the
+    approximate setting is recall-tested. Same output schema/rounding
+    as the other ANN entries."""
+    sample = []
+    need = max(sample_n, 4 * ksub)
+    for batch in ds.select_columns([vec_col]).iter_batches(
+            batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        need -= len(batch)
+        if need <= 0:
+            break
+    samp = _normalize(np.concatenate(sample)[:max(sample_n, 4 * ksub)])
+    cent = _normalize(_kmeans(samp, ncells, seed=seed))
+    coarse = (samp @ cent.T).argmax(axis=1)
+    books = _pq_train(samp - cent[coarse], m, ksub, seed=seed)
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+
+    # ---- pass 1: encode the corpus to (id, cell, codes) --------------
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        b = ray.get(books_ref)
+        x = _normalize(_batch_matrix(batch, vec_col))
+        cells = (x @ c.T).argmax(axis=1)
+        codes = _pq_encode(x - c[cells], b)
+        return pa.table({
+            "id": batch[id_col],
+            "cell": pa.array(cells.astype(np.int32)),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        })
+
+    encoded = ds.map_batches(encode, batch_format="pyarrow").materialize()
+
+    # ---- pass 2: ADC scan over codes ---------------------------------
+    qm = _normalize(np.asarray(query_matrix, np.float64))
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    # LUT[q, cell, j, code] would be big; build per (q, probed cell):
+    # ||(x_res + c) - q||^2 over subspaces of (books[j] + c_sub - q_sub)
+    dsub = qm.shape[1] // m
+    luts = {}
+    for qi in range(len(qm)):
+        for cell in probe[qi]:
+            resq = qm[qi] - cent[cell]
+            lut = np.zeros((m, ksub))
+            for j in range(m):
+                diff = books[j] - resq[j * dsub:(j + 1) * dsub][None, :]
+                lut[j] = (diff ** 2).sum(-1)
+            luts[(qi, int(cell))] = lut
+    qref = ray.put((list(query_ids), probe, luts))
+
+    def adc(batch: pa.Table) -> pa.Table:
+        qids, prb, lt = ray.get(qref)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        codes = batch["codes"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(len(batch), m)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(qids)):
+            for cell in prb[qi]:
+                msk = cells == cell
+                if not msk.any():
+                    continue
+                lut = lt[(qi, int(cell))]
+                cd = codes[msk]
+                dist = lut[np.arange(m)[None, :], cd].sum(axis=1)
+                sel = ids[msk]
+                kk = min(rerank, len(dist))
+                top = np.argpartition(dist, kk - 1)[:kk] \
+                    if len(dist) > kk else np.arange(len(dist))
+                out_q.extend([qids[qi]] * len(top))
+                out_id.extend(sel[top].tolist())
+                out_d.extend(dist[top].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "neighbor_id": pa.array(out_id),
+                         "adc": pa.array(out_d, pa.float64())})
+
+    cand = encoded.map_batches(adc, batch_format="pyarrow").to_pandas()
+    cand = (cand.sort_values(["query_id", "adc", "neighbor_id"])
+            .groupby("query_id", as_index=False).head(rerank))
+
+    # ---- pass 3: exact rerank of the candidate ids -------------------
+    cand_ids = {int(q): set(g["neighbor_id"])
+                for q, g in cand.groupby("query_id")}
+    all_ids = set().union(*cand_ids.values()) if cand_ids else set()
+    ids_ref = ray.put(all_ids)
+    qref2 = ray.put((list(query_ids), qm))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(ids_ref)
+        qids, qn = ray.get(qref2)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        msk = np.isin(ids, list(keep_ids))
+        if not msk.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        x = _normalize(_batch_matrix(batch, vec_col))[msk]
+        sel = ids[msk]
+        sims = x @ qn.T
+        out_q, out_id, out_sim = [], [], []
+        for qi, qid in enumerate(qids):
+            out_q.extend([qid] * len(sel))
+            out_id.extend(sel.tolist())
+            out_sim.extend(sims[:, qi].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "neighbor_id": pa.array(out_id),
+                         "cosine": pa.array(out_sim, pa.float64())})
+
+    exact_df = ds.map_batches(exact, batch_format="pyarrow").to_pandas()
+    # keep only each query's OWN candidates, then exact top-k
+    keyed = exact_df.merge(
+        cand[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"])
+    out = (keyed.sort_values(["query_id", "cosine", "neighbor_id"],
+                             ascending=[True, False, True])
+           .groupby("query_id", as_index=False).head(k)
+           .reset_index(drop=True))
+    out["cosine"] = out["cosine"].round(6)
+    return out

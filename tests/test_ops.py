@@ -1019,3 +1019,48 @@ def test_training_pipeline_decontaminate(ray_session, tmp_path):
                                  decontaminate_ngram=8)
     assert out["after_dedup"] == 24
     assert out["after_decontaminate"] == 20  # 4 planted docs dropped
+
+
+def test_ivfpq_full_probe_equals_brute(rds):
+    """IVF-PQ (Jégou et al. IVFADC) with nprobe=ncells and rerank >=
+    corpus: the exact rerank pass sees every vector, so the result is
+    bit-equal to brute_topk (the oracle configuration)."""
+    from elasticsearch_ray.ops.ann import brute_topk, ivfpq_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    qids = t["vec_id"].to_numpy()[:4].tolist()
+    qm = np.stack([np.asarray(v, np.float64)
+                   for v in t["embedding"].to_pylist()[:4]])
+    exact = brute_topk(rds["embeddings"], qids, qm, k=5)
+    full = ivfpq_topk(rds["embeddings"], qids, qm, k=5, ncells=8,
+                      nprobe=8, rerank=10**9)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True))
+
+
+def test_ivfpq_recall_vs_brute(rds):
+    from elasticsearch_ray.ops.ann import brute_topk, ivfpq_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    qids = t["vec_id"].to_numpy()[:5].tolist()
+    qm = np.stack([np.asarray(v, np.float64)
+                   for v in t["embedding"].to_pylist()[:5]])
+    exact = brute_topk(rds["embeddings"], qids, qm, k=10)
+    approx = ivfpq_topk(rds["embeddings"], qids, qm, k=10, ncells=8,
+                        nprobe=5, rerank=128)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # candidates come from 5/8 cells; survivors are exact-reranked
+    assert np.mean(recalls) >= 0.5
+
+
+def test_ivfpq_dim_must_divide_m(rds):
+    from elasticsearch_ray.ops.ann import ivfpq_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    qm = np.stack([np.asarray(t["embedding"].to_pylist()[0], np.float64)])
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(rds["embeddings"], [0], qm, m=7)
