@@ -2033,6 +2033,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["fingerprint"] = out["fingerprint"].map(lambda v: f"{int(v):016x}")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def search_version_field_sort(sf):
+        # version field type (x-pack mapper-version VersionEncoder):
+        # distributed sort on the encoded semver key; both sides derive
+        # the same version strings from doc_id, the oracle orders by the
+        # parsed components with prerelease-before-release
+        from elasticsearch_ray.ops.version_field import add_version_key
+
+        def derive(df):
+            df = df.copy()
+            pre = "-alpha." + (df["doc_id"] % 6).astype(str)
+            df["ver"] = ((df["doc_id"] % 3).astype(str) + "." +
+                         (df["doc_id"] % 12).astype(str) + "." +
+                         (df["doc_id"] % 5).astype(str) +
+                         pre.where(df["doc_id"] % 4 == 0, ""))
+            return df[["doc_id", "ver"]]
+
+        ds = _ds(sf, "documents").map_batches(derive, batch_format="pandas")
+        out = add_version_key(ds, "ver").sort(
+            ["_version_key", "doc_id"]).to_pandas()
+        out = out[["doc_id", "ver"]]
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_bpe_tokens(sf):
         # GPT-2 pretokenizer (BPE-ish) token counts, RE2 on both sides
         from elasticsearch_ray.ops.textstats import bpe_token_count
@@ -3437,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
         "text_bpe_tokens": text_bpe_tokens,
+        "search_version_field_sort": search_version_field_sort,
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
@@ -4928,6 +4952,26 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "search_version_field_sort": """
+            WITH v AS (
+              SELECT doc_id,
+                     (doc_id % 3)::VARCHAR || '.' || (doc_id % 12)::VARCHAR
+                     || '.' || (doc_id % 5)::VARCHAR ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '-alpha.' || (doc_id % 6)::VARCHAR
+                          ELSE '' END AS ver,
+                     doc_id % 3 AS maj, doc_id % 12 AS mnr,
+                     doc_id % 5 AS pat,
+                     CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS rel,
+                     CASE WHEN doc_id % 4 = 0 THEN doc_id % 6
+                          ELSE NULL END AS prek
+              FROM documents)
+            SELECT row_number() OVER (
+                     ORDER BY maj, mnr, pat, rel, prek, doc_id
+                   )::BIGINT AS rank,
+                   doc_id, ver
+            FROM v ORDER BY rank
         """,
         "text_bpe_tokens": f"""
             SELECT doc_id,
