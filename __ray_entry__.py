@@ -2401,6 +2401,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ml_datafeed_bucket_stats(sf):
+        # datafeed-fed job (DatafeedConfig query + 30min aggregated
+        # extraction re-floored onto 1h buckets): the SQL-expressible
+        # half with the same WHERE; validator/chunking/timing are
+        # pytest-pinned (tests/test_datafeed.py)
+        from elasticsearch_ray.ops.anomaly import AnomalyJob
+        from elasticsearch_ray.ops.datafeed import DatafeedConfig, run_datafeed
+
+        job = AnomalyJob("feedgate", bucket_span="1h", detectors=[
+            {"function": "count", "partition_field_name": "event_type"},
+        ])
+        cfg = DatafeedConfig(
+            "feedgate-df",
+            query={"bool": {
+                "filter": [{"terms": {"event_type": ["purchase", "click"]}}],
+                "must_not": [{"range": {"value": {"lt": 5}}}]}},
+            aggregations={"date_histogram": {"field": "ts",
+                                             "fixed_interval": "30min"}})
+        res = run_datafeed(_ds(sf, "events"), cfg, job)
+        r = res["records"][["timestamp", "partition_field_value", "actual",
+                            "typical"]].rename(
+            columns={"partition_field_value": "event_type"})
+        s = res["series"][["event_type", "sd"]]
+        out = r.merge(s, on="event_type")
+        out["z"] = ((out["actual"] - out["typical"]) / out["sd"]).round(4)
+        out["typical"] = out["typical"].round(6)
+        out = out[["timestamp", "event_type", "actual", "typical", "z"]]
+        out = out.sort_values(["event_type", "timestamp"],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ml_anomaly_records(sf):  # rows-only (score model is the sketch half)
         from elasticsearch_ray.ops.anomaly import (
             AnomalyJob,
@@ -3352,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_inference_classification": ml_inference_classification,
         "ml_anomaly_bucket_stats": ml_anomaly_bucket_stats,
         "ml_anomaly_records": ml_anomaly_records,
+        "ml_datafeed_bucket_stats": ml_datafeed_bucket_stats,
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
         "ml_outlier_lof": ml_outlier_lof,
         "ml_dfa_train_regression": ml_dfa_train_regression,
@@ -4289,6 +4321,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT date_trunc('hour', ts) AS timestamp, event_type,
                      count(*)::DOUBLE AS actual
               FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT timestamp, event_type, actual,
+                     avg(actual) OVER (PARTITION BY event_type) AS mu,
+                     stddev_samp(actual) OVER (PARTITION BY event_type) AS sd
+              FROM b
+            )
+            SELECT timestamp, event_type, actual,
+                   round(mu, 6) AS typical,
+                   round((actual - mu) / sd, 4) AS z
+            FROM s ORDER BY event_type, timestamp
+        """,
+        "ml_datafeed_bucket_stats": """
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS timestamp, event_type,
+                     count(*)::DOUBLE AS actual
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+                AND NOT (value < 5)
+              GROUP BY 1, 2
             ), s AS (
               SELECT timestamp, event_type, actual,
                      avg(actual) OVER (PARTITION BY event_type) AS mu,

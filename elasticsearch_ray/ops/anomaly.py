@@ -154,7 +154,14 @@ def run_anomaly_job(ds, job: AnomalyJob) -> dict:
     # one streaming pass; per-batch partials are tiny relative to input
     reduced = ds.map_batches(
         lambda df: _partials(df, job), batch_format="pandas").to_pandas()
+    return score_reduced(reduced, job)
 
+
+def score_reduced(reduced: pd.DataFrame, job: AnomalyJob) -> dict:
+    """Scoring half: combine a partials frame (any granularity whose
+    buckets floor onto the job's) and emit records/buckets/series —
+    shared by the direct path and the aggregated-datafeed path
+    (ops/datafeed.py), whose sufficient statistics are associative."""
     records = []
     series_rows = []
     for di, d in enumerate(job.detectors):
