@@ -2033,6 +2033,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["fingerprint"] = out["fingerprint"].map(lambda v: f"{int(v):016x}")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_aggregate_metric(sf):
+        # aggregate_metric_double (x-pack mapper-aggregate-metric): per-user
+        # pre-aggregated sub-metrics, then metric aggs over the field; the
+        # oracle aggregates the RAW values — the field's core contract
+        from elasticsearch_ray.ops.field_types import (
+            aggregate_metric_aggs,
+            build_aggregate_metric,
+        )
+
+        pre = build_aggregate_metric(_ds(sf, "events"), ["user_id"],
+                                     "value", "v")
+        got = aggregate_metric_aggs(pre, "v", default_metric="max")
+        out = pd.DataFrame([{
+            "min": round(got["min"], 6), "max": round(got["max"], 6),
+            "sum": round(got["sum"], 2),
+            "value_count": int(got["value_count"]),
+            "avg": round(got["avg"], 6)}])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def search_unsigned_long_sort(sf):
+        # unsigned_long (x-pack mapper-unsigned-long): uint64 values in an
+        # int64 bit-pattern carrier, distributed sort via the
+        # sortable-signed (^2^63) shadow; both sides derive
+        # u = doc_id * 6364136223846793005 mod 2^64 (DuckDB via HUGEINT)
+        from elasticsearch_ray.ops.field_types import (
+            sort_unsigned_long,
+            sortable_to_unsigned,
+            unsigned_to_sortable,
+        )
+
+        def derive(df):
+            u = (df["doc_id"].to_numpy(np.uint64)
+                 * np.uint64(6364136223846793005))
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "u": u.view(np.int64)})
+
+        ds = _ds(sf, "documents").map_batches(derive, batch_format="pandas")
+        out = sort_unsigned_long(ds, "u").to_pandas()
+        uvals = sortable_to_unsigned(unsigned_to_sortable(
+            out["u"].to_numpy(np.int64).view(np.uint64)))
+        res = pd.DataFrame({
+            "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "u": [str(int(v)) for v in uvals]})
+        return pa.Table.from_pandas(res, preserve_index=False)
+
     def search_version_field_sort(sf):
         # version field type (x-pack mapper-version VersionEncoder):
         # distributed sort on the encoded semver key; both sides derive
@@ -3493,6 +3539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_bpe_tokens": text_bpe_tokens,
         "search_version_field_sort": search_version_field_sort,
+        "agg_aggregate_metric": agg_aggregate_metric,
+        "search_unsigned_long_sort": search_unsigned_long_sort,
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
@@ -5003,6 +5051,23 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_by_lang": """
             SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "agg_aggregate_metric": """
+            SELECT round(min(value), 6) AS min, round(max(value), 6) AS max,
+                   round(sum(value), 2) AS sum,
+                   count(value)::BIGINT AS value_count,
+                   round(avg(value), 6) AS avg
+            FROM events
+        """,
+        "search_unsigned_long_sort": """
+            WITH v AS (
+              SELECT doc_id,
+                     (doc_id::HUGEINT * 6364136223846793005::HUGEINT)
+                       % 18446744073709551616::HUGEINT AS u
+              FROM documents)
+            SELECT row_number() OVER (ORDER BY u, doc_id)::BIGINT AS rank,
+                   doc_id, u::VARCHAR AS u
+            FROM v ORDER BY rank
         """,
         "search_version_field_sort": """
             WITH v AS (

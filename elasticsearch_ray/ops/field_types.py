@@ -1,0 +1,178 @@
+"""x-pack mapper-plugin field types: ``aggregate_metric_double``,
+``unsigned_long``, ``constant_keyword``.
+
+Reference surfaces (all public):
+
+- ``x-pack/plugin/mapper-aggregate-metric/.../AggregateDoubleMetricFieldMapper.java``
+  — a field backed by sub-fields ``<f>.min/.max/.sum/.value_count``;
+  queries/sorts read the configured ``default_metric``; metric aggs read
+  the matching sub-metric (avg recomposed as sum / value_count — the
+  same rule the rollup module uses). Aggregating the pre-aggregated
+  field must equal aggregating the raw data it summarizes.
+- ``x-pack/plugin/mapper-unsigned-long/.../UnsignedLongFieldMapper.java``
+  — uint64 values stored as ``long`` via ``value ^ 0x8000...`` (the
+  MASK_2_63 sortable-signed trick) so signed order == unsigned order;
+  term/range/sort operate in shifted space.
+- ``x-pack/plugin/mapper-constant-keyword/.../ConstantKeywordFieldMapper.java``
+  — one index-wide constant; a term query is decided from the MAPPING
+  alone (match-all or match-none), no data touched — the can_match
+  shortcut for index-per-tenant layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_MASK_2_63 = np.uint64(0x8000000000000000)
+
+AGG_METRICS = ("min", "max", "sum", "value_count")
+
+
+# ------------------------------------------------- aggregate_metric_double
+
+
+def build_aggregate_metric(ds: Dataset, group_cols: list[str],
+                           value_col: str, field: str) -> Dataset:
+    """Produce an aggregate_metric_double column set
+    (``<field>.min/.max/.sum/.value_count``) per group — the write-side
+    shape a downsampling/rollup process emits. One map-side-combined
+    groupby (partial stats per batch, tiny shuffle)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False)[value_col].agg(
+            ["min", "max", "sum", "count"]).reset_index()
+        return g.rename(columns={
+            "min": f"{field}.min", "max": f"{field}.max",
+            "sum": f"{field}.sum", "count": f"{field}.value_count"})
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][group_cols].copy()
+        out[f"{field}.min"] = g[f"{field}.min"].min()
+        out[f"{field}.max"] = g[f"{field}.max"].max()
+        out[f"{field}.sum"] = g[f"{field}.sum"].sum()
+        out[f"{field}.value_count"] = int(g[f"{field}.value_count"].sum())
+        return out
+
+    return part.groupby(group_cols).map_groups(combine,
+                                               batch_format="pandas")
+
+
+def aggregate_metric_aggs(ds: Dataset, field: str,
+                          metrics: tuple = ("min", "max", "sum",
+                                            "value_count", "avg"),
+                          default_metric: str = "max") -> dict:
+    """Metric aggs over an aggregate_metric_double field: each agg reads
+    its matching sub-metric; ``avg`` is NEVER stored, recomposed from
+    sum / value_count (AggregateMetricBackedAvgAggregator)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "mn": df[f"{field}.min"].min(),
+            "mx": df[f"{field}.max"].max(),
+            "s": df[f"{field}.sum"].sum(),
+            "c": int(df[f"{field}.value_count"].sum()),
+        }])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    mn, mx = float(parts["mn"].min()), float(parts["mx"].max())
+    s, c = float(parts["s"].sum()), int(parts["c"].sum())
+    all_vals = {"min": mn, "max": mx, "sum": s, "value_count": c,
+                "avg": (s / c) if c else None}
+    out = {m: all_vals[m] for m in metrics}
+    out["_default_metric_value"] = all_vals[default_metric]
+    return out
+
+
+# ------------------------------------------------------- unsigned_long
+
+
+def unsigned_to_sortable(u: np.ndarray) -> np.ndarray:
+    """uint64 -> int64 with preserved order (value ^ 2^63)."""
+    return (np.asarray(u, np.uint64) ^ _MASK_2_63).view(np.int64)
+
+
+def sortable_to_unsigned(s: np.ndarray) -> np.ndarray:
+    return (np.asarray(s, np.int64).view(np.uint64)) ^ _MASK_2_63
+
+
+def add_unsigned_long_key(ds: Dataset, col: str,
+                          key_col: str | None = None) -> Dataset:
+    """Attach the sortable-signed shadow of a uint64 column (stored as
+    int64 bit patterns, the parquet-friendly carrier)."""
+    key_col = key_col or f"{col}__sortable"
+
+    def key(batch: pa.Table) -> pa.Table:
+        u = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(key_col,
+                                   pa.array(unsigned_to_sortable(u)))
+
+    return ds.map_batches(key, batch_format="pyarrow")
+
+
+def unsigned_long_range(ds: Dataset, col: str, gte: int | None = None,
+                        lte: int | None = None) -> Dataset:
+    """Range in UNSIGNED space over int64-bit-pattern storage."""
+    lo = unsigned_to_sortable(np.asarray([gte], np.uint64))[0] \
+        if gte is not None else None
+    hi = unsigned_to_sortable(np.asarray([lte], np.uint64))[0] \
+        if lte is not None else None
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = unsigned_to_sortable(u)
+        m = np.ones(len(s), bool)
+        if lo is not None:
+            m &= s >= lo
+        if hi is not None:
+            m &= s <= hi
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sort_unsigned_long(ds: Dataset, col: str,
+                       descending: bool = False) -> Dataset:
+    """Distributed sort in unsigned order via the sortable shadow."""
+    key = f"{col}__sortable"
+    out = add_unsigned_long_key(ds, col, key).sort(key,
+                                                   descending=descending)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([key])
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- constant_keyword
+
+
+class ConstantKeywordField:
+    """Index-level constant (ConstantKeywordFieldMapper): term/terms
+    queries are answered from the mapping — ``matches`` says whether the
+    whole index matches, and :func:`filter_dataset` either passes the
+    dataset through untouched or short-circuits to empty WITHOUT a
+    scan (the can_match shortcut)."""
+
+    def __init__(self, field: str, value: str | None):
+        self.field = field
+        self.value = value
+
+    def matches(self, query_value) -> bool:
+        if self.value is None:
+            # no value seen yet: the field matches nothing (reference:
+            # value gets fixed by the first document that supplies it)
+            return False
+        if isinstance(query_value, (list, tuple, set)):
+            return self.value in query_value
+        return self.value == query_value
+
+    def filter_dataset(self, ds: Dataset, query_value) -> Dataset:
+        if self.matches(query_value):
+            return ds
+        return ds.limit(0)
+
+    def exists(self) -> bool:
+        return self.value is not None
