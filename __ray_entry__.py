@@ -5099,7 +5099,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 <
               CASE lang WHEN 'en' THEN 0.5 * 4294967296
-                        WHEN 'de' THEN 4294967295
+                        WHEN 'de' THEN 1.0 * 4294967296
                         WHEN 'fr' THEN 0.25 * 4294967296
                         ELSE 0 END
             ORDER BY doc_id

@@ -298,17 +298,21 @@ def ivfpq_topk(ds: Dataset, query_ids, query_matrix: np.ndarray,
             .groupby("query_id", as_index=False).head(rerank))
 
     # ---- pass 3: exact rerank of the candidate ids -------------------
-    cand_ids = {int(q): set(g["neighbor_id"])
+    # per-query sorted candidate arrays ship to the workers so each
+    # batch emits ONLY (query, own-candidate) pairs — ~rerank rows per
+    # query, never a candidates x queries cross product
+    cand_ids = {q: np.sort(g["neighbor_id"].to_numpy())
                 for q, g in cand.groupby("query_id")}
-    all_ids = set().union(*cand_ids.values()) if cand_ids else set()
-    ids_ref = ray.put(all_ids)
+    all_ids = np.sort(cand["neighbor_id"].unique()) if len(cand) else \
+        np.array([], np.int64)
+    ids_ref = ray.put((all_ids, cand_ids))
     qref2 = ray.put((list(query_ids), qm))
 
     def exact(batch: pa.Table) -> pa.Table:
-        keep_ids = ray.get(ids_ref)
+        union_ids, per_q = ray.get(ids_ref)
         qids, qn = ray.get(qref2)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        msk = np.isin(ids, list(keep_ids))
+        msk = np.isin(ids, union_ids)
         if not msk.any():
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -318,19 +322,22 @@ def ivfpq_topk(ds: Dataset, query_ids, query_matrix: np.ndarray,
         sims = x @ qn.T
         out_q, out_id, out_sim = [], [], []
         for qi, qid in enumerate(qids):
-            out_q.extend([qid] * len(sel))
-            out_id.extend(sel.tolist())
-            out_sim.extend(sims[:, qi].astype(np.float64).tolist())
+            own = per_q.get(qid)
+            if own is None:
+                continue
+            own_msk = np.isin(sel, own)
+            if not own_msk.any():
+                continue
+            out_q.extend([qid] * int(own_msk.sum()))
+            out_id.extend(sel[own_msk].tolist())
+            out_sim.extend(sims[own_msk, qi].astype(np.float64).tolist())
         return pa.table({"query_id": pa.array(out_q),
                          "neighbor_id": pa.array(out_id),
                          "cosine": pa.array(out_sim, pa.float64())})
 
     exact_df = ds.map_batches(exact, batch_format="pyarrow").to_pandas()
-    # keep only each query's OWN candidates, then exact top-k
-    keyed = exact_df.merge(
-        cand[["query_id", "neighbor_id"]], on=["query_id", "neighbor_id"])
-    out = (keyed.sort_values(["query_id", "cosine", "neighbor_id"],
-                             ascending=[True, False, True])
+    out = (exact_df.sort_values(["query_id", "cosine", "neighbor_id"],
+                                ascending=[True, False, True])
            .groupby("query_id", as_index=False).head(k)
            .reset_index(drop=True))
     out["cosine"] = out["cosine"].round(6)

@@ -131,12 +131,16 @@ def _query_mask(df: pd.DataFrame, q: dict) -> np.ndarray:
         return m
     if kind == "bool":
         m = np.ones(n, bool)
-        for clause in body.get("must", []) + body.get("filter", []):
+        must = body.get("must", []) + body.get("filter", [])
+        for clause in must:
             m &= _query_mask(df, clause)
         for clause in body.get("must_not", []):
             m &= ~_query_mask(df, clause)
         should = body.get("should", [])
-        if should:
+        # minimum_should_match defaults to 0 when must/filter clauses
+        # exist (BoolQueryBuilder; same rule as search/engine.py) —
+        # should is then score-only and never narrows the mask
+        if should and not must:
             sm = np.zeros(n, bool)
             for clause in should:
                 sm |= _query_mask(df, clause)

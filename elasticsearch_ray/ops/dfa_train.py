@@ -237,18 +237,12 @@ def _leaf_tree(features: list[str], value: float) -> dict:
 # ------------------------------------------------------------- training
 
 
-def _margin_fn(trees: list[_Tree], base: float):
-    def margin(codes: np.ndarray) -> np.ndarray:
-        m = np.full(len(codes), base, np.float64)
-        for t in trees:
-            m += np.asarray(t.value)[t.assign(codes)]
-        return m
-    return margin
-
-
-def _hist_pass(binned, trees, base, tree, open_nodes, F, B, objective):
+def _hist_pass(binned, tree, open_nodes, F, B, objective):
     """One distributed pass: fixed-point (g, h, count) histograms per
-    (open node, feature, bin) — the only cross-block reduce per level."""
+    (open node, feature, bin) — the only cross-block reduce per level.
+    The boosting margin rides a persisted per-row column ("m", folded
+    in once per FINISHED tree), so each pass evaluates only the tree
+    under construction — linear, not quadratic, in tree count."""
     n_open = len(open_nodes)
     size = n_open * F * (B + 1) * 3
     pos_arr = np.full(len(tree.left), -1, np.int64)
@@ -257,7 +251,7 @@ def _hist_pass(binned, trees, base, tree, open_nodes, F, B, objective):
     def fn(batch: dict) -> dict:
         codes = batch["codes"].reshape(len(batch["y"]), F)
         y = batch["y"]
-        m = _margin_fn(trees, base)(codes)
+        m = batch["m"]
         if objective == "mse":
             g, h = m - y, np.ones_like(y)
         else:
@@ -389,7 +383,8 @@ def fit_gbt(ds, features: list[str], dependent_variable: str, *,
 
         def std(b):
             return {"codes": b["codes"],
-                    "y": (b["y"] - mu) / sd}
+                    "y": (b["y"] - mu) / sd,
+                    "m": np.zeros(len(b["y"]), np.float64)}
         binned = binned.map_batches(std, batch_format="numpy",
                                     batch_size=None).materialize()
     else:
@@ -401,6 +396,12 @@ def fit_gbt(ds, features: list[str], dependent_variable: str, *,
         base_internal = _round_sig(float(np.log(pbar / (1 - pbar))))
         base_out, scale = base_internal, 1.0
 
+        def init_m(b, base=base_internal):
+            return {"codes": b["codes"], "y": b["y"],
+                    "m": np.full(len(b["y"]), base, np.float64)}
+        binned = binned.map_batches(init_m, batch_format="numpy",
+                                    batch_size=None).materialize()
+
     trees: list[_Tree] = []
     importance = np.zeros(F, np.float64)
     for _ in range(max_trees):
@@ -410,8 +411,7 @@ def fit_gbt(ds, features: list[str], dependent_variable: str, *,
         for _depth in range(max_depth):
             if not open_nodes:
                 break
-            hist = _hist_pass(binned, trees, base_internal, tree,
-                              open_nodes, F, B, objective)
+            hist = _hist_pass(binned, tree, open_nodes, F, B, objective)
             nxt = []
             for i, node in enumerate(open_nodes):
                 pick = _best_split(hist[i], lam, gamma, min_child)
@@ -427,13 +427,22 @@ def fit_gbt(ds, features: list[str], dependent_variable: str, *,
                 nxt.extend([li, ri])
             open_nodes = nxt
         if open_nodes:  # max_depth reached: finalize leaves in one pass
-            hist = _hist_pass(binned, trees, base_internal, tree,
-                              open_nodes, F, B, objective)
+            hist = _hist_pass(binned, tree, open_nodes, F, B, objective)
             for i, node in enumerate(open_nodes):
                 Gt = hist[i, :, :, 0].sum() / (F * _FP)
                 Ht = hist[i, :, :, 1].sum() / (F * _FP)
                 tree.value[node] = -eta * Gt / (Ht + lam)
         trees.append(tree)
+        # fold the finished tree into the persisted margin column ONCE
+        # (same per-row float64 add order as recomputation: tree order)
+        vals = np.asarray(tree.value, np.float64)
+
+        def fold(b, tree=tree, vals=vals):
+            codes = b["codes"].reshape(len(b["y"]), F)
+            return {"codes": b["codes"], "y": b["y"],
+                    "m": b["m"] + vals[tree.assign(codes)]}
+        binned = binned.map_batches(fold, batch_format="numpy",
+                                    batch_size=None).materialize()
         if not any_split:
             break
 

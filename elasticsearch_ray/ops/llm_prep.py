@@ -59,10 +59,12 @@ def stratified_sample(ds, strata_col: str, rates: dict, id_col: str,
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError("default_rate must be in [0, 1]")
-    thresholds = {str(s): np.uint64(min(int(r * 4294967296.0), 2**32 - 1))
+    # the hash is mod 2^32, so a rate-1.0 threshold of 2^32 keeps every
+    # row under strict < (clamping to 2^32-1 would drop the one hash
+    # residue equal to it)
+    thresholds = {str(s): np.uint64(min(int(r * 4294967296.0), 2**32))
                   for s, r in rates.items()}
-    default_thr = np.uint64(min(int(default_rate * 4294967296.0),
-                                2**32 - 1))
+    default_thr = np.uint64(min(int(default_rate * 4294967296.0), 2**32))
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -207,7 +209,10 @@ def redact_pii(ds, text_col: str, rules: list[tuple[str, str]] | None = None,
     compiled = [(f"<{tag}>", re.compile(pat)) for tag, pat in rules]
 
     def redact(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
+        # "string" dtype keeps nulls null ("str" would stringify them to
+        # the literal "None", which the regexp_replace SQL twin never
+        # produces)
+        s = df[text_col].astype("string")
         for repl, rx in compiled:
             s = s.str.replace(rx, repl, regex=True)
         df = df.copy()

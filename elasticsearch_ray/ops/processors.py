@@ -1199,34 +1199,61 @@ class Pipeline:
             for s in self.steps:
                 df = s.proc(df)
             return df
-        orig = df.copy()
-        try:
-            for s in self.steps:
-                df = s.proc(df)
-            return df
-        except Exception:
-            return self._per_doc(orig)
-
-    def _per_doc(self, orig: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for i in range(len(orig)):
-            row = orig.iloc[i: i + 1]
+        # step-wise vectorized: each step tries the WHOLE current frame
+        # first; only a step that actually fails degrades to per-row for
+        # that step, and recovered rows rejoin the vectorized flow. Docs
+        # whose handlers all fail exit to the failure bucket with their
+        # in-flight state (CompoundProcessor passes the in-flight
+        # IngestDocument to the pipeline on_failure chain, not the
+        # original source).
+        exited: list[pd.DataFrame] = []
+        cur = df
+        for s in self.steps:
+            snap = cur.copy()
             try:
-                out = self._run_chain(self.steps, row.copy())
-            except Exception as e:
-                if self.pipeline_on_failure:
+                cur = s.proc(cur)
+                continue
+            except Exception:
+                pass
+            ok_rows = []
+            for i in range(len(snap)):
+                row = snap.iloc[i: i + 1]
+                try:
+                    ok_rows.append(s.proc(row.copy()))
+                    continue
+                except Exception as e:
+                    err, kept = e, row
+                if s.ignore_failure:
+                    ok_rows.append(kept)
+                    continue
+                if s.on_failure:
                     try:
                         out = self._run_chain(
-                            self.pipeline_on_failure,
-                            self._with_meta(row.copy(), e, None))
-                        out = out.drop(columns=_FAILURE_META,
-                                       errors="ignore")
+                            s.on_failure, self._with_meta(kept.copy(),
+                                                          err, s))
+                        ok_rows.append(out.drop(columns=_FAILURE_META,
+                                                errors="ignore"))
+                        continue
                     except Exception as e2:
-                        out = self._fail_row(row, e2)
-                else:
-                    out = self._fail_row(row, e)
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True) if outs else orig
+                        err = e2
+                exited.append(self._rescue(kept, err))
+            cur = (pd.concat(ok_rows, ignore_index=True)
+                   if ok_rows else snap.iloc[0:0])
+        if exited:
+            return pd.concat([cur, *exited], ignore_index=True)
+        return cur
+
+    def _rescue(self, row: pd.DataFrame, e: Exception) -> pd.DataFrame:
+        """Unhandled per-step failure: pipeline-level on_failure over the
+        IN-FLIGHT row state, then the failure bucket."""
+        if self.pipeline_on_failure:
+            try:
+                out = self._run_chain(self.pipeline_on_failure,
+                                      self._with_meta(row.copy(), e, None))
+                return out.drop(columns=_FAILURE_META, errors="ignore")
+            except Exception as e2:
+                e = e2
+        return self._fail_row(row, e)
 
     def _run_chain(self, steps, df: pd.DataFrame) -> pd.DataFrame:
         for s in steps:
@@ -1283,20 +1310,59 @@ def simulate_pipeline(processors: list, docs: list[dict],
             continue
         results = []
         failed = False
-        for p in pipe.processors:
+        for step in pipe.steps:
             if failed:
                 break
-            ptype = getattr(p, "name", None) or type(p).__name__
+            ptype = step.type
             try:
-                df = p(df)
+                df = step.proc(df)
                 results.append({"processor_type": ptype,
                                 "status": "success",
                                 "doc": {"_source": df.iloc[0].to_dict()}})
+                continue
             except Exception as e:
+                err = e
+            if step.ignore_failure:
+                # SimulateProcessorResult renders ignored_error + the
+                # unchanged doc and the chain continues
+                results.append({"processor_type": ptype,
+                                "status": "error_ignored",
+                                "ignored_error": {
+                                    "type": type(err).__name__,
+                                    "reason": str(err)},
+                                "doc": {"_source": df.iloc[0].to_dict()}})
+                continue
+            if step.on_failure:
+                # verbose mode shows the failed step, then each
+                # on_failure processor executing (the reference renders
+                # the handler chain's own SimulateProcessorResults)
                 results.append({"processor_type": ptype,
                                 "status": "error",
-                                "error": {"type": type(e).__name__,
-                                          "reason": str(e)}})
-                failed = True
+                                "error": {"type": type(err).__name__,
+                                          "reason": str(err)}})
+                try:
+                    h = Pipeline._with_meta(df.copy(), err, step)
+                    for hs in step.on_failure:
+                        h = hs.proc(h)
+                        results.append({
+                            "processor_type": hs.type,
+                            "status": "success", "on_failure": True,
+                            "doc": {"_source": h.drop(
+                                columns=_FAILURE_META, errors="ignore")
+                                .iloc[0].to_dict()}})
+                    df = h.drop(columns=_FAILURE_META, errors="ignore")
+                    continue
+                except Exception as e2:
+                    results.append({"processor_type": ptype,
+                                    "status": "error", "on_failure": True,
+                                    "error": {"type": type(e2).__name__,
+                                              "reason": str(e2)}})
+                    failed = True
+                    continue
+            results.append({"processor_type": ptype,
+                            "status": "error",
+                            "error": {"type": type(err).__name__,
+                                      "reason": str(err)}})
+            failed = True
         out_docs.append({"processor_results": results})
     return {"docs": out_docs}

@@ -362,7 +362,11 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
 
                     def splitter(df, name=name, col=col, sep=sep):
                         df = df.copy()
-                        df[name] = df[col].astype(str).str.split(sep)
+                        # literal separator (regex=False — ES|QL SPLIT
+                        # delimiters are strings, not patterns); string
+                        # dtype keeps nulls null instead of "None"
+                        df[name] = df[col].astype("string") \
+                            .str.split(sep, regex=False)
                         return df
                     ds = ds.map_batches(splitter, batch_format="pandas")
                 else:

@@ -38,7 +38,7 @@ def test_stratified_sample_matches_hash_rule(docs_ds):
     df = _docs()
     h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
         % np.uint64(2**32)
-    thr = df["lang"].map({"en": 0.5 * 2**32, "de": 2**32 - 1}).fillna(0.0)
+    thr = df["lang"].map({"en": 0.5 * 2**32, "de": 2**32}).fillna(0.0)
     expect = df[h < thr.to_numpy(np.float64).astype(np.uint64)]
     assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
     # fr rows (default_rate=0) all dropped; de rows all kept
