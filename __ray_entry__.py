@@ -2151,6 +2151,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_global_shuffle(sf):
+        # deterministic epoch shuffle: Fibonacci-hash key sort, layout
+        # independent; oracle orders by the same key expression
+        from elasticsearch_ray.ops.llm_prep import global_shuffle
+
+        out = global_shuffle(_ds(sf, "documents"), "doc_id",
+                             seed=13).to_pandas()
+        out = out[["doc_id", "lang"]]
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def llm_quality_classifier(sf):  # rows-only (GBT model scoring)
+        # fastText/CCNet-style quality filter: train the distributed GBT
+        # on a seed labeled by a deterministic surface rule, score every
+        # doc; one row per doc so the count is layout-stable
+        import pandas as pd
+
+        from elasticsearch_ray.ops.llm_prep import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = _ds(sf, "documents")
+        # label seed: only the two small columns leave the scan
+        head = docs.select_columns(["doc_id", "n_chars"]).to_pandas()
+        seed_df = head[head["doc_id"] % 3 == 0]
+        labels = pd.DataFrame({
+            "doc_id": seed_df["doc_id"],
+            "label": np.where(seed_df["n_chars"] >= 400, "high", "low"),
+        })
+        defn, _meta = train_quality_classifier(docs, labels)
+        out = score_quality(docs, defn,
+                            positive_label="high").to_pandas()
+        out = out[["doc_id", "lang"]].assign(
+            scored=np.int64(1))
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_redact_pii(sf):
         # PII redaction over a deterministically-seeded derivation of the
         # docs (synthetic corpus has no PII): both sides append the same
@@ -3544,6 +3583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
+        "llm_global_shuffle": llm_global_shuffle,
+        "llm_quality_classifier": llm_quality_classifier,
         "llm_redact_pii": llm_redact_pii,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
@@ -5119,6 +5160,13 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(off + n_chars - 1, off) // 4096
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
+        """,
+        "llm_global_shuffle": """
+            SELECT row_number() OVER (
+                     ORDER BY ((doc_id + 13) * 2654435761) % 4294967296,
+                              doc_id)::BIGINT AS rank,
+                   doc_id, lang
+            FROM documents ORDER BY rank
         """,
         "llm_redact_pii": f"""
             SELECT doc_id, {pii_sql_expr('text2')} AS clean

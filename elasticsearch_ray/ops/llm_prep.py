@@ -77,6 +77,39 @@ def stratified_sample(ds, strata_col: str, rates: dict, id_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def global_shuffle(ds, id_col: str, seed: int = 0,
+                   key_col: str | None = None):
+    """Deterministic global shuffle for training-data ordering: sort by
+    ``hash(id, seed)`` — unlike ``ds.random_shuffle()`` the permutation
+    depends only on row VALUES and the seed, never on block layout, so
+    a resumed/re-run pipeline reproduces the exact epoch order. One
+    distributed sort; the key is the same SQL-expressible Knuth hash as
+    :func:`stratified_sample` (full 64-bit spread via a second multiply)
+    so an oracle can replicate the order."""
+    keep = key_col is not None
+    key_col = key_col or "_shuffle_key"
+    s = np.uint64(seed)
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # ONE Fibonacci-hash round (K/2^32 ≈ the golden ratio, so
+        # consecutive ids land far apart); chaining a second multiply
+        # would compose to K^2 mod 2^32, which is nearly -1651 — an
+        # almost-linear, order-preserving key. Hash ties (id spaces
+        # >> 2^32) break deterministically on the id sort key.
+        h = ((ids + s) * _KNUTH) % _MOD32
+        return batch.append_column(key_col, pa.array(h))
+
+    out = ds.map_batches(key, batch_format="pyarrow") \
+        .sort([key_col, id_col])
+    if keep:
+        return out
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([key_col])
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- packing
 
 
@@ -183,6 +216,89 @@ def pack_bins(ds, id_col: str, count_col: str, capacity: int,
         batch_format="pyarrow")
     return keyed.groupby("_pack_group").map_groups(
         pack, batch_format="pandas")
+
+
+# ------------------------------------------------- quality classifier
+
+
+QUALITY_FEATURES = ["n_tokens", "mean_token_len", "stopword_ratio",
+                    "unique_ratio"]
+
+
+def train_quality_classifier(ds, labels: pd.DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             label_col: str = "label",
+                             **gbt_params) -> tuple[dict, dict]:
+    """Train a document-quality classifier (the GPT-3 appendix-A /
+    CCNet "quality filter" shape: a small model scoring documents by
+    surface features) over the :mod:`textstats` feature set, using the
+    repo's distributed GBT (:func:`ops.dfa_train.fit_gbt`).
+
+    ``labels`` is a (id, label) seed frame (two classes). Features are
+    computed distributed; only seed rows train (broadcast id->label
+    lookup). Returns (TrainedModelDefinition dict, meta)."""
+    from elasticsearch_ray.ops.dfa_train import fit_gbt
+    from elasticsearch_ray.ops.textstats import TextQuality
+
+    lab = dict(zip(labels[id_col].astype(np.int64),
+                   labels[label_col].astype(str)))
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        feats = TextQuality(text_col, id_col)(batch)
+        ids = feats[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, list(lab))
+        feats = feats.filter(pa.array(keep))
+        y = [lab[int(i)] for i in
+             feats[id_col].to_numpy(zero_copy_only=False)]
+        return feats.append_column(label_col, pa.array(y))
+
+    train = ds.map_batches(featurize, batch_format="pyarrow")
+    params = {"max_trees": 10, "max_depth": 3, "num_bins": 32,
+              **gbt_params}
+    return fit_gbt(train, QUALITY_FEATURES, label_col,
+                   objective="binary_logloss", **params)
+
+
+def score_quality(ds, definition: dict, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  prob_col: str = "quality_prob",
+                  positive_label: str | None = None):
+    """Attach P(positive class) per doc — features computed and scored
+    in the same batch, source columns passed through."""
+    from elasticsearch_ray.ops.inference import TrainedModelDefinition
+    from elasticsearch_ray.ops.textstats import TextQuality
+
+    model = TrainedModelDefinition(definition)
+    labels = model.model.classification_labels
+    if len(labels) != 2:
+        raise ValueError("score_quality expects a binary model")
+    pos = positive_label if positive_label is not None else labels[-1]
+
+    def score(batch: pa.Table) -> pa.Table:
+        feats = TextQuality(text_col, id_col)(batch).to_pandas()
+        res = model.infer(feats)
+        p_best = res["prediction_probability"]
+        # binary: P(pos) is p when pos was predicted, else 1-p
+        p_pos = np.where(res["predicted_value"] == pos,
+                         p_best, 1.0 - p_best)
+        return batch.append_column(prob_col,
+                                   pa.array(p_pos.astype(np.float64)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_filter(ds, definition: dict, threshold: float = 0.5,
+                   **score_kwargs):
+    """Keep docs with P(positive) >= threshold (streaming filter)."""
+    scored = score_quality(ds, definition, **score_kwargs)
+    prob_col = score_kwargs.get("prob_col", "quality_prob")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = batch[prob_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(p >= threshold))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- redaction

@@ -193,3 +193,72 @@ def test_bpe_token_count_matches_duckdb(ray_session):
         f"FROM t ORDER BY doc_id").df()["n"].tolist()
     assert out["n_bpe_tokens"].tolist() == want
     assert out["n_bpe_tokens"].iloc[4] == 0  # empty text
+
+
+def test_global_shuffle_deterministic_and_layout_invariant(ray_session):
+    from elasticsearch_ray.ops.llm_prep import global_shuffle
+
+    df = _docs(300)
+    a = global_shuffle(ray.data.from_pandas(df).repartition(1),
+                       "doc_id", seed=7).to_pandas()["doc_id"].tolist()
+    b = global_shuffle(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=2))
+        .repartition(6), "doc_id", seed=7).to_pandas()["doc_id"].tolist()
+    assert a == b                       # layout/ordering independent
+    assert a != sorted(a)               # actually permuted
+    c = global_shuffle(ray.data.from_pandas(df), "doc_id",
+                       seed=8).to_pandas()["doc_id"].tolist()
+    assert c != a                       # seed changes the permutation
+    assert sorted(a) == sorted(c) == df["doc_id"].tolist()
+    # matches the SQL-expressible key exactly
+    import duckdb
+    want = duckdb.sql("""
+        SELECT doc_id FROM df
+        ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id
+    """).df()["doc_id"].tolist()
+    assert a == want
+
+
+def _quality_corpus(n=500):
+    rng = np.random.RandomState(13)
+    texts, labels = [], []
+    words = ["data", "model", "train", "sample", "value", "batch"]
+    for i in range(n):
+        if i % 2 == 0:  # "high": varied words, stopwords present
+            k = rng.randint(30, 80)
+            toks = ["the" if j % 4 == 0 else
+                    words[rng.randint(len(words))] + str(rng.randint(50))
+                    for j in range(k)]
+            labels.append("high")
+        else:  # "low": tiny, repetitive, no stopwords
+            toks = ["zz"] * rng.randint(3, 8)
+            labels.append("low")
+        texts.append(" ".join(toks))
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts, "label": labels})
+
+
+def test_quality_classifier_train_score_filter(ray_session):
+    from elasticsearch_ray.ops.llm_prep import (
+        quality_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    df = _quality_corpus()
+    seed = df.iloc[:200][["doc_id", "label"]]  # labeled seed only
+    ds = ray.data.from_pandas(df.drop(columns=["label"])).repartition(4)
+    defn, meta = train_quality_classifier(ds, seed)
+    assert meta["objective"] == "binary_logloss"
+    scored = score_quality(ds, defn, positive_label="high").to_pandas()
+    scored = scored.merge(df[["doc_id", "label"]], on="doc_id")
+    # held-out rows (not in the seed) classified correctly
+    held = scored[scored["doc_id"] >= 200]
+    acc = ((held["quality_prob"] >= 0.5) == (held["label"] == "high")
+           ).mean()
+    assert acc > 0.95
+    kept = quality_filter(ds, defn, threshold=0.5,
+                          positive_label="high").to_pandas()
+    assert set(kept.columns) >= {"doc_id", "text", "quality_prob"}
+    frac = len(kept) / len(df)
+    assert 0.4 < frac < 0.6  # ~half the corpus is high quality
