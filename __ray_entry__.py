@@ -2151,6 +2151,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def _url_wildcard_sidecar(sf):
+        """wildcard-field sidecar 'url' over the documents index
+        (WildcardFieldMapper analog): the value is a deterministic
+        url derivation of (source, lang, doc_id), so the DuckDB twin
+        recomputes the same strings and filters with LIKE / regexp."""
+        import os as _os
+
+        from elasticsearch_ray.index.wildcard import build_wildcard_field
+
+        eng = _documents_index(sf)
+        if not _os.path.exists(_os.path.join(eng.index_dir,
+                                             "wildcard-url.json")):
+            t = _ds(sf, "documents").select_columns(
+                ["doc_id", "source", "lang"]).to_pandas()
+            t = t.sort_values("doc_id", ignore_index=True)
+            vals = ("https://" + t["source"] + ".example.com/" + t["lang"]
+                    + "/page-" + t["doc_id"].astype(str) + ".html")
+            build_wildcard_field(
+                eng.index_dir, "url",
+                values=pa.table({"doc_id": pa.array(
+                    t["doc_id"].to_numpy(np.int64)),
+                    "value": pa.array(vals.tolist(), pa.string())}))
+        return eng.index_dir
+
+    def search_wildcard_field(sf):
+        # n-gram-accelerated wildcard over the url sidecar; every hit is
+        # confirmed against the raw value, so LIKE is the exact twin
+        from elasticsearch_ray.index.wildcard import wildcard_field_search
+
+        idx = _url_wildcard_sidecar(sf)
+        ids = wildcard_field_search(idx, "url", "*src1?.example.com/de/*-3*")
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64))})
+
+    def search_wildcard_regexp(sf):
+        # required-literal gram acceleration + RE2-safe full-match verify
+        from elasticsearch_ray.index.wildcard import regexp_field_search
+
+        idx = _url_wildcard_sidecar(sf)
+        ids = regexp_field_search(
+            idx, "url",
+            r"https://src[0-9]\.example\.com/en/page-[0-9]*7\.html")
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64))})
+
+    def search_wildcard_range(sf):
+        # common-prefix gram acceleration + bound confirmation
+        from elasticsearch_ray.index.wildcard import range_field_search
+
+        idx = _url_wildcard_sidecar(sf)
+        ids = range_field_search(idx, "url", gte="https://src17",
+                                 lt="https://src19")
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64))})
+
     def llm_global_shuffle(sf):
         # deterministic epoch shuffle: Fibonacci-hash key sort, layout
         # independent; oracle orders by the same key expression
@@ -3583,6 +3635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
+        "search_wildcard_field": search_wildcard_field,
+        "search_wildcard_regexp": search_wildcard_regexp,
+        "search_wildcard_range": search_wildcard_range,
         "llm_global_shuffle": llm_global_shuffle,
         "llm_quality_classifier": llm_quality_classifier,
         "llm_redact_pii": llm_redact_pii,
@@ -5160,6 +5215,31 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(off + n_chars - 1, off) // 4096
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
+        """,
+        "search_wildcard_field": """
+            SELECT doc_id FROM (
+                SELECT doc_id, 'https://' || source || '.example.com/' ||
+                       lang || '/page-' || doc_id || '.html' AS url
+                FROM documents)
+            WHERE url LIKE '%src1_.example.com/de/%-3%'
+            ORDER BY doc_id
+        """,
+        "search_wildcard_regexp": """
+            SELECT doc_id FROM (
+                SELECT doc_id, 'https://' || source || '.example.com/' ||
+                       lang || '/page-' || doc_id || '.html' AS url
+                FROM documents)
+            WHERE regexp_full_match(url,
+                'https://src[0-9]\\.example\\.com/en/page-[0-9]*7\\.html')
+            ORDER BY doc_id
+        """,
+        "search_wildcard_range": """
+            SELECT doc_id FROM (
+                SELECT doc_id, 'https://' || source || '.example.com/' ||
+                       lang || '/page-' || doc_id || '.html' AS url
+                FROM documents)
+            WHERE url >= 'https://src17' AND url < 'https://src19'
+            ORDER BY doc_id
         """,
         "llm_global_shuffle": """
             SELECT row_number() OVER (
