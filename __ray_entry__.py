@@ -2151,6 +2151,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def search_dls_fls(sf):
+        # x-pack DLS/FLS: two roles' document queries OR (lang en|de), the
+        # 'source' column denied by both roles' field security (silently
+        # dropped from fetch); the DLS filter is non-scoring so BM25 stats
+        # stay corpus-wide — the twin filters candidates only
+        from elasticsearch_ray.search.query import TermFilter
+        from elasticsearch_ray.search.security import (
+            RoleDescriptor,
+            secured_search,
+        )
+
+        eng = _documents_index(sf)
+        roles = [
+            RoleDescriptor("en-analyst", grant=("text", "lang"),
+                           query=TermFilter(column="lang", value="en")),
+            RoleDescriptor("de-analyst", grant=("text",),
+                           query=TermFilter(column="lang", value="de")),
+        ]
+        res = secured_search(eng, roles, MatchQuery("spark join"), k=60,
+                             fetch=("doc_id", "source"))
+        df = res.to_pandas()
+        assert "source" not in df.columns  # FLS contract, both roles deny
+        df = df[["doc_id", "score"]]
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def _url_wildcard_sidecar(sf):
         """wildcard-field sidecar 'url' over the documents index
         (WildcardFieldMapper analog): the value is a deterministic
@@ -3635,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
+        "search_dls_fls": search_dls_fls,
         "search_wildcard_field": search_wildcard_field,
         "search_wildcard_regexp": search_wildcard_regexp,
         "search_wildcard_range": search_wildcard_range,
@@ -5216,6 +5247,8 @@ def oracle_sql() -> dict[str, str]:
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
         """,
+        "search_dls_fls": _bm25_sql(["spark", "join"], k=10,
+                                    doc_filter="doc.lang IN ('en', 'de')"),
         "search_wildcard_field": """
             SELECT doc_id FROM (
                 SELECT doc_id, 'https://' || source || '.example.com/' ||

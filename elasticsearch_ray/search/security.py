@@ -1,0 +1,204 @@
+"""Document- and field-level security (x-pack security DLS / FLS).
+
+Reference semantics:
+- ``x-pack/plugin/core/.../security/authz/permission/DocumentPermissions.java``
+  (:120-190): each role may carry a DLS query; the per-shard filter ORs the
+  role queries as SHOULD clauses with ``minimum_should_match=1``, and a
+  *limited-by* scope (API keys / ``LimitedRole``) adds its own OR-group as an
+  independent FILTER clause — both must pass.
+- ``FieldPermissions.java`` (:43-44, :146-176): a field is readable iff it
+  matches a ``grant`` pattern and no ``except`` pattern; ``except`` must be a
+  subset of ``grant`` (``ElasticsearchSecurityException`` otherwise); groups
+  from multiple roles union; metadata fields are always readable. Patterns
+  are ``Regex.simpleMatch`` globs (``*`` only).
+- ``FieldSubsetReader`` (x-pack security): a denied field behaves as if
+  UNMAPPED — queries against it match nothing, fetches omit it.
+
+Ray-Data shape: both controls are COORDINATOR-side rewrites, so the secured
+path is exactly the normal distributed search path — no per-partition state:
+FLS walks the immutable query tree once (generic dataclass recursion) turning
+denied-field leaves into ``match_none`` and dropping denied members from
+multi-field leaves; DLS wraps the query in ``bool.filter`` (non-scoring, so
+BM25 stats stay corpus-wide, like Lucene's FILTER occur); fetch columns are
+masked before the fetch phase reads anything. Documented divergence: the
+reference masks at the index-reader level, so *every* access (including
+script/decay field reads inside scoring functions) is filtered; here the
+query/filter/sort/collapse/fetch surfaces are masked and score-function
+field reads are not — do not pass secrets through score functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass
+
+from elasticsearch_ray.search.query import (
+    BoolQuery,
+    MatchNoneQuery,
+    MatchQuery,
+    Query,
+)
+
+#: metadata fields are always granted (FieldPermissions metaFieldsAutomaton)
+META_FIELDS = frozenset({"_id", "_index", "_score", "_shard_doc", "doc_id",
+                         "rank", "score", "part", "local"})
+
+
+@dataclass(frozen=True)
+class RoleDescriptor:
+    """One role's index privileges: FLS grant/except globs + optional DLS
+    query (RoleDescriptor.IndicesPrivileges)."""
+
+    name: str
+    grant: tuple = ("*",)
+    except_: tuple = ()
+    query: Query | None = None
+
+
+def _glob_match(pattern: str, s: str) -> bool:
+    """Regex.simpleMatch: only ``*`` is special."""
+    if "*" not in pattern:
+        return pattern == s
+    rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+    return re.fullmatch(rx, s) is not None
+
+
+def _glob_covers(g: str, e: str) -> bool:
+    """L(e) ⊆ L(g) for ``*``-only globs (the subsetOf automaton check,
+    FieldPermissions.java:171-175, specialized to simpleMatch patterns)."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def cov(i: int, j: int) -> bool:
+        if i == len(g):
+            return j == len(e)
+        if g[i] == "*":
+            return cov(i + 1, j) or (j < len(e) and cov(i, j + 1))
+        if j == len(e) or e[j] == "*":
+            return False  # e can generate strings g's literal can't absorb
+        return g[i] == e[j] and cov(i + 1, j + 1)
+
+    return cov(0, 0)
+
+
+class FieldPermissions:
+    """Union of (grant, except) groups — one per role
+    (FieldPermissionsDefinition). ``limit()`` intersects with another
+    permission set (LimitedRole.limitFieldPermissions)."""
+
+    def __init__(self, groups: list[tuple[tuple, tuple]]):
+        self.groups = []
+        for grant, except_ in groups:
+            grant = tuple(grant) or ("*",)
+            except_ = tuple(except_)
+            for e in except_:
+                if not any(_glob_covers(g, e) for g in grant):
+                    raise ValueError(
+                        "Exceptions for field permissions must be a subset "
+                        f"of the granted fields: {e!r} not covered by "
+                        f"{grant!r}")
+            self.groups.append((grant, except_))
+        self._limited_by: FieldPermissions | None = None
+
+    @classmethod
+    def from_roles(cls, roles) -> "FieldPermissions":
+        return cls([(r.grant, r.except_) for r in roles])
+
+    def limit(self, other: "FieldPermissions") -> "FieldPermissions":
+        fp = FieldPermissions(self.groups)
+        fp._limited_by = other
+        return fp
+
+    def is_granted(self, field: str) -> bool:
+        if field in META_FIELDS:
+            return True
+        if self._limited_by is not None and \
+                not self._limited_by.is_granted(field):
+            return False
+        for grant, except_ in self.groups:
+            if any(_glob_match(g, field) for g in grant) and \
+                    not any(_glob_match(e, field) for e in except_):
+                return True
+        return False
+
+
+def apply_fls(q: Query, fp: FieldPermissions, default_field: str) -> Query:
+    """FieldSubsetReader behavior at the query tree: a leaf targeting a
+    denied field becomes ``match_none`` (unmapped-field semantics); denied
+    members of multi-field leaves are dropped; compound queries recurse."""
+    if not dataclasses.is_dataclass(q):
+        return q
+    flds = getattr(q, "fields", None)
+    if isinstance(flds, tuple) and flds and \
+            all(isinstance(f, str) or f is None for f in flds):
+        # None names the default (body) field in multi-field leaves
+        kept = tuple(f for f in flds
+                     if fp.is_granted(f if f is not None else default_field))
+        if not kept:
+            return MatchNoneQuery()
+        if kept != flds:
+            q = dataclasses.replace(q, fields=kept)
+    for attr in ("field", "column"):
+        if hasattr(q, attr):
+            name = getattr(q, attr)
+            name = name if name is not None else default_field
+            if isinstance(name, str) and not fp.is_granted(name):
+                return MatchNoneQuery()
+    changes = {}
+    for f in dataclasses.fields(q):
+        v = getattr(q, f.name)
+        if isinstance(v, Query):
+            nv = apply_fls(v, fp, default_field)
+            if nv is not v:
+                changes[f.name] = nv
+        elif isinstance(v, tuple) and any(isinstance(x, Query) for x in v):
+            nv = tuple(apply_fls(x, fp, default_field)
+                       if isinstance(x, Query) else x for x in v)
+            if nv != v:
+                changes[f.name] = nv
+    return dataclasses.replace(q, **changes) if changes else q
+
+
+def dls_filter(roles) -> Query | None:
+    """DocumentPermissions.filter/buildRoleQuery: role queries OR as SHOULD
+    with msm=1; a role WITHOUT a DLS query grants unrestricted access
+    (IndicesPermission union semantics), so the filter disappears."""
+    roles = list(roles)
+    if not roles or any(r.query is None for r in roles):
+        return None
+    return BoolQuery(should=tuple(r.query for r in roles),
+                     minimum_should_match=1)
+
+
+def secured_search(engine, roles, q, k: int = 10,
+                   fetch: tuple = ("doc_id",), limited_by=None,
+                   default_field: str | None = None, **kwargs):
+    """Run ``engine.search`` under the roles' DLS + FLS.
+
+    ``limited_by`` — an optional second role list (the API-key scope):
+    its DLS OR-group is ANDed as an independent filter and its field
+    permissions intersect (DocumentPermissions.filter:129-135,
+    LimitedRole)."""
+    if isinstance(q, str):
+        q = MatchQuery(q)
+    fp = FieldPermissions.from_roles(roles)
+    if limited_by:
+        fp = fp.limit(FieldPermissions.from_roles(limited_by))
+    if default_field is None:
+        default_field = engine.spec.get("text_column", "text")
+    rq = apply_fls(q, fp, default_field)
+    filters = [f for f in (dls_filter(roles),
+                           dls_filter(limited_by or []) if limited_by
+                           else None) if f is not None]
+    if filters:
+        rq = BoolQuery(must=(rq,), filter=tuple(filters))
+    fetch_ok = tuple(c for c in fetch if fp.is_granted(c))
+    for key in ("sort", "collapse"):
+        v = kwargs.get(key)
+        cols = [v] if isinstance(v, str) else \
+            [c for c, _o in v] if isinstance(v, list) else []
+        for c in cols:
+            if c != "_score" and not fp.is_granted(c):
+                raise ValueError(f"field [{c}] is not granted ({key})")
+    return engine.search(rq, k=k, fetch=fetch_ok, **kwargs)
