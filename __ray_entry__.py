@@ -2151,6 +2151,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def _histogram_docs(sf):
+        # pre-aggregated histogram field docs: one histogram of `value`
+        # per user (the HistogramFieldMapper ingest shape), built with ONE
+        # groupby — later aggs touch only sketch bytes
+        from elasticsearch_ray.ops.histogram_field import (
+            build_histogram_docs,
+        )
+
+        return build_histogram_docs(_ds(sf, "events"), "user_id", "value")
+
+    def agg_histogram_field_stats(sf):
+        # agg-over-preagg == agg-over-raw contract (HistoBackedSum/Min/
+        # Max/ValueCount/Avg): exact for all five, fp-rounded for the twin
+        from elasticsearch_ray.ops.histogram_field import histogram_stats
+
+        s = histogram_stats(_histogram_docs(sf))
+        return pa.table({
+            "value_count": pa.array([np.int64(s["value_count"])]),
+            "sum_v": pa.array([round(s["sum"], 2)]),
+            "min_v": pa.array([s["min"]]),
+            "max_v": pa.array([s["max"]]),
+            "avg_v": pa.array([round(s["avg"], 4)]),
+        })
+
+    def agg_histogram_field_buckets(sf):
+        # histogram agg over histogram fields: centroid count lands in the
+        # floor-aligned bucket — exact integer doc_counts
+        from elasticsearch_ray.ops.histogram_field import (
+            histogram_bucket_agg,
+        )
+
+        out = histogram_bucket_agg(_histogram_docs(sf), 25.0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def agg_histogram_field_percentiles(sf):  # rows-only (t-digest sketch)
+        from elasticsearch_ray.ops.histogram_field import (
+            histogram_percentiles,
+        )
+
+        got = histogram_percentiles(_histogram_docs(sf), [50, 95, 99])
+        return pa.table({
+            "percent": pa.array([50.0, 95.0, 99.0]),
+            "value": pa.array([got["50"], got["95"], got["99"]]),
+        })
+
     def search_dls_fls(sf):
         # x-pack DLS/FLS: two roles' document queries OR (lang en|de), the
         # 'source' column denied by both roles' field security (silently
@@ -3665,6 +3710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
+        "agg_histogram_field_stats": agg_histogram_field_stats,
+        "agg_histogram_field_buckets": agg_histogram_field_buckets,
+        "agg_histogram_field_percentiles": agg_histogram_field_percentiles,
         "search_dls_fls": search_dls_fls,
         "search_wildcard_field": search_wildcard_field,
         "search_wildcard_regexp": search_wildcard_regexp,
@@ -5246,6 +5294,19 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(off + n_chars - 1, off) // 4096
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
+        """,
+        "agg_histogram_field_stats": """
+            SELECT count(value)::BIGINT AS value_count,
+                   round(sum(value), 2) AS sum_v,
+                   min(value) AS min_v,
+                   max(value) AS max_v,
+                   round(avg(value), 4) AS avg_v
+            FROM events
+        """,
+        "agg_histogram_field_buckets": """
+            SELECT floor(value / 25.0) * 25.0 AS bucket,
+                   count(*)::BIGINT AS doc_count
+            FROM events GROUP BY 1 ORDER BY bucket
         """,
         "search_dls_fls": _bm25_sql(["spark", "join"], k=10,
                                     doc_filter="doc.lang IN ('en', 'de')"),
