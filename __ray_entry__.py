@@ -524,6 +524,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def search_ccs(sf):
+        # cross-cluster search: the same row-partitioned corpus served as a
+        # local 'docs' plus a remote 'europe:docs' cluster; the CCS DFS
+        # phase combines stats, so the merged-table BM25 twin is the oracle
+        # and ranks equal search_multi_index
+        from elasticsearch_ray.search.ccs import RemoteClusterRegistry
+
+        _multi_docs_index(sf)  # ensure both sub-indexes are built/cached
+        key = f"multidocs-{_sf_key(sf)}"
+        root = f"/tmp/esray_indexes/{key}"
+        reg = _ENGINES.get(key + "--ccs")
+        if reg is None:
+            reg = RemoteClusterRegistry()
+            reg.register_local({"docs": os.path.join(root, "idx0")})
+            reg.register("europe", {"docs": os.path.join(root, "idx1")})
+            _ENGINES[key + "--ccs"] = reg
+        res, clusters = reg.search("docs,europe:docs",
+                                   MatchQuery("spark join merge"), k=60,
+                                   fetch=("orig_id",))
+        assert clusters == {"total": 2, "successful": 2, "skipped": 0}
+        df = res.to_pandas()[["orig_id", "score"]].rename(
+            columns={"orig_id": "doc_id"})
+        df["score"] = df["score"].round(4)
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def ilm_rollover_search(sf):
         # ILM rollover alias (index/ilm.py — RolloverAction analog): the
         # documents table ingested across TWO write generations with a
@@ -3540,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_top_shingles": agg_top_shingles,
         "search_match_and": search_match_and,
         "search_multi_index": search_multi_index,
+        "search_ccs": search_ccs,
         "ilm_rollover_search": ilm_rollover_search,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
@@ -4201,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
         "search_multi_index": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_ccs": _bm25_sql(["spark", "join", "merge"], k=10),
         "ilm_rollover_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),
