@@ -2154,6 +2154,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_temperature_sample(sf):
+        # mT5/XLM-R temperature mixture: rates ∝ n^0.7 smoothing via the
+        # same Knuth-hash rule; SQL twin recomputes the rates from counts
+        from elasticsearch_ray.ops.llm_prep import temperature_sample
+
+        out = temperature_sample(_ds(sf, "documents"), "lang", "doc_id",
+                                 alpha=0.7,
+                                 target_fraction=0.5).to_pandas()
+        out = out[["doc_id", "lang"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_pack_windows(sf):
         # concat-and-chunk sequence packing over n_chars (GPT-2-style
         # fixed windows); twin = prefix-sum window function
@@ -3738,6 +3751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_aggregate_metric": agg_aggregate_metric,
         "search_unsigned_long_sort": search_unsigned_long_sort,
         "llm_stratified_sample": llm_stratified_sample,
+        "llm_temperature_sample": llm_temperature_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
         "agg_histogram_field_stats": agg_histogram_field_stats,
@@ -5309,6 +5323,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN 0.25 * 4294967296
                         ELSE 0 END
             ORDER BY doc_id
+        """,
+        "llm_temperature_sample": """
+            WITH c AS (SELECT lang, count(*)::DOUBLE AS n
+                       FROM documents GROUP BY lang),
+                 w AS (SELECT lang, n,
+                              pow(n, 0.7) / sum(pow(n, 0.7)) OVER () AS p,
+                              sum(n) OVER () AS total FROM c),
+                 r AS (SELECT lang,
+                              round(least(1.0, 0.5 * total * p / n), 6)
+                                AS rate FROM w)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+            WHERE (d.doc_id * 2654435761) % 4294967296
+                  < floor(r.rate * 4294967296)
+            ORDER BY d.doc_id
         """,
         "llm_pack_windows": """
             WITH o AS (

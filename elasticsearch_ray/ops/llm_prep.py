@@ -77,6 +77,50 @@ def stratified_sample(ds, strata_col: str, rates: dict, id_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_mixture_rates(ds, strata_col: str, alpha: float = 0.7,
+                              target_fraction: float = 0.5) -> dict:
+    """Temperature-based domain mixture (the mT5 / XLM-R smoothing rule,
+    public: Xue et al. 2021 §3.1, Conneau et al. 2020 §3): sample domain
+    ``d`` with probability ``p_d ∝ n_d^alpha`` (``alpha = 1/T``), which
+    up-weights small domains. Converted to per-domain inclusion rates for
+    :func:`stratified_sample`:
+
+        rate_d = min(1, target_fraction · N_total · p_d / n_d)
+
+    rounded to 6 decimals so an SQL twin computing the same formula parses
+    the identical double. Counts come from a per-batch value_counts partial
+    + driver combine — no shuffle (strata are low-cardinality)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+
+    def part(batch: pa.Table) -> pa.Table:
+        s = batch[strata_col].to_pandas().astype(str)
+        vc = s.value_counts()
+        return pa.table({"stratum": pa.array(vc.index.astype(str)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("stratum")["n"].sum()
+    n = counts.to_numpy(np.float64)
+    w = np.power(n, alpha)
+    w = w / w.sum()
+    rates = np.minimum(1.0, np.round(
+        target_fraction * n.sum() * w / n, 6))
+    return dict(zip(counts.index, rates))
+
+
+def temperature_sample(ds, strata_col: str, id_col: str,
+                       alpha: float = 0.7, target_fraction: float = 0.5):
+    """Deterministic temperature-mixture sample: rates from
+    :func:`temperature_mixture_rates` applied through the Knuth-hash
+    inclusion rule of :func:`stratified_sample` (layout-independent,
+    SQL-expressible). Two streaming passes: a tiny counts pass, then the
+    filter pass."""
+    rates = temperature_mixture_rates(ds, strata_col, alpha,
+                                      target_fraction)
+    return stratified_sample(ds, strata_col, rates, id_col)
+
+
 def global_shuffle(ds, id_col: str, seed: int = 0,
                    key_col: str | None = None):
     """Deterministic global shuffle for training-data ordering: sort by

@@ -219,6 +219,45 @@ def test_global_shuffle_deterministic_and_layout_invariant(ray_session):
     assert a == want
 
 
+def test_temperature_mixture_rates_and_sample(ray_session):
+    import duckdb
+
+    from elasticsearch_ray.ops.llm_prep import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    df = _docs(600)
+    # skewed strata: 'a' huge, 'c' tiny
+    df["dom"] = np.where(df["doc_id"] % 10 < 7, "a",
+                         np.where(df["doc_id"] % 10 < 9, "b", "c"))
+    ds = ray.data.from_pandas(df).repartition(4)
+    rates = temperature_mixture_rates(ds, "dom", alpha=0.7,
+                                      target_fraction=0.5)
+    # smoothing up-weights the small domain
+    assert rates["c"] > rates["b"] > rates["a"]
+    # alpha=1 -> every domain sampled at target_fraction exactly
+    flat = temperature_mixture_rates(ds, "dom", alpha=1.0,
+                                     target_fraction=0.5)
+    assert all(abs(r - 0.5) < 1e-6 for r in flat.values())
+    got = temperature_sample(ds, "dom", "doc_id", alpha=0.7,
+                             target_fraction=0.5).to_pandas()
+    got = got.sort_values("doc_id")["doc_id"].tolist()
+    want = duckdb.sql("""
+        WITH c AS (SELECT dom, count(*)::DOUBLE AS n FROM df GROUP BY dom),
+             w AS (SELECT dom, n,
+                          pow(n, 0.7) / sum(pow(n, 0.7)) OVER () AS p,
+                          sum(n) OVER () AS total FROM c),
+             r AS (SELECT dom, round(least(1.0, 0.5 * total * p / n), 6)
+                     AS rate FROM w)
+        SELECT d.doc_id FROM df d JOIN r USING (dom)
+        WHERE (d.doc_id * 2654435761) % 4294967296
+              < floor(r.rate * 4294967296)
+        ORDER BY d.doc_id
+    """).df()["doc_id"].tolist()
+    assert got == want
+
+
 def _quality_corpus(n=500):
     rng = np.random.RandomState(13)
     texts, labels = [], []
