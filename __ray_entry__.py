@@ -2489,6 +2489,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def transform_continuous_pivot(sf):
+        # continuous transform (TransformIndexer continuous mode): two
+        # checkpoints — rows through the median ts, then the rest; the
+        # change collector recomputes only keys touched by each slice, so
+        # the final destination equals the batch GROUP BY twin
+        import tempfile
+
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.pipelines.transform import continuous_pivot
+
+        dest = os.path.join(tempfile.gettempdir(),
+                            f"esray_transform/cont-{_sf_key(sf)}")
+        ts = _pq.read_table(os.path.join(sf, "events.parquet"),
+                            columns=["ts"])["ts"].to_pandas()
+        args = (["event_type"], {"n": ("count", ""),
+                                 "total": ("sum", "value")}, "ts")
+        src = _ds(sf, "events").select_columns(
+            ["ts", "event_type", "value"])  # prune at the read
+        continuous_pivot(src, dest, *args, checkpoint_upper=ts.median())
+        out = continuous_pivot(src, dest, *args, checkpoint_upper=ts.max())
+        out = out.copy()
+        out["total"] = out["total"].round(4)
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def transform_latest(sf):
         # x-pack transform latest: newest event per user (row-identical to
         # the source, so no rounding needed); DuckDB row_number twin
@@ -3782,6 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_eval_topk": esql_eval_topk,
         "esql_mv_expand": esql_mv_expand,
         "transform_pivot": transform_pivot,
+        "transform_continuous_pivot": transform_continuous_pivot,
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
         "pipeline_events_csv": pipeline_events_csv,
@@ -5495,6 +5522,11 @@ def oracle_sql() -> dict[str, str]:
                          / (pow(va / na, 2) / (na - 1)
                             + pow(vb / nb, 2) / (nb - 1)), 4) AS df
             FROM s
+        """,
+        "transform_continuous_pivot": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "transform_pivot": """
             SELECT event_type, date_trunc('day', ts) AS ts,

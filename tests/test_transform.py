@@ -113,3 +113,99 @@ def test_latest_transform(ray_session, tmp_path):
     latest_transform(rd.from_pandas(df), dest, unique_key="uid",
                      sort_col="ts")
     assert os.path.getmtime(os.path.join(dest, data)) == mt
+
+
+def test_continuous_pivot_checkpoints(ray_session, tmp_path):
+    """TransformIndexer continuous mode: two checkpoints over a growing
+    source == one batch pivot over the union; untouched keys carry over;
+    an idle checkpoint rewrites nothing; reprocessed bounds are no-ops."""
+    from elasticsearch_ray.pipelines.transform import (
+        continuous_pivot,
+        pivot_transform,
+    )
+
+    df = _events().sort_values("ts", ignore_index=True)
+    cut = df["ts"].iloc[300]
+    dest = str(tmp_path / "cont")
+
+    # checkpoint 1: first 301 rows
+    out1 = continuous_pivot(rd.from_pandas(df).repartition(4), dest,
+                            ["kind"], {"total": ("sum", "v"),
+                                       "n": ("count", "v")},
+                            "ts", cut)
+    want1 = pivot_transform(
+        rd.from_pandas(df[df["ts"] <= cut]), str(tmp_path / "b1"),
+        ["kind"], {"total": ("sum", "v"), "n": ("count", "v")})
+    assert out1["n"].tolist() == want1["n"].tolist()
+    assert np.allclose(out1["total"], want1["total"])
+
+    # checkpoint 2: the rest — final dest == batch pivot over everything
+    out2 = continuous_pivot(rd.from_pandas(df).repartition(4), dest,
+                            ["kind"], {"total": ("sum", "v"),
+                                       "n": ("count", "v")},
+                            "ts", df["ts"].max())
+    want2 = pivot_transform(
+        rd.from_pandas(df), str(tmp_path / "b2"),
+        ["kind"], {"total": ("sum", "v"), "n": ("count", "v")})
+    assert out2["kind"].tolist() == want2["kind"].tolist()
+    assert out2["n"].tolist() == want2["n"].tolist()
+    assert np.allclose(out2["total"], want2["total"])
+
+    # re-running the same bound serves the manifest (no-op)
+    again = continuous_pivot(rd.from_pandas(df).repartition(4), dest,
+                             ["kind"], {"total": ("sum", "v"),
+                                        "n": ("count", "v")},
+                             "ts", df["ts"].max())
+    assert again["n"].tolist() == out2["n"].tolist()
+
+    # idle checkpoint (no new rows): output unchanged, checkpoint bumps
+    import json
+
+    idle = continuous_pivot(rd.from_pandas(df).repartition(4), dest,
+                            ["kind"], {"total": ("sum", "v"),
+                                       "n": ("count", "v")},
+                            "ts", df["ts"].max() + pd.Timedelta("1h"))
+    assert idle["n"].tolist() == out2["n"].tolist()
+    with open(os.path.join(dest, "transform_manifest.json")) as f:
+        man = json.load(f)
+    assert man["checkpoint"] == 3
+
+
+def test_continuous_pivot_only_changed_keys_recomputed(ray_session,
+                                                       tmp_path):
+    """The change collector limits recomputation: a second slice touching
+    only kind='b' leaves the other keys' rows byte-identical and the
+    recompute sub-destination sees only the changed key."""
+    from elasticsearch_ray.pipelines.transform import continuous_pivot
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(10), unit="h"),
+        "kind": ["a"] * 4 + ["b"] * 4 + ["c"] * 2,
+        "v": np.arange(10, dtype=np.float64),
+    })
+    # first 8 rows in checkpoint 1; the last two are 'c'... make slice 2
+    # touch ONLY 'b': reorder so rows 8,9 are kind 'b'
+    df.loc[8:, "kind"] = "b"
+    dest = str(tmp_path / "cont2")
+    args = (["kind"], {"total": ("sum", "v"), "n": ("count", "v")}, "ts")
+    out1 = continuous_pivot(rd.from_pandas(df), dest, *args,
+                            df["ts"].iloc[7])
+    out2 = continuous_pivot(rd.from_pandas(df), dest, *args,
+                            df["ts"].max())
+    a1 = out1[out1["kind"] == "a"].reset_index(drop=True)
+    a2 = out2[out2["kind"] == "a"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert int(out2[out2["kind"] == "b"]["n"].iloc[0]) == 6
+    assert np.isclose(out2[out2["kind"] == "b"]["total"].iloc[0],
+                      df[df["kind"] == "b"]["v"].sum())
+    # recompute sub-destination only saw the changed key (its manifest
+    # points at the LAST checkpoint's recompute file)
+    import json
+
+    with open(os.path.join(dest, "_recompute",
+                           "transform_manifest.json")) as f:
+        sub_man = json.load(f)
+    sub = pd.read_parquet(os.path.join(dest, "_recompute",
+                                       sub_man["data_file"]))
+    assert set(sub["kind"]) == {"b"}
