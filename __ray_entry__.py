@@ -553,6 +553,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def search_indices_boost(sf):
+        # indices_boost: the local half-corpus index boosted 2.0, merged
+        # order follows boosted scores; twin re-ranks the full BM25 result
+        # with a doc_id<mid CASE multiplier (the halves split at mid)
+        from elasticsearch_ray.search.ccs import RemoteClusterRegistry
+
+        _multi_docs_index(sf)
+        key = f"multidocs-{_sf_key(sf)}"
+        root = f"/tmp/esray_indexes/{key}"
+        reg = _ENGINES.get(key + "--ccs")
+        if reg is None:
+            reg = RemoteClusterRegistry()
+            reg.register_local({"docs": os.path.join(root, "idx0")})
+            reg.register("europe", {"docs": os.path.join(root, "idx1")})
+            _ENGINES[key + "--ccs"] = reg
+        res, _cl = reg.search("docs,europe:docs",
+                              MatchQuery("spark join merge"), k=100000,
+                              fetch=("orig_id",),
+                              indices_boost=[("docs", 2.0)])
+        df = res.to_pandas()[["orig_id", "score", "_index"]].rename(
+            columns={"orig_id": "doc_id"})
+        # fp-tie discipline: the twin rounds the BASE score to 4dp before
+        # boosting, so un-boost (exact: /2.0), round, re-boost, round —
+        # ordering is unchanged (boost is monotone per index)
+        b = np.where(df["_index"] == "docs", 2.0, 1.0)
+        df["score"] = ((df["score"] / b).round(4) * b).round(4)
+        df = df.drop(columns=["_index"])
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+        df.insert(0, "rank", range(1, len(df) + 1))
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def ilm_rollover_search(sf):
         # ILM rollover alias (index/ilm.py — RolloverAction analog): the
         # documents table ingested across TWO write generations with a
@@ -3514,6 +3547,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  smoothing="stupid_backoff")
         return pa.Table.from_pylist(out)
 
+    def suggest_phrase_collate(sf):  # rows-only (existence-checked)
+        # collate prune: every surviving correction matches as a phrase
+        eng = _documents_index(sf)
+        out = eng.suggest_phrase(
+            "spark joim", size=3,
+            collate={"query": {"match_phrase": {"text": "{{suggestion}}"}}})
+        return pa.Table.from_pylist(out)
+
     def suggest_term(sf):  # rows-only (edit-distance dictionary scan)
         eng = _documents_index(sf)
         out = eng.suggest("spurk window merge", size=3)
@@ -3601,6 +3642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_completion_fuzzy": suggest_completion_fuzzy,
         "suggest_completion_context": suggest_completion_context,
         "suggest_phrase_backoff": suggest_phrase_backoff,
+        "suggest_phrase_collate": suggest_phrase_collate,
         "rank_eval_report": rank_eval_report,
         "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,
@@ -3609,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_match_and": search_match_and,
         "search_multi_index": search_multi_index,
         "search_ccs": search_ccs,
+        "search_indices_boost": search_indices_boost,
         "ilm_rollover_search": ilm_rollover_search,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
@@ -4273,6 +4316,16 @@ def oracle_sql() -> dict[str, str]:
         "search_match_and": _bm25_sql(["spark", "window"], k=10, operator="and"),
         "search_multi_index": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_ccs": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_indices_boost": f"""
+            WITH hits AS ({_bm25_sql(["spark", "join", "merge"],
+                                     k=1000000000)})
+            SELECT row_number() OVER (
+                     ORDER BY round(score * CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) THEN 2.0 ELSE 1.0 END, 4) DESC,
+                              doc_id)::BIGINT AS rank,
+                   doc_id,
+                   round(score * CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) THEN 2.0 ELSE 1.0 END, 4) AS score
+            FROM hits ORDER BY rank LIMIT 10
+        """,
         "ilm_rollover_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),

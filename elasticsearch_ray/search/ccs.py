@@ -117,15 +117,28 @@ class RemoteClusterRegistry:
         return eng
 
     def search(self, expression: str, q, k: int = 10,
-               fetch: tuple = ("doc_id",)) -> tuple[pa.Table, dict]:
+               fetch: tuple = ("doc_id",),
+               indices_boost: list | dict | None = None
+               ) -> tuple[pa.Table, dict]:
         """CCS top-k: resolve → one DFS-combined multi-index search →
-        ``_index`` ordinals relabeled to ``cluster:index`` strings."""
+        ``_index`` ordinals relabeled to ``cluster:index`` strings.
+
+        ``indices_boost`` — [(pattern, boost), ...] (or a dict) matched
+        against resolved labels; FIRST matching pattern wins per index
+        (SearchSourceBuilder indices_boost array semantics), default 1.0."""
         resolved, clusters = self.resolve(expression)
         if not resolved:
             return pa.table({}), clusters
         labels = [lbl for lbl, _ in resolved]
+        boosts = None
+        if indices_boost:
+            items = list(indices_boost.items()) \
+                if isinstance(indices_boost, dict) else list(indices_boost)
+            boosts = [next((float(b) for p, b in items
+                            if _simple_match(p, lbl)), 1.0)
+                      for lbl in labels]
         eng = self._engine(tuple(d for _, d in resolved))
-        t = eng.search(q, k=k, fetch=fetch)
+        t = eng.search(q, k=k, fetch=fetch, index_boosts=boosts)
         if len(t):
             ords = t["_index"].to_numpy()
             t = t.set_column(t.column_names.index("_index"), "_index",

@@ -2804,7 +2804,8 @@ class QueryEngine:
                        edit_penalty: float = 4.0, alpha: float = 0.5,
                        smoothing: str = "laplace",
                        discount: float = 0.4,
-                       bigram_lambda: float = 0.7) -> list[dict]:
+                       bigram_lambda: float = 0.7,
+                       collate: dict | None = None) -> list[dict]:
         """Phrase suggester (search/suggest/phrase PhraseSuggester): per-
         token candidate generation (term-suggester pruning), then a BEAM
         over corrections scored by a BIGRAM language model over the
@@ -2823,10 +2824,27 @@ class QueryEngine:
         (the reference's channel score). Bigram counts come from ONE
         distributed gather over all adjacent candidate pairs; V is the
         summed per-partition dictionary size (an upper bound that only
-        shifts smoothing mass)."""
+        shifts smoothing mass).
+
+        ``collate`` (PhraseSuggester.java:120-151): ``{"query": <mustache
+        template or dict with {{suggestion}}>, "prune": bool}`` — each
+        correction's rendered query is existence-checked against the
+        index; prune=False DROPS non-matching corrections, prune=True
+        keeps them annotated with ``collate_match``."""
         if smoothing not in ("laplace", "stupid_backoff",
                              "linear_interpolation"):
             raise ValueError(f"unknown smoothing {smoothing!r}")
+        collate_check = None
+        if collate is not None:
+            from elasticsearch_ray.search.dsl import parse_dsl
+            from elasticsearch_ray.search.templates import render_template
+
+            c_src = collate["query"]
+            c_prune = bool(collate.get("prune", False))
+
+            def collate_check(phrase: str) -> bool:
+                body = render_template(c_src, {"suggestion": phrase})
+                return self.count(parse_dsl(body)) > 0
         an = get_analyzer(self.analyzer_name)
         tokens = an(text)[0]
         if not tokens:
@@ -2901,7 +2919,14 @@ class QueryEngine:
             if phrase in seen:
                 continue
             seen.add(phrase)
-            out.append({"text": phrase, "score": round(float(s), 6)})
+            opt = {"text": phrase, "score": round(float(s), 6)}
+            if collate_check is not None:
+                match = collate_check(phrase)
+                if not match and not c_prune:
+                    continue  # collateMatch==false && !prune → skipped
+                if c_prune:
+                    opt["collate_match"] = match
+            out.append(opt)
             if len(out) >= size:
                 break
         return out

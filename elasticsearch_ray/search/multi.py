@@ -114,16 +114,29 @@ class MultiIndexEngine:
         self._primed.update(missing)
 
     def search(self, q, k: int = 10, mode: str = "bmw",
-               fetch: tuple = ("url", "doc_id")) -> pa.Table:
+               fetch: tuple = ("url", "doc_id"),
+               index_boosts: list | None = None) -> pa.Table:
         """Combined top-k: DFS prime → per-index top-k (each already sorted
         by the reference tie-break) → k-way merge on (score desc, index,
-        part, doc) with ranks reassigned over the union."""
+        part, doc) with ranks reassigned over the union.
+
+        ``index_boosts`` — per-sub-index score multiplier (the reference's
+        ``indices_boost``: DefaultSearchContext.java:171 applies the
+        resolved index boost as the shard-level queryBoost, scaling every
+        hit's score BEFORE the cross-shard merge)."""
         if isinstance(q, str):
             q = MatchQuery(q)
+        if index_boosts is not None and len(index_boosts) != \
+                len(self.engines):
+            raise ValueError("index_boosts must have one entry per index")
         self._prime_dfs(q)
         tables = []
         for i, e in enumerate(self.engines):
             t = e.search(q, k=k, mode=mode, fetch=fetch)
+            if index_boosts is not None and index_boosts[i] != 1.0:
+                b = float(index_boosts[i])
+                t = t.set_column(t.column_names.index("score"), "score",
+                                 pa.array(t["score"].to_numpy() * b))
             tables.append(t.append_column("_index", pa.array(
                 np.full(len(t), i, dtype=np.int64))))
         merged = pa.concat_tables(tables, promote_options="default")

@@ -93,3 +93,27 @@ def test_skip_unavailable(two_indexes):
     reg2 = _registry(two_indexes, euro_available=False, skip=False)
     with pytest.raises(ValueError, match="not available"):
         reg2.search("logs,europe:logs", "spark", k=10)
+
+
+def test_indices_boost(two_indexes):
+    """indices_boost scales each index's scores before the merge
+    (DefaultSearchContext queryBoost); first matching pattern wins."""
+    import numpy as np
+
+    reg = _registry(two_indexes)
+    plain, _ = reg.search("logs,europe:logs", "spark join", k=60)
+    boosted, _ = reg.search("logs,europe:logs", "spark join", k=60,
+                            indices_boost=[("europe:*", 2.0),
+                                           ("europe:logs", 9.0)])
+    pd_p = plain.to_pandas().set_index(["_index", "part", "local"])
+    pd_b = boosted.to_pandas().set_index(["_index", "part", "local"])
+    joined = pd_p.join(pd_b, rsuffix="_b")
+    local = joined.index.get_level_values(0) == "logs"
+    assert np.allclose(joined.loc[local, "score_b"],
+                       joined.loc[local, "score"])
+    # first pattern (2.0) wins over the later exact 9.0
+    assert np.allclose(joined.loc[~local, "score_b"],
+                       joined.loc[~local, "score"] * 2.0)
+    # merged order is by BOOSTED score
+    s = boosted["score"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()

@@ -534,3 +534,29 @@ def test_knn_filter_roundtrip_and_validation():
     with pytest.raises(DslError):  # term object without 'value'
         parse_dsl({"query": {"knn": {"field": "e", "query_vector": [1.0],
                                      "filter": {"term": {"label": {"boost": 2}}}}}})
+
+
+def test_phrase_suggester_collate(web_engine):
+    """PhraseSuggester collate (PhraseSuggester.java:120-151): the rendered
+    {{suggestion}} query existence-checks each correction; prune=False
+    drops non-matching corrections, prune=True keeps them annotated."""
+    collate = {"query": {"match_phrase": {"text": "{{suggestion}}"}}}
+    plain = web_engine.suggest_phrase("spark joim", size=5)
+    pruned = web_engine.suggest_phrase("spark joim", size=5,
+                                       collate=collate)
+    assert pruned
+    texts = [o["text"] for o in pruned]
+    assert "spark join" in texts
+    # every survivor really matches as a phrase
+    for o in pruned:
+        assert web_engine.count(
+            __import__("elasticsearch_ray.search.dsl",
+                       fromlist=["parse_dsl"]).parse_dsl(
+                {"match_phrase": {"text": o["text"]}})) > 0
+    # prune=True: the full candidate list survives, flagged
+    kept = web_engine.suggest_phrase("spark joim", size=5,
+                                     collate=dict(collate, prune=True))
+    assert [o["text"] for o in kept] == [o["text"] for o in plain]
+    flags = {o["text"]: o["collate_match"] for o in kept}
+    assert flags["spark join"] is True
+    assert set(texts) == {t for t, m in flags.items() if m}
