@@ -2745,6 +2745,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ml_forecast(sf):  # rows-only (projection model, Forecast.java shape)
+        from elasticsearch_ray.ops.anomaly import (
+            AnomalyJob,
+            forecast,
+            run_anomaly_job,
+        )
+
+        job = AnomalyJob("fc-gate", bucket_span="6h", detectors=[
+            {"function": "count", "by_field_name": "event_type"}])
+        res = run_anomaly_job(
+            _ds(sf, "events").select_columns(["ts", "event_type"]), job)
+        out = forecast(res, job, horizon=4)["forecasts"]
+        out = out[["by_field_value", "timestamp",
+                   "forecast_prediction"]].copy()
+        out["forecast_prediction"] = out["forecast_prediction"].round(4)
+        return pa.Table.from_pandas(
+            out.sort_values(["by_field_value", "timestamp"],
+                            ignore_index=True), preserve_index=False)
+
     def ml_anomaly_records(sf):  # rows-only (score model is the sketch half)
         from elasticsearch_ray.ops.anomaly import (
             AnomalyJob,
@@ -3707,6 +3726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_inference_classification": ml_inference_classification,
         "ml_anomaly_bucket_stats": ml_anomaly_bucket_stats,
         "ml_anomaly_records": ml_anomaly_records,
+        "ml_forecast": ml_forecast,
         "ml_datafeed_bucket_stats": ml_datafeed_bucket_stats,
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
         "ml_outlier_lof": ml_outlier_lof,

@@ -234,3 +234,72 @@ def get_records(result: dict, record_score: float = 0.0) -> pd.DataFrame:
     r = r[r["record_score"] >= record_score]
     return r.sort_values(["record_score", "timestamp"],
                          ascending=[False, True], ignore_index=True)
+
+
+def forecast(result: dict, job: AnomalyJob, horizon: int,
+             confidence: float = 0.95,
+             forecast_id: str = "forecast-1") -> dict:
+    """_forecast API analog (``x-pack/plugin/core/.../ml/job/results/
+    Forecast.java`` result schema: forecast_prediction / forecast_lower /
+    forecast_upper per (series, future bucket); ``ForecastRequestStats``
+    meta). The reference's projection model lives in native ml-cpp
+    (CForecastRunner / CTimeSeriesModel); this analog fits an ordinary
+    least-squares level+trend per series over its bucket history and
+    widens the bounds with the standard OLS prediction interval
+    ``s·z·sqrt(1 + 1/n + (x₀-x̄)²/Sxx)`` — monotone-widening like the
+    reference's spread.
+
+    ``result`` is :func:`run_anomaly_job` output (the per-series bucket
+    actuals are already reduced — forecasting is driver-side math over a
+    tiny frame)."""
+    from statistics import NormalDist
+
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    if not 0.0 < confidence < 1.0:
+        raise ValueError("confidence must be in (0, 1)")
+    z = NormalDist().inv_cdf(0.5 + confidence / 2.0)
+    rec = result["records"]
+    rows = []
+    if len(rec):
+        keys = ["detector_index"] + [c for c in
+                                     ("partition_field_value",
+                                      "by_field_value") if c in rec.columns]
+        span = pd.to_timedelta(rec["bucket_span"].iloc[0], unit="s")
+        for kv, g in rec.groupby(keys, sort=True, dropna=False):
+            g = g.sort_values("timestamp")
+            y = g["actual"].to_numpy(float)
+            n = len(y)
+            t = np.arange(n, dtype=float)
+            if n >= 3:
+                b, a = np.polyfit(t, y, 1)
+                resid = y - (a + b * t)
+                s = float(np.sqrt((resid ** 2).sum() / (n - 2)))
+                tbar = t.mean()
+                sxx = float(((t - tbar) ** 2).sum())
+            else:
+                a, b = float(y.mean()), 0.0
+                s, tbar, sxx = float(y.std() or 0.0), 0.0, 1.0
+            last_ts = g["timestamp"].iloc[-1]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for h in range(1, horizon + 1):
+                x0 = n - 1 + h
+                pred = a + b * x0
+                se = s * np.sqrt(1.0 + 1.0 / max(n, 1)
+                                 + (x0 - tbar) ** 2 / max(sxx, 1e-12))
+                rows.append({
+                    **dict(zip(keys, kv)),
+                    "forecast_id": forecast_id,
+                    "timestamp": last_ts + span * h,
+                    "forecast_prediction": float(pred),
+                    "forecast_lower": float(pred - z * se),
+                    "forecast_upper": float(pred + z * se),
+                })
+    frame = pd.DataFrame(rows)
+    stats = {"forecast_id": forecast_id, "status": "finished",
+             "processed_record_count": int(len(frame)),
+             "forecast_start": str(frame["timestamp"].min())
+             if len(frame) else None,
+             "forecast_end": str(frame["timestamp"].max())
+             if len(frame) else None}
+    return {"forecasts": frame, "request_stats": stats}

@@ -137,3 +137,55 @@ def test_validation_errors():
         AnomalyJob("j", detectors=[{"function": "mean"}])
     with pytest.raises(ValueError, match="unsupported function"):
         AnomalyJob("j", detectors=[{"function": "median"}])
+
+
+def test_forecast_linear_trend_and_widening_bounds(ray_session):
+    """_forecast analog: an exact linear series forecasts on the line;
+    bounds widen monotonically with horizon; per-series forecasts keyed."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.anomaly import forecast
+
+    rows = []
+    for h in range(24):
+        for kind, base, slope in (("a", 10, 2), ("b", 100, -3)):
+            n = base + slope * h  # exact linear hourly count per series
+            for i in range(n):
+                rows.append({"ts": pd.Timestamp("2024-03-01")
+                             + pd.Timedelta(hours=h, minutes=i % 60),
+                             "event_type": kind})
+    df = pd.DataFrame(rows)
+    job = AnomalyJob("fc", bucket_span="1h", detectors=[
+        {"function": "count", "by_field_name": "event_type"}])
+    res = run_anomaly_job(rd.from_pandas(df).repartition(3), job)
+    out = forecast(res, job, horizon=5, confidence=0.95)
+    f = out["forecasts"]
+    assert out["request_stats"]["status"] == "finished"
+    assert len(f) == 10  # 2 series x 5 buckets
+    fa = f[f["by_field_value"] == "a"].reset_index(drop=True)
+    fb = f[f["by_field_value"] == "b"].reset_index(drop=True)
+    # exact line: prediction continues it, residual s == 0 -> tight bounds
+    assert np.allclose(fa["forecast_prediction"],
+                       10 + 2 * np.arange(24, 29), atol=1e-6)
+    assert np.allclose(fb["forecast_prediction"],
+                       100 - 3 * np.arange(24, 29), atol=1e-6)
+    # future timestamps advance by the bucket span
+    assert (fa["timestamp"].diff().dropna()
+            == pd.Timedelta(hours=1)).all()
+    # noisy series: bounds widen with horizon
+    rng = np.random.default_rng(5)
+    noisy = pd.DataFrame({
+        "ts": [pd.Timestamp("2024-03-01") + pd.Timedelta(hours=h,
+                                                         minutes=int(m))
+               for h in range(24)
+               for m in rng.integers(0, 60, int(rng.integers(4, 16)))],
+        "event_type": "x",
+    })
+    res2 = run_anomaly_job(rd.from_pandas(noisy), AnomalyJob(
+        "fc2", bucket_span="1h",
+        detectors=[{"function": "count"}]))
+    f2 = forecast(res2, job, horizon=6)["forecasts"]
+    width = (f2["forecast_upper"] - f2["forecast_lower"]).to_numpy()
+    assert (np.diff(width) > 0).all()
+    with pytest.raises(ValueError, match="horizon"):
+        forecast(res2, job, horizon=0)
