@@ -2581,6 +2581,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[["user_id", "ts_0", "ts_1", "id_0", "id_1"]],
             preserve_index=False)
 
+    def eql_pipe_head(sf):
+        # asof-mode sequence piped through | head 5 (implicit ascending
+        # (ts_0, id_0) order — LogicalPlanBuilder Head); twin LIMITs the
+        # same ASOF JOIN in that order
+        from elasticsearch_ray.search.eql import eql_pipes, eql_sequence
+
+        out = eql_sequence(
+            _ds(sf, "events"), by="user_id", ts_col="ts",
+            stages=[{"event_type": "view"}, {"event_type": "purchase"}],
+            maxspan="1 days", mode="asof")
+        out = eql_pipes(out, [("head", 5)])
+        return pa.Table.from_pandas(
+            out[["user_id", "ts_0", "ts_1", "id_0", "id_1"]],
+            preserve_index=False)
+
     def eql_sequence_events(sf):
         # full EQL state machine (sequence by user_id [view][click][purchase]
         # until [error] with maxspan=2d) — SequenceGroup latest-wins,
@@ -3856,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
         "eql_sequence_asof": eql_sequence_asof,
+        "eql_pipe_head": eql_pipe_head,
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
         "rollup_daily": rollup_daily,
@@ -5834,6 +5850,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT text, (df_en * 2.0 + df_de * 1.0) AS score, df_en, df_de
             FROM piv ORDER BY score DESC, text LIMIT 10
+        """,
+        "eql_pipe_head": """
+            WITH c1 AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'view'),
+                 c2 AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'purchase')
+            SELECT * FROM (
+              SELECT c2.user_id AS user_id, c1.ts AS ts_0, c2.ts AS ts_1,
+                     c1.event_id AS id_0, c2.event_id AS id_1
+              FROM c2 ASOF JOIN c1
+                ON c2.user_id = c1.user_id AND c2.ts > c1.ts
+              WHERE c2.ts - c1.ts <= INTERVAL 1 DAY
+              ORDER BY ts_0, id_0 LIMIT 5
+            ) ORDER BY ts_0, id_0
         """,
         "eql_sequence_asof": """
             WITH c1 AS (SELECT user_id, ts, event_id FROM events

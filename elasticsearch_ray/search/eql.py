@@ -216,3 +216,41 @@ def eql_sequence(ds, by: str, ts_col: str, stages: list,
     out = (out.sort_values([by, "id_0", f"id_{n-1}"])
            .reset_index(drop=True))
     return out[cols]
+
+
+# ---------------------------------------------------------------- pipes
+
+#: LogicalPlanBuilder.java:67 — names the grammar accepts; only head/tail
+#: are implemented (the reference's default arm raises "not supported")
+SUPPORTED_PIPES = ("count", "filter", "head", "sort", "tail", "unique",
+                   "unique_count")
+
+
+def eql_pipes(frame: pd.DataFrame, pipes: list,
+              ts_col: str = "ts_0", id_col: str = "id_0") -> pd.DataFrame:
+    """Apply EQL result pipes (LogicalPlanBuilder.java:369-395): results
+    are taken in the implicit ascending (first-event ts, tiebreak) order;
+    ``head n`` keeps the first n, ``tail n`` the last n; pipes chain
+    left-to-right. Unrecognized names get the reference's did-you-mean
+    message; recognized-but-unimplemented names its "not supported"."""
+    import difflib
+
+    out = frame.sort_values([ts_col, id_col]).reset_index(drop=True) \
+        if len(frame) else frame
+    for name, arg in pipes:
+        if name not in SUPPORTED_PIPES:
+            close = difflib.get_close_matches(name, SUPPORTED_PIPES, n=3)
+            msg = f"Unrecognized pipe [{name}]"
+            if close:
+                m = str(close)
+                msg += ", did you mean " + (
+                    m if len(close) == 1 else f"any of {m}") + "?"
+            raise ValueError(msg)
+        if name not in ("head", "tail"):
+            raise ValueError(f"Pipe [{name}] is not supported")
+        if not isinstance(arg, int) or isinstance(arg, bool) or arg <= 0:
+            raise ValueError(
+                f"Pipe [{name}] expects a positive integer but found "
+                f"[{arg!r}]")
+        out = out.head(arg) if name == "head" else out.tail(arg)
+    return out.reset_index(drop=True)

@@ -147,3 +147,33 @@ def test_mode_and_stage_validation():
     with pytest.raises(ValueError):
         eql_sequence(None, by="k", ts_col="t", stages=[{}, {}],
                      mode="nope")
+
+
+def test_eql_pipes_head_tail_and_errors():
+    """LogicalPlanBuilder pipes: implicit ascending (ts_0, id_0) order,
+    head/tail chain; unrecognized vs unsupported error parity."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from elasticsearch_ray.search.eql import eql_pipes
+
+    f = pd.DataFrame({
+        "ts_0": pd.to_datetime(["2024-01-03", "2024-01-01", "2024-01-02",
+                                "2024-01-05", "2024-01-04"]),
+        "id_0": [3, 1, 2, 5, 4],
+    })
+    assert eql_pipes(f, [("head", 3)])["id_0"].tolist() == [1, 2, 3]
+    assert eql_pipes(f, [("tail", 2)])["id_0"].tolist() == [4, 5]
+    assert eql_pipes(f, [("head", 4), ("tail", 2)])["id_0"].tolist() \
+        == [3, 4]
+    assert eql_pipes(f, [])["id_0"].tolist() == [1, 2, 3, 4, 5]
+    with _pytest.raises(ValueError, match=r"Unrecognized pipe \[heda\].*"
+                                          r"did you mean"):
+        eql_pipes(f, [("heda", 1)])
+    with _pytest.raises(ValueError, match=r"Pipe \[unique\] is not "
+                                          r"supported"):
+        eql_pipes(f, [("unique", 1)])
+    with _pytest.raises(ValueError, match="positive integer"):
+        eql_pipes(f, [("head", 0)])
+    with _pytest.raises(ValueError, match="positive integer"):
+        eql_pipes(f, [("tail", True)])
