@@ -3280,6 +3280,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
 
+    def multimodal_png_embed(sf):  # rows-only — REAL zlib PNG codec
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (media_pipeline,
+                                                      synthesize_png_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = media_pipeline(rd.from_arrow(synthesize_png_media(n)),
+                             out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"),
+                                    preserve_index=False)
+
     def multimodal_audio_features(sf):  # rows-only — REAL PCM-WAV decode + DSP
         import ray.data as rd
 
@@ -3828,6 +3843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "multimodal_embed": multimodal_embed,
         "multimodal_bmp_embed": multimodal_bmp_embed,
+        "multimodal_png_embed": multimodal_png_embed,
         "multimodal_audio_features": multimodal_audio_features,
         "reindex_pipeline": reindex_pipeline,
         "training_pipeline": training_pipeline,

@@ -10,7 +10,11 @@ Codec status (no image/audio libraries ship in this container):
   stdlib + numpy only — 24-bit BI_RGB **BMP** (BITMAPFILEHEADER +
   BITMAPINFOHEADER, bottom-up rows, 4-byte row padding), binary **PPM**
   (P6), and 16-bit PCM **WAV** (stdlib ``wave``). Round-trip tested.
-- **STUBBED**: compressed codecs (JPEG/PNG/MP3/H.264 …) raise
+- **REAL, from scratch (compressed)**: **PNG** via stdlib ``zlib`` —
+  encoder (filter 0 + deflate) and decoder (8-bit gray/RGB/palette/RGBA,
+  all five scanline filters per the public PNG spec §9; Adam7 interlace
+  rejected). Round-trip + filter-matrix tested.
+- **STUBBED**: patent-era DSP codecs (JPEG/MP3/H.264 …) raise
   ``NotImplementedError`` from the dispatching decoders; swapping in
   PIL/torchaudio means replacing only the decoder-dispatch bodies.
 - The deterministic ``ESRIMG`` synthetic format (``synthesize_media``)
@@ -187,6 +191,126 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw, np.int16).reshape(n, ch).copy(), rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """PNG encoder (public spec, stdlib zlib): 8-bit gray (h,w) / RGB
+    (h,w,3) / RGBA (h,w,4), filter 0 on every scanline, one IDAT."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"PNG encode supports 1/3/4 channels, got {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8),  # filter byte 0 per scanline
+         a.reshape(h, w * c)], axis=1).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(data: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth). Sub/Up vectorize (per-lane cumsum / row add); Average
+    and Paeth carry an in-row dependency, so those rows walk bytes."""
+    rows = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else \
+            np.zeros(stride, np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                cc = prior[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else cc)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG decoder (public spec, stdlib zlib): 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA); every scanline filter;
+    Adam7 interlace raises NotImplementedError. Returns (h, w, c) uint8."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat = b""
+    plte = None
+    w = h = depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG decodes (depth {depth})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    stride = w * channels
+    data = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = _png_unfilter(data, h, stride, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[out.reshape(h, w)]
+    return out.reshape(h, w, channels)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatching image/video decoder → (frames, h, w, channels) uint8.
     BMP ('BM') and PPM ('P6') decode for real; the synthetic ESRIMG format
@@ -196,11 +320,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        a = decode_png(payload)
+        return a[None, :, :, :]
     if payload.startswith(_MAGIC):
         return decode_image_stub(payload)[:, :, :, None]
     raise NotImplementedError(
-        "compressed image codecs are unavailable in this environment; "
-        "BMP, P6 PPM and the synthetic ESRIMG format decode")
+        "JPEG/H.264-class codecs are unavailable in this environment; "
+        "BMP, P6 PPM, PNG and the synthetic ESRIMG format decode")
 
 
 def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
@@ -210,6 +337,9 @@ def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
         return encode_bmp(arr[0])
     if src_payload[:2] == b"P6":
         return encode_ppm(arr[0])
+    if src_payload.startswith(_PNG_SIG):
+        frame = arr[0]
+        return encode_png(frame[:, :, 0] if frame.shape[2] == 1 else frame)
     f, h, w, _c = arr.shape
     return (_MAGIC + np.array([w, h, f], dtype="<i4").tobytes()
             + np.ascontiguousarray(arr[:, :, :, 0]).tobytes())
@@ -358,6 +488,37 @@ class AudioFeatures:
                 "spectral_centroid_hz": pa.array(cent, pa.float64()),
             }
         )
+
+
+def synthesize_png_media(n: int, seed: int = 42,
+                         max_side: int = 24) -> pa.Table:
+    """Deterministic REAL PNG payloads (gradient + noise RGB, deflated)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "mime", "width", "height",
+                            "n_frames", "payload")}
+    for i in range(n):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        grad = (np.arange(h)[:, None, None] * 8
+                + np.arange(w)[None, :, None] * 4)
+        img = ((grad + rng.integers(0, 64, (h, w, 3))) % 256).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["mime"].append("image/png")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(1)
+        rows["payload"].append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 def synthesize_bmp_media(n: int, seed: int = 42, max_side: int = 24) -> pa.Table:

@@ -1064,3 +1064,142 @@ def test_ivfpq_dim_must_divide_m(rds):
     qm = np.stack([np.asarray(t["embedding"].to_pylist()[0], np.float64)])
     with pytest.raises(ValueError, match="not divisible"):
         ivfpq_topk(rds["embeddings"], [0], qm, m=7)
+
+
+def test_png_round_trip_all_channel_counts():
+    """PNG codec (public spec, stdlib zlib): encode->decode identity for
+    gray/RGB/RGBA, and the decode_image dispatch returns (1,h,w,c)."""
+    from elasticsearch_ray.ops.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for c in (1, 3, 4):
+        a = rng.randint(0, 256, (13, 17, c), dtype=np.uint8)
+        payload = encode_png(a[:, :, 0] if c == 1 else a)
+        got = decode_png(payload)
+        assert got.shape == (13, 17, c)
+        assert np.array_equal(got, a)
+        via = decode_image(payload)
+        assert via.shape == (1, 13, 17, c)
+        assert np.array_equal(via[0], a)
+
+
+def _png_forward_filter(a: np.ndarray, ftype: int) -> bytes:
+    """Independent forward filter per PNG spec §9 (test-side only)."""
+    h, w, c = a.shape
+    stride = w * c
+    flat = a.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        prior = flat[y - 1] if y else np.zeros(stride, np.int64)
+        for x in range(stride):
+            left = flat[y, x - c] if x >= c else 0
+            ul = prior[x - c] if x >= c else 0
+            up = prior[x]
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else \
+                    (up if pb <= pc else ul)
+            out.append((int(flat[y, x]) - pred) % 256)
+    return bytes(out)
+
+
+def test_png_decodes_every_scanline_filter():
+    """Each of the five filters, forward-applied by an independent
+    test-side encoder, unfilters back to the pixels."""
+    import struct
+    import zlib
+
+    from elasticsearch_ray.ops.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, (6, 7, 3), dtype=np.uint8)
+    for ftype in range(5):
+        ihdr = struct.pack(">IIBBBBB", 7, 6, 8, 2, 0, 0, 0)
+        raw = _png_forward_filter(a, ftype)
+        payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(raw))
+                   + _png_chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(payload), a), ftype
+
+
+def test_png_palette_and_rejections():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from elasticsearch_ray.ops.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    # palette (color type 3): indices expand through PLTE
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", plte.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    got = decode_png(payload)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, plte[idx])
+    # 16-bit depth and Adam7 interlace reject like missing features
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    p16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+           + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(p16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    p_i = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
+           + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(p_i)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    with _pytest.raises(ValueError, match="channels"):
+        encode_png(np.zeros((2, 2, 2), np.uint8))
+
+
+def test_png_through_media_pipeline(ray_session):
+    """PNG payloads flow through the decode->resize->embed actor stages
+    like the uncompressed codecs (the multimodal plumbing contract)."""
+    import pyarrow as _pa
+    import ray
+
+    from elasticsearch_ray.ops.multimodal import encode_png, media_pipeline
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(8):
+        h, w = int(rng.randint(8, 20)), int(rng.randint(8, 20))
+        a = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append({"media_id": i, "mime": "image/png", "width": w,
+                     "height": h, "n_frames": 1,
+                     "payload": encode_png(a)})
+    t = _pa.Table.from_pylist(rows)
+    out = media_pipeline(ray.data.from_arrow(t), out_h=8, out_w=8,
+                         dim=8).to_pandas()
+    assert len(out) == 8
+    assert all(len(e) == 8 for e in out["embedding"])
