@@ -2415,6 +2415,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             preserve_index=False)
 
     # ---- ingest processors ----
+    def bulk_apply_docs(sf):
+        # _bulk over the documents table: update lang on %7 ids, delete
+        # %13 ids, create one past-max doc — sequential per-item
+        # semantics; final table == the SQL CASE/anti-join/UNION twin
+        import json as _json
+
+        from elasticsearch_ray.ops.bulk import bulk_apply
+
+        df = _ds(sf, "documents").select_columns(
+            ["doc_id", "lang"]).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        lines = []
+        for d in df["doc_id"]:
+            if d % 7 == 0:
+                lines.append(_json.dumps({"update": {"_id": int(d)}}))
+                lines.append(_json.dumps({"doc": {"lang": "xx"}}))
+        for d in df["doc_id"]:
+            if d % 13 == 0:
+                lines.append(_json.dumps({"delete": {"_id": int(d)}}))
+        new_id = int(df["doc_id"].max()) + 1
+        lines.append(_json.dumps({"create": {"_id": new_id}}))
+        lines.append(_json.dumps({"lang": "fr"}))
+        out, resp = bulk_apply(df, "\n".join(lines))
+        assert resp["errors"] is False
+        out = out[["doc_id", "lang"]].copy()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def pipeline_events_on_failure(sf):
         # CompoundProcessor on_failure semantics: purchase rows get a
         # non-numeric value that fails the convert processor and falls
@@ -3907,6 +3937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_latest": transform_latest,
         "script_expression_column": script_expression_column,
         "pipeline_events_csv": pipeline_events_csv,
+        "bulk_apply_docs": bulk_apply_docs,
         "pipeline_events_on_failure": pipeline_events_on_failure,
         "web_match_top10": web_match_top10,
         "web_strip_invariant": web_strip_invariant,
@@ -5061,6 +5092,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS doc_count
             FROM documents GROUP BY lang, source
             ORDER BY lang, source LIMIT 10
+        """,
+        "bulk_apply_docs": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+                       AS lang
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT (SELECT max(doc_id) + 1 FROM documents)::BIGINT,
+                     'fr'
+            ) ORDER BY doc_id
         """,
         "pipeline_events_on_failure": """
             SELECT event_id, upper(event_type) AS event_type,

@@ -1,0 +1,158 @@
+"""``_bulk`` API — ndjson action/metadata parsing + per-item write results.
+
+Reference semantics:
+- ``server/src/main/java/org/elasticsearch/action/bulk/BulkRequestParser.java``
+  — alternating action line (``{"index"|"create"|"update"|"delete":
+  {"_id": ...}}``) and source line (none for delete); malformed action,
+  unknown op type, or a missing trailing source line are request-level
+  parse errors.
+- ``TransportShardBulkAction.java`` + ``DocWriteResponse`` — per-item
+  results in REQUEST ORDER, each `{op: {"_id", "status", "result" |
+  "error"}}`:
+  * ``index``  — upsert: 201 ``created`` / 200 ``updated``;
+  * ``create`` — 201, or a 409 ``version_conflict_engine_exception``
+    ERROR when the id exists;
+  * ``update`` — partial-doc merge, 200 ``updated`` (``noop`` when
+    nothing changed), or a 404 ``document_missing_exception`` ERROR;
+  * ``delete`` — 200 ``deleted``, or a NON-error 404 ``not_found``
+    (``DeleteResponse.java:38-52``).
+  ``errors`` on the envelope is true iff any item carries an error.
+- Ops apply SEQUENTIALLY: a later item sees earlier items' effects
+  (create-after-delete succeeds, second create conflicts).
+
+Ray-Data shape: the bulk BODY is coordinator-scale (a request buffer,
+never 100 TB); it applies here to a keyed pandas frame — the staging-table
+analog of the primary-shard write — and bulk-loaded corpora then flow to
+the real distributed surfaces (``build_index`` incremental append,
+update/delete-by-query) exactly as the reference funnels bulk through the
+engine. An optional ingest ``pipeline`` (ops/processors.Pipeline) runs on
+indexed/created docs before they land, like ``IngestService`` pre-index.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+_OPS = ("index", "create", "update", "delete")
+
+
+def parse_bulk(payload: str) -> list[tuple[str, dict, dict | None]]:
+    """BulkRequestParser: [(op, meta, source|None)] or raise ValueError."""
+    lines = [ln for ln in payload.split("\n") if ln.strip()]
+    out = []
+    i = 0
+    while i < len(lines):
+        try:
+            action = json.loads(lines[i])
+        except json.JSONDecodeError as e:
+            raise ValueError(f"Malformed action/metadata line [{i + 1}]: "
+                             f"{e}") from None
+        if not isinstance(action, dict) or len(action) != 1:
+            raise ValueError(
+                f"Malformed action/metadata line [{i + 1}], expected a "
+                "single action")
+        op, meta = next(iter(action.items()))
+        if op not in _OPS:
+            raise ValueError(
+                f"Unknown key for a START_OBJECT in [{op}], expected one "
+                f"of {list(_OPS)}")
+        meta = meta or {}
+        if op == "delete":
+            out.append((op, meta, None))
+            i += 1
+            continue
+        if i + 1 >= len(lines):
+            raise ValueError(
+                f"Validation Failed: line [{i + 1}] action [{op}] is "
+                "missing its source")
+        try:
+            source = json.loads(lines[i + 1])
+        except json.JSONDecodeError as e:
+            raise ValueError(f"Malformed source line [{i + 2}]: {e}") \
+                from None
+        out.append((op, meta, source))
+        i += 2
+    return out
+
+
+def bulk_apply(frame: pd.DataFrame, payload_or_ops,
+               id_col: str = "doc_id",
+               pipeline=None) -> tuple[pd.DataFrame, dict]:
+    """Apply a bulk body to a keyed frame; returns (new_frame, response).
+
+    ``response`` = {"errors": bool, "items": [...]} in request order.
+    ``pipeline`` — optional ops/processors.Pipeline applied to index/
+    create sources before they land (IngestService pre-index)."""
+    ops = parse_bulk(payload_or_ops) if isinstance(payload_or_ops, str) \
+        else list(payload_or_ops)
+    df = frame.copy()
+    items = []
+    errors = False
+
+    def _loc(_id):
+        hit = np.flatnonzero(df[id_col].to_numpy() == _id)
+        return int(hit[0]) if len(hit) else None
+
+    def _run_pipeline(doc: dict) -> dict:
+        if pipeline is None:
+            return doc
+        return pipeline(pd.DataFrame([doc])).iloc[0].to_dict()
+
+    for op, meta, source in ops:
+        _id = meta.get("_id")
+        if _id is None:
+            _id = (int(df[id_col].max()) + 1) if len(df) else 0
+        row = _loc(_id)
+        if op == "delete":
+            if row is None:
+                items.append({"delete": {"_id": _id, "status": 404,
+                                         "result": "not_found"}})
+            else:
+                df = df.drop(df.index[row]).reset_index(drop=True)
+                items.append({"delete": {"_id": _id, "status": 200,
+                                         "result": "deleted"}})
+            continue
+        if op == "create" and row is not None:
+            errors = True
+            items.append({"create": {"_id": _id, "status": 409, "error": {
+                "type": "version_conflict_engine_exception",
+                "reason": f"[{_id}]: version conflict, document already "
+                          "exists"}}})
+            continue
+        if op == "update":
+            if row is None:
+                errors = True
+                items.append({"update": {"_id": _id, "status": 404,
+                                         "error": {
+                    "type": "document_missing_exception",
+                    "reason": f"[{_id}]: document missing"}}})
+                continue
+            doc = source.get("doc", source)
+            before = df.iloc[row].to_dict()
+            after = dict(before, **doc)
+            if after == before:
+                items.append({"update": {"_id": _id, "status": 200,
+                                         "result": "noop"}})
+                continue
+            for k, v in doc.items():
+                df.loc[df.index[row], k] = v
+            items.append({"update": {"_id": _id, "status": 200,
+                                     "result": "updated"}})
+            continue
+        # index / create upsert path
+        doc = _run_pipeline(dict(source))
+        doc[id_col] = _id
+        if row is None:
+            df = pd.concat([df, pd.DataFrame([doc])], ignore_index=True) \
+                if len(df) else pd.DataFrame([doc])
+            items.append({op: {"_id": _id, "status": 201,
+                               "result": "created"}})
+        else:
+            for k, v in doc.items():
+                df.loc[df.index[row], k] = v
+            items.append({op: {"_id": _id, "status": 200,
+                               "result": "updated"}})
+    return df, {"errors": errors, "items": items}
