@@ -3325,6 +3325,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.sort_values("media_id"),
                                     preserve_index=False)
 
+    def multimodal_gif_frames(sf):  # rows-only — REAL LZW GIF, video path
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (media_pipeline,
+                                                      synthesize_gif_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = media_pipeline(rd.from_arrow(synthesize_gif_media(n)),
+                             out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"),
+                                    preserve_index=False)
+
     def multimodal_audio_features(sf):  # rows-only — REAL PCM-WAV decode + DSP
         import ray.data as rd
 
@@ -3874,6 +3889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_embed": multimodal_embed,
         "multimodal_bmp_embed": multimodal_bmp_embed,
         "multimodal_png_embed": multimodal_png_embed,
+        "multimodal_gif_frames": multimodal_gif_frames,
         "multimodal_audio_features": multimodal_audio_features,
         "reindex_pipeline": reindex_pipeline,
         "training_pipeline": training_pipeline,

@@ -13,7 +13,11 @@ Codec status (no image/audio libraries ship in this container):
 - **REAL, from scratch (compressed)**: **PNG** via stdlib ``zlib`` —
   encoder (filter 0 + deflate) and decoder (8-bit gray/RGB/palette/RGBA,
   all five scanline filters per the public PNG spec §9; Adam7 interlace
-  rejected). Round-trip + filter-matrix tested.
+  rejected). Round-trip + filter-matrix tested. **GIF** (87a/89a) — LZW
+  decoder per the public spec (variable-width LSB-first codes, CLEAR/EOI,
+  KwKwK case, 12-bit cap), global/local palettes, multi-frame composition
+  (the real compressed "video" path for frame sampling); paletted
+  encoder. Interlace rejected.
 - **STUBBED**: patent-era DSP codecs (JPEG/MP3/H.264 …) raise
   ``NotImplementedError`` from the dispatching decoders; swapping in
   PIL/torchaudio means replacing only the decoder-dispatch bodies.
@@ -194,6 +198,177 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# ------------------------------------------------------------------ GIF
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW (public GIF89a spec appendix F): variable-width
+    codes packed LSB-first, CLEAR resets the table, EOI ends, table caps
+    at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels]
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def _lzw_encode_simple(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Valid GIF LZW stream that never grows the table: CLEAR before
+    every literal, so codes stay at ``min_code_size + 1`` bits. Larger
+    than real LZW, byte-exact on decode — the encoder half of the
+    round-trip contract."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    for v in indices:
+        emit(int(v))
+        emit(clear)  # keep the decoder's table (and code width) fixed
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """(f, h, w, 3) uint8 → animated GIF89a with one global palette built
+    from the distinct colors (> 256 distinct colors raises — the format's
+    own limit; quantization is a modeling choice left to callers)."""
+    a = np.asarray(frames, np.uint8)
+    if a.ndim == 3:
+        a = a[None]
+    f, h, w, _c = a.shape
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors, "
+                         f"got {len(palette)}")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal_size = 1 << pal_bits
+    pal = np.zeros((pal_size, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    idx = inverse.reshape(f, h * w)
+    min_code = max(2, pal_bits)
+    for fi in range(f):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        stream = _lzw_encode_simple(idx[fi], min_code)
+        for off in range(0, len(stream), 255):
+            chunk = stream[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (frames, h, w, 3) uint8. Global + local color
+    tables, multi-frame (frames composite onto the running canvas at
+    their offsets — the spec's do-not-dispose behavior), extensions
+    skipped; interlaced images raise NotImplementedError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    canvas = np.zeros((h, w, 3), np.uint8)
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload,
+                                                       pos)
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload, np.uint8,
+                                  n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code, iw * ih)
+        if len(idx) != iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        frame = table[np.asarray(idx, np.int64)].reshape(ih, iw, 3)
+        canvas[top:top + ih, left:left + iw] = frame
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return np.stack(frames)
+
+
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import zlib
 
@@ -323,11 +498,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload.startswith(_PNG_SIG):
         a = decode_png(payload)
         return a[None, :, :, :]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload.startswith(_MAGIC):
         return decode_image_stub(payload)[:, :, :, None]
     raise NotImplementedError(
         "JPEG/H.264-class codecs are unavailable in this environment; "
-        "BMP, P6 PPM, PNG and the synthetic ESRIMG format decode")
+        "BMP, P6 PPM, PNG, GIF and the synthetic ESRIMG format decode")
 
 
 def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
@@ -340,6 +517,9 @@ def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
     if src_payload.startswith(_PNG_SIG):
         frame = arr[0]
         return encode_png(frame[:, :, 0] if frame.shape[2] == 1 else frame)
+    if src_payload[:6] in (b"GIF87a", b"GIF89a"):
+        return encode_gif(arr if arr.shape[3] == 3 else
+                          np.repeat(arr, 3, axis=3))
     f, h, w, _c = arr.shape
     return (_MAGIC + np.array([w, h, f], dtype="<i4").tobytes()
             + np.ascontiguousarray(arr[:, :, :, 0]).tobytes())
@@ -508,6 +688,37 @@ def synthesize_png_media(n: int, seed: int = 42,
         rows["height"].append(h)
         rows["n_frames"].append(1)
         rows["payload"].append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthesize_gif_media(n: int, seed: int = 42, max_side: int = 20,
+                         max_frames: int = 5) -> pa.Table:
+    """Deterministic REAL animated-GIF payloads (paletted noise)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "mime", "width", "height",
+                            "n_frames", "payload")}
+    for i in range(n):
+        w = int(rng.integers(6, max_side + 1))
+        h = int(rng.integers(6, max_side + 1))
+        f = int(rng.integers(1, max_frames + 1))
+        colors = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+        frames = colors[rng.integers(0, 8, (f, h, w))]
+        rows["media_id"].append(i)
+        rows["mime"].append("image/gif")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(f)
+        rows["payload"].append(encode_gif(frames))
     return pa.table(
         {
             "media_id": pa.array(rows["media_id"], pa.int64()),

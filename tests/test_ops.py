@@ -1203,3 +1203,93 @@ def test_png_through_media_pipeline(ray_session):
                          dim=8).to_pandas()
     assert len(out) == 8
     assert all(len(e) == 8 for e in out["embedding"])
+
+
+def test_gif_round_trip_and_animation():
+    from elasticsearch_ray.ops.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(12)
+    # paletted content: few distinct colors
+    colors = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.randint(0, 7, (3, 9, 11))
+    frames = colors[idx]  # (3, 9, 11, 3)
+    payload = encode_gif(frames)
+    got = decode_gif(payload)
+    assert got.shape == (3, 9, 11, 3)
+    assert np.array_equal(got, frames)
+    via = decode_image(payload)
+    assert np.array_equal(via, frames)
+    # single frame, 2 colors (1-bit palette path)
+    two = np.where(np.arange(8)[:, None, None] % 2 == 0,
+                   np.uint8(255), np.uint8(0)) * np.ones((8, 5, 3),
+                                                         np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(two))[0], two)
+
+
+def test_gif_lzw_independent_vector_and_kwkwk():
+    """Hand-packed LZW stream (spec appendix F): CLEAR, literal 1, then
+    code==len(table) (the KwKwK special case), EOI — pixels [1,1,1]."""
+    import struct
+
+    from elasticsearch_ray.ops.multimodal import _lzw_decode, decode_gif
+
+    # 3-bit codes LSB-first: 4(clear), 1, 6(KwKwK), 5(eoi)
+    packed = 4 | (1 << 3) | (6 << 6) | (5 << 9)
+    stream = bytes([packed & 0xFF, (packed >> 8) & 0xFF])
+    assert _lzw_decode(stream, 2, 3) == [1, 1, 1]
+    # wrap it into a full 3x1 GIF with a 4-color palette
+    pal = bytes([0, 0, 0, 10, 20, 30, 0, 0, 0, 0, 0, 0])
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 3, 1, 0x81, 0, 0) + pal
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+           + bytes([2, len(stream)]) + stream + b"\x00\x3b")
+    got = decode_gif(gif)
+    assert got.shape == (1, 1, 3, 3)
+    assert np.array_equal(got[0, 0], np.array([[10, 20, 30]] * 3))
+
+
+def test_gif_rejections():
+    import struct
+
+    import pytest as _pytest
+
+    from elasticsearch_ray.ops.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(1)
+    with _pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(rng.randint(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG....")
+    pal = bytes(6)
+    interlaced = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+                  + pal + b"\x2c"
+                  + struct.pack("<HHHHB", 0, 0, 2, 2, 0x40))
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(interlaced)
+
+
+def test_gif_through_frame_sampling(ray_session):
+    """Animated GIF payloads drive the real video path: decode ->
+    frame-sample inside the media actor pipeline."""
+    import pyarrow as _pa
+    import ray
+
+    from elasticsearch_ray.ops.multimodal import encode_gif, media_pipeline
+
+    rng = np.random.RandomState(8)
+    colors = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    rows = []
+    for i in range(6):
+        f = int(rng.randint(2, 6))
+        frames = colors[rng.randint(0, 5, (f, 10, 12))]
+        rows.append({"media_id": i, "mime": "image/gif", "width": 12,
+                     "height": 10, "n_frames": f,
+                     "payload": encode_gif(frames)})
+    t = _pa.Table.from_pylist(rows)
+    out = media_pipeline(ray.data.from_arrow(t), out_h=6, out_w=6,
+                         dim=8).to_pandas()
+    assert len(out) == 6
+    assert all(len(e) == 8 for e in out["embedding"])
