@@ -2621,7 +2621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events"), by="user_id", ts_col="ts",
             stages=[{"event_type": "view"}, {"event_type": "purchase"}],
             maxspan="1 days", mode="asof")
-        out = eql_pipes(out, [("head", 5)])
+        out = eql_pipes(out, [("head", 5)],
+                        order_cols=["ts_0", "id_0", "id_1"])
         return pa.Table.from_pandas(
             out[["user_id", "ts_0", "ts_1", "id_0", "id_1"]],
             preserve_index=False)
@@ -5936,8 +5937,8 @@ def oracle_sql() -> dict[str, str]:
               FROM c2 ASOF JOIN c1
                 ON c2.user_id = c1.user_id AND c2.ts > c1.ts
               WHERE c2.ts - c1.ts <= INTERVAL 1 DAY
-              ORDER BY ts_0, id_0 LIMIT 5
-            ) ORDER BY ts_0, id_0
+              ORDER BY ts_0, id_0, id_1 LIMIT 5
+            ) ORDER BY ts_0, id_0, id_1
         """,
         "eql_sequence_asof": """
             WITH c1 AS (SELECT user_id, ts, event_id FROM events

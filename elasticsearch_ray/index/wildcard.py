@@ -199,31 +199,46 @@ def _pattern_clauses(pattern: str) -> tuple[list, int, int]:
     anchor, split into concrete fragments at unescaped * / ?, 3-gram each
     fragment; returns ([clauses], n_wildcard_chars, n_wildcard_strings)
     where a clause is ("term", key) | ("prefix", lo, hi) | ("all",)."""
-    anchored = _TOKEN_START + pattern + _TOKEN_END
+    # walk the RAW pattern (escapes must not consume the anchors — a
+    # trailing backslash is a literal, exactly as _wildcard_regex treats
+    # it) and attach the start/end markers structurally: the first
+    # fragment is start-anchored iff no wildcard precedes it, the last
+    # end-anchored iff none follows it
     frags: list[str] = []
     cur: list[str] = []
     nq = ns = 0
+    first_starts_at_zero = False
+    ends_concrete = False
     i = 0
-    while i < len(anchored):
-        c = anchored[i]
-        if c == "*":
+    while i < len(pattern):
+        c = pattern[i]
+        if c in "*?":
             if cur:
                 frags.append("".join(cur))
                 cur = []
-            ns += 1
-        elif c == "?":
-            if cur:
-                frags.append("".join(cur))
-                cur = []
-            nq += 1
-        elif c == "\\" and i + 1 < len(anchored):
-            cur.append(anchored[i + 1])
-            i += 1
+            if c == "*":
+                ns += 1
+            else:
+                nq += 1
+            ends_concrete = False
         else:
-            cur.append(c)
+            if not cur and not frags and ns == 0 and nq == 0:
+                first_starts_at_zero = True
+            if c == "\\" and i + 1 < len(pattern):
+                cur.append(pattern[i + 1])
+                i += 1
+            else:
+                cur.append(c)
+            ends_concrete = True
         i += 1
     if cur:
         frags.append("".join(cur))
+    if frags and first_starts_at_zero:
+        frags[0] = _TOKEN_START + frags[0]
+    if frags and ends_concrete:
+        frags[-1] = frags[-1] + _TOKEN_END
+    if not frags and ns == 0 and nq == 0:
+        frags = [_TOKEN_START + _TOKEN_END]  # empty pattern == empty value
 
     tokens: dict[str, None] = {}
     for frag in frags:
@@ -454,16 +469,21 @@ def _part_search(index_dir: str, field: str, part: int, base: int,
                         and rx.fullmatch(s) is not None).to_numpy()
     else:
         gte, gt, lte, lt = bounds
-        keep = np.ones(len(vals), dtype=bool)
         v = vals.to_numpy(dtype=object)
+        # nulls never match a range (TermRangeQuery over absent dv)
+        keep = np.array([x is not None for x in v], dtype=bool)
+        present = np.flatnonzero(keep)
+        pv = v[present]
+        m = np.ones(len(pv), dtype=bool)
         if gte is not None:
-            keep &= v >= gte
+            m &= pv >= gte
         if gt is not None:
-            keep &= v > gt
+            m &= pv > gt
         if lte is not None:
-            keep &= v <= lte
+            m &= pv <= lte
         if lt is not None:
-            keep &= v < lt
+            m &= pv < lt
+        keep[present] = m
     return cand[keep] + base
 
 

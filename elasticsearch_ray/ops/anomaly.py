@@ -270,7 +270,11 @@ def forecast(result: dict, job: AnomalyJob, horizon: int,
             g = g.sort_values("timestamp")
             y = g["actual"].to_numpy(float)
             n = len(y)
-            t = np.arange(n, dtype=float)
+            # time axis in bucket-span units from the REAL timestamps —
+            # sparse series (empty buckets emit no record) must not
+            # compress the trend or mislabel the projection (review r5 #7)
+            ts = pd.to_datetime(g["timestamp"])
+            t = ((ts - ts.iloc[0]) / span).to_numpy(float)
             if n >= 3:
                 b, a = np.polyfit(t, y, 1)
                 resid = y - (a + b * t)
@@ -283,7 +287,7 @@ def forecast(result: dict, job: AnomalyJob, horizon: int,
             last_ts = g["timestamp"].iloc[-1]
             kv = kv if isinstance(kv, tuple) else (kv,)
             for h in range(1, horizon + 1):
-                x0 = n - 1 + h
+                x0 = t[-1] + h
                 pred = a + b * x0
                 se = s * np.sqrt(1.0 + 1.0 / max(n, 1)
                                  + (x0 - tbar) ** 2 / max(sxx, 1e-12))

@@ -151,8 +151,14 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
             items.append({op: {"_id": _id, "status": 201,
                                "result": "created"}})
         else:
+            # index is FULL document replacement: columns the new source
+            # does not carry are cleared, never inherited (review r5 #6)
+            for k in df.columns:
+                df.loc[df.index[row], k] = doc.get(
+                    k, None if k != id_col else _id)
             for k, v in doc.items():
-                df.loc[df.index[row], k] = v
+                if k not in df.columns:
+                    df.loc[df.index[row], k] = v
             items.append({op: {"_id": _id, "status": 200,
                                "result": "updated"}})
     return df, {"errors": errors, "items": items}

@@ -238,15 +238,20 @@ def continuous_pivot(ds: Dataset, dest_dir: str, group_by: list[str],
                             prev)
         return prev
 
+    def cut_raw(df: pd.DataFrame) -> pd.DataFrame:
+        # the checkpoint's consistent view is bounded on the RAW sync
+        # value — flooring first would pull rows past the upper bound
+        # into their (floored) changed bucket (review r5 #3)
+        return df[pd.to_datetime(df[sync_field]) <= upper]
+
     def only_changed(df: pd.DataFrame) -> pd.DataFrame:
-        t = pd.to_datetime(df[sync_field])
-        df = df[t <= upper]  # the checkpoint's consistent view
         if df.empty:
-            return df[list(df.columns)]
+            return df
         return df.merge(changed, on=list(group_by), how="inner")
 
     recomputed = pivot_transform(
-        floored(ds).map_batches(only_changed, batch_format="pandas"),
+        floored(ds.map_batches(cut_raw, batch_format="pandas"))
+        .map_batches(only_changed, batch_format="pandas"),
         os.path.join(dest_dir, "_recompute"), group_by, aggs,
         input_fingerprint=f"ckpt-{checkpoint + 1}-{upper}")
     keep = prev

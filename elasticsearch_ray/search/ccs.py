@@ -23,21 +23,13 @@ repeated CCS queries reuse warm partition caches.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
 from elasticsearch_ray.search.multi import MultiIndexEngine
+from elasticsearch_ray.search.security import _glob_match as _simple_match
 
 _LOCAL = ""  # alias of the local "cluster"
-
-
-def _simple_match(pattern: str, s: str) -> bool:
-    if "*" not in pattern:
-        return pattern == s
-    rx = ".*".join(re.escape(p) for p in pattern.split("*"))
-    return re.fullmatch(rx, s) is not None
 
 
 class RemoteClusterRegistry:
@@ -128,7 +120,16 @@ class RemoteClusterRegistry:
         (SearchSourceBuilder indices_boost array semantics), default 1.0."""
         resolved, clusters = self.resolve(expression)
         if not resolved:
-            return pa.table({}), clusters
+            # typed-empty result (every cluster skipped): callers select
+            # (rank, score, fetch...) columns without KeyError
+            empty = {"rank": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64()),
+                     "part": pa.array([], pa.int64()),
+                     "local": pa.array([], pa.int64()),
+                     "_index": pa.array([], pa.string())}
+            for c in fetch:
+                empty.setdefault(c, pa.nulls(0))
+            return pa.table(empty), clusters
         labels = [lbl for lbl, _ in resolved]
         boosts = None
         if indices_boost:

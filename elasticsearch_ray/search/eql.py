@@ -227,15 +227,22 @@ SUPPORTED_PIPES = ("count", "filter", "head", "sort", "tail", "unique",
 
 
 def eql_pipes(frame: pd.DataFrame, pipes: list,
-              ts_col: str = "ts_0", id_col: str = "id_0") -> pd.DataFrame:
+              ts_col: str = "ts_0", id_col: str = "id_0",
+              order_cols: list | None = None) -> pd.DataFrame:
     """Apply EQL result pipes (LogicalPlanBuilder.java:369-395): results
     are taken in the implicit ascending (first-event ts, tiebreak) order;
     ``head n`` keeps the first n, ``tail n`` the last n; pipes chain
     left-to-right. Unrecognized names get the reference's did-you-mean
-    message; recognized-but-unimplemented names its "not supported"."""
+    message; recognized-but-unimplemented names its "not supported".
+
+    ``order_cols`` overrides the implicit order — asof-mode results can
+    tie on (ts_0, id_0) (one first event shared by several sequences),
+    so a head/tail cut that must be deterministic end-to-end should
+    include the last stage's id too (review r5 #5)."""
     import difflib
 
-    out = frame.sort_values([ts_col, id_col]).reset_index(drop=True) \
+    cols = order_cols or [ts_col, id_col]
+    out = frame.sort_values(cols, kind="stable").reset_index(drop=True) \
         if len(frame) else frame
     for name, arg in pipes:
         if name not in SUPPORTED_PIPES:

@@ -133,12 +133,19 @@ def apply_fls(q: Query, fp: FieldPermissions, default_field: str) -> Query:
     if isinstance(flds, tuple) and flds and \
             all(isinstance(f, str) or f is None for f in flds):
         # None names the default (body) field in multi-field leaves
-        kept = tuple(f for f in flds
-                     if fp.is_granted(f if f is not None else default_field))
-        if not kept:
+        keep = [fp.is_granted(f if f is not None else default_field)
+                for f in flds]
+        if not any(keep):
             return MatchNoneQuery()
-        if kept != flds:
-            q = dataclasses.replace(q, fields=kept)
+        if not all(keep):
+            changes = {"fields": tuple(f for f, k in zip(flds, keep) if k)}
+            # positionally-aligned parallel tuples (combined_fields
+            # weights) must drop the same slots or later fields inherit
+            # the denied field's weight
+            w = getattr(q, "weights", None)
+            if isinstance(w, tuple) and len(w) == len(flds):
+                changes["weights"] = tuple(v for v, k in zip(w, keep) if k)
+            q = dataclasses.replace(q, **changes)
     for attr in ("field", "column"):
         if hasattr(q, attr):
             name = getattr(q, attr)
@@ -193,6 +200,15 @@ def secured_search(engine, roles, q, k: int = 10,
                            else None) if f is not None]
     if filters:
         rq = BoolQuery(must=(rq,), filter=tuple(filters))
+    # query-carrying options must pass through the same FLS rewrite —
+    # an unmasked post_filter would leak a denied column's values
+    if kwargs.get("post_filter") is not None:
+        kwargs["post_filter"] = apply_fls(kwargs["post_filter"], fp,
+                                          default_field)
+    if kwargs.get("rescore") is not None:
+        rs = kwargs["rescore"]
+        kwargs["rescore"] = (apply_fls(rs[0], fp, default_field),
+                             *rs[1:])
     fetch_ok = tuple(c for c in fetch if fp.is_granted(c))
     for key in ("sort", "collapse"):
         v = kwargs.get(key)

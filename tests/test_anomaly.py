@@ -189,3 +189,30 @@ def test_forecast_linear_trend_and_widening_bounds(ray_session):
     assert (np.diff(width) > 0).all()
     with pytest.raises(ValueError, match="horizon"):
         forecast(res2, job, horizon=0)
+
+
+def test_forecast_sparse_series_uses_real_time_axis(ray_session):
+    """review r5 #7: empty buckets emit no record; the trend must fit on
+    the REAL timestamps (bucket-span units), not the compressed index."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.anomaly import forecast
+
+    # events only in EVEN hours, with count = 4 + hour (slope 1 per hour
+    # of wall-clock, i.e. the fitted per-bucket slope must be 1, not 2)
+    rows = []
+    for h in range(0, 24, 2):
+        for i in range(4 + h):
+            rows.append({"ts": pd.Timestamp("2024-03-01")
+                         + pd.Timedelta(hours=h, minutes=i % 60)})
+    df = pd.DataFrame(rows)
+    job = AnomalyJob("sparse", bucket_span="1h",
+                     detectors=[{"function": "count"}])
+    res = run_anomaly_job(rd.from_pandas(df), job)
+    f = forecast(res, job, horizon=3)["forecasts"]
+    # last observed bucket is hour 22 (count 26); the line is 4 + h
+    want = [4 + 23, 4 + 24, 4 + 25]
+    assert np.allclose(f["forecast_prediction"], want, atol=1e-6)
+    assert f["timestamp"].tolist() == [
+        pd.Timestamp("2024-03-01 23:00"), pd.Timestamp("2024-03-02 00:00"),
+        pd.Timestamp("2024-03-02 01:00")]

@@ -89,3 +89,14 @@ def test_bulk_errors_false_when_clean():
     _out, resp = bulk_apply(_frame(),
                             '{"delete": {"_id": 3}}\n')
     assert resp["errors"] is False
+
+
+def test_bulk_index_replaces_whole_document():
+    """review r5 #6: index on an existing id is FULL replacement —
+    columns absent from the new source are cleared, not inherited."""
+    out, resp = bulk_apply(_frame(),
+                           '{"index": {"_id": 2}}\n{"text": "TWO"}\n')
+    row = out[out["doc_id"] == 2].iloc[0]
+    assert row["text"] == "TWO"
+    assert pd.isna(row["lang"])
+    assert resp["items"][0]["index"]["result"] == "updated"

@@ -117,3 +117,16 @@ def test_indices_boost(two_indexes):
     # merged order is by BOOSTED score
     s = boosted["score"].to_numpy()
     assert (np.diff(s) <= 1e-12).all()
+
+
+def test_all_skipped_returns_typed_empty(two_indexes):
+    """review r5 #10: when every targeted cluster is skipped the result
+    is a TYPED empty table — standard column selection cannot KeyError."""
+    reg = RemoteClusterRegistry()
+    reg.register("europe", {"logs": two_indexes[1]},
+                 skip_unavailable=True, available=False)
+    got, clusters = reg.search("europe:logs", "spark", k=5,
+                               fetch=("doc_id",))
+    assert clusters == {"total": 1, "successful": 0, "skipped": 1}
+    df = got.to_pandas()[["doc_id", "score"]]
+    assert len(df) == 0

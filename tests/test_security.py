@@ -204,3 +204,41 @@ def test_secured_search_limited_by(sec_engine):
                   filter=(TermFilter(column="lang", value="en"),)),
         k=40, fetch=("doc_id",)).to_pandas()
     assert ids == set(want["doc_id"])
+
+
+def test_apply_fls_keeps_parallel_weights_aligned():
+    """review r5 #2: dropping a denied field must drop its positional
+    weight too, or later fields inherit the wrong BM25F blend."""
+    from elasticsearch_ray.search.query import CombinedFieldsQuery
+
+    fp = FieldPermissions([(("title", "body"), ())])
+    q = CombinedFieldsQuery(text="x", fields=("title", "secret", "body"),
+                            weights=(3.0, 1.0, 0.5))
+    out = apply_fls(q, fp, "text")
+    assert out.fields == ("title", "body")
+    assert out.weights == (3.0, 0.5)
+
+
+def test_secured_search_masks_post_filter_and_rescore(sec_engine):
+    """review r5 #1: query-carrying options pass through FLS — a
+    post_filter on a denied column must not leak its values."""
+    roles = [RoleDescriptor("r", grant=("text", "lang"))]
+    # granted post_filter works normally
+    ok = secured_search(sec_engine, roles, "spark", k=40,
+                        post_filter=TermFilter(column="lang", value="en"),
+                        fetch=("doc_id", "lang")).to_pandas()
+    assert len(ok) and set(ok["lang"]) == {"en"}
+    # denied post_filter column -> match_none -> zero hits leak
+    leak = secured_search(sec_engine, roles, "spark", k=40,
+                          post_filter=TermFilter(column="title",
+                                                 value="spark title"),
+                          fetch=("doc_id",)).to_pandas()
+    assert len(leak) == 0
+    # rescore query on a denied field contributes nothing
+    base = secured_search(sec_engine, roles, "spark", k=10).to_pandas()
+    rs = secured_search(sec_engine, roles, "spark", k=10,
+                        rescore=(MultiMatchQuery(text="spark",
+                                                 fields=("title",)),
+                                 10, 1.0, 5.0)).to_pandas()
+    assert rs["doc_id"].tolist() == base["doc_id"].tolist()
+    assert np.allclose(rs["score"], base["score"])

@@ -209,3 +209,29 @@ def test_continuous_pivot_only_changed_keys_recomputed(ray_session,
     sub = pd.read_parquet(os.path.join(dest, "_recompute",
                                        sub_man["data_file"]))
     assert set(sub["kind"]) == {"b"}
+
+
+def test_continuous_pivot_window_bounds_raw_sync_with_date_floor(
+        ray_session, tmp_path):
+    """review r5 #3: when group_by IS a date_histogram of the sync field,
+    the recompute pass must bound the window on the RAW sync value — a
+    row past checkpoint_upper must not leak into its floored bucket."""
+    from elasticsearch_ray.pipelines.transform import continuous_pivot
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:45",
+                              "2024-01-01 11:10"]),
+        "v": [1.0, 10.0, 100.0],
+    })
+    dest = str(tmp_path / "contw")
+    args = (["ts"], {"n": ("count", "v"), "total": ("sum", "v")}, "ts")
+    out1 = continuous_pivot(rd.from_pandas(df), dest, *args,
+                            pd.Timestamp("2024-01-01 10:30"),
+                            date_floor={"ts": "hour"})
+    # the 10:00 bucket sees ONLY the 10:05 row at this checkpoint
+    assert out1["n"].tolist() == [1]
+    assert out1["total"].tolist() == [1.0]
+    out2 = continuous_pivot(rd.from_pandas(df), dest, *args,
+                            df["ts"].max(), date_floor={"ts": "hour"})
+    assert out2["n"].tolist() == [2, 1]
+    assert out2["total"].tolist() == [11.0, 100.0]

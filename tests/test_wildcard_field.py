@@ -181,3 +181,55 @@ def test_range_matches_brute_force(wc_index):
 def test_missing_sidecar_raises(wc_index):
     with pytest.raises(FileNotFoundError):
         wildcard_field_search(wc_index, "nope", "*x*")
+
+
+def test_trailing_backslash_is_literal(ray_session, tmp_path_factory):
+    """review r5 #8: a trailing backslash must not escape the end anchor —
+    the approximation and the verify regex must agree it is a literal."""
+    from elasticsearch_ray.index.build import build_index
+
+    root = tmp_path_factory.mktemp("wcbs")
+    corpus = str(root / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    vals = ["abc\\", "abc", "abcd"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(["x y z"] * 3),
+        "lang": pa.array(["en"] * 3),
+        "url": pa.array(vals),
+    })
+    pq.write_table(t, f"{corpus}/docs.parquet")
+    idx = str(root / "index")
+    build_index(corpus, idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=("lang", "url")),
+                concurrency=1, file_pattern="docs.parquet")
+    build_wildcard_field(idx, "url", column="url")
+    assert wildcard_field_search(idx, "url", "abc\\").tolist() == [0]
+    assert wildcard_field_search(idx, "url", "abc").tolist() == [1]
+
+
+def test_range_handles_null_values(ray_session, tmp_path_factory):
+    """review r5 #4: nulls never match a range and must not crash the
+    one-sided (no-acceleration) confirm scan."""
+    from elasticsearch_ray.index.build import build_index
+
+    root = tmp_path_factory.mktemp("wcnull")
+    corpus = str(root / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(["x"] * 3),
+        "lang": pa.array(["en"] * 3),
+        "url": pa.array(["alpha", None, "zeta"]),
+    })
+    pq.write_table(t, f"{corpus}/docs.parquet")
+    idx = str(root / "index")
+    build_index(corpus, idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=("lang", "url")),
+                concurrency=1, file_pattern="docs.parquet")
+    build_wildcard_field(idx, "url", column="url")
+    assert range_field_search(idx, "url", gte="a").tolist() == [0, 2]
+    assert range_field_search(idx, "url", gte="alpha",
+                              lte="zeta").tolist() == [0, 2]
