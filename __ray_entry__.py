@@ -2226,6 +2226,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def _ip_events(sf):
+        # deterministic client_ip derivation of user_id (both sides
+        # compute the same dotted quad; the twin compares numerically)
+        def derive(df):
+            df = df.copy()
+            df["client_ip"] = ("10." + (df["user_id"] % 200).astype(str)
+                               + "." + (df["user_id"] % 251).astype(str)
+                               + "." + (df["user_id"] % 13).astype(str))
+            return df
+
+        return (_ds(sf, "events").select_columns(["event_id", "user_id"])
+                .map_batches(derive, batch_format="pandas"))
+
+    def agg_ip_range(sf):
+        # ip_range agg: mask expansion + to-exclusive explicit ranges
+        # over the 16-byte InetAddressPoint lanes
+        from elasticsearch_ray.ops.ip_field import ip_range_agg
+
+        out = ip_range_agg(_ip_events(sf), "client_ip", [
+            {"mask": "10.0.0.0/9"},
+            {"from": "10.128.0.0", "to": "10.192.0.0"},
+            {"from": "10.192.0.0"},
+        ])
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def search_ip_cidr(sf):
+        # ip term query with a CIDR mask (IpFieldMapper.termQuery)
+        from elasticsearch_ray.ops.ip_field import ip_term_filter
+
+        out = ip_term_filter(_ip_events(sf), "client_ip",
+                             "10.0.0.0/10").to_pandas()
+        if out.empty:  # zero-match: Ray empty frames are schemaless
+            out = pd.DataFrame({"event_id": []})
+        out = out[["event_id"]].copy()
+        out["event_id"] = out["event_id"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out.sort_values("event_id", ignore_index=True),
+            preserve_index=False)
+
     def _histogram_docs(sf):
         # pre-aggregated histogram field docs: one histogram of `value`
         # per user (the HistogramFieldMapper ingest shape), built with ONE
@@ -3921,6 +3961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_temperature_sample": llm_temperature_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
+        "agg_ip_range": agg_ip_range,
+        "search_ip_cidr": search_ip_cidr,
         "agg_histogram_field_stats": agg_histogram_field_stats,
         "agg_histogram_field_buckets": agg_histogram_field_buckets,
         "agg_histogram_field_percentiles": agg_histogram_field_percentiles,
@@ -5544,6 +5586,39 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(off + n_chars - 1, off) // 4096
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
+        """,
+        "agg_ip_range": """
+            WITH ip AS (
+              SELECT (10 * 16777216
+                      + (user_id % 200) * 65536
+                      + (user_id % 251) * 256
+                      + (user_id % 13))::BIGINT AS v
+              FROM events)
+            SELECT key, doc_count FROM (
+              SELECT '10.0.0.0/9' AS key, 0 AS ord,
+                     count(*) FILTER (v >= 167772160
+                                      AND v < 176160768)::BIGINT
+                       AS doc_count FROM ip
+              UNION ALL
+              SELECT '10.128.0.0-10.192.0.0', 1,
+                     count(*) FILTER (v >= 176160768
+                                      AND v < 180355072)::BIGINT FROM ip
+              UNION ALL
+              SELECT '10.192.0.0-*', 2,
+                     count(*) FILTER (v >= 180355072)::BIGINT FROM ip
+            ) ORDER BY ord
+        """,
+        "search_ip_cidr": """
+            SELECT event_id FROM events
+            WHERE (10 * 16777216
+                   + (user_id % 200) * 65536
+                   + (user_id % 251) * 256
+                   + (user_id % 13)) >= 167772160
+              AND (10 * 16777216
+                   + (user_id % 200) * 65536
+                   + (user_id % 251) * 256
+                   + (user_id % 13)) < 171966464
+            ORDER BY event_id
         """,
         "agg_histogram_field_stats": """
             SELECT count(value)::BIGINT AS value_count,
