@@ -2187,6 +2187,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_c4_clean(sf):
+        # C4 cleaning rules over a deterministic multi-line derivation of
+        # the docs (both sides build the same text2); the twin replicates
+        # every rule with list_filter + regexp
+        from elasticsearch_ray.ops.llm_prep import c4_clean
+
+        def derive(df):
+            df = df.copy()
+            base = df["text"].str.replace(" scan ", ".\n", regex=False) \
+                + " end of page."
+            df["text2"] = np.where(df["doc_id"] % 11 == 0,
+                                   "lorem ipsum " + base, base)
+            return df
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(derive, batch_format="pandas")
+        out = c4_clean(ds, text_col="text2").to_pandas()
+        out = out[["doc_id", "clean"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_temperature_sample(sf):
         # mT5/XLM-R temperature mixture: rates ∝ n^0.7 smoothing via the
         # same Knuth-hash rule; SQL twin recomputes the rates from counts
@@ -3958,6 +3980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_aggregate_metric": agg_aggregate_metric,
         "search_unsigned_long_sort": search_unsigned_long_sort,
         "llm_stratified_sample": llm_stratified_sample,
+        "llm_c4_clean": llm_c4_clean,
         "llm_temperature_sample": llm_temperature_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
@@ -5555,6 +5578,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'de' THEN 1.0 * 4294967296
                         WHEN 'fr' THEN 0.25 * 4294967296
                         ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "llm_c4_clean": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN 'lorem ipsum ' ELSE '' END ||
+                     replace(text, ' scan ', '.' || chr(10))
+                     || ' end of page.' AS text2
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_filter(string_split(text2, chr(10)),
+                         l -> regexp_matches(trim(l), '[.!?"]$')
+                              AND len(string_split(l, ' ')) >= 5
+                              AND NOT contains(lower(l), 'javascript')),
+                       chr(10)) AS clean
+              FROM d
+              WHERE NOT contains(lower(text2), 'lorem ipsum')
+                AND NOT contains(text2, '{'))
+            SELECT doc_id, clean FROM c
+            WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
             ORDER BY doc_id
         """,
         "llm_temperature_sample": """

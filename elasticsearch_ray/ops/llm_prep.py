@@ -77,6 +77,54 @@ def stratified_sample(ds, strata_col: str, rates: dict, id_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def c4_clean(ds, text_col: str = "text", out_col: str = "clean",
+             min_words_per_line: int = 5, min_sentences: int = 3):
+    """C4 cleaning rules (public: Raffel et al. 2020 §2.2 — the heuristics
+    behind the C4 corpus), each SQL-expressible so an oracle can replicate
+    the whole pass:
+
+    - keep only lines that END in a terminal punctuation mark
+      (``. ! ? "``) after trimming;
+    - keep only lines with >= ``min_words_per_line`` words (single-space
+      split, exactly like the twin's ``string_split(l, ' ')``);
+    - drop lines containing the word "javascript" (case-insensitive);
+    - drop PAGES containing "lorem ipsum" (ci) or a curly brace;
+    - drop pages whose cleaned text has fewer than ``min_sentences``
+      terminal marks.
+
+    Streaming narrow transform: per-batch pandas line explode + boolean
+    masks + group rejoin; emits (passthrough columns, ``out_col``) for
+    surviving pages only."""
+    import re as _re
+
+    term = _re.compile(r'[.!?"]$')
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        text = df[text_col].astype(str)
+        page_ok = ~text.str.lower().str.contains("lorem ipsum",
+                                                 regex=False) \
+            & ~text.str.contains("{", regex=False)
+        lines = text.str.split("\n")
+        ex = lines.explode()
+        t = ex.astype(str).str.strip()
+        keep_line = (t.str.contains(term) &
+                     (ex.astype(str).str.split(" ").str.len()
+                      >= min_words_per_line) &
+                     ~t.str.lower().str.contains("javascript",
+                                                 regex=False))
+        kept = ex.where(keep_line)
+        clean_text = kept.dropna().groupby(level=0).agg("\n".join)
+        clean_text = clean_text.reindex(df.index, fill_value="")
+        n_sentences = clean_text.str.count(r"[.!?]")
+        ok = page_ok & (n_sentences >= min_sentences)
+        out = df[ok].copy()
+        out[out_col] = clean_text[ok]
+        return out
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
 def temperature_mixture_rates(ds, strata_col: str, alpha: float = 0.7,
                               target_fraction: float = 0.5) -> dict:
     """Temperature-based domain mixture (the mT5 / XLM-R smoothing rule,

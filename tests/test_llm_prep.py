@@ -301,3 +301,67 @@ def test_quality_classifier_train_score_filter(ray_session):
     assert set(kept.columns) >= {"doc_id", "text", "quality_prob"}
     frac = len(kept) / len(df)
     assert 0.4 < frac < 0.6  # ~half the corpus is high quality
+
+
+def test_c4_clean_rules_and_duckdb_twin(ray_session):
+    """C4 §2.2 rules (Raffel et al. 2020) — each rule pinned, and the
+    whole pass equals the DuckDB list_filter twin used by the oracle."""
+    import duckdb
+
+    from elasticsearch_ray.ops.llm_prep import c4_clean
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            # kept: 3 good sentences
+            "this is a perfectly fine sentence.\n"
+            "here is another good long line!\n"
+            "and a third one to pass the sentence floor?",
+            # line without terminal punctuation dropped -> < 3 sentences
+            "this line has no terminal punctuation at all\n"
+            "only one good line survives here today.",
+            # short lines dropped (under 5 words)
+            "too short.\ntiny line!\nnope?",
+            # javascript line dropped, rest kept
+            "please enable javascript to view this.\n"
+            "a first real line of content here.\n"
+            "a second real line of content here.\n"
+            "a third real line of content here.",
+            # lorem ipsum page dropped entirely
+            "lorem ipsum dolor sit amet sentence one.\n"
+            "more filler that would otherwise pass fine.\n"
+            "and even a third acceptable line here.",
+            # curly brace page dropped entirely
+            "function() { return 1; }\n"
+            "a first real line of content here.\n"
+            "a second real line of content here.\n"
+            "a third real line of content here.",
+            # quoted-terminal line counts as terminal punctuation
+            'he said this would be "quoted."\n'
+            "another fine line with enough words.\n"
+            "a third fine line with enough words.",
+            "",
+        ],
+    })
+    got = c4_clean(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == [0, 3, 6]
+    assert "javascript" not in got.loc[1, "clean"].lower()
+    assert got.loc[1, "clean"].count("\n") == 2  # 3 surviving lines
+    want = duckdb.sql(r"""
+        WITH c AS (
+          SELECT doc_id,
+                 array_to_string(list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(string_split(l, ' ')) >= 5
+                        AND NOT contains(lower(l), 'javascript')),
+                   chr(10)) AS clean
+          FROM df
+          WHERE NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{'))
+        SELECT doc_id, clean FROM c
+        WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+        ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["clean"].tolist() == want["clean"].tolist()
