@@ -1862,6 +1862,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = out["cosine"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ann_l2_top5(sf):
+        # l2_norm similarity (DenseVectorFieldMapper family): Lucene
+        # score 1/(1+d²); twin uses list_distance
+        from elasticsearch_ray.ops.ann import brute_topk
+
+        qids, qm = _query_vectors(sf)
+        out = brute_topk(_ds(sf, "embeddings"), qids, qm, k=5,
+                         similarity="l2_norm")
+        out["similarity"] = out["similarity"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ann_hnsw_top5(sf):  # rows-only (approximate by design; recall-tested)
         from elasticsearch_ray.ops.hnsw import hnsw_topk
 
@@ -3958,6 +3969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": training_pipeline,
         "training_pipeline_neardup": training_pipeline_neardup,
         "ann_cosine_top5": ann_cosine_top5,
+        "ann_l2_top5": ann_l2_top5,
         "ann_ivf_top5": ann_ivf_top5,
         "ann_ivfpq_rescore_all": ann_ivfpq_rescore_all,
         "ann_ivfpq_top5": ann_ivfpq_top5,
@@ -5415,6 +5427,23 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 3) q
             ) WHERE rn <= 10
             ORDER BY _score DESC, vec_id
+        """,
+        "ann_l2_top5": """
+            SELECT query_id, neighbor_id,
+                   round(similarity, 4) AS similarity FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     1.0 / (1.0 + pow(list_distance(
+                       q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 2))
+                       AS similarity,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) ASC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+            ORDER BY query_id, similarity DESC, neighbor_id
         """,
         "ann_cosine_top5": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (

@@ -34,20 +34,40 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteTopK:
-    """Per-batch exact cosine top-k against the broadcast query matrix."""
+    """Per-batch exact top-k against the broadcast query matrix.
 
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+    ``similarity`` — the reference's DenseVectorFieldMapper.VectorSimilarity
+    family (:154-157): ``cosine`` (value = cos, the historical column),
+    ``dot_product`` (value = Lucene score (1+dot)/2 over the RAW vectors —
+    the mapper requires unit length at index time), ``l2_norm`` (value =
+    Lucene score 1/(1+d²))."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int,
+                 similarity: str = "cosine"):
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
         self.qids, qm = q
+        if similarity not in ("cosine", "dot_product", "l2_norm"):
+            raise ValueError(f"unknown similarity {similarity!r}")
+        self.similarity = similarity
         # float64 throughout: cosine = dot/(|a||b|), bit-comparable to
         # DuckDB list_cosine_similarity at the rounding used by the oracle
-        self.qn = _normalize(qm.astype(np.float64))
+        qm = qm.astype(np.float64)
+        self.qm = qm
+        self.qn = _normalize(qm)
+        self.q_sq = (qm * qm).sum(axis=1)
         self.id_col, self.vec_col, self.k = id_col, vec_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        x = _normalize(_batch_matrix(batch, self.vec_col))
+        raw = _batch_matrix(batch, self.vec_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = x @ self.qn.T  # (n, q)
+        if self.similarity == "cosine":
+            sims = _normalize(raw) @ self.qn.T  # (n, q)
+        elif self.similarity == "dot_product":
+            sims = (1.0 + raw @ self.qm.T) / 2.0
+        else:  # l2_norm: 1 / (1 + squared distance)
+            d2 = ((raw * raw).sum(axis=1)[:, None] + self.q_sq[None, :]
+                  - 2.0 * (raw @ self.qm.T))
+            sims = 1.0 / (1.0 + np.maximum(d2, 0.0))
         k = min(self.k, sims.shape[0])
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
@@ -56,33 +76,39 @@ class BruteTopK:
             out_q.extend([self.qids[qi]] * len(top))
             out_id.extend(ids[top].tolist())
             out_sim.extend(s[top].astype(np.float64).tolist())
+        col = "cosine" if self.similarity == "cosine" else "similarity"
         return pa.table(
             {
                 "query_id": pa.array(out_q),
                 "neighbor_id": pa.array(out_id),
-                "cosine": pa.array(out_sim, pa.float64()),
+                col: pa.array(out_sim, pa.float64()),
             }
         )
 
 
 def brute_topk(ds: Dataset, query_ids, query_matrix: np.ndarray, id_col: str = "vec_id",
-               vec_col: str = "embedding", k: int = 10) -> pd.DataFrame:
-    """Exact cosine top-k per query. Result ordered (query_id, -cosine,
+               vec_col: str = "embedding", k: int = 10,
+               similarity: str = "cosine") -> pd.DataFrame:
+    """Exact top-k per query under ``similarity`` (cosine / dot_product /
+    l2_norm — see BruteTopK). Result ordered (query_id, -value,
     neighbor_id). Per-batch partials keep the reduce tiny: batches×q×k rows."""
+    if similarity not in ("cosine", "dot_product", "l2_norm"):
+        raise ValueError(f"unknown similarity {similarity!r}")
     # float64 throughout: a float32 downcast here would diverge from the
     # DuckDB oracle (and from ivf/hnsw) near round() boundaries
     qref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float64)))
     partial = ds.map_batches(
-        BruteTopK, fn_constructor_args=(qref, id_col, vec_col, k),
+        BruteTopK, fn_constructor_args=(qref, id_col, vec_col, k, similarity),
         batch_format="pyarrow", concurrency=2,
     ).to_pandas()
+    col = "cosine" if similarity == "cosine" else "similarity"
     out = (
-        partial.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+        partial.sort_values(["query_id", col, "neighbor_id"], ascending=[True, False, True])
         .groupby("query_id", as_index=False)
         .head(k)
         .reset_index(drop=True)
     )
-    out["cosine"] = out["cosine"].round(6)
+    out[col] = out[col].round(6)
     return out
 
 

@@ -1293,3 +1293,39 @@ def test_gif_through_frame_sampling(ray_session):
                          dim=8).to_pandas()
     assert len(out) == 6
     assert all(len(e) == 8 for e in out["embedding"])
+
+
+def test_brute_topk_similarity_family(ray_session):
+    """DenseVectorFieldMapper.VectorSimilarity: l2_norm and dot_product
+    with the Lucene score mappings, vs a numpy reference."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.ann import brute_topk
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(60, 8))
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(3)
+    qm = vecs[:2]
+    out = brute_topk(ds, [0, 1], qm, k=5, similarity="l2_norm")
+    assert "similarity" in out.columns
+    for qi in (0, 1):
+        d2 = ((vecs - qm[qi]) ** 2).sum(axis=1)
+        want = np.sort(1.0 / (1.0 + d2))[::-1][:5].round(6)
+        got = out[out["query_id"] == qi]["similarity"].to_numpy()
+        assert np.allclose(got, want)
+        assert got[0] == 1.0  # the query itself at distance 0
+    # dot_product over unit vectors: score = (1 + dot)/2
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    df2 = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                        "embedding": [v.tolist() for v in unit]})
+    out2 = brute_topk(rd.from_pandas(df2), [0], unit[:1], k=5,
+                      similarity="dot_product")
+    want = np.sort((1.0 + unit @ unit[0]) / 2.0)[::-1][:5].round(6)
+    assert np.allclose(out2["similarity"].to_numpy(), want)
+    with pytest.raises(ValueError, match="unknown similarity"):
+        brute_topk(ds, [0], qm[:1], k=2, similarity="manhattan")
+    # cosine path unchanged (column name kept)
+    out3 = brute_topk(ds, [0], qm[:1], k=3)
+    assert "cosine" in out3.columns
