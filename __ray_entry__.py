@@ -3703,6 +3703,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                for r in out], pa.int64()),
         })
 
+    def search_shards_api(sf):  # rows-only (shard layout is engine-side)
+        eng = _documents_index(sf)
+        resp = eng.search_shards("spark")
+        rows = [{"shard": s["shard"], "n_docs": int(s["n_docs"]),
+                 "can_match": bool(s["can_match"])}
+                for s in resp["shards"]]
+        assert sum(r["n_docs"] for r in rows) == eng.n_docs
+        return pa.Table.from_pylist(rows)
+
     def suggest_phrase(sf):  # rows-only
         eng = _documents_index(sf)
         out = eng.suggest_phrase("spark joim", size=3)
@@ -3812,6 +3821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_phrase_backoff": suggest_phrase_backoff,
         "suggest_phrase_collate": suggest_phrase_collate,
         "rank_eval_report": rank_eval_report,
+        "search_shards_api": search_shards_api,
         "suggest_phrase": suggest_phrase,
         "agg_rare_terms": agg_rare_terms,
         "agg_significant_terms": agg_significant_terms,

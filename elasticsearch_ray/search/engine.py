@@ -2514,6 +2514,37 @@ class QueryEngine:
             })
         return out
 
+    def search_shards(self, q=None) -> dict:
+        """_search_shards API analog (TransportSearchShardsAction): one
+        entry per partition ("shard") from manifests only, plus — when a
+        query is given — the coordinator's can_match Bloom decision per
+        shard (SearchService.canMatch), so callers can see which shards a
+        search would skip before running it."""
+        matching = None
+        if q is not None:
+            if isinstance(q, str):
+                q = MatchQuery(q)
+            try:
+                terms = query_terms(q, self.analyzer_name)
+            except Exception:
+                terms = []
+            matching = set(self.can_match_parts(list(terms))) \
+                if terms else set(self.parts)
+        shards = []
+        for p in self.parts:
+            m = read_manifest(self.index_dir, p) or {}
+            shards.append({
+                "index": os.path.basename(self.index_dir),
+                "shard": p,
+                "state": "STARTED",
+                "n_docs": m.get("n_docs"),
+                "can_match": True if matching is None else p in matching,
+            })
+        skipped = 0 if matching is None else len(self.parts) - len(matching)
+        return {"total": len(self.parts),
+                "skipped": skipped,
+                "shards": shards}
+
     def disk_usage(self) -> dict:
         """_disk_usage API analog (AnalyzeIndexDiskUsageAction): total and
         per-structure byte accounting (postings/positions/term dict/stored
@@ -3804,3 +3835,25 @@ class CoordinatorActor:
         return self.eng.search(q, k=k, mode=mode, fetch=(), sort=sort,
                                search_after=search_after, collapse=collapse,
                                rescore=rescore, min_score=min_score)
+
+
+def filter_source_columns(table, includes=(), excludes=()):
+    """FetchSourceContext analog (``search/fetch/subphase/
+    FetchSourceContext.java``): glob-based ``_source`` filtering applied
+    to a search/mget result's fetched columns — a column survives iff it
+    matches an ``includes`` pattern (empty = all) and no ``excludes``
+    pattern. Hit metadata (rank/score/part/local/found/_index) always
+    passes, like the reference's always-present hit fields."""
+    from elasticsearch_ray.search.security import _glob_match
+
+    meta = {"rank", "score", "part", "local", "found", "_index"}
+
+    def ok(col: str) -> bool:
+        if col in meta:
+            return True
+        if includes and not any(_glob_match(p, col) for p in includes):
+            return False
+        return not any(_glob_match(p, col) for p in excludes)
+
+    keep = [c for c in table.column_names if ok(c)]
+    return table.select(keep)

@@ -560,3 +560,34 @@ def test_phrase_suggester_collate(web_engine):
     flags = {o["text"]: o["collate_match"] for o in kept}
     assert flags["spark join"] is True
     assert set(texts) == {t for t, m in flags.items() if m}
+
+
+def test_search_shards_and_can_match(web_engine):
+    """_search_shards analog: manifest-only shard listing; with a query
+    the Bloom can_match decision marks skippable shards."""
+    from elasticsearch_ray.search.engine import filter_source_columns
+
+    plain = web_engine.search_shards()
+    assert plain["total"] == len(web_engine.parts)
+    assert plain["skipped"] == 0
+    assert all(s["state"] == "STARTED" and s["can_match"]
+               for s in plain["shards"])
+    assert sum(s["n_docs"] for s in plain["shards"]) == web_engine.n_docs
+    # a token present nowhere: every shard skippable
+    none = web_engine.search_shards("zzzzunseen")
+    assert none["skipped"] == none["total"]
+    assert not any(s["can_match"] for s in none["shards"])
+    # a common token: no shard skipped, and the response is consistent
+    some = web_engine.search_shards("spark")
+    assert some["skipped"] == some["total"] - sum(
+        s["can_match"] for s in some["shards"])
+    assert any(s["can_match"] for s in some["shards"])
+
+    # _source filtering (FetchSourceContext): include/exclude globs on
+    # fetched columns, hit metadata always kept
+    res = web_engine.search("spark", k=3, fetch=("url", "doc_id"))
+    inc = filter_source_columns(res, includes=("ur*",))
+    assert "url" in inc.column_names and "doc_id" not in inc.column_names
+    assert {"rank", "score"} <= set(inc.column_names)
+    exc = filter_source_columns(res, excludes=("url",))
+    assert "url" not in exc.column_names and "doc_id" in exc.column_names
