@@ -2259,6 +2259,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins.sort_values("bin_id", ignore_index=True),
             preserve_index=False)
 
+    def agg_token_count_field(sf):
+        # token_count field type: per-lang sum of analyzed token counts;
+        # the synthetic corpus is single-space alnum words, so the twin
+        # is len(string_split(text, ' '))
+        from elasticsearch_ray.ops.field_types import token_count_column
+
+        ds = token_count_column(
+            _ds(sf, "documents").select_columns(["doc_id", "lang",
+                                                 "text"]), "text")
+        out = (ds.select_columns(["lang", "token_count"]).to_pandas()
+               .groupby("lang", as_index=False)["token_count"].sum()
+               .sort_values("lang", ignore_index=True))
+        out["token_count"] = out["token_count"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def murmur3_hash_docs(sf):  # rows-only (no murmur3_128 in DuckDB)
+        from elasticsearch_ray.ops.field_types import murmur3_column
+
+        out = murmur3_column(
+            _ds(sf, "documents").select_columns(["doc_id", "source"]),
+            "source").to_pandas()
+        grp = (out.groupby("source.hash", as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(
+            grp.sort_values("source.hash", ignore_index=True),
+            preserve_index=False)
+
     def _ip_events(sf):
         # deterministic client_ip derivation of user_id (both sides
         # compute the same dotted quad; the twin compares numerically)
@@ -3942,6 +3969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats_bucket_daily": agg_stats_bucket_daily,
         "agg_auto_date_histogram": agg_auto_date_histogram,
         "agg_variable_width_histogram": agg_variable_width_histogram,
+        "agg_token_count_field": agg_token_count_field,
+        "murmur3_hash_docs": murmur3_hash_docs,
         "agg_ip_range": agg_ip_range,
         "agg_ip_prefix": agg_ip_prefix,
         "agg_percentiles_tdigest": agg_percentiles_tdigest,
@@ -5218,6 +5247,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, upper(event_type) AS et2,
                    CAST(user_id AS VARCHAR) AS u2, 'a,b' AS tags_list
             FROM events ORDER BY event_id
+        """,
+        "agg_token_count_field": """
+            SELECT lang, sum(len(string_split(text, ' ')))::BIGINT
+                     AS token_count
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "agg_ip_range": """
             WITH ips AS (

@@ -176,3 +176,122 @@ class ConstantKeywordField:
 
     def exists(self) -> bool:
         return self.value is not None
+
+
+# ------------------------------------------------- token_count mapper
+
+
+def token_count_column(ds: Dataset, text_col: str,
+                       analyzer: str = "standard",
+                       out_col: str = "token_count",
+                       enable_position_increments: bool = True) -> Dataset:
+    """``token_count`` field type (``modules/mapper-extras/.../
+    TokenCountFieldMapper.java:167,182`` — countPositions over the
+    analyzer stream). With position increments enabled (the default)
+    stopword holes count; the repo's analyzers emit one position per
+    token, so both settings coincide except for chains with stop filters,
+    where the hole-counting variant adds the removed positions.
+
+    Stateless map_batches stage; the analyzer loads once per worker via
+    the module-level analyzer cache."""
+    from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+    def count(batch: pa.Table) -> pa.Table:
+        an = get_analyzer(analyzer)
+        texts = batch[text_col].to_pylist()
+        counts = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks, positions = an(t or "")[:2]
+            if enable_position_increments and positions is not None \
+                    and len(positions):
+                counts[i] = int(positions[-1]) + 1
+            else:
+                counts[i] = len(toks)
+        return batch.append_column(out_col, pa.array(counts))
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- murmur3 mapper
+
+
+def _murmur3_x64_128_h1(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x64 128 h1 (public algorithm, Austin Appleby) — the
+    value the ``murmur3`` field type stores
+    (``plugins/mapper-murmur3/.../Murmur3FieldMapper.java:128``: hash128
+    seed 0, keep h1). Signed int64 like the Java long."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    m = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & m
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & m
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & m
+        k ^= k >> 33
+        return k
+
+    h1 = h2 = seed & m
+    n = len(data)
+    nblocks = n // 16
+    for b in range(nblocks):
+        k1 = int.from_bytes(data[b * 16:b * 16 + 8], "little")
+        k2 = int.from_bytes(data[b * 16 + 8:b * 16 + 16], "little")
+        k1 = (k1 * c1) & m
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & m
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & m
+        h1 = (h1 * 5 + 0x52DCE729) & m
+        k2 = (k2 * c2) & m
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & m
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & m
+        h2 = (h2 * 5 + 0x38495AB5) & m
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * c2) & m
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & m
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * c1) & m
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & m
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & m
+    h2 = (h2 + h1) & m
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & m
+    out = h1
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def murmur3_column(ds: Dataset, col: str,
+                   out_col: str | None = None) -> Dataset:
+    """``murmur3`` field type: store hash128(value).h1 alongside the
+    value so cardinality aggs hash once at index time (the mapper's whole
+    point). Stable across processes/workers (unlike Python hash())."""
+    out_col = out_col or f"{col}.hash"
+
+    def add(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        hs = [None if v is None else
+              _murmur3_x64_128_h1(str(v).encode("utf-8"))
+              for v in vals]
+        return batch.append_column(out_col, pa.array(hs, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -82,3 +82,53 @@ def test_constant_keyword_can_match(ray_session):
     # unset constant matches nothing but exists() is False
     unset = ConstantKeywordField("tenant", None)
     assert not unset.matches("acme") and not unset.exists()
+
+
+def test_token_count_field(ray_session):
+    """TokenCountFieldMapper.countPositions: analyzer token positions,
+    stop-filter holes counted when position increments are enabled."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.field_types import token_count_column
+
+    df = pd.DataFrame({"id": [0, 1, 2],
+                       "t": ["Hello big wide world", "", "one two"]})
+    out = token_count_column(rd.from_pandas(df), "t").to_pandas() \
+        .sort_values("id")
+    assert out["token_count"].tolist() == [4, 0, 2]
+    # a stop-filtered chain: holes count with increments enabled,
+    # collapse without (the reference's enable_position_increments)
+    stopped = token_count_column(
+        rd.from_pandas(df), "t", analyzer="stop").to_pandas() \
+        .sort_values("id")["token_count"].tolist()
+    flat = token_count_column(
+        rd.from_pandas(df), "t", analyzer="stop",
+        enable_position_increments=False).to_pandas() \
+        .sort_values("id")["token_count"].tolist()
+    assert flat[0] <= stopped[0]
+
+
+def test_murmur3_field_reference_vectors(ray_session):
+    """Murmur3FieldMapper stores hash128(utf8).h1 (seed 0) — pinned to
+    the published MurmurHash3 x64_128 test vectors."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.field_types import (
+        _murmur3_x64_128_h1,
+        murmur3_column,
+    )
+
+    assert _murmur3_x64_128_h1(b"") == 0
+    assert _murmur3_x64_128_h1(b"hello") & (2**64 - 1) == \
+        0xCBD8A7B341BD9B02
+    assert _murmur3_x64_128_h1(
+        b"The quick brown fox jumps over the lazy dog") & (2**64 - 1) == \
+        0xE34BBC7BBC071B6C
+    df = pd.DataFrame({"k": ["hello", None, "hello", "other"]})
+    ds_out = murmur3_column(rd.from_pandas(df), "k")
+    # int64-signed like the Java long (Arrow schema; pandas floats nulls)
+    assert ds_out.schema().base_schema.field("k.hash").type == "int64"
+    out = ds_out.to_pandas()
+    assert out["k.hash"][0] == out["k.hash"][2]  # stable across rows
+    assert pd.isna(out["k.hash"][1])
+    assert out["k.hash"][0] != out["k.hash"][3]
