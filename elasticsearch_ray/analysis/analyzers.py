@@ -533,3 +533,28 @@ def analyze_batch(analyzer: Analyzer, texts) -> tuple[list, list, np.ndarray]:
         pos_all.append(pos)
         lens[i] = len(terms)
     return terms_all, pos_all, lens
+
+
+def get_normalizer(spec):
+    """Keyword-field normalizers (``AnalysisRegistry`` normalizers +
+    ``CustomNormalizerProvider``): a char_filter + token-filter chain
+    with NO tokenizer — the whole value flows through as one token.
+    ``spec`` is the built-in name ``"lowercase"`` or a dict
+    ``{"char_filter": [...], "filter": [...]}`` (the reference rejects a
+    ``tokenizer`` key; so do we). Returns value -> normalized value."""
+    if spec == "lowercase":
+        chain = CustomChainAnalyzer("keyword", [], ["lowercase"])
+    elif isinstance(spec, dict):
+        if "tokenizer" in spec:
+            raise ValueError(
+                "custom normalizer [..] cannot configure a tokenizer")
+        chain = CustomChainAnalyzer("keyword", spec.get("char_filter", []),
+                                    spec.get("filter", []))
+    else:
+        raise ValueError(f"unknown normalizer {spec!r}")
+
+    def normalize(value: str) -> str:
+        toks, _pos = chain(value if value is not None else "")
+        return toks[0] if toks else ""
+
+    return normalize

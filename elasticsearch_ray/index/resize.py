@@ -101,3 +101,21 @@ def split_index(src_dir: str, dst_dir: str, target_shards: int,
             f"{target_shards} (input lineage changed since the source "
             f"was built?)")
     return out
+
+
+def clone_index(src_dir: str, dst_dir: str) -> dict:
+    """_clone API (ResizeType.CLONE, TransportResizeAction): a new index
+    with the SAME shard count — shrink's copy step without the merge.
+    Source untouched; follower markers dropped; target must not exist."""
+    from elasticsearch_ray.index.ccr import FOLLOW_MARKER
+
+    if os.path.exists(dst_dir):
+        raise ResizeError(f"resize target {dst_dir!r} already exists")
+    tmp = dst_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src_dir, tmp)
+    marker = os.path.join(tmp, FOLLOW_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    os.replace(tmp, dst_dir)
+    return _meta(dst_dir)

@@ -80,3 +80,18 @@ def test_split_identity_and_validation(four_part_index, tmp_path):
         # factor 4 > files_per_partition 2's divisor... 2 % 4 != 0
         split_index(idx, str(tmp_path / "bad"), 16, corpus,
                     "docs*.parquet")
+
+
+def test_clone_identity_and_validation(four_part_index, tmp_path):
+    import pandas as pd
+
+    from elasticsearch_ray.index.resize import clone_index
+
+    _corpus, idx = four_part_index
+    want = _hits(idx)
+    dst = str(tmp_path / "cloned")
+    meta = clone_index(idx, dst)
+    assert len(meta["parts"]) == 4  # same shard count (ResizeType.CLONE)
+    pd.testing.assert_frame_equal(_hits(dst), want)
+    with pytest.raises(ResizeError, match="exists"):
+        clone_index(idx, dst)
