@@ -3656,6 +3656,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                script="_score + sqrt(n_chars)")
         return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
+    def search_stored_script_score(sf):
+        # stored-script resolution (_scripts/{id} + ScriptService): the
+        # same expression stored once and referenced by id must score
+        # identically to the inline form — same twin as the inline entry
+        from elasticsearch_ray.search.dsl import parse_dsl
+        from elasticsearch_ray.search.scripts import (
+            ScriptRegistry,
+            bind_stored_scripts,
+        )
+
+        eng = _documents_index(sf)
+        reg = ScriptRegistry()
+        reg.put("chars-boost", "_score + sqrt(n_chars)")
+        body = bind_stored_scripts({"script_score": {
+            "query": {"match": {"text": "spark join"}},
+            "script": {"id": "chars-boost"},
+        }}, reg)
+        return _search_table(eng, parse_dsl(body), k=10,
+                             mode="exhaustive", overfetch=10**9)
+
     def search_mlt_doc(sf):  # rows-only (coordinator tf-idf term selection)
         # more_like_this with a like-DOCUMENT item: the doc's text comes
         # from the _source lineage (TermVectorsService path), top tf-idf
@@ -3840,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score": search_function_score,
         "search_function_score_decay": search_function_score_decay,
         "search_script_score_expr": search_script_score_expr,
+        "search_stored_script_score": search_stored_script_score,
         "search_mlt_doc": search_mlt_doc,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
@@ -4939,6 +4960,8 @@ def oracle_sql() -> dict[str, str]:
                          "(((doc.doc_id % 5 + 1) * 0.5) + 1.0)) "
                          "ELSE 0.0 END")),
         "search_script_score_expr": _bm25_sql(
+            ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
+        "search_stored_script_score": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
         "search_terms_set": """
             SELECT doc_id FROM documents
