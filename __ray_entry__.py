@@ -3676,6 +3676,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _search_table(eng, parse_dsl(body), k=10,
                              mode="exhaustive", overfetch=10**9)
 
+    def search_annotated_text(sf):
+        # annotated_text mapper: docs derived with [spark](entity%20spark)
+        # markup; the URL-decoded annotation is an exact term at the
+        # anchor position; twin counts docs carrying the markup
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.index.build import build_index
+        from elasticsearch_ray.index.spec import IndexSpec
+        from elasticsearch_ray.search.engine import QueryEngine
+        from elasticsearch_ray.search.query import TermQuery
+
+        key = f"anno-{_sf_key(sf)}"
+        eng = _ENGINES.get(key)
+        if eng is None:
+            corpus = f"/tmp/esray_indexes/{key}-corpus"
+            marker = os.path.join(corpus, "docs.parquet")
+            if not os.path.exists(marker):
+                os.makedirs(corpus, exist_ok=True)
+                t = _pq.read_table(os.path.join(sf, "documents.parquet"))
+                txt = (" " + t["text"].to_pandas() + " ").str.replace(
+                    " spark ", " [spark](entity%20spark) ", regex=False)
+                t = t.set_column(t.column_names.index("text"), "text",
+                                 pa.array(txt.tolist(), pa.string()))
+                _pq.write_table(t, marker + ".tmp")
+                os.replace(marker + ".tmp", marker)
+            idx = f"/tmp/esray_indexes/{key}"
+            build_index(corpus, idx,
+                        IndexSpec(use_html=False, text_column="text",
+                                  analyzer="annotated_text",
+                                  doc_columns=("lang",)),
+                        file_pattern="docs.parquet")
+            eng = _ENGINES[key] = QueryEngine(idx, dtype="float64")
+        return pa.table({
+            "key": pa.array(["entity spark", "plain spark"]),
+            "n": pa.array([np.int64(eng.count(TermQuery("entity spark"))),
+                           np.int64(eng.count(TermQuery("spark")))]),
+        })
+
     def search_mlt_doc(sf):  # rows-only (coordinator tf-idf term selection)
         # more_like_this with a like-DOCUMENT item: the doc's text comes
         # from the _source lineage (TermVectorsService path), top tf-idf
@@ -3861,6 +3899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score_decay": search_function_score_decay,
         "search_script_score_expr": search_script_score_expr,
         "search_stored_script_score": search_stored_script_score,
+        "search_annotated_text": search_annotated_text,
         "search_mlt_doc": search_mlt_doc,
         "suggest_term": suggest_term,
         "suggest_completion": suggest_completion,
@@ -4963,6 +5002,20 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
         "search_stored_script_score": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
+        "search_annotated_text": """
+            WITH d AS (
+              SELECT doc_id,
+                     replace(' ' || text || ' ', ' spark ',
+                             ' [spark](entity%20spark) ') AS text2
+              FROM documents)
+            SELECT 'entity spark' AS key,
+                   (SELECT count(*) FROM d
+                    WHERE contains(text2, '[spark]('))::BIGINT AS n
+            UNION ALL
+            SELECT 'plain spark',
+                   (SELECT count(*) FROM d
+                    WHERE contains(text2, '[spark]('))::BIGINT
+        """,
         "search_terms_set": """
             SELECT doc_id FROM documents
             WHERE (CASE WHEN ' ' || text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END

@@ -509,6 +509,7 @@ def get_analyzer(name: str) -> Analyzer:
         return CharFilteredAnalyzer(base, cfg.get("char_filters", []))
     if name not in _REGISTRY:
         # language chains + extra tokenizers register on first use
+        import elasticsearch_ray.analysis.annotated_text  # noqa: F401
         import elasticsearch_ray.analysis.lang  # noqa: F401
         import elasticsearch_ray.analysis.lang2  # noqa: F401
         import elasticsearch_ray.analysis.lang3  # noqa: F401
