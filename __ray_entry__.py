@@ -2299,7 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_ds(sf, "events").select_columns(["event_id", "user_id"])
                 .map_batches(derive, batch_format="pandas"))
 
-    def agg_ip_range(sf):
+    def agg_ip_range_field(sf):
         # ip_range agg: mask expansion + to-exclusive explicit ranges
         # over the 16-byte InetAddressPoint lanes
         from elasticsearch_ray.ops.ip_field import ip_range_agg
@@ -4095,7 +4095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_temperature_sample": llm_temperature_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
-        "agg_ip_range": agg_ip_range,
+        "agg_ip_range_field": agg_ip_range_field,
         "search_ip_cidr": search_ip_cidr,
         "agg_histogram_field_stats": agg_histogram_field_stats,
         "agg_histogram_field_buckets": agg_histogram_field_buckets,
@@ -5782,7 +5782,7 @@ def oracle_sql() -> dict[str, str]:
                     - off // 4096 + 1)::BIGINT AS n_windows
             FROM o ORDER BY doc_id
         """,
-        "agg_ip_range": """
+        "agg_ip_range_field": """
             WITH ip AS (
               SELECT (10 * 16777216
                       + (user_id % 200) * 65536

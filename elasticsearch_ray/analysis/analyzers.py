@@ -556,6 +556,12 @@ def get_normalizer(spec):
 
     def normalize(value: str) -> str:
         toks, _pos = chain(value if value is not None else "")
+        if len(toks) > 1:
+            # the reference only admits normalizer-compatible filters;
+            # one that SPLITS the value would silently truncate here
+            raise ValueError(
+                "normalizer produced multiple tokens — only filters "
+                "that keep the value whole are normalizer-compatible")
         return toks[0] if toks else ""
 
     return normalize

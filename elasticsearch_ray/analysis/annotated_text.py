@@ -13,10 +13,18 @@ AnnotatedTextFieldMapper.java``:
   position increment 0), so phrases spanning the annotated words still
   match and the annotation itself is searchable as an exact term.
 
-Divergence (documented): Lucene's norm discounts position-increment-0
-tokens (``discountOverlaps``); this engine's field length counts every
-emitted token, so scores on annotated fields use the slightly larger dl
-consistently on both the engine and any oracle twin.
+Divergences (documented):
+- Lucene's norm discounts position-increment-0 tokens
+  (``discountOverlaps``); this engine's field length counts every
+  emitted token, so scores on annotated fields use the slightly larger
+  dl consistently on both the engine and any oracle twin.
+- segments are tokenized independently (the analyzer protocol carries no
+  character offsets), so an annotation boundary falling MID-word splits
+  that word into two tokens, where the reference tokenizes the
+  reconstructed plain text; word-aligned annotations — the format's
+  documented shape — behave identically. In-segment stopword holes are
+  preserved; the hole BETWEEN two segments collapses to the segment
+  boundary.
 
 Registered as the ``annotated_text`` analyzer, so ``IndexSpec(
 analyzer="annotated_text")`` (or a per-field analyzer) just works —
@@ -82,25 +90,32 @@ class AnnotatedTextAnalyzer(Analyzer):
         positions: list[int] = []
         pos = 0
         cursor = 0
+
+        def emit(segment: str) -> int:
+            """Run the base analyzer on one segment, PRESERVING its
+            position holes (stopword gaps) offset by the running
+            counter (review r5 #7); returns positions consumed."""
+            nonlocal pos
+            toks, p = self.base(segment)
+            tokens.extend(toks)
+            positions.extend(pos + int(x) for x in p)
+            used = (int(p[-1]) + 1) if len(p) else 0
+            pos += used
+            return used
+
         for start, end, values in spans:
             if start > cursor:
-                toks, _p = self.base(plain[cursor:start])
-                tokens.extend(toks)
-                positions.extend(range(pos, pos + len(toks)))
-                pos += len(toks)
-            toks, _p = self.base(plain[start:end])
+                emit(plain[cursor:start])
             anchor = pos
-            tokens.extend(toks)
-            positions.extend(range(pos, pos + len(toks)))
-            pos += max(len(toks), 1)
+            used = emit(plain[start:end])
+            if used == 0:
+                pos += 1  # empty span: the annotation takes one position
             for v in values:
                 tokens.append(v)
                 positions.append(anchor)
             cursor = end
         if cursor < len(plain):
-            toks, _p = self.base(plain[cursor:])
-            tokens.extend(toks)
-            positions.extend(range(pos, pos + len(toks)))
+            emit(plain[cursor:])
         return tokens, positions
 
 

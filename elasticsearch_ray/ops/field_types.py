@@ -188,9 +188,11 @@ def token_count_column(ds: Dataset, text_col: str,
     """``token_count`` field type (``modules/mapper-extras/.../
     TokenCountFieldMapper.java:167,182`` — countPositions over the
     analyzer stream). With position increments enabled (the default)
-    stopword holes count; the repo's analyzers emit one position per
-    token, so both settings coincide except for chains with stop filters,
-    where the hole-counting variant adds the removed positions.
+    LEADING and INTERIOR stopword holes count (positions[-1]+1 over the
+    surviving positions). Documented divergence: the reference also adds
+    the end-of-stream increment after ``stream.end()``, so TRAILING
+    holes count there but not here — the analyzer protocol returns only
+    surviving token positions (review r5 #4).
 
     Stateless map_batches stage; the analyzer loads once per worker via
     the module-level analyzer cache."""

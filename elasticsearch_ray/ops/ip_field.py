@@ -112,7 +112,10 @@ def ip_term_filter(ds, col: str, value: str):
     else:
         frm = _encode_one(value)
         nxt = (frm[0] << 64 | frm[1]) + 1
-        to = (nxt >> 64, nxt & 0xFFFFFFFFFFFFFFFF)
+        # the maximum address has no successor — open upper bound
+        # (the same wraparound cidr_bounds handles, review r5 #2)
+        to = None if nxt >= (1 << 128) else \
+            (nxt >> 64, nxt & 0xFFFFFFFFFFFFFFFF)
 
     def keep(batch: pa.Table) -> pa.Table:
         hi, lo, valid = encode_ips(batch[col].to_pylist())
@@ -160,7 +163,10 @@ def ip_range_agg(ds, col: str, ranges: list) -> pd.DataFrame:
                          "doc_count": pa.array(counts)})
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
-    agg = parts.groupby("ridx")["doc_count"].sum()
+    if parts.empty:  # empty source: Ray skips empty blocks (schemaless)
+        agg = pd.Series(dtype=np.int64)
+    else:
+        agg = parts.groupby("ridx")["doc_count"].sum()
     return pd.DataFrame({
         "key": [k for k, _f, _t in resolved],
         "doc_count": [int(agg.get(i, 0)) for i in range(len(resolved))],

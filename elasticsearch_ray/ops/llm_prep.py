@@ -107,7 +107,9 @@ def c4_clean(ds, text_col: str = "text", out_col: str = "clean",
             & ~text.str.contains("{", regex=False)
         lines = text.str.split("\n")
         ex = lines.explode()
-        t = ex.astype(str).str.strip()
+        # SPACE-only trim — DuckDB trim() strips spaces only, and the
+        # oracle must agree on tab/CR-terminated lines (review r5 #5)
+        t = ex.astype(str).str.strip(" ")
         keep_line = (t.str.contains(term) &
                      (ex.astype(str).str.split(" ").str.len()
                       >= min_words_per_line) &

@@ -91,3 +91,25 @@ def test_annotation_terms_searchable_and_phrases_cross(anno_engine):
     # counts through the ordinary count API
     assert anno_engine.count(TermQuery("City")) == 2
     assert anno_engine.count(TermQuery("apple")) == 2  # plain token kept
+
+
+def test_stopword_holes_preserved_inside_segments():
+    """review r5 #7: a hole-emitting base analyzer keeps its in-segment
+    position gaps on both sides of an annotation."""
+    from elasticsearch_ray.analysis.annotated_text import (
+        AnnotatedTextAnalyzer,
+    )
+
+    an = AnnotatedTextAnalyzer(base="stop")
+    # interior holes ('of the') sit INSIDE the leading segment, so the
+    # base analyzer reports them and they survive the offsetting
+    toks, pos = an("walk of the fame [park](Place) walks")
+    tp = dict(zip(toks, pos))
+    assert tp["walk"] == 0 and tp["fame"] == 3  # 'of the' gap kept
+    assert tp["park"] == 4
+    assert tp["Place"] == tp["park"]
+    assert tp["walks"] == tp["park"] + 1
+    # a leading hole inside the POST-annotation segment also survives
+    toks2, pos2 = an("[park](Place) the fame")
+    tp2 = dict(zip(toks2, pos2))
+    assert tp2["fame"] == tp2["park"] + 2  # hole for 'the' preserved

@@ -80,3 +80,19 @@ def test_ip_range_agg_mask_and_bounds(ray_session):
     b = ip_range_agg(ray.data.from_pandas(one), "ip",
                      [{"from": "10.128.0.0", "to": "10.192.0.0"}])
     assert b.loc[0, "doc_count"] == 0
+
+
+def test_max_address_and_empty_dataset(ray_session):
+    """review r5: the maximum IPv6 address has no successor (open upper
+    bound, no uint64 overflow); an empty source yields zero-count
+    buckets, not a KeyError."""
+    df = pd.DataFrame({"ip": ["ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+                              "10.0.0.1"]})
+    got = ip_term_filter(
+        ray.data.from_pandas(df), "ip",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff").to_pandas()
+    assert got["ip"].tolist() == ["ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"]
+    empty = ip_range_agg(ray.data.from_pandas(pd.DataFrame({"ip": []})),
+                         "ip", [{"mask": "10.0.0.0/9"},
+                                {"from": "10.0.0.0"}])
+    assert empty["doc_count"].tolist() == [0, 0]

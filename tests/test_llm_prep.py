@@ -365,3 +365,46 @@ def test_c4_clean_rules_and_duckdb_twin(ray_session):
     """).df()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["clean"].tolist() == want["clean"].tolist()
+
+
+def test_c4_clean_space_only_trim_matches_duckdb(ray_session):
+    """review r5 #5: tab/CR-terminated lines must be judged identically
+    by the engine and the DuckDB twin (trim strips SPACES only)."""
+    import duckdb
+
+    from elasticsearch_ray.ops.llm_prep import c4_clean
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": [
+            "a tab terminated line with words.\t\n"
+            "a good line with enough words here.\n"
+            "another good line with enough words.\n"
+            "a third good line with enough words.",
+            "a cr terminated line with word.\r\n"
+            "three good lines follow this one now.\n"
+            "second good line with enough words.\n"
+            "third good line with enough words.",
+        ],
+    })
+    got = c4_clean(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    want = duckdb.sql(r"""
+        WITH c AS (
+          SELECT doc_id,
+                 array_to_string(list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(string_split(l, ' ')) >= 5
+                        AND NOT contains(lower(l), 'javascript')),
+                   chr(10)) AS clean
+          FROM df
+          WHERE NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{'))
+        SELECT doc_id, clean FROM c
+        WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+        ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["clean"].tolist() == want["clean"].tolist()
+    # the tab/cr lines were dropped on BOTH sides
+    assert all("\t" not in c and "\r" not in c for c in got["clean"])
