@@ -2326,6 +2326,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("event_id", ignore_index=True),
             preserve_index=False)
 
+    def range_field_relations(sf):
+        # range field type (RangeFieldMapper): integer_range derived per
+        # customer, all three RangeType relations vs window [200, 260];
+        # per-relation count + custkey checksum
+        from elasticsearch_ray.ops.range_field import range_field_filter
+
+        def derive(df):
+            df = df.copy()
+            df["lo"] = df["c_custkey"] % 997
+            df["hi"] = df["lo"] + (df["c_nationkey"].astype(np.int64)
+                                   + 1) * 3
+            return df
+
+        base = (_ds(sf, "customer")
+                .select_columns(["c_custkey", "c_nationkey"])
+                .map_batches(derive, batch_format="pandas"))
+        rows = []
+        for rel in ("contains", "intersects", "within"):
+            hits = range_field_filter(base, "lo", "hi", 200, 260,
+                                      relation=rel)
+            part = hits.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n": [len(df)], "s": [int(df["c_custkey"].sum())]}),
+                batch_format="pandas").to_pandas()
+            if part.empty:  # zero matches: Ray skips empty blocks
+                rows.append((rel, 0, 0))
+            else:
+                rows.append((rel, int(part["n"].sum()),
+                             int(part["s"].sum())))
+        return pa.table({
+            "relation": pa.array([r[0] for r in rows]),
+            "n": pa.array([np.int64(r[1]) for r in rows]),
+            "custkey_sum": pa.array([np.int64(r[2]) for r in rows]),
+        })
+
+    def range_field_date_within(sf):
+        # date_range field: [ts, ts + floor(value·60s)] WITHIN a January
+        # window, counted per event_type (epoch-us lanes both sides)
+        from elasticsearch_ray.ops.range_field import range_field_filter
+
+        def derive(df):
+            df = df.copy()
+            df["lo"] = df["ts"]
+            df["hi"] = df["ts"] + pd.to_timedelta(
+                np.floor(df["value"] * 60 * 1e6), unit="us")
+            return df
+
+        base = (_ds(sf, "events")
+                .select_columns(["event_type", "ts", "value"])
+                .map_batches(derive, batch_format="pandas"))
+        hits = range_field_filter(base, "lo", "hi", "2024-01-05",
+                                  "2024-01-20", relation="within",
+                                  kind="date")
+        part = hits.map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+                         .size().rename(columns={"size": "n"}),
+            batch_format="pandas").to_pandas()
+        out = (part.groupby("event_type", as_index=False)["n"].sum()
+               .sort_values("event_type", ignore_index=True))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def range_field_ip_contains(sf):
+        # ip_range field: per-event [10.x.0.0, 10.x.y.255] block, CONTAINS
+        # relation vs a /24-interior query range
+        from elasticsearch_ray.ops.range_field import ip_range_field_filter
+
+        def derive(df):
+            df = df.copy()
+            x = (df["user_id"] % 200).astype(str)
+            y = (df["user_id"] % 251).astype(str)
+            df["ip_lo"] = "10." + x + ".0.0"
+            df["ip_hi"] = "10." + x + "." + y + ".255"
+            return df
+
+        base = (_ds(sf, "events").select_columns(["event_id", "user_id"])
+                .map_batches(derive, batch_format="pandas"))
+        hits = ip_range_field_filter(base, "ip_lo", "ip_hi",
+                                     "10.7.3.0", "10.7.3.10",
+                                     relation="contains").to_pandas()
+        if hits.empty:
+            hits = pd.DataFrame({"event_id": []})
+        out = hits[["event_id"]].copy()
+        out["event_id"] = out["event_id"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out.sort_values("event_id", ignore_index=True),
+            preserve_index=False)
+
     def _histogram_docs(sf):
         # pre-aggregated histogram field docs: one histogram of `value`
         # per user (the HistogramFieldMapper ingest shape), built with ONE
@@ -4097,6 +4185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,
         "search_ip_cidr": search_ip_cidr,
+        "range_field_relations": range_field_relations,
+        "range_field_date_within": range_field_date_within,
+        "range_field_ip_contains": range_field_ip_contains,
         "agg_histogram_field_stats": agg_histogram_field_stats,
         "agg_histogram_field_buckets": agg_histogram_field_buckets,
         "agg_histogram_field_percentiles": agg_histogram_field_percentiles,
@@ -5813,6 +5904,43 @@ def oracle_sql() -> dict[str, str]:
                    + (user_id % 200) * 65536
                    + (user_id % 251) * 256
                    + (user_id % 13)) < 171966464
+            ORDER BY event_id
+        """,
+        "range_field_relations": """
+            WITH r AS (
+              SELECT c_custkey, (c_custkey % 997) AS lo,
+                     (c_custkey % 997) + (c_nationkey + 1) * 3 AS hi
+              FROM customer
+            )
+            SELECT * FROM (
+              SELECT 'contains' AS relation, count(*)::BIGINT AS n,
+                     coalesce(sum(c_custkey), 0)::BIGINT AS custkey_sum
+              FROM r WHERE lo <= 200 AND hi >= 260
+              UNION ALL
+              SELECT 'intersects', count(*)::BIGINT,
+                     coalesce(sum(c_custkey), 0)::BIGINT
+              FROM r WHERE hi >= 200 AND lo <= 260
+              UNION ALL
+              SELECT 'within', count(*)::BIGINT,
+                     coalesce(sum(c_custkey), 0)::BIGINT
+              FROM r WHERE lo >= 200 AND hi <= 260
+            ) ORDER BY relation
+        """,
+        "range_field_date_within": """
+            WITH r AS (
+              SELECT event_type, ts AS lo,
+                     ts + to_microseconds(
+                       CAST(floor(value * 60 * 1000000) AS BIGINT)) AS hi
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n FROM r
+            WHERE lo >= TIMESTAMP '2024-01-05'
+              AND hi <= TIMESTAMP '2024-01-20'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "range_field_ip_contains": """
+            SELECT event_id FROM events
+            WHERE user_id % 200 = 7 AND user_id % 251 >= 3
             ORDER BY event_id
         """,
         "agg_histogram_field_stats": """
