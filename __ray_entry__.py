@@ -680,6 +680,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = BoolQuery(must=(MatchQuery("merge sort"),), filter=(TermFilter("lang", "en"),))
         return _search_table(_documents_index(sf), q, k=10)
 
+    def search_field_alias(sf):
+        # alias field type (FieldAliasMapper): the query is WRITTEN
+        # against alias names and resolved mapping-side in one driver
+        # tree walk — results must equal the concrete-field query, so
+        # the oracle is the same filtered BM25 twin
+        from elasticsearch_ray.search.field_alias import FieldAliases
+
+        al = FieldAliases({"language": "lang", "body_text": "text"})
+        q = BoolQuery(must=(MatchQuery("merge sort"),),
+                      filter=(TermFilter("language", "en"),))
+        return _search_table(_documents_index(sf), al.resolve_query(q),
+                             k=10)
+
+    def flattened_field_query(sf):
+        # flattened field type (x-pack FlattenedFieldMapper): keyed term,
+        # keyed prefix and root-form term over the events props objects
+        from elasticsearch_ray.ops.flattened import flattened_filter
+
+        base = _ds(sf, "events").select_columns(["event_id", "props"])
+        n_term = flattened_filter(base, "props", "87", key="k").count()
+        n_prefix = flattened_filter(base, "props", "8", key="k",
+                                    op="prefix").count()
+        n_root = flattened_filter(base, "props", "12").count()
+        return pa.table({
+            "n_term": pa.array([n_term], pa.int64()),
+            "n_prefix": pa.array([n_prefix], pa.int64()),
+            "n_root": pa.array([n_root], pa.int64()),
+        })
+
     def search_count_api(sf):
         # _count API: per-partition match-set sizes summed, no top-k path
         n = _documents_index(sf).count(MatchQuery("merge sort"))
@@ -4185,6 +4214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,
         "search_ip_cidr": search_ip_cidr,
+        "search_field_alias": search_field_alias,
+        "flattened_field_query": flattened_field_query,
         "range_field_relations": range_field_relations,
         "range_field_date_within": range_field_date_within,
         "range_field_ip_contains": range_field_ip_contains,
@@ -5905,6 +5936,20 @@ def oracle_sql() -> dict[str, str]:
                    + (user_id % 251) * 256
                    + (user_id % 13)) < 171966464
             ORDER BY event_id
+        """,
+        "search_field_alias": _bm25_sql(["merge", "sort"], k=10,
+                                        doc_filter="doc.lang = 'en'"),
+        "flattened_field_query": """
+            SELECT
+              (SELECT count(*) FROM events
+               WHERE json_extract_string(props, '$.k') = '87')::BIGINT
+                 AS n_term,
+              (SELECT count(*) FROM events
+               WHERE json_extract_string(props, '$.k') LIKE '8%')::BIGINT
+                 AS n_prefix,
+              (SELECT count(*) FROM events
+               WHERE json_extract_string(props, '$.k') = '12')::BIGINT
+                 AS n_root
         """,
         "range_field_relations": """
             WITH r AS (
