@@ -2080,6 +2080,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.astype({"doc_id": "int64", "rank": "int64"}),
             preserve_index=False)
 
+    def retriever_rrf_tree(sf):
+        # retriever tree API (RetrieverBuilder + RRFRetrieverBuilder):
+        # {rrf: [standard(match), knn(persisted index, exact route)]}.
+        # num_candidates covers the table so the vector leg is the exact
+        # brute scan — the oracle is the SAME fused twin as
+        # search_rrf_hybrid (identical legs, identical fusion)
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.search.retrievers import execute_retriever
+
+        emb = _pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        n = len(emb)
+        qvec = next(v for i, v in zip(emb["vec_id"].to_pylist(),
+                                      emb["embedding"].to_pylist())
+                    if i == 0)
+        tree = {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {
+                "text": "spark join merge"}}}},
+            {"knn": {"field": "embedding", "query_vector": qvec,
+                     "k": 50, "num_candidates": 4 * n}},
+        ], "rank_window_size": 50, "rank_constant": 60}}
+        out = execute_retriever(tree, engine=_documents_index(sf),
+                                vector_index_dir=_vector_index(sf),
+                                size=10)
+        out = out.rename(columns={"score": "rrf"})
+        out["rrf"] = out["rrf"].round(6)
+        return pa.Table.from_pandas(
+            out.astype({"doc_id": "int64", "rank": "int64"}),
+            preserve_index=False)
+
     def text_repetition(sf):
         # Gopher repetition signal (Rae et al. 2112.11446): fraction of a
         # doc's tokens covered by its top word bigram; floor-truncated
@@ -4200,6 +4230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_perplexity": text_perplexity,
         "text_repetition": text_repetition,
         "search_rrf_hybrid": search_rrf_hybrid,
+        "retriever_rrf_tree": retriever_rrf_tree,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
@@ -4511,7 +4542,7 @@ def oracle_sql() -> dict[str, str]:
 
     _BPE_PAT_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
 
-    return {
+    out = {
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
         "ccr_follow_search": _bm25_sql(["spark", "join", "merge"], k=10),
@@ -6409,3 +6440,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.event_id
         """,
     }
+    # the retriever tree composes the SAME two legs and fusion as the
+    # rank:{rrf} entry — one twin serves both surfaces
+    out["retriever_rrf_tree"] = out["search_rrf_hybrid"]
+    return out

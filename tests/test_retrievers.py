@@ -1,0 +1,132 @@
+"""Retriever tree API (RetrieverBuilder/StandardRetrieverBuilder/
+KnnRetrieverBuilder + x-pack RRFRetrieverBuilder): leaf dispatch to the
+BM25 engine and the persisted vector index, rrf composition."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.search.hybrid import rrf_fuse
+from elasticsearch_ray.search.retrievers import (
+    RetrieverError,
+    execute_retriever,
+)
+
+N, DIM = 60, 16
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.index.vectors import build_vector_index
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    root = tmp_path_factory.mktemp("retr")
+    corpus = str(root / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    rng = np.random.RandomState(11)
+    words = ["spark", "join", "merge", "sort", "scan", "index"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(N)]
+    langs = [("en" if i % 2 == 0 else "de") for i in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(N, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    })
+    pq.write_table(t, f"{corpus}/docs.parquet")
+    idx = str(root / "index")
+    build_index(corpus, idx,
+                IndexSpec(use_html=False, text_column="text",
+                          doc_columns=("lang",)),
+                concurrency=2, file_pattern="docs.parquet")
+    eng = QueryEngine(idx, dtype="float64")
+
+    vecs = rng.normal(size=(N, DIM))
+    vidx = str(root / "vidx")
+    build_vector_index(rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+        "embedding": pa.array(list(vecs)),
+    })), vidx, num_partitions=2)
+    return eng, vidx, vecs
+
+
+def test_standard_retriever_equals_engine_search(setup):
+    eng, _vidx, _vecs = setup
+    got = execute_retriever(
+        {"standard": {"query": {"match": {"text": "spark join"}}}},
+        engine=eng, size=5)
+    from elasticsearch_ray.search.query import MatchQuery
+
+    want = eng.search(MatchQuery("spark join"), k=30,
+                      fetch=("doc_id",)).to_pandas()
+    want["score"] = want["score"].round(4)
+    want = (want.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(5))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_standard_retriever_filter_clause(setup):
+    eng, _vidx, _vecs = setup
+    got = execute_retriever(
+        {"standard": {"query": {"match": {"text": "spark"}},
+                      "filter": {"term": {"lang": "en"}}}},
+        engine=eng, size=50)
+    assert len(got) > 0
+    assert all(d % 2 == 0 for d in got["doc_id"])  # en == even ids
+
+
+def test_knn_retriever_exact_route(setup):
+    _eng, vidx, vecs = setup
+    q = vecs[3]
+    got = execute_retriever(
+        {"knn": {"field": "embedding", "query_vector": list(q),
+                 "k": 5, "num_candidates": 10 * N}},
+        vector_index_dir=vidx, size=5)
+    # exact brute route: top hit is the query's own vector
+    assert got["doc_id"].iloc[0] == 3
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert got["doc_id"].tolist() == want.tolist()
+
+
+def test_rrf_tree_matches_manual_fusion(setup):
+    eng, vidx, vecs = setup
+    tree = {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "merge sort"}}}},
+        {"knn": {"field": "embedding", "query_vector": list(vecs[0]),
+                 "k": 20, "num_candidates": 10 * N}},
+    ], "rank_window_size": 20, "rank_constant": 60}}
+    got = execute_retriever(tree, engine=eng, vector_index_dir=vidx,
+                            size=10)
+
+    lex = execute_retriever(
+        {"standard": {"query": {"match": {"text": "merge sort"}}}},
+        engine=eng, size=20, window=20)
+    vec = execute_retriever(
+        {"knn": {"field": "embedding", "query_vector": list(vecs[0]),
+                 "k": 20, "num_candidates": 10 * N}},
+        vector_index_dir=vidx, size=20, window=20)
+    want = rrf_fuse([lex["doc_id"].tolist(), vec["doc_id"].tolist()],
+                    k=10, rank_constant=60)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(got["score"], want["rrf"])
+
+
+def test_retriever_errors(setup):
+    eng, vidx, _vecs = setup
+    with pytest.raises(RetrieverError, match="exactly one"):
+        execute_retriever({"standard": {}, "knn": {}}, engine=eng)
+    with pytest.raises(RetrieverError, match="unknown"):
+        execute_retriever({"bm42": {}}, engine=eng)
+    with pytest.raises(RetrieverError, match="needs an engine"):
+        execute_retriever(
+            {"standard": {"query": {"match_all": {}}}})
+    with pytest.raises(RetrieverError, match="retrievers"):
+        execute_retriever({"rrf": {"retrievers": []}}, engine=eng)
