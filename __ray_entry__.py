@@ -2110,6 +2110,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.astype({"doc_id": "int64", "rank": "int64"}),
             preserve_index=False)
 
+    def dedup_paragraphs(sf):
+        # paragraph-level corpus dedup (CCNet/RefinedWeb duplicated-line
+        # rule): derive 10-token chunks as paragraphs, plant doc 0's
+        # first chunk as boilerplate on every doc_id % 7 == 0 doc (same
+        # derive in the twin), remove EVERY ≥2-count paragraph; compare
+        # per-doc kept/removed counts
+        import duckdb
+
+        from elasticsearch_ray.ops.dedup import paragraph_dedup
+
+        pre = duckdb.sql(
+            f"SELECT array_to_string(list_slice(string_split(text, ' '), "
+            f"1, 10), ' ') FROM "
+            f"'{os.path.join(sf, 'documents.parquet')}' "
+            f"WHERE doc_id = 0").fetchone()[0]
+
+        def derive(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["text"] = out["text"].fillna("").str.split().apply(
+                lambda t: "\n".join(" ".join(t[i:i + 10])
+                                    for i in range(0, len(t), 10)))
+            planted = out["doc_id"] % 7 == 0
+            out.loc[planted, "text"] = pre + "\n" + out.loc[planted,
+                                                            "text"]
+            return out
+
+        ds2 = (_ds(sf, "documents").select_columns(["doc_id", "text"])
+               .map_batches(derive, batch_format="pandas"))
+        out = (paragraph_dedup(ds2, "text", "doc_id", min_count=2)
+               .to_pandas()[["doc_id", "n_kept", "n_removed"]]
+               .sort_values("doc_id", ignore_index=True))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_repetition(sf):
         # Gopher repetition signal (Rae et al. 2112.11446): fraction of a
         # doc's tokens covered by its top word bigram; floor-truncated
@@ -4035,6 +4070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "async_search_match": async_search_match,
         "ccr_follow_search": ccr_follow_search,
         "dedup_substring_spans": dedup_substring_spans,
+        "dedup_paragraphs": dedup_paragraphs,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -5634,6 +5670,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id)::BIGINT AS doc_id, url_norm
             FROM norm GROUP BY url_norm ORDER BY doc_id
+        """,
+        "dedup_paragraphs": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            pre AS (
+              SELECT array_to_string(list_slice(ts, 1, 10), ' ') AS p
+              FROM d WHERE doc_id = 0
+            ),
+            para AS (
+              SELECT doc_id,
+                     unnest([array_to_string(ts[i:i+9], ' ')
+                             FOR i IN range(1, len(ts) + 1, 10)]) AS p
+              FROM d
+              UNION ALL
+              SELECT doc_id, pre.p FROM d, pre WHERE doc_id % 7 = 0
+            ),
+            pp AS (SELECT doc_id, p FROM para WHERE length(p) > 0),
+            cnt AS (SELECT p, count(*) AS c FROM pp GROUP BY p)
+            SELECT pp.doc_id,
+                   sum(CASE WHEN c < 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_kept,
+                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_removed
+            FROM pp JOIN cnt USING (p)
+            GROUP BY pp.doc_id ORDER BY pp.doc_id
         """,
         "dedup_exact_ids": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents

@@ -589,3 +589,101 @@ def decontaminate(ds: Dataset, benchmark_texts, text_col: str = "text",
         return batch.filter(pa.array(~verdicts(batch)))
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# --------------------------------------------------- paragraph-level dedup
+
+
+def _explode_paragraphs(df: pd.DataFrame, text_col: str, id_col: str,
+                        sep: str) -> pd.DataFrame:
+    """(id, pidx, para, phash) rows — pandas split/explode + ONE stable
+    hash_array call per batch (empty paragraphs skipped)."""
+    s = df[text_col].fillna("").str.split(sep)
+    ex = df[[id_col]].copy()
+    ex["para"] = s
+    ex = ex.explode("para", ignore_index=True)
+    ex["pidx"] = ex.groupby(id_col).cumcount()
+    ex = ex[ex["para"].astype(str).str.len() > 0]
+    if len(ex):
+        ex["phash"] = pd.util.hash_array(ex["para"].to_numpy(dtype=object))
+    else:
+        ex["phash"] = np.empty(0, np.uint64)
+    return ex.reset_index(drop=True)
+
+
+def duplicated_paragraph_hashes(ds: Dataset, text_col: str, id_col: str,
+                                sep: str = "\n",
+                                min_count: int = 2) -> np.ndarray:
+    """Corpus-wide boilerplate detection: sorted uint64 hashes of every
+    paragraph occurring ≥ ``min_count`` times across the corpus (the
+    CCNet / RefinedWeb duplicated-line rule, Wenzek et al. 1911.00359 §3,
+    Penedo et al. 2306.01116).
+
+    Scale shape: explode → Ray SORT by phash (equal hashes globally
+    contiguous) → per-BLOCK combiner (batch_size=None — the repo's
+    two-phase boundary discipline) emitting (hash, count) only for
+    in-block candidates (count ≥ min_count) or block-EDGE hashes (the
+    only ones whose runs can straddle blocks) → tiny driver combine.
+    Driver traffic is O(#duplicates + 2·#blocks), never O(#paragraphs)."""
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_paragraphs(df, text_col, id_col, sep)
+        return ex[["phash"]]
+
+    hashes = ds.map_batches(explode, batch_format="pandas").sort("phash")
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy()
+        if len(h) == 0:
+            return pd.DataFrame({"phash": np.empty(0, np.uint64),
+                                 "n": np.empty(0, np.int64)})
+        uniq, counts = np.unique(h, return_counts=True)
+        keep = (counts >= min_count) | (uniq == h[0]) | (uniq == h[-1])
+        return pd.DataFrame({"phash": uniq[keep],
+                             "n": counts[keep].astype(np.int64)})
+
+    part = hashes.map_batches(block_partial, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    if part.empty:
+        return np.empty(0, np.uint64)
+    tot = part.groupby("phash")["n"].sum()
+    return np.sort(tot.index[tot >= min_count].to_numpy(np.uint64))
+
+
+def paragraph_dedup(ds: Dataset, text_col: str, id_col: str,
+                    sep: str = "\n", min_count: int = 2) -> Dataset:
+    """Remove EVERY copy of any paragraph occurring ≥ ``min_count`` times
+    corpus-wide (boilerplate removal — nav bars, cookie banners, license
+    headers — per the CCNet/RefinedWeb line-dedup rule), reassembling the
+    survivors in order. Output: id, cleaned text, n_kept, n_removed.
+
+    The duplicated-hash set (bounded by the boilerplate volume, not the
+    corpus) is broadcast ONCE via ray.put; membership per batch is a
+    vectorized searchsorted."""
+    import ray
+
+    dup = duplicated_paragraph_hashes(ds, text_col, id_col, sep, min_count)
+    ref = ray.put(dup)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(ref)
+        ex = _explode_paragraphs(df, text_col, id_col, sep)
+        if len(ex):
+            idx = np.searchsorted(d, ex["phash"].to_numpy())
+            hit = (idx < len(d)) & (
+                d[np.clip(idx, 0, max(len(d) - 1, 0))]
+                == ex["phash"].to_numpy())
+        else:
+            hit = np.zeros(0, bool)
+        ex["dup"] = hit
+        kept = (ex[~ex["dup"]].groupby(id_col)["para"]
+                .agg(sep.join))
+        stats = ex.groupby(id_col)["dup"].agg(["sum", "count"])
+        out = df[[id_col]].copy()
+        out[text_col] = out[id_col].map(kept).fillna("")
+        cnt = out[id_col].map(stats["count"]).fillna(0).astype(np.int64)
+        rem = out[id_col].map(stats["sum"]).fillna(0).astype(np.int64)
+        out["n_kept"] = cnt - rem
+        out["n_removed"] = rem
+        return out
+
+    return ds.map_batches(clean, batch_format="pandas")
