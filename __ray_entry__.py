@@ -2145,6 +2145,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dsir_select_top(sf):
+        # DSIR importance resampling (Xie et al. 2302.03169): unigram
+        # word-mode weights toward the lang='de' slice as the target
+        # distribution; deterministic top-20 by (round(logw, 9), doc_id)
+        from elasticsearch_ray.ops.dsir import dsir_select
+
+        raw = _ds(sf, "documents").select_columns(["doc_id", "text"])
+        tgt = (_ds(sf, "documents")
+               .select_columns(["doc_id", "text", "lang"])
+               .filter(expr="lang == 'de'"))
+        out = dsir_select(raw, tgt, "text", "doc_id", k=20)
+        out["logw"] = out["logw"].round(4)
+        out = out.sort_values("doc_id", ignore_index=True)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def text_repetition(sf):
         # Gopher repetition signal (Rae et al. 2112.11446): fraction of a
         # doc's tokens covered by its top word bigram; floor-truncated
@@ -4071,6 +4087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccr_follow_search": ccr_follow_search,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
+        "dsir_select_top": dsir_select_top,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -5670,6 +5687,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id)::BIGINT AS doc_id, url_norm
             FROM norm GROUP BY url_norm ORDER BY doc_id
+        """,
+        "dsir_select_top": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE length(text) > 0
+            ),
+            rc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tc AS (SELECT t, count(*) AS c FROM tok
+                   WHERE lang = 'de' GROUP BY t),
+            d AS (SELECT count(*) AS dim FROM rc),
+            tot AS (SELECT (SELECT sum(c) FROM rc) AS rtot,
+                           (SELECT coalesce(sum(c), 0) FROM tc) AS ttot),
+            lam AS (
+              SELECT rc.t,
+                     ln((coalesce(tc.c, 0) + 1.0) / (tot.ttot + d.dim))
+                     - ln((rc.c + 1.0) / (tot.rtot + d.dim)) AS l
+              FROM rc LEFT JOIN tc USING (t), d, tot
+            ),
+            w AS (
+              SELECT doc.doc_id, coalesce(sum(lam.l), 0.0) AS logw
+              FROM documents doc
+              LEFT JOIN tok ON doc.doc_id = tok.doc_id
+              LEFT JOIN lam ON tok.t = lam.t
+              GROUP BY doc.doc_id
+            ),
+            top AS (
+              SELECT doc_id, logw,
+                     row_number() OVER (
+                       ORDER BY round(logw, 9) DESC, doc_id) AS rn
+              FROM w
+            )
+            SELECT doc_id, round(logw, 4) AS logw
+            FROM top WHERE rn <= 20 ORDER BY doc_id
         """,
         "dedup_paragraphs": """
             WITH d AS (
