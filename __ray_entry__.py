@@ -1305,6 +1305,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 tokens=(("f_a", 0.5), ("f_b", 2.0)))
         return _search_table(_tags_sidecar(sf), q, k=10)
 
+    def search_sparse_vector_pruned(sf):
+        # sparse_vector with token pruning (SparseVectorQueryBuilder +
+        # TokenPruningConfig): f_a is on EVERY doc (freq ratio 1.5 vs the
+        # 2-feature field average) and under-weighted at 0.3 < 0.4, so a
+        # ratio threshold of 1.4 prunes it; f_b (ratio 0.5) survives —
+        # the result is the f_b-only weighted sum
+        from elasticsearch_ray.search.query import SparseVectorQuery
+
+        q = SparseVectorQuery(field="tags",
+                              tokens=(("f_a", 0.3), ("f_b", 2.0)),
+                              prune=True,
+                              tokens_freq_ratio_threshold=1.4)
+        return _search_table(_tags_sidecar(sf), q, k=10)
+
     def search_rank_features_feature(sf):
         # rank_feature over a SPARSE sidecar feature boosting a BM25 match
         from elasticsearch_ray.search.query import RankFeatureQuery
@@ -4167,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pinned": search_pinned,
         "search_rank_feature": search_rank_feature,
         "search_weighted_tokens": search_weighted_tokens,
+        "search_sparse_vector_pruned": search_sparse_vector_pruned,
         "search_rank_features_feature": search_rank_features_feature,
         "ml_inference_regression": ml_inference_regression,
         "ml_inference_classification": ml_inference_classification,
@@ -5099,6 +5114,16 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "search_sparse_vector_pruned": """
+            WITH f AS (
+              SELECT doc_id, 2.0 * ((doc_id % 5 + 1) * 0.5) AS score
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM f ORDER BY rank LIMIT 10
+        """,
         "search_weighted_tokens": """
             WITH f AS (
               SELECT doc_id,

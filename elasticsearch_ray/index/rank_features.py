@@ -187,3 +187,25 @@ def feature_stats(index_dir: str, field: str, feature: str) -> tuple[int, int]:
         if len(ff):
             sum_freq += int(pa.compute.sum(ff).as_py())
     return sum_freq, df
+
+
+def field_freq_stats(index_dir: str, field: str) -> tuple[int, int]:
+    """Field-level (total_doc_freq, n_unique_features) across all
+    partitions' sidecars — the inputs of the sparse_vector pruning
+    ratio (TokenPruningConfig: a token is over-frequent when its
+    frequency exceeds ``ratio_threshold ×`` the field's average token
+    frequency). Frequency here is DOC freq: the FeatureField ``freq``
+    lane stores the ENCODED WEIGHT, so summing it would conflate weight
+    magnitude with how often a token occurs."""
+    parts, _bases, _n = _part_bases(index_dir)
+    total = 0
+    feats: set = set()
+    for part in parts:
+        path = sidecar_path(index_dir, part, field)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"rank_features sidecar missing: {path}")
+        t = pq.read_table(path, columns=["feature"])
+        if len(t):
+            total += len(t)
+            feats.update(t["feature"].cast(pa.string()).to_pylist())
+    return total, len(feats)

@@ -61,6 +61,7 @@ from elasticsearch_ray.search.query import (
     TermsLookupQuery,
     TermsQuery,
     TermsSetQuery,
+    SparseVectorQuery,
     WeightedTokensQuery,
     WildcardQuery,
     parse_simple_query_string,
@@ -495,6 +496,57 @@ class _Parser:
             tokens=tuple(sorted((str(t), float(w)) for t, w in toks.items())),
             boost=float(b.get("boost", body.get("boost", 1.0))))
 
+    def q_sparse_vector(self, body):
+        # sparse_vector (SparseVectorQueryBuilder 8.15): explicit
+        # query_vector weights OR inference_id + query text; optional
+        # pruning_config (TokenPruningConfig)
+        field = body.get("field")
+        if not field:
+            raise DslError("sparse_vector requires 'field'")
+        qv = body.get("query_vector")
+        inf, qtext = body.get("inference_id"), body.get("query")
+        if qv and (inf or qtext is not None):
+            raise DslError("sparse_vector takes query_vector OR "
+                           "inference_id+query, not both")
+        if not qv and not (inf and qtext is not None):
+            raise DslError("sparse_vector needs query_vector or "
+                           "inference_id + query")
+        pc = body.get("pruning_config") or {}
+        return SparseVectorQuery(
+            field=field,
+            tokens=tuple(sorted((str(t), float(w))
+                                for t, w in (qv or {}).items())),
+            inference_id=inf, query=qtext,
+            prune=bool(body.get("prune", bool(pc))),
+            tokens_freq_ratio_threshold=float(
+                pc.get("tokens_freq_ratio_threshold", 5.0)),
+            tokens_weight_threshold=float(
+                pc.get("tokens_weight_threshold", 0.4)),
+            only_score_pruned_tokens=bool(
+                pc.get("only_score_pruned_tokens", False)),
+            boost=float(body.get("boost", 1.0)))
+
+    def q_text_expansion(self, body):
+        # deprecated text_expansion ({"<field>": {"model_id", "model_text"}})
+        # — 1:1 onto the sparse_vector inference form
+        items = [(f, b) for f, b in body.items() if f != "boost"]
+        if len(items) != 1:
+            raise DslError("text_expansion needs exactly one field")
+        field, b = items[0]
+        if "model_id" not in b or "model_text" not in b:
+            raise DslError("text_expansion needs model_id and model_text")
+        pc = b.get("pruning_config") or {}
+        return SparseVectorQuery(
+            field=field, inference_id=b["model_id"],
+            query=b["model_text"], prune=bool(pc),
+            tokens_freq_ratio_threshold=float(
+                pc.get("tokens_freq_ratio_threshold", 5.0)),
+            tokens_weight_threshold=float(
+                pc.get("tokens_weight_threshold", 0.4)),
+            only_score_pruned_tokens=bool(
+                pc.get("only_score_pruned_tokens", False)),
+            boost=float(b.get("boost", body.get("boost", 1.0))))
+
     def q_distance_feature(self, body):
         return DistanceFeatureQuery(field=body["field"], origin=body["origin"],
                                     pivot=body["pivot"],
@@ -760,6 +812,22 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
     if isinstance(q, WeightedTokensQuery):
         return {"weighted_tokens": {q.field: {"tokens": dict(q.tokens),
                                               "boost": q.boost}}}
+    if isinstance(q, SparseVectorQuery):
+        body: dict = {"field": q.field, "boost": q.boost}
+        if q.tokens:
+            body["query_vector"] = dict(q.tokens)
+        else:
+            body["inference_id"] = q.inference_id
+            body["query"] = q.query
+        if q.prune:
+            body["prune"] = True
+            body["pruning_config"] = {
+                "tokens_freq_ratio_threshold":
+                    q.tokens_freq_ratio_threshold,
+                "tokens_weight_threshold": q.tokens_weight_threshold,
+                "only_score_pruned_tokens": q.only_score_pruned_tokens,
+            }
+        return {"sparse_vector": body}
     if isinstance(q, DistanceFeatureQuery):
         return {"distance_feature": {"field": q.field, "origin": q.origin,
                                      "pivot": q.pivot, "boost": q.boost}}

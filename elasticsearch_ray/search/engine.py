@@ -72,6 +72,7 @@ from elasticsearch_ray.search.query import (
     TermsLookupQuery,
     TermsQuery,
     TermsSetQuery,
+    SparseVectorQuery,
     WeightedTokensQuery,
     WildcardQuery,
     intervals_terms,
@@ -1827,6 +1828,45 @@ class QueryEngine:
                 np.array([sum_freq // df], dtype=np.uint32))[0])
                 if df else 1.0)
             return dataclasses.replace(q, pivot=pivot)
+        if isinstance(q, SparseVectorQuery):
+            # SparseVectorQueryBuilder#doRewrite: resolve the inference
+            # expansion + token pruning ONCE against global field stats,
+            # then every partition scores the same WeightedTokensQuery
+            from elasticsearch_ray.index.rank_features import (
+                feature_stats,
+                field_freq_stats,
+            )
+            from elasticsearch_ray.search.sparse_vector import (
+                expansion_model,
+                prune_tokens,
+            )
+
+            toks = list(q.tokens)
+            if not toks:
+                if not q.inference_id or q.query is None:
+                    raise ValueError(
+                        "sparse_vector needs query_vector tokens or "
+                        "inference_id + query")
+                toks = sorted(expansion_model(q.inference_id)
+                              (q.query).items())
+            if q.prune:
+                total, nuniq = field_freq_stats(self.index_dir, q.field)
+                avg = total / nuniq if nuniq else 0.0
+                # doc freq, not the encoded-weight sum (see
+                # field_freq_stats): the [1] slot of feature_stats
+                freqs = {t: feature_stats(self.index_dir, q.field, t)[1]
+                         for t, _w in toks}
+                toks = prune_tokens(
+                    toks, avg, freqs,
+                    ratio_threshold=q.tokens_freq_ratio_threshold,
+                    weight_threshold=q.tokens_weight_threshold,
+                    only_score_pruned=q.only_score_pruned_tokens)
+            if not toks:
+                return MatchNoneQuery()
+            return WeightedTokensQuery(
+                field=q.field,
+                tokens=tuple((str(t), float(w)) for t, w in toks),
+                boost=q.boost)
         if isinstance(q, MoreLikeThisQuery):
             from collections import Counter
 

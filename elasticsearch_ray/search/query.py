@@ -452,6 +452,31 @@ class WeightedTokensQuery(Query):
 
 
 @dataclass(frozen=True)
+class SparseVectorQuery(Query):
+    """sparse_vector query (8.15 SparseVectorQueryBuilder; also serving
+    the deprecated ``text_expansion`` form): either explicit
+    ``query_vector`` token weights OR an ``inference_id`` + ``query``
+    text expanded through a registered expansion model at the
+    coordinator rewrite. Optional token PRUNING (TokenPruningConfig): a
+    token is dropped when it is BOTH over-frequent (field freq >
+    ``tokens_freq_ratio_threshold`` × the field's average token freq)
+    and under-weighted (weight < ``tokens_weight_threshold``);
+    ``only_score_pruned_tokens`` inverts the kept set (the rescore
+    trick). Rewrites to WeightedTokensQuery over the rank_features
+    sidecar."""
+
+    field: str = ""
+    tokens: tuple = ()  # ((token, weight), ...) — the query_vector form
+    inference_id: str | None = None
+    query: str | None = None
+    prune: bool = False
+    tokens_freq_ratio_threshold: float = 5.0
+    tokens_weight_threshold: float = 0.4
+    only_score_pruned_tokens: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermsSetQuery(Query):
     """terms_set (TermsSetQueryBuilder): docs matching at least
     minimum_should_match_field's PER-DOC value of the given terms; scores sum
