@@ -322,6 +322,31 @@ def _multifield_index(sf_dir: str):
     return eng
 
 
+def _scripted_sim_index(sf_dir: str):
+    """Documents index whose similarity is the SCRIPTED classic tf·idf
+    (SimilarityProviders scripted option / ScriptedSimilarity.java):
+    weight = ln(N / df) once per term, score = weight·sqrt(tf)/dl with
+    the SmallFloat-lossy dl — every piece DuckDB-reproducible."""
+    key = f"scriptedsim-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(
+        use_html=False, text_column="text",
+        similarity={"type": "scripted",
+                    "script": "weight * sqrt(doc.freq) / doc.length",
+                    "weight_script":
+                        "ln(field.docCount / term.docFreq)"})
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _ctx_index(sf_dir: str):
     """Documents index with lang ALSO indexed as a keyword FIELD (fielded
     postings ``lang\\x1f<value>``) — the completion-suggester category
@@ -1259,6 +1284,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         q = PinnedQuery(ids=(17, 5), organic=MatchQuery("spark join"))
         return _search_table(_documents_index(sf), q, k=10)
+
+    def search_scripted_similarity(sf):
+        # scripted similarity: the index scores with the sandboxed
+        # classic-tf·idf script (weight_script per term + per-doc part);
+        # exhaustive mode (an arbitrary script has no BMW impact bound)
+        return _search_table(_scripted_sim_index(sf),
+                             MatchQuery("spark join merge"), k=10,
+                             mode="exhaustive")
 
     def search_rank_feature(sf):
         from elasticsearch_ray.search.query import RankFeatureQuery
@@ -4180,6 +4213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_not": search_span_not,
         "search_pinned": search_pinned,
         "search_rank_feature": search_rank_feature,
+        "search_scripted_similarity": search_scripted_similarity,
         "search_weighted_tokens": search_weighted_tokens,
         "search_sparse_vector_pruned": search_sparse_vector_pruned,
         "search_rank_features_feature": search_rank_features_feature,
@@ -5114,6 +5148,39 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "search_scripted_similarity": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            dl_t AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl_t),
+            dl_lossy AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll
+                         FROM dl_t),
+            tf_t AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN ('spark', 'join', 'merge')
+              GROUP BY doc_id, term
+            ),
+            df_t AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN ('spark', 'join', 'merge') GROUP BY term
+            ),
+            scores AS (
+              SELECT tf_t.doc_id,
+                     sum(ln(s.n_docs / df_t.df) * sqrt(tf_t.tf)
+                         / d.dll) AS score
+              FROM tf_t JOIN df_t USING (term) CROSS JOIN stats s
+              JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+              GROUP BY tf_t.doc_id
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT)
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM scores ORDER BY rank LIMIT 10
+        """,
         "search_sparse_vector_pruned": """
             WITH f AS (
               SELECT doc_id, 2.0 * ((doc_id % 5 + 1) * 0.5) AS score

@@ -273,6 +273,13 @@ class IBScorer:
 def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
                 params: BM25Params, boost: float = 1.0, dtype: str = "float32",
                 ttf: int = 0, total_tokens: int = 0):
+    if isinstance(similarity, dict):
+        if similarity.get("type") != "scripted":
+            raise ValueError(f"unknown similarity spec {similarity!r}")
+        return ScriptedScorer(similarity["script"], df, doc_count,
+                              total_tokens=total_tokens, ttf=ttf,
+                              boost=boost, dtype=dtype,
+                              weight_source=similarity.get("weight_script"))
     if similarity == "boolean":
         return BooleanScorer(boost, dtype)
     if similarity == "LMDirichlet":
@@ -286,3 +293,83 @@ def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
     if similarity == "IB":
         return IBScorer(df, doc_count, avgdl, boost, dtype=dtype)
     return BM25Scorer(df, doc_count, avgdl, params, boost, dtype)
+
+
+_SCRIPTED_DOTS = {
+    "query.boost": "query_boost",
+    "field.docCount": "field_docCount",
+    "field.sumTotalTermFreq": "field_sumTotalTermFreq",
+    "field.sumDocFreq": "field_sumDocFreq",
+    "term.docFreq": "term_docFreq",
+    "term.totalTermFreq": "term_totalTermFreq",
+    "doc.freq": "doc_freq",
+    "doc.length": "doc_length",
+}
+
+
+def _flatten_sim_script(src: str) -> str:
+    """Map the reference's ScriptedSimilarity variable names
+    (``query.boost``, ``term.docFreq``, ``doc.freq``, …) onto flat
+    expression identifiers before compiling with the sandboxed
+    lang-expression parser."""
+    for dotted, flat in _SCRIPTED_DOTS.items():
+        src = src.replace(dotted, flat)
+    return src
+
+
+class ScriptedScorer:
+    """``scripted`` similarity (SimilarityProviders.java scripted option;
+    ``index/similarity/ScriptedSimilarity.java``): the per-(term, doc)
+    score is a sandboxed script over the reference's exact variable set —
+    ``query.boost``, ``field.docCount``, ``field.sumTotalTermFreq``,
+    ``term.docFreq``, ``term.totalTermFreq``, ``doc.freq``,
+    ``doc.length`` — plus ``weight`` from the optional ``weight_script``
+    (evaluated ONCE per term on doc-independent stats, exactly the
+    reference's SimilarityWeightScript split). Scripts compile through
+    the lang-expression analog (search/expressions.py), so the language
+    is the documented arithmetic subset, not Painless.
+
+    ``doc.length`` decodes through the same lossy SmallFloat
+    LENGTH_TABLE the built-in similarities read (the reference's norm).
+    ``field.sumDocFreq`` is not tracked by this engine's stats files;
+    scripts referencing it fail at compile with an unknown-identifier
+    error rather than reading a wrong number.
+
+    BMW: an arbitrary script has no monotone (max_tf, min_norm) impact
+    bound, so ``max_score`` returns +inf — block-max pruning degrades to
+    never-prune (correct, unpruned), matching Lucene's treatment of
+    similarities without impacts."""
+
+    def __init__(self, source: str, df: int, doc_count: int,
+                 total_tokens: int = 0, ttf: int = 0, boost: float = 1.0,
+                 dtype: str = "float32", weight_source: str | None = None):
+        from elasticsearch_ray.search.expressions import compile_expression
+
+        self.dtype = dtype
+        self.const = {
+            "query_boost": np.float64(boost),
+            "field_docCount": np.float64(doc_count),
+            "field_sumTotalTermFreq": np.float64(total_tokens),
+            "term_docFreq": np.float64(df),
+            "term_totalTermFreq": np.float64(ttf),
+        }
+        weight = 1.0
+        if weight_source:
+            wfn = compile_expression(_flatten_sim_script(weight_source))
+            weight = float(np.asarray(wfn(dict(self.const))).reshape(-1)[0])
+        self.const["weight"] = np.float64(weight)
+        self.fn = compile_expression(_flatten_sim_script(source))
+        self.dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        env = dict(self.const)
+        env["doc_freq"] = np.asarray(tfs, dtype=np.float64)
+        env["doc_length"] = self.dl[np.asarray(norm_bytes,
+                                               dtype=np.int64) & 0xFF]
+        s = np.asarray(self.fn(env), dtype=np.float64)
+        s = np.broadcast_to(s, env["doc_freq"].shape).astype(np.float64)
+        return s.astype(np.float32) if self.dtype == "float32" else s
+
+    def max_score(self, max_tf, min_norm_byte) -> np.ndarray:
+        shape = np.asarray(max_tf, dtype=np.float64).shape
+        return np.full(shape, np.inf)

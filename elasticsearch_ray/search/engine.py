@@ -2122,7 +2122,9 @@ class QueryEngine:
         # collection LM stats only for the similarities that need them
         # (the gather is cached like the df gather)
         ttf = (self._global_ttf(terms)
-               if self.similarity in ("LMDirichlet", "LMJelinekMercer", "DFI")
+               if isinstance(self.similarity, dict)  # scripted: full stats
+               or self.similarity in ("LMDirichlet", "LMJelinekMercer",
+                                      "DFI")
                else {})
 
         def tokens_for(field):
