@@ -530,6 +530,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def search_frozen_index(sf):
+        # frozen index (x-pack frozen-indices): clone the documents
+        # index, freeze it, search through the transient-reader path —
+        # results must equal the warm engine's, so the oracle is the
+        # same BM25 twin; the engine must hold no readers afterwards
+        import shutil
+
+        from elasticsearch_ray.index.ccr import follow
+        from elasticsearch_ray.search.engine import QueryEngine
+
+        _documents_index(sf)
+        leader = f"/tmp/esray_indexes/docs-{_sf_key(sf)}"
+        target = f"/tmp/esray_indexes/frozen-{_sf_key(sf)}"
+        shutil.rmtree(target, ignore_errors=True)
+        follow(leader, target)
+        eng = QueryEngine(target, dtype="float64")
+        eng.freeze()
+        res = _search_table(eng, MatchQuery("spark join merge"), k=10)
+        assert eng._searchers == {} and eng.frozen
+        return res
+
     def search_match_and(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark window", operator="and"), k=10)
 
@@ -4132,6 +4153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_match_top10": search_match_top10,
         "async_search_match": async_search_match,
         "ccr_follow_search": ccr_follow_search,
+        "search_frozen_index": search_frozen_index,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,
@@ -4648,6 +4670,7 @@ def oracle_sql() -> dict[str, str]:
         "search_match_top10": _bm25_sql(["spark", "join", "merge"], k=10),
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
         "ccr_follow_search": _bm25_sql(["spark", "join", "merge"], k=10),
+        "search_frozen_index": _bm25_sql(["spark", "join", "merge"], k=10),
         "dedup_substring_spans": """
             WITH pre AS (
               SELECT array_to_string(

@@ -1621,6 +1621,17 @@ class QueryEngine:
         self._coords = None
         self._coord_rr = 0
         self._scorer_cache: dict = {}
+        # x-pack frozen-indices: persisted flag → transient readers +
+        # single-at-a-time searches (engine.freeze/unfreeze)
+        self.frozen = False
+        _fz = os.path.join(index_dir, "frozen.json")
+        if os.path.exists(_fz):
+            with open(_fz) as f:
+                self.frozen = bool(json.load(f).get("frozen"))
+        if self.frozen:
+            import threading
+
+            self._frozen_lock = threading.Lock()
         # _field_usage/stats API (rest/action/admin/indices/
         # RestFieldUsageStatsAction, shards/FieldUsageStats.java):
         # coordinator-tracked per-field access counters, bumped on every
@@ -2231,7 +2242,65 @@ class QueryEngine:
             self._scorer_cache[q] = ent
         return ent
 
+    def freeze(self) -> None:
+        """Freeze this index (x-pack frozen-indices
+        ``TransportFreezeIndexAction`` / ``FrozenEngine``): readers become
+        TRANSIENT — every search reopens partition searchers and releases
+        them when it finishes, so a frozen index holds ~no heap between
+        queries — and searches run ONE at a time (the reference's
+        dedicated single-thread ``search_throttled`` pool). The per-term
+        Bloom can_match metadata stays resident: frozen indices lean on
+        the can_match phase to skip untouched shards cheaply. The flag
+        persists next to the index (``frozen.json``)."""
+        import threading
+
+        if self.parallel == "ray":
+            raise ValueError(
+                "freeze() applies to the task/local backend; pinned actor "
+                "pools ARE warm state — drop the actors instead")
+        from elasticsearch_ray.index.segments import atomic_write_json
+
+        atomic_write_json(os.path.join(self.index_dir, "frozen.json"),
+                          {"frozen": True})
+        self.frozen = True
+        if not hasattr(self, "_frozen_lock"):
+            self._frozen_lock = threading.Lock()
+        self._release_transient()
+
+    def unfreeze(self) -> None:
+        from elasticsearch_ray.index.segments import atomic_write_json
+
+        atomic_write_json(os.path.join(self.index_dir, "frozen.json"),
+                          {"frozen": False})
+        self.frozen = False
+
+    def _release_transient(self) -> None:
+        """Drop per-partition readers + derived caches (the FrozenEngine
+        reader-release analog). Kept: Blooms (can_match) and the tiny
+        global df/ttf stat caches."""
+        self._searchers.clear()
+        self._scorer_cache.clear()
+
     def search(self, q: Query | str, k: int = 10, mode: str = "bmw",
+               fetch: tuple = ("url", "doc_id"), sort: list | None = None,
+               search_after: tuple | None = None, collapse: str | None = None,
+               rescore: tuple | None = None, min_score: float | None = None,
+               post_filter: Query | None = None,
+               terminate_after: int | None = None) -> pa.Table:
+        if getattr(self, "frozen", False):
+            with self._frozen_lock:  # search_throttled: one at a time
+                try:
+                    return self._search_unfrozen(
+                        q, k, mode, fetch, sort, search_after, collapse,
+                        rescore, min_score, post_filter, terminate_after)
+                finally:
+                    self._release_transient()
+        return self._search_unfrozen(
+            q, k, mode, fetch, sort, search_after, collapse, rescore,
+            min_score, post_filter, terminate_after)
+
+    def _search_unfrozen(self, q: Query | str, k: int = 10,
+               mode: str = "bmw",
                fetch: tuple = ("url", "doc_id"), sort: list | None = None,
                search_after: tuple | None = None, collapse: str | None = None,
                rescore: tuple | None = None, min_score: float | None = None,
