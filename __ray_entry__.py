@@ -2229,6 +2229,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def text_bigram_perplexity(sf):
+        # interpolated bigram-LM scoring (Jelinek-Mercer λ=0.9 onto the
+        # add-one unigram; KenLM-family count shape): per-doc mean NLL,
+        # position 1 unigram-only — exact twin in SQL
+        from elasticsearch_ray.ops.textstats import (
+            add_bigram_nll,
+            fit_bigram_lm,
+        )
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"])
+        lm = fit_bigram_lm(ds, lam=0.9)
+        out = add_bigram_nll(ds, lm).to_pandas()[["doc_id", "nll2"]]
+        out = out.dropna().sort_values("doc_id").reset_index(drop=True)
+        out["nll2"] = out["nll2"].round(4)
+        return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
+                                    preserve_index=False)
+
     def text_repetition(sf):
         # Gopher repetition signal (Rae et al. 2112.11446): fraction of a
         # doc's tokens covered by its top word bigram; floor-truncated
@@ -4157,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,
+        "text_bigram_perplexity": text_bigram_perplexity,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -5802,6 +5820,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id)::BIGINT AS doc_id, url_norm
             FROM norm GROUP BY url_norm ORDER BY doc_id
+        """,
+        "text_bigram_perplexity": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS ts
+              FROM documents WHERE length(text) > 0
+            ),
+            uni_tok AS (SELECT doc_id, unnest(ts) AS t FROM d),
+            freq AS (SELECT t, count(*) AS c FROM uni_tok GROUP BY t),
+            tot AS (SELECT sum(c) AS s, count(*) AS v FROM freq),
+            pu AS (SELECT t, (c + 1.0) / (s + v) AS p FROM freq, tot),
+            bg AS (
+              SELECT doc_id,
+                     unnest([ts[i] || chr(31) || ts[i+1]
+                             FOR i IN range(1, len(ts))]) AS pair
+              FROM d
+            ),
+            bc AS (SELECT pair, count(*) AS c FROM bg GROUP BY pair),
+            ctx AS (SELECT split_part(pair, chr(31), 1) AS pt,
+                           sum(c) AS n
+                    FROM bc GROUP BY pt),
+            pml AS (SELECT pair, bc.c * 1.0 / ctx.n AS p
+                    FROM bc JOIN ctx
+                      ON split_part(bc.pair, chr(31), 1) = ctx.pt),
+            lps AS (
+              SELECT d.doc_id, ln(pu.p) AS lp
+              FROM d JOIN pu ON d.ts[1] = pu.t
+              UNION ALL
+              SELECT bg.doc_id,
+                     ln(0.9 * pml.p + 0.1 * pu.p) AS lp
+              FROM bg JOIN pml USING (pair)
+              JOIN pu ON split_part(bg.pair, chr(31), 2) = pu.t
+            )
+            SELECT doc_id, round(-avg(lp), 4) AS nll2
+            FROM lps GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_select_top": """
             WITH tok AS (

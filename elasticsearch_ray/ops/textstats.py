@@ -338,6 +338,11 @@ def fit_unigram_lm(ds: Dataset, text_col: str = "text",
 
     counts = (ds.map_batches(partials, batch_format="pyarrow")
               .groupby("h").aggregate(Sum("n", alias_name="c")).to_pandas())
+    if counts.empty or "c" not in counts.columns:
+        # all-empty corpus: the hash groupby emits a ZERO-SCHEMA empty
+        # frame (no columns at all), so guard before touching them
+        return {"hashes": np.empty(0, np.uint64),
+                "logp": np.empty(0, np.float64), "oov_logp": 0.0}
     # deterministic cap cut: count-tied tokens at the boundary order by
     # hash (the groupby's row order is nondeterministic across runs)
     counts = counts.sort_values(["c", "h"], ascending=[False, True],
@@ -470,3 +475,119 @@ def _all_gram_hashes(texts: list, k: int) -> list:
             acc = acc * C ^ h[j: len(h) - k + 1 + j]
         out.append(acc)
     return out
+
+
+# --------------------------------------------------------- bigram LM
+
+
+_BIGRAM_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fit_bigram_lm(ds: Dataset, text_col: str = "text",
+                  lam: float = 0.9) -> dict:
+    """Distributed bigram-LM fit with Jelinek-Mercer interpolation onto
+    the add-one unigram (the KenLM-family count shape; interpolation per
+    Jelinek & Mercer 1980, the same smoothing family the phrase
+    suggester exposes):
+
+        p(w | prev) = λ · c(prev, w)/c(prev, ·) + (1 − λ) · p_uni(w)
+
+    Shuffle shape mirrors ``fit_unigram_lm``: per-batch (pair-hash,
+    count) partials → one vocabulary²-bounded groupby; the context
+    totals c(prev, ·) reduce from the SAME pair table (no second pass
+    over the corpus). Pairs ride as one combined uint64 hash lane."""
+    from ray.data.aggregate import Min, Sum
+
+    uni = fit_unigram_lm(ds, text_col)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [(t or "").split() for t in batch[text_col].to_pylist()]
+        prev_l, cur_l = [], []
+        for t in toks:
+            if len(t) > 1:
+                h = pd.util.hash_array(np.asarray(t, object),
+                                       hash_key="esray-unigram-lm")
+                prev_l.append(h[:-1])
+                cur_l.append(h[1:])
+        if not prev_l:
+            return pa.table({"hp": pa.array([], pa.int64()),
+                             "hb": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        prev = np.concatenate(prev_l)
+        cur = np.concatenate(cur_l)
+        pair = prev * _BIGRAM_C + cur
+        # combine per batch: unique pairs with counts, carrying the
+        # context hash so the reduce can total c(prev, ·)
+        uniq, inv, cnt = np.unique(pair, return_inverse=True,
+                                   return_counts=True)
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(len(pair))[::-1]
+        return pa.table({"hp": prev[first].view(np.int64),
+                         "hb": uniq.view(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    pairs = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("hb").aggregate(Sum("n", alias_name="c"),
+                                      Min("hp", alias_name="hp"))
+             .to_pandas())
+    if pairs.empty or "c" not in pairs.columns:
+        # all-empty corpus: the hash groupby emits zero-SCHEMA empty
+        # blocks (dev-notes rule), so the frame may lack columns too
+        return {"uni": uni, "lam": float(lam),
+                "pairs": np.empty(0, np.uint64),
+                "p_ml": np.empty(0, np.float64)}
+    ctx = pairs.groupby("hp")["c"].sum()
+    p_ml = (pairs["c"] / pairs["hp"].map(ctx)).to_numpy(np.float64)
+    keys = pairs["hb"].to_numpy().view(np.uint64)
+    order = np.argsort(keys)
+    return {"uni": uni, "lam": float(lam), "pairs": keys[order],
+            "p_ml": p_ml[order]}
+
+
+def add_bigram_nll(ds: Dataset, lm: dict, text_col: str = "text",
+                   out_col: str = "nll2") -> Dataset:
+    """Per-doc mean NLL under the interpolated bigram LM: position 1
+    scores with the unigram alone, positions ≥2 with
+    λ·p_ml + (1−λ)·p_uni. One hash pass + two searchsorted lookups per
+    batch; empty docs get NaN."""
+    import ray
+
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        uni, lam = m["uni"], m["lam"]
+        toks = [(t or "").split() for t in batch[text_col].to_pylist()]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        out = np.full(len(toks), np.nan)
+        if lens.sum() == 0:
+            return batch.append_column(out_col, pa.array(out, pa.float64()))
+        flat = np.concatenate([np.asarray(t, object) for t in toks if t])
+        h = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
+        idx = np.searchsorted(uni["hashes"], h)
+        ok = (idx < len(uni["hashes"])) & (
+            uni["hashes"][np.clip(idx, 0, len(uni["hashes"]) - 1)] == h)
+        p_uni = np.exp(np.where(
+            ok, uni["logp"][np.clip(idx, 0, len(uni["logp"]) - 1)],
+            uni["oov_logp"]))
+        # per-position previous-token hash (first position has none)
+        nz = lens > 0
+        starts = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        is_first = np.zeros(len(flat), bool)
+        is_first[starts] = True
+        prev = np.empty_like(h)
+        prev[1:] = h[:-1]
+        prev[0] = 0
+        pair = prev * _BIGRAM_C + h
+        pidx = np.searchsorted(m["pairs"], pair)
+        pok = (pidx < len(m["pairs"])) & (
+            m["pairs"][np.clip(pidx, 0, max(len(m["pairs"]) - 1, 0))]
+            == pair) & ~is_first
+        p_ml = np.where(pok, m["p_ml"][np.clip(pidx, 0,
+                        max(len(m["p_ml"]) - 1, 0))], 0.0)
+        p = np.where(is_first, p_uni, lam * p_ml + (1 - lam) * p_uni)
+        out[nz] = np.add.reduceat(-np.log(p), starts) / lens[nz]
+        return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
