@@ -2229,6 +2229,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def bpe_train_merges(sf):
+        # BPE tokenizer training (Sennrich ACL'16): distributed word
+        # counts → driver merge learning. Iterative merges are not
+        # SQL-expressible (rows-only); determinism is pinned by the
+        # (freq desc, lexicographic) tie rules, and encode losslessness
+        # is asserted inline
+        from elasticsearch_ray.ops.bpe import (
+            bpe_encode,
+            learn_bpe,
+            word_frequencies,
+        )
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"])
+        wf = word_frequencies(ds)
+        merges = learn_bpe(wf, 30)
+        enc = bpe_encode(ds, merges).to_pandas()
+        nonempty = enc["text"].fillna("").str.len() > 0
+        assert (enc.loc[nonempty, "n_pieces"] > 0).all()
+        return pa.table({
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _b in merges]),
+            "right": pa.array([b for _a, b in merges]),
+        })
+
     def text_bigram_perplexity(sf):
         # interpolated bigram-LM scoring (Jelinek-Mercer λ=0.9 onto the
         # add-one unigram; KenLM-family count shape): per-doc mean NLL,
@@ -4175,6 +4199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,
         "text_bigram_perplexity": text_bigram_perplexity,
+        "bpe_train_merges": bpe_train_merges,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
