@@ -2229,6 +2229,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def analysis_phonetic_codes(sf):
+        # analysis-phonetic plugin (rows-only: no SQL twin exists for
+        # the encoder family): all six encoders over the 30
+        # lexicographically-smallest distinct corpus tokens
+        from elasticsearch_ray.analysis.phonetic import (
+            caverphone2,
+            cologne,
+            metaphone,
+            nysiis,
+            refined_soundex,
+            soundex,
+        )
+
+        def toks(df):
+            s = sorted({w for t in df["text"].fillna("")
+                        for w in t.split()})
+            return pd.DataFrame({"w": s[:30]})
+
+        part = (_ds(sf, "documents").select_columns(["text"])
+                .map_batches(toks, batch_format="pandas").to_pandas())
+        words = sorted(set(part["w"]))[:30]
+        return pa.table({
+            "word": pa.array(words),
+            "soundex": pa.array([soundex(w) for w in words]),
+            "refined": pa.array([refined_soundex(w) for w in words]),
+            "metaphone": pa.array([metaphone(w) for w in words]),
+            "nysiis": pa.array([nysiis(w) for w in words]),
+            "caverphone": pa.array([caverphone2(w) for w in words]),
+            "cologne": pa.array([cologne(w) for w in words]),
+        })
+
     def bpe_train_merges(sf):
         # BPE tokenizer training (Sennrich ACL'16): distributed word
         # counts → driver merge learning. Iterative merges are not
@@ -4200,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_top": dsir_select_top,
         "text_bigram_perplexity": text_bigram_perplexity,
         "bpe_train_merges": bpe_train_merges,
+        "analysis_phonetic_codes": analysis_phonetic_codes,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,

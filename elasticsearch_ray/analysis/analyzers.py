@@ -289,6 +289,12 @@ def _chain_of(names, reg) -> list:
     return chain
 
 
+def _phonetic(terms, pos, encoder="metaphone", replace=True):
+    from elasticsearch_ray.analysis.phonetic import phonetic_filter
+
+    return phonetic_filter(terms, pos, encoder=encoder, replace=replace)
+
+
 def _multiplexer(terms, pos, filters, preserve_original=True):
     """``multiplexer`` (MultiplexerTokenFilterFactory): run the stream
     through each listed sub-chain (comma-joined filter names, as in the
@@ -389,6 +395,8 @@ def _filter_registry() -> dict:
         # (HyphenationCompoundWordTokenFilter's word-list fallback)
         "hyphenation_decompounder": F.dictionary_decompounder,
         "multiplexer": _multiplexer, "condition": _condition,
+        # analysis-phonetic plugin (PhoneticTokenFilterFactory)
+        "phonetic": _phonetic,
         # round-3 batch 3: remaining CommonAnalysisPlugin.java:226-335 rows
         "arabic_stem": F.arabic_stem, "brazilian_stem": F.brazilian_stem,
         "czech_stem": F.czech_stem, "dutch_stem": F.dutch_stem,
