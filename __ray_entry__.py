@@ -292,7 +292,7 @@ def _multifield_index(sf_dir: str):
     # v2 in the key = derivation version: bump whenever the title/req_m
     # formulas change so stale /tmp corpora rebuild (same discipline as the
     # webpages generator's params["version"])
-    key = f"mf2v2-{_sf_key(sf_dir)}"
+    key = f"mf2v3-{_sf_key(sf_dir)}"  # v3: + mapper-size _size column
     if key in _ENGINES:
         return _ENGINES[key]
     import pyarrow.parquet as pq
@@ -315,7 +315,7 @@ def _multifield_index(sf_dir: str):
     idx_dir = f"/tmp/esray_indexes/{key}"
     spec = IndexSpec(use_html=False, text_column="text",
                      doc_columns=("lang", "req_m"),
-                     fields={"title": "title"})
+                     fields={"title": "title"}, size_field=True)
     build_index(corpus, idx_dir, spec, file_pattern="docs.parquet")
     eng = QueryEngine(idx_dir, dtype="float64")
     _ENGINES[key] = eng
@@ -1383,6 +1383,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      boost=3.0),),
         )
         return _search_table(_tags_sidecar(sf), q, k=10)
+
+    def mapper_size_filter(sf):
+        # mapper-size plugin: `_size` (source byte length, stored at
+        # index time) referenced by a range filter + fetched; twin uses
+        # DuckDB strlen (bytes, matching the UTF-8 stored length)
+        from elasticsearch_ray.search.query import (
+            MatchAllQuery,
+            RangeFilter,
+        )
+
+        eng = _multifield_index(sf)
+        q = BoolQuery(must=(MatchAllQuery(),),
+                      filter=(RangeFilter(column="_size", gte=300),))
+        res = eng.search(q, k=10 ** 9, mode="exhaustive",
+                         fetch=("doc_id", "_size")).to_pandas()
+        out = (res[["doc_id", "_size"]]
+               .sort_values("doc_id", ignore_index=True)
+               .astype({"doc_id": "int64", "_size": "int64"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def search_terms_set(sf):
         from elasticsearch_ray.search.query import TermsSetQuery
@@ -4327,6 +4346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watcher_fire_index_action": watcher_fire_index_action,
         "datastream_search": datastream_search,
         "search_terms_set": search_terms_set,
+        "mapper_size_filter": mapper_size_filter,
         "search_distance_feature": search_distance_feature,
         "search_bool_filtered": search_bool_filtered,
         "search_template_render": search_template_render,
@@ -5246,6 +5266,11 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "mapper_size_filter": """
+            SELECT doc_id, strlen(text)::BIGINT AS "_size"
+            FROM documents WHERE strlen(text) >= 300
+            ORDER BY doc_id
+        """,
         "search_scripted_similarity": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -260,6 +260,18 @@ class TokenizeShard:
         for c in doc_cols:
             if c not in dcols:
                 dcols[c] = tbl[c]
+        if spec.size_field:
+            # mapper-size `_size`: byte length of the _source, computed at
+            # INDEX time (SizeFieldMapper) so queries never touch sources
+            if spec.use_html:
+                dcols["_size"] = pa.array(
+                    [len(h) if h is not None else 0
+                     for h in tbl["html"].to_pylist()], pa.int64())
+            else:
+                import pyarrow.compute as pc
+
+                dcols["_size"] = pc.fill_null(pc.cast(
+                    pc.binary_length(tbl[spec.text_column]), pa.int64()), 0)
         ddir = os.path.join(part_dir(self.index_dir, part), "docruns")
         os.makedirs(ddir, exist_ok=True)
         atomic_write_table(pa.table(dcols), os.path.join(ddir, f"docs-{local_base:012d}.parquet"))

@@ -79,6 +79,12 @@ class IndexSpec:
     # storage order instead of scoring+sorting every match).
     sort_field: str | None = None
     sort_order: str = "asc"  # "asc" | "desc"
+    # mapper-size plugin (`plugins/mapper-size` SizeFieldMapper): when
+    # enabled, every doc stores `_size` = the byte length of its _source
+    # (html bytes, or the text column's UTF-8 length) as an ordinary doc
+    # column — filterable/sortable/aggregatable with zero query-time I/O,
+    # exactly why the reference computes it at index time.
+    size_field: bool = False
     # head-term skew handling: terms whose sampled df ratio exceeds this are
     # salted into doc-range sub-keys of salt_docs docs each before the
     # term-keyed shuffle (SURVEY §4 skew row).
