@@ -2248,6 +2248,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def pipeline_attachment(sf):
+        # ingest-attachment processor: base64-wrap each doc's text as a
+        # plain-text "file", extract through the processor; content and
+        # char length must round-trip (twin: trim/length in SQL)
+        import base64
+
+        from elasticsearch_ray.ops.processors import AttachmentProcessor
+
+        proc = AttachmentProcessor(field="data")
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["data"] = [base64.b64encode((t or "").encode()).decode()
+                          for t in df["text"]]
+            out = proc(df)
+            return out[["doc_id", "attachment.content",
+                        "attachment.content_length",
+                        "attachment.content_type"]]
+
+        out = (_ds(sf, "documents").select_columns(["doc_id", "text"])
+               .map_batches(apply, batch_format="pandas").to_pandas()
+               .rename(columns={"attachment.content": "content",
+                                "attachment.content_length": "n",
+                                "attachment.content_type": "ctype"})
+               .sort_values("doc_id", ignore_index=True))
+        out = out.astype({"doc_id": "int64", "n": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def analysis_phonetic_codes(sf):
         # analysis-phonetic plugin (rows-only: no SQL twin exists for
         # the encoder family): all six encoders over the 30
@@ -4251,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_perplexity": text_bigram_perplexity,
         "bpe_train_merges": bpe_train_merges,
         "analysis_phonetic_codes": analysis_phonetic_codes,
+        "pipeline_attachment": pipeline_attachment,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
         "search_sorted_page": search_sorted_page,
@@ -5266,6 +5295,12 @@ def oracle_sql() -> dict[str, str]:
         "search_rank_feature": _bm25_sql(
             ["spark"], k=10,
             extra_score="3.0 * (doc.n_chars / (doc.n_chars + 800.0))"),
+        "pipeline_attachment": """
+            SELECT doc_id, trim(text) AS content,
+                   length(trim(text))::BIGINT AS n,
+                   'text/plain' AS ctype
+            FROM documents ORDER BY doc_id
+        """,
         "mapper_size_filter": """
             SELECT doc_id, strlen(text)::BIGINT AS "_size"
             FROM documents WHERE strlen(text) >= 300

@@ -1366,3 +1366,114 @@ def simulate_pipeline(processors: list, docs: list[dict],
             failed = True
         out_docs.append({"processor_results": results})
     return {"docs": out_docs}
+
+
+@register("attachment")
+class AttachmentProcessor(Processor):
+    """ingest-attachment plugin (``plugins/ingest-attachment/.../
+    AttachmentProcessor.java``, which wraps Apache Tika).
+
+    REAL extraction for the formats this sandbox can parse without the
+    Tika jars: ``text/plain`` (utf-8/latin-1 decode) and ``text/html``
+    (the repo's own ``strip_html``). PDF (``%PDF``), OOXML/zip
+    (``PK\\x03\\x04``), OLE2 (``\\xd0\\xcf\\x11\\xe0``) and RTF magics
+    are DETECTED — ``content_type`` is set — but their content is not
+    extracted (``attachment.error`` notes the unsupported type), a
+    documented stub like the compressed-media codecs.
+
+    Properties subset: content, content_type, content_length, language
+    (tiny stopword-vote heuristic over en/de/fr/es — the reference's
+    language detection is also optional). ``indexed_chars`` caps the
+    extracted content (reference default 100000; -1 = unlimited);
+    ``ignore_missing`` skips null sources.
+    """
+
+    _STOPS = {
+        "en": {"the", "and", "of", "to", "in", "is", "that", "for"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein"},
+        "fr": {"le", "la", "et", "les", "des", "est", "une", "dans"},
+        "es": {"el", "la", "los", "que", "y", "es", "una", "para"},
+    }
+
+    def __init__(self, field, target_field="attachment", properties=None,
+                 indexed_chars=100000, ignore_missing=False):
+        self.field = field
+        self.target = target_field
+        self.props = tuple(properties or
+                           ("content", "content_type", "content_length",
+                            "language"))
+        self.cap = int(indexed_chars)
+        self.ignore_missing = ignore_missing
+
+    def _sniff(self, raw: bytes) -> str:
+        if raw.startswith(b"%PDF"):
+            return "application/pdf"
+        if raw.startswith(b"PK\x03\x04"):
+            return "application/zip"
+        if raw.startswith(b"\xd0\xcf\x11\xe0"):
+            return "application/x-ole-storage"
+        if raw.startswith(b"{\\rtf"):
+            return "application/rtf"
+        head = raw[:1024].lower()
+        if b"<html" in head or b"<!doctype html" in head:
+            return "text/html"
+        return "text/plain"
+
+    def _language(self, text: str) -> str | None:
+        toks = set(text.lower().split()[:200])
+        votes = {lg: len(toks & st) for lg, st in self._STOPS.items()}
+        best = max(votes.items(), key=lambda kv: (kv[1], kv[0]))
+        return best[0] if best[1] > 0 else None
+
+    def __call__(self, df):
+        import base64 as _b64
+
+        outs: dict[str, list] = {p: [] for p in self.props}
+        errs: list = []
+        for raw in df[self.field]:
+            if raw is None or (isinstance(raw, float) and pd.isna(raw)):
+                if not self.ignore_missing:
+                    raise ValueError(
+                        f"field [{self.field}] is null, cannot parse.")
+                for p in self.props:
+                    outs[p].append(None)
+                errs.append(None)
+                continue
+            data = _b64.b64decode(raw) if isinstance(raw, str) else bytes(raw)
+            ctype = self._sniff(data)
+            content, err = None, None
+            if ctype == "text/html":
+                try:
+                    content = strip_html(data.decode("utf-8", "replace"))
+                except Exception as e:  # malformed markup: record, go on
+                    err = f"html parse failed: {e}"
+            elif ctype == "text/plain":
+                try:
+                    content = data.decode("utf-8")
+                except UnicodeDecodeError:
+                    content = data.decode("latin-1")
+            else:
+                err = f"no extractor for [{ctype}] in this environment"
+            if content is not None:
+                content = content.strip()
+                if self.cap >= 0:
+                    content = content[:self.cap]
+            for p in self.props:
+                if p == "content":
+                    outs[p].append(content)
+                elif p == "content_type":
+                    outs[p].append(ctype)
+                elif p == "content_length":
+                    outs[p].append(len(content) if content is not None
+                                   else None)
+                elif p == "language":
+                    outs[p].append(self._language(content)
+                                   if content else None)
+                else:
+                    outs[p].append(None)
+            errs.append(err)
+        for p in self.props:
+            df[f"{self.target}.{p}"] = outs[p]
+        if any(e is not None for e in errs):
+            df[f"{self.target}.error"] = errs
+        return df
