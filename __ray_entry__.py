@@ -551,6 +551,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert eng._searchers == {} and eng.frozen
         return res
 
+    def tasks_api_listing(sf):
+        # _tasks management API (rows-only: running-time columns are
+        # wall-clock): an async search registered as a cancellable task,
+        # a reindex-style task cancelled cooperatively, action-glob
+        # listing semantics
+        from elasticsearch_ray.search.async_search import (
+            AsyncSearchService,
+        )
+        from elasticsearch_ray.search.tasks import (
+            TaskCancelledException,
+            TaskManager,
+        )
+
+        tm = TaskManager()
+        t1 = tm.register("indices:data/read/async_search", "match q")
+        svc = AsyncSearchService(_documents_index(sf))
+        resp = svc.submit(MatchQuery("spark"), k=5, fetch=("doc_id",),
+                          wait_for_completion_timeout=120.0)
+        assert resp["is_running"] is False
+        tm.unregister(t1)
+        t2 = tm.register("indices:data/write/reindex", "copy")
+        tm.cancel(t2.task_id)
+        cancelled_seen = False
+        try:
+            t2.ensure_not_cancelled()
+        except TaskCancelledException:
+            cancelled_seen = True
+        rows = tm.list_tasks(include_completed=True)
+        return pa.table({
+            "action": pa.array([r["action"] for r in rows]),
+            "completed": pa.array([r["completed"] for r in rows]),
+            "cancelled": pa.array([r["cancelled"] for r in rows]),
+            "coop_cancel": pa.array([cancelled_seen] * len(rows)),
+        })
+
     def search_match_and(sf):
         return _search_table(_documents_index(sf), MatchQuery("spark window", operator="and"), k=10)
 
@@ -1331,13 +1366,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mantissa bits, so FeatureField's freq-encoding truncation
         (floatToIntBits >>> 15) is EXACT and the SQL twin is plain
         arithmetic on doc_id."""
-        import os as _os
-
-        from elasticsearch_ray.index.rank_features import build_rank_features
+        from elasticsearch_ray.index.rank_features import (
+            build_rank_features,
+            sidecar_complete,
+        )
 
         eng = _documents_index(sf)
-        if not _os.path.exists(_os.path.join(eng.index_dir,
-                                             "rankfeat-tags.json")):
+        # completeness, not just the root manifest: a part rebuild wipes
+        # per-part sidecars but can leave the manifest behind
+        if not sidecar_complete(eng.index_dir, "tags"):
             n = eng.n_docs
             ids = np.arange(n, dtype=np.int64)
             fb_ids = ids[ids % 3 == 0]
@@ -2791,13 +2828,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (WildcardFieldMapper analog): the value is a deterministic
         url derivation of (source, lang, doc_id), so the DuckDB twin
         recomputes the same strings and filters with LIKE / regexp."""
-        import os as _os
-
-        from elasticsearch_ray.index.wildcard import build_wildcard_field
+        from elasticsearch_ray.index.wildcard import (
+            build_wildcard_field,
+            wildcard_sidecar_complete,
+        )
 
         eng = _documents_index(sf)
-        if not _os.path.exists(_os.path.join(eng.index_dir,
-                                             "wildcard-url.json")):
+        if not wildcard_sidecar_complete(eng.index_dir, "url"):
             t = _ds(sf, "documents").select_columns(
                 ["doc_id", "source", "lang"]).to_pandas()
             t = t.sort_values("doc_id", ignore_index=True)
@@ -4273,6 +4310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "async_search_match": async_search_match,
         "ccr_follow_search": ccr_follow_search,
         "search_frozen_index": search_frozen_index,
+        "tasks_api_listing": tasks_api_listing,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,

@@ -84,7 +84,8 @@ def spec_fingerprint(spec: IndexSpec) -> str:
             sorted(
                 (k, repr(v))
                 for k, v in spec.to_dict().items()
-                if k not in ("files_per_partition", "merge_spill_bytes", "sample_docs")
+                if k not in ("files_per_partition", "merge_spill_bytes",
+                             "sample_docs", "max_result_window")
             )
         ).encode()
     ).hexdigest()[:16]
@@ -912,6 +913,15 @@ def build_index(
 
     spec_dict = spec.to_dict()
     if todo_parts:
+        # any rebuild wipes part dirs, taking per-part DERIVED artifacts
+        # (rank_features sidecars) with them — their root-level manifests
+        # must go too or stale guards will claim the sidecar still exists
+        # (regression: spec-field additions orphaned rankfeat-tags.json)
+        import glob as _glob
+
+        for pat in ("rankfeat-*.json", "wildcard-*.json"):
+            for stale in _glob.glob(os.path.join(index_dir, pat)):
+                os.remove(stale)
         # The streaming executor's per-operator resource reservation
         # (default ratio 0.5) caps the tokenize stage at HALF the CPUs even
         # though downstream sort/route need almost none until it finishes —

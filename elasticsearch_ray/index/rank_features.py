@@ -209,3 +209,16 @@ def field_freq_stats(index_dir: str, field: str) -> tuple[int, int]:
             total += len(t)
             feats.update(t["feature"].cast(pa.string()).to_pylist())
     return total, len(feats)
+
+
+def sidecar_complete(index_dir: str, field: str) -> bool:
+    """True iff the root manifest AND every partition's sidecar parquet
+    exist. A part rebuild wipes part dirs but (in older layouts) could
+    leave the root manifest behind — callers deciding whether to (re)build
+    must check THIS, not the manifest alone."""
+    if not os.path.exists(os.path.join(index_dir,
+                                       f"rankfeat-{field}.json")):
+        return False
+    parts, _bases, _n = _part_bases(index_dir)
+    return all(os.path.exists(sidecar_path(index_dir, p, field))
+               for p in parts)

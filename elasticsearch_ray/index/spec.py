@@ -79,6 +79,11 @@ class IndexSpec:
     # storage order instead of scoring+sorting every match).
     sort_field: str | None = None
     sort_order: str = "asc"  # "asc" | "desc"
+    # IndexSettings.MAX_RESULT_WINDOW_SETTING: when set, search k above
+    # this raises the reference's "Result window is too large" error
+    # (opt-in here — None = unlimited — because internal deep fetches
+    # also ride the k parameter; the reference default is 10000)
+    max_result_window: int | None = None
     # mapper-size plugin (`plugins/mapper-size` SizeFieldMapper): when
     # enabled, every doc stores `_size` = the byte length of its _source
     # (html bytes, or the text column's UTF-8 length) as an ordinary doc

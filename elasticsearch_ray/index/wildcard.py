@@ -554,3 +554,16 @@ def range_field_search(index_dir: str, field: str, gte=None, gt=None,
             clauses = clauses[:MAX_APPROX_CLAUSES]
     return _run_parts(index_dir, field, clauses, None,
                       bounds=(gte, gt, lte, lt))
+
+
+def wildcard_sidecar_complete(index_dir: str, field: str) -> bool:
+    """True iff the root manifest AND every partition's gram + doc-value
+    sidecars exist — part rebuilds wipe part dirs, so callers deciding
+    whether to (re)build must check this, not the root manifest alone."""
+    if not os.path.exists(os.path.join(index_dir,
+                                       f"wildcard-{field}.json")):
+        return False
+    parts, _bases, _n = _parts_meta(index_dir)
+    return all(os.path.exists(sidecar_path(index_dir, p, field))
+               and os.path.exists(dv_path(index_dir, p, field))
+               for p in parts)

@@ -2287,6 +2287,16 @@ class QueryEngine:
                rescore: tuple | None = None, min_score: float | None = None,
                post_filter: Query | None = None,
                terminate_after: int | None = None) -> pa.Table:
+        mrw = self.spec.get("max_result_window")
+        if mrw is not None and k > int(mrw):
+            # IndexSettings.MAX_RESULT_WINDOW_SETTING guard (default
+            # 10000 in the reference; OPT-IN here via the spec key since
+            # this engine's k is also the internal deep-fetch vehicle)
+            raise ValueError(
+                f"Result window is too large, from + size must be less "
+                f"than or equal to: [{int(mrw)}] but was [{k}]. See the "
+                f"scroll api for a more efficient way to request large "
+                f"data sets.")
         if getattr(self, "frozen", False):
             with self._frozen_lock:  # search_throttled: one at a time
                 try:

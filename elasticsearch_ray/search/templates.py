@@ -137,3 +137,35 @@ def search_template(engine, source: str | dict, params: dict | None = None,
         k = int(body.get("size", k))
         body = body["query"]
     return engine.search(parse_dsl(body), k=k, **search_kw)
+
+
+def msearch_template(engine, requests: list, registry=None,
+                     k: int = 10, **search_kw) -> list:
+    """``_msearch/template`` (TransportMultiSearchTemplateAction): a list
+    of template requests — each ``{"source": ...}`` or ``{"id": ...}``
+    (resolved through the stored-template registry) plus ``params`` —
+    rendered then executed like _msearch. Per-item errors come back in
+    place (the reference's per-item response envelope) instead of
+    failing the whole batch."""
+    out = []
+    for req in requests:
+        try:
+            if "id" in req:
+                if registry is None:
+                    raise KeyError("no template registry provided")
+                body = registry.render(req["id"], req.get("params"))
+            else:
+                body = render_template(req["source"], req.get("params"))
+            kk = k
+            if isinstance(body, dict) and "query" in body:
+                kk = int(body.get("size", k))
+                body = body["query"]
+            from elasticsearch_ray.search.dsl import parse_dsl
+
+            out.append({"status": 200,
+                        "response": engine.search(parse_dsl(body), k=kk,
+                                                  **search_kw)})
+        except Exception as e:  # per-item error envelope
+            out.append({"status": 400,
+                        "error": f"{type(e).__name__}: {e}"})
+    return out

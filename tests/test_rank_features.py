@@ -241,3 +241,29 @@ def test_dsl_roundtrip_weighted_tokens_and_linear(rf_engine):
                                      "saturation": {}}})
     assert q3.pivot is None
     assert parse_dsl(to_dsl(q3)) == q3
+
+
+def test_sidecar_complete_detects_orphaned_manifest(rf_engine):
+    """A part rebuild wipes per-part sidecars but can leave the root
+    manifest behind (round-5 regression: spec-field additions orphaned
+    rankfeat-tags.json): completeness must check every part's file."""
+    import os
+    import shutil
+
+    from elasticsearch_ray.index.rank_features import (
+        sidecar_complete,
+        sidecar_path,
+    )
+
+    eng, _wa, _wb = rf_engine
+    assert sidecar_complete(eng.index_dir, "tags")
+    assert not sidecar_complete(eng.index_dir, "nope")
+    parts = eng.parts
+    victim = sidecar_path(eng.index_dir, parts[0], "tags")
+    backup = victim + ".bak"
+    shutil.move(victim, backup)
+    try:
+        assert not sidecar_complete(eng.index_dir, "tags")
+    finally:
+        shutil.move(backup, victim)
+    assert sidecar_complete(eng.index_dir, "tags")
