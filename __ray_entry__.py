@@ -551,6 +551,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert eng._searchers == {} and eng.frozen
         return res
 
+    def sql_describe_table(sf):
+        # x-pack SQL command layer (SysColumns): DESCRIBE answers from
+        # the schema without scanning; twin = DuckDB's own DESCRIBE
+        from elasticsearch_ray.search.sql import sql_query
+
+        tables = {"events": _ds(sf, "events")}
+        out = sql_query("DESCRIBE events", tables)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def esql_row_source(sf):
+        # ES|QL ROW command (FROM-less literal source) + EVAL over it
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql('ROW a = 1, b = 2.5 | EVAL c = a + b', {}).to_pandas()
+        out["a"] = out["a"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def tasks_api_listing(sf):
         # _tasks management API (rows-only: running-time columns are
         # wall-clock): an async search registered as a cancellable task,
@@ -4311,6 +4328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccr_follow_search": ccr_follow_search,
         "search_frozen_index": search_frozen_index,
         "tasks_api_listing": tasks_api_listing,
+        "sql_describe_table": sql_describe_table,
+        "esql_row_source": esql_row_source,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,
@@ -4833,6 +4852,13 @@ def oracle_sql() -> dict[str, str]:
         "async_search_match": _bm25_sql(["spark", "join", "merge"], k=10),
         "ccr_follow_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_frozen_index": _bm25_sql(["spark", "join", "merge"], k=10),
+        "sql_describe_table": """
+            SELECT column_name AS column, column_type AS type
+            FROM (DESCRIBE events)
+        """,
+        "esql_row_source": """
+            SELECT 1::BIGINT AS a, 2.5 AS b, 3.5 AS c
+        """,
         "dedup_substring_spans": """
             WITH pre AS (
               SELECT array_to_string(

@@ -71,7 +71,7 @@ def _pass_counts(ds, items_col: str, k: int, allowed: frozenset | None):
     if "key" not in out.columns:
         # a pass can generate zero candidates everywhere (frequent items
         # that never co-occur); Ray's hash groupby then reduces all-empty
-        # typed blocks to a SCHEMA-LESS frame (CLAUDE.md zero-schema
+        # typed blocks to a SCHEMA-LESS frame (dev-notes zero-schema
         # pitfall) — that's an empty level, not an error
         return {}
     return dict(zip(out["key"], out["support"].astype(int)))

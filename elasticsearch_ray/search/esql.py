@@ -58,7 +58,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
-    "MV_EXPAND",
+    "MV_EXPAND", "ROW",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -92,6 +92,20 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                         .replace("\\\\", "\\")))
         else:
             out.append((kind, val))
+    return out
+
+
+def _comma_split(toks):
+    """Split a token run on top-level commas (no nesting in ROW)."""
+    out, cur = [], []
+    for t in toks:
+        if t == ("op", ","):
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        out.append(cur)
     return out
 
 
@@ -333,12 +347,35 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
     ``enrich_policies`` maps policy names to
     :func:`ops.processors.execute_enrich_policy` outputs."""
     stages = _split_pipes(_tokenize(query))
-    if not stages or stages[0][0] != ("kw", "FROM"):
-        raise EsqlError("query must start with FROM <table>")
-    if len(stages[0]) != 2 or stages[0][1][0] != "name":
-        raise EsqlError("FROM takes one table name")
-    src = stages[0][1][1]
-    ds = tables(src) if callable(tables) else tables[src]
+    if stages and stages[0] and stages[0][0] == ("kw", "ROW"):
+        # ROW a = 1, b = "x": a literal one-row source (RowCommand) —
+        # the FROM-less entry point used for expression testing
+        import pandas as pd
+        import ray.data as _rd
+
+        cols: dict = {}
+        for seg in _comma_split(stages[0][1:]):
+            if len(seg) < 3 or seg[0][0] != "name" or seg[1] != ("op", "="):
+                raise EsqlError("ROW takes name = literal assignments")
+            kind, val = seg[2]
+            if kind == "number":
+                v = float(val) if "." in val or "e" in val.lower() \
+                    else int(val)
+            elif kind == "string":
+                v = val
+            else:
+                raise EsqlError(f"ROW literal expected, got {val!r}")
+            cols[seg[0][1]] = [v]
+        if not cols:
+            raise EsqlError("ROW needs at least one assignment")
+        ds = _rd.from_pandas(pd.DataFrame(cols))
+    else:
+        if not stages or stages[0][0] != ("kw", "FROM"):
+            raise EsqlError("query must start with FROM <table> or ROW")
+        if len(stages[0]) != 2 or stages[0][1][0] != "name":
+            raise EsqlError("FROM takes one table name")
+        src = stages[0][1][1]
+        ds = tables(src) if callable(tables) else tables[src]
 
     for stage in stages[1:]:
         (k0, v0), rest = stage[0], stage[1:]

@@ -287,7 +287,44 @@ def sql_translate(sql: str) -> str:
 
 def sql_query(sql: str, tables, enrich_policies: dict | None = None):
     """Execute a SQL statement over Ray Datasets (``tables`` as in
-    :func:`search.esql.esql`)."""
+    :func:`search.esql.esql`). ``SHOW TABLES [LIKE 'pat%']`` and
+    ``DESCRIBE <table>`` (``SysTables``/``SysColumns`` in the
+    reference's command layer) answer from the table map / schema
+    without scanning rows."""
+    import fnmatch as _fn
+
+    import pandas as pd
+
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s)
+    if m:
+        pat = (m.group(1) or "%").replace("%", "*").replace("_", "?")
+        names = sorted(n for n in tables if _fn.fnmatch(n, pat))
+        return pd.DataFrame({"name": names,
+                             "type": ["TABLE"] * len(names)})
+    m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+([A-Za-z_][A-Za-z0-9_]*)$", s)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            raise SqlError(f"Unknown index [{name}]")
+        schema = tables[name].schema()
+        # the reference's SysColumns type names for the common lanes
+        type_map = {"int64": "BIGINT", "int32": "INTEGER",
+                    "double": "DOUBLE", "float": "REAL",
+                    "string": "VARCHAR", "large_string": "VARCHAR",
+                    "bool": "BOOLEAN", "timestamp[us]": "TIMESTAMP",
+                    "timestamp[ns]": "TIMESTAMP"}
+        def tname(t) -> str:
+            s = str(t)
+            if s.startswith("<class"):  # pandas object lane
+                return "VARCHAR"
+            s = s.removeprefix("DataType(").removesuffix(")")
+            return type_map.get(s, s.upper())
+
+        return pd.DataFrame({
+            "column": list(schema.names),
+            "type": [tname(t) for t in schema.types],
+        })
     from elasticsearch_ray.search.esql import esql
 
     return esql(sql_translate(sql), tables, enrich_policies)

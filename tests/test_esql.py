@@ -176,3 +176,19 @@ def test_mv_expand_errors(tables):
         esql("FROM events | MV_EXPAND", tables)
     with pytest.raises(EsqlError):
         esql('FROM events | MV_EXPAND "msg"', tables)
+
+
+def test_row_literal_source(ray_session):
+    from elasticsearch_ray.search.esql import EsqlError, esql
+
+    out = esql('ROW a = 1, b = 2.5, s = "hi" | EVAL c = a + b',
+               {}).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "a"] == 1 and out.loc[0, "c"] == 3.5
+    assert out.loc[0, "s"] == "hi"
+    import pytest as _pt
+
+    with _pt.raises(EsqlError, match="ROW"):
+        esql("ROW a", {})
+    with _pt.raises(EsqlError, match="FROM <table> or ROW"):
+        esql("WHERE x == 1", {})

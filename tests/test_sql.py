@@ -148,3 +148,17 @@ def test_expression_select_items(sql_ds):
         sql_translate("SELECT v * 2 FROM t")
     with pytest.raises(SqlError, match="combined"):
         sql_translate("SELECT v * 2 AS x, SUM(n) AS s FROM t")
+
+
+def test_show_tables_and_describe(sql_ds):
+    out = sql_query("SHOW TABLES", sql_ds)
+    assert out["name"].tolist() == ["t"]
+    assert out["type"].tolist() == ["TABLE"]
+    out2 = sql_query("SHOW TABLES LIKE 'z%'", sql_ds)
+    assert len(out2) == 0
+    d = sql_query("DESCRIBE t", sql_ds)
+    got = dict(zip(d["column"], d["type"]))
+    assert got["user"] == "VARCHAR" and got["n"] == "BIGINT"
+    assert got["v"] == "DOUBLE"
+    with pytest.raises(SqlError, match="Unknown index"):
+        sql_query("DESCRIBE nope", sql_ds)
