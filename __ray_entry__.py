@@ -587,7 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         resp = svc.submit(MatchQuery("spark"), k=5, fetch=("doc_id",),
                           wait_for_completion_timeout=120.0)
         assert resp["is_running"] is False
-        tm.unregister(t1)
+        tm.unregister(t1)  # evicts (reference TaskManager model)
+        assert t1.completed
         t2 = tm.register("indices:data/write/reindex", "copy")
         tm.cancel(t2.task_id)
         cancelled_seen = False

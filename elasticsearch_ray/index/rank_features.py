@@ -222,3 +222,35 @@ def sidecar_complete(index_dir: str, field: str) -> bool:
     parts, _bases, _n = _part_bases(index_dir)
     return all(os.path.exists(sidecar_path(index_dir, p, field))
                for p in parts)
+
+
+def feature_stats_bulk(index_dir: str, field: str,
+                       features) -> tuple[dict, int, int]:
+    """ONE pass over each partition's sidecar: {feature: (sum_freq,
+    doc_freq)} for the requested feature set PLUS the field totals
+    (total_doc_freq, n_unique_features). An N-token pruned sparse_vector
+    query needs all of these — N+1 separate sweeps repeated per query
+    was the review-flagged shape (r5 #7)."""
+    want = set(map(str, features))
+    parts, _bases, _n = _part_bases(index_dir)
+    stats = {f: [0, 0] for f in want}
+    total = 0
+    uniq: set = set()
+    for part in parts:
+        path = sidecar_path(index_dir, part, field)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"rank_features sidecar missing: {path}")
+        t = pq.read_table(path, columns=["feature", "freq"])
+        if not len(t):
+            continue
+        total += len(t)
+        feats = t["feature"].cast(pa.string()).to_pylist()
+        uniq.update(feats)
+        freqs = t["freq"].to_pylist()
+        for f, fr in zip(feats, freqs):
+            s = stats.get(f)
+            if s is not None:
+                s[0] += int(fr)
+                s[1] += 1
+    return ({f: (s[0], s[1]) for f, s in stats.items()},
+            total, len(uniq))

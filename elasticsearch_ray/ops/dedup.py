@@ -667,13 +667,16 @@ def paragraph_dedup(ds: Dataset, text_col: str, id_col: str,
     def clean(df: pd.DataFrame) -> pd.DataFrame:
         d = ray.get(ref)
         ex = _explode_paragraphs(df, text_col, id_col, sep)
-        if len(ex):
+        if len(ex) and len(d):
             idx = np.searchsorted(d, ex["phash"].to_numpy())
             hit = (idx < len(d)) & (
-                d[np.clip(idx, 0, max(len(d) - 1, 0))]
+                d[np.clip(idx, 0, len(d) - 1)]
                 == ex["phash"].to_numpy())
         else:
-            hit = np.zeros(0, bool)
+            # no duplicates anywhere (the normal clean-corpus case) or
+            # an empty batch: nothing to remove — clip-indexing an
+            # EMPTY array would raise (review r5 #1)
+            hit = np.zeros(len(ex), bool)
         ex["dup"] = hit
         kept = (ex[~ex["dup"]].groupby(id_col)["para"]
                 .agg(sep.join))

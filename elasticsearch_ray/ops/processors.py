@@ -1474,6 +1474,8 @@ class AttachmentProcessor(Processor):
             errs.append(err)
         for p in self.props:
             df[f"{self.target}.{p}"] = outs[p]
-        if any(e is not None for e in errs):
-            df[f"{self.target}.error"] = errs
+        # ALWAYS emit the error column (None-filled): a per-batch
+        # presence decision gives different blocks different schemas,
+        # which breaks Arrow-level downstream ops (review r5 #5)
+        df[f"{self.target}.error"] = errs
         return df

@@ -564,12 +564,17 @@ def add_bigram_nll(ds: Dataset, lm: dict, text_col: str = "text",
             return batch.append_column(out_col, pa.array(out, pa.float64()))
         flat = np.concatenate([np.asarray(t, object) for t in toks if t])
         h = pd.util.hash_array(flat, hash_key="esray-unigram-lm")
-        idx = np.searchsorted(uni["hashes"], h)
-        ok = (idx < len(uni["hashes"])) & (
-            uni["hashes"][np.clip(idx, 0, len(uni["hashes"]) - 1)] == h)
-        p_uni = np.exp(np.where(
-            ok, uni["logp"][np.clip(idx, 0, len(uni["logp"]) - 1)],
-            uni["oov_logp"]))
+        if len(uni["hashes"]):
+            idx = np.searchsorted(uni["hashes"], h)
+            ok = (idx < len(uni["hashes"])) & (
+                uni["hashes"][np.clip(idx, 0,
+                                      len(uni["hashes"]) - 1)] == h)
+            p_uni = np.exp(np.where(
+                ok, uni["logp"][np.clip(idx, 0, len(uni["logp"]) - 1)],
+                uni["oov_logp"]))
+        else:  # degenerate model — everything OOV (empty-array clip
+            # indexing would raise, review r5 #2)
+            p_uni = np.full(len(h), np.exp(uni["oov_logp"]))
         # per-position previous-token hash (first position has none)
         nz = lens > 0
         starts = np.zeros(int(nz.sum()), dtype=np.int64)
@@ -580,12 +585,15 @@ def add_bigram_nll(ds: Dataset, lm: dict, text_col: str = "text",
         prev[1:] = h[:-1]
         prev[0] = 0
         pair = prev * _BIGRAM_C + h
-        pidx = np.searchsorted(m["pairs"], pair)
-        pok = (pidx < len(m["pairs"])) & (
-            m["pairs"][np.clip(pidx, 0, max(len(m["pairs"]) - 1, 0))]
-            == pair) & ~is_first
-        p_ml = np.where(pok, m["p_ml"][np.clip(pidx, 0,
-                        max(len(m["p_ml"]) - 1, 0))], 0.0)
+        if len(m["pairs"]):
+            pidx = np.searchsorted(m["pairs"], pair)
+            pok = (pidx < len(m["pairs"])) & (
+                m["pairs"][np.clip(pidx, 0, len(m["pairs"]) - 1)]
+                == pair) & ~is_first
+            p_ml = np.where(pok, m["p_ml"][np.clip(pidx, 0,
+                            len(m["p_ml"]) - 1)], 0.0)
+        else:  # no bigrams fitted (≤1-token docs) — back off to unigram
+            p_ml = np.zeros(len(h))
         p = np.where(is_first, p_uni, lam * p_ml + (1 - lam) * p_uni)
         out[nz] = np.add.reduceat(-np.log(p), starts) / lens[nz]
         return batch.append_column(out_col, pa.array(out, pa.float64()))

@@ -1844,8 +1844,7 @@ class QueryEngine:
             # expansion + token pruning ONCE against global field stats,
             # then every partition scores the same WeightedTokensQuery
             from elasticsearch_ray.index.rank_features import (
-                feature_stats,
-                field_freq_stats,
+                feature_stats_bulk,
             )
             from elasticsearch_ray.search.sparse_vector import (
                 expansion_model,
@@ -1861,12 +1860,26 @@ class QueryEngine:
                 toks = sorted(expansion_model(q.inference_id)
                               (q.query).items())
             if q.prune:
-                total, nuniq = field_freq_stats(self.index_dir, q.field)
+                # ONE sidecar pass for all query tokens + field totals,
+                # cached per (field, token) like the df/ttf gathers
+                # (review r5 #7: N+1 sweeps per query, uncached)
+                cache = getattr(self, "_rankfeat_stats_cache", None)
+                if cache is None:
+                    cache = self._rankfeat_stats_cache = {}
+                fkey = ("__field__", q.field)
+                missing = [t for t, _w in toks
+                           if (q.field, t) not in cache]
+                if missing or fkey not in cache:
+                    bulk, total, nuniq = feature_stats_bulk(
+                        self.index_dir, q.field,
+                        [t for t, _w in toks])
+                    cache[fkey] = (total, nuniq)
+                    for t, sf_df in bulk.items():
+                        cache[(q.field, t)] = sf_df
+                total, nuniq = cache[fkey]
                 avg = total / nuniq if nuniq else 0.0
-                # doc freq, not the encoded-weight sum (see
-                # field_freq_stats): the [1] slot of feature_stats
-                freqs = {t: feature_stats(self.index_dir, q.field, t)[1]
-                         for t, _w in toks}
+                # doc freq, not the encoded-weight sum: the [1] slot
+                freqs = {t: cache[(q.field, t)][1] for t, _w in toks}
                 toks = prune_tokens(
                     toks, avg, freqs,
                     ratio_threshold=q.tokens_freq_ratio_threshold,
@@ -2251,7 +2264,12 @@ class QueryEngine:
         dedicated single-thread ``search_throttled`` pool). The per-term
         Bloom can_match metadata stays resident: frozen indices lean on
         the can_match phase to skip untouched shards cheaply. The flag
-        persists next to the index (``frozen.json``)."""
+        persists next to the index (``frozen.json``).
+
+        Scope: ``search()`` and ``count()`` honor the frozen contract;
+        auxiliary read paths (suggesters, terms_enum, completion,
+        termvectors) still warm caches — acceptable for the freeze use
+        case (rarely-queried archive indices) and documented here."""
         import threading
 
         if self.parallel == "ray":
@@ -2756,6 +2774,19 @@ class QueryEngine:
         Per-partition match-set SIZES sum on the driver — no top-k merge,
         no score sort, no fetch, and from actors only an int per pool
         member crosses the wire."""
+        if getattr(self, "frozen", False):
+            # frozen contract covers _count too: throttled + transient
+            # readers (review r5 #4); other read paths (suggest,
+            # terms_enum, completion) keep warm caches — out of the
+            # frozen scope here, noted in freeze()'s docstring
+            with self._frozen_lock:
+                try:
+                    return self._count_unfrozen(q)
+                finally:
+                    self._release_transient()
+        return self._count_unfrozen(q)
+
+    def _count_unfrozen(self, q: "Query | str") -> int:
         if isinstance(q, str):
             q = MatchQuery(q)
         q = self._apply_field_analyzers(self._rewrite(q))

@@ -355,7 +355,9 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
 
         cols: dict = {}
         for seg in _comma_split(stages[0][1:]):
-            if len(seg) < 3 or seg[0][0] != "name" or seg[1] != ("op", "="):
+            # exactly name = literal — trailing tokens ("ROW a = 1 + 2")
+            # must error, not silently truncate (review r5 #8)
+            if len(seg) != 3 or seg[0][0] != "name" or seg[1] != ("op", "="):
                 raise EsqlError("ROW takes name = literal assignments")
             kind, val = seg[2]
             if kind == "number":

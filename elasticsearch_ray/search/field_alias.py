@@ -66,6 +66,17 @@ class FieldAliases:
                     r = self.resolve(name)
                     if r != name:
                         changes[attr] = r
+        # field-KEYED parallel tuples (MultiMatchQuery.boosts): the keys
+        # must resolve with the fields or per-field boosts silently fall
+        # back to 1.0 after resolution (review r5 #6)
+        boosts = getattr(q, "boosts", None)
+        if isinstance(boosts, tuple) and all(
+                isinstance(b, tuple) and len(b) == 2
+                and (isinstance(b[0], str) or b[0] is None)
+                for b in boosts):
+            nv = tuple((self.resolve(f), w) for f, w in boosts)
+            if nv != boosts:
+                changes["boosts"] = nv
         for f in dataclasses.fields(q):
             v = getattr(q, f.name)
             if isinstance(v, Query):

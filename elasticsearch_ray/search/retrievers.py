@@ -65,8 +65,21 @@ def _run_node(spec: dict, engine, vector_index_dir, default_field,
             q = BoolQuery(must=(q,), filter=tuple(
                 parse_dsl(f, default_field=default_field)
                 for f in filters))
-        res = engine.search(q, k=window + 50, fetch=("doc_id",))
-        df = res.to_pandas()[["doc_id", "score"]]
+        # tie-group refetch (hybrid.py's round-3 discipline): if the last
+        # fetched doc still ties the windowth round-4 score the tie group
+        # may extend past the fetch boundary — a fixed +50 silently
+        # diverges on wider tie groups (review r5 #3)
+        margin = 50
+        while True:
+            res = engine.search(q, k=window + margin, fetch=("doc_id",))
+            df = res.to_pandas()[["doc_id", "score"]]
+            key = df["score"].round(4)
+            exhausted = len(df) < window + margin
+            open_tie = (len(df) > window
+                        and key.iloc[-1] == key.iloc[window - 1])
+            if exhausted or not open_tie:
+                break
+            margin *= 4
     elif kind == "knn":
         from elasticsearch_ray.index.vectors import knn_index_search
 

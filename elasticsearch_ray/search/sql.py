@@ -298,6 +298,11 @@ def sql_query(sql: str, tables, enrich_policies: dict | None = None):
     s = sql.strip().rstrip(";")
     m = re.match(r"(?is)^SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s)
     if m:
+        if callable(tables):
+            # a resolver can't be enumerated (review r5 #9)
+            raise SqlError(
+                "SHOW TABLES needs a table MAP; a callable resolver "
+                "cannot be enumerated")
         pat = (m.group(1) or "%").replace("%", "*").replace("_", "?")
         names = sorted(n for n in tables if _fn.fnmatch(n, pat))
         return pd.DataFrame({"name": names,
@@ -305,9 +310,16 @@ def sql_query(sql: str, tables, enrich_policies: dict | None = None):
     m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+([A-Za-z_][A-Za-z0-9_]*)$", s)
     if m:
         name = m.group(1)
-        if name not in tables:
+        if callable(tables):
+            try:
+                ds_t = tables(name)
+            except Exception:
+                raise SqlError(f"Unknown index [{name}]") from None
+        elif name in tables:
+            ds_t = tables[name]
+        else:
             raise SqlError(f"Unknown index [{name}]")
-        schema = tables[name].schema()
+        schema = ds_t.schema()
         # the reference's SysColumns type names for the common lanes
         type_map = {"int64": "BIGINT", "int32": "INTEGER",
                     "double": "DOUBLE", "float": "REAL",

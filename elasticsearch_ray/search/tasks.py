@@ -77,10 +77,15 @@ class TaskManager:
             return t
 
     def unregister(self, task) -> None:
+        """Remove the task from the registry (the reference's TaskManager
+        evicts on unregister — retaining every completed task would grow
+        a long-lived driver unboundedly, review r5 #10). The handle the
+        caller holds is marked completed."""
         with self._lock:
-            t = self._tasks.get(task.task_id)
+            t = self._tasks.pop(task.task_id, None)
             if t is not None:
                 t.completed = True
+        task.completed = True
 
     def list_tasks(self, actions: str | None = None,
                    include_completed: bool = False) -> list[dict]:
@@ -94,7 +99,11 @@ class TaskManager:
                         for g in actions.split(",")):
                     continue
                 out.append(t.info())
-            return sorted(out, key=lambda d: d["task_id"])
+            # numeric id order ("node-0:10" must not sort before
+            # "node-0:2", review r5 #10)
+            return sorted(out, key=lambda d: (
+                d["task_id"].rsplit(":", 1)[0],
+                int(d["task_id"].rsplit(":", 1)[1])))
 
     def get_task(self, task_id: str) -> dict:
         with self._lock:

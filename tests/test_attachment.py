@@ -74,3 +74,22 @@ def test_registered_and_target_field():
     out = AttachmentProcessor(field="d", target_field="file")(
         pd.DataFrame({"d": [_b(b"x")]}))
     assert "file.content" in out.columns
+
+
+def test_error_column_schema_consistent_across_batches(ray_session):
+    """Review r5 #5: the error column must exist in EVERY batch (None-
+    filled) or Ray blocks get divergent schemas."""
+    import ray
+
+    p = AttachmentProcessor(field="data")
+    df = pd.DataFrame({"data": [_b(b"plain ok")] * 4
+                       + [_b(b"%PDF-1.7 x")] * 4})
+    ds = ray.data.from_pandas(df).repartition(2).map_batches(
+        p, batch_format="pandas")
+    out = ds.to_pandas()
+    assert "attachment.error" in out.columns
+    assert out["attachment.error"].notna().sum() == 4
+    clean = AttachmentProcessor(field="data")(
+        pd.DataFrame({"data": [_b(b"ok")]}))
+    assert "attachment.error" in clean.columns
+    assert clean["attachment.error"].isna().all()

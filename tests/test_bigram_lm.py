@@ -91,3 +91,18 @@ def test_bigram_beats_unigram_on_predictable_text(ray_session):
     un = (add_nll(ds, fit_unigram_lm(ds)).to_pandas()
           .sort_values("doc_id")["nll"].to_numpy())
     assert (bi < un).all()
+
+
+def test_no_bigram_corpus_backs_off_to_unigram(ray_session):
+    """Review r5 #2: every doc has <= 1 token -> the fitted model has
+    ZERO pairs; scoring must back off to the unigram, not crash."""
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["a", "b", "a"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    lm = fit_bigram_lm(ds)
+    assert len(lm["pairs"]) == 0
+    got = (add_bigram_nll(ds, lm).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # p_uni(a) = (2+1)/(3+2), p_uni(b) = (1+1)/(3+2)
+    assert np.isclose(got.loc[0, "nll2"], -np.log(3 / 5))
+    assert np.isclose(got.loc[1, "nll2"], -np.log(2 / 5))

@@ -192,3 +192,16 @@ def test_row_literal_source(ray_session):
         esql("ROW a", {})
     with _pt.raises(EsqlError, match="FROM <table> or ROW"):
         esql("WHERE x == 1", {})
+
+
+def test_row_rejects_trailing_tokens_and_expressions(ray_session):
+    """Review r5 #8: 'ROW a = 1 + 2' must error, not silently yield a=1."""
+    from elasticsearch_ray.search.esql import EsqlError, esql
+
+    import pytest as _pt
+
+    with _pt.raises(EsqlError, match="ROW takes"):
+        esql("ROW a = 1 + 2", {})
+    # negative literals lex as one number token and stay supported
+    out = esql("ROW a = -3", {}).to_pandas()
+    assert out.loc[0, "a"] == -3

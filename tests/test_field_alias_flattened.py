@@ -110,3 +110,17 @@ def test_flattened_leaf_table_matches_parse():
     assert (0, "k", "87") in got
     assert (2, "extra.k", "87") in got
     assert not any(i == 3 for i, _k, _v in got)
+
+
+def test_alias_resolves_multi_match_boosts():
+    """Review r5 #6: field-KEYED boosts tuples must resolve with the
+    fields or per-field boosts silently fall back to 1.0."""
+    from elasticsearch_ray.search.query import MultiMatchQuery
+
+    al = FieldAliases({"body": "text"})
+    q = MultiMatchQuery(text="x", fields=("body", "title"),
+                        boosts=(("body", 2.0), ("title", 1.5)))
+    r = al.resolve_query(q)
+    assert r.fields == ("text", "title")
+    assert dict(r.boosts)["text"] == 2.0
+    assert dict(r.boosts)["title"] == 1.5

@@ -97,3 +97,13 @@ def test_frozen_searches_serialize(fz_index):
         t.join()
     assert max(overlap) == 1  # search_throttled: never concurrent
     eng.unfreeze()
+
+
+def test_frozen_count_releases_readers(fz_index):
+    """Review r5 #4: count() honors the frozen contract too."""
+    eng = _eng(fz_index)
+    eng.freeze()
+    n = eng.count(MatchQuery("spark"))
+    assert n > 0
+    assert eng._searchers == {}
+    eng.unfreeze()

@@ -81,3 +81,18 @@ def test_boundary_straddling_runs_counted_once():
     assert len(dup) == 1
     assert len(duplicated_paragraph_hashes(ds, "text", "doc_id",
                                            min_count=n // 2 + 1)) == 0
+
+
+def test_clean_corpus_without_duplicates_passes_through():
+    """Review r5 #1: a corpus with NO duplicated paragraph (the normal
+    clean-input case) must pass through unchanged, not crash on the
+    empty duplicated-hash set."""
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["alpha one\nbeta two", "gamma three", "delta four"],
+    })
+    out = (paragraph_dedup(ray.data.from_pandas(df).repartition(2),
+                           "text", "doc_id")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["n_removed"].tolist() == [0, 0, 0]
+    assert out["text"].tolist() == df["text"].tolist()

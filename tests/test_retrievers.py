@@ -130,3 +130,41 @@ def test_retriever_errors(setup):
             {"standard": {"query": {"match_all": {}}}})
     with pytest.raises(RetrieverError, match="retrievers"):
         execute_retriever({"rrf": {"retrievers": []}}, engine=eng)
+
+
+def test_standard_leg_tie_group_refetch(setup):
+    """Review r5 #3: the standard leg must widen its overfetch when the
+    round-4 tie group at the window boundary extends past the fixed
+    margin (hybrid.py's established discipline)."""
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    eng, _vidx, _vecs = setup
+
+    calls = []
+    orig = eng.search
+
+    def traced(q, k=10, **kw):
+        calls.append(k)
+        return orig(q, k=k, **kw)
+
+    eng.search = traced
+    try:
+        # window 2 with a corpus whose scores tie heavily at round(4):
+        # match-all-ish single-term query over 60 similar docs
+        got = execute_retriever(
+            {"standard": {"query": {"term": {"text": {"value": "spark"}}}}},
+            engine=eng, size=2, window=2)
+    finally:
+        eng.search = orig
+    # the loop either settled on the first fetch (no open tie) or grew
+    # the margin; either way the result must equal the full ranking cut
+    full = orig(__import__("elasticsearch_ray.search.query",
+                           fromlist=["TermQuery"]).TermQuery("spark"),
+                k=10**6, mode="exhaustive", fetch=("doc_id",)).to_pandas()
+    full["score"] = full["score"].round(4)
+    want = (full.sort_values(["score", "doc_id"],
+                             ascending=[False, True])
+            .head(2)["doc_id"].tolist())
+    assert got["doc_id"].tolist() == want
+    assert all(k >= 52 for k in calls)

@@ -160,3 +160,28 @@ def test_dsl_parse_and_round_trip():
 def test_register_custom_model():
     register_expansion_model("upper", lambda t: {t.upper(): 1.0})
     assert expansion_model("upper")("abc") == {"ABC": 1.0}
+
+
+def test_prune_stats_cached_one_bulk_pass(sv_engine):
+    """Review r5 #7: pruning stats come from ONE bulk sidecar pass,
+    cached across queries."""
+    import elasticsearch_ray.index.rank_features as rf
+
+    sv_engine._rankfeat_stats_cache = {}
+    calls = []
+    orig = rf.feature_stats_bulk
+
+    def traced(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    rf.feature_stats_bulk = traced
+    try:
+        q = SparseVectorQuery(field="tags",
+                              tokens=(("common", 0.3), ("rare", 2.0)),
+                              prune=True)
+        _scores(sv_engine, q)
+        _scores(sv_engine, q)
+    finally:
+        rf.feature_stats_bulk = orig
+    assert len(calls) == 1  # second query served from the cache

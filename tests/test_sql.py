@@ -162,3 +162,15 @@ def test_show_tables_and_describe(sql_ds):
     assert got["v"] == "DOUBLE"
     with pytest.raises(SqlError, match="Unknown index"):
         sql_query("DESCRIBE nope", sql_ds)
+
+
+def test_show_describe_with_callable_resolver(sql_ds):
+    """Review r5 #9: the callable-resolver tables form must not crash
+    with TypeError."""
+    resolver = lambda name: sql_ds[name]  # noqa: E731
+    with pytest.raises(SqlError, match="table MAP"):
+        sql_query("SHOW TABLES", resolver)
+    d = sql_query("DESCRIBE t", resolver)
+    assert "column" in d.columns and len(d) == 4
+    with pytest.raises(SqlError, match="Unknown index"):
+        sql_query("DESCRIBE nope", resolver)

@@ -31,10 +31,19 @@ def test_task_register_list_cancel():
     with pytest.raises(TaskCancelledException):
         t1.ensure_not_cancelled()
     t2.ensure_not_cancelled()  # untouched
-    # completed tasks drop out of the default listing
+    # unregister EVICTS (the reference TaskManager model) — the registry
+    # must not grow unboundedly in a long-lived driver
     tm.unregister(t2)
     assert [t["task_id"] for t in tm.list_tasks()] == [t1.task_id]
-    assert len(tm.list_tasks(include_completed=True)) == 2
+    assert len(tm.list_tasks(include_completed=True)) == 1
+    assert t2.completed is True  # the caller's handle still knows
+
+
+def test_list_order_is_numeric_not_lexicographic():
+    tm = TaskManager()
+    ids = [tm.register("a").task_id for _ in range(11)]
+    got = [t["task_id"] for t in tm.list_tasks()]
+    assert got == ids  # node-0:10 must not sort before node-0:2
 
 
 def test_task_errors_and_callbacks():
