@@ -2287,6 +2287,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_semantic_decontaminate(sf):
+        # semantic benchmark decontamination: drop embeddings rows whose
+        # cosine to ANY of the first-3 "benchmark" vectors is ≥ 0.3
+        # (broadcast benchmark matrix, one matmul per batch); twin =
+        # DuckDB list_cosine_similarity EXISTS
+        import pyarrow.parquet as _pq
+
+        from elasticsearch_ray.ops.dedup import semantic_decontaminate
+
+        emb = _pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        bench = np.stack([v for i, v in zip(emb["vec_id"].to_pylist(),
+                                            emb["embedding"].to_pylist())
+                          if i < 3])
+        kept = (semantic_decontaminate(_ds(sf, "embeddings"), bench,
+                                       threshold=0.3)
+                .to_pandas()[["vec_id"]]
+                .sort_values("vec_id", ignore_index=True))
+        kept["vec_id"] = kept["vec_id"].astype("int64")
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
     def dsir_select_top(sf):
         # DSIR importance resampling (Xie et al. 2302.03169): unigram
         # word-mode weights toward the lang='de' slice as the target
@@ -4334,6 +4354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_paragraphs": dedup_paragraphs,
         "dsir_select_top": dsir_select_top,
+        "dedup_semantic_decontaminate": dedup_semantic_decontaminate,
         "text_bigram_perplexity": text_bigram_perplexity,
         "bpe_train_merges": bpe_train_merges,
         "analysis_phonetic_codes": analysis_phonetic_codes,
@@ -6038,6 +6059,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(-avg(lp), 4) AS nll2
             FROM lps GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_semantic_decontaminate": """
+            WITH b AS (SELECT embedding FROM embeddings WHERE vec_id < 3)
+            SELECT vec_id FROM embeddings e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM b
+              WHERE list_cosine_similarity(
+                e.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3)
+            ORDER BY vec_id
         """,
         "dsir_select_top": """
             WITH tok AS (

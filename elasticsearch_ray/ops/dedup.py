@@ -690,3 +690,50 @@ def paragraph_dedup(ds: Dataset, text_col: str, id_col: str,
         return out
 
     return ds.map_batches(clean, batch_format="pandas")
+
+
+def semantic_decontaminate(ds: Dataset, benchmark_vectors,
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95,
+                           mode: str = "drop") -> Dataset:
+    """SEMANTIC benchmark decontamination: drop (or flag) training rows
+    whose embedding is cosine-≥ ``threshold`` to ANY benchmark vector —
+    the embedding-space complement of the n-gram GPT-3 appendix-C rule
+    (``decontaminate``), catching paraphrased/reformatted benchmark
+    leakage that exact n-grams miss (the published motivation for
+    embedding-level decontamination in open data-curation pipelines).
+
+    Scale shape: the benchmark matrix (small by definition — eval sets
+    are thousands of rows) is L2-normalized ONCE and broadcast via
+    ``ray.put``; each batch computes one (batch × benchmark) matmul and
+    a row-max — no shuffle, no pairwise corpus blowup."""
+    import ray
+
+    from elasticsearch_ray.ops.ann import _normalize
+
+    bench = np.asarray(benchmark_vectors, dtype=np.float64)
+    if bench.ndim != 2 or len(bench) == 0:
+        raise ValueError("benchmark_vectors must be a non-empty 2-D array")
+    ref = ray.put(_normalize(bench).T)  # (dim, n_bench), broadcast once
+
+    def verdicts(batch: pa.Table) -> np.ndarray:
+        bt = ray.get(ref)
+        m = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ bt
+        return sims.max(axis=1) >= threshold
+
+    if mode == "flag":
+        def flag(batch: pa.Table) -> pa.Table:
+            return batch.append_column("contaminated",
+                                       pa.array(verdicts(batch)))
+
+        return ds.map_batches(flag, batch_format="pyarrow")
+    if mode != "drop":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~verdicts(batch)))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

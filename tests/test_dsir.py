@@ -105,3 +105,40 @@ def test_select_deterministic_and_gumbel(ray_session):
     assert g1["doc_id"].tolist() == g2["doc_id"].tolist()  # reproducible
     g3 = dsir_select(rds, tds, "text", "doc_id", k=3, gumbel_seed=8)
     assert len(g3) == 3  # a different seed still returns k rows
+
+
+# --------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_drop_and_flag(ray_session):
+    import ray
+
+    from elasticsearch_ray.ops.dedup import semantic_decontaminate
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 8))
+    # plant 2 near-copies of benchmark vector 0 (scaled + tiny noise —
+    # cosine is scale-invariant)
+    bench = rng.normal(size=(3, 8))
+    vecs[7] = bench[0] * 2.0 + 1e-6
+    vecs[23] = bench[0] * 0.5
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    kept = (semantic_decontaminate(ds, bench, threshold=0.95)
+            .to_pandas())
+    assert 7 not in set(kept.vec_id) and 23 not in set(kept.vec_id)
+    # exact brute verdict equality
+    nb = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want_drop = set(np.flatnonzero((nv @ nb.T).max(axis=1) >= 0.95))
+    assert set(df.vec_id) - set(kept.vec_id) == want_drop
+    flagged = (semantic_decontaminate(ds, bench, threshold=0.95,
+                                      mode="flag").to_pandas())
+    assert set(flagged[flagged.contaminated].vec_id) == want_drop
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        semantic_decontaminate(ds, np.empty((0, 8)))
+    with _pt.raises(ValueError, match="unknown mode"):
+        semantic_decontaminate(ds, bench, mode="zap")
