@@ -3886,6 +3886,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.sort_values("media_id"),
                                     preserve_index=False)
 
+    def multimodal_jpeg_embed(sf):  # rows-only — REAL T.81 baseline JPEG
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (media_pipeline,
+                                                      synthesize_jpeg_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = media_pipeline(rd.from_arrow(synthesize_jpeg_media(n)),
+                             out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"),
+                                    preserve_index=False)
+
     def multimodal_gif_frames(sf):  # rows-only — REAL LZW GIF, video path
         import ray.data as rd
 
@@ -4536,6 +4551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_embed": multimodal_embed,
         "multimodal_bmp_embed": multimodal_bmp_embed,
         "multimodal_png_embed": multimodal_png_embed,
+        "multimodal_jpeg_embed": multimodal_jpeg_embed,
         "multimodal_gif_frames": multimodal_gif_frames,
         "multimodal_audio_features": multimodal_audio_features,
         "reindex_pipeline": reindex_pipeline,

@@ -18,7 +18,11 @@ Codec status (no image/audio libraries ship in this container):
   KwKwK case, 12-bit cap), global/local palettes, multi-frame composition
   (the real compressed "video" path for frame sampling); paletted
   encoder. Interlace rejected.
-- **STUBBED**: patent-era DSP codecs (JPEG/MP3/H.264 …) raise
+- **REAL, from scratch (DCT)**: baseline **JPEG** (:mod:`.jpeg`) —
+  8×8 DCT + Annex-K quant/Huffman tables per ITU-T T.81; grayscale and
+  4:4:4 YCbCr color, self-describing DHT decode. Lossy round-trip
+  (PSNR) tested. Progressive/subsampled/12-bit rejected.
+- **STUBBED**: the remaining DSP codecs (MP3/H.264 …) raise
   ``NotImplementedError`` from the dispatching decoders; swapping in
   PIL/torchaudio means replacing only the decoder-dispatch bodies.
 - The deterministic ``ESRIMG`` synthetic format (``synthesize_media``)
@@ -37,6 +41,8 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
+
+from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -488,9 +494,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatching image/video decoder → (frames, h, w, channels) uint8.
-    BMP ('BM') and PPM ('P6') decode for real; the synthetic ESRIMG format
-    decodes via its header (channels=1); anything else (JPEG/PNG/…) raises
-    like a missing codec."""
+    BMP ('BM'), PPM ('P6'), PNG, GIF and baseline JPEG decode for real;
+    the synthetic ESRIMG format decodes via its header (channels=1);
+    anything else (H.264/…) raises like a missing codec."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -500,11 +506,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         return a[None, :, :, :]
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        a = decode_jpeg(payload)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        return a[None, :, :, :]
     if payload.startswith(_MAGIC):
         return decode_image_stub(payload)[:, :, :, None]
     raise NotImplementedError(
-        "JPEG/H.264-class codecs are unavailable in this environment; "
-        "BMP, P6 PPM, PNG, GIF and the synthetic ESRIMG format decode")
+        "H.264-class codecs are unavailable in this environment; "
+        "BMP, P6 PPM, PNG, GIF, baseline JPEG and the synthetic ESRIMG "
+        "format decode")
 
 
 def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
@@ -520,6 +532,10 @@ def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
     if src_payload[:6] in (b"GIF87a", b"GIF89a"):
         return encode_gif(arr if arr.shape[3] == 3 else
                           np.repeat(arr, 3, axis=3))
+    if src_payload[:2] == b"\xff\xd8":
+        frame = arr[0]
+        return encode_jpeg(frame[:, :, 0] if frame.shape[2] == 1
+                           else frame)
     f, h, w, _c = arr.shape
     return (_MAGIC + np.array([w, h, f], dtype="<i4").tobytes()
             + np.ascontiguousarray(arr[:, :, :, 0]).tobytes())
@@ -688,6 +704,41 @@ def synthesize_png_media(n: int, seed: int = 42,
         rows["height"].append(h)
         rows["n_frames"].append(1)
         rows["payload"].append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthesize_jpeg_media(n: int, seed: int = 42,
+                          max_side: int = 24) -> pa.Table:
+    """Deterministic REAL baseline-JPEG payloads (smooth gradient + mild
+    noise RGB — the content JPEG's DCT model is built for)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "mime", "width", "height",
+                            "n_frames", "payload")}
+    for i in range(n):
+        w = int(rng.integers(9, max_side + 1))
+        h = int(rng.integers(9, max_side + 1))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            np.sin(xx / 7.0 + i) * 60 + 128,
+            np.cos(yy / 5.0) * 50 + 120,
+            (xx + yy + rng.integers(0, 16, (h, w))) % 200 + 20,
+        ], axis=2).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["mime"].append("image/jpeg")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(1)
+        rows["payload"].append(encode_jpeg(img, quality=85))
     return pa.table(
         {
             "media_id": pa.array(rows["media_id"], pa.int64()),
