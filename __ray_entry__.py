@@ -4131,6 +4131,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                script="_score + sqrt(n_chars)")
         return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
 
+    def search_script_score_painless(sf):
+        # script_score with a PAINLESS source (lang-painless subset,
+        # search/painless.py): branchy per-doc logic the vectorized
+        # expression language can't express — the SQL twin mirrors the
+        # branch with a CASE over the same BM25 mirror
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        eng = _documents_index(sf)
+        q = parse_dsl({"script_score": {
+            "query": {"match": {"text": "spark join"}},
+            "script": {
+                "lang": "painless",
+                "source": ("double v = doc['n_chars'].value; "
+                           "if (v > 1000) { return _score + Math.log(v); } "
+                           "return _score + Math.sqrt(v);")},
+        }})
+        return _search_table(eng, q, k=10, mode="exhaustive", overfetch=10**9)
+
+    def pipeline_events_script_painless(sf):
+        # ingest script processor with an inline Painless source
+        # (ScriptProcessor.java): ctx mutations become columns
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        pipe = Pipeline([
+            {"script": {"lang": "painless", "source": (
+                "ctx.band = ctx.value > 0.5 ? 'hi' : 'lo'; "
+                "ctx.label = ctx.event_type.toUpperCase() + '-' + ctx.band; "
+                "ctx.bucket = (long) ctx.user_id % 10;")}},
+        ])
+        out = (
+            _ds(sf, "events")
+            .map_batches(lambda df: pipe(df), batch_format="pandas")
+            .to_pandas()[["event_id", "band", "label", "bucket"]]
+            .sort_values("event_id").reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def search_stored_script_score(sf):
         # stored-script resolution (_scripts/{id} + ScriptService): the
         # same expression stored once and referenced by id must score
@@ -4384,6 +4421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score": search_function_score,
         "search_function_score_decay": search_function_score_decay,
         "search_script_score_expr": search_script_score_expr,
+        "search_script_score_painless": search_script_score_painless,
+        "pipeline_events_script_painless": pipeline_events_script_painless,
         "search_stored_script_score": search_stored_script_score,
         "search_annotated_text": search_annotated_text,
         "search_mlt_doc": search_mlt_doc,
@@ -5558,6 +5597,18 @@ def oracle_sql() -> dict[str, str]:
                          "ELSE 0.0 END")),
         "search_script_score_expr": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
+        "search_script_score_painless": _bm25_sql(
+            ["spark", "join"], k=10,
+            extra_score=("CASE WHEN doc.n_chars > 1000 THEN "
+                         "ln(doc.n_chars) ELSE sqrt(doc.n_chars) END")),
+        "pipeline_events_script_painless": """
+            SELECT event_id,
+                   CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS band,
+                   upper(event_type) || '-' ||
+                     CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS label,
+                   user_id % 10 AS bucket
+            FROM events ORDER BY event_id
+        """,
         "search_stored_script_score": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
         "search_annotated_text": """

@@ -986,9 +986,29 @@ class CommunityIdProcessor(Processor):
 
 @register("script")
 class ScriptProcessor(Processor):
-    """UDF hook — the Painless-script analog is a python callable df→df."""
+    """Script processor (IngestCommonPlugin ``script`` /
+    ``ScriptProcessor.java``). Two spec forms:
 
-    def __init__(self, fn):
+    - ``{"script": {"fn": callable}}`` — a python df→df UDF hook;
+    - ``{"script": {"source": "...", "lang": "painless", "params":
+      {...}}}`` — the reference's inline-script form, executed by the
+    sandboxed Painless subset (search/painless.py): each row is a
+    mutable ``ctx`` map, mutations become columns."""
+
+    def __init__(self, fn=None, source=None, lang="painless",
+                 params=None):
+        if fn is None and source is None:
+            raise ValueError("script processor needs fn or source")
+        if source is not None:
+            if lang != "painless":
+                raise ValueError(
+                    f"script processor lang {lang!r} not supported "
+                    "(painless only; expressions are numeric-only)")
+            from elasticsearch_ray.search.painless import (
+                painless_processor_fn,
+            )
+
+            fn = painless_processor_fn(source, params)
         self.fn = fn
 
     def __call__(self, df):

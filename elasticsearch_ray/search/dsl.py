@@ -339,6 +339,12 @@ class _Parser:
         if "script" in body:
             script = body["script"]
             source = script.get("source") if isinstance(script, dict) else script
+            lang = (script.get("lang", "expression")
+                    if isinstance(script, dict) else "expression")
+            params = (script.get("params") or {}
+                      if isinstance(script, dict) else {})
+            if lang not in ("expression", "painless"):
+                raise DslError(f"unknown script lang {lang!r}")
             if not isinstance(source, str) or not source.strip():
                 raise DslError("script_score.script needs a source string")
             if "query" not in body:
@@ -349,6 +355,8 @@ class _Parser:
             return FunctionScoreQuery(
                 query=self.parse(body["query"]),
                 script=source,
+                script_lang=lang,
+                script_params=tuple(sorted(params.items())),
                 weight=float(body.get("weight", 1.0)),
             )
         return self.q_function_score(body)
@@ -716,9 +724,14 @@ def to_dsl(q: Query, default_field: str = "text") -> dict:
                              "negative_boost": q.negative_boost}}
     if isinstance(q, FunctionScoreQuery):
         if q.script:
+            sdict = {"source": q.script}
+            if q.script_lang != "expression":
+                sdict["lang"] = q.script_lang
+            if q.script_params:
+                sdict["params"] = dict(q.script_params)
             return {"script_score": {
                 **({"query": to_dsl(q.query, default_field)} if q.query is not None else {}),
-                "script": {"source": q.script}, "weight": q.weight}}
+                "script": sdict, "weight": q.weight}}
         if q.functions:
             fns = []
             for fn in q.functions:

@@ -188,11 +188,40 @@ class PartitionSearcher:
                 in_prog.add(name)
                 try:
                     src = self.runtime_fields[name]
-                    fn = compile_expression(src)
-                    env = {v: (self._stored_col(v) if v == name
-                               else self._doc_col(v))
-                           for v in expression_variables(src)}
-                    col = fn(env, length=self.r.n_docs)
+                    if isinstance(src, dict) and \
+                            src.get("lang") == "painless":
+                        # painless runtime field (AbstractScriptFieldType
+                        # with a Painless source): vector fast path,
+                        # per-row emit/return fallback
+                        from elasticsearch_ray.search.painless import (
+                            compile_painless,
+                            painless_doc_fields,
+                        )
+
+                        script = compile_painless(src["source"])
+                        cols = {f: (self._stored_col(f) if f == name
+                                    else self._doc_col(f))
+                                for f in painless_doc_fields(script)}
+                        params = src.get("params") or {}
+                        try:
+                            col = script.run_vectorized(
+                                cols, self.r.n_docs, params=params)
+                        except Exception:
+                            from elasticsearch_ray.search.painless import (
+                                _pyval,
+                            )
+
+                            rows = [
+                                {k: _pyval(v[i]) for k, v in cols.items()}
+                                for i in range(self.r.n_docs)]
+                            col = np.asarray(
+                                script.field_many(rows, params))
+                    else:
+                        fn = compile_expression(src)
+                        env = {v: (self._stored_col(v) if v == name
+                                   else self._doc_col(v))
+                               for v in expression_variables(src)}
+                        col = fn(env, length=self.r.n_docs)
                 finally:
                     in_prog.discard(name)
             else:
@@ -949,8 +978,21 @@ class PartitionSearcher:
                 docs, out = self._apply_score_functions(q, docs, scores, scorers)
                 return docs, out.astype(dtype)
             if q.script:
-                # ScriptScoreQueryBuilder: expression REPLACES the score,
-                # reading numeric doc columns + _score (base query score)
+                # ScriptScoreQueryBuilder: the script REPLACES the score,
+                # reading doc columns + _score (base query score)
+                if getattr(q, "script_lang", "expression") == "painless":
+                    from elasticsearch_ray.search.painless import (
+                        compile_painless,
+                        painless_doc_fields,
+                    )
+
+                    script = compile_painless(q.script)
+                    cols = {f: self._doc_col(f)[docs]
+                            for f in painless_doc_fields(script)}
+                    out = q.weight * script.score_many(
+                        cols, np.asarray(scores, np.float64),
+                        dict(getattr(q, "script_params", ()) or ()))
+                    return docs, out.astype(dtype)
                 from elasticsearch_ray.search.expressions import (
                     compile_expression,
                     expression_variables,
@@ -1592,9 +1634,20 @@ class QueryEngine:
             from elasticsearch_ray.search.expressions import (
                 compile_expression,
             )
+            from elasticsearch_ray.search.painless import (
+                compile_painless,
+            )
 
             for _name, _src in runtime_fields.items():
-                compile_expression(_src)  # fail fast on bad grammar
+                # fail fast on bad grammar, per language
+                if isinstance(_src, dict):
+                    if _src.get("lang") != "painless":
+                        raise ValueError(
+                            f"runtime field {_name!r}: dict form needs "
+                            "lang='painless'")
+                    compile_painless(_src["source"])
+                else:
+                    compile_expression(_src)
         self.runtime_fields = dict(runtime_fields or {})
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "index_meta.json")) as f:
@@ -3283,6 +3336,21 @@ class QueryEngine:
         the per-hit SOURCE table (requested ``source_columns``, rows in hit
         order) and returns a column (pa.Array / numpy / list) appended under
         its field name. Source reads are batched per partition/input file."""
+        # painless script objects declare their doc[...] columns — union
+        # them into the source read so callers don't have to repeat them
+        extra: list = []
+        for fn in fields.values():
+            if isinstance(fn, dict) and fn.get("lang", "painless") == \
+                    "painless" and "source" in fn:
+                from elasticsearch_ray.search.painless import (
+                    painless_doc_fields,
+                )
+
+                for f in painless_doc_fields(fn["source"]):
+                    if f not in source_columns and f not in extra:
+                        extra.append(f)
+        if extra:
+            source_columns = tuple(source_columns) + tuple(extra)
         parts_a = hits["part"].to_numpy()
         locals_a = hits["local"].to_numpy()
         pieces = []
@@ -3304,6 +3372,21 @@ class QueryEngine:
             src = src.take(pa.array(inv))
         out = hits
         for name, fn in fields.items():
+            if isinstance(fn, dict):
+                # {"lang": "painless"|"expression", "source": ...,
+                #  "params": ...} — the reference's script object form
+                lang = fn.get("lang", "painless")
+                if lang == "painless":
+                    from elasticsearch_ray.search.painless import (
+                        painless_script_field,
+                    )
+
+                    fn = painless_script_field(fn["source"],
+                                               fn.get("params"))
+                elif lang == "expression":
+                    fn = fn["source"]  # falls into the str branch below
+                else:
+                    raise ValueError(f"unknown script lang {lang!r}")
             if isinstance(fn, str):
                 # expression-language script (lang-expression analog):
                 # compile the sandboxed arithmetic source once per call

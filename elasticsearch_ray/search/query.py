@@ -243,9 +243,13 @@ class FunctionScoreQuery(Query):
     (multiply|sum|avg|max|min|replace); hits below ``min_score`` drop.
 
     ``script`` set = ScriptScoreQueryBuilder semantics instead: the
-    sandboxed expression (search/expressions.py, lang-expression analog)
-    REPLACES the score — it reads numeric doc columns and ``_score``
-    (the base query score); final score is weight · expression."""
+    script REPLACES the score — it reads doc columns and ``_score``
+    (the base query score); final score is weight · script.
+    ``script_lang`` picks the engine: ``"expression"`` (the vectorized
+    lang-expression analog, search/expressions.py — this engine's
+    default) or ``"painless"`` (the sandboxed Painless subset,
+    search/painless.py, with its own vector fast path);
+    ``script_params`` is the Painless ``params`` map as sorted items."""
 
     query: Query = None
     field: str = None
@@ -254,6 +258,8 @@ class FunctionScoreQuery(Query):
     weight: float = 1.0
     boost_mode: str = "multiply"
     script: str | None = None
+    script_lang: str = "expression"
+    script_params: tuple = ()
     functions: tuple = ()
     score_mode: str = "multiply"
     max_boost: float = float("inf")
