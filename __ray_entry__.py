@@ -2382,6 +2382,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cologne": pa.array([cologne(w) for w in words]),
         })
 
+    def analysis_icu_fold(sf):
+        # analysis-icu icu_folding (UTR#30 on unicodedata): the Ray side
+        # ACCENTS the corpus deterministically (a→á, e→é, O→Ö) and then
+        # folds; the SQL twin is plain lower(text) — equality proves the
+        # fold strips exactly the injected accents and case, nothing else
+        from elasticsearch_ray.analysis.icu import icu_fold
+
+        def fold(df):
+            accented = (df["text"].fillna("")
+                        .str.replace("a", "á", regex=False)
+                        .str.replace("e", "é", regex=False)
+                        .str.replace("O", "Ö", regex=False))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "folded": [icu_fold(t) for t in accented],
+            })
+
+        out = (_ds(sf, "documents").select_columns(["doc_id", "text"])
+               .map_batches(fold, batch_format="pandas")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def bpe_train_merges(sf):
         # BPE tokenizer training (Sennrich ACL'16): distributed word
         # counts → driver merge learning. Iterative merges are not
@@ -4410,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_perplexity": text_bigram_perplexity,
         "bpe_train_merges": bpe_train_merges,
         "analysis_phonetic_codes": analysis_phonetic_codes,
+        "analysis_icu_fold": analysis_icu_fold,
         "pipeline_attachment": pipeline_attachment,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
@@ -5597,6 +5620,10 @@ def oracle_sql() -> dict[str, str]:
                          "ELSE 0.0 END")),
         "search_script_score_expr": _bm25_sql(
             ["spark", "join"], k=10, extra_score="sqrt(doc.n_chars)"),
+        "analysis_icu_fold": """
+            SELECT doc_id, lower(text) AS folded
+            FROM documents ORDER BY doc_id
+        """,
         "search_script_score_painless": _bm25_sql(
             ["spark", "join"], k=10,
             extra_score=("CASE WHEN doc.n_chars > 1000 THEN "

@@ -289,6 +289,32 @@ def _chain_of(names, reg) -> list:
     return chain
 
 
+def _icu_folding(terms, pos, unicode_set_filter=None):
+    from elasticsearch_ray.analysis.icu import icu_folding_filter
+
+    return icu_folding_filter(terms, pos, unicode_set_filter)
+
+
+def _icu_normalizer(terms, pos, name="nfkc_cf", mode="compose"):
+    from elasticsearch_ray.analysis.icu import icu_normalizer_filter
+
+    return icu_normalizer_filter(terms, pos, name=name, mode=mode)
+
+
+def _icu_transform(terms, pos, id="Any-Lower"):
+    from elasticsearch_ray.analysis.icu import icu_transform_filter
+
+    return icu_transform_filter(terms, pos, id=id)
+
+
+def _icu_collation(terms, pos, strength="tertiary", numeric=False,
+                   case_first=None):
+    from elasticsearch_ray.analysis.icu import icu_collation_filter
+
+    return icu_collation_filter(terms, pos, strength=strength,
+                                numeric=numeric, case_first=case_first)
+
+
 def _phonetic(terms, pos, encoder="metaphone", replace=True):
     from elasticsearch_ray.analysis.phonetic import phonetic_filter
 
@@ -397,6 +423,12 @@ def _filter_registry() -> dict:
         "multiplexer": _multiplexer, "condition": _condition,
         # analysis-phonetic plugin (PhoneticTokenFilterFactory)
         "phonetic": _phonetic,
+        # analysis-icu plugin (AnalysisICUPlugin.getTokenFilters):
+        # folding / normalizer / transform / collation on unicodedata
+        "icu_folding": _icu_folding,
+        "icu_normalizer": _icu_normalizer,
+        "icu_transform": _icu_transform,
+        "icu_collation": _icu_collation,
         # round-3 batch 3: remaining CommonAnalysisPlugin.java:226-335 rows
         "arabic_stem": F.arabic_stem, "brazilian_stem": F.brazilian_stem,
         "czech_stem": F.czech_stem, "dutch_stem": F.dutch_stem,

@@ -25,6 +25,15 @@ def make_char_filter(kind: str, args) -> Callable[[str], str]:
         pattern, replacement = args
         rx = re.compile(pattern)
         return lambda s: rx.sub(replacement, s)
+    if kind == "icu_normalizer":
+        # analysis-icu IcuNormalizerCharFilterFactory: args is
+        # [name] or [name, mode] (name: nfc|nfkc|nfkc_cf)
+        from elasticsearch_ray.analysis.icu import icu_normalize
+
+        name = args[0] if args else "nfkc_cf"
+        mode = args[1] if len(args) > 1 else "compose"
+        icu_normalize("", name, mode)  # fail fast on a bad name
+        return lambda s: icu_normalize(s, name, mode)
     if kind == "mapping":
         pairs = [(k, v) for k, v in args]
         # Lucene MappingCharFilter is greedy longest-match: longer keys win

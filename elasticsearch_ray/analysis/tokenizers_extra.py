@@ -255,4 +255,8 @@ TOKENIZER_REGISTRY = {
     "path_hierarchy": _tok_path_hierarchy,
     "uax_url_email": _tok_uax_url_email,
     "thai": _tok_thai,
+    # analysis-icu plugin: ICU's word-break engine is UAX#29 (+ CJK
+    # dictionaries — documented partial, analysis/icu.py docstring), so
+    # icu_tokenizer maps to the real UAX#29 standard tokenizer
+    "icu_tokenizer": _tok_standard,
 }
