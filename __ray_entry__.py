@@ -2404,6 +2404,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def analysis_lang_plugins(sf):
+        # analysis-smartcn/kuromoji/nori/stempel/ukrainian stand-ins
+        # (rows-only: morphological chains have no SQL twin): each
+        # corpus doc's first 80 chars through every plugin analyzer,
+        # emitting the joined token stream — deterministic, distributed
+        from elasticsearch_ray.analysis.analyzers import get_analyzer
+
+        names = ["smartcn", "kuromoji", "nori", "polish", "ukrainian"]
+
+        def apply(df):
+            ans = {n: get_analyzer(n) for n in names}
+            out = {"doc_id": df["doc_id"]}
+            for n in names:
+                out[n] = [" ".join(ans[n](t[:80])[0])
+                          for t in df["text"].fillna("")]
+            return pd.DataFrame(out)
+
+        out = (_ds(sf, "documents").select_columns(["doc_id", "text"])
+               .map_batches(apply, batch_format="pandas")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def bpe_train_merges(sf):
         # BPE tokenizer training (Sennrich ACL'16): distributed word
         # counts → driver merge learning. Iterative merges are not
@@ -4433,6 +4455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": bpe_train_merges,
         "analysis_phonetic_codes": analysis_phonetic_codes,
         "analysis_icu_fold": analysis_icu_fold,
+        "analysis_lang_plugins": analysis_lang_plugins,
         "pipeline_attachment": pipeline_attachment,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,

@@ -553,6 +553,7 @@ def get_analyzer(name: str) -> Analyzer:
         import elasticsearch_ray.analysis.lang  # noqa: F401
         import elasticsearch_ray.analysis.lang2  # noqa: F401
         import elasticsearch_ray.analysis.lang3  # noqa: F401
+        import elasticsearch_ray.analysis.lang_plugins  # noqa: F401
         import elasticsearch_ray.analysis.tokenizers_extra  # noqa: F401
     try:
         return _REGISTRY[name]()
