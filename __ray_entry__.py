@@ -2404,6 +2404,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def cluster_apis(sf):
+        # _cluster/health + _cluster/stats + _autoscaling/capacity +
+        # _migration/deprecations + monitoring collection (rows-only:
+        # admin metadata has no SQL twin); fixed ts keeps it deterministic
+        from elasticsearch_ray.search.cluster import (
+            autoscaling_capacity,
+            cluster_health,
+            cluster_stats,
+            collect_monitoring,
+            deprecation_info,
+        )
+
+        eng = _documents_index(sf)
+        idx = {"documents": eng.index_dir}
+        h = cluster_health(idx)
+        cs = cluster_stats(idx)
+        cap = autoscaling_capacity(idx)["policies"]["default"]
+        dep = deprecation_info(idx)
+        mon = collect_monitoring(idx, ts=1700000000000)
+        return pa.table({
+            "metric": pa.array([
+                "status", "active_shards", "docs_count",
+                "store_nonzero", "autoscale_headroom_ok",
+                "deprecation_issue_indices", "monitoring_rows",
+            ]),
+            "value": pa.array([
+                h["status"], str(h["active_shards"]),
+                str(cs["indices"]["docs_count"]),
+                str(cs["indices"]["store_size_bytes"] > 0),
+                str(cap["required_capacity"]["total"]["storage"]
+                    >= cap["current_capacity"]["storage"]),
+                str(len(dep["index_settings"])), str(len(mon)),
+            ]),
+        })
+
     def analysis_lang_plugins(sf):
         # analysis-smartcn/kuromoji/nori/stempel/ukrainian stand-ins
         # (rows-only: morphological chains have no SQL twin): each
@@ -4456,6 +4491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analysis_phonetic_codes": analysis_phonetic_codes,
         "analysis_icu_fold": analysis_icu_fold,
         "analysis_lang_plugins": analysis_lang_plugins,
+        "cluster_apis": cluster_apis,
         "pipeline_attachment": pipeline_attachment,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
