@@ -3031,6 +3031,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_hash_split(sf):
+        # deterministic train/valid/test assignment: md5-band pure
+        # function of the id; DuckDB's md5() replicates it exactly
+        from elasticsearch_ray.ops.llm_prep import hash_split
+
+        out = hash_split(_ds(sf, "documents").select_columns(["doc_id"]),
+                         "doc_id", salt="r5")
+        df = (out.to_pandas()[["doc_id", "split"]]
+              .sort_values("doc_id").reset_index(drop=True))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     def llm_redact_pii(sf):
         # PII redaction over a deterministically-seeded derivation of the
         # docs (synthetic corpus has no PII): both sides append the same
@@ -4724,6 +4735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_global_shuffle": llm_global_shuffle,
         "llm_quality_classifier": llm_quality_classifier,
         "llm_redact_pii": llm_redact_pii,
+        "llm_hash_split": llm_hash_split,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
         "eql_sequence_asof": eql_sequence_asof,
@@ -5001,7 +5013,10 @@ FROM scores ORDER BY rank LIMIT {k}
 
 
 def oracle_sql() -> dict[str, str]:
-    from elasticsearch_ray.ops.llm_prep import pii_sql_expr
+    from elasticsearch_ray.ops.llm_prep import (
+        hash_split_sql_expr,
+        pii_sql_expr,
+    )
     from elasticsearch_ray.ops.textstats import BPE_SPLIT_PATTERN
 
     _BPE_PAT_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
@@ -6715,6 +6730,11 @@ def oracle_sql() -> dict[str, str]:
                               doc_id)::BIGINT AS rank,
                    doc_id, lang
             FROM documents ORDER BY rank
+        """,
+        "llm_hash_split": f"""
+            SELECT doc_id, {hash_split_sql_expr('doc_id', salt='r5')}
+                     AS split
+            FROM documents ORDER BY doc_id
         """,
         "llm_redact_pii": f"""
             SELECT doc_id, {pii_sql_expr('text2')} AS clean

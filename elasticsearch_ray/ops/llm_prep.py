@@ -407,6 +407,65 @@ DEFAULT_PII_RULES: list[tuple[str, str]] = [
 ]
 
 
+def hash_split(ds, id_col: str,
+               splits: dict[str, float] | None = None, salt: str = "",
+               out_col: str = "split"):
+    """Deterministic train/valid/test assignment — the standard
+    stable-split rule of LM data pipelines: band = md5(salt + id) mod
+    10000 against cumulative split fractions. Properties the pipelines
+    rely on: (1) assignment is a pure function of the id (re-runs,
+    re-partitioning, appends never move a document between splits);
+    (2) salt gives independent re-splits; (3) md5 makes it
+    cross-language reproducible (and exactly SQL-twin-able, unlike
+    Python's process-salted hash()).
+
+    Streaming narrow transform; hashing is hashlib-C per row."""
+    import hashlib
+
+    splits = splits or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    names = list(splits)
+    bounds = []
+    acc = 0.0
+    for n in names:
+        acc += splits[n]
+        bounds.append(int(round(acc * 10000)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        bands = np.fromiter(
+            (int(hashlib.md5((salt + i).encode()).hexdigest()[:8], 16)
+             % 10000 for i in ids), np.int64, len(ids))
+        out = np.empty(len(ids), object)
+        lo = 0
+        for name, hi in zip(names, bounds):
+            out[(bands >= lo) & (bands < hi)] = name
+            lo = hi
+        df = df.copy()
+        df[out_col] = out
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def hash_split_sql_expr(col: str, splits: dict[str, float] | None = None,
+                        salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_split`: same md5-prefix band and the
+    same cumulative CASE ladder."""
+    splits = splits or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    band = (f"(('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)),"
+            f" 1, 8))::BIGINT % 10000)")
+    acc = 0.0
+    cases = []
+    names = list(splits)
+    for n in names[:-1]:
+        acc += splits[n]
+        cases.append(f"WHEN {band} < {int(round(acc * 10000))} "
+                     f"THEN '{n}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
 def redact_pii(ds, text_col: str, rules: list[tuple[str, str]] | None = None,
                out_col: str | None = None):
     """Replace PII-shaped spans with ``<NAME>`` tags (ES `redact`

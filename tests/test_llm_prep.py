@@ -408,3 +408,55 @@ def test_c4_clean_space_only_trim_matches_duckdb(ray_session):
     assert got["clean"].tolist() == want["clean"].tolist()
     # the tab/cr lines were dropped on BOTH sides
     assert all("\t" not in c and "\r" not in c for c in got["clean"])
+
+
+def test_hash_split_deterministic_and_stable(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.llm_prep import (
+        hash_split,
+        hash_split_sql_expr,
+    )
+
+    ids = list(range(2000))
+    ds = rd.from_items([{"doc_id": i} for i in ids])
+    out = hash_split(ds, "doc_id", salt="s1").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # pure function of the id: repartitioning never moves a doc
+    out2 = hash_split(ds.repartition(7), "doc_id", salt="s1") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["split"]) == list(out2["split"])
+    # appending new docs never reassigns old ones
+    ds3 = rd.from_items([{"doc_id": i} for i in ids + [9999, 10001]])
+    out3 = hash_split(ds3, "doc_id", salt="s1").to_pandas() \
+        .set_index("doc_id")["split"]
+    assert all(out3[i] == s for i, s in zip(out["doc_id"], out["split"]))
+    # fractions land near the targets
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("valid", 0) - 0.05) < 0.02
+    # salt changes produce an independent split
+    alt = hash_split(ds, "doc_id", salt="s2").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(alt["split"]) != list(out["split"])
+    # python band == SQL twin band (md5 parity)
+    import duckdb
+
+    expr = hash_split_sql_expr("doc_id", salt="s1")
+    sql = duckdb.sql(
+        f"SELECT doc_id, {expr} AS split FROM (SELECT unnest(range(2000))"
+        " AS doc_id) ORDER BY doc_id").df()
+    assert list(sql["split"]) == list(out["split"])
+    # every id's band matches a direct hashlib computation
+    for i in (0, 7, 123, 1999):
+        band = int(hashlib.md5(f"s1{i}".encode()).hexdigest()[:8],
+                   16) % 10000
+        expect = ("train" if band < 9000
+                  else "valid" if band < 9500 else "test")
+        assert out.loc[i, "split"] == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ds, "doc_id", splits={"train": 0.5})
