@@ -183,6 +183,27 @@ def _sim_index(sf_dir: str, similarity: str):
     return eng
 
 
+def _mot_index(sf_dir: str):
+    """Documents index built as a match_only_text field (mapper-extras
+    MatchOnlyTextFieldMapper.java): IndexOptions.DOCS — no positions stored,
+    norms unused, every query constant-score; positional queries re-analyze
+    _source (SourceConfirmedTextQuery)."""
+    key = f"mot-{_sf_key(sf_dir)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.search.engine import QueryEngine
+
+    idx_dir = f"/tmp/esray_indexes/{key}"
+    spec = IndexSpec(use_html=False, text_column="text", doc_columns=("lang",),
+                     similarity="match_only_text", store_positions=False)
+    build_index(sf_dir, idx_dir, spec, file_pattern="documents.parquet")
+    eng = QueryEngine(idx_dir, dtype="float64")
+    _ENGINES[key] = eng
+    return eng
+
+
 def _synonym_index(sf_dir: str):
     """Documents index built with INDEX-TIME synonyms (equivalence injection
     + contraction), so unseen query terms resolve through stored postings."""
@@ -2626,6 +2647,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def search_match_only_text(sf):
+        # match_only_text (mapper-extras MatchOnlyTextFieldMapper): every
+        # term query is wrapped in ConstantScoreQuery, so a two-term match
+        # ranks docs by HOW MANY query terms they contain (2.0, then 1.0),
+        # ties by doc_id; the oracle counts distinct matched terms
+        from elasticsearch_ray.search.query import MatchQuery
+
+        eng = _mot_index(sf)
+        out = eng.search(MatchQuery("spark join"), k=12,
+                         fetch=("doc_id",)).to_pandas()[["doc_id", "score"]]
+        out["score"] = out["score"].round(4)
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def search_mot_phrase(sf):
+        # positional query on a positions-less index: candidates from the
+        # AND of term postings, phrase verified by re-analyzing _source
+        # (SourceConfirmedTextQuery.java model); constant score 1.0
+        from elasticsearch_ray.search.query import MatchPhraseQuery
+
+        eng = _mot_index(sf)
+        out = eng.search(MatchPhraseQuery("spark join"), k=10,
+                         fetch=("doc_id",)).to_pandas()[["doc_id", "score"]]
+        out["score"] = out["score"].round(4)
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def field_scaled_float_range(sf):
+        # scaled_float (mapper-extras ScaledFloatFieldMapper): doubles
+        # stored as Math.round(v*factor) longs; the range query scales its
+        # bounds (ceil lower / floor upper); both sides derive v = doc_id/7
+        # and encode floor(v*100 + 0.5) with identical float64 arithmetic
+        from elasticsearch_ray.ops.field_types import (
+            add_scaled_float,
+            scaled_float_range,
+        )
+
+        def derive(df):
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "v": df["doc_id"].to_numpy(np.float64) / 7.0})
+
+        ds = _ds(sf, "documents").select_columns(["doc_id"]) \
+            .map_batches(derive, batch_format="pandas")
+        ds = add_scaled_float(ds, "v", 100.0)
+        out = scaled_float_range(ds, "v", 100.0, gte=3.0, lte=5.5) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        return pa.Table.from_pandas(out[["doc_id", "v_scaled"]],
+                                    preserve_index=False)
+
     def text_bpe_tokens(sf):
         # GPT-2 pretokenizer (BPE-ish) token counts, RE2 on both sides
         from elasticsearch_ray.ops.textstats import bpe_token_count
@@ -4711,6 +4782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_bpe_tokens": text_bpe_tokens,
         "search_version_field_sort": search_version_field_sort,
+        "search_match_only_text": search_match_only_text,
+        "search_mot_phrase": search_mot_phrase,
+        "field_scaled_float_range": field_scaled_float_range,
         "agg_aggregate_metric": agg_aggregate_metric,
         "search_unsigned_long_sort": search_unsigned_long_sort,
         "llm_stratified_sample": llm_stratified_sample,
@@ -6531,6 +6605,34 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS rank,
                    doc_id, ver
             FROM v ORDER BY rank
+        """,
+        "search_match_only_text": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            m AS (
+              SELECT doc_id, count(DISTINCT term)::DOUBLE AS score
+              FROM tok WHERE term IN ('spark', 'join') GROUP BY doc_id)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                     AS rank,
+                   doc_id, round(score, 4) AS score
+            FROM m ORDER BY rank LIMIT 12
+        """,
+        "search_mot_phrase": """
+            SELECT row_number() OVER (ORDER BY doc_id)::BIGINT AS rank,
+                   doc_id, 1.0 AS score
+            FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark join %'
+            ORDER BY rank LIMIT 10
+        """,
+        "field_scaled_float_range": """
+            WITH v AS (
+              SELECT doc_id,
+                     floor(doc_id / 7.0 * 100.0 + 0.5)::BIGINT AS v_scaled
+              FROM documents)
+            SELECT doc_id, v_scaled FROM v
+            WHERE v_scaled BETWEEN 300 AND 550
+            ORDER BY doc_id
         """,
         "text_bpe_tokens": f"""
             SELECT doc_id,

@@ -297,3 +297,98 @@ def murmur3_column(ds: Dataset, col: str,
         return batch.append_column(out_col, pa.array(hs, pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- scaled_float
+# mapper-extras ScaledFloatFieldMapper.java — doubles stored as
+# ``Math.round(value * scaling_factor)`` longs; range bounds scale with
+# ceil (lower) / floor (upper), exclusive bounds step one ulp first
+# (nextUp/nextDown); doc values decode as scaled / factor, so aggs and
+# sorts see the quantized value (the field's documented precision-loss
+# contract).
+
+
+def scaled_encode(values: np.ndarray, factor: float) -> np.ndarray:
+    """Java ``Math.round(v * factor)`` = floor(v*factor + 0.5) as int64
+    (half-up for negatives too — unlike numpy's half-even round)."""
+    v = np.asarray(values, dtype=np.float64) * float(factor)
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def scaled_decode(scaled: np.ndarray, factor: float) -> np.ndarray:
+    return np.asarray(scaled, dtype=np.float64) / float(factor)
+
+
+def add_scaled_float(ds: Dataset, col: str, factor: float,
+                     out_col: str | None = None) -> Dataset:
+    """Index-time encode: append the long carrier column (default
+    ``<col>_scaled``)."""
+    out_col = out_col or f"{col}_scaled"
+
+    def enc(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            out_col, pa.array(scaled_encode(vals, factor), pa.int64()))
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def scaled_float_range(ds: Dataset, col: str, factor: float,
+                       gte: float | None = None, lte: float | None = None,
+                       gt: float | None = None, lt: float | None = None,
+                       scaled_col: str | None = None) -> Dataset:
+    """Range query over the encoded column with the reference's exact
+    bound scaling (ScaledFloatFieldMapper#rangeQuery): lower =
+    round(ceil(v*f)) (nextUp first when exclusive), upper =
+    round(floor(v*f)) (nextDown first when exclusive)."""
+    scaled_col = scaled_col or f"{col}_scaled"
+    lo_b = hi_b = None
+    if gte is not None:
+        lo_b = int(np.ceil(gte * float(factor)))
+    if gt is not None:
+        v = np.nextafter(gt * float(factor), np.inf)
+        lo_b = max(lo_b, int(np.ceil(v))) if lo_b is not None else int(np.ceil(v))
+    if lte is not None:
+        hi_b = int(np.floor(lte * float(factor)))
+    if lt is not None:
+        v = np.nextafter(lt * float(factor), -np.inf)
+        hi_b = min(hi_b, int(np.floor(v))) if hi_b is not None else int(np.floor(v))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = batch[scaled_col].to_numpy(zero_copy_only=False)
+        mask = np.ones(len(s), dtype=bool)
+        if lo_b is not None:
+            mask &= s >= lo_b
+        if hi_b is not None:
+            mask &= s <= hi_b
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def scaled_float_stats(ds: Dataset, col: str, factor: float,
+                       scaled_col: str | None = None) -> dict:
+    """Metric aggs over the DECODED doc values (scaled / factor) — per the
+    reference, aggregations see the quantized value, not the original.
+    One map-side partial pass (count/sum/min/max of decoded), driver
+    combine."""
+    scaled_col = scaled_col or f"{col}_scaled"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = scaled_decode(batch[scaled_col].to_numpy(zero_copy_only=False),
+                          factor)
+        if len(d) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"n": [int(len(d))], "s": [float(d.sum())],
+                         "mn": [float(d.min())], "mx": [float(d.max())]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["n"].sum() == 0:
+        return {"count": 0, "sum": 0.0, "min": None, "max": None, "avg": None}
+    n = int(parts["n"].sum())
+    s = float(parts["s"].sum())
+    return {"count": n, "sum": s, "min": float(parts["mn"].min()),
+            "max": float(parts["mx"].max()), "avg": s / n}

@@ -282,6 +282,13 @@ def make_scorer(similarity: str, df: int, doc_count: int, avgdl: float,
                               weight_source=similarity.get("weight_script"))
     if similarity == "boolean":
         return BooleanScorer(boost, dtype)
+    if similarity == "match_only_text":
+        # match_only_text field (mapper-extras MatchOnlyTextFieldMapper.java:
+        # 187-216): EVERY query on the field is wrapped in ConstantScoreQuery,
+        # so each matching term contributes exactly the query boost — the
+        # BooleanScorer constant — regardless of tf/norms (the index stores
+        # IndexOptions.DOCS and omits norms, so there is nothing to score on).
+        return BooleanScorer(boost, dtype)
     if similarity == "LMDirichlet":
         return LMDirichletScorer(ttf, total_tokens, boost, dtype=dtype)
     if similarity == "LMJelinekMercer":

@@ -33,8 +33,13 @@ import pyarrow as pa
 from elasticsearch_ray.analysis.analyzers import get_analyzer
 from elasticsearch_ray.index.segments import (SegmentReader, bloom_might_contain, part_dir,
                                               read_manifest, read_term_bloom)
-from elasticsearch_ray.index.spec import field_of_term, fkey
-from elasticsearch_ray.search.bm25 import BM25Params, BM25Scorer, make_scorer
+from elasticsearch_ray.index.spec import FIELD_SEP, field_of_term, fkey
+from elasticsearch_ray.search.bm25 import (
+    BM25Params,
+    BM25Scorer,
+    BooleanScorer,
+    make_scorer,
+)
 from elasticsearch_ray.search.query import (
     BoolQuery,
     BoostingQuery,
@@ -383,6 +388,12 @@ class PartitionSearcher:
         rows = self.r.lookup(terms)
         if len(rows) == 0 or np.any(rows < 0):
             return np.empty(0, np.int64), np.empty(0, np.int64)
+        if not self.r.has_positions:
+            # match_only_text / index_options=docs: positional queries are
+            # answered by re-analyzing _source for the AND-candidate docs
+            # (SourceConfirmedTextQuery.java:59 — "verify matches by looking
+            # at stored fields or _source whenever positions are needed")
+            return self._source_confirmed_phrase(terms, rows, slop)
         from elasticsearch_ray.index.postings import decode_postings
 
         if slop == 0:
@@ -461,6 +472,88 @@ class PartitionSearcher:
                 out_docs.append(d)
                 out_freqs.append(matches)
         return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+    def _source_confirmed_phrase(self, terms: list[str], rows: np.ndarray,
+                                 slop: int) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase matching without positions (match_only_text /
+        ``index_options: docs``): candidates = the AND of the member terms'
+        postings; each candidate's _source is fetched (row-group-pushdown)
+        and re-analyzed with the field's index analyzer, and the phrase is
+        verified against the fresh token stream — the reference's
+        SourceConfirmedTextQuery model (one in-memory index per candidate
+        doc; here a vectorized token-array scan). Candidate count after the
+        AND is small, so the per-doc work is bounded like the sloppy path."""
+        from elasticsearch_ray.index.postings import decode_postings
+
+        common = None
+        order_df = np.argsort(self.r.df[rows], kind="stable")
+        for oi in order_df:
+            docs, _tfs = decode_postings(self.r.blob(int(rows[oi])))
+            if common is None:
+                common = docs
+            else:
+                common = common[np.isin(common, docs, assume_unique=True)]
+            if len(common) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        spec = self._index_spec()
+        fld = field_of_term(terms[0])
+        if fld is None:
+            if spec.get("use_html", True):
+                raise ValueError(
+                    "source-confirmed phrase needs a re-analyzable _source "
+                    "column; html-derived text has none (match_only_text "
+                    "indexes are built with use_html=False)")
+            src_col = spec.get("text_column", "text")
+            an_name = self.analyzer_name
+        else:
+            src_col = (spec.get("fields") or {}).get(fld, fld)
+            an_name = (spec.get("field_analyzers") or {}).get(
+                fld, self.analyzer_name)
+        bare = [t if fld is None else t.split(FIELD_SEP, 1)[1] for t in terms]
+        texts = _fetch_source_rows(
+            self.r.manifest, common.astype(np.int64), [src_col]
+        )[src_col].to_pylist()
+        an = get_analyzer(an_name)
+        nt = len(bare)
+        out_docs, out_freqs = [], []
+        for local, text in zip(common.tolist(), texts):
+            toks = np.asarray(an(text or "")[0], dtype=object)
+            if len(toks) < nt:
+                continue
+            if slop == 0:
+                cand = np.flatnonzero(toks[: len(toks) - nt + 1] == bare[0])
+                for i in range(1, nt):
+                    if len(cand) == 0:
+                        break
+                    cand = cand[toks[cand + i] == bare[i]]
+                matches = int(len(cand))
+            else:
+                streams = []
+                for ti, b in enumerate(bare):
+                    base = np.flatnonzero(toks == b).astype(np.int64) - ti
+                    streams.append(np.stack(
+                        [base, np.full(len(base), ti, np.int64)], axis=1))
+                merged = np.concatenate(streams)
+                merged = merged[np.argsort(merged[:, 0], kind="stable")]
+                matches = _window_match_count(merged, nt, slop)
+            if matches:
+                out_docs.append(local)
+                out_freqs.append(matches)
+        return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+    def _index_spec(self) -> dict:
+        """The owning index's spec (index_meta.json one level above the
+        partition dir) — loaded lazily so actor-side searchers pay the read
+        only on the first source-confirmed query."""
+        spec = getattr(self, "_spec_cache", None)
+        if spec is None:
+            # part dir = <index>/parts/part-NNNN (segments.part_dir)
+            index_dir = os.path.dirname(
+                os.path.dirname(self.r.dir.rstrip(os.sep)))
+            with open(os.path.join(index_dir, "index_meta.json")) as f:
+                spec = json.load(f)["spec"]
+            self._spec_cache = spec
+        return spec
 
     def _ordered_spans(self, terms: list[str], slop: int):
         """Enumerate ordered span_near matches: (start_keys, end_keys) with
@@ -2221,6 +2314,12 @@ class QueryEngine:
         from elasticsearch_ray.search.bm25 import idf as idf_fn
 
         def reg(pterms: tuple, boost: float):
+            if self.similarity == "match_only_text":
+                # ConstantScoreQuery wrap (MatchOnlyTextFieldMapper.java:187):
+                # a source-confirmed phrase scores exactly the boost
+                scorers[("__phrase__",) + pterms] = BooleanScorer(
+                    boost, self.dtype)
+                return
             sc = BM25Scorer(1, self.n_docs, self.avgdl, self.params, dtype=self.dtype)
             if self.dtype == "float32":
                 idf_sum = np.float32(0.0)
