@@ -3531,6 +3531,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values(["by_field_value", "timestamp"],
                             ignore_index=True), preserve_index=False)
 
+    def ml_anomaly_varp(sf):
+        # DetectorFunction VARP (population variance per bucket from
+        # associative n/Σv/Σv² partials) + MEDIAN (exact, raw-value
+        # reduction) + TIME_OF_DAY (mean in-day offset) per event_type/day;
+        # floor-truncated to dodge the half-even/half-away rounding split
+        from elasticsearch_ray.ops.anomaly import AnomalyJob, run_anomaly_job
+
+        job = AnomalyJob("varp-gate", bucket_span="1d", detectors=[
+            {"function": "varp", "field_name": "value",
+             "partition_field_name": "event_type"},
+            {"function": "median", "field_name": "value",
+             "partition_field_name": "event_type"},
+            {"function": "time_of_day",
+             "partition_field_name": "event_type"},
+        ])
+        res = run_anomaly_job(_ds(sf, "events"), job)
+        r = res["records"]
+        out = r.pivot_table(index=["timestamp", "partition_field_value"],
+                            columns="detector_index", values="actual") \
+            .reset_index()
+        out.columns = ["timestamp", "event_type", "varp", "med", "tod"]
+        for c in ("varp", "med", "tod"):
+            # half-up at 1e4: the 2-decimal money lattice puts exact varp/
+            # median values ON the 1e-4 grid, where floor truncation flips
+            # on 1e-12 fp noise; the half-up boundary sits between lattice
+            # points (validated flip-free at all three SFs)
+            out[c] = np.floor(out[c] * 1e4 + 0.5) / 1e4
+        out = out.sort_values(["event_type", "timestamp"],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ml_anomaly_rare(sf):
+        # DetectorFunction RARE: probability = bucket-presence ratio of the
+        # by-field value within its partition (see _score_rare docstring);
+        # exact rational — the SQL twin recomputes presence/total
+        from elasticsearch_ray.ops.anomaly import AnomalyJob, run_anomaly_job
+
+        def derive(df):
+            df = df.copy()
+            df["ugrp"] = (df["user_id"] % 29).astype(str)
+            return df[["ts", "event_type", "ugrp"]]
+
+        job = AnomalyJob("rare-gate", bucket_span="1d", detectors=[
+            {"function": "rare", "by_field_name": "ugrp",
+             "partition_field_name": "event_type"}])
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pandas")
+        res = run_anomaly_job(ds, job)
+        r = res["records"]
+        out = r[["timestamp", "partition_field_value", "by_field_value",
+                 "actual", "probability"]].rename(columns={
+                     "partition_field_value": "event_type",
+                     "by_field_value": "ugrp"})
+        out["probability"] = np.floor(out["probability"] * 1e6) / 1e6
+        out = out.sort_values(["event_type", "ugrp", "timestamp"],
+                              ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def ml_anomaly_functions(sf):  # rows-only (score/model half)
+        # the remaining DetectorFunction families end-to-end: info_content
+        # (zlib bucket compression), metric (most anomalous of mean/min/
+        # max), freq_rare, non_null_sum, nzc shortcut
+        from elasticsearch_ray.ops.anomaly import (
+            AnomalyJob,
+            get_records,
+            run_anomaly_job,
+        )
+
+        def derive(df):
+            df = df.copy()
+            df["ugrp"] = (df["user_id"] % 13).astype(str)
+            return df
+
+        job = AnomalyJob("fn-gate", bucket_span="1d", detectors=[
+            {"function": "high_info_content", "field_name": "event_type"},
+            {"function": "metric", "field_name": "value"},
+            {"function": "freq_rare", "by_field_name": "ugrp"},
+            {"function": "non_null_sum", "field_name": "value"},
+            {"function": "nzc"},
+        ])
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pandas")
+        res = run_anomaly_job(ds, job)
+        top = get_records(res).head(30)
+        top = top[["timestamp", "detector_index", "function", "actual",
+                   "probability", "record_score"]]
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
     def ml_anomaly_records(sf):  # rows-only (score model is the sketch half)
         from elasticsearch_ray.ops.anomaly import (
             AnomalyJob,
@@ -4663,6 +4750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_inference_classification": ml_inference_classification,
         "ml_anomaly_bucket_stats": ml_anomaly_bucket_stats,
         "ml_anomaly_records": ml_anomaly_records,
+        "ml_anomaly_varp": ml_anomaly_varp,
+        "ml_anomaly_rare": ml_anomaly_rare,
+        "ml_anomaly_functions": ml_anomaly_functions,
         "ml_forecast": ml_forecast,
         "ml_datafeed_bucket_stats": ml_datafeed_bucket_stats,
         "ml_outlier_kth_nn": ml_outlier_kth_nn,
@@ -5723,6 +5813,37 @@ def oracle_sql() -> dict[str, str]:
                    round(mu, 6) AS typical,
                    round((actual - mu) / sd, 4) AS z
             FROM s ORDER BY event_type, timestamp
+        """,
+        "ml_anomaly_varp": """
+            SELECT date_trunc('day', ts) AS timestamp, event_type,
+                   floor(var_pop(value) * 1e4 + 0.5) / 1e4 AS varp,
+                   floor(median(value) * 1e4 + 0.5) / 1e4 AS med,
+                   floor(avg(epoch(ts) - epoch(date_trunc('day', ts)))
+                         * 1e4 + 0.5) / 1e4 AS tod
+            FROM events GROUP BY 1, 2 ORDER BY event_type, timestamp
+        """,
+        "ml_anomaly_rare": """
+            WITH e AS (
+              SELECT date_trunc('day', ts) AS b, event_type,
+                     (user_id % 29)::VARCHAR AS ugrp
+              FROM events),
+            cnt AS (
+              SELECT b, event_type, ugrp, count(*)::DOUBLE AS actual
+              FROM e GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT event_type, count(DISTINCT b)::DOUBLE AS total
+              FROM e GROUP BY 1),
+            pres AS (
+              SELECT event_type, ugrp, count(DISTINCT b)::DOUBLE AS presence
+              FROM cnt GROUP BY 1, 2)
+            SELECT cnt.b AS timestamp, cnt.event_type, cnt.ugrp, cnt.actual,
+                   floor(pres.presence / tot.total * 1e6) / 1e6
+                     AS probability
+            FROM cnt
+            JOIN pres ON cnt.event_type = pres.event_type
+                     AND cnt.ugrp = pres.ugrp
+            JOIN tot ON cnt.event_type = tot.event_type
+            ORDER BY cnt.event_type, cnt.ugrp, cnt.b
         """,
         "ml_datafeed_bucket_stats": """
             WITH b AS (

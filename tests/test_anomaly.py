@@ -135,8 +135,16 @@ def test_validation_errors():
         AnomalyJob("j", detectors=[])
     with pytest.raises(ValueError, match="requires field_name"):
         AnomalyJob("j", detectors=[{"function": "mean"}])
-    with pytest.raises(ValueError, match="unsupported function"):
+    with pytest.raises(ValueError, match="requires field_name"):
         AnomalyJob("j", detectors=[{"function": "median"}])
+    with pytest.raises(ValueError, match="unsupported function"):
+        AnomalyJob("j", detectors=[{"function": "lat_long"}])
+    with pytest.raises(ValueError, match="requires by_field_name"):
+        AnomalyJob("j", detectors=[{"function": "rare"}])
+    with pytest.raises(ValueError, match="takes no field_name"):
+        AnomalyJob("j", detectors=[{"function": "freq_rare",
+                                    "by_field_name": "u",
+                                    "field_name": "v"}])
 
 
 def test_forecast_linear_trend_and_widening_bounds(ray_session):
