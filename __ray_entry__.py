@@ -3892,6 +3892,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"events": _ds(sf, "events")}).to_pandas()
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def sql_string_functions(sf):
+        # QL scalar string/conditional functions (x-pack sql
+        # expression/function/scalar/string + predicate/conditional)
+        # compiled onto an EVAL stage; the oracle IS the statement
+        # (UPPER/LOWER alias spellings keep it runnable on DuckDB)
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT doc_id, UPPER(lang) AS ul, LENGTH(text) AS tl, "
+            "SUBSTRING(text, 1, 10) AS head, "
+            "COALESCE(NULLIF(lang, 'en'), 'english') AS lx "
+            "FROM documents WHERE LENGTH(lang) = 2 "
+            "ORDER BY doc_id LIMIT 200",
+            {"documents": _ds(sf, "documents")}).to_pandas()
+        out["tl"] = out["tl"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def sql_date_functions(sf):
+        # QL scalar date-time functions (x-pack sql .../scalar/datetime):
+        # extraction family over the events time axis; oracle = statement
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS m, "
+            "DAY(ts) AS d, HOUR(ts) AS h, MINUTE(ts) AS mi, "
+            "QUARTER(ts) AS q "
+            "FROM events WHERE event_id < 2000 ORDER BY event_id",
+            {"events": _ds(sf, "events")}).to_pandas()
+        for c in ("y", "m", "d", "h", "mi", "q"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -4914,6 +4946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_events_agg": sql_events_agg,
         "sql_events_topk": sql_events_topk,
         "sql_events_expr": sql_events_expr,
+        "sql_string_functions": sql_string_functions,
+        "sql_date_functions": sql_date_functions,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -7147,6 +7181,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value * 3 + user_id AS score FROM events
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
+        """,
+        "sql_string_functions": """
+            SELECT doc_id, UPPER(lang) AS ul, LENGTH(text)::BIGINT AS tl,
+                   SUBSTRING(text, 1, 10) AS head,
+                   COALESCE(NULLIF(lang, 'en'), 'english') AS lx
+            FROM documents WHERE LENGTH(lang) = 2
+            ORDER BY doc_id LIMIT 200
+        """,
+        "sql_date_functions": """
+            SELECT event_id, YEAR(ts)::BIGINT AS y, MONTH(ts)::BIGINT AS m,
+                   DAY(ts)::BIGINT AS d, HOUR(ts)::BIGINT AS h,
+                   MINUTE(ts)::BIGINT AS mi, QUARTER(ts)::BIGINT AS q
+            FROM events WHERE event_id < 2000 ORDER BY event_id
         """,
         "text_structure_events_csv": """
             WITH s AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)

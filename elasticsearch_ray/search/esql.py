@@ -74,6 +74,19 @@ class EsqlError(ValueError):
     pass
 
 
+def _tokens_to_src(toks) -> str:
+    """Reassemble token source text (strings re-quoted) so a clause can be
+    handed to the QL scalar-function layer's own parser."""
+    parts = []
+    for k, v in toks:
+        if k == "string":
+            parts.append('"' + v.replace("\\", "\\\\")
+                         .replace('"', '\\"') + '"')
+        else:
+            parts.append(v)
+    return " ".join(parts)
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(src):
@@ -384,14 +397,30 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
         if k0 != "kw":
             raise EsqlError(f"expected a command, got {v0!r}")
         if v0 == "WHERE":
-            cond = _CondParser(rest).parse()
+            src = _tokens_to_src(rest)
+            from elasticsearch_ray.search.qlfuncs import (
+                has_ql_function,
+                ql_where,
+            )
 
-            def where(df, cond=cond):
-                return df[np.asarray(cond(df), bool)]
-            ds = ds.map_batches(where, batch_format="pandas")
+            if has_ql_function(src):
+                # scalar-function predicate (e.g. YEAR(ts) == 2024) rides
+                # the QL function layer; plain column predicates keep the
+                # pipe dialect's own condition parser (LIKE etc.)
+                ds = ql_where(ds, src)
+            else:
+                cond = _CondParser(rest).parse()
+
+                def where(df, cond=cond):
+                    return df[np.asarray(cond(df), bool)]
+                ds = ds.map_batches(where, batch_format="pandas")
         elif v0 == "EVAL":
             from elasticsearch_ray.search.expressions import (
                 add_expression_column,
+            )
+            from elasticsearch_ray.search.qlfuncs import (
+                add_ql_column,
+                has_ql_function,
             )
 
             for name, expr in _parse_assignments(rest, "EVAL"):
@@ -408,6 +437,10 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                             .str.split(sep, regex=False)
                         return df
                     ds = ds.map_batches(splitter, batch_format="pandas")
+                elif has_ql_function(expr):
+                    # string/date/conditional scalar (the SQL function
+                    # registry, search/qlfuncs.py)
+                    ds = add_ql_column(ds, name, expr)
                 else:
                     ds = add_expression_column(ds, name, expr)
         elif v0 == "STATS":

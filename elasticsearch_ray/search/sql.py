@@ -15,7 +15,12 @@ Supported statement::
     [LIMIT n]
 
 where ``item`` is a column, ``AGG(col|*)`` (COUNT/SUM/AVG/MIN/MAX/
-COUNT_DISTINCT), optionally ``AS alias``. Conditions support
+COUNT_DISTINCT), a scalar arithmetic expression, or a scalar FUNCTION
+call from the QL registry (string/date-time/conditional families —
+``search/qlfuncs.py``, mirroring ``x-pack/plugin/sql/.../expression/
+function/scalar``), each optionally ``AS alias``. Scalar functions are
+also accepted in WHERE comparisons (compiled onto the QL layer's
+vectorized predicate path). Conditions support
 ``= <> != > >= < <= IN (...) LIKE '%wild_card' IS [NOT] NULL`` joined
 by AND/OR/NOT and parentheses (SQL ``%``/``_`` wildcards become the
 pipe dialect's ``*``/``?``).
@@ -152,7 +157,38 @@ def _parse_select_item(toks):
                 f"expression select items need AS <alias>: {toks}")
         src = " ".join(v for _k, v in toks)
         return "expr", src, alias
+    # scalar-function item (UCASE/SUBSTRING/YEAR/COALESCE/... — the QL
+    # function registry, search/qlfuncs.py): compiles to the same EVAL
+    # stage; strings re-quote to the pipe dialect's double quotes
+    if toks and _has_scalar_call(toks):
+        if alias is None:
+            raise SqlError(
+                f"function select items need AS <alias>: {toks}")
+        return "expr", _item_src(toks), alias
     raise SqlError(f"unsupported select item: {toks}")
+
+
+def _has_scalar_call(toks) -> bool:
+    from elasticsearch_ray.search.qlfuncs import QL_FUNCTIONS
+
+    return any(
+        k == "name" and v.upper() in QL_FUNCTIONS
+        and i + 1 < len(toks) and toks[i + 1] == ("op", "(")
+        for i, (k, v) in enumerate(toks))
+
+
+def _item_src(toks) -> str:
+    """Token run -> pipe-dialect source text (SQL 'strings' become
+    double-quoted)."""
+    parts = []
+    for k, v in toks:
+        if k == "string":
+            body = v[1:-1].replace("''", "'")
+            parts.append('"' + body.replace("\\", "\\\\")
+                         .replace('"', '\\"') + '"')
+        else:
+            parts.append(v)
+    return " ".join(parts)
 
 
 def _cond_to_pipe(toks) -> str:
