@@ -3924,6 +3924,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def llm_boilerplate_extract(sf):
+        # jusText boilerplate removal (ops/boilerplate.py): both sides
+        # derive the same nav/footer-wrapped page whose single content
+        # paragraph is stopword-injected text; the classifier must return
+        # EXACTLY that paragraph (nav/footer/link-dense blocks dropped) for
+        # every doc long enough to classify good unconditionally (>200
+        # chars, the thesis' LENGTH_HIGH)
+        from elasticsearch_ray.ops.boilerplate import remove_boilerplate
+
+        def derive(df):
+            content = df["text"].str.replace(" ", " the ", regex=False)
+            keep = content.str.len() > 200
+            df = pd.DataFrame({"doc_id": df["doc_id"][keep],
+                               "content_true": content[keep]})
+            df["html"] = ('<nav><a href="/">home</a> '
+                          '<a href="/about">about</a></nav><p>'
+                          + df["content_true"] + "</p><footer>copyright "
+                          "2024 example corp</footer>")
+            return df
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(derive, batch_format="pandas")
+        out = remove_boilerplate(ds).to_pandas()
+        out = out[["doc_id", "content"]].sort_values(
+            "doc_id", ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def llm_hard_negatives(sf):
+        # BM25 hard-negative mining for retrieval training (DPR recipe):
+        # top-k excluding the labeled positive per query; oracle = the
+        # BM25 twin with the positive filtered out, per query
+        from elasticsearch_ray.ops.llm_prep import mine_hard_negatives
+
+        eng = _documents_index(sf)
+        out = mine_hard_negatives(eng, [
+            ("q1", "spark join", 3),
+            ("q2", "merge sort", 7),
+            ("q3", "filter scan", 11),
+        ], k=5)
+        out["rank"] = out["rank"].astype(np.int64)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -4948,6 +4992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_events_expr": sql_events_expr,
         "sql_string_functions": sql_string_functions,
         "sql_date_functions": sql_date_functions,
+        "llm_boilerplate_extract": llm_boilerplate_extract,
+        "llm_hard_negatives": llm_hard_negatives,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
@@ -7182,6 +7228,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
         """,
+        "llm_boilerplate_extract": """
+            WITH d AS (
+              SELECT doc_id, replace(text, ' ', ' the ') AS content
+              FROM documents)
+            SELECT doc_id, content FROM d
+            WHERE length(content) > 200 ORDER BY doc_id
+        """,
+        "llm_hard_negatives": (
+            "SELECT 'q1' AS qid, * FROM ("
+            + _bm25_sql(["spark", "join"], k=5,
+                        doc_filter="doc.doc_id <> 3")
+            + ") UNION ALL SELECT 'q2', * FROM ("
+            + _bm25_sql(["merge", "sort"], k=5,
+                        doc_filter="doc.doc_id <> 7")
+            + ") UNION ALL SELECT 'q3', * FROM ("
+            + _bm25_sql(["filter", "scan"], k=5,
+                        doc_filter="doc.doc_id <> 11")
+            + ")"),
         "sql_string_functions": """
             SELECT doc_id, UPPER(lang) AS ul, LENGTH(text)::BIGINT AS tl,
                    SUBSTRING(text, 1, 10) AS head,

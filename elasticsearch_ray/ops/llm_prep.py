@@ -500,3 +500,37 @@ def pii_sql_expr(col: str, rules: list[tuple[str, str]] | None = None) -> str:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '<{tag}>', 'g')"
     return expr
+
+
+# ------------------------------------------------- hard-negative mining
+
+def mine_hard_negatives(engine, queries: list[tuple], k: int = 5,
+                        overfetch: int = 50) -> pd.DataFrame:
+    """BM25 hard negatives for retrieval training data (the DPR recipe,
+    Karpukhin et al. EMNLP'20 §4.2: negatives = "top passages returned by
+    BM25" that are not the labeled positive). ``queries`` is
+    ``[(qid, query_text, positive_doc_id)]``; returns one frame
+    ``(qid, rank, doc_id, score)`` with the positive excluded and ranks
+    re-assigned 1..k on (rounded score desc, doc_id) — the same tie
+    discipline the oracle twins use.
+
+    Scale shape: each query is ONE distributed top-k over the warm engine
+    (BMW-pruned, partition fan-out); the per-query merge frame is k+
+    overfetch rows. Mining a large query set would batch through
+    ``engine.msearch`` — negatives never materialize the corpus."""
+    from elasticsearch_ray.search.query import MatchQuery
+
+    rows = []
+    for qid, text, pos in queries:
+        hits = engine.search(MatchQuery(text), k=k + 1 + overfetch,
+                             fetch=("doc_id",)).to_pandas()
+        hits = hits[["doc_id", "score"]]
+        hits["score"] = hits["score"].round(4)
+        hits = hits[hits["doc_id"] != pos]
+        hits = hits.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k)
+        hits.insert(0, "rank", np.arange(1, len(hits) + 1, dtype=np.int64))
+        hits.insert(0, "qid", qid)
+        rows.append(hits)
+    return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        columns=["qid", "rank", "doc_id", "score"])
