@@ -3968,6 +3968,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.reset_index(drop=True),
                                     preserve_index=False)
 
+    def sql_histogram(sf):
+        # HISTOGRAM grouping function (x-pack sql Histogram.java): numeric
+        # bucket key floor(v/step)*step computed in an EVAL before the
+        # STATS shuffle; the oracle is the equivalent floor arithmetic
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT HISTOGRAM(value, 25) AS h, COUNT(*) AS c, "
+            "SUM(value) AS s FROM events GROUP BY h ORDER BY h",
+            {"events": _ds(sf, "events")}).to_pandas()
+        out["c"] = out["c"].astype("int64")
+        out["s"] = out["s"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def sql_date_histogram(sf):
+        # HISTOGRAM(ts, INTERVAL 1 day) -> DATE_TRUNC bucket key
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT HISTOGRAM(ts, INTERVAL 1 day) AS d, COUNT(*) AS c "
+            "FROM events GROUP BY d ORDER BY d",
+            {"events": _ds(sf, "events")}).to_pandas()
+        out["c"] = out["c"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def search_match_bool_prefix(sf):
+        # match_bool_prefix (MatchBoolPrefixQueryBuilder): full terms
+        # score BM25, the trailing mid-type term becomes a constant-score
+        # prefix clause; bool SHOULD sums — oracle adds 1.0 to the spark
+        # BM25 for docs holding any 'jo%' term
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        eng = _documents_index(sf)
+        q = parse_dsl({"match_bool_prefix": {"text": {"query": "spark jo"}}})
+        return _search_table(eng, q, k=10)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -4993,6 +5029,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_string_functions": sql_string_functions,
         "sql_date_functions": sql_date_functions,
         "llm_boilerplate_extract": llm_boilerplate_extract,
+        "sql_histogram": sql_histogram,
+        "sql_date_histogram": sql_date_histogram,
+        "search_match_bool_prefix": search_match_bool_prefix,
         "llm_hard_negatives": llm_hard_negatives,
         "agg_frequent_item_sets": agg_frequent_item_sets,
         "esql_stats": esql_stats,
@@ -7227,6 +7266,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value * 3 + user_id AS score FROM events
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
+        """,
+        "sql_histogram": """
+            SELECT floor(value / 25) * 25 AS h, count(*)::BIGINT AS c,
+                   round(sum(value), 4) AS s
+            FROM events GROUP BY h ORDER BY h
+        """,
+        "sql_date_histogram": """
+            SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS c
+            FROM events GROUP BY d ORDER BY d
+        """,
+        "search_match_bool_prefix": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl_t AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM dl_t),
+dl_lossy AS (SELECT doc_id, ({_LOSSY_DL})::DOUBLE AS dll FROM dl_t),
+tf_t AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+  WHERE term = 'spark' GROUP BY doc_id
+),
+df_t AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok WHERE term = 'spark'),
+spark_sc AS (
+  SELECT tf_t.doc_id,
+         ln(1 + (s.n_docs - df_t.df + 0.5)/(df_t.df + 0.5))
+           * ({BM25_K1} + 1) * tf_t.tf
+           / (tf_t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dll
+                                     / (s.sum_dl / s.n_docs))) AS score
+  FROM tf_t CROSS JOIN stats s CROSS JOIN df_t
+  JOIN dl_lossy d ON tf_t.doc_id = d.doc_id
+),
+pref AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'jo%'),
+cand AS (
+  SELECT coalesce(sc.doc_id, p.doc_id) AS doc_id,
+         coalesce(sc.score, 0)
+           + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+  FROM spark_sc sc FULL OUTER JOIN pref p ON sc.doc_id = p.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM cand ORDER BY rank LIMIT 10
         """,
         "llm_boilerplate_extract": """
             WITH d AS (

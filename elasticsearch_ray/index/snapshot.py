@@ -29,6 +29,37 @@ import time
 
 _RESERVED = {"blobs"}
 
+# repositories-metering-api analog (x-pack repositories-metering-api
+# RepositoriesMeteringResponse / RepositoryStatsSnapshot): per-repository
+# blob-store request counters, keyed like the reference's request_counts
+# map. Incremented by the snapshot functions as they touch blobs.
+_METERING: dict[str, dict] = {}
+
+
+def _meter(repo_dir: str, op: str, n: int = 1, bytes_: int = 0) -> None:
+    m = _METERING.setdefault(os.path.abspath(repo_dir), {
+        "GetObject": 0, "PutObject": 0, "ListObjects": 0,
+        "DeleteObjects": 0, "bytes_read": 0, "bytes_written": 0})
+    m[op] += n
+    if op == "GetObject":
+        m["bytes_read"] += bytes_
+    elif op == "PutObject":
+        m["bytes_written"] += bytes_
+
+
+def repositories_metering(repo_dir: str) -> dict:
+    """GET _nodes/_repositories_metering analog: the repository's
+    request counters since process start (the reference's counters are
+    also in-memory per node, cleared by the DELETE endpoint)."""
+    return dict(_METERING.get(os.path.abspath(repo_dir), {
+        "GetObject": 0, "PutObject": 0, "ListObjects": 0,
+        "DeleteObjects": 0, "bytes_read": 0, "bytes_written": 0}))
+
+
+def clear_repositories_metering(repo_dir: str) -> None:
+    """DELETE _nodes/_repositories_metering analog."""
+    _METERING.pop(os.path.abspath(repo_dir), None)
+
 
 def _snap_dir(repo_dir: str, name: str) -> str:
     if (not name or name.endswith(".tmp") or os.sep in name
@@ -79,6 +110,7 @@ def snapshot_create(index_dir: str, repo_dir: str, name: str) -> dict:
                 tmp = blob + f".tmp-{os.getpid()}"
                 _link_or_copy(path, tmp)
                 os.replace(tmp, blob)
+                _meter(repo_dir, "PutObject", bytes_=size)
             file_map[rel] = {"hash": digest, "size": size}
             total += size
     manifest = {"snapshot": name, "source": os.path.abspath(index_dir),
@@ -110,6 +142,7 @@ def snapshot_list(repo_dir: str) -> list[dict]:
     out = []
     if not os.path.isdir(repo_dir):
         return out
+    _meter(repo_dir, "ListObjects")
     for d in sorted(os.listdir(repo_dir)):
         mpath = os.path.join(repo_dir, d, "snapshot.json")
         if not d.endswith(".tmp") and os.path.exists(mpath):
@@ -128,6 +161,7 @@ def _materialize(repo_dir: str, name: str, dst_dir: str,
         out = os.path.join(tmp, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         _link_or_copy(os.path.join(blobs, info["hash"]), out)
+        _meter(repo_dir, "GetObject", bytes_=int(info["size"]))
     os.makedirs(tmp, exist_ok=True)  # empty index edge case
     os.replace(tmp, dst_dir)
     return man
@@ -157,6 +191,7 @@ def snapshot_delete(repo_dir: str, name: str) -> None:
         for b in os.listdir(blobs):
             if b.split(".tmp-")[0] not in live:
                 os.remove(os.path.join(blobs, b))
+                _meter(repo_dir, "DeleteObjects")
 
 
 def mount_snapshot(repo_dir: str, name: str, dtype: str = "float64"):
@@ -174,3 +209,71 @@ def mount_snapshot(repo_dir: str, name: str, dtype: str = "float64"):
     from elasticsearch_ray.search.engine import QueryEngine
 
     return QueryEngine(view, dtype=dtype)
+
+def analyze_repository(repo_dir: str, blob_count: int = 10,
+                       max_blob_size: int = 1 << 20,
+                       seed: int = 0) -> dict:
+    """Repository analysis (snapshot-repo-test-kit
+    ``RepositoryAnalyzeAction`` / ``BlobAnalyzeAction``): exercise the
+    blob store with deterministic random blobs — write, full read-back,
+    ranged read-back, checksum verify, list, delete — and report
+    consistency + throughput. The reference's contended-register and
+    early-read-during-write checks need concurrent writers; the
+    single-writer fs repo runs the read-after-write and
+    list-consistency halves, which are the detectable failure modes on
+    a filesystem store."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    adir = os.path.join(repo_dir, ".analyze.tmp")
+    shutil.rmtree(adir, ignore_errors=True)
+    os.makedirs(adir)
+    sizes = [int(s) for s in
+             rng.integers(1, max(max_blob_size, 2), size=blob_count)]
+    digests = {}
+    t0 = time.monotonic()
+    total = 0
+    for i, size in enumerate(sizes):
+        data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        name = f"test-blob-{i}"
+        with open(os.path.join(adir, name), "wb") as f:
+            f.write(data)
+        digests[name] = hashlib.sha256(data).hexdigest()
+        total += size
+    write_s = time.monotonic() - t0
+    inconsistencies = []
+    t0 = time.monotonic()
+    read_bytes = 0
+    for name, digest in digests.items():
+        path = os.path.join(adir, name)
+        with open(path, "rb") as f:
+            data = f.read()
+        read_bytes += len(data)
+        if hashlib.sha256(data).hexdigest() != digest:
+            inconsistencies.append({"blob": name, "check": "full_read"})
+        # ranged read (the GetObject range check)
+        if len(data) > 2:
+            lo = len(data) // 3
+            hi = 2 * len(data) // 3
+            with open(path, "rb") as f:
+                f.seek(lo)
+                part = f.read(hi - lo)
+            if part != data[lo:hi]:
+                inconsistencies.append({"blob": name, "check": "range_read"})
+    read_s = time.monotonic() - t0
+    listed = sorted(os.listdir(adir))
+    if listed != sorted(digests):
+        inconsistencies.append({"check": "list", "expected": len(digests),
+                                "actual": len(listed)})
+    shutil.rmtree(adir)
+    if os.path.isdir(adir):
+        inconsistencies.append({"check": "delete"})
+    return {
+        "repository": os.path.abspath(repo_dir),
+        "blob_count": blob_count,
+        "total_bytes": total,
+        "write_throughput_bps": total / max(write_s, 1e-9),
+        "read_throughput_bps": read_bytes / max(read_s, 1e-9),
+        "inconsistencies": inconsistencies,
+        "summary": "pass" if not inconsistencies else "fail",
+    }

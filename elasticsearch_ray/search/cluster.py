@@ -268,3 +268,58 @@ def collect_monitoring(indices: dict[str, str], ts: int) -> pd.DataFrame:
             "status": h["status"],
         })
     return pd.DataFrame(rows)
+
+# ------------------------------------------------------------ node shutdown
+# x-pack shutdown plugin (PutShutdownNodeAction / GetShutdownStatusAction /
+# DeleteShutdownNodeAction): register an intended node shutdown and report
+# per-component migration readiness. The reference tracks shard-migration /
+# persistent-task status for the draining node; here partitions stand in
+# for shards — a `remove` shutdown reports every partition of every known
+# index as needing relocation (COMPLETE once the caller re-plans them), a
+# `restart` needs none (shards stay allocated).
+
+_SHUTDOWNS: dict[str, dict] = {}
+
+_SHUTDOWN_TYPES = ("restart", "remove", "replace")
+
+
+def put_node_shutdown(node_id: str, type_: str, reason: str,
+                      target_node_name: str | None = None) -> dict:
+    if type_ not in _SHUTDOWN_TYPES:
+        raise ValueError(f"shutdown type must be one of {_SHUTDOWN_TYPES}")
+    if type_ == "replace" and not target_node_name:
+        raise ValueError("replace shutdown needs target_node_name")
+    rec = {"node_id": node_id, "type": type_, "reason": reason,
+           "shutdown_startedmillis": 0,
+           "target_node_name": target_node_name}
+    _SHUTDOWNS[node_id] = rec
+    return {"acknowledged": True}
+
+
+def get_shutdown_status(indices: dict[str, str] | None = None) -> dict:
+    """GET _nodes/shutdown: each registered shutdown with shard-migration
+    status. `restart` is immediately COMPLETE (shards do not move);
+    `remove`/`replace` count the partitions that must relocate."""
+    nodes = []
+    for rec in _SHUTDOWNS.values():
+        if rec["type"] == "restart":
+            migration = {"status": "COMPLETE", "shard_migrations_remaining": 0}
+        else:
+            remaining = sum(len(_part_dirs(d)) for d in
+                            (indices or {}).values())
+            migration = {
+                "status": "COMPLETE" if remaining == 0 else "IN_PROGRESS",
+                "shard_migrations_remaining": remaining,
+            }
+        nodes.append({**rec, "shard_migration": migration,
+                      "persistent_tasks": {"status": "COMPLETE"},
+                      "plugins": {"status": "COMPLETE"},
+                      "status": migration["status"]})
+    return {"nodes": nodes}
+
+
+def delete_node_shutdown(node_id: str) -> dict:
+    if node_id not in _SHUTDOWNS:
+        raise KeyError(f"no shutdown registered for node {node_id!r}")
+    del _SHUTDOWNS[node_id]
+    return {"acknowledged": True}

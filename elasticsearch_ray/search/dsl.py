@@ -173,6 +173,22 @@ class _Parser:
                                       analyzer=v.get("analyzer"),
                                       boost=float(v.get("boost", 1.0)))
 
+    def q_match_bool_prefix(self, body):
+        # MatchBoolPrefixQueryBuilder.java: analyze the text, every term
+        # but the last becomes a term match, the last a prefix query, all
+        # combined in a bool SHOULD (scores sum; the prefix clause is
+        # constant-score like PrefixQuery itself)
+        field, v = _field_body(body, "match_bool_prefix", "query")
+        if self._f(field) is not None:
+            raise DslError("match_bool_prefix supports the default field only")
+        boost = float(v.get("boost", 1.0))
+        toks = str(v["query"]).lower().split()
+        if not toks:
+            return MatchNoneQuery()
+        should: list = [MatchQuery(t, boost=boost) for t in toks[:-1]]
+        should.append(PrefixQuery(toks[-1], boost=boost))
+        return BoolQuery(should=tuple(should))
+
     def q_term(self, body):
         field, v = _field_body(body, "term")
         if field in self.doc_columns:

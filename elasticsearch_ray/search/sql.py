@@ -157,6 +157,26 @@ def _parse_select_item(toks):
                 f"expression select items need AS <alias>: {toks}")
         src = " ".join(v for _k, v in toks)
         return "expr", src, alias
+    # HISTOGRAM grouping function (x-pack sql expression/function/grouping/
+    # Histogram.java): numeric HISTOGRAM(col, step) buckets at
+    # floor(col/step)*step; date HISTOGRAM(col, INTERVAL 1 <unit>)
+    # truncates to the unit. Must be grouped on its alias.
+    if (len(toks) >= 4 and toks[0][0] == "name"
+            and toks[0][1].upper() == "HISTOGRAM"):
+        if toks[1] != ("op", "(") or toks[-1] != ("op", ")"):
+            raise SqlError("HISTOGRAM takes (col, step | INTERVAL 1 unit)")
+        if alias is None:
+            raise SqlError("HISTOGRAM select items need AS <alias>")
+        inner = toks[2:-1]
+        if (len(inner) == 3 and inner[0][0] == "name"
+                and inner[1] == ("op", ",") and inner[2][0] == "number"):
+            return "hist", (inner[0][1], inner[2][1], None), alias
+        if (len(inner) == 5 and inner[0][0] == "name"
+                and inner[1] == ("op", ",")
+                and inner[2] == ("name", "INTERVAL")
+                and inner[3] == ("number", "1") and inner[4][0] == "name"):
+            return "hist", (inner[0][1], None, inner[4][1].lower()), alias
+        raise SqlError(f"unsupported HISTOGRAM arguments: {inner}")
     # scalar-function item (UCASE/SUBSTRING/YEAR/COALESCE/... — the QL
     # function registry, search/qlfuncs.py): compiles to the same EVAL
     # stage; strings re-quote to the pipe dialect's double quotes
@@ -244,13 +264,27 @@ def sql_translate(sql: str) -> str:
     aggs = [(expr, alias) for kind, expr, alias in items if kind == "agg"]
     plain = [(expr, alias) for kind, expr, alias in items if kind == "col"]
     exprs = [(expr, alias) for kind, expr, alias in items if kind == "expr"]
+    hists = [(expr, alias) for kind, expr, alias in items if kind == "hist"]
     if exprs and (aggs or group_cols or distinct):
         raise SqlError("expression select items cannot be combined with "
                        "aggregates/GROUP BY/DISTINCT")
+    for _e, alias in hists:
+        if alias not in group_cols:
+            raise SqlError(
+                f"HISTOGRAM item {alias!r} must be grouped on its alias")
 
     pipe = [f"FROM {table}"]
     if "WHERE" in clauses:
         pipe.append("WHERE " + _cond_to_pipe(clauses["WHERE"]))
+    if hists:
+        # bucket-key columns computed before the STATS shuffle
+        parts = []
+        for (col, step, unit), alias in hists:
+            if unit is None:
+                parts.append(f"{alias} = floor({col} / {step}) * {step}")
+            else:
+                parts.append(f'{alias} = DATE_TRUNC("{unit}", {col})')
+        pipe.append("EVAL " + ", ".join(parts))
     if exprs:
         pipe.append("EVAL " + ", ".join(f"{alias} = {src}"
                                         for src, alias in exprs))
