@@ -747,6 +747,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
+    def ilm_phase_search(sf):
+        # ILM full phase machinery (index/ilm.py IlmExecutor —
+        # LifecyclePolicy/IndexLifecycleService analog): the documents
+        # index aged into the COLD phase in one catch-up tick (warm
+        # forcemerge to one segment, cold freeze + repo snapshot); the
+        # frozen merged index must return exactly the whole-table BM25
+        # ranking (merged == unmerged scores; frozen readers transient)
+        from elasticsearch_ray.index.build import build_index
+        from elasticsearch_ray.index.ilm import (
+            IlmExecutor,
+            LifecyclePolicy,
+            index_creation_time,
+        )
+        from elasticsearch_ray.index.spec import IndexSpec
+        from elasticsearch_ray.search.engine import QueryEngine
+
+        base = f"/tmp/esray_indexes/ilmp-{_sf_key(sf)}"
+        idx = os.path.join(base, "idx")
+        repo = os.path.join(base, "repo")
+        if not os.path.exists(os.path.join(idx, "ilm_state.json")):
+            build_index(sf, idx,
+                        IndexSpec(use_html=False, text_column="text",
+                                  doc_columns=("lang",)),
+                        file_pattern="documents.parquet")
+            pol = LifecyclePolicy("gate-policy", {
+                "hot": {"min_age": "0ms", "actions": {}},
+                "warm": {"min_age": "1h",
+                         "actions": {"forcemerge": {"max_num_segments": 1}}},
+                "cold": {"min_age": "1d", "actions": {
+                    "freeze": {},
+                    "searchable_snapshot": {"snapshot_repository": repo}}},
+            })
+            IlmExecutor(pol).step(
+                idx, now=index_creation_time(idx) + 2 * 86400)
+        eng = QueryEngine(idx, dtype="float64")
+        return _search_table(eng, MatchQuery("spark join merge"), k=10)
+
     def datastream_search(sf):
         # data stream (index/datastreams.py — DataStream.java analog):
         # documents ingested across two backing generations with a forced
@@ -4806,6 +4843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ccs": search_ccs,
         "search_indices_boost": search_indices_boost,
         "ilm_rollover_search": ilm_rollover_search,
+        "ilm_phase_search": ilm_phase_search,
         "search_term_top10": search_term_top10,
         "search_msm2": search_msm2,
         "search_phrase_docs": search_phrase_docs,
@@ -5526,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hits ORDER BY rank LIMIT 10
         """,
         "ilm_rollover_search": _bm25_sql(["spark", "join", "merge"], k=10),
+        "ilm_phase_search": _bm25_sql(["spark", "join", "merge"], k=10),
         "search_term_top10": _bm25_sql(["window"], k=10),
         "search_msm2": _bm25_sql(["spark", "join", "merge", "sort"], k=10, msm=2),
         "search_phrase_docs": """

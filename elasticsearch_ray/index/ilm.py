@@ -141,3 +141,188 @@ class RolloverAlias:
         for v in victims:
             shutil.rmtree(v)
         return victims
+
+# --------------------------------------------------------------- phases
+# Full lifecycle-policy machinery (LifecyclePolicy.java /
+# IndexLifecycleService.java / TimeseriesLifecycleType.java): phases
+# hot -> warm -> cold -> frozen -> delete, entered when the index age
+# (now - creation time) reaches the phase's min_age; each phase runs its
+# actions ONCE, in the reference's fixed in-phase action order. Actions
+# compose machinery this repo already has: rollover (RolloverAlias),
+# forcemerge (merge.force_merge), shrink (resize.shrink_index), readonly
+# (state marker), freeze (QueryEngine.freeze persists the flag),
+# searchable_snapshot (snapshot_create + blob-store layout), delete
+# (rmtree). set_priority / allocate / migrate are cluster-routing hints —
+# recorded in the state file (single-node analog).
+
+_ACTION_ORDER = ("set_priority", "unfollow", "rollover", "readonly",
+                 "shrink", "forcemerge", "allocate", "migrate", "freeze",
+                 "searchable_snapshot", "delete")
+
+_PHASE_ORDER = ("hot", "warm", "cold", "frozen", "delete")
+
+_ALLOWED = {
+    "hot": {"set_priority", "unfollow", "rollover", "readonly", "shrink",
+            "forcemerge"},
+    "warm": {"set_priority", "unfollow", "readonly", "allocate", "migrate",
+             "shrink", "forcemerge"},
+    "cold": {"set_priority", "unfollow", "readonly", "allocate", "migrate",
+             "freeze", "searchable_snapshot"},
+    "frozen": {"searchable_snapshot"},
+    "delete": {"delete"},
+}
+
+
+def _parse_age(age: str) -> float:
+    """'30d' / '12h' / '5m' / '10s' / '0ms' -> seconds."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(age).strip())
+    if not m:
+        raise ValueError(f"bad min_age {age!r}")
+    n = int(m.group(1))
+    return n * {"ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0,
+                "d": 86400.0}[m.group(2)]
+
+
+class LifecyclePolicy:
+    """Validated phase map: {phase: {min_age, actions: {name: opts}}}."""
+
+    def __init__(self, name: str, phases: dict):
+        self.name = name
+        self.phases = {}
+        for ph, body in phases.items():
+            if ph not in _PHASE_ORDER:
+                raise ValueError(f"unknown phase {ph!r}")
+            actions = dict(body.get("actions", {}))
+            bad = set(actions) - _ALLOWED[ph]
+            if bad:
+                raise ValueError(
+                    f"actions {sorted(bad)} not allowed in phase {ph!r}")
+            self.phases[ph] = {
+                "min_age": _parse_age(body.get("min_age", "0ms")),
+                "actions": actions,
+            }
+
+    def phase_for_age(self, age_s: float) -> str | None:
+        """The most advanced configured phase whose min_age is reached."""
+        current = None
+        for ph in _PHASE_ORDER:
+            if ph in self.phases and age_s >= self.phases[ph]["min_age"]:
+                current = ph
+        return current
+
+
+def index_creation_time(index_dir: str) -> float:
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    ct = meta.get("created_unix")
+    if ct is not None:
+        return float(ct)
+    return os.path.getmtime(os.path.join(index_dir, "index_meta.json"))
+
+
+class IlmExecutor:
+    """Run a policy over managed indices. State per index lives in
+    ``<index>/ilm_state.json`` (executed phases/actions; the explain-API
+    surface). ``now`` is an explicit unix timestamp so tests and batch
+    jobs are deterministic."""
+
+    def __init__(self, policy: LifecyclePolicy, snapshot_repo: str | None = None):
+        self.policy = policy
+        self.repo = snapshot_repo
+
+    def _state_path(self, index_dir: str) -> str:
+        return os.path.join(index_dir, "ilm_state.json")
+
+    def _state(self, index_dir: str) -> dict:
+        p = self._state_path(index_dir)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"policy": self.policy.name, "executed": {}}
+
+    def _write_state(self, index_dir: str, st: dict) -> None:
+        tmp = self._state_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f, indent=1)
+        os.replace(tmp, self._state_path(index_dir))
+
+    def explain(self, index_dir: str, now: float) -> dict:
+        """GET <index>/_ilm/explain analog."""
+        age = now - index_creation_time(index_dir)
+        st = self._state(index_dir)
+        return {
+            "index": os.path.basename(index_dir.rstrip(os.sep)),
+            "managed": True,
+            "policy": self.policy.name,
+            "age_seconds": age,
+            "phase": self.policy.phase_for_age(age),
+            "executed": st["executed"],
+        }
+
+    def step(self, index_dir: str, now: float) -> list[str]:
+        """One ILM tick: enter the phase the age dictates and run its
+        not-yet-executed actions in the reference's fixed order. Returns
+        the action names applied this tick ('<phase>.<action>')."""
+        age = now - index_creation_time(index_dir)
+        applied = []
+        st = self._state(index_dir)
+        for ph in _PHASE_ORDER:
+            if ph not in self.policy.phases:
+                continue
+            if age < self.policy.phases[ph]["min_age"]:
+                break
+            actions = self.policy.phases[ph]["actions"]
+            done = st["executed"].setdefault(ph, [])
+            for name in _ACTION_ORDER:
+                if name not in actions or name in done:
+                    continue
+                deleted = self._run(index_dir, ph, name, actions[name])
+                done.append(name)
+                applied.append(f"{ph}.{name}")
+                if deleted:
+                    return applied  # index is gone; no state to write
+            self._write_state(index_dir, st)
+        return applied
+
+    def _run(self, index_dir: str, phase: str, name: str,
+             opts: dict) -> bool:
+        if name == "forcemerge":
+            from elasticsearch_ray.index.merge import force_merge
+
+            force_merge(index_dir,
+                        max_segments=int(opts.get("max_num_segments", 1)))
+        elif name == "shrink":
+            from elasticsearch_ray.index.resize import shrink_index
+
+            dst = index_dir.rstrip(os.sep) + "-shrunk"
+            if not os.path.exists(dst):
+                shrink_index(index_dir, dst,
+                             int(opts.get("number_of_shards", 1)))
+        elif name == "freeze":
+            from elasticsearch_ray.search.engine import QueryEngine
+
+            QueryEngine(index_dir).freeze()
+        elif name == "searchable_snapshot":
+            from elasticsearch_ray.index.snapshot import (
+                snapshot_create,
+                snapshot_list,
+            )
+
+            repo = opts.get("snapshot_repository") or self.repo
+            if not repo:
+                raise ValueError("searchable_snapshot needs a repository")
+            snap = "ilm-" + os.path.basename(index_dir.rstrip(os.sep))
+            if not any(m["snapshot"] == snap for m in snapshot_list(repo)):
+                snapshot_create(index_dir, repo, snap)
+        elif name == "delete":
+            shutil.rmtree(index_dir)
+            return True
+        elif name == "rollover":
+            # only meaningful for alias-managed generations; recorded so
+            # RolloverAlias.rollover_if_needed drives the actual cut
+            pass
+        # set_priority / allocate / migrate / readonly / unfollow are
+        # metadata markers on this single-node analog (recorded in state)
+        return False
