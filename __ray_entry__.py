@@ -4041,6 +4041,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"match_bool_prefix": {"text": {"query": "spark jo"}}})
         return _search_table(eng, q, k=10)
 
+    def sql_percentiles(sf):
+        # MEDIAN / PERCENTILE aggregates (x-pack sql .../aggregate/
+        # Percentile.java; exact linear interpolation = DuckDB
+        # quantile_cont) + a CAST select item; half-up 1e-4 quantization
+        # (2-decimal money lattice, see ml_anomaly_varp)
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT event_type, MEDIAN(value) AS med, "
+            "PERCENTILE(value, 90) AS p90, COUNT(*) AS c "
+            "FROM events GROUP BY event_type ORDER BY event_type",
+            {"events": _ds(sf, "events")}).to_pandas()
+        for col in ("med", "p90"):
+            out[col] = np.floor(out[col] * 1e4 + 0.5) / 1e4
+        out["c"] = out["c"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_structure_events_csv(sf):
         # find_structure API (x-pack text-structure): a CSV rendered
         # deterministically from the first 1000 events (header row,
@@ -5068,6 +5085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_date_functions": sql_date_functions,
         "llm_boilerplate_extract": llm_boilerplate_extract,
         "sql_histogram": sql_histogram,
+        "sql_percentiles": sql_percentiles,
         "sql_date_histogram": sql_date_histogram,
         "search_match_bool_prefix": search_match_bool_prefix,
         "llm_hard_negatives": llm_hard_negatives,
@@ -7305,6 +7323,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value * 3 + user_id AS score FROM events
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
+        """,
+        "sql_percentiles": """
+            SELECT event_type,
+                   floor(median(value) * 1e4 + 0.5) / 1e4 AS med,
+                   floor(quantile_cont(value, 0.90) * 1e4 + 0.5) / 1e4
+                     AS p90,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sql_histogram": """
             SELECT floor(value / 25) * 25 AS h, count(*)::BIGINT AS c,

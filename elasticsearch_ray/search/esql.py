@@ -62,7 +62,7 @@ _KEYWORDS = {
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
-            "MEDIAN"}
+            "MEDIAN", "PERCENTILE"}
 
 # EVAL's one string function: SPLIT(col, "sep") -> multivalued column
 # (the ES|QL string function of the same name); pairs with MV_EXPAND.
@@ -324,16 +324,27 @@ def _parse_stats(toks):
             arg = arg_tok[1]
         else:
             raise EsqlError(f"bad {fn} argument")
-        if toks[i + 3] != ("op", ")"):
-            raise EsqlError(f"{fn} needs a single column")
-        i += 4
+        if (fn == "PERCENTILE" and toks[i + 3] == ("op", ",")
+                and toks[i + 4][0] == "number"
+                and toks[i + 5] == ("op", ")")):
+            arg = (arg, float(toks[i + 4][1]))
+            i += 6
+        elif toks[i + 3] != ("op", ")"):
+            raise EsqlError(f"{fn} needs a single column"
+                            + (" and a percent" if fn == "PERCENTILE"
+                               else ""))
+        else:
+            if fn == "PERCENTILE":
+                raise EsqlError("PERCENTILE needs (col, percent)")
+            i += 4
         if i < len(toks):
             if toks[i] != ("op", ","):
                 raise EsqlError("aggregations are comma-separated")
             i += 1
         if name is None:
-            name = (f"{fn.lower()}" if arg == "*"
-                    else f"{fn.lower()}_{arg}".replace(".", "_"))
+            base_arg = arg[0] if isinstance(arg, tuple) else arg
+            name = (f"{fn.lower()}" if base_arg == "*"
+                    else f"{fn.lower()}_{base_arg}".replace(".", "_"))
         aggs.append((name, fn, arg))
     if not aggs:
         raise EsqlError("STATS needs at least one aggregation")
@@ -557,6 +568,7 @@ def _run_stats(ds, aggs, by):
     simple = {"SUM": Sum, "AVG": Mean, "MIN": Min, "MAX": Max}
     ray_aggs = []
     distincts = []
+    quantiles = []  # exact per-group quantiles via map_groups
     for name, fn, arg in aggs:
         if fn == "COUNT":
             # COUNT(col) counts non-null values, COUNT(*) counts rows
@@ -566,7 +578,12 @@ def _run_stats(ds, aggs, by):
         elif fn == "COUNT_DISTINCT":
             distincts.append((name, arg))
         elif fn == "MEDIAN":
-            raise EsqlError("MEDIAN is not supported in this subset")
+            quantiles.append((name, arg, 0.5))
+        elif fn == "PERCENTILE":
+            col, pct = arg
+            if not 0.0 <= pct <= 100.0:
+                raise EsqlError("PERCENTILE percent must be in [0, 100]")
+            quantiles.append((name, col, pct / 100.0))
         else:
             ray_aggs.append(simple[fn](arg, alias_name=name))
     parts = []
@@ -589,6 +606,27 @@ def _run_stats(ds, aggs, by):
         else:
             parts.append(pd.DataFrame(
                 [{name: sub.count()}]))
+    if quantiles:
+        # exact quantile (linear interpolation — DuckDB quantile_cont /
+        # pandas default; the reference's t-digest is approximate, this
+        # subset computes the exact value): per-group via ONE hash
+        # shuffle (groupby.map_groups); global via a single-column pull
+        # (bounded by the column, not the table)
+        def q_group(df, _q=list(quantiles), _by=list(by or [])):
+            out = {k: [df[k].iloc[0]] for k in _by}
+            for name, col, q in _q:
+                out[name] = [float(df[col].quantile(q))]
+            return pd.DataFrame(out)
+
+        if by:
+            parts.append(ds.groupby(by).map_groups(
+                q_group, batch_format="pandas").to_pandas())
+        else:
+            cols = sorted({c for _n, c, _q in quantiles})
+            frame = ds.select_columns(cols).to_pandas()
+            parts.append(pd.DataFrame([{
+                name: float(frame[col].quantile(q))
+                for name, col, q in quantiles}]))
     out = parts[0]
     for p in parts[1:]:
         out = out.merge(p, on=by) if by else pd.concat([out, p], axis=1)

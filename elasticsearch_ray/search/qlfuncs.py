@@ -254,6 +254,42 @@ def _least(*args):
     return out
 
 
+_CAST_TYPES = {
+    "BIGINT": "int64", "LONG": "int64", "INTEGER": "int64", "INT": "int64",
+    "SMALLINT": "int64", "DOUBLE": "float64", "FLOAT": "float64",
+    "REAL": "float64", "VARCHAR": "string", "TEXT": "string",
+    "STRING": "string", "KEYWORD": "string", "BOOLEAN": "bool",
+    "TIMESTAMP": "datetime", "DATETIME": "datetime", "DATE": "datetime",
+}
+
+
+def _cast(v, type_name: str):
+    """``CAST(expr AS type)`` (x-pack sql ``Cast.java`` / the ES|QL
+    ``TO_*`` conversion family): SQL truncation-toward-zero for
+    float→int (not numpy floor)."""
+    t = _CAST_TYPES.get(str(type_name).upper())
+    if t is None:
+        raise QlError(f"CAST: unknown type {type_name!r}")
+    if t == "datetime":
+        return _dt(v)
+    if isinstance(v, pd.Series):
+        if t == "int64":
+            if str(v.dtype) in ("string", "object"):
+                return v.astype("string").astype("Float64").astype("Int64")
+            return v.astype("float64").apply(
+                lambda x: None if pd.isna(x) else int(x)).astype("Int64")
+        if t == "string":
+            return v.astype("string")
+        return v.astype(t)
+    if t == "int64":
+        return int(float(v))
+    if t == "float64":
+        return float(v)
+    if t == "string":
+        return str(v)
+    return bool(v)
+
+
 def _nullif(a, b):
     a = _s(a) if isinstance(a, pd.Series) else a
     return a.mask(a == b) if isinstance(a, pd.Series) else \
@@ -315,6 +351,15 @@ QL_FUNCTIONS = {
     "DATE_PART": _date_part,
     "DATE_DIFF": _date_diff,
     "DATE_ADD": _date_add,
+    # ---- type conversion (ES|QL TO_* family; CAST's `expr AS type` form
+    # is intercepted by the parser before this table is consulted)
+    "CAST": None,
+    "TO_LONG": lambda v: _cast(v, "BIGINT"),
+    "TO_INTEGER": lambda v: _cast(v, "INTEGER"),
+    "TO_DOUBLE": lambda v: _cast(v, "DOUBLE"),
+    "TO_STRING": lambda v: _cast(v, "VARCHAR"),
+    "TO_BOOLEAN": lambda v: _cast(v, "BOOLEAN"),
+    "TO_DATETIME": lambda v: _cast(v, "TIMESTAMP"),
     # ---- conditional
     "COALESCE": _coalesce,
     "IFNULL": _coalesce,
@@ -468,6 +513,19 @@ class _Parser:
             self.expect("op", ")")
             return node
         if k == "name":
+            if v.upper() == "CAST" and self.peek() == ("op", "("):
+                self.take()
+                inner = self.or_()
+                ak, av = self.take()
+                if ak != "name" or av.upper() != "AS":
+                    raise QlError("CAST expects `expr AS type`")
+                tk, tv = self.take()
+                if tk != "name":
+                    raise QlError("CAST expects a type name")
+                self.expect("op", ")")
+                if tv.upper() not in _CAST_TYPES:
+                    raise QlError(f"CAST: unknown type {tv!r}")
+                return lambda df, x=inner, t=tv: _cast(x(df), t)
             if self.peek() == ("op", "("):
                 self.take()
                 args = []
@@ -478,7 +536,7 @@ class _Parser:
                         args.append(self.or_())
                 self.expect("op", ")")
                 fname = v.upper()
-                if fname in QL_FUNCTIONS:
+                if QL_FUNCTIONS.get(fname) is not None:
                     fn = QL_FUNCTIONS[fname]
                     return (lambda df, f=fn, a=args:
                             f(*(x(df) for x in a)))

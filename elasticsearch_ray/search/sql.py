@@ -36,7 +36,8 @@ from __future__ import annotations
 
 import re
 
-_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT"}
+_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT", "MEDIAN",
+         "PERCENTILE"}
 
 _SQL_TOKEN = re.compile(r"""
     \s*(?:
@@ -133,6 +134,8 @@ def _parse_select_item(toks):
     if (len(toks) == 4 and toks[0][0] == "kw" and toks[0][1] in _AGGS
             and toks[1] == ("op", "(") and toks[-1] == ("op", ")")):
         fn = toks[0][1]
+        if fn == "PERCENTILE":
+            raise SqlError("PERCENTILE takes (col, percent)")
         arg = toks[2]
         if arg == ("op", "*"):
             if fn != "COUNT":
@@ -144,6 +147,14 @@ def _parse_select_item(toks):
             raise SqlError(f"{fn} takes a column (or * for COUNT)")
         default = f"{fn}({argname})"
         return "agg", (fn, argname), alias or default
+    # PERCENTILE(col, pct) (x-pack sql .../aggregate/Percentile.java)
+    if (len(toks) == 6 and toks[0] == ("kw", "PERCENTILE")
+            and toks[1] == ("op", "(") and toks[2][0] == "name"
+            and toks[3] == ("op", ",") and toks[4][0] == "number"
+            and toks[5] == ("op", ")")):
+        argname = f"{toks[2][1]}, {toks[4][1]}"
+        return "agg", ("PERCENTILE", argname), alias or \
+            f"PERCENTILE({argname})"
     # scalar expression item (e.g. value * 2 + 1 AS x): numeric
     # names/numbers/arithmetic only — rides the sandboxed expression
     # engine via an ES|QL EVAL stage; an alias is required (the

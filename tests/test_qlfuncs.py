@@ -171,3 +171,35 @@ def test_sql_translate_scalar_golden():
         "SELECT UCASE(k) AS ku FROM t WHERE LENGTH(k) = 2 LIMIT 3")
     assert pipe == ('FROM t | WHERE LENGTH ( k ) == 2 | '
                     'EVAL ku = UCASE ( k ) | LIMIT 3 | KEEP ku')
+
+
+def test_cast_and_to_conversions():
+    assert list(_ev("CAST(v AS INTEGER)")) == [1, -2, 3, 4]
+    assert _ev('CAST(v AS VARCHAR)').tolist()[0] == "1.5"
+    assert list(_ev("TO_LONG(v)")) == [1, -2, 3, 4]
+    assert _ev("TO_STRING(YEAR(ts))").tolist() == [
+        "2024", "2024", "2023", "2024"]
+    assert _ev('CAST("7" AS BIGINT) + 1') == 8  # literal fold -> scalar
+    with pytest.raises(QlError, match="unknown type"):
+        compile_ql("CAST(v AS BLOB)")
+
+
+def test_stats_median_percentile(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.search.esql import esql
+    from elasticsearch_ray.search.sql import sql_query
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "b", "b"],
+                       "v": [1.0, 3.0, 2.0, 4.0, 10.0]})
+    t = {"t": rd.from_pandas(df).repartition(2)}
+    out = sql_query(
+        "SELECT k, MEDIAN(v) AS med, PERCENTILE(v, 90) AS p90, "
+        "COUNT(*) AS c FROM t GROUP BY k ORDER BY k", t).to_pandas()
+    assert out["med"].tolist() == [2.0, 4.0]
+    # linear interpolation (quantile_cont): p90 of [2,4,10] = 8.8
+    assert out["p90"].tolist() == pytest.approx([2.8, 8.8])
+    # global (no BY) quantile
+    g = esql("FROM t | STATS m = MEDIAN(v), p = PERCENTILE(v, 50)",
+             t).to_pandas()
+    assert g["m"].iloc[0] == 3.0 and g["p"].iloc[0] == 3.0
