@@ -4330,6 +4330,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.sort_values("media_id"),
                                     preserve_index=False)
 
+    def multimodal_tiff_embed(sf):  # rows-only — REAL TIFF 6.0 (PackBits)
+        import ray.data as rd
+
+        from elasticsearch_ray.ops.multimodal import (media_pipeline,
+                                                      synthesize_tiff_media)
+
+        n = max(32, _ds(sf, "documents").count() // 8)
+        out = media_pipeline(rd.from_arrow(synthesize_tiff_media(n)),
+                             out_h=8, out_w=8, dim=8).to_pandas()
+        out["embedding"] = out["embedding"].map(
+            lambda v: ",".join(f"{x:.4f}" for x in v)
+        )
+        return pa.Table.from_pandas(out.sort_values("media_id"),
+                                    preserve_index=False)
+
     def multimodal_audio_features(sf):  # rows-only — REAL PCM-WAV decode + DSP
         import ray.data as rd
 
@@ -5013,6 +5028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png_embed": multimodal_png_embed,
         "multimodal_jpeg_embed": multimodal_jpeg_embed,
         "multimodal_gif_frames": multimodal_gif_frames,
+        "multimodal_tiff_embed": multimodal_tiff_embed,
         "multimodal_audio_features": multimodal_audio_features,
         "reindex_pipeline": reindex_pipeline,
         "training_pipeline": training_pipeline,

@@ -511,6 +511,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         if a.ndim == 2:
             a = a[:, :, None]
         return a[None, :, :, :]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)[None, :, :, :]
     if payload.startswith(_MAGIC):
         return decode_image_stub(payload)[:, :, :, None]
     raise NotImplementedError(
@@ -536,6 +538,8 @@ def _encode_like(src_payload: bytes, arr: np.ndarray) -> bytes:
         frame = arr[0]
         return encode_jpeg(frame[:, :, 0] if frame.shape[2] == 1
                            else frame)
+    if src_payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return encode_tiff(arr[0])
     f, h, w, _c = arr.shape
     return (_MAGIC + np.array([w, h, f], dtype="<i4").tobytes()
             + np.ascontiguousarray(arr[:, :, :, 0]).tobytes())
@@ -846,3 +850,212 @@ def media_pipeline(ds: Dataset, out_h: int = 16, out_w: int = 16, dim: int = 16,
         .map_batches(EmbedStage, fn_constructor_args=(dim,),
                      batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
     )
+
+
+# ------------------------------------------------------------------ TIFF
+# Real baseline-TIFF codec from the published TIFF 6.0 specification
+# (Adobe, 1992): little- and big-endian IFDs, grayscale and RGB uint8,
+# Compression=1 (none) and Compression=32773 (PackBits — the spec's
+# Section 9 byte-oriented RLE), multi-strip via RowsPerStrip.
+
+_TIFF_TAGS = {"width": 256, "length": 257, "bits": 258, "compression": 259,
+              "photometric": 262, "strip_offsets": 273, "spp": 277,
+              "rows_per_strip": 278, "strip_counts": 279}
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (spec section 9 / Apple PackBits): literal runs
+    ``(n-1, bytes)`` and replicate runs ``(257-n, byte)``, n <= 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a replicate run of >= 3 (spec: do not break literals for
+        # a pair) or >= 2 at the start of a chunk
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal run up to the next >=3 replicate (or 128 bytes)
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3 or (r >= 2 and j + r >= n):
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        h = data[i]
+        i += 1
+        if h < 128:
+            out.extend(data[i:i + h + 1])
+            i += h + 1
+        elif h > 128:
+            out.extend(data[i:i + 1] * (257 - h))
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits stream truncated")
+    return bytes(out)
+
+
+def encode_tiff(arr: np.ndarray, compression: int = 32773,
+                rows_per_strip: int = 8) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8 -> little-endian baseline TIFF."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError("TIFF encoder supports 1 or 3 samples/pixel")
+    if compression not in (1, 32773):
+        raise ValueError("compression must be 1 (none) or 32773 (PackBits)")
+    raw = np.ascontiguousarray(a).tobytes()
+    stride = w * c
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        chunk = raw[r0 * stride: min(r0 + rows_per_strip, h) * stride]
+        strips.append(_packbits_encode(chunk) if compression == 32773
+                      else chunk)
+    n_strips = len(strips)
+    # layout: header(8) | strip data | [bits array if c==3] |
+    #         [offset/count arrays if n_strips > 2] | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = b""
+    bits_off = None
+    if c == 3:
+        bits_off = pos
+        extra += struct.pack("<3H", 8, 8, 8)
+        pos += 6
+    off_arr_off = cnt_arr_off = None
+    if n_strips > 1:
+        # a LONG array of count > 1 cannot inline in the 4-byte value
+        # slot — write both arrays out-of-line
+        off_arr_off = pos
+        extra += struct.pack(f"<{n_strips}I", *strip_offsets)
+        pos += 4 * n_strips
+        cnt_arr_off = pos
+        extra += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
+        pos += 4 * n_strips
+    ifd_off = pos
+
+    def entry(tag, typ, count, value) -> bytes:
+        if typ == 3 and count == 1:  # SHORT inlines left-justified
+            return struct.pack("<HHIHH", tag, 3, 1, value, 0)
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    t = _TIFF_TAGS
+    entries = [
+        entry(t["width"], 3, 1, w),
+        entry(t["length"], 3, 1, h),
+        (entry(t["bits"], 3, 3, bits_off) if c == 3
+         else entry(t["bits"], 3, 1, 8)),
+        entry(t["compression"], 3, 1, compression),
+        entry(t["photometric"], 3, 1, 2 if c == 3 else 1),
+        (entry(t["strip_offsets"], 4, n_strips, off_arr_off)
+         if n_strips > 1
+         else entry(t["strip_offsets"], 4, 1, strip_offsets[0])),
+        entry(t["spp"], 3, 1, c),
+        entry(t["rows_per_strip"], 3, 1, rows_per_strip),
+        (entry(t["strip_counts"], 4, n_strips, cnt_arr_off)
+         if n_strips > 1
+         else entry(t["strip_counts"], 4, 1, len(strips[0]))),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    ifd += b"".join(entries) + struct.pack("<I", 0)
+    head = struct.pack("<2sHI", b"II", 42, ifd_off)
+    return head + b"".join(strips) + extra + ifd
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF -> (h, w, c) uint8. Handles II and MM byte order,
+    Compression 1/32773, 1 or 3 samples, multi-strip."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_ent,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_ent):
+        tag, typ, count = struct.unpack_from(
+            bo + "HHI", payload, ifd_off + 2 + 12 * i)
+        voff = ifd_off + 2 + 12 * i + 8
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        if size * count <= 4:
+            base = voff
+        else:
+            (base,) = struct.unpack_from(bo + "I", payload, voff)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack_from(bo + str(count) + fmt, payload, base)
+        tags[tag] = list(vals)
+    t = _TIFF_TAGS
+    w = tags[t["width"]][0]
+    h = tags[t["length"]][0]
+    c = tags.get(t["spp"], [1])[0]
+    comp = tags.get(t["compression"], [1])[0]
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    offsets = tags[t["strip_offsets"]]
+    counts = tags[t["strip_counts"]]
+    rps = tags.get(t["rows_per_strip"], [h])[0]
+    stride = w * c
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - si * rps)
+        chunk = payload[off:off + cnt]
+        raw.extend(_packbits_decode(chunk, rows * stride)
+                   if comp == 32773 else chunk)
+    a = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, c)
+    return a
+
+
+def synthesize_tiff_media(n: int, seed: int = 42,
+                          max_side: int = 24) -> pa.Table:
+    """Deterministic TIFF corpus: gradient+noise frames, alternating
+    gray/RGB and none/PackBits compression."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(6, max_side))
+        w = int(rng.integers(6, max_side))
+        c = 3 if i % 2 == 0 else 1
+        base = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5) % 251
+        img = (base[:, :, None] + rng.integers(0, 40, size=(h, w, c))
+               ).astype(np.uint8)
+        comp = 32773 if i % 3 else 1
+        payloads.append(encode_tiff(img if c == 3 else img[:, :, 0],
+                                    compression=comp))
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "width": pa.array(ws, pa.int64()),
+                     "height": pa.array(hs, pa.int64()),
+                     "format": pa.array(["tiff"] * n)})

@@ -1329,3 +1329,69 @@ def test_brute_topk_similarity_family(ray_session):
     # cosine path unchanged (column name kept)
     out3 = brute_topk(ds, [0], qm[:1], k=3)
     assert "cosine" in out3.columns
+
+
+def test_tiff_round_trip_and_packbits():
+    import struct
+
+    from elasticsearch_ray.ops.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    # PackBits property: exact round trip on runs-heavy byte streams
+    for _ in range(50):
+        n = int(rng.integers(0, 300))
+        data = bytes(rng.choice([0, 9, 255],
+                                size=n, p=[.5, .3, .2]).astype(np.uint8))
+        assert _packbits_decode(_packbits_encode(data), n) == data
+
+    for c in (1, 3):
+        for comp in (1, 32773):
+            img = rng.integers(0, 256, size=(19, 13, c)).astype(np.uint8)
+            src = img if c == 3 else img[:, :, 0]
+            payload = encode_tiff(src, compression=comp, rows_per_strip=5)
+            assert payload[:4] == b"II*\x00"
+            back = decode_tiff(payload)
+            assert back.shape == (19, 13, c)
+            assert (back == img).all()
+            # dispatching decoder sees it too
+            frames = decode_image(payload)
+            assert frames.shape == (1, 19, 13, c)
+
+    # big-endian (MM) single-strip grayscale fixture built by hand
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = img.tobytes()
+
+    def e(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack(">HHIHH", tag, typ, count, val, 0)
+        return struct.pack(">HHII", tag, typ, count, val)
+
+    entries = [e(256, 3, 1, 4), e(257, 3, 1, 3), e(258, 3, 1, 8),
+               e(259, 3, 1, 1), e(262, 3, 1, 1), e(273, 4, 1, 8),
+               e(277, 3, 1, 1), e(278, 3, 1, 3), e(279, 4, 1, len(raw))]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) \
+        + struct.pack(">I", 0)
+    payload = struct.pack(">2sHI", b"MM", 42, 8 + len(raw)) + raw + ifd
+    back = decode_tiff(payload)
+    assert (back[:, :, 0] == img).all()
+
+
+def test_tiff_media_pipeline(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.multimodal import (
+        media_pipeline,
+        synthesize_tiff_media,
+    )
+
+    tbl = synthesize_tiff_media(8, seed=3)
+    out = media_pipeline(rd.from_arrow(tbl), out_h=8, out_w=8,
+                         dim=8).to_pandas()
+    assert len(out) == 8
+    assert all(len(e) == 8 for e in out["embedding"])
