@@ -12,7 +12,13 @@ Reference semantics: ``x-pack/plugin/watcher`` —
   over an array at the path.
 - ``InternalAlwaysCondition`` / ``NeverCondition``.
 - ``input/search`` (SearchInput): runs a search, payload = the response
-  body; ``input/simple`` (SimpleInput): literal payload.
+  body; ``input/simple`` (SimpleInput): literal payload;
+  ``input/chain`` (ChainInput): ordered named sub-inputs nested under
+  their names.
+- ``condition/script`` (ScriptCondition): a Painless program over ctx.
+- ``transform/*`` (TransformRegistry): script (returns the new payload),
+  search (payload = response), chain (sequential composition) — at the
+  watch level after the condition, and per action.
 - ``actions/index`` (IndexAction: writes the payload — or each element of
   ``ctx.payload._doc`` — to an index) and ``actions/logging``
   (LoggingAction: mustache-rendered text).
@@ -76,7 +82,8 @@ class WatcherService:
             raise ValueError("watch needs actions")
         cond = spec.get("condition", {"always": {}})
         kind, = cond
-        if kind not in ("always", "never", "compare", "array_compare"):
+        if kind not in ("always", "never", "compare", "array_compare",
+                        "script"):
             raise ValueError(f"unsupported condition {kind!r}")
         self._watches[watch_id] = spec
         self._status[watch_id] = {
@@ -103,18 +110,55 @@ class WatcherService:
         if "simple" in inp:
             return dict(inp["simple"])
         if "search" in inp:
-            if self.engine is None:
-                raise ValueError("search input needs an engine")
-            req = inp["search"]["request"]
-            from elasticsearch_ray.search.dsl import parse_dsl
-
-            q = parse_dsl(req["body"].get("query", {"match_all": {}}))
-            size = int(req["body"].get("size", 10))
-            fetch = tuple(req["body"].get("fields", ("doc_id",)))
-            tbl = self.engine.search(q, k=size, fetch=fetch)
-            hits = tbl.to_pylist()
-            return {"hits": {"total": len(hits), "hits": hits}}
+            return self._search_payload(inp["search"])
+        if "chain" in inp:
+            # input/chain (ChainInput.java): ordered named sub-inputs,
+            # each payload nested under its name so later consumers read
+            # ctx.payload.<name>...
+            payload = {}
+            for item in inp["chain"]["inputs"]:
+                (name, sub), = item.items()
+                payload[name] = self._input_payload({"input": sub})
+            return payload
         raise ValueError("unsupported input")
+
+    def _search_payload(self, search_body: dict) -> dict:
+        if self.engine is None:
+            raise ValueError("search input needs an engine")
+        req = search_body["request"]
+        from elasticsearch_ray.search.dsl import parse_dsl
+
+        q = parse_dsl(req["body"].get("query", {"match_all": {}}))
+        size = int(req["body"].get("size", 10))
+        fetch = tuple(req["body"].get("fields", ("doc_id",)))
+        tbl = self.engine.search(q, k=size, fetch=fetch)
+        hits = tbl.to_pylist()
+        return {"hits": {"total": len(hits), "hits": hits}}
+
+    def _apply_transform(self, tf: dict, ctx: dict) -> dict:
+        """transform/script (returns the NEW payload), transform/search
+        (payload = the search response) and transform/chain (sequential
+        composition) — TransformRegistry.java's three kinds."""
+        if "script" in tf:
+            body = tf["script"]
+            source = body if isinstance(body, str) else body["source"]
+            params = {} if isinstance(body, str) else body.get("params", {})
+            from elasticsearch_ray.search.painless import compile_painless
+
+            out = compile_painless(source).run(
+                {"ctx": ctx, "params": params})
+            if not isinstance(out, dict):
+                raise ValueError(
+                    "script transform must return a map payload")
+            return out
+        if "search" in tf:
+            return self._search_payload(tf["search"])
+        if "chain" in tf:
+            for sub in tf["chain"]:
+                ctx = dict(ctx)
+                ctx["payload"] = self._apply_transform(sub, ctx)
+            return ctx["payload"]
+        raise ValueError("unsupported transform")
 
     def _condition_met(self, cond: dict, ctx: dict) -> bool:
         if "always" in cond:
@@ -131,6 +175,16 @@ class WatcherService:
             if got is None:
                 return False
             return bool(_OPS[op](got, value))
+        if "script" in cond:
+            # condition/script (ScriptCondition.java): a Painless program
+            # over ctx returning a boolean
+            body = cond["script"]
+            source = body if isinstance(body, str) else body["source"]
+            params = {} if isinstance(body, str) else body.get("params", {})
+            from elasticsearch_ray.search.painless import compile_painless
+
+            return bool(compile_painless(source).run(
+                {**ctx, "params": params}))
         if "array_compare" in cond:
             (path, body), = cond["array_compare"].items()
             quant = "some"
@@ -163,6 +217,11 @@ class WatcherService:
             # Watch.ack reset: a false condition clears ack state
             st["acked"].clear()
         else:
+            if "transform" in spec:
+                # watch-level transform runs once, after the condition
+                # (ExecutionService.executeInner order)
+                ctx["payload"] = self._apply_transform(
+                    spec["transform"], {"ctx": ctx, **ctx})
             for aid, abody in spec["actions"].items():
                 status = self._run_action(watch_id, aid, dict(abody), ctx,
                                           trigger_time)
@@ -186,6 +245,11 @@ class WatcherService:
                     pd.Timestamp(trigger_time) - pd.Timestamp(last)
                     < pd.Timedelta(throttle)):
                 return "throttled"
+        atf = abody.pop("transform", None)
+        if atf is not None:
+            # per-action transform: a payload view local to this action
+            ctx = dict(ctx)
+            ctx["payload"] = self._apply_transform(atf, {"ctx": ctx, **ctx})
         (kind, body), = abody.items()
         if kind == "index":
             dest = self.dest.setdefault(body["index"], [])

@@ -187,5 +187,83 @@ def test_validation():
     with pytest.raises(ValueError, match="needs actions"):
         svc.put_watch("w", {"input": {"simple": {}}})
     with pytest.raises(ValueError, match="unsupported condition"):
-        svc.put_watch("w", {"condition": {"script": "1"},
+        svc.put_watch("w", {"condition": {"external": "1"},
                             "actions": {"a": {"logging": {"text": ""}}}})
+
+
+def test_chain_input_nests_payloads():
+    svc = _svc()
+    svc.put_watch("wc", {
+        "input": {"chain": {"inputs": [
+            {"first": {"simple": {"n": 3}}},
+            {"second": {"simple": {"m": 9}}},
+        ]}},
+        "condition": {"compare": {"ctx.payload.second.m": {"gte": 5}}},
+        "actions": {"log": {"logging": {
+            "text": "n={{ctx.payload.first.n}}"}}},
+    })
+    rec = svc.execute_watch("wc")
+    assert rec["condition_met"] is True
+    assert svc.logs[-1] == "n=3"
+
+
+def test_script_condition_painless():
+    svc = _svc()
+    svc.put_watch("ws", {
+        "input": {"simple": {"hits": {"total": 7}}},
+        "condition": {"script": {
+            "source": "return ctx.payload.hits.total > params.floor;",
+            "params": {"floor": 5}}},
+        "actions": {"log": {"logging": {"text": "fired"}}},
+    })
+    assert svc.execute_watch("ws")["condition_met"] is True
+    svc.put_watch("ws2", {
+        "input": {"simple": {"hits": {"total": 3}}},
+        "condition": {"script": {
+            "source": "return ctx.payload.hits.total > params.floor;",
+            "params": {"floor": 5}}},
+        "actions": {"log": {"logging": {"text": "fired"}}},
+    })
+    assert svc.execute_watch("ws2")["condition_met"] is False
+
+
+def test_script_transform_watch_level_and_per_action():
+    svc = _svc()
+    svc.put_watch("wt", {
+        "input": {"simple": {"v": 4}},
+        "condition": {"always": {}},
+        "transform": {"script": {
+            "source": "Map m = new HashMap(); m.put('doubled', "
+                      "ctx.payload.v * 2); return m;"}},
+        "actions": {
+            "log": {"logging": {"text": "d={{ctx.payload.doubled}}"}},
+            "idx": {
+                "transform": {"script": {
+                    "source": "Map m = new HashMap(); m.put('tripled', "
+                              "ctx.payload.doubled * 3); return m;"}},
+                "index": {"index": "out"},
+            },
+        },
+    })
+    rec = svc.execute_watch("wt")
+    assert all(a["status"] == "executed" for a in rec["actions"])
+    assert svc.logs[-1] == "d=8"
+    # the per-action transform saw the watch-level transform's output
+    assert svc.dest["out"][-1] == {"tripled": 24}
+
+
+def test_chain_transform_composes():
+    svc = _svc()
+    svc.put_watch("wch", {
+        "input": {"simple": {"v": 2}},
+        "condition": {"always": {}},
+        "transform": {"chain": [
+            {"script": {"source": "Map m = new HashMap(); m.put('v', "
+                                  "ctx.payload.v + 1); return m;"}},
+            {"script": {"source": "Map m = new HashMap(); m.put('v', "
+                                  "ctx.payload.v * 10); return m;"}},
+        ]},
+        "actions": {"log": {"logging": {"text": "v={{ctx.payload.v}}"}}},
+    })
+    svc.execute_watch("wch")
+    assert svc.logs[-1] == "v=30"
