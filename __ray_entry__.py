@@ -4041,6 +4041,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = parse_dsl({"match_bool_prefix": {"text": {"query": "spark jo"}}})
         return _search_table(eng, q, k=10)
 
+    def sql_group_by_scalar(sf):
+        # GROUP BY on a computed alias (SELECT YEAR(ts) AS y ... GROUP BY
+        # y): the scalar EVAL runs before the STATS shuffle; oracle = the
+        # same statement (DuckDB groups by alias natively)
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT YEAR(ts) AS y, MONTH(ts) AS m, COUNT(*) AS c, "
+            "SUM(value) AS s FROM events GROUP BY y, m ORDER BY y, m",
+            {"events": _ds(sf, "events")}).to_pandas()
+        out["c"] = out["c"].astype("int64")
+        out["s"] = out["s"].round(4)
+        for col in ("y", "m"):
+            out[col] = out[col].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def sql_percentiles(sf):
         # MEDIAN / PERCENTILE aggregates (x-pack sql .../aggregate/
         # Percentile.java; exact linear interpolation = DuckDB
@@ -5102,6 +5118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_boilerplate_extract": llm_boilerplate_extract,
         "sql_histogram": sql_histogram,
         "sql_percentiles": sql_percentiles,
+        "sql_group_by_scalar": sql_group_by_scalar,
         "sql_date_histogram": sql_date_histogram,
         "search_match_bool_prefix": search_match_bool_prefix,
         "llm_hard_negatives": llm_hard_negatives,
@@ -7339,6 +7356,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value * 3 + user_id AS score FROM events
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
+        """,
+        "sql_group_by_scalar": """
+            SELECT YEAR(ts)::BIGINT AS y, MONTH(ts)::BIGINT AS m,
+                   count(*)::BIGINT AS c, round(sum(value), 4) AS s
+            FROM events GROUP BY y, m ORDER BY y, m
         """,
         "sql_percentiles": """
             SELECT event_type,

@@ -277,8 +277,13 @@ def sql_translate(sql: str) -> str:
     exprs = [(expr, alias) for kind, expr, alias in items if kind == "expr"]
     hists = [(expr, alias) for kind, expr, alias in items if kind == "hist"]
     if exprs and (aggs or group_cols or distinct):
-        raise SqlError("expression select items cannot be combined with "
-                       "aggregates/GROUP BY/DISTINCT")
+        # a scalar item may combine with GROUP BY when it IS a group key
+        # (SELECT YEAR(ts) AS y, COUNT(*) ... GROUP BY y): its EVAL runs
+        # before the STATS shuffle, exactly the HISTOGRAM shape
+        if not all(alias in group_cols for _s, alias in exprs):
+            raise SqlError(
+                "expression select items must be grouped on their alias "
+                "when combined with aggregates/GROUP BY/DISTINCT")
     for _e, alias in hists:
         if alias not in group_cols:
             raise SqlError(

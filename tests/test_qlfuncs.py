@@ -203,3 +203,16 @@ def test_stats_median_percentile(ray_session):
     g = esql("FROM t | STATS m = MEDIAN(v), p = PERCENTILE(v, 50)",
              t).to_pandas()
     assert g["m"].iloc[0] == 3.0 and g["p"].iloc[0] == 3.0
+
+
+def test_sql_group_by_computed_alias(sqlf_ds):
+    from elasticsearch_ray.search.sql import SqlError, sql_query
+
+    out = sql_query(
+        "SELECT YEAR(ts) AS y, COUNT(*) AS c FROM t GROUP BY y ORDER BY y",
+        sqlf_ds).to_pandas()
+    assert out["y"].tolist() == [2023, 2024]
+    assert out["c"].tolist() == [1, 3]
+    with pytest.raises(SqlError, match="grouped on their alias"):
+        sql_query("SELECT YEAR(ts) AS y, COUNT(*) AS c FROM t GROUP BY k",
+                  sqlf_ds)
