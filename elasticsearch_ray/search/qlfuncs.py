@@ -351,9 +351,11 @@ QL_FUNCTIONS = {
     "DATE_PART": _date_part,
     "DATE_DIFF": _date_diff,
     "DATE_ADD": _date_add,
-    # ---- type conversion (ES|QL TO_* family; CAST's `expr AS type` form
-    # is intercepted by the parser before this table is consulted)
+    # ---- type conversion (ES|QL TO_* family; CAST's `expr AS type` and
+    # CONVERT's ODBC `expr, SQL_TYPE` forms are intercepted by the parser
+    # before this table is consulted)
     "CAST": None,
+    "CONVERT": None,
     "TO_LONG": lambda v: _cast(v, "BIGINT"),
     "TO_INTEGER": lambda v: _cast(v, "INTEGER"),
     "TO_DOUBLE": lambda v: _cast(v, "DOUBLE"),
@@ -513,6 +515,20 @@ class _Parser:
             self.expect("op", ")")
             return node
         if k == "name":
+            if v.upper() == "CONVERT" and self.peek() == ("op", "("):
+                # ODBC CONVERT(expr, SQL_<TYPE>) — the reference's Cast
+                # alias (sql/expression/function/scalar/Cast.java docs)
+                self.take()
+                inner = self.or_()
+                self.expect("op", ",")
+                tk, tv = self.take()
+                if tk != "name":
+                    raise QlError("CONVERT expects a type name")
+                self.expect("op", ")")
+                tname = tv.upper().removeprefix("SQL_")
+                if tname not in _CAST_TYPES:
+                    raise QlError(f"CONVERT: unknown type {tv!r}")
+                return lambda df, x=inner, t=tname: _cast(x(df), t)
             if v.upper() == "CAST" and self.peek() == ("op", "("):
                 self.take()
                 inner = self.or_()

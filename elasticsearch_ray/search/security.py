@@ -218,3 +218,111 @@ def secured_search(engine, roles, q, k: int = 10,
             if c != "_score" and not fp.is_granted(c):
                 raise ValueError(f"field [{c}] is not granted ({key})")
     return engine.search(rq, k=k, fetch=fetch_ok, **kwargs)
+
+
+# ----------------------------------------------------- privilege checking
+# _security/user/_has_privileges (TransportHasPrivilegesAction) over the
+# reference's privilege lattices (IndexPrivilege.java / ClusterPrivilege
+# name sets): "all" implies everything, "read" the search-family, "write"
+# the doc-mutation family, "manage" implies "monitor".
+
+INDEX_PRIV_IMPLIES = {
+    "all": {"read", "write", "manage", "search", "get", "count", "index",
+            "delete", "create", "update", "monitor", "view_index_metadata"},
+    "read": {"search", "get", "count"},
+    "write": {"index", "delete", "create", "update"},
+    "manage": {"monitor", "view_index_metadata"},
+}
+
+CLUSTER_PRIV_IMPLIES = {
+    "all": {"monitor", "manage", "manage_ilm", "read_ilm",
+            "manage_security", "manage_ml", "monitor_ml"},
+    "manage": {"monitor"},
+    "manage_ilm": {"read_ilm"},
+    "manage_ml": {"monitor_ml"},
+}
+
+
+def _priv_closure(privs, implies) -> set:
+    out = set(privs)
+    for p in list(privs):
+        out |= implies.get(p, set())
+    return out
+
+
+@dataclass(frozen=True)
+class IndexPrivilege:
+    """One granted entry: index-name patterns + privilege names
+    (RoleDescriptor.IndicesPrivileges name/privilege halves)."""
+
+    names: tuple
+    privileges: tuple
+
+
+def has_privileges(granted_index: list[IndexPrivilege],
+                   granted_cluster: tuple = (),
+                   check: dict | None = None) -> dict:
+    """``POST _security/user/_has_privileges`` analog. ``check`` mirrors
+    the request body: ``{"cluster": [...], "index": [{"names": [...],
+    "privileges": [...]}]}``. Response carries per-privilege booleans and
+    the overall ``has_all_requested``."""
+    check = check or {}
+    cluster_have = _priv_closure(set(granted_cluster), CLUSTER_PRIV_IMPLIES)
+    resp_cluster = {p: p in cluster_have
+                    for p in check.get("cluster", [])}
+    resp_index: dict[str, dict] = {}
+    for entry in check.get("index", []):
+        for name in entry["names"]:
+            row = resp_index.setdefault(name, {})
+            for priv in entry["privileges"]:
+                ok = any(
+                    any(_glob_match(pat, name) for pat in g.names)
+                    and priv in _priv_closure(set(g.privileges),
+                                              INDEX_PRIV_IMPLIES)
+                    for g in granted_index)
+                row[priv] = row.get(priv, False) or ok
+    all_ok = (all(resp_cluster.values())
+              and all(v for row in resp_index.values()
+                      for v in row.values()))
+    return {"has_all_requested": bool(all_ok),
+            "cluster": resp_cluster, "index": resp_index}
+
+
+# --------------------------------------------------------------- API keys
+# _security/api_key (CreateApiKeyAction / InvalidateApiKeyAction):
+# an API key snapshots the creator's roles; requests authenticated with
+# it are LIMITED BY those roles (the limited_by list secured_search
+# already intersects). Key material is a stable hash of (id, name, seed)
+# — deterministic for tests; a deployment would use a CSPRNG.
+
+_API_KEYS: dict[str, dict] = {}
+
+
+def create_api_key(name: str, roles, limited_by=None,
+                   seed: int = 0) -> dict:
+    import hashlib as _h
+
+    key_id = _h.sha256(f"id:{name}:{len(_API_KEYS)}:{seed}"
+                       .encode()).hexdigest()[:20]
+    secret = _h.sha256(f"secret:{key_id}:{seed}".encode()).hexdigest()[:28]
+    _API_KEYS[key_id] = {"name": name, "secret": secret,
+                         "roles": tuple(roles),
+                         "limited_by": tuple(limited_by or roles),
+                         "invalidated": False}
+    return {"id": key_id, "api_key": secret, "name": name}
+
+
+def authenticate_api_key(key_id: str, secret: str) -> dict:
+    rec = _API_KEYS.get(key_id)
+    if rec is None or rec["invalidated"] or rec["secret"] != secret:
+        raise PermissionError("unable to authenticate api key")
+    return {"roles": list(rec["roles"]),
+            "limited_by": list(rec["limited_by"])}
+
+
+def invalidate_api_key(key_id: str) -> dict:
+    rec = _API_KEYS.get(key_id)
+    if rec is None:
+        return {"invalidated_api_keys": [], "error_count": 1}
+    rec["invalidated"] = True
+    return {"invalidated_api_keys": [key_id], "error_count": 0}
