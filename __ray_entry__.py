@@ -2684,6 +2684,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def _derive_versions(df):
+        # shared derive for the version-field entries: maj.mnr.pat with a
+        # prerelease tag on every 4th doc; mnr reaches 11 so numeric
+        # digit-group compare (2 < 11) is actually exercised
+        df = df.copy()
+        pre = "-alpha." + (df["doc_id"] % 6).astype(str)
+        df["ver"] = ((df["doc_id"] % 3).astype(str) + "." +
+                     (df["doc_id"] % 12).astype(str) + "." +
+                     (df["doc_id"] % 5).astype(str) +
+                     pre.where(df["doc_id"] % 4 == 0, ""))
+        return df[["doc_id", "ver"]]
+
+    def search_version_field_range(sf):
+        # version-field range query (VersionStringFieldType.rangeQuery):
+        # bounds are version-ENCODED, so 1.11.x lands inside [1.2.0,
+        # 2.3.0) numerically and 1.2.0-alpha falls BELOW gte=1.2.0; the
+        # oracle recomputes membership from the parsed components
+        from elasticsearch_ray.ops.version_field import version_range
+
+        ds = _ds(sf, "documents").map_batches(_derive_versions,
+                                              batch_format="pandas")
+        out = version_range(ds, "ver", gte="1.2.0",
+                            lt="2.3.0").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out[["doc_id", "ver"]],
+                                    preserve_index=False)
+
+    def search_version_field_wildcard(sf):
+        # version-field wildcard (VersionFieldWildcardQuery matches the
+        # DECODED string — marker bytes are skipped by the automaton)
+        from elasticsearch_ray.ops.version_field import version_wildcard
+
+        ds = _ds(sf, "documents").map_batches(_derive_versions,
+                                              batch_format="pandas")
+        out = version_wildcard(ds, "ver", "2.*-alpha*").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out[["doc_id", "ver"]],
+                                    preserve_index=False)
+
     def search_match_only_text(sf):
         # match_only_text (mapper-extras MatchOnlyTextFieldMapper): every
         # term query is wrapped in ConstantScoreQuery, so a two-term match
@@ -5071,6 +5110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_bpe_tokens": text_bpe_tokens,
         "search_version_field_sort": search_version_field_sort,
+        "search_version_field_range": search_version_field_range,
+        "search_version_field_wildcard": search_version_field_wildcard,
         "search_match_only_text": search_match_only_text,
         "search_mot_phrase": search_mot_phrase,
         "field_scaled_float_range": field_scaled_float_range,
@@ -6935,6 +6976,35 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS rank,
                    doc_id, ver
             FROM v ORDER BY rank
+        """,
+        "search_version_field_range": """
+            WITH v AS (
+              SELECT doc_id,
+                     (doc_id % 3)::VARCHAR || '.' || (doc_id % 12)::VARCHAR
+                     || '.' || (doc_id % 5)::VARCHAR ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '-alpha.' || (doc_id % 6)::VARCHAR
+                          ELSE '' END AS ver,
+                     (((doc_id % 3) * 100 + (doc_id % 12)) * 100
+                      + (doc_id % 5)) * 2
+                     + CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS code
+              FROM documents)
+            SELECT doc_id, ver FROM v
+            WHERE code >= 20401 AND code < 40601
+            ORDER BY doc_id
+        """,
+        "search_version_field_wildcard": """
+            WITH v AS (
+              SELECT doc_id,
+                     (doc_id % 3)::VARCHAR || '.' || (doc_id % 12)::VARCHAR
+                     || '.' || (doc_id % 5)::VARCHAR ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '-alpha.' || (doc_id % 6)::VARCHAR
+                          ELSE '' END AS ver
+              FROM documents)
+            SELECT doc_id, ver FROM v
+            WHERE ver LIKE '2.%-alpha%'
+            ORDER BY doc_id
         """,
         "search_match_only_text": """
             WITH tok AS (

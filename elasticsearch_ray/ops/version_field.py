@@ -33,11 +33,13 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-_MAIN_RE = re.compile(r"(0|[1-9]\d*)(\.(0|[1-9]\d*))*")
+# re.ASCII: the reference's Java \d is ASCII-only, so a Unicode digit
+# must make the string illegal (raw-bytes key), never reach the encoder
+_MAIN_RE = re.compile(r"(0|[1-9]\d*)(\.(0|[1-9]\d*))*", re.ASCII)
 _PRE_RE = re.compile(
     r"-((?:0|[1-9]\d*|\d*[a-zA-Z-][0-9a-zA-Z-]*)"
-    r"(?:\.(?:0|[1-9]\d*|\d*[a-zA-Z-][0-9a-zA-Z-]*))*)")
-_BUILD_RE = re.compile(r"\+([0-9a-zA-Z-]+(?:\.[0-9a-zA-Z-]+)*)")
+    r"(?:\.(?:0|[1-9]\d*|\d*[a-zA-Z-][0-9a-zA-Z-]*))*)", re.ASCII)
+_BUILD_RE = re.compile(r"\+([0-9a-zA-Z-]+(?:\.[0-9a-zA-Z-]+)*)", re.ASCII)
 
 _NUM_MARK = b"\x01"
 _PRE_SEP = b"\x02"
@@ -49,12 +51,12 @@ def _split_parts(v: str):
     VersionParts.ofVersion order: build suffix first, then prerelease."""
     build = None
     plus = v.find("+")
-    if plus >= 0:
+    if plus > 0:  # a LEADING separator is not a separator (start > 0)
         build = v[plus:]
         v = v[:plus]
     pre = None
     dash = v.find("-")
-    if dash >= 0:
+    if dash > 0:
         pre = v[dash:]
         v = v[:dash]
     return v, pre, build
@@ -119,6 +121,23 @@ def is_valid_version(v: str) -> bool:
     return _legal(main, pre, build)
 
 
+def decode_version(encoded: bytes) -> str:
+    """Inverse of :func:`encode_version` (VersionEncoder.decodeVersion):
+    drop the 0x01+length pairs and the 0x02/0x03 separators — what is
+    left is the original string, proving the encoding injective."""
+    out = bytearray()
+    i, n = 0, len(encoded)
+    while i < n:
+        b = encoded[i]
+        if b == 0x01:
+            i += 2  # numeric marker + length byte
+            continue
+        if b not in (0x02, 0x03):
+            out.append(b)
+        i += 1
+    return out.decode("utf-8")
+
+
 def add_version_key(ds: Dataset, col: str,
                     key_col: str = "_version_key") -> Dataset:
     """Attach the sortable key as a binary column (compute-on-scan)."""
@@ -168,3 +187,39 @@ def version_range(ds: Dataset, col: str, gte: str | None = None,
         return df[pd.Series(mask, index=df.index)]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def version_term(ds: Dataset, col: str, value: str) -> Dataset:
+    """Term query: the mapper re-encodes the search value and matches
+    encoded bytes — the encoding is injective (see decode_version), so
+    this is exactly raw string equality."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[col], pa.scalar(value)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def version_wildcard(ds: Dataset, col: str, pattern: str,
+                     case_insensitive: bool = False) -> Dataset:
+    """Wildcard query (VersionFieldWildcardQuery): the reference runs the
+    automaton over encoded bytes SKIPPING the marker/length bytes, i.e.
+    it matches the DECODED original string — so match the raw strings."""
+    import fnmatch
+
+    rx = re.compile(fnmatch.translate(pattern),
+                    re.IGNORECASE if case_insensitive else 0)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = [v is not None and rx.match(str(v)) is not None
+             for v in df[col]]
+        return df[pd.Series(m, index=df.index)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def version_prefix(ds: Dataset, col: str, prefix: str,
+                   case_insensitive: bool = False) -> Dataset:
+    """prefixQuery == wildcardQuery(value + '*') in the mapper."""
+    return version_wildcard(ds, col, prefix + "*", case_insensitive)

@@ -8,10 +8,14 @@ import pytest
 import ray
 
 from elasticsearch_ray.ops.version_field import (
+    decode_version,
     encode_version,
     is_valid_version,
     sort_by_version,
+    version_prefix,
     version_range,
+    version_term,
+    version_wildcard,
 )
 
 # semver.org §11's canonical precedence chain
@@ -80,3 +84,70 @@ def test_distributed_sort_and_range(ray_session):
 def test_digit_group_cap():
     with pytest.raises(ValueError, match="127"):
         encode_version("1" * 128 + ".0.0")
+
+
+# every `<` pair from the reference VersionEncoderTests.testEncodingOrdering
+REFERENCE_ORDER_PAIRS = [
+    ("1", "1.0"), ("1.0", "1.0.0.0.0.0.0.0.0.1"),
+    ("1.0.0", "1.0.0.0.0.0.0.0.0.1"), ("1.0.0", "2.0.0"),
+    ("2.0.0", "11.0.0"), ("2.0.0", "2.1.0"), ("2.1.0", "2.1.1"),
+    ("2.1.1", "2.1.1.0"), ("1.0.0", "2.0"),
+    ("1.0.0-a", "1.0.0-b"), ("1.0.0-1.0.0", "1.0.0-2.0"),
+    ("1.0.0-alpha", "1.0.0-alpha.1"),
+    ("1.0.0-alpha.1", "1.0.0-alpha.beta"),
+    ("1.0.0-alpha.beta", "1.0.0-beta"),
+    ("1.0.0-beta", "1.0.0-beta.2"), ("1.0.0-beta.2", "1.0.0-beta.11"),
+    ("1.0.0-beta11", "1.0.0-beta2"),  # non-numeric ids: raw ASCII
+    ("1.0.0-beta.11", "1.0.0-rc.1"), ("1.0.0-rc.1", "1.0.0"),
+    ("1.0.0", "2.0.0-pre127"), ("2.0.0-pre127", "2.0.0-pre128"),
+    ("2.0.0-pre128", "2.0.0-pre128-somethingelse"),
+    ("2.0.0-pre20201231z110026", "2.0.0-pre227"),
+    ("99999.99999.99999", "1.invalid"),  # illegal sorts after legal
+    ("", "a"),
+]
+
+
+def test_reference_encoding_order_pairs():
+    for lo, hi in REFERENCE_ORDER_PAIRS:
+        assert encode_version(lo) < encode_version(hi), (lo, hi)
+
+
+def test_decode_roundtrip():
+    for v in ["1", "1.0.0", "1.2.3-alpha.2+build.1", "11.222.3333",
+              "1.0.0-beta11", "2.0.0-pre128-somethingelse", "1.invalid",
+              "not_a_version", "1.2.3-some-Other-Pre.123", "-leading",
+              "+plus"]:
+        assert decode_version(encode_version(v)) == v
+
+
+def test_leading_separator_is_not_a_separator():
+    # VersionParts.extractSuffix: start > 0 — "-alpha"/"+b" keep the
+    # separator in the main part (illegal -> raw bytes), like the Java
+    assert not is_valid_version("-1")
+    assert encode_version("-1") == b"-1"
+    assert encode_version("+b") == b"+b"
+
+
+def test_unicode_digit_is_illegal():
+    # Java \d is ASCII: a Unicode digit makes the string illegal (raw
+    # key), it must never reach the numeric-group encoder
+    v = "1.١.3"
+    assert not is_valid_version(v)
+    assert encode_version(v) == v.encode("utf-8")
+
+
+def test_term_wildcard_prefix(ray_session):
+    vers = ["1.0.0", "1.0.0-alpha", "1.0.0-beta.2", "1.0.0-beta.11",
+            "2.1.0", "2.1.1+build.5", "1.invalid"]
+    df = pd.DataFrame({"doc_id": np.arange(len(vers), dtype=np.int64),
+                       "ver": vers})
+    ds = ray.data.from_pandas(df).repartition(2)
+    assert version_term(ds, "ver", "1.0.0").to_pandas()["ver"].tolist() \
+        == ["1.0.0"]
+    w = set(version_wildcard(ds, "ver", "1.0.0-beta*").to_pandas()["ver"])
+    assert w == {"1.0.0-beta.2", "1.0.0-beta.11"}
+    p = set(version_prefix(ds, "ver", "2.1").to_pandas()["ver"])
+    assert p == {"2.1.0", "2.1.1+build.5"}
+    ci = set(version_wildcard(ds, "ver", "1.0.0-ALPHA*",
+                              case_insensitive=True).to_pandas()["ver"])
+    assert ci == {"1.0.0-alpha"}
