@@ -871,6 +871,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
 
+    def fleet_checkpoint_search(sf):
+        # fleet plugin (_fleet/global_checkpoints + _fleet_search):
+        # per-shard checkpoint = last committed seq_no; a search gated on
+        # the CURRENT checkpoints must run immediately and match the
+        # ungated count; sum(cp+1) over shards == total docs
+        from elasticsearch_ray.search.fleet import (
+            current_checkpoints,
+            fleet_search,
+        )
+
+        eng = _documents_index(sf)
+        cps = current_checkpoints(eng.index_dir)
+        got = fleet_search(eng, MatchQuery("merge sort"),
+                           wait_for_checkpoints=cps, timeout=5.0,
+                           k=10**6)
+        return pa.table({
+            "gated_n": pa.array([got.num_rows], pa.int64()),
+            "n_docs": pa.array([sum(cps) + len(cps)], pa.int64())})
+
     def search_runtime_field_count(sf):
         # mapping-level runtime field (AbstractScriptFieldType): an
         # expression-computed column referenced by a RANGE FILTER inside
@@ -5004,6 +5023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bool_filtered": search_bool_filtered,
         "search_template_render": search_template_render,
         "search_count_api": search_count_api,
+        "fleet_checkpoint_search": fleet_checkpoint_search,
         "search_runtime_field_count": search_runtime_field_count,
         "agg_runtime_field": agg_runtime_field,
         "termvectors_doc": termvectors_doc,
@@ -6188,6 +6208,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             ) WHERE term IN ('merge', 'sort')
+        """,
+        "fleet_checkpoint_search": """
+            SELECT (SELECT count(DISTINCT doc_id)::BIGINT FROM (
+                      SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                    WHERE term IN ('merge', 'sort')) AS gated_n,
+                   (SELECT count(*)::BIGINT FROM documents) AS n_docs
         """,
         "mget_docs": """
             SELECT doc_id, lang, n_chars::BIGINT AS n_chars, TRUE AS found

@@ -176,6 +176,75 @@ def snapshot_restore(repo_dir: str, name: str, dst_index_dir: str) -> dict:
     return _materialize(repo_dir, name, dst_index_dir)
 
 
+def snapshot_clone(repo_dir: str, source: str, target: str,
+                   indices: list[str] | None = None) -> dict:
+    """Clone a snapshot inside its repository (SnapshotsService
+    ``cloneSnapshot`` / the ``_clone`` API): a NEW immutable snapshot is
+    created from an existing one by re-referencing its blobs — zero data
+    copied, only a new manifest. ``indices`` optionally restricts the
+    clone to the named top-level index subdirectories (the API's
+    index-subset form); the repo's content-addressed blob store makes
+    the shared-segment bookkeeping automatic."""
+    src_man = _manifest(repo_dir, source)
+    dst = _snap_dir(repo_dir, target)
+    if os.path.exists(dst):
+        raise ValueError(f"snapshot {target!r} already exists")
+    file_map = src_man["file_map"]
+    if indices is not None:
+        allowed = set(indices)
+
+        def _top(rel: str) -> str:
+            head = rel.split(os.sep, 1)[0]
+            return head if os.sep in rel else ""
+
+        file_map = {rel: info for rel, info in file_map.items()
+                    if _top(rel) in allowed}
+        missing = allowed - {_top(rel) for rel in file_map}
+        if missing:
+            raise FileNotFoundError(
+                f"indices {sorted(missing)} not in snapshot {source!r}")
+    manifest = {"snapshot": target, "source": src_man["source"],
+                "cloned_from": source,
+                "files": len(file_map),
+                "bytes": sum(i["size"] for i in file_map.values()),
+                "reused_files": len(file_map),  # everything is shared
+                "created_unix": int(time.time()),
+                "file_map": dict(file_map)}
+    tmp = dst + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "snapshot.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, dst)
+    return manifest
+
+
+def cleanup_repository(repo_dir: str) -> dict:
+    """``POST _snapshot/<repo>/_cleanup`` (TransportCleanupRepositoryAction):
+    remove blobs no complete snapshot references and stale ``.tmp``
+    leftovers; returns the reference's results shape
+    ``{"deleted_blobs": n, "deleted_bytes": n}``."""
+    live = set()
+    for man in snapshot_list(repo_dir):
+        live.update(info["hash"] for info in man["file_map"].values())
+    deleted = 0
+    freed = 0
+    blobs = os.path.join(repo_dir, "blobs")
+    if os.path.isdir(blobs):
+        for b in os.listdir(blobs):
+            if b.split(".tmp-")[0] not in live:
+                freed += os.path.getsize(os.path.join(blobs, b))
+                os.remove(os.path.join(blobs, b))
+                deleted += 1
+                _meter(repo_dir, "DeleteObjects")
+    if os.path.isdir(repo_dir):
+        for d in os.listdir(repo_dir):
+            if d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(repo_dir, d),
+                              ignore_errors=True)
+    return {"deleted_blobs": deleted, "deleted_bytes": freed}
+
+
 def snapshot_delete(repo_dir: str, name: str) -> None:
     """Remove the snapshot, then garbage-collect blobs no remaining
     snapshot references."""

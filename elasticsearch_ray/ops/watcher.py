@@ -104,6 +104,40 @@ class WatcherService:
     def activate(self, watch_id: str, active: bool = True) -> None:
         self._status[watch_id]["active"] = bool(active)
 
+    def query_watches(self, query: dict | None = None, from_: int = 0,
+                      size: int = 10, descending: bool = False) -> dict:
+        """QueryWatchesAction (``GET _watcher/_query/watches``):
+        paginated listing of stored watches sorted by id. ``query``
+        supports the forms the reference endpoint is used with —
+        ``{"term": {"_id": x}}``, ``{"prefix": {"_id": p}}``, and
+        ``{"term": {"status.state.active": bool}}``. Response shape:
+        ``{"count": total_matching, "watches": [{"_id", "watch",
+        "status"}, ...]}`` (count is pre-pagination, like the API)."""
+        def matches(wid: str) -> bool:
+            if not query:
+                return True
+            (kind, body), = query.items()
+            (field, want), = body.items()
+            if field == "_id":
+                if kind == "term":
+                    return wid == want
+                if kind == "prefix":
+                    return wid.startswith(want)
+            elif field == "status.state.active" and kind == "term":
+                return self._status[wid]["active"] is bool(want)
+            raise ValueError(
+                f"unsupported watches query {kind!r} on {field!r}")
+
+        ids = sorted((w for w in self._watches if matches(w)),
+                     reverse=descending)
+        page = ids[from_:from_ + size]
+        return {"count": len(ids), "watches": [
+            {"_id": wid, "watch": self._watches[wid],
+             "status": {"state": {
+                 "active": self._status[wid]["active"]},
+                 "last_fired": self._status[wid]["last_fired"]}}
+            for wid in page]}
+
     # ---- execution ----
     def _input_payload(self, spec: dict) -> dict:
         inp = spec.get("input", {"simple": {}})

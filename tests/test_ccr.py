@@ -151,3 +151,85 @@ def test_incremental_snapshots_share_blobs(leader, tmp_path):
         assert json.load(f)["n_docs"] > 0
     snapshot_delete(repo, "gen2")
     assert os.listdir(blobs) == []  # full GC once nothing references
+
+
+def _mini_index(root, name, spec=None, n=20):
+    """Build a tiny leader index <root>/<name> from generated docs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.spec import IndexSpec
+
+    corpus = os.path.join(root, f"_corpus_{name}")
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(n), "text": [f"{name} words here"] * n}),
+        preserve_index=False), os.path.join(corpus, "d.parquet"))
+    idx = os.path.join(root, name)
+    build_index(corpus, idx,
+                spec or IndexSpec(use_html=False, text_column="text"),
+                concurrency=2, file_pattern="d.parquet")
+    return idx
+
+
+def test_auto_follow_patterns(ray_session, tmp_path):
+    from elasticsearch_ray.index.ccr import AutoFollowService
+
+    leader_root = str(tmp_path / "leader_cluster")
+    os.makedirs(leader_root)
+    _mini_index(leader_root, "logs-2024")
+    _mini_index(leader_root, "metrics-2024")
+    svc = AutoFollowService(str(tmp_path / "follower_cluster"))
+    svc.put_pattern("logs", leader_root, ["logs-*"],
+                    leader_index_exclusion_patterns=["logs-old*"],
+                    follow_index_pattern="{{leader_index}}-copy")
+    rep = svc.poll()
+    assert rep["created"] == ["logs-2024-copy"]
+    assert rep["errors"] == []
+    fdir = os.path.join(str(tmp_path / "follower_cluster"),
+                        "logs-2024-copy")
+    assert is_follower(fdir)
+    # second poll: nothing new, existing follower synced
+    rep2 = svc.poll()
+    assert rep2["created"] == []
+    assert "logs-2024-copy" in rep2["synced"]
+    # a NEW matching leader index is picked up; excluded one is not
+    _mini_index(leader_root, "logs-2025")
+    _mini_index(leader_root, "logs-old-2020")
+    rep3 = svc.poll()
+    assert rep3["created"] == ["logs-2025-copy"]
+    assert svc.stats()["number_of_successful_follow_indices"] == 2
+
+
+def test_auto_follow_pause_resume_and_no_refollow(ray_session, tmp_path):
+    import shutil
+
+    from elasticsearch_ray.index.ccr import AutoFollowService
+
+    leader_root = str(tmp_path / "lc")
+    os.makedirs(leader_root)
+    _mini_index(leader_root, "data-1")
+    froot = str(tmp_path / "fc")
+    svc = AutoFollowService(froot)
+    svc.put_pattern("p", leader_root, ["data-*"])
+    assert svc.poll()["created"] == ["data-1"]
+    # deleting the follower does NOT re-trigger (followed-UUID tracking)
+    shutil.rmtree(os.path.join(froot, "data-1"))
+    assert svc.poll()["created"] == []
+    # paused pattern skips creation; resume picks it up
+    svc.pause_pattern("p")
+    _mini_index(leader_root, "data-2")
+    assert svc.poll()["created"] == []
+    svc.resume_pattern("p")
+    assert svc.poll()["created"] == ["data-2"]
+    # state survives a fresh service instance (persisted JSON)
+    svc2 = AutoFollowService(froot)
+    assert svc2.get_pattern("p")["followed"] == ["data-1", "data-2"]
+    assert svc2.poll()["created"] == []
+    with pytest.raises(KeyError):
+        svc2.get_pattern("missing")
+    svc2.delete_pattern("p")
+    assert svc2.get_pattern() == {}
+    with pytest.raises(ValueError):
+        svc2.put_pattern("bad", leader_root, [])

@@ -131,3 +131,67 @@ def test_match_bool_prefix_dsl(tiny_index):
         fetch=("doc_id",)).to_pandas()
     assert got.doc_id.tolist() == manual.doc_id.tolist()
     assert len(got) > 0
+
+
+def test_snapshot_clone_shares_blobs(tiny_index, tmp_path):
+    from elasticsearch_ray.index.snapshot import (
+        cleanup_repository,
+        snapshot_clone,
+        snapshot_restore,
+    )
+
+    repo = str(tmp_path / "repo_clone")
+    man = snapshot_create(tiny_index, repo, "snap-a")
+    blobs_before = sorted(os.listdir(os.path.join(repo, "blobs")))
+    clone = snapshot_clone(repo, "snap-a", "snap-b")
+    # zero data copied: the blob store is unchanged, manifests match
+    assert sorted(os.listdir(os.path.join(repo, "blobs"))) == blobs_before
+    assert clone["cloned_from"] == "snap-a"
+    assert clone["file_map"] == man["file_map"]
+    assert clone["reused_files"] == clone["files"] == man["files"]
+    assert {m["snapshot"] for m in snapshot_list(repo)} \
+        == {"snap-a", "snap-b"}
+    # a clone is a first-class snapshot: restore works after the source
+    # is deleted, and the shared blobs survive that delete
+    snapshot_delete(repo, "snap-a")
+    dst = str(tmp_path / "restored_clone")
+    snapshot_restore(repo, "snap-b", dst)
+    assert os.path.exists(os.path.join(dst, "index_meta.json"))
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_clone(repo, "snap-b", "snap-b")
+    with pytest.raises(FileNotFoundError):
+        snapshot_clone(repo, "missing", "snap-c")
+
+
+def test_snapshot_clone_index_subset(tiny_index, tmp_path):
+    from elasticsearch_ray.index.snapshot import snapshot_clone
+
+    repo = str(tmp_path / "repo_subset")
+    man = snapshot_create(tiny_index, repo, "full")
+    sub = snapshot_clone(repo, "full", "parts-only", indices=["parts"])
+    assert sub["files"] > 0
+    assert all(rel.startswith("parts" + os.sep)
+               for rel in sub["file_map"])
+    assert sub["files"] < man["files"]
+    with pytest.raises(FileNotFoundError, match="nope"):
+        snapshot_clone(repo, "full", "x", indices=["nope"])
+
+
+def test_cleanup_repository_sweeps_orphans(tiny_index, tmp_path):
+    from elasticsearch_ray.index.snapshot import cleanup_repository
+
+    repo = str(tmp_path / "repo_gc")
+    snapshot_create(tiny_index, repo, "keep")
+    blobs = os.path.join(repo, "blobs")
+    # plant an orphan blob + a stale .tmp manifest dir
+    with open(os.path.join(blobs, "deadbeef"), "wb") as f:
+        f.write(b"x" * 100)
+    os.makedirs(os.path.join(repo, "broken.tmp"))
+    out = cleanup_repository(repo)
+    assert out == {"deleted_blobs": 1, "deleted_bytes": 100}
+    assert not os.path.exists(os.path.join(blobs, "deadbeef"))
+    assert not os.path.exists(os.path.join(repo, "broken.tmp"))
+    # live blobs untouched
+    assert snapshot_list(repo)[0]["snapshot"] == "keep"
+    assert cleanup_repository(repo) == {"deleted_blobs": 0,
+                                        "deleted_bytes": 0}

@@ -267,3 +267,33 @@ def test_chain_transform_composes():
     })
     svc.execute_watch("wch")
     assert svc.logs[-1] == "v=30"
+
+
+def test_query_watches_pagination_and_filters():
+    from elasticsearch_ray.ops.watcher import WatcherService
+
+    svc = WatcherService()
+    for i in range(5):
+        svc.put_watch(f"w-{i}", {"trigger": {"schedule": {"interval": "1h"}},
+                                 "actions": {"log": {"logging": {}}}},
+                      active=(i % 2 == 0))
+    svc.put_watch("other", {"actions": {"log": {"logging": {}}}})
+    out = svc.query_watches(size=3)
+    assert out["count"] == 6
+    assert [w["_id"] for w in out["watches"]] == ["other", "w-0", "w-1"]
+    page2 = svc.query_watches(from_=3, size=3)
+    assert [w["_id"] for w in page2["watches"]] == ["w-2", "w-3", "w-4"]
+    pre = svc.query_watches(query={"prefix": {"_id": "w-"}})
+    assert pre["count"] == 5
+    act = svc.query_watches(
+        query={"term": {"status.state.active": False}})
+    assert [w["_id"] for w in act["watches"]] == ["w-1", "w-3"]
+    assert all(w["status"]["state"]["active"] is False
+               for w in act["watches"])
+    one = svc.query_watches(query={"term": {"_id": "w-2"}})
+    assert one["count"] == 1 and one["watches"][0]["_id"] == "w-2"
+    desc = svc.query_watches(descending=True, size=2)
+    assert [w["_id"] for w in desc["watches"]] == ["w-4", "w-3"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported watches query"):
+        svc.query_watches(query={"match": {"_id": "x"}})
