@@ -871,6 +871,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
 
+    def ml_evaluate_regression(sf):
+        # ml.evaluate_data_frame regression: mse/r_squared from one
+        # streaming partials pass; integer-valued derives keep the
+        # distributed sums bit-exact across block layouts
+        from elasticsearch_ray.ops.ml_evaluate import evaluate_data_frame
+
+        def derive(df):
+            y = (df["event_id"] % 100).astype("float64")
+            return pd.DataFrame({
+                "y": y, "p": y + (df["event_id"] % 7) - 3.0})
+
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pandas")
+        out = evaluate_data_frame(ds, {"regression": {
+            "actual_field": "y", "predicted_field": "p",
+            "metrics": {"mse": {}, "r_squared": {}}}})["regression"]
+        return pa.table({
+            "mse": pa.array([round(out["mse"]["value"], 8)]),
+            "r_squared": pa.array([round(out["r_squared"]["value"], 8)])})
+
+    def ml_evaluate_classification(sf):
+        # ml.evaluate_data_frame classification: per-actual-class recall
+        # and accuracy from (actual, predicted) pair-count partials; a
+        # fifth of docs get a wrong predicted label ('xx')
+        from elasticsearch_ray.ops.ml_evaluate import evaluate_data_frame
+
+        def derive(df):
+            return pd.DataFrame({
+                "a": df["lang"],
+                "p": df["lang"].where(df["doc_id"] % 5 != 0, "xx")})
+
+        ds = _ds(sf, "documents").map_batches(derive,
+                                              batch_format="pandas")
+        out = evaluate_data_frame(ds, {"classification": {
+            "actual_field": "a", "predicted_field": "p",
+            "metrics": {"accuracy": {}, "recall": {}}}})["classification"]
+        rec = {c["class_name"]: c["value"] for c in out["recall"]["classes"]}
+        acc = {c["class_name"]: c["value"]
+               for c in out["accuracy"]["classes"] if c["class_name"] != "xx"}
+        names = sorted(rec)
+        return pa.table({
+            "class_name": pa.array(names),
+            "recall": pa.array([round(rec[c], 8) for c in names]),
+            "accuracy": pa.array([round(acc[c], 8) for c in names])})
+
+    def ml_evaluate_outlier(sf):
+        # ml.evaluate_data_frame outlier_detection: confusion matrices at
+        # probability thresholds (integer counts — exact) + derived
+        # precision/recall; the score derive overlaps the classes
+        from elasticsearch_ray.ops.ml_evaluate import evaluate_data_frame
+
+        def derive(df):
+            pos = (df["event_id"] % 4 == 0)
+            return pd.DataFrame({
+                "label": pos.astype("int64"),
+                "prob": pos * 0.3 + (df["event_id"] % 10) / 20.0})
+
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pandas")
+        out = evaluate_data_frame(ds, {"outlier_detection": {
+            "actual_field": "label", "predicted_probability_field": "prob",
+            "metrics": {"confusion_matrix": {"at": [0.25, 0.5]},
+                        "precision": {"at": [0.5]},
+                        "recall": {"at": [0.5]}}}})["outlier_detection"]
+        cm25 = out["confusion_matrix"]["0.25"]
+        cm50 = out["confusion_matrix"]["0.5"]
+        return pa.table({
+            "tp25": pa.array([cm25["tp"]], pa.int64()),
+            "fp25": pa.array([cm25["fp"]], pa.int64()),
+            "fn25": pa.array([cm25["fn"]], pa.int64()),
+            "tn25": pa.array([cm25["tn"]], pa.int64()),
+            "tp50": pa.array([cm50["tp"]], pa.int64()),
+            "fp50": pa.array([cm50["fp"]], pa.int64()),
+            "precision50": pa.array([round(out["precision"]["0.5"], 8)]),
+            "recall50": pa.array([round(out["recall"]["0.5"], 8)])})
+
     def fleet_checkpoint_search(sf):
         # fleet plugin (_fleet/global_checkpoints + _fleet_search):
         # per-shard checkpoint = last committed seq_no; a search gated on
@@ -5024,6 +5098,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_template_render": search_template_render,
         "search_count_api": search_count_api,
         "fleet_checkpoint_search": fleet_checkpoint_search,
+        "ml_evaluate_regression": ml_evaluate_regression,
+        "ml_evaluate_classification": ml_evaluate_classification,
+        "ml_evaluate_outlier": ml_evaluate_outlier,
         "search_runtime_field_count": search_runtime_field_count,
         "agg_runtime_field": agg_runtime_field,
         "termvectors_doc": termvectors_doc,
@@ -6208,6 +6285,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             ) WHERE term IN ('merge', 'sort')
+        """,
+        "ml_evaluate_regression": """
+            WITH v AS (
+              SELECT (event_id % 100)::DOUBLE AS y,
+                     ((event_id % 100) + (event_id % 7) - 3)::DOUBLE AS p
+              FROM events)
+            SELECT round(sum((y - p) * (y - p)) / count(*), 8) AS mse,
+                   round(1 - sum((y - p) * (y - p))
+                           / (sum(y * y) - sum(y) * sum(y) / count(*)),
+                         8) AS r_squared
+            FROM v
+        """,
+        "ml_evaluate_classification": """
+            WITH v AS (
+              SELECT lang AS a,
+                     CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS p
+              FROM documents),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM v)
+            SELECT a AS class_name,
+                   round(sum(CASE WHEN p = a THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 8) AS recall,
+                   round((tot.n - sum(CASE WHEN p <> a THEN 1 ELSE 0
+                                      END)) / tot.n, 8) AS accuracy
+            FROM v, tot GROUP BY a, tot.n ORDER BY a
+        """,
+        "ml_evaluate_outlier": """
+            WITH v AS (
+              SELECT (CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS y,
+                     (CASE WHEN event_id % 4 = 0 THEN 0.3 ELSE 0.0 END
+                      + (event_id % 10) / 20.0) AS prob
+              FROM events)
+            SELECT sum(CASE WHEN prob >= 0.25 AND y = 1 THEN 1 ELSE 0
+                        END)::BIGINT AS tp25,
+                   sum(CASE WHEN prob >= 0.25 AND y = 0 THEN 1 ELSE 0
+                        END)::BIGINT AS fp25,
+                   sum(CASE WHEN prob < 0.25 AND y = 1 THEN 1 ELSE 0
+                        END)::BIGINT AS fn25,
+                   sum(CASE WHEN prob < 0.25 AND y = 0 THEN 1 ELSE 0
+                        END)::BIGINT AS tn25,
+                   sum(CASE WHEN prob >= 0.5 AND y = 1 THEN 1 ELSE 0
+                        END)::BIGINT AS tp50,
+                   sum(CASE WHEN prob >= 0.5 AND y = 0 THEN 1 ELSE 0
+                        END)::BIGINT AS fp50,
+                   round(sum(CASE WHEN prob >= 0.5 AND y = 1 THEN 1
+                             ELSE 0 END)::DOUBLE
+                         / nullif(sum(CASE WHEN prob >= 0.5 THEN 1
+                                      ELSE 0 END), 0), 8) AS precision50,
+                   round(sum(CASE WHEN prob >= 0.5 AND y = 1 THEN 1
+                             ELSE 0 END)::DOUBLE
+                         / nullif(sum(y), 0), 8) AS recall50
+            FROM v
         """,
         "fleet_checkpoint_search": """
             SELECT (SELECT count(DISTINCT doc_id)::BIGINT FROM (

@@ -1499,3 +1499,10 @@ class AttachmentProcessor(Processor):
         # which breaks Arrow-level downstream ops (review r5 #5)
         df[f"{self.target}.error"] = errs
         return df
+
+
+def grok_patterns() -> dict:
+    """``GET _ingest/processor/grok`` (RestGrokProcessorGetAction):
+    expose the built-in grok pattern bank, sorted by pattern name like
+    the reference's sorted response."""
+    return {"patterns": dict(sorted(GrokProcessor._BANK.items()))}

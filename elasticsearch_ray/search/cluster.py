@@ -283,6 +283,63 @@ _SHUTDOWNS: dict[str, dict] = {}
 _SHUTDOWN_TYPES = ("restart", "remove", "replace")
 
 
+def resolve_index(expressions, indices: dict[str, str],
+                  alias_members: dict[str, list[str]] | None = None,
+                  datastream_service=None) -> dict:
+    """``GET _resolve/index/<expressions>``
+    (``TransportResolveIndexAction`` / ``ResolveIndexAction.java``):
+    resolve name-or-wildcard expressions against concrete indices,
+    aliases, and data streams. Reference shape mirrored: each section is
+    sorted by name; a data stream's backing indices appear ONLY through
+    the stream entry unless an expression matches the backing name
+    itself; concrete indices carry their ``open`` attribute and the
+    aliases that point at them."""
+    import fnmatch
+
+    if isinstance(expressions, str):
+        expressions = [expressions]
+    alias_members = dict(alias_members or {})
+    streams = []
+    backing = {}  # backing index name -> stream
+    if datastream_service is not None:
+        for s in datastream_service.list_streams():
+            info = datastream_service.get(s)
+            streams.append(info)
+            for b in info["indices"]:
+                backing[b] = s
+
+    def hits(names):
+        return sorted({n for n in names
+                       for ex in expressions
+                       if fnmatch.fnmatchcase(n, ex)})
+
+    idx_aliases: dict[str, list[str]] = {}
+    for a, members in alias_members.items():
+        for m in members:
+            idx_aliases.setdefault(m, []).append(a)
+
+    out_indices = []
+    # concrete indices (data-stream backing indices only on exact/glob
+    # match of the backing name itself)
+    for name in hits(list(indices) + list(backing)):
+        entry = {"name": name, "attributes": ["open"]}
+        if name in idx_aliases:
+            entry["aliases"] = sorted(idx_aliases[name])
+        if name in backing:
+            entry["data_stream"] = backing[name]
+        out_indices.append(entry)
+    out_aliases = [{"name": a, "indices": sorted(alias_members[a])}
+                   for a in hits(alias_members)]
+    out_streams = [{"name": s["name"],
+                    "backing_indices": list(s["indices"]),
+                    "timestamp_field": s["timestamp_field"]}
+                   for s in sorted(streams, key=lambda x: x["name"])
+                   if any(fnmatch.fnmatchcase(s["name"], ex)
+                          for ex in expressions)]
+    return {"indices": out_indices, "aliases": out_aliases,
+            "data_streams": out_streams}
+
+
 def put_node_shutdown(node_id: str, type_: str, reason: str,
                       target_node_name: str | None = None) -> dict:
     if type_ not in _SHUTDOWN_TYPES:

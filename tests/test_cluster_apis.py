@@ -131,3 +131,53 @@ def test_collect_monitoring(built_idx):
     # two ticks stack into a monotone stream
     df2 = collect_monitoring({"a": built_idx}, ts=1700000001000)
     assert df2["timestamp"].iloc[0] > df["timestamp"].iloc[0]
+
+
+def test_resolve_index_api():
+    from elasticsearch_ray.search.cluster import resolve_index
+
+    class _DS:
+        def list_streams(self):
+            return ["logs-stream"]
+
+        def get(self, name):
+            return {"name": name, "timestamp_field": "@timestamp",
+                    "generation": 2,
+                    "indices": [".ds-logs-stream-000001",
+                                ".ds-logs-stream-000002"]}
+
+    indices = {"web-1": "/tmp/a", "web-2": "/tmp/b", "other": "/tmp/c"}
+    aliases = {"web": ["web-1", "web-2"]}
+    out = resolve_index(["web*", "logs-*"], indices,
+                        alias_members=aliases, datastream_service=_DS())
+    assert [i["name"] for i in out["indices"]] == ["web-1", "web-2"]
+    assert out["indices"][0]["attributes"] == ["open"]
+    assert out["indices"][0]["aliases"] == ["web"]
+    assert out["aliases"] == [{"name": "web",
+                               "indices": ["web-1", "web-2"]}]
+    assert out["data_streams"] == [{
+        "name": "logs-stream",
+        "backing_indices": [".ds-logs-stream-000001",
+                            ".ds-logs-stream-000002"],
+        "timestamp_field": "@timestamp"}]
+    # backing indices are NOT concrete-index hits unless matched directly
+    direct = resolve_index([".ds-logs-stream-*"], indices,
+                           datastream_service=_DS())
+    assert [i["name"] for i in direct["indices"]] \
+        == [".ds-logs-stream-000001", ".ds-logs-stream-000002"]
+    assert direct["indices"][0]["data_stream"] == "logs-stream"
+    assert direct["data_streams"] == []
+    # exact-name expression, no globs
+    one = resolve_index("other", indices)
+    assert [i["name"] for i in one["indices"]] == ["other"]
+    assert one["aliases"] == [] and one["data_streams"] == []
+
+
+def test_grok_patterns_api():
+    from elasticsearch_ray.ops.processors import grok_patterns
+
+    out = grok_patterns()
+    pats = out["patterns"]
+    assert pats["USER"] == "%{USERNAME}"
+    assert "HOSTNAME" in pats and "EMAILADDRESS" in pats
+    assert list(pats) == sorted(pats)
