@@ -871,6 +871,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _documents_index(sf).count(MatchQuery("merge sort"))
         return pa.table({"n": pa.array([n], pa.int64())})
 
+    def ml_governance_overall(sf):  # rows-only (score/model half)
+        # calendars (skip window) + detector rule (skip high actual on a
+        # filtered partition) + overall buckets across two jobs at
+        # different spans (MlFilter / ScheduledEvent /
+        # TransportGetOverallBucketsAction)
+        from elasticsearch_ray.ops.anomaly import AnomalyJob, run_anomaly_job
+        from elasticsearch_ray.ops.ml_governance import (
+            MlCalendarService,
+            MlFilterService,
+            apply_detector_rules,
+            apply_scheduled_events,
+            get_overall_buckets,
+        )
+
+        def derive(df):
+            df = df.copy()
+            df["etype"] = df["event_type"].astype(str)
+            return df
+
+        ds = _ds(sf, "events").map_batches(derive, batch_format="pandas")
+        j1 = AnomalyJob("gate-j1", bucket_span="1d", detectors=[
+            {"function": "high_count", "partition_field_name": "etype",
+             "custom_rules": [{
+                 "actions": ["skip_result"],
+                 "conditions": [{"applies_to": "actual",
+                                 "operator": "lt", "value": 3}]}]}])
+        j2 = AnomalyJob("gate-j2", bucket_span="2d", detectors=[
+            {"function": "mean", "field_name": "value"}])
+        r1 = run_anomaly_job(ds, j1)
+        r2 = run_anomaly_job(ds, j2)
+        filters = MlFilterService()
+        filters.put_filter("all-types", ["*"])
+        r1 = apply_detector_rules(r1, j1, filters)
+        cal = MlCalendarService()
+        cal.put_calendar("gate-cal", job_ids=["_all"])
+        ts0 = pd.to_datetime(r1["records"]["timestamp"]).min()
+        cal.post_events("gate-cal", [{
+            "description": "skip first day",
+            "start_time": ts0, "end_time": ts0 + pd.Timedelta("1d")}])
+        r1 = apply_scheduled_events(r1, j1, cal)
+        ob = get_overall_buckets([(j1, r1), (j2, r2)], top_n=2)
+        out = ob.head(20).copy()
+        out["timestamp"] = out["timestamp"].astype(str)
+        out["overall_score"] = out["overall_score"].round(4)
+        out["jobs"] = out["jobs"].map(",".join)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ml_evaluate_regression(sf):
         # ml.evaluate_data_frame regression: mse/r_squared from one
         # streaming partials pass; integer-valued derives keep the
@@ -5099,6 +5146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count_api": search_count_api,
         "fleet_checkpoint_search": fleet_checkpoint_search,
         "ml_evaluate_regression": ml_evaluate_regression,
+        "ml_governance_overall": ml_governance_overall,
         "ml_evaluate_classification": ml_evaluate_classification,
         "ml_evaluate_outlier": ml_evaluate_outlier,
         "search_runtime_field_count": search_runtime_field_count,
