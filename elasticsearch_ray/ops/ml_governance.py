@@ -278,6 +278,173 @@ def apply_scheduled_events(result: dict, job,
             "series": result["series"]}
 
 
+_KB = 1024
+_MB = 1024 * 1024
+_FUNC_BYTES = {
+    **dict.fromkeys(["distinct_count", "low_distinct_count",
+                     "high_distinct_count"], (32 * _KB, True)),
+    **dict.fromkeys(["count", "low_count", "high_count",
+                     "non_zero_count", "low_non_zero_count",
+                     "high_non_zero_count"], (32 * _KB, False)),
+    **dict.fromkeys(["rare", "freq_rare"], (2 * _KB, False)),
+    **dict.fromkeys(["info_content", "low_info_content",
+                     "high_info_content"], (48 * _KB, True)),
+    **dict.fromkeys(["mean", "low_mean", "high_mean", "avg", "low_avg",
+                     "high_avg", "min", "max", "sum", "low_sum",
+                     "high_sum", "non_null_sum", "low_non_null_sum",
+                     "high_non_null_sum", "varp", "low_varp",
+                     "high_varp"], (48 * _KB, False)),
+    "metric": (120 * _KB, False),
+    **dict.fromkeys(["median", "low_median", "high_median"],
+                    (64 * _KB, False)),
+    **dict.fromkeys(["time_of_day", "time_of_week"], (10 * _KB, False)),
+    "lat_long": (64 * _KB, False),
+}
+
+
+def _cardinality(field: str, supplied: dict, is_overall: bool) -> int:
+    if field in supplied:
+        return int(supplied[field])
+    if field == "mlcategory":
+        return 500 if is_overall else 50
+    raise ValueError(
+        f"[{'Overall' if is_overall else 'Bucket max'}] cardinality "
+        f"estimate required for [{field}] but not supplied")
+
+
+def _reduced_cardinality(card: int, pcard: int, span_s: float) -> float:
+    """TransportEstimateModelMemoryAction.reducedCardinality."""
+    import math
+
+    if card == 0 or pcard <= 1:
+        return float(card)
+    power = min(1.0, (math.log10(span_s) + 1.0) / 8.0)
+    return card / (min(card, pcard) ** power)
+
+
+def estimate_model_memory(detectors: list[dict], bucket_span: str = "1h",
+                          overall_cardinality: dict | None = None,
+                          max_bucket_cardinality: dict | None = None,
+                          influencers: list[str] = (),
+                          categorization_field_name: str | None = None,
+                          per_partition_categorization: bool = False,
+                          stop_on_warn: bool = False) -> dict:
+    """``_ml/anomaly_detectors/_estimate_model_memory``
+    (TransportEstimateModelMemoryAction): closed-form estimate from the
+    job config + caller-supplied cardinalities. Formula reproduced 1:1 —
+    10MB base, per-function detector bytes with by (×⌈reduced·⅔⌉) /
+    over (+768·⌈reduced⌉) / partition (×card) multipliers, +5MB
+    field-value workspace for distinct_count/info_content, 10KB per pure
+    influencer bucket-value, categorization 20/40MB per relevant
+    partition; result rounded up to the next MB."""
+    import math
+
+    overall_cardinality = dict(overall_cardinality or {})
+    max_bucket_cardinality = dict(max_bucket_cardinality or {})
+    span_s = pd.Timedelta(bucket_span).total_seconds()
+    total = 10 * _MB
+    analysis_fields = set()
+    for d in detectors:
+        fn = d["function"]
+        if fn not in _FUNC_BYTES:
+            raise ValueError(f"unhandled detector function {fn!r}")
+        answer, workspace = _FUNC_BYTES[fn]
+        pcard = 1
+        if d.get("partition_field_name"):
+            pcard = max(1, _cardinality(d["partition_field_name"],
+                                        overall_cardinality, True))
+        if d.get("by_field_name"):
+            bcard = _cardinality(d["by_field_name"],
+                                 overall_cardinality, True)
+            answer *= int(math.ceil(_reduced_cardinality(
+                bcard, pcard, span_s) * 2.0 / 3.0))
+        if d.get("over_field_name"):
+            ocard = _cardinality(d["over_field_name"],
+                                 overall_cardinality, True)
+            answer += 768 * int(math.ceil(_reduced_cardinality(
+                ocard, pcard, span_s)))
+        if d.get("partition_field_name"):
+            answer *= pcard
+        if workspace:
+            answer += 5 * _MB
+        total += answer
+        analysis_fields.update(
+            f for f in (d.get("by_field_name"), d.get("over_field_name"),
+                        d.get("partition_field_name"), d.get("field_name"))
+            if f)
+    pure = [f for f in influencers if f not in analysis_fields]
+    total += 10 * _KB * sum(
+        _cardinality(f, max_bucket_cardinality, False) for f in pure)
+    if categorization_field_name is not None:
+        per_mb = 20
+        pcard = 1
+        if per_partition_categorization:
+            for d in detectors:
+                if d.get("partition_field_name"):
+                    pcard = max(1, _cardinality(
+                        d["partition_field_name"], overall_cardinality,
+                        True))
+                    break
+            if not stop_on_warn:
+                per_mb *= 2
+        else:
+            per_mb *= 2
+        total += per_mb * pcard * _MB
+    mb = (total + _MB - 1) // _MB
+    return {"model_memory_estimate": f"{mb}mb", "bytes": int(mb * _MB)}
+
+
+def compute_influencers(result: dict, job,
+                        influencers: list[str]) -> pd.DataFrame:
+    """Influencer results (``ml/job/results/Influencer.java``): per
+    (bucket, influencer field, value) — the ml-cpp model apportions
+    record probability across influencing values; here a value's
+    influencer probability is the MIN probability (and
+    influencer_score the MAX record_score) among the bucket's records
+    keyed by that value through its by/partition role — exact when the
+    influencer IS a split field, which is the reference's own guidance
+    for meaningful influencers."""
+    rec = result["records"]
+    rows = []
+    for field in influencers:
+        for role in ("partition", "by"):
+            name_col = f"{role}_field_name"
+            val_col = f"{role}_field_value"
+            if name_col not in rec.columns:
+                continue
+            sub = rec[rec[name_col] == field]
+            if not len(sub):
+                continue
+            g = (sub.groupby(["timestamp", val_col], sort=True)
+                 .agg(probability=("probability", "min"),
+                      influencer_score=("record_score", "max"))
+                 .reset_index())
+            for _, r in g.iterrows():
+                rows.append({
+                    "job_id": job.job_id,
+                    "timestamp": r["timestamp"],
+                    "bucket_span": job.bucket_span.total_seconds(),
+                    "influencer_field_name": field,
+                    "influencer_field_value": r[val_col],
+                    "probability": float(r["probability"]),
+                    "influencer_score": float(r["influencer_score"]),
+                    "initial_influencer_score":
+                        float(r["influencer_score"])})
+    df = pd.DataFrame(rows)
+    if len(df):
+        df = (df.groupby(["job_id", "timestamp", "bucket_span",
+                          "influencer_field_name",
+                          "influencer_field_value"], sort=True)
+              .agg(probability=("probability", "min"),
+                   influencer_score=("influencer_score", "max"),
+                   initial_influencer_score=("initial_influencer_score",
+                                             "max"))
+              .reset_index()
+              .sort_values(["influencer_score", "timestamp"],
+                           ascending=[False, True], ignore_index=True))
+    return df
+
+
 def get_overall_buckets(results: list[tuple], top_n: int = 1,
                         overall_score: float = 0.0) -> pd.DataFrame:
     """``results``: [(AnomalyJob, result dict), ...]. Overall bucket

@@ -208,3 +208,69 @@ def test_overall_buckets(ray_session):
         (h5 + h4) / 2)
     with pytest.raises(ValueError):
         get_overall_buckets([(job1, r1)], top_n=0)
+
+
+def test_estimate_model_memory_formula():
+    from elasticsearch_ray.ops.ml_governance import estimate_model_memory
+
+    # plain count, no splits: 10MB base + 32KB -> rounds up to 11MB
+    out = estimate_model_memory([{"function": "count"}])
+    assert out["model_memory_estimate"] == "11mb"
+    # partition multiplies; distinct_count adds the 5MB workspace
+    out2 = estimate_model_memory(
+        [{"function": "distinct_count", "field_name": "u",
+          "partition_field_name": "svc"}],
+        overall_cardinality={"svc": 100})
+    # 32KB*100 + 5MB + 10MB = 3.125MB + 15MB -> ceil = 19MB
+    assert out2["model_memory_estimate"] == "19mb"
+    # pure influencers bill 10KB per max-bucket value; split-field
+    # influencers are free
+    base = estimate_model_memory([{"function": "count",
+                                   "partition_field_name": "svc"}],
+                                 overall_cardinality={"svc": 1})
+    infl = estimate_model_memory([{"function": "count",
+                                   "partition_field_name": "svc"}],
+                                 overall_cardinality={"svc": 1},
+                                 influencers=["user"],
+                                 max_bucket_cardinality={"user": 1000})
+    free = estimate_model_memory([{"function": "count",
+                                   "partition_field_name": "svc"}],
+                                 overall_cardinality={"svc": 1},
+                                 influencers=["svc"])
+    assert infl["bytes"] - base["bytes"] >= 10 * 1024 * 1000 - 2 ** 20
+    assert free["bytes"] == base["bytes"]
+    # mlcategory has built-in estimates; unknown fields must be supplied
+    ml = estimate_model_memory([{"function": "count",
+                                 "by_field_name": "mlcategory"}])
+    assert ml["bytes"] > 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cardinality estimate required"):
+        estimate_model_memory([{"function": "count",
+                                "by_field_name": "mystery"}])
+    with _pt.raises(ValueError, match="unhandled detector function"):
+        estimate_model_memory([{"function": "nope"}])
+    # categorization: x2 when stop_on_warn is off (or unpartitioned)
+    cat = estimate_model_memory([{"function": "count"}],
+                                categorization_field_name="msg")
+    assert cat["bytes"] - estimate_model_memory(
+        [{"function": "count"}])["bytes"] == 40 * 2 ** 20
+
+
+def test_compute_influencers(governed):
+    from elasticsearch_ray.ops.ml_governance import compute_influencers
+
+    job, res = governed
+    inf = compute_influencers(res, job, ["svc"])
+    assert len(inf)
+    # top influencers are the spiking partitions, score == record max
+    top = inf.iloc[0]
+    assert top["influencer_field_name"] == "svc"
+    assert top["influencer_field_value"] in ("web", "db")
+    r = res["records"]
+    expect = r[(r["partition_field_value"] == top["influencer_field_value"])
+               & (r["timestamp"] == top["timestamp"])]["record_score"].max()
+    assert top["influencer_score"] == pytest.approx(expect)
+    assert (inf["influencer_score"].values[:-1]
+            >= inf["influencer_score"].values[1:]).all()
+    # a field that is no split field yields nothing
+    assert len(compute_influencers(res, job, ["unknown"])) == 0
