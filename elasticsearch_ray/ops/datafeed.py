@@ -210,3 +210,50 @@ def run_datafeed(ds, config: DatafeedConfig, job: AnomalyJob) -> dict:
             elapsed_ms / max(int(result["buckets"].shape[0]), 1)),
     }
     return result
+
+
+def preview_datafeed(ds, config: DatafeedConfig, job: AnomalyJob,
+                     limit: int = 100) -> pd.DataFrame:
+    """``GET _ml/datafeeds/<id>/_preview``
+    (TransportPreviewDatafeedAction): the first docs the feed would hand
+    the job. Raw feeds return the query-filtered rows restricted to the
+    job-relevant fields (time + detector/split fields), time-ascending;
+    aggregated feeds return the per-interval aggregated frame the job's
+    partials pass would consume — both capped at ``limit`` like the
+    API's preview page."""
+    validate_datafeed(config, job)
+    interval = config.histogram_interval()
+    if interval is not None:
+        part_job = AnomalyJob(job.job_id, bucket_span=interval,
+                              detectors=job.detectors,
+                              time_field=job.time_field)
+
+        def extract(df: pd.DataFrame) -> pd.DataFrame:
+            m = _query_mask(df, config.query)
+            return _partials(df[m], part_job)
+
+        out = ds.map_batches(extract, batch_format="pandas") \
+            .to_pandas()
+        return out.sort_values("bucket", ignore_index=True).head(limit)
+
+    cols = [job.time_field]
+    for d in job.detectors:
+        for key in ("field_name", "by_field_name",
+                    "partition_field_name"):
+            f = d.get(key)
+            if f and f not in cols:
+                cols.append(f)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = _query_mask(df, config.query)
+        present = [c for c in cols if c in df.columns]
+        return df.loc[m, present]
+
+    # stream only until the preview page is full (limit() stops the
+    # executor early — no full-table extraction for a 100-row preview)
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    out = ds.map_batches(keep, batch_format="pandas").limit(
+        max(limit * 5, limit)).to_pandas()
+    return out.sort_values(job.time_field,
+                           ignore_index=True).head(limit)

@@ -125,3 +125,39 @@ def test_chunking_plan_and_timing_stats(events_ds):
     # auto mode: 1000 x bucket_span covers everything in one chunk
     auto = run_datafeed(events_ds, DatafeedConfig("f2"), job)
     assert len(auto["search_intervals"]) == 1
+
+
+def test_preview_datafeed_raw_and_aggregated(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.anomaly import AnomalyJob
+    from elasticsearch_ray.ops.datafeed import (
+        DatafeedConfig,
+        preview_datafeed,
+    )
+
+    rows = []
+    for h in range(12):
+        for i in range(20):
+            rows.append({"ts": pd.Timestamp("2024-04-01")
+                         + pd.Timedelta(hours=h, minutes=i),
+                         "value": float(i), "svc": "web" if i % 2 else "db",
+                         "noise": "x"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    job = AnomalyJob("pv", bucket_span="1h", detectors=[
+        {"function": "mean", "field_name": "value",
+         "partition_field_name": "svc"}])
+    cfg = DatafeedConfig("feed-pv", query={
+        "term": {"svc": "web"}})
+    out = preview_datafeed(ds, cfg, job, limit=30)
+    # job-relevant columns only, query applied, time-ascending cap
+    assert list(out.columns) == ["ts", "value", "svc"]
+    assert len(out) == 30
+    assert (out["svc"] == "web").all()
+    assert out["ts"].is_monotonic_increasing
+    # aggregated preview returns the per-interval partials frame
+    cfg_agg = DatafeedConfig("feed-agg", aggregations={
+        "date_histogram": {"field": "ts", "fixed_interval": "30m"}})
+    agg = preview_datafeed(ds, cfg_agg, job, limit=10)
+    assert "bucket" in agg.columns and len(agg) <= 10
+    assert agg["bucket"].is_monotonic_increasing
