@@ -4209,6 +4209,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["c"] = out["c"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def sql_pivot(sf):
+        # x-pack SQL PIVOT (plan/logical/Pivot.java + QueryFolder.
+        # FoldPivot): grouping = child output minus pivot col minus agg
+        # arg; one STATS shuffle over (user_id, event_type) then a driver
+        # reshape of the reduced frame. Absent (group, value) combos are
+        # null — filled to 0 on both sides so the hash compare is
+        # NaN-free (the DuckDB twin COALESCEs its CASE sums).
+        from elasticsearch_ray.search.sql import sql_query
+
+        out = sql_query(
+            "SELECT * FROM (SELECT user_id, event_type, value FROM "
+            "events WHERE value > 50) PIVOT (SUM(value) FOR event_type "
+            "IN ('click' AS clicks, 'view' AS views, "
+            "'purchase' AS purchases)) ORDER BY user_id",
+            {"events": _ds(sf, "events")})
+        for c in ("clicks", "views", "purchases"):
+            out[c] = out[c].fillna(0.0).round(4)
+        out["user_id"] = out["user_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def search_match_bool_prefix(sf):
         # match_bool_prefix (MatchBoolPrefixQueryBuilder): full terms
         # score BM25, the trailing mid-type term becomes a constant-score
@@ -5306,6 +5326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_percentiles": sql_percentiles,
         "sql_group_by_scalar": sql_group_by_scalar,
         "sql_date_histogram": sql_date_histogram,
+        "sql_pivot": sql_pivot,
         "search_match_bool_prefix": search_match_bool_prefix,
         "llm_hard_negatives": llm_hard_negatives,
         "agg_frequent_item_sets": agg_frequent_item_sets,
@@ -7630,6 +7651,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value * 3 + user_id AS score FROM events
             WHERE event_type = 'view' ORDER BY score DESC, event_id
             LIMIT 20
+        """,
+        "sql_pivot": """
+            SELECT user_id::BIGINT AS user_id,
+                   round(coalesce(sum(CASE WHEN event_type = 'click'
+                                       THEN value END), 0), 4) AS clicks,
+                   round(coalesce(sum(CASE WHEN event_type = 'view'
+                                       THEN value END), 0), 4) AS views,
+                   round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 4) AS purchases
+            FROM events WHERE value > 50
+              AND event_type IN ('click', 'view', 'purchase')
+            GROUP BY user_id ORDER BY user_id
         """,
         "sql_group_by_scalar": """
             SELECT YEAR(ts)::BIGINT AS y, MONTH(ts)::BIGINT AS m,

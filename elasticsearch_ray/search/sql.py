@@ -25,6 +25,12 @@ vectorized predicate path). Conditions support
 by AND/OR/NOT and parentheses (SQL ``%``/``_`` wildcards become the
 pipe dialect's ``*``/``?``).
 
+PIVOT (``plan/logical/Pivot.java`` + ``QueryFolder.FoldPivot``) is also
+supported: ``SELECT * FROM (<child select>) PIVOT (AGG(col) FOR pcol IN
+(lit [AS name], ...)) [ORDER BY ...] [LIMIT n]`` — one map-side-combined
+STATS shuffle over ``grouping + pcol`` then a driver reshape of the
+already-reduced frame (see :func:`_pivot_query`).
+
 ``sql_translate`` returns the compiled ES|QL pipe (the analog of
 ``_sql/translate`` returning the search DSL a statement compiles to);
 ``sql_query`` executes it via :func:`search.esql.esql`, so the
@@ -371,6 +377,331 @@ def sql_translate(sql: str) -> str:
     return " | ".join(pipe)
 
 
+def _find_top_level_pivot(s: str) -> int:
+    """Offset of a depth-0 ``PIVOT`` keyword outside string literals,
+    or -1."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'" and not (i + 1 < n and s[i + 1] == "'"):
+                    break
+                i += 2 if s[i] == "'" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i:i + 5].upper() == "PIVOT" and \
+                (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")) and \
+                (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_")):
+            return i
+        i += 1
+    return -1
+
+
+def _parse_pivot(s: str):
+    """``SELECT * FROM (<inner>) PIVOT (AGG(col) FOR pcol IN (lit [AS
+    name], ...)) [ORDER BY ...] [LIMIT n]`` -> parsed parts.
+
+    Mirrors ``x-pack/plugin/sql/.../plan/logical/Pivot.java``: the
+    grouping set is the child's output minus the pivot column minus the
+    aggregate's references (computed by the caller, which knows the
+    child schema)."""
+    at = _find_top_level_pivot(s)
+    head = s[:at].rstrip()
+    m = re.match(r"(?is)^SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<src>.*)$",
+                 head)
+    if m is None:
+        raise SqlError("PIVOT needs SELECT ... FROM <source> PIVOT (...)")
+    sel = m.group("sel").strip()
+    src = m.group("src").strip()
+    rest = s[at + 5:].lstrip()
+    if not rest.startswith("("):
+        raise SqlError("PIVOT needs a parenthesized body")
+    depth, j = 0, 0
+    while j < len(rest):
+        if rest[j] == "(":
+            depth += 1
+        elif rest[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise SqlError("unbalanced parens in PIVOT body")
+    body, tail = rest[1:j], rest[j + 1:].strip()
+    bm = re.match(
+        r"(?is)^\s*(?P<fn>[A-Za-z_]+)\s*\(\s*(?P<arg>\*|[A-Za-z_][\w.]*)"
+        r"\s*\)(?:\s+AS\s+[A-Za-z_]\w*)?\s+FOR\s+(?P<pcol>[A-Za-z_][\w.]*)"
+        r"\s+IN\s*\((?P<vals>.*)\)\s*$", body)
+    if bm is None:
+        raise SqlError(
+            "PIVOT body must be AGG(col) FOR pcol IN (lit [AS name], ...)")
+    fn = bm.group("fn").upper()
+    if fn not in _AGGS:
+        raise SqlError(f"unsupported PIVOT aggregate: {fn}")
+    values = []
+    for part in _split_commas(_tokenize(bm.group("vals"))):
+        alias = None
+        if len(part) >= 2 and part[-2] == ("kw", "AS"):
+            if part[-1][0] != "name":
+                raise SqlError("PIVOT value AS needs a name")
+            alias = part[-1][1]
+            part = part[:-2]
+        if len(part) != 1 or part[0][0] not in ("string", "number"):
+            raise SqlError(f"PIVOT IN takes literals: {part}")
+        kind, lit = part[0]
+        if kind == "string":
+            val = lit[1:-1].replace("''", "'")
+            values.append((val, alias or val, True))
+        else:
+            values.append((lit, alias or lit, False))
+    if not values:
+        raise SqlError("PIVOT IN needs at least one value")
+    order, limit = [], None
+    if tail:
+        tm = re.match(
+            r"(?is)^(?:ORDER\s+BY\s+(?P<ord>.*?))?"
+            r"(?:\s*LIMIT\s+(?P<lim>\d+))?\s*$", tail)
+        if tm is None or (tm.group("ord") is None
+                          and tm.group("lim") is None):
+            raise SqlError(f"unsupported tokens after PIVOT: {tail!r}")
+        if tm.group("ord"):
+            for key in tm.group("ord").split(","):
+                key = key.strip()
+                desc = False
+                km = re.match(r"(?is)^(.*?)\s+(ASC|DESC)$", key)
+                if km:
+                    key, desc = km.group(1).strip(), \
+                        km.group(2).upper() == "DESC"
+                order.append((key, desc))
+        if tm.group("lim"):
+            limit = int(tm.group("lim"))
+    return sel, src, (fn, bm.group("arg")), bm.group("pcol"), values, \
+        order, limit
+
+
+def _pivot_query(sql: str, tables, enrich_policies=None):
+    """Execute a PIVOT statement (``Pivot.java`` +
+    ``QueryFolder.FoldPivot``): the child select projects columns, the
+    grouping set is child output minus the pivot column minus the
+    aggregate argument, rows whose pivot value is outside the IN list
+    are dropped, and each IN value becomes one output column holding
+    the aggregate over its slice (absent combinations are null).
+
+    Distributed shape: ONE map-side-combined STATS shuffle over
+    ``grouping + pivot_col`` (the reference folds pivot onto its
+    composite-agg grouping the same way); the reshape runs on the
+    already-reduced frame (|groups| x |values| rows) on the driver.
+
+    Divergence: rows with a null grouping value are dropped (the STATS
+    stage, like a composite agg with ``missing_bucket=false``, has no
+    null-group bucket; the reference's ``GroupByKey.java:70`` sets
+    ``missingBucket(true)`` and would emit one).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_ray.search.esql import esql
+
+    sel, src, (fn, arg), pcol, values, order, limit = _parse_pivot(
+        sql.strip().rstrip(";"))
+    if sel.strip() != "*":
+        raise SqlError("PIVOT supports SELECT * over the pivoted output")
+    if src.startswith("("):
+        if not src.endswith(")"):
+            raise SqlError("unbalanced parens around the PIVOT subquery")
+        inner = _split_clauses(_tokenize(src[1:-1]))
+        if set(inner) - {"SELECT", "FROM", "WHERE"}:
+            raise SqlError(
+                "the PIVOT subquery supports SELECT cols FROM t [WHERE]")
+        items = [_parse_select_item(p)
+                 for p in _split_commas(inner["SELECT"])] \
+            if inner["SELECT"] != [("op", "*")] else None
+        if items is not None and any(k != "col" for k, _e, _a in items):
+            raise SqlError("the PIVOT subquery takes plain columns")
+        frm = inner["FROM"]
+        if len(frm) != 1 or frm[0][0] != "name":
+            raise SqlError("FROM takes one table name")
+        table = frm[0][1]
+        where = _cond_to_pipe(inner["WHERE"]) if "WHERE" in inner else None
+        child_cols = [a for _k, _e, a in items] if items is not None \
+            else None
+    else:
+        if not re.match(r"^[A-Za-z_][\w.]*$", src):
+            raise SqlError(f"unsupported PIVOT source: {src!r}")
+        table, where, child_cols = src, None, None
+    if child_cols is None:
+        ds_t = tables(table) if callable(tables) else tables.get(table)
+        if ds_t is None:
+            raise SqlError(f"Unknown index [{table}]")
+        child_cols = list(ds_t.schema().names)
+    if pcol not in child_cols:
+        raise SqlError(f"PIVOT column {pcol!r} not in the child output")
+    group_cols = [c for c in child_cols if c != pcol and c != arg]
+    if not group_cols:
+        raise SqlError("PIVOT needs at least one grouping column")
+
+    def _q(v: str) -> str:
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    in_list = ", ".join(_q(v) if is_s else v for v, _n, is_s in values)
+    pipe = [f"FROM {table}"]
+    if where:
+        pipe.append(f"WHERE {where}")
+    pipe.append(f"WHERE {pcol} IN ({in_list})")
+    for g in group_cols:
+        pipe.append(f"WHERE {g} IS NOT NULL")
+    pipe.append(f"STATS __pv = {fn}({arg}) "
+                f"BY {', '.join(group_cols)}, {pcol}")
+    flat = esql(" | ".join(pipe), tables, enrich_policies)
+    if not isinstance(flat, pd.DataFrame):
+        flat = flat.to_pandas()
+    if len(flat) == 0:
+        wide = pd.DataFrame(columns=group_cols
+                            + [n for _v, n, _s in values])
+    else:
+        wide = flat.pivot(index=group_cols, columns=pcol,
+                          values="__pv").reset_index()
+        wide.columns.name = None
+        # IN-list order, absent combinations as nulls; numeric pivot
+        # values may come back as int64/float column labels
+        rename, keep = {}, []
+        for v, name, is_s in values:
+            key = v
+            if not is_s:
+                for cand in (v, int(float(v)) if float(v).is_integer()
+                             else None, float(v)):
+                    if cand is not None and cand in wide.columns:
+                        key = cand
+                        break
+            if key in wide.columns:
+                rename[key] = name
+            else:
+                wide[name] = np.nan
+            keep.append(name)
+        wide = wide.rename(columns=rename)[group_cols + keep]
+    if order:
+        cols, asc = [], []
+        for key, desc in order:
+            if key not in wide.columns:
+                raise SqlError(f"unknown ORDER BY key {key!r}")
+            cols.append(key)
+            asc.append(not desc)
+        wide = wide.sort_values(cols, ascending=asc, kind="mergesort")
+    if limit is not None:
+        wide = wide.head(limit)
+    return wide.reset_index(drop=True)
+
+
+# JDBC java.sql.Types ids + the reference's SysColumns/SysTypes type
+# names for our Arrow lanes (DataTypes.java sqlType mapping)
+_JDBC_TYPES = {
+    "BIGINT": -5, "INTEGER": 4, "SMALLINT": 5, "TINYINT": -6,
+    "DOUBLE": 8, "REAL": 7, "FLOAT": 6, "VARCHAR": 12, "BOOLEAN": 16,
+    "TIMESTAMP": 93, "DATE": 91, "TIME": 92,
+}
+_TYPE_PRECISION = {
+    "BIGINT": 19, "INTEGER": 10, "SMALLINT": 5, "TINYINT": 3,
+    "DOUBLE": 15, "REAL": 7, "FLOAT": 15, "VARCHAR": 32766,
+    "BOOLEAN": 1, "TIMESTAMP": 29, "DATE": 29, "TIME": 18,
+}
+# the CONDITIONAL bucket of SqlFunctionTypeRegistry; aggregates are
+# AGGREGATE, HISTOGRAM is GROUPING, everything else in the QL registry
+# is SCALAR
+_CONDITIONAL_FNS = {"COALESCE", "NULLIF", "GREATEST", "LEAST", "IIF",
+                    "IFNULL", "ISNULL"}
+
+
+def _arrow_type_name(t) -> str:
+    s = str(t)
+    if s.startswith("<class"):
+        return "VARCHAR"
+    s = s.removeprefix("DataType(").removesuffix(")")
+    return {"int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
+            "int8": "TINYINT", "double": "DOUBLE", "float": "REAL",
+            "string": "VARCHAR", "large_string": "VARCHAR",
+            "bool": "BOOLEAN", "timestamp[us]": "TIMESTAMP",
+            "timestamp[ns]": "TIMESTAMP", "date32[day]": "DATE",
+            }.get(s, s.upper())
+
+
+def _like_match(pat: str | None, name: str) -> bool:
+    import fnmatch
+    if pat is None:
+        return True
+    return fnmatch.fnmatch(name,
+                           pat.replace("%", "*").replace("_", "?"))
+
+
+def _command_query(s: str, tables):
+    """The SQL command layer (``plan/logical/command``): SHOW
+    FUNCTIONS/CATALOGS/SCHEMAS and the ODBC-backing SYS
+    TABLES/COLUMNS/TYPES — all answered from the registry / table map /
+    schemas without scanning rows (the reference resolves them on the
+    coordinator the same way). Returns None when ``s`` is not a
+    command."""
+    import pandas as pd
+
+    m = re.match(r"(?is)^SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?$", s)
+    if m:
+        from elasticsearch_ray.search.qlfuncs import QL_FUNCTIONS
+
+        rows = [(n, "AGGREGATE") for n in _AGGS]
+        rows.append(("HISTOGRAM", "GROUPING"))
+        rows += [(n, "CONDITIONAL" if n in _CONDITIONAL_FNS else "SCALAR")
+                 for n in QL_FUNCTIONS]
+        rows = sorted((n, t) for n, t in rows if _like_match(m.group(1), n))
+        return pd.DataFrame(rows, columns=["name", "type"])
+    if re.match(r"(?is)^SHOW\s+CATALOGS$", s):
+        return pd.DataFrame({"name": ["elasticsearch-ray"],
+                             "type": ["local"]})
+    if re.match(r"(?is)^SHOW\s+SCHEMAS$", s):
+        return pd.DataFrame({"schema": pd.Series([], dtype="object")})
+    m = re.match(r"(?is)^SYS\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s)
+    if m:
+        if callable(tables):
+            raise SqlError("SYS TABLES needs a table MAP")
+        names = sorted(n for n in tables if _like_match(m.group(1), n))
+        return pd.DataFrame({
+            "TABLE_CAT": ["elasticsearch-ray"] * len(names),
+            "TABLE_SCHEM": [None] * len(names),
+            "TABLE_NAME": names,
+            "TABLE_TYPE": ["TABLE"] * len(names),
+            "REMARKS": [""] * len(names),
+        })
+    m = re.match(r"(?is)^SYS\s+COLUMNS(?:\s+TABLE\s+LIKE\s+'([^']*)')?"
+                 r"(?:\s+LIKE\s+'([^']*)')?$", s)
+    if m:
+        if callable(tables):
+            raise SqlError("SYS COLUMNS needs a table MAP")
+        rows = []
+        for tname in sorted(tables):
+            if not _like_match(m.group(1), tname):
+                continue
+            schema = tables[tname].schema()
+            for pos, (col, typ) in enumerate(
+                    zip(schema.names, schema.types), start=1):
+                if not _like_match(m.group(2), col):
+                    continue
+                tn = _arrow_type_name(typ)
+                rows.append(("elasticsearch-ray", None, tname, col,
+                             _JDBC_TYPES.get(tn, 1111), tn, pos, "YES"))
+        return pd.DataFrame(rows, columns=[
+            "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
+            "DATA_TYPE", "TYPE_NAME", "ORDINAL_POSITION", "IS_NULLABLE"])
+    if re.match(r"(?is)^SYS\s+TYPES$", s):
+        rows = [(n, _JDBC_TYPES[n], _TYPE_PRECISION[n])
+                for n in sorted(_JDBC_TYPES,
+                                key=lambda n: (_JDBC_TYPES[n], n))]
+        return pd.DataFrame(rows,
+                            columns=["TYPE_NAME", "DATA_TYPE",
+                                     "PRECISION"])
+    return None
+
+
 def sql_query(sql: str, tables, enrich_policies: dict | None = None):
     """Execute a SQL statement over Ray Datasets (``tables`` as in
     :func:`search.esql.esql`). ``SHOW TABLES [LIKE 'pat%']`` and
@@ -382,6 +713,9 @@ def sql_query(sql: str, tables, enrich_policies: dict | None = None):
     import pandas as pd
 
     s = sql.strip().rstrip(";")
+    cmd = _command_query(s, tables)
+    if cmd is not None:
+        return cmd
     m = re.match(r"(?is)^SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s)
     if m:
         if callable(tables):
@@ -423,6 +757,8 @@ def sql_query(sql: str, tables, enrich_policies: dict | None = None):
             "column": list(schema.names),
             "type": [tname(t) for t in schema.types],
         })
+    if _find_top_level_pivot(s) >= 0:
+        return _pivot_query(s, tables, enrich_policies)
     from elasticsearch_ray.search.esql import esql
 
     return esql(sql_translate(sql), tables, enrich_policies)

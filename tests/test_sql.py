@@ -174,3 +174,114 @@ def test_show_describe_with_callable_resolver(sql_ds):
     assert "column" in d.columns and len(d) == 4
     with pytest.raises(SqlError, match="Unknown index"):
         sql_query("DESCRIBE nope", resolver)
+
+
+# ---------------------------------------------------------------- PIVOT
+
+def test_pivot_basic_vs_duckdb(sql_ds):
+    # Pivot.java semantics: grouping = child output minus pivot col
+    # minus agg arg; IN-list order; absent combos null
+    out = sql_query(
+        "SELECT * FROM (SELECT user, kind, v FROM t "
+        "WHERE user IS NOT NULL) "
+        "PIVOT (SUM(v) FOR kind IN ('a' AS a, 'b' AS b)) ORDER BY user",
+        sql_ds)
+    exp = _duck("""
+        SELECT "user", sum(CASE WHEN kind='a' THEN v END) AS a,
+               sum(CASE WHEN kind='b' THEN v END) AS b
+        FROM t WHERE kind IN ('a','b') AND "user" IS NOT NULL
+        GROUP BY "user" ORDER BY "user"
+    """)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_pivot_rows_outside_in_list_dropped(sql_ds):
+    # u1 has a 'c' row (v=6): it must not leak into any pivot column,
+    # and a group whose rows are ALL outside the list is absent
+    out = sql_query(
+        "SELECT * FROM (SELECT user, kind, v FROM t) "
+        "PIVOT (SUM(v) FOR kind IN ('c'))", sql_ds)
+    assert list(out.columns) == ["user", "c"]
+    assert out["user"].tolist() == ["u1"]
+    assert out["c"].tolist() == [6.0]
+
+
+def test_pivot_numeric_values_inner_where_order_limit(sql_ds):
+    out = sql_query(
+        "SELECT * FROM (SELECT kind, n, v FROM t WHERE v >= 2) "
+        "PIVOT (COUNT(v) FOR n IN (20, 30, 40)) ORDER BY kind LIMIT 2",
+        sql_ds)
+    assert list(out.columns) == ["kind", "20", "30", "40"]
+    assert out["kind"].tolist() == ["a", "b"]
+    # kind 'a': rows n=30 (v=3), n=40 (v=4); kind 'b': n=20 (v=2)
+    assert out.loc[0, "30"] == 1 and out.loc[0, "40"] == 1
+    assert out.loc[1, "20"] == 1 and pd.isna(out.loc[1, "30"])
+
+
+def test_pivot_bare_table_source(sql_ds):
+    # PIVOT directly on a table groups on every remaining column
+    out = sql_query(
+        "SELECT * FROM t PIVOT (MIN(v) FOR kind IN ('a', 'b')) "
+        "ORDER BY user, n", sql_ds)
+    assert list(out.columns) == ["user", "n", "a", "b"]
+
+
+def test_pivot_errors(sql_ds):
+    with pytest.raises(SqlError, match="aggregate"):
+        sql_query("SELECT * FROM t PIVOT (FOO(v) FOR kind IN ('a'))",
+                  sql_ds)
+    with pytest.raises(SqlError, match="literal"):
+        sql_query("SELECT * FROM t PIVOT (SUM(v) FOR kind IN (user))",
+                  sql_ds)
+    with pytest.raises(SqlError, match="not in the child output"):
+        sql_query("SELECT * FROM (SELECT user, v FROM t) "
+                  "PIVOT (SUM(v) FOR kind IN ('a'))", sql_ds)
+    with pytest.raises(SqlError, match="grouping column"):
+        sql_query("SELECT * FROM (SELECT kind, v FROM t) "
+                  "PIVOT (SUM(v) FOR kind IN ('a'))", sql_ds)
+
+
+# -------------------------------------------------- command layer (SYS)
+
+def test_show_functions():
+    out = sql_query("SHOW FUNCTIONS", {})
+    assert list(out.columns) == ["name", "type"]
+    types = dict(zip(out["name"], out["type"]))
+    assert types["SUM"] == "AGGREGATE"
+    assert types["HISTOGRAM"] == "GROUPING"
+    assert types["COALESCE"] == "CONDITIONAL"
+    assert types["SUBSTRING"] == "SCALAR"
+    assert (out["name"] == sorted(out["name"])).all()
+    like = sql_query("SHOW FUNCTIONS LIKE 'DATE%'", {})
+    assert set(like["name"]) == {n for n in types if n.startswith("DATE")}
+
+
+def test_show_catalogs_schemas():
+    cat = sql_query("SHOW CATALOGS", {})
+    assert cat["name"].tolist() == ["elasticsearch-ray"]
+    assert cat["type"].tolist() == ["local"]
+    sch = sql_query("SHOW SCHEMAS", {})
+    assert list(sch.columns) == ["schema"] and len(sch) == 0
+
+
+def test_sys_tables_columns_types(sql_ds):
+    tabs = sql_query("SYS TABLES", sql_ds)
+    assert tabs["TABLE_NAME"].tolist() == ["t"]
+    assert tabs["TABLE_TYPE"].tolist() == ["TABLE"]
+    assert sql_query("SYS TABLES LIKE 'z%'", sql_ds).empty
+
+    cols = sql_query("SYS COLUMNS TABLE LIKE 't'", sql_ds)
+    assert cols["COLUMN_NAME"].tolist() == ["user", "kind", "v", "n"]
+    assert cols["ORDINAL_POSITION"].tolist() == [1, 2, 3, 4]
+    byname = dict(zip(cols["COLUMN_NAME"], cols["TYPE_NAME"]))
+    assert byname["v"] == "DOUBLE" and byname["n"] == "BIGINT"
+    assert byname["user"] == "VARCHAR"
+    jdbc = dict(zip(cols["COLUMN_NAME"], cols["DATA_TYPE"]))
+    assert jdbc["v"] == 8 and jdbc["n"] == -5 and jdbc["user"] == 12
+    only_v = sql_query("SYS COLUMNS TABLE LIKE 't' LIKE 'v'", sql_ds)
+    assert only_v["COLUMN_NAME"].tolist() == ["v"]
+
+    typ = sql_query("SYS TYPES", sql_ds)
+    assert (typ["DATA_TYPE"] == sorted(typ["DATA_TYPE"])).all()
+    assert "TIMESTAMP" in set(typ["TYPE_NAME"])
