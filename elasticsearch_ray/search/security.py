@@ -326,3 +326,140 @@ def invalidate_api_key(key_id: str) -> dict:
         return {"invalidated_api_keys": [], "error_count": 1}
     rec["invalidated"] = True
     return {"invalidated_api_keys": [key_id], "error_count": 0}
+
+
+# --------------------------------------------------------------------------
+# Role mappings (x-pack security PUT/GET/DELETE _security/role_mapping and
+# the expression DSL: ExpressionRoleMapping.java + expressiondsl/
+# {All,Any,Except,Field}Expression.java + ExpressionParser.java).
+#
+# Rules are a boolean tree over the user model (username, dn, groups,
+# realm.name, metadata.*): `field` matches when ANY of its provided values
+# matches the user value (FieldExpression javadoc); a user value that is a
+# list (groups) matches when ANY element matches (ExpressionModel.test);
+# string values that contain simpleMatch wildcards match as globs, values
+# of the `/regex/` Lucene-regex form match as regexes
+# (FieldExpression.FieldValue:122), null matches a missing/null field;
+# `any` ORs, `all` ANDs (empty -> true, matching AllExpression over an
+# empty list), `except` negates and is only legal directly inside `all`
+# (ExpressionParser rule).  Role resolution unions the roles of every
+# ENABLED mapping whose rule tree matches.
+
+_ROLE_MAPPINGS: dict[str, dict] = {}
+
+
+def _validate_mapping_rules(rules: dict, *, inside_all: bool = False):
+    if not isinstance(rules, dict) or len(rules) != 1:
+        raise ValueError(f"a rule must be a single-key object: {rules!r}")
+    (kind, body), = rules.items()
+    if kind == "field":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("field rule takes {name: value | [values]}")
+        (name, values), = body.items()
+        if not name:
+            raise ValueError("null or empty field name")
+        vals = values if isinstance(values, list) else [values]
+        if not vals:
+            raise ValueError(f"null or empty values ({values!r})")
+    elif kind in ("any", "all"):
+        if not isinstance(body, list):
+            raise ValueError(f"{kind} takes a rule list")
+        for sub in body:
+            _validate_mapping_rules(sub, inside_all=(kind == "all"))
+    elif kind == "except":
+        # ExpressionParser: except is only allowed within an all rule
+        if not inside_all:
+            raise ValueError(
+                "[except] is not allowed outside of an [all] rule")
+        _validate_mapping_rules(body)
+    else:
+        raise ValueError(f"unknown rule type [{kind}]")
+
+
+def _field_value_matches(rule_value, user_value) -> bool:
+    import fnmatch
+
+    if isinstance(user_value, (list, tuple, set)):
+        return any(_field_value_matches(rule_value, u) for u in user_value)
+    if rule_value is None:
+        return user_value is None
+    if isinstance(rule_value, bool) or isinstance(user_value, bool):
+        return rule_value is user_value
+    if isinstance(rule_value, (int, float)) and \
+            isinstance(user_value, (int, float)):
+        return float(rule_value) == float(user_value)
+    if isinstance(rule_value, str) and isinstance(user_value, str):
+        if len(rule_value) > 1 and rule_value.startswith("/") \
+                and rule_value.endswith("/"):
+            return re.fullmatch(rule_value[1:-1], user_value) is not None
+        if "*" in rule_value:
+            return fnmatch.fnmatchcase(
+                user_value, rule_value.replace("?", "[?]"))
+        return rule_value == user_value
+    return False
+
+
+def _user_field(user: dict, name: str):
+    """Dotted lookup (``metadata.key`` / ``realm.name``) over the user
+    model, trying the literal key first like ExpressionModel's flat map."""
+    if name in user:
+        return user[name]
+    cur = user
+    for part in name.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def evaluate_mapping_rules(rules: dict, user: dict) -> bool:
+    (kind, body), = rules.items()
+    if kind == "field":
+        (name, values), = body.items()
+        vals = values if isinstance(values, list) else [values]
+        uval = _user_field(user, name)
+        return any(_field_value_matches(v, uval) for v in vals)
+    if kind == "any":
+        return any(evaluate_mapping_rules(sub, user) for sub in body)
+    if kind == "all":
+        return all(evaluate_mapping_rules(sub, user) for sub in body)
+    if kind == "except":
+        return not evaluate_mapping_rules(body, user)
+    raise ValueError(f"unknown rule type [{kind}]")
+
+
+def put_role_mapping(name: str, roles: list[str], rules: dict,
+                     enabled: bool = True,
+                     metadata: dict | None = None) -> dict:
+    if not roles:
+        raise ValueError("role mappings must define at least one role")
+    _validate_mapping_rules(rules)
+    created = name not in _ROLE_MAPPINGS
+    _ROLE_MAPPINGS[name] = {"roles": list(roles), "rules": rules,
+                            "enabled": bool(enabled),
+                            "metadata": dict(metadata or {})}
+    return {"role_mapping": {"created": created}}
+
+
+def get_role_mapping(name: str | None = None) -> dict:
+    if name is None:
+        return {k: dict(v) for k, v in sorted(_ROLE_MAPPINGS.items())}
+    if name not in _ROLE_MAPPINGS:
+        raise KeyError(name)
+    return {name: dict(_ROLE_MAPPINGS[name])}
+
+
+def delete_role_mapping(name: str) -> dict:
+    found = _ROLE_MAPPINGS.pop(name, None) is not None
+    return {"found": found}
+
+
+def resolve_mapped_roles(user: dict) -> list[str]:
+    """Union of the roles from every enabled mapping whose rule tree
+    matches the user model, sorted (ExpressionRoleMapping resolution in
+    NativeRoleMappingStore.resolveRoles)."""
+    roles: set[str] = set()
+    for rec in _ROLE_MAPPINGS.values():
+        if rec["enabled"] and evaluate_mapping_rules(rec["rules"], user):
+            roles.update(rec["roles"])
+    return sorted(roles)
