@@ -3152,6 +3152,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("event_id", ignore_index=True),
             preserve_index=False)
 
+    def unsigned_long_range_stats(sf):
+        # unsigned_long field (UnsignedLongFieldMapper): a derived u64
+        # above 2^63 rides as the int64 sortable lane; range filter
+        # crosses the signed boundary; sum is exact (HUGEINT twin)
+        from elasticsearch_ray.ops.xpack_mappers import (
+            unsigned_range_filter, unsigned_stats, unsigned_to_lane)
+
+        def derive(df):
+            u = (np.uint64(1 << 63)
+                 + (df["event_id"].to_numpy(np.uint64) % np.uint64(1000))
+                 * np.uint64(1000003)
+                 + df["user_id"].to_numpy(np.uint64))
+            return pd.DataFrame({"u": unsigned_to_lane(u)})
+
+        base = (_ds(sf, "events")
+                .select_columns(["event_id", "user_id"])
+                .map_batches(derive, batch_format="pandas"))
+        lo = (1 << 63) + 200 * 1000003
+        hi = (1 << 63) + 700 * 1000003 + 1000000
+        hits = unsigned_range_filter(base, "u", gte=lo, lte=hi)
+        st = unsigned_stats(hits, "u")
+        return pa.table({
+            "n": pa.array([np.int64(st["count"])]),
+            "min_u": pa.array([str(st["min"]) if st["min"] is not None
+                               else ""]),
+            "max_u": pa.array([str(st["max"]) if st["max"] is not None
+                               else ""]),
+            "sum_u": pa.array([str(st["sum"])]),
+        })
+
+    def constant_keyword_rewrites(sf):
+        # constant_keyword (ConstantKeywordFieldMapper): every query
+        # folds to match-all/match-none on the driver; matched doc count
+        # is therefore n_docs or 0 — the oracle recomputes each fold in
+        # SQL against the same constant
+        from elasticsearch_ray.ops.xpack_mappers import (
+            ConstantKeywordField)
+
+        n_docs = _ds(sf, "documents").count()
+        f = ConstantKeywordField("web-corpus-v1")
+        bank = [
+            ("exists", f.exists_query()),
+            ("fuzzy_1edit", f.fuzzy_query("web-corpus-v2")),
+            ("prefix_hit", f.prefix_query("web-corp")),
+            ("range_excl_lower", f.range_query(
+                "web-corpus-v1", None, include_lower=False)),
+            ("range_hit", f.range_query("web-a", "web-z")),
+            ("term_hit", f.term_query("web-corpus-v1")),
+            ("term_miss", f.term_query("web-corpus-vX")),
+            ("wildcard_hit", f.wildcard_query("web-*")),
+            ("wildcard_miss", f.wildcard_query("*-v2")),
+        ]
+        return pa.table({
+            "query": pa.array([b[0] for b in bank]),
+            "n": pa.array([np.int64(n_docs if b[1] else 0)
+                           for b in bank]),
+        })
+
+    def _aggregate_metric_docs(sf):
+        # pre-agg docs: per-supplier min/max/sum/value_count of
+        # l_quantity (the AggregateDoubleMetricFieldMapper ingest shape)
+        from elasticsearch_ray.ops.xpack_mappers import (
+            AggregateMetricSpec, build_aggregate_metric_docs)
+
+        spec = AggregateMetricSpec(
+            ("min", "max", "sum", "value_count"), "max")
+        docs = build_aggregate_metric_docs(
+            _ds(sf, "lineitem").select_columns(
+                ["l_suppkey", "l_quantity"]),
+            ["l_suppkey"], "l_quantity", spec)
+        return spec, docs
+
+    def agg_aggregate_metric_stats(sf):
+        # aggs over aggregate_metric_double docs: each agg reads its
+        # backing subfield; avg recomposed from sum+value_count —
+        # equals the agg over the raw table exactly (integer-valued
+        # doubles, exact in fp64)
+        from elasticsearch_ray.ops.xpack_mappers import (
+            aggregate_metric_agg)
+
+        spec, docs = _aggregate_metric_docs(sf)
+        docs = docs.materialize()
+        cnt = aggregate_metric_agg(docs, spec, "value_count")
+        s = aggregate_metric_agg(docs, spec, "sum")
+        return pa.table({
+            "value_count": pa.array([np.int64(cnt)]),
+            "min_v": pa.array([aggregate_metric_agg(docs, spec, "min")]),
+            "max_v": pa.array([aggregate_metric_agg(docs, spec, "max")]),
+            "sum_v": pa.array([s]),
+            "avg_v": pa.array([s / cnt]),
+        })
+
+    def search_aggregate_metric_range(sf):
+        # term/range queries on an aggregate_metric_double field
+        # delegate to the DEFAULT metric subfield (here: max)
+        from elasticsearch_ray.ops.xpack_mappers import (
+            aggregate_metric_range_filter)
+
+        spec, docs = _aggregate_metric_docs(sf)
+        hits = aggregate_metric_range_filter(docs, spec,
+                                             gte=49.0).to_pandas()
+        if hits.empty:
+            return pa.table({"n": pa.array([np.int64(0)]),
+                             "suppkey_sum": pa.array([np.int64(0)])})
+        return pa.table({
+            "n": pa.array([np.int64(len(hits))]),
+            "suppkey_sum": pa.array(
+                [np.int64(hits["l_suppkey"].sum())]),
+        })
+
     def _histogram_docs(sf):
         # pre-aggregated histogram field docs: one histogram of `value`
         # per user (the HistogramFieldMapper ingest shape), built with ONE
@@ -5294,6 +5404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_relations": range_field_relations,
         "range_field_date_within": range_field_date_within,
         "range_field_ip_contains": range_field_ip_contains,
+        "unsigned_long_range_stats": unsigned_long_range_stats,
+        "constant_keyword_rewrites": constant_keyword_rewrites,
+        "agg_aggregate_metric_stats": agg_aggregate_metric_stats,
+        "search_aggregate_metric_range": search_aggregate_metric_range,
         "agg_histogram_field_stats": agg_histogram_field_stats,
         "agg_histogram_field_buckets": agg_histogram_field_buckets,
         "agg_histogram_field_percentiles": agg_histogram_field_percentiles,
@@ -7393,6 +7507,69 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(sum(c_custkey), 0)::BIGINT
               FROM r WHERE lo >= 200 AND hi <= 260
             ) ORDER BY relation
+        """,
+        "unsigned_long_range_stats": """
+            WITH u AS (
+              SELECT 9223372036854775808::HUGEINT
+                     + (event_id % 1000) * 1000003 + user_id AS u
+              FROM events
+            )
+            SELECT count(*)::BIGINT AS n,
+                   CAST(min(u) AS VARCHAR) AS min_u,
+                   CAST(max(u) AS VARCHAR) AS max_u,
+                   CAST(sum(u) AS VARCHAR) AS sum_u
+            FROM u
+            WHERE u >= 9223372036854775808::HUGEINT + 200 * 1000003
+              AND u <= 9223372036854775808::HUGEINT
+                        + 700 * 1000003 + 1000000
+        """,
+        "constant_keyword_rewrites": """
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM documents)
+            SELECT * FROM (
+              SELECT 'exists' AS query, c AS n FROM n
+              UNION ALL SELECT 'fuzzy_1edit',
+                CASE WHEN levenshtein('web-corpus-v1', 'web-corpus-v2')
+                          <= 2 THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'prefix_hit',
+                CASE WHEN 'web-corpus-v1' LIKE 'web-corp%'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'range_excl_lower',
+                CASE WHEN 'web-corpus-v1' > 'web-corpus-v1'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'range_hit',
+                CASE WHEN 'web-corpus-v1' >= 'web-a'
+                      AND 'web-corpus-v1' <= 'web-z'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'term_hit',
+                CASE WHEN 'web-corpus-v1' = 'web-corpus-v1'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'term_miss',
+                CASE WHEN 'web-corpus-v1' = 'web-corpus-vX'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'wildcard_hit',
+                CASE WHEN 'web-corpus-v1' LIKE 'web-%'
+                     THEN c ELSE 0 END FROM n
+              UNION ALL SELECT 'wildcard_miss',
+                CASE WHEN 'web-corpus-v1' LIKE '%-v2'
+                     THEN c ELSE 0 END FROM n
+            ) ORDER BY query
+        """,
+        "agg_aggregate_metric_stats": """
+            SELECT count(l_quantity)::BIGINT AS value_count,
+                   min(l_quantity) AS min_v,
+                   max(l_quantity) AS max_v,
+                   sum(l_quantity) AS sum_v,
+                   sum(l_quantity) / count(l_quantity) AS avg_v
+            FROM lineitem
+        """,
+        "search_aggregate_metric_range": """
+            WITH g AS (
+              SELECT l_suppkey, max(l_quantity) AS mx
+              FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT count(*)::BIGINT AS n,
+                   coalesce(sum(l_suppkey), 0)::BIGINT AS suppkey_sum
+            FROM g WHERE mx >= 49.0
         """,
         "range_field_date_within": """
             WITH r AS (
