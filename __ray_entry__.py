@@ -3191,7 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ConstantKeywordField)
 
         n_docs = _ds(sf, "documents").count()
-        f = ConstantKeywordField("web-corpus-v1")
+        f = ConstantKeywordField("corpus", "web-corpus-v1")
         bank = [
             ("exists", f.exists_query()),
             ("fuzzy_1edit", f.fuzzy_query("web-corpus-v2")),

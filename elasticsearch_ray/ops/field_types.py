@@ -149,12 +149,39 @@ def sort_unsigned_long(ds: Dataset, col: str,
 # ----------------------------------------------------- constant_keyword
 
 
+def _simple_match(pattern: str, value: str,
+                  case_insensitive: bool = False) -> bool:
+    """``Regex.simpleMatch``: only ``*`` is special (no ``?`` / char
+    classes — fnmatch would be wrong here)."""
+    if case_insensitive:
+        pattern, value = pattern.lower(), value.lower()
+    parts = pattern.split("*")
+    if len(parts) == 1:
+        return pattern == value
+    if not value.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for mid in parts[1:-1]:
+        i = value.find(mid, pos)
+        if i < 0:
+            return False
+        pos = i + len(mid)
+    last = parts[-1]
+    return len(value) - pos >= len(last) and value.endswith(last)
+
+
 class ConstantKeywordField:
-    """Index-level constant (ConstantKeywordFieldMapper): term/terms
-    queries are answered from the mapping — ``matches`` says whether the
-    whole index matches, and :func:`filter_dataset` either passes the
-    dataset through untouched or short-circuits to empty WITHOUT a
-    scan (the can_match shortcut)."""
+    """Index-level constant (ConstantKeywordFieldMapper): EVERY query is
+    answered from the mapping alone and folds to match-all / match-none
+    at rewrite time — ``matches`` says whether the whole index matches,
+    and :func:`filter_dataset` either passes the dataset through
+    untouched or short-circuits to empty WITHOUT a scan (the can_match
+    shortcut). The full rewrite family mirrors
+    ``ConstantKeywordFieldMapper.ConstantKeywordFieldType``: term/terms,
+    exists (:178), lexicographic range with inclusive-flag edges
+    (:183-204), wildcard = ``Regex.simpleMatch`` (:170-175), prefix,
+    fuzzy = Damerau automaton accept with exact-prefix chars (:208-241),
+    regexp = anchored whole-value accept (:244-261)."""
 
     def __init__(self, field: str, value: str | None):
         self.field = field
@@ -176,6 +203,83 @@ class ConstantKeywordField:
 
     def exists(self) -> bool:
         return self.value is not None
+
+    # ---- full query-rewrite family (driver-side fold, no data touched)
+
+    def term_query(self, v, case_insensitive: bool = False) -> bool:
+        if self.value is None:
+            return False
+        a, b = str(v), self.value
+        return a.lower() == b.lower() if case_insensitive else a == b
+
+    def terms_query(self, vs) -> bool:
+        return self.value is not None and any(
+            str(v) == self.value for v in vs)
+
+    def exists_query(self) -> bool:
+        return self.value is not None
+
+    def range_query(self, lower=None, upper=None,
+                    include_lower: bool = True,
+                    include_upper: bool = True) -> bool:
+        """Lexicographic UTF-8 compare (BytesRef semantics), :183-204."""
+        if self.value is None:
+            return False
+        vb = self.value.encode()
+        if lower is not None:
+            lb = str(lower).encode()
+            if lb > vb or (lb == vb and not include_lower):
+                return False
+        if upper is not None:
+            ub = str(upper).encode()
+            if vb > ub or (vb == ub and not include_upper):
+                return False
+        return True
+
+    def wildcard_query(self, pattern: str,
+                       case_insensitive: bool = False) -> bool:
+        if self.value is None:
+            return False
+        return _simple_match(pattern, self.value, case_insensitive)
+
+    def prefix_query(self, prefix: str,
+                     case_insensitive: bool = False) -> bool:
+        if self.value is None:
+            return False
+        v, p = self.value, prefix
+        if case_insensitive:
+            v, p = v.lower(), p.lower()
+        return v.startswith(p)
+
+    def fuzzy_query(self, term: str, fuzziness="AUTO",
+                    prefix_length: int = 0,
+                    transpositions: bool = True) -> bool:
+        """:208-241 — accept iff the constant lies within the edit
+        automaton of the term (prefix chars must match exactly)."""
+        if self.value is None:
+            return False
+        from elasticsearch_ray.search.engine import (_auto_fuzziness,
+                                                     _edit_distance_le)
+        maxd = (_auto_fuzziness(term) if fuzziness == "AUTO"
+                else int(fuzziness))
+        pl = min(prefix_length, len(term))
+        if self.value[:pl] != term[:pl]:
+            return False
+        a, b = term[pl:], self.value[pl:]
+        if transpositions:
+            return _edit_distance_le(a, b, maxd)
+        # plain Levenshtein when transpositions are disabled
+        from elasticsearch_ray.ops.text_structure import _levenshtein
+        return _levenshtein(a, b) <= maxd
+
+    def regexp_query(self, regexp: str) -> bool:
+        """Anchored whole-value regex (python re syntax — the same
+        convention as this repo's RegexpQuery term-dict scan)."""
+        if self.value is None:
+            return False
+        import re
+
+        return re.fullmatch(regexp, self.value) is not None
 
 
 # ------------------------------------------------- token_count mapper

@@ -1,39 +1,28 @@
-"""X-pack mapper field types: ``unsigned_long``, ``constant_keyword``,
-``aggregate_metric_double``.
+"""Deep query/parse semantics for the x-pack mapper field types, layered
+over the carrier primitives in :mod:`elasticsearch_ray.ops.field_types`
+(which owns the sortable-lane encoding, the pre-agg doc builder and the
+``ConstantKeywordField`` rewrite family).
 
-Reference semantics (all public):
+This module adds what the reference enforces ABOVE the storage shape:
 
 - ``x-pack/plugin/mapper-unsigned-long/.../UnsignedLongFieldMapper.java``
-  — values in [0, 2^64-1] are stored as SORTABLE SIGNED longs via
-  ``value ^ 0x8000000000000000`` (``unsignedToSortableSignedLong``,
-  :632-646), so ordinary signed compare/sort gives unsigned order.
-  Term parsing (``parseTerm`` :360) rejects negatives/decimals/
-  out-of-range with None (no match); range bounds saturate: a lower
-  term < 0 clamps to 0, an upper term > 2^64-1 clamps to the max, a
-  decimal lower bound rounds UP and a decimal upper bound truncates
-  (``parseLowerRangeTerm``/``parseUpperRangeTerm`` :394-460).
-- ``x-pack/plugin/mapper-constant-keyword/.../ConstantKeywordFieldMapper.java``
-  — the whole index holds ONE value, so every query folds to
-  match-all or match-none at rewrite time: term/terms compare against
-  the constant, exists = value set (:178), range = lexicographic
-  BytesRef compare with inclusive flags (:183-204), wildcard =
-  ``Regex.simpleMatch`` (:170-175), fuzzy = Damerau automaton accept
-  (:208-241), regexp = automaton accept (:244-261).
+  — term parsing (``parseTerm`` :360) folds negative / fractional /
+  out-of-range values to no-match (None); range bounds SATURATE: a
+  lower term < 0 clamps to 0, an upper term > 2^64-1 clamps to the
+  max, a decimal lower bound rounds UP and a decimal upper bound
+  truncates, exclusive bounds step inward
+  (``parseLowerRangeTerm``/``parseUpperRangeTerm`` :394-460). Filters
+  here run on the int64 SORTABLE LANE column (the
+  ``unsignedToSortableSignedLong`` v^2^63 storage form, :632-646) with
+  one vectorized signed compare per batch; sums are exact
+  arbitrary-precision integers (a u64 sum overflows int64).
 - ``x-pack/plugin/mapper-aggregate-metric/.../AggregateDoubleMetricFieldMapper.java``
-  — a pre-aggregated double with ``metrics`` subfields (min/max/sum/
-  value_count subset) and a ``default_metric`` (required unless
-  exactly one metric is configured, Builder :192-207); term/range
-  queries DELEGATE to the default metric subfield (:346-366); the
-  agg layer maps min→min-subfield, max→max, sum→sum,
-  value_count→value_count, and avg = Σsum / Σvalue_count
+  — ``metrics`` must be a non-empty subset of min/max/sum/value_count
+  and ``default_metric`` must be one of them (required unless exactly
+  one metric is configured — Builder :192-207); term/range queries
+  DELEGATE to the default metric subfield (:346-366); each agg reads
+  ONLY its backing subfield and avg = Σsum / Σvalue_count
   (``aggregations/metrics/AggregateMetricBacked*Aggregator.java``).
-
-Ray-Data shape: unsigned_long rides as a single int64 "sortable lane"
-column (uint64 ^ 2^63 reinterpreted), all filters/sorts are vectorized
-numpy compares on that lane; constant_keyword never touches data at
-all (the fold happens on the driver, exactly like the reference's
-query rewrite); aggregate_metric docs are built with ONE groupby and
-every agg over them is a map_batches partial + tiny driver combine.
 """
 
 from __future__ import annotations
@@ -47,24 +36,21 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-_SHIFT = 1 << 63
+from .field_types import (  # noqa: F401  (re-exported carrier API)
+    ConstantKeywordField,
+    build_aggregate_metric,
+    sortable_to_unsigned,
+    unsigned_to_sortable,
+)
+
 _U64_MAX = (1 << 64) - 1
+
+# lane == the int64 sortable-signed storage form of a u64 column
+unsigned_to_lane = unsigned_to_sortable
+lane_to_unsigned = sortable_to_unsigned
 
 
 # ------------------------------------------------------------ unsigned_long
-
-def unsigned_to_lane(values) -> np.ndarray:
-    """uint64 values -> the sortable signed-int64 storage lane
-    (``unsignedToSortableSignedLong``: v ^ 2^63)."""
-    u = np.asarray(values, dtype=np.uint64)
-    return (u ^ np.uint64(_SHIFT)).view(np.int64)
-
-
-def lane_to_unsigned(lane: np.ndarray) -> np.ndarray:
-    """Inverse (``sortableSignedLongToUnsigned``)."""
-    return (np.asarray(lane, dtype=np.int64).view(np.uint64)
-            ^ np.uint64(_SHIFT))
-
 
 def parse_term(value) -> int | None:
     """``parseTerm``: the exact u64 integer, or None when the value can
@@ -134,8 +120,8 @@ def unsigned_range_filter(ds: Dataset, col: str, gte=None, gt=None,
     if lo is None or hi is None or lo > hi:
         return ds.map_batches(lambda b: b.slice(0, 0),
                               batch_format="pyarrow")
-    lo_lane = int(unsigned_to_lane([lo])[0])
-    hi_lane = int(unsigned_to_lane([hi])[0])
+    lo_lane = int(unsigned_to_lane(np.asarray([lo], np.uint64))[0])
+    hi_lane = int(unsigned_to_lane(np.asarray([hi], np.uint64))[0])
 
     def _f(batch: pa.Table) -> pa.Table:
         lane = batch.column(col).to_numpy(zero_copy_only=False)
@@ -150,7 +136,7 @@ def unsigned_term_filter(ds: Dataset, col: str, value) -> Dataset:
     if v is None:
         return ds.map_batches(lambda b: b.slice(0, 0),
                               batch_format="pyarrow")
-    lane_v = int(unsigned_to_lane([v])[0])
+    lane_v = int(unsigned_to_lane(np.asarray([v], np.uint64))[0])
 
     def _f(batch: pa.Table) -> pa.Table:
         lane = batch.column(col).to_numpy(zero_copy_only=False)
@@ -172,7 +158,6 @@ def unsigned_stats(ds: Dataset, col: str) -> dict:
                              "s": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         u = lane_to_unsigned(lane)
-        # exact block sum: uint64 partial + overflow count via Python
         total = int(np.sum(u.astype(object)))
         return pa.table({"mn": pa.array([int(lane.min())], pa.int64()),
                          "mx": pa.array([int(lane.max())], pa.int64()),
@@ -205,114 +190,6 @@ def unsigned_top_k(ds: Dataset, col: str, k: int,
     parts = parts.sort_values(col, ascending=not descending,
                               kind="mergesort", ignore_index=True)
     return parts.head(k)
-
-
-# --------------------------------------------------------- constant_keyword
-
-def _simple_match(pattern: str, value: str,
-                  case_insensitive: bool = False) -> bool:
-    """``Regex.simpleMatch``: only ``*`` is special (no ``?`` / char
-    classes — fnmatch would be wrong here)."""
-    if case_insensitive:
-        pattern, value = pattern.lower(), value.lower()
-    parts = pattern.split("*")
-    if len(parts) == 1:
-        return pattern == value
-    if not value.startswith(parts[0]):
-        return False
-    pos = len(parts[0])
-    for mid in parts[1:-1]:
-        i = value.find(mid, pos)
-        if i < 0:
-            return False
-        pos = i + len(mid)
-    last = parts[-1]
-    return len(value) - pos >= len(last) and value.endswith(last)
-
-
-@dataclass
-class ConstantKeywordField:
-    """A constant_keyword field: every query folds to a driver-side
-    boolean (True = match_all, False = match_none), exactly the
-    reference's rewrite. ``value=None`` models the not-yet-written
-    state (exists = match_none, everything else no-match)."""
-
-    value: str | None = None
-
-    def term_query(self, v, case_insensitive: bool = False) -> bool:
-        if self.value is None:
-            return False
-        a, b = str(v), self.value
-        return a.lower() == b.lower() if case_insensitive else a == b
-
-    def terms_query(self, vs) -> bool:
-        return self.value is not None and any(
-            str(v) == self.value for v in vs)
-
-    def exists_query(self) -> bool:
-        return self.value is not None
-
-    def range_query(self, lower=None, upper=None,
-                    include_lower: bool = True,
-                    include_upper: bool = True) -> bool:
-        """Lexicographic UTF-8 compare (BytesRef semantics), :183-204."""
-        if self.value is None:
-            return False
-        vb = self.value.encode()
-        if lower is not None:
-            lb = str(lower).encode()
-            if lb > vb or (lb == vb and not include_lower):
-                return False
-        if upper is not None:
-            ub = str(upper).encode()
-            if vb > ub or (vb == ub and not include_upper):
-                return False
-        return True
-
-    def wildcard_query(self, pattern: str,
-                       case_insensitive: bool = False) -> bool:
-        if self.value is None:
-            return False
-        return _simple_match(pattern, self.value, case_insensitive)
-
-    def prefix_query(self, prefix: str,
-                     case_insensitive: bool = False) -> bool:
-        if self.value is None:
-            return False
-        v, p = self.value, prefix
-        if case_insensitive:
-            v, p = v.lower(), p.lower()
-        return v.startswith(p)
-
-    def fuzzy_query(self, term: str, fuzziness="AUTO",
-                    prefix_length: int = 0,
-                    transpositions: bool = True) -> bool:
-        """:208-241 — accept iff the constant lies within the edit
-        automaton of the term (prefix chars must match exactly)."""
-        if self.value is None:
-            return False
-        from elasticsearch_ray.search.engine import (_auto_fuzziness,
-                                                     _edit_distance_le)
-        maxd = (_auto_fuzziness(term) if fuzziness == "AUTO"
-                else int(fuzziness))
-        pl = min(prefix_length, len(term))
-        if self.value[:pl] != term[:pl]:
-            return False
-        a, b = term[pl:], self.value[pl:]
-        if transpositions:
-            return _edit_distance_le(a, b, maxd)
-        # plain Levenshtein when transpositions are disabled
-        from elasticsearch_ray.ops.text_structure import _levenshtein
-        return _levenshtein(a, b) <= maxd
-
-    def regexp_query(self, regexp: str) -> bool:
-        """Anchored whole-value regex (python re syntax — the same
-        convention as this repo's RegexpQuery term-dict scan)."""
-        if self.value is None:
-            return False
-        import re
-
-        return re.fullmatch(regexp, self.value) is not None
 
 
 # --------------------------------------------- aggregate_metric_double
@@ -353,31 +230,25 @@ def build_aggregate_metric_docs(ds: Dataset, key_cols: list[str],
                                 value_col: str,
                                 spec: AggregateMetricSpec,
                                 name: str = "m") -> Dataset:
-    """The ingest shape: ONE groupby collapses raw rows into pre-agg
-    docs carrying the configured subfield columns (the downsample /
-    rollup writers emit exactly this)."""
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[key_cols].iloc[:1].copy()
-        v = df[value_col]
-        if "min" in spec.metrics:
-            out[spec.subfield("min", name)] = float(v.min())
-        if "max" in spec.metrics:
-            out[spec.subfield("max", name)] = float(v.max())
-        if "sum" in spec.metrics:
-            out[spec.subfield("sum", name)] = float(v.sum())
-        if "value_count" in spec.metrics:
-            out[spec.subfield("value_count", name)] = np.int64(len(v))
-        return out
-
-    return ds.groupby(key_cols).map_groups(_combine,
-                                           batch_format="pandas")
+    """The ingest shape under a validated spec: delegates to
+    :func:`field_types.build_aggregate_metric` (map-side-combined
+    groupby) and keeps only the CONFIGURED subfield columns."""
+    docs = build_aggregate_metric(ds, key_cols, value_col, name)
+    drop = [spec.subfield(m, name) for m in METRICS
+            if m not in spec.metrics]
+    if not drop:
+        return docs
+    return docs.map_batches(lambda b: b.drop_columns(drop),
+                            batch_format="pyarrow")
 
 
 def aggregate_metric_agg(docs: Dataset, spec: AggregateMetricSpec,
                          agg: str, name: str = "m") -> float | int:
     """AggregateMetricBacked{Min,Max,Sum,ValueCount,Avg}Aggregator:
     each agg reads ONLY its backing subfield; avg recomposes from
-    sum + value_count partials (never a stored average)."""
+    sum + value_count partials (never a stored average). Raises when
+    the backing metric is not configured on the field (the reference
+    rejects such an agg at parse time)."""
     def _need(metric):
         if metric not in spec.metrics:
             raise ValueError(

@@ -98,13 +98,13 @@ def test_unsigned_top_k(ray_session):
 # --------------------------------------------------------- constant_keyword
 
 def test_constant_keyword_rewrites():
-    f = xm.ConstantKeywordField("web-prod")
+    f = xm.ConstantKeywordField("corpus", "web-prod")
     assert f.term_query("web-prod")
     assert not f.term_query("web-dev")
     assert f.term_query("WEB-PROD", case_insensitive=True)
     assert f.terms_query(["a", "web-prod"])
     assert f.exists_query()
-    assert not xm.ConstantKeywordField(None).exists_query()
+    assert not xm.ConstantKeywordField("corpus", None).exists_query()
     # simpleMatch: only * is special; ? is a literal
     assert f.wildcard_query("web-*")
     assert f.wildcard_query("*prod")
@@ -129,7 +129,7 @@ def test_constant_keyword_rewrites():
 
 
 def test_constant_keyword_null_never_matches():
-    f = xm.ConstantKeywordField(None)
+    f = xm.ConstantKeywordField("corpus", None)
     assert not f.term_query("x")
     assert not f.range_query("a", "z")
     assert not f.wildcard_query("*")
