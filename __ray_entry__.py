@@ -2724,6 +2724,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.astype({"doc_id": "int64"}),
                                     preserve_index=False)
 
+    def llm_ccnet_buckets(sf):
+        # CCNet head/middle/tail split (Wenzek et al. 1911.00359 §4.4):
+        # per-language discrete-quantile thresholds on the rounded LM
+        # score, value-threshold bucketing (ties share a bucket)
+        from elasticsearch_ray.ops.textstats import (
+            ccnet_perplexity_buckets, fit_unigram_lm)
+
+        ds = _ds(sf, "documents")
+        lm = fit_unigram_lm(ds)
+        bucketed, _th = ccnet_perplexity_buckets(ds, lm)
+
+        def part(df):
+            g = df.groupby(["lang", "ppl_bucket"], as_index=False).agg(
+                n=("doc_id", "size"), doc_id_sum=("doc_id", "sum"))
+            return g
+
+        out = (bucketed.map_batches(part, batch_format="pandas")
+               .to_pandas())
+        out = (out.groupby(["lang", "ppl_bucket"], as_index=False)
+               [["n", "doc_id_sum"]].sum()
+               .rename(columns={"ppl_bucket": "bucket"})
+               .sort_values(["lang", "bucket"], ignore_index=True))
+        out["n"] = out["n"].astype(np.int64)
+        out["doc_id_sum"] = out["doc_id_sum"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def text_quality_table(sf):
         from elasticsearch_ray.ops.textstats import text_quality
 
@@ -5377,6 +5403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_int8_rescore_all": ann_int8_rescore_all,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
+        "llm_ccnet_buckets": llm_ccnet_buckets,
         "text_repetition": text_repetition,
         "search_rrf_hybrid": search_rrf_hybrid,
         "retriever_rrf_tree": retriever_rrf_tree,
@@ -7261,6 +7288,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-logp), 4) AS nll
             FROM toks JOIN lp USING (t)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "llm_ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE length(text) > 0
+            ),
+            freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            tot AS (SELECT sum(c) AS s, count(*) AS v FROM freq),
+            lp AS (SELECT t, ln((c + 1.0) / (s + v)) AS logp FROM freq, tot),
+            nll AS (
+              SELECT doc_id, round(avg(-logp), 4) AS v
+              FROM toks JOIN lp USING (t) GROUP BY doc_id
+            ),
+            d AS (
+              SELECT n.doc_id, doc.lang, n.v
+              FROM nll n JOIN documents doc USING (doc_id)
+            ),
+            ranked AS (
+              SELECT lang, v,
+                     row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM d
+            ),
+            th AS (
+              SELECT lang,
+                     max(CASE WHEN rn = ((n - 1) // 3) + 1
+                         THEN v END) AS t1,
+                     max(CASE WHEN rn = (2 * (n - 1) // 3) + 1
+                         THEN v END) AS t2
+              FROM ranked GROUP BY lang
+            )
+            SELECT d.lang,
+                   CASE WHEN d.v <= th.t1 THEN 'head'
+                        WHEN d.v <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*)::BIGINT AS n,
+                   sum(d.doc_id)::BIGINT AS doc_id_sum
+            FROM d JOIN th USING (lang)
+            GROUP BY 1, 2 ORDER BY lang, bucket
         """,
         "text_quality_table": """
             WITH tok AS (

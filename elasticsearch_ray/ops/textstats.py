@@ -414,6 +414,90 @@ def perplexity_filter(ds: Dataset, lm: dict, max_ppl: float,
     return scored.map_batches(keep, batch_format="pyarrow")
 
 
+def ccnet_perplexity_buckets(ds: Dataset, lm: dict,
+                             lang_col: str = "lang",
+                             text_col: str = "text",
+                             round_digits: int = 4):
+    """CCNet head/middle/tail partitioning (Wenzek et al. 1911.00359
+    §4.4): per LANGUAGE, documents are split into three equal-count
+    quality buckets by LM score — ``head`` = lowest-perplexity third,
+    then ``middle``, then ``tail``. CCNet keeps the bucket boundary a
+    VALUE threshold (documents tied at the cutoff share a bucket), so
+    the split is deterministic and shuffle-free:
+
+    1. one scoring pass appends the mean NLL (:func:`add_nll`,
+       broadcast model);
+    2. per-batch ``(lang, nll_r)`` count partials → one tiny groupby
+       (shuffle is distinct-rounded-score-sized, never corpus-sized);
+    3. the driver reads each language's cumulative counts and takes the
+       values at 0-based ranks ``(n-1)//3`` and ``2*(n-1)//3`` of the
+       sorted score multiset as thresholds (the discrete quantile);
+    4. a second vectorized pass assigns ``head/middle/tail`` by
+       comparing the rounded score against the broadcast thresholds.
+
+    NLL is monotone in perplexity (ppl = exp(nll)), so thresholding on
+    nll IS the CCNet perplexity split without the exp. Scores are
+    rounded to ``round_digits`` BEFORE thresholding so the rule is
+    reproducible cross-engine (log values never land on rounding
+    boundaries). Empty docs (NaN score) are dropped, as in CCNet.
+
+    Returns ``(bucketed_dataset, thresholds)`` where the dataset gains
+    ``ppl_bucket`` (and keeps ``_nll_r``) and thresholds is
+    ``{lang: (t1, t2)}``.
+    """
+    from ray.data.aggregate import Sum
+
+    scored = add_nll(ds, lm, text_col=text_col, out_col="_nll")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch[lang_col].to_pylist(),
+            "v": np.round(batch["_nll"].to_numpy(zero_copy_only=False),
+                          round_digits)})
+        df = df.dropna()
+        g = df.groupby(["lang", "v"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = (scored.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "v"]).aggregate(Sum("n", alias_name="c"))
+              .to_pandas())
+    thresholds: dict[str, tuple[float, float]] = {}
+    if not counts.empty and "c" in counts.columns:
+        for lang, g in counts.groupby("lang"):
+            g = g.sort_values("v")
+            cum = g["c"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = g["v"].to_numpy()
+            i1, i2 = (n - 1) // 3, 2 * (n - 1) // 3
+            t1 = float(vals[np.searchsorted(cum, i1, side="right")])
+            t2 = float(vals[np.searchsorted(cum, i2, side="right")])
+            thresholds[str(lang)] = (t1, t2)
+
+    import ray
+
+    ref = ray.put(thresholds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        langs = batch[lang_col].to_pylist()
+        v = np.round(batch["_nll"].to_numpy(zero_copy_only=False),
+                     round_digits)
+        t1 = np.array([th.get(str(l), (np.inf, np.inf))[0]
+                       for l in langs])
+        t2 = np.array([th.get(str(l), (np.inf, np.inf))[1]
+                       for l in langs])
+        bucket = np.where(v <= t1, "head",
+                          np.where(v <= t2, "middle", "tail"))
+        keep = ~np.isnan(v)
+        out = batch.append_column("_nll_r", pa.array(v, pa.float64()))
+        out = out.append_column("ppl_bucket",
+                                pa.array(bucket, pa.string()))
+        return out.filter(pa.array(keep))
+
+    return scored.map_batches(assign, batch_format="pyarrow"), thresholds
+
+
 def top_ngram_fraction(ds: Dataset, n: int = 2, text_col: str = "text",
                        id_col: str = "doc_id") -> pd.DataFrame:
     """Gopher repetition signal (Rae et al., arXiv:2112.11446 Table A1):

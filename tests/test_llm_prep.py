@@ -460,3 +460,69 @@ def test_hash_split_deterministic_and_stable(ray_session):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(ds, "doc_id", splits={"train": 0.5})
+
+
+# ------------------------------------------- CCNet head/middle/tail split
+
+def test_ccnet_buckets_equal_thirds(ray_session):
+    import ray.data as rd
+    from elasticsearch_ray.ops.textstats import (
+        ccnet_perplexity_buckets, fit_unigram_lm)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": ["en", "de"] * 150,
+        "text": [" ".join(rng.choice(vocab,
+                                     size=rng.integers(5, 30)))
+                 for _ in range(300)],
+    })
+    ds = rd.from_pandas(docs)
+    lm = fit_unigram_lm(ds)
+    bucketed, th = ccnet_perplexity_buckets(ds, lm)
+    out = bucketed.to_pandas()
+    assert set(th) == {"en", "de"}
+    for lang, g in out.groupby("lang"):
+        sizes = g["ppl_bucket"].value_counts()
+        n = len(g)
+        # value-threshold split: every doc lands in exactly one bucket
+        assert sizes.get("head", 0) + sizes.get("middle", 0) + \
+            sizes.get("tail", 0) == n
+        # the bucket rule is the threshold rule, row by row
+        t1, t2 = th[lang]
+        want = np.where(g["_nll_r"] <= t1, "head",
+                        np.where(g["_nll_r"] <= t2, "middle", "tail"))
+        assert list(want) == list(g["ppl_bucket"])
+        # head is never smaller than the exact third minus nothing and
+        # never larger than third + tie mass at the cutoff
+        ties = int((g["_nll_r"] == t1).sum())
+        assert (n - 1) // 3 + 1 <= sizes.get("head", 0) <= \
+            (n - 1) // 3 + ties
+    # buckets are ordered by quality: max(head) <= min(tail) per lang
+    for lang, g in out.groupby("lang"):
+        h = g[g["ppl_bucket"] == "head"]["_nll_r"]
+        t = g[g["ppl_bucket"] == "tail"]["_nll_r"]
+        if len(h) and len(t):
+            assert h.max() <= t.min()
+
+
+def test_ccnet_buckets_drops_empty_docs_and_is_per_lang(ray_session):
+    import ray.data as rd
+    from elasticsearch_ray.ops.textstats import (
+        ccnet_perplexity_buckets, fit_unigram_lm)
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "lang": ["en"] * 4 + ["fr"] * 4,
+        "text": ["a a a", "a b", "b c d", "",           # en; one empty
+                 "x x x x", "x y", "y z", "z z q"],     # fr
+    })
+    ds = rd.from_pandas(docs)
+    lm = fit_unigram_lm(ds)
+    bucketed, th = ccnet_perplexity_buckets(ds, lm)
+    out = bucketed.to_pandas()
+    assert 3 not in set(out["doc_id"])  # empty doc dropped
+    assert len(out) == 7
+    # thresholds computed independently per language
+    assert th["en"] != th["fr"]
