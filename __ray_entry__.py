@@ -4609,6 +4609,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = embedding_near_dups(_ds(sf, "embeddings"), threshold=0.35, ncells=8)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def dedup_semdedup(sf):  # rows-only (k-means clustering is not SQL)
+        # SemDeDup (Abbas et al. 2303.09540): within-cluster epsilon-ball
+        # pruning, keep-farthest-from-centroid representative
+        from elasticsearch_ray.ops.dedup import semdedup
+
+        out = semdedup(_ds(sf, "embeddings"), eps=0.55, ncells=8)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def multimodal_embed(sf):  # rows-only (decode stubbed; Ray plumbing real)
         import ray.data as rd
 
@@ -5379,6 +5387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_decontaminate": dedup_decontaminate,
         "dedup_minhash_components": dedup_minhash_components,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "dedup_semdedup": dedup_semdedup,
         "multimodal_embed": multimodal_embed,
         "multimodal_bmp_embed": multimodal_bmp_embed,
         "multimodal_png_embed": multimodal_png_embed,

@@ -379,6 +379,99 @@ def embedding_near_dups(ds: Dataset, id_col: str = "vec_id", vec_col: str = "emb
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def semdedup(ds: Dataset, id_col: str = "vec_id",
+             vec_col: str = "embedding", eps: float = 0.05,
+             ncells: int = 16, sample_n: int = 2048, seed: int = 11,
+             cluster_cap: int = 20000) -> pd.DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    k-means clustering then WITHIN-cluster ε-ball pruning — two items
+    are semantic duplicates when their cosine similarity exceeds
+    ``1 - eps``; within each duplicate group ONE representative is kept,
+    preferring the item with the LOWEST cosine to its cluster centroid
+    (the paper's keep-farthest rule, §3).
+
+    Ray shape: centroids from a driver sample (broadcast once), one
+    vectorized assignment pass, then a ``groupby(cell).map_groups``
+    greedy sweep — work is Σ cell², never N². The greedy order (cosine
+    to centroid ASCENDING, id tie-break) makes the survivor set
+    deterministic and keep-farthest by construction: an item is dropped
+    iff it is within ε of an ALREADY-KEPT (farther-from-centroid) item.
+    Clusters larger than ``cluster_cap`` are swept in consecutive
+    chunks of that size along the same order (documented approximation:
+    cross-chunk duplicates survive, connectivity within a chunk is
+    exact — the same cap discipline as the LSH hot-bucket chain).
+
+    Returns a frame of DROPPED ids with their kept representative:
+    ``(drop_id, kept_id, cosine)`` — feed the drop set to a filter, as
+    in :func:`exact_dedup`.
+    """
+    from elasticsearch_ray.ops.ann import _batch_matrix, _kmeans, _normalize
+
+    import ray
+
+    sample, need = [], sample_n
+    for batch in ds.select_columns([vec_col]).iter_batches(
+            batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        need -= len(batch)
+        if need <= 0:
+            break
+    cent = _normalize(_kmeans(np.concatenate(sample)[:sample_n], ncells,
+                              seed=seed))
+    cent_ref = ray.put(cent)
+    thr = 1.0 - eps
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_batch_matrix(batch, vec_col))
+        sims = x @ c.T
+        cells = sims.argmax(axis=1).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cell": pa.array(cells),
+            "cent_cos": pa.array(sims[np.arange(len(cells)), cells]),
+        })
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        # keep-farthest greedy: ascending centroid-cosine, id tie-break
+        g = g.sort_values(["cent_cos", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack([np.asarray(v, np.float64)
+                                 for v in g[vec_col]]))
+        drops, keeps, coss = [], [], []
+        for lo in range(0, len(ids), cluster_cap):
+            chunk = m[lo:lo + cluster_cap]
+            cids = ids[lo:lo + cluster_cap]
+            sims = chunk @ chunk.T
+            kept_idx: list[int] = []
+            for i in range(len(cids)):
+                if kept_idx:
+                    s = sims[i, kept_idx]
+                    j = int(np.argmax(s))
+                    if s[j] >= thr:
+                        drops.append(cids[i])
+                        keeps.append(cids[kept_idx[j]])
+                        coss.append(float(s[j]))
+                        continue
+                kept_idx.append(i)
+        return pd.DataFrame({
+            "drop_id": np.asarray(drops, dtype=ids.dtype),
+            "kept_id": np.asarray(keeps, dtype=ids.dtype),
+            "cosine": np.round(np.asarray(coss, np.float64), 6),
+        })
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("cell")
+           .map_groups(sweep, batch_format="pandas")
+           .to_pandas())
+    if out.empty or "drop_id" not in out.columns:
+        return pd.DataFrame({"drop_id": pd.Series([], dtype="int64"),
+                             "kept_id": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return out.sort_values("drop_id").reset_index(drop=True)
+
+
 class SimHashBatch:
     """64-bit SimHash per doc (Charikar): sign-sum of token hashes.
 

@@ -1395,3 +1395,67 @@ def test_tiff_media_pipeline(ray_session):
                          dim=8).to_pandas()
     assert len(out) == 8
     assert all(len(e) == 8 for e in out["embedding"])
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def _planted_vectors(rng, n_random=120, dim=16):
+    """Random unit-ish vectors plus two planted duplicate groups."""
+    import numpy as np
+    base = rng.normal(size=(n_random, dim))
+    g1 = np.tile(base[3], (3, 1))                      # exact dups of #3
+    g2 = np.tile(base[7], (4, 1)) + rng.normal(
+        scale=1e-3, size=(4, dim))                     # near dups of #7
+    return np.concatenate([base, g1, g2])
+
+
+def test_semdedup_one_survivor_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    vecs = _planted_vectors(rng)
+    n = len(vecs)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs]}))
+    out = semdedup(ds, eps=0.02, ncells=4, sample_n=n, seed=3)
+    # group 1: ids {3, 120, 121, 122} identical -> 3 drops, kept is the
+    # group member that sorts first (same centroid cosine, min id)
+    g1 = {3, 120, 121, 122}
+    d1 = out[out["drop_id"].isin(g1)]
+    assert len(d1) == 3
+    assert set(d1["kept_id"]) == {3}
+    assert (d1["cosine"] > 0.999).all()
+    # group 2: ids {7, 123..126} near-identical -> 4 drops, one kept
+    g2 = {7, 123, 124, 125, 126}
+    d2 = out[out["drop_id"].isin(g2)]
+    assert len(d2) == 4
+    assert len(set(g2) - set(d2["drop_id"])) == 1
+    assert set(d2["kept_id"]).issubset(g2)
+    # no random vector was dropped at this tight epsilon
+    assert set(out["drop_id"]).issubset(g1 | g2)
+
+
+def test_semdedup_eps_monotone_and_cap(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(9)
+    vecs = _planted_vectors(rng)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs]}))
+    tight = semdedup(ds, eps=0.02, ncells=4, sample_n=len(vecs))
+    loose = semdedup(ds, eps=0.5, ncells=4, sample_n=len(vecs))
+    assert len(loose) >= len(tight)
+    # chunked sweep still kills within-chunk duplicates
+    capped = semdedup(ds, eps=0.02, ncells=1, sample_n=len(vecs),
+                      cluster_cap=2000)
+    assert set(tight["drop_id"]) == set(capped["drop_id"])
