@@ -52,7 +52,8 @@ _COMBINE = {"sum": "sum", "min": "min", "max": "max", "value_count": "sum"}
 
 def run_rollup_job(ds, dest_dir: str, ts_field: str, interval: str,
                    terms: list[str], metrics: dict[str, list[str]],
-                   input_fingerprint: str | None = None) -> pd.DataFrame:
+                   input_fingerprint: str | None = None,
+                   index_pattern: str = "*") -> pd.DataFrame:
     """Execute a rollup job: ``metrics`` is ``{field: [metric...]}`` with
     metrics from sum/min/max/avg/value_count. Requesting ``avg`` stores
     ``sum`` + ``value_count`` instead (recomposed at query time). Returns
@@ -82,7 +83,8 @@ def run_rollup_job(ds, dest_dir: str, ts_field: str, interval: str,
                             aggs=aggs,
                             input_fingerprint=input_fingerprint)
     cfg = {"ts_field": ts_field, "interval": interval,
-           "terms": list(terms), "metrics": stored}
+           "terms": list(terms), "metrics": stored,
+           "index_pattern": index_pattern}
     tmp = os.path.join(dest_dir, "rollup_job.json.tmp")
     with open(tmp, "w") as f:
         json.dump(cfg, f, sort_keys=True)
@@ -93,6 +95,55 @@ def run_rollup_job(ds, dest_dir: str, ts_field: str, interval: str,
 def rollup_config(dest_dir: str) -> dict:
     with open(os.path.join(dest_dir, "rollup_job.json")) as f:
         return json.load(f)
+
+
+def _job_caps(dest_dir: str) -> dict:
+    """RollupJobCaps shape (``rollup/action/RollupJobCaps.java``): the
+    per-field capability map a search layer uses to decide which jobs
+    can serve which aggregations."""
+    cfg = rollup_config(dest_dir)
+    fields: dict[str, list[dict]] = {
+        cfg["ts_field"]: [{"agg": "date_histogram",
+                           "calendar_interval": cfg["interval"],
+                           "time_zone": "UTC"}],
+    }
+    for t in cfg["terms"]:
+        fields.setdefault(t, []).append({"agg": "terms"})
+    for f, ms in cfg["metrics"].items():
+        caps = [{"agg": m} for m in ms]
+        if {"sum", "value_count"} <= set(ms):
+            caps.append({"agg": "avg"})  # recomposable, advertised
+        fields.setdefault(f, []).extend(caps)
+    return {"job_id": os.path.basename(os.path.abspath(dest_dir)),
+            "rollup_index": os.path.abspath(dest_dir),
+            "index_pattern": cfg.get("index_pattern", "*"),
+            "fields": fields}
+
+
+def get_rollup_caps(dest_dirs: list[str],
+                    index_pattern: str = "_all") -> dict:
+    """``GET _rollup/data/<pattern>`` (TransportGetRollupCapsAction):
+    jobs grouped by the RAW index pattern they roll up; ``_all`` or a
+    ``*`` pattern matches like the reference's simple wildcard."""
+    import fnmatch
+
+    out: dict[str, dict] = {}
+    for d in dest_dirs:
+        caps = _job_caps(d)
+        pat = caps["index_pattern"]
+        if index_pattern not in ("_all", pat) and \
+                not fnmatch.fnmatchcase(pat, index_pattern):
+            continue
+        out.setdefault(pat, {"rollup_jobs": []})["rollup_jobs"].append(caps)
+    return out
+
+
+def get_rollup_index_caps(dest_dir: str) -> dict:
+    """``GET <rollup_index>/_rollup/data``
+    (TransportGetRollupIndexCapsAction): capabilities of the jobs that
+    WROTE this rollup index (one job per destination here)."""
+    caps = _job_caps(dest_dir)
+    return {caps["rollup_index"]: {"rollup_jobs": [caps]}}
 
 
 def rollup_search(dest_dir: str, interval: str,

@@ -105,3 +105,40 @@ def test_metric_subset_selection(hourly_job):
     dest, _ = hourly_job
     out = rollup_search(dest, "day", metrics={"value": ["avg"]})
     assert set(out.columns) == {"ts", "kind", "value.avg"}
+
+
+def test_rollup_caps_apis(hourly_job, ray_session, raw_frame,
+                          tmp_path_factory):
+    import ray.data as rd
+
+    from elasticsearch_ray.pipelines.rollup import (
+        get_rollup_caps, get_rollup_index_caps, run_rollup_job)
+
+    dest, _ = hourly_job
+    dest2 = str(tmp_path_factory.mktemp("rollup") / "daily-events")
+    run_rollup_job(rd.from_pandas(raw_frame), dest2, ts_field="ts",
+                   interval="day", terms=["kind"],
+                   metrics={"value": ["min"]},
+                   index_pattern="events-*")
+    caps = get_rollup_caps([dest, dest2], "_all")
+    assert set(caps) == {"*", "events-*"}
+    job = caps["events-*"]["rollup_jobs"][0]
+    assert job["fields"]["ts"] == [{"agg": "date_histogram",
+                                    "calendar_interval": "day",
+                                    "time_zone": "UTC"}]
+    assert {"agg": "terms"} in job["fields"]["kind"]
+    assert job["fields"]["value"] == [{"agg": "min"}]
+    # the hourly job stored sum+value_count (avg requested) -> avg is
+    # ADVERTISED as recomposable
+    hourly = caps["*"]["rollup_jobs"][0]["fields"]["value"]
+    assert {"agg": "avg"} in hourly
+    assert {"agg": "value_count"} in hourly
+    # pattern filter: only the matching job group comes back
+    only = get_rollup_caps([dest, dest2], "events-*")
+    assert set(only) == {"events-*"}
+    assert get_rollup_caps([dest, dest2], "logs-*") == {}
+    # index caps keyed by the rollup index itself
+    icaps = get_rollup_index_caps(dest2)
+    (k, v), = icaps.items()
+    assert k.endswith("daily-events")
+    assert v["rollup_jobs"][0]["job_id"] == "daily-events"
