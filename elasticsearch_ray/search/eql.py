@@ -61,13 +61,18 @@ def _pred_columns(preds) -> set[str]:
 
 
 def _seq_state_machine(ts: np.ndarray, tb: np.ndarray, bits: np.ndarray,
-                       n_stages: int, maxspan, has_until: bool) -> list[tuple]:
+                       stage_bit: list[int], until_bit: int,
+                       maxspan, has_until: bool) -> list[tuple]:
     """Per-key walk (rows already (ts, tb)-sorted). Partials are
     ``(first_ts, ids, tss, last_pos)``; ``pending[i]`` is ordered by
-    recency so ``before()`` = pop from the tail (SequenceGroup.java)."""
+    recency so ``before()`` = pop from the tail (SequenceGroup.java).
+    ``stage_bit[i]`` maps stage ``i`` to its PREDICATE bit — ``with
+    runs=N`` repeats a predicate across stages (LogicalPlanBuilder.java
+    runs expansion), so the candidate bitmask stays one bit per unique
+    predicate and the reference's 256-stage cap fits in an int64."""
+    n_stages = len(stage_bit)
     pending: list[list] = [[] for _ in range(n_stages)]
     out: list[tuple] = []
-    until_bit = 1 << n_stages
     for pos in range(len(ts)):
         b = int(bits[pos])
         if has_until and b & until_bit:
@@ -77,7 +82,7 @@ def _seq_state_machine(ts: np.ndarray, tb: np.ndarray, bits: np.ndarray,
         # highest stage first so one event can advance a partial AND then
         # open a new one, but never advance the partial it just extended
         for i in range(n_stages - 1, 0, -1):
-            if not b & (1 << i):
+            if not b & (1 << stage_bit[i]):
                 continue
             prev = pending[i - 1]
             # most recent partial strictly before this event; expired
@@ -97,7 +102,7 @@ def _seq_state_machine(ts: np.ndarray, tb: np.ndarray, bits: np.ndarray,
                 else:
                     pending[i].append((first_ts, ids2, tss2, pos))
                 break
-        if b & 1:
+        if b & (1 << stage_bit[0]):
             pending[0].append((t, (tb[pos],), (t,), pos))
     return out
 
@@ -105,10 +110,12 @@ def _seq_state_machine(ts: np.ndarray, tb: np.ndarray, bits: np.ndarray,
 class _SeqGroupFn:
     """map_groups callable: state machine per key group."""
 
-    def __init__(self, by, ts_col, tb_col, n_stages, maxspan, has_until,
-                 mode):
-        self.by, self.ts_col, self.tb_col = by, ts_col, tb_col
-        self.n, self.maxspan, self.has_until = n_stages, maxspan, has_until
+    def __init__(self, by_cols, ts_col, tb_col, stage_bit, until_bit,
+                 maxspan, has_until, mode):
+        self.by_cols, self.ts_col, self.tb_col = by_cols, ts_col, tb_col
+        self.stage_bit, self.until_bit = stage_bit, until_bit
+        self.n = len(stage_bit)
+        self.maxspan, self.has_until = maxspan, has_until
         self.mode = mode
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -116,23 +123,23 @@ class _SeqGroupFn:
         ts = df[self.ts_col].to_numpy()
         tb = df[self.tb_col].to_numpy()
         bits = df["_stage_bits"].to_numpy()
-        key = df[self.by].iloc[0]
         if self.mode == "asof":
             rows = self._asof(ts, tb, bits)
         else:
             rows = [(ids, tss) for _f, ids, tss in _seq_state_machine(
-                ts, tb, bits, self.n, self.maxspan, self.has_until)]
+                ts, tb, bits, self.stage_bit, self.until_bit,
+                self.maxspan, self.has_until)]
         if not rows:
             return self._empty(df)
-        out = {self.by: [key] * len(rows)}
+        out = {c: [df[c].iloc[0]] * len(rows) for c in self.by_cols}
         for i in range(self.n):
             out[f"ts_{i}"] = [tss[i] for _ids, tss in rows]
             out[f"id_{i}"] = [ids[i] for ids, _tss in rows]
         return pd.DataFrame(out)
 
     def _asof(self, ts, tb, bits):
-        m1 = (bits & 1).astype(bool)
-        m2 = (bits & 2).astype(bool)
+        m1 = (bits & (1 << self.stage_bit[0])).astype(bool)
+        m2 = (bits & (1 << self.stage_bit[1])).astype(bool)
         t1, b1 = ts[m1], tb[m1]
         t2, b2 = ts[m2], tb[m2]
         if not len(t1) or not len(t2):
@@ -145,7 +152,7 @@ class _SeqGroupFn:
             span = t2 - t1[np.maximum(idx, 0)]
             ok &= span <= self.maxspan
         if self.has_until:
-            mu = (bits & 4).astype(bool)
+            mu = (bits & self.until_bit).astype(bool)
             tu = ts[mu]
             if len(tu):
                 # an until event strictly between t1 and t2 voids the pair
@@ -160,32 +167,62 @@ class _SeqGroupFn:
         return rows
 
     def _empty(self, df):
-        cols = {self.by: df[self.by].iloc[:0]}
+        cols = {c: df[c].iloc[:0] for c in self.by_cols}
         for i in range(self.n):
             cols[f"ts_{i}"] = df[self.ts_col].iloc[:0]
             cols[f"id_{i}"] = df[self.tb_col].iloc[:0]
         return pd.DataFrame(cols)
 
 
-def eql_sequence(ds, by: str, ts_col: str, stages: list,
+def eql_sequence(ds, by, ts_col: str, stages: list,
                  maxspan=None, until=None, tiebreak: str = "event_id",
                  mode: str = "eql",
-                 extra_columns: tuple = ()) -> pd.DataFrame:
+                 extra_columns: tuple = (),
+                 runs: list | None = None) -> pd.DataFrame:
     """Run ``sequence by <by> [stages...] until [until] with maxspan`` over
     a Ray Dataset. Returns one row per matched sequence:
-    ``(by, ts_0..ts_{n-1}, id_0..id_{n-1})`` with ``id_i`` = the tiebreak
-    column of the stage-``i`` event. See module docstring for modes."""
-    if len(stages) < 2:
-        raise ValueError("sequence needs at least two stages")
+    ``(by..., ts_0..ts_{n-1}, id_0..id_{n-1})`` with ``id_i`` = the
+    tiebreak column of the stage-``i`` event. See module docstring for
+    modes.
+
+    ``by`` may be a single column or a list (the reference's composite
+    join keys — ``sequence by host, user``; LogicalPlanBuilder.java
+    visitJoinKeys). ``runs[i]`` repeats stage ``i`` that many times
+    (``[q] with runs=N`` — LogicalPlanBuilder.java:264-300): validation
+    mirrors the reference (positive, ≤100 per stage, ≤256 expanded
+    queries, ≥2 after expansion)."""
     if mode not in ("eql", "asof"):
         raise ValueError(f"unknown mode {mode!r}")
-    if mode == "asof" and len(stages) != 2:
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if runs is not None:
+        if len(runs) != len(stages):
+            raise ValueError("runs must align 1:1 with stages")
+        for r in runs:
+            if not isinstance(r, int) or isinstance(r, bool) or r < 1:
+                raise ValueError(
+                    f"A positive runs value is required; found [{r!r}]")
+            if r > 100:
+                raise ValueError("A query cannot be repeated more than "
+                                 f"100 times; found [{r}]")
+        if sum(runs) > 256:
+            raise ValueError("Sequence cannot contain more than 256 "
+                             f"queries; found [{sum(runs)}]")
+    else:
+        runs = [1] * len(stages)
+    # stage i of the EXPANDED sequence matches predicate stage_bit[i] —
+    # repeated stages share one candidate-bitmask bit
+    stage_bit = [i for i, r in enumerate(runs) for _ in range(r)]
+    n = len(stage_bit)
+    if n < 2:
+        raise ValueError("A sequence requires a minimum of 2 queries, "
+                         f"found [{n}]")
+    if mode == "asof" and n != 2:
         raise ValueError("asof mode is the 2-stage sharing variant")
     if maxspan is not None and not isinstance(maxspan, (int, float)):
         maxspan = pd.to_timedelta(maxspan).to_numpy()
-    n = len(stages)
     preds = list(stages) + ([until] if until is not None else [])
-    needed = sorted({by, ts_col, tiebreak}
+    until_bit = 1 << len(stages)
+    needed = sorted(set(by_cols) | {ts_col, tiebreak}
                     | _pred_columns(preds) | set(extra_columns))
 
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
@@ -193,27 +230,29 @@ def eql_sequence(ds, by: str, ts_col: str, stages: list,
         for i, p in enumerate(preds):
             bits |= _mask(p, df).astype(np.int64) << i
         keep = bits != 0
-        out = df.loc[keep, [by, ts_col, tiebreak]].copy()
+        out = df.loc[keep, by_cols + [ts_col, tiebreak]].copy()
         out["_stage_bits"] = bits[keep]
         return out
 
-    fn = _SeqGroupFn(by, ts_col, tiebreak, n, maxspan,
-                     until is not None, mode)
+    fn = _SeqGroupFn(by_cols, ts_col, tiebreak, stage_bit, until_bit,
+                     maxspan, until is not None, mode)
 
     def run_group(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df)
 
     cand = (ds.select_columns(needed)
             .map_batches(candidates, batch_format="pandas"))
-    matched = cand.groupby(by).map_groups(run_group, batch_format="pandas")
+    gb_key = by_cols[0] if len(by_cols) == 1 else by_cols
+    matched = cand.groupby(gb_key).map_groups(run_group,
+                                              batch_format="pandas")
     out = matched.to_pandas()
-    cols = [by] + [c for i in range(n) for c in (f"ts_{i}", f"id_{i}")]
+    cols = by_cols + [c for i in range(n) for c in (f"ts_{i}", f"id_{i}")]
     if out.empty:
         # zero candidate rows → map_groups never ran and the frame is
         # SCHEMALESS; return the documented typed-empty shape so callers
         # selecting output columns don't KeyError (review r5 #7)
         return pd.DataFrame(columns=cols)
-    out = (out.sort_values([by, "id_0", f"id_{n-1}"])
+    out = (out.sort_values(by_cols + ["id_0", f"id_{n-1}"])
            .reset_index(drop=True))
     return out[cols]
 

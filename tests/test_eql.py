@@ -14,7 +14,8 @@ def _run(events, n_stages, maxspan=None, has_until=False):
     ts = np.array([e[0] for e in events], float)
     tb = np.array([e[1] for e in events], np.int64)
     bits = np.array([e[2] for e in events], np.int64)
-    return _seq_state_machine(ts, tb, bits, n_stages, maxspan, has_until)
+    return _seq_state_machine(ts, tb, bits, list(range(n_stages)),
+                              1 << n_stages, maxspan, has_until)
 
 
 def test_latest_wins_nested_matching():
@@ -177,3 +178,71 @@ def test_eql_pipes_head_tail_and_errors():
         eql_pipes(f, [("head", 0)])
     with _pytest.raises(ValueError, match="positive integer"):
         eql_pipes(f, [("tail", True)])
+
+
+def test_runs_shared_predicate_bit_state_machine():
+    # stage_bit [0, 1, 1] = `[q1] [q2] with runs=2`: both later stages
+    # match the SAME predicate bit (bit 1)
+    ts = np.array([1.0, 2.0, 3.0])
+    tb = np.array([1, 2, 3], np.int64)
+    bits = np.array([1, 2, 2], np.int64)
+    out = _seq_state_machine(ts, tb, bits, [0, 1, 1], 1 << 2, None, False)
+    assert [ids for _f, ids, _t in out] == [(1, 2, 3)]
+
+
+def test_runs_expansion_equals_manual_duplicate(ray_session, event_frame):
+    import ray.data as rd
+
+    base = dict(by="user_id", ts_col="ts", maxspan="2 days")
+    a = eql_sequence(rd.from_pandas(event_frame),
+                     stages=[{"event_type": "view"},
+                             {"event_type": "click"}],
+                     runs=[1, 2], **base)
+    b = eql_sequence(rd.from_pandas(event_frame),
+                     stages=[{"event_type": "view"},
+                             {"event_type": "click"},
+                             {"event_type": "click"}], **base)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_runs_validation_reference_messages():
+    with pytest.raises(ValueError, match="positive runs value"):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}],
+                     runs=[1, 0])
+    with pytest.raises(ValueError, match="more than 100 times"):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}],
+                     runs=[1, 101])
+    with pytest.raises(ValueError, match="more than 256 queries"):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}, {}],
+                     runs=[100, 100, 100])
+    with pytest.raises(ValueError, match="minimum of 2 queries"):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}], runs=[1])
+    with pytest.raises(ValueError, match="align"):
+        eql_sequence(None, by="k", ts_col="t", stages=[{}, {}], runs=[1])
+
+
+def test_multi_key_by_composite_join_keys(ray_session):
+    """`sequence by user, host`: a view/click pair split across hosts
+    matches on the single key but NOT on the composite key
+    (LogicalPlanBuilder visitJoinKeys — all keys must agree)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 7],
+        "host": ["a", "b", "c", "c"],
+        "ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+        ).astype("datetime64[us]"),
+        "event_type": ["view", "click", "view", "click"],
+    })
+    stages = [{"event_type": "view"}, {"event_type": "click"}]
+    single = eql_sequence(rd.from_pandas(df), by="user_id", ts_col="ts",
+                          stages=stages)
+    assert len(single) == 2  # (1,2) nested-latest + (3,4)
+    both = eql_sequence(rd.from_pandas(df), by=["user_id", "host"],
+                        ts_col="ts", stages=stages)
+    assert list(both.columns[:2]) == ["user_id", "host"]
+    assert len(both) == 1 and both["host"].iloc[0] == "c"
+    assert (both["id_0"].iloc[0], both["id_1"].iloc[0]) == (3, 4)
