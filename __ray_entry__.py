@@ -2389,6 +2389,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = out["cosine"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ann_binary_rescore_all(sf):
+        """Binary sign-bit quantized serving (SimHash/ITQ sketch family;
+        Lucene's quantized dense_vector sketch-then-rescore model):
+        candidates by Hamming distance over the 32x-smaller packed
+        sign-bit store, exact float64 rescoring. With oversample covering
+        the table the result IS the brute top-k, so the DuckDB cosine
+        oracle applies exactly; recall at a working oversample is
+        pytest-pinned (tests/test_binary_vectors.py)."""
+        from elasticsearch_ray.index.vectors import (
+            VectorIndexReader,
+            build_vector_index,
+            parquet_fingerprint,
+        )
+
+        idx_dir = f"/tmp/esray_indexes/vecq-{_sf_key(sf)}"
+        meta = build_vector_index(
+            _ds(sf, "embeddings"), idx_dir, num_partitions=2,
+            quantize=True,
+            input_fingerprint=parquet_fingerprint(
+                os.path.join(sf, "embeddings.parquet")))
+        qids, qm = _query_vectors(sf)
+        out = VectorIndexReader(idx_dir).topk(
+            qids, qm, k=5, binary=True, binary_oversample=meta["n_total"])
+        out["cosine"] = out["cosine"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ann_hnsw_indexed_top5(sf):  # rows-only (approximate; recall-tested)
         """Persisted-graph ANN route: per-partition HNSW graphs built once
         at index time, memmapped by warm workers — repeated queries
@@ -5410,6 +5436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_knn_indexed": search_knn_indexed,
         "ann_hnsw_indexed_top5": ann_hnsw_indexed_top5,
         "ann_int8_rescore_all": ann_int8_rescore_all,
+        "ann_binary_rescore_all": ann_binary_rescore_all,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
         "llm_ccnet_buckets": llm_ccnet_buckets,
@@ -7230,6 +7257,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, cosine DESC, neighbor_id
         """,
         "ann_int8_rescore_all": """
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rn
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+            ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "ann_binary_rescore_all": """
             SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine,

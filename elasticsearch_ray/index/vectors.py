@@ -52,7 +52,7 @@ from elasticsearch_ray.index.segments import atomic_write_json, atomic_write_tab
 from elasticsearch_ray.ops.ann import _batch_matrix, _normalize
 from elasticsearch_ray.ops.hnsw import HNSWGraph
 
-VEC_FORMAT_VERSION = 3  # v3: float64 rescore store (vnorm64.npy) in quantized vparts; v2: filterable metadata columns
+VEC_FORMAT_VERSION = 4  # v4: packed sign-bit binary sketch (vb/bmed.npy) in quantized vparts; v3: float64 rescore store (vnorm64.npy); v2: filterable metadata columns
 VPART_FMT = "vpart={:05d}"
 
 
@@ -101,6 +101,26 @@ def _quantize_int8(v: np.ndarray) -> tuple[np.ndarray, float, float]:
     alpha = max((hi - lo) / 127.0, 1e-12)
     q = np.clip(np.round((np.clip(v, lo, hi) - lo) / alpha), 0, 127)
     return q.astype(np.int8), float(lo), float(alpha)
+
+
+#: per-byte popcount table (numpy < 2.0 has no bitwise_count ufunc)
+_POPCNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8).reshape(-1, 1), axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def _quantize_binary(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sign-bit binary quantization against the partition's PER-DIMENSION
+    medians (the SimHash / ITQ hashing family — Charikar STOC'02, Gong &
+    Lazebnik CVPR'11; Lucene 9's quantized dense_vector follows the same
+    sketch-then-rescore serving model). Median centering makes each bit
+    a balanced 50/50 split, so Hamming distance on the packed lanes is a
+    usable monotone proxy for cosine order among nearby vectors. Returns
+    (packed uint8 (n, ceil(d/8)) row-major bit rows, medians float64 (d,)).
+    32x smaller than the float store; candidates are always RESCORED
+    exactly, so the sketch only has to get recall, not rank."""
+    med = np.median(v, axis=0)
+    return np.packbits(v > med, axis=1), med
 
 
 def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
@@ -156,6 +176,12 @@ def _build_vpart(g: pd.DataFrame, index_dir: str, id_col: str, vec_col: str,
         # and could flip 4-decimal oracle rounding (review r5 #1)
         _atomic_save_npy(np.asarray(graph.v, np.float64),
                          os.path.join(pdir, "vnorm64.npy"))
+        # binary sign-bit sketch (32x smaller than float): rides with the
+        # quantized layout since both serve the sketch-then-exact-rescore
+        # path against the same vnorm64 store
+        vb, bmed = _quantize_binary(np.asarray(graph.v, np.float64))
+        _atomic_save_npy(vb, os.path.join(pdir, "vb.npy"))
+        _atomic_save_npy(bmed, os.path.join(pdir, "bmed.npy"))
         quant = {"minq": minq, "alpha": alpha}
     _atomic_save_npy(graph.levels, os.path.join(pdir, "levels.npy"))
     for lv, (adj, pos) in enumerate(zip(graph.adj, graph.pos)):
@@ -562,6 +588,53 @@ class VPartSearcher:
                 if len(exact) > kk else np.arange(len(exact)))
         return self.ids[cand[best]], exact[best]
 
+    def _binary_store(self):
+        if not self.manifest.get("quantize"):
+            raise ValueError(
+                "this vector partition was built without quantize=True — "
+                "rebuild with build_vector_index(..., quantize=True) for "
+                "binary serving")
+        if getattr(self, "_vb", None) is None:
+            self._vb = np.load(os.path.join(self.pdir, "vb.npy"),
+                               mmap_mode="r")
+            self._bmed = np.load(os.path.join(self.pdir, "bmed.npy"))
+            self._v64b = np.load(os.path.join(self.pdir, "vnorm64.npy"),
+                                 mmap_mode="r")
+        return self._vb, self._bmed, self._v64b
+
+    def search_binary(self, qn: np.ndarray, k: int, oversample: float = 8.0,
+                      mask: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Binary-sketch serving: Hamming distance between the query's
+        sign bits and the 32x-smaller packed store picks
+        ``ceil(k * oversample)`` candidates, which are RESCORED exactly
+        against float64 memmap rows (only candidate pages are touched).
+        With oversample covering the whole partition this is exactly the
+        brute result — the same contract as search_int8. The XOR +
+        per-byte popcount scan is fully vectorized and touches d/8 bytes
+        per row."""
+        vb, bmed, v64 = self._binary_store()
+        qb = np.packbits(qn > bmed)
+        rows = np.flatnonzero(mask) if mask is not None \
+            else np.arange(vb.shape[0])
+        if not len(rows):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ham = np.empty(len(rows), np.int64)
+        CH = 1 << 16
+        for s0 in range(0, len(rows), CH):
+            r = rows[s0:s0 + CH]
+            ham[s0:s0 + CH] = _POPCNT[vb[r] ^ qb].sum(
+                axis=1, dtype=np.int64)
+        n_cand = min(len(rows), max(k, int(np.ceil(k * oversample))))
+        top = (np.argpartition(ham, n_cand - 1)[:n_cand]
+               if len(ham) > n_cand else np.arange(len(ham)))
+        cand = rows[top]
+        exact = np.asarray(v64[cand], np.float64) @ qn
+        kk = min(k, len(exact))
+        best = (np.argpartition(-exact, kk - 1)[:kk]
+                if len(exact) > kk else np.arange(len(exact)))
+        return self.ids[cand[best]], exact[best]
+
     def search_brute_filtered(self, qn: np.ndarray, k: int,
                               mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """EXACT top-k over only the survivor rows — the selective-filter
@@ -614,7 +687,8 @@ def _cached_searcher(pdir: str) -> VPartSearcher:
 
 def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
                 brute: bool, flt=None, int8: bool = False,
-                int8_oversample: float = 3.0) -> pd.DataFrame:
+                int8_oversample: float = 3.0, binary: bool = False,
+                binary_oversample: float = 8.0) -> pd.DataFrame:
     """One partition's top-k for every query — the single shared body of
     the stateless-task and pinned-actor serving paths (a fix applied to
     one must not miss the other). ``flt`` is an AND-of-equality pair tuple
@@ -625,7 +699,10 @@ def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
     mask = s.filter_mask(flt) if flt else None
     out_q, out_id, out_sim = [], [], []
     for qi, qid in enumerate(qids):
-        if int8:
+        if binary:
+            ids, sims = s.search_binary(
+                qn[qi], k, oversample=binary_oversample, mask=mask)
+        elif int8:
             ids, sims = s.search_int8(qn[qi], k, oversample=int8_oversample,
                                       mask=mask)
         elif mask is not None:
@@ -644,11 +721,12 @@ def _batch_topk(s: VPartSearcher, qids, qn, k: int, ef: int,
 @ray.remote
 def _search_part(pdir: str, qids: list, qn: np.ndarray, k: int, ef: int,
                  brute: bool, flt=None, int8: bool = False,
-                 int8_oversample: float = 3.0):
+                 int8_oversample: float = 3.0, binary: bool = False,
+                 binary_oversample: float = 8.0):
     """Runs on a warm worker whose _VPART_CACHE holds the memmapped graph
     across calls."""
     return _batch_topk(_cached_searcher(pdir), qids, qn, k, ef, brute, flt,
-                       int8, int8_oversample)
+                       int8, int8_oversample, binary, binary_oversample)
 
 
 @ray.remote
@@ -662,9 +740,11 @@ class VPartSearcherActor:
         self.s = VPartSearcher(pdir)
 
     def search_batch(self, qids, qn, k, ef, brute, flt=None,
-                     int8=False, int8_oversample=3.0):
+                     int8=False, int8_oversample=3.0, binary=False,
+                     binary_oversample=8.0):
         return _batch_topk(self.s, qids, qn, k, ef, brute, flt,
-                           int8, int8_oversample)
+                           int8, int8_oversample, binary,
+                           binary_oversample)
 
 
 class VectorIndexReader:
@@ -707,7 +787,8 @@ class VectorIndexReader:
     def topk(self, query_ids, query_matrix: np.ndarray, k: int = 10,
              ef_search: int = 80, brute: bool = False,
              flt=None, int8: bool = False,
-             int8_oversample: float = 3.0) -> pd.DataFrame:
+             int8_oversample: float = 3.0, binary: bool = False,
+             binary_oversample: float = 8.0) -> pd.DataFrame:
         """Same output schema/rounding as ops.ann.brute_topk /
         ops.hnsw.hnsw_topk: (query_id, neighbor_id, cosine) ordered
         (query_id, -cosine, neighbor_id), cosine rounded to 6. ``flt``
@@ -724,23 +805,27 @@ class VectorIndexReader:
                     f"vector index (metadata_cols={sorted(stored)}); "
                     f"rebuild with metadata_cols=[...] or use the "
                     f"per-call path (ops.hnsw.knn_search)")
-        if int8 and not self.meta.get("quantize"):
-            raise ValueError("vector index was built without quantize=True"
-                             " — int8 serving unavailable")
+        if int8 and binary:
+            raise ValueError("pick ONE of int8/binary serving")
+        if (int8 or binary) and not self.meta.get("quantize"):
+            raise ValueError(
+                "vector index was built without quantize=True — "
+                f"{'binary' if binary else 'int8'} serving unavailable")
         qn = _normalize(np.asarray(query_matrix, np.float64))
         qids = list(query_ids)
         if self._use_actors:
             futs = [
                 self._actor(p["part"]).search_batch.remote(
                     qids, qn, k, ef_search, brute, flt, int8,
-                    int8_oversample)
+                    int8_oversample, binary, binary_oversample)
                 for p in self.meta["parts"] if p["n"] > 0
             ]
         else:
             futs = [
                 _search_part.remote(vpart_dir(self.dir, p["part"]), qids, qn,
                                     k, ef_search, brute, flt, int8,
-                                    int8_oversample)
+                                    int8_oversample, binary,
+                                    binary_oversample)
                 for p in self.meta["parts"] if p["n"] > 0
             ]
         partial = pd.concat(ray.get(futs), ignore_index=True) if futs else \
