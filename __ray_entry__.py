@@ -3023,6 +3023,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_doremi_sample(sf):
+        # DoReMi domain reweighting (Xie et al. 2023): per-domain excess
+        # loss between the unigram proxy and interpolated-bigram
+        # reference LMs → closed-form single-step EG weights + uniform
+        # smoothing → inclusion rates through the Knuth-hash rule. The
+        # SQL twin recomputes the ENTIRE chain (both LMs, domain means,
+        # weights, rates, hash rule) on the same table.
+        from elasticsearch_ray.ops.doremi import doremi_resample
+
+        sampled, _stats = doremi_resample(
+            _ds(sf, "documents"), "lang", "doc_id",
+            eta=1.0, smoothing=0.1, target_fraction=0.5)
+        out = sampled.to_pandas()[["doc_id", "lang"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_pack_windows(sf):
         # concat-and-chunk sequence packing over n_chars (GPT-2-style
         # fixed windows); twin = prefix-sum window function
@@ -5458,6 +5475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_stratified_sample": llm_stratified_sample,
         "llm_c4_clean": llm_c4_clean,
         "llm_temperature_sample": llm_temperature_sample,
+        "llm_doremi_sample": llm_doremi_sample,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,
@@ -7541,6 +7559,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE (d.doc_id * 2654435761) % 4294967296
                   < floor(r.rate * 4294967296)
             ORDER BY d.doc_id
+        """,
+        "llm_doremi_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS ts
+              FROM documents WHERE length(text) > 0
+            ),
+            uni_tok AS (SELECT doc_id, unnest(ts) AS t FROM d),
+            freq AS (SELECT t, count(*) AS c FROM uni_tok GROUP BY t),
+            tot AS (SELECT sum(c) AS s, count(*) AS v FROM freq),
+            pu AS (SELECT t, (c + 1.0) / (s + v) AS p FROM freq, tot),
+            bg AS (SELECT doc_id,
+                          unnest([ts[i] || chr(31) || ts[i+1]
+                                  FOR i IN range(1, len(ts))]) AS pair
+                   FROM d),
+            bc AS (SELECT pair, count(*) AS c FROM bg GROUP BY pair),
+            ctx AS (SELECT split_part(pair, chr(31), 1) AS pt,
+                           sum(c) AS n FROM bc GROUP BY pt),
+            pml AS (SELECT pair, bc.c * 1.0 / ctx.n AS p
+                    FROM bc JOIN ctx
+                      ON split_part(bc.pair, chr(31), 1) = ctx.pt),
+            nll1 AS (SELECT doc_id, round(-avg(ln(pu.p)), 4) AS v
+                     FROM uni_tok JOIN pu USING (t) GROUP BY doc_id),
+            lps2 AS (
+              SELECT d.doc_id, ln(pu.p) AS lp
+              FROM d JOIN pu ON d.ts[1] = pu.t
+              UNION ALL
+              SELECT bg.doc_id, ln(0.9 * pml.p + 0.1 * pu.p) AS lp
+              FROM bg JOIN pml USING (pair)
+              JOIN pu ON split_part(bg.pair, chr(31), 2) = pu.t
+            ),
+            nll2 AS (SELECT doc_id, round(-avg(lp), 4) AS v
+                     FROM lps2 GROUP BY doc_id),
+            dom AS (
+              SELECT doc.lang, count(*) AS n, avg(nll1.v) AS m1,
+                     avg(nll2.v) AS m2
+              FROM documents doc
+              LEFT JOIN nll1 USING (doc_id) LEFT JOIN nll2 USING (doc_id)
+              GROUP BY doc.lang
+            ),
+            w AS (SELECT lang, n, exp(1.0 * greatest(m1 - m2, 0)) AS ew
+                  FROM dom),
+            a AS (SELECT lang, n,
+                         0.9 * ew / sum(ew) OVER ()
+                           + 0.1 / count(*) OVER () AS alpha,
+                         sum(n) OVER () AS total FROM w),
+            r AS (SELECT lang,
+                         round(least(1.0, 0.5 * total * alpha / n), 6)
+                           AS rate FROM a)
+            SELECT doc.doc_id, doc.lang FROM documents doc
+            JOIN r USING (lang)
+            WHERE (doc.doc_id * 2654435761) % 4294967296
+                  < floor(r.rate * 4294967296)
+            ORDER BY doc_id
         """,
         "llm_pack_windows": """
             WITH o AS (
