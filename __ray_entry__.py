@@ -3040,6 +3040,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_fim_transform(sf):
+        # fill-in-the-middle transform (Bavarian et al. 2022): documents
+        # selected and split at deterministic Knuth-hash character
+        # positions, reordered PSM with sentinels; the SQL twin replays
+        # the same hash arithmetic with substr
+        from elasticsearch_ray.ops.llm_prep import fim_transform
+
+        out = fim_transform(_ds(sf, "documents"), "text", "doc_id",
+                            rate=0.5, mode="psm").to_pandas()
+        out = out[["doc_id", "fim"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_pack_windows(sf):
         # concat-and-chunk sequence packing over n_chars (GPT-2-style
         # fixed windows); twin = prefix-sum window function
@@ -5476,6 +5490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_c4_clean": llm_c4_clean,
         "llm_temperature_sample": llm_temperature_sample,
         "llm_doremi_sample": llm_doremi_sample,
+        "llm_fim_transform": llm_fim_transform,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,
@@ -7613,6 +7628,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN r USING (lang)
             WHERE (doc.doc_id * 2654435761) % 4294967296
                   < floor(r.rate * 4294967296)
+            ORDER BY doc_id
+        """,
+        "llm_fim_transform": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < floor(0.5 * 4294967296)
+                   THEN '<PRE>' || substr(text, 1, lo)
+                        || '<SUF>' || substr(text, hi + 1)
+                        || '<MID>' || substr(text, lo + 1, hi - lo)
+                   ELSE text END AS fim
+            FROM (
+              SELECT doc_id, text, least(c1, c2) AS lo,
+                     greatest(c1, c2) AS hi
+              FROM (
+                SELECT doc_id, text,
+                       ((doc_id * 2 + 1) * 2654435761 % 4294967296)
+                         % (length(text) + 1) AS c1,
+                       ((doc_id * 2 + 2) * 2654435761 % 4294967296)
+                         % (length(text) + 1) AS c2
+                FROM documents))
             ORDER BY doc_id
         """,
         "llm_pack_windows": """

@@ -534,3 +534,67 @@ def mine_hard_negatives(engine, queries: list[tuple], k: int = 5,
         rows.append(hits)
     return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
         columns=["qid", "rank", "doc_id", "score"])
+
+
+# ------------------------------------------------- fill-in-the-middle
+
+
+def fim_transform(ds, text_col: str, id_col: str, rate: float = 0.5,
+                  mode: str = "psm", seed: int = 0,
+                  out_col: str = "fim",
+                  pre_tok: str = "<PRE>", mid_tok: str = "<MID>",
+                  suf_tok: str = "<SUF>"):
+    """Fill-in-the-middle data transform (Bavarian et al. 2022,
+    arXiv:2207.14255 "Efficient Training of Language Models to Fill in
+    the Middle", §2 + Fig. 1): split each selected document into
+    (prefix, middle, suffix) at two uniform character positions and emit
+    the sentinel-delimited reordering —
+
+    - ``psm``:  ``<PRE> prefix <SUF> suffix <MID> middle``
+    - ``spm``:  ``<PRE> <SUF> suffix <MID> prefix middle`` (the paper's
+      joined SPM variant, §4/D.2: prefix follows the middle sentinel so
+      prefix+middle is one contiguous span)
+
+    Documents are selected at ``rate`` (the paper applies FIM to a
+    random document fraction; 0.5/0.9 in their ablations) and both the
+    selection and the split points come from the repo's deterministic
+    Knuth multiplicative hash of ``(id, seed)`` — layout-independent,
+    reproducible, and exactly expressible in a SQL twin:
+
+        apply   iff ((id + seed) * 2654435761) mod 2^32 < rate·2^32
+        cut_i = (((id·2 + i) * 2654435761) mod 2^32) mod (len + 1)
+
+    with ``(lo, hi) = sorted(cut_1, cut_2)``. Unselected docs pass
+    through unchanged. One vectorized map_batches pass."""
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"unknown FIM mode {mode!r}")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = np.uint64(min(int(rate * 4294967296.0), 2**32))
+    s = np.uint64(seed)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        texts = batch[text_col].to_pylist()
+        lens = np.array([len(t or "") for t in texts], np.uint64)
+        apply = ((ids + s) * _KNUTH) % _MOD32 < thr
+        c1 = ((ids * np.uint64(2) + np.uint64(1)) * _KNUTH) % _MOD32 \
+            % (lens + np.uint64(1))
+        c2 = ((ids * np.uint64(2) + np.uint64(2)) * _KNUTH) % _MOD32 \
+            % (lens + np.uint64(1))
+        lo = np.minimum(c1, c2).astype(np.int64)
+        hi = np.maximum(c1, c2).astype(np.int64)
+        out = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            if not apply[i]:
+                out.append(t)
+                continue
+            p, m, x = t[:lo[i]], t[lo[i]:hi[i]], t[hi[i]:]
+            if mode == "psm":
+                out.append(f"{pre_tok}{p}{suf_tok}{x}{mid_tok}{m}")
+            else:
+                out.append(f"{pre_tok}{suf_tok}{x}{mid_tok}{p}{m}")
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(transform, batch_format="pyarrow")
