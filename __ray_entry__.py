@@ -2415,6 +2415,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = out["cosine"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def ann_maxsim_top10(sf):
+        """Late-interaction MaxSim retrieval (ColBERT, Khattab & Zaharia
+        SIGIR'20 eq. 1): multi-vector docs derived as vec_id//4 token
+        groups, query = the first 3 embedding rows; score = Σ_qtoken max
+        cosine. Exact two-phase distributed scan — the DuckDB twin is the
+        same max-then-sum aggregation."""
+        from elasticsearch_ray.ops.ann import maxsim_topk
+
+        _ids, qm = _query_vectors(sf, 3)
+
+        def add_doc(batch: pa.Table) -> pa.Table:
+            d = batch["vec_id"].to_numpy(zero_copy_only=False) // 4
+            return batch.append_column(
+                "doc", pa.array(d.astype("int64"), pa.int64()))
+
+        ds = _ds(sf, "embeddings").map_batches(add_doc,
+                                               batch_format="pyarrow")
+        out = maxsim_topk(ds, qm, "doc", k=10)
+        return pa.Table.from_pandas(out.astype({"doc": "int64"}),
+                                    preserve_index=False)
+
     def ann_hnsw_indexed_top5(sf):  # rows-only (approximate; recall-tested)
         """Persisted-graph ANN route: per-partition HNSW graphs built once
         at index time, memmapped by warm workers — repeated queries
@@ -5468,6 +5489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_indexed_top5": ann_hnsw_indexed_top5,
         "ann_int8_rescore_all": ann_int8_rescore_all,
         "ann_binary_rescore_all": ann_binary_rescore_all,
+        "ann_maxsim_top10": ann_maxsim_top10,
         "text_quality_table": text_quality_table,
         "text_perplexity": text_perplexity,
         "llm_ccnet_buckets": llm_ccnet_buckets,
@@ -7314,6 +7336,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rn <= 5
             ORDER BY query_id, cosine DESC, neighbor_id
+        """,
+        "ann_maxsim_top10": """
+            WITH q AS (SELECT vec_id AS qt, embedding FROM embeddings
+                       WHERE vec_id < 3),
+                 t AS (SELECT vec_id // 4 AS doc, embedding
+                       FROM embeddings),
+                 s AS (SELECT t.doc, q.qt,
+                              max(list_cosine_similarity(
+                                t.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[])) AS mx
+                       FROM t CROSS JOIN q GROUP BY t.doc, q.qt),
+                 sc AS (SELECT doc, round(sum(mx), 4) AS score
+                        FROM s GROUP BY doc)
+            SELECT doc, score FROM sc
+            ORDER BY score DESC, doc LIMIT 10
         """,
         "search_rrf_hybrid": f"""
             WITH lex AS (

@@ -368,3 +368,58 @@ def ivfpq_topk(ds: Dataset, query_ids, query_matrix: np.ndarray,
            .reset_index(drop=True))
     out["cosine"] = out["cosine"].round(6)
     return out
+
+
+# ------------------------------------------------- late interaction
+
+
+def maxsim_topk(ds: Dataset, query_matrix: np.ndarray, doc_col: str,
+                vec_col: str = "embedding", k: int = 10) -> pd.DataFrame:
+    """Late-interaction MaxSim retrieval (Khattab & Zaharia, SIGIR'20
+    "ColBERT", Eq. 1): a document's score is the sum over QUERY token
+    vectors of the max cosine against any of the document's token
+    vectors,
+
+        score(q, d) = Σ_i  max_j  cos(q_i, d_j).
+
+    Exact and distributed in two phases: a vectorized per-batch partial
+    (one (n × q_tokens) matmul + per-doc ``maximum.reduceat``) emits at
+    most one row per doc per batch, a per-doc Max groupby combines
+    boundary-straddling docs (the two-phase discipline — Ray sort/shuffle
+    boundaries are row-based, never key-aligned), and the driver sums the
+    q_token max columns and cuts top-k on (rounded score desc, doc asc).
+    The query matrix is tiny (q_tokens × d) and rides the task closure —
+    never re-shipped per row. Shuffle size is n_docs × q_tokens maxes,
+    not n_vectors."""
+    from ray.data.aggregate import Max
+
+    qn = _normalize(np.asarray(query_matrix, np.float64))
+    qt = qn.shape[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ qn.T  # (n, qt)
+        docs = batch[doc_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(docs, kind="stable")
+        ds_ = docs[order]
+        ss = sims[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        mx = np.maximum.reduceat(ss, starts, axis=0)
+        cols = {doc_col: pa.array(ds_[starts])}
+        for j in range(qt):
+            cols[f"m{j}"] = pa.array(mx[:, j], pa.float64())
+        return pa.table(cols)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(doc_col)
+           .aggregate(*[Max(f"m{j}", alias_name=f"m{j}")
+                        for j in range(qt)])
+           .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({doc_col: pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    score = agg[[f"m{j}" for j in range(qt)]].sum(axis=1).round(4)
+    out = pd.DataFrame({doc_col: agg[doc_col], "score": score})
+    return (out.sort_values(["score", doc_col],
+                            ascending=[False, True], kind="stable")
+            .head(k).reset_index(drop=True))
