@@ -1685,6 +1685,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = terms_agg(_ds(sf, "documents"), "lang", value_col="n_chars")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_terms_include_exclude(sf):
+        # IncludeExclude.java: anchored-regex include + exact-value
+        # exclude evaluated BEFORE the shuffle; twin = regexp_full_match
+        from elasticsearch_ray.ops.aggs import terms_agg
+
+        out = terms_agg(_ds(sf, "documents"), "lang",
+                        include="[a-z]{2}", exclude=["en"],
+                        value_col="n_chars")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_stats_returnflag(sf):
         from elasticsearch_ray.ops.aggs import stats_agg
 
@@ -5406,6 +5416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_combined_fields": search_combined_fields,
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
+        "agg_terms_include_exclude": agg_terms_include_exclude,
         "agg_stats_returnflag": agg_stats_returnflag,
         "agg_date_histogram_events": agg_date_histogram_events,
         "agg_time_series": agg_time_series,
@@ -6787,6 +6798,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_n_chars
             FROM documents GROUP BY lang
             ORDER BY doc_count DESC, lang
+        """,
+        "agg_terms_include_exclude": """
+            SELECT lang, count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS sum_n_chars
+            FROM documents
+            WHERE regexp_full_match(lang, '[a-z]{2}') AND lang <> 'en'
+            GROUP BY lang ORDER BY doc_count DESC, lang
         """,
         "agg_stats_returnflag": """
             SELECT l_returnflag,

@@ -28,13 +28,93 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from elasticsearch_ray.ops.hll import HLL
 
 
-def terms_agg(ds: Dataset, key: str, size: int | None = None, value_col: str | None = None):
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 finalizer (BitMixer.mix64 — the reference's
+    PartitionedLongFilter hash; public MurmurHash3 by Austin Appleby)."""
+    h = v.astype(np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h.astype(np.int64)
+
+
+def _include_exclude_mask(vals: pd.Series, include, exclude,
+                          partition) -> np.ndarray:
+    """IncludeExclude.java acceptance over a batch's key column —
+    evaluated per UNIQUE value then broadcast. ``include``/``exclude``
+    are an anchored regex (Lucene RegExp matches the WHOLE term) or an
+    exact-values collection; ``partition`` is ``(i, num_partitions)``:
+    strings hash with murmur3_x86_32(utf8, seed=31)
+    (StringHelper.murmurhash3_x86_32 + HASH_PARTITIONING_SEED,
+    IncludeExclude.java:58,182), integers with the mix64 finalizer
+    (PartitionedLongFilter, :141); both floorMod num_partitions."""
+    import re
+
+    from elasticsearch_ray.index.routing import murmur3_x86_32
+
+    uniq = pd.Series(vals.unique())
+    keep = np.ones(len(uniq), bool)
+    if include is not None:
+        if isinstance(include, str):
+            rx = re.compile(include)
+            keep &= np.array([rx.fullmatch(str(u)) is not None
+                              for u in uniq])
+        else:
+            keep &= uniq.isin(list(include)).to_numpy()
+    if exclude is not None:
+        if isinstance(exclude, str):
+            rx = re.compile(exclude)
+            keep &= np.array([rx.fullmatch(str(u)) is None for u in uniq])
+        else:
+            keep &= ~uniq.isin(list(exclude)).to_numpy()
+    if partition is not None:
+        p, n = partition
+        if pd.api.types.is_integer_dtype(uniq):
+            h = _mix64(uniq.to_numpy(np.int64))
+        else:
+            h = np.array([murmur3_x86_32(str(u).encode("utf-8"), 31)
+                          for u in uniq], np.int64)
+        keep &= (np.mod(h, n) == p)  # np.mod is floorMod on signed ints
+    accept = dict(zip(uniq, keep))
+    return vals.map(accept).to_numpy(bool)
+
+
+def terms_agg(ds: Dataset, key: str, size: int | None = None,
+              value_col: str | None = None, include=None, exclude=None,
+              partition: tuple | None = None):
     """terms bucket agg: doc_count (+ optional sum) per key, ordered by
-    (count desc, key asc) like the reference's default ordering."""
+    (count desc, key asc) like the reference's default ordering.
+
+    ``include``/``exclude`` (anchored regex or exact values) and
+    ``partition=(i, num_partitions)`` implement IncludeExclude.java —
+    the partition form is the reference's paging device for
+    high-cardinality fields (each request sees one stable hash slice of
+    the key space). Filtering runs INSIDE the map stage before the
+    groupby, so excluded keys never enter the shuffle."""
     aggs = [Count(alias_name="doc_count")]
     if value_col:
         aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    if partition is not None:
+        p, n = partition
+        if not (isinstance(n, int) and isinstance(p, int) and 0 <= p < n):
+            raise ValueError("partition must be (i, num_partitions) "
+                             "with 0 <= i < num_partitions")
+    if include is not None or exclude is not None or partition is not None:
+        def keep(batch: pa.Table) -> pa.Table:
+            m = _include_exclude_mask(batch[key].to_pandas(), include,
+                                      exclude, partition)
+            return batch.filter(pa.array(m))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
     out = ds.groupby(key).aggregate(*aggs).to_pandas()
+    if out.empty or key not in out.columns:
+        # all keys filtered → hash groupby emits a zero-schema frame
+        cols = {key: [], "doc_count": pd.Series([], dtype=np.int64)}
+        if value_col:
+            cols[f"sum_{value_col}"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(cols)
     out = out.sort_values(["doc_count", key], ascending=[False, True]).reset_index(drop=True)
     return out.head(size) if size else out
 
