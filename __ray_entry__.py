@@ -1695,6 +1695,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         value_col="n_chars")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_terms_order_sum(sf):
+        # BucketOrder sub-metric ordering (InternalOrder.java): terms
+        # ordered by the sum sub-agg desc, key tiebreak asc
+        from elasticsearch_ray.ops.aggs import terms_agg
+
+        out = terms_agg(_ds(sf, "documents"), "lang",
+                        value_col="n_chars", order=("sum_n_chars", "desc"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_stats_returnflag(sf):
         from elasticsearch_ray.ops.aggs import stats_agg
 
@@ -5417,6 +5426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
         "agg_terms_include_exclude": agg_terms_include_exclude,
+        "agg_terms_order_sum": agg_terms_order_sum,
         "agg_stats_returnflag": agg_stats_returnflag,
         "agg_date_histogram_events": agg_date_histogram_events,
         "agg_time_series": agg_time_series,
@@ -6805,6 +6815,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_full_match(lang, '[a-z]{2}') AND lang <> 'en'
             GROUP BY lang ORDER BY doc_count DESC, lang
+        """,
+        "agg_terms_order_sum": """
+            SELECT lang, count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS sum_n_chars
+            FROM documents GROUP BY lang
+            ORDER BY sum_n_chars DESC, lang
         """,
         "agg_stats_returnflag": """
             SELECT l_returnflag,

@@ -83,7 +83,8 @@ def _include_exclude_mask(vals: pd.Series, include, exclude,
 
 def terms_agg(ds: Dataset, key: str, size: int | None = None,
               value_col: str | None = None, include=None, exclude=None,
-              partition: tuple | None = None):
+              partition: tuple | None = None,
+              order: tuple | None = None):
     """terms bucket agg: doc_count (+ optional sum) per key, ordered by
     (count desc, key asc) like the reference's default ordering.
 
@@ -92,7 +93,13 @@ def terms_agg(ds: Dataset, key: str, size: int | None = None,
     the partition form is the reference's paging device for
     high-cardinality fields (each request sees one stable hash slice of
     the key space). Filtering runs INSIDE the map stage before the
-    groupby, so excluded keys never enter the shuffle."""
+    groupby, so excluded keys never enter the shuffle.
+
+    ``order=(path, "asc"|"desc")`` is the reference's BucketOrder
+    (InternalOrder.java): ``"_count"`` (default desc), ``"_key"``, or a
+    sub-metric column name (here ``"sum_<value_col>"``); the key is
+    always the final tiebreak ascending, as in the reference's
+    comparator chain."""
     aggs = [Count(alias_name="doc_count")]
     if value_col:
         aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
@@ -115,7 +122,20 @@ def terms_agg(ds: Dataset, key: str, size: int | None = None,
         if value_col:
             cols[f"sum_{value_col}"] = pd.Series([], dtype=np.float64)
         return pd.DataFrame(cols)
-    out = out.sort_values(["doc_count", key], ascending=[False, True]).reset_index(drop=True)
+    if order is None:
+        order = ("_count", "desc")
+    path, direction = order
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"order direction must be asc|desc, got "
+                         f"{direction!r}")
+    col = {"_count": "doc_count", "_key": key}.get(path, path)
+    if col not in out.columns:
+        raise ValueError(f"unknown order path {path!r} (have "
+                         f"{list(out.columns)})")
+    asc = direction == "asc"
+    cols = [col] if col == key else [col, key]
+    out = out.sort_values(cols, ascending=[asc] + [True] * (len(cols) - 1),
+                          kind="stable").reset_index(drop=True)
     return out.head(size) if size else out
 
 

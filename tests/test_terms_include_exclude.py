@@ -85,3 +85,23 @@ def test_all_filtered_returns_typed_empty(ray_session, frame):
                     value_col="n")
     assert out.empty
     assert list(out.columns) == ["k", "doc_count", "sum_n"]
+
+
+def test_order_by_key_and_submetric(ray_session, frame):
+    import duckdb
+
+    by_key = terms_agg(_ds(frame), "k", order=("_key", "asc"))
+    assert by_key["k"].tolist() == sorted(by_key["k"])
+    by_sum = terms_agg(_ds(frame), "k", value_col="n",
+                       order=("sum_n", "desc"))
+    t = frame  # noqa: F841
+    want = duckdb.sql("""
+        SELECT k, count(*)::BIGINT AS doc_count, sum(n)::BIGINT AS sum_n
+        FROM t GROUP BY k ORDER BY sum_n DESC, k
+    """).df()
+    assert by_sum["k"].tolist() == want["k"].tolist()
+    assert by_sum["sum_n"].tolist() == want["sum_n"].tolist()
+    with pytest.raises(ValueError, match="direction"):
+        terms_agg(_ds(frame), "k", order=("_count", "down"))
+    with pytest.raises(ValueError, match="unknown order path"):
+        terms_agg(_ds(frame), "k", order=("sum_nope", "asc"))
