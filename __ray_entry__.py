@@ -3094,6 +3094,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_span_corruption(sf):  # rows-only (per-doc segmentation is
+        # not plain SQL; reconstruction/density/sentinel invariants are
+        # pytest-pinned in tests/test_fim.py)
+        from elasticsearch_ray.ops.llm_prep import span_corruption
+
+        out = span_corruption(_ds(sf, "documents"), "text",
+                              "doc_id").to_pandas()
+        out = out[["doc_id", "inputs", "targets"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_pack_windows(sf):
         # concat-and-chunk sequence packing over n_chars (GPT-2-style
         # fixed windows); twin = prefix-sum window function
@@ -5534,6 +5546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_temperature_sample": llm_temperature_sample,
         "llm_doremi_sample": llm_doremi_sample,
         "llm_fim_transform": llm_fim_transform,
+        "llm_span_corruption": llm_span_corruption,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,

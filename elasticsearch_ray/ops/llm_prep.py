@@ -598,3 +598,94 @@ def fim_transform(ds, text_col: str, id_col: str, rate: float = 0.5,
         return batch.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+# --------------------------------------------------- span corruption
+
+
+def span_corruption(ds, text_col: str, id_col: str,
+                    noise_density: float = 0.15,
+                    mean_span_length: float = 3.0, seed: int = 0,
+                    inputs_col: str = "inputs",
+                    targets_col: str = "targets"):
+    """T5 span-corruption objective as a data transform (Raffel et al.
+    2020, JMLR 21(140) §3.1.4 and the t5 codebase's
+    ``random_spans_noise_mask``): per document,
+
+        num_noise = clamp(round(n · density), 1, n − 1)
+        num_spans = max(1, round(num_noise / mean_span_length))
+
+    noise tokens are segmented into ``num_spans`` spans and non-noise
+    tokens into ``num_spans`` runs, interleaved ``[run_0, span_0, …]``;
+    each noise span is replaced by ``<extra_id_k>`` in ``inputs`` and
+    emitted after its sentinel in ``targets`` (terminated by the final
+    sentinel — the T5 preprocessing convention).
+
+    Where T5 segments RANDOMLY, this op draws the two break-point
+    subsets from the repo's deterministic Knuth hash stream
+    ``h(i) = ((id·1000003 + seed·65537 + i) · 2654435761) mod 2^32``:
+    the ``k−1`` smallest hashes over the ``m−1`` interior positions mark
+    the breaks (a deterministic without-replacement sample, exactly the
+    permutation trick of the original implementation). Layout- and
+    run-independent; docs with fewer than 2 whitespace tokens pass
+    through unchanged (inputs = text, empty targets). Tokens are
+    whitespace-split, consistent with the engine's LM ops."""
+    if not 0.0 < noise_density < 1.0:
+        raise ValueError("noise_density must be in (0, 1)")
+    if mean_span_length <= 0:
+        raise ValueError("mean_span_length must be positive")
+
+    def _breaks(doc_id: int, m: int, k: int, lane: int) -> np.ndarray:
+        """k-1 deterministic break positions among 1..m-1 (sorted)."""
+        if k <= 1 or m <= 1:
+            return np.empty(0, np.int64)
+        i = np.arange(1, m, dtype=np.uint64)
+        h = ((np.uint64(doc_id) * np.uint64(1000003)
+              + np.uint64(seed) * np.uint64(65537)
+              + np.uint64(lane) * np.uint64(97) + i)
+             * _KNUTH) % _MOD32
+        # ties broken by position — argsort is total
+        return np.sort(i[np.argsort(h, kind="stable")[:k - 1]]
+                       .astype(np.int64))
+
+    def _segment(doc_id: int, total: int, k: int, lane: int) -> np.ndarray:
+        """Segment ``total`` items into ``k`` positive-length runs."""
+        b = _breaks(doc_id, total, k, lane)
+        edges = np.r_[0, b, total]
+        return np.diff(edges)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        inputs, targets = [], []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            toks = (text or "").split()
+            n = len(toks)
+            if n < 2:
+                inputs.append(text or "")
+                targets.append("")
+                continue
+            num_noise = int(round(n * noise_density))
+            num_noise = min(max(num_noise, 1), n - 1)
+            num_spans = max(1, int(round(num_noise / mean_span_length)))
+            num_spans = min(num_spans, num_noise, n - num_noise)
+            noise_lens = _segment(int(doc_id), num_noise, num_spans, 1)
+            keep_lens = _segment(int(doc_id), n - num_noise, num_spans, 2)
+            inp, tgt = [], []
+            pos = 0
+            for s in range(num_spans):
+                kl, nl = int(keep_lens[s]), int(noise_lens[s])
+                inp.extend(toks[pos:pos + kl])
+                pos += kl
+                inp.append(f"<extra_id_{s}>")
+                tgt.append(f"<extra_id_{s}>")
+                tgt.extend(toks[pos:pos + nl])
+                pos += nl
+            inp.extend(toks[pos:])
+            tgt.append(f"<extra_id_{num_spans}>")
+            inputs.append(" ".join(inp))
+            targets.append(" ".join(tgt))
+        out = df.copy()
+        out[inputs_col] = inputs
+        out[targets_col] = targets
+        return out
+
+    return ds.map_batches(transform, batch_format="pandas")

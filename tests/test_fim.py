@@ -97,3 +97,70 @@ def test_fim_matches_duckdb_twin(ray_session, frame):
         ORDER BY doc_id
     """).df()
     assert got["fim"].tolist() == want["fim"].tolist()
+
+
+def test_span_corruption_reconstructs_and_density(ray_session, frame):
+    """T5 span corruption (Raffel et al. 2020 §3.1.4): interleaving
+    inputs/targets around matching sentinels reconstructs the original
+    token stream; noise fraction tracks the density; deterministic
+    across layouts."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.llm_prep import span_corruption
+
+    rng = np.random.default_rng(43)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(2, 80)))
+             for _ in range(150)] + ["", "one"]
+    df = pd.DataFrame({"doc_id": np.arange(152, dtype=np.int64),
+                       "text": texts})
+    out = span_corruption(_ds(df), "text", "doc_id",
+                          noise_density=0.15).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    noise_frac = []
+    for _, r in out.iterrows():
+        toks = r["text"].split()
+        if len(toks) < 2:
+            assert r["inputs"] == r["text"] and r["targets"] == ""
+            continue
+        inp, tgt = r["inputs"].split(), r["targets"].split()
+        # stitch: walk inputs, swapping each sentinel for its span
+        spans = {}
+        cur = None
+        for t in tgt:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt, n_noise = [], 0
+        for t in inp:
+            if t.startswith("<extra_id_"):
+                rebuilt.extend(spans[t])
+                n_noise += len(spans[t])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == toks
+        # per-doc exact T5 count: clamp(round(n*density), 1, n-1)
+        assert n_noise == min(max(int(round(len(toks) * 0.15)), 1),
+                              len(toks) - 1)
+        # sentinels appear in ascending order in BOTH streams
+        sent_i = [t for t in inp if t.startswith("<extra_id_")]
+        sent_t = [t for t in tgt if t.startswith("<extra_id_")]
+        assert sent_i == [f"<extra_id_{j}>" for j in range(len(sent_i))]
+        assert sent_t[:-1] == sent_i
+        assert sent_t[-1] == f"<extra_id_{len(sent_i)}>"
+        noise_frac.append(n_noise / len(toks))
+    assert 0.10 < np.mean(noise_frac) < 0.20
+    b = span_corruption(rd.from_pandas(df).repartition(9), "text",
+                        "doc_id", noise_density=0.15).to_pandas()
+    pd.testing.assert_frame_equal(
+        out, b.sort_values("doc_id", ignore_index=True))
+
+
+def test_span_corruption_validation():
+    from elasticsearch_ray.ops.llm_prep import span_corruption
+
+    with pytest.raises(ValueError, match="noise_density"):
+        span_corruption(None, "text", "doc_id", noise_density=1.0)
+    with pytest.raises(ValueError, match="mean_span_length"):
+        span_corruption(None, "text", "doc_id", mean_span_length=0)
