@@ -3106,6 +3106,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_prefix_lm(sf):
+        # UL2 S-denoiser / prefix-LM split (Tay et al. 2023): one
+        # deterministic hash cut in [0.25, 0.75]·len; twin = substr
+        from elasticsearch_ray.ops.llm_prep import prefix_lm_split
+
+        out = prefix_lm_split(_ds(sf, "documents"), "text",
+                              "doc_id").to_pandas()
+        out = out[["doc_id", "inputs", "targets"]]
+        return pa.Table.from_pandas(
+            out.sort_values("doc_id", ignore_index=True),
+            preserve_index=False)
+
     def llm_pack_windows(sf):
         # concat-and-chunk sequence packing over n_chars (GPT-2-style
         # fixed windows); twin = prefix-sum window function
@@ -5547,6 +5559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_doremi_sample": llm_doremi_sample,
         "llm_fim_transform": llm_fim_transform,
         "llm_span_corruption": llm_span_corruption,
+        "llm_prefix_lm": llm_prefix_lm,
         "llm_pack_windows": llm_pack_windows,
         "llm_pack_bins": llm_pack_bins,
         "agg_ip_range_field": agg_ip_range_field,
@@ -7732,6 +7745,18 @@ def oracle_sql() -> dict[str, str]:
                        ((doc_id * 2 + 2) * 2654435761 % 4294967296)
                          % (length(text) + 1) AS c2
                 FROM documents))
+            ORDER BY doc_id
+        """,
+        "llm_prefix_lm": """
+            SELECT doc_id, substr(text, 1, cut) AS inputs,
+                   substr(text, cut + 1) AS targets
+            FROM (
+              SELECT doc_id, text,
+                     floor(0.25 * length(text))::BIGINT
+                     + ((doc_id * 3 + 1) * 2654435761 % 4294967296)
+                       % (floor(0.75 * length(text))::BIGINT
+                          - floor(0.25 * length(text))::BIGINT + 1) AS cut
+              FROM documents)
             ORDER BY doc_id
         """,
         "llm_pack_windows": """

@@ -689,3 +689,41 @@ def span_corruption(ds, text_col: str, id_col: str,
         return out
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def prefix_lm_split(ds, text_col: str, id_col: str, seed: int = 0,
+                    min_prefix: float = 0.25, max_prefix: float = 0.75,
+                    inputs_col: str = "inputs",
+                    targets_col: str = "targets"):
+    """Prefix-LM split — the S-denoiser of UL2's mixture-of-denoisers
+    (Tay et al. 2023, arXiv:2205.05131 §3.1; also T5's prefix-LM
+    baseline, Raffel et al. 2020 §3.2.1): cut each document at one
+    position and predict the suffix from the prefix.
+
+    The cut lands at a deterministic Knuth-hash character position
+    uniform over ``[min_prefix·len, max_prefix·len]``:
+
+        u   = ((id·3 + 1 + seed) · 2654435761) mod 2^32
+        cut = floor(min_prefix·len) + u mod (floor(max_prefix·len)
+              − floor(min_prefix·len) + 1)
+
+    — layout-independent and exactly replayable in a SQL twin with
+    substr. One vectorized map_batches pass."""
+    if not 0.0 <= min_prefix <= max_prefix <= 1.0:
+        raise ValueError("need 0 <= min_prefix <= max_prefix <= 1")
+    s = np.uint64(seed)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        texts = batch[text_col].to_pylist()
+        lens = np.array([len(t or "") for t in texts], np.int64)
+        lo = np.floor(min_prefix * lens).astype(np.int64)
+        hi = np.floor(max_prefix * lens).astype(np.int64)
+        u = ((ids * np.uint64(3) + np.uint64(1) + s) * _KNUTH) % _MOD32
+        cut = lo + (u % (hi - lo + 1).astype(np.uint64)).astype(np.int64)
+        pre = [(t or "")[:c] for t, c in zip(texts, cut)]
+        suf = [(t or "")[c:] for t, c in zip(texts, cut)]
+        return (batch.append_column(inputs_col, pa.array(pre, pa.string()))
+                .append_column(targets_col, pa.array(suf, pa.string())))
+
+    return ds.map_batches(transform, batch_format="pyarrow")

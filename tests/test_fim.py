@@ -164,3 +164,39 @@ def test_span_corruption_validation():
         span_corruption(None, "text", "doc_id", noise_density=1.0)
     with pytest.raises(ValueError, match="mean_span_length"):
         span_corruption(None, "text", "doc_id", mean_span_length=0)
+
+
+def test_prefix_lm_split_bounds_and_duckdb(ray_session, frame):
+    import duckdb
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.llm_prep import prefix_lm_split
+
+    out = prefix_lm_split(_ds(frame), "text", "doc_id").to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    for _, r in out.iterrows():
+        assert r["inputs"] + r["targets"] == r["text"]
+        n = len(r["text"])
+        assert int(0.25 * n) <= len(r["inputs"]) <= int(0.75 * n)
+    b = prefix_lm_split(rd.from_pandas(frame).repartition(6), "text",
+                        "doc_id").to_pandas()
+    pd.testing.assert_frame_equal(out, b.sort_values("doc_id",
+                                                     ignore_index=True))
+    documents = frame  # noqa: F841
+    want = duckdb.sql("""
+        SELECT doc_id, substr(text, 1, cut) AS inputs,
+               substr(text, cut + 1) AS targets
+        FROM (
+          SELECT doc_id, text,
+                 floor(0.25 * length(text))::BIGINT
+                 + ((doc_id * 3 + 1) * 2654435761 % 4294967296)
+                   % (floor(0.75 * length(text))::BIGINT
+                      - floor(0.25 * length(text))::BIGINT + 1) AS cut
+          FROM documents)
+        ORDER BY doc_id
+    """).df()
+    assert out["inputs"].tolist() == want["inputs"].tolist()
+    assert out["targets"].tolist() == want["targets"].tolist()
+    with pytest.raises(ValueError, match="min_prefix"):
+        prefix_lm_split(None, "text", "doc_id", min_prefix=0.9,
+                        max_prefix=0.5)
