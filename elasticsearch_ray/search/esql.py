@@ -58,7 +58,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
-    "MV_EXPAND", "ROW",
+    "MV_EXPAND", "ROW", "INLINESTATS",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -457,6 +457,33 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
         elif v0 == "STATS":
             aggs, by = _parse_stats(rest)
             ds = _run_stats(ds, aggs, by)
+        elif v0 == "INLINESTATS":
+            # windowed aggregate: attach the per-group aggregates to
+            # every row WITHOUT collapsing (the ES|QL INLINESTATS
+            # contract). The big side never shuffles — the (small)
+            # grouped stats frame is computed once, ray.put once, and
+            # hash-joined into each batch; same-name columns are
+            # replaced, as in the reference
+            import ray as _ray
+
+            aggs, by = _parse_stats(rest)
+            stats_df = _run_stats(ds, aggs, by).to_pandas()
+            sref = _ray.put(stats_df)
+            new_cols = [n for n, _f, _a in aggs]
+
+            def attach(df, _by=list(by or []), _new=new_cols, _r=sref):
+                import ray as _ray2
+
+                s = _ray2.get(_r)
+                df = df.drop(columns=[c for c in _new if c in df.columns])
+                if _by:
+                    return df.merge(s, on=_by, how="left")
+                out = df.copy()
+                for c in _new:
+                    out[c] = s[c].iloc[0]
+                return out
+
+            ds = ds.map_batches(attach, batch_format="pandas")
         elif v0 == "SORT":
             keys, desc = [], []
             i = 0

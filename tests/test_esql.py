@@ -205,3 +205,39 @@ def test_row_rejects_trailing_tokens_and_expressions(ray_session):
     # negative literals lex as one number token and stay supported
     out = esql("ROW a = -3", {}).to_pandas()
     assert out.loc[0, "a"] == -3
+
+
+def test_inlinestats_attaches_group_aggregates(ray_session, tables):
+    """INLINESTATS: per-group aggregates attached to every row without
+    collapsing (broadcast of the small stats frame, no big-side
+    shuffle); same-name columns are replaced; DuckDB window twin."""
+    import duckdb
+
+    out = esql("""
+        FROM events
+        | INLINESTATS avg_v = AVG(value), n = COUNT(*) BY event_type
+        | KEEP event_id, event_type, value, avg_v, n
+        | SORT event_id
+        | LIMIT 200
+    """, tables).to_pandas()
+    ev = tables["events"].to_pandas()  # noqa: F841
+    want = duckdb.sql("""
+        SELECT event_id, event_type, value,
+               avg(value) OVER (PARTITION BY event_type) AS avg_v,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM ev ORDER BY event_id LIMIT 200
+    """).df()
+    assert out["event_id"].tolist() == want["event_id"].tolist()
+    assert np.allclose(out["avg_v"], want["avg_v"])
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+
+def test_inlinestats_global_constant_columns(ray_session, tables):
+    out = esql("""
+        FROM events
+        | INLINESTATS total = SUM(value)
+        | KEEP event_id, total
+        | LIMIT 5
+    """, tables).to_pandas()
+    ref = tables["events"].to_pandas()["value"].sum()
+    assert np.allclose(out["total"], ref)
