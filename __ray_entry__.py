@@ -4294,6 +4294,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out.reset_index(drop=True),
                                     preserve_index=False)
 
+    def esql_inlinestats(sf):
+        # INLINESTATS (windowed aggregate): per-group aggregates attached
+        # to EVERY row without collapsing — the small grouped frame is
+        # broadcast (ray.put once) into each batch, the big side never
+        # shuffles. DuckDB window-function twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | INLINESTATS avg_v = AVG(value), n = COUNT(*) BY event_type
+            | KEEP event_id, event_type, value, avg_v, n
+            | SORT event_id
+            | LIMIT 500
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["avg_v"] = out["avg_v"].round(4)
+        out["value"] = out["value"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_frequent_item_sets(sf):
         # frequent_item_sets (x-pack ML FrequentItemSetsAggregationBuilder):
         # transactions = each user's distinct event_types per day;
@@ -5612,6 +5631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_stats": esql_stats,
         "esql_eval_topk": esql_eval_topk,
         "esql_mv_expand": esql_mv_expand,
+        "esql_inlinestats": esql_inlinestats,
         "transform_pivot": transform_pivot,
         "transform_continuous_pivot": transform_continuous_pivot,
         "transform_latest": transform_latest,
@@ -8120,6 +8140,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split(text, ' ')) AS words
               FROM documents)
             GROUP BY words ORDER BY words
+        """,
+        "esql_inlinestats": """
+            SELECT event_id, event_type, round(value, 4) AS value,
+                   round(avg(value) OVER (PARTITION BY event_type), 4)
+                     AS avg_v,
+                   (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
+            FROM events ORDER BY event_id LIMIT 500
         """,
         "agg_frequent_item_sets": """
             WITH t AS (
