@@ -3575,6 +3575,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_word_chunks(sf):
+        # RAG/embedding chunking (x-pack inference word-boundary
+        # chunker: max_words windows with overlap carry-over): streaming
+        # row-local explode, no shuffle; DuckDB list-slice twin.
+        from elasticsearch_ray.ops.chunking import chunk_documents
+
+        ds = _ds(sf, "documents").map_batches(
+            lambda df: df[df["doc_id"] < 200], batch_format="pandas")
+        out = (chunk_documents(ds, max_words=32, overlap=8)
+               .to_pandas()
+               .sort_values(["doc_id", "chunk_ix"], ignore_index=True))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def llm_sentence_chunks(sf):
+        # sentence-boundary chunker: greedy whole-sentence packing with
+        # word-window fallback (regex boundaries aren't SQL — rows-only,
+        # invariants pinned in tests/test_chunking.py).
+        from elasticsearch_ray.ops.chunking import chunk_documents
+
+        ds = _ds(sf, "documents").map_batches(
+            lambda df: df[df["doc_id"] < 100], batch_format="pandas")
+        out = (chunk_documents(ds, strategy="sentence", max_words=64)
+               .to_pandas()
+               .sort_values(["doc_id", "chunk_ix"], ignore_index=True))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def llm_hash_split(sf):
         # deterministic train/valid/test assignment: md5-band pure
         # function of the id; DuckDB's md5() replicates it exactly
@@ -5637,6 +5665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_quality_classifier": llm_quality_classifier,
         "llm_redact_pii": llm_redact_pii,
         "llm_hash_split": llm_hash_split,
+        "llm_word_chunks": llm_word_chunks,
+        "llm_sentence_chunks": llm_sentence_chunks,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
         "eql_sequence_asof": eql_sequence_asof,
@@ -8024,6 +8054,19 @@ def oracle_sql() -> dict[str, str]:
                               doc_id)::BIGINT AS rank,
                    doc_id, lang
             FROM documents ORDER BY rank
+        """,
+        "llm_word_chunks": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE doc_id < 200 AND text <> ''
+            )
+            SELECT doc_id, ((gs - 1) / 24)::BIGINT AS chunk_ix,
+                   array_to_string(ws[gs : gs + 31], ' ') AS chunk,
+                   least(32, n - gs + 1)::BIGINT AS n_words
+            FROM w, LATERAL unnest(generate_series(1, n, 24)) AS t(gs)
+            WHERE gs = 1 OR gs <= n - 8
+            ORDER BY doc_id, chunk_ix
         """,
         "llm_hash_split": f"""
             SELECT doc_id, {hash_split_sql_expr('doc_id', salt='r5')}
