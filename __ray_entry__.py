@@ -2725,6 +2725,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def unigram_lm_train(sf):
+        # Unigram-LM tokenizer training (Kudo ACL'18 / SentencePiece
+        # unigram): distributed word counts → driver soft-EM + prune.
+        # Iterative EM is not SQL-expressible (rows-only); determinism
+        # pinned by the (freq desc, word) count order and (cost, piece)
+        # prune ties; encode losslessness asserted inline.
+        from elasticsearch_ray.ops.bpe import word_frequencies
+        from elasticsearch_ray.ops.unigram_lm import (
+            train_unigram,
+            unigram_encode,
+        )
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"])
+        # frequency cutoff: train on the top words (the trainer's own
+        # corpus-bounding step — SentencePiece applies the same)
+        wf = word_frequencies(ds).head(2000)
+        pieces = train_unigram(wf, vocab_size=120, max_piece_len=6,
+                               seed_size=600)
+        sub = ds.map_batches(lambda df: df[df["doc_id"] < 50],
+                             batch_format="pandas")
+        enc = unigram_encode(sub, pieces, max_piece_len=6).to_pandas()
+        nonempty = enc["text"].fillna("").str.len() > 0
+        assert (enc.loc[nonempty, "n_pieces"] > 0).all()
+        out = pieces.copy()
+        out["logp"] = out["logp"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def bpe_train_merges(sf):
         # BPE tokenizer training (Sennrich ACL'16): distributed word
         # counts → driver merge learning. Iterative merges are not
@@ -5399,6 +5426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic_decontaminate": dedup_semantic_decontaminate,
         "text_bigram_perplexity": text_bigram_perplexity,
         "bpe_train_merges": bpe_train_merges,
+        "unigram_lm_train": unigram_lm_train,
         "analysis_phonetic_codes": analysis_phonetic_codes,
         "analysis_icu_fold": analysis_icu_fold,
         "analysis_lang_plugins": analysis_lang_plugins,
