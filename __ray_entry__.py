@@ -4368,6 +4368,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = out["value"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_mv_functions(sf):
+        # MV_* multivalue family over SPLIT lists (row-local
+        # reductions); DuckDB list-function twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM documents
+            | WHERE doc_id < 300
+            | EVAL words = SPLIT(text, " ")
+            | EVAL n = MV_COUNT(words), first = MV_FIRST(words),
+                   last = MV_LAST(words)
+            | KEEP doc_id, n, first, last
+            | SORT doc_id
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def esql_lookup_join(sf):
         # LOOKUP JOIN (join-lookup command): broadcast left join against
         # a lookup-mode index — lookup frame ray.put once, big side never
@@ -5724,6 +5741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_eval_topk": esql_eval_topk,
         "esql_mv_expand": esql_mv_expand,
         "esql_inlinestats": esql_inlinestats,
+        "esql_mv_functions": esql_mv_functions,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
         "transform_pivot": transform_pivot,
@@ -8254,6 +8272,13 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_v,
                    (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "esql_mv_functions": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n,
+                   string_split(text, ' ')[1] AS first,
+                   string_split(text, ' ')[-1] AS last
+            FROM documents WHERE doc_id < 300 ORDER BY doc_id
         """,
         "esql_lookup_join": """
             SELECT n_name, count(*)::BIGINT AS n,

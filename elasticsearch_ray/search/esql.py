@@ -81,6 +81,89 @@ _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
 _SPLIT_RE = re.compile(r'^SPLIT \( ([A-Za-z_][A-Za-z0-9_.]*) , "(.*)" \)$',
                        re.IGNORECASE)
 
+# multivalue functions (the ES|QL MV_* family) over list columns —
+# row-local reductions of a multivalued field. Grammar (post-token
+# spacing): MV_FN ( col [ , extra ... ] )
+_MV_FN_RE = re.compile(
+    r'^(MV_[A-Z]+) \( ([A-Za-z_][A-Za-z0-9_.]*)( , .+)? \)$',
+    re.IGNORECASE)
+
+
+def _mv_items(v):
+    """Null → None; scalar → single-element list (the ES|QL contract:
+    a single value is a one-element multivalue)."""
+    if v is None or (np.isscalar(v) and pd.isna(v)):
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return list(v)
+    return [v]
+
+
+def _make_mv_fn(fn: str, extras: list):
+    """Per-value callable for one MV_* function (None-propagating)."""
+    fn = fn.upper()
+
+    def reduce_num(op):
+        return lambda it: None if not it else op(
+            np.asarray(it, dtype=np.float64))
+
+    if fn == "MV_COUNT":
+        return lambda it: len(it)
+    if fn == "MV_SUM":
+        return reduce_num(lambda a: float(a.sum()))
+    if fn == "MV_AVG":
+        return reduce_num(lambda a: float(a.mean()))
+    if fn == "MV_MEDIAN":
+        return reduce_num(lambda a: float(np.median(a)))
+    if fn in ("MV_MIN", "MV_MAX"):
+        pick = min if fn == "MV_MIN" else max
+        return lambda it: None if not it else pick(it)
+    if fn == "MV_DEDUPE":
+        # stable first-occurrence order (the reference guarantees no
+        # order; stability makes runs deterministic)
+        return lambda it: list(dict.fromkeys(it))
+    if fn == "MV_SORT":
+        desc = bool(extras) and str(extras[0]).upper() == "DESC"
+        if extras and str(extras[0]).upper() not in ("ASC", "DESC"):
+            raise EsqlError('MV_SORT order must be "ASC" or "DESC"')
+        return lambda it: sorted(it, reverse=desc)
+    if fn == "MV_FIRST":
+        return lambda it: it[0] if it else None
+    if fn == "MV_LAST":
+        return lambda it: it[-1] if it else None
+    if fn == "MV_CONCAT":
+        if len(extras) != 1 or not isinstance(extras[0], str):
+            raise EsqlError('MV_CONCAT takes (col, "delimiter")')
+        sep = extras[0]
+        return lambda it: sep.join(str(x) for x in it)
+    if fn == "MV_SLICE":
+        # inclusive start/end, negative counts from the end (the
+        # published MV_SLICE contract); end defaults to start
+        if not 1 <= len(extras) <= 2:
+            raise EsqlError("MV_SLICE takes (col, start [, end])")
+        try:
+            s0, e0 = int(extras[0]), int(extras[-1])
+        except (TypeError, ValueError):
+            raise EsqlError("MV_SLICE bounds must be integers") from None
+
+        def slc(it, s0=s0, e0=e0):
+            n = len(it)
+            s = s0 + n if s0 < 0 else s0
+            e = e0 + n if e0 < 0 else e0
+            out = it[max(s, 0):e + 1] if e >= 0 else []
+            return out or None
+        return slc
+    raise EsqlError(f"unknown multivalue function {fn}")
+
+
+def _mv_column(df, name, col, fn_v):
+    if col not in df.columns:
+        raise EsqlError(f"MV function column {col!r} missing")
+    df = df.copy()
+    df[name] = [None if (it := _mv_items(v)) is None else fn_v(it)
+                for v in df[col]]
+    return df
+
 
 class EsqlError(ValueError):
     pass
@@ -460,6 +543,22 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                             .str.split(sep, regex=False)
                         return df
                     ds = ds.map_batches(splitter, batch_format="pandas")
+                elif (mv := _MV_FN_RE.match(expr)):
+                    fn, col, tail = mv.group(1), mv.group(2), mv.group(3)
+                    extras = []
+                    for part in (tail or "").split(" , ")[1:]:
+                        part = part.strip()
+                        if part.startswith('"') and part.endswith('"'):
+                            extras.append(part[1:-1])
+                        elif re.fullmatch(r"-?\d+", part):
+                            extras.append(int(part))
+                        else:
+                            extras.append(part)
+                    fn_v = _make_mv_fn(fn, extras)
+                    ds = ds.map_batches(
+                        lambda df, _n=name, _c=col, _f=fn_v:
+                        _mv_column(df, _n, _c, _f),
+                        batch_format="pandas")
                 elif has_ql_function(expr):
                     # string/date/conditional scalar (the SQL function
                     # registry, search/qlfuncs.py)

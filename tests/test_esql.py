@@ -353,3 +353,73 @@ def test_change_point_caps_series(ray_session):
         {"k": np.arange(1500), "v": np.random.default_rng(0).normal(size=1500)}))}
     with pytest.raises(EsqlError):
         esql("FROM m | CHANGE_POINT v ON k", t)
+
+
+def test_mv_functions_against_duckdb(ray_session, tables, frame):
+    """MV_* family over SPLIT lists vs DuckDB list functions."""
+    out = esql("""
+        FROM events
+        | EVAL words = SPLIT(msg, " ")
+        | EVAL n = MV_COUNT(words), first = MV_FIRST(words),
+               last = MV_LAST(words), joined = MV_CONCAT(words, "-")
+        | KEEP event_id, n, first, last, joined
+        | SORT event_id
+        | LIMIT 100
+    """, tables).to_pandas()
+    want = duckdb.sql("""
+        SELECT event_id,
+               len(string_split(msg, ' '))::BIGINT AS n,
+               string_split(msg, ' ')[1] AS first,
+               string_split(msg, ' ')[-1] AS last,
+               array_to_string(string_split(msg, ' '), '-') AS joined
+        FROM frame ORDER BY event_id LIMIT 100
+    """).df()
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert out["first"].tolist() == want["first"].tolist()
+    assert out["last"].tolist() == want["last"].tolist()
+    assert out["joined"].tolist() == want["joined"].tolist()
+
+
+def test_mv_numeric_and_sort_slice(ray_session):
+    import ray.data as rd
+
+    t = {"m": rd.from_pandas(pd.DataFrame({
+        "id": [0, 1, 2],
+        "v": [[3.0, 1.0, 2.0], [5.0], None],
+    }))}
+    out = esql("""
+        FROM m
+        | EVAL s = MV_SUM(v), a = MV_AVG(v), mn = MV_MIN(v),
+               mx = MV_MAX(v), md = MV_MEDIAN(v),
+               srt = MV_SORT(v, "DESC"), sl = MV_SLICE(v, 0, 1),
+               neg = MV_SLICE(v, -1)
+        | SORT id
+    """, t).to_pandas()
+    assert out.loc[0, "s"] == 6.0 and out.loc[0, "a"] == 2.0
+    assert out.loc[0, "mn"] == 1.0 and out.loc[0, "mx"] == 3.0
+    assert out.loc[0, "md"] == 2.0
+    assert list(out.loc[0, "srt"]) == [3.0, 2.0, 1.0]
+    assert list(out.loc[0, "sl"]) == [3.0, 1.0]
+    assert list(out.loc[0, "neg"]) == [2.0]
+    assert out.loc[1, "s"] == 5.0 and list(out.loc[1, "sl"]) == [5.0]
+    assert pd.isna(out.loc[2, "s"]) and out.loc[2, "sl"] is None
+
+
+def test_mv_dedupe_stable_and_scalar_promotion(ray_session):
+    import ray.data as rd
+
+    t = {"m": rd.from_pandas(pd.DataFrame({
+        "id": [0], "v": [["b", "a", "b", "c", "a"]], "x": [7],
+    }))}
+    out = esql("FROM m | EVAL d = MV_DEDUPE(v), nx = MV_COUNT(x)",
+               t).to_pandas()
+    assert list(out.loc[0, "d"]) == ["b", "a", "c"]
+    assert out.loc[0, "nx"] == 1  # scalar promotes to 1-element mv
+
+
+def test_mv_validates(ray_session, tables):
+    with pytest.raises(EsqlError):
+        esql('FROM events | EVAL x = MV_SORT(msg, "SIDEWAYS")',
+             tables).to_pandas()
+    with pytest.raises(EsqlError):
+        esql("FROM events | EVAL x = MV_BOGUS(msg)", tables).to_pandas()
