@@ -4368,6 +4368,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = out["value"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def search_semantic_text(sf):
+        # semantic_text field analog (SemanticTextFieldMapper +
+        # SemanticQueryBuilder): index-time word-chunked bow inference,
+        # semantic query = per-chunk sparse dot product, doc score =
+        # MAX over chunks; full DuckDB twin of the bow pipeline. Ties
+        # rank on round(score, 4) + doc_id on both sides.
+        from elasticsearch_ray.search.semantic_text import (
+            semantic_index,
+            semantic_query,
+        )
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(lambda df: df[df["doc_id"] < 400],
+                         batch_format="pandas")
+        idx = semantic_index(ds, max_words=24, overlap=8)
+        # overfetch, then cut on (round(score,4) desc, doc_id) so the
+        # rank-boundary discipline matches the oracle exactly
+        out = semantic_query(idx, "hash join merge", k=60)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["score"] = out["score"].round(4)
+        out = out.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              ignore_index=True).head(15)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def esql_mv_functions(sf):
         # MV_* multivalue family over SPLIT lists (row-local
         # reductions); DuckDB list-function twin.
@@ -5741,6 +5766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_eval_topk": esql_eval_topk,
         "esql_mv_expand": esql_mv_expand,
         "esql_inlinestats": esql_inlinestats,
+        "search_semantic_text": search_semantic_text,
         "esql_mv_functions": esql_mv_functions,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8272,6 +8298,31 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_v,
                    (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
             FROM events ORDER BY event_id LIMIT 500
+        """,
+        "search_semantic_text": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE doc_id < 400 AND text <> ''
+            ), chunks AS (
+              SELECT doc_id, ((gs - 1) / 16)::BIGINT AS chunk_ix,
+                     array_to_string(ws[gs : gs + 23], ' ') AS chunk
+              FROM w, LATERAL unnest(generate_series(1, n, 16)) AS t(gs)
+              WHERE gs = 1 OR gs <= n - 8
+            ), toks AS (
+              SELECT doc_id, chunk_ix, t, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, chunk_ix,
+                           unnest(string_split(lower(chunk), ' ')) AS t
+                    FROM chunks)
+              WHERE t IN ('hash', 'join', 'merge')
+              GROUP BY ALL
+            ), per_chunk AS (
+              SELECT doc_id, chunk_ix, sum(1 + ln(tf)) AS chunk_score
+              FROM toks GROUP BY doc_id, chunk_ix
+            )
+            SELECT doc_id, round(max(chunk_score), 4) AS score
+            FROM per_chunk GROUP BY doc_id
+            ORDER BY round(max(chunk_score), 4) DESC, doc_id LIMIT 15
         """,
         "esql_mv_functions": """
             SELECT doc_id,
