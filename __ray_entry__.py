@@ -4410,6 +4410,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_fork(sf):
+        # FORK: branch sub-pipelines over the same input, _fork tags,
+        # null-padded column union; DuckDB UNION ALL twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | FORK ( WHERE event_type == "error"
+                     | STATS n = COUNT(*), total = SUM(value) )
+                   ( STATS users = COUNT_DISTINCT(user_id) )
+            | SORT _fork
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["total"] = out["total"].astype(float).round(4)
+        for c in ("n", "users"):
+            out[c] = out[c].astype("Int64")
+        return pa.Table.from_pandas(
+            out[["_fork", "n", "total", "users"]], preserve_index=False)
+
     def esql_lookup_join(sf):
         # LOOKUP JOIN (join-lookup command): broadcast left join against
         # a lookup-mode index — lookup frame ray.put once, big side never
@@ -5768,6 +5786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_inlinestats": esql_inlinestats,
         "search_semantic_text": search_semantic_text,
         "esql_mv_functions": esql_mv_functions,
+        "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
         "transform_pivot": transform_pivot,
@@ -8330,6 +8349,15 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_fork": """
+            SELECT 'fork1' AS _fork, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS total, NULL::BIGINT AS users
+            FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'fork2', NULL, NULL, count(DISTINCT user_id)::BIGINT
+            FROM events
+            ORDER BY _fork
         """,
         "esql_lookup_join": """
             SELECT n_name, count(*)::BIGINT AS n,

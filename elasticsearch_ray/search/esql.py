@@ -70,7 +70,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
     "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT",
+    "CHANGE_POINT", "FORK",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -218,9 +218,15 @@ def _comma_split(toks):
 
 
 def _split_pipes(toks):
-    stages, cur = [], []
+    """Split stages on pipes at paren depth 0 (FORK branches carry
+    whole sub-pipelines inside parentheses)."""
+    stages, cur, depth = [], [], 0
     for t in toks:
-        if t == ("op", "|"):
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if t == ("op", "|") and depth == 0:
             stages.append(cur)
             cur = []
         else:
@@ -498,7 +504,7 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
         src = stages[0][1][1]
         ds = tables(src) if callable(tables) else tables[src]
 
-    for stage in stages[1:]:
+    def _apply(ds, stage):
         (k0, v0), rest = stage[0], stage[1:]
         if k0 != "kw":
             raise EsqlError(f"expected a command, got {v0!r}")
@@ -814,8 +820,67 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                     df.loc[m, _pn] = _p
                 return df
             ds = ds.map_batches(attach_cp, batch_format="pandas")
+        elif v0 == "FORK":
+            # FORK (subpipe) (subpipe) ...: run each branch over the
+            # SAME input Dataset (the plan is lazy — branches share the
+            # upstream stages, nothing re-reads), tag rows with the
+            # _fork discriminator (fork1, fork2, … in branch order) and
+            # union. Branch column sets are aligned by null-padding to
+            # the union of columns, the reference's own output contract.
+            branches, cur, depth = [], [], 0
+            for t in rest:
+                if t == ("op", "("):
+                    depth += 1
+                    if depth == 1:
+                        continue
+                elif t == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        branches.append(cur)
+                        cur = []
+                        continue
+                    if depth < 0:
+                        raise EsqlError("unbalanced ) in FORK")
+                if depth < 1:
+                    raise EsqlError("FORK takes (subpipeline) groups")
+                cur.append(t)
+            if depth != 0 or cur:
+                raise EsqlError("unbalanced ( in FORK")
+            if not branches:
+                raise EsqlError("FORK needs at least one branch")
+            outs = []
+            for bi, btoks in enumerate(branches, 1):
+                sub = ds
+                for s in _split_pipes(btoks):
+                    sub = _apply(sub, s)
+                tag = f"fork{bi}"
+                outs.append(sub.map_batches(
+                    lambda df, _t=tag: df.assign(_fork=_t),
+                    batch_format="pandas"))
+            col_sets = [list(o.schema().names) for o in outs]
+            allcols: list = []
+            for ns in col_sets:
+                for c in ns:
+                    if c not in allcols:
+                        allcols.append(c)
+            aligned = []
+            for o, ns in zip(outs, col_sets):
+                missing = tuple(c for c in allcols if c not in ns)
+
+                def pad(df, _m=missing, _order=tuple(allcols)):
+                    df = df.copy()
+                    for c in _m:
+                        df[c] = None
+                    return df[list(_order)]
+                aligned.append(o.map_batches(pad, batch_format="pandas"))
+            ds = aligned[0].union(*aligned[1:]) if len(aligned) > 1 \
+                else aligned[0]
         else:
             raise EsqlError(f"unsupported command {v0}")
+        return ds
+
+    for stage in stages[1:]:
+        ds = _apply(ds, stage)
     return ds
 
 

@@ -423,3 +423,41 @@ def test_mv_validates(ray_session, tables):
              tables).to_pandas()
     with pytest.raises(EsqlError):
         esql("FROM events | EVAL x = MV_BOGUS(msg)", tables).to_pandas()
+
+
+def test_fork_union_with_discriminator(ray_session, tables, frame):
+    """FORK: branches over the same input, _fork tags, null-padded
+    column union; DuckDB UNION twin."""
+    out = esql("""
+        FROM events
+        | FORK ( WHERE event_type == "click" | SORT value DESC
+                 | LIMIT 5 | KEEP event_id, value )
+               ( STATS n = COUNT(*) BY event_type | SORT event_type )
+    """, tables).to_pandas()
+    f1 = out[out["_fork"] == "fork1"]
+    f2 = out[out["_fork"] == "fork2"].sort_values("event_type")
+    want1 = duckdb.sql("""
+        SELECT event_id, value FROM frame WHERE event_type = 'click'
+        ORDER BY value DESC LIMIT 5
+    """).df()
+    want2 = duckdb.sql("""
+        SELECT event_type, count(*) AS n FROM frame
+        GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert sorted(f1["event_id"].astype(int)) == \
+        sorted(want1["event_id"].astype(int))
+    assert f2["event_type"].tolist() == want2["event_type"].tolist()
+    assert f2["n"].astype(int).tolist() == want2["n"].astype(int).tolist()
+    # null padding across the column union
+    assert f1["n"].isna().all()
+    assert f2["event_id"].isna().all()
+    assert set(out["_fork"]) == {"fork1", "fork2"}
+
+
+def test_fork_validates(ray_session, tables):
+    with pytest.raises(EsqlError):
+        esql("FROM events | FORK", tables)
+    with pytest.raises(EsqlError):
+        esql("FROM events | FORK ( LIMIT 5", tables)
+    with pytest.raises(EsqlError):
+        esql("FROM events | FORK LIMIT 5", tables)
