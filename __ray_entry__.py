@@ -3602,6 +3602,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_compression_ratio(sf):
+        # zlib compression-ratio quality signal (Dolma / RedPajama-v2
+        # signal suites): repetition/noise score per doc. zlib is not
+        # SQL — rows-only; ordering + thresholds pinned in pytest.
+        from elasticsearch_ray.ops.textstats import add_compression_ratio
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"])
+        out = (add_compression_ratio(ds).to_pandas()
+               [["doc_id", "compression_ratio"]]
+               .sort_values("doc_id", ignore_index=True))
+        out["compression_ratio"] = out["compression_ratio"].round(6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def llm_word_chunks(sf):
         # RAG/embedding chunking (x-pack inference word-boundary
         # chunker: max_words windows with overlap carry-over): streaming
@@ -5754,6 +5767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_redact_pii": llm_redact_pii,
         "llm_hash_split": llm_hash_split,
         "llm_word_chunks": llm_word_chunks,
+        "llm_compression_ratio": llm_compression_ratio,
         "llm_sentence_chunks": llm_sentence_chunks,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
