@@ -4866,6 +4866,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.drop(columns=["value.avg"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def pipeline_events_conditional(sf):
+        # per-processor "if" conditions (ConditionalProcessor): Painless
+        # condition gates set per doc; bare {"drop": {"if": ...}} drops
+        # matching docs. DuckDB CASE/WHERE twin.
+        from elasticsearch_ray.ops.processors import Pipeline
+
+        pipe = Pipeline([
+            {"set": {"field": "flag", "value": "big",
+                     "if": "ctx.value > 50"}},
+            {"drop": {"if": "ctx.event_type == 'view'"}},
+        ])
+        ds = _ds(sf, "events") \
+            .select_columns(["event_id", "event_type", "value"]) \
+            .map_batches(lambda df: df[df["event_id"] < 3000],
+                         batch_format="pandas") \
+            .map_batches(pipe, batch_format="pandas")
+        out = ds.to_pandas().sort_values("event_id", ignore_index=True)
+        out["event_id"] = out["event_id"].astype("int64")
+        out["value"] = out["value"].round(4)
+        return pa.Table.from_pandas(
+            out[["event_id", "event_type", "value", "flag"]],
+            preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -5775,6 +5798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_pipe_head": eql_pipe_head,
         "eql_sequence_events": eql_sequence_events,
         "pipeline_events_ua": pipeline_events_ua,
+        "pipeline_events_conditional": pipeline_events_conditional,
         "rollup_daily": rollup_daily,
         "agg_change_point": agg_change_point,
         "agg_categorize_text": agg_categorize_text,
@@ -8635,6 +8659,13 @@ FROM cand ORDER BY rank LIMIT 10
                    max(value) AS "value.max",
                    count(value)::BIGINT AS "value.value_count"
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "pipeline_events_conditional": """
+            SELECT event_id, event_type, round(value, 4) AS value,
+                   CASE WHEN value > 50 THEN 'big' END AS flag
+            FROM events
+            WHERE event_id < 3000 AND event_type <> 'view'
+            ORDER BY event_id
         """,
         "pipeline_events_ua": """
             SELECT event_id,

@@ -269,10 +269,14 @@ class DropProcessor(Processor):
     """Conditional row drop — the one filtering processor (DropProcessor);
     condition is a vectorized pandas predicate."""
 
-    def __init__(self, condition):
+    def __init__(self, condition=None):
         self.condition = condition
 
     def __call__(self, df):
+        if self.condition is None:
+            # bare drop — used with the step-level "if" (the reference
+            # form: {"drop": {"if": "..."}} drops every matching doc)
+            return df.iloc[0:0]
         return df[~self.condition(df)]
 
 
@@ -1153,17 +1157,79 @@ class EnrichProcessor(Processor):
 class _Step:
     """One pipeline step: the processor plus its COMMON config
     (``CompoundProcessor.java`` / ``ConfigurationUtils.readProcessor``):
-    ``tag``, ``ignore_failure``, ``on_failure`` handler chain."""
+    ``tag``, ``ignore_failure``, ``on_failure`` handler chain, and the
+    per-document ``if`` condition (``ConditionalProcessor.java``: a
+    Painless script over a read-only ``ctx``; the step runs only for
+    documents where it returns true)."""
 
-    __slots__ = ("proc", "type", "tag", "ignore_failure", "on_failure")
+    __slots__ = ("proc", "type", "tag", "ignore_failure", "on_failure",
+                 "condition")
 
     def __init__(self, proc, ptype, tag=None, ignore_failure=False,
-                 on_failure=None):
+                 on_failure=None, condition=None):
         self.proc = proc
         self.type = ptype
         self.tag = tag
         self.ignore_failure = bool(ignore_failure)
         self.on_failure = on_failure or []
+        if condition is not None and not callable(condition):
+            from elasticsearch_ray.search.painless import compile_painless
+
+            script = compile_painless(condition)
+            # conditions are usually bare boolean expressions — give
+            # them the implicit last-expression return (the same
+            # rewrite painless_execute applies for painless_test)
+            stmts = script.ast[1]
+            if stmts and stmts[-1][0] == "expr":
+                stmts[-1] = ("return", stmts[-1][1])
+
+            def cond(ctx, _s=script):
+                return bool(_s.run({"ctx": ctx, "params": {}}))
+            condition = cond
+        self.condition = condition
+
+    def mask(self, df) -> np.ndarray:
+        """Per-document condition mask (the reference evaluates the
+        ``if`` script once per IngestDocument too)."""
+        if self.condition is None:
+            return np.ones(len(df), bool)
+        return np.fromiter(
+            (self.condition({k: _py(v) for k, v in r.items()})
+             for r in df.to_dict("records")),
+            bool, len(df))
+
+    def apply(self, df):
+        """Run the processor honoring the condition: matching rows go
+        through the processor, the rest pass through untouched; original
+        document order is preserved (row-count-changing processors —
+        drop — keep relative order via a positional key)."""
+        if self.condition is None:
+            return self.proc(df)
+        m = self.mask(df)
+        if m.all():
+            return self.proc(df)
+        if not m.any():
+            return df
+        pos = np.arange(len(df))
+        hit = df[m].copy()
+        hit["_cond_pos"] = pos[m]
+        miss = df[~m].copy()
+        miss["_cond_pos"] = pos[~m]
+        done = self.proc(hit)
+        allcols = list(dict.fromkeys(
+            list(done.columns) + list(miss.columns)))
+        out = pd.concat([done.reindex(columns=allcols),
+                         miss.reindex(columns=allcols)],
+                        ignore_index=True)
+        return (out.sort_values("_cond_pos", kind="stable",
+                                ignore_index=True)
+                .drop(columns=["_cond_pos"]))
+
+
+def _py(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 _FAILURE_META = ["_ingest.on_failure_message",
@@ -1204,9 +1270,11 @@ class Pipeline:
         kwargs = dict(kwargs)
         tag = kwargs.pop("tag", None)
         ignore = kwargs.pop("ignore_failure", False)
+        condition = kwargs.pop("if", None)
         handlers = [Pipeline._build(h)
                     for h in kwargs.pop("on_failure", [])]
-        return _Step(_REGISTRY[name](**kwargs), name, tag, ignore, handlers)
+        return _Step(_REGISTRY[name](**kwargs), name, tag, ignore,
+                     handlers, condition)
 
     def _handled(self) -> bool:
         return bool(self.pipeline_on_failure
@@ -1217,7 +1285,7 @@ class Pipeline:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if not self._handled():
             for s in self.steps:
-                df = s.proc(df)
+                df = s.apply(df)
             return df
         # step-wise vectorized: each step tries the WHOLE current frame
         # first; only a step that actually fails degrades to per-row for
@@ -1231,7 +1299,7 @@ class Pipeline:
         for s in self.steps:
             snap = cur.copy()
             try:
-                cur = s.proc(cur)
+                cur = s.apply(cur)
                 continue
             except Exception:
                 pass
@@ -1239,7 +1307,7 @@ class Pipeline:
             for i in range(len(snap)):
                 row = snap.iloc[i: i + 1]
                 try:
-                    ok_rows.append(s.proc(row.copy()))
+                    ok_rows.append(s.apply(row.copy()))
                     continue
                 except Exception as e:
                     err, kept = e, row
@@ -1278,7 +1346,7 @@ class Pipeline:
     def _run_chain(self, steps, df: pd.DataFrame) -> pd.DataFrame:
         for s in steps:
             try:
-                df = s.proc(df)
+                df = s.apply(df)
             except Exception as e:
                 if s.ignore_failure:
                     continue
@@ -1334,6 +1402,10 @@ def simulate_pipeline(processors: list, docs: list[dict],
             if failed:
                 break
             ptype = step.type
+            if step.condition is not None and not step.mask(df).any():
+                results.append({"processor_type": ptype,
+                                "status": "skipped"})
+                continue
             try:
                 df = step.proc(df)
                 results.append({"processor_type": ptype,
