@@ -4423,6 +4423,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_rerank(sf):
+        # RERANK: bow rerank model over (query, field) pairs writes
+        # _score (streaming, query weights broadcast). DuckDB ln-tf
+        # twin; scores compared on every row (no rank boundary).
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM documents
+            | WHERE doc_id < 120
+            | RERANK "hash join merge" ON text
+            | KEEP doc_id, _score
+            | SORT doc_id
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["_score"] = out["_score"].round(4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def esql_fork(sf):
         # FORK: branch sub-pipelines over the same input, _fork tags,
         # null-padded column union; DuckDB UNION ALL twin.
@@ -5824,6 +5841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_inlinestats": esql_inlinestats,
         "search_semantic_text": search_semantic_text,
         "esql_mv_functions": esql_mv_functions,
+        "esql_rerank": esql_rerank,
         "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8387,6 +8405,22 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_rerank": """
+            WITH toks AS (
+              SELECT doc_id, t, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS t
+                    FROM documents WHERE doc_id < 120)
+              WHERE t IN ('hash', 'join', 'merge')
+              GROUP BY ALL
+            ), s AS (
+              SELECT doc_id, sum(1 + ln(tf)) AS sc FROM toks
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(coalesce(s.sc, 0), 4) AS _score
+            FROM documents d LEFT JOIN s USING (doc_id)
+            WHERE d.doc_id < 120 ORDER BY d.doc_id
         """,
         "esql_fork": """
             SELECT 'fork1' AS _fork, count(*)::BIGINT AS n,

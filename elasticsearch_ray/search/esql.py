@@ -70,7 +70,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
     "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT", "FORK",
+    "CHANGE_POINT", "FORK", "RERANK",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -820,6 +820,46 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                     df.loc[m, _pn] = _p
                 return df
             ds = ds.map_batches(attach_cp, batch_format="pandas")
+        elif v0 == "RERANK":
+            # RERANK "query" ON <field> [WITH <inference_id>]: run the
+            # rerank model over (query, row-field) pairs and write the
+            # relevance into _score (the inference rerank command of
+            # the published grammar). The model registry's
+            # deterministic bow expansion stands in for a neural
+            # reranker exactly as in sparse_vector/semantic_text:
+            # score = Σ_t qw(t) · (1 + ln tf_field(t)). Streaming
+            # narrow transform — query weights broadcast once.
+            if (len(rest) < 3 or rest[0][0] != "string"
+                    or rest[1] != ("kw", "ON") or rest[2][0] != "name"):
+                raise EsqlError(
+                    'RERANK takes: RERANK "query" ON <field> '
+                    "[WITH <inference_id>]")
+            rq, field = rest[0][1], rest[2][1]
+            inference_id = "bow"
+            if len(rest) > 3:
+                if (len(rest) != 5 or rest[3] != ("kw", "WITH")
+                        or rest[4][0] != "name"):
+                    raise EsqlError("RERANK tail must be WITH <model>")
+                inference_id = rest[4][1]
+            from elasticsearch_ray.search.sparse_vector import (
+                expansion_model,
+            )
+
+            model = expansion_model(inference_id)
+            qw = model(rq)
+
+            def rerank(df, _f=field, _q=qw, _m=model):
+                def one(t):
+                    if not isinstance(t, str):
+                        return 0.0
+                    dw = _m(t)
+                    return sum(w * dw.get(tok, 0.0)
+                               for tok, w in _q.items())
+                df = df.copy()
+                df["_score"] = np.asarray([one(t) for t in df[_f]],
+                                          np.float64)
+                return df
+            ds = ds.map_batches(rerank, batch_format="pandas")
         elif v0 == "FORK":
             # FORK (subpipe) (subpipe) ...: run each branch over the
             # SAME input Dataset (the plan is lazy — branches share the

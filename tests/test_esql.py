@@ -461,3 +461,24 @@ def test_fork_validates(ray_session, tables):
         esql("FROM events | FORK ( LIMIT 5", tables)
     with pytest.raises(EsqlError):
         esql("FROM events | FORK LIMIT 5", tables)
+
+
+def test_rerank_bow_scores_and_validates(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "id": [0, 1, 2],
+        "body": ["alpha beta beta", "alpha", "gamma delta"],
+    })
+    t = {"d": rd.from_pandas(docs)}
+    out = esql('FROM d | RERANK "alpha beta" ON body | SORT _score DESC, id',
+               t).to_pandas()
+    # bow: score(doc0) = 1*1 + 1*(1+ln2); doc1 = 1; doc2 = 0
+    assert out["id"].tolist() == [0, 1, 2]
+    assert np.isclose(out["_score"].iloc[0], 1.0 + 1.0 + np.log(2))
+    assert np.isclose(out["_score"].iloc[1], 1.0)
+    assert out["_score"].iloc[2] == 0.0
+    with pytest.raises(EsqlError):
+        esql("FROM d | RERANK body", t)
+    with pytest.raises(ValueError):
+        esql('FROM d | RERANK "x" ON body WITH nosuchmodel', t)
