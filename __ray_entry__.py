@@ -4906,6 +4906,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[["event_id", "event_type", "value", "flag"]],
             preserve_index=False)
 
+    def eql_sample_events(sf):
+        # EQL sample by key: join keys matching ALL filters, one
+        # min-tiebreak event per filter (block-local combiner + one
+        # groupby Min). DuckDB 3-way-join twin.
+        from elasticsearch_ray.search.eql import eql_sample
+
+        out = eql_sample(_ds(sf, "events"), "user_id",
+                         [{"event_type": "click"},
+                          {"event_type": "error"},
+                          {"event_type": "purchase"}])
+        out["user_id"] = out["user_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def pipeline_events_ua(sf):
         # user_agent processor (ingest-user-agent): a deterministic UA
         # column synthesized from event_id % 5 runs through the parsing
@@ -5814,6 +5827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_asof": eql_sequence_asof,
         "eql_pipe_head": eql_pipe_head,
         "eql_sequence_events": eql_sequence_events,
+        "eql_sample_events": eql_sample_events,
         "pipeline_events_ua": pipeline_events_ua,
         "pipeline_events_conditional": pipeline_events_conditional,
         "rollup_daily": rollup_daily,
@@ -8693,6 +8707,20 @@ FROM cand ORDER BY rank LIMIT 10
                    max(value) AS "value.max",
                    count(value)::BIGINT AS "value.value_count"
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "eql_sample_events": """
+            WITH m0 AS (SELECT user_id, min(event_id)::BIGINT AS id_0
+                        FROM events WHERE event_type = 'click'
+                        GROUP BY user_id),
+                 m1 AS (SELECT user_id, min(event_id)::BIGINT AS id_1
+                        FROM events WHERE event_type = 'error'
+                        GROUP BY user_id),
+                 m2 AS (SELECT user_id, min(event_id)::BIGINT AS id_2
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY user_id)
+            SELECT user_id, id_0, id_1, id_2
+            FROM m0 JOIN m1 USING (user_id) JOIN m2 USING (user_id)
+            ORDER BY user_id
         """,
         "pipeline_events_conditional": """
             SELECT event_id, event_type, round(value, 4) AS value,

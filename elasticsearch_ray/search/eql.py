@@ -300,3 +300,63 @@ def eql_pipes(frame: pd.DataFrame, pipes: list,
                 f"[{arg!r}]")
         out = out.head(arg) if name == "head" else out.tail(arg)
     return out.reset_index(drop=True)
+
+
+def eql_sample(ds, by, stages: list, tiebreak: str = "event_id",
+               extra_columns: tuple = ()) -> pd.DataFrame:
+    """EQL ``sample by <key> [q1] [q2] ...`` (x-pack/plugin/eql —
+    ``plan/logical/Sample.java``, LogicalPlanBuilder#visitSample): find
+    join keys where EVERY filter has at least one matching event — no
+    time ordering, no maxspan — and return one sample event per filter
+    per key. The pick is deterministic: the minimum-``tiebreak`` match
+    per (key, filter) (the reference returns an arbitrary in-shard
+    match; the min makes runs and the SQL twin exact).
+
+    Scale shape: per-block combiner (mask + block-local groupby min per
+    filter) → one Ray groupby Min over (key, filter) partials → a tiny
+    driver pivot of keys that matched all filters.
+    """
+    from ray.data.aggregate import Min
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    n = len(stages)
+    if n < 2:
+        raise ValueError("A sample requires a minimum of 2 queries, "
+                         f"found [{n}]")
+    needed = sorted(set(by_cols) | {tiebreak}
+                    | _pred_columns(list(stages)) | set(extra_columns))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, p in enumerate(stages):
+            m = _mask(p, df)
+            if not m.any():
+                continue
+            sub = df.loc[m, by_cols + [tiebreak]]
+            g = sub.groupby(by_cols, as_index=False)[tiebreak].min()
+            g["_stage"] = np.int64(i)
+            outs.append(g)
+        if not outs:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
+                                 for c in by_cols + [tiebreak]}
+                                | {"_stage": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    mins = (ds.select_columns(needed)
+            .map_batches(partials, batch_format="pandas")
+            .groupby(by_cols + ["_stage"])
+            .aggregate(Min(tiebreak, alias_name="_sample"))
+            .to_pandas())
+    if mins.empty or "_sample" not in mins.columns:
+        return pd.DataFrame(columns=by_cols
+                            + [f"id_{i}" for i in range(n)])
+    wide = mins.pivot_table(index=by_cols, columns="_stage",
+                            values="_sample", aggfunc="min")
+    full = wide.dropna()
+    full = full.reindex(columns=range(n))  # every stage present
+    full = full.dropna()
+    out = full.reset_index()
+    out.columns = by_cols + [f"id_{i}" for i in range(n)]
+    for i in range(n):
+        out[f"id_{i}"] = out[f"id_{i}"].astype(np.int64)
+    return out.sort_values(by_cols, ignore_index=True)

@@ -246,3 +246,41 @@ def test_multi_key_by_composite_join_keys(ray_session):
     assert list(both.columns[:2]) == ["user_id", "host"]
     assert len(both) == 1 and both["host"].iloc[0] == "c"
     assert (both["id_0"].iloc[0], both["id_1"].iloc[0]) == (3, 4)
+
+
+def test_eql_sample_min_pick_and_all_filters_required(ray_session):
+    """EQL sample: keys matching ALL filters, one min-tiebreak event per
+    filter; keys missing any filter are absent."""
+    import ray.data as rd
+
+    from elasticsearch_ray.search.eql import eql_sample
+
+    df = pd.DataFrame({
+        "host": ["a", "a", "a", "b", "b", "c", "c"],
+        "event_type": ["open", "write", "open", "open", "open",
+                       "write", "open"],
+        "event_id": [5, 3, 1, 2, 4, 6, 7],
+    })
+    out = eql_sample(rd.from_pandas(df), "host",
+                     [{"event_type": "open"}, {"event_type": "write"}])
+    # host a: open ids {5,1} -> 1; write -> 3. host b: no write. host c: both.
+    assert out["host"].tolist() == ["a", "c"]
+    assert out["id_0"].tolist() == [1, 7]
+    assert out["id_1"].tolist() == [3, 6]
+
+
+def test_eql_sample_validates_and_composite_key(ray_session):
+    import ray.data as rd
+    import pytest as _pt
+
+    from elasticsearch_ray.search.eql import eql_sample
+
+    df = pd.DataFrame({
+        "host": ["a", "a"], "user": ["u", "u"],
+        "event_type": ["open", "write"], "event_id": [1, 2],
+    })
+    with _pt.raises(ValueError):
+        eql_sample(rd.from_pandas(df), "host", [{"event_type": "open"}])
+    out = eql_sample(rd.from_pandas(df), ["host", "user"],
+                     [{"event_type": "open"}, {"event_type": "write"}])
+    assert out[["host", "user"]].iloc[0].tolist() == ["a", "u"]
