@@ -123,15 +123,98 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                           "exists"}}})
             continue
         if op == "update":
+            # UpdateHelper.java semantics: partial-doc merge, Painless
+            # script over ctx._source with ctx.op none/delete, upsert /
+            # scripted_upsert / doc_as_upsert insert paths
+            script_spec = source.get("script")
+            upsert = source.get("upsert")
+            doc = source.get("doc")
+            if doc is None and script_spec is None:
+                doc = {k: v for k, v in source.items()
+                       if k not in ("upsert", "doc_as_upsert",
+                                    "scripted_upsert")}
+
+            def _run_script(src_doc: dict, default_op: str) -> dict:
+                from elasticsearch_ray.search.painless import (
+                    compile_painless,
+                )
+
+                if isinstance(script_spec, str):
+                    src_txt, sparams = script_spec, {}
+                else:
+                    src_txt = (script_spec.get("source")
+                               or script_spec.get("inline"))
+                    sparams = dict(script_spec.get("params") or {})
+                ctx = {"_source": src_doc, "op": default_op, "_id": _id}
+                compile_painless(src_txt).run(
+                    {"ctx": ctx, "params": sparams})
+                return ctx
+
+            def _insert(new_doc: dict):
+                nonlocal df
+                new_doc = dict(new_doc)
+                new_doc[id_col] = _id
+                df = (pd.concat([df, pd.DataFrame([new_doc])],
+                                ignore_index=True)
+                      if len(df) else pd.DataFrame([new_doc]))
+                items.append({"update": {"_id": _id, "status": 201,
+                                         "result": "created"}})
+
             if row is None:
+                if script_spec is not None and upsert is not None:
+                    new_doc = dict(upsert)
+                    if source.get("scripted_upsert"):
+                        ctx = _run_script(new_doc, "create")
+                        if ctx.get("op") in ("none", "noop", "delete"):
+                            # nothing to index (delete on a missing doc
+                            # is a noop — UpdateHelper#prepareUpsert)
+                            items.append({"update": {
+                                "_id": _id, "status": 200,
+                                "result": "noop"}})
+                            continue
+                        new_doc = ctx["_source"]
+                    _insert(new_doc)
+                    continue
+                if doc is not None and source.get("doc_as_upsert"):
+                    _insert(doc)
+                    continue
+                if upsert is not None and script_spec is None:
+                    _insert(upsert)
+                    continue
                 errors = True
                 items.append({"update": {"_id": _id, "status": 404,
                                          "error": {
                     "type": "document_missing_exception",
                     "reason": f"[{_id}]: document missing"}}})
                 continue
-            doc = source.get("doc", source)
             before = df.iloc[row].to_dict()
+            if script_spec is not None:
+                ctx = _run_script(dict(before), "index")
+                if ctx.get("op") in ("none", "noop"):
+                    items.append({"update": {"_id": _id, "status": 200,
+                                             "result": "noop"}})
+                    continue
+                if ctx.get("op") == "delete":
+                    df = df.drop(df.index[row]).reset_index(drop=True)
+                    items.append({"update": {"_id": _id, "status": 200,
+                                             "result": "deleted"}})
+                    continue
+                after = dict(ctx["_source"])
+                if after == before:
+                    items.append({"update": {"_id": _id, "status": 200,
+                                             "result": "noop"}})
+                    continue
+                # scripted update replaces the whole source
+                after[id_col] = _id
+                for k in df.columns:
+                    df.loc[df.index[row], k] = after.get(
+                        k, None if k != id_col else _id)
+                for k, v in after.items():
+                    if k not in df.columns:
+                        df.loc[df.index[row], k] = v
+                items.append({"update": {"_id": _id, "status": 200,
+                                         "result": "updated"}})
+                continue
             after = dict(before, **doc)
             if after == before:
                 items.append({"update": {"_id": _id, "status": 200,

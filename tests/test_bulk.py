@@ -100,3 +100,76 @@ def test_bulk_index_replaces_whole_document():
     assert row["text"] == "TWO"
     assert pd.isna(row["lang"])
     assert resp["items"][0]["index"]["result"] == "updated"
+
+
+def test_update_script_counter_and_ctx_op():
+    """UpdateHelper: scripted update mutates ctx._source; ctx.op none ->
+    noop, delete -> document removed."""
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    df = pd.DataFrame({"doc_id": [1, 2], "counter": [1, 9]})
+    out, resp = bulk_apply(df, [
+        ("update", {"_id": 1},
+         {"script": {"source": "ctx._source.counter += params.n",
+                     "params": {"n": 4}}}),
+        ("update", {"_id": 2},
+         {"script": {"source":
+                     "if (ctx._source.counter > 5) { ctx.op = 'delete' }"}}),
+    ], id_col="doc_id")
+    assert not resp["errors"]
+    assert resp["items"][0]["update"]["result"] == "updated"
+    assert resp["items"][1]["update"]["result"] == "deleted"
+    assert out["doc_id"].tolist() == [1]
+    assert int(out["counter"].iloc[0]) == 5
+
+
+def test_update_script_noop_op():
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    df = pd.DataFrame({"doc_id": [1], "v": [3]})
+    out, resp = bulk_apply(df, [
+        ("update", {"_id": 1}, {"script": {"source": "ctx.op = 'none'"}}),
+    ], id_col="doc_id")
+    assert resp["items"][0]["update"]["result"] == "noop"
+    assert int(out["v"].iloc[0]) == 3
+
+
+def test_update_upsert_paths():
+    """upsert inserted as-is when missing (no script run unless
+    scripted_upsert); doc_as_upsert uses doc; script+upsert runs the
+    script on existing docs only."""
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    df = pd.DataFrame({"doc_id": [1], "counter": [10]})
+    out, resp = bulk_apply(df, [
+        # missing id + upsert -> insert upsert untouched
+        ("update", {"_id": 5},
+         {"script": {"source": "ctx._source.counter += 1"},
+          "upsert": {"counter": 100}}),
+        # existing id + same spec -> script runs
+        ("update", {"_id": 1},
+         {"script": {"source": "ctx._source.counter += 1"},
+          "upsert": {"counter": 100}}),
+        # doc_as_upsert on a missing id
+        ("update", {"_id": 7},
+         {"doc": {"counter": 42}, "doc_as_upsert": True}),
+    ], id_col="doc_id")
+    assert [i["update"]["result"] for i in resp["items"]] == \
+        ["created", "updated", "created"]
+    got = dict(zip(out["doc_id"].astype(int), out["counter"].astype(int)))
+    assert got == {1: 11, 5: 100, 7: 42}
+
+
+def test_update_scripted_upsert_runs_on_insert():
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    df = pd.DataFrame({"doc_id": pd.Series(dtype=int),
+                       "counter": pd.Series(dtype=int)})
+    out, resp = bulk_apply(df, [
+        ("update", {"_id": 3},
+         {"scripted_upsert": True,
+          "script": {"source": "ctx._source.counter = 77"},
+          "upsert": {"counter": 0}}),
+    ], id_col="doc_id")
+    assert resp["items"][0]["update"]["result"] == "created"
+    assert int(out["counter"].iloc[0]) == 77
