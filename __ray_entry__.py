@@ -4440,6 +4440,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["_score"] = out["_score"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_completion(sf):
+        # COMPLETION with the deterministic extractive stand-in model
+        # (first 12 words); DuckDB list-slice twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM documents
+            | WHERE doc_id < 200
+            | COMPLETION summary = text WITH extractive
+            | KEEP doc_id, summary
+            | SORT doc_id
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def esql_fork(sf):
         # FORK: branch sub-pipelines over the same input, _fork tags,
         # null-padded column union; DuckDB UNION ALL twin.
@@ -5856,6 +5871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_semantic_text": search_semantic_text,
         "esql_mv_functions": esql_mv_functions,
         "esql_rerank": esql_rerank,
+        "esql_completion": esql_completion,
         "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8419,6 +8435,12 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_completion": """
+            SELECT doc_id,
+                   array_to_string((string_split(text, ' '))[1:12], ' ')
+                     AS summary
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
         "esql_rerank": """
             WITH toks AS (

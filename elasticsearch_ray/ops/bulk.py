@@ -80,14 +80,21 @@ def parse_bulk(payload: str) -> list[tuple[str, dict, dict | None]]:
 
 def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                id_col: str = "doc_id",
-               pipeline=None) -> tuple[pd.DataFrame, dict]:
+               pipeline=None, default_pipeline=None,
+               final_pipeline=None) -> tuple[pd.DataFrame, dict]:
     """Apply a bulk body to a keyed frame; returns (new_frame, response).
 
     ``response`` = {"errors": bool, "items": [...]} in request order.
     ``pipeline`` — optional ops/processors.Pipeline applied to index/
-    create sources before they land (IngestService pre-index)."""
+    create sources before they land (IngestService pre-index).
+    ``default_pipeline`` / ``final_pipeline`` — the index-settings pair
+    (``IndexSettings#DEFAULT_PIPELINE`` / ``FINAL_PIPELINE``): the
+    default runs only when no request ``pipeline`` is given; the final
+    one ALWAYS runs last, after whichever other pipeline ran."""
     ops = parse_bulk(payload_or_ops) if isinstance(payload_or_ops, str) \
         else list(payload_or_ops)
+    if pipeline is None:
+        pipeline = default_pipeline
     df = frame.copy()
     items = []
     errors = False
@@ -97,6 +104,10 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
         return int(hit[0]) if len(hit) else None
 
     def _run_pipeline(doc: dict) -> dict:
+        if final_pipeline is not None:
+            if pipeline is not None:
+                doc = pipeline(pd.DataFrame([doc])).iloc[0].to_dict()
+            return final_pipeline(pd.DataFrame([doc])).iloc[0].to_dict()
         if pipeline is None:
             return doc
         return pipeline(pd.DataFrame([doc])).iloc[0].to_dict()

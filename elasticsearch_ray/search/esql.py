@@ -70,7 +70,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
     "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT", "FORK", "RERANK",
+    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -860,6 +860,32 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                                           np.float64)
                 return df
             ds = ds.map_batches(rerank, batch_format="pandas")
+        elif v0 == "COMPLETION":
+            # COMPLETION <out> = <prompt_col> WITH <inference_id>: run
+            # the completion model over each row's prompt and write the
+            # generated text (the inference completion command). The
+            # registry's deterministic extractive model stands in for a
+            # generative endpoint. Streaming narrow transform.
+            if (len(rest) != 5 or rest[0][0] != "name"
+                    or rest[1] != ("op", "=") or rest[2][0] != "name"
+                    or rest[3] != ("kw", "WITH") or rest[4][0] != "name"):
+                raise EsqlError(
+                    "COMPLETION takes: COMPLETION <out> = <prompt_col> "
+                    "WITH <inference_id>")
+            out_col, prompt_col, model_id = (rest[0][1], rest[2][1],
+                                             rest[4][1])
+            from elasticsearch_ray.search.sparse_vector import (
+                completion_model,
+            )
+
+            cfn = completion_model(model_id)
+
+            def complete(df, _o=out_col, _c=prompt_col, _f=cfn):
+                df = df.copy()
+                df[_o] = [None if not isinstance(t, str) else _f(t)
+                          for t in df[_c]]
+                return df
+            ds = ds.map_batches(complete, batch_format="pandas")
         elif v0 == "FORK":
             # FORK (subpipe) (subpipe) ...: run each branch over the
             # SAME input Dataset (the plan is lazy — branches share the

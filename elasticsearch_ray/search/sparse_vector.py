@@ -68,3 +68,36 @@ def prune_tokens(tokens: list[tuple[str, float]], field_avg_freq: float,
         under = abs(w) < weight_threshold
         (pruned if (over and under) else kept).append((tok, w))
     return pruned if only_score_pruned else kept
+
+
+# --------------------------------------------------------------------
+# completion-model registry — the stand-in for the inference service's
+# text-generation endpoints (the ES|QL COMPLETION command resolves its
+# inference_id here, exactly as sparse_vector resolves expansions).
+# Generative LLMs are out of scope; the built-in "extractive" model is
+# a DETERMINISTIC extractive stand-in (the prompt's first 12 words) so
+# the command surface is exercisable, testable and SQL-twinnable.
+
+_COMPLETION_MODELS: dict[str, Callable[[str], str]] = {}
+
+
+def register_completion_model(model_id: str,
+                              fn: Callable[[str], str]) -> None:
+    _COMPLETION_MODELS[model_id] = fn
+
+
+def completion_model(model_id: str) -> Callable[[str], str]:
+    try:
+        return _COMPLETION_MODELS[model_id]
+    except KeyError:
+        raise ValueError(
+            f"unknown inference_id [{model_id}]; register a completion "
+            f"model first (the reference resolves this against the "
+            f"inference service)") from None
+
+
+def _extractive(prompt: str) -> str:
+    return " ".join((prompt or "").split(" ")[:12])
+
+
+register_completion_model("extractive", _extractive)

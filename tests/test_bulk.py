@@ -173,3 +173,29 @@ def test_update_scripted_upsert_runs_on_insert():
     ], id_col="doc_id")
     assert resp["items"][0]["update"]["result"] == "created"
     assert int(out["counter"].iloc[0]) == 77
+
+
+def test_default_and_final_pipeline_settings():
+    """IndexSettings default_pipeline / final_pipeline: default only
+    when no request pipeline; final ALWAYS runs last."""
+    from elasticsearch_ray.ops.bulk import bulk_apply
+    from elasticsearch_ray.ops.processors import Pipeline
+
+    dflt = Pipeline([{"set": {"field": "via", "value": "default"}}])
+    fin = Pipeline([{"set": {"field": "stamped", "value": True}}])
+    req = Pipeline([{"set": {"field": "via", "value": "request"}}])
+    df = pd.DataFrame({"doc_id": pd.Series(dtype=int)})
+
+    out1, _ = bulk_apply(df, [("index", {"_id": 1}, {"v": 1})],
+                         id_col="doc_id",
+                         default_pipeline=dflt, final_pipeline=fin)
+    assert out1["via"].iloc[0] == "default" and bool(out1["stamped"].iloc[0])
+
+    out2, _ = bulk_apply(df, [("index", {"_id": 1}, {"v": 1})],
+                         id_col="doc_id", pipeline=req,
+                         default_pipeline=dflt, final_pipeline=fin)
+    assert out2["via"].iloc[0] == "request" and bool(out2["stamped"].iloc[0])
+
+    out3, _ = bulk_apply(df, [("index", {"_id": 1}, {"v": 1})],
+                         id_col="doc_id", final_pipeline=fin)
+    assert "via" not in out3.columns and bool(out3["stamped"].iloc[0])

@@ -482,3 +482,29 @@ def test_rerank_bow_scores_and_validates(ray_session):
         esql("FROM d | RERANK body", t)
     with pytest.raises(ValueError):
         esql('FROM d | RERANK "x" ON body WITH nosuchmodel', t)
+
+
+def test_completion_extractive_model(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.search.sparse_vector import (
+        register_completion_model,
+    )
+
+    docs = pd.DataFrame({
+        "id": [0, 1],
+        "body": [" ".join(f"w{i}" for i in range(20)), "short text"],
+    })
+    t = {"d": rd.from_pandas(docs)}
+    out = esql("FROM d | COMPLETION summary = body WITH extractive | SORT id",
+               t).to_pandas()
+    assert out["summary"].iloc[0] == " ".join(f"w{i}" for i in range(12))
+    assert out["summary"].iloc[1] == "short text"
+    # custom registered model
+    register_completion_model("shout", lambda p: p.upper())
+    out2 = esql("FROM d | COMPLETION s = body WITH shout", t).to_pandas()
+    assert out2["s"].iloc[1] == "SHORT TEXT"
+    with pytest.raises(ValueError):
+        esql("FROM d | COMPLETION s = body WITH nosuch", t)
+    with pytest.raises(EsqlError):
+        esql("FROM d | COMPLETION s = body", t)
