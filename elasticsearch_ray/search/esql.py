@@ -70,7 +70,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
     "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION",
+    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION", "RLIKE",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -348,6 +348,17 @@ class _CondParser:
             rx = re.compile(fnmatch.translate(pat))
             return (lambda df, l=left, rx=rx:
                     self._value(df, l).astype(str).str.match(rx))
+        if (kind, val) == ("kw", "RLIKE"):
+            # regular-expression predicate — anchored over the WHOLE
+            # string, the RLIKE contract (Lucene RegExp semantics)
+            self.take()
+            k, pat = self.take()
+            if k != "string":
+                raise EsqlError("RLIKE takes a string pattern")
+            rx = re.compile(pat)
+            return (lambda df, l=left, rx=rx:
+                    self._value(df, l).astype(str).str.fullmatch(rx)
+                    .fillna(False))
         if kind == "op" and val in ("==", "!=", "<", "<=", ">", ">="):
             self.take()
             right = self._operand()
@@ -450,6 +461,26 @@ def _parse_stats(toks):
     if not aggs:
         raise EsqlError("STATS needs at least one aggregation")
     return aggs, by
+
+
+def _comma_patterns(toks, what):
+    """Column list where each item may be a wildcard pattern — adjacent
+    name/``*`` tokens in one comma segment concatenate (``event_*``
+    lexes as name + op)."""
+    out = []
+    for seg in _comma_split(list(toks)):
+        parts = []
+        for k, v in seg:
+            if k == "name" or (k, v) == ("op", "*"):
+                parts.append(v)
+            else:
+                raise EsqlError(f"{what} takes a column/pattern list")
+        if not parts:
+            raise EsqlError(f"empty {what} item")
+        out.append("".join(parts))
+    if not out:
+        raise EsqlError(f"empty {what}")
+    return out
 
 
 def _comma_names(toks, what):
@@ -636,12 +667,28 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                 return df.explode(col, ignore_index=True)
             ds = ds.map_batches(expand, batch_format="pandas")
         elif v0 == "KEEP":
-            ds = ds.select_columns(_comma_names(rest, "KEEP"))
+            names = _comma_patterns(rest, "KEEP")
+            if any("*" in n for n in names):
+                # wildcard projection (the grammar's qualified-name
+                # patterns): expand per batch in KEEP order, first
+                # match wins, non-matching patterns are ignored
+                def keeper(df, _pats=tuple(names)):
+                    cols = []
+                    for p in _pats:
+                        for c in df.columns:
+                            if c not in cols and fnmatch.fnmatchcase(c, p):
+                                cols.append(c)
+                    return df[cols]
+                ds = ds.map_batches(keeper, batch_format="pandas")
+            else:
+                ds = ds.select_columns(names)
         elif v0 == "DROP":
-            drop = set(_comma_names(rest, "DROP"))
+            drop = _comma_patterns(rest, "DROP")
 
-            def dropper(df, drop=drop):
-                return df.drop(columns=[c for c in drop if c in df.columns])
+            def dropper(df, _pats=tuple(drop)):
+                gone = [c for c in df.columns
+                        if any(fnmatch.fnmatchcase(c, p) for p in _pats)]
+                return df.drop(columns=gone)
             ds = ds.map_batches(dropper, batch_format="pandas")
         elif v0 == "RENAME":
             pairs = {}

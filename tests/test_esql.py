@@ -508,3 +508,24 @@ def test_completion_extractive_model(ray_session):
         esql("FROM d | COMPLETION s = body WITH nosuch", t)
     with pytest.raises(EsqlError):
         esql("FROM d | COMPLETION s = body", t)
+
+
+def test_keep_drop_wildcards_and_rlike(ray_session, tables, frame):
+    out = esql("""
+        FROM events
+        | WHERE msg RLIKE "u1[0-9] .*"
+        | KEEP event_*, msg
+        | DROP event_t*
+        | SORT event_id
+        | LIMIT 50
+    """, tables).to_pandas()
+    want = duckdb.sql("""
+        SELECT event_id, msg FROM frame
+        WHERE regexp_full_match(msg, 'u1[0-9] .*')
+        ORDER BY event_id LIMIT 50
+    """).df()
+    assert list(out.columns) == ["event_id", "msg"]
+    assert out["event_id"].tolist() == want["event_id"].tolist()
+    # bare * keeps everything
+    full = esql("FROM events | KEEP * | LIMIT 1", tables).to_pandas()
+    assert set(full.columns) == set(frame.columns)
