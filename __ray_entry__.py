@@ -4440,6 +4440,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["_score"] = out["_score"].round(4)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def esql_bucket_stats(sf):
+        # STATS BY grouping expression (BUCKET numeric-span form —
+        # floor to span multiples, evaluated before the one shuffle);
+        # DuckDB floor twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | STATS n = COUNT(*), avg_v = AVG(value)
+              BY b = BUCKET(value, 20.0)
+            | SORT b
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["avg_v"] = out["avg_v"].round(4)
+        return pa.Table.from_pandas(out[["b", "n", "avg_v"]],
+                                    preserve_index=False)
+
     def esql_completion(sf):
         # COMPLETION with the deterministic extractive stand-in model
         # (first 12 words); DuckDB list-slice twin.
@@ -5872,6 +5889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_functions": esql_mv_functions,
         "esql_rerank": esql_rerank,
         "esql_completion": esql_completion,
+        "esql_bucket_stats": esql_bucket_stats,
         "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8435,6 +8453,11 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_bucket_stats": """
+            SELECT floor(value / 20) * 20 AS b, count(*)::BIGINT AS n,
+                   round(avg(value), 4) AS avg_v
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "esql_completion": """
             SELECT doc_id,

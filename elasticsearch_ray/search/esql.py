@@ -70,7 +70,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
     "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION", "RLIKE",
+    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION", "RLIKE", "METADATA",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
@@ -204,10 +204,14 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 
 def _comma_split(toks):
-    """Split a token run on top-level commas (no nesting in ROW)."""
-    out, cur = [], []
+    """Split a token run on commas at paren depth 0."""
+    out, cur, depth = [], [], 0
     for t in toks:
-        if t == ("op", ","):
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if t == ("op", ",") and depth == 0:
             out.append(cur)
             cur = []
         else:
@@ -405,17 +409,27 @@ def _parse_assignments(toks, what):
 
 
 def _parse_stats(toks):
-    """STATS [name =] FN(col|*) , ... [BY col, ...]"""
-    by = []
+    """STATS [name =] FN(col|*) , ... [BY col | name = expr, ...] —
+    returns (aggs, by, pre) where ``pre`` carries BY grouping
+    expressions (``BY b = BUCKET(v, 10)`` — the grammar's expression
+    grouping) to evaluate before the shuffle."""
+    by, pre = [], []
     if ("kw", "BY") in toks:
         bi = toks.index(("kw", "BY"))
         tail = toks[bi + 1:]
         toks = toks[:bi]
-        for k, v in tail:
-            if k == "name":
-                by.append(v)
-            elif (k, v) != ("op", ","):
-                raise EsqlError("BY takes a column list")
+        for seg in _comma_split(tail):
+            if len(seg) == 1 and seg[0][0] == "name":
+                by.append(seg[0][1])
+            elif (len(seg) >= 3 and seg[0][0] == "name"
+                    and seg[1] == ("op", "=")):
+                name = seg[0][1]
+                expr = " ".join(v if k != "string" else f'"{v}"'
+                                for k, v in seg[2:])
+                by.append(name)
+                pre.append((name, expr))
+            else:
+                raise EsqlError("BY takes columns or name = expression")
     aggs = []
     i = 0
     while i < len(toks):
@@ -460,7 +474,43 @@ def _parse_stats(toks):
         aggs.append((name, fn, arg))
     if not aggs:
         raise EsqlError("STATS needs at least one aggregation")
-    return aggs, by
+    return aggs, by, pre
+
+
+# grouping-expression fast path: BUCKET(col, span) — the numeric-span
+# form (floor to span multiples); date bucketing rides EVAL DATE_TRUNC
+_BUCKET_RE = re.compile(
+    r'^BUCKET \( ([A-Za-z_][A-Za-z0-9_.]*) , (-?\d+(?:\.\d+)?) \)$',
+    re.IGNORECASE)
+
+
+def _apply_by_evals(ds, pre):
+    """Evaluate BY grouping expressions before the STATS shuffle."""
+    for name, expr in pre:
+        m = _BUCKET_RE.match(expr)
+        if m:
+            col, span = m.group(1), float(m.group(2))
+            if span <= 0:
+                raise EsqlError("BUCKET span must be positive")
+
+            def bucketer(df, _n=name, _c=col, _s=span):
+                df = df.copy()
+                df[_n] = np.floor(
+                    df[_c].to_numpy(np.float64) / _s) * _s
+                return df
+            ds = ds.map_batches(bucketer, batch_format="pandas")
+            continue
+        from elasticsearch_ray.search.expressions import (
+            add_expression_column,
+        )
+        from elasticsearch_ray.search.qlfuncs import (
+            add_ql_column,
+            has_ql_function,
+        )
+
+        ds = (add_ql_column(ds, name, expr) if has_ql_function(expr)
+              else add_expression_column(ds, name, expr))
+    return ds
 
 
 def _comma_patterns(toks, what):
@@ -530,10 +580,25 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
     else:
         if not stages or stages[0][0] != ("kw", "FROM"):
             raise EsqlError("query must start with FROM <table> or ROW")
-        if len(stages[0]) != 2 or stages[0][1][0] != "name":
+        head = stages[0]
+        if len(head) < 2 or head[1][0] != "name":
             raise EsqlError("FROM takes one table name")
-        src = stages[0][1][1]
+        src = head[1][1]
         ds = tables(src) if callable(tables) else tables[src]
+        if len(head) > 2:
+            # FROM <table> METADATA _index: expose the source index
+            # name as the _index metadata column (the one metadata
+            # field a single-table source carries)
+            if head[2] != ("kw", "METADATA"):
+                raise EsqlError("FROM tail must be METADATA <fields>")
+            meta = _comma_names(head[3:], "METADATA")
+            if meta != ["_index"]:
+                raise EsqlError(
+                    f"unsupported METADATA fields {meta!r} "
+                    "(only _index)")
+            ds = ds.map_batches(
+                lambda df, _s=src: df.assign(_index=_s),
+                batch_format="pandas")
 
     def _apply(ds, stage):
         (k0, v0), rest = stage[0], stage[1:]
@@ -603,8 +668,8 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                 else:
                     ds = add_expression_column(ds, name, expr)
         elif v0 == "STATS":
-            aggs, by = _parse_stats(rest)
-            ds = _run_stats(ds, aggs, by)
+            aggs, by, pre = _parse_stats(rest)
+            ds = _run_stats(_apply_by_evals(ds, pre), aggs, by)
         elif v0 == "INLINESTATS":
             # windowed aggregate: attach the per-group aggregates to
             # every row WITHOUT collapsing (the ES|QL INLINESTATS
@@ -614,7 +679,8 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             # replaced, as in the reference
             import ray as _ray
 
-            aggs, by = _parse_stats(rest)
+            aggs, by, pre = _parse_stats(rest)
+            ds = _apply_by_evals(ds, pre)
             stats_df = _run_stats(ds, aggs, by).to_pandas()
             sref = _ray.put(stats_df)
             new_cols = [n for n, _f, _a in aggs]

@@ -529,3 +529,32 @@ def test_keep_drop_wildcards_and_rlike(ray_session, tables, frame):
     # bare * keeps everything
     full = esql("FROM events | KEEP * | LIMIT 1", tables).to_pandas()
     assert set(full.columns) == set(frame.columns)
+
+
+def test_stats_by_bucket_expression(ray_session, tables, frame):
+    out = esql("""
+        FROM events
+        | STATS n = COUNT(*), avg_v = AVG(value) BY b = BUCKET(value, 20.0)
+        | SORT b
+    """, tables).to_pandas()
+    want = duckdb.sql("""
+        SELECT floor(value / 20) * 20 AS b, count(*) AS n,
+               avg(value) AS avg_v
+        FROM frame GROUP BY 1 ORDER BY 1
+    """).df()
+    assert out["b"].tolist() == want["b"].tolist()
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert np.allclose(out["avg_v"], want["avg_v"])
+    with pytest.raises(EsqlError):
+        esql("FROM events | STATS n = COUNT(*) BY b = BUCKET(value, 0)",
+             tables)
+
+
+def test_from_metadata_index(ray_session, tables):
+    out = esql("""
+        FROM events METADATA _index
+        | STATS n = COUNT(*) BY _index
+    """, tables).to_pandas()
+    assert out["_index"].tolist() == ["events"]
+    with pytest.raises(EsqlError):
+        esql("FROM events METADATA _id", tables)
