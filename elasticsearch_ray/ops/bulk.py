@@ -78,6 +78,20 @@ def parse_bulk(payload: str) -> list[tuple[str, dict, dict | None]]:
     return out
 
 
+def _setcell(df: pd.DataFrame, idx, col: str, val) -> None:
+    """Assign one cell, safely for container values: ``df.loc`` unpacks
+    lists ("Must have equal len keys and value..."), so containers go
+    through ``.at`` on an object-dtype column (review r5c #5)."""
+    if isinstance(val, (list, dict, tuple, set, np.ndarray)):
+        if col not in df.columns:
+            df[col] = None
+        if df[col].dtype != object:
+            df[col] = df[col].astype(object)
+        df.at[idx, col] = val
+    else:
+        df.loc[idx, col] = val
+
+
 def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                id_col: str = "doc_id",
                pipeline=None, default_pipeline=None,
@@ -218,11 +232,11 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                 # scripted update replaces the whole source
                 after[id_col] = _id
                 for k in df.columns:
-                    df.loc[df.index[row], k] = after.get(
-                        k, None if k != id_col else _id)
+                    _setcell(df, df.index[row], k, after.get(
+                        k, None if k != id_col else _id))
                 for k, v in after.items():
                     if k not in df.columns:
-                        df.loc[df.index[row], k] = v
+                        _setcell(df, df.index[row], k, v)
                 items.append({"update": {"_id": _id, "status": 200,
                                          "result": "updated"}})
                 continue
@@ -232,7 +246,7 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                                          "result": "noop"}})
                 continue
             for k, v in doc.items():
-                df.loc[df.index[row], k] = v
+                _setcell(df, df.index[row], k, v)
             items.append({"update": {"_id": _id, "status": 200,
                                      "result": "updated"}})
             continue
@@ -248,11 +262,11 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
             # index is FULL document replacement: columns the new source
             # does not carry are cleared, never inherited (review r5 #6)
             for k in df.columns:
-                df.loc[df.index[row], k] = doc.get(
-                    k, None if k != id_col else _id)
+                _setcell(df, df.index[row], k, doc.get(
+                    k, None if k != id_col else _id))
             for k, v in doc.items():
                 if k not in df.columns:
-                    df.loc[df.index[row], k] = v
+                    _setcell(df, df.index[row], k, v)
             items.append({op: {"_id": _id, "status": 200,
                                "result": "updated"}})
     return df, {"errors": errors, "items": items}

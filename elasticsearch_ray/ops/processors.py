@@ -1390,7 +1390,11 @@ def simulate_pipeline(processors: list, docs: list[dict],
         if not verbose:
             try:
                 df = pipe(df)
-                out_docs.append({"doc": {"_source":
+                # a drop processor may remove the doc — report the
+                # reference's dropped shape, not an IndexError
+                # (review r5c #2)
+                out_docs.append({"doc": None} if len(df) == 0 else
+                                {"doc": {"_source":
                                          df.iloc[0].to_dict()}})
             except Exception as e:
                 out_docs.append({"error": {"type": type(e).__name__,
@@ -1407,7 +1411,11 @@ def simulate_pipeline(processors: list, docs: list[dict],
                                 "status": "skipped"})
                 continue
             try:
-                df = step.proc(df)
+                df = step.apply(df)
+                if len(df) == 0:  # dropped — stop the chain here
+                    results.append({"processor_type": ptype,
+                                    "status": "dropped"})
+                    break
                 results.append({"processor_type": ptype,
                                 "status": "success",
                                 "doc": {"_source": df.iloc[0].to_dict()}})

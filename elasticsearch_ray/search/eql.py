@@ -350,13 +350,18 @@ def eql_sample(ds, by, stages: list, tiebreak: str = "event_id",
     if mins.empty or "_sample" not in mins.columns:
         return pd.DataFrame(columns=by_cols
                             + [f"id_{i}" for i in range(n)])
-    wide = mins.pivot_table(index=by_cols, columns="_stage",
-                            values="_sample", aggfunc="min")
-    full = wide.dropna()
-    full = full.reindex(columns=range(n))  # every stage present
-    full = full.dropna()
-    out = full.reset_index()
+    # keep only keys that matched EVERY filter BEFORE pivoting, so the
+    # pivot has no missing cells and the tiebreak dtype survives intact
+    # — pivot_table's NaN padding coerced int64 ids through float64
+    # (lossy above 2^53) and crashed on string tiebreaks (review r5c #7)
+    counts = (mins.groupby(by_cols)["_stage"].nunique()
+              .reset_index(name="_k"))
+    good = counts[counts["_k"] == n][by_cols]
+    sub = mins.merge(good, on=by_cols)
+    if sub.empty:
+        return pd.DataFrame(columns=by_cols
+                            + [f"id_{i}" for i in range(n)])
+    wide = sub.pivot(index=by_cols, columns="_stage", values="_sample")
+    out = wide.reset_index()
     out.columns = by_cols + [f"id_{i}" for i in range(n)]
-    for i in range(n):
-        out[f"id_{i}"] = out[f"id_{i}"].astype(np.int64)
     return out.sort_values(by_cols, ignore_index=True)

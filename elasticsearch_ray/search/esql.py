@@ -69,9 +69,23 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "AND", "OR", "NOT", "IN",
     "LIKE", "IS", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "GROK",
-    "MV_EXPAND", "ROW", "INLINESTATS", "LOOKUP", "JOIN", "SAMPLE",
-    "CHANGE_POINT", "FORK", "RERANK", "COMPLETION", "RLIKE", "METADATA",
+    "MV_EXPAND", "ROW",
 }
+
+# SOFT keywords (review r5c #4): the newer command words are recognized
+# contextually — as a command at stage start, or at their grammar
+# position (JOIN after LOOKUP, METADATA in the FROM tail, RLIKE as a
+# predicate operator) — so columns named "sample", "join", … keep
+# working, as they did before these commands existed.
+_SOFT_COMMANDS = {
+    "INLINESTATS", "LOOKUP", "SAMPLE", "CHANGE_POINT", "FORK",
+    "RERANK", "COMPLETION",
+}
+
+
+def _is_word(tok, word: str) -> bool:
+    """True when ``tok`` is the given soft keyword (kw or bare name)."""
+    return tok[0] in ("kw", "name") and tok[1].upper() == word
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
             "MEDIAN", "PERCENTILE"}
@@ -91,11 +105,12 @@ _MV_FN_RE = re.compile(
 
 def _mv_items(v):
     """Null → None; scalar → single-element list (the ES|QL contract:
-    a single value is a one-element multivalue)."""
-    if v is None or (np.isscalar(v) and pd.isna(v)):
-        return None
+    a single value is a one-element multivalue). Nulls include pd.NA —
+    what a null SPLIT source yields (review r5c #1)."""
     if isinstance(v, (list, tuple, np.ndarray)):
         return list(v)
+    if v is None or pd.isna(v):
+        return None
     return [v]
 
 
@@ -350,9 +365,15 @@ class _CondParser:
             if k != "string":
                 raise EsqlError("LIKE takes a string pattern")
             rx = re.compile(fnmatch.translate(pat))
-            return (lambda df, l=left, rx=rx:
-                    self._value(df, l).astype(str).str.match(rx))
-        if (kind, val) == ("kw", "RLIKE"):
+
+            def like(df, l=left, rx=rx):
+                s = self._value(df, l)
+                # astype(str) stringifies nulls ("None"/"nan") — mask
+                # them out: null never matches (review r5c #3)
+                return (s.astype(str).str.match(rx).fillna(False)
+                        & s.notna())
+            return like
+        if _is_word((kind, val), "RLIKE"):
             # regular-expression predicate — anchored over the WHOLE
             # string, the RLIKE contract (Lucene RegExp semantics)
             self.take()
@@ -360,9 +381,12 @@ class _CondParser:
             if k != "string":
                 raise EsqlError("RLIKE takes a string pattern")
             rx = re.compile(pat)
-            return (lambda df, l=left, rx=rx:
-                    self._value(df, l).astype(str).str.fullmatch(rx)
-                    .fillna(False))
+
+            def rlike(df, l=left, rx=rx):
+                s = self._value(df, l)
+                return (s.astype(str).str.fullmatch(rx).fillna(False)
+                        & s.notna())
+            return rlike
         if kind == "op" and val in ("==", "!=", "<", "<=", ">", ">="):
             self.take()
             right = self._operand()
@@ -402,7 +426,9 @@ def _parse_assignments(toks, what):
             elif (k, v) == ("op", ",") and depth == 0:
                 i += 1
                 break
-            expr.append(v if k != "string" else f'"{v}"')
+            expr.append(v if k != "string"
+                        else '"' + v.replace("\\", "\\\\")
+                        .replace('"', '\\"') + '"')
             i += 1
         out.append((name, " ".join(expr)))
     return out
@@ -424,8 +450,11 @@ def _parse_stats(toks):
             elif (len(seg) >= 3 and seg[0][0] == "name"
                     and seg[1] == ("op", "=")):
                 name = seg[0][1]
-                expr = " ".join(v if k != "string" else f'"{v}"'
-                                for k, v in seg[2:])
+                expr = " ".join(
+                    v if k != "string"
+                    else '"' + v.replace("\\", "\\\\")
+                    .replace('"', '\\"') + '"'
+                    for k, v in seg[2:])
                 by.append(name)
                 pre.append((name, expr))
             else:
@@ -589,7 +618,7 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             # FROM <table> METADATA _index: expose the source index
             # name as the _index metadata column (the one metadata
             # field a single-table source carries)
-            if head[2] != ("kw", "METADATA"):
+            if not _is_word(head[2], "METADATA"):
                 raise EsqlError("FROM tail must be METADATA <fields>")
             meta = _comma_names(head[3:], "METADATA")
             if meta != ["_index"]:
@@ -602,6 +631,8 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
 
     def _apply(ds, stage):
         (k0, v0), rest = stage[0], stage[1:]
+        if k0 == "name" and v0.upper() in _SOFT_COMMANDS:
+            k0, v0 = "kw", v0.upper()
         if k0 != "kw":
             raise EsqlError(f"expected a command, got {v0!r}")
         if v0 == "WHERE":
@@ -646,16 +677,32 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                         return df
                     ds = ds.map_batches(splitter, batch_format="pandas")
                 elif (mv := _MV_FN_RE.match(expr)):
-                    fn, col, tail = mv.group(1), mv.group(2), mv.group(3)
+                    # structure-parse the args from TOKENS (re-lex the
+                    # escaped expr text) so delimiters containing ", "
+                    # or quotes survive intact (review r5c #6)
+                    fn = mv.group(1)
+                    toks2 = _tokenize(expr)
+                    if (len(toks2) < 4 or toks2[1] != ("op", "(")
+                            or toks2[-1] != ("op", ")")):
+                        raise EsqlError(f"bad {fn} call")
+                    args = _comma_split(toks2[2:-1])
+                    if not args or len(args[0]) != 1 \
+                            or args[0][0][0] != "name":
+                        raise EsqlError(f"{fn} takes a column first")
+                    col = args[0][0][1]
                     extras = []
-                    for part in (tail or "").split(" , ")[1:]:
-                        part = part.strip()
-                        if part.startswith('"') and part.endswith('"'):
-                            extras.append(part[1:-1])
-                        elif re.fullmatch(r"-?\d+", part):
-                            extras.append(int(part))
+                    for seg in args[1:]:
+                        if len(seg) != 1:
+                            raise EsqlError(f"bad {fn} argument")
+                        k2, v2 = seg[0]
+                        if k2 == "string":
+                            extras.append(v2)
+                        elif k2 == "number":
+                            extras.append(int(v2)
+                                          if re.fullmatch(r"-?\d+", v2)
+                                          else float(v2))
                         else:
-                            extras.append(part)
+                            extras.append(v2)
                     fn_v = _make_mv_fn(fn, extras)
                     ds = ds.map_batches(
                         lambda df, _n=name, _c=col, _f=fn_v:
@@ -824,7 +871,7 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             # shuffles. Same-named non-key columns take the lookup
             # side's values (reference precedence); several matching
             # lookup rows emit one output row per match.
-            if (len(rest) != 4 or rest[0] != ("kw", "JOIN")
+            if (len(rest) != 4 or not _is_word(rest[0], "JOIN")
                     or rest[1][0] != "name" or rest[2] != ("kw", "ON")
                     or rest[3][0] != "name"):
                 raise EsqlError(
@@ -1036,6 +1083,11 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                 outs.append(sub.map_batches(
                     lambda df, _t=tag: df.assign(_fork=_t),
                     batch_format="pandas"))
+            # schema() is a BOUNDED probe, not full execution: Ray
+            # resolves it with an internal limit-1 plan (verified: a
+            # counted map_batches over 8 blocks runs once for the
+            # first block only), so the union-of-columns costs one
+            # first-block pass per branch (review r5c #9)
             col_sets = [list(o.schema().names) for o in outs]
             allcols: list = []
             for ns in col_sets:

@@ -199,3 +199,17 @@ def test_default_and_final_pipeline_settings():
     out3, _ = bulk_apply(df, [("index", {"_id": 1}, {"v": 1})],
                          id_col="doc_id", final_pipeline=fin)
     assert "via" not in out3.columns and bool(out3["stamped"].iloc[0])
+
+
+def test_review_r5c_script_sets_list_field():
+    """Review r5c #5: scripted update writing a list/dict field must not
+    crash the bulk call."""
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    df = pd.DataFrame({"doc_id": [1], "v": [1]})
+    out, resp = bulk_apply(df, [
+        ("update", {"_id": 1},
+         {"script": {"source": "ctx._source.tags = ['a', 'b']"}}),
+    ], id_col="doc_id")
+    assert resp["items"][0]["update"]["result"] == "updated"
+    assert out["tags"].iloc[0] == ["a", "b"]

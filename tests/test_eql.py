@@ -284,3 +284,27 @@ def test_eql_sample_validates_and_composite_key(ray_session):
     out = eql_sample(rd.from_pandas(df), ["host", "user"],
                      [{"event_type": "open"}, {"event_type": "write"}])
     assert out[["host", "user"]].iloc[0].tolist() == ["a", "u"]
+
+
+def test_review_r5c_sample_string_tiebreak_and_big_ids(ray_session):
+    """Review r5c #7: eql_sample preserves tiebreak dtype — string
+    tiebreaks work; int64 ids above 2^53 survive exactly."""
+    import ray.data as rd
+
+    from elasticsearch_ray.search.eql import eql_sample
+
+    big = 2**60 + 3
+    df = pd.DataFrame({
+        "host": ["a", "a"],
+        "event_type": ["open", "write"],
+        "event_id": [big, big + 1],
+        "name": ["zz", "aa"],
+    })
+    out = eql_sample(rd.from_pandas(df), "host",
+                     [{"event_type": "open"}, {"event_type": "write"}])
+    assert int(out["id_0"].iloc[0]) == big
+    assert int(out["id_1"].iloc[0]) == big + 1
+    out2 = eql_sample(rd.from_pandas(df), "host",
+                      [{"event_type": "open"}, {"event_type": "write"}],
+                      tiebreak="name")
+    assert out2["id_0"].iloc[0] == "zz" and out2["id_1"].iloc[0] == "aa"

@@ -312,10 +312,12 @@ def test_sample_deterministic_band(ray_session, tables, frame):
     """).df()
     assert int(out1.loc[0, "n"]) == int(want.loc[0, "n"])
     assert np.isclose(float(out1.loc[0, "total"]), float(want.loc[0, "total"]))
-    # a seed gives an independent (different) subset
-    out3 = esql("FROM events | SAMPLE 0.25 7 | STATS n = COUNT(*)",
-                tables).to_pandas()
-    assert int(out3.loc[0, "n"]) != int(out1.loc[0, "n"]) or True
+    # a seed gives an independent subset: the sampled id SETS differ
+    ids0 = esql("FROM events | SAMPLE 0.25 | KEEP event_id | SORT event_id",
+                tables).to_pandas()["event_id"].tolist()
+    ids7 = esql("FROM events | SAMPLE 0.25 7 | KEEP event_id | SORT event_id",
+                tables).to_pandas()["event_id"].tolist()
+    assert ids0 != ids7
     assert 0 < int(out1.loc[0, "n"]) < len(frame)
 
 
@@ -558,3 +560,51 @@ def test_from_metadata_index(ray_session, tables):
     assert out["_index"].tolist() == ["events"]
     with pytest.raises(EsqlError):
         esql("FROM events METADATA _id", tables)
+
+
+def test_review_r5c_mv_null_split_and_soft_keywords(ray_session):
+    """Review r5c regressions: (1) null SPLIT -> MV_* propagate null;
+    (4) new command words usable as column names; (6) MV_CONCAT with a
+    comma-space delimiter; (3) RLIKE/LIKE never match nulls."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "id": [0, 1],
+        "text": ["a b a", None],
+        "sample": [1, 2],      # soft keywords stay valid column names
+        "join": ["x", None],
+    })
+    t = {"d": rd.from_pandas(docs)}
+    out = esql("""
+        FROM d
+        | EVAL words = SPLIT(text, " ")
+        | EVAL n = MV_COUNT(words), s = MV_CONCAT(words, " , ")
+        | KEEP id, n, s, sample, join
+        | SORT id
+    """, t).to_pandas()
+    assert int(out.loc[0, "n"]) == 3
+    assert out.loc[0, "s"] == "a , b , a"
+    assert pd.isna(out.loc[1, "n"]) and out.loc[1, "s"] is None
+    # soft keywords as columns in SORT/KEEP/WHERE
+    out2 = esql("FROM d | WHERE sample > 1 | KEEP sample, join | SORT sample",
+                t).to_pandas()
+    assert out2["sample"].tolist() == [2]
+    # RLIKE / LIKE exclude nulls
+    out3 = esql('FROM d | WHERE join RLIKE ".*" | KEEP id', t).to_pandas()
+    assert out3["id"].tolist() == [0]
+    out4 = esql('FROM d | WHERE join LIKE "*" | KEEP id', t).to_pandas()
+    assert out4["id"].tolist() == [0]
+
+
+def test_review_r5c_mv_sum_null_rows(ray_session):
+    import ray.data as rd
+
+    t = {"d": rd.from_pandas(pd.DataFrame({
+        "id": [0, 1], "text": ["1 2", None]}))}
+    out = esql("""
+        FROM d
+        | EVAL words = SPLIT(text, " ")
+        | EVAL c = MV_SUM(words)
+        | SORT id
+    """, t).to_pandas()
+    assert pd.isna(out.loc[1, "c"])

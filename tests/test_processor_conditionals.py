@@ -88,3 +88,18 @@ def test_callable_condition_supported():
     got = out["x"].tolist()
     assert got[0] == 9 and got[2] == 9
     assert pd.isna(got[1]) and pd.isna(got[3])
+
+
+def test_review_r5c_simulate_dropped_doc():
+    """Review r5c #2: a dropped doc reports doc: null / status dropped,
+    not an IndexError."""
+    res = simulate_pipeline([{"drop": {"if": "ctx.value > 50"}}],
+                            [{"value": 60.0}, {"value": 1.0}])
+    assert res["docs"][0] == {"doc": None}
+    assert res["docs"][1]["doc"]["_source"]["value"] == 1.0
+    v = simulate_pipeline([{"drop": {"if": "ctx.value > 50"}},
+                           {"set": {"field": "x", "value": 1}}],
+                          [{"value": 60.0}], verbose=True)
+    steps = v["docs"][0]["processor_results"]
+    assert steps[0]["status"] == "dropped"
+    assert len(steps) == 1  # chain stops at the drop
