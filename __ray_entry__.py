@@ -4457,6 +4457,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out[["b", "n", "avg_v"]],
                                     preserve_index=False)
 
+    def esql_bucket_date(sf):
+        # BUCKET date-span grouping form (BY d = BUCKET(ts, "1 day") —
+        # fixed-unit epoch floor); DuckDB date_trunc twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | STATS n = COUNT(*), total = SUM(value)
+              BY d = BUCKET(ts, "1 day")
+            | SORT d
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        out["total"] = out["total"].round(4)
+        out["d"] = pd.to_datetime(out["d"])
+        return pa.Table.from_pandas(out[["d", "n", "total"]],
+                                    preserve_index=False)
+
     def esql_completion(sf):
         # COMPLETION with the deterministic extractive stand-in model
         # (first 12 words); DuckDB list-slice twin.
@@ -5890,6 +5907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_rerank": esql_rerank,
         "esql_completion": esql_completion,
         "esql_bucket_stats": esql_bucket_stats,
+        "esql_bucket_date": esql_bucket_date,
         "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8453,6 +8471,11 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_bucket_date": """
+            SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "esql_bucket_stats": """
             SELECT floor(value / 20) * 20 AS b, count(*)::BIGINT AS n,

@@ -506,16 +506,60 @@ def _parse_stats(toks):
     return aggs, by, pre
 
 
-# grouping-expression fast path: BUCKET(col, span) — the numeric-span
-# form (floor to span multiples); date bucketing rides EVAL DATE_TRUNC
+# grouping-expression fast paths: BUCKET(col, span) — numeric-span
+# form (floor to span multiples) and date-span form
+# (BUCKET(ts, "N unit"): fixed units floor the epoch by N·unit;
+# calendar units week/month/year require N=1 and truncate like
+# DATE_TRUNC)
 _BUCKET_RE = re.compile(
     r'^BUCKET \( ([A-Za-z_][A-Za-z0-9_.]*) , (-?\d+(?:\.\d+)?) \)$',
     re.IGNORECASE)
+_BUCKET_DATE_RE = re.compile(
+    r'^BUCKET \( ([A-Za-z_][A-Za-z0-9_.]*) , '
+    r'"(\d+) ?(second|minute|hour|day|week|month|year)s?" \)$',
+    re.IGNORECASE)
+
+_FIXED_NS = {"second": 1_000_000_000, "minute": 60_000_000_000,
+             "hour": 3_600_000_000_000, "day": 86_400_000_000_000}
+
+
+def _date_bucket_fn(name, col, count, unit):
+    unit = unit.lower()
+    if unit in _FIXED_NS:
+        span = count * _FIXED_NS[unit]
+
+        def fixed(df, _n=name, _c=col, _s=span):
+            df = df.copy()
+            # normalize to ns FIRST — pandas 2 keeps the parquet unit
+            # (us), whose int64 view is not nanoseconds
+            ns = (pd.to_datetime(df[_c]).astype("datetime64[ns]")
+                  .astype("int64"))
+            df[_n] = pd.to_datetime((ns // _s) * _s)
+            return df
+        return fixed
+    if count != 1:
+        raise EsqlError(
+            f"BUCKET calendar unit {unit!r} supports only a count of 1")
+    period = {"week": "W", "month": "M", "year": "Y"}[unit]
+
+    def calendar(df, _n=name, _c=col, _p=period):
+        df = df.copy()
+        df[_n] = pd.to_datetime(df[_c]) \
+            .dt.to_period(_p).dt.start_time
+        return df
+    return calendar
 
 
 def _apply_by_evals(ds, pre):
     """Evaluate BY grouping expressions before the STATS shuffle."""
     for name, expr in pre:
+        md = _BUCKET_DATE_RE.match(expr)
+        if md:
+            ds = ds.map_batches(
+                _date_bucket_fn(name, md.group(1), int(md.group(2)),
+                                md.group(3)),
+                batch_format="pandas")
+            continue
         m = _BUCKET_RE.match(expr)
         if m:
             col, span = m.group(1), float(m.group(2))

@@ -608,3 +608,42 @@ def test_review_r5c_mv_sum_null_rows(ray_session):
         | SORT id
     """, t).to_pandas()
     assert pd.isna(out.loc[1, "c"])
+
+
+def test_bucket_date_spans(ray_session):
+    import ray.data as rd
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:10", "2024-01-01 13:40", "2024-01-02 05:00",
+        "2024-02-15 00:00", "2024-03-04 12:00",
+    ])
+    df = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    t = {"m": rd.from_pandas(df)}
+    out = esql("""
+        FROM m | STATS n = COUNT(*) BY d = BUCKET(ts, "1 day") | SORT d
+    """, t).to_pandas()
+    want = duckdb.sql("""
+        SELECT date_trunc('day', ts) AS d, count(*) AS n
+        FROM df GROUP BY 1 ORDER BY 1""").df()
+    assert pd.to_datetime(out["d"]).tolist() == \
+        pd.to_datetime(want["d"]).tolist()
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    # 6-hour fixed buckets
+    out6 = esql("""
+        FROM m | STATS n = COUNT(*) BY h = BUCKET(ts, "6 hours") | SORT h
+    """, t).to_pandas()
+    want6 = duckdb.sql("""
+        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)
+                 AT TIME ZONE 'UTC' AS h,
+               count(*) AS n
+        FROM df GROUP BY 1 ORDER BY 1""").df()
+    assert out6["n"].astype(int).tolist() == \
+        want6["n"].astype(int).tolist()
+    # calendar month
+    outm = esql("""
+        FROM m | STATS n = COUNT(*) BY mo = BUCKET(ts, "1 month") | SORT mo
+    """, t).to_pandas()
+    assert pd.to_datetime(outm["mo"]).tolist() == \
+        pd.to_datetime(["2024-01-01", "2024-02-01", "2024-03-01"]).tolist()
+    with pytest.raises(EsqlError):
+        esql('FROM m | STATS n = COUNT(*) BY x = BUCKET(ts, "3 months")', t)
