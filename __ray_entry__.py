@@ -3602,6 +3602,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.sort_values("doc_id", ignore_index=True),
             preserve_index=False)
 
+    def llm_url_blocklist(sf):
+        # UT1/Dolma-style URL blocklist filter (host mode over the
+        # corpus's synthesized page URLs); DuckDB NOT IN twin.
+        from elasticsearch_ray.ops.llm_prep import url_blocklist_filter
+
+        ds = _ds(sf, "documents") \
+            .select_columns(["doc_id", "lang", "source"])
+
+        def mkurl(df):
+            df = df.copy()
+            df["url"] = ("https://" + df["source"].astype(str)
+                         + ".example.com/" + df["lang"].astype(str)
+                         + "/page-" + df["doc_id"].astype(str) + ".html")
+            return df
+
+        out = url_blocklist_filter(
+            ds.map_batches(mkurl, batch_format="pandas"), "url",
+            {"src0.example.com", "src2.example.com"},
+            mode="host").to_pandas()
+        out = out[["doc_id", "source"]].sort_values(
+            "doc_id", ignore_index=True)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def llm_compression_ratio(sf):
         # zlib compression-ratio quality signal (Dolma / RedPajama-v2
         # signal suites): repetition/noise score per doc. zlib is not
@@ -5870,6 +5894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_hash_split": llm_hash_split,
         "llm_word_chunks": llm_word_chunks,
         "llm_compression_ratio": llm_compression_ratio,
+        "llm_url_blocklist": llm_url_blocklist,
         "llm_sentence_chunks": llm_sentence_chunks,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
@@ -8267,6 +8292,11 @@ def oracle_sql() -> dict[str, str]:
                               doc_id)::BIGINT AS rank,
                    doc_id, lang
             FROM documents ORDER BY rank
+        """,
+        "llm_url_blocklist": """
+            SELECT doc_id, source FROM documents
+            WHERE source NOT IN ('src0', 'src2')
+            ORDER BY doc_id
         """,
         "llm_word_chunks": """
             WITH w AS (

@@ -727,3 +727,49 @@ def prefix_lm_split(ds, text_col: str, id_col: str, seed: int = 0,
                 .append_column(targets_col, pa.array(suf, pa.string())))
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+# ------------------------------------------------- URL blocklist filter
+
+_HOST_RE = r"^(?:[a-z][a-z0-9+.\-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(urls: pd.Series) -> pd.Series:
+    """Host extraction (scheme/userinfo stripped, lowercase, no
+    port/path) — the normalization every URL blocklist applies."""
+    return (urls.astype(str).str.lower()
+            .str.extract(_HOST_RE, expand=False).fillna(""))
+
+
+def url_blocklist_filter(ds, url_col: str, blocked: set,
+                         mode: str = "registered_domain"):
+    """Drop documents whose URL is on a blocklist — the standard
+    web-corpus domain filter (the UT1/Blacklists-style category lists
+    used by RefinedWeb §3.1 and the Dolma URL filters). ``mode``:
+
+    - ``registered_domain`` (default): block by eTLD+1 (the PSL rule of
+      ops.processors.RegisteredDomainProcessor), so every subdomain of
+      a blocked domain is blocked too — how the published filters work;
+    - ``host``: exact-host matching only.
+
+    The blocklist is closure-captured (broadcast once per worker);
+    filtering is a streaming narrow transform."""
+    if mode not in ("registered_domain", "host"):
+        raise ValueError(f"unknown blocklist mode {mode!r}")
+    blocked = {b.lower().rstrip(".") for b in blocked}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = url_host(df[url_col])
+        if mode == "host":
+            m = ~hosts.isin(blocked).to_numpy()
+            return df[m]
+        from elasticsearch_ray.ops.processors import (
+            RegisteredDomainProcessor,
+        )
+
+        tmp = pd.DataFrame({"_host": hosts})
+        rd_ = RegisteredDomainProcessor("_host", "_rd")(tmp)["_rd"]
+        m = ~(hosts.isin(blocked) | rd_.isin(blocked)).to_numpy()
+        return df[m]
+
+    return ds.map_batches(keep, batch_format="pandas")
