@@ -3626,6 +3626,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_id"] = out["doc_id"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def llm_rtd_transform(sf):
+        # ELECTRA replaced-token-detection prep (Clark et al. 2020):
+        # deterministic hash-stream corruption + 0/1 labels. Hash
+        # replacement sampling is not SQL — rows-only; the label/
+        # change alignment invariant is asserted inline and in pytest.
+        from elasticsearch_ray.ops.bpe import word_frequencies
+        from elasticsearch_ray.ops.llm_prep import rtd_transform
+
+        ds = _ds(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(lambda df: df[df["doc_id"] < 300],
+                         batch_format="pandas")
+        vocab = word_frequencies(ds)["word"].head(200).tolist()
+        out = (rtd_transform(ds, "text", "doc_id", vocab=vocab)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        n_rep = out["labels"].map(sum).astype("int64")
+        assert ((out["text"].str.split().map(len)
+                 == out["corrupted"].str.split().map(len)) | (n_rep == 0)
+                ).all()
+        res = out[["doc_id"]].copy()
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["n_replaced"] = n_rep
+        res["corrupted_head"] = out["corrupted"].str.slice(0, 80)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
     def llm_compression_ratio(sf):
         # zlib compression-ratio quality signal (Dolma / RedPajama-v2
         # signal suites): repetition/noise score per doc. zlib is not
@@ -5895,6 +5919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_word_chunks": llm_word_chunks,
         "llm_compression_ratio": llm_compression_ratio,
         "llm_url_blocklist": llm_url_blocklist,
+        "llm_rtd_transform": llm_rtd_transform,
         "llm_sentence_chunks": llm_sentence_chunks,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,

@@ -773,3 +773,66 @@ def url_blocklist_filter(ds, url_col: str, blocked: set,
         return df[m]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ------------------------------------- replaced-token detection (RTD)
+
+def rtd_transform(ds, text_col: str, id_col: str, vocab: list,
+                  replace_rate: float = 0.15, seed: int = 0,
+                  corrupted_col: str = "corrupted",
+                  labels_col: str = "labels"):
+    """ELECTRA replaced-token-detection data prep (Clark et al. 2020,
+    arXiv:2003.10555 §2): corrupt ~``replace_rate`` of each document's
+    tokens by substituting a plausible token, and emit per-token 0/1
+    labels (1 = replaced) for the discriminator. The paper's generator
+    is a trained MLM; this op's stand-in samples the replacement from a
+    corpus ``vocab`` list (build it from
+    ``ops.bpe.word_frequencies(...).head(K)``) through the repo's
+    deterministic Knuth hash stream — position selection AND
+    replacement choice are pure functions of (id, seed), so runs and
+    repartitions reproduce bit-for-bit. The paper's own rule applies:
+    a sampled replacement equal to the original token is labeled 0
+    ("the generator happens to produce the correct token").
+
+    The vocab list is closure-captured (broadcast once); streaming
+    narrow transform."""
+    if not 0.0 < replace_rate < 1.0:
+        raise ValueError("replace_rate must be in (0, 1)")
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    vocab = [str(v) for v in vocab]
+    nv = np.uint64(len(vocab))
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        corr, labs = [], []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                corr.append(text or "")
+                labs.append([])
+                continue
+            i = np.arange(n, dtype=np.uint64)
+            h = ((np.uint64(int(doc_id)) * np.uint64(1000003)
+                  + np.uint64(seed) * np.uint64(65537) + i)
+                 * _KNUTH) % _MOD32
+            k = max(1, int(round(n * replace_rate)))
+            # the k smallest hashes are the corruption positions — a
+            # deterministic without-replacement sample
+            pos = np.sort(np.argsort(h, kind="stable")[:k])
+            out = list(toks)
+            lab = np.zeros(n, np.int64)
+            for p in pos.tolist():
+                rep = vocab[int((h[p] * np.uint64(2654435761))
+                                % _MOD32 % nv)]
+                if rep != toks[p]:
+                    out[p] = rep
+                    lab[p] = 1
+            corr.append(" ".join(out))
+            labs.append(lab.tolist())
+        res = df.copy()
+        res[corrupted_col] = corr
+        res[labels_col] = labs
+        return res
+
+    return ds.map_batches(transform, batch_format="pandas")

@@ -526,3 +526,51 @@ def test_ccnet_buckets_drops_empty_docs_and_is_per_lang(ray_session):
     assert len(out) == 7
     # thresholds computed independently per language
     assert th["en"] != th["fr"]
+
+
+def test_rtd_transform_labels_align_and_deterministic(ray_session):
+    """ELECTRA RTD: labels mark exactly the changed tokens; identical
+    replacements labeled 0; pure function of (id, seed)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.llm_prep import rtd_transform
+
+    rng = np.random.default_rng(4)
+    vocab = [f"v{i}" for i in range(50)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(30),
+        "text": [" ".join(rng.choice(vocab, rng.integers(5, 60)))
+                 for _ in range(30)] + [],
+    })
+    out = (rtd_transform(rd.from_pandas(docs), "text", "doc_id",
+                         vocab=vocab, replace_rate=0.2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    for _, row in out.iterrows():
+        orig = row["text"].split()
+        corr = row["corrupted"].split()
+        lab = list(row["labels"])
+        assert len(orig) == len(corr) == len(lab)
+        for o, c, l in zip(orig, corr, lab):
+            # label 1 <-> token actually changed (the ELECTRA rule)
+            assert (o != c) == bool(l)
+    # a healthy fraction of docs carry at least one replacement
+    assert (out["labels"].map(sum) > 0).mean() > 0.8
+    # deterministic under re-run and repartition
+    out2 = (rtd_transform(rd.from_pandas(docs).repartition(7), "text",
+                          "doc_id", vocab=vocab, replace_rate=0.2)
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["corrupted"].tolist() == out2["corrupted"].tolist()
+    # a different seed corrupts different positions
+    out3 = (rtd_transform(rd.from_pandas(docs), "text", "doc_id",
+                          vocab=vocab, replace_rate=0.2, seed=9)
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["corrupted"].tolist() != out3["corrupted"].tolist()
+    # empty doc passes through
+    e = (rtd_transform(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": [""]})), "text", "doc_id", vocab=vocab)
+        .to_pandas())
+    assert e["labels"].iloc[0] == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rtd_transform(rd.from_pandas(docs), "text", "doc_id", vocab=[])
