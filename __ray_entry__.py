@@ -1685,6 +1685,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = terms_agg(_ds(sf, "documents"), "lang", value_col="n_chars")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_terms_missing(sf):
+        # terms `missing` + `min_doc_count` (TermsAggregationBuilder):
+        # nulls (synthesized via de->null) join an explicit bucket
+        # pre-shuffle; buckets under the floor are dropped post-reduce.
+        from elasticsearch_ray.ops.aggs import terms_agg
+
+        ds = _ds(sf, "documents").select_columns(["lang"])
+
+        def null_de(df):
+            df = df.copy()
+            df["lang"] = df["lang"].where(df["lang"] != "de", None)
+            return df
+
+        out = terms_agg(ds.map_batches(null_de, batch_format="pandas"),
+                        "lang", missing="(missing)", min_doc_count=2)
+        out["doc_count"] = out["doc_count"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_terms_include_exclude(sf):
         # IncludeExclude.java: anchored-regex include + exact-value
         # exclude evaluated BEFORE the shuffle; twin = regexp_full_match
@@ -5782,6 +5800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_count": search_prefix_count,
         "agg_terms_lang": agg_terms_lang,
         "agg_terms_include_exclude": agg_terms_include_exclude,
+        "agg_terms_missing": agg_terms_missing,
         "agg_terms_order_sum": agg_terms_order_sum,
         "agg_stats_returnflag": agg_stats_returnflag,
         "agg_date_histogram_events": agg_date_histogram_events,
@@ -7182,6 +7201,12 @@ def oracle_sql() -> dict[str, str]:
         "agg_terms_lang": """
             SELECT lang, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_n_chars
             FROM documents GROUP BY lang
+            ORDER BY doc_count DESC, lang
+        """,
+        "agg_terms_missing": """
+            SELECT coalesce(nullif(lang, 'de'), '(missing)') AS lang,
+                   count(*)::BIGINT AS doc_count
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
             ORDER BY doc_count DESC, lang
         """,
         "agg_terms_include_exclude": """

@@ -84,7 +84,8 @@ def _include_exclude_mask(vals: pd.Series, include, exclude,
 def terms_agg(ds: Dataset, key: str, size: int | None = None,
               value_col: str | None = None, include=None, exclude=None,
               partition: tuple | None = None,
-              order: tuple | None = None):
+              order: tuple | None = None,
+              min_doc_count: int = 1, missing=None):
     """terms bucket agg: doc_count (+ optional sum) per key, ordered by
     (count desc, key asc) like the reference's default ordering.
 
@@ -103,6 +104,24 @@ def terms_agg(ds: Dataset, key: str, size: int | None = None,
     aggs = [Count(alias_name="doc_count")]
     if value_col:
         aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    if missing is not None:
+        # the reference's `missing` parameter: null keys join an
+        # explicit bucket instead of being dropped (AggregationBuilder
+        # missing semantics); substitution happens pre-shuffle
+        def fill(batch: pa.Table, _k=key, _m=missing) -> pa.Table:
+            import pyarrow.compute as pc
+
+            col = batch[_k]
+            if col.null_count:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(_k), _k,
+                    pc.fill_null(col, _m))
+            return batch
+
+        ds = ds.map_batches(fill, batch_format="pyarrow")
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1 (0 would need the "
+                         "whole key domain, which a stream cannot know)")
     if partition is not None:
         p, n = partition
         if not (isinstance(n, int) and isinstance(p, int) and 0 <= p < n):
@@ -116,6 +135,8 @@ def terms_agg(ds: Dataset, key: str, size: int | None = None,
 
         ds = ds.map_batches(keep, batch_format="pyarrow")
     out = ds.groupby(key).aggregate(*aggs).to_pandas()
+    if not out.empty and key in out.columns and min_doc_count > 1:
+        out = out[out["doc_count"] >= min_doc_count]
     if out.empty or key not in out.columns:
         # all keys filtered → hash groupby emits a zero-schema frame
         cols = {key: [], "doc_count": pd.Series([], dtype=np.int64)}
