@@ -4523,6 +4523,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(out[["b", "n", "avg_v"]],
                                     preserve_index=False)
 
+    def esql_filtered_aggs(sf):
+        # per-aggregate WHERE (filtered aggregations): masked helper
+        # columns pre-shuffle, single groupby; DuckDB FILTER twin.
+        from elasticsearch_ray.search.esql import esql
+
+        out = esql("""
+            FROM events
+            | STATS n_err = COUNT(*) WHERE event_type == "error",
+                    total_hi = SUM(value) WHERE value > 60,
+                    n = COUNT(*)
+              BY user_id
+            | SORT user_id
+        """, lambda name: _ds(sf, name)).to_pandas()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_err"] = out["n_err"].fillna(0).astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["total_hi"] = out["total_hi"].fillna(0.0).round(4)
+        return pa.Table.from_pandas(
+            out[["user_id", "n_err", "total_hi", "n"]],
+            preserve_index=False)
+
     def esql_bucket_date(sf):
         # BUCKET date-span grouping form (BY d = BUCKET(ts, "1 day") —
         # fixed-unit epoch floor); DuckDB date_trunc twin.
@@ -5977,6 +5998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_completion": esql_completion,
         "esql_bucket_stats": esql_bucket_stats,
         "esql_bucket_date": esql_bucket_date,
+        "esql_filtered_aggs": esql_filtered_aggs,
         "esql_fork": esql_fork,
         "esql_lookup_join": esql_lookup_join,
         "esql_sample": esql_sample,
@@ -8551,6 +8573,15 @@ def oracle_sql() -> dict[str, str]:
                    string_split(text, ' ')[1] AS first,
                    string_split(text, ' ')[-1] AS last
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "esql_filtered_aggs": """
+            SELECT user_id,
+                   coalesce(count(*) FILTER (event_type = 'error'),
+                            0)::BIGINT AS n_err,
+                   round(coalesce(sum(value) FILTER (value > 60), 0), 4)
+                     AS total_hi,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "esql_bucket_date": """
             SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS n,

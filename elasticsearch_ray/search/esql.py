@@ -439,7 +439,7 @@ def _parse_stats(toks):
     returns (aggs, by, pre) where ``pre`` carries BY grouping
     expressions (``BY b = BUCKET(v, 10)`` — the grammar's expression
     grouping) to evaluate before the shuffle."""
-    by, pre = [], []
+    by, pre, filters = [], [], {}
     if ("kw", "BY") in toks:
         bi = toks.index(("kw", "BY"))
         tail = toks[bi + 1:]
@@ -492,6 +492,25 @@ def _parse_stats(toks):
             if fn == "PERCENTILE":
                 raise EsqlError("PERCENTILE needs (col, percent)")
             i += 4
+        cond = None
+        if i < len(toks) and toks[i] == ("kw", "WHERE"):
+            # per-aggregate filter (`agg(x) WHERE cond` — the filtered-
+            # aggregation grammar form): condition runs to the next
+            # top-level comma
+            i += 1
+            cond, depth = [], 0
+            while i < len(toks):
+                t = toks[i]
+                if t == ("op", "("):
+                    depth += 1
+                elif t == ("op", ")"):
+                    depth -= 1
+                if t == ("op", ",") and depth == 0:
+                    break
+                cond.append(t)
+                i += 1
+            if not cond:
+                raise EsqlError("empty per-aggregate WHERE condition")
         if i < len(toks):
             if toks[i] != ("op", ","):
                 raise EsqlError("aggregations are comma-separated")
@@ -501,9 +520,45 @@ def _parse_stats(toks):
             name = (f"{fn.lower()}" if base_arg == "*"
                     else f"{fn.lower()}_{base_arg}".replace(".", "_"))
         aggs.append((name, fn, arg))
+        if cond is not None:
+            filters[name] = cond
     if not aggs:
         raise EsqlError("STATS needs at least one aggregation")
-    return aggs, by, pre
+    return aggs, by, pre, filters
+
+
+def _apply_agg_filters(ds, aggs, filters):
+    """Rewrite filtered aggregates onto masked helper columns: the
+    filter evaluates pre-shuffle into ``_f_<name>`` (value where the
+    condition holds, null otherwise — Ray's aggregators ignore nulls),
+    COUNT forms become SUMs of 0/1 indicators. One map_batches per
+    filtered aggregate; the groupby stays single."""
+    if not filters:
+        return ds, aggs
+    out_aggs = []
+    for name, fn, arg in aggs:
+        cond = filters.get(name)
+        if cond is None:
+            out_aggs.append((name, fn, arg))
+            continue
+        if fn in ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE"):
+            raise EsqlError(
+                f"{fn} does not support a per-aggregate WHERE here")
+        mask_fn = _CondParser(list(cond)).parse()
+        helper = f"_f_{name}"
+
+        def add_helper(df, _m=mask_fn, _h=helper, _fn=fn, _a=arg):
+            df = df.copy()
+            m = np.asarray(_m(df), bool)
+            if _fn == "COUNT":
+                ok = m if _a == "*" else (m & df[_a].notna().to_numpy())
+                df[_h] = ok.astype(np.int64)
+            else:
+                df[_h] = df[_a].where(pd.Series(m, index=df.index))
+            return df
+        ds = ds.map_batches(add_helper, batch_format="pandas")
+        out_aggs.append((name, "SUM" if fn == "COUNT" else fn, helper))
+    return ds, out_aggs
 
 
 # grouping-expression fast paths: BUCKET(col, span) — numeric-span
@@ -759,8 +814,10 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
                 else:
                     ds = add_expression_column(ds, name, expr)
         elif v0 == "STATS":
-            aggs, by, pre = _parse_stats(rest)
-            ds = _run_stats(_apply_by_evals(ds, pre), aggs, by)
+            aggs, by, pre, filters = _parse_stats(rest)
+            ds, aggs = _apply_agg_filters(
+                _apply_by_evals(ds, pre), aggs, filters)
+            ds = _run_stats(ds, aggs, by)
         elif v0 == "INLINESTATS":
             # windowed aggregate: attach the per-group aggregates to
             # every row WITHOUT collapsing (the ES|QL INLINESTATS
@@ -770,9 +827,10 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             # replaced, as in the reference
             import ray as _ray
 
-            aggs, by, pre = _parse_stats(rest)
+            aggs, by, pre, filters = _parse_stats(rest)
             ds = _apply_by_evals(ds, pre)
-            stats_df = _run_stats(ds, aggs, by).to_pandas()
+            sds, faggs = _apply_agg_filters(ds, aggs, filters)
+            stats_df = _run_stats(sds, faggs, by).to_pandas()
             sref = _ray.put(stats_df)
             new_cols = [n for n, _f, _a in aggs]
 

@@ -647,3 +647,36 @@ def test_bucket_date_spans(ray_session):
         pd.to_datetime(["2024-01-01", "2024-02-01", "2024-03-01"]).tolist()
     with pytest.raises(EsqlError):
         esql('FROM m | STATS n = COUNT(*) BY x = BUCKET(ts, "3 months")', t)
+
+
+def test_stats_per_agg_where_filters(ray_session, tables, frame):
+    """Filtered aggregations (`agg(x) WHERE cond`): DuckDB FILTER twin."""
+    out = esql("""
+        FROM events
+        | STATS n_err = COUNT(*) WHERE event_type == "error",
+                total_hi = SUM(value) WHERE value > 60,
+                avg_click = AVG(value) WHERE event_type == "click",
+                n = COUNT(*)
+          BY user_id
+        | SORT user_id
+    """, tables).to_pandas()
+    want = duckdb.sql("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'error') AS n_err,
+               sum(value) FILTER (value > 60) AS total_hi,
+               avg(value) FILTER (event_type = 'click') AS avg_click,
+               count(*) AS n
+        FROM frame GROUP BY user_id ORDER BY user_id
+    """).df()
+    assert out["user_id"].tolist() == want["user_id"].tolist()
+    assert out["n_err"].astype(int).tolist() == \
+        want["n_err"].astype(int).tolist()
+    assert np.allclose(out["total_hi"].fillna(0), want["total_hi"].fillna(0))
+    assert np.allclose(out["avg_click"].fillna(-1),
+                       want["avg_click"].fillna(-1))
+    assert out["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    with pytest.raises(EsqlError):
+        esql('FROM events | STATS u = COUNT_DISTINCT(user_id) '
+             'WHERE value > 0', tables)
+    with pytest.raises(EsqlError):
+        esql("FROM events | STATS n = COUNT(*) WHERE", tables)
