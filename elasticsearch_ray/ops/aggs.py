@@ -112,6 +112,11 @@ def terms_agg(ds: Dataset, key: str, size: int | None = None,
             import pyarrow.compute as pc
 
             col = batch[_k]
+            if pa.types.is_null(col.type):
+                # an all-null block carries Arrow's null type, which
+                # fill_null rejects — cast to the missing value's type
+                # first (review r5d #3)
+                col = col.cast(pa.scalar(_m).type)
             if col.null_count:
                 batch = batch.set_column(
                     batch.schema.get_field_index(_k), _k,

@@ -78,6 +78,23 @@ def parse_bulk(payload: str) -> list[tuple[str, dict, dict | None]]:
     return out
 
 
+def _docs_equal(a: dict, b: dict) -> bool:
+    """Dict equality that tolerates container cells (ndarray values from
+    Arrow round-trips make `==` raise, review r5d #1)."""
+    if a.keys() != b.keys():
+        return False
+    for k, va in a.items():
+        vb = b[k]
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            if not np.array_equal(np.asarray(va, object),
+                                  np.asarray(vb, object)):
+                return False
+        elif not (va is vb or va == vb
+                  or (pd.isna(va) is True and pd.isna(vb) is True)):
+            return False
+    return True
+
+
 def _setcell(df: pd.DataFrame, idx, col: str, val) -> None:
     """Assign one cell, safely for container values: ``df.loc`` unpacks
     lists ("Must have equal len keys and value..."), so containers go
@@ -225,7 +242,7 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                                              "result": "deleted"}})
                     continue
                 after = dict(ctx["_source"])
-                if after == before:
+                if _docs_equal(after, before):
                     items.append({"update": {"_id": _id, "status": 200,
                                              "result": "noop"}})
                     continue
@@ -241,7 +258,7 @@ def bulk_apply(frame: pd.DataFrame, payload_or_ops,
                                          "result": "updated"}})
                 continue
             after = dict(before, **doc)
-            if after == before:
+            if _docs_equal(after, before):
                 items.append({"update": {"_id": _id, "status": 200,
                                          "result": "noop"}})
                 continue

@@ -806,10 +806,12 @@ def rtd_transform(ds, text_col: str, id_col: str, vocab: list,
     def transform(df: pd.DataFrame) -> pd.DataFrame:
         corr, labs = [], []
         for doc_id, text in zip(df[id_col], df[text_col]):
-            toks = (text or "").split()
+            # NaN text cells are truthy floats — isinstance guards them
+            # (review r5d #6)
+            toks = text.split() if isinstance(text, str) else []
             n = len(toks)
             if n == 0:
-                corr.append(text or "")
+                corr.append(text if isinstance(text, str) else "")
                 labs.append([])
                 continue
             i = np.arange(n, dtype=np.uint64)

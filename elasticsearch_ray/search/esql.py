@@ -415,7 +415,7 @@ def _parse_assignments(toks, what):
         if i + 1 >= len(toks) or toks[i + 1] != ("op", "="):
             raise EsqlError(f"{what} expects '=' after {name!r}")
         i += 2
-        expr = []
+        expr_toks = []
         depth = 0
         while i < len(toks):
             k, v = toks[i]
@@ -426,19 +426,20 @@ def _parse_assignments(toks, what):
             elif (k, v) == ("op", ",") and depth == 0:
                 i += 1
                 break
-            expr.append(v if k != "string"
-                        else '"' + v.replace("\\", "\\\\")
-                        .replace('"', '\\"') + '"')
+            expr_toks.append((k, v))
             i += 1
-        out.append((name, " ".join(expr)))
+        out.append((name, _tokens_to_src(expr_toks)))
     return out
 
 
 def _parse_stats(toks):
-    """STATS [name =] FN(col|*) , ... [BY col | name = expr, ...] —
-    returns (aggs, by, pre) where ``pre`` carries BY grouping
-    expressions (``BY b = BUCKET(v, 10)`` — the grammar's expression
-    grouping) to evaluate before the shuffle."""
+    """STATS [name =] FN(col|*) [WHERE cond] , ...
+    [BY col | name = expr, ...] — returns (aggs, by, pre, filters):
+    ``pre`` carries BY grouping expressions (``BY b = BUCKET(v, 10)``)
+    to evaluate before the shuffle; ``filters`` maps the POSITION of a
+    filtered aggregate in ``aggs`` to its condition tokens (keyed by
+    index, not name — two aggregates may share an output name,
+    review r5d #5)."""
     by, pre, filters = [], [], {}
     if ("kw", "BY") in toks:
         bi = toks.index(("kw", "BY"))
@@ -450,13 +451,8 @@ def _parse_stats(toks):
             elif (len(seg) >= 3 and seg[0][0] == "name"
                     and seg[1] == ("op", "=")):
                 name = seg[0][1]
-                expr = " ".join(
-                    v if k != "string"
-                    else '"' + v.replace("\\", "\\\\")
-                    .replace('"', '\\"') + '"'
-                    for k, v in seg[2:])
                 by.append(name)
-                pre.append((name, expr))
+                pre.append((name, _tokens_to_src(seg[2:])))
             else:
                 raise EsqlError("BY takes columns or name = expression")
     aggs = []
@@ -519,9 +515,9 @@ def _parse_stats(toks):
             base_arg = arg[0] if isinstance(arg, tuple) else arg
             name = (f"{fn.lower()}" if base_arg == "*"
                     else f"{fn.lower()}_{base_arg}".replace(".", "_"))
-        aggs.append((name, fn, arg))
         if cond is not None:
-            filters[name] = cond
+            filters[len(aggs)] = cond
+        aggs.append((name, fn, arg))
     if not aggs:
         raise EsqlError("STATS needs at least one aggregation")
     return aggs, by, pre, filters
@@ -536,8 +532,8 @@ def _apply_agg_filters(ds, aggs, filters):
     if not filters:
         return ds, aggs
     out_aggs = []
-    for name, fn, arg in aggs:
-        cond = filters.get(name)
+    for ix, (name, fn, arg) in enumerate(aggs):
+        cond = filters.get(ix)
         if cond is None:
             out_aggs.append((name, fn, arg))
             continue
@@ -545,7 +541,7 @@ def _apply_agg_filters(ds, aggs, filters):
             raise EsqlError(
                 f"{fn} does not support a per-aggregate WHERE here")
         mask_fn = _CondParser(list(cond)).parse()
-        helper = f"_f_{name}"
+        helper = f"_f{ix}_{name}"  # index-qualified: names may repeat
 
         def add_helper(df, _m=mask_fn, _h=helper, _fn=fn, _a=arg):
             df = df.copy()
@@ -580,6 +576,10 @@ _FIXED_NS = {"second": 1_000_000_000, "minute": 60_000_000_000,
 
 def _date_bucket_fn(name, col, count, unit):
     unit = unit.lower()
+    if count < 1:
+        # "0 hours" would floor by zero → all-NaT keys silently
+        # dropped by the groupby (review r5d #4)
+        raise EsqlError("BUCKET span count must be >= 1")
     if unit in _FIXED_NS:
         span = count * _FIXED_NS[unit]
 
@@ -764,7 +764,14 @@ def esql(query: str, tables, enrich_policies: dict | None = None):
             for name, expr in _parse_assignments(rest, "EVAL"):
                 m = _SPLIT_RE.match(expr)
                 if m:  # EVAL x = SPLIT(col, "sep") -> list column
-                    col, sep = m.group(1), m.group(2)
+                    # the separator comes from the TOKEN (re-lex of the
+                    # escaped text), not the regex capture, so
+                    # backslashes/quotes in it round-trip (review r5d #2)
+                    toks2 = _tokenize(expr)
+                    if (len(toks2) != 6 or toks2[2][0] != "name"
+                            or toks2[4][0] != "string"):
+                        raise EsqlError('SPLIT takes (col, "separator")')
+                    col, sep = toks2[2][1], toks2[4][1]
 
                     def splitter(df, name=name, col=col, sep=sep):
                         df = df.copy()

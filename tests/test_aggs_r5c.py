@@ -22,3 +22,12 @@ def test_terms_missing_and_min_doc_count(ray_session):
     assert out2["k"].tolist() == ["a", "(missing)", "b"]
     with pytest.raises(ValueError):
         terms_agg(rd.from_pandas(df), "k", min_doc_count=0)
+
+
+def test_review_r5d_terms_missing_all_null_block(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": pd.Series([None, None], dtype=object)})
+    out = terms_agg(rd.from_pandas(df), "k", missing="(missing)")
+    assert out["k"].tolist() == ["(missing)"]
+    assert int(out["doc_count"].iloc[0]) == 2

@@ -213,3 +213,24 @@ def test_review_r5c_script_sets_list_field():
     ], id_col="doc_id")
     assert resp["items"][0]["update"]["result"] == "updated"
     assert out["tags"].iloc[0] == ["a", "b"]
+
+
+def test_review_r5d_update_with_ndarray_cells():
+    """Arrow round-trips store list fields as ndarray cells; update must
+    not crash on the noop comparison and must detect real noops."""
+    import pyarrow as pa
+
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    base = pd.DataFrame({"doc_id": [1], "tags": [["a", "b"]], "v": [1]})
+    frame = pa.Table.from_pandas(base).to_pandas()  # tags -> ndarray
+    assert isinstance(frame["tags"].iloc[0], np.ndarray)
+    out, resp = bulk_apply(frame, [
+        ("update", {"_id": 1}, {"doc": {"v": 2}}),
+    ], id_col="doc_id")
+    assert resp["items"][0]["update"]["result"] == "updated"
+    assert int(out["v"].iloc[0]) == 2
+    _, resp2 = bulk_apply(frame, [
+        ("update", {"_id": 1}, {"doc": {"v": 1}}),
+    ], id_col="doc_id")
+    assert resp2["items"][0]["update"]["result"] == "noop"

@@ -680,3 +680,32 @@ def test_stats_per_agg_where_filters(ray_session, tables, frame):
              'WHERE value > 0', tables)
     with pytest.raises(EsqlError):
         esql("FROM events | STATS n = COUNT(*) WHERE", tables)
+
+
+def test_review_r5d_split_separator_escaping(ray_session):
+    import ray.data as rd
+
+    t = {"d": rd.from_pandas(pd.DataFrame(
+        {"id": [0], "p": ["a\\b\\c"], "q": ['x"y"z']}))}
+    out = esql('FROM d | EVAL parts = SPLIT(p, "\\\\") | MV_EXPAND parts',
+               t).to_pandas()
+    assert out["parts"].tolist() == ["a", "b", "c"]
+    out2 = esql('FROM d | EVAL parts = SPLIT(q, "\\"") | MV_EXPAND parts',
+                t).to_pandas()
+    assert out2["parts"].tolist() == ["x", "y", "z"]
+
+
+def test_review_r5d_bucket_zero_span_and_filter_aliasing(ray_session,
+                                                         tables, frame):
+    with pytest.raises(EsqlError):
+        esql('FROM events | STATS n = COUNT(*) BY d = BUCKET(ts, "0 hours")',
+             tables)
+    # two aggregates sharing the auto name: the filter stays on ITS
+    # aggregate only
+    out = esql("""
+        FROM events
+        | STATS sum_value = SUM(value) WHERE value > 60, SUM(value)
+    """, tables).to_pandas()
+    filtered = frame.loc[frame.value > 60, "value"].sum()
+    assert np.isclose(out["sum_value"].iloc[0], filtered)
+    assert np.isclose(out.iloc[0, 1], frame["value"].sum())

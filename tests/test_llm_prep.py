@@ -574,3 +574,17 @@ def test_rtd_transform_labels_align_and_deterministic(ray_session):
 
     with _pt.raises(ValueError):
         rtd_transform(rd.from_pandas(docs), "text", "doc_id", vocab=[])
+
+
+def test_review_r5d_rtd_nan_text(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.llm_prep import rtd_transform
+
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [np.nan, "a b c d e f"]})
+    out = (rtd_transform(rd.from_pandas(df), "text", "doc_id",
+                         vocab=["x", "y"])
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["labels"].iloc[0] == [] and out["corrupted"].iloc[0] == ""
+    assert len(out["labels"].iloc[1]) == 6
