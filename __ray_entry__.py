@@ -1703,6 +1703,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_count"] = out["doc_count"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_terms_approx(sf):
+        # the reference's shard-approximate terms protocol (per-block
+        # top shard_size + InternalTerms error bookkeeping). lang
+        # cardinality < shard_size -> provably exact with zero bounds,
+        # so the exact GROUP BY is a valid twin.
+        from elasticsearch_ray.ops.aggs import approx_terms_agg
+
+        res = approx_terms_agg(_ds(sf, "documents"), "lang", size=5)
+        b = res["buckets"].copy()
+        b["doc_count"] = b["doc_count"].astype("int64")
+        b["doc_count_error_upper_bound"] = \
+            b["doc_count_error_upper_bound"].astype("int64")
+        b["sum_other"] = np.int64(res["sum_other_doc_count"])
+        return pa.Table.from_pandas(b, preserve_index=False)
+
     def agg_terms_include_exclude(sf):
         # IncludeExclude.java: anchored-regex include + exact-value
         # exclude evaluated BEFORE the shuffle; twin = regexp_full_match
@@ -5822,6 +5837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_terms_lang": agg_terms_lang,
         "agg_terms_include_exclude": agg_terms_include_exclude,
         "agg_terms_missing": agg_terms_missing,
+        "agg_terms_approx": agg_terms_approx,
         "agg_terms_order_sum": agg_terms_order_sum,
         "agg_stats_returnflag": agg_stats_returnflag,
         "agg_date_histogram_events": agg_date_histogram_events,
@@ -7224,6 +7240,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_n_chars
             FROM documents GROUP BY lang
             ORDER BY doc_count DESC, lang
+        """,
+        "agg_terms_approx": """
+            WITH t AS (
+              SELECT lang, count(*)::BIGINT AS doc_count
+              FROM documents GROUP BY lang
+            ), top AS (
+              SELECT lang, doc_count FROM t
+              ORDER BY doc_count DESC, lang LIMIT 5
+            )
+            SELECT lang, doc_count,
+                   0::BIGINT AS doc_count_error_upper_bound,
+                   ((SELECT count(*) FROM documents)
+                    - (SELECT sum(doc_count) FROM top))::BIGINT
+                     AS sum_other
+            FROM top ORDER BY doc_count DESC, lang
         """,
         "agg_terms_missing": """
             SELECT coalesce(nullif(lang, 'de'), '(missing)') AS lang,

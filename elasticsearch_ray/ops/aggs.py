@@ -1098,3 +1098,89 @@ def ip_prefix_agg(ds: Dataset, col: str, prefix_length: int = 24) -> pd.DataFram
         for x in n
     ]
     return out[["prefix", "doc_count"]]
+
+
+def approx_terms_agg(ds: Dataset, key: str, size: int = 10,
+                     shard_size: int | None = None) -> dict:
+    """The reference's ACTUAL shard-approximate terms protocol, as an
+    alternative to the exact ``terms_agg`` (which shuffles the key
+    domain): each shard — here each BLOCK — contributes only its top
+    ``shard_size`` buckets (default ``1.5·size + 10``,
+    ``bucket/BucketUtils.java:25-33``), and the coordinator reduce
+    reports the reference's error bookkeeping
+    (``InternalTerms.java``):
+
+    - per-bucket ``doc_count_error_upper_bound`` = Σ over shards that
+      did NOT report the key of that shard's LAST-PLACE reported count
+      (the key could have been just under the cut there);
+    - ``sum_other_doc_count`` = total docs − Σ reported top counts;
+    - when every shard's distinct-key count ≤ shard_size the result is
+      exact and every bound is 0 (how the reference reports it too).
+
+    Scale shape: the shuffle carries ≤ shard_size rows per block —
+    independent of key cardinality; the driver reduce sees
+    blocks × shard_size rows. Returns ``{"buckets": DataFrame(key,
+    doc_count, doc_count_error_upper_bound),
+    "sum_other_doc_count": int, "doc_count_error_upper_bound": int}``
+    (the top-level bound = Σ per-shard last-place counts, the
+    reference's aggregate bound)."""
+    if shard_size is None:
+        shard_size = int(1.5 * size + 10)
+    if shard_size < size:
+        raise ValueError("shard_size must be >= size")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "count": pd.Series(dtype=np.int64),
+                                 "_block": pd.Series(dtype=object),
+                                 "_last": pd.Series(dtype=np.int64),
+                                 "_block_total": pd.Series(
+                                     dtype=np.int64)})
+        import uuid
+
+        vc = df[key].value_counts()
+        # deterministic cut: count desc, key asc
+        vc = vc.reset_index()
+        vc.columns = [key, "count"]
+        vc = vc.sort_values(["count", key], ascending=[False, True],
+                            kind="stable").head(shard_size)
+        exhausted = len(vc) < shard_size  # block reported ALL its keys
+        out = vc.copy()
+        out["_block"] = uuid.uuid4().hex
+        out["_last"] = np.int64(0 if exhausted
+                                else int(vc["count"].iloc[-1]))
+        out["_block_total"] = np.int64(len(df))
+        return out
+
+    parts = (ds.select_columns([key])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+             .to_pandas())
+    if parts.empty:
+        return {"buckets": pd.DataFrame(
+                    {key: [], "doc_count": [],
+                     "doc_count_error_upper_bound": []}),
+                "sum_other_doc_count": 0,
+                "doc_count_error_upper_bound": 0}
+    blocks = parts.drop_duplicates("_block")[["_block", "_last",
+                                              "_block_total"]]
+    total_docs = int(blocks["_block_total"].sum())
+    total_bound = int(blocks["_last"].sum())
+    counts = (parts.groupby(key, as_index=False)["count"].sum()
+              .rename(columns={"count": "doc_count"}))
+    # per-key bound: Σ _last of blocks that did not report the key
+    reported = parts.groupby(key)["_block"].apply(set)
+    last_by_block = dict(zip(blocks["_block"], blocks["_last"]))
+    counts["doc_count_error_upper_bound"] = [
+        int(sum(last_by_block[b] for b in last_by_block
+                if b not in reported[k]))
+        for k in counts[key]]
+    counts = counts.sort_values(["doc_count", key],
+                                ascending=[False, True],
+                                kind="stable").head(size) \
+        .reset_index(drop=True)
+    return {"buckets": counts,
+            "sum_other_doc_count":
+                total_docs - int(counts["doc_count"].sum()),
+            "doc_count_error_upper_bound": total_bound}

@@ -31,3 +31,52 @@ def test_review_r5d_terms_missing_all_null_block(ray_session):
     out = terms_agg(rd.from_pandas(df), "k", missing="(missing)")
     assert out["k"].tolist() == ["(missing)"]
     assert int(out["doc_count"].iloc[0]) == 2
+
+
+def test_approx_terms_exact_when_under_shard_size(ray_session):
+    """Cardinality <= shard_size on every block -> exact counts, all
+    error bounds 0 (the reference's exactness condition)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import approx_terms_agg, terms_agg
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.choice(list("abcdef"), 5000)})
+    ds = rd.from_pandas(df).repartition(6)
+    res = approx_terms_agg(ds, "k", size=3)
+    exact = terms_agg(ds, "k", size=3)
+    assert res["buckets"]["k"].tolist() == exact["k"].tolist()
+    assert res["buckets"]["doc_count"].tolist() == \
+        exact["doc_count"].tolist()
+    assert (res["buckets"]["doc_count_error_upper_bound"] == 0).all()
+    assert res["doc_count_error_upper_bound"] == 0
+    assert res["sum_other_doc_count"] == \
+        len(df) - int(res["buckets"]["doc_count"].sum())
+
+
+def test_approx_terms_error_bound_invariant(ray_session):
+    """High cardinality with tiny shard_size: reported count can
+    undercount, but NEVER by more than the bucket's error bound; the
+    shuffle carries <= shard_size rows per block."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import approx_terms_agg
+
+    rng = np.random.default_rng(3)
+    # zipf-ish skew + a long uniform tail
+    head = np.repeat([f"h{i}" for i in range(5)], [400, 300, 200, 150, 100])
+    tail = rng.choice([f"t{i}" for i in range(200)], 2000)
+    df = pd.DataFrame({"k": np.concatenate([head, tail])})
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(8)
+    res = approx_terms_agg(ds, "k", size=5, shard_size=6)
+    truth = df["k"].value_counts()
+    for _, row in res["buckets"].iterrows():
+        true_n = int(truth[row["k"]])
+        assert row["doc_count"] <= true_n
+        assert true_n <= row["doc_count"] + \
+            row["doc_count_error_upper_bound"]
+    # the heavy head keys dominate and are found despite the tiny cut
+    assert set(res["buckets"]["k"][:5]) == {f"h{i}" for i in range(5)}
+    with pytest.raises(ValueError):
+        approx_terms_agg(ds, "k", size=10, shard_size=5)
