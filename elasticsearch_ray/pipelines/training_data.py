@@ -95,6 +95,8 @@ def training_data_pipeline(
     near_dup_threshold: float | None = None,
     decontaminate_benchmark: list | None = None,
     decontaminate_ngram: int = 13,
+    blocked_domains: set | None = None,
+    compression_bounds: tuple | None = None,
 ) -> dict:
     """Returns {'input_pages', 'after_quality', 'after_dedup', 'engine'}
     (+ 'after_near_dedup' when ``near_dup_threshold`` is set: MinHash-LSH
@@ -130,6 +132,22 @@ def training_data_pipeline(
         return batch.filter(keep)
 
     clean = scored.map_batches(quality_filter, batch_format="pyarrow")
+
+    # optional curation stages, both streaming narrow transforms in the
+    # same flow (counts: 'after_quality' below reflects rows surviving
+    # ALL pre-dedup filters — no extra passes are spent on per-stage
+    # counts):
+    if blocked_domains:
+        # UT1/Dolma-style domain blocklist (eTLD+1, subdomains blocked)
+        from elasticsearch_ray.ops.llm_prep import url_blocklist_filter
+
+        clean = url_blocklist_filter(clean, "url", blocked_domains)
+    if compression_bounds is not None:
+        # zlib compression-ratio two-sided cut (templated spam / noise)
+        from elasticsearch_ray.ops.textstats import compression_filter
+
+        lo, hi = compression_bounds
+        clean = compression_filter(clean, lo, hi, text_col="text")
 
     # exact dedup as a two-phase DISTRIBUTED reduce: a block-local
     # vectorized min-by-(hash, url) COMBINER over the hash-sorted stream

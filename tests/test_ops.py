@@ -1459,3 +1459,42 @@ def test_semdedup_eps_monotone_and_cap(ray_session):
     capped = semdedup(ds, eps=0.02, ncells=1, sample_n=len(vecs),
                       cluster_cap=2000)
     assert set(tight["drop_id"]) == set(capped["drop_id"])
+
+
+def test_training_pipeline_blocklist_and_compression(ray_session, tmp_path):
+    """The curation knobs: domain blocklist drops all of a blocked
+    eTLD+1's subdomain pages; compression bounds drop templated spam —
+    both inside the one streaming flow."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.training_data import (
+        training_data_pipeline,
+    )
+
+    words = ("spark join merge sort hash table scan filter group "
+             "window order").split()
+    rows = []
+    for i in range(40):
+        body = " ".join(words[j % len(words)] for j in range(i, i + 30))
+        host = "blocked.example.com" if i % 4 == 0 else "ok.org"
+        text = ("lorem " * 200) if i % 5 == 0 and i % 4 != 0 else body
+        rows.append({
+            "url": f"https://sub{i}.{host}/p{i}",
+            "warc_ts": "2024-01-01T00:00:00Z",
+            "html": f"<html><body><p>{text} u{i}</p></body></html>",
+            "lang": "en",
+        })
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(corpus / "pages-000.parquet"))
+    out = training_data_pipeline(
+        str(corpus), str(tmp_path / "td"), min_tokens=5,
+        blocked_domains={"example.com"},
+        compression_bounds=(0.08, 0.9))
+    assert out["input_pages"] == 40
+    # 10 blocked-domain pages + the repetitive-spam pages are gone
+    clean = pq.read_table(str(tmp_path / "td" / "clean")).to_pandas()
+    assert not clean["url"].str.contains("example.com").any()
+    assert out["after_quality"] < 30
+    assert (clean["text"].str.count("lorem") < 50).all()
