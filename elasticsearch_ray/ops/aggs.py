@@ -600,16 +600,33 @@ def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFram
 def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None,
                           heuristic: str = "jlh",
                           include_negatives: bool = True,
-                          background_is_superset: bool = True) -> pd.DataFrame:
+                          background_is_superset: bool = True,
+                          background_filter=None) -> pd.DataFrame:
     """significant_terms: foreground vs background significance, with the
     reference's FULL heuristic family (bucket/terms/heuristic/): jlh
     (default), chi_square, mutual_information, gnd, percentage — see
     ops/sig_heuristics.py. Both sides reduce to small count tables before
-    the driver-side score, so heuristic choice never re-reads data."""
+    the driver-side score, so heuristic choice never re-reads data.
+
+    ``background_filter`` (SignificantTermsAggregationBuilder#
+    backgroundFilter): a per-batch pandas predicate restricting the
+    BACKGROUND set — the reference's tool for "uncommonly common"
+    comparisons against a narrower context than the whole index. With a
+    filter, the background need not be a superset of the foreground, so
+    the reference's frequency-capping superset adjustment is off unless
+    explicitly re-enabled (the builder does the same)."""
     from elasticsearch_ray.ops.sig_heuristics import sig_score
 
+    if background_filter is not None:
+        def bg_keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[np.asarray(background_filter(df), bool)]
+        bg = bg.map_batches(bg_keep, batch_format="pandas")
     f = fg.groupby(key).aggregate(Count(alias_name="fg_count")).to_pandas()
     b = bg.groupby(key).aggregate(Count(alias_name="bg_count")).to_pandas()
+    if b.empty or key not in b.columns:  # filtered-to-empty background
+        b = pd.DataFrame({key: pd.Series(dtype=f[key].dtype
+                                         if key in f.columns else object),
+                          "bg_count": pd.Series(dtype=np.int64)})
     fg_total = int(f["fg_count"].sum())
     bg_total = int(b["bg_count"].sum())
     m = f.merge(b, on=key, how="left").fillna({"bg_count": 0})

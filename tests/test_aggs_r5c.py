@@ -80,3 +80,35 @@ def test_approx_terms_error_bound_invariant(ray_session):
     assert set(res["buckets"]["k"][:5]) == {f"h{i}" for i in range(5)}
     with pytest.raises(ValueError):
         approx_terms_agg(ds, "k", size=10, shard_size=5)
+
+
+def test_significant_terms_background_filter(ray_session):
+    """backgroundFilter: significance computed against the filtered
+    background, not the whole index."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import significant_terms_agg
+
+    bg = pd.DataFrame({
+        "term": ["x"] * 5 + ["y"] * 95 + ["x"] * 8 + ["z"] * 2,
+        "ctx": ["other"] * 100 + ["same"] * 10,
+    })
+    fg = pd.DataFrame({"term": ["x"] * 8 + ["z"] * 2,
+                       "ctx": ["same"] * 10})
+    full = significant_terms_agg(rd.from_pandas(fg), rd.from_pandas(bg),
+                                 "term")
+    narrowed = significant_terms_agg(
+        rd.from_pandas(fg), rd.from_pandas(bg), "term",
+        background_filter=lambda df: df["ctx"] == "same")
+    # against the whole index x is rare-in-bg -> strongly significant;
+    # against the same-ctx background x is as common as in fg -> its
+    # significance collapses relative to the full-background run
+    fx = float(full.set_index("term").loc["x", "score"])
+    nx = float(narrowed.set_index("term").loc["x", "score"])
+    assert fx > nx
+    assert int(narrowed.set_index("term").loc["x", "bg_count"]) == 8
+    # empty filtered background must not crash
+    empty = significant_terms_agg(
+        rd.from_pandas(fg), rd.from_pandas(bg), "term",
+        background_filter=lambda df: df["ctx"] == "nope")
+    assert (empty["bg_count"] == 0).all()
