@@ -5683,6 +5683,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def agg_significant_bg_filter(sf):
+        # backgroundFilter: significance against a NARROWED background
+        # (docs in three langs), not the whole index; chi_square twin
+        # recomputed over the filtered background.
+        import pyarrow.compute as pc
+
+        from elasticsearch_ray.ops.aggs import significant_terms_agg
+
+        docs = _ds(sf, "documents")
+        fg = docs.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")),
+            batch_format="pyarrow")
+        out = significant_terms_agg(
+            fg, docs, "source", heuristic="chi_square",
+            background_filter=lambda df: df["lang"].isin(
+                ["en", "de", "fr"]))
+        out["score"] = out["score"].round(6)
+        out = out.sort_values(["score", "source"],
+                              ascending=[False, True], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def agg_top_shingles(sf):
         from elasticsearch_ray.ops.aggs import top_shingles
 
@@ -5876,6 +5897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentiles_hdr": agg_percentiles_hdr,
         "agg_percentile_ranks_hdr": agg_percentile_ranks_hdr,
         "agg_significant_chi_square": agg_significant_chi_square,
+        "agg_significant_bg_filter": agg_significant_bg_filter,
         "agg_string_stats": agg_string_stats,
         "agg_boxplot": agg_boxplot,
         "agg_t_test": agg_t_test,
@@ -6465,6 +6487,32 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN b USING (source) CROSS JOIN tot t
             WHERE f.fg_count > 0
             ORDER BY score DESC, f.source
+        """,
+        "agg_significant_bg_filter": """
+            WITH f AS (
+              SELECT source, count(*)::BIGINT AS fg_count FROM documents
+              WHERE lang = 'en' GROUP BY source
+            ),
+            b AS (
+              SELECT source, count(*)::BIGINT AS bg_count FROM documents
+              WHERE lang IN ('en', 'de', 'fr') GROUP BY source
+            ),
+            tot AS (
+              SELECT (SELECT sum(fg_count) FROM f)::DOUBLE AS ss,
+                     (SELECT sum(bg_count) FROM b)::DOUBLE AS ps
+            )
+            SELECT source, fg_count, bg_count, round(score, 6) AS score
+            FROM (
+              SELECT f.source, f.fg_count, b.bg_count,
+                     t.ps * pow(f.fg_count * (t.ps - b.bg_count
+                                - (t.ss - f.fg_count))
+                            - (t.ss - f.fg_count)
+                              * (b.bg_count - f.fg_count), 2)
+                     / (t.ss * b.bg_count * (t.ps - b.bg_count)
+                        * (t.ps - t.ss)) AS score
+              FROM f JOIN b USING (source) CROSS JOIN tot t
+              WHERE f.fg_count > 0
+            ) ORDER BY score DESC, source
         """,
         "agg_significant_chi_square": """
             WITH f AS (
