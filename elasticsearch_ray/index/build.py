@@ -864,6 +864,11 @@ def build_index(
     file_pattern: str = "*.parquet",
 ) -> dict:
     """Build (or resume) the inverted index. Returns the index meta dict."""
+    from elasticsearch_ray.index import admin as _admin
+
+    # closed index / write API block forbids (re)build + append — a
+    # no-op for fresh directories (no admin.json yet)
+    _admin.check_write(index_dir)
     spec = spec or IndexSpec()
     if spec.char_filters or spec.token_filters:
         # fold char/token filters into a parametric analyzer NAME: every

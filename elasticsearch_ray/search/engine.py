@@ -2457,7 +2457,13 @@ class QueryEngine:
                rescore: tuple | None = None, min_score: float | None = None,
                post_filter: Query | None = None,
                terminate_after: int | None = None) -> pa.Table:
-        mrw = self.spec.get("max_result_window")
+        from elasticsearch_ray.index import admin as _admin
+
+        # closed index / read API block (mtime-cached, one os.stat)
+        _admin.check_read(self.index_dir)
+        # dynamic settings override wins over the build-time spec value
+        mrw = _admin.effective_max_result_window(self.index_dir,
+                                                 self.spec)
         if mrw is not None and k > int(mrw):
             # IndexSettings.MAX_RESULT_WINDOW_SETTING guard (default
             # 10000 in the reference; OPT-IN here via the spec key since
@@ -2926,6 +2932,9 @@ class QueryEngine:
         Per-partition match-set SIZES sum on the driver — no top-k merge,
         no score sort, no fetch, and from actors only an int per pool
         member crosses the wire."""
+        from elasticsearch_ray.index import admin as _admin
+
+        _admin.check_read(self.index_dir)
         if getattr(self, "frozen", False):
             # frozen contract covers _count too: throttled + transient
             # readers (review r5 #4); other read paths (suggest,
