@@ -2701,6 +2701,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def index_admin_apis(sf):
+        # index-admin suite (rest/action/admin/indices analogs) over the
+        # cached documents index: mapping/settings/stats/recovery shapes
+        # (rows-only: admin metadata has no SQL twin). State toggles are
+        # exercised in pytest — here we only READ so the shared cached
+        # index is never left closed/blocked.
+        from elasticsearch_ray.index import admin
+
+        eng = _documents_index(sf)
+        idx = eng.index_dir
+        mapping = admin.get_mapping(idx, eng.spec)["properties"]
+        settings = admin.get_settings(idx, eng.spec)
+        st = admin.indices_stats(idx)
+        rec = admin.recovery(idx)
+        fl = admin.flush(idx)
+        rows = [
+            ("mapping_fields", len(mapping)),
+            ("text_is_text", int(mapping["text"]["type"] == "text")),
+            ("settings_keys", len(settings)),
+            ("docs", st["docs"]["count"]),
+            ("segments", st["segments"]["count"]),
+            ("recovery_shards_done",
+             sum(1 for s in rec["shards"] if s["stage"] == "DONE")),
+            ("flush_failed", fl["_shards"]["failed"]),
+            ("closed", int(admin.is_closed(idx))),
+        ]
+        return pa.table({
+            "metric": pa.array([r[0] for r in rows]),
+            "value": pa.array([int(r[1]) for r in rows], pa.int64()),
+        })
+
     def cluster_apis(sf):
         # _cluster/health + _cluster/stats + _autoscaling/capacity +
         # _migration/deprecations + monitoring collection (rows-only:
@@ -5729,6 +5760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analysis_icu_fold": analysis_icu_fold,
         "analysis_lang_plugins": analysis_lang_plugins,
         "cluster_apis": cluster_apis,
+        "index_admin_apis": index_admin_apis,
         "pipeline_attachment": pipeline_attachment,
         "search_wildcard_count": search_wildcard_count,
         "search_exists_count": search_exists_count,
