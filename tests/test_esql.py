@@ -709,3 +709,29 @@ def test_review_r5d_bucket_zero_span_and_filter_aliasing(ray_session,
     filtered = frame.loc[frame.value > 60, "value"].sum()
     assert np.isclose(out["sum_value"].iloc[0], filtered)
     assert np.isclose(out.iloc[0, 1], frame["value"].sum())
+
+
+def test_split_separator_roundtrip_property(ray_session):
+    """Property: for arbitrary printable separators, ES|QL SPLIT over a
+    Dataset equals str.split — the tokenizer's string escaping must
+    round-trip every separator (quotes, backslashes, comma-space, ...)."""
+    import ray.data as rd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = rd.from_pandas(pd.DataFrame(
+        {"id": [0], "t": ["a::b,c \\d\"e|f(g)h"]}))
+
+    @settings(max_examples=40, deadline=None)
+    @given(sep=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1, max_size=3))
+    def check(sep):
+        text = "a::b,c \\d\"e|f(g)h"
+        esc = sep.replace("\\", "\\\\").replace('"', '\\"')
+        out = esql(f'FROM d | EVAL parts = SPLIT(t, "{esc}")',
+                   {"d": base}).to_pandas()
+        assert list(out["parts"].iloc[0]) == text.split(sep)
+
+    check()
