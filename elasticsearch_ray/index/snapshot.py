@@ -346,3 +346,73 @@ def analyze_repository(repo_dir: str, blob_count: int = 10,
         "inconsistencies": inconsistencies,
         "summary": "pass" if not inconsistencies else "fail",
     }
+
+
+def recover_part_from_snapshot(index_dir: str, part: int, repo_dir: str,
+                               name: str | None = None) -> dict:
+    """Snapshot-based shard recovery (the snapshot-based-recoveries
+    plugin's ``SnapshotsRecoveryPlannerService`` model: a shard copy is
+    recovered from the repository instead of re-deriving it from
+    source). Re-materializes ONE partition's files out of the blob
+    store — no re-tokenize, no shuffle — and stamps its manifest
+    ``restored`` so ``index.admin.recovery()`` reports the shard's
+    type as SNAPSHOT.
+
+    ``name`` defaults to the repository's newest complete snapshot.
+    The snapshot's index_meta spec must equal the live index's spec
+    (the reference's shard-allocation compatibility check)."""
+    from elasticsearch_ray.index.admin import check_write
+    from elasticsearch_ray.index.segments import atomic_write_json
+
+    check_write(index_dir)
+    if name is None:
+        snaps = snapshot_list(repo_dir)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots in {repo_dir}")
+        name = max(snaps, key=lambda m: m["created_unix"])["snapshot"]
+    man = _manifest(repo_dir, name)
+    blobs = os.path.join(repo_dir, "blobs")
+
+    def _blob_json(rel: str) -> dict:
+        info = man["file_map"].get(rel)
+        if info is None:
+            raise FileNotFoundError(
+                f"snapshot {name!r} has no file {rel!r}")
+        with open(os.path.join(blobs, info["hash"])) as f:
+            return json.load(f)
+
+    live_meta = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(live_meta):
+        with open(live_meta) as f:
+            live_spec = json.load(f).get("spec")
+        snap_spec = _blob_json("index_meta.json").get("spec")
+        if snap_spec != live_spec:
+            raise ValueError(
+                "snapshot spec differs from the live index spec — "
+                "cannot recover a shard across incompatible mappings")
+    prefix = os.path.join("parts", f"part={part:05d}") + os.sep
+    entries = {rel: info for rel, info in man["file_map"].items()
+               if rel.startswith(prefix)}
+    if not entries:
+        raise FileNotFoundError(
+            f"snapshot {name!r} carries no files for part {part}")
+    part_dir = os.path.join(index_dir, "parts", f"part={part:05d}")
+    tmp = part_dir + ".recover-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    copied = 0
+    for rel, info in entries.items():
+        out = os.path.join(tmp, os.path.relpath(rel, prefix.rstrip(os.sep)))
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        _link_or_copy(os.path.join(blobs, info["hash"]), out)
+        _meter(repo_dir, "GetObject", bytes_=int(info["size"]))
+        copied += int(info["size"])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp, part_dir)
+    mpath = os.path.join(part_dir, "manifest.json")
+    with open(mpath) as f:
+        pman = json.load(f)
+    pman["restored"] = True
+    pman["restored_from"] = name
+    atomic_write_json(mpath, pman)
+    return {"part": part, "snapshot": name, "bytes": copied,
+            "files": len(entries)}

@@ -120,3 +120,42 @@ def test_stats_recovery_flush_refresh(built):
     from elasticsearch_ray.search.query import MatchQuery
 
     assert engine.search(MatchQuery("spark"), k=3).num_rows > 0
+
+
+def test_snapshot_based_part_recovery(built, tmp_path_factory):
+    """snapshot-based-recoveries analog: a lost partition is
+    re-materialized from the repo (no re-tokenize); _recovery then
+    reports that shard as SNAPSHOT-sourced; results are identical."""
+    import shutil
+
+    from elasticsearch_ray.index.snapshot import (
+        recover_part_from_snapshot,
+        snapshot_create,
+    )
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.query import MatchQuery
+
+    idx, corpus, engine = built
+    repo = str(tmp_path_factory.mktemp("repo"))
+    snapshot_create(idx, repo, "snap1")
+    before = engine.search(MatchQuery("spark join"), k=10,
+                           fetch=("url",)).to_pydict()
+    # lose part 1
+    part_dir = os.path.join(idx, "parts", "part=00001")
+    shutil.rmtree(part_dir)
+    res = recover_part_from_snapshot(idx, 1, repo)
+    assert res["snapshot"] == "snap1" and res["files"] >= 4
+    fresh = QueryEngine(idx)
+    after = fresh.search(MatchQuery("spark join"), k=10,
+                         fetch=("url",)).to_pydict()
+    assert after == before
+    rec = admin.recovery(idx)
+    types = {s["id"]: s["type"] for s in rec["shards"]}
+    assert types[1] == "SNAPSHOT" and types[0] == "STORE"
+    # compatibility + block guards
+    with pytest.raises(FileNotFoundError):
+        recover_part_from_snapshot(idx, 99, repo)
+    admin.add_index_block(idx, "write")
+    with pytest.raises(ClusterBlockError):
+        recover_part_from_snapshot(idx, 1, repo)
+    admin.remove_index_block(idx, "write")
