@@ -3714,6 +3714,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["corrupted_head"] = out["corrupted"].str.slice(0, 80)
         return pa.Table.from_pandas(res, preserve_index=False)
 
+    def dedup_cross_corpus(sf):
+        # incremental (cross-corpus) near-dedup: a derived "new crawl"
+        # holds exact copies of every doc_id%10==0 ref doc (must drop —
+        # jaccard 1) and word-reversed variants of doc_id%10==5 docs
+        # (must survive). DuckDB twin = the surviving planted ids.
+        from elasticsearch_ray.ops.dedup import cross_corpus_dedup
+
+        ref = _ds(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(lambda df: df[df["text"].str.len() > 0],
+                         batch_format="pandas")
+
+        def mknew(df):
+            cp = df[df["doc_id"] % 10 == 0].copy()
+            cp["doc_id"] = cp["doc_id"] + 1_000_000
+            fresh = df[df["doc_id"] % 10 == 5].copy()
+            fresh["doc_id"] = fresh["doc_id"] + 2_000_000
+            fresh["text"] = fresh["text"].map(
+                lambda t: " ".join(reversed(t.split(" "))))
+            return pd.concat([cp, fresh], ignore_index=True)
+
+        new = ref.map_batches(mknew, batch_format="pandas")
+        kept = cross_corpus_dedup(new, ref, threshold=0.8).to_pandas()
+        out = kept[["doc_id"]].sort_values("doc_id", ignore_index=True)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def llm_compression_ratio(sf):
         # zlib compression-ratio quality signal (Dolma / RedPajama-v2
         # signal suites): repetition/noise score per doc. zlib is not
@@ -6030,6 +6056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_compression_ratio": llm_compression_ratio,
         "llm_url_blocklist": llm_url_blocklist,
         "llm_rtd_transform": llm_rtd_transform,
+        "dedup_cross_corpus": dedup_cross_corpus,
         "llm_sentence_chunks": llm_sentence_chunks,
         "pipeline_events_enrich": pipeline_events_enrich,
         "pipeline_events_enrich_join": pipeline_events_enrich_join,
@@ -8475,6 +8502,12 @@ def oracle_sql() -> dict[str, str]:
                               doc_id)::BIGINT AS rank,
                    doc_id, lang
             FROM documents ORDER BY rank
+        """,
+        "dedup_cross_corpus": """
+            SELECT (doc_id + 2000000)::BIGINT AS doc_id
+            FROM documents
+            WHERE doc_id % 10 = 5 AND length(text) > 0
+            ORDER BY 1
         """,
         "llm_url_blocklist": """
             SELECT doc_id, source FROM documents

@@ -830,3 +830,102 @@ def semantic_decontaminate(ds: Dataset, benchmark_vectors,
         return batch.filter(pa.array(~verdicts(batch)))
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def cross_corpus_near_dups(new_ds: Dataset, ref_ds: Dataset,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           threshold: float = 0.8, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           seed: int = 7,
+                           bucket_cap: int = 64) -> pd.DataFrame:
+    """Incremental (cross-corpus) near-dedup: which NEW documents
+    near-duplicate an EXISTING reference corpus — the dedup a
+    continuously-crawled pipeline runs between each new crawl and the
+    training set it already shipped. Same MinHash-LSH machinery as the
+    in-corpus path, but candidates only ever pair ACROSS corpora:
+
+    - both sides band with the SAME permutations/seed (signatures are
+      comparable by construction), tagged with a side bit;
+    - one bucket groupby over the union: every NEW member pairs with
+      the bucket's MIN reference member (one anchor — linear in bucket
+      size; a true near-dup agrees on ~all bands, so a mixed-collision
+      bucket that anchors badly still surfaces the pair from another
+      band, the in-corpus chain argument);
+    - exact shingle-Jaccard verify over the union (only candidate docs'
+      hash arrays cross the wire).
+
+    Id spaces MUST be disjoint (asserted on the first shared bucket).
+    Returns (new_id, ref_id, jaccard) for verified matches."""
+    import ray.data as rd  # noqa: F401
+
+    def banded(ds: Dataset, side: int) -> Dataset:
+        b = ds.map_batches(
+            MinHashBatch,
+            fn_constructor_args=(text_col, id_col, num_perm, bands,
+                                 shingle_k, seed),
+            batch_format="pyarrow", concurrency=2)
+        return b.map_batches(
+            lambda t, _s=side: t.append_column(
+                "_side", pa.array(np.full(len(t), _s, np.int8))),
+            batch_format="pyarrow")
+
+    both = banded(ref_ds, 0).union(banded(new_ds, 1))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g["_side"].to_numpy()
+        ids = g[id_col].to_numpy(np.int64)
+        ref = np.unique(ids[sides == 0])
+        new = np.unique(ids[sides == 1])
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(ref) == 0 or len(new) == 0:
+            return empty
+        if np.intersect1d(ref, new).size:
+            raise ValueError(
+                "cross-corpus dedup requires disjoint id spaces")
+        if len(new) > bucket_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cross-corpus LSH: hot bucket with %d new docs "
+                "(band=%s)", len(new), int(g["band"].iloc[0]))
+        anchor = np.int64(ref.min())
+        return pd.DataFrame({"id_a": np.full(len(new), anchor),
+                             "id_b": new})
+
+    cand = (both.groupby(["band", "band_hash"])
+            .map_groups(pairs, batch_format="pandas").to_pandas())
+    if cand.empty or "id_b" not in cand.columns:
+        # zero-SCHEMA empty frame from the hash groupby when no bucket
+        # held both sides — normalize to the typed no-matches result
+        return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                             "ref_id": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    cand = (cand.drop_duplicates()
+            .sort_values(["id_b", "id_a"]).reset_index(drop=True))
+    union_docs = (new_ds.select_columns([id_col, text_col])
+                  .union(ref_ds.select_columns([id_col, text_col])))
+    verified = _verify_jaccard(union_docs, cand, text_col, id_col,
+                               shingle_k, threshold)
+    out = verified.rename(columns={"id_a": "ref_id", "id_b": "new_id"})
+    return (out[["new_id", "ref_id", "jaccard"]]
+            .sort_values(["new_id", "ref_id"], ignore_index=True))
+
+
+def cross_corpus_dedup(new_ds: Dataset, ref_ds: Dataset,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.8, **kw) -> Dataset:
+    """Drop every new document that near-duplicates the reference
+    corpus; the (small) drop-id set broadcasts once."""
+    import ray
+
+    matches = cross_corpus_near_dups(new_ds, ref_ds, text_col, id_col,
+                                     threshold, **kw)
+    drop_ref = ray.put(frozenset(matches["new_id"].tolist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = batch[id_col].to_pylist()
+        return batch.filter(pa.array([i not in drop for i in ids]))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow")
