@@ -5754,6 +5754,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         out = significant_terms_agg(
             fg, docs, "source", heuristic="chi_square",
+            # fg (lang=en) IS inside the filtered background, so the
+            # superset adjustment is explicitly re-enabled (the default
+            # flips off whenever a background_filter is given)
+            background_is_superset=True,
             background_filter=lambda df: df["lang"].isin(
                 ["en", "de", "fr"]))
         out["score"] = out["score"].round(6)

@@ -39,7 +39,8 @@ _BLOCKS = ("read", "write", "read_only", "metadata")
 # reference's "Can't update non dynamic settings" validation
 _DYNAMIC = {"index.max_result_window", "index.blocks.read",
             "index.blocks.write", "index.blocks.read_only",
-            "index.search.throttled", "index.refresh_interval"}
+            "index.blocks.metadata", "index.search.throttled",
+            "index.refresh_interval"}
 
 _CACHE: dict[str, tuple[float, dict]] = {}
 
@@ -121,8 +122,8 @@ def check_read(index_dir: str) -> None:
 
 
 def check_write(index_dir: str) -> None:
-    """Raise if writes (incremental append, delete/update-by-query
-    destinations) are forbidden."""
+    """Raise if document writes (build_index rebuild/append, snapshot
+    shard recovery into this dir) are forbidden."""
     st = _state(index_dir)
     if st.get("closed"):
         raise IndexClosedError(f"closed index [{index_dir}]")
@@ -159,6 +160,7 @@ def put_mapping(index_dir: str, properties: dict,
     "mapper [x] cannot be changed from type" error. New fields take
     effect for FUTURE (re)indexing; existing segments are untouched
     (the reference doesn't backfill either)."""
+    check_metadata_write(index_dir)
     current = get_mapping(index_dir, spec)["properties"]
     for name, m in properties.items():
         old = current.get(name)
@@ -190,32 +192,48 @@ def get_settings(index_dir: str, spec: dict | None = None) -> dict:
     return out
 
 
+def check_metadata_write(index_dir: str) -> None:
+    """Raise when metadata writes (put_mapping, non-block settings) are
+    forbidden — the reference's METADATA_WRITE block level (read_only
+    implies it)."""
+    blocks = _state(index_dir).get("blocks", ())
+    if "metadata" in blocks or "read_only" in blocks:
+        raise ClusterBlockError(
+            "blocked by: [FORBIDDEN/9/index metadata (api)]")
+
+
 def update_settings(index_dir: str, settings: dict) -> None:
     """Dynamic-only updates; ``index.blocks.*`` route to the block
-    machinery (how the reference's read_only flag works too)."""
+    machinery (how the reference's read_only flag works too). Settings
+    are staged FIRST, then block toggles — a mixed batch loses nothing
+    (review r5e #1) — and pure block toggles stay allowed under a
+    metadata/read_only block (you must be able to UNBLOCK)."""
     for k in settings:
         if k not in _DYNAMIC:
             raise ValueError(
                 f"Can't update non dynamic settings [[{k}]] for open "
                 f"indices")
-    st = dict(_state(index_dir))
-    stored = dict(st.get("settings", {}))
-    for k, v in settings.items():
-        if k.startswith("index.blocks."):
-            block = k.rsplit(".", 1)[1]
-            if v:
-                add_index_block(index_dir, block)
+    plain = {k: v for k, v in settings.items()
+             if not k.startswith("index.blocks.")}
+    blocks = {k: v for k, v in settings.items()
+              if k.startswith("index.blocks.")}
+    if plain:
+        check_metadata_write(index_dir)
+        st = dict(_state(index_dir))
+        stored = dict(st.get("settings", {}))
+        for k, v in plain.items():
+            if v is None:
+                stored.pop(k, None)
             else:
-                remove_index_block(index_dir, block)
-            st = dict(_state(index_dir))
-            stored = dict(st.get("settings", {}))
-            continue
-        if v is None:
-            stored.pop(k, None)
+                stored[k] = v
+        st["settings"] = stored
+        _save(index_dir, st)
+    for k, v in blocks.items():
+        block = k.rsplit(".", 1)[1]
+        if v:
+            add_index_block(index_dir, block)
         else:
-            stored[k] = v
-    st["settings"] = stored
-    _save(index_dir, st)
+            remove_index_block(index_dir, block)
 
 
 def effective_max_result_window(index_dir: str, spec: dict) -> int | None:
@@ -227,25 +245,38 @@ def effective_max_result_window(index_dir: str, spec: dict) -> int | None:
 
 # ------------------------------------------------------ stats / recovery
 
+def _iter_manifests(index_dir: str):
+    """Yield the INVERTED-index part manifests (``parts/*/manifest.json``)
+    in part order — restricted to the ``parts`` subtree so a co-located
+    vector index's vpart manifests are never miscounted as segments
+    (review r5e #8)."""
+    import json
+
+    parts_root = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_root):
+        return
+    for d in sorted(os.listdir(parts_root)):
+        mp = os.path.join(parts_root, d, "manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                yield json.load(fh)
+
+
 def indices_stats(index_dir: str) -> dict:
     """``GET /<index>/_stats`` essentials from manifests + file sizes —
     never opens a segment (the _segments/_disk_usage discipline)."""
-    import json
-
     docs = 0
     segs = 0
+    for m in _iter_manifests(index_dir):
+        segs += 1
+        docs += int(m.get("n_docs", 0))
     size = 0
     for root, _dirs, files in os.walk(index_dir):
         for f in files:
-            fp = os.path.join(root, f)
             try:
-                size += os.path.getsize(fp)
+                size += os.path.getsize(os.path.join(root, f))
             except OSError:
                 continue
-            if f == "manifest.json" or (f.startswith("manifest-") and f.endswith(".json")):
-                segs += 1
-                with open(fp) as fh:
-                    docs += int(json.load(fh).get("n_docs", 0))
     return {"docs": {"count": docs},
             "store": {"size_in_bytes": size},
             "segments": {"count": segs}}
@@ -255,22 +286,16 @@ def recovery(index_dir: str) -> dict:
     """``GET /<index>/_recovery``: per-shard provenance from the build
     manifests (source files, rows, elapsed) — stage DONE by definition
     once a manifest exists (manifests are written atomically last)."""
-    import json
-
     shards = []
-    for root, _dirs, files in os.walk(index_dir):
-        for f in sorted(files):
-            if f == "manifest.json" or (f.startswith("manifest-") and f.endswith(".json")):
-                with open(os.path.join(root, f)) as fh:
-                    m = json.load(fh)
-                shards.append({
-                    "id": m.get("part"),
-                    "stage": "DONE",
-                    "type": "SNAPSHOT" if m.get("restored") else "STORE",
-                    "source": m.get("input_path"),
-                    "index": {"docs": m.get("n_docs"),
-                              "elapsed_sec": m.get("elapsed_sec")},
-                })
+    for m in _iter_manifests(index_dir):
+        shards.append({
+            "id": m.get("part"),
+            "stage": "DONE",
+            "type": "SNAPSHOT" if m.get("restored") else "STORE",
+            "source": m.get("input_path"),
+            "index": {"docs": m.get("n_docs"),
+                      "elapsed_sec": m.get("elapsed_sec")},
+        })
     return {"shards": shards}
 
 

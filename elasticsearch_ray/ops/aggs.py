@@ -600,7 +600,7 @@ def rare_terms_agg(ds: Dataset, key: str, max_doc_count: int = 1) -> pd.DataFram
 def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None = None,
                           heuristic: str = "jlh",
                           include_negatives: bool = True,
-                          background_is_superset: bool = True,
+                          background_is_superset: bool | None = None,
                           background_filter=None) -> pd.DataFrame:
     """significant_terms: foreground vs background significance, with the
     reference's FULL heuristic family (bucket/terms/heuristic/): jlh
@@ -617,6 +617,13 @@ def significant_terms_agg(fg: Dataset, bg: Dataset, key: str, size: int | None =
     explicitly re-enabled (the builder does the same)."""
     from elasticsearch_ray.ops.sig_heuristics import sig_score
 
+    if background_is_superset is None:
+        # a filtered background need not contain the foreground, so the
+        # superset frequency adjustment defaults OFF exactly when a
+        # filter is given (the builder's own behavior; review r5e #2) —
+        # pass background_is_superset=True explicitly when the filter
+        # provably keeps the foreground inside the background
+        background_is_superset = background_filter is None
     if background_filter is not None:
         def bg_keep(df: pd.DataFrame) -> pd.DataFrame:
             return df[np.asarray(background_filter(df), bool)]
@@ -1147,6 +1154,10 @@ def approx_terms_agg(ds: Dataset, key: str, size: int = 10,
         raise ValueError("shard_size must be >= size")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # docs with no value for the field leave the agg entirely (the
+        # reference's terms behavior; keeps sum_other consistent with
+        # the exact sibling — review r5e #6)
+        df = df.dropna(subset=[key])
         if len(df) == 0:
             return pd.DataFrame({key: pd.Series(dtype=object),
                                  "count": pd.Series(dtype=np.int64),

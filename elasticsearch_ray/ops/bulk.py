@@ -78,21 +78,30 @@ def parse_bulk(payload: str) -> list[tuple[str, dict, dict | None]]:
     return out
 
 
-def _docs_equal(a: dict, b: dict) -> bool:
-    """Dict equality that tolerates container cells (ndarray values from
-    Arrow round-trips make `==` raise, review r5d #1)."""
-    if a.keys() != b.keys():
+def _vals_equal(a, b) -> bool:
+    """Equality tolerant of container cells at ANY depth (Arrow
+    round-trips struct/list columns into dicts holding ndarrays, whose
+    `==` truth-tests raise — review r5d #1 / r5e #3)."""
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        return np.array_equal(np.asarray(a, object),
+                              np.asarray(b, object))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return (a.keys() == b.keys()
+                and all(_vals_equal(a[k], b[k]) for k in a))
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return (len(a) == len(b)
+                and all(_vals_equal(x, y) for x, y in zip(a, b)))
+    try:
+        if a is b or bool(a == b):
+            return True
+        return bool(pd.isna(a)) and bool(pd.isna(b))
+    except (ValueError, TypeError):
         return False
-    for k, va in a.items():
-        vb = b[k]
-        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
-            if not np.array_equal(np.asarray(va, object),
-                                  np.asarray(vb, object)):
-                return False
-        elif not (va is vb or va == vb
-                  or (pd.isna(va) is True and pd.isna(vb) is True)):
-            return False
-    return True
+
+
+def _docs_equal(a: dict, b: dict) -> bool:
+    return (a.keys() == b.keys()
+            and all(_vals_equal(a[k], b[k]) for k in a))
 
 
 def _setcell(df: pd.DataFrame, idx, col: str, val) -> None:

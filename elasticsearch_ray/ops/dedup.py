@@ -859,11 +859,15 @@ def cross_corpus_near_dups(new_ds: Dataset, ref_ds: Dataset,
     import ray.data as rd  # noqa: F401
 
     def banded(ds: Dataset, side: int) -> Dataset:
+        # autoscaling (1, 2) pools: TWO legs run concurrently here, and
+        # fixed pools reserving min up front deadlock when stages x
+        # pool size reach the CPU budget (the 2-cpu scaling leg) —
+        # review r5e #5
         b = ds.map_batches(
             MinHashBatch,
             fn_constructor_args=(text_col, id_col, num_perm, bands,
                                  shingle_k, seed),
-            batch_format="pyarrow", concurrency=2)
+            batch_format="pyarrow", concurrency=(1, 2))
         return b.map_batches(
             lambda t, _s=side: t.append_column(
                 "_side", pa.array(np.full(len(t), _s, np.int8))),
@@ -884,11 +888,18 @@ def cross_corpus_near_dups(new_ds: Dataset, ref_ds: Dataset,
             raise ValueError(
                 "cross-corpus dedup requires disjoint id spaces")
         if len(new) > bucket_cap:
+            # REAL cap (review r5e #7): a hot bucket pairs only its
+            # first bucket_cap new members here — a true near-dup
+            # agrees on ~all bands, so members cut in this bucket
+            # surface from their other, non-hot buckets (the in-corpus
+            # chain tradeoff, stated the same way)
             import logging
 
             logging.getLogger(__name__).warning(
-                "cross-corpus LSH: hot bucket with %d new docs "
-                "(band=%s)", len(new), int(g["band"].iloc[0]))
+                "cross-corpus LSH: hot bucket with %d new docs capped "
+                "at %d (band=%s)", len(new), bucket_cap,
+                int(g["band"].iloc[0]))
+            new = new[:bucket_cap]
         anchor = np.int64(ref.min())
         return pd.DataFrame({"id_a": np.full(len(new), anchor),
                              "id_b": new})

@@ -112,3 +112,34 @@ def test_significant_terms_background_filter(ray_session):
         rd.from_pandas(fg), rd.from_pandas(bg), "term",
         background_filter=lambda df: df["ctx"] == "nope")
     assert (empty["bg_count"] == 0).all()
+
+
+def test_review_r5e_bg_filter_non_superset_and_approx_nulls(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.aggs import (
+        approx_terms_agg,
+        significant_terms_agg,
+    )
+
+    # non-superset filtered background must not crash chi_square
+    bg = pd.DataFrame({"term": ["x", "y", "z"] * 5,
+                       "ctx": ["other"] * 15})
+    fg = pd.DataFrame({"term": ["x", "x", "z"], "ctx": ["same"] * 3})
+    out = significant_terms_agg(
+        rd.from_pandas(fg), rd.from_pandas(bg), "term",
+        heuristic="chi_square",
+        background_filter=lambda df: df["ctx"] == "other")
+    assert set(out["term"]) <= {"x", "z"}
+    # filtered-to-empty background: no crash for NXY heuristics either
+    empty = significant_terms_agg(
+        rd.from_pandas(fg), rd.from_pandas(bg), "term",
+        heuristic="chi_square",
+        background_filter=lambda df: df["ctx"] == "nope")
+    assert (empty["bg_count"] == 0).all()
+    # approx terms: null keys leave the agg entirely (no sum_other
+    # inflation)
+    df = pd.DataFrame({"k": ["en"] * 50 + [None] * 50})
+    res = approx_terms_agg(rd.from_pandas(df), "k", size=10)
+    assert res["buckets"]["k"].tolist() == ["en"]
+    assert res["sum_other_doc_count"] == 0

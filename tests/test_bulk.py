@@ -234,3 +234,20 @@ def test_review_r5d_update_with_ndarray_cells():
         ("update", {"_id": 1}, {"doc": {"v": 1}}),
     ], id_col="doc_id")
     assert resp2["items"][0]["update"]["result"] == "noop"
+
+
+def test_review_r5e_nested_container_cells():
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    frame = pd.DataFrame({
+        "doc_id": [1],
+        "meta": [{"tags": np.array(["a", "b"]), "n": 2}],
+        "v": [1],
+    })
+    out, resp = bulk_apply(frame, [
+        ("update", {"_id": 1}, {"doc": {"v": 1}}),   # true noop
+        ("update", {"_id": 1}, {"doc": {"v": 9}}),
+    ], id_col="doc_id")
+    results = [i["update"]["result"] for i in resp["items"]]
+    assert results == ["noop", "updated"]
+    assert int(out["v"].iloc[0]) == 9

@@ -159,3 +159,23 @@ def test_snapshot_based_part_recovery(built, tmp_path_factory):
     with pytest.raises(ClusterBlockError):
         recover_part_from_snapshot(idx, 1, repo)
     admin.remove_index_block(idx, "write")
+
+
+def test_review_r5e_mixed_settings_batch_and_metadata_block(built):
+    idx, corpus, engine = built
+    # mixed batch: non-block setting must survive alongside a block
+    admin.update_settings(idx, {"index.max_result_window": 7,
+                                "index.blocks.read": True})
+    s = admin.get_settings(idx, engine.spec)
+    assert s["index.max_result_window"] == 7
+    assert s["index.blocks.read"] is True
+    admin.update_settings(idx, {"index.blocks.read": False,
+                                "index.max_result_window": None})
+    # metadata block forbids mapping/settings writes but not unblocking
+    admin.add_index_block(idx, "metadata")
+    with pytest.raises(ClusterBlockError):
+        admin.put_mapping(idx, {"zz": {"type": "keyword"}}, engine.spec)
+    with pytest.raises(ClusterBlockError):
+        admin.update_settings(idx, {"index.max_result_window": 3})
+    admin.update_settings(idx, {"index.blocks.metadata": False})
+    admin.put_mapping(idx, {"zz": {"type": "keyword"}}, engine.spec)
