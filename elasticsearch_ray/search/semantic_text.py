@@ -106,3 +106,140 @@ def semantic_query(index_ds: Dataset, query: str,
         return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
     return out[[id_col, "score"]]
+
+
+# ------------------------------------------------- persisted serving
+
+def build_semantic_text_index(ds: Dataset, index_dir: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              inference_id: str = "bow",
+                              max_words: int = 250, overlap: int = 100,
+                              field: str = "semantic",
+                              weight_quantum: float = 1 / 32):
+    """Persisted semantic_text serving — the reference's REAL shape
+    (SemanticTextFieldMapper stores chunk embeddings IN the index;
+    queries never re-run document inference):
+
+    1. chunk every document (word chunker) and stage the chunks as a
+       corpus of their own — one index doc per chunk, parent id +
+       chunk_ix carried as doc columns;
+    2. ``build_index`` over the chunk corpus (exact BM25 over chunks
+       comes free — the reference's nested chunk docs);
+    3. index-time inference per chunk → a ``rank_features`` sidecar
+       (Lucene FeatureField, exactly how ELSER embeddings are stored),
+       built DISTRIBUTED from the parts' own docs.parquet files;
+       weights are quantized to ``weight_quantum`` steps so
+       FeatureField's 9-bit-mantissa freq encoding is EXACT (bit-equal
+       serving and a plain-arithmetic SQL twin);
+    4. queries go through :func:`semantic_search_indexed`:
+       weighted_tokens over the sidecar + max-over-chunks.
+
+    Build, staging and sidecar are all resumable (spec-fingerprinted
+    build; sidecar guarded by ``sidecar_complete``). Returns the
+    QueryEngine over the chunk index."""
+    import os
+
+    import ray.data as rd
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.rank_features import (
+        build_rank_features,
+        sidecar_complete,
+    )
+    from elasticsearch_ray.index.segments import read_manifest
+    from elasticsearch_ray.index.spec import IndexSpec
+    from elasticsearch_ray.ops.chunking import chunk_documents
+    from elasticsearch_ray.search.engine import QueryEngine
+    from elasticsearch_ray.search.sparse_vector import expansion_model
+
+    fn = expansion_model(inference_id)
+    stage = index_dir.rstrip("/") + ".chunks"
+    if not (os.path.isdir(stage)
+            and any(f.endswith(".parquet") for f in os.listdir(stage))):
+        chunks = chunk_documents(ds, text_col=text_col, id_col=id_col,
+                                 strategy="word", max_words=max_words,
+                                 overlap=overlap)
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "url": (df[id_col].astype(str) + "#"
+                        + df["chunk_ix"].astype(str)),
+                "warc_ts": "1970-01-01T00:00:00Z",
+                "chunk": df["chunk"],
+                "lang": "en",
+                "parent_id": df[id_col],
+                "chunk_ix": df["chunk_ix"],
+            })
+            return out
+
+        os.makedirs(stage + ".tmp", exist_ok=True)
+        chunks.map_batches(prep, batch_format="pandas") \
+            .write_parquet(stage + ".tmp")
+        os.replace(stage + ".tmp", stage)
+    spec = IndexSpec(use_html=False, text_column="chunk",
+                     doc_columns=("url", "parent_id", "chunk_ix",
+                                  "chunk"))
+    meta = build_index(stage, index_dir, spec)
+    if not sidecar_complete(index_dir, field):
+        items = []
+        for part in range(int(meta["num_parts"])):
+            man = read_manifest(index_dir, part)
+            items.append({
+                "path": os.path.join(index_dir, "parts",
+                                     f"part={part:05d}", "docs.parquet"),
+                "base": int(man["base_doc_id"]),
+            })
+
+        def part_feats(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            ids, toks, ws = [], [], []
+            for path, base in zip(df["path"], df["base"]):
+                chunks_txt = pq.read_table(
+                    path, columns=["chunk"])["chunk"].to_pylist()
+                for i, c in enumerate(chunks_txt):
+                    for t, w in fn(c or "").items():
+                        ids.append(base + i)
+                        toks.append(t)
+                        ws.append(w)
+            q = weight_quantum
+            w_arr = np.round(np.asarray(ws, np.float64) / q) * q
+            return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                                 "feature": toks,
+                                 "weight": w_arr})
+
+        feats = rd.from_items(items).map_batches(
+            part_feats, batch_format="pandas", batch_size=1)
+        build_rank_features(index_dir, field, feats)
+    return QueryEngine(index_dir)
+
+
+def semantic_search_indexed(engine, query: str,
+                            inference_id: str = "bow", k: int = 10,
+                            field: str = "semantic",
+                            overfetch: int = 4) -> pd.DataFrame:
+    """semantic query served from the PERSISTED chunk index:
+    weighted_tokens over the rank_features sidecar fetches the top
+    ``k·overfetch`` chunks, the driver reduces max-over-chunks per
+    parent and cuts the top ``k`` (score desc, parent asc). Repeated
+    queries rebuild NOTHING."""
+    from elasticsearch_ray.search.query import WeightedTokensQuery
+    from elasticsearch_ray.search.sparse_vector import expansion_model
+
+    qw = expansion_model(inference_id)(query)
+    if not qw:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    q = WeightedTokensQuery(field=field, tokens=tuple(sorted(qw.items())))
+    hits = engine.search(q, k=k * overfetch,
+                         fetch=("parent_id", "chunk_ix")).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    best = (hits.groupby("parent_id", as_index=False)["score"].max()
+            .rename(columns={"parent_id": "doc_id"}))
+    best = best.sort_values(["score", "doc_id"],
+                            ascending=[False, True], kind="stable",
+                            ignore_index=True)
+    return best.head(k)[["doc_id", "score"]]

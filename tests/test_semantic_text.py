@@ -98,3 +98,47 @@ def test_semantic_query_no_overlap_empty_and_unknown_model(ray_session, docs):
     assert len(got) == 0
     with pytest.raises(ValueError):
         semantic_index(rd.from_pandas(docs), inference_id="elser-v999")
+
+
+def test_persisted_semantic_index_serving(ray_session, docs,
+                                          tmp_path_factory):
+    """Persisted serving: chunk index + rank_features sidecar built
+    ONCE; semantic queries run weighted_tokens over the index (no
+    re-inference), ranks match the streaming path, repeats rebuild
+    nothing."""
+    import os
+
+    import ray.data as rd
+
+    from elasticsearch_ray.search.semantic_text import (
+        build_semantic_text_index,
+        semantic_search_indexed,
+    )
+
+    idx = str(tmp_path_factory.mktemp("semidx") / "chunks_index")
+    eng = build_semantic_text_index(rd.from_pandas(docs), idx,
+                                    max_words=16, overlap=4)
+    got = semantic_search_indexed(eng, "ray vector vector", k=10)
+    # streaming twin on the same chunker: rank set must agree (scores
+    # differ only by the 1/32 FeatureField quantization)
+    stream_idx = semantic_index(rd.from_pandas(docs), max_words=16,
+                                overlap=4)
+    want = semantic_query(stream_idx, "ray vector vector", k=10)
+    # quantization can swap near-ties: top doc identical, top-5 as a SET
+    assert got["doc_id"].iloc[0] == want["doc_id"].iloc[0]
+    assert set(got["doc_id"][:5]) == set(want["doc_id"][:5])
+    assert np.allclose(np.sort(got["score"]), np.sort(want["score"]),
+                       atol=0.20)
+    # nothing rebuilds on a repeat: part manifests + sidecars untouched
+    # (index_meta.json itself is legitimately rewritten by the resume)
+    part0 = os.path.join(idx, "parts", "part=00000")
+    m0 = os.path.getmtime(os.path.join(part0, "manifest.json"))
+    side0 = [f for f in os.listdir(part0) if "semantic" in f]
+    eng2 = build_semantic_text_index(rd.from_pandas(docs), idx,
+                                     max_words=16, overlap=4)
+    got2 = semantic_search_indexed(eng2, "ray vector vector", k=10)
+    assert os.path.getmtime(os.path.join(part0, "manifest.json")) == m0
+    assert [f for f in os.listdir(part0) if "semantic" in f] == side0
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+    # no-match query -> typed empty
+    assert len(semantic_search_indexed(eng, "zzz qqq", k=5)) == 0
