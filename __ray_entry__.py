@@ -2519,6 +2519,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.astype({"doc_id": "int64", "rank": "int64"}),
             preserve_index=False)
 
+    def retriever_linear_tree(sf):
+        # linear retriever (x-pack LinearRetrieverBuilder): weighted
+        # minmax-normalized fusion of two standard legs. Normalization
+        # runs over the round-4 disciplined leg scores, so the composed
+        # twin (same BM25 legs, same minmax arithmetic) is exact.
+        from elasticsearch_ray.search.retrievers import execute_retriever
+
+        tree = {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {
+                "text": "spark join"}}}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"standard": {"query": {"match": {
+                "text": "merge sort"}}}},
+             "weight": 1.0, "normalizer": "minmax"},
+        ], "rank_window_size": 40}}
+        out = execute_retriever(tree, engine=_documents_index(sf),
+                                size=10)
+        out["score"] = out["score"].round(4)
+        return pa.Table.from_pandas(
+            out.astype({"doc_id": "int64", "rank": "int64"}),
+            preserve_index=False)
+
     def retriever_rrf_tree(sf):
         # retriever tree API (RetrieverBuilder + RRFRetrieverBuilder):
         # {rrf: [standard(match), knn(persisted index, exact route)]}.
@@ -6041,6 +6063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": text_repetition,
         "search_rrf_hybrid": search_rrf_hybrid,
         "retriever_rrf_tree": retriever_rrf_tree,
+        "retriever_linear_tree": retriever_linear_tree,
         "text_tokens_by_lang": text_tokens_by_lang,
         "text_langid": text_langid,
         "text_fingerprints": text_fingerprints,
@@ -9189,4 +9212,37 @@ FROM cand ORDER BY rank LIMIT 10
     # the retriever tree composes the SAME two legs and fusion as the
     # rank:{rrf} entry — one twin serves both surfaces
     out["retriever_rrf_tree"] = out["search_rrf_hybrid"]
+    # linear retriever: weighted minmax fusion of two BM25 legs — the
+    # twin normalizes the SAME round-4 leg scores (exact decimals, so
+    # the division matches bit-wise) and fuses with the same weights
+    out["retriever_linear_tree"] = f"""
+        WITH la AS (SELECT doc_id, score
+                    FROM ({_bm25_sql(['spark', 'join'], k=40)})),
+             lb AS (SELECT doc_id, score
+                    FROM ({_bm25_sql(['merge', 'sort'], k=40)})),
+             na AS (SELECT doc_id,
+                           CASE WHEN max(score) OVER () = min(score)
+                                     OVER () THEN 1.0
+                                ELSE (score - min(score) OVER ())
+                                     / (max(score) OVER ()
+                                        - min(score) OVER ()) END AS s
+                    FROM la),
+             nb AS (SELECT doc_id,
+                           CASE WHEN max(score) OVER () = min(score)
+                                     OVER () THEN 1.0
+                                ELSE (score - min(score) OVER ())
+                                     / (max(score) OVER ()
+                                        - min(score) OVER ()) END AS s
+                    FROM lb),
+             u AS (SELECT coalesce(na.doc_id, nb.doc_id) AS doc_id,
+                          coalesce(na.s, 0) * 2.0
+                          + coalesce(nb.s, 0) AS score
+                   FROM na FULL OUTER JOIN nb
+                     ON na.doc_id = nb.doc_id)
+        SELECT CAST(row_number() OVER (
+                 ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+                 AS rank,
+               doc_id, round(score, 4) AS score
+        FROM u ORDER BY rank LIMIT 10
+    """
     return out

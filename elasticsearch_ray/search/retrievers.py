@@ -23,6 +23,7 @@ tie discipline so composed results match their SQL twins.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from .dsl import parse_dsl
@@ -102,6 +103,87 @@ def _run_node(spec: dict, engine, vector_index_dir, default_field,
                 .sort_values(["score", "doc_id"],
                              ascending=[False, True])
                 .head(window).reset_index(drop=True))
+    elif kind == "linear":
+        # x-pack LinearRetrieverBuilder (8.18): weighted sum of the
+        # children's (optionally normalized) scores; a doc missing from
+        # a child contributes 0 for that child.
+        children = body.get("retrievers")
+        if not children:
+            raise RetrieverError("linear retriever needs retrievers")
+        rws = int(body.get("rank_window_size", window))
+        combined: dict = {}
+        for c in children:
+            child_spec = c.get("retriever")
+            if child_spec is None:
+                raise RetrieverError(
+                    "linear child needs a nested 'retriever'")
+            w = float(c.get("weight", 1.0))
+            nrm = c.get("normalizer", "none")
+            sub = _run_node(child_spec, engine, vector_index_dir,
+                            default_field, rws).head(rws)
+            # normalize over the ROUND-4 disciplined scores — the
+            # repo-wide tie rule extends through normalization so the
+            # composed ranking is SQL-twin-exact (round-4 decimals are
+            # exact doubles; the minmax division then matches bit-wise)
+            s = sub["score"].round(4).to_numpy(dtype=float)
+            if nrm == "minmax":
+                # MinMaxScoreNormalizer: over the child's own retrieved
+                # window; a degenerate window (max == min) maps to 1.0
+                if len(s):
+                    lo, hi = float(s.min()), float(s.max())
+                    s = (np.ones_like(s) if hi == lo
+                         else (s - lo) / (hi - lo))
+            elif nrm != "none":
+                raise RetrieverError(
+                    f"unknown normalizer [{nrm}] (none | minmax)")
+            for d, v in zip(sub["doc_id"].tolist(), s):
+                combined[d] = combined.get(d, 0.0) + w * float(v)
+        df = pd.DataFrame({"doc_id": list(combined),
+                           "score": list(combined.values())})
+    elif kind == "text_similarity_reranker":
+        # TextSimilarityRankRetrieverBuilder: rerank the child's top
+        # rank_window_size by the registered rerank model's relevance
+        # on (inference_text, doc field) — the same deterministic bow
+        # pair scorer the ES|QL RERANK command uses; ``field`` must be
+        # a STORED doc column (fetched via _mget, no source re-read).
+        from elasticsearch_ray.search.sparse_vector import (
+            expansion_model,
+        )
+
+        child_spec = body.get("retriever")
+        if child_spec is None or engine is None:
+            raise RetrieverError(
+                "text_similarity_reranker needs a child retriever "
+                "and an engine")
+        rws = int(body.get("rank_window_size", window))
+        sub = _run_node(child_spec, engine, vector_index_dir,
+                        default_field, rws).head(rws)
+        model = expansion_model(body.get("inference_id", "bow"))
+        qw = model(body["inference_text"])
+        fld = body.get("field", default_field)
+        # stored doc column when available, else the _source lineage
+        # (row-group-pushdown fetch — how termvectors re-reads text)
+        stored = tuple(engine.spec.get("doc_columns", ()))
+        if fld in stored:
+            docs = engine.mget(sub["doc_id"].tolist(),
+                               columns=("doc_id", fld)).to_pandas()
+        else:
+            docs = engine.mget(sub["doc_id"].tolist(),
+                               columns=("doc_id",),
+                               source_columns=(fld,)).to_pandas()
+        texts = dict(zip(docs["doc_id"], docs[fld]))
+
+        def rel(doc_id):
+            t = texts.get(doc_id)
+            if not isinstance(t, str):
+                return 0.0
+            dw = model(t)
+            return sum(w * dw.get(tok, 0.0) for tok, w in qw.items())
+
+        df = pd.DataFrame({
+            "doc_id": sub["doc_id"],
+            "score": [rel(d) for d in sub["doc_id"]],
+        })
     elif kind == "rrf":
         children = body.get("retrievers")
         if not children:

@@ -168,3 +168,72 @@ def test_standard_leg_tie_group_refetch(setup):
             .head(2)["doc_id"].tolist())
     assert got["doc_id"].tolist() == want
     assert all(k >= 52 for k in calls)
+
+
+def test_linear_retriever_weighted_minmax(setup):
+    eng, _vidx, _vecs = setup
+    tree = {"linear": {"retrievers": [
+        {"retriever": {"standard": {
+            "query": {"match": {"text": "spark"}}}},
+         "weight": 2.0, "normalizer": "minmax"},
+        {"retriever": {"standard": {
+            "query": {"match": {"text": "merge"}}}},
+         "weight": 1.0, "normalizer": "minmax"},
+    ], "rank_window_size": 30}}
+    got = execute_retriever(tree, engine=eng, size=10)
+
+    from elasticsearch_ray.search.query import MatchQuery
+
+    def leg(qs):
+        df = eng.search(MatchQuery(qs), k=90, fetch=("doc_id",)).to_pandas()
+        df["_k"] = df["score"].round(4)
+        df = df.sort_values(["_k", "doc_id"],
+                            ascending=[False, True]).head(30)
+        s = df["score"].round(4).to_numpy(dtype=float)
+        lo, hi = float(s.min()), float(s.max())
+        s = np.ones_like(s) if hi == lo else (s - lo) / (hi - lo)
+        return dict(zip(df["doc_id"].tolist(), s))
+
+    a, b = leg("spark"), leg("merge")
+    comb = {d: 2.0 * a.get(d, 0.0) + b.get(d, 0.0)
+            for d in set(a) | set(b)}
+    want = sorted(comb.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))
+    assert got["doc_id"].tolist() == [d for d, _ in want[:10]]
+    assert np.allclose(got["score"],
+                       [v for _d, v in want[:10]], atol=1e-9)
+    with pytest.raises(RetrieverError, match="normalizer"):
+        execute_retriever({"linear": {"retrievers": [
+            {"retriever": {"standard": {
+                "query": {"match": {"text": "spark"}}}},
+             "normalizer": "zscore"}]}}, engine=eng)
+    with pytest.raises(RetrieverError, match="nested"):
+        execute_retriever({"linear": {"retrievers": [
+            {"weight": 1.0}]}}, engine=eng)
+
+
+def test_text_similarity_reranker_orders_by_model(setup):
+    eng, _vidx, _vecs = setup
+    child = {"standard": {"query": {"match": {"text": "spark"}}}}
+    tree = {"text_similarity_reranker": {
+        "retriever": child, "inference_text": "merge sort",
+        "field": "text", "rank_window_size": 20}}
+    got = execute_retriever(tree, engine=eng, size=5)
+    # recompute: child window ids -> bow relevance on fetched source text
+    sub = execute_retriever(child, engine=eng, size=20, window=20)
+    docs = eng.mget(sub["doc_id"].tolist(), columns=("doc_id",),
+                    source_columns=("text",)).to_pandas()
+    import math
+    from collections import Counter
+
+    def bow(t):
+        return {w: 1 + math.log(c)
+                for w, c in Counter(t.lower().split()).items()}
+
+    q = bow("merge sort")
+    rel = {int(r["doc_id"]): sum(w * bow(r["text"]).get(tok, 0.0)
+                                 for tok, w in q.items())
+           for _, r in docs.iterrows()}
+    want = sorted(rel.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))
+    assert got["doc_id"].tolist() == [d for d, _ in want[:5]]
+    # every reranked hit still comes from the child's window
+    assert set(got["doc_id"]) <= set(sub["doc_id"])
