@@ -217,6 +217,13 @@ def update_settings(index_dir: str, settings: dict) -> None:
              if not k.startswith("index.blocks.")}
     blocks = {k: v for k, v in settings.items()
               if k.startswith("index.blocks.")}
+    # UNBLOCK toggles first (review r5f #5): a batch that lifts the
+    # metadata/read_only block and updates a setting must succeed —
+    # the lifted block no longer guards the plain updates; block
+    # ENABLES apply last so they don't forbid this very batch
+    for k, v in blocks.items():
+        if not v:
+            remove_index_block(index_dir, k.rsplit(".", 1)[1])
     if plain:
         check_metadata_write(index_dir)
         st = dict(_state(index_dir))
@@ -229,11 +236,8 @@ def update_settings(index_dir: str, settings: dict) -> None:
         st["settings"] = stored
         _save(index_dir, st)
     for k, v in blocks.items():
-        block = k.rsplit(".", 1)[1]
         if v:
-            add_index_block(index_dir, block)
-        else:
-            remove_index_block(index_dir, block)
+            add_index_block(index_dir, k.rsplit(".", 1)[1])
 
 
 def effective_max_result_window(index_dir: str, spec: dict) -> int | None:

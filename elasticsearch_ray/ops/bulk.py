@@ -83,8 +83,15 @@ def _vals_equal(a, b) -> bool:
     round-trips struct/list columns into dicts holding ndarrays, whose
     `==` truth-tests raise — review r5d #1 / r5e #3)."""
     if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
-        return np.array_equal(np.asarray(a, object),
-                              np.asarray(b, object))
+        aa = np.asarray(a, object)
+        bb = np.asarray(b, object)
+        if aa.shape != bb.shape:
+            return False
+        # elementwise recursion: object arrays can hold dicts whose
+        # values are arrays — np.array_equal would truth-test those
+        # and raise (review r5f #1)
+        return all(_vals_equal(x, y)
+                   for x, y in zip(aa.ravel(), bb.ravel()))
     if isinstance(a, dict) and isinstance(b, dict):
         return (a.keys() == b.keys()
                 and all(_vals_equal(a[k], b[k]) for k in a))

@@ -121,11 +121,15 @@ def _run_node(spec: dict, engine, vector_index_dir, default_field,
             nrm = c.get("normalizer", "none")
             sub = _run_node(child_spec, engine, vector_index_dir,
                             default_field, rws).head(rws)
-            # normalize over the ROUND-4 disciplined scores — the
-            # repo-wide tie rule extends through normalization so the
-            # composed ranking is SQL-twin-exact (round-4 decimals are
-            # exact doubles; the minmax division then matches bit-wise)
-            s = sub["score"].round(4).to_numpy(dtype=float)
+            # BM25-scored children normalize over the ROUND-4
+            # disciplined scores (the repo-wide tie rule extends
+            # through normalization — round-4 decimals are exact
+            # doubles, so the minmax division is SQL-twin-exact);
+            # knn children keep EXACT cosines, matching the vector
+            # leg's never-round discipline (review r5f #7)
+            is_vec = next(iter(child_spec)) == "knn"
+            s = (sub["score"].to_numpy(dtype=float) if is_vec
+                 else sub["score"].round(4).to_numpy(dtype=float))
             if nrm == "minmax":
                 # MinMaxScoreNormalizer: over the child's own retrieved
                 # window; a degenerate window (max == min) maps to 1.0
@@ -158,6 +162,9 @@ def _run_node(spec: dict, engine, vector_index_dir, default_field,
         rws = int(body.get("rank_window_size", window))
         sub = _run_node(child_spec, engine, vector_index_dir,
                         default_field, rws).head(rws)
+        if "inference_text" not in body:
+            raise RetrieverError(
+                "text_similarity_reranker needs inference_text")
         model = expansion_model(body.get("inference_id", "bow"))
         qw = model(body["inference_text"])
         fld = body.get("field", default_field)

@@ -155,8 +155,24 @@ def build_semantic_text_index(ds: Dataset, index_dir: str,
 
     fn = expansion_model(inference_id)
     stage = index_dir.rstrip("/") + ".chunks"
-    if not (os.path.isdir(stage)
-            and any(f.endswith(".parquet") for f in os.listdir(stage))):
+    # params marker: a stale /tmp stage built with DIFFERENT chunker/
+    # inference params must rebuild (the repo's stale-cache discipline;
+    # review r5f #4). Input-corpus changes flow through build_index's
+    # own input fingerprints once the stage regenerates; callers
+    # swapping the input under the same dir must use a fresh index_dir.
+    import json
+
+    params = {"max_words": max_words, "overlap": overlap,
+              "inference_id": inference_id, "field": field,
+              "weight_quantum": weight_quantum, "version": 1}
+    marker = stage + ".params.json"
+    stale = True
+    if os.path.isdir(stage) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != params
+    if stale or not (os.path.isdir(stage)
+                     and any(f.endswith(".parquet")
+                             for f in os.listdir(stage))):
         chunks = chunk_documents(ds, text_col=text_col, id_col=id_col,
                                  strategy="word", max_words=max_words,
                                  overlap=overlap)
@@ -173,10 +189,21 @@ def build_semantic_text_index(ds: Dataset, index_dir: str,
             })
             return out
 
+        import shutil
+
+        # crash leftovers would MERGE with a rerun's files and publish
+        # duplicated chunks atomically (review r5f #2)
+        shutil.rmtree(stage + ".tmp", ignore_errors=True)
         os.makedirs(stage + ".tmp", exist_ok=True)
         chunks.map_batches(prep, batch_format="pandas") \
             .write_parquet(stage + ".tmp")
+        import shutil as _sh
+
+        _sh.rmtree(stage, ignore_errors=True)
         os.replace(stage + ".tmp", stage)
+        with open(marker + ".tmp", "w") as f:
+            json.dump(params, f)
+        os.replace(marker + ".tmp", marker)
     spec = IndexSpec(use_html=False, text_column="chunk",
                      doc_columns=("url", "parent_id", "chunk_ix",
                                   "chunk"))
@@ -185,9 +212,11 @@ def build_semantic_text_index(ds: Dataset, index_dir: str,
         items = []
         for part in range(int(meta["num_parts"])):
             man = read_manifest(index_dir, part)
+            from elasticsearch_ray.index.segments import part_dir
+
             items.append({
-                "path": os.path.join(index_dir, "parts",
-                                     f"part={part:05d}", "docs.parquet"),
+                "path": os.path.join(part_dir(index_dir, part),
+                                     "docs.parquet"),
                 "base": int(man["base_doc_id"]),
             })
 
@@ -228,15 +257,34 @@ def semantic_search_indexed(engine, query: str,
     from elasticsearch_ray.search.sparse_vector import expansion_model
 
     qw = expansion_model(inference_id)(query)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
     if not qw:
-        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                             "score": pd.Series(dtype=np.float64)})
+        return empty
     q = WeightedTokensQuery(field=field, tokens=tuple(sorted(qw.items())))
-    hits = engine.search(q, k=k * overfetch,
-                         fetch=("parent_id", "chunk_ix")).to_pandas()
-    if hits.empty:
-        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                             "score": pd.Series(dtype=np.float64)})
+    # refetch loop on the CHUNK window (review r5f #3): the guarantee
+    # needed is k distinct PARENTS with a closed tie group at the
+    # boundary — long docs own many chunks and quantized scores tie
+    # wide, so a fixed window can under-fill parents or cut a tie group
+    fetch_k = max(k * overfetch, k + 16)
+    while True:
+        hits = engine.search(q, k=fetch_k,
+                             fetch=("parent_id", "chunk_ix")).to_pandas()
+        if hits.empty:
+            return empty
+        if len(hits) < fetch_k:  # corpus exhausted — window is total
+            break
+        # SAFE cut: every unseen chunk scores <= the last fetched
+        # chunk; a seen parent's max cannot change (it already owns a
+        # chunk >= that), and a NEW parent's max would be <= it — so
+        # once the k-th best parent strictly beats the boundary score,
+        # widening the window cannot alter the top-k
+        pmax = (hits.groupby("parent_id")["score"].max()
+                .sort_values(ascending=False))
+        if len(pmax) > k and float(pmax.iloc[k - 1]) > \
+                float(hits["score"].iloc[-1]):
+            break
+        fetch_k *= 4
     best = (hits.groupby("parent_id", as_index=False)["score"].max()
             .rename(columns={"parent_id": "doc_id"}))
     best = best.sort_values(["score", "doc_id"],

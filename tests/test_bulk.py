@@ -251,3 +251,15 @@ def test_review_r5e_nested_container_cells():
     results = [i["update"]["result"] for i in resp["items"]]
     assert results == ["noop", "updated"]
     assert int(out["v"].iloc[0]) == 9
+
+
+def test_review_r5f_ndarray_of_dicts_cells():
+    from elasticsearch_ray.ops.bulk import bulk_apply
+
+    cell = np.empty(1, object)
+    cell[0] = {"tags": np.array(["a", "b"]), "n": 2}
+    frame = pd.DataFrame({"doc_id": [1], "meta": [cell], "v": [1]})
+    _out, resp = bulk_apply(frame, [
+        ("update", {"_id": 1}, {"doc": {"v": 1}}),
+    ], id_col="doc_id")
+    assert resp["items"][0]["update"]["result"] == "noop"

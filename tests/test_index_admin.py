@@ -179,3 +179,14 @@ def test_review_r5e_mixed_settings_batch_and_metadata_block(built):
         admin.update_settings(idx, {"index.max_result_window": 3})
     admin.update_settings(idx, {"index.blocks.metadata": False})
     admin.put_mapping(idx, {"zz": {"type": "keyword"}}, engine.spec)
+
+
+def test_review_r5f_unblock_plus_setting_one_batch(built):
+    idx, corpus, engine = built
+    admin.add_index_block(idx, "metadata")
+    # ONE batch lifts the block and applies a setting — must succeed
+    admin.update_settings(idx, {"index.blocks.metadata": False,
+                                "index.max_result_window": 11})
+    assert admin.get_settings(idx, engine.spec)[
+        "index.max_result_window"] == 11
+    admin.update_settings(idx, {"index.max_result_window": None})

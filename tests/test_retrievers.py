@@ -237,3 +237,12 @@ def test_text_similarity_reranker_orders_by_model(setup):
     assert got["doc_id"].tolist() == [d for d, _ in want[:5]]
     # every reranked hit still comes from the child's window
     assert set(got["doc_id"]) <= set(sub["doc_id"])
+
+
+def test_review_r5f_reranker_requires_inference_text(setup):
+    eng, _vidx, _vecs = setup
+    with pytest.raises(RetrieverError, match="inference_text"):
+        execute_retriever({"text_similarity_reranker": {
+            "retriever": {"standard": {
+                "query": {"match": {"text": "spark"}}}},
+            "field": "text"}}, engine=eng)

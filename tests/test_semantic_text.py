@@ -142,3 +142,39 @@ def test_persisted_semantic_index_serving(ray_session, docs,
     assert got2["doc_id"].tolist() == got["doc_id"].tolist()
     # no-match query -> typed empty
     assert len(semantic_search_indexed(eng, "zzz qqq", k=5)) == 0
+
+
+def test_review_r5f_stale_stage_params_rebuild(ray_session, docs,
+                                               tmp_path_factory):
+    """Changing chunker params against a cached stage dir must rebuild
+    the stage (params marker), not silently serve stale chunks."""
+    import os
+
+    import ray.data as rd
+
+    from elasticsearch_ray.search.semantic_text import (
+        build_semantic_text_index,
+        semantic_search_indexed,
+    )
+
+    idx = str(tmp_path_factory.mktemp("semidx2") / "ci")
+    build_semantic_text_index(rd.from_pandas(docs), idx,
+                              max_words=16, overlap=4)
+    stage = idx + ".chunks"
+    m0 = os.path.getmtime(stage)
+    # different chunker params -> stage regenerates
+    # (fresh index dir: the chunk corpus changed entirely)
+    idx2 = str(tmp_path_factory.mktemp("semidx3") / "ci")
+    import shutil
+
+    shutil.copytree(stage, idx2 + ".chunks")
+    shutil.copy(stage + ".params.json", idx2 + ".chunks.params.json")
+    eng2 = build_semantic_text_index(rd.from_pandas(docs), idx2,
+                                     max_words=12, overlap=2)
+    with open(idx2 + ".chunks.params.json") as f:
+        import json
+
+        assert json.load(f)["max_words"] == 12
+    got = semantic_search_indexed(eng2, "ray vector", k=3)
+    assert len(got) > 0
+    assert os.path.getmtime(stage) == m0  # original untouched
