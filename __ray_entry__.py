@@ -4063,6 +4063,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             maxspan="2 days", until={"event_type": "error"})
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def eql_sequence_missing_events(sf):
+        # missing-event sequences ([view] ![error] [purchase]): the
+        # positive machine plus the interior-gap negative post-filter
+        # (rows-only like the base machine; gap semantics pinned in
+        # tests/test_eql.py)
+        from elasticsearch_ray.search.eql import eql_sequence_missing
+
+        out = eql_sequence_missing(
+            _ds(sf, "events"), by="user_id", ts_col="ts",
+            stages=[{"event_type": "view"}, {"event_type": "purchase"}],
+            missing={0: {"event_type": "error"}}, maxspan="2 days")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ml_inference_regression(sf):
         # x-pack ml trained-model inference (TreeInferenceModel /
         # EnsembleInferenceModel, weighted_sum): 2-tree ensemble over
@@ -6118,6 +6131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_asof": eql_sequence_asof,
         "eql_pipe_head": eql_pipe_head,
         "eql_sequence_events": eql_sequence_events,
+        "eql_sequence_missing_events": eql_sequence_missing_events,
         "eql_sample_events": eql_sample_events,
         "pipeline_events_ua": pipeline_events_ua,
         "pipeline_events_conditional": pipeline_events_conditional,

@@ -365,3 +365,82 @@ def eql_sample(ds, by, stages: list, tiebreak: str = "event_id",
     out = wide.reset_index()
     out.columns = by_cols + [f"id_{i}" for i in range(n)]
     return out.sort_values(by_cols, ignore_index=True)
+
+
+def eql_sequence_missing(ds, by, ts_col: str, stages: list,
+                         missing: dict | None = None,
+                         maxspan=None, tiebreak: str = "event_id",
+                         **kw) -> pd.DataFrame:
+    """EQL missing-event sequences (8.x grammar: ``[q1] ![qm] [q2]`` —
+    ``LogicalPlanBuilder`` missing-event support): positive stages must
+    occur in order (the ordinary :func:`eql_sequence` machinery) and NO
+    event matching the missing predicate may fall strictly BETWEEN the
+    two surrounding positive stages of the same key.
+
+    ``missing`` maps the gap index ``g`` (the missing stage sits between
+    positive stages ``g`` and ``g+1``) to its predicate. Only INTERIOR
+    missing stages are supported — the reference's leading/trailing
+    forms add a timeout clock with no bounding events (documented out
+    of scope).
+
+    Shape: positive matching is the existing distributed state machine;
+    the negative check is a post-filter — missing-candidate events
+    reduce to a per-key SORTED timestamp array (only keys that actually
+    matched, broadcast as a set), and each matched sequence does one
+    ``searchsorted`` interval probe. Matched sequences are tiny by
+    premise, so the filter is coordinator-sized."""
+    n = len(stages)
+    missing = dict(missing or {})
+    for g in missing:
+        if not 0 <= g < n - 1:
+            raise ValueError(
+                f"missing-event gap index {g} must sit between two "
+                f"positive stages (0..{n - 2})")
+    seq = eql_sequence(ds, by, ts_col, stages, maxspan=maxspan,
+                       tiebreak=tiebreak, **kw)
+    if seq.empty or not missing:
+        return seq
+    by_cols = [by] if isinstance(by, str) else list(by)
+    import ray
+
+    keys_ref = ray.put(frozenset(
+        map(tuple, seq[by_cols].itertuples(index=False, name=None))))
+
+    def neg_events(df: pd.DataFrame, _g: int) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        m = _mask(missing[_g], df)
+        sub = df.loc[m, by_cols + [ts_col]]
+        if len(sub):
+            kt = list(map(tuple, sub[by_cols]
+                          .itertuples(index=False, name=None)))
+            sub = sub[[t in keys for t in kt]]
+        return sub
+
+    keep = np.ones(len(seq), bool)
+    for g, _pred in missing.items():
+        neg = (ds.select_columns(sorted(set(by_cols) | {ts_col}
+                                        | _pred_columns([missing[g]])))
+               .map_batches(lambda df, _g=g: neg_events(df, _g),
+                            batch_format="pandas")
+               .to_pandas())
+        if neg.empty:
+            continue
+        per_key: dict = {}
+        for t, ts in zip(map(tuple, neg[by_cols]
+                             .itertuples(index=False, name=None)),
+                         neg[ts_col].to_numpy()):
+            per_key.setdefault(t, []).append(ts)
+        per_key = {t: np.sort(np.asarray(v)) for t, v in per_key.items()}
+        lo = seq[f"ts_{g}"].to_numpy()
+        hi = seq[f"ts_{g + 1}"].to_numpy()
+        for i, t in enumerate(map(tuple, seq[by_cols]
+                                  .itertuples(index=False, name=None))):
+            arr = per_key.get(t)
+            if arr is None or not keep[i]:
+                continue
+            # strictly BETWEEN the surrounding positive events
+            a = np.searchsorted(arr, lo[i], side="right")
+            b = np.searchsorted(arr, hi[i], side="left")
+            if b > a:
+                keep[i] = False
+    return seq[keep].reset_index(drop=True)

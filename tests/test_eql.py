@@ -308,3 +308,42 @@ def test_review_r5c_sample_string_tiebreak_and_big_ids(ray_session):
                       [{"event_type": "open"}, {"event_type": "write"}],
                       tiebreak="name")
     assert out2["id_0"].iloc[0] == "zz" and out2["id_1"].iloc[0] == "aa"
+
+
+def test_eql_sequence_missing_events(ray_session):
+    """Missing-event sequences: [open] ![deny] [exec] — sequences whose
+    gap contains a deny event (same key, strictly between) are removed;
+    others keep matching."""
+    import ray.data as rd
+
+    from elasticsearch_ray.search.eql import eql_sequence_missing
+
+    rows = [
+        # host a: open(1) .. deny(2) .. exec(3)  -> filtered out
+        ("a", "open", 1), ("a", "deny", 2), ("a", "exec", 3),
+        # host b: open(1) .. exec(4), deny outside the gap (5) -> kept
+        ("b", "open", 1), ("b", "exec", 4), ("b", "deny", 5),
+        # host c: open(2) .. exec(6), deny BEFORE the open (1) -> kept
+        ("c", "deny", 1), ("c", "open", 2), ("c", "exec", 6),
+        # host d: deny exactly AT the exec ts -> strictly-between: kept
+        ("d", "open", 1), ("d", "deny", 3), ("d", "exec", 3),
+    ]
+    df = pd.DataFrame(rows, columns=["host", "event_type", "t"])
+    df["event_id"] = np.arange(len(df))
+    out = eql_sequence_missing(
+        rd.from_pandas(df), "host", "t",
+        [{"event_type": "open"}, {"event_type": "exec"}],
+        missing={0: {"event_type": "deny"}})
+    assert sorted(out["host"]) == ["b", "c", "d"]
+    # no missing spec behaves exactly like eql_sequence
+    base = eql_sequence_missing(
+        rd.from_pandas(df), "host", "t",
+        [{"event_type": "open"}, {"event_type": "exec"}])
+    assert sorted(base["host"]) == ["a", "b", "c", "d"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="gap index"):
+        eql_sequence_missing(
+            rd.from_pandas(df), "host", "t",
+            [{"event_type": "open"}, {"event_type": "exec"}],
+            missing={5: {"event_type": "deny"}})
